@@ -1,0 +1,27 @@
+"""PySpark-native analytics/ETL engine with the capabilities of the
+reference ``Dims24/orion-etl-oracle-to-postgres`` (see SURVEY.md).
+
+The reference is a single-threaded, row-at-a-time Oracle→Postgres ETL
+framework driven by a YAML config tree. This package re-expresses the same
+capability surface Spark-first: the same YAML dialect compiles to DataFrame
+plans (projection/rename, Column-expression transforms, validation filters,
+broadcast lookup joins, partitioned JDBC/file IO), so Catalyst handles
+optimization and everything scales to a multi-executor cluster.
+
+Layout
+------
+- ``spec``       config IR (pydantic models; same dialect as
+                 /root/reference/mappings/parser.py)
+- ``session``    SparkSession factory tuned for scale
+- ``registry``   plugin/op registry (expression builders, not row callables)
+- ``compiler``   TableConfig → DataFrame plan
+- ``runner``     CLI entry point
+- ``sources``    parquet/csv/json/orc + partitioned JDBC readers
+- ``sinks``      file + JDBC writers (truncate / staging-swap modes)
+- ``operators``  transforms, validations, lookups, automap, dedup,
+                 similarity, text analysis, multimodal
+- ``functions``  reusable Column-expression helpers
+- ``streaming``  incremental (high-water-mark) + Structured Streaming
+"""
+
+__version__ = "0.1.0"

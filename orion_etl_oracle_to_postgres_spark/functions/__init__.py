@@ -1,0 +1,63 @@
+"""Reusable Column-expression helpers shared by operators and queries.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no
+Python UDFs — so expressions stay inside whole-stage codegen at any data
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word tokenization: lowercase, split on non-alphanumeric runs.
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    """array<string> of lowercase word tokens (empty strings removed)."""
+    arr = F.split(F.lower(col), _TOKEN_SPLIT)
+    return F.filter(arr, lambda t: t != "")
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Naive whitespace tokenizer count (cheap token-count estimator)."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined), the unit for
+    MinHash/Jaccard near-dup detection."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float|double> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two vector columns; NULL-safe on zero norms."""
+    d = dot(a, b)
+    n = l2_norm(a) * l2_norm(b)
+    return F.when(n > 0, d / n)

@@ -1,0 +1,137 @@
+"""Lookup operators J1-J3 — the reference's per-row SQL probes
+re-expressed as joins (the single biggest scale fix, SURVEY.md §2.5).
+
+Reference: ``/root/reference/plugins/default_lookup.py`` (J1 external
+``:44-95``, J2 self-lookup ``:97-109`` + finalize UPDATE
+``/root/reference/plugins/default_loader.py:109-154``); existence-check
+J3 lives in ``validations.py``.
+
+Scale notes: a lookup dimension is broadcast by default (one
+materialization instead of one SQL probe per row per rule); set
+``broadcast=False`` for large dimensions and let AQE pick the strategy.
+First-match semantics: the reference's ``fetchone()`` without ORDER BY is
+order-nondeterministic on duplicate keys (SURVEY.md §7.4.2); we resolve
+deterministically as min-by-value via ``groupBy(key).agg(min(value))``.
+Text-normalized keys: the reference casts both sides to text
+(``default_lookup.py:60-68``) so ``1`` matches ``'1'``; reproduced here.
+
+Semantic reconciliation (documented): the reference reads the lookup key
+from ``row[rule.source]``, but in its own pipeline the preceding
+transform stage has already renamed fields to target names
+(``pipeline.py:74-75`` chains row dicts), so the key it actually sees is
+the *mapped target column's* pre-lookup value. We join on that mapped
+column, which is also what J2 does explicitly (``:99``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import LookupSpec
+
+logger = logging.getLogger(__name__)
+
+
+def _first_match_dim(
+    dim: DataFrame, key_column: str, value_column: str, text_keys: bool
+) -> DataFrame:
+    """Dimension → (key, value) with deterministic first-match semantics
+    (min value per key)."""
+    key = F.col(key_column).cast("string") if text_keys else F.col(key_column)
+    return (
+        dim.select(key.alias("__lk_k"), F.col(value_column).alias("__lk_v"))
+        .groupBy("__lk_k")
+        .agg(F.min("__lk_v").alias("__lk_v"))
+    )
+
+
+def external_lookup(
+    df: DataFrame,
+    target: str,
+    lookup: LookupSpec,
+    dim: DataFrame,
+    broadcast: bool = True,
+    cast_values_to_text: bool = True,
+) -> DataFrame:
+    """J1: left-outer equi-join replacing the per-row
+    ``SELECT CAST(val AS text) FROM lkp WHERE CAST(key AS text)=%s`` probe.
+
+    The mapped column ``target`` currently holds the key; after the join
+    it holds the looked-up value (cast to text for parity with
+    ``default_lookup.py:61`` unless ``cast_values_to_text=False``).
+    NULL keys bypass the lookup entirely (ref ``:52-53``) — they keep
+    NULL and are NOT subject to on_missing.
+
+    on_missing ladder (ref ``:76-89``, default ``error``):
+    ``null`` → leave NULL; ``skip`` → drop row; ``default:X`` → X;
+    anything else → fail fast (eager anti-join count, before any write —
+    SURVEY.md §7.4.1).
+    """
+    value_column = lookup.value_column or lookup.key_column
+    d = _first_match_dim(dim, lookup.key_column, value_column, text_keys=True)
+    if cast_values_to_text:
+        d = d.withColumn("__lk_v", F.col("__lk_v").cast("string"))
+    if broadcast:
+        d = F.broadcast(d)
+
+    probe = F.col(target).cast("string")
+    on_missing = (lookup.on_missing or "error").lower()
+
+    if on_missing == "skip":
+        # matched rows ∪ NULL-key rows (NULL bypasses the lookup)
+        joined = df.join(d, probe == F.col("__lk_k"), "inner").drop("__lk_k")
+        out = joined.withColumn(target, F.col("__lk_v")).drop("__lk_v")
+        # NULL-key rows keep NULL; cast so the union's column types line up
+        tgt_type = dict(out.dtypes)[target]
+        nulls = df.filter(F.col(target).isNull()).withColumn(
+            target, F.col(target).cast(tgt_type)
+        )
+        return out.unionByName(nulls)
+
+    if on_missing not in ("null",) and not on_missing.startswith("default:"):
+        # error policy: abort if any non-null key misses
+        n = (
+            df.filter(F.col(target).isNotNull())
+            .join(d, probe == F.col("__lk_k"), "left_anti")
+            .count()
+        )
+        if n > 0:
+            raise RuntimeError(
+                f"lookup failed: {n} rows of {target!r} not found in "
+                f"{lookup.table}.{lookup.key_column}"
+            )
+        on_missing = "null"  # all present; fall through to plain join
+
+    joined = df.join(d, probe == F.col("__lk_k"), "left")
+    hit = F.col("__lk_k").isNotNull()
+    was_null = F.col(target).isNull()
+    if on_missing.startswith("default:"):
+        default_lit = F.lit(on_missing.split(":", 1)[1])
+        replacement = F.when(hit, F.col("__lk_v")).when(was_null, F.lit(None)).otherwise(default_lit)
+    else:  # null
+        replacement = F.when(hit, F.col("__lk_v")).otherwise(F.lit(None))
+    return joined.withColumn(target, replacement).drop("__lk_k", "__lk_v")
+
+
+def self_lookup(df: DataFrame, target: str, lookup: LookupSpec) -> DataFrame:
+    """J2: intra-table FK resolution (hierarchies) as ONE pre-write
+    self-join — replaces the reference's tmp-column + post-load
+    ``UPDATE ... FROM`` protocol (``default_loader.py:109-154``), with
+    identical semantics: match the stashed natural key in ``target``
+    against the table's own ``key_column``; set ``target`` to the
+    matching row's ``value_column`` (non-NULL matches only); no match →
+    NULL. Because the join sees the complete DataFrame, parents that
+    "arrive" after children resolve correctly (SURVEY.md §7.4.7).
+    """
+    value_column = lookup.value_column or lookup.key_column
+    dim = (
+        df.filter(F.col(value_column).isNotNull())
+        .select(F.col(lookup.key_column).alias("__sl_k"), F.col(value_column).alias("__sl_v"))
+        .groupBy("__sl_k")
+        .agg(F.min("__sl_v").alias("__sl_v"))
+    )
+    out = df.join(F.broadcast(dim), F.col(target) == F.col("__sl_k"), "left")
+    return out.withColumn(target, F.col("__sl_v")).drop("__sl_k", "__sl_v")

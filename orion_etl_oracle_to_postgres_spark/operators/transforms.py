@@ -1,0 +1,185 @@
+"""Scalar transform ops (T1-T6) — the per-column ``transform:``
+mini-language, compiled to Column expressions.
+
+Reference dispatch loop: ``/root/reference/plugins/default_transform.py:18-39``;
+ops compose left-to-right from a comma-separated list
+(``/root/reference/mappings/parser.py:71-75``). Implemented surface =
+shipped ops (strip/upper/lower/to_bool/insert) ∪ ops declared in the
+shipped example config but unimplemented there (to_int, trim, capitalize,
+to_date — ``/root/reference/config/tables/table_example.yaml:30,38,54``,
+SURVEY.md §2.6).
+
+Semantics notes (deliberate, documented deviations from row-Python):
+
+* String ops apply only when the column is a string — the reference
+  checks ``isinstance(val, str)`` per row; a Spark column has one static
+  type, so the compiler skips string-only ops on non-string columns
+  (flagged via ``_string_only``).
+* ``to_bool`` — the reference maps 'N'/0→False, 'Y'/1→True and leaves
+  anything else *unchanged*, which is untypeable in a static column.
+  Here unmatched values become NULL BooleanType (documented deviation;
+  also accepts lowercase y/n and 'true'/'false'/'0'/'1' strings).
+  The reference triggers this op for ANY op name containing "true"/"false"
+  (string hack at ``default_transform.py:26``); the compiler reproduces
+  the *intent* by routing such names here (SURVEY.md §7.4.10).
+* Ops take ``(col, arg)`` where ``arg`` is the text after ``:`` in the op
+  token (e.g. ``insert:ACTIVE`` → arg="ACTIVE").
+
+Everything here is a built-in JVM-side function — no Python UDFs, so the
+whole chain stays inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+
+def _string_only(fn):
+    fn._string_only = True
+    return fn
+
+
+@register("transform_op", "strip")
+@register("transform_op", "trim")
+@_string_only
+def op_strip(col: Column, arg: str | None = None) -> Column:
+    """T1 ``strip`` (and declared alias ``trim``): str.strip() ≈ F.trim.
+    Ref: ``default_transform.py:20-21``."""
+    return F.trim(col)
+
+
+@register("transform_op", "upper")
+@_string_only
+def op_upper(col: Column, arg: str | None = None) -> Column:
+    """T2. Ref: ``default_transform.py:22-23``."""
+    return F.upper(col)
+
+
+@register("transform_op", "lower")
+@_string_only
+def op_lower(col: Column, arg: str | None = None) -> Column:
+    """T3. Ref: ``default_transform.py:24-25``."""
+    return F.lower(col)
+
+
+@register("transform_op", "capitalize")
+@_string_only
+def op_capitalize(col: Column, arg: str | None = None) -> Column:
+    """Declared-but-unimplemented in reference
+    (``table_example.yaml:38``); intended for person names → initcap."""
+    return F.initcap(col)
+
+
+@register("transform_op", "to_bool")
+def op_to_bool(col: Column, arg: str | None = None) -> Column:
+    """T4 Y/N/1/0 → boolean. Ref: ``default_transform.py:26-32``;
+    unmatched → NULL (see module docstring)."""
+    s = F.upper(F.trim(col.cast("string")))
+    return (
+        F.when(s.isin("Y", "1", "TRUE", "T"), F.lit(True))
+        .when(s.isin("N", "0", "FALSE", "F"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+@register("transform_op", "insert")
+def op_insert(col: Column, arg: str | None = None) -> Column:
+    """T5 ``insert:<v>`` constant overwrite; ``insert:null`` → NULL.
+    Ref: ``default_transform.py:33-37``."""
+    if arg is None or arg == "null":
+        return F.lit(None).cast("string")
+    return F.lit(arg)
+
+
+@register("transform_op", "to_int")
+def op_to_int(col: Column, arg: str | None = None) -> Column:
+    """Declared (``table_example.yaml:30``). Permissive cast: bad input →
+    NULL (session runs with ANSI off; equivalently TRY_CAST)."""
+    return col.cast("bigint")
+
+
+@register("transform_op", "to_float")
+@register("transform_op", "to_double")
+def op_to_double(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] numeric cast, NULL on bad input."""
+    return col.cast("double")
+
+
+@register("transform_op", "to_decimal")
+def op_to_decimal(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``to_decimal:p.s`` — exact numeric for Oracle
+    NUMBER columns (SURVEY.md §7.4.8). Default DECIMAL(38,10)."""
+    if arg:
+        p, s = arg.split(".", 1)
+        return col.cast(f"decimal({int(p)},{int(s)})")
+    return col.cast("decimal(38,10)")
+
+
+@register("transform_op", "to_date")
+def op_to_date(col: Column, arg: str | None = None) -> Column:
+    """Declared (``table_example.yaml:54``). ``to_date`` or
+    ``to_date:<fmt>``; NULL on parse failure."""
+    return F.to_date(col, arg) if arg else F.to_date(col)
+
+
+@register("transform_op", "to_timestamp")
+def op_to_timestamp(col: Column, arg: str | None = None) -> Column:
+    """[engine extension]."""
+    return F.to_timestamp(col, arg) if arg else F.to_timestamp(col)
+
+
+@register("transform_op", "to_string")
+def op_to_string(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] explicit text cast (lookup keys are
+    text-normalized in the reference — ``default_lookup.py:60-68``)."""
+    return col.cast("string")
+
+
+def parse_op_token(token: str) -> tuple[str, str | None]:
+    """Split ``insert:ACTIVE`` → (name, arg). ``insert:null`` → arg 'null'
+    handled by the op; args may contain further colons."""
+    if ":" in token:
+        name, arg = token.split(":", 1)
+        return name.strip(), arg
+    return token.strip(), None
+
+
+def apply_transform_chain(col: Column, ops: list[str] | None, dtype: str) -> Column:
+    """Apply an ordered op list to a column (order-sensitivity per
+    SURVEY.md §7.4.4). Unknown ops are identity with a debug log, matching
+    ``default_transform.py:38-39``. ``dtype`` is the column's Spark
+    simpleString type, used to skip string-only ops on non-strings."""
+    from ..registry import get_transform_op
+
+    if not ops:
+        return col
+    for token in ops:
+        name, arg = parse_op_token(token)
+        fn = get_transform_op(name)
+        if fn is None:
+            # reference string-hack: any op containing true/false → to_bool
+            if "true" in name or "false" in name:
+                fn = op_to_bool
+            else:
+                continue  # forgiving miss: identity
+        if getattr(fn, "_string_only", False) and dtype != "string":
+            continue  # reference applies string ops only to str values
+        col = fn(col, arg)
+        if getattr(fn, "_string_only", False) or name in ("insert",):
+            dtype = "string"
+        elif name in ("to_int",):
+            dtype = "bigint"
+        elif name in ("to_float", "to_double"):
+            dtype = "double"
+        elif name == "to_date":
+            dtype = "date"
+        elif name in ("to_timestamp",):
+            dtype = "timestamp"
+        elif name == "to_bool" or "true" in name or "false" in name:
+            dtype = "boolean"
+        elif name == "to_string":
+            dtype = "string"
+    return col

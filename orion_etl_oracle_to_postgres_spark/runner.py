@@ -1,0 +1,74 @@
+"""CLI entry point — mirrors ``/root/reference/cli.py``.
+
+Usage::
+
+    python -m orion_etl_oracle_to_postgres_spark.runner --config config/config.yaml
+
+Steps (reference ``cli.py:34-70``): logging setup → config load →
+connectivity smoke check → run. The per-table banner logging replaces the
+reference's ``logger.header`` monkey-patch (``logger.py:92-103``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from .compiler import JobContext, run_job
+from .session import get_spark
+from .spec import load_job_spec
+
+
+def setup_logging(level: str = "INFO", log_file: str | None = None) -> None:
+    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setLevel(logging.ERROR)
+        handlers.append(fh)
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s — %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def smoke_check(spark, job) -> None:
+    """Connectivity check ≈ reference ``cli.py:13-31``: touch each
+    configured connector once (schema-only read, no data movement)."""
+    conns = job.global_spec.connectors
+    if conns.source_files is not None:
+        if not os.path.isdir(conns.source_files.base_path):
+            raise FileNotFoundError(
+                f"source base_path missing: {conns.source_files.base_path}"
+            )
+    # JDBC connectors: defer to first read (no cheap ping through Spark);
+    # the reference opens/closes a native connection here instead.
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="PySpark ETL engine")
+    parser.add_argument("--config", "-c", default=None, help="main YAML config path")
+    parser.add_argument("--master", default=None, help="Spark master override")
+    args = parser.parse_args(argv)
+
+    job = load_job_spec(args.config)
+    log_cfg = job.global_spec.logging
+    setup_logging(
+        level=log_cfg.console_level if log_cfg else "INFO",
+        log_file=log_cfg.log_file if log_cfg else None,
+    )
+
+    spark = get_spark(master=args.master)
+    smoke_check(spark, job)
+    results = run_job(spark, job)
+    for table, n in results.items():
+        logging.getLogger(__name__).info("loaded %s: %d rows", table, n)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference runs one process / one thread / one DB connection for the
+whole run (``/root/reference/pipeline.py:25,39``). Here a single
+SparkSession drives distributed execution; the defaults below are the
+scale-relevant knobs (AQE on, sane shuffle partitioning, Arrow for any
+pandas interchange).
+
+Local testing uses ``local[N]``; on a real cluster the same code runs
+unchanged under YARN/K8s — nothing in the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32]/128GiB test harness; on a production
+# cluster these are expected to be overridden by spark-submit conf. AQE
+# coalesces small shuffle partitions and switches join strategies at
+# runtime, so a generous static shuffle-partition count is safe.
+_DEFAULT_CONF = {
+    # Spark 4 enables ANSI mode by default; the reference's ETL semantics
+    # are permissive (bad cast → NULL, e.g. float(val) failures pass
+    # validation — SURVEY.md §2.7), so run with ANSI off.
+    "spark.sql.ansi.enabled": "false",
+    # Blocking SecureRandom (/dev/random) stalls the FIRST write action
+    # 30-150s in entropy-starved containers (parquet commit UUIDs);
+    # /dev/urandom is the standard server-side fix.
+    "spark.driver.extraJavaOptions": "-Djava.security.egd=file:/dev/./urandom",
+    "spark.executor.extraJavaOptions": "-Djava.security.egd=file:/dev/./urandom",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.driver.memory": "8g",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "orion-etl-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session. ``master`` defaults to
+    ``local[$SPARK_GRAFT_CPUS]`` locally, or whatever the cluster
+    submission already configured."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,77 @@
+"""JDBC sink (K1/K2).
+
+Replaces the reference's single-connection ``execute_values`` loop
+(``/root/reference/plugins/default_loader.py:80-107``) with Spark's
+parallel per-partition JDBC writer. ``batchsize`` ≈ the reference's
+page_size=1000 (``:105``); ``truncate=true`` + overwrite ≈ its batch-0
+``TRUNCATE TABLE ... RESTART IDENTITY CASCADE`` (``:38-45``).
+
+Atomicity note (SURVEY.md §7.4.9): the reference's TRUNCATE-then-commit-
+per-batch leaves partial loads visible mid-run. ``staging_swap=True``
+writes to ``<table>__stg`` and atomically renames via driver-side DDL —
+cleaner semantics, off by default for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    conn: Any,
+    table: str,
+    schema: str | None = None,
+    mode: str = "overwrite",
+    *,
+    batchsize: int = 1000,
+    truncate: bool = True,
+    num_partitions: int | None = None,
+    staging_swap: bool = False,
+) -> None:
+    target = f"{schema}.{table}" if schema else table
+    if staging_swap and mode == "overwrite":
+        staging = f"{schema}.{table}__stg" if schema else f"{table}__stg"
+        _write(df, conn, staging, "overwrite", batchsize, truncate=False, num_partitions=num_partitions)
+        _swap_tables(conn, schema, table)
+        return
+    _write(df, conn, target, mode, batchsize, truncate, num_partitions)
+
+
+def _write(df, conn, dbtable, mode, batchsize, truncate, num_partitions=None):
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", conn.jdbc_url)
+        .option("user", conn.user)
+        .option("password", conn.password)
+        .option("dbtable", dbtable)
+        .option("batchsize", str(batchsize))
+        .option("truncate", "true" if truncate else "false")
+        .option("isolationLevel", "READ_COMMITTED")
+        .save()
+    )
+
+
+def _swap_tables(conn: Any, schema: str | None, table: str) -> None:
+    """Atomic staging swap via driver-side DDL (needs a DBAPI driver,
+    e.g. psycopg2, present at runtime; gated import)."""
+    try:
+        import psycopg2  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("staging_swap requires psycopg2 on the driver") from e
+    qualified = f'"{schema}"."{table}"' if schema else f'"{table}"'
+    staging = f'"{schema}"."{table}__stg"' if schema else f'"{table}__stg"'
+    with psycopg2.connect(
+        host=conn.host,
+        port=int(conn.port),
+        user=conn.user,
+        password=conn.password,
+        dbname=conn.database,
+    ) as c, c.cursor() as cur:
+        cur.execute(f"DROP TABLE IF EXISTS {qualified}")
+        cur.execute(f"ALTER TABLE {staging} RENAME TO \"{table}\"")

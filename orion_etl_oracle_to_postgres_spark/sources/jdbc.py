@@ -1,0 +1,92 @@
+"""Partitioned JDBC source (S1/S5/S6/S7).
+
+The reference streams rows through ONE connection with a server cursor
+(``/root/reference/connectors/oracle_connector.py:57-87``); here reads
+are split across executors via partitionColumn/lowerBound/upperBound/
+numPartitions, and ``fetchsize`` plays the role of the reference's
+``batch_size`` (``/root/reference/mappings/parser.py:143``).
+
+Projection and predicate pushdown into the generated SQL are Catalyst
+built-ins (SURVEY.md §4) — ``df.select``/``df.filter`` on the returned
+DataFrame reach the database; nothing manual needed.
+
+No live Oracle/Postgres exists in the dev loop (SURVEY.md §7.5), so this
+module is exercised by unit tests only up to URL/option construction;
+the file connector covers end-to-end runs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_options(
+    conn: Any,
+    table: str,
+    schema: str | None = None,
+    *,
+    fetchsize: int = 5000,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    query: str | None = None,
+) -> dict[str, str]:
+    """Build the option map for ``spark.read.format("jdbc")``.
+
+    ``conn`` is an Oracle/Postgres connector spec (has ``jdbc_url``,
+    ``user``, ``password``). ``query`` (S6 ad-hoc SQL) is mutually
+    exclusive with ``dbtable``.
+    """
+    opts: dict[str, str] = {
+        "url": conn.jdbc_url,
+        "user": conn.user,
+        "password": conn.password,
+        "fetchsize": str(fetchsize),
+    }
+    if query is not None:
+        opts["query"] = query
+    else:
+        opts["dbtable"] = f"{schema}.{table}" if schema else table
+    if partition_column:
+        opts["partitionColumn"] = partition_column
+        opts["numPartitions"] = str(num_partitions or 32)
+        if lower_bound is not None:
+            opts["lowerBound"] = str(lower_bound)
+        if upper_bound is not None:
+            opts["upperBound"] = str(upper_bound)
+    return opts
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    conn: Any,
+    table: str,
+    schema: str | None = None,
+    **kw,
+) -> DataFrame:
+    """Read a JDBC table, optionally partitioned.
+
+    When ``partition_column`` is set but bounds aren't, Spark needs them:
+    we issue a min/max probe query first (one tiny serial read), then the
+    partitioned scan — the standard pattern for parallel JDBC ingest.
+    """
+    pc = kw.get("partition_column")
+    if pc and (kw.get("lower_bound") is None or kw.get("upper_bound") is None):
+        probe = spark.read.format("jdbc").options(
+            **jdbc_options(
+                conn,
+                table,
+                schema,
+                query=f"SELECT MIN({pc}) AS lo, MAX({pc}) AS hi FROM "
+                + (f"{schema}.{table}" if schema else table),
+            )
+        ).load().collect()[0]
+        kw["lower_bound"], kw["upper_bound"] = int(probe["lo"]), int(probe["hi"])
+    return (
+        spark.read.format("jdbc")
+        .options(**jdbc_options(conn, table, schema, **kw))
+        .load()
+    )

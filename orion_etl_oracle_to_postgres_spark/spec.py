@@ -1,0 +1,217 @@
+"""Config IR — the declarative job spec.
+
+Accepts the same YAML dialect as the reference
+(``/root/reference/mappings/parser.py:10-203``,
+``/root/reference/config/tables/table_example.yaml``) so existing configs
+run unchanged, and extends it where Spark needs more expressiveness:
+
+* a ``files`` connector (parquet/csv/json/orc paths) next to the
+  reference's ``oracle``/``postgres`` JDBC connectors — required because
+  the dev/test loop has no live databases (SURVEY.md §7.5);
+* optional JDBC read-parallelism fields (``partition_column`` /
+  ``num_partitions``) — the reference is single-connection by design
+  (``/root/reference/pipeline.py:25``), our reads are partitioned;
+* an optional ``incremental`` block realizing the reference's declared
+  but missing ``incremental_fetcher``
+  (``/root/reference/config/tables/table_example.yaml:10``).
+
+The IR is intentionally the *only* plan representation on the user side;
+the compiler turns it into DataFrame expressions and Catalyst does the
+rest (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Union
+
+import yaml
+from pydantic import BaseModel, ConfigDict, Field, field_validator
+
+
+class LoggingSpec(BaseModel):
+    log_file: str = "error/etl_error.log"
+    console_level: str = "INFO"
+    file_level: str = "ERROR"
+
+
+class OracleConnectorSpec(BaseModel):
+    """JDBC coordinates for an Oracle source (reference uses the native
+    ``oracledb`` driver; we build a jdbc:oracle:thin URL instead)."""
+
+    client_lib_dir: Optional[str] = None  # accepted for dialect compat; unused
+    user: str
+    password: str
+    host: str
+    port: Union[int, str] = 1521
+    service_name: str
+
+    @property
+    def jdbc_url(self) -> str:
+        return f"jdbc:oracle:thin:@//{self.host}:{self.port}/{self.service_name}"
+
+
+class PostgresConnectorSpec(BaseModel):
+    user: str
+    password: str
+    host: str
+    port: Union[int, str] = 5432
+    database: str
+
+    @property
+    def jdbc_url(self) -> str:
+        return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+
+
+class FilesConnectorSpec(BaseModel):
+    """[engine extension] File-based source/target root. ``source_schema``
+    / ``target_schema`` in a TableSpec select a subdirectory; tables map to
+    ``<base_path>/<schema>/<table>.<format>`` or ``<base_path>/<table>.<format>``."""
+
+    base_path: str
+    format: str = "parquet"  # parquet | csv | json | orc
+
+
+class ConnectorsSpec(BaseModel):
+    oracle: Optional[OracleConnectorSpec] = None
+    postgres: Optional[PostgresConnectorSpec] = None
+    source_files: Optional[FilesConnectorSpec] = None
+    target_files: Optional[FilesConnectorSpec] = None
+
+
+class LookupSpec(BaseModel):
+    """J1/J2 lookup config (reference ``LookupConfig``,
+    ``/root/reference/mappings/parser.py:35-39``).
+
+    ``on_missing`` policy ladder (``/root/reference/plugins/default_lookup.py:76-95``):
+    null | skip | default:<v> | error. A lookup whose ``table`` equals the
+    pipeline's own target table is a *self-lookup* (J2) and compiles to a
+    pre-write self-join instead of the reference's tmp-column + UPDATE
+    protocol (``/root/reference/plugins/default_loader.py:109-154``).
+    """
+
+    table: str
+    key_column: str
+    value_column: Optional[str] = None
+    on_missing: Optional[str] = None
+
+
+class ValidationSpec(BaseModel):
+    """V1-V3 rule (reference ``ValidationRule``,
+    ``/root/reference/mappings/parser.py:42-55``). ``on_fail`` ladder:
+    None→set NULL | skip | default:<v> | anything else→error (fail fast),
+    per ``/root/reference/plugins/default_validation.py:26-38``."""
+
+    type: str  # regex | range | lookup
+    pattern: Optional[str] = None
+    lookup: Optional[LookupSpec] = None
+    on_fail: Optional[str] = None
+
+
+class MappingSpec(BaseModel):
+    """One column mapping (reference ``MappingRule``,
+    ``/root/reference/mappings/parser.py:60-75``). ``transform`` accepts a
+    comma-separated string or a list; ops apply left-to-right."""
+
+    source: Optional[str] = None
+    target: Optional[str] = None
+    transform: Optional[Union[str, List[str]]] = None
+    plugin: Optional[str] = None
+    lookup: Optional[LookupSpec] = None
+    validation: Optional[List[ValidationSpec]] = None
+
+    @field_validator("transform", mode="before")
+    @classmethod
+    def _normalize_transform(cls, v):
+        if isinstance(v, str):
+            return [p.strip() for p in v.split(",") if p.strip()]
+        return v
+
+
+class IncrementalSpec(BaseModel):
+    """[engine extension] Realizes the declared-but-missing
+    ``incremental_fetcher`` (SURVEY.md §2.9): repeated batch with a
+    monotonic high-water-mark column, or Structured Streaming."""
+
+    watermark_column: str
+    mode: str = "batch"  # batch | streaming
+    state_path: Optional[str] = None  # where the high-water mark is persisted
+
+
+class TableSpec(BaseModel):
+    """Per-table job spec (reference ``TableConfig``,
+    ``/root/reference/mappings/parser.py:77-133``)."""
+
+    source_table: str
+    source_schema: Optional[str] = None
+    target_table: str
+    target_schema: Optional[str] = "public"
+    fetcher_plugin: Optional[str] = None
+    mappings: Optional[List[MappingSpec]] = None
+    where: Optional[str] = None
+    transform_override: bool = False
+    transform_plugins: Optional[List[str]] = None
+    loader_plugin: Optional[str] = None
+    # --- engine extensions ---
+    partition_column: Optional[str] = None  # JDBC read parallelism
+    num_partitions: Optional[int] = None
+    write_mode: str = "overwrite"  # overwrite (≈ reference TRUNCATE+load) | append
+    incremental: Optional[IncrementalSpec] = None
+
+
+class GlobalSpec(BaseModel):
+    """Reference ``GlobalConfig`` (``/root/reference/mappings/parser.py:135-162``).
+    ``batch_size`` maps onto JDBC fetchsize/batchsize rather than a
+    driver-side row buffer."""
+
+    logging: Optional[LoggingSpec] = None
+    tables_folder: str = "tables"
+    batch_size: int = Field(default=5000, ge=1)
+    auto_mapping_plugin: str = "default_auto_mapping"
+    fetcher_plugin: str = "default_fetcher"
+    transform_plugins: List[str] = Field(default_factory=lambda: ["default_transform"])
+    validation_plugins: List[str] = Field(default_factory=lambda: ["default_validation"])
+    loader_plugin: str = "default_loader"
+    connectors: ConnectorsSpec = Field(default_factory=ConnectorsSpec)
+    table_files: List[str] = Field(default_factory=list)
+
+
+class JobSpec(BaseModel):
+    """Whole-run spec (reference ``Config``,
+    ``/root/reference/mappings/parser.py:164-167``); YAML key ``global``."""
+
+    model_config = ConfigDict(populate_by_name=True)
+
+    global_spec: GlobalSpec = Field(alias="global")
+    tables: List[TableSpec] = Field(default_factory=list)
+
+
+def load_job_spec(path: Optional[str] = None) -> JobSpec:
+    """Load main YAML + per-table YAMLs into a JobSpec.
+
+    Mirrors the reference loader's two-level layout
+    (``/root/reference/mappings/parser.py:170-203``): the main file's
+    ``global.table_files`` lists per-table YAMLs under
+    ``global.tables_folder`` (relative to the main file's directory).
+    Inline ``tables:`` in the main file is also accepted (extension).
+    """
+    config_path = Path(path or os.environ.get("ETL_CONFIG_PATH", "config/config.yaml"))
+    raw = yaml.safe_load(config_path.read_text(encoding="utf-8")) or {}
+    global_spec = GlobalSpec.model_validate(raw.get("global", {}))
+
+    tables: List[TableSpec] = [
+        TableSpec.model_validate(t) for t in raw.get("tables", []) or []
+    ]
+    if global_spec.table_files:
+        tables_dir = config_path.parent / global_spec.tables_folder
+        if not tables_dir.is_dir():
+            raise FileNotFoundError(f"tables folder not found: {tables_dir}")
+        for file_name in global_spec.table_files:
+            table_path = tables_dir / file_name
+            if not table_path.is_file():
+                raise FileNotFoundError(f"table spec not found: {table_path}")
+            raw_tbl = yaml.safe_load(table_path.read_text(encoding="utf-8"))
+            tables.append(TableSpec.model_validate(raw_tbl))
+
+    return JobSpec(global_spec=global_spec, tables=tables)
