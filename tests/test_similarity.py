@@ -1,0 +1,74 @@
+"""[EXT] Similarity search: brute-force top-k, LSH bucketing, near-dup
+pairs (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import math
+
+from orion_etl_oracle_to_postgres_spark.operators import similarity
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+        (5, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_topk_query_order(spark):
+    out = similarity.cosine_topk_query(_vecs(spark), [1.0, 0.0, 0.0], k=3)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids == [1, 2, 5]
+
+
+def test_topk_query_values(spark):
+    out = similarity.cosine_topk_query(_vecs(spark), [1.0, 0.0, 0.0], k=5)
+    sims = {r["vec_id"]: r["cosine_sim"] for r in out.collect()}
+    assert abs(sims[1] - 1.0) < 1e-6
+    assert abs(sims[3] - 0.0) < 1e-6
+    assert abs(sims[4] + 1.0) < 1e-6
+    assert abs(sims[5] - 0.7 / math.sqrt(0.98)) < 1e-4
+
+
+def test_topk_pairs(spark):
+    out = similarity.cosine_topk_pairs(_vecs(spark), k=1)
+    best = {r["id_a"]: r["id_b"] for r in out.collect()}
+    assert best[1] == 2  # closest to e_x is the 0.9/0.1 vector
+    assert best[4] == 3  # -e_x: least-negative neighbor is the orthogonal one
+
+
+def test_near_dups_exact(spark):
+    out = similarity.embedding_near_dups(_vecs(spark), threshold=0.9, exact=True)
+    pairs = {(r["id_i"], r["id_j"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(i < j for i, j in pairs)
+
+
+def test_near_dups_lsh_subset_of_exact(spark):
+    exact = similarity.embedding_near_dups(_vecs(spark), threshold=0.9, exact=True)
+    lsh = similarity.embedding_near_dups(
+        _vecs(spark), threshold=0.9, exact=False, n_planes=4
+    )
+    exact_pairs = {(r["id_i"], r["id_j"]) for r in exact.collect()}
+    lsh_pairs = {(r["id_i"], r["id_j"]) for r in lsh.collect()}
+    assert lsh_pairs <= exact_pairs  # LSH may miss, never invents
+
+
+def test_lsh_topk_contains_identical_vector(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in e.first()["embedding"]]
+    qid = e.first()["vec_id"]
+    out = similarity.lsh_topk(e, qv, k=5, n_planes=6)
+    rows = out.collect()
+    assert rows and rows[0]["vec_id"] == qid  # the query vector itself buckets with itself
+    assert abs(rows[0]["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_planes_deterministic():
+    a = similarity.make_planes(8, 4, seed=7)
+    b = similarity.make_planes(8, 4, seed=7)
+    assert (a == b).all()

@@ -1,0 +1,161 @@
+"""Config IR round-trip + compiler semantics (SURVEY.md §1.5, §3.2)."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.compiler import (
+    JobContext,
+    compile_table,
+    run_table,
+)
+from orion_etl_oracle_to_postgres_spark.spec import (
+    ConnectorsSpec,
+    FilesConnectorSpec,
+    GlobalSpec,
+    MappingSpec,
+    TableSpec,
+    load_job_spec,
+)
+
+
+def _ctx(spark, sf_dir, target_dir=None):
+    conns = ConnectorsSpec(
+        source_files=FilesConnectorSpec(base_path=sf_dir),
+        target_files=FilesConnectorSpec(base_path=target_dir) if target_dir else None,
+    )
+    return JobContext(spark, GlobalSpec(connectors=conns))
+
+
+def test_load_job_spec_reference_dialect(tmp_path):
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            """
+            global:
+              batch_size: 100
+              tables_folder: tables
+              table_files: [t1.yaml]
+              connectors:
+                source_files: {base_path: /root/testdata/sf0.001}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t1.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: customer
+            target_table: customer_out
+            where: "c_acctbal > 0"
+            mappings:
+              - source: c_custkey
+                target: id
+              - source: c_name
+                target: name
+                transform: strip,upper
+                validation:
+                  - type: regex
+                    pattern: "[A-Z#0-9]+"
+                    on_fail: skip
+            """
+        )
+    )
+    job = load_job_spec(str(tmp_path / "config.yaml"))
+    assert job.global_spec.batch_size == 100
+    assert len(job.tables) == 1
+    t = job.tables[0]
+    assert t.mappings[1].transform == ["strip", "upper"]
+    assert t.mappings[1].validation[0].on_fail == "skip"
+
+
+def test_transform_string_normalized_to_list():
+    m = MappingSpec(source="a", target="b", transform="strip, upper ,lower")
+    assert m.transform == ["strip", "upper", "lower"]
+
+
+def test_compile_minimal_projection(spark, sf_dir):
+    spec = TableSpec(
+        source_table="nation",
+        target_table="n2",
+        mappings=[
+            MappingSpec(source="n_nationkey", target="id"),
+            MappingSpec(source="n_name", target="name", transform="lower"),
+        ],
+    )
+    df = compile_table(_ctx(spark, sf_dir), spec).df
+    assert df.columns == ["id", "name"]
+    assert df.count() == 25
+    assert all(r["name"] == r["name"].lower() for r in df.collect())
+
+
+def test_compile_auto_mapping_identity(spark, sf_dir):
+    spec = TableSpec(source_table="region", target_table="r2")
+    df = compile_table(_ctx(spark, sf_dir), spec).df
+    assert df.columns == ["r_regionkey", "r_name"]
+    assert df.count() == 5
+
+
+def test_compile_schema_drift_drops_missing_column(spark, sf_dir):
+    # mapped column absent from source → rule dropped pre-plan (S4)
+    spec = TableSpec(
+        source_table="region",
+        target_table="r3",
+        mappings=[
+            MappingSpec(source="r_regionkey", target="id"),
+            MappingSpec(source="no_such_col", target="ghost"),
+        ],
+    )
+    df = compile_table(_ctx(spark, sf_dir), spec).df
+    assert df.columns == ["id"]
+
+
+def test_compile_all_columns_missing_raises(spark, sf_dir):
+    spec = TableSpec(
+        source_table="region",
+        target_table="r4",
+        mappings=[MappingSpec(source="gone", target="gone")],
+    )
+    with pytest.raises(RuntimeError, match="no mappable columns"):
+        compile_table(_ctx(spark, sf_dir), spec)
+
+
+def test_run_table_writes_parquet(spark, sf_dir, tmp_path):
+    ctx = _ctx(spark, sf_dir, str(tmp_path))
+    spec = TableSpec(
+        source_table="region",
+        target_table="region_out",
+        mappings=[MappingSpec(source="r_regionkey", target="id")],
+    )
+    run_table(ctx, spec)
+    back = spark.read.parquet(str(tmp_path / "region_out"))
+    assert back.count() == 5 and back.columns == ["id"]
+
+
+def test_where_predicate_pushed_to_scan(spark, sf_dir):
+    from orion_etl_oracle_to_postgres_spark.plans import pushed_filters
+
+    spec = TableSpec(
+        source_table="orders",
+        target_table="o2",
+        where="o_totalprice > 1000",
+        mappings=[MappingSpec(source="o_orderkey", target="id")],
+    )
+    df = compile_table(_ctx(spark, sf_dir), spec).df
+    assert "o_totalprice" in pushed_filters(df)
+
+
+def test_projection_pruned_to_read_schema(spark, sf_dir):
+    from orion_etl_oracle_to_postgres_spark.plans import formatted_plan
+
+    spec = TableSpec(
+        source_table="lineitem",
+        target_table="l2",
+        mappings=[MappingSpec(source="l_orderkey", target="id")],
+    )
+    df = compile_table(_ctx(spark, sf_dir), spec).df
+    plan = formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema

@@ -1,0 +1,92 @@
+"""Unit tests for the scalar transform mini-language (T1-T6, SURVEY.md
+§2.6) — one test per op + chain-order semantics (§7.4.4)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.operators.transforms import (
+    apply_transform_chain,
+    parse_op_token,
+)
+
+
+def _apply(spark, rows, ops, dtype="string"):
+    df = spark.createDataFrame([(r,) for r in rows], f"v {dtype}")
+    out = df.select(apply_transform_chain(F.col("v"), ops, dtype).alias("v"))
+    return [r["v"] for r in out.collect()]
+
+
+def test_strip(spark):
+    assert _apply(spark, ["  a b  ", "x"], ["strip"]) == ["a b", "x"]
+
+
+def test_trim_alias(spark):
+    assert _apply(spark, [" y "], ["trim"]) == ["y"]
+
+
+def test_upper_lower(spark):
+    assert _apply(spark, ["aB"], ["upper"]) == ["AB"]
+    assert _apply(spark, ["aB"], ["lower"]) == ["ab"]
+
+
+def test_capitalize(spark):
+    assert _apply(spark, ["hello world"], ["capitalize"]) == ["Hello World"]
+
+
+def test_to_bool_ladder(spark):
+    # ref default_transform.py:26-32: N/0→False, Y/1→True; else NULL (documented deviation)
+    assert _apply(spark, ["Y", "N", "1", "0", "true", "x", None], ["to_bool"]) == [
+        True, False, True, False, True, None, None,
+    ]
+
+
+def test_to_bool_string_hack(spark):
+    # any op name containing true/false routes to to_bool (§7.4.10)
+    assert _apply(spark, ["Y"], ["make_true_false"]) == [True]
+
+
+def test_insert_constant_and_null(spark):
+    assert _apply(spark, ["a", "b"], ["insert:XX"]) == ["XX", "XX"]
+    assert _apply(spark, ["a"], ["insert:null"]) == [None]
+
+
+def test_to_int_permissive(spark):
+    assert _apply(spark, ["12", "x", None], ["to_int"]) == [12, None, None]
+
+
+def test_to_date(spark):
+    assert _apply(spark, ["2024-01-31"], ["to_date"]) == [datetime.date(2024, 1, 31)]
+    assert _apply(spark, ["31/01/2024"], ["to_date:dd/MM/yyyy"]) == [
+        datetime.date(2024, 1, 31)
+    ]
+
+
+def test_to_decimal(spark):
+    import decimal
+
+    assert _apply(spark, ["1.5"], ["to_decimal:10.2"]) == [decimal.Decimal("1.50")]
+
+
+def test_chain_order_sensitive(spark):
+    # strip then upper ≠ upper of padded string with trailing marker
+    assert _apply(spark, ["  ab  "], ["strip", "upper"]) == ["AB"]
+    assert _apply(spark, ["ab"], ["upper", "insert:z"]) == ["z"]
+
+
+def test_unknown_op_is_identity(spark):
+    # ref default_transform.py:38-39 — forgiving miss
+    assert _apply(spark, ["q"], ["no_such_op"]) == ["q"]
+
+
+def test_string_ops_skipped_on_non_string(spark):
+    # reference checks isinstance(val, str) per row; we skip by column type
+    assert _apply(spark, [5], ["upper"], dtype="int") == [5]
+
+
+def test_parse_op_token():
+    assert parse_op_token("insert:ACTIVE") == ("insert", "ACTIVE")
+    assert parse_op_token("insert:a:b") == ("insert", "a:b")
+    assert parse_op_token(" trim ") == ("trim", None)
