@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import distinct_tokens, shingles_from_tokens, tokens
+from ..functions import distinct_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -71,53 +71,77 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return out
 
 
-def _wrap64(col: Column) -> Column:
-    """Java long arithmetic wraps on overflow only with ANSI off; the
-    session runs ANSI-off (session.py), matching this expectation."""
-    return col
+def shingle_hash_stream(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(__id, __h) — one row per DISTINCT word-``shingle_n``-gram per
+    document, shingle represented by its xxhash64.
+
+    Fully NARROW (zero shuffles): tokenize → per-doc shingle-hash array
+    (hashing inside the ``transform`` lambda so shingle strings never
+    leave the expression) → ``array_distinct`` (per-doc dedup makes a
+    global ``distinct`` unnecessary — the stream is distinct by
+    construction) → explode. Scales embarrassingly: cost is linear in
+    input with no exchange; downstream consumers decide the shuffles.
+
+    Short-document semantics match ``functions.shingles``: fewer than n
+    tokens → ONE shingle of all tokens; zero tokens → one
+    empty-string shingle.
+    """
+    n = int(shingle_n)
+    sh_arr = (
+        f"CASE WHEN size(__tk) < {n} THEN array(xxhash64(concat_ws(' ', __tk))) "
+        f"ELSE array_distinct(transform(sequence(0, size(__tk) - {n}), "
+        f"i -> xxhash64(concat_ws(' ', slice(__tk, i + 1, {n}))))) END"
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    ).select("__id", F.explode(F.expr(sh_arr)).alias("__h"))
 
 
 def minhash_bands(
-    base: DataFrame,
+    flat: DataFrame,
     num_hashes: int,
     bands: int,
     seed: int = 42,
 ) -> DataFrame:
-    """(__id, band_id, band_hash) LSH band keys from a
-    (__id, __sh array<string>) input — fully relational formulation.
+    """(__id, band_id, band_hash) LSH band keys from a flat
+    (__id, __h) shingle-hash stream — fully relational, ONE shuffle.
 
-    Plan: explode shingles → ONE xxhash64 per shingle → broadcast-join a
-    ``num_hashes``-row coefficient dimension → ``min(a_i*h+b_i)`` per
-    (doc, i) → combine each band's mins into one 64-bit key with an
-    order-insensitive sum of ``xxhash64(min, i)``.
+    Plan: per shingle hash, ``inline`` an array of ``bands`` structs
+    (band_id, v0..v{r-1}) where v_r = a*h+b (multiply-shift family,
+    wraps mod 2^64 — ANSI off per session.py) → single
+    groupBy(doc, band) with r ``min`` aggregates, combined into one
+    64-bit band key with ``xxhash64(min_0..min_{r-1}, band_id)``.
 
-    Rationale: a 128-column-wide min-aggregate compiles to enormous
-    generated code (Janino chokes, ~mins of compile) and 128-field agg
-    buffers, while a coefficient-dimension cross join executes as a
-    row-at-a-time BroadcastNestedLoopJoin (~300k rows/s). A
-    ``posexplode(array(a_i*h+b_i ...))`` stays inside whole-stage
-    codegen, and map-side partial-min means the (doc, i) shuffle
-    carries only docs × num_hashes rows. Shuffle keys are
-    (doc, i)/(doc, band) — uniform, skew-free, tiny rows."""
+    Rationale: a 128-column-wide min-aggregate over docs compiles to
+    enormous generated code (Janino chokes) and 128-field agg buffers;
+    r is small (4 by default) so the per-(doc,band) buffer is tiny,
+    map-side partial-min shrinks the exchange to docs × bands rows, and
+    the shuffle key (doc, band) is uniform hash output — skew-free."""
     rows_per_band = num_hashes // bands
-    flat = base.select(F.col("__id"), F.explode("__sh").alias("__s")).select(
-        "__id", F.xxhash64("__s").alias("__h")
-    )
-    hashes = F.array(
-        *[
-            _wrap64(F.col("__h") * F.lit(a) + F.lit(b))
-            for (a, b) in _minhash_coeffs(num_hashes, seed)
-        ]
-    )
-    per_hash = (
-        flat.select("__id", F.posexplode(hashes).alias("i", "__v"))
-        .groupBy("__id", "i")
-        .agg(F.min("__v").alias("__m"))
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    # One SQL string instead of ~6 py4j round-trips per coefficient —
+    # plan construction drops from seconds to milliseconds at 128 hashes.
+    structs = []
+    for band in range(bands):
+        vals = ", ".join(
+            f"'v{r}', {a} * __h + {b}"
+            for r, (a, b) in enumerate(
+                coeffs[band * rows_per_band : (band + 1) * rows_per_band]
+            )
+        )
+        structs.append(f"named_struct('band_id', {band}, {vals})")
+    banded = flat.select(
+        "__id", F.expr(f"inline(array({', '.join(structs)}))")
     )
     return (
-        per_hash.withColumn("band_id", F.col("i") - F.col("i") % rows_per_band)
-        .groupBy("__id", "band_id")
-        .agg(F.sum(F.xxhash64("__m", "i")).alias("band_hash"))
+        banded.groupBy("__id", "band_id")
+        .agg(
+            F.xxhash64(
+                *[F.min(f"v{r}") for r in range(rows_per_band)], F.col("band_id")
+            ).alias("band_hash")
+        )
     )
 
 
@@ -139,24 +163,21 @@ def minhash_near_dups(
     probability of missing a 0.8-Jaccard pair is (1−0.8⁴)³² < 1e-7.
 
     Returns (id_i, id_j, jaccard) with id_i < id_j and
-    jaccard ≥ threshold. Candidate generation shuffles only
-    (id, band_id, band_hash); shingle sets are re-attached by an id join
-    for verification, so the heavy arrays never ride the LSH shuffle.
+    jaccard ≥ threshold. The pipeline carries only (long, long) rows —
+    shingle strings exist transiently inside one projection; signatures,
+    candidates, and the exact-Jaccard verification all work on hashes
+    (64-bit collisions are ~|shingles|²/2⁶⁴ — immaterial).
     """
-    base = (
-        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
-        .select(
-            "__id",
-            F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("__sh"),
-        )
-        .filter(F.size("__sh") > 0)
-    )
-    # base feeds signature generation AND both sides of the verify join;
-    # banded feeds both sides of the candidate self-join. Persist both —
-    # otherwise each self-join re-executes the whole upstream lineage
-    # (shingling is HOF-heavy and worth computing once).
-    base = base.persist()
-    banded = minhash_bands(base, num_hashes, bands, seed).persist()
+    # Eager localCheckpoint, not persist(): both intermediates feed
+    # multiple consumers (flat → bands + 3 verify joins; banded → both
+    # self-join sides). Checkpointing materializes once, truncates the
+    # lineage so every downstream plan is small (AQE replans stay
+    # cheap), and leaves nothing in the CacheManager to slow later
+    # queries' plan-cache matching; blocks are MEMORY_AND_DISK and are
+    # freed on GC. Both datasets are signature-sized (≈ shingle hashes
+    # / docs × bands), far smaller than the input text.
+    flat = shingle_hash_stream(df, id_col, text_col, shingle_n).localCheckpoint()
+    banded = minhash_bands(flat, num_hashes, bands, seed).localCheckpoint()
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -169,20 +190,34 @@ def minhash_near_dups(
         .select(F.col("a.__id").alias("id_i"), F.col("b.__id").alias("id_j"))
         .distinct()
     )
+    return _verify_jaccard(candidates, flat, threshold)
 
-    sh = base  # (__id, __sh)
-    verified = (
-        candidates.join(sh.withColumnsRenamed({"__id": "id_i", "__sh": "__sh_i"}), "id_i")
-        .join(sh.withColumnsRenamed({"__id": "id_j", "__sh": "__sh_j"}), "id_j")
+
+def _verify_jaccard(
+    candidates: DataFrame, flat: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_i, id_j) pairs from a distinct
+    (__id, __h) shingle-hash stream: |A∩B| by joining both sides'
+    streams through the candidate list, |A∪B| = |A|+|B|−|A∩B|."""
+    sizes = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    xi = flat.withColumnsRenamed({"__id": "id_i"})
+    xj = flat.withColumnsRenamed({"__id": "id_j"})
+    common = (
+        candidates.join(xi, "id_i")
+        .join(xj, ["id_j", "__h"])
+        .groupBy("id_i", "id_j")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"__id": "id_i", "__n": "__ni"}), "id_i")
+        .join(sizes.withColumnsRenamed({"__id": "id_j", "__n": "__nj"}), "id_j")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("__sh_i", "__sh_j"))
-            / F.size(F.array_union("__sh_i", "__sh_j")),
+            F.col("__common") / (F.col("__ni") + F.col("__nj") - F.col("__common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_i", "id_j", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
 
 
 # --- SimHash -----------------------------------------------------------
@@ -293,36 +328,28 @@ def ngram_jaccard_pairs(
     measured Jaccard for pairs that shared it, so with the default cap
     (≫ any real posting list at test scale) results are exact.
     """
-    base = (
-        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
-        .select(
-            "__id",
-            F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("__sh"),
-        )
-        .filter(F.size("__sh") > 0)
-        .persist()
-    )
-    sizes = base.select("__id", F.size("__sh").alias("__n"))
+    # eager localCheckpoint: see minhash_near_dups for rationale
+    flat = shingle_hash_stream(df, id_col, text_col, shingle_n).localCheckpoint()
+    sizes = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
-    postings = base.select("__id", F.explode("__sh").alias("__s"))
     keep = (
-        postings.groupBy("__s")
+        flat.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_postings)
-        .select("__s")
+        .select("__h")
     )
-    postings = postings.join(keep, "__s")
+    postings = flat.join(keep, "__h")
 
     a, b = postings.alias("a"), postings.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+            (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")),
         )
         .groupBy(F.col("a.__id").alias("id_i"), F.col("b.__id").alias("id_j"))
         .agg(F.count(F.lit(1)).alias("__common"))
     )
-    out = (
+    return (
         common.join(sizes.withColumnsRenamed({"__id": "id_i", "__n": "__ni"}), "id_i")
         .join(sizes.withColumnsRenamed({"__id": "id_j", "__n": "__nj"}), "id_j")
         .withColumn(
@@ -332,4 +359,3 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_i", "id_j", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out

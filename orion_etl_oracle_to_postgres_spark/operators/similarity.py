@@ -160,27 +160,38 @@ def embedding_near_dups(
     n_planes: int = 8,
     seed: int = 42,
     exact: bool = False,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
+    returned as (id_i, id_j, cosine_sim) with id_i < id_j.
 
-    ``exact=True``: brute-force all-pairs (baseline; O(n²)).
-    ``exact=False``: candidates restricted to equal LSH buckets — the
-    scale path; high-cosine pairs land in the same bucket with
-    probability (1 − θ/π)^n_planes.
+    ``exact=True``: block-matrix brute force — the comparison side is
+    collected to a numpy matrix, broadcast, and BLAS-multiplied against
+    each Arrow batch in ``mapInPandas`` (one matmul per batch instead of
+    O(n²) interpreted array lambdas; ~1000× faster than expression-level
+    cosine per pair). Correct for any n, but the broadcast side must fit
+    in executor memory (``broadcast_limit`` rows guard) — beyond that,
+    use ``exact=False``.
+
+    ``exact=False``: candidates restricted to equal random-hyperplane
+    LSH buckets — the 100 TB path; high-cosine pairs collide with
+    probability (1 − θ/π)^n_planes per plane set. Cosines are then
+    exact-verified, so precision is 1 and only recall is approximate.
     """
+    if exact:
+        return _near_dups_block_matrix(
+            df, vec_col, id_col, threshold, broadcast_limit
+        )
     a = df.select(F.col(id_col).alias("id_i"), F.col(vec_col).cast("array<double>").alias("__vi"))
     b = df.select(F.col(id_col).alias("id_j"), F.col(vec_col).cast("array<double>").alias("__vj"))
-    if exact:
-        cand = a.crossJoin(b).filter(F.col("id_i") < F.col("id_j"))
-    else:
-        dim = len(df.select(vec_col).first()[0])
-        planes = make_planes(dim, n_planes, seed)
-        siga = a.withColumn("__bi", hyperplane_signature(F.col("__vi"), planes))
-        sigb = b.withColumn("__bj", hyperplane_signature(F.col("__vj"), planes))
-        cand = siga.join(
-            sigb,
-            (F.col("__bi") == F.col("__bj")) & (F.col("id_i") < F.col("id_j")),
-        )
+    dim = len(df.select(vec_col).first()[0])
+    planes = make_planes(dim, n_planes, seed)
+    siga = a.withColumn("__bi", hyperplane_signature(F.col("__vi"), planes))
+    sigb = b.withColumn("__bj", hyperplane_signature(F.col("__vj"), planes))
+    cand = siga.join(
+        sigb,
+        (F.col("__bi") == F.col("__bj")) & (F.col("id_i") < F.col("id_j")),
+    )
     return (
         cand.select(
             "id_i",
@@ -188,4 +199,50 @@ def embedding_near_dups(
             F.round(cosine(F.col("__vi"), F.col("__vj")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _near_dups_block_matrix(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, broadcast_limit: int
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via broadcast numpy + per-batch
+    BLAS matmul. Distributed over the row side; the column side is one
+    driver collect (guarded)."""
+    import pandas as pd
+
+    rows = df.select(F.col(id_col), F.col(vec_col)).limit(broadcast_limit + 1).collect()
+    if len(rows) > broadcast_limit:
+        raise ValueError(
+            f"exact near-dup side exceeds broadcast_limit={broadcast_limit}; "
+            "use exact=False (LSH) at this scale"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf  # zero vectors never match
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+
+    def batches(it):
+        for pdf in it:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = np.inf
+            sims = (q @ b_mat.value.T) / np.outer(qn, b_norms.value)
+            # id_i < id_j ordering dedups the symmetric matrix
+            ii, jj = np.nonzero(
+                (np.round(sims, 6) >= threshold)
+                & (q_ids[:, None] < b_ids.value[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_i": q_ids[ii],
+                    "id_j": b_ids.value[jj],
+                    "cosine_sim": np.round(sims[ii, jj], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, schema="id_i long, id_j long, cosine_sim double"
     )
