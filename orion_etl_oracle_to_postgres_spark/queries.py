@@ -791,3 +791,30 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     b = multimodal.attach_fake_binary(d, "text", "doc_id")
     return multimodal.decode_image_features(b)
+
+
+@query(
+    "incremental_highwater",
+    """
+    SELECT event_id, ts, user_id, event_type, round(value, 6) AS value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+    """,
+)
+def incremental_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mode (SURVEY.md §2.9): high-water-mark read of the
+    events stream table — the stored mark bounds the scan and the
+    predicate pushes into the parquet scan (min-max pruning; JDBC WHERE
+    at the source in production)."""
+    import tempfile
+
+    from .streaming.incremental import HighWaterMark, incremental_read
+
+    state = HighWaterMark(tempfile.mktemp(suffix=".json"))
+    state.set("events.ts", "2024-01-25 00:00:00")
+    df, _commit = incremental_read(
+        lambda: _t(spark, sf_dir, "events"), "ts", state, "events.ts"
+    )
+    return df.select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
+    )

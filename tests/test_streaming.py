@@ -1,0 +1,111 @@
+"""Incremental / Structured Streaming operators (SURVEY.md §2.9) —
+high-water-mark batch increments and a file-stream → watermark →
+windowed-agg → sink pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.streaming.incremental import (
+    HighWaterMark,
+    incremental_read,
+    stream_source,
+)
+
+
+def test_high_water_mark_state(tmp_path):
+    s = HighWaterMark(str(tmp_path / "state.json"))
+    assert s.get("t.col") is None
+    s.set("t.col", "2024-01-01")
+    s.set("u.col", "42")
+    assert s.get("t.col") == "2024-01-01"
+    # fresh handle reads the same file
+    assert HighWaterMark(str(tmp_path / "state.json")).get("u.col") == "42"
+
+
+def test_incremental_read_advances_only_on_commit(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state = HighWaterMark(str(tmp_path / "hwm.json"))
+    spark.range(0, 10).withColumn("seq", F.col("id")).write.parquet(src)
+
+    read = lambda: spark.read.parquet(src)  # noqa: E731
+    df1, commit1 = incremental_read(read, "seq", state, "t.seq")
+    assert df1.count() == 10
+
+    # without commit the mark does not move: same rows again
+    df_again, _ = incremental_read(read, "seq", state, "t.seq")
+    assert df_again.count() == 10
+
+    commit1()
+    # new data lands; only rows past the mark are read
+    spark.range(10, 15).withColumn("seq", F.col("id")).write.mode("append").parquet(src)
+    df2, commit2 = incremental_read(read, "seq", state, "t.seq")
+    assert sorted(r["seq"] for r in df2.select("seq").collect()) == [10, 11, 12, 13, 14]
+    commit2()
+    assert state.get("t.seq") == "14"
+
+    # empty increment: commit keeps the old mark (max of empty = None)
+    df3, commit3 = incremental_read(read, "seq", state, "t.seq")
+    assert df3.count() == 0
+    commit3()
+    assert state.get("t.seq") == "14"
+
+
+def test_incremental_predicate_reaches_scan(spark, tmp_path):
+    """The watermark filter must push into the parquet scan (min-max row
+    -group pruning at scale), not run as a post-scan Filter only."""
+    src = str(tmp_path / "src2")
+    spark.range(0, 100).withColumn("seq", F.col("id")).write.parquet(src)
+    state = HighWaterMark(str(tmp_path / "hwm2.json"))
+    state.set("k", "50")
+    df, _ = incremental_read(lambda: spark.read.parquet(src), "seq", state, "k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(seq" in plan
+
+
+def test_stream_windowed_agg_to_sink(spark, tmp_path):
+    """File landing → event-time watermark → tumbling-window count →
+    append sink: the full Structured Streaming path on real files."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    rows = [
+        ("2024-01-01 00:00:05", "a"),
+        ("2024-01-01 00:00:30", "a"),
+        ("2024-01-01 00:01:10", "b"),
+        ("2024-01-01 00:05:00", "late-window-closer"),
+    ]
+    static = spark.createDataFrame(rows, "ts_s string, k string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k"
+    )
+    static.write.parquet(str(land / "batch0"))
+
+    stream = stream_source(
+        spark,
+        str(land / "batch0"),
+        fmt="parquet",
+        schema=static.schema,
+        watermark_column="ts",
+        delay="1 minute",
+    )
+    agg = stream.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")  # append requires the watermark to close windows
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["w"]["start"].strftime("%H:%M"), r["n"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # windows 00:00 (2 rows) and 00:01 (1 row) are closed by the
+    # 00:05 event under the 1-minute watermark; 00:05 stays open
+    assert out == {("00:00", 2), ("00:01", 1)}
