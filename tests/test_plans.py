@@ -1,0 +1,119 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correct rows are necessary but not sufficient: at 100 TB the plan IS the
+product. These tests pin the properties that make each operator survive
+a 1000-executor scale-up — filters reaching the parquet scan, column
+pruning, broadcast (not shuffle) joins for dimensions, map-side partial
+aggregation, and narrow (exchange-free) pipelines where the algorithm
+allows — so a regression that silently de-optimizes a plan fails CI,
+not the cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark import queries as q
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_where_pushdown_reaches_scan(spark, sf):
+    """S3/P5: the job spec's free-text `where` must land in the parquet
+    scan as PushedFilters (JDBC WHERE in production), not post-scan."""
+    plan = plan_of(q.QUERIES["etl_where_pushdown"](spark, sf))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    """S2/P1: mapping only a few columns must prune the scan schema —
+    reading all 16 lineitem columns for a 4-column projection is wrong."""
+    df = q.QUERIES["etl_where_pushdown"](spark, sf)
+    plan = plan_of(df)
+    scan_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    # only the mapped/filtered columns appear in the scan
+    assert "l_comment" not in scan_schema
+    assert len(scan_schema) < 200
+
+
+def test_lookup_join_is_broadcast(spark, sf):
+    """J1: dimension lookups must compile to broadcast hash joins — a
+    shuffle join on the fact table is the N+1-probe mistake at scale."""
+    plan = plan_of(q.QUERIES["etl_lookup_default"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_validation_lookup_semi_is_broadcast_semi(spark, sf):
+    """J3: existence-check validation = broadcast LEFT SEMI join."""
+    plan = plan_of(q.QUERIES["etl_validation_lookup_semi"](spark, sf))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_agg_has_partial_aggregation(spark, sf):
+    """§2.8: groupBy compiles to partial (map-side) + final aggregate,
+    so the exchange carries one row per (partition, key), not raw rows."""
+    plan = plan_of(q.QUERIES["agg_pricing_summary"](spark, sf))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # partial_sum/partial_avg markers
+
+
+def test_narrow_ops_have_no_exchange(spark, sf):
+    """Text analysis operators are per-row: any Exchange in their plan
+    is a planning bug that becomes a 100 TB shuffle."""
+    for name in ("text_stats", "text_quality", "doc_fingerprint", "binary_meta"):
+        plan = plan_of(q.QUERIES[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan}"
+
+
+def test_shingle_stream_is_narrow(spark, sf):
+    """Dedup shingling must stay exchange-free — shuffles are decided by
+    downstream consumers (LSH banding / inverted index), not tokenizing."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import shingle_hash_stream
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = plan_of(shingle_hash_stream(d, "doc_id", "text", 3))
+    assert "Exchange" not in plan
+
+
+def test_minhash_bands_single_shuffle(spark, sf):
+    """LSH banding: exactly ONE exchange (the groupBy(doc, band)); the
+    per-hash min must partial-aggregate map-side."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        minhash_bands,
+        shingle_hash_stream,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = plan_of(minhash_bands(shingle_hash_stream(d, "doc_id", "text", 3), 128, 32))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
+
+
+def test_no_python_udf_in_jvm_operators(spark, sf):
+    """Everything except the explicitly-Python multimodal/exact-BLAS
+    paths must run JVM-side: no BatchEvalPython / ArrowEvalPython."""
+    for name in (
+        "etl_customer_pipeline",
+        "agg_pricing_summary",
+        "dedup_fingerprint",
+        "text_stats",
+        "emb_topk_query",
+    ):
+        plan = plan_of(q.QUERIES[name](spark, sf))
+        assert "EvalPython" not in plan, f"{name} fell back to Python UDFs"
+
+
+def test_exact_dedup_single_shuffle(spark, sf):
+    """Exact dedup = one hash-aggregate exchange on the key columns."""
+    plan = plan_of(q.QUERIES["dedup_exact_keys"](spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
