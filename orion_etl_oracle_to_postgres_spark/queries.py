@@ -818,3 +818,14 @@ def incremental_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
     )
+
+
+@query("emb_topk_lsh")  # bucket membership depends on engine-side plane
+# hashes → rows-only check (the exact-ranking baseline is emb_topk_query)
+def emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH bucket filter then exact cosine
+    ranking — the scan-pruning scale path next to the brute-force
+    baseline (similarity.lsh_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.lsh_topk(e, qv, k=10, n_planes=4)
