@@ -4,3 +4,4 @@ operators (dedup, similarity, text analysis, multimodal — SURVEY.md §2.11).
 """
 
 from . import transforms, validations, lookups, automap  # noqa: F401  (registers ops)
+from . import dedup, similarity, text, multimodal, skew  # noqa: F401
