@@ -52,6 +52,15 @@ def shingles(col: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5, parsed as a long
+    (max 16^15−1 < 2^63 — no overflow under ANSI mode). Used where a
+    hash must be replicable OUTSIDE Spark (DuckDB computes identical md5
+    bytes), making hash-dependent operators (simhash) differential-
+    testable; prefer ``xxhash64`` where portability doesn't matter."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float|double> columns (JVM-side)."""
     return F.aggregate(

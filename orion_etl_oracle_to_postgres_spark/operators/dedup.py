@@ -12,8 +12,8 @@ shuffles are the ones the algorithms fundamentally need:
   dropped before the explode so the shuffle payload stays tiny), one
   shuffle to bucket candidates, then an id-keyed join to re-attach
   shingle sets for exact verification;
-* SimHash: banding on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4
-  chunks equal), verify with ``bit_count(a ^ b)``;
+* SimHash: banding on 15-bit chunks of a 60-bit signature (pigeonhole:
+  hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal), verify with ``bit_count(a ^ b)``;
 * n-gram Jaccard: inverted-index join on shingles with a hot-shingle cap
   (classic exact near-dup at scale; the cap bounds the quadratic
   postings blowup and is surfaced as a parameter).
@@ -56,21 +56,6 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic odd multiplier / additive constants for the linear
-    hash family h_i(x) = a_i*x + b_i over Z/2^64 (overflow wraps —
-    standard multiply-shift MinHash)."""
-    import random
-
-    rng = random.Random(seed)
-    out = []
-    for _ in range(num_hashes):
-        a = rng.getrandbits(63) | 1  # odd → bijective mod 2^64
-        b = rng.getrandbits(63)
-        out.append((a, b))
-    return out
-
-
 def shingle_hash_stream(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
@@ -109,8 +94,12 @@ def minhash_bands(
     (__id, __h) shingle-hash stream — fully relational, ONE shuffle.
 
     Plan: per shingle hash, ``inline`` an array of ``bands`` structs
-    (band_id, v0..v{r-1}) where v_r = a*h+b (multiply-shift family,
-    wraps mod 2^64 — ANSI off per session.py) → single
+    (band_id, v0..v{r-1}) where v_r = xxhash64(h, seed, slot) — one
+    independent hash function per slot, salted by the slot index. Unlike
+    the classic a*h+b multiply-shift family this never overflows, so it
+    is ANSI-mode-immune (a*h+b relies on mod-2^64 wraparound and throws
+    ARITHMETIC_OVERFLOW under spark.sql.ansi.enabled=true, the Spark 4
+    default) and it stays JVM-side in whole-stage codegen. Then a single
     groupBy(doc, band) with r ``min`` aggregates, combined into one
     64-bit band key with ``xxhash64(min_0..min_{r-1}, band_id)``.
 
@@ -120,16 +109,13 @@ def minhash_bands(
     map-side partial-min shrinks the exchange to docs × bands rows, and
     the shuffle key (doc, band) is uniform hash output — skew-free."""
     rows_per_band = num_hashes // bands
-    coeffs = _minhash_coeffs(num_hashes, seed)
-    # One SQL string instead of ~6 py4j round-trips per coefficient —
-    # plan construction drops from seconds to milliseconds at 128 hashes.
+    # One SQL string instead of ~6 py4j round-trips per slot — plan
+    # construction drops from seconds to milliseconds at 128 hashes.
     structs = []
     for band in range(bands):
         vals = ", ".join(
-            f"'v{r}', {a} * __h + {b}"
-            for r, (a, b) in enumerate(
-                coeffs[band * rows_per_band : (band + 1) * rows_per_band]
-            )
+            f"'v{r}', xxhash64(__h, {int(seed)}, {band * rows_per_band + r})"
+            for r in range(rows_per_band)
         )
         structs.append(f"named_struct('band_id', {band}, {vals})")
     banded = flat.select(
@@ -222,21 +208,27 @@ def _verify_jaccard(
 
 # --- SimHash -----------------------------------------------------------
 
-# 2^j for j in 0..63 with the sign bit as two's-complement — summing
-# disjoint bit values reconstructs the packed long exactly.
-_POW2 = [1 << j for j in range(63)] + [-(1 << 63)]
+# 60-bit signatures: token hash = md5-derived 60-bit value (portable —
+# a DuckDB oracle computes the identical hash, so simhash is fully
+# differential-testable, unlike engine-specific xxhash64). 60 bits keep
+# the packed value positive (no two's-complement sign handling) and
+# split evenly into 4 × 15-bit chunks for banding.
+_SIMHASH_BITS = 60
+_POW2 = [1 << j for j in range(_SIMHASH_BITS)]
 
 
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(__id, __sim) 64-bit SimHash per document.
+    """(__id, __sim) 60-bit SimHash per document.
 
     Relational formulation (same rationale as ``minhash_bands`` — wide
-    aggregates choke codegen): explode distinct tokens → one xxhash64
-    per token → cross a 64-row bit-index dimension → per-(doc, bit)
-    vote sums → pack set bits with an order-insensitive sum (bit values
-    are disjoint, so sum == OR)."""
+    aggregates choke codegen): explode distinct tokens → one portable
+    md5-derived hash per token → cross a 60-row bit-index dimension →
+    per-(doc, bit) vote sums → pack set bits with an order-insensitive
+    sum (bit values are disjoint, so sum == OR)."""
+    from ..functions import md5_hash60
+
     spark = df.sparkSession
     bits = spark.createDataFrame(
         [(j, p) for j, p in enumerate(_POW2)], "j int, p long"
@@ -244,7 +236,7 @@ def simhash_signatures(
     flat = df.select(
         F.col(id_col).alias("__id"),
         F.explode(distinct_tokens(F.col(text_col))).alias("__t"),
-    ).select("__id", F.xxhash64("__t").alias("__h"))
+    ).select("__id", md5_hash60(F.col("__t")).alias("__h"))
     # vote for bit with value p: +1 if (h & p) != 0 else -1, summed over tokens
     return (
         flat.join(F.broadcast(bits))
@@ -271,7 +263,7 @@ def simhash_near_dups(
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``.
 
-    Banding: the 64-bit simhash splits into 4 × 16-bit chunks; by
+    Banding: the 60-bit simhash splits into 4 × 15-bit chunks; by
     pigeonhole, hamming ≤ 3 ⇒ at least one chunk is identical, so
     bucketing on (chunk_id, chunk_value) has perfect recall for ≤ 3.
     Verification: ``bit_count(a ^ b)``.
@@ -283,7 +275,7 @@ def simhash_near_dups(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("__sim"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("__sim"), 15 * c).bitwiseAND(F.lit(0x7FFF))
                     for c in range(4)
                 ]
             )

@@ -46,7 +46,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("sha256", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # doubles, not float32: feature values survive Arrow round-trips
+        # bit-exactly, so the decode output is differential-testable
+        # against an external oracle computing the same sha256-derived
+        # values in float64.
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 

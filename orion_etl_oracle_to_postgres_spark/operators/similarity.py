@@ -134,12 +134,19 @@ def lsh_topk(
     bucketed/partitioned by signature). Approximate — recall depends on
     n_planes; lower n_planes = bigger buckets = higher recall & cost."""
     planes = make_planes(len(query_vec), n_planes, seed)
-    qsig = int(
-        sum(
-            (1 << i) if float(np.dot(p, np.asarray(query_vec))) >= 0 else 0
-            for i, p in enumerate(planes)
-        )
-    )
+    # Query signature via a plain sequential left-to-right sum — the SAME
+    # association order as the SQL-side aggregate in hyperplane_signature
+    # (np.dot uses pairwise summation, which can flip the sign of a dot
+    # product landing near the 0 boundary and put the query in a bucket
+    # its own row isn't in). Keeps the bucket choice reproducible by any
+    # engine that folds the product list sequentially.
+    qsig = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(query_vec, p):
+            acc = acc + float(x) * float(y)
+        if acc >= 0:
+            qsig += 1 << i
     v = F.col(vec_col).cast("array<double>")
     sim = cosine(v, _lit_vec(query_vec))
     return (

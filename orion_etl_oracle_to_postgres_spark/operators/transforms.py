@@ -97,15 +97,18 @@ def op_insert(col: Column, arg: str | None = None) -> Column:
 @register("transform_op", "to_int")
 def op_to_int(col: Column, arg: str | None = None) -> Column:
     """Declared (``table_example.yaml:30``). Permissive cast: bad input →
-    NULL (session runs with ANSI off; equivalently TRY_CAST)."""
-    return col.cast("bigint")
+    NULL. ``try_cast`` (not ``cast``) so the promise holds under ANY
+    session conf — a plain cast throws under ANSI mode (Spark 4
+    default)."""
+    return col.try_cast("bigint")
 
 
 @register("transform_op", "to_float")
 @register("transform_op", "to_double")
 def op_to_double(col: Column, arg: str | None = None) -> Column:
-    """[engine extension] numeric cast, NULL on bad input."""
-    return col.cast("double")
+    """[engine extension] numeric cast, NULL on bad input (try_cast —
+    ANSI-immune)."""
+    return col.try_cast("double")
 
 
 @register("transform_op", "to_decimal")
@@ -114,21 +117,26 @@ def op_to_decimal(col: Column, arg: str | None = None) -> Column:
     NUMBER columns (SURVEY.md §7.4.8). Default DECIMAL(38,10)."""
     if arg:
         p, s = arg.split(".", 1)
-        return col.cast(f"decimal({int(p)},{int(s)})")
-    return col.cast("decimal(38,10)")
+        return col.try_cast(f"decimal({int(p)},{int(s)})")
+    return col.try_cast("decimal(38,10)")
 
 
 @register("transform_op", "to_date")
 def op_to_date(col: Column, arg: str | None = None) -> Column:
     """Declared (``table_example.yaml:54``). ``to_date`` or
-    ``to_date:<fmt>``; NULL on parse failure."""
-    return F.to_date(col, arg) if arg else F.to_date(col)
+    ``to_date:<fmt>``; NULL on parse failure (try_* variants — a plain
+    ``to_date`` throws on malformed input under ANSI mode)."""
+    if arg:
+        return F.try_to_timestamp(col, F.lit(arg)).try_cast("date")
+    return col.try_cast("date")
 
 
 @register("transform_op", "to_timestamp")
 def op_to_timestamp(col: Column, arg: str | None = None) -> Column:
-    """[engine extension]."""
-    return F.to_timestamp(col, arg) if arg else F.to_timestamp(col)
+    """[engine extension]; NULL on parse failure under any session conf."""
+    if arg:
+        return F.try_to_timestamp(col, F.lit(arg))
+    return col.try_cast("timestamp")
 
 
 @register("transform_op", "to_string")

@@ -78,7 +78,10 @@ def violation_condition(
     if rule.type == "range":
         pattern = rule.pattern or ""
         m = _RANGE_RE.match(pattern)
-        num = col.cast("double")
+        # try_cast, not cast: non-numeric values must PASS (reference
+        # catches float() failures — ref :59-60) under any session conf;
+        # a plain cast aborts the query under ANSI mode.
+        num = col.try_cast("double")
         if m:
             lo, hi = float(m.group(1)), float(m.group(2))
             return num.isNotNull() & ~num.between(lo, hi)

@@ -54,13 +54,17 @@ def query(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — read as raw ns longs
-        # (spark.sql.legacy.parquet.nanosAsLong, session.py) and converted
-        # here with integer division to keep microsecond exactness.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright. nanosAsLong is a runtime SQL conf — set it
+        # HERE, not only in the session builder, so the queries run under
+        # any caller-provided SparkSession (e.g. a stock ANSI-on one).
+        # Read as raw ns longs, convert with integer division to keep
+        # microsecond exactness.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _ctx(spark: SparkSession, sf_dir: str) -> JobContext:
@@ -623,9 +627,58 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # bit-level hash choice is engine-specific → rows-only check
+def _hex2int_sql(expr: str, nchars: int = 15) -> str:
+    """DuckDB SQL replicating ``functions.md5_hash60``'s hex→int parse
+    (DuckDB lacks ``conv``; digit values via strpos on the hex alphabet)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    )
+    return f"({terms})"
+
+
+def _simhash_sql() -> str:
+    """Full SimHash oracle: portable md5-derived 60-bit token hashes →
+    per-bit votes → packed signature → all-pairs hamming (exact at
+    sf0.01's 500 docs; the Spark side's chunk-banding has perfect recall
+    for hamming ≤ 3, so the pair sets coincide)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS t
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id, {_hex2int_sql('m')} AS h
+      FROM (SELECT doc_id, md5(t) AS m FROM toks)
+    ),
+    votes AS (
+      SELECT doc_id, CAST(j AS INTEGER) AS j,
+             sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hv CROSS JOIN (SELECT unnest(range(60)) AS j) bits
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)
+                  AS BIGINT) AS sim
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM sig a, sig b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.sim, b.sim)) <= 3
+    """
+
+
+@query("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures)."""
+    """SimHash near-dup pairs (hamming ≤ 3 on 60-bit signatures). The
+    token hash is md5-derived (``functions.md5_hash60``) specifically so
+    the whole operator is oracle-checkable bit-for-bit."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
 
@@ -785,12 +838,53 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_stats(b)
 
 
-@query("multimodal_decode")  # hash-derived fake decode → rows-only check
+def _hexbyte_sql(expr: str, byte_idx: int) -> str:
+    """DuckDB SQL: byte ``byte_idx`` of a lowercase hex digest string."""
+    i = 2 * byte_idx
+    hi = f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({expr}, {i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _mm_decode_sql(n_features: int = 8) -> str:
+    """Oracle for the stub decoder: ``multimodal._fake_decode`` derives
+    width/height/features from sha256(payload) bytes, which DuckDB
+    replicates exactly (payload = UTF-8 text; b/255 never hits a decimal
+    rounding boundary since 255 has factor 17, so round(.,6) agrees)."""
+    feats = ",\n           ".join(
+        f"round({_hexbyte_sql('sha', 2 + i)} / 255.0, 6) AS f{i}"
+        for i in range(n_features)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+      FROM documents
+    )
+    SELECT doc_id, n_bytes, sha AS sha256,
+           64 + ({_hexbyte_sql('sha', 0)} % 192) AS width,
+           64 + ({_hexbyte_sql('sha', 1)} % 192) AS height,
+           {feats}
+    FROM s
+    """
+
+
+@query("multimodal_decode", _mm_decode_sql())
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode pipeline (stub codec)."""
+    """Arrow-batched mapInPandas decode pipeline (stub codec). The stub
+    is sha256-derived, so the decode output is fully oracle-checked;
+    features are emitted as scalar f0..f7 columns (the operator API keeps
+    the array — arrays aren't sortable by the driver's canonicalizer)."""
     d = _t(spark, sf_dir, "documents")
     b = multimodal.attach_fake_binary(d, "text", "doc_id")
-    return multimodal.decode_image_features(b)
+    feats = multimodal.decode_image_features(b)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sha256",
+        "width",
+        "height",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
+    )
 
 
 @query(
@@ -820,12 +914,81 @@ def incremental_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_topk_lsh")  # bucket membership depends on engine-side plane
-# hashes → rows-only check (the exact-ranking baseline is emb_topk_query)
+def _plane_lit_sql(p) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal. ``repr`` emits the
+    shortest round-trip float64 form, so DuckDB parses the identical
+    bits Spark receives through ``F.lit``."""
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _sig_sql(vec_expr: str, planes) -> str:
+    """Sign-LSH signature in DuckDB SQL, mirroring
+    ``similarity.hyperplane_signature`` (list_dot_product folds the
+    products sequentially, the same association order as Spark's
+    ``F.aggregate`` — signatures agree bit-for-bit)."""
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_lit_sql(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+# The embeddings fixture is dim-64 (TESTDATA.md); plane literals are
+# generated for that dimensionality.
+_EMB_DIM = 64
+
+
+def _lsh_topk_sql(n_planes: int = 4, k: int = 10) -> str:
+    planes = similarity.make_planes(_EMB_DIM, n_planes, seed=42)
+    sig = _sig_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS s
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, s AS qs FROM sig WHERE vec_id = 0)
+    SELECT sig.vec_id,
+           round(list_cosine_similarity(sig.v, q.qv), 6) AS cosine_sim
+    FROM sig, q
+    WHERE sig.s = q.qs
+    ORDER BY cosine_sim DESC, sig.vec_id
+    LIMIT {k}
+    """
+
+
+@query("emb_topk_lsh", _lsh_topk_sql())
 def emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: random-hyperplane LSH bucket filter then exact cosine
     ranking — the scan-pruning scale path next to the brute-force
-    baseline (similarity.lsh_topk)."""
+    baseline (similarity.lsh_topk). Planes are deterministic literals,
+    so the oracle replicates bucket membership exactly."""
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     return similarity.lsh_topk(e, qv, k=10, n_planes=4)
+
+
+def _near_dup_lsh_sql(n_planes: int = 8, threshold: float = 0.4) -> str:
+    planes = similarity.make_planes(_EMB_DIM, n_planes, seed=42)
+    sig = _sig_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS s
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    """
+
+
+@query("emb_near_dup_lsh", _near_dup_lsh_sql())
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the LSH-bucketed SCALE path
+    (``embedding_near_dups(exact=False)`` — the plan that survives
+    100 TB, verified here against a DuckDB oracle replicating the
+    bucket assignment; cosines are exact-verified on both sides, so
+    precision is 1 and recall is identical by construction)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(e, threshold=0.4, exact=False, n_planes=8)

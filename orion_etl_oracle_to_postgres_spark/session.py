@@ -40,7 +40,9 @@ _DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     # Parquet TIMESTAMP(NANOS) columns (e.g. pandas-written event data)
     # are unreadable by Spark's vectorized reader; read them as raw
-    # nanosecond longs instead and convert explicitly (sources/files.py).
+    # nanosecond longs instead. The read paths (sources/files.py,
+    # queries._t) also set this at runtime so they work under sessions
+    # built elsewhere; ns→µs conversion happens at those read sites.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     "spark.sql.session.timeZone": "UTC",

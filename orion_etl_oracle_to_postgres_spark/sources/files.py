@@ -46,6 +46,13 @@ def read_file_table(
     table: str,
     schema: str | None = None,
 ) -> DataFrame:
+    if conn.format == "parquet":
+        # Parquet TIMESTAMP(NANOS) columns (pandas-written event data) are
+        # rejected by Spark's reader unless read as raw ns longs. Set the
+        # legacy conf at runtime (it is a SQL conf, not a session-build
+        # conf) so reads work under ANY caller-provided SparkSession, not
+        # just the one session.py builds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if conn.format == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")

@@ -3,7 +3,11 @@
 given sf dir; compare row count, column names, and an order-insensitive
 value multiset (floats rounded to 9 sig figs before compare).
 
-Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [sf_dir] [name ...]
+Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [--stock] [sf_dir] [name ...]
+
+``--stock`` builds a plain SparkSession (ANSI on — the Spark 4 default —
+no legacy confs) exactly like the driver's harness does, instead of the
+engine's own ``session.get_spark``. Queries must pass BOTH ways.
 """
 
 from __future__ import annotations
@@ -40,9 +44,25 @@ def df_multiset(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]")
+    args = [a for a in sys.argv[1:] if a != "--stock"]
+    stock = "--stock" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if stock:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-Djava.security.egd=file:/dev/./urandom",
+            )
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
