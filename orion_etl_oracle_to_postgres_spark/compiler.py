@@ -89,17 +89,31 @@ class JobContext:
         self._lookup_cache[lk.table] = df
         return df
 
-    def _read_target(self, table: str) -> DataFrame:
+    def _read_target(self, table: str, schema: Optional[str] = None) -> DataFrame:
         conns = self.global_spec.connectors
         if conns.target_files is not None:
             from .sources.files import read_file_table
 
-            return read_file_table(self.spark, conns.target_files, table)
+            return read_file_table(self.spark, conns.target_files, table, schema)
         if conns.postgres is not None:
             from .sources.jdbc import read_jdbc_table
 
-            return read_jdbc_table(self.spark, conns.postgres, table)
+            return read_jdbc_table(self.spark, conns.postgres, table, schema)
         raise ValueError("no target connector")
+
+    def target_table_columns(self, spec: TableSpec) -> Optional[list[str]]:
+        """Target-catalog column list for auto-mapping (P2/S7 parity):
+        the reference fills empty mappings from the TARGET table's
+        ``information_schema.columns`` in ordinal order
+        (``default_auto_mapping.py:18-26``,
+        ``postgres_connector.py:111-124``). Spark reads the target's
+        schema instead — JDBC metadata or the existing files dataset.
+        Returns None when the target doesn't exist yet (first load);
+        auto-mapping then mirrors the source."""
+        try:
+            return self._read_target(spec.target_table, spec.target_schema).columns
+        except Exception:  # noqa: BLE001 — missing target is the normal first-load case
+            return None
 
     def _read_source(self, table: str) -> DataFrame:
         return resolve_source(self.spark, self.global_spec.connectors, table)
@@ -109,32 +123,69 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     """Build the full DataFrame plan for one table."""
     g = ctx.global_spec
 
-    # 1. scan (custom fetcher plugin may replace it — reference FetcherPlugin)
+    # 1. scan (custom fetcher plugin may replace it — reference FetcherPlugin).
+    # Resolve INSIDE try/except KeyError, invoke OUTSIDE: a KeyError
+    # raised inside a custom fetcher (e.g. a dict miss) must propagate,
+    # not be silently misread as "plugin not found → default scan".
     fetcher_name = spec.fetcher_plugin or g.fetcher_plugin
+    fetcher = None
     if fetcher_name not in ("default_fetcher",):
         try:
             fetcher = registry.get("fetcher", fetcher_name)
-            df = fetcher(ctx, spec)
         except KeyError:
             logger.warning("fetcher plugin %r not found — using default", fetcher_name)
-            df = _default_scan(ctx, spec)
-    else:
-        df = _default_scan(ctx, spec)
+    df = fetcher(ctx, spec) if fetcher is not None else _default_scan(ctx, spec)
 
     # free-text where on source columns (S3/P5) — Catalyst pushes it down
     if spec.where:
         df = df.filter(F.expr(spec.where))
 
-    # 2. reconcile mappings
-    rules = auto_map(spec, df.columns, target_columns=None)
+    # 2. reconcile mappings — empty mappings fill from the TARGET
+    # catalog when the target exists (reference parity, P2/S7), else
+    # mirror the source. A registered AutoMappingPlugin replaces the
+    # default strategy (reference pipeline.py:27-28).
+    target_columns = ctx.target_table_columns(spec) if not spec.mappings else None
+    am_name = g.auto_mapping_plugin
+    auto_mapper = None
+    if am_name not in ("default_auto_mapping",):
+        try:
+            auto_mapper = registry.get("auto_mapping", am_name)
+        except KeyError:
+            logger.warning("auto-mapping plugin %r not found — using default", am_name)
+    if auto_mapper is not None:
+        rules = auto_mapper(ctx, spec, df.columns, target_columns)
+    else:
+        rules = auto_map(spec, df.columns, target_columns)
     rules = reconcile(rules, df.columns)
 
-    # 3. projection + rename + scalar transform chains (one select)
+    # 3. projection + rename + scalar transform chains (one select).
+    # A mapping-level plugin (reference ``MappingRule.plugin`` — declared
+    # in its dialect but never dispatched there) runs after the mapping's
+    # transform chain; a source-less mapping (``source: null``) is only
+    # legal with a resolvable plugin.
     dtypes = dict(df.dtypes)
     projected = []
     for r in rules:
-        col = F.col(r.source)
-        col = apply_transform_chain(col, r.transform, dtypes.get(r.source, "string"))
+        col_plugin = None
+        if r.plugin:
+            try:
+                col_plugin = registry.get("column", r.plugin)
+            except KeyError:
+                logger.warning(
+                    "mapping plugin %r not found — ignored "
+                    "(declared-but-missing plugins are spec-by-name, SURVEY.md §2.6)",
+                    r.plugin,
+                )
+        if r.source is None and col_plugin is None:
+            raise ValueError(
+                f"mapping for target {r.target!r} has no source column and no "
+                f"resolvable plugin {r.plugin!r} — set 'source:' or register the plugin"
+            )
+        col = F.col(r.source) if r.source is not None else None
+        if col is not None:
+            col = apply_transform_chain(col, r.transform, dtypes.get(r.source, "string"))
+        if col_plugin is not None:
+            col = col_plugin(col, ctx, r)
         projected.append(col.alias(r.target or r.source))
     df = df.select(*projected)
 
@@ -171,6 +222,18 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         df, vrules, lookup_resolver=ctx.lookup_table, error_mode="collect"
     )
 
+    # 5b. table-level validation plugins (reference ValidationPlugin,
+    # ``plugin_interfaces/validation_interface.py:7-22``, resolved per
+    # table at ``pipeline.py:62``) — run after rule-driven validations,
+    # mirroring the transform-plugin chain precedence.
+    for name in _validation_plugin_chain(g, spec):
+        try:
+            vplugin = registry.get("validation", name)
+        except KeyError:
+            logger.warning("validation plugin %r not found — skipped", name)
+            continue
+        df = vplugin(df, ctx)
+
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:
         df = self_lookup(df, r.target, r.lookup)
@@ -199,23 +262,44 @@ def _transform_plugin_chain(g: GlobalSpec, spec: TableSpec) -> list[str]:
     return chain
 
 
-def run_table(ctx: JobContext, spec: TableSpec) -> DataFrame:
+def _validation_plugin_chain(g: GlobalSpec, spec: TableSpec) -> list[str]:
+    """Global then table-local validator plugins; the built-in rule
+    engine plays the role of ``default_validation``."""
+    return [n for n in g.validation_plugins if n != "default_validation"] + (
+        spec.validation_plugins or []
+    )
+
+
+def run_table(
+    ctx: JobContext, spec: TableSpec, observation: Optional["Observation"] = None
+) -> DataFrame:
     """Compile, run fail-fast checks, write. Returns the final DataFrame
-    (also handy for tests/queries)."""
+    (also handy for tests/queries). ``observation`` (if given) is
+    attached to the plan right before the sink, so metrics like row
+    counts come from the write itself — no second execution."""
     compiled = compile_table(ctx, spec)
     run_error_checks(compiled.df, compiled.error_checks)
 
+    out = compiled.df
+    if observation is not None:
+        out = out.observe(observation, F.count(F.lit(1)).alias("rows"))
+
+    # resolve the plugin inside try/except KeyError, call it outside —
+    # a KeyError from a partially-executed custom loader must propagate
+    # (falling back to the default sink here could double-load the table)
     loader_name = spec.loader_plugin or ctx.global_spec.loader_plugin
+    loader = None
     if loader_name not in ("default_loader",):
         try:
             loader = registry.get("loader", loader_name)
-            loader(compiled.df, ctx, spec)
-            return compiled.df
         except KeyError:
             logger.warning("loader plugin %r not found — using default", loader_name)
+    if loader is not None:
+        loader(out, ctx, spec)
+        return out
 
     resolve_sink(
-        compiled.df,
+        out,
         ctx.global_spec.connectors,
         spec.target_table,
         spec.target_schema if ctx.global_spec.connectors.target_files is None else None,
@@ -226,20 +310,28 @@ def run_table(ctx: JobContext, spec: TableSpec) -> DataFrame:
             else {"batchsize": min(ctx.global_spec.batch_size, 10000)}
         ),
     )
-    return compiled.df
+    return out
 
 
 def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
     """Run every table in declared order (reference iterates
     sequentially, ``pipeline.py:39``; independent tables could be
     parallelized driver-side, kept sequential for parity/determinism).
-    Returns per-table row counts for the run report."""
+    Returns per-table row counts for the run report.
+
+    Row counts come from ``DataFrame.observe`` metrics captured by the
+    sink's own write action — the plan executes ONCE per table (a
+    post-write ``df.count()`` would re-run the whole pipeline and could
+    even report rows the write never saw if the source moved)."""
+    from pyspark.sql import Observation
+
     ctx = JobContext(spark, job.global_spec)
     results: dict[str, int] = {}
     for spec in job.tables:
         t0 = time.time()
-        df = run_table(ctx, spec)
-        n = df.count()
+        obs = Observation(f"etl_{spec.target_table}")
+        run_table(ctx, spec, observation=obs)
+        n = obs.get["rows"]
         results[spec.target_table] = n
         logger.info(
             "%s.%s -> %s.%s: %d rows in %.1fs",

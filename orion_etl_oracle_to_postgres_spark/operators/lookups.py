@@ -86,15 +86,18 @@ def external_lookup(
         on_missing = "default:" + raw_policy.split(":", 1)[1]
 
     if on_missing == "skip":
-        # matched rows ∪ NULL-key rows (NULL bypasses the lookup)
-        joined = df.join(d, probe == F.col("__lk_k"), "inner").drop("__lk_k")
-        out = joined.withColumn(target, F.col("__lk_v")).drop("__lk_v")
-        # NULL-key rows keep NULL; cast so the union's column types line up
-        tgt_type = dict(out.dtypes)[target]
-        nulls = df.filter(F.col(target).isNull()).withColumn(
-            target, F.col(target).cast(tgt_type)
+        # matched rows ∪ NULL-key rows (NULL bypasses the lookup), as
+        # ONE left join + filter — an inner-join ∪ separate null-filter
+        # would scan the fact side twice (a real 2× cost at 100 TB).
+        # The dimension is keyed unique (_first_match_dim groupBy), so
+        # the left join never multiplies rows.
+        joined = df.join(d, probe == F.col("__lk_k"), "left")
+        hit = F.col("__lk_k").isNotNull()
+        return (
+            joined.filter(hit | F.col(target).isNull())
+            .withColumn(target, F.col("__lk_v"))  # NULL keys stay NULL
+            .drop("__lk_k", "__lk_v")
         )
-        return out.unionByName(nulls)
 
     if on_missing not in ("null",) and not on_missing.startswith("default:"):
         # error policy: abort if any non-null key misses

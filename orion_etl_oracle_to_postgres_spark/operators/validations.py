@@ -195,11 +195,14 @@ def _apply_lookup_validation(
     probe = F.col(target).cast("string")
 
     if on_fail == "skip":
-        matched = df.join(
-            F.broadcast(keys), probe == F.col("__vk"), "left_semi"
-        )
-        nulls = df.filter(F.col(target).isNull())
-        return matched.unionByName(nulls)
+        # ONE left join + filter (matched ∪ NULL rows) instead of a
+        # semi-join plus a separate null-filter branch — the latter
+        # scans the fact side twice. ``keys`` is distinct, so the left
+        # join never multiplies rows.
+        joined = df.join(F.broadcast(keys), probe == F.col("__vk"), "left")
+        return joined.filter(
+            F.col("__vk").isNotNull() | F.col(target).isNull()
+        ).drop("__vk")
 
     if on_fail is not None and not on_fail.startswith("default:"):
         # fail-fast: anti-join count, checked eagerly here (the deferred

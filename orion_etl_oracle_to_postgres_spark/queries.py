@@ -382,6 +382,33 @@ def etl_auto_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec)
 
 
+@query("etl_auto_mapping_target", "SELECT r_regionkey, r_name FROM region")
+def etl_auto_mapping_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/S7 reference parity: when the target table EXISTS, empty
+    mappings fill from the *target* catalog in ordinal order
+    (``default_auto_mapping.py:18-26`` reads Postgres
+    ``information_schema.columns``) — here the pre-existing target is
+    NARROWER than the source, so the load ships exactly its column set,
+    not the source's."""
+    import tempfile
+
+    tgt = tempfile.mkdtemp(prefix="etl_amt_")
+    # materialize the existing narrower target (schema is what matters)
+    spark.createDataFrame([], "r_regionkey bigint, r_name string").write.mode(
+        "overwrite"
+    ).parquet(f"{tgt}/region_copy")
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=sf_dir),
+            target_files=FilesConnectorSpec(base_path=tgt),
+        )
+    )
+    compiled = compile_table(JobContext(spark, g), TableSpec(
+        source_table="region", target_table="region_copy"
+    ))
+    return compiled.df
+
+
 # =====================================================================
 # Analytics extensions (§2.8 — capability extensions; free in Spark)
 # =====================================================================

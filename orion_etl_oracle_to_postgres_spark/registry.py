@@ -14,10 +14,18 @@ category           registered object signature
 ``transform``      ``(df: DataFrame, ctx) -> DataFrame`` — table-level
                    transformer plugin (reference TransformPlugin)
 ``validation``     ``(df: DataFrame, ctx) -> DataFrame`` — table-level
-                   validator plugin (rule-driven ones are built in)
-``fetcher``        ``(ctx) -> DataFrame`` — custom source (≈ UDTF)
-``loader``         ``(df: DataFrame, ctx) -> None`` — custom sink
-``auto_mapping``   ``(ctx, table_spec) -> None`` — fills empty mappings
+                   validator plugin (reference ValidationPlugin; runs
+                   after the rule-driven validations)
+``column``         ``(col: Column | None, ctx, mapping) -> Column`` —
+                   per-mapping plugin (reference ``MappingRule.plugin``,
+                   declared at ``mappings/parser.py:64`` but never
+                   dispatched there; here it runs after the mapping's
+                   transform chain; ``col`` is None for source-less
+                   plugin-only mappings)
+``fetcher``        ``(ctx, table_spec) -> DataFrame`` — custom source (≈ UDTF)
+``loader``         ``(df: DataFrame, ctx, table_spec) -> None`` — custom sink
+``auto_mapping``   ``(ctx, table_spec, source_columns, target_columns)
+                   -> list[MappingSpec]`` — reference AutoMappingPlugin
 =================  =============================================================
 
 Resolution order matches the reference (table-level overrides global;
@@ -37,6 +45,7 @@ _REGISTRY: Dict[str, Dict[str, Any]] = {
     "transform_op": {},
     "transform": {},
     "validation": {},
+    "column": {},
     "fetcher": {},
     "loader": {},
     "auto_mapping": {},

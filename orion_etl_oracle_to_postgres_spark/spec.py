@@ -152,6 +152,7 @@ class TableSpec(BaseModel):
     where: Optional[str] = None
     transform_override: bool = False
     transform_plugins: Optional[List[str]] = None
+    validation_plugins: Optional[List[str]] = None
     loader_plugin: Optional[str] = None
     # --- engine extensions ---
     partition_column: Optional[str] = None  # JDBC read parallelism

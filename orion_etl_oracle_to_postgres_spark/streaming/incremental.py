@@ -56,14 +56,26 @@ def incremental_read(
     Returns ``(df, commit)`` — call ``commit()`` after the downstream
     write succeeds to advance the mark (at-least-once semantics: a failed
     run re-reads the same increment, pair with idempotent upsert sinks).
+
+    The increment is SNAPSHOT-BOUNDED: the new mark (max of the
+    watermark column) is computed up front and the read is filtered to
+    ``col <= new_mark``, so rows arriving between the downstream write
+    and ``commit()`` cannot advance the mark past data that was never
+    written — they fall into the next increment. (Re-computing the max
+    at commit time against the live source would silently drop them.)
+    The bounding probe is one aggregate on a single column — parquet
+    footer stats / a JDBC ``SELECT max(col)`` make it near-free.
     """
     df = read_full()
     mark = state.get(key)
     if mark is not None:
         df = df.filter(F.col(watermark_column) > F.lit(mark))
 
+    new_mark = df.agg(F.max(watermark_column).alias("m")).collect()[0]["m"]
+    if new_mark is not None:
+        df = df.filter(F.col(watermark_column) <= F.lit(new_mark))
+
     def commit() -> None:
-        new_mark = df.agg(F.max(watermark_column).alias("m")).collect()[0]["m"]
         if new_mark is not None:
             state.set(key, str(new_mark))
             logger.info("advanced high-water mark %s -> %s", key, new_mark)

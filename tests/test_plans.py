@@ -53,10 +53,22 @@ def test_lookup_join_is_broadcast(spark, sf):
     assert "SortMergeJoin" not in plan
 
 
-def test_validation_lookup_semi_is_broadcast_semi(spark, sf):
-    """J3: existence-check validation = broadcast LEFT SEMI join."""
+def test_validation_lookup_skip_is_broadcast_single_scan(spark, sf):
+    """J3: existence-check skip = ONE broadcast join over ONE fact scan.
+    (Previously a semi-join ∪ separate null-filter branch — that reads
+    the fact table twice, a genuine 2× scan cost at 100 TB.)"""
     plan = plan_of(q.QUERIES["etl_validation_lookup_semi"](spark, sf))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("orders.parquet") == 1
+
+
+def test_lookup_skip_single_fact_scan(spark, sf):
+    """J1 on_missing=skip: one left join + filter — the fact table is
+    scanned exactly once (matched ∪ NULL-key rows must not come from a
+    second scan branch)."""
+    plan = plan_of(q.QUERIES["etl_lookup_skip"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("customer.parquet") == 1
 
 
 def test_agg_has_partial_aggregation(spark, sf):

@@ -52,6 +52,26 @@ def test_incremental_read_advances_only_on_commit(spark, tmp_path):
     assert state.get("t.seq") == "14"
 
 
+def test_incremental_commit_is_snapshot_bounded(spark, tmp_path):
+    """Rows arriving AFTER the increment was read must not advance the
+    mark (re-computing max at commit time against the live source would
+    silently drop them from every future increment); they belong to the
+    next increment."""
+    src = str(tmp_path / "src_sb")
+    state = HighWaterMark(str(tmp_path / "hwm_sb.json"))
+    spark.range(0, 5).withColumn("seq", F.col("id")).write.parquet(src)
+
+    df, commit = incremental_read(lambda: spark.read.parquet(src), "seq", state, "k")
+    # late arrivals land between the read and the commit
+    spark.range(5, 8).withColumn("seq", F.col("id")).write.mode("append").parquet(src)
+    commit()
+    assert state.get("k") == "4"  # snapshot bound, NOT the live max (7)
+
+    # the late rows are picked up by the next increment, not lost
+    df2, _ = incremental_read(lambda: spark.read.parquet(src), "seq", state, "k")
+    assert sorted(r["seq"] for r in df2.select("seq").collect()) == [5, 6, 7]
+
+
 def test_incremental_predicate_reaches_scan(spark, tmp_path):
     """The watermark filter must push into the parquet scan (min-max row
     -group pruning at scale), not run as a post-scan Filter only."""
