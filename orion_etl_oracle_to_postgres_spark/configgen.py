@@ -8,9 +8,10 @@ compiled to the same two-level YAML layout ``spec.load_job_spec`` reads.
 
 Design: the cell mini-grammars and the sheet→spec assembly are pure
 functions over plain dicts — fully unit-testable with no spreadsheet
-library — and the thin xlsx I/O layer is gated behind an import-try
-(``openpyxl`` is not guaranteed in every runtime; the reference
-hard-requires it via pandas.ExcelFile/ExcelWriter).
+library — and the thin xlsx I/O layer uses pandas/openpyxl when
+importable (the reference hard-requires them) with a dependency-free
+stdlib fallback (``xlsx_lite``) otherwise, so the round-trip executes
+in every runtime.
 
 Cell grammars (reference ``parse_mapping_sheet``,
 ``/root/reference/generate/generate_configs.py:125-187``):
@@ -320,32 +321,40 @@ def write_configs(
             yaml.dump(cfg, f, default_flow_style=False, sort_keys=False)
 
 
-# --- xlsx I/O (optional dependency) -----------------------------------
+# --- xlsx I/O ---------------------------------------------------------
+#
+# pandas/openpyxl when importable (richer format support); otherwise the
+# stdlib zip/XML implementation in ``xlsx_lite`` — the round-trip always
+# EXECUTES, it never degrades to "grammar-tested only".
 
 
-def _require_excel():
+def _have_openpyxl() -> bool:
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise ImportError(
-            "xlsx support needs openpyxl (`pip install openpyxl`); the "
-            "grammar/assembly API (workbook_to_configs etc.) works without it"
-        ) from e
+
+        return True
+    except ImportError:  # pragma: no cover - environment-dependent
+        return False
 
 
 def xlsx_to_configs(xlsx_path: str, tables_folder: str = "tables"):
     """Read a workbook (first sheet = tables, rest = mapping sheets) and
-    return (main_cfg, table_cfgs). Requires openpyxl."""
-    _require_excel()
-    import pandas as pd
+    return (main_cfg, table_cfgs)."""
+    if _have_openpyxl():  # pragma: no cover - environment-dependent
+        import pandas as pd
 
-    xl = pd.ExcelFile(xlsx_path)
-    sheets = {}
-    for name in xl.sheet_names:
-        df = xl.parse(name)
-        df.columns = [str(c).strip().lower() for c in df.columns]
-        sheets[name] = df.to_dict(orient="records")
-    first = xl.sheet_names[0]
+        xl = pd.ExcelFile(xlsx_path)
+        sheets = {}
+        for name in xl.sheet_names:
+            df = xl.parse(name)
+            df.columns = [str(c).strip().lower() for c in df.columns]
+            sheets[name] = df.to_dict(orient="records")
+        first = xl.sheet_names[0]
+    else:
+        from .xlsx_lite import read_xlsx
+
+        sheets = read_xlsx(xlsx_path)
+        first = next(iter(sheets))
     mapping_sheets = {k: v for k, v in sheets.items() if k != first}
     return workbook_to_configs(sheets[first], mapping_sheets, tables_folder)
 
@@ -353,16 +362,26 @@ def xlsx_to_configs(xlsx_path: str, tables_folder: str = "tables"):
 def configs_to_xlsx(
     xlsx_path: str, main_cfg: Dict[str, Any], table_cfgs: Dict[str, Dict[str, Any]]
 ) -> None:
-    """Write configs back to a workbook (reverse mode). Requires openpyxl."""
-    _require_excel()
-    import pandas as pd
-
+    """Write configs back to a workbook (reverse mode)."""
     tables_rows, mapping_sheets = specs_to_sheets(main_cfg, table_cfgs)
-    with pd.ExcelWriter(xlsx_path, engine="openpyxl") as writer:
-        pd.DataFrame(tables_rows, columns=TABLE_COLUMNS).to_excel(
-            writer, sheet_name="tables", index=False
-        )
-        for name, rows in mapping_sheets.items():
-            pd.DataFrame(rows, columns=MAPPING_COLUMNS).to_excel(
-                writer, sheet_name=name[:31], index=False
+    if _have_openpyxl():  # pragma: no cover - environment-dependent
+        import pandas as pd
+
+        with pd.ExcelWriter(xlsx_path, engine="openpyxl") as writer:
+            pd.DataFrame(tables_rows, columns=TABLE_COLUMNS).to_excel(
+                writer, sheet_name="tables", index=False
             )
+            for name, rows in mapping_sheets.items():
+                pd.DataFrame(rows, columns=MAPPING_COLUMNS).to_excel(
+                    writer, sheet_name=name[:31], index=False
+                )
+        return
+    from .xlsx_lite import write_xlsx
+
+    write_xlsx(
+        xlsx_path,
+        {
+            "tables": (TABLE_COLUMNS, tables_rows),
+            **{name[:31]: (MAPPING_COLUMNS, rows) for name, rows in mapping_sheets.items()},
+        },
+    )

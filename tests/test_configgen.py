@@ -156,3 +156,57 @@ def test_written_configs_load_as_job_spec(tmp_path):
     assert t.mappings[0].transform == ["strip", "upper"]
     assert t.mappings[0].lookup.table == "nation"
     assert t.mappings[0].validation[0].type == "regex"
+
+
+# --- real xlsx I/O (stdlib xlsx_lite fallback; upgrades to openpyxl
+# transparently when installed) ----------------------------------------
+
+
+def test_xlsx_file_round_trip(tmp_path):
+    """configs → .xlsx on disk → configs: the FULL file round-trip
+    executes (S9/K5), not just the in-memory sheet assembly."""
+    main, tables = cg.workbook_to_configs(TABLES_ROWS, MAPPING_SHEETS)
+    path = str(tmp_path / "main.xlsx")
+    cg.configs_to_xlsx(path, main, tables)
+    main2, tables2 = cg.xlsx_to_configs(path)
+    assert tables2 == tables
+    assert main2["global"]["table_files"] == main["global"]["table_files"]
+
+
+def test_xlsx_to_yaml_to_job_spec(tmp_path):
+    """xlsx on disk → YAML tree → engine spec loader end-to-end."""
+    main, tables = cg.workbook_to_configs(TABLES_ROWS, MAPPING_SHEETS)
+    path = str(tmp_path / "main.xlsx")
+    cg.configs_to_xlsx(path, main, tables)
+
+    main2, tables2 = cg.xlsx_to_configs(path)
+    main2["global"]["connectors"] = {"source_files": {"base_path": str(tmp_path)}}
+    cg.write_configs(str(tmp_path), main2, tables2)
+    job = load_job_spec(str(tmp_path / "config.yaml"))
+    t = job.tables[0]
+    assert t.target_table == "customer_clean"
+    assert t.mappings[0].lookup.on_missing == "skip"
+    assert t.mappings[1].target == "balance"
+
+
+def test_xlsx_lite_value_types(tmp_path):
+    """The stdlib reader handles inline strings, shared strings,
+    numbers, and booleans (so it can also read pandas-written files)."""
+    from orion_etl_oracle_to_postgres_spark.xlsx_lite import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        path,
+        {
+            "s1": (
+                ["a", "b", "c"],
+                [{"a": "x,y", "b": 3, "c": True}, {"a": None, "b": 2.5, "c": False}],
+            )
+        },
+    )
+    rows = read_xlsx(path)["s1"]
+    # everything written inline-string: values come back as strings
+    assert rows[0]["a"] == "x,y" and rows[0]["b"] == "3"
+    assert cg.cell_bool(rows[0]["c"]) is True
+    assert rows[1]["a"] is None
+    assert cg.cell_bool(rows[1]["c"]) is False
