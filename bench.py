@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "emb_topk_query",
     "emb_near_dup_pairs",
+    "emb_near_dup_lsh",  # the LSH-bucketed 100 TB path, next to the exact one
 ]
 
 
