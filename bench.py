@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "emb_topk_query",
     "emb_near_dup_pairs",
     "emb_near_dup_lsh",  # the LSH-bucketed 100 TB path, next to the exact one
+    "emb_topk_ivf",  # IVF coarse-quantized ANN, the second scale path
+    "agg_events_sessions",  # session windows (batch shape of streaming op)
 ]
 
 

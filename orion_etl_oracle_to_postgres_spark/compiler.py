@@ -310,7 +310,26 @@ def run_table(
             else {"batchsize": min(ctx.global_spec.batch_size, 10000)}
         ),
     )
+    _run_finalize_hooks(ctx, spec)
     return out
+
+
+def _run_finalize_hooks(ctx: JobContext, spec: TableSpec) -> None:
+    """Reference parity for ``TransformPlugin.finalize_batch``
+    (``plugin_interfaces/transform_interface.py:15-22``, invoked per
+    batch at ``pipeline.py:92-95,109-112``): a transform plugin exposing
+    a ``finalize`` attribute gets called once after the table's write
+    (the whole table is one "batch" here — Spark owns partitioning;
+    streaming jobs get the per-micro-batch version via ``foreachBatch``,
+    ``streaming/incremental.py``)."""
+    for name in _transform_plugin_chain(ctx.global_spec, spec):
+        try:
+            plugin = registry.get("transform", name)
+        except KeyError:
+            continue  # already warned during compile
+        finalize = getattr(plugin, "finalize", None)
+        if callable(finalize):
+            finalize(ctx, spec)
 
 
 def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:

@@ -158,6 +158,94 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    nearest-by-cosine centroid. Returns (id_col, cluster_id).
+
+    Centroids are the vectors with ``id < n_centroids`` — deterministic
+    and engine-independent (any SQL engine reproduces the exact
+    assignment), unlike k-means training. For real corpora pass a
+    k-means codebook through ``centroids`` instead; the plan shape is
+    identical.
+
+    Plan: broadcast the k centroids, cross-join, then ONE hash
+    aggregate ``max_by`` per vector (map-side partial max — the shuffle
+    payload is (id, sim, cid), never the vectors; no sort window).
+    Ties break to the lowest centroid id. At scale, write the corpus
+    partitioned by ``cluster_id`` once so probes become partition
+    pruning instead of a runtime join.
+    """
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    sim = cosine(F.col("__v"), F.col("__cv"))
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), sim.alias("__sim"), F.col("__cid"))
+        .groupBy(id_col)
+        .agg(
+            # max of (sim, -cid) ⇒ highest similarity, lowest cid on ties
+            F.max_by(
+                "__cid", F.struct(F.col("__sim"), (-F.col("__cid")).alias("__nc"))
+            ).alias("cluster_id")
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF: rank centroids by similarity to the query,
+    exact-search only the vectors assigned to the best ``nprobe``
+    clusters. The second scale path next to sign-LSH (``lsh_topk``) —
+    recall rises with ``nprobe`` (``nprobe == n_centroids`` is exact).
+
+    Everything is relational: probe selection is a k-row top-n, the
+    candidate restriction is a broadcast semi-join on ``cluster_id``,
+    and the final ranking is TakeOrderedAndProject. With the corpus
+    pre-partitioned by ``cluster_id`` the candidate join disappears
+    into partition pruning.
+    """
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    probes = (
+        cent.select(
+            "__cid", cosine(F.col("__cv"), _lit_vec(query_vec)).alias("__qs")
+        )
+        .orderBy(F.col("__qs").desc(), F.col("__cid"))
+        .limit(nprobe)
+        .select(F.col("__cid").alias("cluster_id"))
+    )
+    assign = ivf_assign(
+        df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
+    )
+    cand_ids = assign.join(F.broadcast(probes), "cluster_id", "left_semi").select(id_col)
+    sim = cosine(F.col(vec_col).cast("array<double>"), _lit_vec(query_vec))
+    return (
+        df.join(cand_ids, id_col)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

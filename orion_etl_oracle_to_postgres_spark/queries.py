@@ -543,6 +543,55 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_events_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 4 HOUR AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def agg_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation (§2.9): per-user activity sessions
+    with a 4-hour inactivity gap via ``F.session_window`` — the batch
+    shape of the streaming sessionization operator
+    (``streaming/sessionize.py``). Spark's session end is
+    last-event + gap; the oracle reproduces the semantics with
+    gaps-and-islands SQL (new session when the gap is ≥ the threshold,
+    matching the half-open [start, last+gap) window)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "4 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "setop_customers_without_orders",
     """
     SELECT c_custkey AS cust_id FROM customer
@@ -993,6 +1042,49 @@ def emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     return similarity.lsh_topk(e, qv, k=10, n_planes=4)
+
+
+def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """IVF oracle: centroids are the vectors with id < n_centroids
+    (deterministic — no k-means), so DuckDB reproduces assignment,
+    probe choice, and the final ranking exactly."""
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {n_centroids}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, cv) DESC, cid
+             ) AS rn
+      FROM v, c
+    ),
+    a AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM c, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, cid
+      LIMIT {nprobe}
+    )
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.v, q.qv), 6) AS cosine_sim
+    FROM a JOIN probe USING (cid), q
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
+@query("emb_topk_ivf", _ivf_topk_sql())
+def emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF coarse quantization (``similarity.ivf_topk``)
+    — the second scale path next to sign-LSH: nearest-centroid
+    assignment, probe the best nprobe clusters, exact cosine within."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4)
 
 
 def _near_dup_lsh_sql(n_planes: int = 8, threshold: float = 0.4) -> str:

@@ -129,3 +129,19 @@ def test_exact_dedup_single_shuffle(spark, sf):
     """Exact dedup = one hash-aggregate exchange on the key columns."""
     plan = plan_of(q.QUERIES["dedup_exact_keys"](spark, sf))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_assign_is_broadcast_plus_hash_agg(spark, sf):
+    """IVF assignment must be broadcast-crossjoin + ONE hash aggregate
+    (max_by with map-side partial) — no sort window over n×k rows, no
+    shuffle of vector payloads."""
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import ivf_assign
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = plan_of(ivf_assign(e, n_centroids=8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # map-side partial max_by: the exchange carries one skinny row per
+    # (partition, vector id), never the n×k similarity rows
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -199,3 +199,29 @@ def test_run_job_reports_written_rowcounts_via_observe(spark, sf_dir, tmp_path):
     results = run_job(spark, job)
     written = spark.read.parquet(str(tmp_path / "region_out"))
     assert results == {"region_out": written.count()} == {"region_out": 5}
+
+
+def test_transform_plugin_finalize_hook_runs_after_write(spark, sf_dir, tmp_path):
+    """Reference TransformPlugin.finalize_batch parity: a transform
+    plugin's ``finalize`` attribute runs once, after the sink write."""
+    calls = []
+
+    @registry.register("transform", "wire_finalizing_transform")
+    def passthrough(df, ctx):
+        return df
+
+    def _finalize(ctx, spec):
+        # the write must already have happened
+        assert (tmp_path / spec.target_table).exists()
+        calls.append(spec.target_table)
+
+    passthrough.finalize = _finalize
+
+    spec = TableSpec(
+        source_table="region",
+        target_table="r_fin",
+        transform_plugins=["wire_finalizing_transform"],
+        mappings=[MappingSpec(source="r_regionkey", target="rk")],
+    )
+    run_table(_ctx(spark, sf_dir, target_path=tmp_path), spec)
+    assert calls == ["r_fin"]

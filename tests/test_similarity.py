@@ -72,3 +72,41 @@ def test_planes_deterministic():
     a = similarity.make_planes(8, 4, seed=7)
     b = similarity.make_planes(8, 4, seed=7)
     assert (a == b).all()
+
+
+def test_ivf_assign_deterministic_and_total(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.ivf_assign(e, n_centroids=8)
+    rows = a.collect()
+    # every vector assigned exactly once, to a valid centroid
+    assert len(rows) == e.count()
+    assert all(0 <= r["cluster_id"] < 8 for r in rows)
+    # centroids assign to themselves (cosine(v, v) = 1 is the max)
+    own = {r["vec_id"]: r["cluster_id"] for r in rows if r["vec_id"] < 8}
+    assert own == {i: i for i in range(8)}
+
+
+def test_ivf_topk_full_probe_is_exact(spark, sf_dir):
+    """nprobe == n_centroids searches every cluster ⇒ identical to the
+    brute-force ranking (precision check of the whole pipeline)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in e.filter("vec_id = 0").select("embedding").first()[0]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk_query(e, qv, k=5).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(e, qv, k=5, n_centroids=8, nprobe=8).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark, sf_dir):
+    """nprobe < n_centroids is approximate but must keep decent recall
+    and perfect precision (scores are exact for returned rows)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in e.filter("vec_id = 0").select("embedding").first()[0]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk_query(e, qv, k=10).collect()}
+    approx = similarity.ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4).collect()
+    # the query vector itself lives in a probed cluster by construction
+    assert 0 in {r["vec_id"] for r in approx}
+    recall = len({r["vec_id"] for r in approx} & exact) / 10
+    assert recall >= 0.5

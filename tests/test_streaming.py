@@ -129,3 +129,58 @@ def test_stream_windowed_agg_to_sink(spark, tmp_path):
     # windows 00:00 (2 rows) and 00:01 (1 row) are closed by the
     # 00:05 event under the 1-minute watermark; 00:05 stays open
     assert out == {("00:00", 2), ("00:01", 1)}
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close when a
+    later event exceeds the gap (inline) or when the event-time
+    watermark passes the close time (state timeout)."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    land = tmp_path / "sess_land"
+    land.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    feed([(1, t0, 1.0), (1, t0 + dt.timedelta(minutes=10), 2.0)])
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = sessionize_stream(stream, gap_minutes=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # 5h later: exceeds the 60-min gap, closes session 1 inline
+        feed([(1, t0 + dt.timedelta(hours=5), 3.0)])
+        q.processAllAvailable()
+        # two far-future batches: advance the watermark so session 2
+        # closes via EventTimeTimeout (no further user-1 data)
+        feed([(2, t0 + dt.timedelta(days=2), 1.0)])
+        q.processAllAvailable()
+        feed([(2, t0 + dt.timedelta(days=3), 1.0)])
+        q.processAllAvailable()
+        rows = {
+            (r.user_id, r.session_start, r.n_events, round(r.total_value, 3))
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert (1, t0, 2, 3.0) in rows  # session 1: two events, closed inline
+    assert (1, t0 + dt.timedelta(hours=5), 1, 3.0) in rows  # closed by timeout
+    assert (2, t0 + dt.timedelta(days=2), 1, 1.0) in rows  # closed inline by day-3 event
+    # session-end = last event + gap
+    ends = {r.session_start: r.session_end for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert ends[t0] == t0 + dt.timedelta(minutes=10) + dt.timedelta(minutes=60)
