@@ -55,6 +55,8 @@ class CompiledTable:
     spec: TableSpec
     df: DataFrame
     error_checks: list[ErrorCheck] = field(default_factory=list)
+    #: advance the high-water mark — call ONLY after a successful write
+    incremental_commit: Optional[Callable[[], None]] = None
 
 
 class JobContext:
@@ -139,6 +141,27 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # free-text where on source columns (S3/P5) — Catalyst pushes it down
     if spec.where:
         df = df.filter(F.expr(spec.where))
+
+    # incremental high-water-mark bound (realizes the reference's
+    # declared-but-missing ``incremental_fetcher`` — SURVEY.md §2.9).
+    # Applied at the SCAN stage so the predicate pushes into the source
+    # read (JDBC WHERE / parquet min-max pruning). Note: bounding the
+    # snapshot runs one eager single-column max aggregate here.
+    incremental_commit = None
+    if spec.incremental is not None and spec.incremental.mode == "batch":
+        from .streaming.incremental import HighWaterMark, incremental_read
+
+        inc = spec.incremental
+        state = HighWaterMark(
+            inc.state_path or f".hwm/{spec.source_table}.json"
+        )
+        src = df
+        df, incremental_commit = incremental_read(
+            lambda: src,
+            inc.watermark_column,
+            state,
+            f"{spec.source_table}.{inc.watermark_column}",
+        )
 
     # 2. reconcile mappings — empty mappings fill from the TARGET
     # catalog when the target exists (reference parity, P2/S7), else
@@ -238,7 +261,12 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     for r in self_rules:
         df = self_lookup(df, r.target, r.lookup)
 
-    return CompiledTable(spec=spec, df=df, error_checks=checks)
+    return CompiledTable(
+        spec=spec,
+        df=df,
+        error_checks=checks,
+        incremental_commit=incremental_commit,
+    )
 
 
 def _default_scan(ctx: JobContext, spec: TableSpec) -> DataFrame:
@@ -294,8 +322,17 @@ def run_table(
             loader = registry.get("loader", loader_name)
         except KeyError:
             logger.warning("loader plugin %r not found — using default", loader_name)
+    if spec.incremental is not None and spec.write_mode == "overwrite":
+        logger.warning(
+            "%s: incremental mode with write_mode=overwrite keeps only the "
+            "latest increment — use write_mode=append for a growing target",
+            spec.target_table,
+        )
+
     if loader is not None:
         loader(out, ctx, spec)
+        if compiled.incremental_commit is not None:
+            compiled.incremental_commit()
         return out
 
     resolve_sink(
@@ -310,6 +347,8 @@ def run_table(
             else {"batchsize": min(ctx.global_spec.batch_size, 10000)}
         ),
     )
+    if compiled.incremental_commit is not None:
+        compiled.incremental_commit()
     _run_finalize_hooks(ctx, spec)
     return out
 
