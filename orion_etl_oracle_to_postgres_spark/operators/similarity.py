@@ -100,7 +100,13 @@ def hyperplane_signature(
     vec: Column, planes: np.ndarray
 ) -> Column:
     """LSH bucket id: sign bit per random hyperplane, packed to a long.
-    ``planes`` is (n_planes, dim); shipped as literals (deterministic)."""
+    ``planes`` is (n_planes, dim); shipped as literals (deterministic).
+
+    The per-plane dot stays a higher-order ``aggregate`` fold: an
+    expanded flat sum of dim×n_planes products measures ~4× SLOWER here
+    — the generated method blows past codegen size limits and the whole
+    stage falls back to interpreted eval. (Measured at dim=64 × 8
+    planes; revisit only with benchmarks.)"""
     bits = [
         F.when(dot(vec, _lit_vec(p)) >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -277,21 +283,26 @@ def embedding_near_dups(
         return _near_dups_block_matrix(
             df, vec_col, id_col, threshold, broadcast_limit
         )
-    a = df.select(F.col(id_col).alias("id_i"), F.col(vec_col).cast("array<double>").alias("__vi"))
-    b = df.select(F.col(id_col).alias("id_j"), F.col(vec_col).cast("array<double>").alias("__vj"))
     dim = len(df.select(vec_col).first()[0])
     planes = make_planes(dim, n_planes, seed)
-    siga = a.withColumn("__bi", hyperplane_signature(F.col("__vi"), planes))
-    sigb = b.withColumn("__bj", hyperplane_signature(F.col("__vj"), planes))
-    cand = siga.join(
-        sigb,
-        (F.col("__bi") == F.col("__bj")) & (F.col("id_i") < F.col("id_j")),
+    # ONE canonical (id, vec, bucket) plan self-joined under different
+    # aliases: both join inputs shuffle on the bucket with IDENTICAL
+    # subplans, so Spark's ReuseExchange computes signatures once and
+    # replays the exchange for the other side.
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        hyperplane_signature(F.col(vec_col).cast("array<double>"), planes).alias("__b"),
+    )
+    cand = sig.alias("a").join(
+        sig.alias("b"),
+        (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__id") < F.col("b.__id")),
     )
     return (
         cand.select(
-            "id_i",
-            "id_j",
-            F.round(cosine(F.col("__vi"), F.col("__vj")), 6).alias("cosine_sim"),
+            F.col("a.__id").alias("id_i"),
+            F.col("b.__id").alias("id_j"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
