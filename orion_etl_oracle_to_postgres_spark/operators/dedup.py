@@ -206,6 +206,69 @@ def _verify_jaccard(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    *,
+    id_i: str = "id_i",
+    id_j: str = "id_j",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair set → (doc_id,
+    cluster_id) with cluster_id = the component's minimum doc id.
+
+    Near-dup PAIRS aren't the end product of dedup — duplicates form
+    transitive groups (A~B, B~C ⇒ {A,B,C} even when A~C is below
+    threshold), and survivor selection needs one winner per GROUP.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round every node takes the min of its own and its
+    neighbors' labels; stop when a round changes nothing (≤ graph
+    diameter rounds — near-dup components are shallow in practice).
+    Each round is one shuffle of (edge, label) pairs; ``localCheckpoint``
+    truncates lineage so plans stay flat across iterations (library
+    operators must not ``persist`` — caller can't unpersist). This is
+    the simple variant of the large-star/small-star map-reduce CC
+    algorithm; at 100 TB the edge list is the near-dup pair output —
+    orders of magnitude smaller than the corpus.
+    """
+    # pairs carry id_i < id_j, so the two directions can't collide — no
+    # distinct needed on the doubled edge list
+    edges = (
+        pairs.select(F.col(id_i).alias("__src"), F.col(id_j).alias("__dst"))
+        .union(pairs.select(F.col(id_j).alias("__src"), F.col(id_i).alias("__dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("__src").alias("__id"))
+        .distinct()
+        .withColumn("__lbl", F.col("__id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # one round = TWO shuffles: neighbor messages (edge ⋈ label),
+        # then min over (messages ∪ own label) — no separate left join
+        msgs = edges.join(labels, edges.__dst == labels.__id).select(
+            F.col("__src").alias("__id"), F.col("__lbl")
+        )
+        new_labels = (
+            msgs.union(labels.select("__id", "__lbl"))
+            .groupBy("__id")
+            .agg(F.min("__lbl").alias("__lbl"))
+            .localCheckpoint()
+        )
+        # both sides are materialized checkpoints — the fixpoint probe
+        # is a cheap anti-join, not a plan re-execution
+        changed = (
+            new_labels.join(labels, ["__id", "__lbl"], "left_anti").limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__id").alias("doc_id"), F.col("__lbl").alias("cluster_id")
+    )
+
+
 # --- SimHash -----------------------------------------------------------
 
 # 60-bit signatures: token hash = md5-derived 60-bit value (portable —

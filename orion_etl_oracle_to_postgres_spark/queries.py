@@ -703,6 +703,45 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    # exact-Jaccard pairs (same argument as dedup_minhash: LSH at
+    # 128/32 + exact verification coincides with the exact pair set)
+    # + transitive closure via recursive CTE → min-id component labels.
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash+LSH pairs → connected
+    components via iterative min-label propagation
+    (``dedup.near_dup_clusters``) — the step that turns pair output
+    into dedup groups + survivor choice (min id per cluster)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+    return dedup.near_dup_clusters(pairs)
+
+
 def _hex2int_sql(expr: str, nchars: int = 15) -> str:
     """DuckDB SQL replicating ``functions.md5_hash60``'s hex→int parse
     (DuckDB lacks ``conv``; digit values via strpos on the hex alphabet)."""

@@ -81,3 +81,33 @@ def test_simhash_identical_texts_zero_hamming(spark):
     out = dedup.simhash_near_dups(df, "doc_id", "text", max_hamming=0)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must cluster {A,B,C} together even without an A~C
+    pair; disconnected pairs stay separate; labels are component mins."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_i long, id_j long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,          # 4-node chain: diameter > 1 round
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs several propagation rounds — pins the
+    fixpoint loop, not just one round of neighbor mins."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_i long, id_j long"
+    )
+    out = near_dup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in out} == {100}
+    assert len(out) == 13
