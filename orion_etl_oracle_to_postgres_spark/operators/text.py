@@ -36,6 +36,50 @@ def regex_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
 
 
+# Scrub patterns: deliberately simple POSIX-class regexes so the same
+# pattern string behaves identically in Spark (Java regex) and ANSI SQL
+# engines (e.g. DuckDB/RE2) — no lookarounds, no \b word boundaries.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def scrub_text(
+    col: Column,
+    *,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+    phone_token: str | None = None,
+    normalize_ws: bool = True,
+) -> Column:
+    """PII/noise scrubbing for training text: replace URLs and emails
+    (and optionally phone-like runs) with stable placeholder tokens,
+    then collapse whitespace runs and trim. Order matters: emails are
+    replaced after URLs so a mailto-ish tail inside a URL is already
+    gone. Pure Column expressions — scales as a narrow projection."""
+    out = F.regexp_replace(col, URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    if phone_token is not None:
+        out = F.regexp_replace(out, PHONE_RE, phone_token)
+    if normalize_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+def scrub_documents(
+    df: DataFrame, text_col: str, id_col: str, **kw
+) -> DataFrame:
+    """(id, clean_text, n_urls, n_emails) — scrubbed text plus counts of
+    what was removed (the counts drive corpus-quality dashboards)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        scrub_text(t, **kw).alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document surface statistics: char/token counts and
     composition ratios. One narrow projection — no shuffle."""

@@ -852,6 +852,30 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(d, "text", "doc_id")
 
 
+@query(
+    "text_scrub",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\s+', ' ', 'g')) AS clean_text,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing (URL/email → placeholder tokens, whitespace
+    normalization) + removal counts — ``text.scrub_documents``. The
+    patterns avoid Java-only regex features so the oracle replicates
+    replacement behavior exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return text.scrub_documents(d, "text", "doc_id")
+
+
 def _langid_sql() -> str:
     scores = {
         lang: " + ".join(

@@ -74,3 +74,29 @@ def test_doc_fingerprint_short_text(spark):
     df = spark.createDataFrame([(1, "two words")], "doc_id int, text string")
     r = text.doc_fingerprint(df, "text", "doc_id").collect()[0]
     assert r["fingerprint"] is not None
+
+
+def test_scrub_text_replaces_urls_emails_and_whitespace(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import scrub_documents
+
+    rows = [
+        (1, "see https://example.com/a?b=c and mail bob@corp.io  now"),
+        (2, "no  noise   here"),
+        (3, "two http://x.io http://y.io links, two a@b.co c@d.org mails"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_documents(df, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == "see <URL> and mail <EMAIL> now"
+    assert (out[1]["n_urls"], out[1]["n_emails"]) == (1, 1)
+    assert out[2]["clean_text"] == "no noise here"
+    assert (out[3]["n_urls"], out[3]["n_emails"]) == (2, 2)
+
+
+def test_scrub_text_phone_opt_in(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame([("call +1 (555) 123-4567 now",)], "t string")
+    out = df.select(scrub_text(F.col("t"), phone_token="<PHONE>").alias("c")).first()
+    assert out["c"] == "call <PHONE> now"
