@@ -543,6 +543,43 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_rollup_revenue",
+    """
+    SELECT coalesce(n.n_name, '<ALL>') AS nation,
+           coalesce(c.c_mktsegment, '<ALL>') AS segment,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (nation → segment → grand total)
+    over a two-dim join — subtotal levels distinguished with explicit
+    '<ALL>' markers so NULL-vs-subtotal is unambiguous on both sides."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<ALL>")).alias("segment"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
     "agg_events_sessions",
     """
     WITH o AS (
