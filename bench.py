@@ -28,17 +28,20 @@ BENCH_QUERIES = [
     "agg_revenue_top10",
     "window_top_orders_per_cust",
     "agg_events_hourly",
+    "agg_events_sessions",
+    "agg_rollup_revenue",
     "json_extract_events",
     "dedup_fingerprint",
     "dedup_minhash",
+    "dedup_simhash",
     "text_stats",
     "text_quality",
+    "text_scrub",
     "doc_fingerprint",
     "emb_topk_query",
     "emb_near_dup_pairs",
     "emb_near_dup_lsh",  # the LSH-bucketed 100 TB path, next to the exact one
     "emb_topk_ivf",  # IVF coarse-quantized ANN, the second scale path
-    "agg_events_sessions",  # session windows (batch shape of streaming op)
 ]
 
 

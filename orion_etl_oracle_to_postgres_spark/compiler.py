@@ -204,6 +204,11 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 f"mapping for target {r.target!r} has no source column and no "
                 f"resolvable plugin {r.plugin!r} — set 'source:' or register the plugin"
             )
+        if (r.target or r.source) is None:
+            raise ValueError(
+                f"mapping with plugin {r.plugin!r} has neither 'target' nor "
+                "'source' — the output column needs a name"
+            )
         col = F.col(r.source) if r.source is not None else None
         if col is not None:
             col = apply_transform_chain(col, r.transform, dtypes.get(r.source, "string"))

