@@ -111,10 +111,17 @@ class JobContext:
         ``postgres_connector.py:111-124``). Spark reads the target's
         schema instead — JDBC metadata or the existing files dataset.
         Returns None when the target doesn't exist yet (first load);
-        auto-mapping then mirrors the source."""
+        auto-mapping then mirrors the source. Only NOT-FOUND errors mean
+        "first load" — a transient failure (JDBC connection refused,
+        auth) must propagate, not silently flip the mapping strategy to
+        source-mirroring (which could ship the wrong column set)."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self._read_target(spec.target_table, spec.target_schema).columns
-        except Exception:  # noqa: BLE001 — missing target is the normal first-load case
+        except (FileNotFoundError, AnalysisException, ValueError):
+            # FileNotFoundError: files target missing; AnalysisException:
+            # unresolved table/path; ValueError: no target connector at all
             return None
 
     def _read_source(self, table: str) -> DataFrame:
@@ -338,6 +345,7 @@ def run_table(
         loader(out, ctx, spec)
         if compiled.incremental_commit is not None:
             compiled.incremental_commit()
+        _run_finalize_hooks(ctx, spec)  # reference runs finalize after EVERY load path
         return out
 
     resolve_sink(
@@ -392,9 +400,17 @@ def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
     results: dict[str, int] = {}
     for spec in job.tables:
         t0 = time.time()
-        obs = Observation(f"etl_{spec.target_table}")
-        run_table(ctx, spec, observation=obs)
-        n = obs.get["rows"]
+        loader_name = spec.loader_plugin or job.global_spec.loader_plugin
+        if loader_name not in ("default_loader",):
+            # a custom loader isn't obliged to run any Spark action on
+            # the observed plan — Observation.get would block forever.
+            # Fall back to an explicit count (the honest second pass).
+            df = run_table(ctx, spec)
+            n = df.count()
+        else:
+            obs = Observation(f"etl_{spec.target_table}")
+            run_table(ctx, spec, observation=obs)
+            n = obs.get["rows"]
         results[spec.target_table] = n
         logger.info(
             "%s.%s -> %s.%s: %d rows in %.1fs",

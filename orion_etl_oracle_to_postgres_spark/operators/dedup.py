@@ -244,6 +244,7 @@ def near_dup_clusters(
         .withColumn("__lbl", F.col("__id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         # one round = TWO shuffles: neighbor messages (edge ⋈ label),
         # then min over (messages ∪ own label) — no separate left join
@@ -263,7 +264,15 @@ def near_dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent fallthrough would return WRONG labels (one duplicate
+        # group split into several "clusters" → several survivors)
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds — a "
+            "component's diameter exceeds max_iter; raise max_iter"
+        )
     return labels.select(
         F.col("__id").alias("doc_id"), F.col("__lbl").alias("cluster_id")
     )

@@ -109,14 +109,24 @@ def sessionize_stream(
 
         cur = tuple(state.get) if state.exists else None
         for ts_us, val in rows:
-            if cur is not None and ts_us - cur[1] < gap_us:
-                # extends the open session (also handles late data that
-                # arrives out of order but inside the gap)
-                cur = (min(cur[0], ts_us), max(cur[1], ts_us), cur[2] + 1, cur[3] + val)
-            else:
-                if cur is not None:
-                    closed.append(_mk_row(user, cur, gap_us))
+            if cur is None:
                 cur = (ts_us, ts_us, 1, val)
+            elif cur[0] - gap_us < ts_us < cur[1] + gap_us:
+                # inside the open session's merge window [start−gap,
+                # last+gap) — extends forward, or backward for late data
+                # still within the gap of the session start
+                cur = (min(cur[0], ts_us), max(cur[1], ts_us), cur[2] + 1, cur[3] + val)
+            elif ts_us >= cur[1] + gap_us:
+                # future event beyond the gap: close the open session
+                closed.append(_mk_row(user, cur, gap_us))
+                cur = (ts_us, ts_us, 1, val)
+            else:
+                # straggler OLDER than start−gap: it can never merge with
+                # the open session (a signed `ts − last < gap` check
+                # would wrongly fuse it, creating a session with an
+                # internal silence larger than the gap) — emit it as its
+                # own already-closed session
+                closed.append(_mk_row(user, (ts_us, ts_us, 1, val), gap_us))
 
         wm_us = state.getCurrentWatermarkMs() * 1_000
         if cur is not None:

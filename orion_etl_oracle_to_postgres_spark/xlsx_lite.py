@@ -105,7 +105,10 @@ def write_xlsx(path: str, sheets: Dict[str, tuple[List[str], List[Dict[str, Any]
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{_NS_MAIN}" xmlns:r="{_NS_REL_DOC}"><sheets>'
         + "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            # escape() alone leaves double quotes intact — they would
+            # terminate the attribute and corrupt the workbook XML
+            f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+            f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         + "</sheets></workbook>"

@@ -210,3 +210,11 @@ def test_xlsx_lite_value_types(tmp_path):
     assert cg.cell_bool(rows[0]["c"]) is True
     assert rows[1]["a"] is None
     assert cg.cell_bool(rows[1]["c"]) is False
+
+
+def test_xlsx_lite_sheet_name_with_quote(tmp_path):
+    from orion_etl_oracle_to_postgres_spark.xlsx_lite import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "q.xlsx")
+    write_xlsx(path, {'tbl"2024': (["a"], [{"a": "x"}])})
+    assert read_xlsx(path)['tbl"2024'] == [{"a": "x"}]

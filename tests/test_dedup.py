@@ -111,3 +111,15 @@ def test_near_dup_clusters_long_chain_converges(spark):
     out = near_dup_clusters(pairs).collect()
     assert {r["cluster_id"] for r in out} == {100}
     assert len(out) == 13
+
+
+def test_near_dup_clusters_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 210)], "id_i long, id_j long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain, max_iter=2)

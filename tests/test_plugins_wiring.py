@@ -225,3 +225,55 @@ def test_transform_plugin_finalize_hook_runs_after_write(spark, sf_dir, tmp_path
     )
     run_table(_ctx(spark, sf_dir, target_path=tmp_path), spec)
     assert calls == ["r_fin"]
+
+
+def test_finalize_hook_runs_on_custom_loader_path(spark, sf_dir, tmp_path):
+    """finalize hooks must fire after EVERY load path, including a
+    custom loader (reference runs finalize_batch unconditionally)."""
+    calls = []
+
+    @registry.register("transform", "wire_fin2_transform")
+    def passthrough2(df, ctx):
+        return df
+
+    passthrough2.finalize = lambda ctx, spec: calls.append(spec.target_table)
+
+    @registry.register("loader", "wire_noop_loader")
+    def noop_loader(df, ctx, spec):
+        df.count()  # the loader's "write"
+
+    spec = TableSpec(
+        source_table="region",
+        target_table="r_fin2",
+        transform_plugins=["wire_fin2_transform"],
+        loader_plugin="wire_noop_loader",
+    )
+    run_table(_ctx(spark, sf_dir, target_path=tmp_path), spec)
+    assert calls == ["r_fin2"]
+
+
+def test_run_job_with_custom_loader_does_not_hang(spark, sf_dir, tmp_path):
+    """run_job must not block on Observation.get when a custom loader
+    runs no action on the observed plan."""
+
+    @registry.register("loader", "wire_actionless_loader")
+    def actionless(df, ctx, spec):
+        pass  # deliberately NO Spark action
+
+    job = JobSpec(
+        global_spec=GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=sf_dir),
+                target_files=FilesConnectorSpec(base_path=str(tmp_path)),
+            )
+        ),
+        tables=[
+            TableSpec(
+                source_table="region",
+                target_table="r_al",
+                loader_plugin="wire_actionless_loader",
+                mappings=[MappingSpec(source="r_regionkey", target="rk")],
+            )
+        ],
+    )
+    assert run_job(spark, job) == {"r_al": 5}

@@ -184,3 +184,51 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # session-end = last event + gap
     ends = {r.session_start: r.session_end for r in spark.sql("SELECT * FROM sess_out").collect()}
     assert ends[t0] == t0 + dt.timedelta(minutes=10) + dt.timedelta(minutes=60)
+
+
+def test_stateful_sessionize_straggler_not_fused(spark, tmp_path):
+    """A late event OLDER than the open session's start−gap must become
+    its own session — a signed gap check would fuse it and emit one
+    session spanning an internal silence larger than the gap."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    land = tmp_path / "sess_strag"
+    land.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    feed([(1, t0, 1.0)])  # open session at 06:00
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    # huge allowed lateness so the straggler is delivered, not dropped
+    out = sessionize_stream(stream, gap_minutes=60, watermark_delay="2 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_strag")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed([(1, t0 - dt.timedelta(hours=5), 9.0)])  # 01:00 straggler
+        q.processAllAvailable()
+        rows = {
+            (r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_strag").collect()
+        }
+    finally:
+        q.stop()
+    gap = dt.timedelta(minutes=60)
+    t_late = t0 - dt.timedelta(hours=5)
+    # the straggler was emitted as its own closed singleton session
+    assert (t_late, t_late + gap, 1) in rows
+    # and nothing fused 01:00..06:00 into one session
+    assert not any(s == t_late and e > t_late + gap for s, e, _ in rows)
