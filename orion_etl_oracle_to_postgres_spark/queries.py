@@ -629,6 +629,63 @@ def agg_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot_status_by_segment",
+    """
+    SELECT c.c_mktsegment AS segment,
+           round(sum(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END), 2) AS f_total,
+           round(sum(CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice ELSE 0 END), 2) AS o_total,
+           round(sum(CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice ELSE 0 END), 2) AS p_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order totals by market segment × order status. Explicit
+    pivot values keep the plan a single pass (no distinct-values
+    pre-query) and make the oracle a plain conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2))
+    )
+    return piv.select(
+        "segment",
+        F.coalesce("F", F.lit(0.0)).alias("f_total"),
+        F.coalesce("O", F.lit(0.0)).alias("o_total"),
+        F.coalesce("P", F.lit(0.0)).alias("p_total"),
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    """
+    SELECT c_mktsegment AS segment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+           round(quantile_cont(c_acctbal, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the continuous-interpolation
+    definition, so values hash-match. (The scale variant is
+    ``approx_percentile``; its t-digest sketch is engine-specific, so
+    the exact form is the differential-tested one.)"""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(c_acctbal, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "setop_customers_without_orders",
     """
     SELECT c_custkey AS cust_id FROM customer
