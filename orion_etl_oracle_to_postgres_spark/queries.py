@@ -1121,6 +1121,29 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frames",
+    """
+    SELECT doc_id,
+           CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           CAST(f.frame_idx * 1000 AS BIGINT) AS ts_ms
+    FROM (
+      SELECT doc_id,
+             unnest(range(greatest(octet_length(encode(text)) // 1000, 1))) AS frame_idx
+      FROM documents
+    ) f
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (``multimodal.frame_sample_plan``):
+    one row per sampled frame timestamp, exploded JVM-side — the
+    payload-size-derived frame count stands in for real duration until
+    a codec is present."""
+    d = _t(spark, sf_dir, "documents")
+    b = multimodal.attach_fake_binary(d, "text", "doc_id")
+    return multimodal.frame_sample_plan(b, every_ms=1000)
+
+
+@query(
     "incremental_highwater",
     """
     SELECT event_id, ts, user_id, event_type, round(value, 6) AS value

@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="PySpark ETL engine")
     parser.add_argument("--config", "-c", default=None, help="main YAML config path")
     parser.add_argument("--master", default=None, help="Spark master override")
+    parser.add_argument(
+        "--explain",
+        action="store_true",
+        help="compile every table and print its optimized physical plan "
+        "WITHOUT executing or writing anything (plan review before a "
+        "large run: check pushed filters, pruned schemas, join strategies)",
+    )
     args = parser.parse_args(argv)
 
     job = load_job_spec(args.config)
@@ -64,6 +71,17 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master)
     smoke_check(spark, job)
+
+    if args.explain:
+        from .compiler import compile_table
+
+        ctx = JobContext(spark, job.global_spec)
+        for spec in job.tables:
+            compiled = compile_table(ctx, spec)
+            print(f"== {spec.source_table} -> {spec.target_table} ==")
+            compiled.df.explain("formatted")
+        return 0
+
     results = run_job(spark, job)
     for table, n in results.items():
         logging.getLogger(__name__).info("loaded %s: %d rows", table, n)
