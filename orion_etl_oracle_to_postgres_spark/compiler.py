@@ -65,9 +65,18 @@ class JobContext:
     (``/root/reference/core/context.py:9-34``) — there are no batches to
     track; Spark owns partitioning."""
 
-    def __init__(self, spark: SparkSession, global_spec: GlobalSpec):
+    def __init__(
+        self,
+        spark: SparkSession,
+        global_spec: GlobalSpec,
+        explain_only: bool = False,
+    ):
         self.spark = spark
         self.global_spec = global_spec
+        #: plan-review mode (``runner --explain``): compile_table must not
+        #: run ANY source-side action (e.g. the incremental snapshot-bound
+        #: max probe) — the promise is "print plans without executing".
+        self.explain_only = explain_only
         self._lookup_cache: dict[str, DataFrame] = {}
 
     def lookup_table(self, lk: LookupSpec) -> DataFrame:
@@ -123,9 +132,33 @@ class JobContext:
             # FileNotFoundError: files target missing; AnalysisException:
             # unresolved table/path; ValueError: no target connector at all
             return None
+        except Exception as e:  # noqa: BLE001 — classified below
+            # The JDBC schema probe surfaces a missing table as a wrapped
+            # SQLException / Py4JJavaError, not AnalysisException. Treat
+            # ONLY definite undefined-table errors as "first load"; a
+            # connection/auth failure must still propagate.
+            if _is_missing_table_error(e):
+                return None
+            raise
 
     def _read_source(self, table: str) -> DataFrame:
         return resolve_source(self.spark, self.global_spec.connectors, table)
+
+
+def _is_missing_table_error(e: Exception) -> bool:
+    """Classify a JDBC probe failure as 'the table does not exist'.
+
+    Matches the definite markers only — Postgres SQLSTATE 42P01
+    (undefined_table) and its message shape, Oracle ORA-00942, and
+    Spark's own error class — so auth errors ('role ... does not
+    exist') or network failures never silently flip auto-mapping to
+    source-mirroring (the reference instead queries
+    ``information_schema.tables`` up front,
+    ``postgres_connector.py:111-124``)."""
+    msg = str(e)
+    if "42P01" in msg or "ORA-00942" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+        return True
+    return "relation" in msg and "does not exist" in msg
 
 
 def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
@@ -159,15 +192,20 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         from .streaming.incremental import HighWaterMark, incremental_read
 
         inc = spec.incremental
+        # default state path/key include the TARGET table: two specs
+        # reading one source into different targets must not share a
+        # mark (the second run would silently see "no new rows")
         state = HighWaterMark(
-            inc.state_path or f".hwm/{spec.source_table}.json"
+            inc.state_path
+            or f".hwm/{spec.source_table}__{spec.target_table}.json"
         )
         src = df
         df, incremental_commit = incremental_read(
             lambda: src,
             inc.watermark_column,
             state,
-            f"{spec.source_table}.{inc.watermark_column}",
+            f"{spec.source_table}->{spec.target_table}.{inc.watermark_column}",
+            bound_snapshot=not ctx.explain_only,
         )
 
     # 2. reconcile mappings — empty mappings fill from the TARGET

@@ -526,7 +526,7 @@ def agg_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY 1

@@ -70,18 +70,21 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(master=args.master)
-    smoke_check(spark, job)
 
     if args.explain:
+        # plan review only: no smoke_check (it stats/pings sources) and
+        # explain_only=True suppresses the incremental snapshot-bound
+        # probe — NOTHING executes against any source.
         from .compiler import compile_table
 
-        ctx = JobContext(spark, job.global_spec)
+        ctx = JobContext(spark, job.global_spec, explain_only=True)
         for spec in job.tables:
             compiled = compile_table(ctx, spec)
             print(f"== {spec.source_table} -> {spec.target_table} ==")
             compiled.df.explain("formatted")
         return 0
 
+    smoke_check(spark, job)
     results = run_job(spark, job)
     for table, n in results.items():
         logging.getLogger(__name__).info("loaded %s: %d rows", table, n)

@@ -9,11 +9,14 @@ verify with ``df.explain`` (PushedFilters / ReadSchema).
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..spec import FilesConnectorSpec
+
+logger = logging.getLogger(__name__)
 
 
 def table_path(conn: FilesConnectorSpec, table: str, schema: str | None = None) -> str:
@@ -40,20 +43,54 @@ def table_path(conn: FilesConnectorSpec, table: str, schema: str | None = None) 
     return str(base / f"{table}.{conn.format}")
 
 
+def _parquet_has_nanos(path: str) -> bool | None:
+    """Footer-only probe: does this parquet file/dataset contain
+    TIMESTAMP(NANOS) columns? None = can't tell cheaply (remote path,
+    unreadable footer)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = Path(path)
+        if not p.exists():
+            return None
+        f = p if p.is_file() else next(p.rglob("*.parquet"), None)
+        if f is None:
+            return None
+        schema = pq.read_schema(str(f))
+        return any(
+            pa.types.is_timestamp(t) and t.unit == "ns" for t in schema.types
+        )
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        return None
+
+
 def read_file_table(
     spark: SparkSession,
     conn: FilesConnectorSpec,
     table: str,
     schema: str | None = None,
 ) -> DataFrame:
-    if conn.format == "parquet":
+    path = table_path(conn, table, schema)
+    if conn.format == "parquet" and _parquet_has_nanos(path) is not False:
         # Parquet TIMESTAMP(NANOS) columns (pandas-written event data) are
         # rejected by Spark's reader unless read as raw ns longs. Set the
         # legacy conf at runtime (it is a SQL conf, not a session-build
-        # conf) so reads work under ANY caller-provided SparkSession, not
-        # just the one session.py builds.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # conf) so reads work under ANY caller-provided SparkSession.
+        # The conf is consulted again at EXECUTION time (it is stamped
+        # into the scan's hadoop conf per action), so it cannot be
+        # save/restored around this call — instead the footer probe above
+        # limits the session-wide effect to datasets that actually carry
+        # ns timestamps (plus unprobeable remote paths).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            logger.info(
+                "table %r has TIMESTAMP(NANOS) columns — setting session conf "
+                "spark.sql.legacy.parquet.nanosAsLong=true (ns columns read "
+                "as raw longs session-wide)",
+                table,
+            )
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if conn.format == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
-    return reader.format(conn.format).load(table_path(conn, table, schema))
+    return reader.format(conn.format).load(path)

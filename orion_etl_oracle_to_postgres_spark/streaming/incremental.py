@@ -50,6 +50,7 @@ def incremental_read(
     watermark_column: str,
     state: HighWaterMark,
     key: str,
+    bound_snapshot: bool = True,
 ) -> tuple[DataFrame, Callable[[], None]]:
     """Read only rows newer than the stored mark.
 
@@ -65,11 +66,24 @@ def incremental_read(
     at commit time against the live source would silently drop them.)
     The bounding probe is one aggregate on a single column — parquet
     footer stats / a JDBC ``SELECT max(col)`` make it near-free.
+
+    ``bound_snapshot=False`` skips the probe entirely (NO action runs) —
+    for plan-review/explain mode only; the returned ``commit`` then
+    refuses to advance the mark.
     """
     df = read_full()
     mark = state.get(key)
     if mark is not None:
         df = df.filter(F.col(watermark_column) > F.lit(mark))
+
+    if not bound_snapshot:
+        def no_commit() -> None:
+            raise RuntimeError(
+                "incremental_read(bound_snapshot=False) built an explain-only "
+                "plan — it cannot commit a high-water mark"
+            )
+
+        return df, no_commit
 
     new_mark = df.agg(F.max(watermark_column).alias("m")).collect()[0]["m"]
     if new_mark is not None:

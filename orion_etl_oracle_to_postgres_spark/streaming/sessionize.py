@@ -101,32 +101,37 @@ def sessionize_stream(
             yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
             return
 
-        rows: list[Tuple[int, float]] = []
+        # Sessionize by interval-merge: every event is a unit interval,
+        # the open session from state is one more interval; sort by start
+        # and fuse neighbours closer than the gap. This runs stragglers
+        # through the SAME session-building logic as in-order events, so
+        # two late events within gap of each other form ONE session —
+        # exactly what batch F.session_window computes — instead of each
+        # being emitted as its own singleton. Events older than the open
+        # session's start−gap still never fuse with it (sorted-merge only
+        # joins intervals closer than the gap). Remaining divergence from
+        # batch, by design: all but the newest merged session close at
+        # batch end, so a straggler arriving in a LATER micro-batch
+        # cannot re-open them (bounded state: one tuple per key).
+        items: list[Tuple[int, int, int, float]] = []
         for pdf in pdfs:
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
-                rows.append((_to_us(ts), float(val) if val == val else 0.0))
-        rows.sort()
+                us = _to_us(ts)
+                items.append((us, us, 1, float(val) if val == val else 0.0))
+        if state.exists:
+            items.append(tuple(state.get))
+        items.sort()
 
-        cur = tuple(state.get) if state.exists else None
-        for ts_us, val in rows:
-            if cur is None:
-                cur = (ts_us, ts_us, 1, val)
-            elif cur[0] - gap_us < ts_us < cur[1] + gap_us:
-                # inside the open session's merge window [start−gap,
-                # last+gap) — extends forward, or backward for late data
-                # still within the gap of the session start
-                cur = (min(cur[0], ts_us), max(cur[1], ts_us), cur[2] + 1, cur[3] + val)
-            elif ts_us >= cur[1] + gap_us:
-                # future event beyond the gap: close the open session
-                closed.append(_mk_row(user, cur, gap_us))
-                cur = (ts_us, ts_us, 1, val)
+        merged: list[Tuple[int, int, int, float]] = []
+        for it in items:
+            if merged and it[0] < merged[-1][1] + gap_us:
+                a = merged[-1]
+                merged[-1] = (a[0], max(a[1], it[1]), a[2] + it[2], a[3] + it[3])
             else:
-                # straggler OLDER than start−gap: it can never merge with
-                # the open session (a signed `ts − last < gap` check
-                # would wrongly fuse it, creating a session with an
-                # internal silence larger than the gap) — emit it as its
-                # own already-closed session
-                closed.append(_mk_row(user, (ts_us, ts_us, 1, val), gap_us))
+                merged.append(it)
+        for s in merged[:-1]:
+            closed.append(_mk_row(user, s, gap_us))
+        cur = merged[-1] if merged else None
 
         wm_us = state.getCurrentWatermarkMs() * 1_000
         if cur is not None:

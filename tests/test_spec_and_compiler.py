@@ -211,3 +211,103 @@ def test_incremental_table_spec_end_to_end(spark, tmp_path):
     # third run with no new data: nothing added
     run_table(JobContext(spark, g), spec)
     assert spark.read.parquet(str(tmp_path / "out" / "events_tgt")).count() == 9
+
+
+def test_missing_table_error_classification():
+    """JDBC target-absence detection (ADVICE r2): only definite
+    undefined-table errors mean 'first load'; auth/network failures must
+    propagate, never silently flip auto-mapping to source-mirroring."""
+    from orion_etl_oracle_to_postgres_spark.compiler import _is_missing_table_error
+
+    assert _is_missing_table_error(RuntimeError("ERROR: relation \"public.t\" does not exist"))
+    assert _is_missing_table_error(RuntimeError("SQLSTATE: 42P01"))
+    assert _is_missing_table_error(RuntimeError("ORA-00942: table or view does not exist"))
+    assert _is_missing_table_error(RuntimeError("[TABLE_OR_VIEW_NOT_FOUND] ..."))
+    assert not _is_missing_table_error(RuntimeError("FATAL: role \"etl\" does not exist"))
+    assert not _is_missing_table_error(RuntimeError("Connection refused"))
+    assert not _is_missing_table_error(RuntimeError("password authentication failed"))
+
+
+def test_incremental_default_state_is_per_target(spark, tmp_path, monkeypatch):
+    """Two TableSpecs reading ONE source into different targets must not
+    share a default high-water mark (ADVICE r2): after table A commits,
+    table B still sees all rows."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        IncrementalSpec,
+        TableSpec,
+    )
+
+    monkeypatch.chdir(tmp_path)  # default state lives under ./.hwm/
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.range(0, 4).selectExpr("id AS seq").write.parquet(str(src_dir / "shared"))
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=str(src_dir)),
+            target_files=FilesConnectorSpec(base_path=str(tmp_path / "out")),
+        )
+    )
+    for target in ("tgt_a", "tgt_b"):
+        spec = TableSpec(
+            source_table="shared",
+            target_table=target,
+            write_mode="append",
+            incremental=IncrementalSpec(watermark_column="seq"),
+        )
+        run_table(JobContext(spark, g), spec)
+    for target in ("tgt_a", "tgt_b"):
+        assert spark.read.parquet(str(tmp_path / "out" / target)).count() == 4
+
+
+def test_explain_only_runs_no_source_action(spark, tmp_path):
+    """--explain promises plan review WITHOUT executing source reads
+    (ADVICE r2): under explain_only the incremental snapshot-bound max
+    probe must not run. Source here raises on ANY action, so a probe
+    would fail the compile."""
+    from orion_etl_oracle_to_postgres_spark.streaming.incremental import (
+        HighWaterMark,
+        incremental_read,
+    )
+    from pyspark.sql import functions as F
+
+    poison = spark.range(1).select(
+        F.expr("raise_error('source read executed in explain mode')")
+        .cast("long")
+        .alias("seq")
+    )
+    state = HighWaterMark(str(tmp_path / "hwm_explain.json"))
+
+    # bound_snapshot=False: no action runs, and the mark cannot commit
+    df, commit = incremental_read(lambda: poison, "seq", state, "k", bound_snapshot=False)
+    assert "seq" in df.columns
+    with pytest.raises(RuntimeError, match="explain-only"):
+        commit()
+
+    # the default (bounded) path DOES execute the probe — sanity check
+    # that the poison source actually poisons
+    with pytest.raises(Exception, match="explain mode"):
+        incremental_read(lambda: poison, "seq", state, "k")
+
+
+def test_nanos_conf_not_set_for_plain_parquet(spark, tmp_path):
+    """read_file_table must not mutate the session's nanosAsLong conf
+    when the dataset carries no TIMESTAMP(NANOS) columns (ADVICE r2);
+    it still sets it for genuinely ns-timestamped data."""
+    from orion_etl_oracle_to_postgres_spark.sources.files import read_file_table
+    from orion_etl_oracle_to_postgres_spark.spec import FilesConnectorSpec
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.range(3).selectExpr("id AS x").write.parquet(str(tmp_path / "plain.parquet"))
+    spark.conf.unset(key)
+    read_file_table(spark, FilesConnectorSpec(base_path=str(tmp_path)), "plain").count()
+    assert spark.conf.get(key, "false") == "false"
+
+    # events testdata is pandas-written TIMESTAMP(NANOS): conf flips on
+    read_file_table(
+        spark, FilesConnectorSpec(base_path="/root/testdata/sf0.001"), "events"
+    )
+    assert spark.conf.get(key) == "true"

@@ -232,3 +232,51 @@ def test_stateful_sessionize_straggler_not_fused(spark, tmp_path):
     assert (t_late, t_late + gap, 1) in rows
     # and nothing fused 01:00..06:00 into one session
     assert not any(s == t_late and e > t_late + gap for s, e, _ in rows)
+
+
+def test_stateful_sessionize_stragglers_merge_with_each_other(spark, tmp_path):
+    """Two stragglers within gap of each other in ONE batch must form a
+    single merged session (what batch F.session_window computes), not
+    two singletons (ADVICE r2)."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    land = tmp_path / "sess_strag2"
+    land.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    t_late = t0 - dt.timedelta(hours=5)
+    gap = dt.timedelta(minutes=60)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    feed([(1, t0, 1.0)])  # open session at 06:00
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = sessionize_stream(stream, gap_minutes=60, watermark_delay="2 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_strag2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one batch, two stragglers 30 min apart (within the 60-min gap)
+        feed([(1, t_late, 9.0), (1, t_late + dt.timedelta(minutes=30), 1.0)])
+        q.processAllAvailable()
+        rows = {
+            (r.session_start, r.session_end, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sess_strag2").collect()
+        }
+    finally:
+        q.stop()
+    # ONE merged straggler session covering both late events
+    assert (t_late, t_late + dt.timedelta(minutes=30) + gap, 2, 10.0) in rows
+    # no singleton straggler sessions leaked out
+    assert not any(n == 1 and s < t0 for s, _, n, _ in rows)
