@@ -39,9 +39,10 @@ BENCH_QUERIES = [
     "text_scrub",
     "doc_fingerprint",
     "emb_topk_query",
-    "emb_near_dup_pairs",
-    "emb_near_dup_lsh",  # the LSH-bucketed 100 TB path, next to the exact one
+    "emb_near_dup_lsh",  # CANONICAL near-dup: the LSH-bucketed 100 TB path
+    "emb_near_dup_pairs",  # exact small-side BASELINE for the line above
     "emb_topk_ivf",  # IVF coarse-quantized ANN, the second scale path
+    "agg_approx_percentiles",  # bounded-memory percentile scale path
 ]
 
 
