@@ -38,15 +38,39 @@ def setup_logging(level: str = "INFO", log_file: str | None = None) -> None:
 
 def smoke_check(spark, job) -> None:
     """Connectivity check ≈ reference ``cli.py:13-31``: touch each
-    configured connector once (schema-only read, no data movement)."""
+    configured connector once before compiling anything, so a bad
+    URL/credential fails at startup, not mid-pipeline after some tables
+    already loaded."""
     conns = job.global_spec.connectors
     if conns.source_files is not None:
         if not os.path.isdir(conns.source_files.base_path):
             raise FileNotFoundError(
                 f"source base_path missing: {conns.source_files.base_path}"
             )
-    # JDBC connectors: defer to first read (no cheap ping through Spark);
-    # the reference opens/closes a native connection here instead.
+    # JDBC connectors: one-row SELECT 1 through the reader's query
+    # option — the same path (driver jar, URL, credentials) every later
+    # read/write uses, matching the reference's open/close ping.
+    if conns.oracle is not None:
+        _jdbc_ping(spark, conns.oracle, "SELECT 1 FROM DUAL", "oracle")
+    if conns.postgres is not None:
+        _jdbc_ping(spark, conns.postgres, "SELECT 1", "postgres")
+
+
+def _jdbc_ping(spark, conn, sql: str, label: str) -> None:
+    from .sources.jdbc import jdbc_options
+
+    try:
+        (
+            spark.read.format("jdbc")
+            .options(**jdbc_options(conn, table="_ping", query=sql))
+            .load()
+            .collect()
+        )
+    except Exception as e:
+        raise RuntimeError(
+            f"JDBC connectivity check failed for {label} connector "
+            f"({conn.jdbc_url}): {e}"
+        ) from e
 
 
 def main(argv: list[str] | None = None) -> int:

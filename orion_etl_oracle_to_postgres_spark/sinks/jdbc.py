@@ -58,20 +58,17 @@ def _write(df, conn, dbtable, mode, batchsize, truncate, num_partitions=None):
 
 
 def _swap_tables(conn: Any, schema: str | None, table: str) -> None:
-    """Atomic staging swap via driver-side DDL (needs a DBAPI driver,
-    e.g. psycopg2, present at runtime; gated import)."""
-    try:
-        import psycopg2  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("staging_swap requires psycopg2 on the driver") from e
+    """Atomic staging swap via driver-side DDL — both statements run in
+    ONE transaction through ``dbapi.execute_sql`` (a failure between the
+    DROP and the RENAME must roll back, or the target vanishes)."""
+    from ..dbapi import execute_sql
+
     qualified = f'"{schema}"."{table}"' if schema else f'"{table}"'
     staging = f'"{schema}"."{table}__stg"' if schema else f'"{table}__stg"'
-    with psycopg2.connect(
-        host=conn.host,
-        port=int(conn.port),
-        user=conn.user,
-        password=conn.password,
-        dbname=conn.database,
-    ) as c, c.cursor() as cur:
-        cur.execute(f"DROP TABLE IF EXISTS {qualified}")
-        cur.execute(f"ALTER TABLE {staging} RENAME TO \"{table}\"")
+    execute_sql(
+        conn,
+        [
+            f"DROP TABLE IF EXISTS {qualified}",
+            f'ALTER TABLE {staging} RENAME TO "{table}"',
+        ],
+    )

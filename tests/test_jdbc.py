@@ -64,3 +64,142 @@ def test_query_option_excludes_dbtable():
 
 def test_fetchsize_override():
     assert jdbc_options(PG, "t", fetchsize=200)["fetchsize"] == "200"
+
+
+# ---------------------------------------------------------------------
+# Driver-side ad-hoc SQL (S6 write half) + startup connectivity check
+# ---------------------------------------------------------------------
+
+
+class _FakeCursor:
+    def __init__(self, log):
+        self.log = log
+        self.description = None
+        self.rowcount = -1
+
+    def execute(self, sql, params=None):
+        self.log.append(("execute", sql, params))
+        if "boom" in sql:
+            raise RuntimeError("statement failed")
+        if sql.lstrip().upper().startswith(("SELECT", "WITH")):
+            self.description = [("x",)]
+            self._rows = [(1,), (2,)]
+        else:
+            self.description = None
+            self.rowcount = 3
+
+    def fetchall(self):
+        return self._rows
+
+
+class _FakeConn:
+    def __init__(self, log):
+        self.log = log
+
+    def cursor(self):
+        return _FakeCursor(self.log)
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def rollback(self):
+        self.log.append(("rollback",))
+
+    def close(self):
+        self.log.append(("close",))
+
+
+@pytest.fixture
+def fake_dbapi(monkeypatch):
+    log: list = []
+    from orion_etl_oracle_to_postgres_spark import dbapi
+
+    monkeypatch.setattr(dbapi, "dbapi_connect", lambda conn: _FakeConn(log))
+    return log
+
+
+def test_execute_sql_select_fetches_rows(fake_dbapi):
+    from orion_etl_oracle_to_postgres_spark.dbapi import execute_sql
+
+    assert execute_sql(PG, "SELECT 1") == [(1,), (2,)]
+    assert ("commit",) in fake_dbapi and ("close",) in fake_dbapi
+
+
+def test_execute_sql_dml_returns_rowcount_and_commits(fake_dbapi):
+    from orion_etl_oracle_to_postgres_spark.dbapi import execute_sql
+
+    assert execute_sql(PG, "UPDATE t SET x = 1") == 3
+    assert fake_dbapi[-2:] == [("commit",), ("close",)]
+
+
+def test_execute_sql_multi_statement_single_transaction(fake_dbapi):
+    from orion_etl_oracle_to_postgres_spark.dbapi import execute_sql
+
+    execute_sql(PG, ["DROP TABLE a", "ALTER TABLE b RENAME TO a"])
+    kinds = [e[0] for e in fake_dbapi]
+    assert kinds == ["execute", "execute", "commit", "close"]  # ONE commit
+
+
+def test_execute_sql_rolls_back_on_error(fake_dbapi):
+    from orion_etl_oracle_to_postgres_spark.dbapi import execute_sql
+
+    with pytest.raises(RuntimeError, match="statement failed"):
+        execute_sql(PG, ["DROP TABLE a", "boom"])
+    kinds = [e[0] for e in fake_dbapi]
+    assert "rollback" in kinds and "commit" not in kinds
+
+
+def test_execute_sql_params_require_single_statement():
+    from orion_etl_oracle_to_postgres_spark.dbapi import execute_sql
+
+    with pytest.raises(ValueError, match="single statement"):
+        execute_sql(PG, ["a", "b"], params=(1,))
+
+
+def test_staging_swap_runs_one_transaction(fake_dbapi):
+    from orion_etl_oracle_to_postgres_spark.sinks.jdbc import _swap_tables
+
+    _swap_tables(PG, "public", "facts")
+    stmts = [e[1] for e in fake_dbapi if e[0] == "execute"]
+    assert stmts == [
+        'DROP TABLE IF EXISTS "public"."facts"',
+        'ALTER TABLE "public"."facts__stg" RENAME TO "facts"',
+    ]
+    assert [e[0] for e in fake_dbapi] == ["execute", "execute", "commit", "close"]
+
+
+def test_dbapi_connect_rejects_non_jdbc_spec():
+    from orion_etl_oracle_to_postgres_spark.dbapi import dbapi_connect
+    from orion_etl_oracle_to_postgres_spark.spec import FilesConnectorSpec
+
+    with pytest.raises(ValueError, match="not a JDBC connector spec"):
+        dbapi_connect(FilesConnectorSpec(base_path="/tmp"))
+
+
+def test_smoke_check_fails_fast_on_bad_jdbc(spark):
+    """A bogus JDBC connector must fail AT STARTUP (reference
+    cli.py:13-31 pings both DBs before running), not mid-pipeline."""
+    from orion_etl_oracle_to_postgres_spark.runner import smoke_check
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        GlobalSpec,
+        JobSpec,
+    )
+
+    job = JobSpec.model_validate(
+        {
+            "global": {
+                "connectors": {
+                    "postgres": {
+                        "user": "u",
+                        "password": "p",
+                        "host": "no-such-host.invalid",
+                        "port": 5432,
+                        "database": "dwh",
+                    }
+                }
+            }
+        }
+    )
+    with pytest.raises(RuntimeError, match="connectivity check failed for postgres"):
+        smoke_check(spark, job)
