@@ -252,6 +252,90 @@ def ivf_topk(
     )
 
 
+def ivf_materialize(
+    df: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+) -> None:
+    """Write the corpus ONCE partitioned by IVF cluster — the scale form
+    of IVF (VERDICT r2 #6): per-query nearest-centroid re-assignment
+    (a broadcast cross-join over the whole corpus, ``ivf_assign``)
+    becomes a one-time layout cost, and every subsequent probe is pure
+    partition pruning — the query reads only ``nprobe`` directories out
+    of ``n_centroids``, never touching the rest of the 100 TB.
+
+    Layout: ``<path>/cluster_id=<c>/...`` (Hive-partitioned parquet) +
+    the centroid codebook at ``<path>/_centroids`` (underscore-prefixed
+    ⇒ invisible to the data reader).
+    """
+    assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids)
+    (
+        df.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+    (
+        df.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_centroids")
+    )
+
+
+def ivf_probe_clusters(
+    spark, path: str, query_vec: Sequence[float], nprobe: int = 4
+) -> list:
+    """The ``nprobe`` cluster ids nearest the query, from the codebook
+    written by ``ivf_materialize``. A tiny driver collect (codebook is
+    n_centroids rows) whose result becomes a literal partition filter.
+    Tie-break (sim desc, cid asc) matches ``ivf_topk``/the oracle."""
+    cent = spark.read.parquet(f"{path}/_centroids")
+    return [
+        r["cid"]
+        for r in cent.select(
+            "cid", cosine(F.col("cv"), _lit_vec(query_vec)).alias("__qs")
+        )
+        .orderBy(F.col("__qs").desc(), F.col("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+
+
+def ivf_topk_materialized(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over an ``ivf_materialize``d layout.
+
+    Probe selection collects ``nprobe`` centroid ids to the driver (a
+    k-row collect over the tiny codebook — same class as the JDBC
+    bounds probe) so the cluster restriction is a LITERAL ``IN`` filter
+    on the partition column: the parquet scan plans only the probed
+    ``cluster_id=`` directories (PartitionFilters), no join, no
+    re-assignment. Tie-breaks (sim desc, cid asc) match ``ivf_topk``
+    and the DuckDB oracle exactly.
+    """
+    probes = ivf_probe_clusters(spark, path, query_vec, nprobe=nprobe)
+    d = spark.read.parquet(path).filter(F.col("cluster_id").isin(probes))
+    sim = cosine(F.col(vec_col).cast("array<double>"), _lit_vec(query_vec))
+    return (
+        d.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

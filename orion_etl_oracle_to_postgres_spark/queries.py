@@ -1320,12 +1320,24 @@ def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
 
 @query("emb_topk_ivf", _ivf_topk_sql())
 def emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via IVF coarse quantization (``similarity.ivf_topk``)
-    — the second scale path next to sign-LSH: nearest-centroid
-    assignment, probe the best nprobe clusters, exact cosine within."""
+    """ANN top-k via MATERIALIZED IVF (VERDICT r2 #6): the corpus is
+    written once partitioned by nearest-centroid cluster
+    (``similarity.ivf_materialize``, cached per sf under .tmp/ivf), and
+    the query is pure partition pruning — the scan plans only the
+    ``nprobe`` probed ``cluster_id=`` directories, no re-assignment
+    join per query. Assignment, probe choice, and tie-breaks are
+    identical to the runtime ``similarity.ivf_topk`` and to the DuckDB
+    oracle, so the same oracle stays green via the new path."""
+    import os
+
+    cache = f"/root/repo/.tmp/ivf/{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        similarity.ivf_materialize(
+            _t(spark, sf_dir, "embeddings"), cache, n_centroids=16
+        )
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return similarity.ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4)
+    return similarity.ivf_topk_materialized(spark, cache, qv, k=10, nprobe=4)
 
 
 def _near_dup_lsh_sql(n_planes: int = 8, threshold: float = 0.4) -> str:

@@ -110,3 +110,55 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     assert 0 in {r["vec_id"] for r in approx}
     recall = len({r["vec_id"] for r in approx} & exact) / 10
     assert recall >= 0.5
+
+
+def test_ivf_materialized_matches_runtime_and_prunes_partitions(spark, tmp_path):
+    """The materialized-IVF layout (VERDICT r2 #6): same top-k as the
+    runtime ivf_topk, and the probe is PARTITION PRUNING — the scan
+    plans only the probed cluster_id= directories."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+
+    path = str(tmp_path / "ivf")
+    similarity.ivf_materialize(df, path, n_centroids=8)
+
+    mat = similarity.ivf_topk_materialized(spark, path, qv, k=5, nprobe=3)
+    run = similarity.ivf_topk(df, qv, k=5, n_centroids=8, nprobe=3)
+    assert [tuple(r) for r in mat.collect()] == [tuple(r) for r in run.collect()]
+
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+    # pruning is real: the scan's numFiles metric counts files actually
+    # planned — nprobe=3 of 8 cluster directories, not all of them
+    def files_read(d):
+        d.collect()
+        leaf = d._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return leaf.metrics().apply("numFiles").value()
+
+    probes = similarity.ivf_probe_clusters(spark, path, qv, nprobe=3)
+    assert len(probes) == 3
+    pruned_scan = spark.read.parquet(path).filter(F.col("cluster_id").isin(probes))
+    total = files_read(spark.read.parquet(path))
+    probed = files_read(pruned_scan)
+    # 3 of 8 clusters probed; file counts scale with directories planned
+    assert 0 < probed < total
+
+
+def test_ivf_materialize_centroid_codebook_hidden(spark, tmp_path):
+    """_centroids lives inside the dataset dir but must be invisible to
+    the data reader (underscore prefix)."""
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf2")
+    similarity.ivf_materialize(df, path, n_centroids=4)
+    data = spark.read.parquet(path)
+    assert set(data.columns) == {"vec_id", "embedding", "cluster_id"}
+    assert data.count() == 20
+    cent = spark.read.parquet(path + "/_centroids")
+    assert cent.count() == 4
