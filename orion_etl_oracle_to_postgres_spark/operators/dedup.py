@@ -206,6 +206,45 @@ def _verify_jaccard(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects its strictly-LARGER
+    neighbors to min(N(u) ∪ {u}). Halves long chains from the high end."""
+    bi = edges.union(
+        edges.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
+    )
+    mins = bi.groupBy("__u").agg(F.min("__v").alias("__mn")).select(
+        "__u", F.least("__u", "__mn").alias("__m")
+    )
+    return (
+        bi.join(mins, "__u")
+        .filter(F.col("__v") > F.col("__u"))
+        .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge larger→smaller, then every
+    node u connects all its (smaller) neighbors — and itself — to the
+    smallest of them. Flattens local stars onto the true minimum."""
+    e = (
+        edges.select(
+            F.greatest("__u", "__v").alias("__u"),
+            F.least("__u", "__v").alias("__v"),
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+    )
+    mins = e.groupBy("__u").agg(F.min("__v").alias("__m"))
+    return (
+        e.join(mins, "__u")
+        .filter(F.col("__v") != F.col("__m"))
+        .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+        .union(mins.select("__u", F.col("__m").alias("__v")))
+        .distinct()
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     *,
@@ -220,61 +259,63 @@ def near_dup_clusters(
     transitive groups (A~B, B~C ⇒ {A,B,C} even when A~C is below
     threshold), and survivor selection needs one winner per GROUP.
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round every node takes the min of its own and its
-    neighbors' labels; stop when a round changes nothing (≤ graph
-    diameter rounds — near-dup components are shallow in practice).
-    Each round is one shuffle of (edge, label) pairs; ``localCheckpoint``
-    truncates lineage so plans stay flat across iterations (library
-    operators must not ``persist`` — caller can't unpersist). This is
-    the simple variant of the large-star/small-star map-reduce CC
-    algorithm; at 100 TB the edge list is the near-dup pair output —
-    orders of magnitude smaller than the corpus.
+    Algorithm: alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round contracts chains multiplicatively, so convergence is
+    O(log n) rounds for ANY topology, vs O(diameter) for plain
+    min-label propagation (a 1000-link templated-spam chain converges
+    in ~10 rounds here where propagation needs 1000). At the fixpoint
+    the edge set IS the star graph: every non-minimum node holds one
+    edge to its component's minimum.
+
+    Each round is two group-by-min aggregates + joins over the EDGE
+    list only (orders of magnitude smaller than the corpus);
+    ``localCheckpoint`` truncates lineage per round so plans stay flat
+    (library operators must not ``persist`` — the caller can't
+    unpersist). Convergence is detected by an order-insensitive edge-set
+    fingerprint (count + bit_xor of xxhash64) on the already-
+    materialized checkpoint — no extra plan execution. Non-convergence
+    raises loudly: silent fallthrough would split one duplicate group
+    into several survivors.
     """
-    # pairs carry id_i < id_j, so the two directions can't collide — no
-    # distinct needed on the doubled edge list
-    edges = (
-        pairs.select(F.col(id_i).alias("__src"), F.col(id_j).alias("__dst"))
-        .union(pairs.select(F.col(id_j).alias("__src"), F.col(id_i).alias("__dst")))
-        .localCheckpoint()
+    raw = (
+        pairs.select(F.col(id_i).alias("__u"), F.col(id_j).alias("__v"))
+        .filter(F.col("__u") != F.col("__v"))
     )
-    labels = (
-        edges.select(F.col("__src").alias("__id"))
+    nodes = (
+        raw.select(F.col("__u").alias("__id"))
+        .union(raw.select(F.col("__v").alias("__id")))
         .distinct()
-        .withColumn("__lbl", F.col("__id"))
         .localCheckpoint()
     )
+    edges = raw.distinct().localCheckpoint()
+
+    def fingerprint(e: DataFrame):
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(__u, __v))").alias("x"),
+        ).collect()[0]
+
+    prev = None
     converged = False
     for _ in range(max_iter):
-        # one round = TWO shuffles: neighbor messages (edge ⋈ label),
-        # then min over (messages ∪ own label) — no separate left join
-        msgs = edges.join(labels, edges.__dst == labels.__id).select(
-            F.col("__src").alias("__id"), F.col("__lbl")
-        )
-        new_labels = (
-            msgs.union(labels.select("__id", "__lbl"))
-            .groupBy("__id")
-            .agg(F.min("__lbl").alias("__lbl"))
-            .localCheckpoint()
-        )
-        # both sides are materialized checkpoints — the fixpoint probe
-        # is a cheap anti-join, not a plan re-execution
-        changed = (
-            new_labels.join(labels, ["__id", "__lbl"], "left_anti").limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = fingerprint(edges)
+        if prev is not None and sig == prev:
             converged = True
             break
+        prev = sig
     if not converged:
-        # silent fallthrough would return WRONG labels (one duplicate
-        # group split into several "clusters" → several survivors)
         raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_iter} rounds — a "
-            "component's diameter exceeds max_iter; raise max_iter"
+            f"near_dup_clusters did not converge in {max_iter} rounds — "
+            "raise max_iter (large-star/small-star needs O(log n) rounds)"
         )
-    return labels.select(
-        F.col("__id").alias("doc_id"), F.col("__lbl").alias("cluster_id")
+    # star edges: (node → component min) for every non-min node
+    return nodes.join(
+        edges, nodes["__id"] == edges["__u"], "left"
+    ).select(
+        F.col("__id").alias("doc_id"),
+        F.coalesce(F.col("__v"), F.col("__id")).alias("cluster_id"),
     )
 
 

@@ -118,8 +118,41 @@ def test_near_dup_clusters_raises_when_unconverged(spark):
 
     from orion_etl_oracle_to_postgres_spark.operators.dedup import near_dup_clusters
 
+    # 65-node chain: two large/small-star rounds can't reach fixpoint
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(200, 210)], "id_i long, id_j long"
+        [(i, i + 1) for i in range(200, 264)], "id_i long, id_j long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         near_dup_clusters(chain, max_iter=2)
+
+
+def test_near_dup_clusters_deep_path_graph(spark):
+    """A path component of depth 200 — min-label propagation needs one
+    round per hop (> max_iter=30, the pre-r3 code refused it);
+    large-star/small-star contracts it in O(log n) rounds."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1200)], "id_i long, id_j long"
+    )
+    out = near_dup_clusters(pairs).collect()  # default max_iter=30
+    assert len(out) == 201
+    assert {r["cluster_id"] for r in out} == {1000}
+
+
+def test_near_dup_clusters_adversarial_topologies(spark):
+    """Star + cycle + two joined cliques + isolated pair, one call."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import near_dup_clusters
+
+    edges = []
+    edges += [(50, i) for i in range(51, 60)]           # star centered high
+    edges += [(i, i + 1) for i in range(70, 75)] + [(75, 70)]  # cycle
+    edges += [(a, b) for a in range(80, 84) for b in range(a + 1, 84)]  # clique
+    edges += [(83, 90)] + [(a, b) for a in range(90, 93) for b in range(a + 1, 93)]
+    edges += [(300, 301)]
+    pairs = spark.createDataFrame(edges, "id_i long, id_j long")
+    out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert all(out[i] == 50 for i in range(50, 60))
+    assert all(out[i] == 70 for i in range(70, 76))
+    assert all(out[i] == 80 for i in list(range(80, 84)) + list(range(90, 93)))
+    assert out[300] == 300 and out[301] == 300
