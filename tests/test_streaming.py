@@ -280,3 +280,86 @@ def test_stateful_sessionize_stragglers_merge_with_each_other(spark, tmp_path):
     assert (t_late, t_late + dt.timedelta(minutes=30) + gap, 2, 10.0) in rows
     # no singleton straggler sessions leaked out
     assert not any(n == 1 and s < t0 for s, _, n, _ in rows)
+
+
+def test_sessionize_stream_matches_batch_session_window(spark, tmp_path):
+    """End-to-end parity (VERDICT r2 #8): drive sessionize_stream with a
+    multi-batch file stream and assert the closed-session set is
+    IDENTICAL to batch F.session_window over the same rows — covering
+    the state/timeout wiring, not just the fold function. Events arrive
+    in event-time order (the in-order contract; cross-batch straggler
+    divergence is separately tested and documented), split so that many
+    sessions straddle micro-batch boundaries."""
+    import datetime as dt
+    import random
+
+    from orion_etl_oracle_to_postgres_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for user in range(1, 7):
+        ts = t0 + dt.timedelta(minutes=rng.randint(0, 120))
+        for _ in range(40):
+            # gaps straddle the 60-min threshold: ~1/3 open a new session
+            step = rng.choice([5, 10, 20, 45, 90, 150])
+            ts = ts + dt.timedelta(minutes=step)
+            rows.append((user, ts, rng.randint(1, 40) * 0.25))
+    rows.sort(key=lambda r: r[1])
+
+    schema = "user_id long, ts timestamp, value double"
+    gap_min = 60
+    df = spark.createDataFrame(rows, schema)
+
+    batch = {
+        (r.user_id, r.start, r.end, r.n, r.total)
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", f"{gap_min} minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select("user_id", F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n", "total")
+        .collect()
+    }
+
+    land = tmp_path / "sess_parity"
+    land.mkdir()
+
+    def feed(chunk):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = sessionize_stream(stream, gap_minutes=gap_min)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # 5 time-ordered micro-batches, then two far-future sentinel
+        # batches (user 999) to push the watermark past every close time
+        n = len(rows)
+        for i in range(5):
+            feed(rows[i * n // 5 : (i + 1) * n // 5])
+            q.processAllAvailable()
+        feed([(999, t0 + dt.timedelta(days=30), 1.0)])
+        q.processAllAvailable()
+        feed([(999, t0 + dt.timedelta(days=31), 1.0)])
+        q.processAllAvailable()
+        streamed = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 2))
+            for r in spark.sql(
+                "SELECT * FROM sess_parity WHERE user_id < 999"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    assert streamed == batch
