@@ -1,0 +1,121 @@
+"""[EXT] Dataset-curation operators for training-data pipelines
+(SURVEY.md §2.11): deterministic train/val/test splits and benchmark-
+contamination detection.
+
+Both are pure DataFrame formulations. The split is a stateless hash
+bucket — no shuffle at all, reproducible across runs, engines, and
+cluster sizes (the property that matters when the same 100 TB corpus is
+re-split by different jobs). Contamination is an inverted-index
+semi-join against the benchmark shingle set — the benchmark side is
+small by construction, so the join broadcasts and the corpus is
+touched in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_hash60, shingles_from_tokens, tokens
+
+_BUCKETS = 1000
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    weights: dict[str, float] | None = None,
+    seed: str = "s0",
+) -> DataFrame:
+    """Assign every row a deterministic split label from a hash of its
+    id and a seed string: ``bucket = md5_60(id || ':' || seed) % 1000``,
+    thresholded by cumulative weights (declared order). Portable md5
+    (not xxhash64) so any engine — and the DuckDB oracle — reproduces
+    the exact same assignment bit-for-bit; changing ``seed`` re-deals
+    the split without correlation to the old one.
+
+    Zero shuffles, zero state: the label is a projection, so the split
+    survives repartitioning, incremental appends (new rows land in
+    splits at the declared rates without touching old rows), and
+    engine migrations. Weights must sum to 1 (±1e-9).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = (
+        md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+        % _BUCKETS
+    ).alias("bucket")
+    out = df.withColumn("bucket", bucket)
+    # CASE bucket < c1 THEN s1 WHEN bucket < c2 THEN s2 ... (cumulative)
+    acc = 0.0
+    expr = None
+    for name, wt in weights.items():
+        acc += wt
+        cond = F.col("bucket") < int(round(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # rounding guard: bucket 999 always lands in the last split
+    expr = expr.otherwise(F.lit(list(weights)[-1]))
+    return out.withColumn("split", expr)
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the
+    fraction of its distinct word ``shingle_n``-grams that also occur
+    anywhere in the benchmark set → ``(id, n_shingles, n_matched,
+    contamination)``. Docs with zero overlap are kept (contamination
+    0.0) so the output is a full per-doc report, not just offenders.
+
+    Plan: corpus explodes to distinct ``(id, shingle-hash)`` postings;
+    the benchmark's distinct shingle-hash set — tiny next to the corpus
+    — broadcast-joins against them (left semi would lose the zero rows,
+    so it is a broadcast left join + conditional count). Hashes are
+    xxhash64 of the shingle text: the join ships longs, never strings.
+    One aggregate back to per-doc counts. At 100 TB the corpus is
+    touched once, and nothing ever shuffles except the final per-doc
+    count — keyed by doc id, which is as uniform as keys get.
+    """
+    def _postings(df: DataFrame, with_id: bool) -> DataFrame:
+        staged = df.select(
+            *( [F.col(id_col)] if with_id else [] ),
+            tokens(F.col(text_col)).alias("__tk"),
+        ).select(
+            *( [F.col(id_col)] if with_id else [] ),
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_n))
+            ).alias("__sh"),
+        )
+        return staged.select(
+            *( [F.col(id_col)] if with_id else [] ),
+            F.xxhash64(F.col("__sh")).alias("__h"),
+        )
+
+    bench = _postings(benchmark, with_id=False).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    return (
+        _postings(corpus, with_id=True)
+        .join(F.broadcast(bench), "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_matched"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )

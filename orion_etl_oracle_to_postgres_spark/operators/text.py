@@ -158,6 +158,59 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: lexical
+    diversity (distinct-word fraction — in-row, no shuffle) and the
+    most-frequent-bigram fraction (templated/spammy text repeats one
+    phrase; natural text doesn't). Output: ``(id, n_words,
+    distinct_word_frac, n_bigrams, top_bigram_n, top_bigram_frac)``.
+
+    The bigram mode is a genuine distributed mode computation:
+    explode → count per (doc, bigram) → max/sum per doc. Both
+    aggregations key on doc id (uniform), partial aggregation combines
+    map-side, and the exploded stream is the only wide data — at
+    100 TB this is the same shape as a word-count, the canonical
+    well-scaling job. Docs with < 2 tokens report zero bigram stats
+    rather than a degenerate whole-text "bigram"."""
+    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    n_words = F.size(F.col("__tk"))
+    base = tk.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(F.col("__tk")))
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("distinct_word_frac"),
+    )
+    bg_agg = (
+        tk.filter(F.size(F.col("__tk")) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("__tk"), 2)).alias("__bg"),
+        )
+        .groupBy(id_col, "__bg")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max("count").alias("top_bigram_n"),
+            F.sum("count").alias("n_bigrams"),
+        )
+    )
+    return base.join(bg_agg, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        "distinct_word_frac",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+        F.round(
+            F.coalesce(F.col("top_bigram_n"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
 ) -> DataFrame:

@@ -1364,3 +1364,151 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision is 1 and recall is identical by construction)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(e, threshold=0.4, exact=False, n_planes=8)
+
+
+# =====================================================================
+# [EXT] Temporal join + dataset curation (SURVEY.md §2.11)
+# =====================================================================
+
+
+@query(
+    "asof_click_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+           round(c.value, 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    user's most recent click at-or-before it; unmatched purchases kept
+    with nulls. Oracle: DuckDB's NATIVE ``ASOF LEFT JOIN`` — an
+    independent implementation of the semantics, not a re-statement of
+    the plan. (user_id, ts) is collision-free in the testdata at every
+    SF, so tie-breaking cannot diverge."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_r").alias("click_ts"),
+        F.round("value", 2).alias("click_value"),
+    )
+
+
+def _split_sql() -> str:
+    bucket = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':s0')")
+    return f"""
+    SELECT doc_id,
+           {bucket} % 1000 AS bucket,
+           CASE WHEN {bucket} % 1000 < 900 THEN 'train'
+                WHEN {bucket} % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@query("curation_split", _split_sql())
+def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split
+    (operators/curation.py) — portable md5 bucketing, reproduced
+    bit-for-bit by the DuckDB oracle."""
+    from .operators.curation import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+@query(
+    "text_repetition",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(ts) AS n_words,
+             round(len(list_distinct(ts))::DOUBLE / greatest(len(ts), 1), 6)
+               AS distinct_word_frac
+      FROM tk
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b
+      FROM tk WHERE len(ts) >= 2
+    ),
+    c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+    agg AS (SELECT doc_id, max(n) AS top_bigram_n, sum(n) AS n_bigrams
+            FROM c GROUP BY 1)
+    SELECT base.doc_id, n_words, distinct_word_frac,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
+           round(coalesce(top_bigram_n, 0)::DOUBLE
+                 / greatest(coalesce(n_bigrams, 0), 1), 6) AS top_bigram_frac
+    FROM base LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py):
+    distinct-word fraction + most-frequent-bigram fraction."""
+    d = _t(spark, sf_dir, "documents")
+    return text.repetition_signals(d, "text", "doc_id")
+
+
+_CONTAM_SHINGLE = """
+      SELECT {cols} list_distinct(
+               CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+                    ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                          || ts[i+3] || ' ' || ts[i+4]
+                          for i in range(1, len(ts) - 3)]
+               END) AS shs
+      FROM (SELECT {cols} list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+            FROM documents WHERE {pred})
+"""
+
+
+@query(
+    "curation_contamination",
+    f"""
+    WITH corp AS ({_CONTAM_SHINGLE.format(cols="doc_id,", pred="doc_id % 20 <> 0")}),
+    bench AS (
+      SELECT DISTINCT unnest(shs) AS sh
+      FROM ({_CONTAM_SHINGLE.format(cols="", pred="doc_id % 20 = 0")})
+    ),
+    post AS (SELECT doc_id, unnest(shs) AS sh FROM corp)
+    SELECT p.doc_id,
+           count(*) AS n_shingles,
+           coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS n_matched,
+           round(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0)::DOUBLE
+                 / count(*), 6) AS contamination
+    FROM post p LEFT JOIN bench b ON p.sh = b.sh
+    GROUP BY 1
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (operators/curation.py): fraction
+    of each corpus doc's distinct 5-gram shingles that appear anywhere
+    in a held-out 'benchmark' subset (docs with id % 20 == 0)."""
+    from .operators.curation import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=5,
+    )
