@@ -110,3 +110,28 @@ def test_lookup_is_broadcast(spark):
 
     out = external_lookup(_fact(spark), "dim_key", _lk("null"), _dim(spark))
     assert has_broadcast_join(out)
+
+
+def test_lookup_cache_pins_on_reuse(spark, sf_dir):
+    """First request returns the plain plan; a second request for the
+    same dimension (a later table in the job) swaps in one lazy
+    localCheckpoint, and every request after that reuses it."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        LookupSpec,
+    )
+
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(source_files=FilesConnectorSpec(base_path=sf_dir))
+    )
+    ctx = JobContext(spark, g)
+    lk = LookupSpec(table="nation", key_column="n_nationkey", value_column="n_name")
+    first = ctx.lookup_table(lk)
+    second = ctx.lookup_table(lk)
+    third = ctx.lookup_table(lk)
+    assert second is not first  # reuse swapped in the checkpointed plan
+    assert third is second  # and it is stable from then on
+    assert second.count() == first.count()
