@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "emb_near_dup_pairs",  # exact small-side BASELINE for the line above
     "emb_topk_ivf",  # IVF coarse-quantized ANN, the second scale path
     "agg_approx_percentiles",  # bounded-memory percentile scale path
+    "asof_click_attribution",  # temporal join: one-shuffle window formulation
+    "text_repetition",  # bigram-mode repetition signals (word-count shape)
+    "curation_contamination",  # shingle-overlap scan, broadcast bench side
 ]
 
 
