@@ -61,6 +61,39 @@ def hash_split(
     return out.withColumn("split", expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    *,
+    seed: str = "mix0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Data mixing: keep each row with a per-group probability
+    (``rates[group]``), deterministically — the keep decision is
+    ``md5_60(id || ':' || seed) % 1000 < rate * 1000``, so re-runs,
+    different engines, and incremental appends all sample the exact
+    same rows at the exact same per-group rates. Groups absent from
+    ``rates`` keep ``default_rate`` of their rows.
+
+    This is the up/down-weighting step of a corpus mix (e.g. keep 100%
+    of books, 30% of web crawl): a pure projection + filter, zero
+    shuffles, trivially 100 TB-safe. Use a DIFFERENT ``seed`` than any
+    ``hash_split`` call on the same ids — identical seeds would
+    correlate the sample with the split."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} not in [0, 1]: {r}")
+    bucket = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    ) % _BUCKETS
+    thr = F.lit(int(round(default_rate * _BUCKETS)))
+    for g, r in rates.items():
+        thr = F.when(F.col(group_col) == g, int(round(r * _BUCKETS))).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1512,3 +1512,96 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         shingle_n=5,
     )
+
+
+def _weighted_sample_sql() -> str:
+    bucket = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':mix0')")
+    return f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {bucket} % 1000 <
+          CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500
+                    WHEN 'es' THEN 250 WHEN 'fr' THEN 250 ELSE 100 END
+    """
+
+
+@query("curation_weighted_sample", _weighted_sample_sql())
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing (operators/curation.py): per-language
+    keep rates applied via portable md5 buckets — the corpus-mix
+    up/down-weighting step, reproduced bit-for-bit by the oracle."""
+    from .operators.curation import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.25}
+    return weighted_sample(
+        d, "doc_id", "lang", rates, seed="mix0", default_rate=0.1
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "range_clicks_before_error",
+    """
+    SELECT e.event_id, e.user_id, e.ts, count(c.ts) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts > e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/ranges.py): for every error
+    event, the number of same-user clicks in the preceding 10 minutes
+    (errors with none report 0). The oracle states the semantics as a
+    plain range-predicate join; the engine's plan is the bucketed
+    equi-join that avoids the per-key candidate explosion."""
+    from .operators.ranges import range_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = range_join(
+        errors, clicks, on="user_id", lower_us=-600 * 1_000_000, upper_us=0
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("__n"))
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_recent_clicks"),
+    )
+
+
+@query(
+    "agg_distinct_users_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def agg_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily active users — the oracle gate for the HLL scale
+    path below (same pattern as exact/approx percentiles)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct_users_daily")  # no oracle: HLL estimates are engine-specific
+def agg_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users via HyperLogLog (``approx_count_distinct``,
+    rsd 2%) — the 100 TB path: one pass, fixed-size sketches, no
+    per-day distinct-set shuffle. Rows-only driver check; the unit test
+    pins relative error < 5% against the exact twin above."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -13,6 +13,7 @@ from orion_etl_oracle_to_postgres_spark.operators.asof import asof_join
 from orion_etl_oracle_to_postgres_spark.operators.curation import (
     contamination_check,
     hash_split,
+    weighted_sample,
 )
 from orion_etl_oracle_to_postgres_spark.operators.text import repetition_signals
 
@@ -131,3 +132,95 @@ def test_contamination_detects_verbatim_overlap(spark):
     }
     assert out[1]["contamination"] == 1.0
     assert out[2]["contamination"] == 0.0 and out[2]["n_matched"] == 0
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4000)],
+        "doc_id long, grp string",
+    )
+    out = weighted_sample(df, "doc_id", "grp", {"a": 1.0, "b": 0.25}).collect()
+    again = weighted_sample(df, "doc_id", "grp", {"a": 1.0, "b": 0.25}).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+    a = sum(1 for r in out if r["grp"] == "a")
+    b = sum(1 for r in out if r["grp"] == "b")
+    assert a == 2000  # rate 1.0 keeps everything
+    assert 0.18 <= b / 2000 <= 0.32  # rate 0.25 ± hash noise
+    # groups not in rates use default_rate (here: dropped entirely)
+    none = weighted_sample(df, "doc_id", "grp", {"a": 0.5}).collect()
+    assert all(r["grp"] == "a" for r in none)
+
+
+def test_weighted_sample_rejects_bad_rate(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id").withColumn("g", F.lit("x"))
+    with pytest.raises(ValueError, match="not in"):
+        weighted_sample(df, "doc_id", "g", {"x": 1.5})
+
+
+def test_range_join_window_boundaries(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.ranges import range_join
+
+    left = spark.createDataFrame([(1, _ts(10), "L")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [
+            (1, _ts(0)),    # exactly lower bound: EXCLUDED (exclusive)
+            (1, _ts(3)),    # inside
+            (1, _ts(10)),   # exactly upper bound: INCLUDED
+            (1, _ts(11)),   # after: excluded
+            (2, _ts(5)),    # other key
+        ],
+        "k long, ts timestamp",
+    )
+    out = range_join(
+        left, right, on="k", lower_us=-10 * 60 * 1_000_000, upper_us=0
+    ).collect()
+    assert sorted(r["ts_r"] for r in out) == [_ts(3), _ts(10)]
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    """Right rows near bucket edges must pair exactly once (each right
+    row lives in one bucket; only the left side explodes)."""
+    from orion_etl_oracle_to_postgres_spark.operators.ranges import range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(m), f"L{m}") for m in range(0, 120, 7)],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(m)) for m in range(0, 120)], "k long, ts timestamp"
+    )
+    out = range_join(
+        left, right, on="k", lower_us=-5 * 60 * 1_000_000, upper_us=0
+    ).collect()
+    pairs = [(r["tag"], r["ts_r"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+    # window (m-5, m] over whole minutes = {m-4..m}: itself + up to 4
+    # predecessors, clipped at the data's start
+    from collections import Counter
+
+    per_left = Counter(tag for tag, _ in pairs)
+    assert all(per_left[f"L{m}"] == min(m, 4) + 1 for m in range(0, 120, 7))
+
+
+def test_range_join_rejects_empty_window(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.ranges import range_join
+
+    df = spark.createDataFrame([(1, _ts(0))], "k long, ts timestamp")
+    with pytest.raises(ValueError, match="empty window"):
+        range_join(df, df, on="k", lower_us=0, upper_us=0)
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from orion_etl_oracle_to_postgres_spark import queries as q
+
+    exact = {
+        r["day"]: r["n_users"]
+        for r in q.QUERIES["agg_distinct_users_daily"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["day"]: r["n_users_approx"]
+        for r in q.QUERIES["agg_approx_distinct_users_daily"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(0.05 * n, 2)
