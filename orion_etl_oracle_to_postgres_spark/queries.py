@@ -1605,3 +1605,74 @@ def agg_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "curation_quality_cutoff",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                                    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1)
+                               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+                 + 0.2 * (1 - least((length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                                     / greatest(length(text), 1)) * 5, 1.0))
+                 + 0.2 * (CASE WHEN length(text) >= 100 THEN 1.0 ELSE length(text) / 100.0 END),
+               6) AS quality
+      FROM documents
+    ),
+    cut AS (SELECT lang, quantile_cont(quality, 0.5) AS cutoff FROM q GROUP BY 1)
+    SELECT q.doc_id, q.lang, q.quality, round(cut.cutoff, 6) AS cutoff
+    FROM q JOIN cut USING (lang)
+    WHERE q.quality >= cut.cutoff
+    """,
+)
+def curation_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile gate — THE corpus-curation
+    percentile query at 100 TB (keep each language's top half by
+    quality score). Exact `percentile` here as the oracle gate (DuckDB
+    `quantile_cont` is the same linear-interpolated definition); the
+    cutoff table is per-language (5 rows) and broadcast-joins back, so
+    the corpus is scanned twice but shuffled never. The scale variant
+    swaps in `approx_percentile` for the cutoff aggregate — same plan
+    shape, bounded memory (see agg_approx_percentiles)."""
+    d = _t(spark, sf_dir, "documents")
+    q_df = text.quality_score(d, "text", "doc_id").select("doc_id", "quality")
+    scored = d.select("doc_id", "lang").join(q_df, "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.expr("percentile(quality, 0.5)").alias("__cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("quality") >= F.col("__cut"))
+        .select(
+            "doc_id", "lang", "quality", F.round("__cut", 6).alias("cutoff")
+        )
+    )
+
+
+@query(
+    "text_vocab_topk",
+    """
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency — the word-count
+    shape (explode → partial-agg count → TakeOrderedAndProject); ties
+    broken by token so the result set is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

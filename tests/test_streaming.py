@@ -363,3 +363,81 @@ def test_sessionize_stream_matches_batch_session_window(spark, tmp_path):
         q.stop()
 
     assert streamed == batch
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-backed streaming dedup: redelivered
+    keys inside the horizon are dropped across micro-batches; state for
+    watermark-expired keys is released (bounded state)."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.dedup_stream import dedup_stream
+
+    land = tmp_path / "dd_land"
+    land.mkdir()
+    schema = "k long, ts timestamp, v double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    feed([(1, t0, 1.0), (1, t0 + dt.timedelta(seconds=30), 2.0), (2, t0, 3.0)])
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = dedup_stream(stream, ["k"], delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # same keys again in a later batch, still inside the horizon
+        feed([(1, t0 + dt.timedelta(minutes=2), 9.0), (2, t0 + dt.timedelta(minutes=2), 9.0), (3, t0, 4.0)])
+        q.processAllAvailable()
+        rows = [tuple(r) for r in spark.sql("SELECT k, v FROM dd_out ORDER BY k").collect()]
+    finally:
+        q.stop()
+    # exactly one survivor per key, first delivery wins
+    assert rows == [(1, 1.0), (2, 3.0), (3, 4.0)]
+
+
+def test_stream_fingerprint_dedup_matches_batch_fingerprint(spark, tmp_path):
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import fingerprint_dedup
+    from orion_etl_oracle_to_postgres_spark.streaming.dedup_stream import (
+        fingerprint_dedup_stream,
+    )
+
+    land = tmp_path / "fp_land"
+    schema = "doc_id long, ts timestamp, text string"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "Hello,   World!"),
+        (2, t0 + dt.timedelta(seconds=10), "hello world"),  # same normalized
+        (3, t0 + dt.timedelta(seconds=20), "entirely different"),
+    ]
+
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(land))
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = fingerprint_dedup_stream(stream, "text", delay="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fp_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM fp_out").collect()}
+    finally:
+        q.stop()
+    assert len(got) == 2 and 3 in got and len(got & {1, 2}) == 1
+    # batch twin groups the same two docs under one fingerprint
+    batch = fingerprint_dedup(
+        spark.createDataFrame(rows, schema), "text", "doc_id"
+    ).collect()
+    assert sorted(r["dup_count"] for r in batch) == [1, 2]
