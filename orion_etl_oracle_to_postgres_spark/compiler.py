@@ -407,6 +407,8 @@ def run_table(
         spec.target_table,
         spec.target_schema if ctx.global_spec.connectors.target_files is None else None,
         mode=spec.write_mode,
+        partition_by=spec.partition_by,
+        sort_by=spec.sort_by,
         **(
             {}
             if ctx.global_spec.connectors.target_files is not None

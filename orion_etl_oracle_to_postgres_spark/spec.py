@@ -159,6 +159,11 @@ class TableSpec(BaseModel):
     num_partitions: Optional[int] = None
     write_mode: str = "overwrite"  # overwrite (≈ reference TRUNCATE+load) | append
     incremental: Optional[IncrementalSpec] = None
+    #: hive-style output partitioning (file sinks only — a JDBC target
+    #: has no directory layout, so setting it there is a config error)
+    partition_by: Optional[List[str]] = None
+    #: within-partition sort for row-group pruning / compression
+    sort_by: Optional[List[str]] = None
 
 
 class GlobalSpec(BaseModel):

@@ -311,3 +311,72 @@ def test_nanos_conf_not_set_for_plain_parquet(spark, tmp_path):
         spark, FilesConnectorSpec(base_path="/root/testdata/sf0.001"), "events"
     )
     assert spark.conf.get(key) == "true"
+
+
+def test_partitioned_sorted_file_sink(spark, tmp_path):
+    """TableSpec.partition_by writes a hive-style layout that read-back
+    filters prune to a single partition directory; sort_by clusters
+    within files."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        TableSpec,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id % 4 AS STRING) AS part", "id % 7 AS v"
+    ).write.parquet(str(src_dir / "facts"))
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=str(src_dir)),
+            target_files=FilesConnectorSpec(base_path=str(tmp_path / "out")),
+        )
+    )
+    run_table(
+        JobContext(spark, g),
+        TableSpec(
+            source_table="facts",
+            target_table="facts_tgt",
+            partition_by=["part"],
+            sort_by=["v"],
+        ),
+    )
+    out_dir = tmp_path / "out" / "facts_tgt"
+    subdirs = {p.name for p in out_dir.iterdir() if p.is_dir()}
+    assert subdirs == {"part=0", "part=1", "part=2", "part=3"}
+    # repartition-on-partition-cols: one data file per partition value
+    for d in subdirs:
+        files = [p for p in (out_dir / d).iterdir() if p.suffix == ".parquet"]
+        assert len(files) == 1
+    back = spark.read.parquet(str(out_dir))
+    assert back.count() == 1000
+    plan = (
+        back.filter(F.col("part") == "2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert back.filter(F.col("part") == "2").count() == 250
+
+
+def test_partition_by_rejected_for_jdbc_target(spark):
+    from orion_etl_oracle_to_postgres_spark.sinks import resolve_sink
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        PostgresConnectorSpec,
+    )
+
+    conns = ConnectorsSpec(
+        postgres=PostgresConnectorSpec(
+            host="localhost", database="x", user="u", password="p"
+        )
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        resolve_sink(
+            spark.range(1), conns, "t", partition_by=["id"]
+        )
