@@ -224,3 +224,76 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert exact.keys() == approx.keys()
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(0.05 * n, 2)
+
+
+def test_asof_join_randomized_vs_reference(spark):
+    """300×300 seeded-random rows against a pure-Python reference
+    (argmax over right ts <= left ts per key) — exact match."""
+    import random
+
+    rng = random.Random(42)
+    keys = list(range(8))
+    right_rows = []
+    seen = set()
+    for _ in range(300):
+        k, m = rng.choice(keys), rng.randint(0, 5000)
+        if (k, m) in seen:
+            continue
+        seen.add((k, m))
+        right_rows.append((k, _ts(m), float(rng.randint(1, 99))))
+    left_rows = [
+        (rng.choice(keys + [99]), _ts(rng.randint(0, 5000)), i)
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, value double")
+
+    got = {
+        r["lid"]: (r["ts_r"], r["value"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    by_key: dict = {}
+    for k, ts, v in right_rows:
+        by_key.setdefault(k, []).append((ts, v))
+    for k, lst in by_key.items():
+        lst.sort()
+    for k, lts, lid in left_rows:
+        cands = [(ts, v) for ts, v in by_key.get(k, []) if ts <= lts]
+        want = max(cands) if cands else (None, None)
+        assert got[lid] == want, f"lid={lid}"
+
+
+def test_range_join_randomized_vs_reference(spark):
+    """Seeded-random interval join vs the quadratic reference —
+    identical pair multisets, including bucket-boundary cases."""
+    import random
+
+    from orion_etl_oracle_to_postgres_spark.operators.ranges import range_join
+
+    rng = random.Random(43)
+    left_rows = [
+        (rng.randint(0, 5), _ts(rng.randint(0, 2000)), i) for i in range(250)
+    ]
+    right_rows = [
+        (rng.randint(0, 5), _ts(rng.randint(0, 2000)), 1000 + i)
+        for i in range(250)
+    ]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, rid long")
+    lower, upper = -37 * 60 * 1_000_000, 11 * 60 * 1_000_000
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, on="k", lower_us=lower, upper_us=upper
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for (lk, lts, lid) in left_rows
+        for (rk, rts, rid) in right_rows
+        if lk == rk
+        and (rts - lts).total_seconds() * 1_000_000 > lower
+        and (rts - lts).total_seconds() * 1_000_000 <= upper
+    )
+    assert got == want
