@@ -145,3 +145,54 @@ def test_ivf_assign_is_broadcast_plus_hash_agg(spark, sf):
     # (partition, vector id), never the n×k similarity rows
     assert "partial_max_by" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_single_exchange_window(spark, sf):
+    """The as-of join is ONE hash exchange + one window — any rewrite
+    that introduces a join (range-candidate explosion) or a second
+    shuffle fails here."""
+    import re
+
+    plan = plan_of(q.QUERIES["asof_click_attribution"](spark, sf))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf):
+    """The interval join must compile to an equi-join on
+    (key, time-bucket) — never BroadcastNestedLoop/Cartesian (the plan
+    Spark picks for a raw range predicate)."""
+    plan = plan_of(q.QUERIES["range_clicks_before_error"](spark, sf))
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    # equi-join on (key, bucket); AQE may broadcast the small side at
+    # test SF — any HASH join qualifies, a nested loop never does
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_contamination_bench_side_is_broadcast(spark, sf):
+    plan = plan_of(q.QUERIES["curation_contamination"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_cutoff_broadcasts_cut_table(spark, sf):
+    plan = plan_of(q.QUERIES["curation_quality_cutoff"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hash_split_and_sample_are_pure_projection(spark, sf):
+    """Split/sample must stay shuffle-free: a projection + filter over
+    the scan (the property that makes them free at 100 TB)."""
+    plan = plan_of(q.QUERIES["curation_split"](spark, sf))
+    assert "Exchange" not in plan
+    plan = plan_of(q.QUERIES["curation_weighted_sample"](spark, sf))
+    assert "Exchange" not in plan
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf):
+    plan = plan_of(q.QUERIES["text_vocab_topk"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
