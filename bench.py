@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "asof_click_attribution",  # temporal join: one-shuffle window formulation
     "text_repetition",  # bigram-mode repetition signals (word-count shape)
     "curation_contamination",  # shingle-overlap scan, broadcast bench side
+    "corpus_curate",  # composed dedup→quality→mix→split pipeline
+    "text_tfidf_top_terms",  # two-level agg + broadcast df join + window
 ]
 
 

@@ -94,6 +94,61 @@ def weighted_sample(
     return df.filter(bucket < thr)
 
 
+def curate_corpus(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    quality_min: float = 0.5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    split_weights: dict[str, float] | None = None,
+    seed: str = "c0",
+) -> DataFrame:
+    """The standard corpus-curation pipeline as ONE composed plan:
+
+    1. content dedup — keep the min-id survivor per normalized-text
+       fingerprint (``operators.dedup.fingerprint_dedup``);
+    2. quality gate — drop documents scoring below ``quality_min``
+       (``operators.text.quality_score``);
+    3. data mixing — per-``group_col`` keep rates (``weighted_sample``,
+       seed-namespaced ``"mix:" + seed``);
+    4. split assignment — deterministic train/val/test
+       (``hash_split``, seed-namespaced ``"split:" + seed``).
+
+    Returns ``(id, group, quality, split)``. Everything is one
+    DataFrame expression — Catalyst sees the whole pipeline, so column
+    pruning reaches the scan and the only shuffle is the dedup
+    hash-aggregate; quality/mix/split are projections layered on the
+    survivor stream. Order matters and is fixed: dedup before the
+    quality gate (a kept duplicate of a dropped survivor would
+    resurrect content), mixing before splits only in SEED space (both
+    are stateless, so their relative order cannot change results).
+    """
+    from .dedup import fingerprint_dedup
+    from .text import quality_score
+
+    survivors = fingerprint_dedup(df, text_col, id_col).select(id_col)
+    kept = df.join(survivors, id_col, "left_semi")
+    q = quality_score(kept, text_col, id_col).filter(
+        F.col("quality") >= quality_min
+    )
+    base = kept.select(id_col, group_col).join(q.select(id_col, "quality"), id_col)
+    if rates is not None:
+        base = weighted_sample(
+            base,
+            id_col,
+            group_col,
+            rates,
+            seed="mix:" + seed,
+            default_rate=default_rate,
+        )
+    return hash_split(base, id_col, weights=split_weights, seed="split:" + seed).select(
+        id_col, group_col, "quality", "split"
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1676,3 +1676,118 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 scoring terms per document. Term frequencies and
+    document frequencies are two groupBys over one exploded token
+    stream (word-count shape, map-side combined); the document-
+    frequency table is vocabulary-sized and BROADCAST back onto the
+    term stream; smooth idf = ln((N+1)/(df+1)) + 1. Scores are rounded
+    BEFORE the per-doc ranking in both engines so near-tie ordering
+    cannot diverge on last-ulp ln() differences; ties break by term."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+_QUALITY_SQL = """
+             round(0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                                    / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1)
+                               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+                 + 0.2 * (1 - least((length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                                     / greatest(length(text), 1)) * 5, 1.0))
+                 + 0.2 * (CASE WHEN length(text) >= 100 THEN 1.0 ELSE length(text) / 100.0 END),
+               6)
+"""
+
+
+def _curate_sql() -> str:
+    mix = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':mix:c0')")
+    spl = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':split:c0')")
+    return f"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ),
+    q AS (
+      SELECT d.doc_id, d.lang, {_QUALITY_SQL} AS quality
+      FROM documents d JOIN surv USING (doc_id)
+    ),
+    mixed AS (
+      SELECT * FROM q
+      WHERE quality >= 0.5
+        AND {mix} % 1000 <
+            CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500 ELSE 800 END
+    )
+    SELECT doc_id, lang, quality,
+           CASE WHEN {spl} % 1000 < 900 THEN 'train'
+                WHEN {spl} % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM mixed
+    """
+
+
+@query("corpus_curate", _curate_sql())
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation composition (operators/curation.py:
+    curate_corpus): fingerprint dedup → quality gate ≥ 0.5 → per-lang
+    mixing (en 1.0 / zh 0.5 / default 0.8) → 90/5/5 split — one
+    Catalyst plan, oracled end-to-end."""
+    from .operators.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        group_col="lang",
+        quality_min=0.5,
+        rates={"en": 1.0, "zh": 0.5},
+        default_rate=0.8,
+        seed="c0",
+    )

@@ -297,3 +297,31 @@ def test_range_join_randomized_vs_reference(spark):
         and (rts - lts).total_seconds() * 1_000_000 <= upper
     )
     assert got == want
+
+
+def test_curate_corpus_stages_compose(spark):
+    """Duplicates lose to their min-id survivor BEFORE quality gating;
+    groups mix at their rates; every surviving row gets a split."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import curate_corpus
+
+    good = "this is a perfectly reasonable training document " * 4
+    rows = [
+        (1, good, "en"),
+        (2, good.upper(), "en"),       # dup of 1 after normalization
+        (3, "x! @# $%", "en"),         # junk: fails the quality gate
+        (4, good + " different tail words here", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in curate_corpus(
+            df,
+            id_col="doc_id",
+            text_col="text",
+            group_col="lang",
+            rates={"en": 1.0, "de": 1.0},
+        ).collect()
+    }
+    assert set(out) == {1, 4}  # 2 deduped away, 3 quality-dropped
+    assert all(r["split"] in {"train", "val", "test"} for r in out.values())
+    assert out[1]["quality"] >= 0.5 and out[4]["lang"] == "de"
