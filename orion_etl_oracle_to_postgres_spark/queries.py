@@ -1791,3 +1791,88 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.8,
         seed="c0",
     )
+
+
+@query(
+    "agg_cube_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (§2.8): all four grouping combinations in one
+    pass — Spark's Expand produces 4 rows per input into ONE partial-
+    aggregated shuffle, not four scans. NULL markers coalesced to 'ALL'
+    on both sides (the testdata columns are never null, so the marker
+    is unambiguous)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "window_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days,
+           ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + ntile window coverage (§2.8): days since the customer's
+    previous order (null for the first) and a global price quartile.
+    Both windows are deterministic via orderkey tie-breaks. The global
+    ntile is a single-partition sort by construction — fine for ranked
+    outputs that are small or already reduced; for full-corpus
+    quantiles use the approx_percentile path instead."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+        F.ntile(4).over(wq).alias("price_quartile"),
+    )
+
+
+@query(
+    "setop_segments_in_both",
+    """
+    SELECT c_mktsegment AS segment
+    FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT c_mktsegment FROM customer WHERE c_acctbal < -500
+    """,
+)
+def setop_segments_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation (§2.8): segments appearing among both
+    high-balance and deep-negative-balance customers."""
+    c = _t(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    lo = c.filter(F.col("c_acctbal") < -500).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    return hi.intersect(lo)
