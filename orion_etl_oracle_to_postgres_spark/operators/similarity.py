@@ -436,3 +436,31 @@ def _near_dups_block_matrix(
     return df.select(id_col, vec_col).mapInPandas(
         batches, schema="id_i long, id_j long, cosine_sim double"
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, *, decimals: int = 6
+) -> DataFrame:
+    """Mean vector per label — the vector-aggregate behind IVF centroid
+    training, class prototypes, and cluster summaries.
+
+    Relational formulation: ``posexplode`` the vector and average per
+    (label, position), then fold positions back into an ordered array.
+    The exploded stream is rows × dim but map-side partial aggregation
+    collapses it to labels × dim BEFORE the exchange — at 100 TB the
+    shuffle payload is the centroid matrix, not the corpus. The
+    rebuild's ``collect_list`` is bounded by dim per (label) group.
+    Components are rounded so differently-ordered partial sums agree
+    across engines and runs.
+    """
+    pos = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    per_dim = pos.groupBy(label_col, "pos").agg(
+        F.round(F.avg("col"), decimals).alias("__v")
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__v"))), lambda s: s["__v"]
+        ).alias("centroid")
+    )

@@ -1876,3 +1876,32 @@ def setop_segments_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment")
     )
     return hi.intersect(lo)
+
+
+@query(
+    "emb_label_centroids",
+    """
+    WITH flat AS (
+      SELECT label, vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(av ORDER BY pos) AS centroid
+      FROM (SELECT label, pos, round(avg(v), 6) AS av FROM flat GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    cnt AS (SELECT label, count(DISTINCT vec_id) AS n_vecs FROM flat GROUP BY 1)
+    SELECT cent.label, centroid, n_vecs FROM cent JOIN cnt USING (label)
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (operators/similarity.py:
+    label_centroids) + member count — the IVF-centroid-training /
+    class-prototype aggregate, compared as ordered double arrays."""
+    e = _t(spark, sf_dir, "embeddings")
+    from .operators.similarity import label_centroids
+
+    cents = label_centroids(e, "label", "embedding")
+    counts = e.groupBy("label").agg(F.countDistinct("vec_id").alias("n_vecs"))
+    return cents.join(counts, "label")

@@ -162,3 +162,25 @@ def test_ivf_materialize_centroid_codebook_hidden(spark, tmp_path):
     assert data.count() == 20
     cent = spark.read.parquet(path + "/_centroids")
     assert cent.count() == 4
+
+
+def test_label_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), int(i % 3), [float(x) for x in rng.normal(size=8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    got = {
+        r["label"]: r["centroid"]
+        for r in label_centroids(df, "label", "embedding").collect()
+    }
+    for lbl in range(3):
+        want = np.mean([v for _, l, v in rows if l == lbl], axis=0)
+        assert np.allclose(got[lbl], np.round(want, 6), atol=1e-9)
