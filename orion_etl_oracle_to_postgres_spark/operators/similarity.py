@@ -170,15 +170,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its
     nearest-by-cosine centroid. Returns (id_col, cluster_id).
 
-    Centroids are the vectors with ``id < n_centroids`` — deterministic
-    and engine-independent (any SQL engine reproduces the exact
-    assignment), unlike k-means training. For real corpora pass a
-    k-means codebook through ``centroids`` instead; the plan shape is
-    identical.
+    Default centroids are the vectors with ``id < n_centroids`` —
+    deterministic and engine-independent (any SQL engine reproduces the
+    exact assignment), unlike k-means training. For real corpora pass a
+    trained codebook as ``centroids`` — a ``(cluster_id, centroid)``
+    DataFrame, e.g. from ``ivf_train`` — the plan shape is identical.
 
     Plan: broadcast the k centroids, cross-join, then ONE hash
     aggregate ``max_by`` per vector (map-side partial max — the shuffle
@@ -187,10 +188,16 @@ def ivf_assign(
     partitioned by ``cluster_id`` once so probes become partition
     pruning instead of a runtime join.
     """
-    cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cluster_id").alias("__cid"),
+            F.col("centroid").cast("array<double>").alias("__cv"),
+        )
+    else:
+        cent = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     sim = cosine(F.col("__v"), F.col("__cv"))
     return (
@@ -464,3 +471,46 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("pos", "__v"))), lambda s: s["__v"]
         ).alias("centroid")
     )
+
+
+def ivf_train(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Train an IVF codebook with Lloyd iterations: deterministic init
+    (the ``id < n_centroids`` vectors), then ``iters`` rounds of
+    assign-to-nearest (``ivf_assign`` — broadcast centroids, map-side
+    ``max_by``) and recompute-means (``label_centroids`` — map-side
+    partial vector sums). Returns ``(cluster_id, centroid)``.
+
+    Per iteration the corpus is scanned once and the only exchanges
+    carry (id, cluster) pairs and the k×dim centroid matrix — nothing
+    vector-sized ever shuffles, which is what makes Lloyd viable at
+    100 TB. ``localCheckpoint`` truncates lineage per round (iterative
+    plans would otherwise nest ``iters`` deep). Clusters that lose all
+    members simply drop out of the codebook (standard small-k Lloyd
+    behavior; callers needing exactly k re-seed from the data).
+    Deterministic end-to-end: init, tie-breaks (lowest cluster id),
+    and rounded means are all engine-stable.
+    """
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+    for _ in range(iters):
+        assign = ivf_assign(
+            df, vec_col=vec_col, id_col=id_col, centroids=cent
+        )
+        members = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__mv")
+        ).join(assign, id_col)
+        cent = (
+            label_centroids(members, "cluster_id", "__mv")
+            .select("cluster_id", "centroid")
+            .localCheckpoint()
+        )
+    return cent

@@ -1905,3 +1905,15 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = label_centroids(e, "label", "embedding")
     counts = e.groupBy("label").agg(F.countDistinct("vec_id").alias("n_vecs"))
     return cents.join(counts, "label")
+
+
+@query("emb_ivf_train")  # iterative Lloyd training — not SQL-expressible, rows-only
+def emb_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF codebook training (operators/similarity.py:ivf_train): two
+    Lloyd rounds from the deterministic init. The numeric gate is the
+    blob-recovery unit test (tests/test_similarity.py); the driver row
+    checks the codebook materializes with a stable schema."""
+    e = _t(spark, sf_dir, "embeddings")
+    from .operators.similarity import ivf_train
+
+    return ivf_train(e, n_centroids=16, iters=2)

@@ -184,3 +184,43 @@ def test_label_centroids_matches_numpy(spark):
     for lbl in range(3):
         want = np.mean([v for _, l, v in rows if l == lbl], axis=0)
         assert np.allclose(got[lbl], np.round(want, 6), atol=1e-9)
+
+
+def test_ivf_train_recovers_blob_structure(spark):
+    """Three well-separated Gaussian blobs, k=3, two Lloyd rounds:
+    trained centroids land on the blob means and assignment through the
+    trained codebook groups each blob together."""
+    import numpy as np
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(11)
+    blobs = [np.array([10.0, 0, 0, 0]), np.array([0, 10.0, 0, 0]), np.array([0, 0, 10.0, 0])]
+    rows = []
+    for i in range(90):
+        b = i % 3
+        v = blobs[b] + rng.normal(scale=0.3, size=4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    code = ivf_train(df, n_centroids=3, iters=2)
+    cents = {r["cluster_id"]: np.array(r["centroid"]) for r in code.collect()}
+    assert len(cents) == 3
+    # each blob mean is ~cosine-1 to exactly one trained centroid
+    for b in blobs:
+        sims = sorted(
+            float(b @ c / (np.linalg.norm(b) * np.linalg.norm(c)))
+            for c in cents.values()
+        )
+        assert sims[-1] > 0.99 and sims[-2] < 0.5
+
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(df, centroids=code).collect()
+    }
+    for b in range(3):
+        ids = [i for i in range(90) if i % 3 == b]
+        assert len({assign[i] for i in ids}) == 1
