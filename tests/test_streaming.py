@@ -441,3 +441,72 @@ def test_stream_fingerprint_dedup_matches_batch_fingerprint(spark, tmp_path):
         spark.createDataFrame(rows, schema), "text", "doc_id"
     ).collect()
     assert sorted(r["dup_count"] for r in batch) == [1, 2]
+
+
+def test_idempotent_foreach_batch_skips_replays(spark, tmp_path):
+    """Replayed micro-batch ids (restart recovery) must not re-run the
+    writer; new ids must. Driven through a real writeStream."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.foreach_sink import (
+        idempotent_foreach_batch,
+    )
+
+    land = tmp_path / "fb_land"
+    out_dir = tmp_path / "fb_out"
+    out_dir.mkdir()
+    ledger = str(tmp_path / "ledger.jsonl")
+    schema = "k long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    calls: list[int] = []
+
+    def writer(df, batch_id):
+        calls.append(batch_id)
+        df.write.mode("append").parquet(str(out_dir / f"b{batch_id}"))
+
+    wrapped = idempotent_foreach_batch(writer, ledger)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(land))
+
+    feed([(1, t0)])
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(str(land))
+        .writeStream.foreachBatch(wrapped)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed([(2, t0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(calls) == [0, 1]
+
+    # simulate recovery replay: same ids again -> writer NOT called
+    n_before = len(calls)
+    wrapped(spark.createDataFrame([(1, t0)], schema), 0)
+    wrapped(spark.createDataFrame([(2, t0)], schema), 1)
+    assert len(calls) == n_before
+    # a genuinely new batch id still writes
+    wrapped(spark.createDataFrame([(3, t0)], schema), 7)
+    assert calls[-1] == 7
+
+
+def test_upsert_sql_shape():
+    from orion_etl_oracle_to_postgres_spark.streaming.foreach_sink import upsert_sql
+
+    sql = upsert_sql("public.t", "public.t_stage", ["id", "v", "w"], ["id"])
+    assert sql == (
+        "INSERT INTO public.t (id, v, w) SELECT id, v, w FROM public.t_stage "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, w = EXCLUDED.w"
+    )
+    assert "DO NOTHING" in upsert_sql("t", "s", ["id"], ["id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in column list"):
+        upsert_sql("t", "s", ["v"], ["id"])
