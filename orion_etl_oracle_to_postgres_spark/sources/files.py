@@ -94,3 +94,31 @@ def read_file_table(
     if conn.format == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
     return reader.format(conn.format).load(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Multimodal ingestion: read a directory of raw media files
+    (images/audio/video/any bytes) as Spark's built-in ``binaryFile``
+    source → ``(path, modificationTime, length, content binary)``.
+
+    This is the entry edge of the multimodal pipeline
+    (``operators/multimodal.py``): ``read_binary_dir`` → metadata
+    struct → Arrow-batched decode. Pushdown note: ``pathGlobFilter``
+    prunes at FILE LISTING time (never opens non-matching files) and
+    ``length`` comes from the filesystem stat — so "jpegs under 5 MB"
+    costs a listing, not a read. At 100 TB keep per-file sizes sane
+    (the whole file is one row) and let partitioning follow file count;
+    for many tiny files prefer a packed format upstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

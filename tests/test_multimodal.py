@@ -51,3 +51,36 @@ def test_frame_sample_plan(spark):
     rows = [r for r in out.collect() if r["doc_id"] == 1]
     # 11 bytes / 4 → 2 frames at ts 0, 4
     assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (1, 4)]
+
+
+def test_read_binary_dir_ingests_raw_files(spark, tmp_path):
+    """binaryFile ingestion: bytes round-trip exactly, glob prunes at
+    listing time, length column matches the filesystem."""
+    from orion_etl_oracle_to_postgres_spark.sources.files import read_binary_dir
+
+    d = tmp_path / "media" / "nested"
+    d.mkdir(parents=True)
+    (d / "a.jpg").write_bytes(b"\xff\xd8\xff\xe0JFIF-fake" + bytes(range(64)))
+    (d / "b.jpg").write_bytes(b"\xff\xd8\xff\xe1more-fake")
+    (d / "skip.txt").write_bytes(b"not an image")
+
+    df = read_binary_dir(spark, str(tmp_path / "media"), glob="*.jpg")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}  # txt pruned by glob
+    assert bytes(rows["a.jpg"]["content"]) == (d / "a.jpg").read_bytes()
+    assert rows["b.jpg"]["length"] == (d / "b.jpg").stat().st_size
+
+    # feeds the multimodal metadata/decode plumbing directly
+    from orion_etl_oracle_to_postgres_spark.operators.multimodal import binary_stats
+
+    meta = binary_stats(
+        df.selectExpr("sha2(path, 256) AS media_id", "content AS payload"),
+        payload_col="payload",
+        id_col="media_id",
+    )
+    out = {r["media_id"]: r for r in meta.collect()}
+    assert len(out) == 2
+    assert {r["n_bytes"] for r in out.values()} == {
+        (d / "a.jpg").stat().st_size,
+        (d / "b.jpg").stat().st_size,
+    }
