@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "curation_contamination",  # shingle-overlap scan, broadcast bench side
     "corpus_curate",  # composed dedup→quality→mix→split pipeline
     "text_tfidf_top_terms",  # two-level agg + broadcast df join + window
+    "text_chunk_windows",  # token-window chunking: flat-map, zero-shuffle
 ]
 
 

@@ -1,0 +1,86 @@
+"""[EXT] Document chunking for training-data pipelines (SURVEY.md §2.11):
+split each document into fixed-size token windows with overlap — the
+step that turns a curated corpus into model-ready training sequences.
+
+Pure Column-expression formulation: tokenize once, generate the window
+start offsets as an array (``sequence(0, n_tokens-1, stride)``), then
+``posexplode`` + ``slice`` + ``array_join``. Zero Python in the row
+path, zero shuffles — chunking is a flat-map projection, so it scales
+linearly with corpus size and composes with any upstream dedup/quality
+plan without adding an exchange.
+
+Reference parity note: the reference engine
+(Dims24/orion-etl-oracle-to-postgres) has no chunking operator — this is
+part of the [EXT] LLM-data surface layered on the same table model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Explode each document into token-window chunks →
+    ``(id, chunk_idx, token_start, chunk_text, n_tokens)``.
+
+    Window ``w`` and stride ``s`` (``s <= w``; overlap = ``w - s``):
+    chunk ``k`` covers tokens ``[k*s, k*s + w)``. Starts are generated
+    while ``start < n_tokens``, so the last chunk may be short (its
+    real length is in ``n_tokens``) and every token appears in at least
+    one chunk. Empty documents produce no rows. Deterministic: chunk
+    boundaries depend only on the text, never on partitioning — the
+    same document chunks identically on 1 or 1000 executors.
+
+    Scale: the token array is materialized ONCE per document (staged
+    column), and all per-chunk work is ``slice`` over that array —
+    O(total tokens × w/s) with no re-tokenization per chunk. The output
+    inherits the input's partitioning; no exchange is introduced.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would drop tokens between chunks"
+        )
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).filter(F.size("__tk") > 0)
+    starts = F.sequence(F.lit(0), F.size("__tk") - 1, F.lit(stride))
+    return staged.select(
+        F.col(id_col),
+        F.col("__tk"),
+        F.posexplode(starts).alias("chunk_idx", "token_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("token_start").cast("long").alias("token_start"),
+        F.array_join(
+            F.slice(F.col("__tk"), F.col("token_start") + 1, F.lit(window)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(window), F.size("__tk") - F.col("token_start"))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+def chunk_stats(chunks: DataFrame, id_col: str) -> DataFrame:
+    """Per-document chunk accounting → ``(id, n_chunks, total_tokens,
+    last_chunk_tokens)`` — the sanity aggregate a pipeline runs after
+    chunking (how many sequences, how much tail padding)."""
+    return chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max(F.struct("chunk_idx", "n_tokens"))["n_tokens"]
+        .cast("int")
+        .alias("last_chunk_tokens"),
+    )

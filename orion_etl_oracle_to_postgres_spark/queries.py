@@ -1917,3 +1917,63 @@ def emb_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_train
 
     return ivf_train(e, n_centroids=16, iters=2)
+
+
+_CHUNK_ORACLE_CTE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start // 48 AS INT) AS chunk_idx,
+             CAST(start AS BIGINT) AS token_start,
+             array_to_string(tk[start+1 : start+64], ' ') AS chunk_text,
+             CAST(least(64, len(tk) - start) AS INT) AS n_tokens
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start
+            FROM t WHERE len(tk) > 0)
+    )
+"""
+
+
+@query(
+    "text_chunk_windows",
+    _CHUNK_ORACLE_CTE
+    + """
+    SELECT doc_id, chunk_idx, token_start, chunk_text, n_tokens FROM chunks
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/chunking.py:chunk_by_tokens):
+    every document exploded into 64-token windows with stride 48
+    (16-token overlap). Flat-map projection — tokenize once, slice per
+    window, no shuffle; the exact text of every chunk is oracled."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.chunking import chunk_by_tokens
+
+    return chunk_by_tokens(d, "text", "doc_id", window=64, stride=48)
+
+
+@query(
+    "text_chunk_stats",
+    _CHUNK_ORACLE_CTE
+    + """
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max_by(n_tokens, chunk_idx) AS INT) AS last_chunk_tokens
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk accounting (operators/chunking.py:chunk_stats) composed on
+    top of chunk_by_tokens: per-doc sequence count, total tokens across
+    chunks (overlap counted), and the tail-chunk length — one
+    hash-aggregate keyed by doc id."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.chunking import chunk_by_tokens, chunk_stats
+
+    chunks = chunk_by_tokens(d, "text", "doc_id", window=64, stride=48)
+    return chunk_stats(chunks, "doc_id")

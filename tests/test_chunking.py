@@ -1,0 +1,73 @@
+"""Token-window chunking: boundary semantics, determinism, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.operators.chunking import (
+    chunk_by_tokens,
+    chunk_stats,
+)
+
+
+def _chunks(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return chunk_by_tokens(df, "text", "doc_id", **kw)
+
+
+def test_window_stride_coverage(spark):
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6,9
+    text = " ".join(f"t{i}" for i in range(10))
+    out = _chunks(spark, [(1, text)], window=4, stride=3).collect()
+    got = [(r["chunk_idx"], r["token_start"], r["chunk_text"], r["n_tokens"]) for r in out]
+    assert got == [
+        (0, 0, "t0 t1 t2 t3", 4),
+        (1, 3, "t3 t4 t5 t6", 4),
+        (2, 6, "t6 t7 t8 t9", 4),
+        (3, 9, "t9", 1),
+    ]
+    # every token appears in at least one chunk; consecutive chunks
+    # overlap by window - stride = 1 token
+    assert set(" ".join(c[2] for c in got).split()) == {f"t{i}" for i in range(10)}
+
+
+def test_short_and_empty_docs(spark):
+    out = _chunks(
+        spark, [(1, "only three tokens"), (2, ""), (3, "   .,;  ")], window=8, stride=8
+    ).collect()
+    assert [(r["doc_id"], r["chunk_text"], r["n_tokens"]) for r in out] == [
+        (1, "only three tokens", 3)
+    ]  # empty / punctuation-only docs produce no chunks
+
+
+def test_no_overlap_stride_equals_window(spark):
+    text = " ".join(f"w{i}" for i in range(9))
+    out = _chunks(spark, [(1, text)], window=3, stride=3).collect()
+    texts = [r["chunk_text"] for r in out]
+    assert texts == ["w0 w1 w2", "w3 w4 w5", "w6 w7 w8"]
+    # partition: no token duplicated when stride == window
+    all_tokens = " ".join(texts).split()
+    assert len(all_tokens) == len(set(all_tokens)) == 9
+
+
+def test_invalid_params_raise(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="positive"):
+        chunk_by_tokens(df, "text", "doc_id", window=0, stride=1)
+    with pytest.raises(ValueError, match="drop tokens"):
+        chunk_by_tokens(df, "text", "doc_id", window=4, stride=5)
+
+
+def test_chunk_stats(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    chunks = _chunks(spark, [(1, text), (2, "a b")], window=4, stride=3)
+    stats = {r["doc_id"]: r for r in chunk_stats(chunks, "doc_id").collect()}
+    assert (stats[1]["n_chunks"], stats[1]["total_tokens"], stats[1]["last_chunk_tokens"]) == (4, 13, 1)
+    assert (stats[2]["n_chunks"], stats[2]["total_tokens"], stats[2]["last_chunk_tokens"]) == (1, 2, 2)
+
+
+def test_chunking_plan_has_no_exchange(spark):
+    """Chunking is a flat-map projection — repartitioning the corpus
+    must not appear anywhere in its plan."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = chunk_by_tokens(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
