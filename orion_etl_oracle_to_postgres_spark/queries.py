@@ -1977,3 +1977,63 @@ def text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = chunk_by_tokens(d, "text", "doc_id", window=64, stride=48)
     return chunk_stats(chunks, "doc_id")
+
+
+@query(
+    "agg_grouping_sets_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (§2.8, completing the ROLLUP/CUBE family): two
+    independent one-dimension summaries — by status, by priority — in
+    ONE scan + ONE shuffle via Expand, where naive SQL would UNION two
+    separate aggregations (two scans). The shape that matters at 100 TB:
+    k summary dimensions cost one pass, not k."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "setop_priority_except_all",
+    """
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_priority_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL set operation (§2.8): multiset difference — each
+    F-status priority row survives as many times as its count exceeds
+    the P-status count. One shuffle on the value (Spark plans a
+    hash-partitioned count-difference generate), no driver logic."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    p = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return f.exceptAll(p)
