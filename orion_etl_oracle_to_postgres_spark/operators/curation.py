@@ -149,6 +149,82 @@ def curate_corpus(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    *,
+    seed: str = "strat0",
+) -> DataFrame:
+    """Balanced sampling: keep EXACTLY ``n_per_group`` rows per group
+    (fewer if the group is smaller), chosen deterministically by ranking
+    rows on the portable hash ``md5_60(id || ':' || seed)`` (ties — which
+    cannot happen for distinct ids, but belt-and-braces — broken by id).
+    The complement of ``weighted_sample``: that keeps a RATE per group,
+    this keeps a COUNT per group, the shape needed for eval-set
+    construction and per-language balancing of skewed corpora.
+
+    Scale: ``row_number() <= k`` over a partitioned window triggers
+    Spark's WindowGroupLimit — each map task keeps only its local top-k
+    per group BEFORE the shuffle, so the exchange carries
+    O(groups × k × tasks) rows, not the corpus. Deterministic across
+    runs, engines, and partitionings (the hash order is data-derived)."""
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be positive, got {n_per_group}")
+    from pyspark.sql.window import Window
+
+    order = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    weights: dict[str, float] | None = None,
+    seed: str = "s0",
+) -> DataFrame:
+    """Train/test-leakage audit: content fingerprints (normalized-text
+    md5, the ``fingerprint_dedup`` key) that appear in MORE THAN ONE
+    split of a ``hash_split`` assignment → ``(fingerprint, n_docs,
+    n_splits, splits)``. Empty result = the split is content-clean;
+    every row is a duplicate cluster straddling a split boundary, i.e.
+    test data the model would see in training.
+
+    This is the audit a pipeline runs BEFORE training: hash_split is
+    id-keyed, so byte-identical documents with different ids can land in
+    different splits — dedup-then-split prevents it, and this query
+    proves (or disproves) that it held. One exploded projection + one
+    aggregate keyed by fingerprint; no joins, scales like word-count."""
+    labeled = hash_split(df, id_col, weights=weights, seed=seed)
+    from .dedup import normalize_text
+
+    return (
+        labeled.select(
+            F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+            "split",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+                "splits"
+            ),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

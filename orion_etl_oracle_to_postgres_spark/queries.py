@@ -2037,3 +2037,55 @@ def setop_priority_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     )
     return f.exceptAll(p)
+
+
+def _stratified_sql(n: int = 40) -> str:
+    h = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':strat0')")
+    return f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {h} ASC, doc_id ASC) AS rn
+      FROM documents) WHERE rn <= {n}
+    """
+
+
+@query("curation_stratified_sample", _stratified_sql())
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sampling (operators/curation.py:
+    stratified_sample): exactly 40 docs per lang, deterministic portable-
+    hash order — WindowGroupLimit keeps the shuffle at O(groups × k)."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.curation import stratified_sample
+
+    return stratified_sample(d, "doc_id", "lang", 40).select("doc_id", "lang")
+
+
+def _leakage_sql() -> str:
+    bucket = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':s0')")
+    return f"""
+    WITH labeled AS (
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+             CASE WHEN {bucket} % 1000 < 900 THEN 'train'
+                  WHEN {bucket} % 1000 < 950 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT fingerprint,
+           count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits,
+           string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+    FROM labeled GROUP BY fingerprint HAVING count(DISTINCT split) > 1
+    """
+
+
+@query("curation_split_leakage", _leakage_sql())
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-leakage audit (operators/curation.py:split_leakage):
+    duplicate-content clusters straddling the hash_split boundary — the
+    pre-training integrity check that id-keyed splitting alone cannot
+    guarantee."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.curation import split_leakage
+
+    return split_leakage(d, "doc_id", "text")

@@ -325,3 +325,65 @@ def test_curate_corpus_stages_compose(spark):
     assert set(out) == {1, 4}  # 2 deduped away, 3 quality-dropped
     assert all(r["split"] in {"train", "val", "test"} for r in out.values())
     assert out[1]["quality"] >= 0.5 and out[4]["lang"] == "de"
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "doc_id", "lang", 5)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"en": 5, "de": 5}
+    # deterministic across repartitionings
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_sample(df.repartition(7), "doc_id", "lang", 5).collect()}
+    assert a == b
+    # undersized group: returns the whole group, not an error
+    tiny = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id long, lang string")
+    assert stratified_sample(tiny, "doc_id", "lang", 5).count() == 2
+
+
+def test_stratified_sample_seed_redeals(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([(i, "en") for i in range(200)], "doc_id long, lang string")
+    a = {r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", 20, seed="s1").collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", 20, seed="s2").collect()}
+    assert len(a) == len(b) == 20 and a != b
+
+
+def test_stratified_sample_rejects_bad_n(spark):
+    import pytest as _pytest
+    from orion_etl_oracle_to_postgres_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="positive"):
+        stratified_sample(df, "doc_id", "lang", 0)
+
+
+def test_split_leakage_flags_cross_split_duplicates(spark):
+    """Constructed leak: identical text under many different ids MUST
+    eventually straddle a split boundary; unique texts never flagged."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        hash_split,
+        split_leakage,
+    )
+
+    dup = "the same leaked document body repeated verbatim"
+    rows = [(i, dup) for i in range(40)] + [(100 + i, f"unique text {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # ground truth: which splits did the dup cluster actually land in?
+    splits = {
+        r["split"]
+        for r in hash_split(df.filter("doc_id < 40"), "doc_id").select("split").collect()
+    }
+    assert len(splits) > 1  # 40 ids over a 90/5/5 deal: crossing is certain here
+    leaks = split_leakage(df, "doc_id", "text").collect()
+    assert len(leaks) == 1
+    row = leaks[0]
+    assert row["n_docs"] == 40
+    assert row["n_splits"] == len(splits)
+    assert set(row["splits"].split(",")) == splits
