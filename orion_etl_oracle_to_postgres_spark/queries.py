@@ -2089,3 +2089,129 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import split_leakage
 
     return split_leakage(d, "doc_id", "text")
+
+
+@query(
+    "agg_events_gapfill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT g.event_type, g.hour,
+           coalesce(h.n, 0) AS n_events,
+           coalesce(h.total, 0.0) AS total_value,
+           last_value(h.total IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING) AS locf_total
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+)
+def agg_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (hypertable-rollup shape): densify each
+    event type's hourly series over its own [min, max] hour range —
+    missing buckets appear with n_events=0 — plus last-observation-
+    carried-forward of the hourly total.
+
+    Scale: the dense grid is GENERATED per group from a 3-column bounds
+    aggregate (groups × hours rows, independent of event count), then
+    one equi-join back to the hourly rollup and one window for LOCF —
+    the raw events are scanned once. At 100 TB the grid side is tiny
+    and broadcasts; nothing materializes the raw stream twice."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("total", F.lit(0.0)).alias("total_value"),
+            F.last("total", ignorenulls=True).over(w).alias("locf_total"),
+        )
+    )
+
+
+@query(
+    "window_funnel_conversion",
+    """
+    WITH signups AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM signups s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY 1, 2
+    )
+    SELECT user_id, signup_ts, first_purchase_ts,
+           first_purchase_ts IS NOT NULL AS converted,
+           date_diff('microsecond', signup_ts, first_purchase_ts) AS us_to_convert
+    FROM conv
+    """,
+)
+def window_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → first subsequent purchase): per-user
+    earliest signup, earliest purchase at-or-after it, conversion flag,
+    and exact microsecond latency. Two narrow pre-aggregations joined on
+    user_id — the funnel never shuffles raw events by anything other
+    than user_id, and the signup side is the small post-agg stream."""
+    e = _t(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signups.join(
+            purchases,
+            (signups.user_id == purchases.p_user)
+            & (purchases.p_ts >= signups.signup_ts),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return conv.select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+        (
+            F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+        ).alias("us_to_convert"),
+    )
