@@ -2270,3 +2270,87 @@ def agg_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "agg_above_avg_orders",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_above,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY 1
+    """,
+)
+def agg_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: orders above the GLOBAL average price,
+    summarized by priority. The subquery is a one-row aggregate Catalyst
+    executes once and broadcasts into the filter — at 100 TB that is two
+    passes over the fact table (one tiny-output, one filtered), never a
+    join explosion. Expressed via the SQL surface to exercise the
+    engine's spark.sql path alongside the DataFrame API."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_above,
+               round(min(o_totalprice), 2) AS min_price
+        FROM __orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM __orders_v)
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    )
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide → long): two numeric part attributes as
+    (key, metric, value) rows — Spark's native ``unpivot`` generates
+    them in one Expand pass over a single scan, where the naive
+    UNION-ALL oracle formulation scans the table once per column."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@query(
+    "window_price_distribution",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(10) OVER w AS INT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    per priority partition — deterministic total order via the
+    (price, orderkey) tie-break so ranks are engine-independent."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
