@@ -1,0 +1,85 @@
+"""Table profiling: per-column quality statistics in ONE scan.
+
+The reference engine has no profiling step — rows flow source→sink
+blind. A data-quality profile (null rate, cardinality, bounds) is what
+an ETL operator needs before choosing validation rules, and what a
+training pipeline runs before trusting a new corpus drop. Citation (as
+specification of the gap): Dims24/orion-etl-oracle-to-postgres
+`plugins/default_validation.py` validates row-by-row but never surveys
+a table.
+
+Formulation: ALL per-column aggregates are packed into a single wide
+``agg`` row — one pass, one job, no per-column scans — then unpivoted
+to ``(column, stat...)`` rows via ``stack``. At 100 TB this is exactly
+one map-side-combined aggregation regardless of column count; the
+cost is k× aggregate buffers per task, not k× scans. Cardinality is
+``approx_count_distinct`` by default (HLL, bounded memory) with an
+exact opt-in for oracle gating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) → one row per column:
+    ``(column, n_rows, n_nulls, null_frac, n_distinct, min_value,
+    max_value)``. min/max are rendered as strings so heterogeneous
+    column types fit one result schema (NULL when a type has no
+    ordering or the column is all-NULL).
+
+    ``exact_distinct=True`` swaps HLL for exact ``count(DISTINCT)`` —
+    still one logical pass (Spark plans a single multi-distinct
+    aggregate via Expand), but memory grows with true cardinality; the
+    default HLL path is the 100 TB setting.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            ).alias(f"__nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+
+    # stack(k, 'name1', nulls1, nd1, min1, max1, ...) → long form
+    stack_args: list[str] = []
+    for c in cols:
+        stack_args.append(f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}")
+    stacked = wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, "
+            + ", ".join(stack_args)
+            + ") AS (column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    )
+    return stacked.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -2354,3 +2354,39 @@ def window_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS "column",
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           round((count(*) - count({c})) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM customer
+    """
+
+
+@query(
+    "profile_customer_table",
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    ),
+)
+def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profile.py:profile_table): per-column
+    null rate, exact cardinality, and bounds in ONE wide aggregate +
+    stack unpivot — the oracle needs one scan per column, the engine one
+    scan total. Exact-distinct mode here for the value gate; HLL mode is
+    the default 100 TB path."""
+    c = _t(spark, sf_dir, "customer")
+    from .operators.profile import profile_table
+
+    return profile_table(
+        c,
+        ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+        exact_distinct=True,
+    )

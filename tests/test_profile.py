@@ -1,0 +1,57 @@
+"""Table profiling: null accounting, cardinality modes, one-scan plan."""
+
+import pytest
+
+from orion_etl_oracle_to_postgres_spark.operators.profile import profile_table
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", None),
+        (3, None, 30.0),
+        (4, "b", 30.0),
+    ]
+    return spark.createDataFrame(rows, "id long, tag string, val double")
+
+
+def test_profile_counts_and_bounds(spark, df):
+    out = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(out) == {"id", "tag", "val"}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert (out["tag"]["n_nulls"], out["tag"]["null_frac"]) == (1, 0.25)
+    assert out["tag"]["n_distinct"] == 2  # NULL not counted
+    assert (out["val"]["min_value"], out["val"]["max_value"]) == ("10.0", "30.0")
+    assert (out["id"]["min_value"], out["id"]["max_value"]) == ("1", "4")
+
+
+def test_profile_hll_mode_close_enough(spark, df):
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    # 2-3 distinct values: HLL is exact at this cardinality
+    assert out["val"]["n_distinct"] == 2
+    assert out["id"]["n_distinct"] == 4
+
+
+def test_profile_column_subset_and_errors(spark, df):
+    assert profile_table(df, ["id"]).count() == 1
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(df, [])
+
+
+def test_profile_is_single_scan(spark, df):
+    """All per-column aggregates pack into one aggregation over one
+    scan — no per-column jobs, no join of partial profiles."""
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1
+    assert "Join" not in plan
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, dead string")
+    out = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert (out["dead"]["n_nulls"], out["dead"]["null_frac"]) == (2, 1.0)
+    assert out["dead"]["n_distinct"] == 0
+    assert out["dead"]["min_value"] is None and out["dead"]["max_value"] is None
