@@ -2390,3 +2390,60 @@ def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
         exact_distinct=True,
     )
+
+
+@query(
+    "scd2_customer_balances",
+    """
+    WITH upd AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_custkey % 10 = 0 THEN c.c_acctbal
+                  ELSE round(sum(o.o_totalprice), 2) END AS c_acctbal
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    dim0 AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    changed AS (
+      SELECT d.c_custkey, u.c_acctbal AS new_bal
+      FROM dim0 d JOIN upd u USING (c_custkey)
+      WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
+    )
+    SELECT d.c_custkey, d.c_acctbal, d.valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2024-06-01' ELSE NULL END AS valid_to
+    FROM dim0 d LEFT JOIN changed ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_bal, TIMESTAMP '2024-06-01', NULL FROM changed
+    """,
+)
+def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge (operators/scd.py): bootstrap the customer
+    dimension at T0, then apply a derived balance-update batch (new
+    balance = order-total sum; every 10th key deliberately unchanged) at
+    T1. Output is the full versioned dimension — closed old versions,
+    carried unchanged rows, new open versions — value-matched against a
+    set-algebra oracle. One key join + union, no MERGE, no window."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    from .operators.scd import scd2_apply, scd2_initial
+
+    dim0 = scd2_initial(
+        c.select("c_custkey", "c_acctbal"), "c_custkey", ["c_acctbal"], "2024-01-01"
+    )
+    upd = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("__newbal"))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal"))
+            .otherwise(F.col("__newbal"))
+            .alias("c_acctbal"),
+        )
+    )
+    return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")

@@ -1,0 +1,124 @@
+"""SCD Type-2 merge: version chains, idempotency, null-safe diffs."""
+
+from datetime import datetime
+
+import pytest
+
+from orion_etl_oracle_to_postgres_spark.operators.scd import (
+    scd2_apply,
+    scd2_as_of,
+    scd2_initial,
+)
+
+T0, T1, T2 = "2024-01-01", "2024-06-01", "2024-09-01"
+
+
+def _dim(spark):
+    snap = spark.createDataFrame(
+        [(1, "gold", 100.0), (2, "silver", 50.0), (3, None, 10.0)],
+        "id long, tier string, bal double",
+    )
+    return scd2_initial(snap, "id", ["tier", "bal"], T0)
+
+
+def _rows(df):
+    return sorted(
+        (r["id"], r["tier"], r["bal"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in df.collect()
+    )
+
+
+def test_initial_load_all_open(spark):
+    rows = _rows(_dim(spark))
+    assert all(r[4] == "None" and r[3] == "2024-01-01 00:00:00" for r in rows)
+    assert len(rows) == 3
+
+
+def test_apply_change_new_and_unchanged(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        [
+            (1, "platinum", 100.0),  # changed attr
+            (2, "silver", 50.0),     # unchanged -> no-op
+            (9, "bronze", 1.0),      # brand-new key
+        ],
+        "id long, tier string, bal double",
+    )
+    out = scd2_apply(dim, updates, "id", ["tier", "bal"], T1)
+    rows = _rows(out)
+    # id=1: closed old version + new open one
+    v1 = [r for r in rows if r[0] == 1]
+    assert (1, "gold", 100.0, "2024-01-01 00:00:00", "2024-06-01 00:00:00") in v1
+    assert (1, "platinum", 100.0, "2024-06-01 00:00:00", "None") in v1
+    # id=2 untouched single open row; id=9 new open row
+    assert [r for r in rows if r[0] == 2] == [
+        (2, "silver", 50.0, "2024-01-01 00:00:00", "None")
+    ]
+    assert [r for r in rows if r[0] == 9] == [
+        (9, "bronze", 1.0, "2024-06-01 00:00:00", "None")
+    ]
+    assert len(rows) == 5
+
+
+def test_null_transitions_are_changes(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        [(3, "iron", 10.0), (2, None, 50.0)], "id long, tier string, bal double"
+    )
+    out = scd2_apply(dim, updates, "id", ["tier", "bal"], T1)
+    opened = {
+        r["id"]: r["tier"]
+        for r in out.filter("valid_from = '2024-06-01'").collect()
+    }
+    assert opened == {3: "iron", 2: None}  # NULL->value AND value->NULL
+
+
+def test_reapplying_same_batch_is_idempotent(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        [(1, "platinum", 100.0)], "id long, tier string, bal double"
+    )
+    once = scd2_apply(dim, updates, "id", ["tier", "bal"], T1)
+    twice = scd2_apply(once, updates, "id", ["tier", "bal"], T2)
+    assert _rows(once) == _rows(twice)
+
+
+def test_chain_of_three_versions_and_as_of(spark):
+    dim = _dim(spark)
+    up1 = spark.createDataFrame([(1, "a", 1.0)], "id long, tier string, bal double")
+    up2 = spark.createDataFrame([(1, "b", 2.0)], "id long, tier string, bal double")
+    d = scd2_apply(
+        scd2_apply(dim, up1, "id", ["tier", "bal"], T1),
+        up2,
+        "id",
+        ["tier", "bal"],
+        T2,
+    )
+    chain = [r for r in _rows(d) if r[0] == 1]
+    assert len(chain) == 3
+    # as-of queries pick the right version at each instant
+    def tier_at(ts):
+        return {
+            r["id"]: r["tier"] for r in scd2_as_of(d, ts).collect()
+        }[1]
+
+    assert tier_at("2024-03-01") == "gold"
+    assert tier_at("2024-07-01") == "a"
+    assert tier_at("2025-01-01") == "b"
+    # boundary: exactly at T1 the NEW version is current (from <= ts < to)
+    assert tier_at(T1) == "a"
+
+
+def test_duplicate_update_keys_raise(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "id long, tier string, bal double"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        scd2_apply(dim, updates, "id", ["tier", "bal"], T1)
+
+
+def test_empty_attrs_raise(spark):
+    dim = _dim(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_apply(dim, dim.limit(0), "id", [], T1)
