@@ -2447,3 +2447,76 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
+
+
+@query(
+    "dedup_incremental_batch",
+    """
+    WITH hist AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT b.doc_id, b.fp AS fingerprint
+    FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+    WHERE h.fp IS NULL
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW document batch (every 5th doc here)
+    anti-joined against the HISTORICAL corpus fingerprint set — the
+    shape of continuous ingestion, where each drop dedups against
+    everything already accepted without re-clustering the archive.
+    At 100 TB the history side is a pre-computed fingerprint table
+    (longs/md5 only, no text), the join is a broadcast or bucketed
+    left-anti, and the batch is touched once."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.dedup import normalize_text
+
+    fp = F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    hist = (
+        d.filter(F.col("doc_id") % 5 != 0).select(fp).distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp)
+    return batch.join(hist, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "window_rolling_revenue",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS revenue_30d,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_30d
+    FROM orders
+    """,
+)
+def window_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per-customer trailing-30-day revenue
+    and order count at every order — the time-based frame (RANGE over an
+    interval, not ROWS) that row-offset frames can't express. One
+    shuffle on o_custkey; the frame scan is sorted-run local."""
+    o = _t(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        """round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS revenue_30d""",
+        """CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_30d""",
+    )
