@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "corpus_curate",  # composed dedup→quality→mix→split pipeline
     "text_tfidf_top_terms",  # two-level agg + broadcast df join + window
     "text_chunk_windows",  # token-window chunking: flat-map, zero-shuffle
+    "agg_regional_supplier_revenue",  # Q5-shaped six-way broadcast-dim join
+    "scd2_customer_balances",  # SCD2 versioned-dimension merge
+    "dedup_incremental_batch",  # new-drop anti-join vs history fingerprints
 ]
 
 

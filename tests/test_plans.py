@@ -196,3 +196,46 @@ def test_hash_split_and_sample_are_pure_projection(spark, sf):
 def test_vocab_topk_uses_take_ordered(spark, sf):
     plan = plan_of(q.QUERIES["text_vocab_topk"](spark, sf))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_join_chain_is_all_broadcast(spark, sf):
+    """Six-way Q5 shape: every dim join broadcasts, no sort-merge join
+    survives, and the date filter reaches the orders scan."""
+    plan = plan_of(q.QUERIES["agg_regional_supplier_revenue"](spark, sf))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf):
+    """row_number()<=k must trigger WindowGroupLimit (map-side partial
+    top-k per group before the shuffle)."""
+    plan = plan_of(q.QUERIES["curation_stratified_sample"](spark, sf))
+    assert "WindowGroupLimit" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf):
+    plan = plan_of(q.QUERIES["text_chunk_windows"](spark, sf))
+    assert "Exchange" not in plan
+
+
+def test_profile_is_one_scan_no_join(spark, sf):
+    plan = plan_of(q.QUERIES["profile_customer_table"](spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_incremental_dedup_is_hash_anti_join(spark, sf):
+    """History side joins as a (broadcast|shuffled) hash LeftAnti — a
+    nested-loop anti join would be quadratic at scale."""
+    plan = plan_of(q.QUERIES["dedup_incremental_batch"](spark, sf))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_grid_join_stays_small_side(spark, sf):
+    """The generated hour grid joins the hourly rollup with a hash join
+    (either side), never a nested loop; events are scanned, aggregated,
+    and never re-shuffled raw."""
+    plan = plan_of(q.QUERIES["agg_events_gapfill"](spark, sf))
+    assert "NestedLoop" not in plan
