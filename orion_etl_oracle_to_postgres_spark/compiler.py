@@ -176,6 +176,54 @@ def _is_missing_table_error(e: Exception) -> bool:
     return "relation" in msg and "does not exist" in msg
 
 
+def _apply_dedup(df, spec: TableSpec):
+    """Compile ``TableSpec.dedup`` into the plan. Deterministic: with an
+    ``id_column`` the survivor is the min-id row per key (stable under
+    any partitioning); without one, only full-row DISTINCT is allowed —
+    ``dropDuplicates`` on a key subset without a tie-break would pick an
+    arbitrary partition-dependent row, which is a silent-corruption
+    footgun this engine refuses."""
+    d = spec.dedup
+    if d.method == "fingerprint":
+        if not d.text_column or not d.id_column:
+            raise ValueError(
+                f"{spec.source_table}: dedup method=fingerprint requires "
+                "text_column and id_column"
+            )
+        from .operators.dedup import normalize_text
+
+        key_cols = [F.md5(normalize_text(F.col(d.text_column))).alias("__fp")]
+        key_names = ["__fp"]
+    else:  # exact
+        if d.columns is None:
+            return df.distinct()
+        if not d.id_column:
+            raise ValueError(
+                f"{spec.source_table}: dedup method=exact with a column "
+                "subset requires id_column for a deterministic survivor"
+            )
+        missing = [c for c in d.columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{spec.source_table}: dedup columns not in pipeline output: {missing}"
+            )
+        key_cols, key_names = [], list(d.columns)
+    if d.id_column and d.id_column not in df.columns:
+        raise ValueError(
+            f"{spec.source_table}: dedup id_column {d.id_column!r} not in "
+            f"pipeline output columns {df.columns}"
+        )
+    from pyspark.sql.window import Window
+
+    staged = df.select("*", *key_cols) if key_cols else df
+    w = Window.partitionBy(*key_names).orderBy(F.col(d.id_column).asc())
+    return (
+        staged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[n for n in key_names if n.startswith("__")])
+    )
+
+
 def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     """Build the full DataFrame plan for one table."""
     g = ctx.global_spec
@@ -321,6 +369,14 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             logger.warning("validation plugin %r not found — skipped", name)
             continue
         df = vplugin(df, ctx)
+
+    # 5c. declarative dedup of the outgoing rows (engine extension,
+    # SURVEY.md §2.11) — after transforms/validations so the key is the
+    # FINAL shape, before self-lookups so the join sees the survivor
+    # stream. One shuffle on the dedup key; the row_number()<=1 filter
+    # compiles to WindowGroupLimit (map-side partial top-1 per key).
+    if spec.dedup is not None:
+        df = _apply_dedup(df, spec)
 
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:

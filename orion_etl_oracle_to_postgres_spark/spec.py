@@ -139,6 +139,30 @@ class IncrementalSpec(BaseModel):
     state_path: Optional[str] = None  # where the high-water mark is persisted
 
 
+class DedupSpec(BaseModel):
+    """[engine extension] Declarative in-pipeline deduplication of the
+    outgoing rows (SURVEY.md §2.11) — the YAML user gets the dedup
+    operators without writing code.
+
+    ``method: exact`` keeps one row per ``columns`` tuple (survivor =
+    min ``id_column`` row, deterministic across partitionings);
+    ``columns`` omitted → full-row DISTINCT (no id needed).
+    ``method: fingerprint`` keys on md5 of the normalized
+    ``text_column`` (case/whitespace/punctuation-insensitive)."""
+
+    method: str = "fingerprint"  # exact | fingerprint
+    columns: Optional[List[str]] = None  # exact: key columns
+    text_column: Optional[str] = None  # fingerprint: which text to normalize
+    id_column: Optional[str] = None  # deterministic survivor tie-break
+
+    @field_validator("method")
+    @classmethod
+    def _known_method(cls, v: str) -> str:
+        if v not in ("exact", "fingerprint"):
+            raise ValueError(f"dedup method must be exact|fingerprint, got {v!r}")
+        return v
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -164,6 +188,8 @@ class TableSpec(BaseModel):
     partition_by: Optional[List[str]] = None
     #: within-partition sort for row-group pruning / compression
     sort_by: Optional[List[str]] = None
+    #: declarative dedup of the outgoing rows (exact | fingerprint)
+    dedup: Optional[DedupSpec] = None
 
 
 class GlobalSpec(BaseModel):

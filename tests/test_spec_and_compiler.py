@@ -380,3 +380,132 @@ def test_partition_by_rejected_for_jdbc_target(spark):
         resolve_sink(
             spark.range(1), conns, "t", partition_by=["id"]
         )
+
+
+def test_dedup_spec_fingerprint_in_pipeline(spark, tmp_path):
+    """TableSpec.dedup (fingerprint): near-identical texts collapse to
+    the min-id survivor inside the compiled pipeline, deterministically."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        DedupSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        TableSpec,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),   # same after normalization -> loses to id 1
+        (3, "something else"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, body string").write.parquet(
+        str(src_dir / "docs")
+    )
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=str(src_dir)),
+            target_files=FilesConnectorSpec(base_path=str(tmp_path / "out")),
+        )
+    )
+    run_table(
+        JobContext(spark, g),
+        TableSpec(
+            source_table="docs",
+            target_table="docs_clean",
+            dedup=DedupSpec(method="fingerprint", text_column="body", id_column="doc_id"),
+        ),
+    )
+    back = spark.read.parquet(str(tmp_path / "out" / "docs_clean"))
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
+    assert "__fp" not in back.columns and "__rn" not in back.columns
+
+
+def test_dedup_spec_exact_subset_and_errors(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+        run_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        DedupSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        TableSpec,
+    )
+    import pytest as _pytest
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, k string, v double",
+    ).write.parquet(str(src_dir / "t"))
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=str(src_dir)),
+            target_files=FilesConnectorSpec(base_path=str(tmp_path / "out")),
+        )
+    )
+    run_table(
+        JobContext(spark, g),
+        TableSpec(
+            source_table="t",
+            target_table="t_dedup",
+            dedup=DedupSpec(method="exact", columns=["k"], id_column="id"),
+        ),
+    )
+    back = spark.read.parquet(str(tmp_path / "out" / "t_dedup"))
+    assert sorted((r["id"], r["k"]) for r in back.collect()) == [(1, "a"), (3, "b")]
+
+    # key subset without id_column: refused, not silently nondeterministic
+    with _pytest.raises(ValueError, match="deterministic survivor"):
+        compile_table(
+            JobContext(spark, g),
+            TableSpec(
+                source_table="t",
+                target_table="x",
+                dedup=DedupSpec(method="exact", columns=["k"]),
+            ),
+        )
+    # unknown dedup column: loud config error
+    with _pytest.raises(ValueError, match="not in pipeline output"):
+        compile_table(
+            JobContext(spark, g),
+            TableSpec(
+                source_table="t",
+                target_table="x",
+                dedup=DedupSpec(method="exact", columns=["nope"], id_column="id"),
+            ),
+        )
+
+
+def test_dedup_spec_loads_from_yaml(tmp_path):
+    import yaml as _yaml
+
+    from orion_etl_oracle_to_postgres_spark.spec import TableSpec
+
+    y = tmp_path / "tbl.yaml"
+    y.write_text(
+        """
+source_table: docs
+target_table: docs_clean
+dedup:
+  method: fingerprint
+  text_column: body
+  id_column: doc_id
+"""
+    )
+    spec = TableSpec.model_validate(_yaml.safe_load(y.read_text()))
+    assert spec.dedup is not None and spec.dedup.method == "fingerprint"
+    assert spec.dedup.text_column == "body"
+    # unknown method refused at parse time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exact|fingerprint"):
+        TableSpec.model_validate(
+            {"source_table": "d", "target_table": "t", "dedup": {"method": "simhash"}}
+        )
