@@ -510,3 +510,87 @@ def test_upsert_sql_shape():
 
     with _pytest.raises(ValueError, match="not in column list"):
         upsert_sql("t", "s", ["v"], ["id"])
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join (streaming/joins.py): clicks joined
+    to errors within a 2-minute window, driven through real file
+    streams — the emitted pairs must equal the static batch join of
+    the same data."""
+    from orion_etl_oracle_to_postgres_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    clicks = [
+        (1, "2024-01-01 00:00:10"),
+        (1, "2024-01-01 00:03:00"),
+        (2, "2024-01-01 00:00:30"),
+        (3, "2024-01-01 00:09:00"),  # no error within window
+    ]
+    errors = [
+        (1, "2024-01-01 00:01:00"),  # catches click@00:00:10
+        (1, "2024-01-01 00:04:30"),  # catches click@00:03:00
+        (2, "2024-01-01 00:05:00"),  # too late for click@00:00:30
+    ]
+    c_static = spark.createDataFrame(clicks, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("c_ts")
+    )
+    e_static = spark.createDataFrame(errors, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("e_ts")
+    )
+    (tmp_path / "c").mkdir(); (tmp_path / "e").mkdir()
+    c_static.write.parquet(str(tmp_path / "c" / "b0"))
+    e_static.write.parquet(str(tmp_path / "e" / "b0"))
+
+    c_stream = (
+        spark.readStream.schema(c_static.schema).parquet(str(tmp_path / "c" / "b0"))
+    )
+    e_stream = (
+        spark.readStream.schema(e_static.schema).parquet(str(tmp_path / "e" / "b0"))
+    )
+    joined = stream_interval_join(
+        c_stream,
+        e_stream,
+        "user_id",
+        left_ts="c_ts",
+        right_ts="e_ts",
+        interval="2 MINUTES",
+        watermark_delay="10 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], str(r["c_ts"]), str(r["r_e_ts"]))
+        for r in spark.sql("SELECT * FROM sj_out").collect()
+    }
+    want = {
+        (r["user_id"], str(r["c_ts"]), str(r["e_ts"]))
+        for r in c_static.join(
+            e_static,
+            (c_static.user_id == e_static.user_id)
+            & (c_static.c_ts >= e_static.e_ts - F.expr("INTERVAL 2 MINUTES"))
+            & (c_static.c_ts <= e_static.e_ts),
+        ).select(c_static.user_id, "c_ts", "e_ts").collect()
+    }
+    assert got == want and len(got) == 2
+
+
+def test_stream_interval_join_refuses_batch_inputs(spark):
+    from orion_etl_oracle_to_postgres_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="requires two streaming"):
+        stream_interval_join(
+            df, df, "user_id", left_ts="a", right_ts="b", interval="1 MINUTE"
+        )
