@@ -55,13 +55,15 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def attach_fake_binary(
+    df: DataFrame, text_col: str, id_col: str, *, media_type: str = "image"
+) -> DataFrame:
     """Test/dev helper: materialize a ``binary`` media column + metadata
     struct from a text column (UTF-8 bytes stand in for media payloads).
     Keeps the downstream pipeline identical to a real ingest."""
     payload = F.encode(F.col(text_col), "UTF-8")
     meta = F.struct(
-        F.lit("image").alias("media_type"),
+        F.lit(media_type).alias("media_type"),
         F.lit("fake").alias("format"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
@@ -126,6 +128,169 @@ def decode_image_features(
             )
 
     return df.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    max_width: int = 224,
+    max_height: int = 224,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aspect-fit image resize via ``mapInPandas``: scale each image to
+    fit inside ``max_width × max_height`` preserving aspect ratio, never
+    upscaling (``scale = min(mw/w, mh/h, 1.0)``).
+
+    The fit arithmetic (the part worth testing) is real; the pixel
+    resampling is stubbed like :func:`decode_image_features` — source
+    dims come from the sha256-derived fake decode and the "resized"
+    payload is the deterministic byte string ``"{src_sha}:{w}x{h}"``, so
+    the whole operator (dims math included) is differential-testable
+    against a SQL oracle. All float math is plain IEEE-754 float64,
+    identical in Python and the oracle engine.
+    """
+    try:  # pragma: no cover - codec not present in this container
+        import PIL.Image  # noqa: F401
+
+        real_codec = True
+    except ImportError:
+        real_codec = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None, None, None))
+                    continue
+                b = bytes(payload)
+                if real_codec:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real image resize not wired yet — container has no codec"
+                    )
+                src_w, src_h, _ = _fake_decode(b)
+                scale = min(max_width / src_w, max_height / src_h, 1.0)
+                dst_w = max(1, int(src_w * scale))
+                dst_h = max(1, int(src_h * scale))
+                src_sha = hashlib.sha256(b).hexdigest()
+                out = f"{src_sha}:{dst_w}x{dst_h}".encode()
+                rows.append(
+                    (
+                        doc_id,
+                        src_w,
+                        src_h,
+                        dst_w,
+                        dst_h,
+                        len(out),
+                        hashlib.sha256(out).hexdigest(),
+                        out,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_width",
+                    "src_height",
+                    "width",
+                    "height",
+                    "n_bytes",
+                    "sha256",
+                    "payload",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_IMAGE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+# Fake sample-rate codebook for the stub decoder (indexed by digest byte).
+_FAKE_SAMPLE_RATES = (8000, 16000, 24000, 48000)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode + feature-extract an audio binary column (waveform-level
+    stats: sample rate, duration, RMS, peak) via ``mapInPandas``.
+
+    Same honesty contract as :func:`decode_image_features`: with a real
+    codec (soundfile/librosa) installed the import branch would decode
+    actual samples; in this container the deterministic sha256-derived
+    fake keeps the Arrow plumbing, schema, and null handling fully
+    exercised and oracle-checkable. Duration pretends one sample per
+    payload byte: ``duration_ms = n_bytes * 1000 // sample_rate``.
+    """
+    try:  # pragma: no cover - codec not present in this container
+        import soundfile  # noqa: F401
+
+        real_codec = True
+    except ImportError:
+        real_codec = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
+                b = bytes(payload)
+                if real_codec:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real audio decode not wired yet — container has no codec"
+                    )
+                h = hashlib.sha256(b).digest()
+                sr = _FAKE_SAMPLE_RATES[h[0] % 4]
+                duration_ms = len(b) * 1000 // sr
+                rms = round(h[1] / 255.0, 6)
+                peak = round(max(h[1], h[2]) / 255.0, 6)
+                rows.append(
+                    (doc_id, len(b), hashlib.sha256(b).hexdigest(), sr, duration_ms, rms, peak)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "sha256",
+                    "sample_rate",
+                    "duration_ms",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(

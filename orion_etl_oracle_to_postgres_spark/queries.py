@@ -1204,6 +1204,87 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(b, every_ms=1000)
 
 
+def _mm_resize_sql(max_w: int = 128, max_h: int = 96) -> str:
+    """Oracle for the aspect-fit resize: source dims replicate
+    ``_fake_decode`` from sha256 bytes; the scale/floor math is plain
+    float64 in both engines (IEEE-754 ÷ and × are deterministic); the
+    resized payload is the documented ``"{src_sha}:{w}x{h}"`` string."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, sha256(text) AS sha,
+             64 + ({_hexbyte_sql('sha256(text)', 0)} % 192) AS src_width,
+             64 + ({_hexbyte_sql('sha256(text)', 1)} % 192) AS src_height
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, sha, src_width, src_height,
+             greatest(1, CAST(floor(src_width *
+               least({max_w}.0 / src_width, {max_h}.0 / src_height, 1.0)) AS INTEGER)) AS width,
+             greatest(1, CAST(floor(src_height *
+               least({max_w}.0 / src_width, {max_h}.0 / src_height, 1.0)) AS INTEGER)) AS height
+      FROM d
+    )
+    SELECT doc_id, src_width, src_height, width, height,
+           CAST(octet_length(encode(sha || ':' || width || 'x' || height)) AS BIGINT) AS n_bytes,
+           sha256(sha || ':' || width || 'x' || height) AS sha256
+    FROM z
+    """
+
+
+@query("multimodal_resize", _mm_resize_sql())
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit image resize (``multimodal.resize_images``): Arrow-
+    batched mapInPandas, never-upscale ``min(mw/w, mh/h, 1.0)`` fit —
+    the dims arithmetic is real and oracle-checked end to end; pixel
+    resampling is the documented deterministic stub (no codec here)."""
+    d = _t(spark, sf_dir, "documents")
+    b = multimodal.attach_fake_binary(d, "text", "doc_id")
+    out = multimodal.resize_images(b, max_width=128, max_height=96)
+    return out.select(
+        "doc_id", "src_width", "src_height", "width", "height", "n_bytes", "sha256"
+    )
+
+
+def _mm_audio_sql() -> str:
+    """Oracle for the stub audio decoder: sample rate picked from the
+    codebook by digest byte 0, ``duration_ms = n_bytes * 1000 // sr``,
+    RMS/peak from digest bytes 1-2 — all replicable from sha256 hex."""
+    b0 = _hexbyte_sql("sha", 0)
+    b1 = _hexbyte_sql("sha", 1)
+    b2 = _hexbyte_sql("sha", 2)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_bytes, sha,
+             CAST(([8000, 16000, 24000, 48000])[({b0} % 4) + 1] AS INTEGER)
+               AS sample_rate,
+             round({b1} / 255.0, 6) AS rms,
+             round(greatest({b1}, {b2}) / 255.0, 6) AS peak
+      FROM s
+    )
+    SELECT doc_id, n_bytes, sha AS sha256, sample_rate,
+           CAST(n_bytes * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           rms, peak
+    FROM r
+    """
+
+
+@query("multimodal_audio", _mm_audio_sql())
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + waveform feature extraction
+    (``multimodal.decode_audio_features``): same honest-stub contract as
+    the image decode — Arrow plumbing, schema, and the duration/rate
+    arithmetic are real and differential-tested; sample decoding awaits
+    a codec."""
+    d = _t(spark, sf_dir, "documents")
+    b = multimodal.attach_fake_binary(d, "text", "doc_id", media_type="audio")
+    return multimodal.decode_audio_features(b)
+
+
 @query(
     "incremental_highwater",
     """

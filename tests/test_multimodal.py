@@ -84,3 +84,52 @@ def test_read_binary_dir_ingests_raw_files(spark, tmp_path):
         (d / "a.jpg").stat().st_size,
         (d / "b.jpg").stat().st_size,
     }
+
+
+def test_resize_aspect_fit(spark):
+    """Fit math: never upscale, preserve aspect ratio, floor+clamp to 1."""
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(
+            _media(spark), max_width=128, max_height=96
+        ).collect()
+    }
+    r1 = out[1]
+    scale = min(128 / r1["src_width"], 96 / r1["src_height"], 1.0)
+    assert r1["width"] == max(1, int(r1["src_width"] * scale))
+    assert r1["height"] == max(1, int(r1["src_height"] * scale))
+    assert r1["width"] <= 128 and r1["height"] <= 96
+    # small sources pass through untouched (no upscaling)
+    big = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(
+            _media(spark), max_width=4096, max_height=4096
+        ).collect()
+    }
+    assert (big[1]["width"], big[1]["height"]) == (r1["src_width"], r1["src_height"])
+    # NULL payload row preserved with null fields
+    assert out[3]["width"] is None and out[3]["payload"] is None
+    # resized payload is the documented deterministic stub bytes
+    import hashlib
+
+    src_sha = hashlib.sha256(b"hello world").hexdigest()
+    expect = f"{src_sha}:{r1['width']}x{r1['height']}".encode()
+    assert bytes(r1["payload"]) == expect
+    assert r1["n_bytes"] == len(expect)
+    assert r1["sha256"] == hashlib.sha256(expect).hexdigest()
+
+
+def test_decode_audio_features(spark):
+    import hashlib
+
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_audio_features(_media(spark)).collect()
+    }
+    r1 = out[1]
+    h = hashlib.sha256(b"hello world").digest()
+    assert r1["sample_rate"] == (8000, 16000, 24000, 48000)[h[0] % 4]
+    assert r1["duration_ms"] == 11 * 1000 // r1["sample_rate"]
+    assert r1["rms"] == round(h[1] / 255.0, 6)
+    assert r1["peak"] == round(max(h[1], h[2]) / 255.0, 6)
+    assert out[3]["sample_rate"] is None  # NULL payload passes through
