@@ -79,3 +79,19 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     n = l2_norm(a) * l2_norm(b)
     return F.when(n > 0, d / n)
+
+
+def epoch_us(col: Column, dtype=None) -> Column:
+    """Microseconds-since-epoch for a timestamp column of EITHER
+    flavor. ``unix_micros`` rejects TIMESTAMP_NTZ (the type parquet
+    ``timestamp[us]`` columns surface as), so NTZ inputs are measured as
+    a wall-clock diff from the NTZ epoch — timezone-independent, no
+    session-tz coupling. Pass the column's ``DataType`` (from
+    ``df.schema``) when the column may be NTZ; with ``dtype=None`` the
+    LTZ fast path is assumed."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(dtype, TimestampNTZType):
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", epoch, col)
+    return F.unix_micros(col)

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -78,9 +80,12 @@ def asof_join(
     )
     matched = F.last("__pay", ignorenulls=True).over(w)
     if tolerance_us is not None:
-        ts_of = F.unix_micros(matched[out_names.get(right_ts, right_ts)])
+        rt_type = right.schema[right_ts].dataType
+        ts_of = epoch_us(matched[out_names.get(right_ts, right_ts)], rt_type)
         matched = F.when(
-            F.unix_micros(F.col("__ats")) - ts_of <= F.lit(tolerance_us), matched
+            epoch_us(F.col("__ats"), left.schema[left_ts].dataType) - ts_of
+            <= F.lit(tolerance_us),
+            matched,
         )
 
     return (

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
+
 
 def range_join(
     left: DataFrame,
@@ -50,8 +52,8 @@ def range_join(
     rpay = [c for c in right.columns if c != on]
     out_names = {c: (c + rsuffix if c in left.columns else c) for c in rpay}
 
-    lt = F.unix_micros(F.col(left_ts))
-    rt = F.unix_micros(F.col(right_ts))
+    lt = epoch_us(F.col(left_ts), left.schema[left_ts].dataType)
+    rt = epoch_us(F.col(right_ts), right.schema[right_ts].dataType)
     r_side = right.select(
         F.col(on),
         F.floor(rt / span).alias("__bk"),
@@ -66,11 +68,14 @@ def range_join(
             )
         ).alias("__bk"),
     )
-    rts_out = F.col(out_names.get(right_ts, right_ts))
-    lo = F.unix_micros(F.col(left_ts)) + F.lit(lower_us)
-    hi = F.unix_micros(F.col(left_ts)) + F.lit(upper_us)
+    rts_us = epoch_us(
+        F.col(out_names.get(right_ts, right_ts)), right.schema[right_ts].dataType
+    )
+    l_us = epoch_us(F.col(left_ts), left.schema[left_ts].dataType)
+    lo = l_us + F.lit(lower_us)
+    hi = l_us + F.lit(upper_us)
     return (
         l_side.join(r_side, [on, "__bk"])
-        .filter((F.unix_micros(rts_out) > lo) & (F.unix_micros(rts_out) <= hi))
+        .filter((rts_us > lo) & (rts_us <= hi))
         .drop("__bk")
     )

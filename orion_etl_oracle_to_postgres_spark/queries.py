@@ -55,15 +55,23 @@ def query(name: str, sql: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright. nanosAsLong is a runtime SQL conf — set it
-        # HERE, not only in the session builder, so the queries run under
-        # any caller-provided SparkSession (e.g. a stock ANSI-on one).
-        # Read as raw ns longs, convert with integer division to keep
-        # microsecond exactness.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS)
+        # (pandas-written, rejected by Spark's reader unless nanosAsLong
+        # is set, in which case it surfaces as a raw ns long) and plain
+        # TIMESTAMP(MICROS). Probe the footer and adapt instead of
+        # assuming either encoding; the conf is only touched when the
+        # file genuinely carries ns columns (it is a runtime SQL conf,
+        # so setting it here works under any caller-provided session).
+        from .sources.files import _parquet_has_nanos
+
+        path = f"{sf_dir}/{name}.parquet"
+        if _parquet_has_nanos(path) is not False:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            # ns long → timestamp, integer division keeps µs exactness
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -2292,8 +2300,10 @@ def window_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_ts",
         "first_purchase_ts",
         F.col("first_purchase_ts").isNotNull().alias("converted"),
-        (
-            F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+        # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike
+        # (unix_micros rejects NTZ, the type µs-parquet ts surfaces as)
+        F.timestamp_diff(
+            "MICROSECOND", F.col("signup_ts"), F.col("first_purchase_ts")
         ).alias("us_to_convert"),
     )
 

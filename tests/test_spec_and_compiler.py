@@ -306,11 +306,17 @@ def test_nanos_conf_not_set_for_plain_parquet(spark, tmp_path):
     read_file_table(spark, FilesConnectorSpec(base_path=str(tmp_path)), "plain").count()
     assert spark.conf.get(key, "false") == "false"
 
-    # events testdata is pandas-written TIMESTAMP(NANOS): conf flips on
-    read_file_table(
-        spark, FilesConnectorSpec(base_path="/root/testdata/sf0.001"), "events"
+    # a genuinely ns-timestamped dataset: conf flips on
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_tbl = pa.table(
+        {"ts": pa.array([1, 2, 3], type=pa.timestamp("ns")), "x": [1, 2, 3]}
     )
+    pq.write_table(ns_tbl, str(tmp_path / "nsdata.parquet"))
+    read_file_table(spark, FilesConnectorSpec(base_path=str(tmp_path)), "nsdata")
     assert spark.conf.get(key) == "true"
+    spark.conf.unset(key)
 
 
 def test_partitioned_sorted_file_sink(spark, tmp_path):
