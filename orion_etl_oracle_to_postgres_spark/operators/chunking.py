@@ -84,3 +84,85 @@ def chunk_stats(chunks: DataFrame, id_col: str) -> DataFrame:
         .cast("int")
         .alias("last_chunk_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    budget: int = 2048,
+    n_shards: int = 32,
+    seed: str = "s0",
+) -> DataFrame:
+    """Sequence packing: group documents into training bins of at most
+    ``budget`` tokens (greedy next-fit), →
+    ``(id, n_tokens, shard, bin_id)``.
+
+    The step after chunking in a pretraining pipeline: short documents
+    are concatenated into fixed-budget sequences so padding waste stays
+    low. Greedy next-fit is inherently sequential (each bin decision
+    depends on the running fill), so the corpus is first cut into
+    ``n_shards`` deterministic shards — a portable md5 bucket of the id
+    (never partition-dependent), matching ``curation.hash_split`` — and
+    the sequential fold runs per shard, docs ordered by id. Bins never
+    cross shards; results are bit-stable across cluster sizes and
+    engines (the DuckDB oracle replays the same fold as a recursive
+    CTE).
+
+    Scale: the fold touches only ``(id, n_tokens)`` — 16 bytes a row —
+    via one Arrow-batched ``applyInPandas`` per shard; one shuffle by
+    shard. At 100 TB raise ``n_shards`` so a shard's id+count pairs fit
+    an executor (tokens themselves never shuffle). A document longer
+    than ``budget`` gets a bin of its own (never split, never dropped —
+    chunk upstream with ``chunk_by_tokens(window=budget)`` if hard caps
+    matter).
+    """
+    import pandas as pd
+
+    from ..functions import md5_hash60, token_count
+
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(f"budget/n_shards must be positive: {budget}/{n_shards}")
+
+    counted = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        (
+            md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+            % n_shards
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+
+    out_schema = (
+        f"{id_col} long, n_tokens long, shard int, bin_id long"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for tc in pdf["n_tokens"]:
+            if fills and fill + tc > budget:
+                bin_id += 1
+                fill = 0
+            fill += tc
+            fills.append(fill)
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[[id_col, "n_tokens", "shard", "bin_id"]]
+
+    return counted.groupBy("shard").applyInPandas(fold, out_schema)
+
+
+def pack_stats(packed: DataFrame, *, budget: int) -> DataFrame:
+    """Per-bin accounting over ``pack_sequences`` output →
+    ``(shard, bin_id, n_docs, fill, utilization)`` — the waste report
+    that decides whether the budget/shard settings are right."""
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("fill"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("utilization"),
+    )

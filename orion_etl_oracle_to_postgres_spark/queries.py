@@ -2611,3 +2611,81 @@ def window_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS n_orders_30d""",
     )
+
+
+_PACK_ORACLE_CTE = (
+    """
+    WITH RECURSIVE pdocs AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST("""
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':pack0')")
+    + """ % 8 AS INT) AS shard
+      FROM documents
+    ),
+    pseq AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM pdocs
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM pseq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN p.fill + s.n_tokens > 512
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + s.n_tokens > 512
+                  THEN s.n_tokens ELSE p.fill + s.n_tokens END
+      FROM packed p JOIN pseq s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+"""
+)
+
+
+@query(
+    "pack_training_sequences",
+    _PACK_ORACLE_CTE
+    + """
+    SELECT doc_id, n_tokens, shard, bin_id FROM packed
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/chunking.py:pack_sequences): greedy
+    next-fit of documents into 512-token training bins within 8
+    deterministic md5 shards. The sequential fold is replayed verbatim
+    by the oracle's recursive CTE, so every bin assignment is
+    bit-checked. Only (id, token-count) pairs ever shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.chunking import pack_sequences
+
+    return pack_sequences(
+        d, "text", "doc_id", budget=512, n_shards=8, seed="pack0"
+    )
+
+
+@query(
+    "pack_bin_stats",
+    _PACK_ORACLE_CTE
+    + """
+    SELECT shard, bin_id,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS fill,
+           round(sum(n_tokens) / 512.0, 6) AS utilization
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-level packing report (operators/chunking.py:pack_stats):
+    docs per bin, token fill, and utilization against the 512 budget —
+    the waste metric that tunes budget/shard settings before a 100 TB
+    packing run."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.chunking import pack_sequences, pack_stats
+
+    packed = pack_sequences(
+        d, "text", "doc_id", budget=512, n_shards=8, seed="pack0"
+    )
+    return pack_stats(packed, budget=512)

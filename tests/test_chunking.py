@@ -71,3 +71,62 @@ def test_chunking_plan_has_no_exchange(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     plan = chunk_by_tokens(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _pack(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from orion_etl_oracle_to_postgres_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(df, "text", "doc_id", **kw)
+
+
+def test_pack_greedy_next_fit_semantics(spark):
+    # one shard so the fold order is just doc_id order; budget 5 tokens
+    rows = [
+        (1, "a b c"),        # 3 tokens -> bin 0 (fill 3)
+        (2, "d e"),          # 2 tokens -> bin 0 (fill 5, exactly budget)
+        (3, "f"),            # 1 token  -> bin 1 (5+1 > 5)
+        (4, "g h i j k l"),  # 6 tokens, oversize -> bin 2 alone
+        (5, "m"),            # 1 token  -> bin 3 (6+1 > 5)
+    ]
+    out = {r["doc_id"]: r["bin_id"] for r in _pack(spark, rows, budget=5, n_shards=1).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_pack_deterministic_across_partitioning(spark):
+    rows = [(i, "tok " * (1 + i % 7)) for i in range(60)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(13)
+    df8 = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+    from orion_etl_oracle_to_postgres_spark.operators.chunking import pack_sequences
+
+    a = sorted(map(tuple, pack_sequences(df1, "text", "doc_id", budget=16, n_shards=4).collect()))
+    b = sorted(map(tuple, pack_sequences(df8, "text", "doc_id", budget=16, n_shards=4).collect()))
+    assert a == b and len(a) == 60
+
+
+def test_pack_budget_respected_except_oversize(spark):
+    rows = [(i, "w " * (1 + (i * 37) % 11)) for i in range(80)]
+    from orion_etl_oracle_to_postgres_spark.operators.chunking import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_sequences(df, "text", "doc_id", budget=12, n_shards=3)
+    stats = pack_stats(packed, budget=12).collect()
+    # every doc here is <= 11 tokens < budget, so every bin obeys it
+    assert all(r["fill"] <= 12 for r in stats)
+    # bins are reasonably full: waste only when the next doc didn't fit
+    assert all(r["n_docs"] >= 1 for r in stats)
+
+
+def test_pack_rejects_bad_params(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _pack(spark, [(1, "a")], budget=0)
+    with _pt.raises(ValueError):
+        _pack(spark, [(1, "a")], n_shards=0)
