@@ -514,3 +514,112 @@ def ivf_train(
             .localCheckpoint()
         )
     return cent
+
+
+def _first_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row — a single-row driver probe
+    (same class as the JDBC bounds probe), used once per plan build."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(f"cannot infer dim: {vec_col!r} has no rows")
+    return int(row["d"])
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN join (retrieval): for EVERY query vector, the top-k
+    most-cosine-similar corpus vectors →
+    ``(query_id, neighbor_id, cosine_sim, rank)``.
+
+    The many-queries generalization of ``cosine_topk_query`` — the
+    shape behind retrieval-augmented dataset construction, eval-set
+    mining, and hard-negative sampling. Exact scoring: the query side
+    is broadcast (queries ≪ corpus is the working assumption — guard
+    upstream if not), every corpus partition scores all queries
+    locally, and the per-query top-k uses ``row_number() <= k`` which
+    Spark executes with a map-side WindowGroupLimit: each scan
+    partition forwards at most k candidates per query, so the one
+    shuffle carries O(queries × k × partitions) rows — never the
+    |Q|×|C| score matrix. Self-matches are NOT excluded (a query table
+    disjoint from the corpus has none; filter afterwards when querying
+    the corpus against itself).
+
+    Ties break on rounded similarity then neighbor id, so ranks are
+    deterministic and engine-portable (round-before-rank, same as the
+    DuckDB oracle).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """ANN variant of ``knn_join``: both sides are sign-LSH bucketed by
+    the SAME deterministic hyperplanes and candidates come from an
+    equi-join on the bucket — per-query work shrinks from |corpus| to
+    the bucket occupancy (~|corpus| / 2^n_planes for centered data).
+    Recall is approximate (a true neighbor in another bucket is
+    missed; queries may return fewer than k rows); raise recall with
+    fewer planes or by unioning several plane families. At 100 TB the
+    corpus side can be written bucketed/partitioned by ``__bk`` so the
+    probe prunes partitions instead of shuffling.
+    """
+    planes = make_planes(_first_dim(corpus, corpus_vec), n_planes, seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    ).withColumn("__bk", hyperplane_signature(F.col("__qv"), planes))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    ).withColumn("__bk", hyperplane_signature(F.col("__cv"), planes))
+    scored = c.join(F.broadcast(q), "__bk").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

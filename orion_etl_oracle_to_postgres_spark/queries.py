@@ -2689,3 +2689,62 @@ def pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", budget=512, n_shards=8, seed="pack0"
     )
     return pack_stats(packed, budget=512)
+
+
+@query(
+    "emb_knn_join",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 53 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(cv, qv), 6) AS cosine_sim
+          FROM q, c)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (similarity.knn_join): every 53rd vector as the
+    query set, exact top-5 corpus neighbors each. Queries broadcast;
+    the row_number()<=k filter runs as a map-side WindowGroupLimit so
+    the only shuffle carries O(queries × k) candidates per scan
+    partition — the |Q|×|C| score matrix never materializes."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    return similarity.knn_join(q, e, k=5)
+
+
+def _knn_lsh_sql(n_planes: int = 6, k: int = 5) -> str:
+    planes = similarity.make_planes(_EMB_DIM, n_planes, seed=42)
+    sig = _sig_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS s FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, s FROM sig WHERE vec_id % 53 = 0),
+    cand AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
+             FROM q JOIN sig c ON c.s = q.s)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+@query("emb_knn_join_lsh", _knn_lsh_sql())
+def emb_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN batch retrieval (similarity.knn_join_lsh): both sides
+    bucketed by the same deterministic hyperplanes, candidates from the
+    bucket equi-join only — per-query cost drops from |corpus| to
+    bucket occupancy, and a bucketed/partitioned corpus layout turns
+    the probe into partition pruning at 100 TB. The oracle replicates
+    bucket membership exactly, so recall differences are impossible."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    return similarity.knn_join_lsh(q, e, k=5, n_planes=6)

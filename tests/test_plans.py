@@ -239,3 +239,21 @@ def test_gapfill_grid_join_stays_small_side(spark, sf):
     and never re-shuffled raw."""
     plan = plan_of(q.QUERIES["agg_events_gapfill"](spark, sf))
     assert "NestedLoop" not in plan
+
+
+def test_knn_join_is_group_limited_broadcast(spark, sf):
+    """The exact k-NN join must broadcast the query side (the corpus
+    never shuffles raw vectors) and run the per-query top-k as a
+    map-side WindowGroupLimit, so the one shuffle carries at most
+    k candidates per query per scan partition."""
+    plan = plan_of(q.QUERIES["emb_knn_join"](spark, sf))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_join_lsh_is_bucket_equi_join(spark, sf):
+    """The ANN variant must candidate via a hash equi-join on the LSH
+    bucket — never a nested-loop over the full corpus."""
+    plan = plan_of(q.QUERIES["emb_knn_join_lsh"](spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert "WindowGroupLimit" in plan

@@ -224,3 +224,48 @@ def test_ivf_train_recovers_blob_structure(spark):
     for b in range(3):
         ids = [i for i in range(90) if i % 3 == b]
         assert len({assign[i] for i in ids}) == 1
+
+
+def test_knn_join_matches_numpy(spark):
+    import numpy as np
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import knn_join
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id < 3")
+    out = knn_join(q, df, k=4)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qi in range(3):
+        order = sorted(range(40), key=lambda j: (-round(sims[qi, j], 6), j))
+        for rank, j in enumerate(order[:4], start=1):
+            assert got[(qi, rank)] == j
+
+
+def test_knn_join_lsh_subset_of_exact_per_bucket(spark):
+    """Every LSH result must also be an exact-scoring result computed
+    over the SAME candidate bucket (precision 1 within candidates)."""
+    import numpy as np
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        knn_join,
+        knn_join_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id % 20 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in knn_join(q, df, k=60).collect()
+    }
+    for r in knn_join_lsh(q, df, k=5, n_planes=3).collect():
+        # sim values must agree with the exact join wherever both exist
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
