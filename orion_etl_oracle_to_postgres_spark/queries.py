@@ -2748,3 +2748,30 @@ def emb_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 53 == 0)
     return similarity.knn_join_lsh(q, e, k=5, n_planes=6)
+
+
+@query(
+    "text_vocab_topk_pruned",
+    # the SAME oracle as text_vocab_topk: the pruned path must give the
+    # bit-identical exact answer or raise — never a different answer
+    """
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def text_vocab_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-50 vocabulary via the BOUNDED-SHUFFLE path
+    (operators/freq.py:heavy_hitters_exact): per-partition Misra-Gries
+    candidates, broadcast semi-join recount, and a proof gate that
+    raises rather than return an unproven answer. Same oracle as
+    text_vocab_topk — the scale formulation must match the plain
+    aggregate bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+    from .operators.freq import heavy_hitters_exact
+
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    return heavy_hitters_exact(toks, "token", k=50, counters=4096)
