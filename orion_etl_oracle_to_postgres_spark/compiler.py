@@ -40,7 +40,12 @@ from . import registry
 from .operators.automap import auto_map, reconcile
 from .operators.lookups import external_lookup, self_lookup
 from .operators.transforms import apply_transform_chain
-from .operators.validations import ErrorCheck, apply_validations, run_error_checks
+from .operators.validations import (
+    ErrorCheck,
+    apply_validations,
+    run_error_checks,
+    split_quarantine,
+)
 from .sinks import resolve_sink
 from .sources import resolve_source
 from .spec import GlobalSpec, JobSpec, LookupSpec, MappingSpec, TableSpec
@@ -57,6 +62,8 @@ class CompiledTable:
     error_checks: list[ErrorCheck] = field(default_factory=list)
     #: advance the high-water mark — call ONLY after a successful write
     incremental_commit: Optional[Callable[[], None]] = None
+    #: rows rejected by ``on_fail: quarantine`` rules (with labels), or None
+    quarantine: Optional[DataFrame] = None
 
 
 class JobContext:
@@ -370,6 +377,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             continue
         df = vplugin(df, ctx)
 
+    # 5c'. split off quarantined rows (on_fail: quarantine) BEFORE dedup
+    # and self-lookups: rejects are audit rows, not pipeline rows
+    df, quarantine_df = split_quarantine(df)
+
     # 5c. declarative dedup of the outgoing rows (engine extension,
     # SURVEY.md §2.11) — after transforms/validations so the key is the
     # FINAL shape, before self-lookups so the join sees the survivor
@@ -387,6 +398,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         df=df,
         error_checks=checks,
         incremental_commit=incremental_commit,
+        quarantine=quarantine_df,
     )
 
 
@@ -452,6 +464,7 @@ def run_table(
 
     if loader is not None:
         loader(out, ctx, spec)
+        _write_quarantine(ctx, spec, compiled)
         if compiled.incremental_commit is not None:
             compiled.incremental_commit()
         _run_finalize_hooks(ctx, spec)  # reference runs finalize after EVERY load path
@@ -471,10 +484,37 @@ def run_table(
             else {"batchsize": min(ctx.global_spec.batch_size, 10000)}
         ),
     )
+    _write_quarantine(ctx, spec, compiled)
     if compiled.incremental_commit is not None:
         compiled.incremental_commit()
     _run_finalize_hooks(ctx, spec)
     return out
+
+
+def _write_quarantine(
+    ctx: JobContext, spec: TableSpec, compiled: CompiledTable
+) -> None:
+    """Write rows rejected by ``on_fail: quarantine`` rules to
+    ``spec.quarantine_table`` through the same sink machinery as the
+    main output. Without a configured table the rejects are dropped
+    (quarantine degrades to skip) — warn, because the user asked for an
+    audit trail they aren't getting."""
+    if compiled.quarantine is None:
+        return
+    if not spec.quarantine_table:
+        logger.warning(
+            "%s: quarantine rules fired but no quarantine_table is "
+            "configured — rejected rows are dropped without audit",
+            spec.target_table,
+        )
+        return
+    resolve_sink(
+        compiled.quarantine,
+        ctx.global_spec.connectors,
+        spec.quarantine_table,
+        spec.target_schema if ctx.global_spec.connectors.target_files is None else None,
+        mode=spec.write_mode,
+    )
 
 
 def _run_finalize_hooks(ctx: JobContext, spec: TableSpec) -> None:

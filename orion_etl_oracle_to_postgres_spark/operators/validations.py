@@ -45,6 +45,10 @@ from ..spec import ValidationSpec
 
 logger = logging.getLogger(__name__)
 
+#: staging column carrying the labels of quarantine rules a row failed;
+#: ``split_quarantine`` consumes it at the end of the validation stage
+QUARANTINE_COL = "_quarantine_rules"
+
 # "min-max" where min may be negative: split on the dash that separates
 # two numbers (reference uses a plain split("-", 1); we keep its behavior
 # for non-negative mins and extend to negative bounds).
@@ -126,6 +130,22 @@ def _apply_policy(
         return df.withColumn(
             target, F.when(violated, default_lit).otherwise(F.col(target))
         )
+    if on_fail == "quarantine":
+        # [engine extension] tag, don't drop: the row leaves the main
+        # output at split_quarantine() and lands in the reject sink with
+        # every failed rule labeled. One pass — no side-branch rescan of
+        # the source per rule. Later rules still see (and may further
+        # label) the row; its rewrites are moot since the row is leaving.
+        if QUARANTINE_COL not in df.columns:
+            df = df.withColumn(QUARANTINE_COL, F.array().cast("array<string>"))
+        label = F.lit(f"{rule_type}:{target}")
+        return df.withColumn(
+            QUARANTINE_COL,
+            F.when(
+                F.coalesce(violated, F.lit(False)),
+                F.array_union(F.col(QUARANTINE_COL), F.array(label)),
+            ).otherwise(F.col(QUARANTINE_COL)),
+        )
     # anything else → fail-fast error
     checks.append(
         ErrorCheck(
@@ -204,7 +224,11 @@ def _apply_lookup_validation(
             F.col("__vk").isNotNull() | F.col(target).isNull()
         ).drop("__vk")
 
-    if on_fail is not None and not on_fail.startswith("default:"):
+    if (
+        on_fail is not None
+        and on_fail != "quarantine"
+        and not on_fail.startswith("default:")
+    ):
         # fail-fast: anti-join count, checked eagerly here (the deferred
         # ErrorCheck protocol can't reference the probe join's marker
         # column after it is dropped)
@@ -224,6 +248,23 @@ def _apply_lookup_validation(
     missing = F.col(target).isNotNull() & F.col("__vk").isNull()
     out = _apply_policy(joined, target, missing, on_fail, "lookup", checks)
     return out.drop("__vk")
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, Optional[DataFrame]]:
+    """Split the validation stage's output into (clean rows, quarantined
+    rows). Quarantined rows keep every pipeline column plus
+    ``_quarantine_rules`` (comma-joined labels of all rules they
+    failed, in declaration order — a plain string so any sink, JDBC
+    included, can store it). Returns ``(df, None)`` when no quarantine
+    rule exists in the plan. The two outputs share the plan prefix —
+    with a persisted/checkpointed upstream they cost one scan total."""
+    if QUARANTINE_COL not in df.columns:
+        return df, None
+    clean = df.filter(F.size(QUARANTINE_COL) == 0).drop(QUARANTINE_COL)
+    quarantined = df.filter(F.size(QUARANTINE_COL) > 0).withColumn(
+        QUARANTINE_COL, F.array_join(F.col(QUARANTINE_COL), ",")
+    )
+    return clean, quarantined
 
 
 def run_error_checks(df: DataFrame, checks: list[ErrorCheck]) -> None:

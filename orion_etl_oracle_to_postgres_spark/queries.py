@@ -2775,3 +2775,85 @@ def text_vocab_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
     return heavy_hitters_exact(toks, "token", k=50, counters=4096)
+
+
+def _quarantine_spec() -> TableSpec:
+    return TableSpec(
+        source_table="customer",
+        target_table="customer_q",
+        quarantine_table="customer_rejects",
+        mappings=[
+            MappingSpec(source="c_custkey", target="cust_id"),
+            MappingSpec(
+                source="c_mktsegment",
+                target="segment",
+                transform="lower",
+                validation=[
+                    ValidationSpec(
+                        type="regex",
+                        pattern="(building|machinery)",
+                        on_fail="quarantine",
+                    )
+                ],
+            ),
+            MappingSpec(
+                source="c_acctbal",
+                target="balance",
+                validation=[
+                    ValidationSpec(
+                        type="range", pattern="0-5000", on_fail="quarantine"
+                    )
+                ],
+            ),
+        ],
+    )
+
+
+@query(
+    "etl_validation_quarantine_clean",
+    """
+    SELECT c_custkey AS cust_id,
+           lower(c_mktsegment) AS segment,
+           c_acctbal AS balance
+    FROM customer
+    WHERE NOT (c_mktsegment IS NOT NULL
+               AND NOT regexp_matches(lower(c_mktsegment), '^(building|machinery)'))
+      AND NOT (c_acctbal IS NOT NULL AND c_acctbal NOT BETWEEN 0 AND 5000)
+    """,
+)
+def etl_validation_quarantine_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] ``on_fail: quarantine``: the MAIN output —
+    rows failing any quarantine rule are diverted, not silently
+    dropped. Tag-then-split keeps it one pass (no per-rule rescan)."""
+    ctx = _ctx(spark, sf_dir)
+    compiled = compile_table(ctx, _quarantine_spec())
+    return compiled.df
+
+
+@query(
+    "etl_validation_quarantine_rows",
+    """
+    SELECT c_custkey AS cust_id,
+           lower(c_mktsegment) AS segment,
+           c_acctbal AS balance,
+           concat_ws(',',
+             CASE WHEN c_mktsegment IS NOT NULL
+                       AND NOT regexp_matches(lower(c_mktsegment), '^(building|machinery)')
+                  THEN 'regex:segment' END,
+             CASE WHEN c_acctbal IS NOT NULL AND c_acctbal NOT BETWEEN 0 AND 5000
+                  THEN 'range:balance' END) AS _quarantine_rules
+    FROM customer
+    WHERE (c_mktsegment IS NOT NULL
+           AND NOT regexp_matches(lower(c_mktsegment), '^(building|machinery)'))
+       OR (c_acctbal IS NOT NULL AND c_acctbal NOT BETWEEN 0 AND 5000)
+    """,
+)
+def etl_validation_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] The QUARANTINE side of the same pipeline:
+    every rejected row with the comma-joined labels of ALL rules it
+    failed (declaration order) — the audit trail ``on_fail: skip``
+    throws away. Written to ``quarantine_table`` by ``run_table``."""
+    ctx = _ctx(spark, sf_dir)
+    compiled = compile_table(ctx, _quarantine_spec())
+    assert compiled.quarantine is not None
+    return compiled.quarantine

@@ -106,6 +106,8 @@ class ValidationSpec(BaseModel):
     type: str  # regex | range | lookup
     pattern: Optional[str] = None
     lookup: Optional[LookupSpec] = None
+    #: None | skip | default:<v> | quarantine (engine extension: divert
+    #: the row to TableSpec.quarantine_table with rule labels) | error
     on_fail: Optional[str] = None
 
 
@@ -190,6 +192,10 @@ class TableSpec(BaseModel):
     sort_by: Optional[List[str]] = None
     #: declarative dedup of the outgoing rows (exact | fingerprint)
     dedup: Optional[DedupSpec] = None
+    #: where rows rejected by ``on_fail: quarantine`` validation rules
+    #: are written (same connector as the target); None drops them with
+    #: a warning
+    quarantine_table: Optional[str] = None
 
 
 class GlobalSpec(BaseModel):

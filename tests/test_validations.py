@@ -157,3 +157,85 @@ def test_error_checks_run_before_write(spark):
     assert len(checks) == 1
     with pytest.raises(RuntimeError, match="2 violating rows"):
         run_error_checks(out, checks)
+
+
+# ------------------------------------------------------------ quarantine
+
+
+def _quar_job(spark, tmp_path, quarantine_table="rejects"):
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        TableSpec,
+        ValidationSpec,
+    )
+
+    src = tmp_path / "src"
+    rows = [
+        (1, "AA", 10.0),   # clean
+        (2, "xx", 20.0),   # regex reject
+        (3, "BB", -5.0),   # range reject
+        (4, "yy", 999.0),  # both rules
+    ]
+    spark.createDataFrame(rows, ["id", "code", "val"]).write.parquet(
+        str(src / "t.parquet")
+    )
+    conns = ConnectorsSpec(
+        source_files=FilesConnectorSpec(base_path=str(src)),
+        target_files=FilesConnectorSpec(base_path=str(tmp_path / "out")),
+    )
+    ctx = JobContext(spark, GlobalSpec(connectors=conns))
+    spec = TableSpec(
+        source_table="t",
+        target_table="t_clean",
+        quarantine_table=quarantine_table,
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(
+                source="code",
+                target="code",
+                validation=[
+                    ValidationSpec(type="regex", pattern="[A-Z]+", on_fail="quarantine")
+                ],
+            ),
+            MappingSpec(
+                source="val",
+                target="val",
+                validation=[
+                    ValidationSpec(type="range", pattern="0-100", on_fail="quarantine")
+                ],
+            ),
+        ],
+    )
+    run_table(ctx, spec)
+    return tmp_path / "out"
+
+
+def test_quarantine_splits_and_writes_both_outputs(spark, tmp_path):
+    out = _quar_job(spark, tmp_path)
+    clean = spark.read.parquet(str(out / "t_clean")).collect()
+    assert sorted(r["id"] for r in clean) == [1]
+    rej = {r["id"]: r["_quarantine_rules"] for r in
+           spark.read.parquet(str(out / "rejects")).collect()}
+    assert rej == {
+        2: "regex:code",
+        3: "range:val",
+        4: "regex:code,range:val",  # every failed rule, declaration order
+    }
+    # quarantine rows keep the full pipeline schema + the label column
+    cols = set(spark.read.parquet(str(out / "rejects")).columns)
+    assert cols == {"id", "code", "val", "_quarantine_rules"}
+
+
+def test_quarantine_without_sink_degrades_to_skip(spark, tmp_path, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        out = _quar_job(spark, tmp_path, quarantine_table=None)
+    clean = spark.read.parquet(str(out / "t_clean")).collect()
+    assert sorted(r["id"] for r in clean) == [1]
+    assert not (out / "rejects").exists()
+    assert any("quarantine" in r.message for r in caplog.records)
