@@ -1,0 +1,72 @@
+"""Small-file compaction: row preservation, layout, swap safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.sinks.maintenance import (
+    compact_dataset,
+    dataset_bytes,
+)
+
+
+def test_compact_merges_small_files_preserving_rows(spark, tmp_path):
+    path = str(tmp_path / "shattered")
+    spark.range(0, 10_000).repartition(64).write.parquet(path)
+    before = spark.read.parquet(path)
+    assert len(before.inputFiles()) == 64
+    rows_before = sorted(r["id"] for r in before.collect())
+
+    stats = compact_dataset(spark, path, target_file_mb=512)
+    after = spark.read.parquet(path)
+    assert stats["files_before"] == 64
+    assert stats["files_out"] < 64
+    assert len(after.inputFiles()) == stats["files_out"]
+    assert sorted(r["id"] for r in after.collect()) == rows_before
+    # no leftover staging/backup dirs
+    assert not (tmp_path / "shattered.__compact").exists()
+    assert not (tmp_path / "shattered.__old").exists()
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    path = str(tmp_path / "parts")
+    (
+        spark.range(0, 2_000)
+        .withColumn("p", (F.col("id") % 3).cast("int"))
+        .repartition(24)
+        .write.partitionBy("p")
+        .parquet(path)
+    )
+    compact_dataset(spark, path, target_file_mb=512, partition_by=["p"])
+    after = spark.read.parquet(path)
+    assert sorted(r["p"] for r in after.select("p").distinct().collect()) == [0, 1, 2]
+    assert after.count() == 2_000
+    # hive layout survived: partition dirs exist, files are partition-pure
+    assert (tmp_path / "parts" / "p=0").exists()
+
+
+def test_compact_sorted_runs(spark, tmp_path):
+    path = str(tmp_path / "sorted")
+    spark.range(0, 5_000).select(
+        (F.col("id") * 37 % 5000).alias("k"), F.col("id")
+    ).repartition(32).write.parquet(path)
+    compact_dataset(spark, path, target_file_mb=512, sort_by=["k"])
+    # every output file holds a contiguous sorted k-run
+    import pyarrow.parquet as pq
+
+    files = spark.read.parquet(path).inputFiles()
+    for f in files:
+        ks = pq.read_table(f.replace("file:", "")).column("k").to_pylist()
+        assert ks == sorted(ks)
+
+
+def test_compact_missing_path_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        compact_dataset(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError):
+        compact_dataset(spark, str(tmp_path), target_file_mb=0)
+
+
+def test_dataset_bytes_counts(spark, tmp_path):
+    path = str(tmp_path / "b")
+    spark.range(0, 1000).write.parquet(path)
+    assert dataset_bytes(spark, path) > 0
