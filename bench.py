@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "agg_regional_supplier_revenue",  # Q5-shaped six-way broadcast-dim join
     "scd2_customer_balances",  # SCD2 versioned-dimension merge
     "dedup_incremental_batch",  # new-drop anti-join vs history fingerprints
+    "pack_training_sequences",  # greedy next-fit sequence packing, md5-sharded
+    "emb_knn_join_lsh",  # batch ANN retrieval: bucket equi-join + group limit
+    "text_vocab_topk_pruned",  # exact heavy hitters, bounded shuffle + proof gate
 ]
 
 
