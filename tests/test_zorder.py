@@ -1,0 +1,81 @@
+"""Z-order clustering: pruning power vs linear sort, key correctness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.sinks.zorder import zorder_key, zorder_write
+
+
+def _xy(spark, n=40_000):
+    # two independent uniform columns derived from hashes
+    return spark.range(n).select(
+        F.col("id"),
+        (F.abs(F.xxhash64("id")) % 1000).alias("x"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 1000).alias("y"),
+    )
+
+
+def _files_intersecting(files, col, lo, hi):
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in files:
+        md = pq.ParquetFile(f.replace("file:", "")).metadata
+        idx = md.schema.to_arrow_schema().names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if min(mins) <= hi and max(maxs) >= lo:
+            n += 1
+    return n
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    df = _xy(spark)
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(lin)
+    )
+    zorder_write(df, zo, ["x", "y"], n_files=16)
+
+    lin_files = spark.read.parquet(lin).inputFiles()
+    zo_files = spark.read.parquet(zo).inputFiles()
+    assert len(zo_files) == 16
+
+    # x-box: both layouts prune
+    assert _files_intersecting(lin_files, "x", 100, 150) <= 3
+    assert _files_intersecting(zo_files, "x", 100, 150) <= 8
+    # y-box: linear sort can't prune at all; z-order must
+    lin_y = _files_intersecting(lin_files, "y", 100, 150)
+    zo_y = _files_intersecting(zo_files, "y", 100, 150)
+    assert lin_y == 16
+    assert zo_y < lin_y
+
+    # layout change must not change the data
+    assert (
+        sorted(r["id"] for r in spark.read.parquet(zo).collect())
+        == sorted(r["id"] for r in df.collect())
+    )
+
+
+def test_zorder_key_orders_quadrants(spark):
+    # the Morton curve visits quadrants in (low,low) (high,low)
+    # (low,high) (high,high) order for 2 columns x 1 bit
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)], ["x", "y"]
+    )
+    out = df.withColumn("z", zorder_key(df, ["x", "y"], bits=1)).collect()
+    z = {(r["x"], r["y"]): r["z"] for r in out}
+    assert z[(0.0, 0.0)] < z[(1.0, 0.0)] < z[(0.0, 1.0)] < z[(1.0, 1.0)]
+
+
+def test_zorder_rejects_bad_args(spark):
+    df = _xy(spark, 10)
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x"])
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=40)
