@@ -39,6 +39,26 @@ def dataset_bytes(spark: SparkSession, path: str) -> int:
     return int(summary.getLength())
 
 
+def swap_dataset(spark: SparkSession, path: str, tmp: str) -> None:
+    """Replace the dataset at ``path`` with the one at ``tmp`` via two
+    renames (move aside, move in, delete old) with rollback — the
+    original survives any failure before the final rename pair.
+    ``tmp`` must be on the same filesystem as ``path``."""
+    fs, jpath = _fs_and_path(spark, path)
+    jvm = spark.sparkContext._jvm
+    old = path.rstrip("/") + ".__old"
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"swap failed: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)  # roll back so the dataset is never missing
+        raise IOError(f"swap failed: could not move {tmp} into place")
+    fs.delete(jold, True)
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
@@ -87,30 +107,105 @@ def compact_dataset(
         staged = staged.sortWithinPartitions(*sort_by)
 
     tmp = path.rstrip("/") + ".__compact"
-    old = path.rstrip("/") + ".__old"
-    jvm = spark.sparkContext._jvm
-    for stale in (tmp, old):
-        sp = jvm.org.apache.hadoop.fs.Path(stale)
-        if fs.exists(sp):
-            fs.delete(sp, True)
-
     writer = staged.write.mode("overwrite").format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(tmp)
 
     files_out = len(spark.read.format(fmt).load(tmp).inputFiles())
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    jold = jvm.org.apache.hadoop.fs.Path(old)
-    if not fs.rename(jpath, jold):
-        raise IOError(f"compact swap failed: could not move {path} aside")
-    if not fs.rename(jtmp, jpath):
-        # roll back so the dataset is never missing
-        fs.rename(jold, jpath)
-        raise IOError(f"compact swap failed: could not move {tmp} into place")
-    fs.delete(jold, True)
+    swap_dataset(spark, path, tmp)
     logger.info(
         "compacted %s: %d files -> %d (%.1f MiB total)",
         path, files_before, files_out, total / 1048576,
     )
     return {"bytes": total, "files_before": files_before, "files_out": files_out}
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """MERGE for plain file datasets: rows at ``path`` whose key matches
+    an update row are replaced, new keys are inserted — the upsert that
+    transactional formats spell ``MERGE INTO``, built from an anti-join
+    plus a rewrite.
+
+    Scale shape: with ``partition_by`` (the dataset's hive layout), only
+    the partitions that CONTAIN updates are read and rewritten — the
+    update's distinct partition values (collected; updates are the
+    small side by assumption) prune the target scan, untouched
+    partition directories are never opened, and the per-partition swap
+    is a directory rename. Without ``partition_by`` the whole dataset
+    rewrites through the same staging+swap as ``compact_dataset`` —
+    correct, but full-scan; partition a 100 TB target.
+
+    Duplicate keys WITHIN ``updates`` are an error (last-writer wins is
+    nondeterministic under shuffles — pre-aggregate instead).
+    Returns ``{"updated_partitions": n or None, "upserts": n_rows}``.
+    """
+    target = spark.read.format(fmt).load(path)
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: target {sorted(target.columns)} vs "
+            f"updates {sorted(updates.columns)}"
+        )
+    dup = (
+        updates.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError("updates contain duplicate keys — pre-aggregate first")
+    n_up = updates.count()
+
+    if partition_by:
+        pvals = [
+            tuple(r[c] for c in partition_by)
+            for r in updates.select(*partition_by).distinct().collect()
+        ]
+        cond = None
+        for vals in pvals:
+            eq = F.lit(True)
+            for c, v in zip(partition_by, vals):
+                eq = eq & (F.col(c) == F.lit(v))
+            cond = eq if cond is None else (cond | eq)
+        affected = target.filter(cond)  # partition-pruned scan
+        merged = affected.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+        tmp = path.rstrip("/") + ".__merge"
+        (
+            merged.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .format(fmt)
+            .save(tmp)
+        )
+        # swap only the affected partition directories
+        fs, _ = _fs_and_path(spark, path)
+        jvm = spark.sparkContext._jvm
+        for vals in pvals:
+            rel = "/".join(f"{c}={v}" for c, v in zip(partition_by, vals))
+            src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{rel}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{rel}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if fs.exists(src) and not fs.rename(src, dst):
+                raise IOError(f"merge swap failed for partition {rel}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        return {"updated_partitions": len(pvals), "upserts": n_up}
+
+    merged = target.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(updates)
+    tmp = path.rstrip("/") + ".__merge"
+    merged.write.mode("overwrite").format(fmt).save(tmp)
+    swap_dataset(spark, path, tmp)
+    return {"updated_partitions": None, "upserts": n_up}

@@ -70,3 +70,66 @@ def test_dataset_bytes_counts(spark, tmp_path):
     path = str(tmp_path / "b")
     spark.range(0, 1000).write.parquet(path)
     assert dataset_bytes(spark, path) > 0
+
+
+# ------------------------------------------------------------- merge_upsert
+
+
+def _seed_target(spark, tmp_path, partitioned=False):
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import merge_upsert  # noqa: F401
+
+    path = str(tmp_path / "tgt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(100)], ["id", "val", "p"]
+    )
+    w = df.write
+    if partitioned:
+        w = w.partitionBy("p")
+    w.parquet(path)
+    return path
+
+
+def test_merge_upsert_full_rewrite(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import merge_upsert
+
+    path = _seed_target(spark, tmp_path)
+    ups = spark.createDataFrame(
+        [(5, "NEW5", 1), (200, "NEW200", 0)], ["id", "val", "p"]
+    )
+    stats = merge_upsert(spark, path, ups, ["id"])
+    assert stats == {"updated_partitions": None, "upserts": 2}
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 101 and got[5] == "NEW5" and got[200] == "NEW200"
+    assert got[6] == "v6"
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import merge_upsert
+
+    path = _seed_target(spark, tmp_path, partitioned=True)
+    before_files = {
+        p: sorted((tmp_path / "tgt" / f"p={p}").glob("*.parquet")) for p in range(4)
+    }
+    ups = spark.createDataFrame([(1, "NEW1", 1), (101, "NEW101", 1)], ["id", "val", "p"])
+    stats = merge_upsert(spark, path, ups, ["id"], partition_by=["p"])
+    assert stats == {"updated_partitions": 1, "upserts": 2}
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 101 and got[1] == "NEW1" and got[101] == "NEW101"
+    # untouched partitions keep their exact files (no rewrite happened)
+    for p in (0, 2, 3):
+        assert sorted((tmp_path / "tgt" / f"p={p}").glob("*.parquet")) == before_files[p]
+    assert not (tmp_path / "tgt.__merge").exists()
+
+
+def test_merge_upsert_rejects_dup_keys_and_schema_drift(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import merge_upsert
+
+    path = _seed_target(spark, tmp_path)
+    dup = spark.createDataFrame([(1, "a", 0), (1, "b", 0)], ["id", "val", "p"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, path, dup, ["id"])
+    drift = spark.createDataFrame([(1, "a")], ["id", "other"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, path, drift, ["id"])
