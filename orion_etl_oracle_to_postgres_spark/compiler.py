@@ -441,7 +441,7 @@ def run_table(
     compiled = compile_table(ctx, spec)
     run_error_checks(compiled.df, compiled.error_checks)
 
-    out = compiled.df
+    out = _align_for_append(ctx, spec, compiled.df)
     if observation is not None:
         out = out.observe(observation, F.count(F.lit(1)).alias("rows"))
 
@@ -489,6 +489,47 @@ def run_table(
         compiled.incremental_commit()
     _run_finalize_hooks(ctx, spec)
     return out
+
+
+def _align_for_append(
+    ctx: JobContext, spec: TableSpec, out: DataFrame
+) -> DataFrame:
+    """Write-side schema reconciliation (the append twin of the
+    read-side ``operators/automap.py`` drift healing): appending to an
+    existing target whose column set has drifted must not silently
+    write divergent files (parquet happily mixes schemas per file;
+    readers without mergeSchema then see whichever subset they sample).
+    Target-only columns are null-filled with the TARGET's type (warn);
+    pipeline-only columns are an error — widening a table is a
+    deliberate migration, not an append side effect. Columns are
+    emitted in target order (JDBC INSERT order safety)."""
+    if spec.write_mode != "append":
+        return out
+    try:
+        target = ctx._read_target(spec.target_table, spec.target_schema)
+    except Exception:  # noqa: BLE001 — same ladder as target_table_columns
+        return out  # first load: nothing to align with
+    tfields = {f.name: f.dataType for f in target.schema.fields}
+    extra = [c for c in out.columns if c not in tfields]
+    if extra:
+        raise RuntimeError(
+            f"{spec.target_table}: append would add columns {extra} the "
+            "target lacks — migrate the target schema explicitly instead"
+        )
+    missing = [c for c in tfields if c not in out.columns]
+    if missing:
+        logger.warning(
+            "%s: target columns %s absent from pipeline output — "
+            "null-filled for append",
+            spec.target_table,
+            missing,
+        )
+    return out.select(
+        *[
+            F.col(c) if c in out.columns else F.lit(None).cast(tfields[c]).alias(c)
+            for c in target.schema.fieldNames()
+        ]
+    )
 
 
 def _write_quarantine(

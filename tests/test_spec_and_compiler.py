@@ -515,3 +515,80 @@ dedup:
         TableSpec.model_validate(
             {"source_table": "d", "target_table": "t", "dedup": {"method": "simhash"}}
         )
+
+
+# --------------------------------------------------- append schema alignment
+
+
+def _append_ctx(spark, tmp_path, src_rows, src_cols):
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(src_rows, src_cols).write.mode("overwrite").parquet(
+        str(src / "t.parquet")
+    )
+    conns = ConnectorsSpec(
+        source_files=FilesConnectorSpec(base_path=str(src)),
+        target_files=FilesConnectorSpec(base_path=str(tmp_path / "out")),
+    )
+    return JobContext(spark, GlobalSpec(connectors=conns))
+
+
+def test_append_nullfills_target_only_columns(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+    from orion_etl_oracle_to_postgres_spark.spec import MappingSpec, TableSpec
+
+    # seed the target with (id, a, b)
+    (tmp_path / "out").mkdir()
+    spark.createDataFrame([(1, "x", 10)], ["id", "a", "b"]).write.parquet(
+        str(tmp_path / "out" / "t2")
+    )
+    ctx = _append_ctx(spark, tmp_path, [(2, "y")], ["id", "a"])
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        write_mode="append",
+        mappings=[MappingSpec(source="id", target="id"), MappingSpec(source="a", target="a")],
+    )
+    run_table(ctx, spec)
+    got = {r["id"]: (r["a"], r["b"]) for r in spark.read.parquet(str(tmp_path / "out" / "t2")).collect()}
+    assert got == {1: ("x", 10), 2: ("y", None)}  # b null-filled, one schema
+
+
+def test_append_refuses_new_columns(spark, tmp_path):
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+    from orion_etl_oracle_to_postgres_spark.spec import MappingSpec, TableSpec
+
+    (tmp_path / "out").mkdir()
+    spark.createDataFrame([(1,)], ["id"]).write.parquet(str(tmp_path / "out" / "t2"))
+    ctx = _append_ctx(spark, tmp_path, [(2, "y")], ["id", "a"])
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        write_mode="append",
+        mappings=[MappingSpec(source="id", target="id"), MappingSpec(source="a", target="a")],
+    )
+    with _pt.raises(RuntimeError, match="append would add columns"):
+        run_table(ctx, spec)
+
+
+def test_append_first_load_passes_through(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+    from orion_etl_oracle_to_postgres_spark.spec import MappingSpec, TableSpec
+
+    ctx = _append_ctx(spark, tmp_path, [(1, "x")], ["id", "a"])
+    spec = TableSpec(
+        source_table="t",
+        target_table="fresh",
+        write_mode="append",
+        mappings=[MappingSpec(source="id", target="id"), MappingSpec(source="a", target="a")],
+    )
+    run_table(ctx, spec)
+    assert spark.read.parquet(str(tmp_path / "out" / "fresh")).count() == 1
