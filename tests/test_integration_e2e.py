@@ -1,0 +1,117 @@
+"""Kitchen-sink integration: one YAML job exercising where-pushdown,
+transforms, external lookup, quarantine validation, declarative dedup,
+and a hive-partitioned sink TOGETHER, driven through runner.main (the
+CLI path a real user runs). Feature interactions are the point — each
+stage is unit-tested alone elsewhere."""
+
+import textwrap
+
+from orion_etl_oracle_to_postgres_spark.runner import main
+
+
+def test_cli_job_with_all_stages(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    # source: events-like rows; dup ids for dedup; bad codes for quarantine
+    rows = [
+        # id, code,  nation_key, val
+        (1, " aa ", 0, 10.0),
+        (1, " aa ", 0, 10.0),   # exact dup of id 1 -> dedup drops one
+        (2, "bb",   1, 20.0),
+        (3, "??",   0, 30.0),   # regex reject -> quarantine
+        (4, "cc",   9, -1.0),   # range reject -> quarantine
+        (5, "dd",   2, 50.0),
+        (6, "ee",   3, 60.0),   # filtered by where (val >= 60)
+    ]
+    spark.createDataFrame(
+        rows, ["id", "code", "nation_key", "val"]
+    ).write.parquet(str(src / "t.parquet"))
+    spark.createDataFrame(
+        [(0, "ZERO"), (1, "ONE"), (2, "TWO"), (3, "THREE")], ["k", "name"]
+    ).write.parquet(str(src / "dim.parquet"))
+
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: t
+            target_table: t_clean
+            quarantine_table: t_rejects
+            where: "val < 60"
+            dedup: {method: exact, columns: [id], id_column: id}
+            partition_by: [nation]
+            mappings:
+              - source: id
+                target: id
+              - source: code
+                target: code
+                transform: strip,upper
+                validation:
+                  - type: regex
+                    pattern: "[A-Z]+"
+                    on_fail: quarantine
+              - source: val
+                target: val
+                validation:
+                  - type: range
+                    pattern: "0-100"
+                    on_fail: quarantine
+              - source: nation_key
+                target: nation
+                lookup:
+                  table: dim
+                  key_column: k
+                  value_column: name
+                  on_missing: default:UNKNOWN
+            """
+        )
+    )
+    rc = main(["--config", str(tmp_path / "config.yaml"), "--master", "local[4]"])
+    assert rc == 0
+
+    clean = {r["id"]: r for r in spark.read.parquet(str(out / "t_clean")).collect()}
+    # id6 where-filtered; 3,4 quarantined; 1 deduped to one row
+    assert sorted(clean) == [1, 2, 5]
+    assert clean[1]["code"] == "AA"            # strip+upper ran
+    assert clean[1]["nation"] == "ZERO"        # lookup hit
+    assert clean[4 if 4 in clean else 5]["nation"] == "TWO"
+    # partitioned layout on the looked-up column
+    assert (out / "t_clean" / "nation=ZERO").exists()
+
+    rej = {r["id"]: r["_quarantine_rules"] for r in
+           spark.read.parquet(str(out / "t_rejects")).collect()}
+    assert rej == {3: "regex:code", 4: "range:val"}
+    # quarantined row 4 still got its lookup default applied upstream
+    rej_rows = {r["id"]: r["nation"] for r in
+                spark.read.parquet(str(out / "t_rejects")).collect()}
+    assert rej_rows[4] == "UNKNOWN"
+
+
+def test_csv_and_json_sources_roundtrip(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.sources.files import read_file_table
+    from orion_etl_oracle_to_postgres_spark.spec import FilesConnectorSpec
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    df.write.option("header", "true").csv(str(tmp_path / "t.csv"))
+    df.write.json(str(tmp_path / "t.json"))
+
+    csv_back = read_file_table(
+        spark, FilesConnectorSpec(base_path=str(tmp_path), format="csv"), "t"
+    )
+    json_back = read_file_table(
+        spark, FilesConnectorSpec(base_path=str(tmp_path), format="json"), "t"
+    )
+    assert sorted((r["id"], r["s"]) for r in csv_back.collect()) == [(1, "a"), (2, "b")]
+    assert sorted((r["id"], r["s"]) for r in json_back.collect()) == [(1, "a"), (2, "b")]
