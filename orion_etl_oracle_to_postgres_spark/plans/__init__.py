@@ -24,14 +24,17 @@ def physical_plan(df: DataFrame) -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of *shuffle* Exchange operators in the physical plan
-    (BroadcastExchange doesn't count — broadcasts are the cheap path)."""
+    (BroadcastExchange doesn't count — broadcasts are the cheap path).
+    Counts node headers in the formatted plan's detail section —
+    ``(n) Exchange`` — because the partitioning arguments sit on their
+    own ``Arguments:`` line, not beside the node name."""
+    import re
+
     plan = formatted_plan(df)
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
-        and ("hashpartitioning" in line or "rangepartitioning" in line
-             or "RoundRobinPartitioning" in line or "SinglePartition" in line)
+        if re.match(r"^\(\d+\) Exchange\b", line.strip())
     )
 
 

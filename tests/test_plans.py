@@ -257,3 +257,17 @@ def test_knn_join_lsh_is_bucket_equi_join(spark, sf):
     plan = plan_of(q.QUERIES["emb_knn_join_lsh"](spark, sf))
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_count_exchanges_counts_shuffles_not_broadcasts(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.plans import count_exchanges
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"), "id")
+    assert count_exchanges(df) == 0
+    agg = df.groupBy("k").count()
+    assert count_exchanges(agg) >= 1
+    dim = spark.range(7).select(F.col("id").alias("k"))
+    bc = df.join(F.broadcast(dim), "k")
+    assert count_exchanges(bc) == 0  # broadcast is not a shuffle
