@@ -594,3 +594,91 @@ def test_stream_interval_join_refuses_batch_inputs(spark):
         stream_interval_join(
             df, df, "user_id", left_ts="a", right_ts="b", interval="1 MINUTE"
         )
+
+
+def test_windowed_counts_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: closed windows from the
+    stream equal the batch run over the ACCEPTED rows, and a row later
+    than the watermark is dropped (never re-opens an emitted window)."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    land = tmp_path / "win_land"
+    land.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    accepted = [
+        (t0 + dt.timedelta(minutes=5), "click", 1.0),
+        (t0 + dt.timedelta(minutes=20), "click", 2.0),
+        (t0 + dt.timedelta(minutes=40), "view", 3.0),
+        # in-watermark late row for hour-0 (arrives in batch 2)
+        (t0 + dt.timedelta(minutes=50), "click", 4.0),
+    ]
+    feed(accepted[:3])
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = windowed_event_counts(
+        stream, duration="1 hour", watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed([accepted[3]])  # late but within watermark: must count
+        q.processAllAvailable()
+        # advance watermark far past hour 0 so its windows close
+        feed([(t0 + dt.timedelta(days=1), "view", 0.5)])
+        q.processAllAvailable()
+        # WAY-late row for hour 0 — behind the watermark: must be dropped
+        feed([(t0 + dt.timedelta(minutes=59), "click", 100.0)])
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch run over the accepted rows is the oracle (same function)
+    batch = windowed_event_counts(
+        spark.createDataFrame(accepted, schema), duration="1 hour"
+    )
+    exp = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got[(t0, "click")] == exp[(t0, "click")] == (3, 7.0)
+    assert got[(t0, "view")] == exp[(t0, "view")] == (1, 3.0)
+    # the 100.0 row was dropped: hour-0 click window emitted exactly once
+    assert all(v[1] != 107.0 for v in got.values())
+
+
+def test_sliding_windows_multiply_membership(spark):
+    """Sliding windows: each event lands in duration/slide buckets —
+    checked on the batch path (identical plan to streaming)."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    df = spark.createDataFrame(
+        [(t0, "click", 1.0)], "ts timestamp, event_type string, value double"
+    )
+    out = windowed_event_counts(
+        df, duration="1 hour", slide="30 minutes"
+    ).collect()
+    assert len(out) == 2  # 00:00-01:00 and 00:30-01:30
