@@ -64,6 +64,9 @@ class CompiledTable:
     incremental_commit: Optional[Callable[[], None]] = None
     #: rows rejected by ``on_fail: quarantine`` rules (with labels), or None
     quarantine: Optional[DataFrame] = None
+    #: per-validation-rule violation counters — (label, Observation)
+    #: pairs riding the sink's own action; read AFTER the write
+    validation_metrics: list = field(default_factory=list)
 
 
 class JobContext:
@@ -361,8 +364,13 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         if r.validation
         for v in r.validation
     ]
+    vmetrics: list = []
     df, checks = apply_validations(
-        df, vrules, lookup_resolver=ctx.lookup_table, error_mode="collect"
+        df,
+        vrules,
+        lookup_resolver=ctx.lookup_table,
+        error_mode="collect",
+        metrics_out=vmetrics,
     )
 
     # 5b. table-level validation plugins (reference ValidationPlugin,
@@ -399,6 +407,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         error_checks=checks,
         incremental_commit=incremental_commit,
         quarantine=quarantine_df,
+        validation_metrics=vmetrics,
     )
 
 
@@ -485,6 +494,16 @@ def run_table(
         ),
     )
     _write_quarantine(ctx, spec, compiled)
+    # the write ran, so the observed counters are set — reading them is
+    # non-blocking ONLY after an action (custom-loader path skips this:
+    # a loader isn't obliged to execute the observed plan, and .get on
+    # an unexecuted Observation blocks forever)
+    for label, obs in compiled.validation_metrics:
+        n = obs.get.get("violations", 0) or 0
+        if n:
+            logger.warning(
+                "%s: validation %s — %d violating rows", spec.target_table, label, n
+            )
     if compiled.incremental_commit is not None:
         compiled.incremental_commit()
     _run_finalize_hooks(ctx, spec)

@@ -108,6 +108,30 @@ def violation_condition(
     return None
 
 
+def _observe_rule(
+    df: DataFrame,
+    label: str,
+    violated: Column,
+    metrics: Optional[list],
+) -> DataFrame:
+    """Attach a CollectMetrics accumulator counting this rule's
+    violations — the per-rule reject accounting the reference only has
+    as log lines (SURVEY.md §7.4.6). Free: the counter rides the sink's
+    own action, no second pass. ``metrics`` gets ``(label, Observation)``."""
+    if metrics is None:
+        return df
+    from pyspark.sql import Observation
+
+    obs = Observation(f"vrule_{len(metrics)}_{label}")
+    metrics.append((label, obs))
+    return df.observe(
+        obs,
+        F.sum(
+            F.when(F.coalesce(violated, F.lit(False)), 1).otherwise(0)
+        ).alias("violations"),
+    )
+
+
 def _apply_policy(
     df: DataFrame,
     target: str,
@@ -115,8 +139,10 @@ def _apply_policy(
     on_fail: Optional[str],
     rule_type: str,
     checks: list[ErrorCheck],
+    metrics: Optional[list] = None,
 ) -> DataFrame:
     """The on_fail ladder (ref :26-38)."""
+    df = _observe_rule(df, f"{rule_type}:{target}", violated, metrics)
     if on_fail is None:
         return df.withColumn(
             target, F.when(violated, F.lit(None)).otherwise(F.col(target))
@@ -163,13 +189,16 @@ def apply_validations(
     rules: list[tuple[str, ValidationSpec]],
     lookup_resolver: Optional[Callable[..., DataFrame]] = None,
     error_mode: str = "eager",
+    metrics_out: Optional[list] = None,
 ) -> tuple[DataFrame, list[ErrorCheck]]:
     """Apply ``[(target_column, rule), ...]`` in declared order.
 
     ``lookup_resolver(lookup_spec) -> DataFrame`` supplies dimension
     tables for ``type: lookup`` rules. Returns (df, pending error checks);
     with ``error_mode="eager"`` the checks already ran (and raised on
-    violation).
+    violation). Pass a list as ``metrics_out`` to receive
+    ``(rule_label, Observation)`` pairs counting each rule's violations
+    off the plan's own execution (read them AFTER an action ran).
     """
     checks: list[ErrorCheck] = []
     for target, rule in rules:
@@ -177,12 +206,16 @@ def apply_validations(
             logger.warning("validation target %r not in plan — skipped", target)
             continue
         if rule.type == "lookup" and rule.lookup is not None:
-            df = _apply_lookup_validation(df, target, rule, lookup_resolver, checks)
+            df = _apply_lookup_validation(
+                df, target, rule, lookup_resolver, checks, metrics_out
+            )
             continue
         violated = violation_condition(F.col(target), rule)
         if violated is None:
             continue
-        df = _apply_policy(df, target, violated, rule.on_fail, rule.type, checks)
+        df = _apply_policy(
+            df, target, violated, rule.on_fail, rule.type, checks, metrics_out
+        )
 
     if error_mode == "eager":
         run_error_checks(df, checks)
@@ -196,6 +229,7 @@ def _apply_lookup_validation(
     rule: ValidationSpec,
     lookup_resolver: Optional[Callable[..., DataFrame]],
     checks: list[ErrorCheck],
+    metrics: Optional[list] = None,
 ) -> DataFrame:
     """V3/J3: existence check against a dimension, text-normalized key
     (ref ``:63-71`` probes ``SELECT 1 ... WHERE key = str(val) LIMIT 1``).
@@ -220,6 +254,12 @@ def _apply_lookup_validation(
         # scans the fact side twice. ``keys`` is distinct, so the left
         # join never multiplies rows.
         joined = df.join(F.broadcast(keys), probe == F.col("__vk"), "left")
+        joined = _observe_rule(
+            joined,
+            f"lookup:{target}",
+            F.col(target).isNotNull() & F.col("__vk").isNull(),
+            metrics,
+        )
         return joined.filter(
             F.col("__vk").isNotNull() | F.col(target).isNull()
         ).drop("__vk")
@@ -246,7 +286,7 @@ def _apply_lookup_validation(
 
     joined = df.join(F.broadcast(keys), probe == F.col("__vk"), "left")
     missing = F.col(target).isNotNull() & F.col("__vk").isNull()
-    out = _apply_policy(joined, target, missing, on_fail, "lookup", checks)
+    out = _apply_policy(joined, target, missing, on_fail, "lookup", checks, metrics)
     return out.drop("__vk")
 
 

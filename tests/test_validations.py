@@ -239,3 +239,64 @@ def test_quarantine_without_sink_degrades_to_skip(spark, tmp_path, caplog):
     assert sorted(r["id"] for r in clean) == [1]
     assert not (out / "rejects").exists()
     assert any("quarantine" in r.message for r in caplog.records)
+
+
+def test_per_rule_violation_metrics_ride_the_write(spark, tmp_path, caplog):
+    """Rule-level reject accounting comes from the sink's own action —
+    the counters are CollectMetrics accumulators, not a second scan."""
+    import logging
+
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+        run_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        TableSpec,
+        ValidationSpec,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "ok", 5.0), (2, "??", 5.0), (3, "ok", -1.0), (4, "??", -2.0)],
+        ["id", "code", "val"],
+    ).write.parquet(str(src / "t.parquet"))
+    conns = ConnectorsSpec(
+        source_files=FilesConnectorSpec(base_path=str(src)),
+        target_files=FilesConnectorSpec(base_path=str(tmp_path / "out")),
+    )
+    ctx = JobContext(spark, GlobalSpec(connectors=conns))
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(
+                source="code",
+                target="code",
+                validation=[ValidationSpec(type="regex", pattern="[a-z]+", on_fail="skip")],
+            ),
+            MappingSpec(
+                source="val",
+                target="val",
+                validation=[ValidationSpec(type="range", pattern="0-100")],  # null-fill
+            ),
+        ],
+    )
+    with caplog.at_level(logging.WARNING):
+        run_table(ctx, spec)
+    msgs = [r.message for r in caplog.records if "violating rows" in r.message]
+    assert any("regex:code — 2" in m for m in msgs)
+    # sequential semantics: the skip rule already dropped row 4, so the
+    # range rule sees (and counts) only row 3
+    assert any("range:val — 1" in m for m in msgs)
+
+    # compiled form exposes the same counters programmatically
+    compiled = compile_table(ctx, spec)
+    compiled.df.count()
+    got = {label: obs.get["violations"] for label, obs in compiled.validation_metrics}
+    assert got == {"regex:code": 2, "range:val": 1}
