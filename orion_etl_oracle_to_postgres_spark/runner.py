@@ -20,6 +20,8 @@ from .compiler import JobContext, run_job
 from .session import get_spark
 from .spec import load_job_spec
 
+logger = logging.getLogger(__name__)
+
 
 def setup_logging(level: str = "INFO", log_file: str | None = None) -> None:
     handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
@@ -93,7 +95,15 @@ def main(argv: list[str] | None = None) -> int:
         log_file=log_cfg.log_file if log_cfg else None,
     )
 
-    spark = get_spark(master=args.master)
+    # job-spec conf overrides (GlobalSpec.spark_conf) layer over engine
+    # defaults; runtime SQL confs also apply to an already-built session
+    # (getOrCreate may return one) via spark.conf.set below
+    spark = get_spark(master=args.master, extra_conf=job.global_spec.spark_conf)
+    for k, v in job.global_spec.spark_conf.items():
+        try:
+            spark.conf.set(k, str(v))
+        except Exception:  # noqa: BLE001 — static confs can't be set post-build
+            logger.warning("spark_conf %r is static — set it before session build", k)
 
     if args.explain:
         # plan review only: no smoke_check (it stats/pings sources) and

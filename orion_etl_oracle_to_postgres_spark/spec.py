@@ -213,6 +213,10 @@ class GlobalSpec(BaseModel):
     loader_plugin: str = "default_loader"
     connectors: ConnectorsSpec = Field(default_factory=ConnectorsSpec)
     table_files: List[str] = Field(default_factory=list)
+    #: [engine extension] Spark conf overrides for this job (e.g.
+    #: spark.sql.shuffle.partitions sized to the data volume) — applied
+    #: by the runner on top of the engine defaults
+    spark_conf: dict = Field(default_factory=dict)
 
 
 class JobSpec(BaseModel):

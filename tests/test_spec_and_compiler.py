@@ -592,3 +592,38 @@ def test_append_first_load_passes_through(spark, tmp_path):
     )
     run_table(ctx, spec)
     assert spark.read.parquet(str(tmp_path / "out" / "fresh")).count() == 1
+
+
+def test_spark_conf_overrides_from_yaml(spark, tmp_path):
+    """GlobalSpec.spark_conf reaches the session (runtime SQL confs
+    apply even to an existing session via getOrCreate)."""
+    import textwrap
+
+    from orion_etl_oracle_to_postgres_spark.runner import main
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1,)], ["id"]).write.parquet(str(src / "t.parquet"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              spark_conf:
+                spark.sql.shuffle.partitions: 7
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        "source_table: t\ntarget_table: t2\nmappings:\n  - {source: id, target: id}\n"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert main(["--config", str(tmp_path / "config.yaml")]) == 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
