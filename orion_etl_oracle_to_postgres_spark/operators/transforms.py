@@ -146,6 +146,34 @@ def op_to_string(col: Column, arg: str | None = None) -> Column:
     return col.cast("string")
 
 
+@register("transform_op", "hash")
+def op_hash(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] pseudonymization: ``hash`` → sha256 hex of the
+    value; ``hash:<salt>`` prepends a salt so values can't be matched
+    across jobs by rainbow lookup. NULL stays NULL (a hashed NULL would
+    fabricate a value). JVM-side, deterministic, engine-portable."""
+    base = col.cast("string")
+    if arg:
+        base = F.concat(F.lit(arg + ":"), base)
+    return F.when(col.isNotNull(), F.sha2(base, 256))
+
+
+@register("transform_op", "mask")
+def op_mask(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``mask`` / ``mask:<n>`` — redact all but the
+    last n characters (default 4) with ``*``; shorter values are fully
+    masked. The classic account/card-number display rule."""
+    keep = int(arg) if arg else 4
+    s = col.cast("string")
+    visible = F.substring(s, -keep, keep) if keep > 0 else F.lit("")
+    return F.when(
+        col.isNotNull(),
+        F.when(F.length(s) <= keep, F.repeat(F.lit("*"), F.length(s))).otherwise(
+            F.concat(F.repeat(F.lit("*"), F.length(s) - keep), visible)
+        ),
+    )
+
+
 def parse_op_token(token: str) -> tuple[str, str | None]:
     """Split ``insert:ACTIVE`` → (name, arg). ``insert:null`` → arg 'null'
     handled by the op; args may contain further colons."""
@@ -188,6 +216,6 @@ def apply_transform_chain(col: Column, ops: list[str] | None, dtype: str) -> Col
             dtype = "timestamp"
         elif name == "to_bool" or "true" in name or "false" in name:
             dtype = "boolean"
-        elif name == "to_string":
+        elif name in ("to_string", "hash", "mask"):
             dtype = "string"
     return col

@@ -2857,3 +2857,34 @@ def etl_validation_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFram
     compiled = compile_table(ctx, _quarantine_spec())
     assert compiled.quarantine is not None
     return compiled.quarantine
+
+
+@query(
+    "etl_anonymize_ops",
+    """
+    SELECT c_custkey AS cust_id,
+           CASE WHEN c_name IS NOT NULL
+                THEN sha256('s1:' || c_name) END AS name_hash,
+           CASE WHEN c_name IS NOT NULL THEN
+             CASE WHEN length(c_name) <= 4 THEN repeat('*', length(c_name))
+                  ELSE repeat('*', length(c_name) - 4) ||
+                       substr(c_name, length(c_name) - 3, 4) END
+           END AS name_masked
+    FROM customer
+    """,
+)
+def etl_anonymize_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] pseudonymization transform ops through the
+    job compiler: salted sha256 (``hash:s1``) and last-4 masking
+    (``mask``) — the PII rules an Oracle→Postgres migration applies in
+    flight. Both JVM-side expressions, bit-checked against DuckDB."""
+    spec = TableSpec(
+        source_table="customer",
+        target_table="customer_anon",
+        mappings=[
+            MappingSpec(source="c_custkey", target="cust_id"),
+            MappingSpec(source="c_name", target="name_hash", transform="hash:s1"),
+            MappingSpec(source="c_name", target="name_masked", transform="mask"),
+        ],
+    )
+    return _compile(spark, sf_dir, spec)

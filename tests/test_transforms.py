@@ -90,3 +90,27 @@ def test_parse_op_token():
     assert parse_op_token("insert:ACTIVE") == ("insert", "ACTIVE")
     assert parse_op_token("insert:a:b") == ("insert", "a:b")
     assert parse_op_token(" trim ") == ("trim", None)
+
+
+def test_hash_op_salted_null_safe(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import op_hash
+
+    df = spark.createDataFrame([("x",), (None,)], ["v"])
+    out = df.select(op_hash(F.col("v"), "s").alias("h"), op_hash(F.col("v")).alias("h0")).collect()
+    import hashlib
+
+    assert out[0]["h"] == hashlib.sha256(b"s:x").hexdigest()
+    assert out[0]["h0"] == hashlib.sha256(b"x").hexdigest()
+    assert out[1]["h"] is None and out[1]["h0"] is None
+
+
+def test_mask_op_lengths(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import op_mask
+
+    df = spark.createDataFrame(
+        [("1234567890",), ("abc",), ("abcd",), (None,)], ["v"]
+    )
+    got = [r["m"] for r in df.select(op_mask(F.col("v")).alias("m")).collect()]
+    assert got == ["******7890", "***", "****", None]
+    got2 = [r["m"] for r in df.select(op_mask(F.col("v"), "2").alias("m")).collect()]
+    assert got2 == ["********90", "*bc", "**cd", None]
