@@ -2888,3 +2888,72 @@ def etl_anonymize_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "json_variant_events",
+    """
+    SELECT event_type,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS BIGINT) AS n_big
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4 VARIANT (``parse_json`` →
+    ``variant_get``) — the modern path next to ``json_extract_events``'s
+    string functions: the document parses ONCE into a binary variant
+    and every field access is an offset lookup, where repeated
+    ``get_json_object`` calls re-parse the text per extraction. At
+    100 TB with many extracted fields that re-parse is the scan
+    bottleneck; VARIANT (or a parquet VARIANT column upstream) removes
+    it."""
+    e = _t(spark, sf_dir, "events")
+    v = e.withColumn("__v", F.parse_json("props"))
+    k = F.expr("variant_get(__v, '$.k', 'long')")
+    return (
+        v.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+        )
+    )
+
+
+@query(
+    "text_vocab_approx_topk",
+    # exact oracle: maxItemsTracked far exceeds the fixture vocabulary,
+    # and the sketch is exact while nothing is evicted — same contract
+    # as the Misra-Gries pruned path
+    """
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def text_vocab_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark's native ``approx_top_k`` sketch — the
+    third sketch next to HLL distinct counts and approx percentiles.
+    One aggregation to a fixed-size sketch per partition, merged on the
+    driver side of the agg; the result explodes back to (token, n)
+    rows re-sorted with the engine's deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    sk = toks.agg(
+        F.expr("approx_top_k(token, 50, 65536)").alias("top")
+    )
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
