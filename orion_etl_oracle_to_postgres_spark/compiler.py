@@ -397,6 +397,42 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     if spec.dedup is not None:
         df = _apply_dedup(df, spec)
 
+    # 5d. declarative curation: per-group sampling, then the split
+    # label (both pure hash projections — zero shuffles; distinct seeds
+    # keep sample and split uncorrelated)
+    if spec.sample is not None:
+        from .operators.curation import weighted_sample
+
+        smp = spec.sample
+        for c in (smp.id_column, smp.group_column):
+            if c not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: sample column {c!r} not in "
+                    f"pipeline output {df.columns}"
+                )
+        df = weighted_sample(
+            df,
+            smp.id_column,
+            smp.group_column,
+            dict(smp.rates),
+            seed=smp.seed,
+            default_rate=smp.default_rate,
+        )
+    if spec.split is not None:
+        from .operators.curation import hash_split
+
+        spl = spec.split
+        if spl.id_column not in df.columns:
+            raise ValueError(
+                f"{spec.source_table}: split id_column {spl.id_column!r} "
+                f"not in pipeline output {df.columns}"
+            )
+        df = hash_split(df, spl.id_column, weights=spl.weights, seed=spl.seed).drop(
+            "bucket"
+        )
+        if spl.column_name != "split":
+            df = df.withColumnRenamed("split", spl.column_name)
+
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:
         df = self_lookup(df, r.target, r.lookup)

@@ -2957,3 +2957,55 @@ def text_vocab_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), F.asc("token"))
     )
+
+
+def _curation_spec_sql() -> str:
+    mix = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':mix1')")
+    spb = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':sp1')")
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {mix} % 1000 AS mixb,
+             {spb} % 1000 AS spb
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN spb < 800 THEN 'train'
+                WHEN spb < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    WHERE mixb < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500 ELSE 200 END
+    """
+
+
+@query("etl_curation_mix_split", _curation_spec_sql())
+def etl_curation_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative curation in the job spec: the
+    YAML user gets data mixing (SampleSpec: keep 100% en / 50% de /
+    20% rest) and a split label (SplitSpec: 80/10/10) compiled into the
+    pipeline — both pure md5-hash projections, zero shuffles, distinct
+    seeds so sample and split stay uncorrelated. The oracle replays
+    both bucket computations bit-for-bit."""
+    from .spec import SampleSpec, SplitSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_mixed",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+        ],
+        sample=SampleSpec(
+            id_column="doc_id",
+            group_column="lang",
+            rates={"en": 1.0, "de": 0.5},
+            default_rate=0.2,
+            seed="mix1",
+        ),
+        split=SplitSpec(
+            id_column="doc_id",
+            weights={"train": 0.8, "val": 0.1, "test": 0.1},
+            seed="sp1",
+        ),
+    )
+    return _compile(spark, sf_dir, spec)

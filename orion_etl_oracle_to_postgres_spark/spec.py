@@ -165,6 +165,30 @@ class DedupSpec(BaseModel):
         return v
 
 
+class SampleSpec(BaseModel):
+    """[engine extension] Declarative data mixing: keep each row with a
+    deterministic per-group rate (``operators/curation.py:
+    weighted_sample``) — portable md5 buckets, so re-runs and engine
+    migrations keep the exact same rows."""
+
+    id_column: str
+    group_column: str
+    rates: dict  # group value -> keep rate in [0, 1]
+    default_rate: float = 0.0
+    seed: str = "mix0"
+
+
+class SplitSpec(BaseModel):
+    """[engine extension] Declarative train/val/test split label
+    (``operators/curation.py:hash_split``): a pure hash projection —
+    zero shuffles, stable under repartitioning and appends."""
+
+    id_column: str
+    weights: Optional[dict] = None  # label -> weight; default 90/5/5
+    seed: str = "s0"
+    column_name: str = "split"
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -196,6 +220,10 @@ class TableSpec(BaseModel):
     #: are written (same connector as the target); None drops them with
     #: a warning
     quarantine_table: Optional[str] = None
+    #: declarative per-group sampling (data mixing) of the outgoing rows
+    sample: Optional[SampleSpec] = None
+    #: declarative split-label column on the outgoing rows
+    split: Optional[SplitSpec] = None
 
 
 class GlobalSpec(BaseModel):

@@ -387,3 +387,58 @@ def test_split_leakage_flags_cross_split_duplicates(spark):
     assert row["n_docs"] == 40
     assert row["n_splits"] == len(splits)
     assert set(row["splits"].split(",")) == splits
+
+
+def test_declarative_sample_split_spec(spark, tmp_path):
+    """SampleSpec + SplitSpec compile into the pipeline; bad columns
+    fail loudly at compile time."""
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        SampleSpec,
+        SplitSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(200)], ["id", "lang"]
+    ).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(connectors=ConnectorsSpec(source_files=FilesConnectorSpec(base_path=str(src)))),
+    )
+
+    def mkspec(**kw):
+        return TableSpec(
+            source_table="t",
+            target_table="t2",
+            mappings=[MappingSpec(source="id", target="id"), MappingSpec(source="lang", target="lang")],
+            **kw,
+        )
+
+    spec = mkspec(
+        sample=SampleSpec(id_column="id", group_column="lang", rates={"en": 1.0, "de": 0.4}),
+        split=SplitSpec(id_column="id", column_name="fold"),
+    )
+    out = compile_table(ctx, spec).df
+    rows = out.collect()
+    assert set(out.columns) == {"id", "lang", "fold"}
+    # all en kept, ~40% de kept, deterministically
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    n_de = sum(1 for r in rows if r["lang"] == "de")
+    assert n_en == 100 and 20 <= n_de <= 60
+    assert set(r["fold"] for r in rows) <= {"train", "val", "test"}
+    # re-compile gives the identical sample (determinism)
+    again = compile_table(ctx, spec).df.collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in rows)
+
+    with _pt.raises(ValueError, match="sample column"):
+        compile_table(ctx, mkspec(sample=SampleSpec(id_column="nope", group_column="lang", rates={})))
+    with _pt.raises(ValueError, match="split id_column"):
+        compile_table(ctx, mkspec(split=SplitSpec(id_column="nope")))
