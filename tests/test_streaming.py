@@ -682,3 +682,85 @@ def test_sliding_windows_multiply_membership(spark):
         df, duration="1 hour", slide="30 minutes"
     ).collect()
     assert len(out) == 2  # 00:00-01:00 and 00:30-01:30
+
+
+def test_native_session_window_stream_matches_custom_sessionize(spark, tmp_path):
+    """Spark's built-in session_window on a stream must close the same
+    sessions as the custom applyInPandasWithState operator — two
+    independent implementations of the gap semantics agreeing end-to-end."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    land = tmp_path / "nsw_land"
+    land.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    feed(
+        [
+            (1, t0, 1.0),
+            (1, t0 + dt.timedelta(minutes=30), 2.0),  # same session (gap 60)
+            (2, t0 + dt.timedelta(minutes=5), 5.0),
+        ]
+    )
+
+    from pyspark.sql import functions as F
+
+    def native(stream):
+        return (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "60 minutes"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    q1 = (
+        native(stream)
+        .writeStream.format("memory")
+        .queryName("nsw_native")
+        .outputMode("append")
+        .start()
+    )
+    q2 = (
+        sessionize_stream(stream, gap_minutes=60)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .writeStream.format("memory")
+        .queryName("nsw_custom")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        # far-future event closes every open session in both engines
+        feed([(3, t0 + dt.timedelta(days=5), 0.0)])
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        nat = {
+            (r.user_id, r.session_start, r.n_events, round(r.total_value, 3))
+            for r in spark.sql("SELECT * FROM nsw_native").collect()
+            if r.user_id in (1, 2)
+        }
+        cus = {
+            (r.user_id, r.session_start, r.n_events, round(r.total_value, 3))
+            for r in spark.sql("SELECT * FROM nsw_custom").collect()
+            if r.user_id in (1, 2)
+        }
+    finally:
+        q1.stop()
+        q2.stop()
+    assert nat == cus == {(1, t0, 2, 3.0), (2, t0 + dt.timedelta(minutes=5), 1, 5.0)}
