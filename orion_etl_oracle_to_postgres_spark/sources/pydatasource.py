@@ -1,0 +1,129 @@
+"""Spark 4 Python DataSource: the first-class realization of the
+reference's ``FetcherPlugin`` contract.
+
+The reference lets a plugin BE the source — ``fetch(ctx, batch_size)
+-> Iterator[dict]`` (``/root/reference/plugin_interfaces/
+fetcher_interface.py:8-33``), single-threaded by construction. The
+engine already maps that to plugin functions returning DataFrames
+(``registry``/``compiler``); this module shows the fully Spark-native
+form: a ``pyspark.sql.datasource.DataSource`` whose reader *plans
+partitions*, so the custom Python row generator runs distributed —
+each executor produces its slice — with filter pushdown reaching the
+generator itself.
+
+``synthetic_events`` generates a deterministic event stream (the same
+shape as the ``events`` fixture) from a stateless per-row hash, so any
+partitioning yields bit-identical data — useful as a load/correctness
+source with zero I/O. ``event_type`` equality/IN filters are consumed
+by ``pushFilters`` and skip generation of non-matching rows rather
+than filtering after the fact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 UTC in µs
+
+
+def _h(seed: str, i: int, salt: str) -> int:
+    """Stateless 60-bit row hash (md5 — portable, partition-independent)."""
+    d = hashlib.md5(f"{seed}:{salt}:{i}".encode()).hexdigest()
+    return int(d[:15], 16)
+
+
+@dataclass
+class _Slice(InputPartition):
+    start: int
+    end: int
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", N)``.
+
+    Options: ``rows`` (total, default 1000), ``numPartitions``
+    (default 8), ``seed`` (default ``"s0"``).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double"
+        )
+
+    def reader(self, schema: StructType) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("numPartitions", 8)))
+        self.seed = options.get("seed", "s0")
+        self.keep_types: list[str] | None = None  # None = all
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume event_type equality/IN filters — generation SKIPS
+        non-matching rows (the Python analogue of scan pushdown); every
+        other filter is returned for Spark to apply."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.keep_types = [str(f.value)]
+            elif isinstance(f, In) and f.attribute == ("event_type",):
+                self.keep_types = [str(v) for v in f.value]
+            else:
+                yield f
+
+    def partitions(self) -> list[_Slice]:
+        step = -(-self.rows // self.n_parts)
+        return [
+            _Slice(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        import datetime as dt
+
+        keep = self.keep_types
+        for i in range(partition.start, partition.end):
+            etype = _EVENT_TYPES[_h(self.seed, i, "t") % len(_EVENT_TYPES)]
+            if keep is not None and etype not in keep:
+                continue
+            ts = dt.datetime.utcfromtimestamp(
+                (_EPOCH_2024_US + (_h(self.seed, i, "ts") % (86_400_000_000 * 30)))
+                / 1_000_000
+            )
+            yield (
+                i,
+                ts,
+                _h(self.seed, i, "u") % 10_000,
+                etype,
+                round((_h(self.seed, i, "v") % 1_000_000) / 1000.0, 3),
+            )
+
+
+def register(spark) -> None:
+    """Idempotent registration: ``spark.read.format("synthetic_events")``
+    works afterwards. Python-source filter pushdown is opt-in
+    (``spark.sql.python.filterPushdown.enabled``) — a reader that
+    implements ``pushFilters`` refuses to initialize without it, so
+    flip the runtime conf here."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
