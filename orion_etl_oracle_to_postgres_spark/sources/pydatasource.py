@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -70,6 +71,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -127,3 +131,44 @@ def register(spark) -> None:
     flip the runtime conf here."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: each micro-batch emits the next
+    ``batchRows`` deterministic events; the offset dict carries the
+    row index, so replays (``readBetweenOffsets``) regenerate the
+    exact rows — the replayability contract exactly-once sinks need."""
+
+    def __init__(self, options) -> None:
+        self.batch_rows = int(options.get("batchRows", 100))
+        self.seed = options.get("seed", "s0")
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _gen(self, start: int, end: int):
+        import datetime as dt
+
+        for i in range(start, end):
+            etype = _EVENT_TYPES[_h(self.seed, i, "t") % len(_EVENT_TYPES)]
+            ts = dt.datetime.utcfromtimestamp(
+                (_EPOCH_2024_US + (_h(self.seed, i, "ts") % (86_400_000_000 * 30)))
+                / 1_000_000
+            )
+            yield (
+                i,
+                ts,
+                _h(self.seed, i, "u") % 10_000,
+                etype,
+                round((_h(self.seed, i, "v") % 1_000_000) / 1000.0, 3),
+            )
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = lo + self.batch_rows
+        # materialized, not a generator: the simple-reader protocol
+        # pickles the prefetched batch for replay (batchRows bounds it)
+        return list(self._gen(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._gen(int(start["i"]), int(end["i"]))

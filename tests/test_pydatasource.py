@@ -70,3 +70,37 @@ def test_usable_as_fetcher_plugin(spark):
     out = compile_table(ctx, spec).df.collect()
     assert len(out) == 300
     assert all(r["event_type"].isupper() for r in out)
+
+
+def test_streaming_reader_deterministic_batches(spark, tmp_path):
+    """readStream over the Python source: micro-batches advance the
+    offset by batchRows and rows match the batch source exactly —
+    the replayable-offset contract."""
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batchRows", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM pyds_stream").first()["c"] >= 100:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {r["event_id"]: tuple(r) for r in spark.sql("SELECT * FROM pyds_stream").collect()}
+    assert len(got) >= 100
+    batch = {r["event_id"]: tuple(r) for r in _read(spark, rows=len(got)).collect()}
+    for eid in list(got)[:200]:
+        assert got[eid] == batch[eid]
