@@ -22,6 +22,7 @@ than filtering after the fact.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -32,7 +33,9 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -131,6 +134,7 @@ def register(spark) -> None:
     flip the runtime conf here."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlDirDataSource)
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -172,3 +176,82 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._gen(int(start["i"]), int(end["i"]))
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlDirDataSource(DataSource):
+    """Python DataSourceWriter — the Spark-native form of the
+    reference's ``LoaderPlugin`` (``load_batch``/``finalize_table``,
+    ``/root/reference/plugin_interfaces/loader_interface.py:7-31``):
+    each task writes its partition to a staged JSON-lines part file and
+    returns a commit message; ``commit`` runs ONCE on the driver after
+    every task succeeded and atomically publishes the staged files plus
+    a ``_SUCCESS`` manifest (task retries leave only orphaned staging
+    files, never partial visible output); ``abort`` is the
+    all-or-nothing cleanup hook. ``spark.range(...).write.format(
+    "jsonl_dir").option("path", d).mode("append").save()``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema: StructType, overwrite: bool) -> "JsonlDirWriter":
+        return JsonlDirWriter(self.options, schema, overwrite)
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        if "path" not in options:
+            raise ValueError("jsonl_dir requires .option('path', <dir>)")
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartFile:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(f"{self.path}/_staging", exist_ok=True)
+        out = f"{self.path}/_staging/part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.fields, row)), default=str))
+                fh.write("\n")
+                n += 1
+        return _PartFile(path=out, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.unlink(os.path.join(self.path, f))
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            shutil.move(m.path, os.path.join(self.path, os.path.basename(m.path)))
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"rows_committed": total}, fh)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+

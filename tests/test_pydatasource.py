@@ -104,3 +104,37 @@ def test_streaming_reader_deterministic_batches(spark, tmp_path):
     batch = {r["event_id"]: tuple(r) for r in _read(spark, rows=len(got)).collect()}
     for eid in list(got)[:200]:
         assert got[eid] == batch[eid]
+
+
+def test_jsonl_writer_commit_protocol(spark, tmp_path):
+    """Custom Python sink: staged part files publish atomically on
+    commit with a _SUCCESS manifest; overwrite replaces prior files."""
+    import json
+    import os
+
+    register(spark)
+    d = str(tmp_path / "out")
+    os.makedirs(d)
+    df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS g")
+    df.repartition(4).write.format("jsonl_dir").option("path", d).mode(
+        "append"
+    ).save()
+
+    files = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert len(files) == 4
+    assert not os.path.exists(os.path.join(d, "_staging"))
+    rows = []
+    for f in files:
+        with open(os.path.join(d, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(int(r["id"]) for r in rows) == list(range(100))
+    manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert manifest["rows_committed"] == 100
+
+    # overwrite mode replaces the committed files
+    spark.range(10).selectExpr("id", "'x' AS g").coalesce(1).write.format(
+        "jsonl_dir"
+    ).option("path", d).mode("overwrite").save()
+    files2 = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert len(files2) == 1
+    assert json.load(open(os.path.join(d, "_SUCCESS")))["rows_committed"] == 10
