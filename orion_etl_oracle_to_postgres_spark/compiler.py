@@ -386,7 +386,15 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         df = vplugin(df, ctx)
 
     # 5c'. split off quarantined rows (on_fail: quarantine) BEFORE dedup
-    # and self-lookups: rejects are audit rows, not pipeline rows
+    # and self-lookups: rejects are audit rows, not pipeline rows.
+    # The tagged frame is lazily checkpointed first so the clean write
+    # and the quarantine write consume ONE materialization — without it
+    # the two sinks would re-scan the source at different times (2x
+    # cost, and a moving source could put a row in neither/both outputs)
+    from .operators.validations import QUARANTINE_COL
+
+    if QUARANTINE_COL in df.columns:
+        df = df.localCheckpoint(eager=False)
     df, quarantine_df = split_quarantine(df)
 
     # 5c. declarative dedup of the outgoing rows (engine extension,
@@ -426,6 +434,15 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             raise ValueError(
                 f"{spec.source_table}: split id_column {spl.id_column!r} "
                 f"not in pipeline output {df.columns}"
+            )
+        # hash_split stages 'bucket'/'split' columns — refuse to clobber
+        # pipeline columns with those names (or the chosen output name)
+        clash = {"bucket", "split", spl.column_name} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"{spec.source_table}: split stage would overwrite pipeline "
+                f"column(s) {sorted(clash)} — rename them or pick another "
+                "split column_name"
             )
         df = hash_split(df, spl.id_column, weights=spl.weights, seed=spl.seed).drop(
             "bucket"
@@ -560,10 +577,18 @@ def _align_for_append(
     emitted in target order (JDBC INSERT order safety)."""
     if spec.write_mode != "append":
         return out
+    from pyspark.errors import AnalysisException
+
     try:
         target = ctx._read_target(spec.target_table, spec.target_schema)
-    except Exception:  # noqa: BLE001 — same ladder as target_table_columns
-        return out  # first load: nothing to align with
+    except (FileNotFoundError, AnalysisException, ValueError):
+        return out  # first load (or no target connector): nothing to align
+    except Exception as e:  # noqa: BLE001 — classified like target_table_columns
+        if _is_missing_table_error(e):
+            return out
+        # a transient JDBC/auth failure must NOT silently skip the
+        # drift check this function exists to enforce
+        raise
     tfields = {f.name: f.dataType for f in target.schema.fields}
     extra = [c for c in out.columns if c not in tfields]
     if extra:

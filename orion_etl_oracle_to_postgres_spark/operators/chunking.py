@@ -136,8 +136,9 @@ def pack_sequences(
         .alias("shard"),
     )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, n_tokens long, shard int, bin_id long"
+        f"{id_col} {id_type}, n_tokens long, shard int, bin_id long"
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:

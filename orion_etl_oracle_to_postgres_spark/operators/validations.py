@@ -148,7 +148,13 @@ def _apply_policy(
             target, F.when(violated, F.lit(None)).otherwise(F.col(target))
         )
     if on_fail == "skip":
-        return df.filter(~F.coalesce(violated, F.lit(False)))
+        keep = ~F.coalesce(violated, F.lit(False))
+        if QUARANTINE_COL in df.columns:
+            # a row an earlier rule already quarantined must reach the
+            # audit sink even if a later skip rule also rejects it —
+            # it is leaving the main output at split time regardless
+            keep = keep | (F.size(F.col(QUARANTINE_COL)) > 0)
+        return df.filter(keep)
     if on_fail.startswith("default:"):
         default_raw = on_fail.split(":", 1)[1]
         dtype = dict(df.dtypes).get(target, "string")
@@ -260,9 +266,12 @@ def _apply_lookup_validation(
             F.col(target).isNotNull() & F.col("__vk").isNull(),
             metrics,
         )
-        return joined.filter(
-            F.col("__vk").isNotNull() | F.col(target).isNull()
-        ).drop("__vk")
+        keep = F.col("__vk").isNotNull() | F.col(target).isNull()
+        if QUARANTINE_COL in df.columns:
+            # same contract as the scalar skip path: already-quarantined
+            # rows survive to the split and reach the audit sink
+            keep = keep | (F.size(F.col(QUARANTINE_COL)) > 0)
+        return joined.filter(keep).drop("__vk")
 
     if (
         on_fail is not None

@@ -2946,8 +2946,12 @@ def text_vocab_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import tokens as _tokens
 
     toks = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    # over-fetch (200 > 50) so count-ties AT the rank-50 boundary are
+    # re-broken deterministically (n desc, token asc) — the sketch's own
+    # truncation order at exactly k is unspecified and would flake the
+    # differential gate on boundary ties
     sk = toks.agg(
-        F.expr("approx_top_k(token, 50, 65536)").alias("top")
+        F.expr("approx_top_k(token, 200, 65536)").alias("top")
     )
     return (
         sk.select(F.explode("top").alias("e"))
@@ -2956,6 +2960,7 @@ def text_vocab_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("n"),
         )
         .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
     )
 
 

@@ -172,9 +172,10 @@ def merge_upsert(
         ]
         cond = None
         for vals in pvals:
+            # eqNullSafe: a null partition value must still match its rows
             eq = F.lit(True)
             for c, v in zip(partition_by, vals):
-                eq = eq & (F.col(c) == F.lit(v))
+                eq = eq & F.col(c).eqNullSafe(F.lit(v))
             cond = eq if cond is None else (cond | eq)
         affected = target.filter(cond)  # partition-pruned scan
         merged = affected.join(
@@ -188,19 +189,49 @@ def merge_upsert(
             .format(fmt)
             .save(tmp)
         )
-        # swap only the affected partition directories
+        # Swap the partition directories THE STAGING WRITE PRODUCED —
+        # never reconstruct "col=value" names by formatting values
+        # (Spark escapes specials and spells nulls
+        # __HIVE_DEFAULT_PARTITION__; a formatted name that doesn't
+        # match would silently skip the rename and drop the update).
         fs, _ = _fs_and_path(spark, path)
         jvm = spark.sparkContext._jvm
-        for vals in pvals:
-            rel = "/".join(f"{c}={v}" for c, v in zip(partition_by, vals))
-            src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{rel}")
+        moved = 0
+        depth = len(partition_by)
+
+        def _leaf_dirs(jdir, level):
+            for st in fs.listStatus(jdir):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                if "=" not in name:
+                    continue
+                if level == depth - 1:
+                    yield st.getPath()
+                else:
+                    yield from _leaf_dirs(st.getPath(), level + 1)
+
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        tmp_uri_len = len(jtmp.toUri().getPath())
+        for src in _leaf_dirs(jtmp, 0):
+            rel = src.toUri().getPath()[tmp_uri_len:].lstrip("/")
             dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{rel}")
+            parent = dst.getParent()
+            if not fs.exists(parent):
+                fs.mkdirs(parent)
             if fs.exists(dst):
                 fs.delete(dst, True)
-            if fs.exists(src) and not fs.rename(src, dst):
+            if not fs.rename(src, dst):
                 raise IOError(f"merge swap failed for partition {rel}")
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-        return {"updated_partitions": len(pvals), "upserts": n_up}
+            moved += 1
+        if moved == 0:
+            fs.delete(jtmp, True)
+            raise IOError(
+                "merge produced no partition directories to swap — "
+                "staging layout unexpected"
+            )
+        fs.delete(jtmp, True)
+        return {"updated_partitions": moved, "upserts": n_up}
 
     merged = target.join(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"

@@ -90,15 +90,27 @@ class SyntheticEventsReader(DataSourceReader):
         """Consume event_type equality/IN filters — generation SKIPS
         non-matching rows (the Python analogue of scan pushdown); every
         other filter is returned for Spark to apply."""
+        def _narrow(values: set[str]) -> None:
+            # INTERSECT with any constraint already consumed — pushed
+            # filters are a conjunction, so keeping only the last one
+            # would wrongly widen the result
+            self.keep_types = (
+                sorted(values)
+                if self.keep_types is None
+                else sorted(set(self.keep_types) & values)
+            )
+
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
-                self.keep_types = [str(f.value)]
+                _narrow({str(f.value)})
             elif isinstance(f, In) and f.attribute == ("event_type",):
-                self.keep_types = [str(v) for v in f.value]
+                _narrow({str(v) for v in f.value})
             else:
                 yield f
 
     def partitions(self) -> list[_Slice]:
+        if self.rows <= 0:
+            return [_Slice(0, 0)]  # empty dataset, not a planning error
         step = -(-self.rows // self.n_parts)
         return [
             _Slice(lo, min(lo + step, self.rows))

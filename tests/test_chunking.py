@@ -130,3 +130,13 @@ def test_pack_rejects_bad_params(spark):
         _pack(spark, [(1, "a")], budget=0)
     with _pt.raises(ValueError):
         _pack(spark, [(1, "a")], n_shards=0)
+
+
+def test_pack_string_ids(spark):
+    rows = [(f"doc-{i}", "tok " * (1 + i % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from orion_etl_oracle_to_postgres_spark.operators.chunking import pack_sequences
+
+    out = pack_sequences(df, "text", "doc_id", budget=8, n_shards=2).collect()
+    assert len(out) == 30
+    assert all(isinstance(r["doc_id"], str) for r in out)

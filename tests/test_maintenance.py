@@ -133,3 +133,23 @@ def test_merge_upsert_rejects_dup_keys_and_schema_drift(spark, tmp_path):
     drift = spark.createDataFrame([(1, "a")], ["id", "other"])
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(spark, path, drift, ["id"])
+
+
+def test_merge_upsert_escaped_and_null_partition_values(spark, tmp_path):
+    """Partition values Spark escapes on disk (spaces) and NULL
+    partition values must still swap correctly — the swap walks the
+    staging output's real directory names, never re-formats values."""
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import merge_upsert
+
+    path = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(1, "a", "North America"), (2, "b", "North America"), (3, "c", None)],
+        ["id", "val", "region"],
+    ).write.partitionBy("region").parquet(path)
+    ups = spark.createDataFrame(
+        [(1, "A", "North America"), (3, "C", None)], ["id", "val", "region"]
+    )
+    stats = merge_upsert(spark, path, ups, ["id"], partition_by=["region"])
+    assert stats["upserts"] == 2 and stats["updated_partitions"] == 2
+    got = {r["id"]: (r["val"], r["region"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("A", "North America"), 2: ("b", "North America"), 3: ("C", None)}

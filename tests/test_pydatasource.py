@@ -138,3 +138,25 @@ def test_jsonl_writer_commit_protocol(spark, tmp_path):
     files2 = [f for f in os.listdir(d) if f.endswith(".jsonl")]
     assert len(files2) == 1
     assert json.load(open(os.path.join(d, "_SUCCESS")))["rows_committed"] == 10
+
+
+def test_conjoined_pushed_filters_intersect(spark):
+    full = _read(spark, rows=600)
+    both = (
+        _read(spark, rows=600)
+        .filter("event_type IN ('click','view')")
+        .filter("event_type = 'view'")
+    )
+    exp = [r for r in full.collect() if r["event_type"] == "view"]
+    assert sorted(map(tuple, both.collect())) == sorted(map(tuple, exp))
+    # contradictory conjunction -> empty, not the last filter's rows
+    none = (
+        _read(spark, rows=600)
+        .filter("event_type = 'click'")
+        .filter("event_type = 'view'")
+    )
+    assert none.count() == 0
+
+
+def test_zero_rows_is_empty_not_error(spark):
+    assert _read(spark, rows=0).count() == 0

@@ -300,3 +300,34 @@ def test_per_rule_violation_metrics_ride_the_write(spark, tmp_path, caplog):
     compiled.df.count()
     got = {label: obs.get["violations"] for label, obs in compiled.validation_metrics}
     assert got == {"regex:code": 2, "range:val": 1}
+
+
+def test_quarantined_row_survives_later_skip_rule(spark):
+    """A row failing an earlier quarantine rule AND a later skip rule
+    must still reach the quarantine output (the audit contract), while
+    untagged rows get normal skip semantics."""
+    from orion_etl_oracle_to_postgres_spark.operators.validations import (
+        apply_validations,
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "??", "bad"),   # quarantine (code) AND skip (flag)
+            (2, "ok", "bad"),   # skip only -> silently dropped
+            (3, "??", "good"),  # quarantine only
+            (4, "ok", "good"),  # clean
+        ],
+        ["id", "code", "flag"],
+    )
+    out, _ = apply_validations(
+        df,
+        [
+            ("code", ValidationSpec(type="regex", pattern="[a-z]+", on_fail="quarantine")),
+            ("flag", ValidationSpec(type="regex", pattern="good", on_fail="skip")),
+        ],
+    )
+    clean, quar = split_quarantine(out)
+    assert sorted(r["id"] for r in clean.collect()) == [4]
+    q = {r["id"]: r["_quarantine_rules"] for r in quar.collect()}
+    assert q == {1: "regex:code", 3: "regex:code"}
