@@ -25,3 +25,9 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Register the reconstructed declared-but-missing reference plugins
+# (normalize_names, calculate_age_transform, bulk_loader,
+# directory_column_mapping — SURVEY.md §2.6) on package import, so any
+# config naming them resolves exactly like shipped plugins.
+from . import declared_plugins as _declared_plugins  # noqa: E402,F401
