@@ -58,6 +58,12 @@ def asof_join(
     rpay = [c for c in right.columns if c != on]
     out_names = {c: (c + rsuffix if c in left.columns else c) for c in rpay}
 
+    # a NULL right timestamp can never be "the most recent at-or-before"
+    # — but asc() sorts nulls FIRST, which would make such a row the
+    # running match for every left row with no earlier real right row
+    # (DuckDB ASOF evaluates the NULL comparison as no-match)
+    right = right.filter(F.col(right_ts).isNotNull())
+
     r_rows = right.select(
         F.col(on),
         F.col(right_ts).alias("__ats"),

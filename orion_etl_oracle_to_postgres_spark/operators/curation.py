@@ -41,6 +41,11 @@ def hash_split(
     engine migrations. Weights must sum to 1 (±1e-9).
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    for name, wt in weights.items():
+        # each weight must be a probability — a negative/overweight entry
+        # passes the sum check yet silently empties another split
+        if not 0.0 <= wt <= 1.0:
+            raise ValueError(f"split weight for {name!r} not in [0, 1]: {wt}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")

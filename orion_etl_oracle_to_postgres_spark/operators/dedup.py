@@ -272,11 +272,13 @@ def near_dup_clusters(
     list only (orders of magnitude smaller than the corpus);
     ``localCheckpoint`` truncates lineage per round so plans stay flat
     (library operators must not ``persist`` — the caller can't
-    unpersist). Convergence is detected by an order-insensitive edge-set
-    fingerprint (count + bit_xor of xxhash64) on the already-
-    materialized checkpoint — no extra plan execution. Non-convergence
-    raises loudly: silent fallthrough would split one duplicate group
-    into several survivors.
+    unpersist). Convergence is detected cheaply per round by an
+    order-insensitive edge-set fingerprint (count + bit_xor of
+    xxhash64), then CONFIRMED exactly once at the declared fixpoint via
+    a symmetric anti-join emptiness check — a fingerprint collision
+    cannot silently corrupt survivor groups. Non-convergence raises
+    loudly: silent fallthrough would split one duplicate group into
+    several survivors.
     """
     raw = (
         pairs.select(F.col(id_i).alias("__u"), F.col(id_j).alias("__v"))
@@ -309,6 +311,21 @@ def near_dup_clusters(
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iter} rounds — "
             "raise max_iter (large-star/small-star needs O(log n) rounds)"
+        )
+    # The fingerprint is probabilistic (~2^-64 collision per round, but
+    # a silent collision would corrupt survivor groups): confirm the
+    # declared fixpoint EXACTLY, once — one more LS/SS application and a
+    # symmetric anti-join emptiness check (limit(1) short-circuits).
+    nxt = _small_star(_large_star(edges))
+    changed = (
+        nxt.join(edges, ["__u", "__v"], "left_anti").limit(1).count()
+        + edges.join(nxt, ["__u", "__v"], "left_anti").limit(1).count()
+    )
+    if changed:
+        raise RuntimeError(
+            "near_dup_clusters: fingerprint declared convergence on a "
+            "non-fixpoint edge set (hash collision) — rerun with a higher "
+            "max_iter"
         )
     # star edges: (node → component min) for every non-min node
     return nodes.join(

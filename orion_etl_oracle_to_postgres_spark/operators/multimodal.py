@@ -102,9 +102,17 @@ def decode_image_features(
     try:  # pragma: no cover - codec not present in this container
         import PIL.Image  # noqa: F401
 
-        real_codec = True
+        # fail FAST at plan-build time (driver side): the real
+        # codec path is honestly unwired, and raising per-row
+        # inside the Arrow loop would brick a running job the
+        # moment a transitive dependency pulls the library in
+        raise NotImplementedError(
+            "real codec path not wired yet — this operator ships the "
+            "deterministic stub contract; unset the codec library or "
+            "wire the decode before using it"
+        )
     except ImportError:
-        real_codec = False
+        pass
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -114,10 +122,6 @@ def decode_image_features(
                     rows.append((doc_id, 0, None, None, None, None))
                     continue
                 b = bytes(payload)
-                if real_codec:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real image decode not wired yet — container has no codec"
-                    )
                 width, height, feats = _fake_decode(b, n_features)
                 rows.append(
                     (doc_id, len(b), hashlib.sha256(b).hexdigest(), width, height, feats)
@@ -167,9 +171,17 @@ def resize_images(
     try:  # pragma: no cover - codec not present in this container
         import PIL.Image  # noqa: F401
 
-        real_codec = True
+        # fail FAST at plan-build time (driver side): the real
+        # codec path is honestly unwired, and raising per-row
+        # inside the Arrow loop would brick a running job the
+        # moment a transitive dependency pulls the library in
+        raise NotImplementedError(
+            "real codec path not wired yet — this operator ships the "
+            "deterministic stub contract; unset the codec library or "
+            "wire the decode before using it"
+        )
     except ImportError:
-        real_codec = False
+        pass
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -179,10 +191,6 @@ def resize_images(
                     rows.append((doc_id, None, None, None, None, None, None, None))
                     continue
                 b = bytes(payload)
-                if real_codec:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real image resize not wired yet — container has no codec"
-                    )
                 src_w, src_h, _ = _fake_decode(b)
                 scale = min(max_width / src_w, max_height / src_h, 1.0)
                 dst_w = max(1, int(src_w * scale))
@@ -253,9 +261,17 @@ def decode_audio_features(
     try:  # pragma: no cover - codec not present in this container
         import soundfile  # noqa: F401
 
-        real_codec = True
+        # fail FAST at plan-build time (driver side): the real
+        # codec path is honestly unwired, and raising per-row
+        # inside the Arrow loop would brick a running job the
+        # moment a transitive dependency pulls the library in
+        raise NotImplementedError(
+            "real codec path not wired yet — this operator ships the "
+            "deterministic stub contract; unset the codec library or "
+            "wire the decode before using it"
+        )
     except ImportError:
-        real_codec = False
+        pass
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -265,10 +281,6 @@ def decode_audio_features(
                     rows.append((doc_id, None, None, None, None, None, None))
                     continue
                 b = bytes(payload)
-                if real_codec:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real audio decode not wired yet — container has no codec"
-                    )
                 h = hashlib.sha256(b).digest()
                 sr = _FAKE_SAMPLE_RATES[h[0] % 4]
                 duration_ms = len(b) * 1000 // sr

@@ -47,25 +47,29 @@ def profile_table(
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
 
+    # staging aliases are INDEX-based, never derived from user column
+    # names — a name with spaces/quotes would corrupt the generated
+    # stack() expression (names only appear as escaped string literals)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         col = F.col(c)
-        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nulls_{i}"))
         aggs.append(
             (
                 F.count_distinct(col)
                 if exact_distinct
                 else F.approx_count_distinct(col)
-            ).alias(f"__nd_{c}")
+            ).alias(f"__nd_{i}")
         )
-        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{i}"))
     wide = df.agg(*aggs)
 
     # stack(k, 'name1', nulls1, nd1, min1, max1, ...) → long form
     stack_args: list[str] = []
-    for c in cols:
-        stack_args.append(f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}")
+    for i, c in enumerate(cols):
+        label = c.replace("\\", "\\\\").replace("'", "\\'")
+        stack_args.append(f"'{label}', __nulls_{i}, __nd_{i}, __min_{i}, __max_{i}")
     stacked = wide.select(
         F.col("__n").alias("n_rows"),
         F.expr(

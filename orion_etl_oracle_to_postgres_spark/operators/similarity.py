@@ -278,7 +278,14 @@ def ivf_materialize(
     the centroid codebook at ``<path>/_centroids`` (underscore-prefixed
     ⇒ invisible to the data reader).
     """
-    assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids)
+    # ONE centroid frame drives both the assignment and the persisted
+    # codebook — deriving them independently would let the seeding rule
+    # drift apart and leave a layout whose _centroids lies about it
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+    assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, centroids=cent)
     (
         df.join(assign, id_col)
         .write.mode("overwrite")
@@ -286,8 +293,7 @@ def ivf_materialize(
         .parquet(path)
     )
     (
-        df.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv"))
+        cent.select(F.col("cluster_id").alias("cid"), F.col("centroid").alias("cv"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/_centroids")

@@ -1417,13 +1417,33 @@ def emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     join per query. Assignment, probe choice, and tie-breaks are
     identical to the runtime ``similarity.ivf_topk`` and to the DuckDB
     oracle, so the same oracle stays green via the new path."""
+    import json
     import os
+    import tempfile
 
-    cache = f"/root/repo/.tmp/ivf/{os.path.basename(sf_dir.rstrip('/'))}"
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+    base = os.environ.get(
+        "SPARK_GRAFT_IVF_CACHE",
+        os.path.join(tempfile.gettempdir(), "orion_etl_spark_ivf"),
+    )
+    cache = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    # validity = OUR marker written AFTER the codebook lands (parquet's
+    # _SUCCESS appears before the _centroids write — a crash in between
+    # must not look committed) AND the source dataset is unchanged
+    marker = os.path.join(cache, "_IVF_OK")
+    src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    valid = False
+    if os.path.exists(marker):
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                valid = json.load(fh).get("src_mtime") == src_mtime
+        except (ValueError, OSError):
+            valid = False
+    if not valid:
         similarity.ivf_materialize(
             _t(spark, sf_dir, "embeddings"), cache, n_centroids=16
         )
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump({"src_mtime": src_mtime}, fh)
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     return similarity.ivf_topk_materialized(spark, cache, qv, k=10, nprobe=4)

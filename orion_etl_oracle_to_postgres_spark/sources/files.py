@@ -48,19 +48,33 @@ def _parquet_has_nanos(path: str) -> bool | None:
     TIMESTAMP(NANOS) columns? None = can't tell cheaply (remote path,
     unreadable footer)."""
     try:
+        from itertools import islice
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         p = Path(path)
         if not p.exists():
             return None
-        f = p if p.is_file() else next(p.rglob("*.parquet"), None)
-        if f is None:
-            return None
-        schema = pq.read_schema(str(f))
-        return any(
-            pa.types.is_timestamp(t) and t.unit == "ns" for t in schema.types
-        )
+        if p.is_file():
+            files, exhaustive = [p], True
+        else:
+            # sample several footers, not just the first: a mixed
+            # dataset (one µs part, one pandas-written ns part) must not
+            # lose the conf to filesystem listing order. False only when
+            # we saw EVERY file; a partial clean sample returns None
+            # (caller treats None as "set the conf" — the safe side).
+            sample = list(islice(p.rglob("*.parquet"), 9))
+            if not sample:
+                return None
+            files, exhaustive = sample[:8], len(sample) <= 8
+        for f in files:
+            schema = pq.read_schema(str(f))
+            if any(
+                pa.types.is_timestamp(t) and t.unit == "ns" for t in schema.types
+            ):
+                return True
+        return False if exhaustive else None
     except Exception:  # noqa: BLE001 — probe is best-effort
         return None
 

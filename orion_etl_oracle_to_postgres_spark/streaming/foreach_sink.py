@@ -42,27 +42,42 @@ def idempotent_foreach_batch(
     ledger_path: str,
 ) -> Callable[[DataFrame, int], None]:
     """Wrap ``write_fn(df, batch_id)`` so replayed micro-batch ids are
-    skipped. The ledger append is atomic (write-temp + rename) and only
-    happens AFTER ``write_fn`` returns — a crash mid-write replays the
-    batch (correct: the write may be partial), a crash after the append
-    skips it (correct: the write completed)."""
+    skipped. One fsync'd line is appended AFTER ``write_fn`` returns —
+    a crash mid-write replays the batch (correct: the write may be
+    partial), a crash after the append skips it (correct: the write
+    completed); a torn final line parses as absent → replay (safe)."""
 
     def _done_ids() -> set[int]:
         if not os.path.exists(ledger_path):
             return set()
+        ids: set[int] = set()
         with open(ledger_path, encoding="utf-8") as fh:
-            return {json.loads(line)["batch_id"] for line in fh if line.strip()}
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    ids.add(int(json.loads(line)["batch_id"]))
+                except (ValueError, KeyError, TypeError):
+                    continue  # torn tail line from a crash → treat as absent
+        return ids
+
+    # read the ledger ONCE at wrapper construction (query start), then
+    # append one fsync'd line per batch — O(1) driver work per trigger.
+    # Re-reading + rewriting the whole file every micro-batch would be
+    # quadratic over a long-running query's lifetime. The in-memory set
+    # is authoritative within this process; a recovered process re-reads.
+    done = _done_ids()
 
     def inner(df: DataFrame, batch_id: int) -> None:
-        if batch_id in _done_ids():
+        if batch_id in done:
             return
         write_fn(df, batch_id)
-        tmp = f"{ledger_path}.tmp.{batch_id}"
-        done = _done_ids() | {batch_id}
-        with open(tmp, "w", encoding="utf-8") as fh:
-            for b in sorted(done):
-                fh.write(json.dumps({"batch_id": b}) + "\n")
-        os.replace(tmp, ledger_path)
+        with open(ledger_path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        done.add(batch_id)
 
     return inner
 

@@ -442,3 +442,25 @@ def test_declarative_sample_split_spec(spark, tmp_path):
         compile_table(ctx, mkspec(sample=SampleSpec(id_column="nope", group_column="lang", rates={})))
     with _pt.raises(ValueError, match="split id_column"):
         compile_table(ctx, mkspec(split=SplitSpec(id_column="nope")))
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, None, "NULLROW"), (1, 150, "ok")], "k long, ts long, tag string"
+    )
+    out = {r["ts"]: r["tag"] for r in asof_join(left, right, on="k").collect()}
+    # ts=100 has NO earlier real right row -> null match, never NULLROW
+    assert out == {100: None, 200: "ok"}
+
+
+def test_hash_split_rejects_out_of_range_weights(spark):
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with _pt.raises(ValueError, match="not in \\[0, 1\\]"):
+        hash_split(df, "id", weights={"train": 1.05, "test": -0.05})

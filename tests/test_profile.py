@@ -55,3 +55,13 @@ def test_profile_all_null_column(spark):
     assert (out["dead"]["n_nulls"], out["dead"]["null_frac"]) == (2, 1.0)
     assert out["dead"]["n_distinct"] == 0
     assert out["dead"]["min_value"] is None and out["dead"]["max_value"] is None
+
+
+def test_profile_handles_awkward_column_names(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["order count", "it's"]
+    )
+    out = {r["column"]: r["n_nulls"] for r in profile_table(df).collect()}
+    assert out == {"order count": 0, "it's": 1}
