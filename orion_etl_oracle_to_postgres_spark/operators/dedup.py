@@ -280,9 +280,13 @@ def near_dup_clusters(
     loudly: silent fallthrough would split one duplicate group into
     several survivors.
     """
+    # checkpoint the pair projection ONCE — nodes and edges both derive
+    # from it, and without this the (potentially expensive) upstream
+    # pair pipeline (e.g. MinHash) would execute twice
     raw = (
         pairs.select(F.col(id_i).alias("__u"), F.col(id_j).alias("__v"))
         .filter(F.col("__u") != F.col("__v"))
+        .localCheckpoint()
     )
     nodes = (
         raw.select(F.col("__u").alias("__id"))
