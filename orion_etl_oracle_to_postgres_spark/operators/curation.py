@@ -288,3 +288,33 @@ def contamination_check(
             ),
         )
     )
+
+
+def sample_n(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    *,
+    seed: str = "samp0",
+) -> DataFrame:
+    """Global exact-N deterministic sample: the ``n`` rows with the
+    smallest portable hash ``md5_60(id || ':' || seed)`` (ties broken by
+    id). The un-grouped sibling of ``stratified_sample`` — eval-subset
+    and spot-check selection where "give me exactly 10k representative
+    docs, the same 10k every time, on any engine" is the contract
+    (``df.sample()`` is neither exact-N nor partitioning-stable).
+
+    Scale: ordering by the hash compiles to TakeOrderedAndProject —
+    each task keeps a local top-n, the driver merges O(tasks × n)
+    candidates; nothing shuffles the corpus. Changing ``seed`` re-deals
+    the sample independently.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    order = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    return (
+        df.withColumn("__ord", order)
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__ord")
+    )

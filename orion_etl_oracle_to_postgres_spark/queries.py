@@ -3034,3 +3034,27 @@ def etl_curation_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "curation_sample_n",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':samp0')")
+    + """ AS ord
+      FROM documents
+    ) ORDER BY ord, doc_id LIMIT 40
+    """,
+)
+def curation_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact-N deterministic sample
+    (operators/curation.py:sample_n): the same 40 documents on every
+    run, engine, and partitioning — TakeOrderedAndProject on a portable
+    md5 order, no corpus shuffle. The oracle replays the hash order
+    bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.curation import sample_n
+
+    return sample_n(d.select("doc_id", "lang"), "doc_id", 40)

@@ -464,3 +464,25 @@ def test_hash_split_rejects_out_of_range_weights(spark):
     df = spark.createDataFrame([(1,)], ["id"])
     with _pt.raises(ValueError, match="not in \\[0, 1\\]"):
         hash_split(df, "id", weights={"train": 1.05, "test": -0.05})
+
+
+def test_sample_n_exact_and_partition_stable(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import sample_n
+
+    rows = [(i, f"d{i}") for i in range(500)]
+    a = sample_n(
+        spark.createDataFrame(rows, ["id", "x"]).repartition(17), "id", 25
+    ).collect()
+    b = sample_n(
+        spark.createDataFrame(rows, ["id", "x"]).coalesce(1), "id", 25
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 25
+    # different seed re-deals
+    c = sample_n(
+        spark.createDataFrame(rows, ["id", "x"]), "id", 25, seed="other"
+    ).collect()
+    assert sorted(r["id"] for r in c) != sorted(r["id"] for r in a)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sample_n(spark.createDataFrame(rows, ["id", "x"]), "id", 0)
