@@ -207,6 +207,13 @@ def _apply_dedup(df, spec: TableSpec):
     else:  # exact
         if d.columns is None:
             return df.distinct()
+        if not d.columns:
+            # an explicit empty list would build a keyless global window
+            # that silently collapses the whole table to one row
+            raise ValueError(
+                f"{spec.source_table}: dedup columns is an empty list — "
+                "omit it for full-row DISTINCT or name the key columns"
+            )
         if not d.id_column:
             raise ValueError(
                 f"{spec.source_table}: dedup method=exact with a column "
@@ -227,9 +234,15 @@ def _apply_dedup(df, spec: TableSpec):
 
     staged = df.select("*", *key_cols) if key_cols else df
     w = Window.partitionBy(*key_names).orderBy(F.col(d.id_column).asc())
+    keep = F.col("__rn") == 1
+    if d.method == "fingerprint":
+        # NULL text → NULL fingerprint; those rows have no content to
+        # dedup BY and must all pass through — a NULL group key would
+        # otherwise dedup every NULL-text row against the others
+        keep = keep | F.col("__fp").isNull()
     return (
         staged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(keep)
         .drop("__rn", *[n for n in key_names if n.startswith("__")])
     )
 
@@ -346,7 +359,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             continue
         df = plugin(df, ctx)
 
-    # 4. lookups: classify external vs self (``default_lookup.py:30-42``)
+    # 4. lookups: classify external vs self (``default_lookup.py:30-42``).
+    # A mapping without an explicit target outputs under its source name
+    # (the line-335 alias) — lookups/validations must address the SAME
+    # resolved name, not the raw (possibly None) target.
     self_rules: list[MappingSpec] = []
     for r in rules:
         if not r.lookup:
@@ -355,11 +371,17 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             self_rules.append(r)
         else:
             dim = ctx.lookup_table(r.lookup)
-            df = external_lookup(df, r.target, r.lookup, dim)
+            df = external_lookup(
+                df,
+                r.target or r.source,
+                r.lookup,
+                dim,
+                eager_errors=not ctx.explain_only,
+            )
 
     # 5. validations (on target columns, after lookups)
     vrules = [
-        (r.target, v)
+        (r.target or r.source, v)
         for r in rules
         if r.validation
         for v in r.validation
@@ -371,6 +393,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         lookup_resolver=ctx.lookup_table,
         error_mode="collect",
         metrics_out=vmetrics,
+        eager_lookup_errors=not ctx.explain_only,
     )
 
     # 5b. table-level validation plugins (reference ValidationPlugin,
@@ -452,7 +475,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
 
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:
-        df = self_lookup(df, r.target, r.lookup)
+        df = self_lookup(df, r.target or r.source, r.lookup)
 
     return CompiledTable(
         spec=spec,

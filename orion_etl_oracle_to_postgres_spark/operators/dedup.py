@@ -32,9 +32,13 @@ from ..functions import distinct_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
-    """Exact dedup: keep the row with the minimum ``id_col`` per key
-    group (deterministic, unlike ``dropDuplicates`` which keeps an
-    arbitrary row). One hash-aggregate shuffle on ``keys``."""
+    """Exact dedup: one SURVIVOR-KEY row per key group — ``(keys...,
+    min id, dup_count)``, a projection, NOT the full surviving rows
+    (semi-join the source on the returned ids to recover payload
+    columns; the in-pipeline full-row form is ``TableSpec.dedup`` /
+    ``compiler._apply_dedup``). Deterministic survivor = min ``id_col``,
+    unlike ``dropDuplicates`` which keeps an arbitrary row. One
+    hash-aggregate shuffle on ``keys``."""
     return df.groupBy(*keys).agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
     )
@@ -49,11 +53,23 @@ def normalize_text(col: Column) -> Column:
 def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Near-exact dedup via md5 of normalized text (whitespace/case/
     punctuation-insensitive). Returns one row per fingerprint with the
-    min id and the duplicate count."""
-    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
-    return df.select(fp, F.col(id_col)).groupBy("fingerprint").agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    min id and the duplicate count. NULL text has no content to dedup
+    BY: each NULL-text row passes through as its own ``(NULL, id, 1)``
+    survivor — grouping them would silently declare unrelated rows
+    duplicates of each other."""
+    staged = df.select(
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        F.col(id_col),
     )
+    grouped = (
+        staged.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+    nulls = staged.filter(F.col("fingerprint").isNull()).select(
+        "fingerprint", F.col(id_col), F.lit(1).cast("long").alias("dup_count")
+    )
+    return grouped.unionByName(nulls)
 
 
 def shingle_hash_stream(
@@ -103,11 +119,19 @@ def minhash_bands(
     groupBy(doc, band) with r ``min`` aggregates, combined into one
     64-bit band key with ``xxhash64(min_0..min_{r-1}, band_id)``.
 
+    ``bands`` must divide ``num_hashes`` exactly — silent truncation
+    would quietly weaken the advertised collision-probability math, and
+    ``bands > num_hashes`` would generate malformed zero-row structs.
+
     Rationale: a 128-column-wide min-aggregate over docs compiles to
     enormous generated code (Janino chokes) and 128-field agg buffers;
     r is small (4 by default) so the per-(doc,band) buffer is tiny,
     map-side partial-min shrinks the exchange to docs × bands rows, and
     the shuffle key (doc, band) is uniform hash output — skew-free."""
+    if bands <= 0 or num_hashes <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes exactly: {num_hashes}/{bands}"
+        )
     rows_per_band = num_hashes // bands
     # One SQL string instead of ~6 py4j round-trips per slot — plan
     # construction drops from seconds to milliseconds at 128 hashes.
@@ -395,8 +419,16 @@ def simhash_near_dups(
     Banding: the 60-bit simhash splits into 4 × 15-bit chunks; by
     pigeonhole, hamming ≤ 3 ⇒ at least one chunk is identical, so
     bucketing on (chunk_id, chunk_value) has perfect recall for ≤ 3.
+    ``max_hamming > 3`` is REFUSED: a pair differing in 4+ bits spread
+    across all four chunks would share no bucket, so the result would
+    silently miss pairs while claiming completeness.
     Verification: ``bit_count(a ^ b)``.
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] for 4-chunk banding recall, "
+            f"got {max_hamming}"
+        )
     base = simhash_signatures(df, id_col, text_col)
     chunks = base.select(
         "__id",

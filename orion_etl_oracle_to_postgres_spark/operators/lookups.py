@@ -55,6 +55,7 @@ def external_lookup(
     dim: DataFrame,
     broadcast: bool = True,
     cast_values_to_text: bool = True,
+    eager_errors: bool = True,
 ) -> DataFrame:
     """J1: left-outer equi-join replacing the per-row
     ``SELECT CAST(val AS text) FROM lkp WHERE CAST(key AS text)=%s`` probe.
@@ -100,17 +101,21 @@ def external_lookup(
         )
 
     if on_missing not in ("null",) and not on_missing.startswith("default:"):
-        # error policy: abort if any non-null key misses
-        n = (
-            df.filter(F.col(target).isNotNull())
-            .join(d, probe == F.col("__lk_k"), "left_anti")
-            .count()
-        )
-        if n > 0:
-            raise RuntimeError(
-                f"lookup failed: {n} rows of {target!r} not found in "
-                f"{lookup.table}.{lookup.key_column}"
+        # error policy: abort if any non-null key misses. The eager
+        # count is skipped in plan-review mode (``runner --explain``
+        # promises NO execution — ``eager_errors=False``); the plan
+        # itself is identical either way.
+        if eager_errors:
+            n = (
+                df.filter(F.col(target).isNotNull())
+                .join(d, probe == F.col("__lk_k"), "left_anti")
+                .count()
             )
+            if n > 0:
+                raise RuntimeError(
+                    f"lookup failed: {n} rows of {target!r} not found in "
+                    f"{lookup.table}.{lookup.key_column}"
+                )
         on_missing = "null"  # all present; fall through to plain join
 
     joined = df.join(d, probe == F.col("__lk_k"), "left")

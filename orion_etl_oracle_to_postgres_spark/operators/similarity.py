@@ -380,7 +380,7 @@ def embedding_near_dups(
         return _near_dups_block_matrix(
             df, vec_col, id_col, threshold, broadcast_limit
         )
-    dim = len(df.select(vec_col).first()[0])
+    dim = _first_dim(df, vec_col)  # clear error on empty/NULL input
     planes = make_planes(dim, n_planes, seed)
     # ONE canonical (id, vec, bucket) plan self-joined under different
     # aliases: both join inputs shuffle on the bucket with IDENTICAL

@@ -116,8 +116,15 @@ def op_to_decimal(col: Column, arg: str | None = None) -> Column:
     """[engine extension] ``to_decimal:p.s`` — exact numeric for Oracle
     NUMBER columns (SURVEY.md §7.4.8). Default DECIMAL(38,10)."""
     if arg:
-        p, s = arg.split(".", 1)
-        return col.try_cast(f"decimal({int(p)},{int(s)})")
+        try:
+            p, _, s = arg.partition(".")
+            precision, scale = int(p), int(s) if s else 0
+        except ValueError as e:
+            raise ValueError(
+                f"to_decimal arg must be 'precision.scale' or 'precision', "
+                f"got {arg!r}"
+            ) from e
+        return col.try_cast(f"decimal({precision},{scale})")
     return col.try_cast("decimal(38,10)")
 
 
@@ -163,7 +170,10 @@ def op_mask(col: Column, arg: str | None = None) -> Column:
     """[engine extension] ``mask`` / ``mask:<n>`` — redact all but the
     last n characters (default 4) with ``*``; shorter values are fully
     masked. The classic account/card-number display rule."""
-    keep = int(arg) if arg else 4
+    try:
+        keep = int(arg) if arg else 4
+    except ValueError as e:
+        raise ValueError(f"mask arg must be an integer, got {arg!r}") from e
     s = col.cast("string")
     visible = F.substring(s, -keep, keep) if keep > 0 else F.lit("")
     return F.when(
@@ -210,6 +220,8 @@ def apply_transform_chain(col: Column, ops: list[str] | None, dtype: str) -> Col
             dtype = "bigint"
         elif name in ("to_float", "to_double"):
             dtype = "double"
+        elif name == "to_decimal":
+            dtype = "decimal"  # later string-only ops must skip it
         elif name == "to_date":
             dtype = "date"
         elif name in ("to_timestamp",):

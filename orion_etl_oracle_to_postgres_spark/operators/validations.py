@@ -196,6 +196,7 @@ def apply_validations(
     lookup_resolver: Optional[Callable[..., DataFrame]] = None,
     error_mode: str = "eager",
     metrics_out: Optional[list] = None,
+    eager_lookup_errors: bool = True,
 ) -> tuple[DataFrame, list[ErrorCheck]]:
     """Apply ``[(target_column, rule), ...]`` in declared order.
 
@@ -213,7 +214,13 @@ def apply_validations(
             continue
         if rule.type == "lookup" and rule.lookup is not None:
             df = _apply_lookup_validation(
-                df, target, rule, lookup_resolver, checks, metrics_out
+                df,
+                target,
+                rule,
+                lookup_resolver,
+                checks,
+                metrics_out,
+                eager_errors=eager_lookup_errors,
             )
             continue
         violated = violation_condition(F.col(target), rule)
@@ -236,6 +243,7 @@ def _apply_lookup_validation(
     lookup_resolver: Optional[Callable[..., DataFrame]],
     checks: list[ErrorCheck],
     metrics: Optional[list] = None,
+    eager_errors: bool = True,
 ) -> DataFrame:
     """V3/J3: existence check against a dimension, text-normalized key
     (ref ``:63-71`` probes ``SELECT 1 ... WHERE key = str(val) LIMIT 1``).
@@ -280,17 +288,19 @@ def _apply_lookup_validation(
     ):
         # fail-fast: anti-join count, checked eagerly here (the deferred
         # ErrorCheck protocol can't reference the probe join's marker
-        # column after it is dropped)
-        n = (
-            df.filter(F.col(target).isNotNull())
-            .join(F.broadcast(keys), probe == F.col("__vk"), "left_anti")
-            .count()
-        )
-        if n > 0:
-            raise RuntimeError(
-                f"validation lookup failed for column {target!r}: "
-                f"{n} rows missing from {lk.table}.{lk.key_column}"
+        # column after it is dropped). Skipped in plan-review mode —
+        # ``runner --explain`` promises no execution.
+        if eager_errors:
+            n = (
+                df.filter(F.col(target).isNotNull())
+                .join(F.broadcast(keys), probe == F.col("__vk"), "left_anti")
+                .count()
             )
+            if n > 0:
+                raise RuntimeError(
+                    f"validation lookup failed for column {target!r}: "
+                    f"{n} rows missing from {lk.table}.{lk.key_column}"
+                )
         return df
 
     joined = df.join(F.broadcast(keys), probe == F.col("__vk"), "left")

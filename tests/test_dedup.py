@@ -67,11 +67,13 @@ def test_ngram_jaccard_matches_minhash_set(spark):
 
 
 def test_simhash_near_dups(spark):
-    out = dedup.simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=10)
+    # max 3: the 4-chunk banding guarantees recall only to hamming <= 3
+    # (larger values are refused — see test_simhash_rejects_unrecallable)
+    out = dedup.simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=3)
     pairs = {(r["id_i"], r["id_j"]) for r in out.collect()}
     assert (1, 2) in pairs or (1, 4) in pairs
     for r in out.collect():
-        assert 0 <= r["hamming"] <= 10
+        assert 0 <= r["hamming"] <= 3
 
 
 def test_simhash_identical_texts_zero_hamming(spark):
@@ -156,3 +158,36 @@ def test_near_dup_clusters_adversarial_topologies(spark):
     assert all(out[i] == 70 for i in range(70, 76))
     assert all(out[i] == 80 for i in list(range(80, 84)) + list(range(90, 93)))
     assert out[300] == 300 and out[301] == 300
+
+
+def test_minhash_bands_rejects_nondivisible(spark):
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import minhash_bands
+
+    flat = spark.createDataFrame([(1, 42)], ["__id", "__h"])
+    with _pt.raises(ValueError, match="divide"):
+        minhash_bands(flat, num_hashes=100, bands=16)
+    with _pt.raises(ValueError, match="divide"):
+        minhash_bands(flat, num_hashes=8, bands=16)
+
+
+def test_simhash_rejects_unrecallable_hamming(spark):
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    with _pt.raises(ValueError, match="max_hamming"):
+        simhash_near_dups(df, "id", "text", max_hamming=4)
+
+
+def test_fingerprint_dedup_operator_null_text(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import fingerprint_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (4, None)], "id long, t string"
+    )
+    out = fingerprint_dedup(df, "t", "id").collect()
+    survivors = sorted(r["id"] for r in out)
+    assert survivors == [1, 3, 4]  # nulls never dedup against each other

@@ -627,3 +627,165 @@ def test_spark_conf_overrides_from_yaml(spark, tmp_path):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ------------------------------------------------ third review-batch fixes
+
+
+def test_targetless_mapping_with_lookup_and_validation(spark, tmp_path):
+    """A mapping without an explicit target outputs under its source
+    name; lookups AND validations must address that resolved name."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        LookupSpec,
+        MappingSpec,
+        TableSpec,
+        ValidationSpec,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, 10), (2, 99)], ["id", "code"]).write.parquet(
+        str(src / "t.parquet")
+    )
+    spark.createDataFrame([(10, "TEN")], ["k", "v"]).write.parquet(
+        str(src / "dim.parquet")
+    )
+    ctx = JobContext(
+        spark,
+        GlobalSpec(connectors=ConnectorsSpec(source_files=FilesConnectorSpec(base_path=str(src)))),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id"),  # no target
+            MappingSpec(
+                source="code",  # no target: lookup + validation on 'code'
+                lookup=LookupSpec(
+                    table="dim", key_column="k", value_column="v", on_missing="null"
+                ),
+                validation=[ValidationSpec(type="regex", pattern="T", on_fail="skip")],
+            ),
+        ],
+    )
+    rows = {r["id"]: r["code"] for r in compile_table(ctx, spec).df.collect()}
+    # row 1: lookup hit + regex pass. row 2: lookup miss -> NULL, and
+    # NULLs always pass validation (reference semantics) -> row kept.
+    # The point: both the lookup and the rule addressed 'code', not None.
+    assert rows == {1: "TEN", 2: None}
+
+
+def test_explain_mode_never_executes_lookup_error_probe(spark, tmp_path):
+    """on_missing=error normally runs an eager anti-join count; in
+    explain_only mode NOTHING may execute — even with misses present,
+    compile must succeed (the plan is identical, the probe is skipped)."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        LookupSpec,
+        MappingSpec,
+        TableSpec,
+        ValidationSpec,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, 777)], ["id", "code"]).write.parquet(
+        str(src / "t.parquet")
+    )
+    spark.createDataFrame([(10, "TEN")], ["k", "v"]).write.parquet(
+        str(src / "dim.parquet")
+    )
+    conns = ConnectorsSpec(source_files=FilesConnectorSpec(base_path=str(src)))
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(
+                source="code",
+                target="code",
+                lookup=LookupSpec(table="dim", key_column="k", value_column="v"),
+                validation=[
+                    ValidationSpec(
+                        type="lookup",
+                        lookup=LookupSpec(table="dim", key_column="k"),
+                        on_fail="error",
+                    )
+                ],
+            ),
+        ],
+    )
+    # normal mode: the probes fire and the job aborts
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError):
+        compile_table(JobContext(spark, GlobalSpec(connectors=conns)), spec)
+    # explain mode: plan builds, nothing executes, no raise
+    compiled = compile_table(
+        JobContext(spark, GlobalSpec(connectors=conns), explain_only=True), spec
+    )
+    assert compiled.df is not None
+
+
+def test_dedup_empty_columns_list_rejected(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        DedupSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1,)], ["id"]).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(connectors=ConnectorsSpec(source_files=FilesConnectorSpec(base_path=str(src)))),
+    )
+    import pytest as _pt
+
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[MappingSpec(source="id", target="id")],
+        dedup=DedupSpec(method="exact", columns=[], id_column="id"),
+    )
+    with _pt.raises(ValueError, match="empty list"):
+        compile_table(ctx, spec)
+
+
+def test_fingerprint_dedup_null_text_passes_through(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        DedupSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, None)],
+        "id long, body string",
+    ).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(connectors=ConnectorsSpec(source_files=FilesConnectorSpec(base_path=str(src)))),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[MappingSpec(source="id", target="id"), MappingSpec(source="body", target="body")],
+        dedup=DedupSpec(method="fingerprint", text_column="body", id_column="id"),
+    )
+    ids = sorted(r["id"] for r in compile_table(ctx, spec).df.collect())
+    # duplicates collapse to min id; ALL null-text rows survive
+    assert ids == [1, 3, 4, 5]

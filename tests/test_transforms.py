@@ -114,3 +114,28 @@ def test_mask_op_lengths(spark):
     assert got == ["******7890", "***", "****", None]
     got2 = [r["m"] for r in df.select(op_mask(F.col("v"), "2").alias("m")).collect()]
     assert got2 == ["********90", "*bc", "**cd", None]
+
+
+def test_to_decimal_precision_only_and_bad_args(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import op_to_decimal
+
+    df = spark.createDataFrame([("12.5",)], ["v"])
+    out = df.select(op_to_decimal(F.col("v"), "12").alias("d")).collect()
+    assert str(out[0]["d"]) in ("13", "12")  # decimal(12,0) — rounded int
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="precision.scale"):
+        op_to_decimal(F.col("v"), "abc")
+
+
+def test_to_decimal_not_treated_as_string_downstream(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import (
+        apply_transform_chain,
+    )
+
+    df = spark.createDataFrame([("  12.50  ",)], ["v"])
+    out = df.select(
+        apply_transform_chain(F.col("v"), ["strip", "to_decimal:12.2", "strip"], "string").alias("d")
+    )
+    # the SECOND strip must be skipped (decimal, not string): dtype stays decimal
+    assert dict(out.dtypes)["d"] == "decimal(12,2)"
