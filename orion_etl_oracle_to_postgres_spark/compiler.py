@@ -286,12 +286,40 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             or f".hwm/{spec.source_table}__{spec.target_table}.json"
         )
         src = df
+        # On a JDBC source, push the snapshot-bound max to the DATABASE
+        # (one-row query-option read) — Spark's V1 JDBC source doesn't
+        # push aggregates down, so the default df.agg(max) would stream
+        # every new row's watermark value just to take the max.
+        max_probe = None
+        conns = g.connectors
+        if conns.source_files is None and conns.oracle is not None:
+            from .sources.jdbc import read_jdbc_table
+
+            src_tbl = (
+                f"{spec.source_schema}.{spec.source_table}"
+                if spec.source_schema
+                else spec.source_table
+            )
+            wm = inc.watermark_column
+
+            def max_probe(cur_mark, _tbl=src_tbl, _wm=wm):
+                where = f" WHERE {_wm} > '{cur_mark}'" if cur_mark is not None else ""
+                row = read_jdbc_table(
+                    ctx.spark,
+                    conns.oracle,
+                    spec.source_table,
+                    spec.source_schema,
+                    query=f"SELECT MAX({_wm}) AS m FROM {_tbl}{where}",
+                ).collect()[0]
+                return row[0]  # positional: Oracle upper-folds aliases
+
         df, incremental_commit = incremental_read(
             lambda: src,
             inc.watermark_column,
             state,
             f"{spec.source_table}->{spec.target_table}.{inc.watermark_column}",
             bound_snapshot=not ctx.explain_only,
+            max_probe=max_probe,
         )
 
     # 2. reconcile mappings — empty mappings fill from the TARGET
@@ -496,6 +524,8 @@ def _default_scan(ctx: JobContext, spec: TableSpec) -> DataFrame:
         fetchsize=ctx.global_spec.batch_size,
         partition_column=spec.partition_column,
         num_partitions=spec.num_partitions,
+        # plan review must not run the JDBC min/max bounds probe
+        allow_probes=not ctx.explain_only,
     )
 
 

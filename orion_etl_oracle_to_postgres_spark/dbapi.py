@@ -59,6 +59,13 @@ def execute_sql(
     """Run one statement — or a sequence of statements in a SINGLE
     transaction (the staging swap's DROP+RENAME must commit together).
 
+    The single-transaction guarantee holds on POSTGRES (transactional
+    DDL). On Oracle every DDL statement implicitly commits, so a
+    multi-statement sequence containing DDL is NOT atomic there — the
+    rollback in the error path cannot undo already-committed DDL. The
+    staging swap targets Postgres (the reference's load side); don't
+    rely on this for multi-statement Oracle DDL.
+
     Reference semantics (``postgres_connector.py:81-99``): a statement
     that produces rows returns ``fetchall()``; otherwise the rowcount.
     Detection is by ``cursor.description`` (not string-sniffing, so

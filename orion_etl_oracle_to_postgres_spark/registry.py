@@ -93,7 +93,11 @@ def get_transform_op(name: str) -> Callable | None:
     unknown op → warn, return None (caller applies identity)."""
     op = _REGISTRY["transform_op"].get(name)
     if op is None:
-        logger.debug("unknown transform op %r — passing value through", name)
+        # WARNING, not debug: a config typo ("stirp") otherwise ships
+        # untransformed data with no operator-visible signal (the
+        # reference logs at debug, ``default_transform.py:38-39`` — a
+        # deliberate, documented divergence)
+        logger.warning("unknown transform op %r — passing value through", name)
     return op
 
 

@@ -23,12 +23,16 @@ from .spec import load_job_spec
 logger = logging.getLogger(__name__)
 
 
-def setup_logging(level: str = "INFO", log_file: str | None = None) -> None:
+def setup_logging(
+    level: str = "INFO",
+    log_file: str | None = None,
+    file_level: str = "ERROR",
+) -> None:
     handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
     if log_file:
         os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
         fh = logging.FileHandler(log_file)
-        fh.setLevel(logging.ERROR)
+        fh.setLevel(getattr(logging, file_level.upper(), logging.ERROR))
         handlers.append(fh)
     logging.basicConfig(
         level=getattr(logging, level.upper(), logging.INFO),
@@ -93,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging(
         level=log_cfg.console_level if log_cfg else "INFO",
         log_file=log_cfg.log_file if log_cfg else None,
+        file_level=log_cfg.file_level if log_cfg else "ERROR",
     )
 
     # job-spec conf overrides (GlobalSpec.spark_conf) layer over engine

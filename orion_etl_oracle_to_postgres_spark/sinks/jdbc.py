@@ -34,7 +34,37 @@ def write_jdbc_table(
     target = f"{schema}.{table}" if schema else table
     if staging_swap and mode == "overwrite":
         staging = f"{schema}.{table}__stg" if schema else f"{table}__stg"
-        _write(df, conn, staging, "overwrite", batchsize, truncate=False, num_partitions=num_partitions)
+        # Clone the TARGET's real DDL into the staging table (types,
+        # defaults, constraints, indexes) and append into it — letting
+        # Spark create the staging table would swap the target's schema
+        # for Spark's inferred DDL (TEXT columns, no PK) on every load.
+        # First load (no target yet): fall back to Spark-created DDL.
+        from ..dbapi import execute_sql
+
+        cloned = False
+        try:
+            execute_sql(
+                conn,
+                [
+                    f"DROP TABLE IF EXISTS {staging}",
+                    f"CREATE TABLE {staging} (LIKE {target} INCLUDING ALL)",
+                ],
+            )
+            cloned = True
+        except Exception as e:  # noqa: BLE001 — classified below
+            from ..compiler import _is_missing_table_error
+
+            if not _is_missing_table_error(e):
+                raise  # auth/network failures must not silently degrade DDL
+        _write(
+            df,
+            conn,
+            staging,
+            "append" if cloned else "overwrite",
+            batchsize,
+            truncate=False,
+            num_partitions=num_partitions,
+        )
         _swap_tables(conn, schema, table)
         return
     _write(df, conn, target, mode, batchsize, truncate, num_partitions)
@@ -60,15 +90,22 @@ def _write(df, conn, dbtable, mode, batchsize, truncate, num_partitions=None):
 def _swap_tables(conn: Any, schema: str | None, table: str) -> None:
     """Atomic staging swap via driver-side DDL — both statements run in
     ONE transaction through ``dbapi.execute_sql`` (a failure between the
-    DROP and the RENAME must roll back, or the target vanishes)."""
+    DROP and the RENAME must roll back, or the target vanishes).
+
+    Identifiers are deliberately UNQUOTED so they case-fold exactly like
+    Spark's own ``dbtable`` DDL did when it created/loaded the staging
+    table (quoting here while Spark folded there would rename a table
+    that doesn't exist). Names that NEED quoting (spaces, mixed case you
+    want preserved) already break Spark's writer — not supported on the
+    staging path."""
     from ..dbapi import execute_sql
 
-    qualified = f'"{schema}"."{table}"' if schema else f'"{table}"'
-    staging = f'"{schema}"."{table}__stg"' if schema else f'"{table}__stg"'
+    qualified = f"{schema}.{table}" if schema else table
+    staging = f"{schema}.{table}__stg" if schema else f"{table}__stg"
     execute_sql(
         conn,
         [
             f"DROP TABLE IF EXISTS {qualified}",
-            f'ALTER TABLE {staging} RENAME TO "{table}"',
+            f"ALTER TABLE {staging} RENAME TO {table}",
         ],
     )

@@ -65,6 +65,7 @@ def read_jdbc_table(
     conn: Any,
     table: str,
     schema: str | None = None,
+    allow_probes: bool = True,
     **kw,
 ) -> DataFrame:
     """Read a JDBC table, optionally partitioned.
@@ -72,19 +73,39 @@ def read_jdbc_table(
     When ``partition_column`` is set but bounds aren't, Spark needs them:
     we issue a min/max probe query first (one tiny serial read), then the
     partitioned scan — the standard pattern for parallel JDBC ingest.
+    With ``allow_probes=False`` (plan-review mode — ``runner --explain``
+    promises zero source execution) the probe is skipped and the read
+    falls back to unpartitioned, with a log note.
     """
     pc = kw.get("partition_column")
     if pc and (kw.get("lower_bound") is None or kw.get("upper_bound") is None):
-        probe = spark.read.format("jdbc").options(
-            **jdbc_options(
-                conn,
+        if not allow_probes:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "%s: bounds probe skipped (plan review) — explain shows an "
+                "unpartitioned read",
                 table,
-                schema,
-                query=f"SELECT MIN({pc}) AS lo, MAX({pc}) AS hi FROM "
-                + (f"{schema}.{table}" if schema else table),
             )
-        ).load().collect()[0]
-        kw["lower_bound"], kw["upper_bound"] = int(probe["lo"]), int(probe["hi"])
+            kw = {k: v for k, v in kw.items() if k != "partition_column"}
+        else:
+            probe = spark.read.format("jdbc").options(
+                **jdbc_options(
+                    conn,
+                    table,
+                    schema,
+                    query=f"SELECT MIN({pc}) AS lo, MAX({pc}) AS hi FROM "
+                    + (f"{schema}.{table}" if schema else table),
+                )
+            ).load().collect()[0]
+            # POSITIONAL access: Oracle folds unquoted aliases to
+            # uppercase and Row.__getitem__ is case-sensitive
+            lo, hi = probe[0], probe[1]
+            if lo is None or hi is None:
+                # empty table: no bounds to split on — read unpartitioned
+                kw = {k: v for k, v in kw.items() if k != "partition_column"}
+            else:
+                kw["lower_bound"], kw["upper_bound"] = int(lo), int(hi)
     return (
         spark.read.format("jdbc")
         .options(**jdbc_options(conn, table, schema, **kw))

@@ -7,7 +7,9 @@ Two strategies:
    value of a monotonic column (timestamp/sequence); each run reads only
    ``col > mark``. The predicate is pushed into the scan (JDBC WHERE /
    parquet min-max pruning), so cost is proportional to new data.
-2. **Structured Streaming** (`stream_source` + `foreach_batch_jdbc`):
+2. **Structured Streaming** (`stream_source` + ``writeStream
+   .foreachBatch`` with the batch JDBC sink, wrapped by
+   ``foreach_sink.idempotent_foreach_batch`` for exactly-once):
    file-stream source for landed files; JDBC has no streaming source, so
    DB increments use (1) on a schedule.
 """
@@ -51,6 +53,7 @@ def incremental_read(
     state: HighWaterMark,
     key: str,
     bound_snapshot: bool = True,
+    max_probe: Callable[[Optional[str]], Optional[str]] | None = None,
 ) -> tuple[DataFrame, Callable[[], None]]:
     """Read only rows newer than the stored mark.
 
@@ -64,8 +67,14 @@ def incremental_read(
     and ``commit()`` cannot advance the mark past data that was never
     written — they fall into the next increment. (Re-computing the max
     at commit time against the live source would silently drop them.)
-    The bounding probe is one aggregate on a single column — parquet
-    footer stats / a JDBC ``SELECT max(col)`` make it near-free.
+    The bounding probe defaults to ``df.agg(max(col))`` — near-free on
+    parquet (footer stats), but Spark's V1 JDBC source does NOT push
+    aggregates down, so on a JDBC source that default streams every new
+    row's watermark value just to take the max (double I/O with the real
+    read). Pass ``max_probe(current_mark) -> max_value`` to push the
+    aggregate to the database instead — the compiler wires a
+    ``SELECT max(col) WHERE col > mark`` query-option read for JDBC
+    sources.
 
     ``bound_snapshot=False`` skips the probe entirely (NO action runs) —
     for plan-review/explain mode only; the returned ``commit`` then
@@ -85,7 +94,10 @@ def incremental_read(
 
         return df, no_commit
 
-    new_mark = df.agg(F.max(watermark_column).alias("m")).collect()[0]["m"]
+    if max_probe is not None:
+        new_mark = max_probe(mark)
+    else:
+        new_mark = df.agg(F.max(watermark_column).alias("m")).collect()[0]["m"]
     if new_mark is not None:
         df = df.filter(F.col(watermark_column) <= F.lit(new_mark))
 
@@ -116,12 +128,3 @@ def stream_source(
     return df
 
 
-def foreach_batch_jdbc(write_batch: Callable[[DataFrame, int], None]):
-    """Adapter for ``writeStream.foreachBatch`` — each micro-batch is a
-    normal DataFrame, so the batch JDBC sink (and its staging-swap
-    idempotency) is reused unchanged."""
-
-    def _inner(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch(batch_df, batch_id)
-
-    return _inner

@@ -161,9 +161,11 @@ def test_staging_swap_runs_one_transaction(fake_dbapi):
 
     _swap_tables(PG, "public", "facts")
     stmts = [e[1] for e in fake_dbapi if e[0] == "execute"]
+    # unquoted: identifiers must case-fold exactly like Spark's own
+    # dbtable DDL did when it created/loaded the staging table
     assert stmts == [
-        'DROP TABLE IF EXISTS "public"."facts"',
-        'ALTER TABLE "public"."facts__stg" RENAME TO "facts"',
+        "DROP TABLE IF EXISTS public.facts",
+        "ALTER TABLE public.facts__stg RENAME TO facts",
     ]
     assert [e[0] for e in fake_dbapi] == ["execute", "execute", "commit", "close"]
 
@@ -203,3 +205,89 @@ def test_smoke_check_fails_fast_on_bad_jdbc(spark):
     )
     with pytest.raises(RuntimeError, match="connectivity check failed for postgres"):
         smoke_check(spark, job)
+
+
+def test_staging_swap_clones_target_ddl(monkeypatch):
+    """staging_swap must CREATE the staging table LIKE the target
+    (preserving real DDL) and append into it — letting Spark create it
+    would swap the target's schema for inferred TEXT columns. The swap
+    DDL is unquoted so identifiers case-fold exactly like Spark's own
+    dbtable DDL."""
+    from orion_etl_oracle_to_postgres_spark.sinks import jdbc as sj
+
+    executed: list[list[str]] = []
+    writes: list[tuple[str, str]] = []
+
+    monkeypatch.setattr(
+        "orion_etl_oracle_to_postgres_spark.dbapi.execute_sql",
+        lambda conn, sql, params=None: executed.append(
+            [sql] if isinstance(sql, str) else list(sql)
+        ),
+    )
+    monkeypatch.setattr(
+        sj,
+        "_write",
+        lambda df, conn, dbtable, mode, *a, **k: writes.append((dbtable, mode)),
+    )
+    sj.write_jdbc_table(None, object(), "FACTS", "public", "overwrite", staging_swap=True)
+
+    assert executed[0] == [
+        "DROP TABLE IF EXISTS public.FACTS__stg",
+        "CREATE TABLE public.FACTS__stg (LIKE public.FACTS INCLUDING ALL)",
+    ]
+    assert writes == [("public.FACTS__stg", "append")]  # DDL preserved
+    # swap statements: unquoted identifiers, single transaction
+    assert executed[1] == [
+        "DROP TABLE IF EXISTS public.FACTS",
+        "ALTER TABLE public.FACTS__stg RENAME TO FACTS",
+    ]
+
+
+def test_staging_swap_first_load_falls_back(monkeypatch):
+    """No target yet (undefined_table from the LIKE clone): Spark
+    creates the staging table (overwrite); transient errors propagate."""
+    from orion_etl_oracle_to_postgres_spark.sinks import jdbc as sj
+
+    writes: list[tuple[str, str]] = []
+
+    def boom_missing(conn, sql, params=None):
+        raise RuntimeError('relation "public.facts" does not exist (42P01)')
+
+    monkeypatch.setattr(
+        "orion_etl_oracle_to_postgres_spark.dbapi.execute_sql", boom_missing
+    )
+    monkeypatch.setattr(
+        sj,
+        "_write",
+        lambda df, conn, dbtable, mode, *a, **k: writes.append((dbtable, mode)),
+    )
+    calls = {"swap": 0}
+    monkeypatch.setattr(sj, "_swap_tables", lambda *a: calls.__setitem__("swap", 1))
+    sj.write_jdbc_table(None, object(), "facts", "public", "overwrite", staging_swap=True)
+    assert writes == [("public.facts__stg", "overwrite")] and calls["swap"] == 1
+
+    def boom_auth(conn, sql, params=None):
+        raise RuntimeError("FATAL: password authentication failed")
+
+    monkeypatch.setattr(
+        "orion_etl_oracle_to_postgres_spark.dbapi.execute_sql", boom_auth
+    )
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="authentication"):
+        sj.write_jdbc_table(None, object(), "facts", "public", "overwrite", staging_swap=True)
+
+
+def test_setup_logging_honors_file_level(tmp_path):
+    import logging
+
+    from orion_etl_oracle_to_postgres_spark.runner import setup_logging
+
+    log = tmp_path / "run.log"
+    setup_logging(level="INFO", log_file=str(log), file_level="INFO")
+    logging.getLogger("x").info("hello-info-line")
+    for h in logging.getLogger().handlers:
+        h.flush()
+    assert "hello-info-line" in log.read_text()
+    # restore default logging for other tests
+    setup_logging(level="INFO")
