@@ -3058,3 +3058,79 @@ def curation_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import sample_n
 
     return sample_n(d.select("doc_id", "lang"), "doc_id", 40)
+
+
+_RECON_ORACLE = """
+    WITH oldside AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    newside AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    d AS (
+      SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                  THEN 'same' ELSE 'changed' END AS diff_status
+      FROM oldside o FULL OUTER JOIN newside n USING (o_orderkey)
+    )
+"""
+
+
+def _recon_frames(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changed = F.when(
+        F.col("o_orderkey") % 89 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+    ).otherwise(F.col("o_totalprice"))
+    n = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn("o_totalprice", changed)
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return o, n
+
+
+@query(
+    "reconcile_snapshot_diff",
+    _RECON_ORACLE + "SELECT o_orderkey, diff_status FROM d",
+)
+def reconcile_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration validation (operators/reconcile.py:snapshot_diff): a
+    full-outer key join classifying every row of two snapshots as
+    added/removed/changed/same with null-safe column comparison — the
+    'did the load reproduce the table?' check the reference's row-count
+    logging cannot answer. One co-partitioned shuffle per side."""
+    from .operators.reconcile import snapshot_diff
+
+    o, n = _recon_frames(spark, sf_dir)
+    return snapshot_diff(o, n, ["o_orderkey"])
+
+
+@query(
+    "reconcile_diff_summary",
+    _RECON_ORACLE
+    + "SELECT diff_status, count(*) AS n FROM d GROUP BY 1",
+)
+def reconcile_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-row sign-off report over the same diff
+    (operators/reconcile.py:diff_summary)."""
+    from .operators.reconcile import diff_summary, snapshot_diff
+
+    o, n = _recon_frames(spark, sf_dir)
+    return diff_summary(snapshot_diff(o, n, ["o_orderkey"]))
