@@ -1558,10 +1558,10 @@ def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tk WHERE len(ts) >= 2
     ),
     c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
-    agg AS (SELECT doc_id, max(n) AS top_bigram_n, sum(n) AS n_bigrams
+    agg AS (SELECT doc_id, max(n) AS top_bigram_n, sum(n)::BIGINT AS n_bigrams
             FROM c GROUP BY 1)
     SELECT base.doc_id, n_words, distinct_word_frac,
-           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
            coalesce(top_bigram_n, 0) AS top_bigram_n,
            round(coalesce(top_bigram_n, 0)::DOUBLE
                  / greatest(coalesce(n_bigrams, 0), 1), 6) AS top_bigram_frac
@@ -1600,7 +1600,7 @@ _CONTAM_SHINGLE = """
     post AS (SELECT doc_id, unnest(shs) AS sh FROM corp)
     SELECT p.doc_id,
            count(*) AS n_shingles,
-           coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS n_matched,
+           coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0)::BIGINT AS n_matched,
            round(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0)::DOUBLE
                  / count(*), 6) AS contamination
     FROM post p LEFT JOIN bench b ON p.sh = b.sh
