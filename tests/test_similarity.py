@@ -269,3 +269,44 @@ def test_knn_join_lsh_subset_of_exact_per_bucket(spark):
     for r in knn_join_lsh(q, df, k=5, n_planes=3).collect():
         # sim values must agree with the exact join wherever both exist
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
+
+
+def test_near_dups_exact_small_and_block_paths_agree(spark):
+    """The small-input expression cross-join and the block-matrix path
+    are two physical strategies for the same semantics — force each via
+    small_input_threshold and compare (VERDICT r3 #3)."""
+    d = _vecs(spark)
+    small = similarity.embedding_near_dups(
+        d, threshold=0.5, exact=True, small_input_threshold=100
+    )
+    block = similarity.embedding_near_dups(
+        d, threshold=0.5, exact=True, small_input_threshold=0
+    )
+    rows_s = {(r["id_i"], r["id_j"], r["cosine_sim"]) for r in small.collect()}
+    rows_b = {(r["id_i"], r["id_j"], r["cosine_sim"]) for r in block.collect()}
+    assert rows_s == rows_b and rows_s
+
+
+def test_near_dups_exact_small_path_has_no_python_stage(spark):
+    """Under the threshold the exact plan must be pure JVM (no
+    mapInPandas / ArrowEvalPython / MapInPandas nodes)."""
+    out = similarity.embedding_near_dups(
+        _vecs(spark), threshold=0.9, exact=True, small_input_threshold=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+
+
+def test_knn_join_broadcast_guard_raises(spark):
+    """An oversized query side must fail loudly at plan-build time, not
+    OOM an executor mid-broadcast (VERDICT r3 #2)."""
+    import pytest
+
+    d = _vecs(spark)
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        similarity.knn_join(d, d, k=2, broadcast_limit=2)
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        similarity.knn_join_lsh(d, d, k=2, broadcast_limit=2)
+    # at/under the limit still works
+    out = similarity.knn_join(d, d, k=1, broadcast_limit=5)
+    assert out.count() == 5
