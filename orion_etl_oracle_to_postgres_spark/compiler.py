@@ -29,6 +29,7 @@ the registry with the reference's precedence: table overrides global;
 from __future__ import annotations
 
 import logging
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -186,6 +187,44 @@ def _is_missing_table_error(e: Exception) -> bool:
     return "relation" in msg and "does not exist" in msg
 
 
+_NUM_MARK = re.compile(r"^-?\d+(\.\d+)?$")
+_TS_MARK = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(\.(\d{1,9}))?$"
+)
+_DATE_MARK = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _watermark_sql_literal(mark) -> str:
+    """Render a stored high-water mark as a TYPED SQL literal for the
+    DB-side max probe (ADVICE r3): marks round-trip through JSON as
+    strings, and a bare ``'{mark}'`` string comparison against a
+    DATE/TIMESTAMP column relies on the session's implicit NLS
+    conversion (ORA-01861 at best, a silent mis-compare at worst) —
+    while an arbitrary string containing a quote would break out of the
+    literal entirely.
+
+    - numeric shapes → unquoted (``NUMBER`` comparison)
+    - ``YYYY-MM-DD[ T]HH:MM:SS[.ffffff]`` → ``TO_TIMESTAMP(...,
+      'YYYY-MM-DD HH24:MI:SS[.FF6]')``
+    - ``YYYY-MM-DD`` → ``TO_DATE(..., 'YYYY-MM-DD')``
+    - anything else → quoted with embedded quotes doubled
+    """
+    s = str(mark)
+    if _NUM_MARK.match(s):
+        return s
+    m = _TS_MARK.match(s)
+    if m:
+        base = f"{m.group(1)} {m.group(2)}"
+        if m.group(4):
+            frac = m.group(4)[:6].ljust(6, "0")
+            return f"TO_TIMESTAMP('{base}.{frac}', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+        return f"TO_TIMESTAMP('{base}', 'YYYY-MM-DD HH24:MI:SS')"
+    if _DATE_MARK.match(s):
+        return f"TO_DATE('{s}', 'YYYY-MM-DD')"
+    escaped = s.replace("'", "''")
+    return f"'{escaped}'"
+
+
 def _apply_dedup(df, spec: TableSpec):
     """Compile ``TableSpec.dedup`` into the plan. Deterministic: with an
     ``id_column`` the survivor is the min-id row per key (stable under
@@ -292,7 +331,19 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         # every new row's watermark value just to take the max.
         max_probe = None
         conns = g.connectors
-        if conns.source_files is None and conns.oracle is not None:
+        # The DB-side probe queries spec.source_table DIRECTLY, so it is
+        # only a faithful bound when the pipeline frame IS that table:
+        # a custom fetcher or a spec.where filter can exclude rows the
+        # probe would still see, advancing the committed mark past data
+        # the run never wrote (silent loss in later increments). In
+        # those cases fall back to df.agg(max), which reflects the real
+        # frame (ADVICE r3).
+        if (
+            fetcher is None
+            and not spec.where
+            and conns.source_files is None
+            and conns.oracle is not None
+        ):
             from .sources.jdbc import read_jdbc_table
 
             src_tbl = (
@@ -303,7 +354,11 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             wm = inc.watermark_column
 
             def max_probe(cur_mark, _tbl=src_tbl, _wm=wm):
-                where = f" WHERE {_wm} > '{cur_mark}'" if cur_mark is not None else ""
+                where = (
+                    f" WHERE {_wm} > {_watermark_sql_literal(cur_mark)}"
+                    if cur_mark is not None
+                    else ""
+                )
                 row = read_jdbc_table(
                     ctx.spark,
                     conns.oracle,

@@ -31,21 +31,38 @@ def snapshot_diff(
     keys: list[str],
     *,
     compare_cols: list[str] | None = None,
+    check_duplicates: bool = True,
 ) -> DataFrame:
     """→ ``(keys..., diff_status)`` for every key in either snapshot.
 
     ``compare_cols`` defaults to all shared non-key columns; comparison
     is null-safe (NULL == NULL counts as same — a difference report,
-    not SQL ternary logic). Duplicate keys within a side are a
-    validation error the caller owns (the join would multiply rows);
-    this function asserts neither side has them when
-    ``compare_cols`` is defaulted — cheap relative to the join."""
+    not SQL ternary logic). Duplicate keys within a side would multiply
+    rows through the full-outer join and skew ``diff_summary`` counts,
+    so by default each side is asserted duplicate-free up front (one
+    groupBy-count with ``limit(1)`` per side — cheap relative to the
+    join; pass ``check_duplicates=False`` to skip the eager probe when
+    keys are known unique, e.g. a primary-keyed JDBC snapshot)."""
     if not keys:
         raise ValueError("snapshot_diff needs at least one key column")
     for side, df in (("old", old), ("new", new)):
         missing = [k for k in keys if k not in df.columns]
         if missing:
             raise ValueError(f"{side} snapshot lacks key columns {missing}")
+    if check_duplicates:
+        for side, df in (("old", old), ("new", new)):
+            dup = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"{side} snapshot has duplicate keys on {keys} — "
+                    "dedup it first or diff on a truly unique key"
+                )
     if compare_cols is None:
         compare_cols = sorted(
             (set(old.columns) & set(new.columns)) - set(keys)

@@ -146,6 +146,17 @@ def merge_upsert(
 
     Duplicate keys WITHIN ``updates`` are an error (last-writer wins is
     nondeterministic under shuffles — pre-aggregate instead).
+
+    Partition-move safety (ADVICE r3): when ``partition_by`` is NOT a
+    subset of ``key_cols``, an update row can carry a different
+    partition value than the stored row with the same key — pruning the
+    rewrite to the updates' partition values alone would leave that
+    stale copy unread and undeleted (duplicate keys after the merge).
+    In that case the affected-partition set is widened with the keys'
+    CURRENT partitions, found by a key semi-join over a column-pruned
+    scan of (key, partition) columns only — footer-cheap on parquet;
+    when ``partition_by ⊆ key_cols`` a key can never move and the scan
+    is skipped.
     Returns ``{"updated_partitions": n or None, "upserts": n_rows}``.
     """
     target = spark.read.format(fmt).load(path)
@@ -166,10 +177,32 @@ def merge_upsert(
     n_up = updates.count()
 
     if partition_by:
-        pvals = [
+        pvals = {
             tuple(r[c] for c in partition_by)
             for r in updates.select(*partition_by).distinct().collect()
-        ]
+        }
+        old_home_dirs: list[str] = []
+        if not set(partition_by) <= set(key_cols):
+            # keys can move partitions — include their current homes,
+            # capturing the REAL directory paths (via input_file_name)
+            # so a home that empties out can be deleted after the swap
+            # without ever re-formatting "col=value" names
+            cur = (
+                # input_file_name() is only defined while rows are still
+                # attached to their scan — project it BEFORE the join
+                target.select(
+                    *key_cols, *partition_by, F.input_file_name().alias("__f")
+                )
+                .join(updates.select(*key_cols).distinct(), key_cols, "left_semi")
+                .select(*partition_by, "__f")
+                .distinct()
+                .collect()
+            )
+            pvals |= {tuple(r[c] for c in partition_by) for r in cur}
+            old_home_dirs = sorted({r["__f"].rsplit("/", 1)[0] for r in cur})
+        pvals = sorted(
+            pvals, key=lambda t: tuple((v is None, v) for v in t)
+        )
         cond = None
         for vals in pvals:
             # eqNullSafe: a null partition value must still match its rows
@@ -213,6 +246,7 @@ def merge_upsert(
 
         jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
         tmp_uri_len = len(jtmp.toUri().getPath())
+        moved_rels = set()
         for src in _leaf_dirs(jtmp, 0):
             rel = src.toUri().getPath()[tmp_uri_len:].lstrip("/")
             dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{rel}")
@@ -223,7 +257,19 @@ def merge_upsert(
                 fs.delete(dst, True)
             if not fs.rename(src, dst):
                 raise IOError(f"merge swap failed for partition {rel}")
+            moved_rels.add(rel)
             moved += 1
+        # An old home whose EVERY row moved away produces no staging
+        # directory — the rename loop leaves its stale files behind, so
+        # drop any captured home the swap didn't replace.
+        jroot = jvm.org.apache.hadoop.fs.Path(path)
+        root_uri_len = len(jroot.toUri().getPath())
+        for d in old_home_dirs:
+            jd = jvm.org.apache.hadoop.fs.Path(d)
+            rel = jd.toUri().getPath()[root_uri_len:].lstrip("/")
+            if rel not in moved_rels and fs.exists(jd):
+                fs.delete(jd, True)
+                moved += 1
         if moved == 0:
             fs.delete(jtmp, True)
             raise IOError(

@@ -125,9 +125,10 @@ class SyntheticEventsReader(DataSourceReader):
             etype = _EVENT_TYPES[_h(self.seed, i, "t") % len(_EVENT_TYPES)]
             if keep is not None and etype not in keep:
                 continue
-            ts = dt.datetime.utcfromtimestamp(
-                (_EPOCH_2024_US + (_h(self.seed, i, "ts") % (86_400_000_000 * 30)))
-                / 1_000_000
+            # naive-UTC NTZ value without the deprecated utcfromtimestamp
+            ts = dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=_EPOCH_2024_US
+                + (_h(self.seed, i, "ts") % (86_400_000_000 * 30))
             )
             yield (
                 i,
@@ -167,9 +168,10 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
         for i in range(start, end):
             etype = _EVENT_TYPES[_h(self.seed, i, "t") % len(_EVENT_TYPES)]
-            ts = dt.datetime.utcfromtimestamp(
-                (_EPOCH_2024_US + (_h(self.seed, i, "ts") % (86_400_000_000 * 30)))
-                / 1_000_000
+            # naive-UTC NTZ value without the deprecated utcfromtimestamp
+            ts = dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=_EPOCH_2024_US
+                + (_h(self.seed, i, "ts") % (86_400_000_000 * 30))
             )
             yield (
                 i,

@@ -153,3 +153,55 @@ def test_merge_upsert_escaped_and_null_partition_values(spark, tmp_path):
     assert stats["upserts"] == 2 and stats["updated_partitions"] == 2
     got = {r["id"]: (r["val"], r["region"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("A", "North America"), 2: ("b", "North America"), 3: ("C", None)}
+
+
+def test_merge_upsert_key_moving_partitions(spark, tmp_path):
+    """An update may carry a different partition value than the stored
+    row with the same key (partition_by not a subset of key_cols) — the
+    stale old-partition copy must be deleted, not left as a duplicate
+    key (ADVICE r3)."""
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import merge_upsert
+
+    path = str(tmp_path / "mv")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)], ["id", "val", "p"]
+    ).write.partitionBy("p").parquet(path)
+    # id 1 moves p=0 -> p=2; p=0 keeps id 2, so its dir is rewritten
+    ups = spark.createDataFrame([(1, "a2", 2)], ["id", "val", "p"])
+    merge_upsert(spark, path, ups, ["id"], partition_by=["p"])
+    rows = {(r["id"], r["val"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "a2", 2), (2, "b", 0), (3, "c", 1)}
+
+
+def test_merge_upsert_move_empties_old_partition(spark, tmp_path):
+    """If the moved key was its old partition's ONLY row, the staging
+    write produces no directory for it — the emptied home must still be
+    removed from the target."""
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import merge_upsert
+
+    path = str(tmp_path / "mv2")
+    spark.createDataFrame(
+        [(1, "a", 0), (3, "c", 1)], ["id", "val", "p"]
+    ).write.partitionBy("p").parquet(path)
+    ups = spark.createDataFrame([(1, "a2", 2)], ["id", "val", "p"])
+    merge_upsert(spark, path, ups, ["id"], partition_by=["p"])
+    rows = {(r["id"], r["val"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "a2", 2), (3, "c", 1)}
+    assert not (tmp_path / "mv2" / "p=0").exists()
+
+
+def test_snapshot_diff_rejects_duplicate_keys(spark):
+    """snapshot_diff asserts per-side key uniqueness up front — dups
+    would fan out through the full-outer join (ADVICE r3)."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x"), (1, "y")], ["id", "v"])
+    b = spark.createDataFrame([(1, "x")], ["id", "v"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snapshot_diff(a, b, ["id"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snapshot_diff(b, a, ["id"])
+    # opt-out path still builds a plan
+    assert snapshot_diff(b, b, ["id"], check_duplicates=False).count() == 1

@@ -789,3 +789,73 @@ def test_fingerprint_dedup_null_text_passes_through(spark, tmp_path):
     ids = sorted(r["id"] for r in compile_table(ctx, spec).df.collect())
     # duplicates collapse to min id; ALL null-text rows survive
     assert ids == [1, 3, 4, 5]
+
+
+def test_watermark_sql_literal_typing():
+    """The DB-side max probe must emit TYPED literals (ADVICE r3):
+    JSON-stored marks are strings, and a bare quoted string against a
+    DATE/TIMESTAMP column rides on implicit NLS conversion; a quote in
+    a string mark would break out of the literal."""
+    from orion_etl_oracle_to_postgres_spark.compiler import _watermark_sql_literal as lit
+
+    assert lit(42) == "42"
+    assert lit("42") == "42"
+    assert lit("-3.5") == "-3.5"
+    assert lit("2024-05-01") == "TO_DATE('2024-05-01', 'YYYY-MM-DD')"
+    assert (
+        lit("2024-05-01 10:20:30")
+        == "TO_TIMESTAMP('2024-05-01 10:20:30', 'YYYY-MM-DD HH24:MI:SS')"
+    )
+    # datetime str() round-trip with microseconds, and the T separator
+    assert (
+        lit("2024-05-01T10:20:30.123456")
+        == "TO_TIMESTAMP('2024-05-01 10:20:30.123456', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    )
+    assert (
+        lit("2024-05-01 10:20:30.5")
+        == "TO_TIMESTAMP('2024-05-01 10:20:30.500000', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    )
+    # arbitrary strings: quotes doubled, never break the literal
+    assert lit("o'brien") == "'o''brien'"
+
+
+def test_incremental_probe_gated_to_default_jdbc_frame(spark, tmp_path, monkeypatch):
+    """The DB-side max probe queries source_table directly, so it is
+    only installed when the pipeline frame IS that table: a spec.where
+    filter (or a custom fetcher) must fall back to df.agg(max), else
+    the committed mark can advance past rows the frame never contained
+    (ADVICE r3). Files-connector specs exercise the agg path; this
+    asserts the probe wiring responds to spec.where by checking the
+    mark only advances to the max the FILTERED frame saw."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table, run_table
+
+    monkeypatch.chdir(tmp_path)
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 999.0)], ["seq", "val"]
+    ).write.parquet(str(src / "t.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="t",
+        target_table="t_inc",
+        where="val < 100",  # excludes seq=3
+        incremental=spec_mod.IncrementalSpec(watermark_column="seq"),
+        mappings=[
+            spec_mod.MappingSpec(source="seq", target="seq"),
+            spec_mod.MappingSpec(source="val", target="val"),
+        ],
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    run_table(ctx, t)
+    import json
+
+    state = json.loads((tmp_path / ".hwm" / "t__t_inc.json").read_text())
+    # mark reflects the filtered frame's max (2), NOT the table max (3)
+    assert list(state.values()) == ["2"]
