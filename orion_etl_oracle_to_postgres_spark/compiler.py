@@ -611,6 +611,21 @@ def run_table(
     compiled = compile_table(ctx, spec)
     run_error_checks(compiled.df, compiled.error_checks)
 
+    if spec.scd2 is not None:
+        merged = _write_scd2(ctx, spec, compiled.df)
+        _write_quarantine(ctx, spec, compiled)
+        for label, obs in compiled.validation_metrics:
+            n = obs.get.get("violations", 0) or 0
+            if n:
+                logger.warning(
+                    "%s: validation %s — %d violating rows",
+                    spec.target_table, label, n,
+                )
+        if compiled.incremental_commit is not None:
+            compiled.incremental_commit()
+        _run_finalize_hooks(ctx, spec)
+        return merged
+
     out = _align_for_append(ctx, spec, compiled.df)
     if observation is not None:
         out = out.observe(observation, F.count(F.lit(1)).alias("rows"))
@@ -718,6 +733,137 @@ def _align_for_append(
             for c in target.schema.fieldNames()
         ]
     )
+
+
+def _write_scd2(ctx: JobContext, spec: TableSpec, updates: DataFrame) -> DataFrame:
+    """Declarative SCD Type-2 load (``TableSpec.scd2`` — VERDICT r3 #4):
+    the compiled pipeline output is an update batch merged into the
+    versioned dimension at the target via ``operators/scd.py``.
+
+    First run (no target) bootstraps with ``scd2_initial``. Later runs
+    read the existing dimension, apply ``scd2_apply`` (one key join +
+    union), and replace the target SAFELY even though the merge plan
+    READS it: a files target stages to ``<table>.__scd2`` and swaps
+    directories (same pattern as ``compact_dataset``); a JDBC target
+    eagerly materializes the merged frame (``localCheckpoint``) before
+    the truncating overwrite. The dimension's column set is exactly
+    ``key + compare_columns + validity`` — extra pipeline columns are an
+    error (silently dropping them would surprise; project them away in
+    the mappings instead)."""
+    s = spec.scd2
+    missing = [c for c in [s.key, *s.compare_columns] if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"{spec.target_table}: scd2 columns {missing} not in pipeline "
+            f"output {updates.columns}"
+        )
+    extras = set(updates.columns) - {s.key, *s.compare_columns, s.effective_column or s.key}
+    if extras:
+        raise ValueError(
+            f"{spec.target_table}: pipeline output carries columns "
+            f"{sorted(extras)} outside scd2 key/compare_columns — project "
+            "them away in the mappings (the dimension's shape is "
+            "key + compare_columns + validity interval)"
+        )
+    loader_name = spec.loader_plugin or ctx.global_spec.loader_plugin
+    if loader_name not in ("default_loader",):
+        raise ValueError(
+            f"{spec.target_table}: scd2 owns the write path — a custom "
+            f"loader plugin ({loader_name!r}) cannot be combined with it"
+        )
+
+    from .operators.scd import scd2_apply, scd2_initial
+
+    if s.effective_time is not None:
+        eff = s.effective_time
+    else:
+        if s.effective_column not in updates.columns:
+            raise ValueError(
+                f"{spec.target_table}: scd2.effective_column "
+                f"{s.effective_column!r} not in pipeline output"
+            )
+        row = updates.agg(F.max(s.effective_column).alias("m")).collect()[0]
+        if row["m"] is None:
+            raise ValueError(
+                f"{spec.target_table}: scd2 effective_column "
+                f"{s.effective_column!r} has no non-null values this run"
+            )
+        eff = str(row["m"])
+    upd = updates.select(s.key, *s.compare_columns)
+
+    from pyspark.errors import AnalysisException
+
+    dim = None
+    try:
+        dim = ctx._read_target(spec.target_table, spec.target_schema)
+    except (FileNotFoundError, AnalysisException, ValueError):
+        pass
+    except Exception as e:  # noqa: BLE001 — same classification as _align_for_append
+        if not _is_missing_table_error(e):
+            raise
+
+    if dim is None:
+        merged = scd2_initial(
+            upd, s.key, s.compare_columns, eff,
+            valid_from=s.valid_from, valid_to=s.valid_to,
+        )
+        resolve_sink(
+            merged,
+            ctx.global_spec.connectors,
+            spec.target_table,
+            spec.target_schema if ctx.global_spec.connectors.target_files is None else None,
+            mode="overwrite",
+            partition_by=spec.partition_by,
+            sort_by=spec.sort_by,
+        )
+        logger.info("%s: scd2 bootstrap at %s", spec.target_table, eff)
+        return merged
+
+    need = {s.key, *s.compare_columns, s.valid_from, s.valid_to}
+    lacking = sorted(need - set(dim.columns))
+    if lacking:
+        raise ValueError(
+            f"{spec.target_table}: existing target lacks scd2 columns "
+            f"{lacking} — not a dimension this spec can merge into"
+        )
+    merged = scd2_apply(
+        dim, upd, s.key, s.compare_columns, eff,
+        valid_from=s.valid_from, valid_to=s.valid_to,
+    )
+
+    conns = ctx.global_spec.connectors
+    if conns.target_files is not None:
+        from .sinks.files import write_file_table
+        from .sinks.maintenance import swap_dataset
+        from .sources.files import table_path
+
+        stage_table = f"{spec.target_table}.__scd2"
+        write_file_table(
+            merged, conns.target_files, stage_table, None, "overwrite",
+            partition_by=spec.partition_by, sort_by=spec.sort_by,
+        )
+        swap_dataset(
+            ctx.spark,
+            table_path(conns.target_files, spec.target_table, None),
+            table_path(conns.target_files, stage_table, None),
+        )
+        # the merge plan's lineage reads the PRE-swap target — re-executing
+        # it now would consume the new data as the old dim, so hand back a
+        # fresh read of what was actually written
+        merged = ctx._read_target(spec.target_table, spec.target_schema)
+    else:
+        # JDBC overwrite truncates the table the merge plan reads —
+        # pin the merged rows first
+        merged = merged.localCheckpoint()
+        resolve_sink(
+            merged,
+            conns,
+            spec.target_table,
+            spec.target_schema,
+            mode="overwrite",
+        )
+    logger.info("%s: scd2 merge applied at %s", spec.target_table, eff)
+    return merged
 
 
 def _write_quarantine(

@@ -2561,6 +2561,87 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_scd2_segment",
+    """
+    WITH dim0 AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, 'RETIRED' AS segment
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    changed AS (
+      SELECT d.c_custkey FROM dim0 d JOIN upd u USING (c_custkey)
+      WHERE d.segment IS DISTINCT FROM u.segment
+    )
+    SELECT d.c_custkey, d.segment, d.valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2024-06-01' END AS valid_to
+    FROM dim0 d LEFT JOIN changed ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'RETIRED', TIMESTAMP '2024-06-01', NULL FROM changed
+    """,
+)
+def etl_scd2_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] DECLARATIVE SCD Type-2 (``TableSpec.scd2`` →
+    ``compiler._write_scd2`` → ``operators/scd.py``): run 1 bootstraps
+    the customer-segment dimension at T0 through the YAML-shaped spec;
+    run 2 re-runs the same config-driven pipeline with a ``where``
+    filter and an ``insert:`` transform ("every 7th customer retires")
+    at T1 — the engine closes the old versions, opens new ones, and
+    swap-replaces the files target it was reading from. The oracle
+    replays the same set algebra. Replaces the reference's only load
+    mode, truncate-and-replace (``default_loader.py:38-45``), with a
+    history-keeping merge driven purely from config."""
+    import tempfile
+
+    from .compiler import run_table
+    from .spec import Scd2Spec
+
+    out = tempfile.mkdtemp(prefix="scd2_dim_")
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=sf_dir),
+            target_files=FilesConnectorSpec(base_path=out),
+        )
+    )
+    ctx = JobContext(spark, g)
+    t1 = TableSpec(
+        source_table="customer",
+        target_table="dim_customer",
+        mappings=[
+            MappingSpec(source="c_custkey", target="c_custkey"),
+            MappingSpec(source="c_mktsegment", target="segment"),
+        ],
+        scd2=Scd2Spec(
+            key="c_custkey", compare_columns=["segment"],
+            effective_time="2024-01-01",
+        ),
+    )
+    run_table(ctx, t1)
+    t2 = TableSpec(
+        source_table="customer",
+        target_table="dim_customer",
+        where="c_custkey % 7 = 0",
+        mappings=[
+            MappingSpec(source="c_custkey", target="c_custkey"),
+            MappingSpec(
+                source="c_mktsegment", target="segment",
+                transform="insert:RETIRED",
+            ),
+        ],
+        scd2=Scd2Spec(
+            key="c_custkey", compare_columns=["segment"],
+            effective_time="2024-06-01",
+        ),
+    )
+    return run_table(ctx, t2)
+
+
+@query(
     "dedup_incremental_batch",
     """
     WITH hist AS (

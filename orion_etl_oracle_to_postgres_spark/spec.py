@@ -27,7 +27,7 @@ from pathlib import Path
 from typing import List, Optional, Union
 
 import yaml
-from pydantic import BaseModel, ConfigDict, Field, field_validator
+from pydantic import BaseModel, ConfigDict, Field, field_validator, model_validator
 
 
 class LoggingSpec(BaseModel):
@@ -189,6 +189,38 @@ class SplitSpec(BaseModel):
     column_name: str = "split"
 
 
+class Scd2Spec(BaseModel):
+    """[engine extension] Declarative SCD Type-2 load mode
+    (``operators/scd.py``): instead of the reference's
+    truncate-and-replace (``/root/reference/plugins/default_loader.py:
+    38-45``, which destroys history every run), the pipeline output is
+    treated as an update batch and MERGED into the versioned dimension
+    at the target — closed old versions, carried unchanged rows, new
+    open versions.
+
+    ``effective_time`` pins the batch's effective timestamp to a
+    literal; ``effective_column`` derives it as the max of that
+    pipeline column (e.g. an updated_at) — exactly one must be set.
+    First run bootstraps the dimension (every row an open version)."""
+
+    key: str
+    compare_columns: List[str]
+    effective_time: Optional[str] = None
+    effective_column: Optional[str] = None
+    valid_from: str = "valid_from"
+    valid_to: str = "valid_to"
+
+    @model_validator(mode="after")
+    def _one_effective(self) -> "Scd2Spec":
+        if (self.effective_time is None) == (self.effective_column is None):
+            raise ValueError(
+                "scd2 needs exactly one of effective_time / effective_column"
+            )
+        if not self.compare_columns:
+            raise ValueError("scd2.compare_columns must be non-empty")
+        return self
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -224,6 +256,9 @@ class TableSpec(BaseModel):
     sample: Optional[SampleSpec] = None
     #: declarative split-label column on the outgoing rows
     split: Optional[SplitSpec] = None
+    #: SCD Type-2 load mode: merge the outgoing rows into the versioned
+    #: dimension at the target instead of truncate-and-replace
+    scd2: Optional[Scd2Spec] = None
 
 
 class GlobalSpec(BaseModel):
