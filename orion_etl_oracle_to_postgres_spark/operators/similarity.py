@@ -125,6 +125,34 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
+def _query_signature(query_vec: Sequence[float], planes: np.ndarray) -> int:
+    """Driver-side signature for one query vector via a plain sequential
+    left-to-right sum — the SAME association order as the SQL-side
+    aggregate in ``hyperplane_signature`` (np.dot uses pairwise
+    summation, which can flip the sign of a dot product landing near
+    the 0 boundary and put the query in a bucket its own row isn't in).
+    Keeps the bucket choice reproducible by any engine that folds the
+    product list sequentially."""
+    qsig = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(query_vec, p):
+            acc = acc + float(x) * float(y)
+        if acc >= 0:
+            qsig += 1 << i
+    return qsig
+
+
+def plane_families(
+    dim: int, n_planes: int, seed: int, n_families: int
+) -> list[np.ndarray]:
+    """``n_families`` independent deterministic plane sets: family ``f``
+    seeds at ``seed + f``, so family 0 is exactly the single-family
+    planes (back-compatible buckets) and every family is reproducible
+    by any engine from the same rule."""
+    return [make_planes(dim, n_planes, seed + f) for f in range(n_families)]
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -134,30 +162,29 @@ def lsh_topk(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 42,
+    n_families: int = 1,
 ) -> DataFrame:
     """ANN top-k for one query: scan only rows whose LSH bucket matches
     the query's bucket (partition-prunable if the table is written
     bucketed/partitioned by signature). Approximate — recall depends on
-    n_planes; lower n_planes = bigger buckets = higher recall & cost."""
-    planes = make_planes(len(query_vec), n_planes, seed)
-    # Query signature via a plain sequential left-to-right sum — the SAME
-    # association order as the SQL-side aggregate in hyperplane_signature
-    # (np.dot uses pairwise summation, which can flip the sign of a dot
-    # product landing near the 0 boundary and put the query in a bucket
-    # its own row isn't in). Keeps the bucket choice reproducible by any
-    # engine that folds the product list sequentially.
-    qsig = 0
-    for i, p in enumerate(planes):
-        acc = 0.0
-        for x, y in zip(query_vec, p):
-            acc = acc + float(x) * float(y)
-        if acc >= 0:
-            qsig += 1 << i
+    n_planes; lower n_planes = bigger buckets = higher recall & cost.
+
+    ``n_families > 1`` unions several independent plane families
+    (VERDICT r3 #6 — the standard multi-family OR-construction): a row
+    is a candidate if it shares the query's bucket in ANY family, so
+    recall rises as 1-(1-p^n_planes)^n_families while per-bucket cost
+    stays at n_planes bits. Still ONE scan — the per-family equality
+    tests are OR-ed into a single filter predicate."""
+    fams = plane_families(len(query_vec), n_planes, seed, n_families)
     v = F.col(vec_col).cast("array<double>")
+    cond = None
+    for planes in fams:
+        qsig = _query_signature(query_vec, planes)
+        term = hyperplane_signature(v, planes) == F.lit(qsig)
+        cond = term if cond is None else (cond | term)
     sim = cosine(v, _lit_vec(query_vec))
     return (
-        df.withColumn("__sig", hyperplane_signature(v, planes))
-        .filter(F.col("__sig") == F.lit(qsig))
+        df.filter(cond)
         .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -651,6 +678,7 @@ def knn_join_lsh(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     broadcast_limit: int = 2_000_000,
+    n_families: int = 1,
 ) -> DataFrame:
     """ANN variant of ``knn_join``: both sides are sign-LSH bucketed by
     the SAME deterministic hyperplanes and candidates come from an
@@ -658,25 +686,39 @@ def knn_join_lsh(
     the bucket occupancy (~|corpus| / 2^n_planes for centered data).
     Recall is approximate (a true neighbor in another bucket is
     missed; queries may return fewer than k rows); raise recall with
-    fewer planes or by unioning several plane families. At 100 TB the
-    corpus side can be written bucketed/partitioned by ``__bk`` so the
-    probe prunes partitions instead of shuffling.
+    fewer planes or with ``n_families > 1`` (VERDICT r3 #6): each side
+    gets one bucket per independent plane family and candidates come
+    from matching in ANY family — a (family, bucket) equi-join after
+    ``posexplode``, deduped before ranking, so the plan stays a bucket
+    equi-join and the result is a superset of every single family's.
+    At 100 TB the corpus side can be written bucketed/partitioned by
+    ``__bk`` so the probe prunes partitions instead of shuffling.
     """
     _guard_broadcast_side(queries, query_id, broadcast_limit, "knn_join_lsh")
-    planes = make_planes(_first_dim(corpus, corpus_vec), n_planes, seed)
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).cast("array<double>").alias("__qv"),
-    ).withColumn("__bk", hyperplane_signature(F.col("__qv"), planes))
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    ).withColumn("__bk", hyperplane_signature(F.col("__cv"), planes))
-    scored = c.join(F.broadcast(q), "__bk").select(
+    fams = plane_families(
+        _first_dim(corpus, corpus_vec), n_planes, seed, n_families
+    )
+
+    def bucketed(sdf, idc, vecc, out_id, out_vec):
+        v = F.col(vecc).cast("array<double>")
+        return sdf.select(
+            F.col(idc).alias(out_id),
+            v.alias(out_vec),
+            F.posexplode(
+                F.array(*[hyperplane_signature(v, p) for p in fams])
+            ).alias("__fam", "__bk"),
+        )
+
+    q = bucketed(queries, query_id, query_vec, "query_id", "__qv")
+    c = bucketed(corpus, corpus_id, corpus_vec, "neighbor_id", "__cv")
+    scored = c.join(F.broadcast(q), ["__fam", "__bk"]).select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine_sim"),
     )
+    if n_families > 1:
+        # a pair colliding in several families must score/rank once
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

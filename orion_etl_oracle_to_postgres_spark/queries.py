@@ -2851,6 +2851,46 @@ def emb_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join_lsh(q, e, k=5, n_planes=6)
 
 
+def _knn_lsh_multi_sql(n_planes: int = 6, k: int = 5, n_families: int = 2) -> str:
+    """Multi-family oracle: candidates = bucket matches in ANY family
+    (union → distinct), mirroring ``knn_join_lsh(n_families=2)``.
+    Family f's planes seed at 42 + f (``similarity.plane_families``)."""
+    fam_sigs = [
+        _sig_sql("embedding::DOUBLE[]", similarity.make_planes(_EMB_DIM, n_planes, seed=42 + f))
+        for f in range(n_families)
+    ]
+    sig_cols = ", ".join(f"{s} AS s{f}" for f, s in enumerate(fam_sigs))
+    match = " OR ".join(f"c.s{f} = q.s{f}" for f in range(n_families))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {sig_cols} FROM embeddings
+    ),
+    q AS (SELECT * FROM sig WHERE vec_id % 53 = 0),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(c.v, q.v), 6) AS cosine_sim
+             FROM q JOIN sig c ON {match})
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+@query("emb_knn_join_lsh_multi", _knn_lsh_multi_sql())
+def emb_knn_join_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-family ANN batch retrieval (similarity.knn_join_lsh with
+    n_families=2 — VERDICT r3 #6): recall is tunable WITHOUT lowering
+    n_planes globally — a candidate needs to share the query's bucket
+    in ANY of the independent plane families (the standard LSH
+    OR-construction), so every single family's result set is a subset
+    of this one. Physically still a bucket equi-join: posexplode to
+    (family, bucket) keys, join, dedup pairs, rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    return similarity.knn_join_lsh(q, e, k=5, n_planes=6, n_families=2)
+
+
 @query(
     "text_vocab_topk_pruned",
     # the SAME oracle as text_vocab_topk: the pruned path must give the

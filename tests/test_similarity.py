@@ -310,3 +310,27 @@ def test_knn_join_broadcast_guard_raises(spark):
     # at/under the limit still works
     out = similarity.knn_join(d, d, k=1, broadcast_limit=5)
     assert out.count() == 5
+
+
+def test_multi_family_lsh_is_superset_and_bucket_join(spark, sf_dir):
+    """n_families>1 unions independent plane families: per-query
+    candidate sets (and lsh_topk's) must contain the single-family
+    ones, and the physical plan must stay a bucket equi-join (hash
+    join on the exploded (family, bucket) keys — no cartesian)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id % 53 = 0")
+    one = similarity.knn_join_lsh(q, e, k=50, n_planes=6, n_families=1)
+    two = similarity.knn_join_lsh(q, e, k=50, n_planes=6, n_families=2)
+    pairs1 = {(r["query_id"], r["neighbor_id"]) for r in one.collect()}
+    pairs2 = {(r["query_id"], r["neighbor_id"]) for r in two.collect()}
+    assert pairs1 <= pairs2
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    qv = [float(x) for x in e.filter("vec_id = 0").select("embedding").first()[0]]
+    t1 = {r["vec_id"] for r in similarity.lsh_topk(e, qv, k=500, n_planes=8).collect()}
+    t2 = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(e, qv, k=500, n_planes=8, n_families=3).collect()
+    }
+    assert t1 <= t2 and len(t2) >= len(t1)
