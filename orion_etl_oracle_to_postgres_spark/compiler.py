@@ -132,10 +132,11 @@ class JobContext:
             from .sources.files import read_file_table
 
             return read_file_table(self.spark, conns.target_files, table, schema)
-        if conns.postgres is not None:
+        jdbc_conn = conns.target_jdbc or conns.postgres
+        if jdbc_conn is not None:
             from .sources.jdbc import read_jdbc_table
 
-            return read_jdbc_table(self.spark, conns.postgres, table, schema)
+            return read_jdbc_table(self.spark, jdbc_conn, table, schema)
         raise ValueError("no target connector")
 
     def target_table_columns(self, spec: TableSpec) -> Optional[list[str]]:
@@ -184,7 +185,9 @@ def _is_missing_table_error(e: Exception) -> bool:
     msg = str(e)
     if "42P01" in msg or "ORA-00942" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg:
         return True
-    return "relation" in msg and "does not exist" in msg
+    if "42X05" in msg:  # Derby: Table/View '...' does not exist
+        return True
+    return "does not exist" in msg and ("relation" in msg or "Table/View" in msg)
 
 
 _NUM_MARK = re.compile(r"^-?\d+(\.\d+)?$")
@@ -338,11 +341,12 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         # the run never wrote (silent loss in later increments). In
         # those cases fall back to df.agg(max), which reflects the real
         # frame (ADVICE r3).
+        src_jdbc = conns.source_jdbc or conns.oracle
         if (
             fetcher is None
             and not spec.where
             and conns.source_files is None
-            and conns.oracle is not None
+            and src_jdbc is not None
         ):
             from .sources.jdbc import read_jdbc_table
 
@@ -353,7 +357,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             )
             wm = inc.watermark_column
 
-            def max_probe(cur_mark, _tbl=src_tbl, _wm=wm):
+            def max_probe(cur_mark, _tbl=src_tbl, _wm=wm, _conn=src_jdbc):
                 where = (
                     f" WHERE {_wm} > {_watermark_sql_literal(cur_mark)}"
                     if cur_mark is not None
@@ -361,7 +365,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 )
                 row = read_jdbc_table(
                     ctx.spark,
-                    conns.oracle,
+                    _conn,
                     spec.source_table,
                     spec.source_schema,
                     query=f"SELECT MAX({_wm}) AS m FROM {_tbl}{where}",

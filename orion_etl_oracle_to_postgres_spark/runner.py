@@ -60,6 +60,10 @@ def smoke_check(spark, job) -> None:
         _jdbc_ping(spark, conns.oracle, "SELECT 1 FROM DUAL", "oracle")
     if conns.postgres is not None:
         _jdbc_ping(spark, conns.postgres, "SELECT 1", "postgres")
+    if conns.source_jdbc is not None:
+        _jdbc_ping(spark, conns.source_jdbc, conns.source_jdbc.ping_sql, "source_jdbc")
+    if conns.target_jdbc is not None:
+        _jdbc_ping(spark, conns.target_jdbc, conns.target_jdbc.ping_sql, "target_jdbc")
 
 
 def _jdbc_ping(spark, conn, sql: str, label: str) -> None:

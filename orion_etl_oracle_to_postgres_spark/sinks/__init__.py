@@ -27,7 +27,8 @@ def resolve_sink(
             partition_by=partition_by,
             sort_by=sort_by,
         )
-    if connectors.postgres is not None:
+    jdbc_conn = connectors.target_jdbc or connectors.postgres
+    if jdbc_conn is not None:
         if partition_by:
             raise ValueError(
                 f"table {table!r}: partition_by is a file-layout option; "
@@ -35,5 +36,5 @@ def resolve_sink(
             )
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)  # insert-order locality
-        return write_jdbc_table(df, connectors.postgres, table, schema, mode, **kw)
+        return write_jdbc_table(df, jdbc_conn, table, schema, mode, **kw)
     raise ValueError("no target connector configured")

@@ -64,6 +64,29 @@ class PostgresConnectorSpec(BaseModel):
         return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
 
 
+class JdbcConnectorSpec(BaseModel):
+    """[engine extension] Generic JDBC endpoint by explicit URL — any
+    database Spark's JDBC source/sink can reach (Derby, H2, MySQL,
+    SQL Server, ...). The typed Oracle/Postgres specs remain the
+    reference-parity front door; this opens the identical pipeline to
+    other engines, and lets the test suite execute the REAL JDBC
+    read/write path end-to-end against the Derby driver embedded in the
+    Spark distribution (no external DB needed).
+
+    ``ping_sql`` is the startup connectivity probe (dialect-dependent:
+    ``SELECT 1`` for Postgres/MySQL/H2, ``VALUES 1`` for Derby,
+    ``SELECT 1 FROM DUAL`` for Oracle)."""
+
+    url: str
+    user: str = ""
+    password: str = ""
+    ping_sql: str = "SELECT 1"
+
+    @property
+    def jdbc_url(self) -> str:
+        return self.url
+
+
 class FilesConnectorSpec(BaseModel):
     """[engine extension] File-based source/target root. ``source_schema``
     / ``target_schema`` in a TableSpec select a subdirectory; tables map to
@@ -78,6 +101,10 @@ class ConnectorsSpec(BaseModel):
     postgres: Optional[PostgresConnectorSpec] = None
     source_files: Optional[FilesConnectorSpec] = None
     target_files: Optional[FilesConnectorSpec] = None
+    #: generic JDBC-by-URL endpoints (engine extension); when set they
+    #: take the role of oracle (source) / postgres (target)
+    source_jdbc: Optional[JdbcConnectorSpec] = None
+    target_jdbc: Optional[JdbcConnectorSpec] = None
 
 
 class LookupSpec(BaseModel):
