@@ -2560,6 +2560,83 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
 
 
+_CDC_LOG_SQL = """
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'error' THEN 'D'
+                             WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+             round(value, 6) AS value
+      FROM events
+"""
+
+_CDC_LATEST_SQL = """
+    latest AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+"""
+
+
+def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events re-cast as a CDC changelog: key=user_id, seq=event_id,
+    op derived from the event type (error→D, signup→I, else U)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@query(
+    "cdc_apply_events",
+    f"""
+    WITH log AS ({_CDC_LOG_SQL}),
+    {_CDC_LATEST_SQL}
+    SELECT user_id, ts, event_id, value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CDC changelog application (operators/cdc.py): materialize
+    current per-key state from an insert/update/delete event log — the
+    latest event per key via ONE ``max_by`` hash aggregate (map-side
+    partial max; no window sort over the log), keys whose latest op is
+    a delete dropped. The relational replacement for the reference's
+    only load mode, full truncate-and-replace
+    (``default_loader.py:38-45``), when the source ships a redo log."""
+    from .operators.cdc import cdc_apply
+
+    log = _cdc_log(spark, sf_dir)
+    return cdc_apply(log, ["user_id"], "ts", "op", seq_col="event_id")
+
+
+@query(
+    "cdc_snapshot_events",
+    f"""
+    WITH log AS ({_CDC_LOG_SQL} WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+    {_CDC_LATEST_SQL}
+    SELECT user_id, ts, event_id, value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CDC time travel (operators/cdc.py:cdc_snapshot_at): state
+    as of T from the log alone — the bound filters BEFORE the aggregate
+    so a date-partitioned log prunes to the prefix."""
+    from .operators.cdc import cdc_snapshot_at
+
+    log = _cdc_log(spark, sf_dir)
+    return cdc_snapshot_at(
+        log, "2024-01-15 00:00:00", ["user_id"], "ts", "op", seq_col="event_id"
+    )
+
+
 @query(
     "etl_scd2_segment",
     """
