@@ -53,3 +53,111 @@ def approx_group_quantiles(
         cols.append(F.col("_aq").getItem(i).alias(name))
     cols.append(F.col("n"))
     return agg.select(*cols)
+
+
+def group_quantile_bounds(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group quantile boundary frame ``(keys..., __qb array<double>)``.
+
+    ``exact=False`` (default) uses the bounded-memory approx sketch —
+    the 100 TB path; ``exact=True`` uses ``percentile`` (per-group value
+    buffering — gate/oracle use only). Boundaries are ROUNDED to
+    ``decimals`` so downstream comparisons (clip/bucket) agree across
+    engines: two engines interpolating the same quantile can differ in
+    the last ulp, and an unrounded boundary would flip rows that land
+    inside that ulp."""
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    fn = "percentile" if exact else f"approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.transform(
+            F.expr(f"{fn}({value_col}, array({qs}){acc})"),
+            lambda b: F.round(b, decimals),
+        ).alias("__qb")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
+    out_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group winsorization (outlier clipping): values below the
+    group's ``lo`` quantile / above its ``hi`` quantile are clamped to
+    those bounds — the standard robustness transform before training on
+    heavy-tailed measures. All input columns pass through plus
+    ``<value_col>_wins`` (or ``out_col``).
+
+    Plan: one aggregate builds the per-group bounds (rows = #groups),
+    broadcast-joined back — no second shuffle of the data. Bounds come
+    from the approx sketch by default (bounded memory at 100 TB);
+    ``exact=True`` for the differential gate."""
+    bounds = group_quantile_bounds(
+        df, keys, value_col, (lo, hi),
+        exact=exact, accuracy=accuracy, decimals=decimals,
+    )
+    out = out_col or f"{value_col}_wins"
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__qb").getItem(0)),
+        F.col("__qb").getItem(1),
+    )
+    return (
+        df.join(F.broadcast(bounds), list(keys))
+        .withColumn(out, clipped)
+        .drop("__qb")
+    )
+
+
+def frequency_bins(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_bins: int = 10,
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
+    out_col: str = "bin",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group equal-frequency binning: bin b = number of interior
+    quantile boundaries strictly below the value (0-based, ``n_bins``
+    buckets) — quantile-bucketed balancing for mixing/stratification.
+
+    Differs from ``ntile`` deliberately: ntile needs a TOTAL ORDER of
+    each group (full sort, and ties split arbitrarily across bins —
+    engine-dependent); boundary-counting is a pure per-row projection
+    against a broadcast bounds frame — deterministic, no sort, and the
+    same row always lands in the same bin under any partitioning.
+
+    Boundary membership: ``F.aggregate`` over the bounds array (JVM
+    fold, no UDF). Bounds are rounded (see ``group_quantile_bounds``)
+    so both engines in a differential pair bucket identically."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = group_quantile_bounds(
+        df, keys, value_col, qs, exact=exact, accuracy=accuracy, decimals=decimals
+    )
+    bin_expr = F.aggregate(
+        F.col("__qb"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
+    )
+    return (
+        df.join(F.broadcast(bounds), list(keys))
+        .withColumn(out_col, bin_expr)
+        .drop("__qb")
+    )

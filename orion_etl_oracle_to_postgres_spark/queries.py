@@ -2560,6 +2560,76 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
 
 
+@query(
+    "quantile_winsorize_prices",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+             round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+           least(greatest(l.l_extendedprice, b.lo), b.hi) AS price_wins
+    FROM lineitem l JOIN b USING (l_returnflag)
+    """,
+)
+def quantile_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group winsorization (operators/quantiles.py:winsorize):
+    clamp prices to each return-flag group's [p5, p95] — the standard
+    heavy-tail robustness transform before training. One bounds
+    aggregate (rows = #groups) broadcast back; the data shuffles once
+    at most. exact=True here for the differential gate; the approx
+    sketch is the bounded-memory 100 TB path."""
+    from .operators.quantiles import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorize(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        lo=0.05,
+        hi=0.95,
+        exact=True,
+        out_col="price_wins",
+    )
+
+
+@query(
+    "quantile_freq_bins",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             list_transform(
+               quantile_cont(o_totalprice,
+                             [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+               x -> round(x, 4)) AS qb
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           len(list_filter(b.qb, x -> o.o_totalprice > x))::INT AS bin
+    FROM orders o JOIN b USING (o_orderpriority)
+    """,
+)
+def quantile_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group equal-frequency binning
+    (operators/quantiles.py:frequency_bins): bin = count of interior
+    quantile boundaries below the value — deterministic under any
+    partitioning (unlike ntile, which needs a full sort and splits ties
+    arbitrarily), a pure projection against broadcast bounds. Rounded
+    boundaries make both engines bucket identically."""
+    from .operators.quantiles import frequency_bins
+
+    o = _t(spark, sf_dir, "orders")
+    return frequency_bins(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        n_bins=8,
+        exact=True,
+    )
+
+
 _CDC_LOG_SQL = """
       SELECT user_id, ts, event_id,
              CASE event_type WHEN 'error' THEN 'D'

@@ -41,3 +41,44 @@ def test_approx_group_quantiles_is_partial_aggregated(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ObjectHashAggregate") >= 2  # partial + final
     assert "approx_percentile" in plan
+
+
+def test_winsorize_clamps_and_passes_through(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("a", 10_000.0), ("a", -5_000.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = winsorize(df, ["g"], "v", lo=0.05, hi=0.95, exact=True)
+    vals = {r["v"]: r["v_wins"] for r in out.collect()}
+    assert vals[10_000.0] < 10_000.0 and vals[-5_000.0] > -5_000.0
+    assert vals[50.0] == 50.0  # interior values untouched
+    assert out.count() == df.count()
+
+
+def test_winsorize_approx_matches_exact_at_high_accuracy(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1000)], ["g", "v"]
+    )
+    ex = {r["v"]: r["v_wins"] for r in winsorize(df, ["g"], "v", exact=True).collect()}
+    ap = {r["v"]: r["v_wins"] for r in winsorize(df, ["g"], "v", accuracy=100000).collect()}
+    diffs = [abs(ex[k] - ap[k]) for k in ex]
+    assert max(diffs) <= 1.0  # rank error 1/accuracy over 1000 values
+
+
+def test_frequency_bins_balanced_and_deterministic(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import frequency_bins
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(800)], ["g", "v"]
+    )
+    out = frequency_bins(df, ["g"], "v", n_bins=8, exact=True)
+    counts = {r["bin"]: r["n"] for r in out.groupBy("bin").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(8))
+    assert all(90 <= c <= 110 for c in counts.values())  # ~100 each
+    # deterministic under repartitioning
+    out2 = frequency_bins(df.repartition(13), ["g"], "v", n_bins=8, exact=True)
+    assert {(r["v"], r["bin"]) for r in out.collect()} == {
+        (r["v"], r["bin"]) for r in out2.collect()
+    }
