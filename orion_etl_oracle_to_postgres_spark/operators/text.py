@@ -211,6 +211,44 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy of the word distribution per document — the
+    information-theoretic quality signal next to the ratio-based ones
+    (``quality_score``) and repetition modes (``repetition_signals``):
+    near-zero for degenerate/templated text, ~log2(n) for fully diverse
+    text. Output ``(id, n_words, n_distinct, entropy, norm_entropy)``
+    with ``norm_entropy = H / log2(n_distinct)`` in [0, 1].
+
+    Algebraic form: H = log2(n) − Σ c·log2(c) / n over per-word counts
+    c — ONE pass over the exploded words with map-side partial sums;
+    the per-word count stream never needs a second normalization join.
+    Same word-count shuffle shape as ``repetition_signals``; rounded to
+    6 so engines agree."""
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy(id_col, "__w")
+        .count()
+    )
+    agg = counts.groupBy(id_col).agg(
+        F.sum("count").alias("__n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("count") * F.log2("count")).alias("__s"),
+    )
+    h = F.log2(F.col("__n")) - F.col("__s") / F.col("__n")
+    return agg.select(
+        F.col(id_col),
+        F.col("__n").alias("n_words"),
+        "n_distinct",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1, h / F.log2(F.col("n_distinct"))
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
 ) -> DataFrame:

@@ -2561,6 +2561,75 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_word_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+    a AS (SELECT doc_id, sum(c)::BIGINT AS n_words, count(*) AS n_distinct,
+                 sum(c * log2(c)) AS s
+          FROM c GROUP BY 1)
+    SELECT doc_id, n_words, n_distinct,
+           round(log2(n_words) - s / n_words, 6) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (log2(n_words) - s / n_words) / log2(n_distinct)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM a
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Shannon word-entropy quality signal
+    (operators/text.py:word_entropy): H = log2(n) − Σ c·log2(c)/n in
+    one pass over the exploded words (algebraic form avoids a second
+    normalization join); norm_entropy rescales by the max possible
+    log2(n_distinct). Word-count shuffle shape — the canonical
+    well-scaling job."""
+    d = _t(spark, sf_dir, "documents")
+    return text.word_entropy(d, "text", "doc_id")
+
+
+@query(
+    "skew_salted_cohort_join",
+    """
+    SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
+           (e.user_id % 7)::INT AS cohort
+    FROM events e
+    JOIN (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0) d
+      USING (user_id)
+    """,
+)
+def skew_salted_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Skew-salted join (operators/skew.py:salted_join) — hot keys
+    found by a pre-pass top-N are salted across 8 reducers, the dim side
+    replicated only for those keys. The oracle is the PLAIN join: the
+    salt must never change the result multiset, only how it spreads
+    across tasks (the salt values themselves are partitioning-dependent
+    and are dropped before output)."""
+    from .operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    big = e.select("event_id", "user_id", F.round("value", 6).alias("value"))
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 == 0)
+        .withColumn("cohort", (F.col("user_id") % 7).cast("int"))
+    )
+    hot = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), "user_id")
+        .limit(5)
+        .select("user_id")
+    )
+    return salted_join(big, dim, ["user_id"], "inner", salt=8, hot_keys=hot)
+
+
+@query(
     "quantile_winsorize_prices",
     """
     WITH b AS (

@@ -100,3 +100,26 @@ def test_scrub_text_phone_opt_in(spark):
     df = spark.createDataFrame([("call +1 (555) 123-4567 now",)], "t string")
     out = df.select(scrub_text(F.col("t"), phone_token="<PHONE>").alias("c")).first()
     assert out["c"] == "call <PHONE> now"
+
+
+def test_word_entropy_bounds_and_values(spark):
+    import math
+
+    from orion_etl_oracle_to_postgres_spark.operators.text import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),              # degenerate: H = 0
+            (2, "a b c d"),              # uniform over 4: H = 2
+            (3, "a a b"),                # H = 2/3·log2(3/2) + 1/3·log2(3)
+            (4, ""),                     # no tokens -> absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in word_entropy(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["entropy"] == 0.0 and out[1]["norm_entropy"] == 0.0
+    assert out[2]["entropy"] == 2.0 and out[2]["norm_entropy"] == 1.0
+    expected = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(out[3]["entropy"] - round(expected, 6)) < 1e-9
+    assert 0.0 <= out[3]["norm_entropy"] <= 1.0
