@@ -2561,6 +2561,45 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_split_sentences",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(text, '\\bthe\\b'),
+                 x -> regexp_replace(x, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g')),
+               x -> x <> '') AS parts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(list_transform(parts, (x, i) -> {'i': i, 's': x})) AS u
+      FROM s
+    )
+    SELECT doc_id, u.i::INT AS sent_idx, u.s AS sentence FROM e
+    """,
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Spark 4 Python UDTF (functions/udtfs.py): regex text
+    segmentation as a LATERAL table function — one doc row expands to a
+    variable number of typed rows inside the executor, Arrow-batched.
+    The fixture corpus has no sentence punctuation, so the query splits
+    on the word 'the' (a frequent token) to exercise real multi-row
+    fan-out; the oracle replays split/trim/filter with 1-based indexing
+    via DuckDB's indexed list lambda, pinning the UDTF's row contract
+    exactly."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        r"SELECT d.doc_id, s.sent_idx, s.sentence "
+        r"FROM __udtf_docs d, LATERAL split_sentences(d.text, '\\bthe\\b') s"
+    )
+
+
+@query(
     "text_word_entropy",
     """
     WITH w AS (
