@@ -2561,6 +2561,47 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_quantize_error",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id, v, m,
+             CASE WHEN m > 0
+                  THEN list_transform(v, x -> round(x * 127.0 / m))
+                  ELSE list_transform(v, x -> 0.0) END AS qv
+      FROM q
+    ),
+    d AS (
+      SELECT vec_id, m,
+             list_transform(v, (x, i) -> x - qv[i] * m / 127.0) AS diff,
+             len(v) AS n
+      FROM qq
+    )
+    SELECT vec_id, round(m, 6) AS scale,
+           round(list_max(list_transform(diff, x -> abs(x))), 8) AS max_abs_err,
+           round(list_reduce(list_transform(diff, x -> x * x),
+                             (a, b) -> a + b) / n, 8) AS mse
+    FROM d
+    """,
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] int8 embedding quantization acceptance report
+    (similarity.quantize_embeddings / quantization_error): symmetric
+    per-vector max-abs scaling, 4-8× smaller scan footprint for a
+    100 TB retrieval corpus; per-vector max|err| (≤ scale/254 by
+    construction) and MSE, every quantized code and error value
+    replayed bit-for-bit by the oracle's list lambdas."""
+    e = _t(spark, sf_dir, "embeddings")
+    from .operators.similarity import quantization_error
+
+    return quantization_error(e)
+
+
+@query(
     "udtf_split_sentences",
     """
     WITH s AS (

@@ -340,3 +340,29 @@ def test_multi_family_lsh_is_superset_and_bucket_join(spark, sf_dir):
         for r in similarity.lsh_topk(e, qv, k=500, n_planes=8, n_families=3).collect()
     }
     assert t1 <= t2 and len(t2) >= len(t1)
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """int8 quantization reconstruction error is bounded by half a step
+    (scale/254); zero vectors survive with scale 0; dot products
+    recovered from codes stay close."""
+    import math
+
+    rows = [
+        (1, [1.0, -0.5, 0.25]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [-2.0, 2.0, 1.999]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    err = {r["vec_id"]: r for r in similarity.quantization_error(df).collect()}
+    assert err[2]["scale"] == 0.0 and err[2]["max_abs_err"] == 0.0
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        bound = max(abs(x) for x in vec) / 254 + 1e-12
+        assert err[vid]["max_abs_err"] <= bound
+    # dequantized dot vs true dot
+    q = {r["vec_id"]: (r["scale"], list(r["qvec"])) for r in similarity.quantize_embeddings(df).collect()}
+    s1, q1 = q[1]
+    s3, q3 = q[3]
+    approx = (s1 * s3 / (127.0 * 127.0)) * sum(a * b for a, b in zip(q1, q3))
+    true = sum(a * b for a, b in zip(rows[0][1], rows[2][1]))
+    assert math.isclose(approx, true, abs_tol=0.05)
