@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "emb_knn_join_lsh",  # batch ANN retrieval: bucket equi-join + group limit
     "emb_knn_join_lsh_multi",  # multi-family recall variant, same join shape
     "text_vocab_topk_pruned",  # exact heavy hitters, bounded shuffle + proof gate
+    "cdc_apply_events",  # changelog latest-per-key max_by state materialization
+    "text_word_entropy",  # one-pass Shannon entropy, word-count shuffle shape
+    "quantile_winsorize_prices",  # percentile bounds broadcast-joined clip
 ]
 
 

@@ -32,6 +32,7 @@ import logging
 import re
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,9 @@ class JobContext:
         self.explain_only = explain_only
         self._lookup_cache: dict[str, DataFrame] = {}
         self._lookup_pinned: set[str] = set()
+        #: rows written by the latest streaming drain, per target table
+        #: (streaming plans have no Observation for run_job to read)
+        self.stream_counts: dict[str, int] = {}
 
     def lookup_table(self, lk: LookupSpec) -> DataFrame:
         """Dimension tables live on the target side in the reference
@@ -304,7 +308,12 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             fetcher = registry.get("fetcher", fetcher_name)
         except KeyError:
             logger.warning("fetcher plugin %r not found — using default", fetcher_name)
-    df = fetcher(ctx, spec) if fetcher is not None else _default_scan(ctx, spec)
+    streaming = spec.incremental is not None and spec.incremental.mode == "streaming"
+    if streaming:
+        _assert_streaming_spec(ctx, spec, fetcher)
+        df = _streaming_scan(ctx, spec)
+    else:
+        df = fetcher(ctx, spec) if fetcher is not None else _default_scan(ctx, spec)
 
     # free-text where on source columns (S3/P5) — Catalyst pushes it down
     if spec.where:
@@ -463,7 +472,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 r.target or r.source,
                 r.lookup,
                 dim,
-                eager_errors=not ctx.explain_only,
+                eager_errors=not (ctx.explain_only or streaming),
             )
 
     # 5. validations (on target columns, after lookups)
@@ -479,8 +488,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         vrules,
         lookup_resolver=ctx.lookup_table,
         error_mode="collect",
-        metrics_out=vmetrics,
-        eager_lookup_errors=not ctx.explain_only,
+        # Observation accumulators don't exist for streaming datasets —
+        # a streaming table skips per-rule counters (policies still apply)
+        metrics_out=None if streaming else vmetrics,
+        eager_lookup_errors=not (ctx.explain_only or streaming),
     )
 
     # 5b. table-level validation plugins (reference ValidationPlugin,
@@ -574,6 +585,55 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     )
 
 
+def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
+    """``incremental.mode: streaming`` supports the subset of the spec
+    whose stages are pure stream transformations: mappings, transforms,
+    ``where``, static-dim lookups, filter-policy validations (null/
+    skip/default), ``sample``/``split`` projections. Everything that
+    needs an eager action, a window over history, or a read-back of the
+    target is refused LOUDLY here — silently ignoring the mode (the
+    pre-round-4 behavior) ran a full batch reload instead of a stream."""
+    errs = []
+    if fetcher is not None:
+        errs.append("custom fetcher plugins (batch-only)")
+    if ctx.global_spec.connectors.source_files is None:
+        errs.append("a files source connector is required (JDBC has no stream source)")
+    if spec.dedup is not None:
+        errs.append("dedup (needs watermarked streaming dedup — use streaming/dedup_stream)")
+    if spec.scd2 is not None:
+        errs.append("scd2 (reads back the target mid-plan)")
+    for r in spec.mappings or []:
+        for v in r.validation or []:
+            if v.on_fail in ("error", "quarantine"):
+                errs.append(
+                    f"validation on_fail={v.on_fail!r} on {r.source!r} "
+                    "(needs eager actions / lazy checkpoints)"
+                )
+    if spec.write_mode != "append":
+        errs.append("write_mode must be 'append' (each micro-batch appends)")
+    if errs:
+        raise ValueError(
+            f"{spec.target_table}: incremental.mode=streaming cannot compile: "
+            + "; ".join(errs)
+        )
+
+
+def _streaming_scan(ctx: JobContext, spec: TableSpec) -> DataFrame:
+    """File-landing stream of the source table directory: schema pinned
+    from a one-off batch read (file streams require an explicit schema),
+    then ``readStream`` over the same path — new files landing there are
+    the increments."""
+    from .sources.files import read_file_table, table_path
+
+    conn = ctx.global_spec.connectors.source_files
+    static = read_file_table(ctx.spark, conn, spec.source_table, spec.source_schema)
+    path = table_path(conn, spec.source_table, spec.source_schema)
+    reader = ctx.spark.readStream.schema(static.schema).format(conn.format)
+    if conn.format == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
 def _default_scan(ctx: JobContext, spec: TableSpec) -> DataFrame:
     return resolve_source(
         ctx.spark,
@@ -613,6 +673,8 @@ def run_table(
     attached to the plan right before the sink, so metrics like row
     counts come from the write itself — no second execution."""
     compiled = compile_table(ctx, spec)
+    if spec.incremental is not None and spec.incremental.mode == "streaming":
+        return _run_streaming_table(ctx, spec, compiled)
     run_error_checks(compiled.df, compiled.error_checks)
 
     if spec.scd2 is not None:
@@ -737,6 +799,64 @@ def _align_for_append(
             for c in target.schema.fieldNames()
         ]
     )
+
+
+def _run_streaming_table(
+    ctx: JobContext, spec: TableSpec, compiled: CompiledTable
+) -> DataFrame:
+    """Execute a ``mode: streaming`` table: one ``availableNow`` drain
+    of the file-landing stream through the compiled transformation plan
+    into the target via an idempotent ``foreachBatch`` append — each
+    ``run_table`` call processes exactly the files that landed since
+    the last run (Spark's file-source checkpoint tracks them), so the
+    CLI cadence becomes the micro-batch cadence. Exactly-once: the
+    batch-id ledger skips replayed micro-batches after a crash between
+    sink write and checkpoint commit (``streaming/foreach_sink``).
+
+    Rows written this drain are recorded in ``ctx`` for ``run_job``'s
+    report (a streaming plan has no Observation to read)."""
+    from .streaming.foreach_sink import idempotent_foreach_batch
+
+    inc = spec.incremental
+    state_dir = Path(
+        inc.state_path or f".stream/{spec.source_table}__{spec.target_table}"
+    )
+    state_dir.mkdir(parents=True, exist_ok=True)
+    counter = {"rows": 0}
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf = bdf.persist()
+        try:
+            n = bdf.count()
+            resolve_sink(
+                bdf,
+                ctx.global_spec.connectors,
+                spec.target_table,
+                spec.target_schema
+                if ctx.global_spec.connectors.target_files is None
+                else None,
+                mode="append",
+                partition_by=spec.partition_by,
+                sort_by=spec.sort_by,
+            )
+            counter["rows"] += n
+        finally:
+            bdf.unpersist()
+
+    q = (
+        compiled.df.writeStream.foreachBatch(
+            idempotent_foreach_batch(write_batch, str(state_dir / "ledger.jsonl"))
+        )
+        .option("checkpointLocation", str(state_dir / "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ctx.stream_counts[spec.target_table] = counter["rows"]
+    logger.info(
+        "%s: streaming drain wrote %d rows", spec.target_table, counter["rows"]
+    )
+    return compiled.df
 
 
 def _write_scd2(ctx: JobContext, spec: TableSpec, updates: DataFrame) -> DataFrame:
@@ -931,7 +1051,10 @@ def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
     for spec in job.tables:
         t0 = time.time()
         loader_name = spec.loader_plugin or job.global_spec.loader_plugin
-        if loader_name not in ("default_loader",):
+        if spec.incremental is not None and spec.incremental.mode == "streaming":
+            run_table(ctx, spec)
+            n = ctx.stream_counts.get(spec.target_table, 0)
+        elif loader_name not in ("default_loader",):
             # a custom loader isn't obliged to run any Spark action on
             # the observed plan — Observation.get would block forever.
             # Fall back to an explicit count (the honest second pass).

@@ -1,0 +1,105 @@
+"""Declarative ``incremental.mode: streaming`` — the config-driven
+streaming ETL the reference README claims but never shipped (SURVEY.md
+§1.1 'Stream'). Each run_job call drains the files that landed since
+the last run through the compiled plan (availableNow trigger +
+file-source checkpoint), appending to the target exactly once."""
+
+from __future__ import annotations
+
+import pytest
+
+import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_job, run_table
+
+
+def _global(src, out):
+    return spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+
+
+def _spec(state_dir, **kw):
+    return spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_stream",
+        write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="ts", mode="streaming", state_path=str(state_dir)
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="name", target="name", transform="strip,upper"),
+            spec_mod.MappingSpec(source="val", target="val"),
+        ],
+        **kw,
+    )
+
+
+def test_streaming_spec_drains_increments_exactly_once(spark, tmp_path):
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+
+    import datetime as dt
+
+    def feed(rows):
+        rows = [(i, dt.datetime.fromisoformat(t), n, v) for i, t, n, v in rows]
+        spark.createDataFrame(rows, "id long, ts timestamp, name string, val double") \
+            .coalesce(1).write.mode("append").parquet(str(land))
+
+    feed([(1, "2024-01-01 00:00:00", " a ", 1.0), (2, "2024-01-01 00:01:00", "b", 2.0)])
+    job = spec_mod.JobSpec(
+        global_spec=_global(src, out), tables=[_spec(tmp_path / "state")]
+    )
+    res1 = run_job(spark, job)
+    assert res1 == {"t_stream": 2}
+    got1 = {r["id"]: r["name"] for r in spark.read.parquet(str(out / "t_stream")).collect()}
+    assert got1 == {1: "A", 2: "B"}
+
+    # second drain with NO new files: zero rows, no duplicates
+    res2 = run_job(spark, job)
+    assert res2 == {"t_stream": 0}
+    assert spark.read.parquet(str(out / "t_stream")).count() == 2
+
+    # new file lands -> only the increment flows
+    feed([(3, "2024-01-01 00:02:00", "c", 3.0)])
+    res3 = run_job(spark, job)
+    assert res3 == {"t_stream": 1}
+    got3 = {r["id"] for r in spark.read.parquet(str(out / "t_stream")).collect()}
+    assert got3 == {1, 2, 3}
+
+
+def test_streaming_spec_rejects_unsupported_stages(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a", 1.0)],
+        "id long, ts timestamp, name string, val double",
+    ).write.parquet(str(src / "land"))
+    out = tmp_path / "out"
+    ctx = JobContext(spark=spark, global_spec=_global(src, out))
+
+    bad_dedup = _spec(
+        tmp_path / "s1",
+        dedup=spec_mod.DedupSpec(method="exact", columns=["id"], id_column="id"),
+    )
+    with pytest.raises(ValueError, match="dedup"):
+        run_table(ctx, bad_dedup)
+
+    bad_mode = _spec(tmp_path / "s2")
+    bad_mode.write_mode = "overwrite"
+    with pytest.raises(ValueError, match="append"):
+        run_table(ctx, bad_mode)
+
+    bad_val = _spec(tmp_path / "s3")
+    bad_val.mappings[2].validation = [
+        spec_mod.ValidationSpec(type="range", pattern="0-10", on_fail="quarantine")
+    ]
+    with pytest.raises(ValueError, match="quarantine"):
+        run_table(ctx, bad_val)
