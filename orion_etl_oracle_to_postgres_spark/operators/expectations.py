@@ -1,0 +1,123 @@
+"""[EXT] Table-level data-quality expectations (SURVEY.md §2.11) — the
+dbt-test / Great-Expectations-shaped contract check that complements
+the reference's per-COLUMN validation rules (``validations.py`` rewrites
+or drops individual rows; expectations judge the TABLE and gate the
+load).
+
+``run_expectations`` evaluates every check in ONE wide aggregate pass
+over the table (a single scan, map-side partials — no per-check rescans)
+plus one tiny grouped aggregate per ``unique`` check, and returns the
+report frame ``(check, column, observed, threshold, passed)``.
+``enforce`` raises if any check failed — the fail-fast gate between a
+load and publishing it downstream.
+
+Check types:
+- ``row_count``: min ≤ count(*) ≤ max
+- ``not_null``: null fraction of a column ≤ max_null_frac
+- ``unique``: no duplicate values over the column tuple
+- ``accepted_values``: no value outside the allowed set (NULLs are the
+  ``not_null`` check's business, not this one's)
+- ``min``/``max``: column bounds within [lo, hi]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expect:
+    type: str  # row_count | not_null | unique | accepted_values | bounds
+    columns: tuple = ()
+    min: Optional[float] = None
+    max: Optional[float] = None
+    max_null_frac: float = 0.0
+    values: tuple = ()
+
+    @property
+    def label(self) -> str:
+        return f"{self.type}:{','.join(self.columns) or '*'}"
+
+
+def run_expectations(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
+    """→ ``(check, column, observed, threshold, passed)``, one row per
+    expectation, deterministic order (the input order)."""
+    spark = df.sparkSession
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(checks):
+        if c.type == "not_null":
+            (col,) = c.columns
+            aggs.append(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"__e{i}")
+            )
+        elif c.type == "accepted_values":
+            (col,) = c.columns
+            bad = F.col(col).isNotNull() & ~F.col(col).isin(list(c.values))
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__e{i}"))
+        elif c.type == "bounds":
+            (col,) = c.columns
+            lo = F.lit(c.min) if c.min is not None else None
+            hi = F.lit(c.max) if c.max is not None else None
+            viol = F.lit(False)
+            if lo is not None:
+                viol = viol | (F.col(col) < lo)
+            if hi is not None:
+                viol = viol | (F.col(col) > hi)
+            aggs.append(F.sum(F.when(viol, 1).otherwise(0)).alias(f"__e{i}"))
+        elif c.type in ("row_count", "unique"):
+            pass
+        else:
+            raise ValueError(f"unknown expectation type {c.type!r}")
+    wide = df.agg(*aggs).collect()[0]
+    n = wide["__n"]
+
+    rows = []
+    for i, c in enumerate(checks):
+        col = ",".join(c.columns)
+        if c.type == "row_count":
+            ok = (c.min is None or n >= c.min) and (c.max is None or n <= c.max)
+            rows.append((c.label, col, float(n), f"[{c.min},{c.max}]", ok))
+        elif c.type == "not_null":
+            frac = (wide[f"__e{i}"] or 0) / n if n else 0.0
+            rows.append(
+                (c.label, col, round(frac, 6), f"null_frac<={c.max_null_frac}",
+                 frac <= c.max_null_frac)
+            )
+        elif c.type == "accepted_values":
+            bad = wide[f"__e{i}"] or 0
+            rows.append((c.label, col, float(bad), "no values outside set", bad == 0))
+        elif c.type == "bounds":
+            bad = wide[f"__e{i}"] or 0
+            rows.append((c.label, col, float(bad), f"[{c.min},{c.max}]", bad == 0))
+        elif c.type == "unique":
+            # one grouped aggregate with an early-exit limit: the probe
+            # stops at the FIRST duplicate key, it never counts them all
+            dup = (
+                df.groupBy(*c.columns)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > 1)
+                .limit(1)
+                .count()
+            )
+            rows.append((c.label, col, float(dup), "no duplicate keys", dup == 0))
+    return spark.createDataFrame(
+        rows, "check string, column string, observed double, threshold string, passed boolean"
+    )
+
+
+def enforce(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
+    """Raise ``ValueError`` listing every failed expectation; return the
+    report frame when all pass — the gate between load and publish."""
+    report = run_expectations(df, checks)
+    failed = [r for r in report.collect() if not r["passed"]]
+    if failed:
+        lines = "; ".join(
+            f"{r['check']} observed={r['observed']} want {r['threshold']}"
+            for r in failed
+        )
+        raise ValueError(f"expectations failed: {lines}")
+    return report

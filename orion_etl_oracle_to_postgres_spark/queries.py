@@ -2560,6 +2560,72 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
 
 
+_EXPECT_SEGS = "'AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'"
+
+
+@query(
+    "dq_expectations_customer",
+    f"""
+    WITH a AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS e_nn,
+             sum(CASE WHEN c_mktsegment IS NOT NULL
+                       AND c_mktsegment NOT IN ({_EXPECT_SEGS})
+                      THEN 1 ELSE 0 END) AS e_av,
+             sum(CASE WHEN c_acctbal < -1000.0 OR c_acctbal > 10000.0
+                      THEN 1 ELSE 0 END) AS e_b
+      FROM customer
+    ),
+    d AS (
+      SELECT count(*) AS dups FROM (
+        SELECT 1 FROM customer GROUP BY c_custkey HAVING count(*) > 1 LIMIT 1
+      )
+    )
+    SELECT 'row_count:*' AS check, '' AS column, n::DOUBLE AS observed,
+           '[100,None]' AS threshold, n >= 100 AS passed FROM a
+    UNION ALL
+    SELECT 'not_null:c_name', 'c_name', round(e_nn::DOUBLE / n, 6),
+           'null_frac<=0.0', e_nn = 0 FROM a
+    UNION ALL
+    SELECT 'unique:c_custkey', 'c_custkey', dups::DOUBLE,
+           'no duplicate keys', dups = 0 FROM d
+    UNION ALL
+    SELECT 'accepted_values:c_mktsegment', 'c_mktsegment', e_av::DOUBLE,
+           'no values outside set', e_av = 0 FROM a
+    UNION ALL
+    SELECT 'bounds:c_acctbal', 'c_acctbal', e_b::DOUBLE,
+           '[-1000.0,10000.0]', e_b = 0 FROM a
+    """,
+)
+def dq_expectations_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Table-level data-quality expectations
+    (operators/expectations.py): dbt-test-shaped contract checks — row
+    count, null fraction, key uniqueness (early-exit dup probe),
+    accepted values, numeric bounds — evaluated in ONE wide aggregate
+    scan; the report frame is the publish gate's evidence. The oracle
+    recomputes every observed count."""
+    from .operators.expectations import Expect, run_expectations
+
+    c = _t(spark, sf_dir, "customer")
+    return run_expectations(
+        c,
+        [
+            Expect(type="row_count", min=100),
+            Expect(type="not_null", columns=("c_name",)),
+            Expect(type="unique", columns=("c_custkey",)),
+            Expect(
+                type="accepted_values",
+                columns=("c_mktsegment",),
+                values=(
+                    "AUTOMOBILE", "BUILDING", "FURNITURE",
+                    "HOUSEHOLD", "MACHINERY",
+                ),
+            ),
+            Expect(type="bounds", columns=("c_acctbal",), min=-1000.0, max=10000.0),
+        ],
+    )
+
+
 @query(
     "emb_quantize_error",
     """

@@ -1,0 +1,63 @@
+"""[EXT] Table-level data-quality expectations (operators/expectations.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+    Expect,
+    enforce,
+    run_expectations,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", "X", 5.0),
+            (2, "b", "Y", 50.0),
+            (3, None, "X", -5.0),
+            (3, "d", "Z", 500.0),
+        ],
+        ["id", "name", "cat", "val"],
+    )
+
+
+def test_report_rows_and_verdicts(spark):
+    checks = [
+        Expect(type="row_count", min=2, max=10),
+        Expect(type="not_null", columns=("name",), max_null_frac=0.3),
+        Expect(type="not_null", columns=("name",)),  # strict: fails (1/4 null)
+        Expect(type="unique", columns=("id",)),      # fails (two id=3)
+        Expect(type="accepted_values", columns=("cat",), values=("X", "Y")),  # Z fails
+        Expect(type="bounds", columns=("val",), min=0.0, max=100.0),  # -5, 500 fail
+    ]
+    rep = {r["check"]: r for r in run_expectations(_df(spark), checks).collect()}
+    assert rep["row_count:*"]["passed"] and rep["row_count:*"]["observed"] == 4.0
+    assert rep["not_null:name"]["passed"] is False  # strict one wins the label? no:
+    # labels collide for the two not_null checks — verify via full list instead
+    rows = run_expectations(_df(spark), checks).collect()
+    nn = [r for r in rows if r["check"] == "not_null:name"]
+    assert [r["passed"] for r in nn] == [True, False]
+    assert not rep["unique:id"]["passed"] and rep["unique:id"]["observed"] == 1.0
+    assert not rep["accepted_values:cat"]["passed"]
+    assert rep["bounds:val"]["observed"] == 2.0 and not rep["bounds:val"]["passed"]
+
+
+def test_enforce_raises_with_every_failure_listed(spark):
+    with pytest.raises(ValueError, match="unique:id.*bounds:val"):
+        enforce(
+            _df(spark),
+            [
+                Expect(type="unique", columns=("id",)),
+                Expect(type="bounds", columns=("val",), min=0.0, max=100.0),
+            ],
+        )
+    # all-green returns the report
+    rep = enforce(_df(spark), [Expect(type="row_count", min=1)])
+    assert rep.count() == 1
+
+
+def test_unknown_type_rejected(spark):
+    with pytest.raises(ValueError, match="unknown expectation"):
+        run_expectations(_df(spark), [Expect(type="nope")])
