@@ -116,3 +116,84 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """→ ``(diff_status, n)`` — the 4-row report a migration signs off
     on (all-same ⇒ the load reproduced the table)."""
     return diff.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    exact: bool = False,
+    eps: float = 1e-6,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population-stability drift report between two snapshots of a
+    numeric column — the STATISTICAL complement to ``snapshot_diff``
+    (which is exact row algebra): after a migration or between two
+    ingestion epochs, "same rows" can still hide a shifted distribution
+    upstream sampling would care about.
+
+    Bins come from the OLD side's equal-frequency quantile boundaries
+    (``quantiles.group_quantile_bounds`` — approx sketch by default,
+    exact for the differential gate; boundaries rounded so engines
+    agree), both sides are bucketed by boundary-count, and each bin
+    reports ``psi_term = (q−p)·ln((q+eps)/(p+eps))`` — Σ psi_term is
+    the standard PSI (rule of thumb: < 0.1 stable, > 0.25 shifted).
+
+    Plan: one bounds aggregate on old, one bucket-count aggregate per
+    side (map-side partials), a full-outer join over ≤ n_bins rows, and
+    broadcast 1-row totals — nothing driver-side, nothing quadratic.
+    Output: ``(bin, n_old, n_new, frac_old, frac_new, psi_term)``.
+    """
+    from .quantiles import group_quantile_bounds
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = group_quantile_bounds(
+        old.select(F.lit(1).alias("__g"), F.col(value_col)),
+        ["__g"],
+        value_col,
+        qs,
+        exact=exact,
+        decimals=4,
+    ).select("__qb")
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        bin_expr = F.aggregate(
+            F.col("__qb"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
+        )
+        return (
+            df.select(F.col(value_col))
+            .join(F.broadcast(bounds))
+            .select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    o = bucket_counts(old, "n_old")
+    n = bucket_counts(new, "n_new")
+    j = o.join(n, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    totals = j.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    p = F.col("n_old") / F.col("__to")
+    q = F.col("n_new") / F.col("__tn")
+    return (
+        j.join(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_old",
+            "n_new",
+            F.round(p, decimals).alias("frac_old"),
+            F.round(q, decimals).alias("frac_new"),
+            F.round(
+                (q - p) * F.log((q + F.lit(eps)) / (p + F.lit(eps))), decimals
+            ).alias("psi_term"),
+        )
+    )

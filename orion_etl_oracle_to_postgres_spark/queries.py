@@ -2560,6 +2560,56 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
 
 
+@query(
+    "reconcile_distribution_drift",
+    """
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               x -> round(x, 4)) AS qb
+      FROM orders
+    ),
+    o AS (SELECT len(list_filter(b.qb, x -> o_totalprice > x)) AS bin,
+                 count(*) AS n_old
+          FROM orders, b GROUP BY 1),
+    nn AS (SELECT len(list_filter(b.qb, x -> o_totalprice > x)) AS bin,
+                  count(*) AS n_new
+           FROM orders, b
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1),
+    j AS (SELECT coalesce(o.bin, nn.bin) AS bin,
+                 coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+          FROM o FULL JOIN nn ON o.bin = nn.bin),
+    t AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
+    SELECT bin::INT AS bin, n_old, n_new,
+           round(n_old / t_o, 6) AS frac_old,
+           round(n_new / t_n, 6) AS frac_new,
+           round((n_new / t_n - n_old / t_o)
+                 * ln((n_new / t_n + 1e-6) / (n_old / t_o + 1e-6)), 6)
+             AS psi_term
+    FROM j, t
+    """,
+)
+def reconcile_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Population-stability (PSI) drift report
+    (operators/reconcile.py:distribution_drift): old = all orders, new
+    = urgent/high-priority orders only — a deliberately shifted
+    population. Old-side equal-frequency decile bins, both sides
+    bucketed by boundary count, per-bin psi_term; Σ psi_term is the
+    standard drift score. The statistical complement to the exact
+    snapshot_diff."""
+    from .operators.reconcile import distribution_drift
+
+    o = _t(spark, sf_dir, "orders")
+    return distribution_drift(
+        o,
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        "o_totalprice",
+        n_bins=10,
+        exact=True,
+    )
+
+
 _EXPECT_SEGS = "'AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'"
 
 

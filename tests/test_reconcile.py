@@ -50,3 +50,30 @@ def test_compare_cols_subset_and_errors(spark):
         snapshot_diff(old, new, ["nope"])
     with pytest.raises(ValueError, match="lacks columns"):
         snapshot_diff(old, new, ["k"], compare_cols=["nope"])
+
+
+def test_distribution_drift_identical_is_zero(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in range(1000)], ["v"])
+    rep = distribution_drift(df, df, "v", n_bins=5, exact=True).collect()
+    assert len(rep) == 5
+    assert all(r["psi_term"] == 0.0 for r in rep)
+    assert all(abs(r["frac_old"] - 0.2) < 0.01 for r in rep)
+
+
+def test_distribution_drift_detects_shift(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        distribution_drift,
+    )
+
+    old = spark.createDataFrame([(float(v),) for v in range(1000)], ["v"])
+    new = spark.createDataFrame([(float(v),) for v in range(800, 1800)], ["v"])
+    rep = distribution_drift(old, new, "v", n_bins=5, exact=True).collect()
+    psi = sum(r["psi_term"] for r in rep)
+    assert psi > 0.25  # rule-of-thumb "shifted" threshold
+    # every new row lands in old's top bin (or above): bin 4 dominates
+    top = {r["bin"]: r["n_new"] for r in rep}
+    assert top[4] >= 800
