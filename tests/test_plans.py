@@ -271,3 +271,47 @@ def test_count_exchanges_counts_shuffles_not_broadcasts(spark):
     dim = spark.range(7).select(F.col("id").alias("k"))
     bc = df.join(F.broadcast(dim), "k")
     assert count_exchanges(bc) == 0  # broadcast is not a shuffle
+
+
+def test_winsorize_bounds_join_is_broadcast(spark, sf):
+    """The per-group quantile-bounds frame (rows = #groups) must come
+    back as a BroadcastHashJoin — re-shuffling the data against a
+    handful of bound rows would be the classic small-side mistake."""
+    plan = plan_of(q.QUERIES["quantile_winsorize_prices"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_frequency_bins_join_is_broadcast(spark, sf):
+    plan = plan_of(q.QUERIES["quantile_freq_bins"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_stays_hash_equi_join(spark, sf):
+    """Salting must not degrade the join to a nested-loop/cartesian:
+    the composite (key, salt) condition is still an equi-join."""
+    plan = plan_of(q.QUERIES["skew_salted_cohort_join"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_apply_shuffles_candidates_not_log(spark, sf):
+    """cdc_latest's shuffle must carry partial max_by candidates (one
+    per key per partition), never the raw changelog, and no Window node
+    may appear."""
+    plan = plan_of(q.QUERIES["cdc_apply_events"](spark, sf))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_quantize_is_pure_projection(spark, sf):
+    """int8 quantization adds no exchange: scan → project. (The error
+    REPORT joins quantized against raw, so assert on the operator.)"""
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = plan_of(quantize_embeddings(e))
+    assert "Exchange" not in plan
