@@ -2561,6 +2561,44 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive_hierarchy",
+    """
+    WITH RECURSIVE h(key, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, h.root, h.depth + 1
+      FROM customer c JOIN h ON c.c_custkey // 10 = h.key
+      WHERE c.c_custkey >= 10
+    )
+    SELECT key, root, depth FROM h
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Recursive CTE (Spark 4's WITH RECURSIVE — §2.8 surface):
+    walk the synthetic digit-truncation hierarchy over customer keys
+    (parent = key div 10, roots = single-digit keys) to annotate every
+    key with its root and depth — the org-chart / referral-chain /
+    bill-of-materials query shape that previously required driver-side
+    iteration (cf. the looped large-star/small-star in dedup.py). The
+    oracle runs the IDENTICAL recursion in DuckDB (integer division
+    spelled // there, div here)."""
+    c = _t(spark, sf_dir, "customer")
+    c.select("c_custkey").createOrReplaceTempView("__rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(key, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM __rc_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, h.root, h.depth + 1
+          FROM __rc_customer c JOIN h ON c.c_custkey div 10 = h.key
+          WHERE c.c_custkey >= 10
+        )
+        SELECT key, root, depth FROM h
+        """
+    )
+
+
+@query(
     "reconcile_distribution_drift",
     """
     WITH b AS (
