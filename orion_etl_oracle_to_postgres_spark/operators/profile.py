@@ -87,3 +87,54 @@ def profile_table(
         "min_value",
         "max_value",
     )
+
+
+def profile_histogram(
+    df: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-WIDTH histogram of a numeric column — the visual-profiling
+    companion to ``profile_table``'s scalars and the equi-FREQUENCY
+    ``quantiles.frequency_bins`` (width bins show shape; frequency bins
+    balance load). → ``(bin, lo, hi, n)``, one row per non-empty bin.
+
+    Bounds default to the column's min/max (one tiny aggregate);
+    ``width_bucket`` assigns bins JVM-side. Out-of-range values (only
+    possible with caller-supplied bounds) and values exactly AT the
+    upper bound fold into the edge bins (under/overflow buckets merged
+    inward) so ``n`` always sums to the non-null row count. Map-side
+    partial counting — the exchange carries ≤ n_bins rows per
+    partition."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(column).alias("lo"), F.max(column).alias("hi")
+        ).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0  # degenerate constant column: one bin holds all
+    width = (hi - lo) / n_bins
+    bucket = F.least(
+        F.greatest(
+            F.width_bucket(F.col(column), F.lit(lo), F.lit(hi), F.lit(n_bins)),
+            F.lit(1),
+        ),
+        F.lit(n_bins),
+    )
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.col("bin") - 1).cast("int").alias("bin"),
+            F.round(F.lit(lo) + (F.col("bin") - 1) * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("hi"),
+            "n",
+        )
+    )

@@ -211,6 +211,30 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def url_normalize(col: Column) -> Column:
+    """Canonical URL for web-corpus dedup blocking: drop the fragment,
+    lowercase the scheme+authority (host names are case-insensitive;
+    paths are NOT and keep their case), drop explicit default ports
+    (http:80 / https:443), and drop a bare "/" path — so the casing,
+    #fragment, and default-port variants of one resource collide into
+    one blocking key before near-dup comparison.
+
+    Deliberately NOT full RFC 3986 (no %-decoding, no query-param
+    sorting/stripping — those change semantics for some sites); pure
+    Column expressions over lookaround-free regexes, so an ANSI engine
+    reproduces every canonical form for the differential gate.
+    Non-URL strings (no scheme://) pass through with only the fragment
+    dropped."""
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    head = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    rest = no_frag.substr(F.length(head) + 1, F.length(no_frag))
+    low = F.lower(head)
+    low = F.regexp_replace(low, r"^(http://[^/:]+):80$", "$1")
+    low = F.regexp_replace(low, r"^(https://[^/:]+):443$", "$1")
+    rest = F.when(rest == "/", F.lit("")).otherwise(rest)
+    return F.when(head == "", no_frag).otherwise(F.concat(low, rest))
+
+
 def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Shannon entropy of the word distribution per document — the
     information-theoretic quality signal next to the ratio-based ones

@@ -2561,6 +2561,101 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_url_normalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTP://Example' || (doc_id % 50)::VARCHAR || '.COM'
+             || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN '/'
+                     ELSE '/P' || (doc_id % 5)::VARCHAR END
+             || CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END AS url
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nf
+      FROM u
+    ),
+    h AS (
+      SELECT doc_id, url, nf,
+             regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', 0) AS head
+      FROM n
+    ),
+    c AS (
+      SELECT doc_id, url,
+             CASE WHEN head = '' THEN nf
+                  ELSE regexp_replace(
+                         regexp_replace(lower(head),
+                                        '^(http://[^/:]+):80$', '\\1'),
+                         '^(https://[^/:]+):443$', '\\1')
+                       || CASE WHEN substr(nf, len(head) + 1) = '/'
+                               THEN '' ELSE substr(nf, len(head) + 1) END
+             END AS canonical
+      FROM h
+    )
+    SELECT doc_id, url, canonical FROM c
+    """,
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Canonical-URL dedup blocking
+    (operators/text.py:url_normalize): deterministic per-doc synthetic
+    URLs (the fixture corpus carries none) exercising every rule —
+    uppercase scheme/host lowered, :80 default port dropped, #fragment
+    stripped, bare "/" path removed, path case preserved. The oracle
+    replays each regex step."""
+    from .operators.text import url_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".COM"),
+            F.when(F.col("doc_id") % 3 == 0, ":80").otherwise(""),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(
+                F.concat(F.lit("/P"), (F.col("doc_id") % 5).cast("string"))
+            ),
+            F.when(F.col("doc_id") % 7 == 0, "#Frag").otherwise(""),
+        ).alias("url"),
+    )
+    return u.select("doc_id", "url", url_normalize(F.col("url")).alias("canonical"))
+
+
+@query(
+    "profile_histogram_prices",
+    """
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+               FROM orders),
+    h AS (
+      SELECT least(greatest(
+               (floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 12.0))::INT + 1),
+               1), 12) AS bkt,
+             count(*) AS n
+      FROM orders, b GROUP BY 1
+    )
+    SELECT (h.bkt - 1)::INT AS bin,
+           round(b.lo + (h.bkt - 1) * ((b.hi - b.lo) / 12.0), 6) AS lo,
+           round(b.lo + h.bkt * ((b.hi - b.lo) / 12.0), 6) AS hi,
+           n
+    FROM h, b
+    """,
+)
+def profile_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Equi-width histogram profiling
+    (operators/profile.py:profile_histogram): 12 width_bucket bins over
+    order totals, edge values folded inward so counts sum to the rows —
+    the shape view next to profile_table's scalars and the
+    equi-frequency quantile bins. The oracle replays Spark's
+    width_bucket arithmetic ((v−lo)/((hi−lo)/n), truncate, +1)."""
+    from .operators.profile import profile_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_histogram(o, "o_totalprice", n_bins=12)
+
+
+@query(
     "sql_recursive_hierarchy",
     """
     WITH RECURSIVE h(key, root, depth) AS (

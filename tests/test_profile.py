@@ -65,3 +65,23 @@ def test_profile_handles_awkward_column_names(spark):
     )
     out = {r["column"]: r["n_nulls"] for r in profile_table(df).collect()}
     assert out == {"order count": 0, "it's": 1}
+
+
+def test_profile_histogram_counts_and_edges(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.profile import profile_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], ["v"])
+    h = {r["bin"]: r for r in profile_histogram(df, "v", n_bins=4).collect()}
+    assert set(h) == {0, 1, 2, 3}
+    assert sum(r["n"] for r in h.values()) == 100
+    # max value (99.0) folds into the LAST bin, not an overflow bucket
+    assert h[3]["n"] == 26 and h[0]["n"] == 25
+    assert h[0]["lo"] == 0.0 and h[3]["hi"] == 99.0
+
+
+def test_profile_histogram_constant_column_and_null_handling(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.profile import profile_histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], ["v"])
+    rows = profile_histogram(df, "v", n_bins=3).collect()
+    assert sum(r["n"] for r in rows) == 2  # NULLs excluded

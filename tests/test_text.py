@@ -123,3 +123,23 @@ def test_word_entropy_bounds_and_values(spark):
     expected = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(out[3]["entropy"] - round(expected, 6)) < 1e-9
     assert 0.0 <= out[3]["norm_entropy"] <= 1.0
+
+
+def test_url_normalize_rules(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.text import url_normalize
+
+    cases = [
+        ("HTTP://ExAmple.COM:80/Path/Q", "http://example.com/Path/Q"),
+        ("https://Host.com:443/", "https://host.com"),
+        ("https://host.com:8443/x", "https://host.com:8443/x"),  # non-default kept
+        ("http://a.com/p#frag", "http://a.com/p"),
+        ("http://a.com/", "http://a.com"),
+        ("not a url #tail", "not a url "),  # fragment-only handling
+        ("ftp://Mixed.Case/KeepPath", "ftp://mixed.case/KeepPath"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    got = df.select("url", "want", url_normalize(F.col("url")).alias("c")).collect()
+    for r in got:
+        assert r["c"] == r["want"], (r["url"], r["c"], r["want"])
