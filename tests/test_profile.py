@@ -75,7 +75,7 @@ def test_profile_histogram_counts_and_edges(spark):
     assert set(h) == {0, 1, 2, 3}
     assert sum(r["n"] for r in h.values()) == 100
     # max value (99.0) folds into the LAST bin, not an overflow bucket
-    assert h[3]["n"] == 26 and h[0]["n"] == 25
+    assert h[3]["n"] == 25 and h[0]["n"] == 25  # 99.0 folds into bin 3
     assert h[0]["lo"] == 0.0 and h[3]["hi"] == 99.0
 
 
