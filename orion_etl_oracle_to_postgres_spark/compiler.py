@@ -674,8 +674,34 @@ def run_table(
     counts come from the write itself — no second execution."""
     compiled = compile_table(ctx, spec)
     if spec.incremental is not None and spec.incremental.mode == "streaming":
+        if spec.expectations:
+            raise ValueError(
+                f"{spec.target_table}: expectations need an eager pre-write "
+                "aggregate — not available in streaming mode"
+            )
         return _run_streaming_table(ctx, spec, compiled)
     run_error_checks(compiled.df, compiled.error_checks)
+
+    # table-level DQ gate (TableSpec.expectations): one wide aggregate
+    # over the outgoing rows; any failure aborts BEFORE the write, so a
+    # broken load never partially publishes (vs per-row validations,
+    # which rewrite/drop rows and keep loading)
+    if spec.expectations:
+        from .operators.expectations import Expect, enforce
+
+        checks = [
+            Expect(
+                type=e.type,
+                columns=tuple(e.columns),
+                min=e.min,
+                max=e.max,
+                max_null_frac=e.max_null_frac,
+                values=tuple(e.values),
+            )
+            for e in spec.expectations
+        ]
+        if not ctx.explain_only:
+            enforce(compiled.df, checks)
 
     if spec.scd2 is not None:
         merged = _write_scd2(ctx, spec, compiled.df)

@@ -216,6 +216,29 @@ class SplitSpec(BaseModel):
     column_name: str = "split"
 
 
+class ExpectSpec(BaseModel):
+    """[engine extension] One table-level data-quality expectation
+    (``operators/expectations.py``): the dbt-test-shaped contract
+    evaluated on the OUTGOING rows right before the write — a failing
+    check aborts the table load (no partial publish), unlike per-row
+    validation rules which rewrite or drop individual rows."""
+
+    type: str  # row_count | not_null | unique | accepted_values | bounds
+    columns: List[str] = Field(default_factory=list)
+    min: Optional[float] = None
+    max: Optional[float] = None
+    max_null_frac: float = 0.0
+    values: List[str] = Field(default_factory=list)
+
+    @field_validator("type")
+    @classmethod
+    def _known_type(cls, v: str) -> str:
+        allowed = ("row_count", "not_null", "unique", "accepted_values", "bounds")
+        if v not in allowed:
+            raise ValueError(f"expectation type must be one of {allowed}, got {v!r}")
+        return v
+
+
 class Scd2Spec(BaseModel):
     """[engine extension] Declarative SCD Type-2 load mode
     (``operators/scd.py``): instead of the reference's
@@ -286,6 +309,9 @@ class TableSpec(BaseModel):
     #: SCD Type-2 load mode: merge the outgoing rows into the versioned
     #: dimension at the target instead of truncate-and-replace
     scd2: Optional[Scd2Spec] = None
+    #: table-level data-quality gate on the outgoing rows: ALL checks
+    #: must pass or the load aborts before anything is written
+    expectations: Optional[List[ExpectSpec]] = None
 
 
 class GlobalSpec(BaseModel):

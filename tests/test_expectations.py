@@ -61,3 +61,50 @@ def test_enforce_raises_with_every_failure_listed(spark):
 def test_unknown_type_rejected(spark):
     with pytest.raises(ValueError, match="unknown expectation"):
         run_expectations(_df(spark), [Expect(type="nope")])
+
+
+def test_declarative_expectations_gate_the_load(spark, tmp_path):
+    """TableSpec.expectations: a failing table contract aborts BEFORE
+    the write (nothing published); a passing one loads normally."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], ["id", "name"]
+    ).write.parquet(str(src / "t.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+
+    def mk(checks):
+        return spec_mod.TableSpec(
+            source_table="t",
+            target_table="t_clean",
+            mappings=[
+                spec_mod.MappingSpec(source="id", target="id"),
+                spec_mod.MappingSpec(source="name", target="name"),
+            ],
+            expectations=checks,
+        )
+
+    with pytest.raises(ValueError, match="unique:id"):
+        run_table(ctx, mk([spec_mod.ExpectSpec(type="unique", columns=["id"])]))
+    assert not (out / "t_clean").exists()  # nothing was published
+
+    run_table(ctx, mk([spec_mod.ExpectSpec(type="row_count", min=3)]))
+    assert spark.read.parquet(str(out / "t_clean")).count() == 3
+
+
+def test_expect_spec_rejects_unknown_type():
+    import pytest as _pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    with _pytest.raises(Exception, match="expectation type"):
+        spec_mod.ExpectSpec(type="nope")
