@@ -1073,8 +1073,8 @@ def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
     from pyspark.sql import Observation
 
     ctx = JobContext(spark, job.global_spec)
-    results: dict[str, int] = {}
-    for spec in job.tables:
+
+    def run_one(spec: TableSpec) -> int:
         t0 = time.time()
         loader_name = spec.loader_plugin or job.global_spec.loader_plugin
         if spec.incremental is not None and spec.incremental.mode == "streaming":
@@ -1090,7 +1090,6 @@ def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
             obs = Observation(f"etl_{spec.target_table}")
             run_table(ctx, spec, observation=obs)
             n = obs.get["rows"]
-        results[spec.target_table] = n
         logger.info(
             "%s.%s -> %s.%s: %d rows in %.1fs",
             spec.source_schema,
@@ -1100,4 +1099,23 @@ def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
             n,
             time.time() - t0,
         )
+        return n
+
+    par = job.global_spec.table_parallelism
+    results: dict[str, int] = {}
+    if par <= 1 or len(job.tables) <= 1:
+        for spec in job.tables:
+            results[spec.target_table] = run_one(spec)
+        return results
+    # Driver-side table concurrency: Spark job submission is thread-safe
+    # and the scheduler interleaves independent tables' stages across
+    # the executors (small tables no longer serialize behind big ones).
+    # Declared order is preserved in the RESULTS; execution order isn't
+    # — the spec contract says tables are independent at parallelism>1.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=par) as pool:
+        futures = [(spec.target_table, pool.submit(run_one, spec)) for spec in job.tables]
+        for target, fut in futures:
+            results[target] = fut.result()
     return results

@@ -88,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--config", "-c", default=None, help="main YAML config path")
     parser.add_argument("--master", default=None, help="Spark master override")
     parser.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to run (matched against "
+        "target then source table name) — re-run one failed table "
+        "without replaying the whole job",
+    )
+    parser.add_argument(
         "--explain",
         action="store_true",
         help="compile every table and print its optimized physical plan "
@@ -97,6 +104,20 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     job = load_job_spec(args.config)
+    if args.tables:
+        wanted = {t.strip() for t in args.tables.split(",") if t.strip()}
+        picked = [
+            t for t in job.tables
+            if t.target_table in wanted or t.source_table in wanted
+        ]
+        matched = {t.target_table for t in picked} | {t.source_table for t in picked}
+        unknown = wanted - matched
+        if unknown:
+            raise SystemExit(
+                f"--tables: {sorted(unknown)} match no configured table "
+                f"(targets: {[t.target_table for t in job.tables]})"
+            )
+        job = job.model_copy(update={"tables": picked})
     log_cfg = job.global_spec.logging
     setup_logging(
         level=log_cfg.console_level if log_cfg else "INFO",

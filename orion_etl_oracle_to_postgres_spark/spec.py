@@ -333,6 +333,13 @@ class GlobalSpec(BaseModel):
     #: spark.sql.shuffle.partitions sized to the data volume) — applied
     #: by the runner on top of the engine defaults
     spark_conf: dict = Field(default_factory=dict)
+    #: [engine extension] driver-side table parallelism: >1 submits that
+    #: many INDEPENDENT tables' jobs concurrently from threads (Spark's
+    #: scheduler interleaves their stages across the executors). Tables
+    #: are independent by the spec contract — self-lookups read only
+    #: their own target; keep 1 if one table's target feeds another's
+    #: lookup and ordering matters.
+    table_parallelism: int = Field(default=1, ge=1)
 
 
 class JobSpec(BaseModel):

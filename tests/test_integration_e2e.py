@@ -115,3 +115,57 @@ def test_csv_and_json_sources_roundtrip(spark, tmp_path):
     )
     assert sorted((r["id"], r["s"]) for r in csv_back.collect()) == [(1, "a"), (2, "b")]
     assert sorted((r["id"], r["s"]) for r in json_back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_cli_tables_filter_and_parallel_job(spark, tmp_path):
+    """--tables runs only the named subset (unknown names fail loudly);
+    table_parallelism>1 runs independent tables concurrently with the
+    same results."""
+    import textwrap
+
+    import pytest
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"]).write.parquet(
+        str(src / "ta.parquet")
+    )
+    spark.createDataFrame([(3, "x"), (4, "y"), (5, "z")], ["id", "s"]).write.parquet(
+        str(src / "tb.parquet")
+    )
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [a.yaml, b.yaml]
+              table_parallelism: 2
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "a.yaml").write_text(
+        "source_table: ta\ntarget_table: out_a\n"
+        "mappings:\n  - {source: id, target: id}\n  - {source: v, target: v}\n"
+    )
+    (tmp_path / "tables" / "b.yaml").write_text(
+        "source_table: tb\ntarget_table: out_b\n"
+        "mappings:\n  - {source: id, target: id}\n  - {source: s, target: s}\n"
+    )
+    cfg = str(tmp_path / "config.yaml")
+    # full parallel job
+    assert main(["--config", cfg]) == 0
+    assert spark.read.parquet(str(out / "out_a")).count() == 2
+    assert spark.read.parquet(str(out / "out_b")).count() == 3
+    # subset: only out_b reruns (delete out_a first to prove it)
+    import shutil
+
+    shutil.rmtree(out / "out_a")
+    assert main(["--config", cfg, "--tables", "out_b"]) == 0
+    assert not (out / "out_a").exists()
+    assert spark.read.parquet(str(out / "out_b")).count() == 3
+    with pytest.raises(SystemExit, match="no configured table"):
+        main(["--config", cfg, "--tables", "nope"])
