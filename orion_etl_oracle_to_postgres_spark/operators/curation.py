@@ -318,3 +318,36 @@ def sample_n(
         .limit(n)
         .drop("__ord")
     )
+
+
+def balance_groups(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    seed: str = "bal0",
+) -> DataFrame:
+    """Downsample every group to the MINORITY group's size — the
+    label-balancing shape for skewed classification corpora (every
+    class ends up with exactly min(count) rows, chosen deterministically
+    by the same portable hash order as ``stratified_sample``).
+
+    Plan: one tiny count aggregate → a 1-row global min (broadcast) →
+    WindowGroupLimit-style rank filter. The rank's window cannot
+    pre-limit map-side here (the cutoff is data-derived, not a
+    constant), so the one shuffle carries the corpus ranked per group —
+    the unavoidable floor for an exact data-derived cutoff; use
+    ``stratified_sample`` with an explicit ``n_per_group`` when an
+    approximate target is acceptable at extreme scale."""
+    from pyspark.sql.window import Window
+
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = sizes.agg(F.min("__n").alias("__min_n"))
+    order = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(min_n))
+        .filter(F.col("__rn") <= F.col("__min_n"))
+        .drop("__rn", "__min_n")
+    )

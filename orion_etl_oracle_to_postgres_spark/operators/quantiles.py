@@ -161,3 +161,55 @@ def frequency_bins(
         .withColumn(out_col, bin_expr)
         .drop("__qb")
     )
+
+
+def normalize_columns(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    method: str = "zscore",
+    decimals: int = 6,
+    suffix: str = "_norm",
+) -> DataFrame:
+    """Per-group feature normalization: ``zscore`` ((x − mean)/stddev,
+    population stddev; 0.0 for constant groups) or ``minmax``
+    ((x − min)/(max − min); 0.0 for constant groups). Appends
+    ``<col><suffix>`` per value column.
+
+    Plan: ONE aggregate computes every column's group statistics
+    (rows = #groups), broadcast back — the same
+    bounds-aggregate-then-project shape as ``winsorize``; the data
+    never shuffles."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"method must be zscore|minmax, got {method!r}")
+    aggs = []
+    for c in value_cols:
+        if method == "zscore":
+            aggs += [
+                F.avg(c).alias(f"__m_{c}"),
+                F.stddev_pop(c).alias(f"__s_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            ]
+    stats = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    out = df.join(F.broadcast(stats), list(keys))
+    for c in value_cols:
+        if method == "zscore":
+            expr = F.when(
+                F.col(f"__s_{c}") > 0,
+                (F.col(c) - F.col(f"__m_{c}")) / F.col(f"__s_{c}"),
+            ).otherwise(F.lit(0.0))
+        else:
+            rng = F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
+            expr = F.when(
+                rng > 0, (F.col(c) - F.col(f"__lo_{c}")) / rng
+            ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"{c}{suffix}", F.round(expr, decimals))
+    drop = [col for c in value_cols for col in (
+        (f"__m_{c}", f"__s_{c}") if method == "zscore" else (f"__lo_{c}", f"__hi_{c}")
+    )]
+    return out.drop(*drop)

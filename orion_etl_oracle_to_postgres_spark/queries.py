@@ -2560,6 +2560,63 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
 
 
+def _balance_sql() -> str:
+    h = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':bal0')")
+    return f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC)
+               AS rn
+      FROM documents
+    ),
+    m AS (SELECT min(cnt) AS mn FROM
+            (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+    SELECT doc_id, lang FROM r, m WHERE rn <= mn
+    """
+
+
+@query("curation_balance_groups", _balance_sql())
+def curation_balance_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Class balancing (operators/curation.py:balance_groups):
+    every language downsampled to the minority language's size, rows
+    chosen by the portable md5 rank — the label-balancing shape for
+    skewed corpora, bit-replayed by the oracle."""
+    from .operators.curation import balance_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return balance_groups(d.select("doc_id", "lang"), "doc_id", "lang")
+
+
+@query(
+    "quantile_normalize_prices",
+    """
+    WITH s AS (
+      SELECT o_orderpriority, avg(o_totalprice) AS m,
+             stddev_pop(o_totalprice) AS sd
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(CASE WHEN sd > 0 THEN (o_totalprice - m) / sd
+                      ELSE 0.0 END, 6) AS o_totalprice_norm
+    FROM orders JOIN s USING (o_orderpriority)
+    """,
+)
+def quantile_normalize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group z-score normalization
+    (operators/quantiles.py:normalize_columns): one stats aggregate
+    (rows = #groups) broadcast back, the data never shuffles — the
+    feature-prep sibling of winsorize."""
+    from .operators.quantiles import normalize_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return normalize_columns(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        ["o_totalprice"],
+        method="zscore",
+    )
+
+
 @query(
     "text_url_normalize",
     """

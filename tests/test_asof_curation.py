@@ -486,3 +486,17 @@ def test_sample_n_exact_and_partition_stable(spark):
 
     with _pt.raises(ValueError):
         sample_n(spark.createDataFrame(rows, ["id", "x"]), "id", 0)
+
+
+def test_balance_groups_minority_size(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import balance_groups
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = balance_groups(df, "id", "g")
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert counts == {"big": 7, "small": 7}
+    # deterministic under repartitioning
+    out2 = balance_groups(df.repartition(13), "id", "g")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}

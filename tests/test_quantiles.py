@@ -82,3 +82,24 @@ def test_frequency_bins_balanced_and_deterministic(spark):
     assert {(r["v"], r["bin"]) for r in out.collect()} == {
         (r["v"], r["bin"]) for r in out2.collect()
     }
+
+
+def test_normalize_columns_zscore_and_minmax(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import normalize_columns
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("a", 20.0), ("b", 5.0), ("b", 5.0)],
+        ["g", "v"],
+    )
+    z = {(r["g"], r["v"]): r["v_norm"] for r in normalize_columns(df, ["g"], ["v"]).collect()}
+    assert z[("a", 10.0)] == 0.0
+    assert abs(z[("a", 20.0)] - 1.224745) < 1e-6  # (20-10)/sqrt(200/3)
+    assert z[("b", 5.0)] == 0.0  # constant group
+    m = {(r["g"], r["v"]): r["v_norm"] for r in normalize_columns(
+        df, ["g"], ["v"], method="minmax").collect()}
+    assert m[("a", 0.0)] == 0.0 and m[("a", 20.0)] == 1.0 and m[("a", 10.0)] == 0.5
+    assert m[("b", 5.0)] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError, match="zscore"):
+        normalize_columns(df, ["g"], ["v"], method="nope")
