@@ -201,7 +201,10 @@ _TS_MARK = re.compile(
 _DATE_MARK = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
-def _watermark_sql_literal(mark) -> str:
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _watermark_sql_literal(mark, dtype: str | None = None) -> str:
     """Render a stored high-water mark as a TYPED SQL literal for the
     DB-side max probe (ADVICE r3): marks round-trip through JSON as
     strings, and a bare ``'{mark}'`` string comparison against a
@@ -210,24 +213,53 @@ def _watermark_sql_literal(mark) -> str:
     while an arbitrary string containing a quote would break out of the
     literal entirely.
 
-    - numeric shapes → unquoted (``NUMBER`` comparison)
-    - ``YYYY-MM-DD[ T]HH:MM:SS[.ffffff]`` → ``TO_TIMESTAMP(...,
-      'YYYY-MM-DD HH24:MI:SS[.FF6]')``
-    - ``YYYY-MM-DD`` → ``TO_DATE(..., 'YYYY-MM-DD')``
-    - anything else → quoted with embedded quotes doubled
+    ``dtype`` is the watermark COLUMN's Spark dtype from the scanned
+    frame — the literal form follows the column, not the mark's lexical
+    shape (a VARCHAR column full of numeric strings must compare
+    lexicographically like the Spark-side filter does, so it stays
+    quoted; emitting it unquoted would switch the probe to numeric
+    ordering and let the two paths disagree — review finding r4):
+
+    - numeric column → unquoted numeric (validated; garbage raises)
+    - timestamp column → ``TO_TIMESTAMP(..., 'YYYY-MM-DD HH24:MI:SS[.FF6]')``
+    - date column → ``TO_DATE(..., 'YYYY-MM-DD')``
+    - string/unknown column → quoted with embedded quotes doubled
     """
     s = str(mark)
-    if _NUM_MARK.match(s):
+    base = (dtype or "").split("(")[0].lower()
+    if base in _NUMERIC_DTYPES or base.startswith("decimal"):
+        if not _NUM_MARK.match(s):
+            raise ValueError(
+                f"stored watermark {s!r} is not numeric but the column is {dtype}"
+            )
         return s
-    m = _TS_MARK.match(s)
-    if m:
-        base = f"{m.group(1)} {m.group(2)}"
-        if m.group(4):
-            frac = m.group(4)[:6].ljust(6, "0")
-            return f"TO_TIMESTAMP('{base}.{frac}', 'YYYY-MM-DD HH24:MI:SS.FF6')"
-        return f"TO_TIMESTAMP('{base}', 'YYYY-MM-DD HH24:MI:SS')"
-    if _DATE_MARK.match(s):
-        return f"TO_DATE('{s}', 'YYYY-MM-DD')"
+    if base.startswith("timestamp") or (base == "" and _TS_MARK.match(s)):
+        m = _TS_MARK.match(s)
+        if m:
+            b = f"{m.group(1)} {m.group(2)}"
+            if m.group(4):
+                frac = m.group(4)[:6].ljust(6, "0")
+                return f"TO_TIMESTAMP('{b}.{frac}', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+            return f"TO_TIMESTAMP('{b}', 'YYYY-MM-DD HH24:MI:SS')"
+        if base and _DATE_MARK.match(s):
+            return f"TO_TIMESTAMP('{s} 00:00:00', 'YYYY-MM-DD HH24:MI:SS')"
+        raise ValueError(
+            f"stored watermark {s!r} does not parse as a timestamp "
+            f"but the column is {dtype}"
+        )
+    if base == "date" or (base == "" and _DATE_MARK.match(s)):
+        if _DATE_MARK.match(s):
+            return f"TO_DATE('{s}', 'YYYY-MM-DD')"
+        m = _TS_MARK.match(s)
+        if m:
+            return f"TO_DATE('{m.group(1)}', 'YYYY-MM-DD')"
+        raise ValueError(
+            f"stored watermark {s!r} does not parse as a date "
+            f"but the column is {dtype}"
+        )
+    if base == "" and _NUM_MARK.match(s):
+        # no dtype known (legacy callers): keep the old shape-based rule
+        return s
     escaped = s.replace("'", "''")
     return f"'{escaped}'"
 
@@ -366,9 +398,11 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             )
             wm = inc.watermark_column
 
-            def max_probe(cur_mark, _tbl=src_tbl, _wm=wm, _conn=src_jdbc):
+            wm_dtype = dict(df.dtypes).get(wm)
+
+            def max_probe(cur_mark, _tbl=src_tbl, _wm=wm, _conn=src_jdbc, _dt=wm_dtype):
                 where = (
-                    f" WHERE {_wm} > {_watermark_sql_literal(cur_mark)}"
+                    f" WHERE {_wm} > {_watermark_sql_literal(cur_mark, _dt)}"
                     if cur_mark is not None
                     else ""
                 )
@@ -603,12 +637,29 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
     if spec.scd2 is not None:
         errs.append("scd2 (reads back the target mid-plan)")
     for r in spec.mappings or []:
+        # the on_fail ladder treats None/'skip'/'default:*' as pure row
+        # filters/rewrites; EVERYTHING else (explicit 'error', 'abort',
+        # typos...) is fail-fast, which needs eager pre-write actions a
+        # stream doesn't have — refuse rather than silently not failing
         for v in r.validation or []:
-            if v.on_fail in ("error", "quarantine"):
+            if v.on_fail == "quarantine" or (
+                v.on_fail is not None
+                and v.on_fail != "skip"
+                and not v.on_fail.startswith("default")
+            ):
                 errs.append(
                     f"validation on_fail={v.on_fail!r} on {r.source!r} "
                     "(needs eager actions / lazy checkpoints)"
                 )
+        # lookup on_missing defaults to 'error' (fail-fast): with eager
+        # checks off, external_lookup would downgrade it to write-NULL —
+        # silent data corruption, so require an explicit streamable policy
+        if r.lookup is not None and (r.lookup.on_missing or "error") == "error":
+            errs.append(
+                f"lookup on {r.source!r} with on_missing=error (the "
+                "default) — set null/skip/default:<v> explicitly for a "
+                "stream, or run in batch mode"
+            )
     if spec.write_mode != "append":
         errs.append("write_mode must be 'append' (each micro-batch appends)")
     if errs:
@@ -851,6 +902,10 @@ def _run_streaming_table(
     counter = {"rows": 0}
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        # same write-side drift healing as the batch append path —
+        # without it a drifted target would accumulate mixed-schema
+        # parquet files, the exact hazard _align_for_append exists for
+        bdf = _align_for_append(ctx, spec, bdf)
         bdf = bdf.persist()
         try:
             n = bdf.count()
@@ -1080,6 +1135,13 @@ def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
         if spec.incremental is not None and spec.incremental.mode == "streaming":
             run_table(ctx, spec)
             n = ctx.stream_counts.get(spec.target_table, 0)
+        elif spec.scd2 is not None:
+            # the scd2 branch returns before the Observation would be
+            # attached — obs.get would block forever. Count the returned
+            # merged dimension instead (files: a fresh post-swap read;
+            # JDBC: the checkpointed frame — both cheap to count).
+            df = run_table(ctx, spec)
+            n = df.count()
         elif loader_name not in ("default_loader",):
             # a custom loader isn't obliged to run any Spark action on
             # the observed plan — Observation.get would block forever.

@@ -43,9 +43,32 @@ class Expect:
         return f"{self.type}:{','.join(self.columns) or '*'}"
 
 
+_SINGLE_COL_TYPES = ("not_null", "accepted_values", "bounds")
+
+
+def _validate_check(c: Expect) -> None:
+    """Arity errors must name the offending check, not die as a bare
+    tuple-unpack ValueError deep in the aggregate builder (review
+    finding r4) — and a zero-column ``unique`` would degrade to a
+    meaningless global groupBy that always passes."""
+    if c.type in _SINGLE_COL_TYPES and len(c.columns) != 1:
+        raise ValueError(
+            f"expectation {c.label!r}: type {c.type!r} takes exactly one "
+            f"column, got {list(c.columns)} (declare one check per column)"
+        )
+    if c.type == "unique" and not c.columns:
+        raise ValueError("expectation 'unique' needs at least one column")
+    if c.type == "row_count" and c.columns:
+        raise ValueError(
+            f"expectation {c.label!r}: row_count takes no columns"
+        )
+
+
 def run_expectations(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
     """→ ``(check, column, observed, threshold, passed)``, one row per
     expectation, deterministic order (the input order)."""
+    for c in checks:
+        _validate_check(c)
     spark = df.sparkSession
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(checks):

@@ -115,6 +115,12 @@ def profile_histogram(
         row = df.agg(
             F.min(column).alias("lo"), F.max(column).alias("hi")
         ).collect()[0]
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"profile_histogram: column {column!r} has no non-null "
+                "values to bound — pass explicit lo/hi or profile a "
+                "non-empty column"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if hi <= lo:

@@ -85,6 +85,23 @@ def group_quantile_bounds(
     )
 
 
+def _nullsafe_join_back(df: DataFrame, stats: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Broadcast ``stats`` back onto ``df`` matching NULL group keys
+    too: a plain ``join(..., keys)`` uses NULL-rejecting equality, so
+    rows whose group key is NULL would silently vanish from the output
+    even though the groupBy produced a NULL-key stats row (review
+    finding r4). ``eqNullSafe`` keys keep the join a broadcast hash
+    equi-join."""
+    renamed = stats
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__sk_{k}")
+    cond = None
+    for k in keys:
+        eq = df[k].eqNullSafe(F.col(f"__sk_{k}"))
+        cond = eq if cond is None else cond & eq
+    return df.join(F.broadcast(renamed), cond).drop(*[f"__sk_{k}" for k in keys])
+
+
 def winsorize(
     df: DataFrame,
     keys: Sequence[str],
@@ -117,7 +134,7 @@ def winsorize(
         F.col("__qb").getItem(1),
     )
     return (
-        df.join(F.broadcast(bounds), list(keys))
+        _nullsafe_join_back(df, bounds, keys)
         .withColumn(out, clipped)
         .drop("__qb")
     )
@@ -157,7 +174,7 @@ def frequency_bins(
         lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
     )
     return (
-        df.join(F.broadcast(bounds), list(keys))
+        _nullsafe_join_back(df, bounds, keys)
         .withColumn(out_col, bin_expr)
         .drop("__qb")
     )
@@ -196,7 +213,7 @@ def normalize_columns(
                 F.max(c).alias(f"__hi_{c}"),
             ]
     stats = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
-    out = df.join(F.broadcast(stats), list(keys))
+    out = _nullsafe_join_back(df, stats, keys)
     for c in value_cols:
         if method == "zscore":
             expr = F.when(

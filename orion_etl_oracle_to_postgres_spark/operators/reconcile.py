@@ -165,7 +165,12 @@ def distribution_drift(
             lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
         )
         return (
+            # NULL values would otherwise fold into bin 0 (every `> b`
+            # is false) while the quantile bounds exclude them — drift
+            # is a report over the NON-NULL population on both sides;
+            # compare null RATES with profile_table/expectations
             df.select(F.col(value_col))
+            .filter(F.col(value_col).isNotNull())
             .join(F.broadcast(bounds))
             .select(bin_expr.alias("bin"))
             .groupBy("bin")

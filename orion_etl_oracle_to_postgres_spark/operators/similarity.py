@@ -443,7 +443,11 @@ def embedding_near_dups(
 # — a hash collision must never serve the wrong matrix). Lets repeated
 # exact-near-dup invocations over the same frame skip the
 # collect+broadcast rebuild, which dominated the small-input cost.
+# BOUNDED: at most _BLOCK_CACHE_MAX entries; eviction destroys the old
+# Spark broadcasts so a threshold sweep over many frames can't pin every
+# collected matrix in driver+executor memory for the session's lifetime.
 _BLOCK_SIDE_CACHE: dict = {}
+_BLOCK_CACHE_MAX = 4
 
 
 def _block_side(df: DataFrame, vec_col: str, id_col: str, broadcast_limit: int):
@@ -465,6 +469,17 @@ def _block_side(df: DataFrame, vec_col: str, id_col: str, broadcast_limit: int):
     norms[norms == 0] = np.inf  # zero vectors never match
     sc = df.sparkSession.sparkContext
     payload = (sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms))
+    while len(_BLOCK_SIDE_CACHE) >= _BLOCK_CACHE_MAX:
+        oldest = next(iter(_BLOCK_SIDE_CACHE))
+        _, _, old = _BLOCK_SIDE_CACHE.pop(oldest)
+        for b in old:
+            try:
+                # unpersist (not destroy): frees the executor copies now;
+                # a previously-returned plan that still references the
+                # broadcast stays re-executable (the driver re-ships it)
+                b.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — a dead context must not break the caller
+                pass
     _BLOCK_SIDE_CACHE[key] = (proj, len(rows), payload)
     return payload
 

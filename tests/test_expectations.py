@@ -108,3 +108,15 @@ def test_expect_spec_rejects_unknown_type():
 
     with _pytest.raises(Exception, match="expectation type"):
         spec_mod.ExpectSpec(type="nope")
+
+
+def test_arity_validation_names_the_check(spark):
+    d = _df(spark)
+    with pytest.raises(ValueError, match="exactly one column"):
+        run_expectations(d, [Expect(type="not_null", columns=("id", "name"))])
+    with pytest.raises(ValueError, match="exactly one column"):
+        run_expectations(d, [Expect(type="bounds")])
+    with pytest.raises(ValueError, match="at least one column"):
+        run_expectations(d, [Expect(type="unique")])
+    with pytest.raises(ValueError, match="takes no columns"):
+        run_expectations(d, [Expect(type="row_count", columns=("id",))])

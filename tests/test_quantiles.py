@@ -103,3 +103,25 @@ def test_normalize_columns_zscore_and_minmax(spark):
 
     with pytest.raises(ValueError, match="zscore"):
         normalize_columns(df, ["g"], ["v"], method="nope")
+
+
+def test_null_group_keys_survive_quantile_joins(spark):
+    """Rows with NULL group keys must pass through winsorize /
+    frequency_bins / normalize_columns, not vanish in a null-rejecting
+    equi-join (review r4 #4)."""
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import (
+        frequency_bins,
+        normalize_columns,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 6.0)], ["g", "v"]
+    )
+    for out in (
+        winsorize(df, ["g"], "v", exact=True),
+        frequency_bins(df, ["g"], "v", n_bins=2, exact=True),
+        normalize_columns(df, ["g"], ["v"]),
+    ):
+        assert out.count() == 4
+        assert out.filter("g IS NULL").count() == 2

@@ -1007,3 +1007,59 @@ def test_scd2_rejects_extra_columns_and_custom_loader(spark, tmp_path):
     t2.mappings.pop()  # drop x
     with pytest.raises(ValueError, match="custom"):
         run_table(ctx, t2)
+
+
+def test_run_job_with_scd2_table_reports_rows(spark, tmp_path):
+    """run_job must not block on an Observation the scd2 branch never
+    attaches (review finding r4 #2) — it counts the merged dimension."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import run_job
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, "A"), (2, "B")], ["id", "seg"]).write.parquet(
+        str(src / "cust.parquet")
+    )
+    job = spec_mod.JobSpec(
+        global_spec=spec_mod.GlobalSpec(
+            connectors=spec_mod.ConnectorsSpec(
+                source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+                target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+            )
+        ),
+        tables=[
+            spec_mod.TableSpec(
+                source_table="cust",
+                target_table="dim_cust",
+                mappings=[
+                    spec_mod.MappingSpec(source="id", target="id"),
+                    spec_mod.MappingSpec(source="seg", target="seg"),
+                ],
+                scd2=spec_mod.Scd2Spec(
+                    key="id", compare_columns=["seg"], effective_time="2024-01-01"
+                ),
+            )
+        ],
+    )
+    assert run_job(spark, job) == {"dim_cust": 2}
+
+
+def test_watermark_literal_follows_column_type():
+    """A VARCHAR watermark column keeps numeric-looking marks QUOTED
+    (lexicographic, matching the Spark-side filter); numeric columns
+    get unquoted numerics; type/mark mismatches raise (review r4 #6)."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.compiler import _watermark_sql_literal as lit
+
+    assert lit("0100", "string") == "'0100'"
+    assert lit("42", "bigint") == "42"
+    assert lit("2024-05-01", "date") == "TO_DATE('2024-05-01', 'YYYY-MM-DD')"
+    assert lit("2024-05-01 10:20:30", "timestamp").startswith("TO_TIMESTAMP(")
+    assert lit("2024-05-01", "timestamp") == (
+        "TO_TIMESTAMP('2024-05-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS')"
+    )
+    with pytest.raises(ValueError, match="not numeric"):
+        lit("N123", "bigint")
+    with pytest.raises(ValueError, match="timestamp"):
+        lit("garbage", "timestamp")

@@ -103,3 +103,40 @@ def test_streaming_spec_rejects_unsupported_stages(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="quarantine"):
         run_table(ctx, bad_val)
+
+
+def test_streaming_spec_rejects_failfast_lookup_and_validation(spark, tmp_path):
+    """Fail-fast semantics can't run on a stream: the default lookup
+    on_missing=error and any non-filter validation policy must be
+    REFUSED, not silently downgraded to write-NULL (review r4 #3)."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a", 1.0)],
+        "id long, ts timestamp, name string, val double",
+    ).write.parquet(str(src / "land"))
+    spark.createDataFrame([(1, "X")], ["k", "v"]).write.parquet(str(src / "dim"))
+    ctx = JobContext(spark=spark, global_spec=_global(src, tmp_path / "out"))
+
+    with_lookup = _spec(tmp_path / "s4")
+    with_lookup.mappings[0].lookup = spec_mod.LookupSpec(
+        table="dim", key_column="k", value_column="v"
+    )
+    with pytest.raises(ValueError, match="on_missing=error"):
+        run_table(ctx, with_lookup)
+
+    # explicit streamable policy compiles
+    with_lookup2 = _spec(tmp_path / "s5")
+    with_lookup2.mappings[0].lookup = spec_mod.LookupSpec(
+        table="dim", key_column="k", value_column="v", on_missing="default:NONE"
+    )
+    run_table(ctx, with_lookup2)
+
+    bad_abort = _spec(tmp_path / "s6")
+    bad_abort.mappings[2].validation = [
+        spec_mod.ValidationSpec(type="range", pattern="0-10", on_fail="abort")
+    ]
+    with pytest.raises(ValueError, match="abort"):
+        run_table(ctx, bad_abort)

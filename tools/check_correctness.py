@@ -128,6 +128,35 @@ def df_multiset(rows, colnames):
     return Counter(tuple(norm_value(r[i]) for i in order) for r in rows)
 
 
+def compare_result(scols, srows, sdtypes, dcols, drows, dschema) -> list[str]:
+    """EVERY comparison layer — column set, declared type families, row
+    count, order-insensitive value multiset — runs independently
+    whenever its prerequisites hold, and every failure is reported.
+    (A round-4 edit accidentally chained the type check as
+    ``if ok: types elif rows else values``, which silently skipped the
+    row/value comparison for every healthy query — caught in
+    self-review and pinned by ``tests/test_checker_compare.py``; keep
+    these as separate guarded blocks.)"""
+    problems: list[str] = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        return problems  # later layers are meaningless on different columns
+    bad_types = type_mismatches(sdtypes, dschema)
+    if bad_types:
+        problems.append(f"type-family mismatch {bad_types}")
+    if len(srows) != len(drows):
+        problems.append(f"rows spark={len(srows)} duck={len(drows)}")
+        return problems
+    sm, dm = df_multiset(srows, scols), df_multiset(drows, dcols)
+    if sm != dm:
+        diff_s = list((sm - dm).items())[:3]
+        diff_d = list((dm - sm).items())[:3]
+        problems.append(
+            f"value mismatch\n  spark-only: {diff_s}\n  duck-only:  {diff_d}"
+        )
+    return problems
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--stock"]
     stock = "--stock" in sys.argv[1:]
@@ -180,33 +209,17 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        ok = True
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            ok = False
-        if ok:
-            try:
-                dschema = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
-            except Exception:  # noqa: BLE001 - DESCRIBE can choke on some CTEs; value check still runs
-                dschema = []
-            bad_types = type_mismatches(sdf.dtypes, dschema)
-            if bad_types:
-                print(f"FAIL  {name}: type-family mismatch {bad_types}")
-                ok = False
-        elif len(srows) != len(drows):
-            print(f"FAIL  {name}: rows spark={len(srows)} duck={len(drows)}")
-            ok = False
-        else:
-            sm, dm = df_multiset(srows, scols), df_multiset(drows, dcols)
-            if sm != dm:
-                diff_s = list((sm - dm).items())[:3]
-                diff_d = list((dm - sm).items())[:3]
-                print(f"FAIL  {name}: value mismatch\n  spark-only: {diff_s}\n  duck-only:  {diff_d}")
-                ok = False
-        if ok:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
-        else:
+        try:
+            dschema = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+        except Exception:  # noqa: BLE001 - DESCRIBE can choke on some CTEs; value check still runs
+            dschema = []
+        problems = compare_result(scols, srows, sdf.dtypes, dcols, drows, dschema)
+        if problems:
+            for p in problems:
+                print(f"FAIL  {name}: {p}")
             failures.append(name)
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
