@@ -351,3 +351,52 @@ def balance_groups(
         .filter(F.col("__rn") <= F.col("__min_n"))
         .drop("__rn", "__min_n")
     )
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    id_col: str,
+    *,
+    out_col: str = "stable_id",
+    seed: str = "sid0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Dense 0..n−1 ids in a deterministic global order (the portable
+    md5 hash of the source id, ties by id) — contiguous example indices
+    for training shards, identical on every run/engine/partitioning.
+
+    The naive formulation — ``row_number() OVER (ORDER BY hash)`` — is
+    a single-partition global window (every row through ONE task: the
+    classic scale-killer). Instead: the hash range is cut into
+    ``n_buckets`` fixed slices, rows rank within their slice (normal
+    partitioned window), and each slice's global offset is the
+    prefix-sum of lower slices' counts (an n_buckets-row aggregate
+    joined back broadcast). Because slice boundaries follow the SAME
+    order as the global sort key, slice-rank + offset EQUALS the global
+    row_number — bit-identical to the naive form, executed as a
+    shuffle across n_buckets reducers."""
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    slice_width = (16 ** 15) // n_buckets + 1  # ceil: hash < 16^15
+    b = df.withColumn("__h", h).withColumn(
+        "__bk", (F.col("__h") / F.lit(slice_width)).cast("long")
+    )
+    counts = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__bk",
+        (
+            F.sum("__n").over(
+                Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("__off"),
+    ).fillna({"__off": 0})
+    w = Window.partitionBy("__bk").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__bk")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
+        .drop("__h", "__bk", "__rn", "__off")
+    )

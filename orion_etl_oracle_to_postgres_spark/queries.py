@@ -2560,6 +2560,30 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
 
 
+def _stable_ids_sql() -> str:
+    h = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':sid0')")
+    return f"""
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY {h} ASC, doc_id ASC) - 1)::BIGINT
+             AS stable_id
+    FROM documents
+    """
+
+
+@query("curation_stable_ids", _stable_ids_sql())
+def curation_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Dense 0..n−1 example indices in deterministic global hash
+    order (operators/curation.py:assign_stable_ids) WITHOUT the
+    single-partition global window: fixed hash-range slices rank
+    locally and add a broadcast prefix-sum offset — bit-identical to
+    the oracle's global row_number, executed across n_buckets
+    reducers."""
+    from .operators.curation import assign_stable_ids
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_stable_ids(d.select("doc_id"), "doc_id", n_buckets=64)
+
+
 def _balance_sql() -> str:
     h = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':bal0')")
     return f"""

@@ -500,3 +500,34 @@ def test_balance_groups_minority_size(spark):
     # deterministic under repartitioning
     out2 = balance_groups(df.repartition(13), "id", "g")
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+def test_assign_stable_ids_dense_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import assign_stable_ids
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    out = assign_stable_ids(df, "id", n_buckets=16)
+    ids = sorted(r["stable_id"] for r in out.collect())
+    assert ids == list(range(500))  # dense 0..n-1, no gaps/dups
+    # invariant under input partitioning, equals the naive global window
+    out2 = assign_stable_ids(df.repartition(7), "id", n_buckets=3)
+    m1 = {r["id"]: r["stable_id"] for r in out.collect()}
+    m2 = {r["id"]: r["stable_id"] for r in out2.collect()}
+    assert m1 == m2
+    from orion_etl_oracle_to_postgres_spark.functions import md5_hash60
+    from pyspark.sql.window import Window
+
+    naive = df.withColumn(
+        "sid",
+        F.row_number().over(
+            Window.orderBy(
+                md5_hash60(F.concat(F.col("id").cast("string"), F.lit(":sid0"))),
+                F.col("id"),
+            )
+        )
+        - 1,
+    )
+    m3 = {r["id"]: r["sid"] for r in naive.collect()}
+    assert m1 == m3
