@@ -184,6 +184,44 @@ def op_mask(col: Column, arg: str | None = None) -> Column:
     )
 
 
+@register("transform_op", "encrypt")
+def op_encrypt(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``encrypt:<key>`` — reversible column
+    protection via AES (Spark's native ``aes_encrypt``), hex-encoded so
+    the output stays a plain string column any target accepts. Unlike
+    ``hash`` (one-way) this supports round-trips: load encrypted, grant
+    the key only to consumers who may ``decrypt:<key>``.
+
+    Deliberately ECB mode: deterministic output per (key, value) keeps
+    the column JOINABLE and GROUPABLE in its encrypted form — the
+    standard pseudonymization trade (equal plaintexts are visible as
+    equal ciphertexts; use ``hash:<salt>`` where that leak matters and
+    no round-trip is needed). Key must be 16/24/32 bytes."""
+    if not arg:
+        raise ValueError("encrypt needs a key: encrypt:<16|24|32-byte key>")
+    if len(arg) not in (16, 24, 32):
+        raise ValueError(f"encrypt key must be 16/24/32 bytes, got {len(arg)}")
+    return F.when(
+        col.isNotNull(),
+        F.hex(F.aes_encrypt(col.cast("string"), F.lit(arg), F.lit("ECB"))),
+    )
+
+
+@register("transform_op", "decrypt")
+def op_decrypt(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``decrypt:<key>`` — inverse of ``encrypt``:
+    unhex + AES-decrypt back to the original string. Wrong-key/garbage
+    input raises (ANSI) — a silent NULL would read as "value was NULL"."""
+    if not arg:
+        raise ValueError("decrypt needs a key: decrypt:<16|24|32-byte key>")
+    if len(arg) not in (16, 24, 32):
+        raise ValueError(f"decrypt key must be 16/24/32 bytes, got {len(arg)}")
+    return F.when(
+        col.isNotNull(),
+        F.aes_decrypt(F.unhex(col), F.lit(arg), F.lit("ECB")).cast("string"),
+    )
+
+
 def parse_op_token(token: str) -> tuple[str, str | None]:
     """Split ``insert:ACTIVE`` → (name, arg). ``insert:null`` → arg 'null'
     handled by the op; args may contain further colons."""

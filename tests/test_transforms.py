@@ -139,3 +139,41 @@ def test_to_decimal_not_treated_as_string_downstream(spark):
     )
     # the SECOND strip must be skipped (decimal, not string): dtype stays decimal
     assert dict(out.dtypes)["d"] == "decimal(12,2)"
+
+
+def test_encrypt_decrypt_round_trip_and_joinability(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import (
+        apply_transform_chain,
+    )
+
+    key = "0123456789abcdef"  # 16-byte AES key
+    df = spark.createDataFrame(
+        [("alice",), ("bob",), ("alice",), (None,)], ["name"]
+    )
+    enc = df.select(
+        apply_transform_chain(F.col("name"), [f"encrypt:{key}"], "string").alias("c")
+    )
+    rows = enc.collect()
+    assert rows[3]["c"] is None  # NULL passthrough
+    assert rows[0]["c"] == rows[2]["c"]  # ECB: equal plaintexts joinable
+    assert rows[0]["c"] != rows[1]["c"] and rows[0]["c"] != "alice"
+    dec = enc.select(
+        apply_transform_chain(F.col("c"), [f"decrypt:{key}"], "string").alias("p")
+    )
+    assert [r["p"] for r in dec.collect()] == ["alice", "bob", "alice", None]
+
+
+def test_encrypt_rejects_bad_keys(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import (
+        apply_transform_chain,
+    )
+
+    with pytest.raises(ValueError, match="16/24/32"):
+        apply_transform_chain(F.col("x"), ["encrypt:short"], "string")
+    with pytest.raises(ValueError, match="needs a key"):
+        apply_transform_chain(F.col("x"), ["encrypt"], "string")
