@@ -783,19 +783,25 @@ def quantization_error(
     Sums fold sequentially (``F.aggregate``) so any engine replaying
     the fold gets bit-identical error values."""
     qd = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
+    # the UNROUNDED scale must feed the reconstruction; under the same
+    # output name, Spark 4's lateral-column-alias resolution would bind
+    # the error expressions to the ROUNDED `scale` alias in the final
+    # select (silently inflating max_abs_err by up to half an ulp of
+    # the 6-decimal rounding — caught by the differential gate), so the
+    # working column is renamed before any aliasing can shadow it
     joined = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).join(qd, id_col)
+    ).join(qd.withColumnRenamed("scale", "__scale"), id_col)
     diff = F.zip_with(
         F.col("__v"),
-        dequantize(F.col("qvec"), F.col("scale")),
+        dequantize(F.col("qvec"), F.col("__scale")),
         lambda a, b: a - b,
     )
     max_err = F.array_max(F.transform(diff, lambda d: F.abs(d)))
     mse = F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d) / F.size("__v")
     return joined.select(
         F.col(id_col),
-        F.round("scale", 6).alias("scale"),
+        F.round("__scale", 6).alias("scale"),
         F.round(max_err, decimals).alias("max_abs_err"),
         F.round(mse, decimals).alias("mse"),
     )
