@@ -148,3 +148,123 @@ def scd2_as_of(
         (F.col(valid_from) <= t)
         & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
     ).drop(valid_from, valid_to)
+
+
+def scd1_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """SCD Type 1 — overwrite in place, no history: update rows replace
+    the dimension row with the same key, new keys insert. The in-plan
+    relational form of ``sinks/maintenance.merge_upsert`` (which is the
+    storage-level variant): one anti-join + union, so callers composing
+    a bigger plan don't pay a write+swap.
+
+    ``updates`` must be one row per key (same loud guard as scd2)."""
+    if not attrs:
+        raise ValueError("scd1_apply: attrs must be non-empty")
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd1_apply: updates contain duplicate key {dup[0][key]!r}"
+        )
+    cols = [key, *attrs]
+    return (
+        dim.select(*cols)
+        .join(updates.select(F.col(key).alias("__uk")), dim[key] == F.col("__uk"), "left_anti")
+        .unionByName(updates.select(*cols))
+    )
+
+
+def scd3_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    *,
+    prev_prefix: str = "prev_",
+) -> DataFrame:
+    """SCD Type 3 — limited history IN COLUMNS: each tracked attribute
+    keeps its current value plus ONE previous value (``prev_<attr>``).
+    A changed update shifts current → prev and installs the new value;
+    unchanged attributes keep their prev; new keys start with NULL
+    prevs. The middle ground between Type 1 (no history) and Type 2
+    (full version chains) — one wide row per key forever, so downstream
+    joins never fan out.
+
+    ``dim`` must already carry the ``prev_`` columns (bootstrap with
+    ``scd3_initial``). One left-outer key join; null-safe comparisons.
+    """
+    if not attrs:
+        raise ValueError("scd3_apply: attrs must be non-empty")
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd3_apply: updates contain duplicate key {dup[0][key]!r}"
+        )
+    u = updates.select(
+        F.col(key).alias("__uk"), *[F.col(a).alias(f"__u_{a}") for a in attrs]
+    )
+    existing = dim.join(u, dim[key] == F.col("__uk"), "left")
+    cols = [F.col(key)]
+    for a in attrs:
+        has_upd = F.col("__uk").isNotNull()
+        changed = has_upd & ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        cols.append(
+            F.when(changed, F.col(f"__u_{a}")).otherwise(F.col(a)).alias(a)
+        )
+        cols.append(
+            F.when(changed, F.col(a))
+            .otherwise(F.col(f"{prev_prefix}{a}"))
+            .alias(f"{prev_prefix}{a}")
+        )
+    kept = existing.select(*cols)
+    new_keys = u.join(dim.select(F.col(key).alias("__dk")), F.col("__uk") == F.col("__dk"), "left_anti")
+    opened = new_keys.select(
+        F.col("__uk").alias(key),
+        *[
+            c
+            for a in attrs
+            for c in (
+                F.col(f"__u_{a}").alias(a),
+                F.lit(None).cast(dict(dim.dtypes)[a]).alias(f"{prev_prefix}{a}"),
+            )
+        ],
+    )
+    return kept.unionByName(opened)
+
+
+def scd3_initial(
+    snapshot: DataFrame,
+    key: str,
+    attrs: list[str],
+    *,
+    prev_prefix: str = "prev_",
+) -> DataFrame:
+    """Bootstrap an SCD3 dimension: current values from the snapshot,
+    all ``prev_`` columns NULL."""
+    return snapshot.select(
+        key,
+        *[
+            c
+            for a in attrs
+            for c in (
+                F.col(a),
+                F.lit(None).cast(dict(snapshot.dtypes)[a]).alias(f"{prev_prefix}{a}"),
+            )
+        ],
+    )

@@ -2560,6 +2560,71 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim0, upd, "c_custkey", ["c_acctbal"], "2024-06-01")
 
 
+@query(
+    "scd1_customer_balances",
+    """
+    WITH upd AS (
+      SELECT c.c_custkey, round(sum(o.o_totalprice), 2) AS bal
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c.c_custkey, coalesce(u.bal, c.c_acctbal) AS c_acctbal
+    FROM customer c LEFT JOIN upd u USING (c_custkey)
+    """,
+)
+def scd1_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 1 (operators/scd.py:scd1_apply): overwrite-in-place —
+    update rows replace, new keys insert, no history. The in-plan
+    relational twin of the storage-level merge_upsert; completes the
+    SCD family next to Type 2 chains and Type 3 prev-columns."""
+    from .operators.scd import scd1_apply
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    upd = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+    )
+    return scd1_apply(c.select("c_custkey", "c_acctbal"), upd, "c_custkey", ["c_acctbal"])
+
+
+@query(
+    "scd3_customer_segments",
+    """
+    WITH upd AS (
+      SELECT c_custkey, 'RETIRED' AS seg FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL
+                 AND c.c_mktsegment IS DISTINCT FROM u.seg
+                THEN u.seg ELSE c.c_mktsegment END AS segment,
+           CASE WHEN u.c_custkey IS NOT NULL
+                 AND c.c_mktsegment IS DISTINCT FROM u.seg
+                THEN c.c_mktsegment END AS prev_segment
+    FROM customer c LEFT JOIN upd u USING (c_custkey)
+    """,
+)
+def scd3_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 (operators/scd.py:scd3_apply): one previous value per
+    tracked attribute IN COLUMNS — changed updates shift current→prev;
+    one wide row per key forever, so downstream joins never fan out.
+    Bootstrap + one update batch, value-matched against the set-algebra
+    oracle."""
+    from .operators.scd import scd3_apply, scd3_initial
+
+    c = _t(spark, sf_dir, "customer")
+    dim0 = scd3_initial(
+        c.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+        "c_custkey",
+        ["segment"],
+    )
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("RETIRED").alias("segment")
+    )
+    return scd3_apply(dim0, upd, "c_custkey", ["segment"])
+
+
 def _stable_ids_sql() -> str:
     h = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':sid0')")
     return f"""

@@ -122,3 +122,39 @@ def test_empty_attrs_raise(spark):
     dim = _dim(spark)
     with pytest.raises(ValueError, match="non-empty"):
         scd2_apply(dim, dim.limit(0), "id", [], T1)
+
+
+def test_scd1_overwrite_and_insert(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.scd import scd1_apply
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upd = spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in scd1_apply(dim, upd, "k", ["v"]).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c"}
+    import pytest
+
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "v"])
+    with pytest.raises(ValueError, match="duplicate key"):
+        scd1_apply(dim, dup, "k", ["v"])
+
+
+def test_scd3_shifts_current_to_prev(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.scd import (
+        scd3_apply,
+        scd3_initial,
+    )
+
+    dim = scd3_initial(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), "k", ["v"]
+    )
+    upd = spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], ["k", "v"])
+    rows = {r["k"]: (r["v"], r["prev_v"]) for r in scd3_apply(dim, upd, "k", ["v"]).collect()}
+    assert rows == {
+        1: ("a2", "a"),   # changed: shift
+        2: ("b", None),   # unchanged: prev stays
+        3: ("c", None),   # new key: NULL prev
+    }
+    # applying the SAME batch again is a no-op on prev (idempotent)
+    dim2 = scd3_apply(dim, upd, "k", ["v"])
+    rows2 = {r["k"]: (r["v"], r["prev_v"]) for r in scd3_apply(dim2, upd, "k", ["v"]).collect()}
+    assert rows2 == rows
