@@ -798,20 +798,43 @@ def run_table(
         _run_finalize_hooks(ctx, spec)  # reference runs finalize after EVERY load path
         return out
 
-    resolve_sink(
-        out,
-        ctx.global_spec.connectors,
-        spec.target_table,
-        spec.target_schema if ctx.global_spec.connectors.target_files is None else None,
-        mode=spec.write_mode,
-        partition_by=spec.partition_by,
-        sort_by=spec.sort_by,
-        **(
-            {}
-            if ctx.global_spec.connectors.target_files is not None
-            else {"batchsize": min(ctx.global_spec.batch_size, 10000)}
-        ),
-    )
+    if spec.zorder_by:
+        conns = ctx.global_spec.connectors
+        if conns.target_files is None:
+            raise ValueError(
+                f"{spec.target_table}: zorder_by is a file-layout option; "
+                "a JDBC target has no files to cluster"
+            )
+        if spec.sort_by or spec.partition_by:
+            raise ValueError(
+                f"{spec.target_table}: zorder_by is mutually exclusive with "
+                "sort_by/partition_by — pick one layout"
+            )
+        from pathlib import Path as _P
+
+        from .sinks.zorder import zorder_write
+
+        base = _P(conns.target_files.base_path)
+        path = str(base / spec.target_table)
+        zorder_write(
+            out, path, list(spec.zorder_by),
+            fmt=conns.target_files.format, mode=spec.write_mode,
+        )
+    else:
+        resolve_sink(
+            out,
+            ctx.global_spec.connectors,
+            spec.target_table,
+            spec.target_schema if ctx.global_spec.connectors.target_files is None else None,
+            mode=spec.write_mode,
+            partition_by=spec.partition_by,
+            sort_by=spec.sort_by,
+            **(
+                {}
+                if ctx.global_spec.connectors.target_files is not None
+                else {"batchsize": min(ctx.global_spec.batch_size, 10000)}
+            ),
+        )
     _write_quarantine(ctx, spec, compiled)
     # the write ran, so the observed counters are set — reading them is
     # non-blocking ONLY after an action (custom-loader path skips this:

@@ -296,6 +296,11 @@ class TableSpec(BaseModel):
     partition_by: Optional[List[str]] = None
     #: within-partition sort for row-group pruning / compression
     sort_by: Optional[List[str]] = None
+    #: Z-order (Morton-curve) clustered layout over >= 2 columns: every
+    #: file covers a narrow box in ALL named columns, so min/max pruning
+    #: works for filters on ANY of them (files targets only; mutually
+    #: exclusive with sort_by/partition_by — one layout per table)
+    zorder_by: Optional[List[str]] = None
     #: declarative dedup of the outgoing rows (exact | fingerprint)
     dedup: Optional[DedupSpec] = None
     #: where rows rejected by ``on_fail: quarantine`` validation rules

@@ -79,3 +79,41 @@ def test_zorder_rejects_bad_args(spark):
         zorder_key(df, ["x"])
     with pytest.raises(ValueError):
         zorder_key(df, ["x", "y"], bits=40)
+
+
+def test_declarative_zorder_spec(spark, tmp_path):
+    """TableSpec.zorder_by routes the write through zorder_write;
+    invalid combinations refuse loudly."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    rows = [(i, float(i % 50), float((i * 7) % 50)) for i in range(2000)]
+    spark.createDataFrame(rows, ["id", "x", "y"]).write.parquet(str(src / "t.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    t = spec_mod.TableSpec(
+        source_table="t",
+        target_table="t_z",
+        zorder_by=["x", "y"],
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="x", target="x"),
+            spec_mod.MappingSpec(source="y", target="y"),
+        ],
+    )
+    run_table(ctx, t)
+    got = spark.read.parquet(str(out / "t_z"))
+    assert got.count() == 2000 and set(got.columns) == {"id", "x", "y"}
+
+    bad = t.model_copy(update={"sort_by": ["x"]})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_table(ctx, bad)
