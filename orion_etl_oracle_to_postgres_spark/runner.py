@@ -95,6 +95,26 @@ def main(argv: list[str] | None = None) -> int:
         "without replaying the whole job",
     )
     parser.add_argument(
+        "--compact",
+        default=None,
+        metavar="TABLE",
+        help="maintenance: OPTIMIZE-style small-file compaction of a "
+        "files-target table (sinks/maintenance.compact_dataset), then exit",
+    )
+    parser.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=128,
+        help="target output file size for --compact (default 128)",
+    )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="TABLE",
+        help="print the one-scan column profile of a source/target table "
+        "(operators/profile.profile_table), then exit",
+    )
+    parser.add_argument(
         "--explain",
         action="store_true",
         help="compile every table and print its optimized physical plan "
@@ -134,6 +154,35 @@ def main(argv: list[str] | None = None) -> int:
             spark.conf.set(k, str(v))
         except Exception:  # noqa: BLE001 — static confs can't be set post-build
             logger.warning("spark_conf %r is static — set it before session build", k)
+
+    if args.compact:
+        conns = job.global_spec.connectors
+        if conns.target_files is None:
+            raise SystemExit("--compact needs a files target connector")
+        from pathlib import Path
+
+        from .sinks.maintenance import compact_dataset
+
+        path = str(Path(conns.target_files.base_path) / args.compact)
+        stats = compact_dataset(
+            spark, path,
+            target_file_mb=args.target_file_mb,
+            fmt=conns.target_files.format,
+        )
+        logger.info("compacted %s: %s", args.compact, stats)
+        return 0
+
+    if args.profile:
+        from .compiler import JobContext
+        from .operators.profile import profile_table
+
+        ctx = JobContext(spark, job.global_spec)
+        try:
+            df = ctx._read_target(args.profile)
+        except Exception:  # noqa: BLE001 — fall back to the source side
+            df = ctx._read_source(args.profile)
+        profile_table(df).show(truncate=False)
+        return 0
 
     if args.explain:
         # plan review only: no smoke_check (it stats/pings sources) and

@@ -169,3 +169,43 @@ def test_cli_tables_filter_and_parallel_job(spark, tmp_path):
     assert spark.read.parquet(str(out / "out_b")).count() == 3
     with pytest.raises(SystemExit, match="no configured table"):
         main(["--config", cfg, "--tables", "nope"])
+
+
+def test_cli_compact_and_profile_verbs(spark, tmp_path, capsys):
+    """--compact rewrites a fragmented target in place; --profile prints
+    the column report. Both exit without running the job."""
+    import textwrap
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, 1.0)], ["id", "v"]).write.parquet(str(src / "t.parquet"))
+    # fragmented target: 8 tiny files
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(80)], ["id", "v"]
+    ).repartition(8).write.parquet(str(out / "frag"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        "source_table: t\ntarget_table: t_out\n"
+        "mappings:\n  - {source: id, target: id}\n"
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg, "--compact", "frag"]) == 0
+    got = spark.read.parquet(str(out / "frag"))
+    assert got.count() == 80
+    assert len(got.inputFiles()) < 8  # fewer, bigger files
+    assert not (out / "t_out").exists()  # the job itself did NOT run
+
+    assert main(["--config", cfg, "--profile", "frag"]) == 0
+    assert "null_frac" in capsys.readouterr().out
