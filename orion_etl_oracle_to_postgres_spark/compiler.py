@@ -791,6 +791,12 @@ def run_table(
         )
 
     if loader is not None:
+        if spec.zorder_by:
+            raise ValueError(
+                f"{spec.target_table}: zorder_by is ignored by custom "
+                f"loader {loader_name!r} — implement the layout in the "
+                "loader or drop one of the two"
+            )
         loader(out, ctx, spec)
         _write_quarantine(ctx, spec, compiled)
         if compiled.incremental_commit is not None:
@@ -805,20 +811,14 @@ def run_table(
                 f"{spec.target_table}: zorder_by is a file-layout option; "
                 "a JDBC target has no files to cluster"
             )
-        if spec.sort_by or spec.partition_by:
-            raise ValueError(
-                f"{spec.target_table}: zorder_by is mutually exclusive with "
-                "sort_by/partition_by — pick one layout"
-            )
-        from pathlib import Path as _P
-
         from .sinks.zorder import zorder_write
 
-        base = _P(conns.target_files.base_path)
+        base = Path(conns.target_files.base_path)
         path = str(base / spec.target_table)
         zorder_write(
             out, path, list(spec.zorder_by),
             fmt=conns.target_files.format, mode=spec.write_mode,
+            options={"header": "true"} if conns.target_files.format == "csv" else None,
         )
     else:
         resolve_sink(

@@ -162,7 +162,10 @@ def scd1_apply(
     storage-level variant): one anti-join + union, so callers composing
     a bigger plan don't pay a write+swap.
 
-    ``updates`` must be one row per key (same loud guard as scd2)."""
+    ``updates`` must be one row per key (same loud guard as scd2).
+    Dimension columns NOT listed in ``attrs`` are carried unchanged for
+    existing keys and NULL-filled for inserted keys — updating one
+    attribute of a wide dimension never discards the rest."""
     if not attrs:
         raise ValueError("scd1_apply: attrs must be non-empty")
     dup = (
@@ -176,12 +179,33 @@ def scd1_apply(
         raise ValueError(
             f"scd1_apply: updates contain duplicate key {dup[0][key]!r}"
         )
-    cols = [key, *attrs]
-    return (
-        dim.select(*cols)
-        .join(updates.select(F.col(key).alias("__uk")), dim[key] == F.col("__uk"), "left_anti")
-        .unionByName(updates.select(*cols))
+    dtypes = dict(dim.dtypes)
+    u = updates.select(
+        F.col(key).alias("__uk"), *[F.col(a).alias(f"__u_{a}") for a in attrs]
     )
+    merged = dim.join(u, dim[key] == F.col("__uk"), "left").select(
+        *[
+            F.when(F.col("__uk").isNotNull(), F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+            if c in attrs
+            else F.col(c)
+            for c in dim.columns
+        ]
+    )
+    inserted = u.join(
+        dim.select(F.col(key).alias("__dk")), F.col("__uk") == F.col("__dk"), "left_anti"
+    ).select(
+        *[
+            F.col("__uk").alias(key)
+            if c == key
+            else (
+                F.col(f"__u_{c}").alias(c)
+                if c in attrs
+                else F.lit(None).cast(dtypes[c]).alias(c)
+            )
+            for c in dim.columns
+        ]
+    )
+    return merged.unionByName(inserted)
 
 
 def scd3_apply(
@@ -220,30 +244,36 @@ def scd3_apply(
         F.col(key).alias("__uk"), *[F.col(a).alias(f"__u_{a}") for a in attrs]
     )
     existing = dim.join(u, dim[key] == F.col("__uk"), "left")
-    cols = [F.col(key)]
-    for a in attrs:
-        has_upd = F.col("__uk").isNotNull()
-        changed = has_upd & ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
-        cols.append(
-            F.when(changed, F.col(f"__u_{a}")).otherwise(F.col(a)).alias(a)
-        )
-        cols.append(
-            F.when(changed, F.col(a))
-            .otherwise(F.col(f"{prev_prefix}{a}"))
-            .alias(f"{prev_prefix}{a}")
-        )
+    dtypes = dict(dim.dtypes)
+    prev_of = {f"{prev_prefix}{a}": a for a in attrs}
+    cols = []
+    for c in dim.columns:  # dim order preserved; untracked columns carried
+        if c in attrs:
+            changed = F.col("__uk").isNotNull() & ~F.col(c).eqNullSafe(
+                F.col(f"__u_{c}")
+            )
+            cols.append(F.when(changed, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c))
+        elif c in prev_of:
+            a = prev_of[c]
+            changed = F.col("__uk").isNotNull() & ~F.col(a).eqNullSafe(
+                F.col(f"__u_{a}")
+            )
+            cols.append(F.when(changed, F.col(a)).otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
     kept = existing.select(*cols)
     new_keys = u.join(dim.select(F.col(key).alias("__dk")), F.col("__uk") == F.col("__dk"), "left_anti")
     opened = new_keys.select(
-        F.col("__uk").alias(key),
         *[
-            c
-            for a in attrs
-            for c in (
-                F.col(f"__u_{a}").alias(a),
-                F.lit(None).cast(dict(dim.dtypes)[a]).alias(f"{prev_prefix}{a}"),
+            F.col("__uk").alias(key)
+            if c == key
+            else (
+                F.col(f"__u_{c}").alias(c)
+                if c in attrs
+                else F.lit(None).cast(dtypes[c]).alias(c)
             )
-        ],
+            for c in dim.columns
+        ]
     )
     return kept.unionByName(opened)
 

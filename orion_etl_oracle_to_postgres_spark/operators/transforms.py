@@ -199,8 +199,9 @@ def op_encrypt(col: Column, arg: str | None = None) -> Column:
     no round-trip is needed). Key must be 16/24/32 bytes."""
     if not arg:
         raise ValueError("encrypt needs a key: encrypt:<16|24|32-byte key>")
-    if len(arg) not in (16, 24, 32):
-        raise ValueError(f"encrypt key must be 16/24/32 bytes, got {len(arg)}")
+    nbytes = len(arg.encode("utf-8"))  # AES cares about BYTES, not chars
+    if nbytes not in (16, 24, 32):
+        raise ValueError(f"encrypt key must be 16/24/32 bytes, got {nbytes}")
     return F.when(
         col.isNotNull(),
         F.hex(F.aes_encrypt(col.cast("string"), F.lit(arg), F.lit("ECB"))),
@@ -214,11 +215,24 @@ def op_decrypt(col: Column, arg: str | None = None) -> Column:
     input raises (ANSI) — a silent NULL would read as "value was NULL"."""
     if not arg:
         raise ValueError("decrypt needs a key: decrypt:<16|24|32-byte key>")
-    if len(arg) not in (16, 24, 32):
-        raise ValueError(f"decrypt key must be 16/24/32 bytes, got {len(arg)}")
-    return F.when(
-        col.isNotNull(),
-        F.aes_decrypt(F.unhex(col), F.lit(arg), F.lit("ECB")).cast("string"),
+    nbytes = len(arg.encode("utf-8"))
+    if nbytes not in (16, 24, 32):
+        raise ValueError(f"decrypt key must be 16/24/32 bytes, got {nbytes}")
+    # unhex returns NULL for non-hex input — without the explicit raise a
+    # mis-wired column would silently null out instead of failing
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(
+            F.unhex(col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("decrypt: value is not hex ciphertext: "), col.cast("string")
+                )
+            ).cast("string"),
+        )
+        .otherwise(
+            F.aes_decrypt(F.unhex(col), F.lit(arg), F.lit("ECB")).cast("string")
+        )
     )
 
 
@@ -266,6 +280,6 @@ def apply_transform_chain(col: Column, ops: list[str] | None, dtype: str) -> Col
             dtype = "timestamp"
         elif name == "to_bool" or "true" in name or "false" in name:
             dtype = "boolean"
-        elif name in ("to_string", "hash", "mask"):
+        elif name in ("to_string", "hash", "mask", "encrypt", "decrypt"):
             dtype = "string"
     return col

@@ -163,23 +163,40 @@ def main(argv: list[str] | None = None) -> int:
 
         from .sinks.maintenance import compact_dataset
 
+        # honor the table's CONFIGURED layout: compacting a
+        # hive-partitioned table flat (or a sorted table unsorted)
+        # would destroy the layout the job spec promises
+        tspec = next(
+            (t for t in job.tables if t.target_table == args.compact), None
+        )
         path = str(Path(conns.target_files.base_path) / args.compact)
         stats = compact_dataset(
             spark, path,
             target_file_mb=args.target_file_mb,
             fmt=conns.target_files.format,
+            partition_by=tspec.partition_by if tspec else None,
+            sort_by=tspec.sort_by if tspec else None,
+            options={"header": "true"} if conns.target_files.format == "csv" else None,
         )
         logger.info("compacted %s: %s", args.compact, stats)
         return 0
 
     if args.profile:
-        from .compiler import JobContext
+        from pyspark.errors import AnalysisException
+
+        from .compiler import _is_missing_table_error
         from .operators.profile import profile_table
 
         ctx = JobContext(spark, job.global_spec)
         try:
             df = ctx._read_target(args.profile)
-        except Exception:  # noqa: BLE001 — fall back to the source side
+        except (FileNotFoundError, AnalysisException, ValueError):
+            df = ctx._read_source(args.profile)
+        except Exception as e:  # noqa: BLE001 — classified like the compiler's probes
+            if not _is_missing_table_error(e):
+                # a transient JDBC failure must NOT silently profile the
+                # SOURCE table of the same name instead
+                raise
             df = ctx._read_source(args.profile)
         profile_table(df).show(truncate=False)
         return 0

@@ -67,8 +67,12 @@ def compact_dataset(
     fmt: str = "parquet",
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    options: dict | None = None,
 ) -> dict:
     """Rewrite the dataset at ``path`` into ~``target_file_mb`` files.
+    ``options`` apply to BOTH the read and the rewrite (csv callers
+    pass ``{"header": "true"}`` — reading a headered csv without it
+    would ingest the header row as data and write it back headerless).
 
     Output file count = ceil(current total bytes / target) — computed
     from the actual layout, not guessed. ``partition_by`` preserves a
@@ -89,7 +93,7 @@ def compact_dataset(
         raise FileNotFoundError(path)
 
     total = dataset_bytes(spark, path)
-    df = spark.read.format(fmt).load(path)
+    df = spark.read.format(fmt).options(**(options or {})).load(path)
     files_before = len(df.inputFiles())
     n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
 
@@ -108,11 +112,15 @@ def compact_dataset(
 
     tmp = path.rstrip("/") + ".__compact"
     writer = staged.write.mode("overwrite").format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(tmp)
 
-    files_out = len(spark.read.format(fmt).load(tmp).inputFiles())
+    files_out = len(
+        spark.read.format(fmt).options(**(options or {})).load(tmp).inputFiles()
+    )
     swap_dataset(spark, path, tmp)
     logger.info(
         "compacted %s: %d files -> %d (%.1f MiB total)",

@@ -318,6 +318,25 @@ class TableSpec(BaseModel):
     #: must pass or the load aborts before anything is written
     expectations: Optional[List[ExpectSpec]] = None
 
+    @model_validator(mode="after")
+    def _zorder_combinations(self) -> "TableSpec":
+        """zorder_by is one LAYOUT choice — combining it with another
+        layout (sort_by/partition_by) or a write path that never reaches
+        the z-ordered sink (scd2 merge, streaming drains) is a config
+        error caught HERE, at spec load, before any compute (a runtime
+        raise would come after the pre-write expectation scans)."""
+        if self.zorder_by:
+            if self.sort_by or self.partition_by:
+                raise ValueError(
+                    "zorder_by is mutually exclusive with sort_by/"
+                    "partition_by — pick one layout"
+                )
+            if self.scd2 is not None:
+                raise ValueError("zorder_by cannot combine with scd2 (the merge owns its write)")
+            if self.incremental is not None and self.incremental.mode == "streaming":
+                raise ValueError("zorder_by cannot combine with streaming mode")
+        return self
+
 
 class GlobalSpec(BaseModel):
     """Reference ``GlobalConfig`` (``/root/reference/mappings/parser.py:135-162``).

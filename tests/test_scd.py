@@ -158,3 +158,36 @@ def test_scd3_shifts_current_to_prev(spark):
     dim2 = scd3_apply(dim, upd, "k", ["v"])
     rows2 = {r["k"]: (r["v"], r["prev_v"]) for r in scd3_apply(dim2, upd, "k", ["v"]).collect()}
     assert rows2 == rows
+
+
+def test_scd1_and_scd3_carry_untracked_columns(spark):
+    """Updating one attribute of a wide dimension must not discard the
+    others (review r4 batch-2 #9): untracked columns carry for existing
+    keys, NULL-fill for inserts."""
+    from orion_etl_oracle_to_postgres_spark.operators.scd import (
+        scd1_apply,
+        scd3_apply,
+        scd3_initial,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "a", "addr1"), (2, "b", "addr2")], ["k", "v", "addr"]
+    )
+    upd = spark.createDataFrame([(1, "a2"), (3, "c")], ["k", "v"])
+    out1 = {r["k"]: (r["v"], r["addr"]) for r in scd1_apply(dim, upd, "k", ["v"]).collect()}
+    assert out1 == {1: ("a2", "addr1"), 2: ("b", "addr2"), 3: ("c", None)}
+
+    dim3 = scd3_initial(dim, "k", ["v"])  # k, v, prev_v, addr? initial narrows...
+    # scd3_initial selects key+attrs+prev only; build a wide scd3 dim by hand
+    from pyspark.sql import functions as F
+
+    dim3w = dim.select("k", "v", F.lit(None).cast("string").alias("prev_v"), "addr")
+    out3 = {
+        r["k"]: (r["v"], r["prev_v"], r["addr"])
+        for r in scd3_apply(dim3w, upd, "k", ["v"]).collect()
+    }
+    assert out3 == {
+        1: ("a2", "a", "addr1"),
+        2: ("b", None, "addr2"),
+        3: ("c", None, None),
+    }

@@ -114,6 +114,26 @@ def test_declarative_zorder_spec(spark, tmp_path):
     got = spark.read.parquet(str(out / "t_z"))
     assert got.count() == 2000 and set(got.columns) == {"id", "x", "y"}
 
-    bad = t.model_copy(update={"sort_by": ["x"]})
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        run_table(ctx, bad)
+    # invalid combos are config errors caught at SPEC VALIDATION (before
+    # any compute), not at write time
+    with pytest.raises(Exception, match="mutually exclusive"):
+        spec_mod.TableSpec(
+            source_table="t", target_table="t_z",
+            zorder_by=["x", "y"], sort_by=["x"],
+        )
+    with pytest.raises(Exception, match="scd2"):
+        spec_mod.TableSpec(
+            source_table="t", target_table="t_z",
+            zorder_by=["x", "y"],
+            scd2=spec_mod.Scd2Spec(
+                key="x", compare_columns=["y"], effective_time="2024-01-01"
+            ),
+        )
+    with pytest.raises(Exception, match="streaming"):
+        spec_mod.TableSpec(
+            source_table="t", target_table="t_z",
+            zorder_by=["x", "y"],
+            incremental=spec_mod.IncrementalSpec(
+                watermark_column="x", mode="streaming"
+            ),
+        )
