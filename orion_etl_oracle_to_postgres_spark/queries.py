@@ -2561,6 +2561,47 @@ def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_cohort_retention",
+    """
+    WITH s AS (
+      SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS wk
+          FROM events),
+    j AS (
+      SELECT s.cohort, a.wk, a.user_id
+      FROM s JOIN a USING (user_id)
+      WHERE a.wk >= s.cohort
+    )
+    SELECT cohort,
+           (date_diff('day', cohort, wk) / 7)::INT AS week_n,
+           count(DISTINCT user_id) AS n_active
+    FROM j GROUP BY 1, 2
+    """,
+)
+def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Cohort retention matrix — the product-analytics staple:
+    users bucketed by signup week, activity counted per week offset.
+    Two narrow aggregates (cohort per user, distinct active weeks per
+    user) joined on user_id, then one group-by — no window over the
+    event log, distinct-users counted after the join collapses to
+    (user, week) pairs."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    a = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    j = s.join(a, "user_id").filter(F.col("wk") >= F.col("cohort"))
+    return j.groupBy(
+        "cohort",
+        (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int").alias("week_n"),
+    ).agg(F.count_distinct("user_id").alias("n_active"))
+
+
+@query(
     "scd1_customer_balances",
     """
     WITH upd AS (
