@@ -81,3 +81,62 @@ def test_cell_list_drops_blanks(items):
     out = cg.cell_list(",".join(items))
     expected = [i for i in items if i.strip()] or None
     assert out == expected
+
+
+# ---- round-4 pure helpers ----
+
+from orion_etl_oracle_to_postgres_spark.compiler import _watermark_sql_literal
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300)
+def test_watermark_string_column_always_quoted_and_escaped(s):
+    """For a string-typed watermark column the literal is ALWAYS a
+    quoted string (lexicographic compare, matching the Spark-side
+    filter) with embedded quotes doubled — no value can break out of
+    the literal."""
+    lit = _watermark_sql_literal(s, "string")
+    assert lit == "'" + s.replace("'", "''") + "'"
+    # interior of the literal never contains a lone quote
+    assert "''" * lit[1:-1].count("''") or "'" not in lit[1:-1]
+
+
+@given(st.integers(-10**12, 10**12))
+@settings(max_examples=200)
+def test_watermark_numeric_column_unquoted(n):
+    assert _watermark_sql_literal(n, "bigint") == str(n)
+    assert _watermark_sql_literal(str(n), "bigint") == str(n)
+
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+from check_correctness import compare_result  # noqa: E402
+
+_cell = st.one_of(
+    st.integers(-5, 5),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=5),
+    st.none(),
+)
+
+
+@given(st.lists(st.tuples(_cell, _cell), min_size=1, max_size=8), st.data())
+@settings(max_examples=150)
+def test_compare_result_reflexive_and_change_sensitive(rows, data):
+    """Identical result sets always pass; changing any single cell to a
+    DIFFERENT value is always caught (the layering bug this guards
+    against made healthy queries skip the value comparison)."""
+    cols = ["a", "b"]
+    dt = [("a", "string"), ("b", "string")]
+    ds = [("a", "VARCHAR"), ("b", "VARCHAR")]
+    assert compare_result(cols, rows, dt, cols, list(rows), ds) == []
+    i = data.draw(st.integers(0, len(rows) - 1))
+    j = data.draw(st.integers(0, 1))
+    old = rows[i][j]
+    new = data.draw(_cell.filter(lambda v: v != old and not (
+        isinstance(v, float) and isinstance(old, (int, float)) and v == old)))
+    mutated = list(rows)
+    t = list(mutated[i]); t[j] = new; mutated[i] = tuple(t)
+    assert compare_result(cols, rows, dt, cols, mutated, ds)
