@@ -347,6 +347,16 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     else:
         df = fetcher(ctx, spec) if fetcher is not None else _default_scan(ctx, spec)
 
+    # row-level lineage columns must be captured AT THE SCAN —
+    # input_file_name() is undefined once rows detach from their file
+    # (it returns '' after a shuffle), so this stages before everything
+    if spec.lineage:
+        import uuid
+
+        df = df.withColumn("_source_file", F.input_file_name()).withColumn(
+            "_load_id", F.lit(uuid.uuid4().hex)
+        )
+
     # free-text where on source columns (S3/P5) — Catalyst pushes it down
     if spec.where:
         df = df.filter(F.expr(spec.where))
@@ -476,6 +486,13 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         if col_plugin is not None:
             col = col_plugin(col, ctx, r)
         projected.append(col.alias(r.target or r.source))
+    if spec.lineage:
+        # lineage columns ride through the mapping projection verbatim
+        # (auto-mapped specs may already mirror them — don't duplicate)
+        have = {r.target or r.source for r in rules}
+        projected += [
+            F.col(c) for c in ("_source_file", "_load_id") if c not in have
+        ]
     df = df.select(*projected)
 
     # table-level transform plugins (global + local chain; override flag

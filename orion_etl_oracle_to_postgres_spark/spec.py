@@ -317,6 +317,11 @@ class TableSpec(BaseModel):
     #: table-level data-quality gate on the outgoing rows: ALL checks
     #: must pass or the load aborts before anything is written
     expectations: Optional[List[ExpectSpec]] = None
+    #: row-level lineage: add ``_source_file`` (the scan file each row
+    #: came from; empty for JDBC sources) and ``_load_id`` (one uuid per
+    #: run) to the output — the audit columns migration sign-offs ask
+    #: for ("which file produced this row, in which run?")
+    lineage: bool = False
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":

@@ -1063,3 +1063,42 @@ def test_watermark_literal_follows_column_type():
         lit("N123", "bigint")
     with pytest.raises(ValueError, match="timestamp"):
         lit("garbage", "timestamp")
+
+
+def test_lineage_columns_capture_scan_file_and_load_id(spark, tmp_path):
+    """TableSpec.lineage adds _source_file (captured AT the scan — it
+    would be '' after any shuffle) and a per-run _load_id."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.parquet(
+        str(src / "t.parquet")
+    )
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    t = spec_mod.TableSpec(
+        source_table="t",
+        target_table="t_lin",
+        lineage=True,
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="v", target="v", transform="upper"),
+        ],
+    )
+    run_table(ctx, t)
+    got = spark.read.parquet(str(out / "t_lin"))
+    assert set(got.columns) == {"id", "v", "_source_file", "_load_id"}
+    rows = got.collect()
+    assert all("t.parquet" in r["_source_file"] for r in rows)
+    assert len({r["_load_id"] for r in rows}) == 1  # one id per run
+    # second run gets a DIFFERENT load id
+    run_table(ctx, t)
+    ids = {r["_load_id"] for r in spark.read.parquet(str(out / "t_lin")).collect()}
+    assert len(ids) == 1  # overwrite replaced; fresh run id
