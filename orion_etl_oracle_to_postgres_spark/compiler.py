@@ -852,6 +852,22 @@ def run_table(
                 else {"batchsize": min(ctx.global_spec.batch_size, 10000)}
             ),
         )
+    if spec.manifest:
+        conns = ctx.global_spec.connectors
+        if conns.target_files is None:
+            raise ValueError(
+                f"{spec.target_table}: manifest needs a files target "
+                "(it is written beside the data files)"
+            )
+        from .sinks.manifest import write_manifest
+
+        write_manifest(
+            ctx.spark,
+            str(Path(conns.target_files.base_path) / spec.target_table),
+            fmt=conns.target_files.format,
+            options={"header": "true"} if conns.target_files.format == "csv" else None,
+            extra={"source_table": spec.source_table, "target_table": spec.target_table},
+        )
     _write_quarantine(ctx, spec, compiled)
     # the write ran, so the observed counters are set — reading them is
     # non-blocking ONLY after an action (custom-loader path skips this:

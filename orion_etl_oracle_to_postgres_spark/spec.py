@@ -322,6 +322,9 @@ class TableSpec(BaseModel):
     #: run) to the output — the audit columns migration sign-offs ask
     #: for ("which file produced this row, in which run?")
     lineage: bool = False
+    #: write ``_manifest.json`` (rows, schema, null counts, layout)
+    #: beside a files target after each load — the dataset card
+    manifest: bool = False
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
