@@ -272,6 +272,39 @@ def _apply_dedup(df, spec: TableSpec):
     arbitrary partition-dependent row, which is a silent-corruption
     footgun this engine refuses."""
     d = spec.dedup
+    if d.method == "minhash":
+        # NEAR-dup dedup in the pipeline: pairs → transitive clusters →
+        # drop every non-minimum member. The pair/cluster computation
+        # runs on (id, text) only; the corpus frame is then filtered
+        # with one anti-join against the loser id set — ids-only
+        # exchanges, the same scale shape as the standalone operators.
+        if not d.text_column or not d.id_column:
+            raise ValueError(
+                f"{spec.source_table}: dedup method=minhash requires "
+                "text_column and id_column"
+            )
+        for c in (d.text_column, d.id_column):
+            if c not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: dedup column {c!r} not in "
+                    f"pipeline output {df.columns}"
+                )
+        from .operators.dedup import minhash_near_dups, near_dup_clusters
+
+        pairs = minhash_near_dups(
+            df.select(d.id_column, d.text_column),
+            d.id_column,
+            d.text_column,
+            shingle_n=d.shingle_n,
+            num_hashes=d.num_hashes,
+            bands=d.bands,
+            threshold=d.threshold,
+        )
+        clusters = near_dup_clusters(pairs)
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias(d.id_column))
+        return df.join(losers, d.id_column, "left_anti")
     if d.method == "fingerprint":
         if not d.text_column or not d.id_column:
             raise ValueError(

@@ -177,18 +177,29 @@ class DedupSpec(BaseModel):
     min ``id_column`` row, deterministic across partitionings);
     ``columns`` omitted → full-row DISTINCT (no id needed).
     ``method: fingerprint`` keys on md5 of the normalized
-    ``text_column`` (case/whitespace/punctuation-insensitive)."""
+    ``text_column`` (case/whitespace/punctuation-insensitive).
+    ``method: minhash`` is NEAR-dup dedup: MinHash+LSH candidate pairs
+    exact-verified at ``threshold`` Jaccard, clustered transitively
+    (large-star/small-star), every non-minimum cluster member dropped —
+    the full LLM-corpus dedup pipeline from YAML alone."""
 
-    method: str = "fingerprint"  # exact | fingerprint
+    method: str = "fingerprint"  # exact | fingerprint | minhash
     columns: Optional[List[str]] = None  # exact: key columns
-    text_column: Optional[str] = None  # fingerprint: which text to normalize
+    text_column: Optional[str] = None  # fingerprint/minhash: the text
     id_column: Optional[str] = None  # deterministic survivor tie-break
+    #: minhash knobs (ignored by other methods)
+    threshold: float = 0.8
+    num_hashes: int = 64
+    bands: int = 16
+    shingle_n: int = 3
 
     @field_validator("method")
     @classmethod
     def _known_method(cls, v: str) -> str:
-        if v not in ("exact", "fingerprint"):
-            raise ValueError(f"dedup method must be exact|fingerprint, got {v!r}")
+        if v not in ("exact", "fingerprint", "minhash"):
+            raise ValueError(
+                f"dedup method must be exact|fingerprint|minhash, got {v!r}"
+            )
         return v
 
 

@@ -1102,3 +1102,50 @@ def test_lineage_columns_capture_scan_file_and_load_id(spark, tmp_path):
     run_table(ctx, t)
     ids = {r["_load_id"] for r in spark.read.parquet(str(out / "t_lin")).collect()}
     assert len(ids) == 1  # overwrite replaced; fresh run id
+
+
+def test_declarative_minhash_dedup(spark, tmp_path):
+    """dedup method=minhash in YAML: near-duplicate cluster members drop
+    (transitively), one survivor (min id) per cluster, distinct docs
+    untouched."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),           # near-dup of 1
+        (3, base.replace("dog", "dog!")), # near-dup of 1 (punct only)
+        (4, "completely different words about spark engines and parquet files"),
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, ["id", "text"]).write.parquet(str(src / "docs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="docs_dedup",
+        dedup=spec_mod.DedupSpec(
+            method="minhash", text_column="text", id_column="id",
+            threshold=0.6, num_hashes=64, bands=32,
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="text", target="text"),
+        ],
+    )
+    compiled = compile_table(JobContext(spark=spark, global_spec=g), t)
+    ids = {r["id"] for r in compiled.df.collect()}
+    assert 4 in ids and 1 in ids   # survivor = min id; distinct doc kept
+    assert ids & {2, 3} == set()   # near-dups dropped
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(update={"dedup": spec_mod.DedupSpec(method="minhash")}),
+        )
