@@ -732,6 +732,13 @@ def _streaming_scan(ctx: JobContext, spec: TableSpec) -> DataFrame:
     reader = ctx.spark.readStream.schema(static.schema).format(conn.format)
     if conn.format == "csv":
         reader = reader.option("header", "true")
+    if spec.incremental.max_files_per_trigger:
+        # backpressure: a month of backlog drains as bounded micro-batches
+        # (each one shuffle-sized for the executors) instead of one giant
+        # batch that spills; availableNow honors this cap per batch
+        reader = reader.option(
+            "maxFilesPerTrigger", str(spec.incremental.max_files_per_trigger)
+        )
     return reader.load(path)
 
 

@@ -166,6 +166,9 @@ class IncrementalSpec(BaseModel):
     watermark_column: str
     mode: str = "batch"  # batch | streaming
     state_path: Optional[str] = None  # where the high-water mark is persisted
+    #: streaming backpressure: cap the files per micro-batch so a huge
+    #: backlog drains as bounded batches instead of one giant one
+    max_files_per_trigger: Optional[int] = None
 
 
 class DedupSpec(BaseModel):

@@ -140,3 +140,32 @@ def test_streaming_spec_rejects_failfast_lookup_and_validation(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="abort"):
         run_table(ctx, bad_abort)
+
+
+def test_streaming_backpressure_bounds_micro_batches(spark, tmp_path):
+    """max_files_per_trigger splits a backlog into bounded micro-batches
+    — the ledger records one entry per batch, results identical."""
+    import datetime as dt
+    import json
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    for i in range(4):  # 4 separate files land before the first drain
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, 0, i), f"n{i}", float(i))],
+            "id long, ts timestamp, name string, val double",
+        ).coalesce(1).write.mode("append").parquet(str(land))
+    state = tmp_path / "state"
+    t = _spec(state)
+    t.incremental.max_files_per_trigger = 1
+    ctx = JobContext(spark=spark, global_spec=_global(src, tmp_path / "out"))
+    run_table(ctx, t)
+    assert ctx.stream_counts["t_stream"] == 4
+    out = spark.read.parquet(str(tmp_path / "out" / "t_stream"))
+    assert out.count() == 4
+    ledger = [
+        json.loads(line)
+        for line in (state / "ledger.jsonl").read_text().splitlines()
+    ]
+    assert len(ledger) >= 4  # one bounded micro-batch per file (not one giant)
