@@ -377,6 +377,28 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     if streaming:
         _assert_streaming_spec(ctx, spec, fetcher)
         df = _streaming_scan(ctx, spec)
+        if spec.dedup is not None:
+            # Watermarked streaming dedup runs AT INGEST — the source
+            # shape, where the watermark column still exists (the
+            # mapping projection may drop/rename it). Keys are SOURCE
+            # column names here; batch mode dedups the FINAL shape
+            # instead (state bounded by the delay horizon — SURVEY §2.9)
+            from .streaming.dedup_stream import (
+                dedup_stream,
+                fingerprint_dedup_stream,
+            )
+
+            wm = spec.incremental.watermark_column
+            if spec.dedup.method == "fingerprint":
+                df = fingerprint_dedup_stream(
+                    df, spec.dedup.text_column, ts_col=wm,
+                    delay=spec.dedup.watermark_delay,
+                ).drop("fingerprint")
+            else:
+                df = dedup_stream(
+                    df, list(spec.dedup.columns), ts_col=wm,
+                    delay=spec.dedup.watermark_delay,
+                )
     else:
         df = fetcher(ctx, spec) if fetcher is not None else _default_scan(ctx, spec)
 
@@ -607,7 +629,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # FINAL shape, before self-lookups so the join sees the survivor
     # stream. One shuffle on the dedup key; the row_number()<=1 filter
     # compiles to WindowGroupLimit (map-side partial top-1 per key).
-    if spec.dedup is not None:
+    if spec.dedup is not None and not streaming:
         df = _apply_dedup(df, spec)
 
     # 5d. declarative curation: per-group sampling, then the split
@@ -682,8 +704,17 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
         errs.append("custom fetcher plugins (batch-only)")
     if ctx.global_spec.connectors.source_files is None:
         errs.append("a files source connector is required (JDBC has no stream source)")
-    if spec.dedup is not None:
-        errs.append("dedup (needs watermarked streaming dedup — use streaming/dedup_stream)")
+    d = spec.dedup
+    if d is not None:
+        if d.method == "minhash":
+            errs.append("dedup method=minhash (iterative clustering is batch-only)")
+        elif d.method == "exact" and not d.columns:
+            errs.append(
+                "dedup method=exact on a stream needs explicit key columns "
+                "(full-row DISTINCT has no bounded-state streaming form)"
+            )
+        elif d.method == "fingerprint" and not d.text_column:
+            errs.append("dedup method=fingerprint needs text_column")
     if spec.scd2 is not None:
         errs.append("scd2 (reads back the target mid-plan)")
     for r in spec.mappings or []:

@@ -195,6 +195,10 @@ class DedupSpec(BaseModel):
     num_hashes: int = 64
     bands: int = 16
     shingle_n: int = 3
+    #: streaming mode only: how long a key's dedup state is retained
+    #: past the event-time watermark (duplicates farther apart than
+    #: this horizon are out of contract — state must be bounded)
+    watermark_delay: str = "10 minutes"
 
     @field_validator("method")
     @classmethod

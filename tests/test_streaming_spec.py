@@ -87,9 +87,9 @@ def test_streaming_spec_rejects_unsupported_stages(spark, tmp_path):
 
     bad_dedup = _spec(
         tmp_path / "s1",
-        dedup=spec_mod.DedupSpec(method="exact", columns=["id"], id_column="id"),
+        dedup=spec_mod.DedupSpec(method="exact"),  # no key columns
     )
-    with pytest.raises(ValueError, match="dedup"):
+    with pytest.raises(ValueError, match="key columns"):
         run_table(ctx, bad_dedup)
 
     bad_mode = _spec(tmp_path / "s2")
@@ -169,3 +169,37 @@ def test_streaming_backpressure_bounds_micro_batches(spark, tmp_path):
         for line in (state / "ledger.jsonl").read_text().splitlines()
     ]
     assert len(ledger) >= 4  # one bounded micro-batch per file (not one giant)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup in streaming mode compiles to watermarked streaming dedup:
+    re-delivered keys inside the horizon are dropped across drains;
+    minhash refuses."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id long, ts timestamp, name string, val double"
+        ).coalesce(1).write.mode("append").parquet(str(land))
+
+    t0 = dt.datetime(2024, 1, 1)
+    feed([(1, t0, "a", 1.0), (2, t0, "b", 2.0)])
+    t = _spec(tmp_path / "state")
+    t.dedup = spec_mod.DedupSpec(method="exact", columns=["id"])
+    ctx = JobContext(spark=spark, global_spec=_global(src, tmp_path / "out"))
+    run_table(ctx, t)
+    # same ids re-land inside the horizon + one new id
+    feed([(1, t0 + dt.timedelta(minutes=1), "a2", 9.0), (3, t0 + dt.timedelta(minutes=1), "c", 3.0)])
+    run_table(ctx, t)
+    got = spark.read.parquet(str(tmp_path / "out" / "t_stream"))
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [1, 2, 3]  # the re-delivery of id 1 was dropped
+
+    bad = _spec(tmp_path / "s_mh")
+    bad.dedup = spec_mod.DedupSpec(method="minhash", text_column="name", id_column="id")
+    with pytest.raises(ValueError, match="batch-only"):
+        run_table(ctx, bad)
