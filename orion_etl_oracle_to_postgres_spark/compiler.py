@@ -377,34 +377,13 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     if streaming:
         _assert_streaming_spec(ctx, spec, fetcher)
         df = _streaming_scan(ctx, spec)
-        if spec.dedup is not None:
-            # Watermarked streaming dedup runs AT INGEST — the source
-            # shape, where the watermark column still exists (the
-            # mapping projection may drop/rename it). Keys are SOURCE
-            # column names here; batch mode dedups the FINAL shape
-            # instead (state bounded by the delay horizon — SURVEY §2.9)
-            from .streaming.dedup_stream import (
-                dedup_stream,
-                fingerprint_dedup_stream,
-            )
-
-            wm = spec.incremental.watermark_column
-            if spec.dedup.method == "fingerprint":
-                df = fingerprint_dedup_stream(
-                    df, spec.dedup.text_column, ts_col=wm,
-                    delay=spec.dedup.watermark_delay,
-                ).drop("fingerprint")
-            else:
-                df = dedup_stream(
-                    df, list(spec.dedup.columns), ts_col=wm,
-                    delay=spec.dedup.watermark_delay,
-                )
     else:
         df = fetcher(ctx, spec) if fetcher is not None else _default_scan(ctx, spec)
 
     # row-level lineage columns must be captured AT THE SCAN —
     # input_file_name() is undefined once rows detach from their file
-    # (it returns '' after a shuffle), so this stages before everything
+    # (it returns '' after any shuffle, including a streaming dedup's
+    # state exchange), so this stages before everything
     if spec.lineage:
         import uuid
 
@@ -415,6 +394,15 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # free-text where on source columns (S3/P5) — Catalyst pushes it down
     if spec.where:
         df = df.filter(F.expr(spec.where))
+
+    if streaming and spec.dedup is not None:
+        # Watermarked streaming dedup runs on the source shape (the
+        # mapping projection may drop/rename the watermark column) but
+        # AFTER the where filter — matching batch semantics, where a
+        # filtered-out first arrival must not suppress a later passing
+        # row with the same key. State bounded by the delay horizon
+        # (SURVEY §2.9). Keys are SOURCE column names here.
+        df = _streaming_dedup(df, spec)
 
     # incremental high-water-mark bound (realizes the reference's
     # declared-but-missing ``incremental_fetcher`` — SURVEY.md §2.9).
@@ -630,7 +618,28 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # stream. One shuffle on the dedup key; the row_number()<=1 filter
     # compiles to WindowGroupLimit (map-side partial top-1 per key).
     if spec.dedup is not None and not streaming:
-        df = _apply_dedup(df, spec)
+        if spec.dedup.method == "minhash" and ctx.explain_only:
+            # minhash dedup is EAGER (checkpointed pair mining +
+            # iterative clustering) — running it would break --explain's
+            # "nothing executes" promise; the reviewed plan shows the
+            # pipeline without the near-dup filter, noted loudly
+            logger.warning(
+                "%s: plan review omits the minhash near-dup dedup stage "
+                "(it executes eagerly; the real run applies it)",
+                spec.source_table,
+            )
+        else:
+            if (
+                spec.lineage
+                and spec.dedup.method == "exact"
+                and spec.dedup.columns is None
+            ):
+                raise ValueError(
+                    f"{spec.source_table}: lineage: true breaks full-row "
+                    "DISTINCT dedup (every row differs in _source_file) — "
+                    "name the dedup key columns or drop one of the two"
+                )
+            df = _apply_dedup(df, spec)
 
     # 5d. declarative curation: per-group sampling, then the split
     # label (both pure hash projections — zero shuffles; distinct seeds
@@ -688,6 +697,35 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         incremental_commit=incremental_commit,
         quarantine=quarantine_df,
         validation_metrics=vmetrics,
+    )
+
+
+def _streaming_dedup(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Streaming half of ``TableSpec.dedup``. Fingerprint mode stages
+    the md5 under the collision-safe ``__fp`` name (a real source
+    column called ``fingerprint`` must survive) and NULL-text rows all
+    pass through — Spark's dedup state would otherwise treat their NULL
+    keys as equal and silently collapse unrelated rows, the exact
+    contract the batch operator documents against."""
+    from .operators.dedup import normalize_text
+    from .streaming.dedup_stream import dedup_stream
+
+    wm = spec.incremental.watermark_column
+    if spec.dedup.method == "fingerprint":
+        staged = df.withColumn(
+            "__fp", F.md5(normalize_text(F.col(spec.dedup.text_column)))
+        )
+        deduped = dedup_stream(
+            staged.filter(F.col("__fp").isNotNull()),
+            ["__fp"],
+            ts_col=wm,
+            delay=spec.dedup.watermark_delay,
+        )
+        return deduped.unionByName(
+            staged.filter(F.col("__fp").isNull())
+        ).drop("__fp")
+    return dedup_stream(
+        df, list(spec.dedup.columns), ts_col=wm, delay=spec.dedup.watermark_delay
     )
 
 
@@ -763,7 +801,7 @@ def _streaming_scan(ctx: JobContext, spec: TableSpec) -> DataFrame:
     reader = ctx.spark.readStream.schema(static.schema).format(conn.format)
     if conn.format == "csv":
         reader = reader.option("header", "true")
-    if spec.incremental.max_files_per_trigger:
+    if spec.incremental.max_files_per_trigger is not None:
         # backpressure: a month of backlog drains as bounded micro-batches
         # (each one shuffle-sized for the executors) instead of one giant
         # batch that spills; availableNow honors this cap per batch
@@ -811,6 +849,27 @@ def run_table(
     (also handy for tests/queries). ``observation`` (if given) is
     attached to the plan right before the sink, so metrics like row
     counts come from the write itself — no second execution."""
+    if spec.manifest:
+        # validated BEFORE anything runs: a post-write raise would skip
+        # the quarantine write and the incremental commit (double-load
+        # on the next run); unsupported paths refuse rather than
+        # silently leaving a STALE card beside changed data
+        loader_name0 = spec.loader_plugin or ctx.global_spec.loader_plugin
+        reasons = []
+        if ctx.global_spec.connectors.target_files is None:
+            reasons.append("a JDBC target has no directory to put the card in")
+        if spec.scd2 is not None:
+            reasons.append("scd2 owns its write path")
+        if spec.incremental is not None and spec.incremental.mode == "streaming":
+            reasons.append("streaming drains would re-profile per micro-batch")
+        if loader_name0 not in ("default_loader",):
+            reasons.append(f"custom loader {loader_name0!r} owns the write")
+        if reasons:
+            raise ValueError(
+                f"{spec.target_table}: manifest unsupported here — "
+                + "; ".join(reasons)
+            )
+
     compiled = compile_table(ctx, spec)
     if spec.incremental is not None and spec.incremental.mode == "streaming":
         if spec.expectations:
@@ -925,11 +984,6 @@ def run_table(
         )
     if spec.manifest:
         conns = ctx.global_spec.connectors
-        if conns.target_files is None:
-            raise ValueError(
-                f"{spec.target_table}: manifest needs a files target "
-                "(it is written beside the data files)"
-            )
         from .sinks.manifest import write_manifest
 
         write_manifest(

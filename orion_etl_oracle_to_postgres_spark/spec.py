@@ -168,7 +168,16 @@ class IncrementalSpec(BaseModel):
     state_path: Optional[str] = None  # where the high-water mark is persisted
     #: streaming backpressure: cap the files per micro-batch so a huge
     #: backlog drains as bounded batches instead of one giant one
-    max_files_per_trigger: Optional[int] = None
+    max_files_per_trigger: Optional[int] = Field(default=None, ge=1)
+
+    @model_validator(mode="after")
+    def _trigger_cap_is_streaming_only(self) -> "IncrementalSpec":
+        if self.max_files_per_trigger is not None and self.mode != "streaming":
+            raise ValueError(
+                "max_files_per_trigger only applies to mode: streaming — "
+                "a batch high-water-mark read has no micro-batches to cap"
+            )
+        return self
 
 
 class DedupSpec(BaseModel):

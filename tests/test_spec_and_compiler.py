@@ -1097,11 +1097,12 @@ def test_lineage_columns_capture_scan_file_and_load_id(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "_source_file", "_load_id"}
     rows = got.collect()
     assert all("t.parquet" in r["_source_file"] for r in rows)
-    assert len({r["_load_id"] for r in rows}) == 1  # one id per run
-    # second run gets a DIFFERENT load id
+    first_ids = {r["_load_id"] for r in rows}
+    assert len(first_ids) == 1  # one id per run
+    # second run gets a DIFFERENT load id (per-run uuid, not a constant)
     run_table(ctx, t)
     ids = {r["_load_id"] for r in spark.read.parquet(str(out / "t_lin")).collect()}
-    assert len(ids) == 1  # overwrite replaced; fresh run id
+    assert len(ids) == 1 and ids != first_ids
 
 
 def test_declarative_minhash_dedup(spark, tmp_path):

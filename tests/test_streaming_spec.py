@@ -203,3 +203,59 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     bad.dedup = spec_mod.DedupSpec(method="minhash", text_column="name", id_column="id")
     with pytest.raises(ValueError, match="batch-only"):
         run_table(ctx, bad)
+
+
+def test_streaming_fingerprint_dedup_null_passthrough_and_column_safety(spark, tmp_path):
+    """NULL-text rows all pass through streaming fingerprint dedup (the
+    batch contract — NULL keys must never collapse as duplicates of
+    each other), and a real source column named 'fingerprint' survives."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    land = src / "land"
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, t0, "same text", 1.0, "FP1"),
+            (2, t0, "same  TEXT", 2.0, "FP2"),  # normalized dup of 1
+            (3, t0, None, 3.0, "FP3"),
+            (4, t0, None, 4.0, "FP4"),          # both NULLs must survive
+        ],
+        "id long, ts timestamp, name string, val double, fingerprint string",
+    ).coalesce(1).write.parquet(str(land))
+    t = spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_fp",
+        write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="ts", mode="streaming",
+            state_path=str(tmp_path / "state"),
+        ),
+        dedup=spec_mod.DedupSpec(method="fingerprint", text_column="name"),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="fingerprint", target="fingerprint"),
+        ],
+    )
+    ctx = JobContext(spark=spark, global_spec=_global(src, tmp_path / "out"))
+    run_table(ctx, t)
+    got = {r["id"]: r["fingerprint"] for r in spark.read.parquet(
+        str(tmp_path / "out" / "t_fp")).collect()}
+    assert set(got) & {1, 2} and len(set(got) & {1, 2}) == 1  # one survivor
+    assert {3, 4} <= set(got)                                  # NULLs pass
+    assert got[3] == "FP3" and got[4] == "FP4"                 # column intact
+
+
+def test_batch_lineage_plus_fullrow_distinct_refused(spark, tmp_path):
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(spark=spark, global_spec=_global(src, tmp_path / "out"))
+    t = spec_mod.TableSpec(
+        source_table="t",
+        target_table="t_d",
+        lineage=True,
+        dedup=spec_mod.DedupSpec(method="exact"),
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+    )
+    with pytest.raises(ValueError, match="full-row DISTINCT"):
+        run_table(ctx, t)
