@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "cdc_apply_events",  # changelog latest-per-key max_by state materialization
     "text_word_entropy",  # one-pass Shannon entropy, word-count shuffle shape
     "quantile_winsorize_prices",  # percentile bounds broadcast-joined clip
+    "text_bm25_rank",  # IR scoring: term-filtered stream, broadcast idf, top-k
+    "text_unigram_logprob",  # LM quality proxy: two word-count shuffles + vocab join
 ]
 
 

@@ -273,6 +273,107 @@ def word_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval scoring of every document against a fixed bag of
+    ``query_terms`` (Robertson/Sparck-Jones with the Lucene-style
+    non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the
+    standard relevance ranker for corpus search and for building
+    retrieval-based eval sets. The reference has no IR surface at all;
+    this extends its query-capability the way `text_tfidf_top_terms`
+    does (SURVEY.md §2.11).
+
+    Scale shape: the exploded token stream is filtered to the query
+    terms BEFORE any shuffle, so the groupBys carry only matching
+    (doc, term) rows — O(matches), not O(corpus tokens). Document
+    lengths are one word-count aggregate over the same stream; the
+    per-term document frequencies and the scalar avgdl/N are tiny and
+    broadcast. Top-k compiles to TakeOrderedAndProject (local top-k per
+    task, driver merge of O(tasks × k)).
+
+    Determinism: scores are rounded to 6 dp BEFORE ranking and ties
+    break by id, so last-ulp ln() divergence between engines cannot
+    reorder the cutoff.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    hits = tok.filter(F.col("__w").isin(terms))
+    tf = hits.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = hits.groupBy("__w").agg(F.countDistinct(id_col).alias("__df"))
+    n_docs = df.count()
+    avgdl = dl.agg(F.avg("__dl")).collect()[0][0] or 1.0
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    norm = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+    )
+    contrib = idf * F.col("__tf") * (k1 + 1.0) / norm
+    scored = (
+        tf.join(F.broadcast(dfreq), "__w")
+        .join(dl, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_k)
+        .select(F.col(id_col), "n_terms_hit", "bm25")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus' own
+    unigram distribution — the cheapest useful perplexity proxy for
+    quality filtering (docs full of rare tokens score very negative;
+    boilerplate scores near the mode). ``mean_log2p`` =
+    avg over tokens w of log2(count(w) / total_tokens); ``ppl_proxy`` =
+    2^(−mean_log2p) is the corresponding perplexity.
+
+    Scale shape: two word-count shuffles over the same exploded stream
+    (per-doc-term counts, then global term counts), one shuffle join on
+    the term, one per-doc aggregate. The global term table is
+    vocabulary-sized; the total-token count is a scalar broadcast. No
+    driver materialization beyond the single aggregate row.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
+    per_doc = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    corpus = per_doc.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+    total = corpus.agg(F.sum("__cw")).collect()[0][0] or 1
+    logp = F.log2(F.col("__cw") / F.lit(float(total)))
+    agg = (
+        per_doc.join(corpus, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            (F.sum(F.col("__c") * logp) / F.sum("__c")).alias("__m"),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("__m"), 6).alias("mean_log2p"),
+        F.round(F.pow(F.lit(2.0), -F.col("__m")), 4).alias("ppl_proxy"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
 ) -> DataFrame:

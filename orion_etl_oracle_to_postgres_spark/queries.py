@@ -3987,3 +3987,188 @@ def reconcile_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o, n = _recon_frames(spark, sf_dir)
     return diff_summary(snapshot_diff(o, n, ["o_orderkey"]))
+
+
+# =====================================================================
+# Round-4 additions: IR scoring, LM quality proxy, robust statistics
+# =====================================================================
+
+_BM25_TERMS = ["data", "model", "learning", "system", "training"]
+
+
+@query(
+    "text_bm25_rank",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*) AS n FROM documents),
+    hits AS (SELECT * FROM tok
+             WHERE w IN ('data', 'model', 'learning', 'system', 'training')),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             count(*) AS n_terms_hit,
+             round(sum(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * dl.dl / avgdl.avgdl))),
+                   6) AS bm25
+      FROM tf
+      JOIN dfreq USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN avgdl CROSS JOIN n
+      GROUP BY tf.doc_id, n.n
+    )
+    SELECT doc_id, n_terms_hit, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BM25 retrieval scoring (operators/text.py:bm25_rank): rank
+    the corpus against a fixed query-term bag with Lucene-style idf.
+    Token stream is filtered to the 5 query terms BEFORE any shuffle;
+    doc lengths are one word-count agg; top-20 compiles to
+    TakeOrderedAndProject. Scores rounded before ranking, ties by id."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bm25_rank(d, "text", "doc_id", _BM25_TERMS, top_k=20)
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    per_doc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT w, sum(c)::BIGINT AS cw FROM per_doc GROUP BY 1),
+    total AS (SELECT sum(cw) AS t FROM corpus),
+    agg AS (
+      SELECT per_doc.doc_id,
+             sum(per_doc.c)::BIGINT AS n_tokens,
+             sum(per_doc.c * log2(corpus.cw / total.t))
+               / sum(per_doc.c) AS m
+      FROM per_doc JOIN corpus USING (w) CROSS JOIN total
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(m, 6) AS mean_log2p,
+           round(pow(2.0, -m), 4) AS ppl_proxy
+    FROM agg
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Unigram log-probability quality signal
+    (operators/text.py:unigram_logprob): per-doc mean log2 P(token)
+    under the corpus' own unigram distribution, plus the 2^(−mean)
+    perplexity proxy — the cheapest LM-style quality filter. Two
+    word-count shuffles + one vocabulary join; the total-token count is
+    the only driver scalar."""
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob(d, "text", "doc_id")
+
+
+@query(
+    "agg_price_qty_regression",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Regression/correlation statistics per return flag:
+    corr, sample covariance, stddev, and the OLS slope/intercept of
+    price on quantity — the profiling surface a feature-engineering
+    pass needs. All five are single-pass streaming co-moments (Spark's
+    ImperativeAggregates), one map-side-combined shuffle, no joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_pq"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 2
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "quantile_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med
+      FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS adev, m.med
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, median(adev) AS mad, min(med) AS med
+      FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           round(m.med, 3) AS med_price,
+           round(m.mad, 3) AS mad_price,
+           count(*) AS n,
+           sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY 1, 2, 3
+    """,
+)
+def quantile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Robust outlier profiling: per-group median / MAD
+    (median-absolute-deviation) and the count of |x − med| > 3σ-equiv
+    (1.4826·MAD) rows — the robust alternative to the mean/stddev
+    profile that a long-tailed price column needs. Shape: two exact
+    per-group percentile aggregates (3-row results, broadcast back) +
+    one counting pass; the medians are exact interpolated percentiles
+    in BOTH engines so the comparison thresholds are bit-identical."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad"), F.min("med").alias("med")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy(
+            "l_returnflag",
+            F.round("med", 3).alias("med_price"),
+            F.round("mad", 3).alias("mad_price"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -143,3 +143,70 @@ def test_url_normalize_rules(spark):
     got = df.select("url", "want", url_normalize(F.col("url")).alias("c")).collect()
     for r in got:
         assert r["c"] == r["want"], (r["url"], r["c"], r["want"])
+
+
+def test_bm25_rank_orders_and_scores(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "data model data training"),
+            (2, "data only here"),
+            (3, "nothing relevant at all"),
+            (4, "model model model model model model"),
+        ],
+        "doc_id int, text string",
+    )
+    out = text.bm25_rank(
+        df, "text", "doc_id", ["data", "model"], k1=1.2, b=0.75, top_k=10
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 3 has no query terms → absent entirely
+    assert 3 not in rows
+    assert rows[1]["n_terms_hit"] == 2
+    assert rows[2]["n_terms_hit"] == 1
+    # hand-computed BM25 for doc 2 (term 'data': tf=1, df=2, N=4,
+    # dl=3, avgdl=17/4)
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    denom = 1 + 1.2 * (1 - 0.75 + 0.75 * 3 / (17 / 4))
+    expected = idf * 1 * 2.2 / denom
+    assert abs(rows[2]["bm25"] - round(expected, 6)) < 1e-6
+    # doc 1 hits both terms and must outrank doc 2's single weak hit
+    assert rows[1]["bm25"] > rows[2]["bm25"]
+
+
+def test_bm25_rank_rejects_empty_terms(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="query_terms"):
+        text.bm25_rank(df, "text", "doc_id", [])
+
+
+def test_bm25_rank_top_k_cutoff_deterministic(spark):
+    # ten identical docs → identical scores; cutoff must break ties by id
+    df = spark.createDataFrame(
+        [(i, "data data data") for i in range(10)], "doc_id int, text string"
+    )
+    out = text.bm25_rank(df, "text", "doc_id", ["data"], top_k=4)
+    assert [r["doc_id"] for r in out.collect()] == [0, 1, 2, 3]
+
+
+def test_unigram_logprob_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b")], "doc_id int, text string"
+    )
+    # corpus: a→3, b→2, total 5
+    out = {r["doc_id"]: r for r in
+           text.unigram_logprob(df, "text", "doc_id").collect()}
+    la, lb = math.log2(3 / 5), math.log2(2 / 5)
+    m1 = (2 * la + lb) / 3
+    m2 = (la + lb) / 2
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["mean_log2p"] - round(m1, 6)) < 1e-6
+    assert abs(out[2]["mean_log2p"] - round(m2, 6)) < 1e-6
+    # rarer-token doc scores lower (more negative)
+    assert out[2]["mean_log2p"] < out[1]["mean_log2p"]
+    assert out[1]["ppl_proxy"] == round(2 ** -m1, 4)
