@@ -1,0 +1,76 @@
+"""[EXT] Item-affinity analysis (SURVEY.md §2.11): co-occurrence pair
+counts with lift over basket-shaped data (order → items, doc → tags,
+session → pages). The reference has no analytic surface at all; this is
+the recommendation/association-rule profile a curation pipeline uses to
+find correlated categories before mixing.
+
+Scale shape: the pair stream comes from ONE co-partitioned self-join on
+the basket key, so candidates are bounded by Σ items_per_basket² — the
+per-basket fan-out, not the corpus square. Per-item frequencies are an
+item-cardinality table broadcast onto the pair counts; the basket total
+is a single scalar. ``max_basket_items`` caps pathological baskets
+(a 10k-item basket alone yields 5·10⁷ pairs) the way
+``ngram_jaccard_pairs`` caps hot postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def item_pairs_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    max_basket_items: int = 1_000,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` item pairs by lift.
+
+    lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab · N / (n_a · n_b), computed
+    over DISTINCT (basket, item) rows so multiplicity inside a basket
+    doesn't inflate support. Pairs are unordered (item_a < item_b).
+    Lift is rounded to 6 dp BEFORE ranking and ties break by the item
+    pair, so the cutoff is deterministic across engines.
+
+    Baskets with more than ``max_basket_items`` distinct items are
+    dropped entirely (loudly counted in the plan via a filter, cheap to
+    audit): they are degenerate for association mining and quadratic in
+    the join.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = bi.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    bi = bi.join(
+        sizes.filter(F.col("__sz") <= max_basket_items).select("__b"), "__b"
+    )
+    n_baskets = bi.select("__b").distinct().count()
+    item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
+        .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    na = item_n.withColumnsRenamed({"__i": "item_a", "__ni": "__na"})
+    nb = item_n.withColumnsRenamed({"__i": "item_b", "__ni": "__nb"})
+    scored = (
+        pair_n.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair") * F.lit(float(n_baskets)) / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("item_a"), F.asc("item_b")
+    ).limit(top_k)

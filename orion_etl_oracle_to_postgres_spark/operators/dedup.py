@@ -512,3 +512,55 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_i", "id_j", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_postings: int = 10_000,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs:
+    containment(sub -> super) = |S(sub) ∩ S(super)| / |S(sub)|. Catches
+    the quote/excerpt/boilerplate-wrapper case Jaccard misses — a short
+    doc fully embedded in a long one has tiny Jaccard but containment
+    1.0. Output is directed: (id_sub, id_super) rows where the SUB
+    side's shingles are >= ``threshold`` covered by the super side; a
+    pair of mutual near-copies yields both directions.
+
+    Same inverted-index machinery and 100 TB shape as
+    ``ngram_jaccard_pairs`` (one postings self-join bounded by shared
+    shingles, ``max_postings`` stop-shingle cap, per-doc sizes joined
+    back); only the final ratio differs.
+    """
+    flat = shingle_hash_stream(df, id_col, text_col, shingle_n).localCheckpoint()
+    sizes = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    keep = (
+        flat.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_postings)
+        .select("__h")
+    )
+    postings = flat.join(keep, "__h")
+
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_sub"), F.col("b.__id").alias("id_super"))
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"__id": "id_sub", "__n": "__nsub"}), "id_sub"
+        )
+        .withColumn("containment", F.col("__common") / F.col("__nsub"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_sub", "id_super", F.round("containment", 6).alias("containment"))
+    )

@@ -374,6 +374,38 @@ def unigram_logprob(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word ``shingle_n``-gram shingles that appear in no other document —
+    the inverse of the contamination/overlap scans, used to rank docs
+    by how much genuinely new text they add to a corpus (boilerplate
+    and templated docs score ~0).
+
+    Scale shape: one narrow distinct-shingle stream per doc
+    (``dedup.shingle_hash_stream``, zero shuffles), one global
+    shingle-frequency aggregate (word-count shape), one join back, one
+    per-doc mean. Nothing quadratic; the frequency table is
+    shingle-vocabulary sized and stays distributed.
+    """
+    from .dedup import shingle_hash_stream
+
+    flat = shingle_hash_stream(df, id_col, text_col, shingle_n)
+    dfreq = flat.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        flat.join(dfreq, "__h")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("__df") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
 ) -> DataFrame:

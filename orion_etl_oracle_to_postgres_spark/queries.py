@@ -4172,3 +4172,150 @@ def quantile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    _SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+           round(len(list_intersect(a.shs, b.shs))::DOUBLE / len(a.shs), 6)
+             AS containment
+    FROM sh a, sh b
+    WHERE a.doc_id != b.doc_id
+      AND len(list_intersect(a.shs, b.shs))::DOUBLE / len(a.shs) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Asymmetric shingle-containment pairs
+    (operators/dedup.py:containment_pairs): |S(sub) ∩ S(super)| /
+    |S(sub)| ≥ 0.8 — catches excerpt/boilerplate-wrapper near-dups that
+    Jaccard's symmetric denominator hides. Same inverted-index
+    postings join as `dedup_ngram_jaccard`."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+@query(
+    "text_ngram_novelty",
+    _SHINGLE_CTE
+    + """
+    , flat AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+    dfq AS (SELECT h, count(*) AS df FROM flat GROUP BY 1)
+    SELECT doc_id, count(*) AS n_shingles,
+           round(avg(CASE WHEN dfq.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+    FROM flat JOIN dfq USING (h)
+    GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-doc n-gram novelty (operators/text.py:ngram_novelty):
+    fraction of a doc's distinct 3-gram shingles appearing in no other
+    document — ranks docs by genuinely new text. One narrow shingle
+    stream, one word-count-shaped frequency aggregate, one join back."""
+    d = _t(spark, sf_dir, "documents")
+    return text.ngram_novelty(d, "text", "doc_id")
+
+
+@query(
+    "affinity_part_pairs",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    n AS (SELECT count(DISTINCT b) AS n FROM bi),
+    itemn AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_pair
+      FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT p.item_a, p.item_b, p.n_pair,
+             round(p.n_pair * n.n / (na.ni * nb.ni), 6) AS lift
+      FROM pairs p
+      JOIN itemn na ON na.i = p.item_a
+      JOIN itemn nb ON nb.i = p.item_b
+      CROSS JOIN n
+    )
+    SELECT item_a, item_b, n_pair, lift
+    FROM scored
+    ORDER BY lift DESC, item_a ASC, item_b ASC
+    LIMIT 20
+    """,
+)
+def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Market-basket affinity (operators/affinity.py:
+    item_pairs_lift): top part pairs by lift over orders-as-baskets.
+    One co-partitioned self-join on the order key (pair volume bounded
+    by per-basket fan-out, degenerate baskets capped), broadcast
+    per-item frequencies, lift rounded before the deterministic
+    top-k."""
+    from .operators.affinity import item_pairs_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_pairs_lift(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top_k=20
+    )
+
+
+@query(
+    "window_events_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hour, cnt,
+             avg(cnt) OVER w AS mean_prev,
+             stddev_samp(cnt) OVER w AS sd_prev,
+             count(*) OVER w AS n_prev
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, cnt,
+           round(mean_prev, 3) AS mean_prev,
+           round((cnt - mean_prev) / sd_prev, 3) AS z
+    FROM stats
+    WHERE n_prev >= 12 AND sd_prev > 0
+      AND abs((cnt - mean_prev) / sd_prev) >= 2.0
+    """,
+)
+def window_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Rolling z-score anomaly detection over the event stream:
+    hourly counts per event type scored against the trailing-24-hour
+    mean/stddev (current hour excluded), flagged at |z| ≥ 2. The
+    monitoring-shaped query every ingestion pipeline runs; one small
+    aggregate then a per-type ordered window — the window input is
+    hours × types, not events, so the sort is trivial at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.avg("cnt").over(w).alias("__mean"),
+        F.stddev_samp("cnt").over(w).alias("__sd"),
+        F.count(F.lit(1)).over(w).alias("__np"),
+    )
+    z = (F.col("cnt") - F.col("__mean")) / F.col("__sd")
+    return (
+        stats.filter(
+            (F.col("__np") >= 12) & (F.col("__sd") > 0) & (F.abs(z) >= 2.0)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.round("__mean", 3).alias("mean_prev"),
+            F.round(z, 3).alias("z"),
+        )
+    )

@@ -191,3 +191,30 @@ def test_fingerprint_dedup_operator_null_text(spark):
     out = fingerprint_dedup(df, "t", "id").collect()
     survivors = sorted(r["id"] for r in out)
     assert survivors == [1, 3, 4]  # nulls never dedup against each other
+
+
+def test_containment_pairs_catches_excerpt(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(30))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))  # fully inside long_doc
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, other)], "doc_id int, text string"
+    )
+    rows = containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    got = {(r["id_sub"], r["id_super"]): r["containment"] for r in rows}
+    # the excerpt is 100% contained in the long doc...
+    assert got[(2, 1)] == 1.0
+    # ...but NOT vice versa (8/28 shingles), and the unrelated doc is absent
+    assert (1, 2) not in got
+    assert all(3 not in k for k in got)
+
+
+def test_containment_is_directed_for_mutual_copies(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import containment_pairs
+
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id int, text string")
+    rows = containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert {(r["id_sub"], r["id_super"]) for r in rows} == {(1, 2), (2, 1)}

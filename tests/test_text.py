@@ -210,3 +210,18 @@ def test_unigram_logprob_values(spark):
     # rarer-token doc scores lower (more negative)
     assert out[2]["mean_log2p"] < out[1]["mean_log2p"]
     assert out[1]["ppl_proxy"] == round(2 ** -m1, 4)
+
+
+def test_ngram_novelty_unique_vs_shared(spark):
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "seven eight nine ten eleven twelve")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            text.ngram_novelty(df, "text", "doc_id").collect()}
+    # docs 1 and 2 share every shingle → zero novelty; doc 3 is all-new
+    assert rows[1]["novelty"] == 0.0
+    assert rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 1.0
+    assert rows[3]["n_shingles"] == 4  # 6 tokens → 4 tri-gram shingles
