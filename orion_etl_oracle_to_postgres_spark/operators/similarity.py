@@ -805,3 +805,55 @@ def quantization_error(
         F.round(max_err, decimals).alias("max_abs_err"),
         F.round(mse, decimals).alias("mse"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-space (semantic) deduplication: near-dup pairs →
+    transitive clusters → one survivor per cluster. The semantic twin
+    of the MinHash dedup_clusters pipeline — catches paraphrase-level
+    duplicates whose token shingles share nothing. Returns one row per
+    input id: (id, cluster_id, keep) where cluster_id is the
+    component's minimum id and keep marks the survivor; rows with no
+    near-dup edge are singleton clusters of themselves.
+
+    Scale shape: pairs come from ``embedding_near_dups`` (LSH-bucketed
+    by default — the 100 TB path; ``exact=True`` for the guarded
+    small-side baseline), clustering from the O(log n)-round
+    large-star/small-star contraction over the EDGE list only, and the
+    final labeling is one ids-only left join back onto the corpus —
+    vectors never enter the clustering shuffles.
+    """
+    from .dedup import near_dup_clusters
+
+    pairs = embedding_near_dups(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        seed=seed,
+        exact=exact,
+    )
+    clusters = near_dup_clusters(pairs).withColumnsRenamed(
+        {"doc_id": "__cid", "cluster_id": "__lbl"}
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(clusters, F.col(id_col) == F.col("__cid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__lbl"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("__lbl"), F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
+    )

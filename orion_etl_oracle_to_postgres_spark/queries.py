@@ -4319,3 +4319,47 @@ def window_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 3).alias("z"),
         )
     )
+
+
+def _semantic_dedup_sql(n_planes: int = 8, threshold: float = 0.4) -> str:
+    planes = similarity.make_planes(_EMB_DIM, n_planes, seed=42)
+    sig = _sig_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH RECURSIVE sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS s
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_i, b.vec_id AS id_j
+      FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+           coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
+    FROM embeddings e LEFT JOIN lab l ON l.id = e.vec_id
+    """
+
+
+@query("emb_semantic_dedup", _semantic_dedup_sql())
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Semantic dedup end-to-end
+    (operators/similarity.py:semantic_dedup): LSH-bucketed cosine
+    pairs → large-star/small-star transitive clusters → min-id
+    survivor per cluster, singletons kept. The oracle replays the SAME
+    LSH candidate set (bit-identical signatures) + a recursive-CTE
+    closure, so the comparison pins pairs, clustering, and survivor
+    choice together."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, threshold=0.4, n_planes=8, seed=42)

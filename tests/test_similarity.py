@@ -368,3 +368,23 @@ def test_quantize_roundtrip_error_bound(spark):
     approx = (s1 * s3 / (127.0 * 127.0)) * sum(a * b for a, b in zip(q1, q3))
     true = sum(a * b for a, b in zip(rows[0][1], rows[2][1]))
     assert math.isclose(approx, true, abs_tol=0.05)
+
+
+def test_semantic_dedup_clusters_and_singletons(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 1 and 2 nearly parallel (cosine ~1); 3 orthogonal-ish singleton
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.01]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, threshold=0.9, n_planes=4).collect()}
+    assert len(out) == 3
+    assert out[1]["cluster_id"] == 1 and out[1]["keep"]
+    assert out[2]["cluster_id"] == 1 and not out[2]["keep"]
+    assert out[3]["cluster_id"] == 3 and out[3]["keep"]
