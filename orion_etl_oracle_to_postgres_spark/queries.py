@@ -4363,3 +4363,116 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice together."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(e, threshold=0.4, n_planes=8, seed=42)
+
+
+@query(
+    "window_order_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT o_custkey, date_trunc('day', o_orderdate) AS d
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_custkey, d,
+             d - to_days((row_number() OVER
+                (PARTITION BY o_custkey ORDER BY d))::INT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT o_custkey, count(*) AS len,
+             min(d) AS streak_start, max(d) AS streak_end
+      FROM grp GROUP BY o_custkey, anchor
+    )
+    SELECT o_custkey, len, streak_start, streak_end
+    FROM streaks
+    WHERE len >= 2
+    """,
+)
+def window_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gaps-and-islands: consecutive-day order streaks per
+    customer (len ≥ 2) via the row_number-difference anchor trick —
+    engagement/retention analysis without a self-join. One distinct
+    aggregate, one per-customer ordered window over order DAYS (not
+    orders), one groupBy; every shuffle is customer-keyed and tiny."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey", F.to_date(F.col("o_orderdate")).alias("d")
+    ).distinct()
+    grp = days.withColumn(
+        "anchor", F.expr("date_sub(d, row_number() OVER "
+                         "(PARTITION BY o_custkey ORDER BY d))")
+    )
+    return (
+        grp.groupBy("o_custkey", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+        )
+        .filter(F.col("len") >= 2)
+        .select("o_custkey", "len", "streak_start", "streak_end")
+    )
+
+
+@query(
+    "text_distinctive_terms",
+    """
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+    gcnt AS (SELECT w, sum(c)::BIGINT AS g FROM cnt GROUP BY 1),
+    gtot AS (SELECT sum(g) AS gt FROM gcnt),
+    scored AS (
+      SELECT cnt.lang, cnt.w, cnt.c,
+             round(ln((cnt.c + 0.5) / (tot.t - cnt.c + 0.5))
+                   - ln((gcnt.g - cnt.c + 0.5)
+                        / (gtot.gt - tot.t - gcnt.g + cnt.c + 0.5)), 6)
+               AS log_odds
+      FROM cnt JOIN tot USING (lang) JOIN gcnt USING (w) CROSS JOIN gtot
+    )
+    SELECT lang, w AS term, c AS n, log_odds
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY log_odds DESC, w ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group distinctive vocabulary: top-5 terms per language
+    by smoothed log-odds ratio of in-group vs out-of-group usage
+    (Monroe et al.'s "Fightin' Words" ratio with ±0.5 smoothing) — the
+    corpus-segmentation complement of per-doc TF-IDF. One word-count
+    shuffle, a groups-sized totals broadcast, a vocabulary-sized
+    global-counts join, round-before-rank + WindowGroupLimit top-k."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+
+    tok = d.select("lang", F.explode(_tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    glob = cnt.groupBy("w").agg(F.sum("c").alias("g"))
+    gt = glob.agg(F.sum("g")).collect()[0][0]
+    lo = F.round(
+        F.log((F.col("c") + 0.5) / (F.col("t") - F.col("c") + 0.5))
+        - F.log(
+            (F.col("g") - F.col("c") + 0.5)
+            / (F.lit(float(gt)) - F.col("t") - F.col("g") + F.col("c") + 0.5)
+        ),
+        6,
+    )
+    scored = (
+        cnt.join(F.broadcast(tot), "lang")
+        .join(glob, "w")
+        .select("lang", "w", "c", lo.alias("log_odds"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("log_odds"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("w").alias("term"), F.col("c").alias("n"), "log_odds")
+    )
