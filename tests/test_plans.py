@@ -315,3 +315,62 @@ def test_quantize_is_pure_projection(spark, sf):
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     plan = plan_of(quantize_embeddings(e))
     assert "Exchange" not in plan
+
+
+def test_bm25_is_take_ordered_with_broadcast_idf(spark, sf):
+    """BM25's top-k must compile to TakeOrderedAndProject (local top-k
+    per task), and the per-term document-frequency table must broadcast
+    — a shuffle join on the tiny idf side would serialize the score
+    stream."""
+    plan = plan_of(q.QUERIES["text_bm25_rank"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_affinity_pair_join_is_single_basket_shuffle(spark, sf):
+    """Basket self-join must be ONE hash equi-join on the basket key
+    (pair volume bounded by per-basket fan-out) with the per-item
+    frequency tables broadcast onto the pair counts."""
+    plan = plan_of(q.QUERIES["affinity_part_pairs"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    # the basket-key self-join is an equi-join, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_reuses_jaccard_postings_shape(spark, sf):
+    """Containment must keep the inverted-index shape: shingle-hash
+    equi-join (no cartesian), sizes joined back, nothing vector- or
+    text-sized in the pair shuffle."""
+    plan = plan_of(q.QUERIES["dedup_containment"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_window_input_is_aggregated(spark, sf):
+    """The z-score window must run over the HOURLY aggregate (hours ×
+    types rows), not raw events: exactly one pre-aggregation shuffle
+    feeds the window sort."""
+    plan = plan_of(q.QUERIES["window_events_anomaly"](spark, sf))
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    # window partition = event_type; input already count-aggregated
+    assert plan.index("HashAggregate") > plan.index("Window")  # agg below window in tree text
+
+
+def test_distinctive_terms_totals_are_broadcast(spark, sf):
+    """Per-group totals (5 rows) must broadcast back onto the term
+    counts; the ranking must be WindowGroupLimit-eligible (rank pushed
+    before the full sort)."""
+    plan = plan_of(q.QUERIES["text_distinctive_terms"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_semantic_dedup_cluster_join_is_ids_only(spark, sf):
+    """The final corpus labeling must join ids only — embedding vectors
+    must not appear in the cluster join's output columns."""
+    df = q.QUERIES["emb_semantic_dedup"](spark, sf)
+    assert set(df.columns) == {"vec_id", "cluster_id", "keep"}
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
