@@ -40,6 +40,14 @@ def item_pairs_lift(
     audit): they are degenerate for association mining and quadratic in
     the join.
     """
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    if max_basket_items < 2:
+        raise ValueError(
+            f"max_basket_items must be >= 2 (pairs need 2 items), got {max_basket_items}"
+        )
     bi = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()

@@ -305,6 +305,10 @@ def bm25_rank(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
     terms = sorted({t.lower() for t in query_terms})
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
     dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))

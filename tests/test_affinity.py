@@ -51,3 +51,15 @@ def test_item_pairs_basket_cap_drops_degenerate(spark):
     assert len(out) == 1
     assert out[0]["n_pair"] == 1
     assert out[0]["lift"] == 1.0
+
+
+def test_item_pairs_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "A")], "b int, i string")
+    with pytest.raises(ValueError, match="min_pair_count"):
+        item_pairs_lift(df, "b", "i", min_pair_count=0)
+    with pytest.raises(ValueError, match="top_k"):
+        item_pairs_lift(df, "b", "i", top_k=0)
+    with pytest.raises(ValueError, match="max_basket_items"):
+        item_pairs_lift(df, "b", "i", max_basket_items=1)
