@@ -305,6 +305,32 @@ def _apply_dedup(df, spec: TableSpec):
             F.col("doc_id") != F.col("cluster_id")
         ).select(F.col("doc_id").alias(d.id_column))
         return df.join(losers, d.id_column, "left_anti")
+    if d.method == "semantic":
+        # embedding-space near-dup dedup: LSH cosine pairs → clusters →
+        # drop non-survivors; vectors stay out of the corpus anti-join
+        if not d.vector_column or not d.id_column:
+            raise ValueError(
+                f"{spec.source_table}: dedup method=semantic requires "
+                "vector_column and id_column"
+            )
+        for c in (d.vector_column, d.id_column):
+            if c not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: dedup column {c!r} not in "
+                    f"pipeline output {df.columns}"
+                )
+        from .operators.similarity import semantic_dedup
+
+        labeled = semantic_dedup(
+            df.select(d.id_column, d.vector_column),
+            vec_col=d.vector_column,
+            id_col=d.id_column,
+            threshold=d.threshold,
+            n_planes=d.n_planes,
+            seed=d.seed,
+        )
+        losers = labeled.filter(~F.col("keep")).select(F.col(d.id_column))
+        return df.join(losers, d.id_column, "left_anti")
     if d.method == "fingerprint":
         if not d.text_column or not d.id_column:
             raise ValueError(
@@ -618,15 +644,16 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # stream. One shuffle on the dedup key; the row_number()<=1 filter
     # compiles to WindowGroupLimit (map-side partial top-1 per key).
     if spec.dedup is not None and not streaming:
-        if spec.dedup.method == "minhash" and ctx.explain_only:
-            # minhash dedup is EAGER (checkpointed pair mining +
+        if spec.dedup.method in ("minhash", "semantic") and ctx.explain_only:
+            # near-dup dedup is EAGER (checkpointed pair mining +
             # iterative clustering) — running it would break --explain's
             # "nothing executes" promise; the reviewed plan shows the
             # pipeline without the near-dup filter, noted loudly
             logger.warning(
-                "%s: plan review omits the minhash near-dup dedup stage "
+                "%s: plan review omits the %s near-dup dedup stage "
                 "(it executes eagerly; the real run applies it)",
                 spec.source_table,
+                spec.dedup.method,
             )
         else:
             if (
@@ -744,8 +771,10 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
         errs.append("a files source connector is required (JDBC has no stream source)")
     d = spec.dedup
     if d is not None:
-        if d.method == "minhash":
-            errs.append("dedup method=minhash (iterative clustering is batch-only)")
+        if d.method in ("minhash", "semantic"):
+            errs.append(
+                f"dedup method={d.method} (iterative clustering is batch-only)"
+            )
         elif d.method == "exact" and not d.columns:
             errs.append(
                 "dedup method=exact on a stream needs explicit key columns "

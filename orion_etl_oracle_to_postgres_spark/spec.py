@@ -193,17 +193,25 @@ class DedupSpec(BaseModel):
     ``method: minhash`` is NEAR-dup dedup: MinHash+LSH candidate pairs
     exact-verified at ``threshold`` Jaccard, clustered transitively
     (large-star/small-star), every non-minimum cluster member dropped —
-    the full LLM-corpus dedup pipeline from YAML alone."""
+    the full LLM-corpus dedup pipeline from YAML alone.
+    ``method: semantic`` is the embedding-space twin: sign-LSH cosine
+    pairs over ``vector_column`` (``threshold`` is a COSINE here),
+    same clustering, same min-id survivor rule — paraphrase dedup from
+    YAML alone."""
 
-    method: str = "fingerprint"  # exact | fingerprint | minhash
+    method: str = "fingerprint"  # exact | fingerprint | minhash | semantic
     columns: Optional[List[str]] = None  # exact: key columns
     text_column: Optional[str] = None  # fingerprint/minhash: the text
+    vector_column: Optional[str] = None  # semantic: the embedding
     id_column: Optional[str] = None  # deterministic survivor tie-break
     #: minhash knobs (ignored by other methods)
     threshold: float = 0.8
     num_hashes: int = 64
     bands: int = 16
     shingle_n: int = 3
+    #: semantic knobs
+    n_planes: int = 8
+    seed: int = 42
     #: streaming mode only: how long a key's dedup state is retained
     #: past the event-time watermark (duplicates farther apart than
     #: this horizon are out of contract — state must be bounded)
@@ -212,9 +220,9 @@ class DedupSpec(BaseModel):
     @field_validator("method")
     @classmethod
     def _known_method(cls, v: str) -> str:
-        if v not in ("exact", "fingerprint", "minhash"):
+        if v not in ("exact", "fingerprint", "minhash", "semantic"):
             raise ValueError(
-                f"dedup method must be exact|fingerprint|minhash, got {v!r}"
+                f"dedup method must be exact|fingerprint|minhash|semantic, got {v!r}"
             )
         return v
 

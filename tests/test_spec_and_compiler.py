@@ -1150,3 +1150,77 @@ def test_declarative_minhash_dedup(spark, tmp_path):
             JobContext(spark=spark, global_spec=g),
             t.model_copy(update={"dedup": spec_mod.DedupSpec(method="minhash")}),
         )
+
+
+def test_declarative_semantic_dedup(spark, tmp_path):
+    """dedup method=semantic in YAML: embedding-cosine near-dup cluster
+    members drop, min-id survivor kept, distinct vectors untouched;
+    missing vector_column refused loudly."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+
+    rows = [
+        (1, [1.0, 0.0, 0.02, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-parallel to 1
+        (3, [0.0, 0.0, 1.0, 0.0]),     # distinct direction
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "id int, emb array<double>"
+    ).write.parquet(str(src / "vecs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="vecs",
+        target_table="vecs_dedup",
+        dedup=spec_mod.DedupSpec(
+            method="semantic", vector_column="emb", id_column="id",
+            threshold=0.9, n_planes=4,
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="emb", target="emb"),
+        ],
+    )
+    compiled = compile_table(JobContext(spark=spark, global_spec=g), t)
+    ids = {r["id"] for r in compiled.df.collect()}
+    assert ids == {1, 3}  # 2 deduped into 1's cluster, 3 a singleton
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(update={"dedup": spec_mod.DedupSpec(method="semantic")}),
+        )
+
+
+def test_semantic_dedup_rejected_in_streaming_mode(spark, tmp_path):
+    """mode=streaming + dedup method=semantic must be refused loudly
+    (iterative clustering is batch-only), same as minhash."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        _assert_streaming_spec,
+    )
+
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(tmp_path))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="vecs",
+        target_table="out",
+        dedup=spec_mod.DedupSpec(
+            method="semantic", vector_column="emb", id_column="id"
+        ),
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+    )
+    with pytest.raises(ValueError, match="semantic"):
+        _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)
