@@ -4476,3 +4476,48 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", F.col("w").alias("term"), F.col("c").alias("n"), "log_odds")
     )
+
+
+@query(
+    "agg_incremental_state",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(o_totalprice) AS price_n,
+           round(sum(o_totalprice), 2) AS price_total,
+           round(avg(o_totalprice), 4) AS price_avg,
+           round(min(o_totalprice), 2) AS price_min,
+           round(max(o_totalprice), 2) AS price_max
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mergeable aggregate state (operators/aggstate.py): the
+    history is split at 1997-01-01, a state frame is built per half,
+    merged, and finalized — and must equal a direct aggregate over
+    everything. The pattern that keeps a nightly 100 TB stats job
+    O(day) instead of O(lifetime): increments fold into state rows
+    (keys × 5 doubles), never rescanning history."""
+    from .operators.aggstate import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cut = F.lit("1997-01-01").cast("timestamp")
+    old = build_agg_state(o.filter(F.col("o_orderdate") < cut), keys, ["o_totalprice"])
+    new = build_agg_state(o.filter(F.col("o_orderdate") >= cut), keys, ["o_totalprice"])
+    fin = finalize_agg_state(
+        merge_agg_states([old, new], keys, ["o_totalprice"]), keys, ["o_totalprice"]
+    )
+    return fin.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice_n").alias("price_n"),
+        F.round("o_totalprice_total", 2).alias("price_total"),
+        F.round("o_totalprice_avg", 4).alias("price_avg"),
+        F.round("o_totalprice_min", 2).alias("price_min"),
+        F.round("o_totalprice_max", 2).alias("price_max"),
+    )

@@ -1,0 +1,55 @@
+"""[EXT] Mergeable aggregate state: build / merge / finalize."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+    build_agg_state,
+    finalize_agg_state,
+    merge_agg_states,
+)
+
+
+def test_merge_equals_direct_aggregate(spark):
+    rows = [("a", float(i)) for i in range(1, 8)] + [("b", 10.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    s1 = build_agg_state(df.filter("v <= 4"), ["k"], ["v"])
+    s2 = build_agg_state(df.filter("v > 4"), ["k"], ["v"])
+    fin = {r["k"]: r for r in
+           finalize_agg_state(merge_agg_states([s1, s2], ["k"], ["v"]),
+                              ["k"], ["v"]).collect()}
+    assert fin["a"]["v_n"] == 7 and fin["a"]["v_total"] == 28.0
+    assert fin["a"]["v_min"] == 1.0 and fin["a"]["v_max"] == 7.0
+    assert abs(fin["a"]["v_avg"] - 4.0) < 1e-12
+    # variance within documented monitoring-grade tolerance
+    import statistics
+    assert math.isclose(fin["a"]["v_var"],
+                        statistics.variance(range(1, 8)), rel_tol=1e-6)
+    assert fin["b"]["v_n"] == 2 and fin["b"]["v_stddev"] == pytest.approx(
+        statistics.stdev([10.0, 30.0]), rel=1e-6)
+
+
+def test_merge_handles_disjoint_keys_and_nulls(spark):
+    d1 = spark.createDataFrame([("a", 1.0), ("a", None)], "k string, v double")
+    d2 = spark.createDataFrame([("b", 5.0)], "k string, v double")
+    s = merge_agg_states(
+        [build_agg_state(d1, ["k"], ["v"]), build_agg_state(d2, ["k"], ["v"])],
+        ["k"], ["v"],
+    )
+    fin = {r["k"]: r for r in finalize_agg_state(s, ["k"], ["v"]).collect()}
+    assert fin["a"]["v_n"] == 1          # null ignored
+    assert fin["a"]["v_var"] is None     # n=1 -> no sample variance
+    assert fin["b"]["v_total"] == 5.0
+
+
+def test_bad_inputs_raise(spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="non-empty"):
+        build_agg_state(df, [], ["v"])
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_agg_states([], ["k"], ["v"])
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_agg_states([df], ["k"], ["v"])  # df is not a state frame
