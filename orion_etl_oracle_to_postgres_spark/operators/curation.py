@@ -400,3 +400,47 @@ def assign_stable_ids(
         .withColumn(out_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
         .drop("__h", "__bk", "__rn", "__off")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: str = "prio0",
+) -> DataFrame:
+    """Exact-k WEIGHTED sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row gets priority u^(1/w) for a
+    per-row deterministic uniform u — the k largest priorities are a
+    distribution-exact weighted sample. The missing piece between
+    ``sample_n`` (uniform exact-N) and ``weighted_sample`` (per-group
+    rates, inexact count): "exactly 10k docs, long ones proportionally
+    more likely, the same 10k on any engine".
+
+    Determinism: u = (md5_60(id ∥ seed) + 1) / 2^60 — portable, so the
+    DuckDB oracle replays the identical priorities; ranking uses the
+    monotone log form ln(u)/w (ties broken by id; distinct ids ⇒
+    distinct u, and two rows landing within one ulp of each other has
+    probability ~2^-50 per pair — far below the md5-collision risk the
+    portable-hash operators already accept).
+
+    Scale: rows with non-positive or NULL weight are excluded (they
+    have zero selection probability in the A-ES model); the top-k
+    compiles to TakeOrderedAndProject — local top-k per task, driver
+    merge of O(tasks × k), nothing shuffles the corpus.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__prio", key)
+        .orderBy(F.col("__prio").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__prio")
+    )

@@ -4521,3 +4521,32 @@ def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice_min", 2).alias("price_min"),
         F.round("o_totalprice_max", 2).alias("price_max"),
     )
+
+
+def _priority_sample_sql(k: int = 60, seed: str = "prio0") -> str:
+    u = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}')")
+    return f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ln(({u} + 1) / {float(1 << 60)}) / n_chars::DOUBLE AS prio
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    ORDER BY prio DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@query("curation_priority_sample", _priority_sample_sql())
+def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact-k weighted sampling without replacement
+    (operators/curation.py:priority_sample, Efraimidis-Spirakis A-ES):
+    the 60 docs with the largest u^(1/n_chars) priority for the
+    portable-md5 uniform u — longer docs proportionally likelier, the
+    identical 60 on any engine. TakeOrderedAndProject; nothing
+    shuffles the corpus."""
+    from .operators.curation import priority_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return priority_sample(d, "doc_id", "n_chars", 60, seed="prio0")

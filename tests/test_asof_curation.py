@@ -531,3 +531,42 @@ def test_assign_stable_ids_dense_and_partition_invariant(spark):
     )
     m3 = {r["id"]: r["sid"] for r in naive.collect()}
     assert m1 == m3
+
+
+def test_priority_sample_exact_k_and_weight_bias(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        priority_sample,
+    )
+
+    # 200 light rows (w=1) + 200 heavy rows (w=50): heavy ids must
+    # dominate the sample under A-ES
+    rows = [(i, 1.0) for i in range(200)] + [(i, 50.0) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    got = priority_sample(df, "id", "w", 40).collect()
+    assert len(got) == 40
+    heavy = sum(1 for r in got if r["id"] >= 200)
+    assert heavy > 30  # w-ratio 50:1 → expect nearly all heavy
+
+    # deterministic: identical result on re-run
+    again = priority_sample(df, "id", "w", 40).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in again]
+    # different seed re-deals
+    other = priority_sample(df, "id", "w", 40, seed="prio1").collect()
+    assert [r["id"] for r in got] != [r["id"] for r in other]
+
+
+def test_priority_sample_guards(spark):
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, -1.0), (4, 0.0)], "id int, w double"
+    )
+    with pytest.raises(ValueError, match="k must be positive"):
+        priority_sample(df, "id", "w", 0)
+    # null/zero/negative weights excluded -> only id 1 eligible
+    got = priority_sample(df, "id", "w", 10).collect()
+    assert [r["id"] for r in got] == [1]
