@@ -1,0 +1,81 @@
+"""[EXT] Entity resolution: fuzzy (approximate-string) joins
+(SURVEY.md §2.11). The reference joins only on exact keys
+(`/root/reference/plugins/default_lookup.py:49-95` — equality probes);
+real migrations constantly need "same entity, dirty spelling" matching
+— names, addresses, product titles.
+
+Scale shape: the classic blocking + verify decomposition. Candidates
+are generated ONLY within equal blocking keys (one hash equi-join —
+never a cartesian); each candidate is then verified with an exact
+Levenshtein bound. Blocking keys that occur too often on the right side
+are dropped (``max_block_size``, the stop-shingle cap pattern from
+``ngram_jaccard_pairs``): a degenerate block ("smith") is quadratic in
+the join while contributing mostly false candidates. Recall depends on
+the blocking function — the default (lowercased first token) suits
+"typo in the tail" dirt; callers pass ``block_col`` for
+domain-appropriate keys (phonetic codes, sorted-token prefixes,
+multi-key unions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def default_block_key(col: Column) -> Column:
+    """Lowercased first whitespace token — a cheap, high-recall block
+    for strings whose dirt is in the tail."""
+    return F.lower(F.split(F.trim(col), r"\s+").getItem(0))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    *,
+    max_distance: int = 2,
+    block_col: Column | None = None,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """All (left row, right row) pairs whose texts are within
+    ``max_distance`` Levenshtein edits, candidates restricted to equal
+    blocking keys. Returns the left columns, the right columns (suffixed
+    ``_r`` on collision), and ``distance``.
+
+    The verify predicate is JVM-side ``levenshtein`` (whole-stage
+    codegen, no Python). With Spark's 3-arg form the DP computation
+    early-exits past the bound, so verification cost is
+    O(candidates × max_distance × len), not O(candidates × len²).
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if max_block_size < 1:
+        raise ValueError(f"max_block_size must be >= 1, got {max_block_size}")
+    bl = block_col if block_col is not None else default_block_key(F.col(left_text))
+    br = block_col if block_col is not None else default_block_key(F.col(right_text))
+
+    lcols = left.columns
+    rename = {c: f"{c}_r" for c in right.columns if c in lcols}
+    r = right.withColumnsRenamed(rename)
+    r_text = rename.get(right_text, right_text)
+    if block_col is None:
+        br = default_block_key(F.col(r_text))
+
+    l_b = left.withColumn("__blk", bl)
+    r_b = r.withColumn("__blk", br)
+    # drop degenerate blocks (counted on the right/clean side)
+    keep = (
+        r_b.groupBy("__blk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_block_size)
+        .select("__blk")
+    )
+    dist = F.levenshtein(F.col(left_text), F.col(r_text), max_distance)
+    return (
+        l_b.join(r_b.join(keep, "__blk"), "__blk")
+        .withColumn("distance", dist)
+        # 3-arg levenshtein returns -1 past the bound
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+        .drop("__blk")
+    )

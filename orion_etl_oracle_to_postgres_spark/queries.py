@@ -4550,3 +4550,52 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return priority_sample(d, "doc_id", "n_chars", 60, seed="prio0")
+
+
+@query(
+    "er_fuzzy_join_parts",
+    """
+    WITH dirty AS (
+      SELECT p_partkey AS dirty_key,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN substr(p_name, 1, length(p_name) - 1)
+                  ELSE p_name END AS dirty_name
+      FROM part WHERE p_partkey % 7 = 0
+    ),
+    clean AS (SELECT p_partkey, p_name FROM part),
+    blocked AS (
+      SELECT d.dirty_key, d.dirty_name, c.p_partkey, c.p_name,
+             levenshtein(d.dirty_name, c.p_name) AS distance
+      FROM dirty d
+      JOIN clean c
+        ON lower(string_split_regex(trim(d.dirty_name), '\\s+')[1])
+         = lower(string_split_regex(trim(c.p_name), '\\s+')[1])
+    )
+    SELECT dirty_key, dirty_name, p_partkey, p_name, distance
+    FROM blocked
+    WHERE distance <= 1
+    """,
+)
+def er_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Fuzzy entity resolution (operators/er.py:fuzzy_join): a
+    deterministically-dirtied slice of part names (every 3rd loses its
+    final character) is matched back to the clean catalog within 1
+    Levenshtein edit, candidates blocked on the lowercased first name
+    token — one hash equi-join, JVM-side early-exit edit distance,
+    never a cartesian. The oracle replays the identical dirt, block,
+    and bound."""
+    from .operators.er import fuzzy_join
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("dirty_name"),
+    )
+    return fuzzy_join(dirty, p, "dirty_name", "p_name", max_distance=1).select(
+        "dirty_key", "dirty_name", "p_partkey", "p_name", "distance"
+    )
