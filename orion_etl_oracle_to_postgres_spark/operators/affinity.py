@@ -55,7 +55,11 @@ def item_pairs_lift(
     bi = bi.join(
         sizes.filter(F.col("__sz") <= max_basket_items).select("__b"), "__b"
     )
-    n_baskets = bi.select("__b").distinct().count()
+    # 1-row broadcast frame, not a driver count: the count action would
+    # execute the distinct (a full shuffle over the fact table) once for
+    # the scalar and again for the pair join — as a cross-joined subtree
+    # the shuffled exchange is computed once and reused
+    n_baskets = bi.agg(F.countDistinct("__b").cast("double").alias("__N"))
     item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
     a, b = bi.alias("a"), bi.alias("b")
     pair_n = (
@@ -69,12 +73,13 @@ def item_pairs_lift(
     scored = (
         pair_n.join(F.broadcast(na), "item_a")
         .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",
             "n_pair",
             F.round(
-                F.col("n_pair") * F.lit(float(n_baskets)) / (F.col("__na") * F.col("__nb")),
+                F.col("n_pair") * F.col("__N") / (F.col("__na") * F.col("__nb")),
                 6,
             ).alias("lift"),
         )

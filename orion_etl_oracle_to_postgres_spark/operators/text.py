@@ -315,19 +315,24 @@ def bm25_rank(
     hits = tok.filter(F.col("__w").isin(terms))
     tf = hits.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
     dfreq = hits.groupBy("__w").agg(F.countDistinct(id_col).alias("__df"))
-    n_docs = df.count()
-    avgdl = dl.agg(F.avg("__dl")).collect()[0][0] or 1.0
+    # scalars as 1-row broadcast frames, NOT driver collects: a collect
+    # would execute dl's whole token aggregate once for the scalar and
+    # again in the join below — as a cross-joined subtree the exchange
+    # is computed once and reused (ReuseExchange)
+    stats = dl.agg(
+        F.coalesce(F.avg("__dl"), F.lit(1.0)).alias("__avgdl")
+    ).crossJoin(df.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
     )
     norm = F.col("__tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
     )
     contrib = idf * F.col("__tf") * (k1 + 1.0) / norm
     scored = (
         tf.join(F.broadcast(dfreq), "__w")
         .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
             F.round(F.sum(contrib), 6).alias("bm25"),
@@ -360,10 +365,16 @@ def unigram_logprob(
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
     per_doc = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
     corpus = per_doc.groupBy("__w").agg(F.sum("__c").alias("__cw"))
-    total = corpus.agg(F.sum("__cw")).collect()[0][0] or 1
-    logp = F.log2(F.col("__cw") / F.lit(float(total)))
+    # 1-row broadcast frame, not a driver collect (see bm25_rank: the
+    # collect would run the corpus aggregate twice; ReuseExchange runs
+    # it once)
+    total = corpus.agg(
+        F.coalesce(F.sum("__cw"), F.lit(1)).cast("double").alias("__t")
+    )
+    logp = F.log2(F.col("__cw") / F.col("__t"))
     agg = (
         per_doc.join(corpus, "__w")
+        .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.sum("__c").alias("n_tokens"),

@@ -4456,18 +4456,20 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
     glob = cnt.groupBy("w").agg(F.sum("c").alias("g"))
-    gt = glob.agg(F.sum("g")).collect()[0][0]
+    # grand total as a 1-row broadcast frame (exchange reuse, no collect)
+    gt = glob.agg(F.sum("g").cast("double").alias("gt"))
     lo = F.round(
         F.log((F.col("c") + 0.5) / (F.col("t") - F.col("c") + 0.5))
         - F.log(
             (F.col("g") - F.col("c") + 0.5)
-            / (F.lit(float(gt)) - F.col("t") - F.col("g") + F.col("c") + 0.5)
+            / (F.col("gt") - F.col("t") - F.col("g") + F.col("c") + 0.5)
         ),
         6,
     )
     scored = (
         cnt.join(F.broadcast(tot), "lang")
         .join(glob, "w")
+        .crossJoin(F.broadcast(gt))
         .select("lang", "w", "c", lo.alias("log_odds"))
     )
     w_rank = Window.partitionBy("lang").orderBy(F.desc("log_odds"), F.asc("w"))

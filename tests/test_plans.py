@@ -333,9 +333,11 @@ def test_affinity_pair_join_is_single_basket_shuffle(spark, sf):
     frequency tables broadcast onto the pair counts."""
     plan = plan_of(q.QUERIES["affinity_part_pairs"](spark, sf))
     assert "BroadcastHashJoin" in plan
-    # the basket-key self-join is an equi-join, never a cartesian
+    # the basket-key self-join is an equi-join, never a cartesian; the
+    # only nested-loop join allowed is the broadcast of the 1-row
+    # basket-total frame (scalar-as-frame, exchange-reuse pattern)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_containment_reuses_jaccard_postings_shape(spark, sf):
