@@ -12,7 +12,7 @@ are dropped (``max_block_size``, the stop-shingle cap pattern from
 ``ngram_jaccard_pairs``): a degenerate block ("smith") is quadratic in
 the join while contributing mostly false candidates. Recall depends on
 the blocking function — the default (lowercased first token) suits
-"typo in the tail" dirt; callers pass ``block_col`` for
+"typo in the tail" dirt; callers pass ``block_fn`` for
 domain-appropriate keys (phonetic codes, sorted-token prefixes,
 multi-key unions).
 """
@@ -35,13 +35,19 @@ def fuzzy_join(
     right_text: str,
     *,
     max_distance: int = 2,
-    block_col: Column | None = None,
+    block_fn=None,
     max_block_size: int = 10_000,
 ) -> DataFrame:
     """All (left row, right row) pairs whose texts are within
     ``max_distance`` Levenshtein edits, candidates restricted to equal
     blocking keys. Returns the left columns, the right columns (suffixed
     ``_r`` on collision), and ``distance``.
+
+    ``block_fn`` is ``Column -> Column``, applied to each side's text
+    column separately (a function, not a pre-built Column: the right
+    frame's columns are renamed on collision, so a shared Column
+    expression could not resolve against both sides). Default:
+    ``default_block_key``.
 
     The verify predicate is JVM-side ``levenshtein`` (whole-stage
     codegen, no Python). With Spark's 3-arg form the DP computation
@@ -52,18 +58,15 @@ def fuzzy_join(
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
     if max_block_size < 1:
         raise ValueError(f"max_block_size must be >= 1, got {max_block_size}")
-    bl = block_col if block_col is not None else default_block_key(F.col(left_text))
-    br = block_col if block_col is not None else default_block_key(F.col(right_text))
+    fn = block_fn if block_fn is not None else default_block_key
 
     lcols = left.columns
     rename = {c: f"{c}_r" for c in right.columns if c in lcols}
     r = right.withColumnsRenamed(rename)
     r_text = rename.get(right_text, right_text)
-    if block_col is None:
-        br = default_block_key(F.col(r_text))
 
-    l_b = left.withColumn("__blk", bl)
-    r_b = r.withColumn("__blk", br)
+    l_b = left.withColumn("__blk", fn(F.col(left_text)))
+    r_b = r.withColumn("__blk", fn(F.col(r_text)))
     # drop degenerate blocks (counted on the right/clean side)
     keep = (
         r_b.groupBy("__blk")

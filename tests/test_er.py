@@ -64,3 +64,15 @@ def test_fuzzy_join_guards(spark):
 def test_default_block_key_first_token_lower(spark):
     df = spark.createDataFrame([("  Acme  Widgets ",)], "s string")
     assert df.select(default_block_key(F.col("s")).alias("b")).collect()[0]["b"] == "acme"
+
+
+def test_fuzzy_join_custom_block_fn(spark):
+    # block on the LAST token instead: 'acme widgets' vs 'best widgets'
+    # share a block and are 4 edits apart -> matched at bound 4
+    left = spark.createDataFrame([(1, "acme widgets")], "lid int, name string")
+    right = spark.createDataFrame([(9, "best widgets")], "rid int, name string")
+    last_tok = lambda c: F.element_at(F.split(F.trim(c), r"\s+"), -1)  # noqa: E731
+    out = fuzzy_join(
+        left, right, "name", "name", max_distance=4, block_fn=last_tok
+    ).collect()
+    assert [(r["lid"], r["rid"], r["distance"]) for r in out] == [(1, 9, 4)]
