@@ -86,7 +86,10 @@ def finalize_agg_state(
     out = [F.col(k) for k in keys]
     for c in value_cols:
         n, s, q = F.col(f"{c}__cnt"), F.col(f"{c}__sum"), F.col(f"{c}__ssq")
-        var = F.when(n > 1, (q - s * s / n) / (n - 1))
+        # clamp at 0: cancellation in (q - s²/n) can go slightly negative
+        # for (near-)constant groups, which would finalize as a negative
+        # variance and a NaN stddev
+        var = F.when(n > 1, F.greatest(q - s * s / n, F.lit(0.0)) / (n - 1))
         out += [
             n.alias(f"{c}_n"),
             s.alias(f"{c}_total"),

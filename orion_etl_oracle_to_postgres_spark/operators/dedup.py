@@ -461,6 +461,47 @@ def simhash_near_dups(
     return pairs
 
 
+def _shingle_postings_common(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_postings: int,
+    *,
+    directed: bool,
+):
+    """Shared inverted-index machinery for the shingle-overlap pair
+    operators: distinct shingle stream (checkpointed once — pairs and
+    sizes both consume it), per-doc sizes, stop-shingle cap, and the
+    postings self-join counting common shingles per candidate pair.
+    ``directed=False`` yields each unordered pair once (id_i < id_j);
+    ``directed=True`` yields both directions (a != b). Returns
+    (sizes, common) with common columns (__ida, __idb, __common)."""
+    flat = shingle_hash_stream(df, id_col, text_col, shingle_n).localCheckpoint()
+    sizes = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    keep = (
+        flat.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_postings)
+        .select("__h")
+    )
+    postings = flat.join(keep, "__h")
+
+    a, b = postings.alias("a"), postings.alias("b")
+    pair_cond = (
+        (F.col("a.__id") != F.col("b.__id"))
+        if directed
+        else (F.col("a.__id") < F.col("b.__id"))
+    )
+    common = (
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & pair_cond)
+        .groupBy(F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb"))
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return sizes, common
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -481,27 +522,10 @@ def ngram_jaccard_pairs(
     measured Jaccard for pairs that shared it, so with the default cap
     (≫ any real posting list at test scale) results are exact.
     """
-    # eager localCheckpoint: see minhash_near_dups for rationale
-    flat = shingle_hash_stream(df, id_col, text_col, shingle_n).localCheckpoint()
-    sizes = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-
-    keep = (
-        flat.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_postings)
-        .select("__h")
+    sizes, common = _shingle_postings_common(
+        df, id_col, text_col, shingle_n, max_postings, directed=False
     )
-    postings = flat.join(keep, "__h")
-
-    a, b = postings.alias("a"), postings.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .groupBy(F.col("a.__id").alias("id_i"), F.col("b.__id").alias("id_j"))
-        .agg(F.count(F.lit(1)).alias("__common"))
-    )
+    common = common.withColumnsRenamed({"__ida": "id_i", "__idb": "id_j"})
     return (
         common.join(sizes.withColumnsRenamed({"__id": "id_i", "__n": "__ni"}), "id_i")
         .join(sizes.withColumnsRenamed({"__id": "id_j", "__n": "__nj"}), "id_j")
@@ -536,26 +560,10 @@ def containment_pairs(
     shingles, ``max_postings`` stop-shingle cap, per-doc sizes joined
     back); only the final ratio differs.
     """
-    flat = shingle_hash_stream(df, id_col, text_col, shingle_n).localCheckpoint()
-    sizes = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-
-    keep = (
-        flat.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_postings)
-        .select("__h")
+    sizes, common = _shingle_postings_common(
+        df, id_col, text_col, shingle_n, max_postings, directed=True
     )
-    postings = flat.join(keep, "__h")
-
-    a, b = postings.alias("a"), postings.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") != F.col("b.__id")),
-        )
-        .groupBy(F.col("a.__id").alias("id_sub"), F.col("b.__id").alias("id_super"))
-        .agg(F.count(F.lit(1)).alias("__common"))
-    )
+    common = common.withColumnsRenamed({"__ida": "id_sub", "__idb": "id_super"})
     return (
         common.join(
             sizes.withColumnsRenamed({"__id": "id_sub", "__n": "__nsub"}), "id_sub"

@@ -60,8 +60,19 @@ def fuzzy_join(
         raise ValueError(f"max_block_size must be >= 1, got {max_block_size}")
     fn = block_fn if block_fn is not None else default_block_key
 
-    lcols = left.columns
-    rename = {c: f"{c}_r" for c in right.columns if c in lcols}
+    lcols = set(left.columns)
+    taken = lcols | set(right.columns)
+    rename = {}
+    for c in right.columns:
+        if c in lcols:
+            # collision-free suffix: '{c}_r' may itself already exist on
+            # either side ('name' next to a real 'name_r' column), which
+            # would produce duplicate names and ambiguous references
+            cand = f"{c}_r"
+            while cand in taken:
+                cand += "_r"
+            rename[c] = cand
+            taken.add(cand)
     r = right.withColumnsRenamed(rename)
     r_text = rename.get(right_text, right_text)
 

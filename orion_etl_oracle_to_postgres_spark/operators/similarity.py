@@ -413,6 +413,10 @@ def embedding_near_dups(
         return _near_dups_block_matrix(
             df, vec_col, id_col, threshold, broadcast_limit
         )
+    if n_planes < 1:
+        # a 0-plane signature is constant: the bucket join becomes an
+        # all-pairs self-join of the corpus — refuse loudly
+        raise ValueError(f"n_planes must be >= 1, got {n_planes}")
     dim = _first_dim(df, vec_col)  # clear error on empty/NULL input
     planes = make_planes(dim, n_planes, seed)
     # ONE canonical (id, vec, bucket) plan self-joined under different

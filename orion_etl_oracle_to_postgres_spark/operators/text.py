@@ -310,11 +310,18 @@ def bm25_rank(
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
     terms = sorted({t.lower() for t in query_terms})
+    # ONE corpus tokenize/explode + ONE (doc, term) shuffle: dl, tf and
+    # df all derive from the per-(doc, term) count aggregate, whose
+    # exchange Spark reuses across the three consumers — the naive
+    # three-subtree form re-ran the explode (the dominant cost) 3×
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
-    hits = tok.filter(F.col("__w").isin(terms))
-    tf = hits.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
-    dfreq = hits.groupBy("__w").agg(F.countDistinct(id_col).alias("__df"))
+    per_doc = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    dl = per_doc.groupBy(id_col).agg(F.sum("__c").alias("__dl"))
+    hits = per_doc.filter(F.col("__w").isin(terms))
+    tf = hits.select(F.col(id_col), "__w", F.col("__c").alias("__tf"))
+    # per_doc is distinct on (doc, term), so rows-per-term IS the
+    # document frequency — no countDistinct needed
+    dfreq = hits.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
     # scalars as 1-row broadcast frames, NOT driver collects: a collect
     # would execute dl's whole token aggregate once for the scalar and
     # again in the join below — as a cross-joined subtree the exchange

@@ -4271,8 +4271,8 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              stddev_samp(cnt) OVER w AS sd_prev,
              count(*) OVER w AS n_prev
       FROM hourly
-      WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch(hour)
+                   RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
     )
     SELECT event_type, hour, cnt,
            round(mean_prev, 3) AS mean_prev,
@@ -4284,19 +4284,23 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Rolling z-score anomaly detection over the event stream:
-    hourly counts per event type scored against the trailing-24-hour
-    mean/stddev (current hour excluded), flagged at |z| ≥ 2. The
-    monitoring-shaped query every ingestion pipeline runs; one small
-    aggregate then a per-type ordered window — the window input is
-    hours × types, not events, so the sort is trivial at any scale."""
+    hourly counts per event type scored against the trailing-24-HOUR
+    wall-clock window (a RANGE frame over epoch seconds, current hour
+    excluded — a ROWS frame would silently span days for sparse types),
+    flagged at |z| ≥ 2 with ≥ 12 baseline hours. Baseline hours are
+    hours WITH events; a silent stream emits no row at all — pair with
+    the gap-fill operator (`agg_events_gapfill`) when dead-stream
+    detection is the goal. One small aggregate then a per-type ordered
+    window — the window input is hours × types, not events, so the
+    sort is trivial at any scale."""
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     w = (
         Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-24, -1)
+        .orderBy(F.unix_timestamp("hour"))
+        .rangeBetween(-86400, -3600)
     )
     stats = hourly.select(
         "event_type",

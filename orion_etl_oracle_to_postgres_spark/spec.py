@@ -217,6 +217,15 @@ class DedupSpec(BaseModel):
     #: this horizon are out of contract — state must be bounded)
     watermark_delay: str = "10 minutes"
 
+    @field_validator("n_planes")
+    @classmethod
+    def _planes_positive(cls, v: int) -> int:
+        if v < 1:
+            # n_planes=0 would make the LSH signature a constant -> the
+            # bucket equi-join degenerates to an all-pairs corpus self-join
+            raise ValueError(f"dedup n_planes must be >= 1, got {v}")
+        return v
+
     @field_validator("method")
     @classmethod
     def _known_method(cls, v: str) -> str:

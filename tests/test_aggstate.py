@@ -53,3 +53,15 @@ def test_bad_inputs_raise(spark):
         merge_agg_states([], ["k"], ["v"])
     with pytest.raises(ValueError, match="missing columns"):
         merge_agg_states([df], ["k"], ["v"])  # df is not a state frame
+
+
+def test_constant_group_variance_clamped_to_zero(spark):
+    # cancellation in (ssq - sum^2/n) can dip below zero for a
+    # constant-valued group; variance must clamp to 0.0, never NaN
+    v = 763701231.4304943
+    df = spark.createDataFrame([("a", v)] * 3, "k string, v double")
+    fin = finalize_agg_state(
+        build_agg_state(df, ["k"], ["v"]), ["k"], ["v"]
+    ).collect()[0]
+    assert fin["v_var"] == 0.0
+    assert fin["v_stddev"] == 0.0

@@ -76,3 +76,16 @@ def test_fuzzy_join_custom_block_fn(spark):
         left, right, "name", "name", max_distance=4, block_fn=last_tok
     ).collect()
     assert [(r["lid"], r["rid"], r["distance"]) for r in out] == [(1, 9, 4)]
+
+
+def test_fuzzy_join_rename_collision_is_resolved(spark):
+    # left already has name_r: the right 'name' must get a fresh suffix,
+    # not collide into a duplicate name_r
+    left = spark.createDataFrame(
+        [(1, "acme widgets", "decoy")], "lid int, name string, name_r string"
+    )
+    right = spark.createDataFrame([(9, "acme widgets")], "rid int, name string")
+    out = fuzzy_join(left, right, "name", "name", max_distance=0)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["distance"] == 0
+    assert len(set(out.columns)) == len(out.columns)  # all names unique

@@ -388,3 +388,26 @@ def test_semantic_dedup_clusters_and_singletons(spark):
     assert out[1]["cluster_id"] == 1 and out[1]["keep"]
     assert out[2]["cluster_id"] == 1 and not out[2]["keep"]
     assert out[3]["cluster_id"] == 3 and out[3]["keep"]
+
+
+def test_near_dups_rejects_nonpositive_planes(spark):
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_planes"):
+        embedding_near_dups(df, n_planes=0)
+
+
+def test_dedup_spec_rejects_nonpositive_planes():
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.spec import DedupSpec
+
+    with pytest.raises(ValueError, match="n_planes"):
+        DedupSpec(method="semantic", vector_column="v", id_column="i", n_planes=0)
