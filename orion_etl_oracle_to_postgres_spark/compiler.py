@@ -1325,6 +1325,21 @@ def _run_finalize_hooks(ctx: JobContext, spec: TableSpec) -> None:
             finalize(ctx, spec)
 
 
+class TableRunErrors(RuntimeError):
+    """Raised at the END of a run_job with ``on_table_error: continue``
+    when at least one table failed: every healthy table has already
+    loaded; ``failures`` maps target_table -> exception and ``results``
+    carries the per-table row counts (-1 for the failed ones)."""
+
+    def __init__(self, failures: dict[str, Exception], results: dict[str, int]):
+        self.failures = failures
+        self.results = results
+        super().__init__(
+            f"{len(failures)} table(s) failed: "
+            + ", ".join(f"{t}: {e}" for t, e in failures.items())
+        )
+
+
 def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
     """Run every table in declared order (reference iterates
     sequentially, ``pipeline.py:39``; independent tables could be
@@ -1374,20 +1389,50 @@ def run_job(spark: SparkSession, job: JobSpec) -> dict[str, int]:
         return n
 
     par = job.global_spec.table_parallelism
+    cont = job.global_spec.on_table_error == "continue"
+    failed: dict[str, Exception] = {}
+
+    def run_guarded(spec: TableSpec) -> int:
+        # "continue": isolate each table's failure, keep loading the
+        # rest (reference aborts the whole pipeline on the first error;
+        # this is the ops extension for wide nightly jobs). -1 marks a
+        # failed table in the results; the caller raises at the end.
+        if not cont:
+            return run_one(spec)
+        try:
+            return run_one(spec)
+        except Exception as e:  # noqa: BLE001 — reported, then re-raised in summary
+            logger.error(
+                "%s.%s -> %s.%s FAILED (on_table_error=continue): %s",
+                spec.source_schema,
+                spec.source_table,
+                spec.target_schema,
+                spec.target_table,
+                e,
+            )
+            failed[spec.target_table] = e
+            return -1
+
     results: dict[str, int] = {}
     if par <= 1 or len(job.tables) <= 1:
         for spec in job.tables:
-            results[spec.target_table] = run_one(spec)
-        return results
-    # Driver-side table concurrency: Spark job submission is thread-safe
-    # and the scheduler interleaves independent tables' stages across
-    # the executors (small tables no longer serialize behind big ones).
-    # Declared order is preserved in the RESULTS; execution order isn't
-    # — the spec contract says tables are independent at parallelism>1.
-    from concurrent.futures import ThreadPoolExecutor
+            results[spec.target_table] = run_guarded(spec)
+    else:
+        # Driver-side table concurrency: Spark job submission is
+        # thread-safe and the scheduler interleaves independent tables'
+        # stages across the executors (small tables no longer serialize
+        # behind big ones). Declared order is preserved in the RESULTS;
+        # execution order isn't — the spec contract says tables are
+        # independent at parallelism>1.
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=par) as pool:
-        futures = [(spec.target_table, pool.submit(run_one, spec)) for spec in job.tables]
-        for target, fut in futures:
-            results[target] = fut.result()
+        with ThreadPoolExecutor(max_workers=par) as pool:
+            futures = [
+                (spec.target_table, pool.submit(run_guarded, spec))
+                for spec in job.tables
+            ]
+            for target, fut in futures:
+                results[target] = fut.result()
+    if failed:
+        raise TableRunErrors(failed, results)
     return results

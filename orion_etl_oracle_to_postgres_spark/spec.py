@@ -416,6 +416,13 @@ class GlobalSpec(BaseModel):
     #: their own target; keep 1 if one table's target feeds another's
     #: lookup and ordering matters.
     table_parallelism: int = Field(default=1, ge=1)
+    #: per-table failure policy: "fail" aborts the whole job on the
+    #: first table error (the reference's behavior — an exception exits
+    #: run_pipeline, cli.py:141-150); "continue" runs the remaining
+    #: tables, reports failures per-table, and exits nonzero at the end
+    #: — the long-nightly-job mode where one bad table must not cost
+    #: the other 99 their load window.
+    on_table_error: str = Field(default="fail", pattern="^(fail|continue)$")
 
 
 class JobSpec(BaseModel):

@@ -1224,3 +1224,83 @@ def test_semantic_dedup_rejected_in_streaming_mode(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="semantic"):
         _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)
+
+
+def test_on_table_error_continue_loads_healthy_tables(spark, tmp_path):
+    """on_table_error=continue: a failing table must not block the rest;
+    run_job raises TableRunErrors at the END with per-table results."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobSpec,
+        TableRunErrors,
+        run_job,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").write.parquet(
+        str(src / "good.parquet")
+    )
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        ),
+        on_table_error="continue",
+    )
+    good = spec_mod.TableSpec(
+        source_table="good",
+        target_table="good_out",
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+    )
+    bad = spec_mod.TableSpec(
+        source_table="missing_table",
+        target_table="bad_out",
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+    )
+    job = JobSpec(global_spec=g, tables=[bad, good])
+    with pytest.raises(TableRunErrors) as ei:
+        run_job(spark, job)
+    assert set(ei.value.failures) == {"bad_out"}
+    assert ei.value.results["good_out"] == 2   # healthy table loaded
+    assert ei.value.results["bad_out"] == -1
+    assert spark.read.parquet(str(out / "good_out")).count() == 2
+
+
+def test_on_table_error_default_fail_fast(spark, tmp_path):
+    """Default (reference parity): the first failing table aborts the
+    job — later tables never run."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobSpec, run_job
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(
+        str(src / "good.parquet")
+    )
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        ),
+    )
+    bad = spec_mod.TableSpec(
+        source_table="missing_table",
+        target_table="bad_out",
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+    )
+    good = spec_mod.TableSpec(
+        source_table="good",
+        target_table="good_out",
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+    )
+    job = JobSpec(global_spec=g, tables=[bad, good])
+    with pytest.raises(Exception):
+        run_job(spark, job)
+    import os
+
+    assert not os.path.exists(str(out / "good_out"))  # never reached
