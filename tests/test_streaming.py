@@ -764,3 +764,101 @@ def test_native_session_window_stream_matches_custom_sessionize(spark, tmp_path)
         q1.stop()
         q2.stop()
     assert nat == cus == {(1, t0, 2, 3.0), (2, t0 + dt.timedelta(minutes=5), 1, 5.0)}
+
+
+def test_zscore_anomaly_stream_matches_batch_semantics(spark, tmp_path):
+    """streaming/anomaly.py parity: the spike hour must be flagged with
+    exactly the batch query's baseline (trailing-24h hours-with-events,
+    current excluded), gates, and rounding; quiet hours emit nothing."""
+    import datetime as dt
+    import math
+
+    from orion_etl_oracle_to_postgres_spark.streaming.anomaly import (
+        zscore_anomaly_stream,
+    )
+
+    T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    land = tmp_path / "anom_land"
+    land.mkdir()
+    schema = "event_type string, ts timestamp"
+
+    def hour_rows(h, n):
+        # n events inside hour h (spread across minutes)
+        return [("click", T0 + dt.timedelta(hours=h, minutes=m % 60)) for m in range(n)]
+
+    counts = {h: (h % 3) + 4 for h in range(29)}  # 4,5,6 pattern -> sd > 0
+    counts[29] = 50                               # the spike
+    counts[30], counts[31] = 5, 6
+
+    rows1 = [r for h in range(30) for r in hour_rows(h, counts[h])]
+    rows2 = [r for h in (30, 31) for r in hour_rows(h, counts[h])]
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(land))
+
+    feed(rows1)
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = zscore_anomaly_stream(stream, flag_z=2.0, min_hours=12, grace_hours=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed(rows2)
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM anom_out").collect()
+    finally:
+        q.stop()
+
+    # hand-computed batch expectation for the spike hour 29: baseline =
+    # hours 5..28 (24 hours, all present), mean/stddev_samp of the
+    # 4/5/6 pattern
+    base = [counts[h] for h in range(5, 29)]
+    mean = sum(base) / len(base)
+    sd = math.sqrt(sum((x - mean) ** 2 for x in base) / (len(base) - 1))
+    z = (50 - mean) / sd
+
+    assert len(got) == 1  # ONLY the spike hour is anomalous
+    r = got[0]
+    assert r["event_type"] == "click"
+    assert r["hour"] == T0 + dt.timedelta(hours=29)
+    assert r["cnt"] == 50
+    assert r["mean_prev"] == round(mean, 3)
+    assert r["z"] == round(z, 3)
+
+
+def test_zscore_anomaly_stream_respects_min_hours_gate(spark, tmp_path):
+    """Too little history -> no emission even for a huge spike."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.streaming.anomaly import (
+        zscore_anomaly_stream,
+    )
+
+    T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    land = tmp_path / "anom_land2"
+    schema = "event_type string, ts timestamp"
+    rows = [
+        ("buy", T0 + dt.timedelta(hours=h, minutes=m))
+        for h, n in [(0, 4), (1, 6), (2, 40), (3, 5), (4, 5), (5, 5)]
+        for m in range(n)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(land))
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = zscore_anomaly_stream(stream, flag_z=2.0, min_hours=12, grace_hours=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_out2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM anom_out2").count() == 0
+    finally:
+        q.stop()
