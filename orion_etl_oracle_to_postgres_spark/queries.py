@@ -4605,3 +4605,52 @@ def er_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(dirty, p, "dirty_name", "p_name", max_distance=1).select(
         "dirty_key", "dirty_name", "p_partkey", "p_name", "distance"
     )
+
+
+@query(
+    "agg_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def agg_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] TPC-H Q9-shaped profit rollup: five-way join (fact +
+    three broadcast dims + the orders date source) with the LIKE
+    filter pushed into the part scan BEFORE the join — the selective
+    dim then prunes the fact stream via its broadcast hash join.
+    The multi-join planning stressor next to the Q5-shaped
+    `agg_regional_supplier_revenue`."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+    )

@@ -376,3 +376,13 @@ def test_semantic_dedup_cluster_join_is_ids_only(spark, sf):
     assert set(df.columns) == {"vec_id", "cluster_id", "keep"}
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_q9_profit_join_chain_is_broadcast_with_pushed_like(spark, sf):
+    """Q9 shape: the three dims broadcast (no sort-merge joins except
+    possibly the orders fact join), and the selective LIKE filter
+    reaches the part scan as a pushed/partial filter, not post-join."""
+    plan = plan_of(q.QUERIES["agg_profit_by_nation_year"](spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the LIKE filter appears as a scan-side Contains, not post-join
+    assert "Contains(p_name" in plan
