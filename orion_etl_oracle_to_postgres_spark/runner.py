@@ -115,6 +115,22 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/profile.profile_table), then exit",
     )
     parser.add_argument(
+        "--reconcile",
+        default=None,
+        metavar="TABLE",
+        help="migration sign-off: recompile TABLE's pipeline frame, "
+        "diff it against the loaded target on --keys "
+        "(operators/reconcile.snapshot_diff), print the "
+        "added/removed/changed/same summary, then exit nonzero if the "
+        "target diverges",
+    )
+    parser.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated key columns for --reconcile (defaults to "
+        "the table's dedup id_column when configured)",
+    )
+    parser.add_argument(
         "--explain",
         action="store_true",
         help="compile every table and print its optimized physical plan "
@@ -180,6 +196,45 @@ def main(argv: list[str] | None = None) -> int:
         )
         logger.info("compacted %s: %s", args.compact, stats)
         return 0
+
+    if args.reconcile:
+        from .compiler import compile_table
+        from .operators.reconcile import diff_summary, snapshot_diff
+
+        tspec = next(
+            (
+                t for t in job.tables
+                if t.target_table == args.reconcile
+                or t.source_table == args.reconcile
+            ),
+            None,
+        )
+        if tspec is None:
+            raise SystemExit(f"--reconcile: no table {args.reconcile!r} in the job")
+        keys = (
+            [k.strip() for k in args.keys.split(",") if k.strip()]
+            if args.keys
+            else ([tspec.dedup.id_column] if tspec.dedup and tspec.dedup.id_column else None)
+        )
+        if not keys:
+            raise SystemExit(
+                "--reconcile needs --keys (or a dedup id_column on the table)"
+            )
+        ctx = JobContext(spark, job.global_spec)
+        expected = compile_table(ctx, tspec).df
+        actual = ctx._read_target(tspec.target_table, tspec.target_schema)
+        # compare on the pipeline's output columns only: the target may
+        # carry extra lineage/audit columns the plan didn't produce
+        diff = snapshot_diff(
+            expected, actual.select(expected.columns), keys
+        )
+        rows = diff_summary(diff).collect()
+        summary = {r["diff_status"]: r["n"] for r in rows}
+        logger.info("reconcile %s: %s", tspec.target_table, summary)
+        for r in rows:
+            print(f"{r['diff_status']}: {r['n']}")
+        bad = sum(n for st, n in summary.items() if st != "same")
+        return 1 if bad else 0
 
     if args.profile:
         from pyspark.errors import AnalysisException

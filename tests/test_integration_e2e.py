@@ -209,3 +209,61 @@ def test_cli_compact_and_profile_verbs(spark, tmp_path, capsys):
 
     assert main(["--config", cfg, "--profile", "frag"]) == 0
     assert "null_frac" in capsys.readouterr().out
+
+
+def test_cli_reconcile_verb(spark, tmp_path, capsys):
+    """--reconcile: after a clean load the summary is all-same (exit 0);
+    after tampering with the target it reports the divergence (exit 1)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, v double"
+    ).write.parquet(str(src / "t.parquet"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: t
+            target_table: t_out
+            mappings:
+              - source: id
+                target: id
+              - source: v
+                target: v
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg]) == 0
+    assert main(["--config", cfg, "--reconcile", "t_out", "--keys", "id"]) == 0
+    outtxt = capsys.readouterr().out
+    assert "same: 3" in outtxt
+
+    # tamper: drop a row and change another
+    tampered = (
+        spark.read.parquet(str(out / "t_out"))
+        .filter("id != 3")
+        .withColumn("v", F.expr("CASE WHEN id = 1 THEN v + 1 ELSE v END"))
+    )
+    tampered.write.mode("overwrite").parquet(str(out / "t_out_new"))
+    import shutil
+
+    shutil.rmtree(str(out / "t_out"))
+    shutil.move(str(out / "t_out_new"), str(out / "t_out"))
+    assert main(["--config", cfg, "--reconcile", "t_out", "--keys", "id"]) == 1
+    outtxt = capsys.readouterr().out
+    assert "changed: 1" in outtxt and "removed: 1" in outtxt
