@@ -48,23 +48,39 @@ def item_pairs_lift(
         raise ValueError(
             f"max_basket_items must be >= 2 (pairs need 2 items), got {max_basket_items}"
         )
-    bi = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    sizes = bi.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-    bi = bi.join(
-        sizes.filter(F.col("__sz") <= max_basket_items).select("__b"), "__b"
+    # ONE basket shuffle: collect_set dedups (basket, item) in the
+    # aggregate itself (map-side partials), replacing the earlier
+    # distinct + sizes + self-join formulation (three shuffles of the
+    # fact table). Pairs are generated INSIDE the row from the sorted
+    # item array — per-basket work is size², which max_basket_items
+    # bounds; nothing basket-shaped is joined.
+    baskets = (
+        df.groupBy(F.col(basket_col).alias("__b"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("__items"))
+        .filter(F.size("__items") <= max_basket_items)
     )
-    # 1-row broadcast frame, not a driver count: the count action would
-    # execute the distinct (a full shuffle over the fact table) once for
-    # the scalar and again for the pair join — as a cross-joined subtree
-    # the shuffled exchange is computed once and reused
-    n_baskets = bi.agg(F.countDistinct("__b").cast("double").alias("__N"))
-    item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
-    a, b = bi.alias("a"), bi.alias("b")
+    # the three consumers below share the basket exchange (ReuseExchange)
+    n_baskets = baskets.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    item_n = (
+        baskets.select(F.explode("__items").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("__items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__items"), i + 2, F.greatest(F.size("__items") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     pair_n = (
-        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
-        .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+        baskets.select(F.explode(pair_expr).alias("__p"))
+        .select("__p.item_a", "__p.item_b")
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_pair_count)
     )
