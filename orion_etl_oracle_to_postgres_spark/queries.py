@@ -4654,3 +4654,84 @@ def agg_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("profit")
         )
     )
+
+
+@query(
+    "ir_retrieve_rerank",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*) AS n FROM documents),
+    hits AS (SELECT * FROM tok
+             WHERE w IN ('data', 'model', 'learning', 'system', 'training')),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * dl.dl / avgdl.avgdl))),
+                   6) AS bm25
+      FROM tf
+      JOIN dfreq USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN avgdl CROSS JOIN n
+      GROUP BY tf.doc_id, n.n
+    ),
+    cands AS (
+      SELECT doc_id, bm25 FROM scored
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT 50
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT c.doc_id, c.bm25,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+             AS cosine_sim
+    FROM cands c
+    JOIN embeddings e ON e.vec_id = c.doc_id
+    CROSS JOIN q
+    ORDER BY cosine_sim DESC, c.doc_id ASC
+    LIMIT 10
+    """,
+)
+def ir_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Two-stage retrieval: BM25 lexical top-50 candidates
+    (operators/text.py:bm25_rank) reranked by embedding cosine against
+    the query doc's vector — the classic hybrid search/RAG pipeline as
+    ONE Catalyst plan. The rerank joins 50 ids against the embedding
+    table (broadcast of the tiny candidate set), so the expensive
+    vector math touches candidates only, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    cands = text.bm25_rank(d, "text", "doc_id", _BM25_TERMS, top_k=50).select(
+        "doc_id", "bm25"
+    )
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    from .functions import cosine
+
+    reranked = (
+        F.broadcast(cands)
+        .join(e, cands.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(qv).cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return reranked.orderBy(F.desc("cosine_sim"), F.asc("doc_id")).limit(10)
