@@ -184,6 +184,39 @@ def op_mask(col: Column, arg: str | None = None) -> Column:
     )
 
 
+@register("transform_op", "normalize_unicode")
+def op_normalize_unicode(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``normalize_unicode[:form]`` — Unicode
+    normalization (default NFC; NFC/NFD/NFKC/NFKD) so visually-equal
+    strings compare equal before dedup/joins — the é-as-one-codepoint
+    vs e-plus-combining-accent mismatch that silently splits groups.
+
+    This is the documented pandas_udf ESCAPE HATCH (SURVEY.md §1.2:
+    Column expressions first, pandas_udf second, row UDF never): the
+    JVM has no normalizer expression, so the op runs as an Arrow-batched
+    vectorized UDF — columnar transfer, one Python call per batch, not
+    per row. NULLs pass through."""
+    form = (arg or "NFC").upper()
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_unicode form must be NFC|NFD|NFKC|NFKD, got {arg!r}")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(sr):
+        import unicodedata
+
+        return sr.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    # real class objects, not string annotations: the module uses
+    # `from __future__ import annotations`, under which a decorator-style
+    # `sr: pd.Series` hint becomes an unresolvable string (pd is local)
+    _norm_fn.__annotations__ = {"sr": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm_fn, "string")(col.cast("string"))
+
+
 @register("transform_op", "encrypt")
 def op_encrypt(col: Column, arg: str | None = None) -> Column:
     """[engine extension] ``encrypt:<key>`` — reversible column

@@ -4735,3 +4735,34 @@ def ir_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return reranked.orderBy(F.desc("cosine_sim"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "text_unicode_normalize",
+    """
+    SELECT doc_id,
+           nfc_normalize(substr(text, 1, 24) || 'e' || chr(769)) AS norm_text,
+           length(substr(text, 1, 24) || 'e' || chr(769))
+             - length(nfc_normalize(substr(text, 1, 24) || 'e' || chr(769)))
+             AS codepoints_folded
+    FROM documents
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Unicode NFC normalization
+    (operators/transforms.py:op_normalize_unicode): each doc prefix gets
+    a decomposed e+combining-acute appended, then normalizes — the
+    é-as-two-codepoints mismatch that silently splits dedup groups,
+    folded before comparison. The documented pandas_udf escape hatch:
+    Arrow-batched vectorized Python (the JVM has no normalizer
+    expression), columnar transfer, never per-row."""
+    from .operators.transforms import op_normalize_unicode
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.substring(F.col("text"), 1, 24), F.lit("e\u0301"))
+    norm = op_normalize_unicode(raw)
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length(raw) - F.length(norm)).alias("codepoints_folded"),
+    )

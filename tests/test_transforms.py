@@ -177,3 +177,41 @@ def test_encrypt_rejects_bad_keys(spark):
         apply_transform_chain(F.col("x"), ["encrypt:short"], "string")
     with pytest.raises(ValueError, match="needs a key"):
         apply_transform_chain(F.col("x"), ["encrypt"], "string")
+
+
+def test_normalize_unicode_nfc_roundtrip(spark):
+    import unicodedata
+
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import (
+        op_normalize_unicode,
+    )
+    from pyspark.sql import functions as F
+
+    decomposed = "Café"          # e + combining accent
+    composed = unicodedata.normalize("NFC", decomposed)  # é as one codepoint
+    df = spark.createDataFrame([(decomposed,), (None,)], "s string")
+    got = [r["n"] for r in df.select(op_normalize_unicode(F.col("s")).alias("n")).collect()]
+    assert got[0] == composed and got[0] != decomposed
+    assert got[1] is None
+
+    # NFKD form + bad form rejection
+    import pytest
+
+    with pytest.raises(ValueError, match="normalize_unicode"):
+        op_normalize_unicode(F.col("s"), "bogus")
+
+
+def test_normalize_unicode_in_transform_chain(spark):
+    """The op resolves from the registry through the compiler chain."""
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import (
+        apply_transform_chain,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("  Caf\u00e9  ",)], "s string")
+    out = df.select(
+        apply_transform_chain(
+            F.col("s"), ["strip", "normalize_unicode:NFC", "upper"], "string"
+        ).alias("v")
+    ).collect()[0]["v"]
+    assert out == "CAF\u00c9"
