@@ -672,23 +672,38 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # label (both pure hash projections — zero shuffles; distinct seeds
     # keep sample and split uncorrelated)
     if spec.sample is not None:
-        from .operators.curation import weighted_sample
-
         smp = spec.sample
-        for c in (smp.id_column, smp.group_column):
+        needed = [smp.id_column] + (
+            [smp.group_column] if smp.method == "rates"
+            else [smp.weight_column] if smp.method == "priority" else []
+        )
+        for c in needed:
             if c not in df.columns:
                 raise ValueError(
                     f"{spec.source_table}: sample column {c!r} not in "
                     f"pipeline output {df.columns}"
                 )
-        df = weighted_sample(
-            df,
-            smp.id_column,
-            smp.group_column,
-            dict(smp.rates),
-            seed=smp.seed,
-            default_rate=smp.default_rate,
-        )
+        if smp.method == "rates":
+            from .operators.curation import weighted_sample
+
+            df = weighted_sample(
+                df,
+                smp.id_column,
+                smp.group_column,
+                dict(smp.rates),
+                seed=smp.seed,
+                default_rate=smp.default_rate,
+            )
+        elif smp.method == "exact_n":
+            from .operators.curation import sample_n
+
+            df = sample_n(df, smp.id_column, int(smp.n), seed=smp.seed)
+        else:  # priority
+            from .operators.curation import priority_sample
+
+            df = priority_sample(
+                df, smp.id_column, smp.weight_column, int(smp.n), seed=smp.seed
+            )
     if spec.split is not None:
         from .operators.curation import hash_split
 

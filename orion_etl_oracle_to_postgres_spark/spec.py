@@ -237,16 +237,45 @@ class DedupSpec(BaseModel):
 
 
 class SampleSpec(BaseModel):
-    """[engine extension] Declarative data mixing: keep each row with a
-    deterministic per-group rate (``operators/curation.py:
-    weighted_sample``) — portable md5 buckets, so re-runs and engine
-    migrations keep the exact same rows."""
+    """[engine extension] Declarative sampling / data mixing, three
+    methods (all deterministic via portable md5 hashes — re-runs and
+    engine migrations keep the exact same rows):
 
+    ``method: rates`` (default) — per-group keep rates
+    (``curation.weighted_sample``; needs ``group_column`` + ``rates``).
+    ``method: exact_n`` — the global exact-N sample
+    (``curation.sample_n``; needs ``n``).
+    ``method: priority`` — exact-N WEIGHTED without replacement,
+    Efraimidis-Spirakis (``curation.priority_sample``; needs ``n`` +
+    ``weight_column``)."""
+
+    method: str = "rates"  # rates | exact_n | priority
     id_column: str
-    group_column: str
-    rates: dict  # group value -> keep rate in [0, 1]
+    group_column: Optional[str] = None
+    rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
     default_rate: float = 0.0
+    n: Optional[int] = None
+    weight_column: Optional[str] = None
     seed: str = "mix0"
+
+    @field_validator("method")
+    @classmethod
+    def _known_sample_method(cls, v: str) -> str:
+        if v not in ("rates", "exact_n", "priority"):
+            raise ValueError(
+                f"sample method must be rates|exact_n|priority, got {v!r}"
+            )
+        return v
+
+    @model_validator(mode="after")
+    def _method_requirements(self) -> "SampleSpec":
+        if self.method == "rates" and (self.group_column is None or self.rates is None):
+            raise ValueError("sample method=rates needs group_column and rates")
+        if self.method in ("exact_n", "priority") and not self.n:
+            raise ValueError(f"sample method={self.method} needs n > 0")
+        if self.method == "priority" and not self.weight_column:
+            raise ValueError("sample method=priority needs weight_column")
+        return self
 
 
 class SplitSpec(BaseModel):

@@ -1304,3 +1304,70 @@ def test_on_table_error_default_fail_fast(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(out / "good_out"))  # never reached
+
+
+def test_sample_spec_exact_n_and_priority(spark, tmp_path):
+    """SampleSpec methods exact_n and priority compile into the
+    pipeline; bad combinations are refused at spec build time."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        priority_sample,
+        sample_n,
+    )
+
+    src = tmp_path / "src"
+    rows = [(i, float((i % 10) + 1)) for i in range(100)]
+    spark.createDataFrame(rows, "id int, w double").write.parquet(
+        str(src / "t.parquet")
+    )
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src))
+        )
+    )
+
+    def build(sample):
+        return spec_mod.TableSpec(
+            source_table="t",
+            target_table="t_out",
+            sample=sample,
+            mappings=[
+                spec_mod.MappingSpec(source="id", target="id"),
+                spec_mod.MappingSpec(source="w", target="w"),
+            ],
+        )
+
+    base = spark.read.parquet(str(src / "t.parquet"))
+    ctx = JobContext(spark=spark, global_spec=g)
+
+    got_n = compile_table(
+        ctx, build(spec_mod.SampleSpec(method="exact_n", id_column="id", n=7, seed="s1"))
+    ).df
+    want_n = sample_n(base.select("id", "w"), "id", 7, seed="s1")
+    assert sorted(r["id"] for r in got_n.collect()) == sorted(
+        r["id"] for r in want_n.collect()
+    )
+
+    got_p = compile_table(
+        ctx,
+        build(
+            spec_mod.SampleSpec(
+                method="priority", id_column="id", weight_column="w", n=9,
+                seed="s2",
+            )
+        ),
+    ).df
+    want_p = priority_sample(base.select("id", "w"), "id", "w", 9, seed="s2")
+    assert sorted(r["id"] for r in got_p.collect()) == sorted(
+        r["id"] for r in want_p.collect()
+    )
+
+    with pytest.raises(ValueError, match="needs n"):
+        spec_mod.SampleSpec(method="exact_n", id_column="id")
+    with pytest.raises(ValueError, match="weight_column"):
+        spec_mod.SampleSpec(method="priority", id_column="id", n=5)
+    with pytest.raises(ValueError, match="group_column and rates"):
+        spec_mod.SampleSpec(method="rates", id_column="id")
