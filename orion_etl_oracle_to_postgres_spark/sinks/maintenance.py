@@ -294,3 +294,65 @@ def merge_upsert(
     merged.write.mode("overwrite").format(fmt).save(tmp)
     swap_dataset(spark, path, tmp)
     return {"updated_partitions": None, "upserts": n_up}
+
+
+def retention_delete(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str,
+    keep_from: str,
+    value_type: str = "string",
+) -> dict:
+    """TTL/retention enforcement for a hive-partitioned files dataset:
+    drop every ``{partition_col}={value}`` directory whose value sorts
+    BEFORE ``keep_from`` — pure directory removals, no data scan, no
+    rewrite. The ops primitive behind "keep 90 days": at 100 TB the
+    only affordable delete is one that never opens a file.
+
+    ``value_type`` controls the comparison: ``string`` (lexicographic —
+    correct for ISO dates, zero-padded ids), ``int``, or ``date``
+    (ISO ``YYYY-MM-DD``, validated). Hive-encoded partition values are
+    URL-decoded before comparison. A flat (non-partitioned) dataset is
+    refused loudly — row-level retention needs a rewrite
+    (``merge_upsert``/filter), which must be an explicit choice.
+
+    Returns ``{"deleted": [values...], "kept": n_kept}``.
+    """
+    import datetime as _dt
+    import urllib.parse
+
+    if value_type not in ("string", "int", "date"):
+        raise ValueError(f"value_type must be string|int|date, got {value_type!r}")
+
+    def parse(v: str):
+        if value_type == "int":
+            return int(v)
+        if value_type == "date":
+            return _dt.date.fromisoformat(v)
+        return v
+
+    cutoff = parse(keep_from)
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(path)
+    prefix = f"{partition_col}="
+    part_dirs = [
+        st.getPath()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    if not part_dirs:
+        raise ValueError(
+            f"{path} has no {prefix}* partition directories — retention_delete "
+            "only drops whole partitions; filter+rewrite a flat dataset instead"
+        )
+    deleted, kept = [], 0
+    for p in part_dirs:
+        raw = urllib.parse.unquote(p.getName()[len(prefix):])
+        if parse(raw) < cutoff:
+            fs.delete(p, True)
+            deleted.append(raw)
+        else:
+            kept += 1
+    return {"deleted": sorted(deleted), "kept": kept}

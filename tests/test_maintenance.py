@@ -205,3 +205,51 @@ def test_snapshot_diff_rejects_duplicate_keys(spark):
         snapshot_diff(b, a, ["id"])
     # opt-out path still builds a plan
     assert snapshot_diff(b, b, ["id"], check_duplicates=False).count() == 1
+
+
+def test_retention_delete_drops_old_partitions(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import (
+        retention_delete,
+    )
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(5)],
+        "id int, day string",
+    )
+    df.write.partitionBy("day").parquet(path)
+    out = retention_delete(
+        spark, path, partition_col="day", keep_from="2024-01-03",
+        value_type="date",
+    )
+    assert out["deleted"] == ["2024-01-01", "2024-01-02"]
+    assert out["kept"] == 2
+    back = spark.read.parquet(path)
+    # partition-value inference reads the dir values back as DateType
+    assert sorted(str(r["day"]) for r in back.select("day").distinct().collect()) == [
+        "2024-01-03", "2024-01-04",
+    ]
+
+
+def test_retention_delete_int_ordering_and_flat_refusal(spark, tmp_path):
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import (
+        retention_delete,
+    )
+
+    path = str(tmp_path / "ds2")
+    df = spark.createDataFrame(
+        [(i, b) for b in (2, 9, 10) for i in range(3)], "id int, batch int"
+    )
+    df.write.partitionBy("batch").parquet(path)
+    # int compare: 9 < 10 (lexicographic would wrongly delete '10')
+    out = retention_delete(
+        spark, path, partition_col="batch", keep_from="10", value_type="int"
+    )
+    assert out["deleted"] == ["2", "9"] and out["kept"] == 1
+
+    flat = str(tmp_path / "flat")
+    spark.range(3).write.parquet(flat)
+    with pytest.raises(ValueError, match="partition directories"):
+        retention_delete(spark, flat, partition_col="day", keep_from="x")
