@@ -4766,3 +4766,117 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         (F.length(raw) - F.length(norm)).alias("codepoints_folded"),
     )
+
+
+@query(
+    "ir_rrf_fusion",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*) AS n FROM documents),
+    hits AS (SELECT * FROM tok
+             WHERE w IN ('data', 'model', 'learning', 'system', 'training')),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * dl.dl / avgdl.avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
+      CROSS JOIN avgdl CROSS JOIN n
+      GROUP BY tf.doc_id, n.n
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+      FROM bm
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT 100
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS c
+      FROM embeddings e CROSS JOIN q
+    ),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r_sem
+      FROM cos
+      ORDER BY c DESC, doc_id ASC
+      LIMIT 100
+    )
+    SELECT doc_id,
+           coalesce(l.r_lex, 0)::BIGINT AS r_lex,
+           coalesce(s.r_sem, 0)::BIGINT AS r_sem,
+           round(coalesce(1.0 / (60 + l.r_lex), 0)
+                 + coalesce(1.0 / (60 + s.r_sem), 0), 6) AS rrf
+    FROM sem s FULL OUTER JOIN lex l USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def ir_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Reciprocal-rank fusion of the lexical (BM25) and semantic
+    (cosine) rankings: rrf = Σ 1/(60 + rank) — the standard
+    score-scale-free hybrid combiner, fused over BOUNDED top-100
+    candidate lists from each retriever (real RRF fuses candidate
+    lists, and a global corpus rank would be a one-partition sort at
+    scale — each list is a TakeOrderedAndProject; the rank window runs
+    over ≤100 rows). Rounded-score + id tie-breaks on BOTH engines
+    keep the fusion deterministic; a doc missing from one list
+    contributes only the other list's term."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = text.bm25_rank(d, "text", "doc_id", _BM25_TERMS, top_k=100).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    from .functions import cosine
+
+    sem = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(qv).cast("array<double>"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("r_sem"),
+        )
+    )
+    fused = sem.join(lex, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("r_lex"),
+        F.coalesce(F.col("r_sem"), F.lit(0)).cast("long").alias("r_sem"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

@@ -115,6 +115,24 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/profile.profile_table), then exit",
     )
     parser.add_argument(
+        "--retention",
+        default=None,
+        metavar="TABLE",
+        help="maintenance: drop TABLE's partition directories older than "
+        "--keep-from (sinks/maintenance.retention_delete), then exit",
+    )
+    parser.add_argument(
+        "--keep-from",
+        default=None,
+        help="--retention cutoff value (partitions sorting before it drop)",
+    )
+    parser.add_argument(
+        "--retention-type",
+        default="string",
+        choices=("string", "int", "date"),
+        help="--retention value ordering (default string/lexicographic)",
+    )
+    parser.add_argument(
         "--reconcile",
         default=None,
         metavar="TABLE",
@@ -195,6 +213,35 @@ def main(argv: list[str] | None = None) -> int:
             options={"header": "true"} if conns.target_files.format == "csv" else None,
         )
         logger.info("compacted %s: %s", args.compact, stats)
+        return 0
+
+    if args.retention:
+        from pathlib import Path
+
+        from .sinks.maintenance import retention_delete
+
+        conns = job.global_spec.connectors
+        if conns.target_files is None:
+            raise SystemExit("--retention needs a files target connector")
+        tspec = next(
+            (t for t in job.tables if t.target_table == args.retention), None
+        )
+        if tspec is None or not tspec.partition_by:
+            raise SystemExit(
+                f"--retention: table {args.retention!r} not found or has no "
+                "partition_by in its spec (whole-partition TTL needs a hive layout)"
+            )
+        if not args.keep_from:
+            raise SystemExit("--retention needs --keep-from <cutoff>")
+        stats = retention_delete(
+            spark,
+            str(Path(conns.target_files.base_path) / args.retention),
+            partition_col=tspec.partition_by[0],
+            keep_from=args.keep_from,
+            value_type=args.retention_type,
+        )
+        logger.info("retention %s: %s", args.retention, stats)
+        print(f"deleted: {len(stats['deleted'])} kept: {stats['kept']}")
         return 0
 
     if args.reconcile:

@@ -267,3 +267,58 @@ def test_cli_reconcile_verb(spark, tmp_path, capsys):
     assert main(["--config", cfg, "--reconcile", "t_out", "--keys", "id"]) == 1
     outtxt = capsys.readouterr().out
     assert "changed: 1" in outtxt and "removed: 1" in outtxt
+
+
+def test_cli_retention_verb(spark, tmp_path, capsys):
+    import textwrap
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(i, f"2024-02-{d:02d}") for d in (1, 2, 3) for i in range(4)],
+        "id int, day string",
+    ).write.parquet(str(src / "ev.parquet"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [ev.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "ev.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: ev
+            target_table: ev_out
+            partition_by: [day]
+            mappings:
+              - source: id
+                target: id
+              - source: day
+                target: day
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg]) == 0
+    assert (
+        main(
+            [
+                "--config", cfg, "--retention", "ev_out",
+                "--keep-from", "2024-02-02", "--retention-type", "date",
+            ]
+        )
+        == 0
+    )
+    assert "deleted: 1 kept: 2" in capsys.readouterr().out
+    days = {
+        str(r["day"])
+        for r in spark.read.parquet(str(out / "ev_out")).select("day").distinct().collect()
+    }
+    assert days == {"2024-02-02", "2024-02-03"}
