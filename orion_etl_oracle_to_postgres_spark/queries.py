@@ -3995,10 +3995,9 @@ def reconcile_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["data", "model", "learning", "system", "training"]
 
-
-@query(
-    "text_bm25_rank",
-    """
+# Shared oracle CTE block for every BM25-based query — one definition so
+# a scoring change cannot silently diverge between oracles.
+_BM25_SQL_CTES = """
     WITH tok AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -4026,6 +4025,13 @@ _BM25_TERMS = ["data", "model", "learning", "system", "training"]
       CROSS JOIN avgdl CROSS JOIN n
       GROUP BY tf.doc_id, n.n
     )
+"""
+
+
+@query(
+    "text_bm25_rank",
+    _BM25_SQL_CTES
+    + """
     SELECT doc_id, n_terms_hit, bm25
     FROM scored
     ORDER BY bm25 DESC, doc_id ASC
@@ -4658,34 +4664,9 @@ def agg_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ir_retrieve_rerank",
-    """
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                x -> x <> '')) AS w
-      FROM documents
-    ),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
-    n AS (SELECT count(*) AS n FROM documents),
-    hits AS (SELECT * FROM tok
-             WHERE w IN ('data', 'model', 'learning', 'system', 'training')),
-    tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY 1, 2),
-    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
-    scored AS (
-      SELECT tf.doc_id,
-             round(sum(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                       * tf.tf * (1.2 + 1.0)
-                       / (tf.tf + 1.2 * (1.0 - 0.75
-                                         + 0.75 * dl.dl / avgdl.avgdl))),
-                   6) AS bm25
-      FROM tf
-      JOIN dfreq USING (w)
-      JOIN dl USING (doc_id)
-      CROSS JOIN avgdl CROSS JOIN n
-      GROUP BY tf.doc_id, n.n
-    ),
-    cands AS (
+    _BM25_SQL_CTES
+    + """
+    , cands AS (
       SELECT doc_id, bm25 FROM scored
       ORDER BY bm25 DESC, doc_id ASC
       LIMIT 50
@@ -4770,35 +4751,12 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ir_rrf_fusion",
-    """
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                x -> x <> '')) AS w
-      FROM documents
-    ),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
-    n AS (SELECT count(*) AS n FROM documents),
-    hits AS (SELECT * FROM tok
-             WHERE w IN ('data', 'model', 'learning', 'system', 'training')),
-    tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY 1, 2),
-    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
-    bm AS (
-      SELECT tf.doc_id,
-             round(sum(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                       * tf.tf * (1.2 + 1.0)
-                       / (tf.tf + 1.2 * (1.0 - 0.75
-                                         + 0.75 * dl.dl / avgdl.avgdl))),
-                   6) AS bm25
-      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
-      CROSS JOIN avgdl CROSS JOIN n
-      GROUP BY tf.doc_id, n.n
-    ),
-    lex AS (
+    _BM25_SQL_CTES
+    + """
+    , lex AS (
       SELECT doc_id,
              row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
-      FROM bm
+      FROM scored
       ORDER BY bm25 DESC, doc_id ASC
       LIMIT 100
     ),

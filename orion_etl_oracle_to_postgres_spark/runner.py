@@ -233,9 +233,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         if not args.keep_from:
             raise SystemExit("--retention needs --keep-from <cutoff>")
+        # files targets always write to <base>/<table>: the compiler
+        # passes schema=None to the files sink (compiler.py resolve_sink
+        # call — target_schema is a JDBC concept), same layout --compact
+        # assumes
         stats = retention_delete(
             spark,
-            str(Path(conns.target_files.base_path) / args.retention),
+            str(Path(conns.target_files.base_path) / tspec.target_table),
             partition_col=tspec.partition_by[0],
             keep_from=args.keep_from,
             value_type=args.retention_type,
@@ -268,7 +272,16 @@ def main(argv: list[str] | None = None) -> int:
                 "--reconcile needs --keys (or a dedup id_column on the table)"
             )
         ctx = JobContext(spark, job.global_spec)
-        expected = compile_table(ctx, tspec).df
+        # reconcile compares the FULL recomputed pipeline frame against
+        # the full target: strip the incremental stage (otherwise the
+        # frame holds only rows above the committed high-water mark —
+        # or a streaming scan — and every loaded row reads as diff)
+        full_spec = (
+            tspec.model_copy(update={"incremental": None})
+            if tspec.incremental is not None
+            else tspec
+        )
+        expected = compile_table(ctx, full_spec).df
         actual = ctx._read_target(tspec.target_table, tspec.target_schema)
         # compare on the pipeline's output columns only: the target may
         # carry extra lineage/audit columns the plan didn't produce
@@ -317,7 +330,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     smoke_check(spark, job)
-    results = run_job(spark, job)
+    from .compiler import TableRunErrors
+
+    try:
+        results = run_job(spark, job)
+    except TableRunErrors as e:
+        # on_table_error=continue contract: healthy tables already
+        # loaded — report EVERY table, name the failures, exit nonzero
+        log = logging.getLogger(__name__)
+        for table, n in e.results.items():
+            if n >= 0:
+                log.info("loaded %s: %d rows", table, n)
+        for table, err in e.failures.items():
+            log.error("FAILED %s: %s", table, err)
+        return 1
     for table, n in results.items():
         logging.getLogger(__name__).info("loaded %s: %d rows", table, n)
     return 0

@@ -350,6 +350,13 @@ def retention_delete(
     deleted, kept = [], 0
     for p in part_dirs:
         raw = urllib.parse.unquote(p.getName()[len(prefix):])
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            # Spark's NULL-value partition: unorderable against the
+            # cutoff — always kept (dropping nulls must be an explicit
+            # filter+rewrite decision, and crashing here would block
+            # TTL for the whole table)
+            kept += 1
+            continue
         if parse(raw) < cutoff:
             fs.delete(p, True)
             deleted.append(raw)

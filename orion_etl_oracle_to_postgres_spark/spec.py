@@ -271,7 +271,9 @@ class SampleSpec(BaseModel):
     def _method_requirements(self) -> "SampleSpec":
         if self.method == "rates" and (self.group_column is None or self.rates is None):
             raise ValueError("sample method=rates needs group_column and rates")
-        if self.method in ("exact_n", "priority") and not self.n:
+        if self.method in ("exact_n", "priority") and (
+            self.n is None or self.n <= 0
+        ):
             raise ValueError(f"sample method={self.method} needs n > 0")
         if self.method == "priority" and not self.weight_column:
             raise ValueError("sample method=priority needs weight_column")

@@ -101,7 +101,9 @@ def zscore_anomaly_stream(
                 if h - 24 * _H <= b <= h - _H
             ]
             emitted_until = h
-            if len(base) < min_hours:
+            # max(…, 2): sample variance needs n ≥ 2 — the batch twin's
+            # stddev_samp is NULL for n=1 and filtered by sd > 0
+            if len(base) < max(min_hours, 2):
                 continue
             mean = sum(base) / len(base)
             var = sum((x - mean) ** 2 for x in base) / (len(base) - 1)

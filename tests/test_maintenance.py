@@ -253,3 +253,20 @@ def test_retention_delete_int_ordering_and_flat_refusal(spark, tmp_path):
     spark.range(3).write.parquet(flat)
     with pytest.raises(ValueError, match="partition directories"):
         retention_delete(spark, flat, partition_col="day", keep_from="x")
+
+
+def test_retention_delete_keeps_null_partition(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import (
+        retention_delete,
+    )
+
+    path = str(tmp_path / "ds3")
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-05"), (3, None)], "id int, day string"
+    ).write.partitionBy("day").parquet(path)
+    out = retention_delete(
+        spark, path, partition_col="day", keep_from="2024-01-03",
+        value_type="date",
+    )
+    # null partition survives (unorderable), old date dropped
+    assert out["deleted"] == ["2024-01-01"] and out["kept"] == 2

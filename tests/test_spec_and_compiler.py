@@ -1371,3 +1371,12 @@ def test_sample_spec_exact_n_and_priority(spark, tmp_path):
         spec_mod.SampleSpec(method="priority", id_column="id", n=5)
     with pytest.raises(ValueError, match="group_column and rates"):
         spec_mod.SampleSpec(method="rates", id_column="id")
+
+
+def test_sample_spec_rejects_negative_n():
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    with pytest.raises(ValueError, match="needs n > 0"):
+        spec_mod.SampleSpec(method="exact_n", id_column="id", n=-5)
