@@ -1,0 +1,60 @@
+"""[EXT] Privacy auditing (SURVEY.md §2.11): k-anonymity over
+quasi-identifier columns. The reference moves PII with at most a
+per-column hash/mask (`/root/reference/` has no audit surface at all);
+a migration that pseudonymizes direct identifiers can still leak
+identity through COMBINATIONS of innocuous columns — (zip, birth year,
+segment) famously re-identifies most of a population. This operator
+measures that risk before publish.
+
+Scale shape: one groupBy over the quasi-identifier tuple (map-side
+combined word-count shape) and a tiny ordered report; nothing else
+shuffles. Pairs with the `hash`/`mask`/`encrypt` transform ops and the
+quarantine policy: audit → generalize or suppress → re-audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """The ``top_n`` smallest quasi-identifier groups with size < ``k``
+    — the rows whose combination of 'harmless' attributes makes them
+    re-identifiable. Empty result ⇔ the dataset IS k-anonymous for
+    these columns. Deterministic ordering: size asc, then the quasi
+    values."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        groups.filter(F.col("group_size") < k)
+        .orderBy(F.asc("group_size"), *[F.asc(c) for c in quasi_cols])
+        .limit(top_n)
+    )
+
+
+def k_anonymity_stats(df: DataFrame, quasi_cols: list[str], *, k: int = 5) -> DataFrame:
+    """One-row summary: total groups, groups below k, rows at risk, and
+    the minimum group size — the publish-gate number ('is min_k >= k?')
+    without materializing the offending rows."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0)).alias("groups_below_k"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.min("__n").alias("min_group_size"),
+    )

@@ -4838,3 +4838,67 @@ def ir_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "privacy_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             (c_acctbal >= 0) AS has_balance,
+             count(*) AS group_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment, c_nationkey, has_balance, group_size
+    FROM g WHERE group_size < 5
+    ORDER BY group_size ASC, c_mktsegment ASC, c_nationkey ASC, has_balance ASC
+    LIMIT 100
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] k-anonymity audit (operators/privacy.py): quasi-identifier
+    groups of (segment, nation, balance-sign) smaller than k=5 — the
+    combination-leak check a pseudonymized migration still needs. One
+    map-side-combined groupBy + a bounded ordered report."""
+    from .operators.privacy import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        (F.col("c_acctbal") >= 0).alias("has_balance"),
+    )
+    return k_anonymity_report(
+        c, ["c_mktsegment", "c_nationkey", "has_balance"], k=5, top_n=100
+    )
+
+
+@query(
+    "privacy_k_anonymity_stats",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, (c_acctbal >= 0) AS hb, count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT count(*) AS n_groups,
+           coalesce(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0)::BIGINT
+             AS groups_below_k,
+           coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0)::BIGINT
+             AS rows_at_risk,
+           min(n) AS min_group_size
+    FROM g
+    """,
+)
+def privacy_k_anonymity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The one-row publish-gate summary over the same
+    quasi-identifiers (operators/privacy.py:k_anonymity_stats)."""
+    from .operators.privacy import k_anonymity_stats
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        (F.col("c_acctbal") >= 0).alias("has_balance"),
+    )
+    return k_anonymity_stats(
+        c, ["c_mktsegment", "c_nationkey", "has_balance"], k=5
+    )

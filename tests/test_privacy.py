@@ -1,0 +1,43 @@
+"""[EXT] k-anonymity privacy audit."""
+
+from __future__ import annotations
+
+import pytest
+
+from orion_etl_oracle_to_postgres_spark.operators.privacy import (
+    k_anonymity_report,
+    k_anonymity_stats,
+)
+
+
+def _df(spark):
+    # (zip, year): AA×3 (safe at k=3), BB×1 and CC×2 (below k=3)
+    rows = [("A", 1990)] * 3 + [("B", 1991)] + [("C", 1992)] * 2
+    return spark.createDataFrame(rows, "zip string, yr int")
+
+
+def test_report_lists_small_groups_only(spark):
+    out = k_anonymity_report(_df(spark), ["zip", "yr"], k=3).collect()
+    assert [(r["zip"], r["group_size"]) for r in out] == [("B", 1), ("C", 2)]
+
+
+def test_stats_summary(spark):
+    r = k_anonymity_stats(_df(spark), ["zip", "yr"], k=3).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["groups_below_k"] == 2
+    assert r["rows_at_risk"] == 3
+    assert r["min_group_size"] == 1
+
+
+def test_anonymous_dataset_gives_empty_report(spark):
+    df = spark.createDataFrame([("A", 1)] * 5 + [("B", 2)] * 5, "z string, y int")
+    assert k_anonymity_report(df, ["z", "y"], k=5).count() == 0
+    assert k_anonymity_stats(df, ["z", "y"], k=5).collect()[0]["groups_below_k"] == 0
+
+
+def test_guards(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_report(df, [], k=3)
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_stats(df, ["zip"], k=1)
