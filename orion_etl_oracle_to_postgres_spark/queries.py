@@ -4902,3 +4902,67 @@ def privacy_k_anonymity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_stats(
         c, ["c_mktsegment", "c_nationkey", "has_balance"], k=5
     )
+
+
+def _lsh_recall_sql(n_planes: int = 8, threshold: float = 0.4) -> str:
+    planes = similarity.make_planes(_EMB_DIM, n_planes, seed=42)
+    sig = _sig_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH exact AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6)
+            >= {threshold}
+    ),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {sig} AS s FROM embeddings
+    ),
+    lsh AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    )
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM lsh) AS n_lsh,
+           (SELECT count(*) FROM lsh JOIN exact USING (i, j)) AS n_common,
+           round((SELECT count(*) FROM lsh JOIN exact USING (i, j))::DOUBLE
+                 / greatest((SELECT count(*) FROM exact), 1), 6) AS recall,
+           round((SELECT count(*) FROM lsh JOIN exact USING (i, j))::DOUBLE
+                 / greatest((SELECT count(*) FROM lsh), 1), 6) AS precision
+    """
+
+
+@query("emb_lsh_recall_audit", _lsh_recall_sql())
+def emb_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Self-measuring quality audit of the ANN path: recall and
+    precision of the LSH-bucketed near-dup pair set against the exact
+    baseline at the same threshold — the number you quote when arguing
+    the 100 TB path is safe to trust (precision is 1.0 by construction,
+    cosines are exact-verified; recall is what banding trades away).
+    Exact side uses the guarded block-matrix baseline, so the audit
+    itself refuses to run at corpus sizes where exact is impossible."""
+    e = _t(spark, sf_dir, "embeddings")
+    exact = similarity.embedding_near_dups(e, threshold=0.4, exact=True).select(
+        F.col("id_i").alias("i"), F.col("id_j").alias("j")
+    )
+    lsh = similarity.embedding_near_dups(
+        e, threshold=0.4, exact=False, n_planes=8, seed=42
+    ).select(F.col("id_i").alias("i"), F.col("id_j").alias("j"))
+    common = lsh.join(exact, ["i", "j"])
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = common.count()
+    row = [
+        (
+            n_exact,
+            n_lsh,
+            n_common,
+            round(n_common / max(n_exact, 1), 6),
+            round(n_common / max(n_lsh, 1), 6),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_exact long, n_lsh long, n_common long, recall double, precision double"
+    )
