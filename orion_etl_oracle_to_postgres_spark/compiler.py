@@ -995,7 +995,29 @@ def run_table(
         _run_finalize_hooks(ctx, spec)  # reference runs finalize after EVERY load path
         return out
 
-    if spec.zorder_by:
+    if spec.shards is not None:
+        conns = ctx.global_spec.connectors
+        if conns.target_files is None:
+            raise ValueError(
+                f"{spec.target_table}: shards is a file-layout option; "
+                "a JDBC target has no shard directories"
+            )
+        if spec.shards.id_column not in out.columns:
+            raise ValueError(
+                f"{spec.target_table}: shards id_column "
+                f"{spec.shards.id_column!r} not in pipeline output {out.columns}"
+            )
+        from .sinks.export import export_training_shards
+
+        export_training_shards(
+            out,
+            str(Path(conns.target_files.base_path) / spec.target_table),
+            spec.shards.id_column,
+            n_shards=spec.shards.n,
+            seed=spec.shards.seed,
+            fmt=conns.target_files.format,
+        )
+    elif spec.zorder_by:
         conns = ctx.global_spec.connectors
         if conns.target_files is None:
             raise ValueError(

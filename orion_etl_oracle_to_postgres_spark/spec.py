@@ -346,6 +346,18 @@ class Scd2Spec(BaseModel):
         return self
 
 
+class ShardsSpec(BaseModel):
+    """[engine extension] Deterministic training-shard export layout
+    (``sinks/export.py:export_training_shards``): the files write
+    becomes ``n`` hive shard directories in a reproducible
+    pseudo-random order, with a ``_manifest.json`` completeness
+    record."""
+
+    n: int = Field(ge=1)
+    id_column: str
+    seed: str = "shard0"
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -400,6 +412,9 @@ class TableSpec(BaseModel):
     #: write ``_manifest.json`` (rows, schema, null counts, layout)
     #: beside a files target after each load — the dataset card
     manifest: bool = False
+    #: training-shard export layout (files targets only; a LAYOUT
+    #: choice like zorder_by — mutually exclusive with the others)
+    shards: Optional[ShardsSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
@@ -418,6 +433,19 @@ class TableSpec(BaseModel):
                 raise ValueError("zorder_by cannot combine with scd2 (the merge owns its write)")
             if self.incremental is not None and self.incremental.mode == "streaming":
                 raise ValueError("zorder_by cannot combine with streaming mode")
+        if self.shards is not None:
+            if self.zorder_by or self.sort_by or self.partition_by:
+                raise ValueError(
+                    "shards is a layout choice — mutually exclusive with "
+                    "zorder_by/sort_by/partition_by"
+                )
+            if self.scd2 is not None or (
+                self.incremental is not None
+                and self.incremental.mode == "streaming"
+            ):
+                raise ValueError(
+                    "shards cannot combine with scd2 or streaming mode"
+                )
         return self
 
 

@@ -45,3 +45,46 @@ def test_export_shards_guards(spark, tmp_path):
         export_training_shards(df, str(tmp_path / "z"), "id", n_shards=0)
     with pytest.raises(ValueError, match="id_col"):
         export_training_shards(df, str(tmp_path / "z"), "nope", n_shards=2)
+
+
+def test_declarative_shards_in_table_spec(spark, tmp_path):
+    """TableSpec.shards routes the files write through the shard
+    exporter; layout conflicts are refused at spec build."""
+    import json
+
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+
+    src = tmp_path / "src"
+    spark.range(0, 60).selectExpr("id", "id % 7 AS v").write.parquet(
+        str(src / "t.parquet")
+    )
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(tmp_path / "out")),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="t",
+        target_table="t_sharded",
+        shards=spec_mod.ShardsSpec(n=3, id_column="id", seed="s"),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="v", target="v"),
+        ],
+    )
+    run_table(JobContext(spark=spark, global_spec=g), t)
+    out_path = tmp_path / "out" / "t_sharded"
+    m = json.loads((out_path / "_manifest.json").read_text())
+    assert m["n_shards"] == 3 and m["rows_total"] == 60
+    back = spark.read.parquet(str(out_path))
+    assert back.count() == 60
+    assert set(r["shard"] for r in back.select("shard").distinct().collect()) == {0, 1, 2}
+
+    with pytest.raises(ValueError, match="layout choice"):
+        t.model_copy(update={"partition_by": ["v"]}).model_validate(
+            t.model_copy(update={"partition_by": ["v"]}).model_dump()
+        )
