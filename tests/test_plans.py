@@ -386,3 +386,25 @@ def test_q9_profit_join_chain_is_broadcast_with_pushed_like(spark, sf):
     assert plan.count("BroadcastHashJoin") >= 3
     # the LIKE filter appears as a scan-side Contains, not post-join
     assert "Contains(p_name" in plan
+
+
+def test_priority_sample_is_take_ordered(spark, sf):
+    """A-ES weighted sampling must compile to TakeOrderedAndProject —
+    local top-k per task, no corpus shuffle, no global sort."""
+    plan = plan_of(q.QUERIES["curation_priority_sample"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rrf_candidate_lists_are_take_ordered(spark, sf):
+    """Both RRF candidate lists must be bounded top-k selections
+    (TakeOrderedAndProject), never a global rank over the corpus."""
+    plan = plan_of(q.QUERIES["ir_rrf_fusion"](spark, sf))
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_k_anonymity_is_single_aggregate(spark, sf):
+    """The k-anonymity stats summary is one grouped aggregate feeding a
+    global fold — no joins, no windows."""
+    plan = plan_of(q.QUERIES["privacy_k_anonymity_stats"](spark, sf))
+    assert "Join" not in plan and "Window" not in plan
