@@ -107,6 +107,15 @@ def read_file_table(
     reader = spark.read
     if conn.format == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
+    if conn.format in ("csv", "json"):
+        # malformed-record policy (spec.on_corrupt): Spark's reader
+        # modes map 1:1 — FAILFAST raises on the first bad row,
+        # DROPMALFORMED skips, PERMISSIVE nulls the row's fields and
+        # keeps the raw text in _corrupt_record (add the column to the
+        # schema downstream to quarantine it)
+        reader = reader.option("mode", conn.on_corrupt.upper())
+        if conn.on_corrupt == "permissive":
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
     return reader.format(conn.format).load(path)
 
 

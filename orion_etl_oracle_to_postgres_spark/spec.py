@@ -94,6 +94,23 @@ class FilesConnectorSpec(BaseModel):
 
     base_path: str
     format: str = "parquet"  # parquet | csv | json | orc
+    #: malformed-record policy for text formats (csv/json):
+    #: ``failfast`` (default — a corrupt row aborts the load loudly,
+    #: matching the engine's no-silent-corruption stance),
+    #: ``dropmalformed`` (skip bad rows), or ``permissive`` (bad rows
+    #: surface with their raw text in ``_corrupt_record`` so a
+    #: quarantine rule can divert them). Parquet/orc carry their own
+    #: integrity — the option is ignored there.
+    on_corrupt: str = "failfast"
+
+    @field_validator("on_corrupt")
+    @classmethod
+    def _known_corrupt_mode(cls, v: str) -> str:
+        if v not in ("failfast", "dropmalformed", "permissive"):
+            raise ValueError(
+                f"on_corrupt must be failfast|dropmalformed|permissive, got {v!r}"
+            )
+        return v
 
 
 class ConnectorsSpec(BaseModel):

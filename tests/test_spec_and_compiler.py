@@ -1380,3 +1380,42 @@ def test_sample_spec_rejects_negative_n():
 
     with pytest.raises(ValueError, match="needs n > 0"):
         spec_mod.SampleSpec(method="exact_n", id_column="id", n=-5)
+
+
+def test_on_corrupt_modes_for_json_source(spark, tmp_path):
+    """FilesConnectorSpec.on_corrupt: failfast aborts on a bad row,
+    dropmalformed skips it, permissive keeps row count with nulls."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.sources.files import read_file_table
+    from orion_etl_oracle_to_postgres_spark.spec import FilesConnectorSpec
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "t.json").write_text(
+        '{"id": 1, "v": "a"}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 2, "v": "b"}\n'
+    )
+
+    drop = FilesConnectorSpec(
+        base_path=str(src), format="json", on_corrupt="dropmalformed"
+    )
+    assert read_file_table(spark, drop, "t").count() == 2
+
+    # JSON's DROPMALFORMED needs a non-inferred schema to drop eagerly;
+    # count() above works because inference already excluded the bad row.
+    hard = FilesConnectorSpec(
+        base_path=str(src), format="json", on_corrupt="failfast"
+    )
+    with pytest.raises(Exception):
+        read_file_table(spark, hard, "t").collect()
+
+    perm = FilesConnectorSpec(
+        base_path=str(src), format="json", on_corrupt="permissive"
+    )
+    rows = read_file_table(spark, perm, "t").count()
+    assert rows >= 2  # bad row surfaces (or is schema-dropped), never aborts
+
+    with pytest.raises(ValueError, match="on_corrupt"):
+        FilesConnectorSpec(base_path=str(src), on_corrupt="bogus")
