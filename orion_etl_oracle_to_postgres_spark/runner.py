@@ -149,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
         "the table's dedup id_column when configured)",
     )
     parser.add_argument(
+        "--lineage",
+        action="store_true",
+        help="print the static column-lineage report (target column <- "
+        "source column + transforms/lookups/validations) for every table "
+        "in the job, from the spec alone — nothing executes",
+    )
+    parser.add_argument(
         "--explain",
         action="store_true",
         help="compile every table and print its optimized physical plan "
@@ -213,6 +220,42 @@ def main(argv: list[str] | None = None) -> int:
             options={"header": "true"} if conns.target_files.format == "csv" else None,
         )
         logger.info("compacted %s: %s", args.compact, stats)
+        return 0
+
+    if args.lineage:
+        # static report straight from the spec — the audit answer to
+        # "where does this column come from?" without touching any source
+        for t in job.tables:
+            print(f"== {t.source_table} -> {t.target_table} ==")
+            if not t.mappings:
+                print("  (auto 1:1 mapping against the target catalog)")
+            for m in t.mappings or []:
+                parts = [f"  {m.target:<24} <- {m.source}"]
+                if m.transform:
+                    parts.append(f"transform: {','.join(m.transform)}")
+                if m.plugin:
+                    parts.append(f"plugin: {m.plugin}")
+                if m.lookup is not None:
+                    parts.append(
+                        f"lookup: {m.lookup.table}.{m.lookup.value_column} "
+                        f"on {m.lookup.key_column}"
+                    )
+                for v in m.validation or []:
+                    parts.append(f"validate: {v.type} on_fail={v.on_fail}")
+                print("  |  ".join(parts))
+            extras = []
+            if t.dedup is not None:
+                extras.append(f"dedup: {t.dedup.method}")
+            if t.sample is not None:
+                extras.append(f"sample: {t.sample.method}")
+            if t.split is not None:
+                extras.append(f"split -> column {t.split.column_name!r}")
+            if t.scd2 is not None:
+                extras.append("scd2 merge")
+            if t.lineage:
+                extras.append("row lineage columns (_source_file, _load_id)")
+            if extras:
+                print("  stages: " + "; ".join(extras))
         return 0
 
     if args.retention:

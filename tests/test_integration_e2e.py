@@ -322,3 +322,51 @@ def test_cli_retention_verb(spark, tmp_path, capsys):
         for r in spark.read.parquet(str(out / "ev_out")).select("day").distinct().collect()
     }
     assert days == {"2024-02-02", "2024-02-03"}
+
+
+def test_cli_lineage_verb(spark, tmp_path, capsys):
+    import textwrap
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: t
+            target_table: t_out
+            dedup: {method: exact, columns: [id], id_column: id}
+            mappings:
+              - source: id
+                target: id
+              - source: code
+                target: code
+                transform: strip,upper
+                validation:
+                  - type: regex
+                    pattern: "[A-Z]+"
+                    on_fail: skip
+              - source: nation_key
+                target: nation
+                lookup: {table: dim, key_column: k, value_column: name}
+            """
+        )
+    )
+    assert main(["--config", str(tmp_path / "config.yaml"), "--lineage"]) == 0
+    out = capsys.readouterr().out
+    assert "t -> t_out" in out
+    assert "code" in out and "transform: strip,upper" in out
+    assert "lookup: dim.name on k" in out
+    assert "validate: regex on_fail=skip" in out
+    assert "dedup: exact" in out
