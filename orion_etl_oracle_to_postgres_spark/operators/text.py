@@ -444,3 +444,66 @@ def doc_fingerprint(
     )
     fp = F.array_min(F.transform(F.col("__sh"), lambda s: F.md5(s)))
     return staged.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    Gopher-style redundancy signal: templated/repetitive text compresses
+    far below natural prose. Arrow-batched ``pandas_udf`` (stdlib zlib,
+    level 6 pinned for determinism across runs); no SQL engine exposes
+    an identical codec, so the registry entry is rows-only by design.
+    Empty docs report ratio 0.0."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(sr):
+        import zlib
+
+        def one(v):
+            if v is None:
+                return None
+            b = v.encode("utf-8")
+            if not b:
+                return 0.0
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return sr.map(one)
+
+    _ratio_fn.__annotations__ = {"sr": pd.Series, "return": pd.Series}
+    ratio = pandas_udf(_ratio_fn, "double")
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        ratio(F.col(text_col)).alias("compression_ratio"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str, *, top_n: int = 1_000
+) -> DataFrame:
+    """One-row corpus-health metric: the OLS slope of ln(frequency) vs
+    ln(rank) over the ``top_n`` most frequent words — natural language
+    sits near −1 (Zipf's law); heavily templated or synthetic corpora
+    drift away. Shape: one word-count shuffle, a TakeOrderedAndProject
+    top-N, a ≤N-row window for ranks, one aggregate."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__w"))
+        .limit(top_n)
+    )
+    ranked = counts.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.desc("__c"), F.asc("__w")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.regr_slope(F.log(F.col("__c")), F.log(F.col("__r"))), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_r2(F.log(F.col("__c")), F.log(F.col("__r"))), 6
+        ).alias("r2"),
+    )

@@ -4966,3 +4966,45 @@ def emb_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         row, "n_exact long, n_lsh long, n_common long, recall double, precision double"
     )
+
+
+@query(
+    "text_zipf_slope",
+    """
+    WITH counts AS (
+      SELECT w AS __w, count(*) AS __c
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY 1
+      ORDER BY __c DESC, __w ASC
+      LIMIT 1000
+    ),
+    ranked AS (
+      SELECT __c, row_number() OVER (ORDER BY __c DESC, __w ASC) AS __r
+      FROM counts
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(__c), ln(__r)), 6) AS zipf_slope,
+           round(regr_r2(ln(__c), ln(__r)), 6) AS r2
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Zipf rank-frequency slope (operators/text.py:zipf_slope):
+    OLS slope of ln(freq) vs ln(rank) over the top-1000 words — a
+    one-row corpus-health metric (natural text ≈ −1; templated or
+    synthetic corpora drift). One word-count shuffle + a bounded
+    top-N."""
+    d = _t(spark, sf_dir, "documents")
+    return text.zipf_slope(d, "text", top_n=1000)
+
+
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] zlib compression-ratio redundancy signal
+    (operators/text.py:compression_ratio) — rows-only by design: no SQL
+    engine exposes a bit-identical codec, so the driver checks row
+    count/schema and the unit test pins hand-computed values."""
+    d = _t(spark, sf_dir, "documents")
+    return text.compression_ratio(d, "text", "doc_id")

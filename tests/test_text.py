@@ -225,3 +225,34 @@ def test_ngram_novelty_unique_vs_shared(spark):
     assert rows[2]["novelty"] == 0.0
     assert rows[3]["novelty"] == 1.0
     assert rows[3]["n_shingles"] == 4  # 6 tokens → 4 tri-gram shingles
+
+
+def test_compression_ratio_values_and_ordering(spark):
+    import zlib
+
+    rows = [(1, "abc " * 200), (2, "the quick brown fox jumps over a lazy dog"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           text.compression_ratio(df, "text", "doc_id").collect()}
+    for i in (1, 2):
+        raw = rows[i - 1][1].encode()
+        assert got[i]["compression_ratio"] == round(
+            len(zlib.compress(raw, 6)) / len(raw), 6
+        )
+    # repetitive text compresses far better than natural prose
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[3]["compression_ratio"] == 0.0
+    assert got[4]["compression_ratio"] is None
+
+
+def test_zipf_slope_near_minus_one_for_zipfian_input(spark):
+    # synthetic corpus with freq(w_r) ∝ 1/r → slope ≈ −1, r2 ≈ 1
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * (1000 // r)
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id int, text string")
+    row = text.zipf_slope(df, "text", top_n=50).collect()[0]
+    assert row["n_terms"] == 50
+    assert -1.1 < row["zipf_slope"] < -0.9
+    assert row["r2"] > 0.99
