@@ -988,6 +988,12 @@ def run_table(
                 f"loader {loader_name!r} — implement the layout in the "
                 "loader or drop one of the two"
             )
+        if spec.shards is not None:
+            raise ValueError(
+                f"{spec.target_table}: shards is ignored by custom "
+                f"loader {loader_name!r} — implement the layout in the "
+                "loader or drop one of the two"
+            )
         loader(out, ctx, spec)
         _write_quarantine(ctx, spec, compiled)
         if compiled.incremental_commit is not None:

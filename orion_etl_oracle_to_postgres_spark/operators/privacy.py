@@ -50,11 +50,16 @@ def k_anonymity_stats(df: DataFrame, quasi_cols: list[str], *, k: int = 5) -> Da
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # coalesce the sums: on an EMPTY input they'd be NULL and a publish
+    # gate comparing == 0 would silently misbehave (min stays NULL —
+    # "no groups" has no meaningful minimum); matches the DuckDB oracle
     return groups.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.when(F.col("__n") < k, 1).otherwise(0)).alias("groups_below_k"),
-        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).alias(
-            "rows_at_risk"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, 1).otherwise(0)), F.lit(0)
+        ).alias("groups_below_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)), F.lit(0)
+        ).alias("rows_at_risk"),
         F.min("__n").alias("min_group_size"),
     )

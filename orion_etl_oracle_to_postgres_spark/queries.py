@@ -4945,26 +4945,36 @@ def emb_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself refuses to run at corpus sizes where exact is impossible."""
     e = _t(spark, sf_dir, "embeddings")
     exact = similarity.embedding_near_dups(e, threshold=0.4, exact=True).select(
-        F.col("id_i").alias("i"), F.col("id_j").alias("j")
+        F.col("id_i").alias("i"), F.col("id_j").alias("j"), F.lit(1).alias("__e")
     )
     lsh = similarity.embedding_near_dups(
         e, threshold=0.4, exact=False, n_planes=8, seed=42
-    ).select(F.col("id_i").alias("i"), F.col("id_j").alias("j"))
-    common = lsh.join(exact, ["i", "j"])
-    n_exact = exact.count()
-    n_lsh = lsh.count()
-    n_common = common.count()
-    row = [
-        (
-            n_exact,
-            n_lsh,
-            n_common,
-            round(n_common / max(n_exact, 1), 6),
-            round(n_common / max(n_lsh, 1), 6),
-        )
-    ]
-    return spark.createDataFrame(
-        row, "n_exact long, n_lsh long, n_common long, recall double, precision double"
+    ).select(
+        F.col("id_i").alias("i"), F.col("id_j").alias("j"), F.lit(1).alias("__l")
+    )
+    # ONE full-outer join + ONE aggregate: each pair pipeline executes
+    # once (three separate .count() actions would run the O(n²) exact
+    # scan and the LSH join twice each)
+    both = exact.join(lsh, ["i", "j"], "full")
+    agg = both.agg(
+        F.sum("__e").alias("n_exact"),
+        F.sum("__l").alias("n_lsh"),
+        F.sum(F.col("__e") * F.col("__l")).alias("n_common"),
+    )
+    return agg.select(
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.round(
+            F.coalesce("n_common", F.lit(0))
+            / F.greatest(F.coalesce("n_exact", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.coalesce("n_common", F.lit(0))
+            / F.greatest(F.coalesce("n_lsh", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("precision"),
     )
 
 

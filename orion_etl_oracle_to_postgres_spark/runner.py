@@ -189,6 +189,46 @@ def main(argv: list[str] | None = None) -> int:
     # job-spec conf overrides (GlobalSpec.spark_conf) layer over engine
     # defaults; runtime SQL confs also apply to an already-built session
     # (getOrCreate may return one) via spark.conf.set below
+    # --lineage is a pure spec report: print BEFORE booting any
+    # SparkSession so the verb is instant ('nothing executes')
+    if args.lineage:
+        # static report straight from the spec — the audit answer to
+        # "where does this column come from?" without touching any source
+        for t in job.tables:
+            print(f"== {t.source_table} -> {t.target_table} ==")
+            if not t.mappings:
+                print("  (auto 1:1 mapping against the target catalog)")
+            for m in t.mappings or []:
+                tgt = m.target or m.source  # spec allows omitted target
+                parts = [f"  {tgt:<24} <- {m.source}"]
+                if m.transform:
+                    parts.append(f"transform: {','.join(m.transform)}")
+                if m.plugin:
+                    parts.append(f"plugin: {m.plugin}")
+                if m.lookup is not None:
+                    parts.append(
+                        f"lookup: {m.lookup.table}.{m.lookup.value_column} "
+                        f"on {m.lookup.key_column}"
+                    )
+                for v in m.validation or []:
+                    parts.append(f"validate: {v.type} on_fail={v.on_fail}")
+                print("  |  ".join(parts))
+            extras = []
+            if t.dedup is not None:
+                extras.append(f"dedup: {t.dedup.method}")
+            if t.sample is not None:
+                extras.append(f"sample: {t.sample.method}")
+            if t.split is not None:
+                extras.append(f"split -> column {t.split.column_name!r}")
+            if t.scd2 is not None:
+                extras.append("scd2 merge")
+            if t.lineage:
+                extras.append("row lineage columns (_source_file, _load_id)")
+            if extras:
+                print("  stages: " + "; ".join(extras))
+        return 0
+
+
     spark = get_spark(master=args.master, extra_conf=job.global_spec.spark_conf)
     for k, v in job.global_spec.spark_conf.items():
         try:
@@ -220,42 +260,6 @@ def main(argv: list[str] | None = None) -> int:
             options={"header": "true"} if conns.target_files.format == "csv" else None,
         )
         logger.info("compacted %s: %s", args.compact, stats)
-        return 0
-
-    if args.lineage:
-        # static report straight from the spec — the audit answer to
-        # "where does this column come from?" without touching any source
-        for t in job.tables:
-            print(f"== {t.source_table} -> {t.target_table} ==")
-            if not t.mappings:
-                print("  (auto 1:1 mapping against the target catalog)")
-            for m in t.mappings or []:
-                parts = [f"  {m.target:<24} <- {m.source}"]
-                if m.transform:
-                    parts.append(f"transform: {','.join(m.transform)}")
-                if m.plugin:
-                    parts.append(f"plugin: {m.plugin}")
-                if m.lookup is not None:
-                    parts.append(
-                        f"lookup: {m.lookup.table}.{m.lookup.value_column} "
-                        f"on {m.lookup.key_column}"
-                    )
-                for v in m.validation or []:
-                    parts.append(f"validate: {v.type} on_fail={v.on_fail}")
-                print("  |  ".join(parts))
-            extras = []
-            if t.dedup is not None:
-                extras.append(f"dedup: {t.dedup.method}")
-            if t.sample is not None:
-                extras.append(f"sample: {t.sample.method}")
-            if t.split is not None:
-                extras.append(f"split -> column {t.split.column_name!r}")
-            if t.scd2 is not None:
-                extras.append("scd2 merge")
-            if t.lineage:
-                extras.append("row lineage columns (_source_file, _load_id)")
-            if extras:
-                print("  stages: " + "; ".join(extras))
         return 0
 
     if args.retention:

@@ -20,11 +20,11 @@ verify completeness.
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import md5_hash60
+from .maintenance import _fs_and_path
 
 
 def export_training_shards(
@@ -43,6 +43,14 @@ def export_training_shards(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if id_col not in df.columns:
         raise ValueError(f"id_col {id_col!r} not in {df.columns}")
+    for reserved in ("shard", "__h"):
+        if reserved in df.columns:
+            # silently replacing a user column and consuming it as the
+            # hive partition key would drop it from the data files
+            raise ValueError(
+                f"input already has a {reserved!r} column — rename it "
+                "before shard export"
+            )
     h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
     sharded = (
         df.withColumn("__h", h)
@@ -50,18 +58,17 @@ def export_training_shards(
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "__h", id_col)
     )
-    (
-        sharded.drop("__h")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .format(fmt)
-        .save(path)
-    )
+    writer = sharded.drop("__h").write.mode("overwrite").partitionBy("shard")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
     spark: SparkSession = df.sparkSession
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
     counts = {
         int(r["shard"]): r["n"]
-        for r in spark.read.format(fmt)
-        .load(path)
+        for r in reader.load(path)
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -73,5 +80,15 @@ def export_training_shards(
         "rows_total": sum(counts.values()),
         "rows_per_shard": {str(k): counts.get(k, 0) for k in range(n_shards)},
     }
-    (Path(path) / "_manifest.json").write_text(json.dumps(manifest, indent=2))
+    # Hadoop FileSystem API, not local Path: hdfs:///s3a:// targets work
+    # the same as local ones (mirrors sinks/manifest.write_manifest)
+    fs, _ = _fs_and_path(spark, path)
+    jvm = spark.sparkContext._jvm
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_manifest.json"), True
+    )
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=2).encode("utf-8")))
+    finally:
+        out.close()
     return manifest

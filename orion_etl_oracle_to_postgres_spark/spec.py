@@ -456,12 +456,21 @@ class TableSpec(BaseModel):
                     "shards is a layout choice — mutually exclusive with "
                     "zorder_by/sort_by/partition_by"
                 )
-            if self.scd2 is not None or (
-                self.incremental is not None
-                and self.incremental.mode == "streaming"
-            ):
+            if self.scd2 is not None or self.incremental is not None:
+                # the exporter rewrites the WHOLE corpus deterministically;
+                # an incremental delta would overwrite all prior shards
                 raise ValueError(
-                    "shards cannot combine with scd2 or streaming mode"
+                    "shards cannot combine with scd2 or incremental modes "
+                    "(the export is a full-corpus rewrite)"
+                )
+            if self.write_mode != "overwrite":
+                raise ValueError(
+                    "shards requires write_mode=overwrite (full-corpus rewrite)"
+                )
+            if self.manifest:
+                raise ValueError(
+                    "shards writes its own _manifest.json (shard counts + "
+                    "seed) — drop manifest: true"
                 )
         return self
 

@@ -88,3 +88,32 @@ def test_declarative_shards_in_table_spec(spark, tmp_path):
         t.model_copy(update={"partition_by": ["v"]}).model_validate(
             t.model_copy(update={"partition_by": ["v"]}).model_dump()
         )
+
+
+def test_shards_layout_conflicts_refused():
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    base = dict(
+        source_table="t",
+        target_table="o",
+        shards=spec_mod.ShardsSpec(n=2, id_column="id"),
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+    )
+    with pytest.raises(ValueError, match="incremental"):
+        spec_mod.TableSpec(
+            **base, incremental=spec_mod.IncrementalSpec(watermark_column="id")
+        )
+    with pytest.raises(ValueError, match="write_mode=overwrite"):
+        spec_mod.TableSpec(**base, write_mode="append")
+    with pytest.raises(ValueError, match="_manifest"):
+        spec_mod.TableSpec(**base, manifest=True)
+
+
+def test_shards_reserved_column_refused(spark, tmp_path):
+    import pytest
+
+    df = spark.range(5).selectExpr("id", "id AS shard")
+    with pytest.raises(ValueError, match="shard"):
+        export_training_shards(df, str(tmp_path / "s"), "id", n_shards=2)
