@@ -861,3 +861,55 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots: per
+    label, the cosine distance (1 − cos) between the old and new mean
+    vectors, plus both side counts — the semantic complement of the
+    scalar PSI drift report (``reconcile.distribution_drift``): "did
+    this class's embedding cloud MOVE?" catches encoder swaps, prompt
+    changes, and data-source shifts that per-column stats cannot see.
+
+    Relational all the way: both sides posexplode → per-(label, dim)
+    sums with map-side combine (the exchange carries labels × dim, not
+    vectors) → one join on (label, dim) → one aggregate folding the
+    dot product and norms. Nothing vector-sized shuffles; no UDFs.
+    Labels present on only one side are dropped (no drift to measure).
+    """
+
+    def per_dim(df, prefix):
+        pos = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")),
+        )
+        return pos.groupBy("label", "pos").agg(
+            F.avg("col").alias(f"{prefix}_v"),
+            F.count(F.lit(1)).alias(f"{prefix}_n"),
+        )
+
+    a, b = per_dim(old, "a"), per_dim(new, "b")
+    joined = a.join(b, ["label", "pos"])
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.max("a_n").alias("n_old"),
+            F.max("b_n").alias("n_new"),
+            F.sum(F.col("a_v") * F.col("b_v")).alias("__dot"),
+            F.sqrt(F.sum(F.col("a_v") * F.col("a_v"))).alias("__na"),
+            F.sqrt(F.sum(F.col("b_v") * F.col("b_v"))).alias("__nb"),
+        )
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round(
+                1.0 - F.col("__dot") / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine_drift"),
+        )
+    )

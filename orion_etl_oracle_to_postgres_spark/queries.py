@@ -5018,3 +5018,45 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/schema and the unit test pins hand-computed values."""
     d = _t(spark, sf_dir, "documents")
     return text.compression_ratio(d, "text", "doc_id")
+
+
+@query(
+    "emb_centroid_drift",
+    f"""
+    WITH sides AS (
+      SELECT label, vec_id % 2 AS side, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ),
+    positions AS (SELECT unnest(range(0, {_EMB_DIM})) AS pos),
+    dims AS (
+      SELECT label, side, p.pos, avg(v[p.pos + 1]) AS mv,
+             count(*) AS n
+      FROM sides CROSS JOIN positions p
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT a.label, a.n AS n_old, b.n AS n_new,
+             sum(a.mv * b.mv) AS dot,
+             sqrt(sum(a.mv * a.mv)) AS na,
+             sqrt(sum(b.mv * b.mv)) AS nb
+      FROM dims a JOIN dims b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.side = 0 AND b.side = 1
+      GROUP BY 1, 2, 3
+    )
+    SELECT label, n_old, n_new,
+           round(1.0 - dot / (na * nb), 6) AS cosine_drift
+    FROM j
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-distribution drift
+    (operators/similarity.py:centroid_drift): cosine distance between
+    per-label mean vectors of two snapshot halves (vec_id parity here;
+    production passes two real snapshots) — catches encoder swaps and
+    source shifts per-column stats can't see. Exchanges carry
+    labels × dims, never vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    return similarity.centroid_drift(old, new, "label", "embedding")

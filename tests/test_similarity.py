@@ -411,3 +411,37 @@ def test_dedup_spec_rejects_nonpositive_planes():
 
     with pytest.raises(ValueError, match="n_planes"):
         DedupSpec(method="semantic", vector_column="v", id_column="i", n_planes=0)
+
+
+def test_centroid_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.5], 0) for i in range(4)] + [
+        (i, [0.0, 1.0, 0.5], 1) for i in range(4, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    # identical snapshots -> drift 0 for every label
+    out = {r["label"]: r for r in
+           centroid_drift(df, df, "label", "embedding").collect()}
+    assert out[0]["cosine_drift"] == 0.0 and out[1]["cosine_drift"] == 0.0
+    assert out[0]["n_old"] == out[0]["n_new"] == 4
+
+    # rotate label 0's vectors in the 'new' snapshot -> positive drift
+    import pyspark.sql.functions as F
+
+    new = df.withColumn(
+        "embedding",
+        F.when(F.col("label") == 0, F.array(F.lit(0.0), F.lit(1.0), F.lit(0.5)))
+        .otherwise(F.col("embedding")),
+    )
+    out2 = {r["label"]: r for r in
+            centroid_drift(df, new, "label", "embedding").collect()}
+    assert out2[0]["cosine_drift"] > 0.5
+    assert out2[1]["cosine_drift"] == 0.0
+
+    # label present on only one side is dropped
+    only_old = df.filter("label = 0")
+    out3 = centroid_drift(only_old, df.filter("label = 1"), "label", "embedding")
+    assert out3.count() == 0
