@@ -507,3 +507,43 @@ def zipf_slope(
             F.regr_r2(F.log(F.col("__c")), F.log(F.col("__r"))), 6
         ).alias("r2"),
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    log2 P(w_i | w_{i-1}) under the corpus' own bigram counts — the
+    2-gram step up from ``unigram_logprob``: fluent text scores high
+    (its transitions are common), shuffled or templated word salad
+    scores very negative even when every individual word is frequent.
+
+    P(w2|w1) = c(w1,w2) / c(w1·) with the denominator counted over
+    bigram PREFIXES (so the distribution sums to 1 per prefix). Docs
+    with fewer than 2 tokens have no bigrams and are excluded.
+
+    Scale shape: one narrow in-row bigram expansion (no shuffle), two
+    word-count-shaped aggregates (bigram and prefix counts), two joins
+    back on the bigram stream, one per-doc aggregate — every exchange
+    carries (hash, count) pairs.
+    """
+    tk = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).filter(F.size("__tk") >= 2)
+    pairs = F.expr(
+        "transform(sequence(0, size(__tk) - 2), "
+        "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))"
+    )
+    bg = tk.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
+    )
+    cbg = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cbg"))
+    cpre = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__cpre"))
+    logp = F.log2(F.col("__cbg") / F.col("__cpre"))
+    return (
+        bg.join(cbg, ["__w1", "__w2"])
+        .join(cpre, "__w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("mean_log2p"),
+        )
+    )

@@ -5060,3 +5060,36 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = e.filter(F.col("vec_id") % 2 == 0)
     new = e.filter(F.col("vec_id") % 2 == 1)
     return similarity.centroid_drift(old, new, "label", "embedding")
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, (SELECT unnest(range(1, 100000)) AS i) ix
+      WHERE len(ts) >= 2 AND i <= len(ts) - 1
+    ),
+    cbg AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    cpre AS (SELECT w1, count(*) AS cp FROM bg GROUP BY 1)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(log2(cbg.c / cpre.cp)), 6) AS mean_log2p
+    FROM bg JOIN cbg USING (w1, w2) JOIN cpre USING (w1)
+    GROUP BY 1
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Bigram conditional log-probability quality signal
+    (operators/text.py:bigram_logprob): per-doc mean
+    log2 P(w_i | w_{i-1}) under corpus bigram counts — scores fluency,
+    not just word frequency. In-row bigram expansion + two word-count
+    aggregates; every exchange carries (hash, count) pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bigram_logprob(d, "text", "doc_id")

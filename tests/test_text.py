@@ -256,3 +256,22 @@ def test_zipf_slope_near_minus_one_for_zipfian_input(spark):
     assert row["n_terms"] == 50
     assert -1.1 < row["zipf_slope"] < -0.9
     assert row["r2"] > 0.99
+
+
+def test_bigram_logprob_values(spark):
+    import math
+
+    # corpus bigrams: (a,b)x2 from doc1+doc2, (b,a)x1, (b,c)x1
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c"), (3, "x")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           text.bigram_logprob(df, "text", "doc_id").collect()}
+    # prefixes: a -> {b:2} cp=2 ; b -> {a:1, c:1} cp=2
+    p_ab, p_ba, p_bc = 2 / 2, 1 / 2, 1 / 2
+    m1 = (math.log2(p_ab) + math.log2(p_ba)) / 2
+    m2 = (math.log2(p_ab) + math.log2(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["mean_log2p"] - round(m1, 6)) < 1e-9
+    assert abs(out[2]["mean_log2p"] - round(m2, 6)) < 1e-9
+    assert 3 not in out  # single-token doc: no bigrams
