@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "affinity_part_pairs",  # basket self-join bounded by per-basket fan-out
     "window_events_anomaly",  # rolling z-score over the hourly aggregate
     "agg_incremental_state",  # mergeable agg state: build+merge+finalize
+    "text_bigram_logprob",  # bigram LM fluency: in-row expansion + 2 wc aggs
+    "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
 ]
 
 
