@@ -93,3 +93,49 @@ def fuzzy_join(
         .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
         .drop("__blk")
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 1,
+    block_fn=None,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Entity resolution within ONE table: fuzzy self-match → transitive
+    clusters → canonical id per entity. Returns one row per input id:
+    (id, entity_id, is_canonical) where entity_id is the cluster's
+    minimum id — the dedup-and-survivorship step after ``fuzzy_join``
+    finds candidate duplicates (same composition as
+    ``similarity.semantic_dedup``: pairs → large-star/small-star →
+    ids-only labeling join).
+    """
+    from .dedup import near_dup_clusters
+
+    lhs = df.select(F.col(id_col).alias("__lid"), F.col(text_col))
+    rhs = df.select(F.col(id_col).alias("__rid"), F.col(text_col))
+    pairs = fuzzy_join(
+        lhs,
+        rhs,
+        text_col,
+        text_col,
+        max_distance=max_distance,
+        block_fn=block_fn,
+        max_block_size=max_block_size,
+    ).filter(F.col("__lid") < F.col("__rid"))
+    clusters = near_dup_clusters(
+        pairs.select("__lid", "__rid"), id_i="__lid", id_j="__rid"
+    ).withColumnsRenamed({"doc_id": "__cid", "cluster_id": "__lbl"})
+    return (
+        df.select(F.col(id_col))
+        .join(clusters, F.col(id_col) == F.col("__cid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__lbl"), F.col(id_col)).alias("entity_id"),
+            (F.coalesce(F.col("__lbl"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )

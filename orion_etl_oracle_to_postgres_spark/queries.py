@@ -5093,3 +5093,61 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; every exchange carries (hash, count) pairs."""
     d = _t(spark, sf_dir, "documents")
     return text.bigram_logprob(d, "text", "doc_id")
+
+
+@query(
+    "er_resolve_parts",
+    """
+    WITH RECURSIVE dirty AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 11 = 0
+                  THEN substr(p_name, 1, length(p_name) - 1)
+                  ELSE p_name END AS nm
+      FROM part WHERE p_partkey <= 200
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS i, b.p_partkey AS j
+      FROM dirty a
+      JOIN dirty b
+        ON lower(string_split_regex(trim(a.nm), '\\s+')[1])
+         = lower(string_split_regex(trim(b.nm), '\\s+')[1])
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.nm, b.nm) <= 1
+    ),
+    edges AS (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION
+      SELECT j, i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    lab AS (SELECT id, min(lbl) AS entity_id FROM reach GROUP BY id)
+    SELECT d.p_partkey,
+           coalesce(l.entity_id, d.p_partkey) AS entity_id,
+           coalesce(l.entity_id, d.p_partkey) = d.p_partkey AS is_canonical
+    FROM dirty d LEFT JOIN lab l ON l.id = d.p_partkey
+    """,
+)
+def er_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Entity resolution end-to-end
+    (operators/er.py:resolve_entities): a dirtied slice of part names
+    fuzzy-self-matched within 1 edit (first-token blocking), clustered
+    transitively, min-id canonical per entity, singletons canonical of
+    themselves. The oracle replays the identical block, bound, and a
+    recursive-CTE closure."""
+    from .operators.er import resolve_entities
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    dirty = p.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 11 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("nm"),
+    )
+    return resolve_entities(dirty, "p_partkey", "nm", max_distance=1)

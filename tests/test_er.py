@@ -89,3 +89,21 @@ def test_fuzzy_join_rename_collision_is_resolved(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["distance"] == 0
     assert len(set(out.columns)) == len(out.columns)  # all names unique
+
+
+def test_resolve_entities_clusters_and_canonical(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.er import resolve_entities
+
+    rows = [
+        (1, "acme widgets"),
+        (2, "acme widgetz"),   # 1 edit from 1
+        (3, "acme widgets!"),  # 1 edit from 1 (and 2 edits from 2: transitive)
+        (4, "zenith gears"),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    out = {r["id"]: r for r in
+           resolve_entities(df, "id", "name", max_distance=1).collect()}
+    assert out[1]["entity_id"] == 1 and out[1]["is_canonical"]
+    assert out[2]["entity_id"] == 1 and not out[2]["is_canonical"]
+    assert out[3]["entity_id"] == 1  # via the transitive chain through 1
+    assert out[4]["entity_id"] == 4 and out[4]["is_canonical"]
