@@ -66,6 +66,9 @@ class CompiledTable:
     incremental_commit: Optional[Callable[[], None]] = None
     #: rows rejected by ``on_fail: quarantine`` rules (with labels), or None
     quarantine: Optional[DataFrame] = None
+    #: rows dropped by the declarative ``quality_filter`` (with their
+    #: score), or None — written to ``quality_filter.reject_table``
+    quality_rejects: Optional[DataFrame] = None
     #: per-validation-rule violation counters — (label, Observation)
     #: pairs riding the sink's own action; read AFTER the write
     validation_metrics: list = field(default_factory=list)
@@ -671,6 +674,25 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # 5d. declarative curation: per-group sampling, then the split
     # label (both pure hash projections — zero shuffles; distinct seeds
     # keep sample and split uncorrelated)
+    quality_rejects = None
+    if spec.quality_filter is not None:
+        qf = spec.quality_filter
+        if qf.text_column not in df.columns:
+            raise ValueError(
+                f"{spec.source_table}: quality_filter.text_column "
+                f"{qf.text_column!r} not in pipeline output {df.columns}"
+            )
+        from .operators.text import quality_expr
+
+        # pure projection + filter — the score is recomputed per branch
+        # (cheap expressions), no join, no shuffle
+        q = F.round(quality_expr(F.col(qf.text_column)), 6)
+        if qf.reject_table:
+            quality_rejects = df.withColumn("_quality", q).filter(
+                F.col("_quality") < qf.min_quality
+            )
+        df = df.filter(q >= qf.min_quality)
+
     if spec.sample is not None:
         smp = spec.sample
         needed = [smp.id_column] + (
@@ -738,6 +760,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         error_checks=checks,
         incremental_commit=incremental_commit,
         quarantine=quarantine_df,
+        quality_rejects=quality_rejects,
         validation_metrics=vmetrics,
     )
 
@@ -1329,9 +1352,20 @@ def _write_quarantine(
 ) -> None:
     """Write rows rejected by ``on_fail: quarantine`` rules to
     ``spec.quarantine_table`` through the same sink machinery as the
-    main output. Without a configured table the rejects are dropped
-    (quarantine degrades to skip) — warn, because the user asked for an
-    audit trail they aren't getting."""
+    main output (and the declarative quality_filter's rejects to its
+    ``reject_table``). Without a configured table the rejects are
+    dropped (quarantine degrades to skip) — warn, because the user
+    asked for an audit trail they aren't getting."""
+    if compiled.quality_rejects is not None and spec.quality_filter is not None:
+        resolve_sink(
+            compiled.quality_rejects,
+            ctx.global_spec.connectors,
+            spec.quality_filter.reject_table,
+            spec.target_schema
+            if ctx.global_spec.connectors.target_files is None
+            else None,
+            mode=spec.write_mode,
+        )
     if compiled.quarantine is None:
         return
     if not spec.quarantine_table:

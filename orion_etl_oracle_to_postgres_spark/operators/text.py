@@ -105,11 +105,10 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic document quality in [0, 1]: mean-word-length sanity,
-    alpha dominance, low punctuation noise, non-trivial length.
-    Deterministic, fully SQL-expressible."""
-    t = F.col(text_col)
+def quality_expr(t: Column) -> Column:
+    """The quality score as a pure Column expression (see
+    ``quality_score``) — exposed so the compiler's declarative
+    ``quality_filter`` can gate rows in-plan without a join."""
     n_chars = F.length(t)
     n_tok = whitespace_token_count(t)
     mean_wl = F.length(F.regexp_replace(t, "\\s+", "")) / F.greatest(n_tok, F.lit(1))
@@ -119,9 +118,19 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
     len_ok = F.when(n_chars >= 100, F.lit(1.0)).otherwise(n_chars / F.lit(100.0))
-    score = (
-        0.3 * wl_ok + 0.3 * alpha_ratio + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0))) + 0.2 * len_ok
+    return (
+        0.3 * wl_ok
+        + 0.3 * alpha_ratio
+        + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.2 * len_ok
     )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality in [0, 1]: mean-word-length sanity,
+    alpha dominance, low punctuation noise, non-trivial length.
+    Deterministic, fully SQL-expressible."""
+    score = quality_expr(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.round(score, 6).alias("quality"),

@@ -363,6 +363,17 @@ class Scd2Spec(BaseModel):
         return self
 
 
+class QualityFilterSpec(BaseModel):
+    """[engine extension] Declarative text-quality gate on the outgoing
+    rows (``operators/text.py:quality_score``): rows scoring below
+    ``min_quality`` are dropped (or routed to ``reject_table`` when
+    set, mirroring the validation quarantine pattern)."""
+
+    text_column: str
+    min_quality: float = Field(default=0.5, ge=0.0, le=1.0)
+    reject_table: Optional[str] = None
+
+
 class ShardsSpec(BaseModel):
     """[engine extension] Deterministic training-shard export layout
     (``sinks/export.py:export_training_shards``): the files write
@@ -432,6 +443,8 @@ class TableSpec(BaseModel):
     #: training-shard export layout (files targets only; a LAYOUT
     #: choice like zorder_by — mutually exclusive with the others)
     shards: Optional[ShardsSpec] = None
+    #: declarative text-quality gate on the outgoing rows
+    quality_filter: Optional[QualityFilterSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":

@@ -1419,3 +1419,58 @@ def test_on_corrupt_modes_for_json_source(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_corrupt"):
         FilesConnectorSpec(base_path=str(src), on_corrupt="bogus")
+
+
+def test_quality_filter_declarative(spark, tmp_path):
+    """TableSpec.quality_filter gates rows by the heuristic quality
+    score; rejects land in reject_table with their score."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+
+    good = ("a good plain sentence with normal words repeated a few times "
+            "over and over to pass the length gate easily for sure")
+    bad = "!!! ### $$$ %%%"
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, good), (2, bad)], "id int, body string"
+    ).write.parquet(str(src / "docs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="docs_clean",
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", min_quality=0.5, reject_table="docs_lowq"
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+    )
+    run_table(JobContext(spark=spark, global_spec=g), t)
+    kept = spark.read.parquet(str(out / "docs_clean"))
+    assert [r["id"] for r in kept.collect()] == [1]
+    rej = spark.read.parquet(str(out / "docs_lowq"))
+    row = rej.collect()[0]
+    assert row["id"] == 2 and 0.0 <= row["_quality"] < 0.5
+
+    # unknown column refused loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="quality_filter.text_column"):
+        run_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(
+                update={
+                    "quality_filter": spec_mod.QualityFilterSpec(
+                        text_column="nope"
+                    ),
+                    "target_table": "x",
+                }
+            ),
+        )
