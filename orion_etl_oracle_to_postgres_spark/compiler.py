@@ -682,16 +682,31 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 f"{spec.source_table}: quality_filter.text_column "
                 f"{qf.text_column!r} not in pipeline output {df.columns}"
             )
+        if "_quality" in df.columns:
+            raise ValueError(
+                f"{spec.source_table}: pipeline output already has a "
+                "'_quality' column — rename it or drop quality_filter"
+            )
         from .operators.text import quality_expr
 
-        # pure projection + filter — the score is recomputed per branch
-        # (cheap expressions), no join, no shuffle
+        # pure projection + filter — no join, no shuffle. NULL text
+        # scores NULL → null-safe split so such rows are AUDITED as
+        # rejects, never silently lost from both branches.
         q = F.round(quality_expr(F.col(qf.text_column)), 6)
+        keep = F.coalesce(q >= qf.min_quality, F.lit(False))
         if qf.reject_table:
-            quality_rejects = df.withColumn("_quality", q).filter(
-                F.col("_quality") < qf.min_quality
+            # one lazy materialization feeds BOTH sinks (same rationale
+            # as the quarantine split above: two actions re-scanning a
+            # moving source could put a row in neither/both outputs)
+            tagged = df.withColumn("_quality", q).localCheckpoint(eager=False)
+            quality_rejects = tagged.filter(
+                ~F.coalesce(F.col("_quality") >= qf.min_quality, F.lit(False))
             )
-        df = df.filter(q >= qf.min_quality)
+            df = tagged.filter(
+                F.coalesce(F.col("_quality") >= qf.min_quality, F.lit(False))
+            ).drop("_quality")
+        else:
+            df = df.filter(keep)
 
     if spec.sample is not None:
         smp = spec.sample
@@ -822,6 +837,12 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
             errs.append("dedup method=fingerprint needs text_column")
     if spec.scd2 is not None:
         errs.append("scd2 (reads back the target mid-plan)")
+    if spec.quality_filter is not None and spec.quality_filter.reject_table:
+        errs.append(
+            "quality_filter.reject_table (the audit sink needs a second "
+            "eager write a stream doesn't have — drop reject_table to "
+            "filter-only, or run in batch mode)"
+        )
     for r in spec.mappings or []:
         # the on_fail ladder treats None/'skip'/'default:*' as pure row
         # filters/rewrites; EVERYTHING else (explicit 'error', 'abort',

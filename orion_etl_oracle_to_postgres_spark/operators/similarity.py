@@ -908,8 +908,14 @@ def centroid_drift(
             "label",
             "n_old",
             "n_new",
-            F.round(
-                1.0 - F.col("__dot") / (F.col("__na") * F.col("__nb")), 6
+            # zero-norm centroid (all-zero placeholder embeddings):
+            # cosine is undefined — emit NULL explicitly rather than a
+            # non-ANSI silent NULL / ANSI DIVIDE_BY_ZERO crash
+            F.when(
+                (F.col("__na") > 0) & (F.col("__nb") > 0),
+                F.round(
+                    1.0 - F.col("__dot") / (F.col("__na") * F.col("__nb")), 6
+                ),
             ).alias("cosine_drift"),
         )
     )

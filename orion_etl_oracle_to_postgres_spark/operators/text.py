@@ -544,15 +544,24 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bg = tk.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
         F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
     )
-    cbg = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cbg"))
-    cpre = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__cpre"))
+    # aggregate per (doc, bigram) FIRST: cbg/cpre derive from that
+    # exchange (ReuseExchange) and the probe side is the same aggregate
+    # — one corpus tokenize/explode instead of three (the unigram
+    # operator's per_doc → corpus pattern)
+    per_doc = bg.groupBy(id_col, "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cbg = per_doc.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__cbg"))
+    cpre = cbg.groupBy("__w1").agg(F.sum("__cbg").alias("__cpre"))
     logp = F.log2(F.col("__cbg") / F.col("__cpre"))
     return (
-        bg.join(cbg, ["__w1", "__w2"])
+        per_doc.join(cbg, ["__w1", "__w2"])
         .join(cpre, "__w1")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(logp), 6).alias("mean_log2p"),
+            F.sum("__c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__c") * logp) / F.sum("__c"), 6
+            ).alias("mean_log2p"),
         )
     )

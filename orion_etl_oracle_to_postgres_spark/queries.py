@@ -5073,7 +5073,9 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bg AS (
       SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-      FROM toks, (SELECT unnest(range(1, 100000)) AS i) ix
+      FROM toks,
+           (SELECT unnest(range(1, (SELECT coalesce(max(len(ts)), 2)
+                                    FROM toks))) AS i) ix
       WHERE len(ts) >= 2 AND i <= len(ts) - 1
     ),
     cbg AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),

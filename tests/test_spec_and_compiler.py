@@ -1474,3 +1474,66 @@ def test_quality_filter_declarative(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_quality_filter_null_text_is_audited_not_lost(spark, tmp_path):
+    """NULL text scores NULL — such rows must land in the reject audit,
+    never vanish from both outputs."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+
+    good = ("a good plain sentence with normal words repeated a few times "
+            "over and over to pass the length gate easily for sure")
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, good), (2, None)], "id int, body string"
+    ).write.parquet(str(src / "docs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="docs_clean",
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", reject_table="docs_lowq"
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+    )
+    run_table(JobContext(spark=spark, global_spec=g), t)
+    assert [r["id"] for r in spark.read.parquet(str(out / "docs_clean")).collect()] == [1]
+    rej = spark.read.parquet(str(out / "docs_lowq")).collect()
+    assert [r["id"] for r in rej] == [2]
+    assert rej[0]["_quality"] is None
+
+
+def test_quality_filter_reject_table_refused_on_streams(spark, tmp_path):
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        _assert_streaming_spec,
+    )
+
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(tmp_path))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="o",
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", reject_table="lowq"
+        ),
+        mappings=[spec_mod.MappingSpec(source="body", target="body")],
+    )
+    with pytest.raises(ValueError, match="reject_table"):
+        _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)
