@@ -572,3 +572,80 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_sub", "id_super", F.round("containment", 6).alias("containment"))
     )
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style repeated-span removal (cross-document span dedup): cut
+    each document into consecutive non-overlapping ``span_tokens``-token
+    segments, count each DISTINCT segment's document frequency over the
+    whole corpus, and rewrite every document with the segments that
+    appear in ``>= min_docs`` documents removed. The batch relative of
+    the suffix-array substring dedup of Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better"), at fixed-span
+    granularity — it strips boilerplate/license blocks that exact and
+    near-dup DOC-level dedup both miss, because the hosting documents
+    differ everywhere else.
+
+    Returns (id_col, n_segments, n_removed, new_text); documents whose
+    every segment is shared come back with ``new_text = ''``, and
+    zero-token documents (nothing to segment) are dropped — same rule
+    on the oracle side.
+
+    100 TB shape: segmentation is a pure per-row projection (tokenize →
+    in-row ``transform``/``slice`` → posexplode; no exchange). The hot
+    set is ONE hash-aggregate on xxhash64(segment) — uniform keys, and
+    only ids/hashes shuffle because the segment text itself stays with
+    its doc row. Reassembly is one groupBy(doc) carrying (pos, kept
+    segment) pairs — the corpus text volume, same as any rewrite must
+    move. Nothing driver-side; no joins wider than the hot-segment
+    left join (hot segments are by definition few relative to the
+    corpus or the corpus is pathological — a cap is unnecessary because
+    each doc joins at most its own segment count).
+    """
+    k = int(span_tokens)
+    if k < 1:
+        raise ValueError("span_tokens must be >= 1")
+    seg_arr = (
+        f"CASE WHEN size(__tk) = 0 THEN array() "
+        f"ELSE transform(sequence(0, int(ceil(size(__tk) / {k}.0)) - 1), "
+        f"i -> concat_ws(' ', slice(__tk, i * {k} + 1, {k}))) END"
+    )
+    segs = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
+        .select("__id", F.posexplode(F.expr(seg_arr)).alias("__pos", "__seg"))
+        .withColumn("__h", F.xxhash64("__seg"))
+    )
+    hot = (
+        segs.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h", F.lit(True).alias("__hot"))
+    )
+    marked = segs.join(hot, "__h", "left")
+    keep = F.col("__hot").isNull()
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("__pos"), F.col("__seg")))
+                        )
+                    ),
+                    lambda s: s.getField("__seg"),
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

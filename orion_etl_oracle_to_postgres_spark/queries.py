@@ -5153,3 +5153,42 @@ def er_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nm"),
     )
     return resolve_entities(dirty, "p_partkey", "nm", max_distance=1)
+
+
+@query(
+    "dedup_repeated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[i * 3 + 1 : i * 3 + 3], ' ') AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(range(CAST(ceil(len(ts) / 3.0) AS BIGINT))) AS i
+            FROM toks WHERE len(ts) > 0)
+    ),
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_segments,
+           coalesce(sum(CASE WHEN h.seg IS NOT NULL THEN 1 END), 0)::BIGINT
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END,
+                               ' ' ORDER BY s.pos), '') AS new_text
+    FROM segs s LEFT JOIN hot h USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] C4-style cross-document repeated-span removal
+    (operators/dedup.py:repeated_span_dedup): 3-token segments whose
+    exact text recurs in >= 2 documents are stripped from every
+    document; per-doc segment/removal counts plus the rewritten text.
+    The oracle replays segmentation with list slicing over the same
+    tokenizer and an ORDER BY pos string_agg reassembly."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.repeated_span_dedup(d, "text", "doc_id", span_tokens=3, min_docs=2)

@@ -218,3 +218,66 @@ def test_containment_is_directed_for_mutual_copies(spark):
     df = spark.createDataFrame([(1, t), (2, t)], "doc_id int, text string")
     rows = containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
     assert {(r["id_sub"], r["id_super"]) for r in rows} == {(1, 2), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# repeated_span_dedup (C4-style cross-document span removal)
+# ---------------------------------------------------------------------------
+
+SPAN_DOCS = [
+    # spans of 2 tokens: doc 1/2 share "aa bb" (first span); doc 3 unique;
+    # doc 4 is entirely made of shared spans -> emptied; doc 5 empty text.
+    (1, "aa bb cc dd"),
+    (2, "aa bb xx yy"),
+    (3, "pp qq rr"),
+    (4, "aa bb aa bb"),
+    (5, "   "),
+]
+
+
+def test_repeated_span_dedup_removes_shared_spans(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["new_text"])
+        for r in dedup.repeated_span_dedup(
+            df, "text", "doc_id", span_tokens=2, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (2, 1, "cc dd")
+    assert out[2] == (2, 1, "xx yy")
+    # doc 3: ragged tail segment "rr" is its own span, nothing shared
+    assert out[3] == (2, 0, "pp qq rr")
+    # doc 4: both segments are the hot span -> fully emptied, order kept
+    assert out[4] == (2, 2, "")
+    # doc 5 has zero tokens -> dropped entirely
+    assert 5 not in out
+
+
+def test_repeated_span_dedup_intra_doc_repeat_not_hot(spark):
+    # a span repeated twice WITHIN one doc but in no other doc stays:
+    # hotness counts distinct documents, not occurrences
+    df = spark.createDataFrame(
+        [(1, "zz ww zz ww"), (2, "aa bb cc dd")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup.repeated_span_dedup(
+            df, "text", "doc_id", span_tokens=2, min_docs=2
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0}
+
+
+def test_repeated_span_dedup_plan_shape(spark):
+    # segmentation must be narrow: the only exchanges are the hot-set
+    # hash aggregate and the per-doc reassembly (plus AQE reuse), and
+    # nothing driver-side or cartesian appears.
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id int, text string")
+    plan = (
+        dedup.repeated_span_dedup(df, "text", "doc_id", span_tokens=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
