@@ -919,3 +919,155 @@ def centroid_drift(
             ).alias("cosine_drift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_codes: int = 16,
+) -> list[list[float]]:
+    """Deterministic PQ codebook: the full vectors with ``id_col <
+    n_codes`` (same engine-independent convention as ``ivf_assign``
+    centroids — any SQL engine reproduces the identical codes; for real
+    corpora substitute per-subspace k-means codewords, the encode plan
+    is unchanged). A k-row driver probe, like the IVF probe collects.
+    """
+    rows = (
+        df.filter(F.col(id_col) < n_codes)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(f"codebook needs {n_codes} rows with {id_col} < {n_codes}")
+    return [list(r[0]) for r in rows]
+
+
+def _pq_geometry(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def _sq_subdist(v_expr: str, v_off: str, cb_off: str, sd: int) -> str:
+    """SQL for the squared L2 distance between one subvector of ``v_expr``
+    (starting at ``v_off``) and the codebook slice starting at ``cb_off``
+    in the flat literal ``__cb``. Left-to-right fold so the float sum is
+    order-deterministic and bit-reproducible by the DuckDB oracle."""
+    a = f"element_at({v_expr}, {v_off} + i)"
+    b = f"element_at(__cb, {cb_off} + i)"
+    return (
+        f"aggregate(sequence(1, {sd}), cast(0 as double), "
+        f"(s, i) -> s + ({a} - {b}) * ({a} - {b}))"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors and
+    replace each with the id of its nearest (squared-L2) codeword —
+    dim × 4 bytes become ``m`` small ints (codes), an 8-32× corpus
+    compression that makes billion-vector scans RAM-resident. Returns
+    (id_col, pq_codes array<int>, pq_err double) where ``pq_err`` is
+    the total squared reconstruction error (= sum of per-subspace
+    minimum distances — no second pass needed).
+
+    Plan shape: the codebook is a tiny literal (≈ n_codes × dim doubles,
+    the broadcast-variable equivalent), so encoding is a PURE PROJECTION
+    — zero shuffles, zero joins; at 100 TB it's a single narrow map over
+    the corpus, the cheapest shape Spark has. Ties (equal subdistance)
+    take the lowest code id: the fold keeps the FIRST winner of a strict
+    ``<`` over ascending code ids.
+    """
+    dim = _first_dim(df, vec_col)
+    sd = _pq_geometry(dim, m)
+    cb = codebook if codebook is not None else pq_codebook(
+        df, vec_col=vec_col, id_col=id_col, n_codes=n_codes
+    )
+    if len(cb) != n_codes or any(len(c) != dim for c in cb):
+        raise ValueError("codebook must be n_codes x dim")
+    flat = ", ".join(repr(float(x)) + "D" for c in cb for x in c)
+    dist = _sq_subdist("__v", f"j * {sd}", f"cc * {dim} + j * {sd}", sd)
+    best = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"aggregate(sequence(0, {n_codes - 1}), "
+        f"struct(cast(-1 as int) as c, cast('Infinity' as double) as d), "
+        f"(acc, cc) -> if({dist} < acc.d, "
+        f"struct(cast(cc as int) as c, {dist} as d), acc)))"
+    )
+    return (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .withColumn("__cb", F.expr(f"array({flat})"))
+        .select(
+            id_col,
+            F.expr(f"transform({best}, x -> x.c)").alias("pq_codes"),
+            F.expr(f"round(aggregate({best}, cast(0 as double), (s, x) -> s + x.d), 6)").alias(
+                "pq_err"
+            ),
+        )
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision, every corpus vector is scored by summing its ``m``
+    query↔codeword subdistances — the IVF-PQ second stage (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search"). Returns the k
+    (id, adc_dist) rows with the SMALLEST approximate distance.
+
+    The classical ADC lookup table (m × n_codes floats, computed once
+    per query) is folded inline here: the per-subspace query↔codeword
+    distance is an expression over two literals, so Catalyst
+    constant-folds what a hand-built LUT would cache, with identical
+    left-to-right numerics. Scoring reads ONLY the m int codes — at
+    scale the full vectors never leave parquet (column pruning), and
+    the ranking is a TakeOrderedAndProject, no global sort.
+    """
+    dim = _first_dim(df, vec_col)
+    sd = _pq_geometry(dim, m)
+    cb = codebook if codebook is not None else pq_codebook(
+        df, vec_col=vec_col, id_col=id_col, n_codes=n_codes
+    )
+    enc = pq_encode(
+        df, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes, codebook=cb
+    )
+    qflat = ", ".join(repr(float(x)) + "D" for x in query_vec)
+    cbflat = ", ".join(repr(float(x)) + "D" for c in cb for x in c)
+    lut = _sq_subdist("__q", f"j * {sd}", f"element_at(pq_codes, j + 1) * {dim} + j * {sd}", sd)
+    score = (
+        f"round(aggregate(sequence(0, {m - 1}), cast(0 as double), "
+        f"(s, j) -> s + {lut}), 6)"
+    )
+    return (
+        enc.withColumn("__q", F.expr(f"array({qflat})"))
+        .withColumn("__cb", F.expr(f"array({cbflat})"))
+        .select(id_col, F.expr(score).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -5192,3 +5192,83 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer and an ORDER BY pos string_agg reassembly."""
     d = _t(spark, sf_dir, "documents")
     return dedup.repeated_span_dedup(d, "text", "doc_id", span_tokens=3, min_docs=2)
+
+
+_PQ_CODES_CTE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, js.j, cb.code,
+             list_sum([ (e.v[js.j * 8 + i] - cb.cv[js.j * 8 + i])
+                        * (e.v[js.j * 8 + i] - cb.cv[js.j * 8 + i])
+                        FOR i IN range(1, 9) ]) AS dist
+      FROM e
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+      CROSS JOIN cb
+    ),
+    best AS (SELECT vec_id, j, min(dist) AS md FROM d GROUP BY vec_id, j),
+    codes AS (
+      SELECT d.vec_id, d.j, min(d.code) AS code, any_value(b.md) AS md
+      FROM d JOIN best b ON d.vec_id = b.vec_id AND d.j = b.j AND d.dist = b.md
+      GROUP BY d.vec_id, d.j
+    )
+"""
+
+
+@query(
+    "emb_pq_codes",
+    _PQ_CODES_CTE
+    + """
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY j), '-') AS pq_codes,
+           round(sum(md), 6) AS pq_err
+    FROM codes GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Product quantization encode
+    (operators/similarity.py:pq_encode): 64-dim float vectors -> 8
+    nearest-codeword ids (8 subspaces x 16 deterministic codewords,
+    ties to the lowest code) + total squared reconstruction error.
+    The oracle replays the argmin per (vector, subspace) with the same
+    left-to-right float fold and min-code tie-break."""
+    e = _t(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(e, m=8, n_codes=16)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("pq_codes").cast("array<string>"), "-").alias("pq_codes"),
+        "pq_err",
+    )
+
+
+@query(
+    "emb_pq_adc_topk",
+    _PQ_CODES_CTE
+    + """
+    , q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id,
+             round(sum(list_sum(
+               [ (q.qv[c.j * 8 + i] - cb.cv[c.j * 8 + i])
+                 * (q.qv[c.j * 8 + i] - cb.cv[c.j * 8 + i])
+                 FOR i IN range(1, 9) ])), 6) AS adc_dist
+      FROM codes c JOIN cb ON cb.code = c.code CROSS JOIN q
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_dist FROM scored
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ADC top-k over PQ codes
+    (operators/similarity.py:pq_adc_topk): full-precision query scored
+    against the compressed corpus via per-subspace query<->codeword
+    distances; k smallest approximate distances. Scoring touches only
+    the m int codes — the corpus vectors stay in parquet."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.pq_adc_topk(e, qv, k=10, m=8, n_codes=16)

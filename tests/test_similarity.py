@@ -445,3 +445,73 @@ def test_centroid_drift_zero_for_identical_and_positive_for_shifted(spark):
     only_old = df.filter("label = 0")
     out3 = centroid_drift(only_old, df.filter("label = 1"), "label", "embedding")
     assert out3.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pq_encode / pq_adc_topk)
+# ---------------------------------------------------------------------------
+
+
+def _pq_vecs(spark):
+    # dim 4, m=2 subspaces of 2; codebook = vec_id < 2
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.1, 0.0, 0.9, 1.1]),   # sub0 -> code 0, sub1 -> code 1
+        (3, [1.2, 0.8, 0.0, 0.1]),   # sub0 -> code 1, sub1 -> code 0
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_pq_encode_codes_and_error(spark):
+    out = {
+        r["vec_id"]: (list(r["pq_codes"]), r["pq_err"])
+        for r in similarity.pq_encode(_pq_vecs(spark), m=2, n_codes=2).collect()
+    }
+    assert out[0] == ([0, 0], 0.0)
+    assert out[1] == ([1, 1], 0.0)
+    assert out[2][0] == [0, 1]
+    # err(2) = (0.1^2 + 0) + (0.1^2 + 0.1^2)
+    assert math.isclose(out[2][1], 0.03, abs_tol=1e-9)
+    assert out[3][0] == [1, 0]
+
+
+def test_pq_encode_tie_breaks_to_lowest_code(spark):
+    # codebook rows are identical -> every subdistance ties -> code 0
+    rows = [(0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in similarity.pq_encode(df, m=2, n_codes=2).collect()
+    }
+    assert out == {0: [0, 0], 1: [0, 0], 2: [0, 0]}
+
+
+def test_pq_encode_rejects_bad_geometry(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_encode(_pq_vecs(spark), m=3, n_codes=2)
+    with pytest.raises(ValueError, match="codebook needs"):
+        similarity.pq_encode(_pq_vecs(spark), m=2, n_codes=9)
+
+
+def test_pq_encode_is_pure_projection(spark):
+    # encoding must stay narrow: no exchange anywhere in the plan
+    plan = (
+        similarity.pq_encode(_pq_vecs(spark), m=2, n_codes=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_topk_prefers_own_cell(spark):
+    out = similarity.pq_adc_topk(
+        _pq_vecs(spark), [0.05, 0.0, 1.0, 1.0], k=2, m=2, n_codes=2
+    ).collect()
+    # query sits in vec 2's cell (codes [0, 1]); vec 2 shares that cell
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] in (0, 2)  # code-identical rows tie on ADC distance
+    assert all(r["adc_dist"] >= 0 for r in out)
