@@ -5272,3 +5272,131 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return similarity.pq_adc_topk(e, qv, k=10, m=8, n_codes=16)
+
+
+@query(
+    "agg_custorder_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def agg_custorder_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many (non-urgent)
+    orders, INCLUDING the zero-order customers the inner join would
+    drop. Two aggregations: per-customer count over a left outer join
+    with the filter in the JOIN CONDITION (an ON-clause predicate on
+    the right side — pushed to the orders scan, never into a WHERE
+    where it would turn the join inner), then the distribution. At
+    scale both groupBys map-side combine; the join shuffles on custkey
+    and the second aggregate on the tiny c_count domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "agg_small_qty_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN pavg a ON l.l_partkey = a.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 5
+    WHERE l.l_quantity < a.half_avg
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of small
+    parts — a CORRELATED per-group average (quantity below half the
+    part's own mean) realized as an aggregate-then-join-back, the plan
+    Catalyst's DecorrelateInnerQuery produces for the subquery form.
+    The per-part average table is partkey-keyed (same key as the join,
+    no extra shuffle round), and the selective part filter broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    pavg = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        l.join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "agg_idle_rich_customers",
+    """
+    SELECT c_nationkey,
+           count(*)::BIGINT AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balances and no
+    URGENT order — a scalar subquery (global positive-balance mean) feeding
+    a filter plus a NOT EXISTS anti join, aggregated per nation. The
+    scalar lands as a one-row broadcast, the anti join shuffles on
+    custkey (or broadcasts the distinct order keys when they fit), and
+    the final groupBy is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
