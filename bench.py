@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "agg_incremental_state",  # mergeable agg state: build+merge+finalize
     "text_bigram_logprob",  # bigram LM fluency: in-row expansion + 2 wc aggs
     "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
+    "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)
+    "emb_pq_adc_topk",  # PQ compressed-domain ANN: codes-only scan + top-k
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import md5_hash60, shingles_from_tokens, tokens
+from ..functions import md5_hash60, shingles_from_tokens, token_count, tokens
 
 _BUCKETS = 1000
 
@@ -443,4 +443,54 @@ def priority_sample(
         .orderBy(F.col("__prio").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("__prio")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+    *,
+    seed: str = "tb0",
+) -> DataFrame:
+    """Per-group TOKEN-budget sampling — the data-mixing primitive when
+    the recipe says "English: 30 B tokens, code: 10 B tokens", not "30 %
+    of documents": within each ``group_col`` take documents in portable
+    hash order (``md5_60(id || ':' || seed)``, ties by id) until the
+    group's running token total reaches ``budget_tokens``. A document is
+    kept iff the total BEFORE it is still under budget, so every group
+    overshoots by at most its last document (never undershoots while
+    documents remain) and the selection is exactly reproducible on any
+    engine / any partitioning. Rows keep all input columns plus
+    ``n_tokens``.
+
+    Scale shape: ONE shuffle (hash-partition by group) and an
+    in-partition sort feeding a running-sum window — the window carries
+    the full row once, same as any per-group prefix semantics must.
+    Groups are mixture sources (languages, domains) — few and fat, and
+    a single group's rows spread over many spill-able sort runs, so
+    skew means slow-tail tasks, not OOM. For corpora where even that
+    sort is too hot, take the two-pass route instead: aggregate
+    per-group token totals, derive a keep-RATE, and use
+    ``weighted_sample`` (one aggregate + pure filter, no sort) at the
+    cost of only approximately hitting the budget.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    order = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        .withColumn("__ord", order)
+        .withColumn("__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("__before") < budget_tokens)
+        .drop("__ord", "__before")
     )

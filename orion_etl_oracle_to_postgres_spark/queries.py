@@ -5400,3 +5400,38 @@ def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "curation_token_budget",
+    """
+    SELECT doc_id, lang, n_tokens FROM (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))::BIGINT AS n_tokens,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':tb0')")
+    + """ AS ord
+        FROM documents
+      )
+    ) WHERE cb < 2000
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group token-budget sampling
+    (operators/curation.py:token_budget_sample): each language
+    contributes documents in portable-hash order until 2000 tokens are
+    reached — the mixture-recipe primitive ("N tokens per source", not
+    "N percent of rows"). The oracle replays the running-sum window
+    over the same hash order and tokenizer."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.curation import token_budget_sample
+
+    return token_budget_sample(d, "text", "doc_id", "lang", 2000).select(
+        "doc_id", "lang", "n_tokens"
+    )

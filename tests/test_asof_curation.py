@@ -570,3 +570,49 @@ def test_priority_sample_guards(spark):
     # null/zero/negative weights excluded -> only id 1 eligible
     got = priority_sample(df, "id", "w", 10).collect()
     assert [r["id"] for r in got] == [1]
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (1, "g1", "a b c d e"),          # 5 tokens
+        (2, "g1", "f g h"),              # 3 tokens
+        (3, "g1", "i j k l"),            # 4 tokens
+        (4, "g2", "one two"),            # 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, text string")
+    out = token_budget_sample(df, "text", "doc_id", "grp", 6)
+    got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    # g2's single doc always kept (before-sum 0 < 6)
+    assert got[4] == 2
+    # g1: docs in hash order are taken until cumulative >= 6; exactly
+    # the prefix whose before-sum < 6 survives -> kept token total in
+    # [6, 6 + max_doc) unless the group ran out
+    kept_g1 = [got[k] for k in got if k != 4]
+    assert sum(kept_g1) >= 6 or len(kept_g1) == 3
+    # determinism: same seed -> same selection
+    again = {
+        r["doc_id"]
+        for r in token_budget_sample(df, "text", "doc_id", "grp", 6).collect()
+    }
+    assert again == set(got)
+
+
+def test_token_budget_sample_rejects_bad_budget(spark):
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame([(1, "g", "x")], "doc_id int, grp string, text string")
+    with pytest.raises(ValueError, match="positive"):
+        token_budget_sample(df, "text", "doc_id", "grp", 0)
