@@ -712,7 +712,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         smp = spec.sample
         needed = [smp.id_column] + (
             [smp.group_column] if smp.method == "rates"
-            else [smp.weight_column] if smp.method == "priority" else []
+            else [smp.weight_column] if smp.method == "priority"
+            else [smp.group_column, smp.text_column]
+            if smp.method == "token_budget"
+            else []
         )
         for c in needed:
             if c not in df.columns:
@@ -735,6 +738,23 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             from .operators.curation import sample_n
 
             df = sample_n(df, smp.id_column, int(smp.n), seed=smp.seed)
+        elif smp.method == "token_budget":
+            from .operators.curation import token_budget_sample
+
+            if "n_tokens" in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: token_budget sampling adds an "
+                    "'n_tokens' column but the pipeline already has one — "
+                    "rename it or use a rates sample"
+                )
+            df = token_budget_sample(
+                df,
+                smp.text_column,
+                smp.id_column,
+                smp.group_column,
+                int(smp.budget_tokens),
+                seed=smp.seed,
+            )
         else:  # priority
             from .operators.curation import priority_sample
 

@@ -264,23 +264,29 @@ class SampleSpec(BaseModel):
     (``curation.sample_n``; needs ``n``).
     ``method: priority`` — exact-N WEIGHTED without replacement,
     Efraimidis-Spirakis (``curation.priority_sample``; needs ``n`` +
-    ``weight_column``)."""
+    ``weight_column``).
+    ``method: token_budget`` — per-group TOKEN quotas, the mixture
+    recipe stated as "N tokens per source" (``curation.
+    token_budget_sample``; needs ``group_column`` + ``budget_tokens``
+    + ``text_column``; adds an ``n_tokens`` output column)."""
 
-    method: str = "rates"  # rates | exact_n | priority
+    method: str = "rates"  # rates | exact_n | priority | token_budget
     id_column: str
     group_column: Optional[str] = None
     rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
     default_rate: float = 0.0
     n: Optional[int] = None
     weight_column: Optional[str] = None
+    text_column: Optional[str] = None
+    budget_tokens: Optional[int] = None
     seed: str = "mix0"
 
     @field_validator("method")
     @classmethod
     def _known_sample_method(cls, v: str) -> str:
-        if v not in ("rates", "exact_n", "priority"):
+        if v not in ("rates", "exact_n", "priority", "token_budget"):
             raise ValueError(
-                f"sample method must be rates|exact_n|priority, got {v!r}"
+                f"sample method must be rates|exact_n|priority|token_budget, got {v!r}"
             )
         return v
 
@@ -294,6 +300,16 @@ class SampleSpec(BaseModel):
             raise ValueError(f"sample method={self.method} needs n > 0")
         if self.method == "priority" and not self.weight_column:
             raise ValueError("sample method=priority needs weight_column")
+        if self.method == "token_budget" and (
+            not self.group_column
+            or not self.text_column
+            or self.budget_tokens is None
+            or self.budget_tokens <= 0
+        ):
+            raise ValueError(
+                "sample method=token_budget needs group_column, text_column "
+                "and budget_tokens > 0"
+            )
         return self
 
 

@@ -616,3 +616,75 @@ def test_token_budget_sample_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "g", "x")], "doc_id int, grp string, text string")
     with pytest.raises(ValueError, match="positive"):
         token_budget_sample(df, "text", "doc_id", "grp", 0)
+
+
+def test_declarative_token_budget_sample(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        SampleSpec,
+        TableSpec,
+    )
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "tok " * (i % 7 + 1)) for i in range(60)],
+        ["id", "lang", "body"],
+    ).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="body", target="body"),
+        ],
+        sample=SampleSpec(
+            method="token_budget",
+            id_column="id",
+            group_column="lang",
+            text_column="body",
+            budget_tokens=20,
+        ),
+    )
+    out = compile_table(ctx, spec).df
+    rows = out.collect()
+    assert "n_tokens" in out.columns
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["lang"], 0)
+        per_group[r["lang"]] += r["n_tokens"]
+    # every group reaches its budget (plenty of rows available)
+    assert all(v >= 20 for v in per_group.values())
+
+    # validation: missing budget fields fail at spec build time
+    with _pt.raises(ValidationError, match="token_budget"):
+        SampleSpec(method="token_budget", id_column="id")
+    # compile-time: text column absent from the pipeline output
+    bad = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[MappingSpec(source="id", target="id")],
+        sample=SampleSpec(
+            method="token_budget",
+            id_column="id",
+            group_column="lang",
+            text_column="body",
+            budget_tokens=20,
+        ),
+    )
+    with _pt.raises(ValueError, match="sample column"):
+        compile_table(ctx, bad)
