@@ -1071,3 +1071,59 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN stack (Jégou et al.; FAISS
+    ``IVFx,PQy``) — IVF coarse quantization prunes the corpus to the
+    ``nprobe`` most promising cells, then ADC ranks ONLY those
+    candidates in the compressed domain. Composes ``ivf_assign`` +
+    ``pq_adc_topk``; the PQ codebook is taken from (or passed for) the
+    FULL corpus, never the probed subset, so codes are query-independent
+    and materializable.
+
+    100 TB shape: with the corpus written ``partitionBy(cluster_id)``
+    (``ivf_materialize``) and codes stored next to the vectors, a query
+    reads nprobe/n_centroids of the dataset, scans m-byte codes instead
+    of dim×4-byte vectors (the PQ win: candidate I/O shrinks ~32×), and
+    ends in a TakeOrderedAndProject — no global sort, no full-precision
+    vector ever read for scoring.
+    """
+    cb = codebook if codebook is not None else pq_codebook(
+        df, vec_col=vec_col, id_col=id_col, n_codes=n_codes
+    )
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    probes = (
+        cent.select("__cid", cosine(F.col("__cv"), _lit_vec(query_vec)).alias("__qs"))
+        .orderBy(F.col("__qs").desc(), F.col("__cid"))
+        .limit(nprobe)
+        .select(F.col("__cid").alias("cluster_id"))
+    )
+    assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids)
+    cand_ids = assign.join(F.broadcast(probes), "cluster_id", "left_semi").select(id_col)
+    cand = df.join(cand_ids, id_col)
+    return pq_adc_topk(
+        cand,
+        query_vec,
+        k,
+        vec_col=vec_col,
+        id_col=id_col,
+        m=m,
+        n_codes=n_codes,
+        codebook=cb,
+    )

@@ -5435,3 +5435,59 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(d, "text", "doc_id", "lang", 2000).select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+@query(
+    "emb_ivf_pq_topk",
+    _PQ_CODES_CTE
+    + """
+    , ic AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    ia AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, ic.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, ic.cv) DESC, ic.cid
+               ) AS rn
+        FROM e, ic
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM ic, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, cid
+      LIMIT 4
+    ),
+    cand AS (SELECT vec_id FROM ia JOIN probe USING (cid)),
+    scored AS (
+      SELECT c2.vec_id,
+             round(sum(list_sum(
+               [ (q.qv[c2.j * 8 + i] - cb.cv[c2.j * 8 + i])
+                 * (q.qv[c2.j * 8 + i] - cb.cv[c2.j * 8 + i])
+                 FOR i IN range(1, 9) ])), 6) AS adc_dist
+      FROM codes c2
+      JOIN cand USING (vec_id)
+      JOIN cb ON cb.code = c2.code
+      CROSS JOIN q
+      GROUP BY c2.vec_id
+    )
+    SELECT vec_id, adc_dist FROM scored
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-PQ two-stage ANN
+    (operators/similarity.py:ivf_pq_topk): IVF probes prune the corpus
+    to 4 of 16 cells, ADC ranks only those candidates from their 8
+    int codes — the FAISS-style production stack, fully relational.
+    The oracle replays coarse assignment, probe choice, candidate
+    restriction, and the compressed-domain scoring."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.ivf_pq_topk(e, qv, k=10, n_centroids=16, nprobe=4, m=8, n_codes=16)

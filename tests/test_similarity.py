@@ -515,3 +515,23 @@ def test_pq_adc_topk_prefers_own_cell(spark):
     ids = [r["vec_id"] for r in out]
     assert ids[0] in (0, 2)  # code-identical rows tie on ADC distance
     assert all(r["adc_dist"] >= 0 for r in out)
+
+
+def test_ivf_pq_topk_subset_of_probed_cells(spark):
+    # 8 vectors, dim 4, 2 centroids (ids 0/1), 2 codes, m=2.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.1, 0.0, 0.95, 0.0]),
+        (4, [1.0, 0.1, 0.1, 0.0]),
+        (5, [0.0, 0.1, 1.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = similarity.ivf_pq_topk(
+        df, [1.0, 0.0, 0.0, 0.0], k=3, n_centroids=2, nprobe=1, m=2, n_codes=2
+    ).collect()
+    ids = {r["vec_id"] for r in out}
+    # nprobe=1 towards the x-axis centroid: only cell-0 members rank
+    assert ids <= {0, 2, 4}
+    assert all(r["adc_dist"] >= 0 for r in out)
