@@ -565,3 +565,54 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("mean_log2p"),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_features: int = 64,
+    bias: float = 0.0,
+    seed: str = "qc0",
+) -> DataFrame:
+    """Model-based quality scoring via the hashing trick: each token is
+    hashed into one of ``n_features`` buckets (portable md5, so the
+    featurization is engine-reproducible), and the document score is
+    ``sigmoid(bias + mean over tokens of w[bucket])`` — a linear
+    classifier over the L1-normalized hashed bag of words, the
+    fastText-style quality-filter shape (CCNet/Gopher pipelines) one
+    rung above the heuristic ``quality_score``. The weight vector here
+    is a fixed closed-form stand-in (``w_j = ((37 j + 11) mod 97)/97 −
+    0.5`` — exact rational arithmetic any engine reproduces bit-for-
+    bit); a trained model drops in by replacing that expression with a
+    literal array, the plan is unchanged.
+
+    Returns (id_col, n_tokens, qc_score), score NULL for token-less
+    documents (no features — scoring them 0.5 would hide empty docs in
+    the mid-quality band).
+
+    100 TB shape: a PURE PROJECTION — tokenize, hash, and fold entirely
+    in-row (one ``aggregate`` over the token array); zero shuffles,
+    zero joins, no vocabulary table. That is the hashing trick's whole
+    point: the feature space is fixed-width, so scoring never touches
+    corpus-global state.
+    """
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    bucket = (
+        f"cast(conv(substring(md5(concat(t, ':{seed}')), 1, 15), 16, 10) "
+        f"as bigint) % {n_features}"
+    )
+    w = f"((cast({bucket} as double) * 37.0 + 11.0) % 97.0) / 97.0 - 0.5"
+    score = (
+        f"round(1.0 / (1.0 + exp(-({float(bias)!r}D + "
+        f"aggregate(__tk, cast(0 as double), (s, t) -> s + ({w})) / size(__tk)))), 6)"
+    )
+    return df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).select(
+        id_col,
+        F.size("__tk").cast("long").alias("n_tokens"),
+        F.when(F.size("__tk") > 0, F.expr(score)).alias("qc_score"),
+    )

@@ -5491,3 +5491,34 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return similarity.ivf_pq_topk(e, qv, k=10, n_centroids=16, nprobe=4, m=8, n_codes=16)
+
+
+@query(
+    "text_quality_classifier",
+    """
+    SELECT doc_id,
+           len(ts)::BIGINT AS n_tokens,
+           CASE WHEN len(ts) > 0 THEN
+             round(1.0 / (1.0 + exp(-(0.0 + list_sum(
+               [ ((CAST("""
+    + _hex2int_sql("md5(t || ':qc0')")
+    + """ % 64 AS DOUBLE) * 37.0 + 11.0) % 97.0) / 97.0 - 0.5
+                 FOR t IN ts ]) / len(ts)))), 6)
+           END AS qc_score
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    )
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Hashing-trick linear quality classifier
+    (operators/text.py:hashed_linear_score): tokens hashed into 64
+    portable-md5 buckets, document scored by a sigmoid over the mean
+    bucket weight — the fastText-style model-based filter, computed as
+    a zero-shuffle pure projection. The oracle replays the hash, the
+    closed-form weights, and the fold."""
+    d = _t(spark, sf_dir, "documents")
+    return text.hashed_linear_score(d, "text", "doc_id")

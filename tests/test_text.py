@@ -275,3 +275,47 @@ def test_bigram_logprob_values(spark):
     assert abs(out[1]["mean_log2p"] - round(m1, 6)) < 1e-9
     assert abs(out[2]["mean_log2p"] - round(m2, 6)) < 1e-9
     assert 3 not in out  # single-token doc: no bigrams
+
+
+# ---------------------------------------------------------------------------
+# hashed_linear_score (hashing-trick quality classifier)
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_linear_score_bounds_and_null(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha alpha"), (3, "   ")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_score(df, "text", "doc_id").collect()}
+    assert 0.0 < out[1]["qc_score"] < 1.0
+    # repeated token -> score equals the single-token score (mean weight)
+    one = hashed_linear_score(
+        spark.createDataFrame([(9, "alpha")], "doc_id int, text string"),
+        "text",
+        "doc_id",
+    ).collect()[0]
+    assert abs(out[2]["qc_score"] - one["qc_score"]) < 1e-9
+    # token-less doc scores NULL, not 0.5
+    assert out[3]["qc_score"] is None and out[3]["n_tokens"] == 0
+
+
+def test_hashed_linear_score_deterministic_and_pure(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} common words here") for i in range(20)],
+        "doc_id int, text string",
+    )
+    a = {r["doc_id"]: r["qc_score"] for r in hashed_linear_score(df, "text", "doc_id").collect()}
+    b = {r["doc_id"]: r["qc_score"] for r in hashed_linear_score(df.repartition(7), "text", "doc_id").collect()}
+    assert a == b
+    plan = (
+        hashed_linear_score(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
