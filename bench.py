@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
     "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)
     "emb_pq_adc_topk",  # PQ compressed-domain ANN: codes-only scan + top-k
+    "emb_ivf_pq_topk",  # IVF-PQ stack: probe pruning + ADC on candidates
 ]
 
 

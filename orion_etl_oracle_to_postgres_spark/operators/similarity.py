@@ -1049,7 +1049,9 @@ def pq_adc_topk(
     scale the full vectors never leave parquet (column pruning), and
     the ranking is a TakeOrderedAndProject, no global sort.
     """
-    dim = _first_dim(df, vec_col)
+    # geometry from the query vector — saves the corpus first() probe;
+    # pq_encode still validates the corpus dim against the codebook
+    dim = len(query_vec)
     sd = _pq_geometry(dim, m)
     cb = codebook if codebook is not None else pq_codebook(
         df, vec_col=vec_col, id_col=id_col, n_codes=n_codes
