@@ -204,14 +204,21 @@ def minhash_near_dups(
 
 
 def _verify_jaccard(
-    candidates: DataFrame, flat: DataFrame, threshold: float
+    candidates: DataFrame,
+    flat: DataFrame,
+    threshold: float,
+    flat_j: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard for candidate (id_i, id_j) pairs from a distinct
-    (__id, __h) shingle-hash stream: |A∩B| by joining both sides'
-    streams through the candidate list, |A∪B| = |A|+|B|−|A∩B|."""
-    sizes = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    """Exact Jaccard for candidate (id_i, id_j) pairs from distinct
+    (__id, __h) shingle-hash streams: |A∩B| by joining both sides'
+    streams through the candidate list, |A∪B| = |A|+|B|−|A∩B|.
+    ``flat_j`` defaults to ``flat`` (self-join case); pass the right
+    corpus' stream for a cross-corpus verify."""
+    fj = flat if flat_j is None else flat_j
+    sizes_i = flat.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes_j = fj.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     xi = flat.withColumnsRenamed({"__id": "id_i"})
-    xj = flat.withColumnsRenamed({"__id": "id_j"})
+    xj = fj.withColumnsRenamed({"__id": "id_j"})
     common = (
         candidates.join(xi, "id_i")
         .join(xj, ["id_j", "__h"])
@@ -219,8 +226,8 @@ def _verify_jaccard(
         .agg(F.count(F.lit(1)).alias("__common"))
     )
     return (
-        common.join(sizes.withColumnsRenamed({"__id": "id_i", "__n": "__ni"}), "id_i")
-        .join(sizes.withColumnsRenamed({"__id": "id_j", "__n": "__nj"}), "id_j")
+        common.join(sizes_i.withColumnsRenamed({"__id": "id_i", "__n": "__ni"}), "id_i")
+        .join(sizes_j.withColumnsRenamed({"__id": "id_j", "__n": "__nj"}), "id_j")
         .withColumn(
             "jaccard",
             F.col("__common") / (F.col("__ni") + F.col("__nj") - F.col("__common")),
@@ -649,3 +656,53 @@ def repeated_span_dedup(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH near-duplicate JOIN — the
+    decontamination shape: which candidate training documents (``left``)
+    near-duplicate a held-out/benchmark document (``right``)? The
+    text-level sibling of ``curation.contamination_check`` (which counts
+    shingle overlap) — this returns verified PAIRS with their exact
+    Jaccard, and the fingerprint-exact ``dedup_incremental_batch`` path
+    only catches identical normalized text.
+
+    Same machinery as ``minhash_near_dups`` but the bucket join runs
+    BETWEEN the two corpora (both sides share one deterministic band
+    family, so equal texts land in equal buckets): shingle → minhash →
+    band → left⋈right bucket join → exact-Jaccard verify against both
+    sides' shingle streams. Returns (id_i from left, id_j from right,
+    jaccard ≥ threshold); ids may coincide across corpora — they name
+    rows in DIFFERENT tables.
+
+    100 TB shape: both sides stream ids+hashes only; the band join is
+    key-uniform; and when ``right`` is a benchmark suite (thousands of
+    docs vs billions) its banded side broadcasts — Spark picks that up
+    from size estimates, no hint needed.
+    """
+    flat_l = shingle_hash_stream(left, id_col, text_col, shingle_n).localCheckpoint()
+    flat_r = shingle_hash_stream(right, id_col, text_col, shingle_n).localCheckpoint()
+    banded_l = minhash_bands(flat_l, num_hashes, bands, seed)
+    banded_r = minhash_bands(flat_r, num_hashes, bands, seed)
+    candidates = (
+        banded_l.alias("a")
+        .join(
+            banded_r.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.__id").alias("id_i"), F.col("b.__id").alias("id_j"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, flat_l, threshold, flat_j=flat_r)

@@ -5522,3 +5522,30 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form weights, and the fold."""
     d = _t(spark, sf_dir, "documents")
     return text.hashed_linear_score(d, "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_join",
+    _SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+           round(len(list_intersect(a.shs, b.shs))::DOUBLE
+                 / len(list_distinct(list_concat(a.shs, b.shs))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+      AND len(list_intersect(a.shs, b.shs))::DOUBLE
+          / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    """,
+)
+def dedup_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Cross-corpus MinHash LSH near-dup JOIN
+    (operators/dedup.py:minhash_join) — the decontamination shape:
+    training-side documents (doc_id % 7 != 0) that near-duplicate a
+    'benchmark' document (doc_id % 7 == 0) at Jaccard >= 0.8, LSH
+    candidates exact-verified. The oracle brute-forces the exact
+    cross Jaccard; banding at 64 hashes / 16 bands makes an LSH miss
+    at 0.8 astronomically unlikely, so the sets coincide."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    return dedup.minhash_join(train, bench, "doc_id", "text")

@@ -281,3 +281,28 @@ def test_repeated_span_dedup_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_join_cross_corpus(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    right = spark.createDataFrame(
+        [
+            # near-dup of left-1 (one token differs), id COLLIDES with left-2
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (7, "unrelated benchmark prompt about cooking pasta"),
+        ],
+        "doc_id int, text string",
+    )
+    out = dedup.minhash_join(left, right, "doc_id", "text", threshold=0.5)
+    pairs = {(r["id_i"], r["id_j"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    # the id-2 left doc must NOT pair with itself on the right: ids name
+    # rows in different tables and only content decides
+    assert (2, 2) not in pairs
+    assert all(j in (2, 7) for _, j in pairs)
