@@ -488,7 +488,15 @@ def token_budget_sample(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        # NULL text → NULL n_tokens (the window sum skips it, so NULL
+        # docs consume no budget) — token_count(NULL) would be -1 under
+        # non-ANSI size() semantics and CREDIT a token back to the group
+        df.withColumn(
+            "n_tokens",
+            F.when(
+                F.col(text_col).isNotNull(), token_count(F.col(text_col))
+            ).cast("long"),
+        )
         .withColumn("__ord", order)
         .withColumn("__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .filter(F.col("__before") < budget_tokens)

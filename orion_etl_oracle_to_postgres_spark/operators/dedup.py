@@ -625,7 +625,13 @@ def repeated_span_dedup(
         f"i -> concat_ws(' ', slice(__tk, i * {k} + 1, {k}))) END"
     )
     segs = (
-        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
+        # coalesce: NULL text means zero tokens, same as empty text —
+        # without it size(NULL) = -1 under non-ANSI sessions and the
+        # CASE above would fabricate phantom '' segments for NULL docs
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.coalesce(tokens(F.col(text_col)), F.array()).alias("__tk"),
+        )
         .select("__id", F.posexplode(F.expr(seg_arr)).alias("__pos", "__seg"))
         .withColumn("__h", F.xxhash64("__seg"))
     )

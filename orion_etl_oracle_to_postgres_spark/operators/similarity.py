@@ -240,6 +240,40 @@ def ivf_assign(
     )
 
 
+def _ivf_candidates(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    *,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF candidate restriction (``ivf_topk`` + ``ivf_pq_topk``):
+    rank the deterministic centroids (id < n_centroids) by cosine to the
+    query, keep the ids assigned to the best ``nprobe`` cells. Probe
+    selection is a k-row top-n; the restriction is a broadcast
+    semi-join on ``cluster_id``."""
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    probes = (
+        cent.select(
+            "__cid", cosine(F.col("__cv"), _lit_vec(query_vec)).alias("__qs")
+        )
+        .orderBy(F.col("__qs").desc(), F.col("__cid"))
+        .limit(nprobe)
+        .select(F.col("__cid").alias("cluster_id"))
+    )
+    assign = ivf_assign(
+        df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
+    )
+    return assign.join(F.broadcast(probes), "cluster_id", "left_semi").select(
+        id_col
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -261,22 +295,14 @@ def ivf_topk(
     pre-partitioned by ``cluster_id`` the candidate join disappears
     into partition pruning.
     """
-    cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    cand_ids = _ivf_candidates(
+        df,
+        query_vec,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
     )
-    probes = (
-        cent.select(
-            "__cid", cosine(F.col("__cv"), _lit_vec(query_vec)).alias("__qs")
-        )
-        .orderBy(F.col("__qs").desc(), F.col("__cid"))
-        .limit(nprobe)
-        .select(F.col("__cid").alias("cluster_id"))
-    )
-    assign = ivf_assign(
-        df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
-    )
-    cand_ids = assign.join(F.broadcast(probes), "cluster_id", "left_semi").select(id_col)
     sim = cosine(F.col(vec_col).cast("array<double>"), _lit_vec(query_vec))
     return (
         df.join(cand_ids, id_col)
@@ -977,6 +1003,7 @@ def pq_encode(
     m: int = 8,
     n_codes: int = 16,
     codebook: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` subvectors and
     replace each with the id of its nearest (squared-L2) codeword —
@@ -992,8 +1019,16 @@ def pq_encode(
     the corpus, the cheapest shape Spark has. Ties (equal subdistance)
     take the lowest code id: the fold keeps the FIRST winner of a strict
     ``<`` over ascending code ids.
+
+    ``dim`` (optional) skips the one-row dimensionality probe when the
+    caller already knows it — important when ``df``'s lineage is
+    expensive (``ivf_pq_topk``'s candidate join would re-run the whole
+    coarse assignment just to read one row). Every row is still
+    dim-checked IN the plan: a vector of any other length raises from
+    the executor instead of silently mis-striding the codebook.
     """
-    dim = _first_dim(df, vec_col)
+    if dim is None:
+        dim = _first_dim(df, vec_col)
     sd = _pq_geometry(dim, m)
     cb = codebook if codebook is not None else pq_codebook(
         df, vec_col=vec_col, id_col=id_col, n_codes=n_codes
@@ -1009,10 +1044,13 @@ def pq_encode(
         f"(acc, cc) -> if({dist} < acc.d, "
         f"struct(cast(cc as int) as c, {dist} as d), acc)))"
     )
+    guarded_vec = (
+        f"if(size({vec_col}) = {dim}, cast({vec_col} as array<double>), "
+        f"raise_error(concat('pq_encode: vector dim ', "
+        f"cast(size({vec_col}) as string), ' != codebook dim {dim}')))"
+    )
     return (
-        df.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-        )
+        df.select(F.col(id_col), F.expr(guarded_vec).alias("__v"))
         .withColumn("__cb", F.expr(f"array({flat})"))
         .select(
             id_col,
@@ -1049,15 +1087,26 @@ def pq_adc_topk(
     scale the full vectors never leave parquet (column pruning), and
     the ranking is a TakeOrderedAndProject, no global sort.
     """
-    # geometry from the query vector — saves the corpus first() probe;
-    # pq_encode still validates the corpus dim against the codebook
-    dim = len(query_vec)
-    sd = _pq_geometry(dim, m)
     cb = codebook if codebook is not None else pq_codebook(
         df, vec_col=vec_col, id_col=id_col, n_codes=n_codes
     )
+    # geometry from the codebook (saves a corpus probe); the query must
+    # match it — a mis-sized query would silently mis-stride the
+    # codebook lookups into plausible-looking garbage distances
+    dim = len(cb[0])
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query_vec dim {len(query_vec)} != codebook dim {dim}"
+        )
+    sd = _pq_geometry(dim, m)
     enc = pq_encode(
-        df, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes, codebook=cb
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        m=m,
+        n_codes=n_codes,
+        codebook=cb,
+        dim=dim,
     )
     qflat = ", ".join(repr(float(x)) + "D" for x in query_vec)
     cbflat = ", ".join(repr(float(x)) + "D" for c in cb for x in c)
@@ -1106,18 +1155,14 @@ def ivf_pq_topk(
     cb = codebook if codebook is not None else pq_codebook(
         df, vec_col=vec_col, id_col=id_col, n_codes=n_codes
     )
-    cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    cand_ids = _ivf_candidates(
+        df,
+        query_vec,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
     )
-    probes = (
-        cent.select("__cid", cosine(F.col("__cv"), _lit_vec(query_vec)).alias("__qs"))
-        .orderBy(F.col("__qs").desc(), F.col("__cid"))
-        .limit(nprobe)
-        .select(F.col("__cid").alias("cluster_id"))
-    )
-    assign = ivf_assign(df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids)
-    cand_ids = assign.join(F.broadcast(probes), "cluster_id", "left_semi").select(id_col)
     cand = df.join(cand_ids, id_col)
     return pq_adc_topk(
         cand,

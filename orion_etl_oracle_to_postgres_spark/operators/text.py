@@ -613,6 +613,10 @@ def hashed_linear_score(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     ).select(
         id_col,
-        F.size("__tk").cast("long").alias("n_tokens"),
+        # NULL text → NULL count (size(NULL) is -1 under non-ANSI
+        # sessions; the oracle's len(ts) is NULL — match it)
+        F.when(F.col("__tk").isNotNull(), F.size("__tk"))
+        .cast("long")
+        .alias("n_tokens"),
         F.when(F.size("__tk") > 0, F.expr(score)).alias("qc_score"),
     )

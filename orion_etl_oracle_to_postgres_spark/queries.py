@@ -5543,9 +5543,12 @@ def dedup_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-side documents (doc_id % 7 != 0) that near-duplicate a
     'benchmark' document (doc_id % 7 == 0) at Jaccard >= 0.8, LSH
     candidates exact-verified. The oracle brute-forces the exact
-    cross Jaccard; banding at 64 hashes / 16 bands makes an LSH miss
-    at 0.8 astronomically unlikely, so the sets coincide."""
+    cross Jaccard; 128 hashes / 32 bands (as the sibling dedup_minhash
+    queries pass) push the LSH miss probability at Jaccard 0.8 below
+    1e-7, so the sets coincide."""
     d = _t(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 7 != 0)
     bench = d.filter(F.col("doc_id") % 7 == 0)
-    return dedup.minhash_join(train, bench, "doc_id", "text")
+    return dedup.minhash_join(
+        train, bench, "doc_id", "text", num_hashes=128, bands=32
+    )

@@ -688,3 +688,20 @@ def test_declarative_token_budget_sample(spark, tmp_path):
     )
     with _pt.raises(ValueError, match="sample column"):
         compile_table(ctx, bad)
+
+
+def test_token_budget_sample_null_text(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", "a b c"), (3, "g", "d e f")],
+        "doc_id int, grp string, text string",
+    )
+    out = {r["doc_id"]: r["n_tokens"] for r in token_budget_sample(df, "text", "doc_id", "grp", 4).collect()}
+    # NULL doc carries NULL n_tokens and consumes no budget (never -1
+    # crediting a token back); budget still caps the text docs
+    assert out.get(1, "absent") in (None, "absent")
+    kept_text = [v for k, v in out.items() if k != 1]
+    assert sum(v for v in kept_text) >= 3

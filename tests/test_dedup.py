@@ -306,3 +306,14 @@ def test_minhash_join_cross_corpus(spark):
     # rows in different tables and only content decides
     assert (2, 2) not in pairs
     assert all(j in (2, 7) for _, j in pairs)
+
+
+def test_repeated_span_dedup_null_text_dropped(spark):
+    # NULL text = zero tokens: the doc is dropped, exactly like empty
+    # text (review finding: non-ANSI size(NULL) = -1 used to fabricate
+    # phantom '' segments for NULL docs)
+    df = spark.createDataFrame(
+        [(1, None), (2, "aa bb cc dd"), (3, None)], "doc_id int, text string"
+    )
+    out = {r["doc_id"] for r in dedup.repeated_span_dedup(df, "text", "doc_id", span_tokens=2).collect()}
+    assert out == {2}

@@ -535,3 +535,22 @@ def test_ivf_pq_topk_subset_of_probed_cells(spark):
     # nprobe=1 towards the x-axis centroid: only cell-0 members rank
     assert ids <= {0, 2, 4}
     assert all(r["adc_dist"] >= 0 for r in out)
+
+
+def test_pq_adc_topk_rejects_mis_sized_query(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="query_vec dim"):
+        similarity.pq_adc_topk(_pq_vecs(spark), [0.1, 0.0], k=2, m=2, n_codes=2)
+
+
+def test_pq_encode_raises_on_ragged_corpus(spark):
+    # per-row dim guard: a vector of the wrong length must raise from
+    # the plan, not silently mis-stride the codebook
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="vector dim"):
+        similarity.pq_encode(df, m=2, n_codes=2, dim=2).collect()

@@ -319,3 +319,13 @@ def test_hashed_linear_score_deterministic_and_pure(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_hashed_linear_score_null_text(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame([(1, None), (2, "word")], "doc_id int, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["qc_score"]) for r in hashed_linear_score(df, "text", "doc_id").collect()}
+    # NULL text -> NULL count (oracle's len(ts) is NULL), never -1
+    assert out[1] == (None, None)
+    assert out[2][0] == 1 and out[2][1] is not None
