@@ -1174,3 +1174,80 @@ def ivf_pq_topk(
         n_codes=n_codes,
         codebook=cb,
     )
+
+
+def pq_materialize(
+    df: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+) -> None:
+    """Encode the corpus ONCE and persist the PQ codes — the scale form
+    of ADC search (mirror of ``ivf_materialize``): per-query encoding
+    (a full-corpus fold) becomes a one-time layout cost; queries then
+    scan the codes table alone — ``m`` small ints per vector instead of
+    dim × 4 bytes, the 8-32× I/O shrink that makes billion-vector ADC
+    scans RAM-speed.
+
+    Layout: ``<path>/`` parquet of (id, pq_codes, pq_err) + the
+    codebook at ``<path>/_codebook`` (underscore-prefixed ⇒ invisible
+    to the data reader). ``pq_err`` rides along so the layout carries
+    its own quantization-quality audit.
+    """
+    cb = pq_codebook(df, vec_col=vec_col, id_col=id_col, n_codes=n_codes)
+    enc = pq_encode(
+        df, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes, codebook=cb
+    )
+    enc.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    rows = [(i, list(c)) for i, c in enumerate(cb)]
+    (
+        spark.createDataFrame(rows, "code int, cv array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_codebook")
+    )
+
+
+def pq_adc_topk_materialized(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    m: int = 8,
+) -> DataFrame:
+    """ADC top-k against a ``pq_materialize`` layout: read the codebook
+    (n_codes tiny rows), score the persisted codes with the same inline
+    query↔codeword fold as ``pq_adc_topk`` — identical numerics and
+    tie-breaks, so the same oracle stays green via this path. The scan
+    touches ONLY the codes column; no full-precision corpus vector is
+    read anywhere.
+    """
+    cb_rows = spark.read.parquet(f"{path}/_codebook").orderBy("code").collect()
+    cb = [list(r["cv"]) for r in cb_rows]
+    dim = len(cb[0])
+    if len(query_vec) != dim:
+        raise ValueError(f"query_vec dim {len(query_vec)} != codebook dim {dim}")
+    sd = _pq_geometry(dim, m)
+    enc = spark.read.parquet(path).select(id_col, "pq_codes")
+    qflat = ", ".join(repr(float(x)) + "D" for x in query_vec)
+    cbflat = ", ".join(repr(float(x)) + "D" for c in cb for x in c)
+    lut = _sq_subdist(
+        "__q", f"j * {sd}", f"element_at(pq_codes, j + 1) * {dim} + j * {sd}", sd
+    )
+    score = (
+        f"round(aggregate(sequence(0, {m - 1}), cast(0 as double), "
+        f"(s, j) -> s + {lut}), 6)"
+    )
+    return (
+        enc.withColumn("__q", F.expr(f"array({qflat})"))
+        .withColumn("__cb", F.expr(f"array({cbflat})"))
+        .select(id_col, F.expr(score).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

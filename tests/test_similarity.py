@@ -554,3 +554,22 @@ def test_pq_encode_raises_on_ragged_corpus(spark):
 
     with pytest.raises(Exception, match="vector dim"):
         similarity.pq_encode(df, m=2, n_codes=2, dim=2).collect()
+
+
+def test_pq_materialize_roundtrip_matches_direct_adc(spark, tmp_path):
+    path = str(tmp_path / "pq")
+    df = _pq_vecs(spark)
+    similarity.pq_materialize(df, path, m=2, n_codes=2)
+    query = [0.05, 0.0, 1.0, 1.0]
+    direct = similarity.pq_adc_topk(df, query, k=4, m=2, n_codes=2).collect()
+    mat = similarity.pq_adc_topk_materialized(spark, path, query, k=4, m=2).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in mat] == [
+        (r["vec_id"], r["adc_dist"]) for r in direct
+    ]
+    # codes + err persisted; codebook hidden from the data reader
+    data = spark.read.parquet(path)
+    assert set(data.columns) >= {"vec_id", "pq_codes", "pq_err"}
+    import pytest
+
+    with pytest.raises(ValueError, match="query_vec dim"):
+        similarity.pq_adc_topk_materialized(spark, path, [1.0], k=2, m=2)
