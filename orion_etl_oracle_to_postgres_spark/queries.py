@@ -5552,3 +5552,61 @@ def dedup_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_join(
         train, bench, "doc_id", "text", num_hashes=128, bands=32
     )
+
+
+@query(
+    "emb_pq_adc_materialized",
+    _PQ_CODES_CTE
+    + """
+    , q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id,
+             round(sum(list_sum(
+               [ (q.qv[c.j * 8 + i] - cb.cv[c.j * 8 + i])
+                 * (q.qv[c.j * 8 + i] - cb.cv[c.j * 8 + i])
+                 FOR i IN range(1, 9) ])), 6) AS adc_dist
+      FROM codes c JOIN cb ON cb.code = c.code CROSS JOIN q
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_dist FROM scored
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def emb_pq_adc_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ADC top-k against PERSISTED PQ codes
+    (operators/similarity.py:pq_materialize / pq_adc_topk_materialized):
+    the corpus is encoded once into a codes table (m ints per vector +
+    the codebook beside it), and the query scans ONLY that table —
+    scoring numerics, tie-breaks, and the oracle are identical to the
+    per-query-encode ``emb_pq_adc_topk``, so the same oracle stays
+    green via the production layout. Cached per sf like the IVF layout."""
+    import json
+    import os
+    import tempfile
+
+    base = os.environ.get(
+        "SPARK_GRAFT_PQ_CACHE",
+        os.path.join(tempfile.gettempdir(), "orion_etl_spark_pq"),
+    )
+    cache = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(cache, "_PQ_OK")
+    src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    valid = False
+    if os.path.exists(marker):
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                valid = json.load(fh).get("src_mtime") == src_mtime
+        except (ValueError, OSError):
+            valid = False
+    if not valid:
+        similarity.pq_materialize(
+            _t(spark, sf_dir, "embeddings"), cache, m=8, n_codes=16
+        )
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump({"src_mtime": src_mtime}, fh)
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.pq_adc_topk_materialized(spark, cache, qv, k=10, m=8)
