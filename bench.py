@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)
     "emb_pq_adc_topk",  # PQ compressed-domain ANN: codes-only scan + top-k
     "emb_ivf_pq_topk",  # IVF-PQ stack: probe pruning + ADC on candidates
+    "emb_pq_adc_materialized",  # ADC over persisted codes: the query-time cost
 ]
 
 
