@@ -167,3 +167,53 @@ def pack_stats(packed: DataFrame, *, budget: int) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("fill"),
         F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("utilization"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bucket_tokens: int = 64,
+    batch_size: int = 8,
+    seed: str = "lb0",
+) -> DataFrame:
+    """Length-bucketed batching — the inference/serving primitive:
+    documents are grouped into fixed-size batches of SIMILAR length so a
+    batch pads to its longest member with minimal waste (random batching
+    pads everything to the corpus tail). Bucket = ``n_tokens div
+    bucket_tokens``; within a bucket, documents are numbered in portable
+    md5 order and cut into batches of ``batch_size``. Returns
+    (id_col, n_tokens, bucket, batch_id) with ``batch_id`` unique
+    ACROSS buckets (bucket * 2^40 + intra-bucket batch — collision-free
+    while a bucket holds < 2^40 batches, i.e. always).
+
+    Deterministic on any engine/partitioning (same hash-order rule as
+    ``curation.stratified_sample``). One shuffle: the per-bucket
+    row_number window; buckets are length bands — bounded count, and
+    each band's rows spill-sort within its partition. NULL-text docs
+    have no length to bucket by and are dropped, same as the oracle.
+    """
+    if bucket_tokens < 1 or batch_size < 1:
+        raise ValueError("bucket_tokens and batch_size must be >= 1")
+    from pyspark.sql import Window
+
+    from ..functions import md5_hash60, token_count
+
+    order = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    w = Window.partitionBy("bucket").orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("bucket", (F.col("n_tokens") / bucket_tokens).cast("long"))
+        .withColumn("__ord", order)
+        .withColumn(
+            "batch_id",
+            F.col("bucket") * F.lit(1 << 40).cast("long")
+            + ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+        .select(id_col, "n_tokens", "bucket", "batch_id")
+    )

@@ -5610,3 +5610,38 @@ def emb_pq_adc_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return similarity.pq_adc_topk_materialized(spark, cache, qv, k=10, m=8)
+
+
+@query(
+    "chunk_length_batches",
+    """
+    SELECT doc_id, n_tokens, bucket,
+           (bucket * 1099511627776 + ((rn - 1) // 8))::BIGINT AS batch_id
+    FROM (
+      SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+             row_number() OVER (
+               PARTITION BY n_tokens // 64 ORDER BY ord, doc_id
+             ) AS rn
+      FROM (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))::BIGINT AS n_tokens,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':lb0')")
+    + """ AS ord
+        FROM documents WHERE text IS NOT NULL
+      )
+    )
+    """,
+)
+def chunk_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Length-bucketed inference batching
+    (operators/chunking.py:length_bucket_batches): docs grouped into
+    batches of 8 within 64-token length bands, numbered in portable
+    hash order — similar-length batches pad minimally. The oracle
+    replays the band, the hash order, and the batch arithmetic
+    (2^40 = 1099511627776 stride keeps batch ids globally unique)."""
+    from .operators.chunking import length_bucket_batches
+
+    d = _t(spark, sf_dir, "documents")
+    return length_bucket_batches(d, "text", "doc_id", bucket_tokens=64, batch_size=8)

@@ -140,3 +140,38 @@ def test_pack_string_ids(spark):
     out = pack_sequences(df, "text", "doc_id", budget=8, n_shards=2).collect()
     assert len(out) == 30
     assert all(isinstance(r["doc_id"], str) for r in out)
+
+
+def test_length_bucket_batches_semantics(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.chunking import (
+        length_bucket_batches,
+    )
+
+    rows = [(i, "w " * (5 if i < 6 else 40)) for i in range(10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = length_bucket_batches(
+        df, "text", "doc_id", bucket_tokens=10, batch_size=2
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    # NULL text dropped
+    assert 99 not in got
+    # short docs (5 tokens) in bucket 0, long (40) in bucket 4
+    assert all(got[i]["bucket"] == 0 for i in range(6))
+    assert all(got[i]["bucket"] == 4 for i in range(6, 10))
+    # batches never mix buckets and never exceed batch_size
+    from collections import Counter
+
+    per_batch = Counter(r["batch_id"] for r in out)
+    assert all(v <= 2 for v in per_batch.values())
+    buckets_per_batch = {}
+    for r in out:
+        buckets_per_batch.setdefault(r["batch_id"], set()).add(r["bucket"])
+    assert all(len(s) == 1 for s in buckets_per_batch.values())
+    # determinism under repartitioning
+    again = {
+        r["doc_id"]: r["batch_id"]
+        for r in length_bucket_batches(
+            df.repartition(5), "text", "doc_id", bucket_tokens=10, batch_size=2
+        ).collect()
+    }
+    assert again == {k: v["batch_id"] for k, v in got.items()}
