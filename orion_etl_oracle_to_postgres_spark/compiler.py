@@ -687,12 +687,15 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 f"{spec.source_table}: pipeline output already has a "
                 "'_quality' column — rename it or drop quality_filter"
             )
-        from .operators.text import quality_expr
+        from .operators.text import hashed_linear_expr, quality_expr
 
         # pure projection + filter — no join, no shuffle. NULL text
         # scores NULL → null-safe split so such rows are AUDITED as
         # rejects, never silently lost from both branches.
-        q = F.round(quality_expr(F.col(qf.text_column)), 6)
+        if qf.method == "classifier":
+            q = hashed_linear_expr(qf.text_column)
+        else:
+            q = F.round(quality_expr(F.col(qf.text_column)), 6)
         keep = F.coalesce(q >= qf.min_quality, F.lit(False))
         if qf.reject_table:
             # one lazy materialization feeds BOTH sinks (same rationale

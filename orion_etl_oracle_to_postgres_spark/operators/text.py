@@ -600,15 +600,7 @@ def hashed_linear_score(
     """
     if n_features < 1:
         raise ValueError("n_features must be >= 1")
-    bucket = (
-        f"cast(conv(substring(md5(concat(t, ':{seed}')), 1, 15), 16, 10) "
-        f"as bigint) % {n_features}"
-    )
-    w = f"((cast({bucket} as double) * 37.0 + 11.0) % 97.0) / 97.0 - 0.5"
-    score = (
-        f"round(1.0 / (1.0 + exp(-({float(bias)!r}D + "
-        f"aggregate(__tk, cast(0 as double), (s, t) -> s + ({w})) / size(__tk)))), 6)"
-    )
+    score = _hashed_sigmoid_sql("__tk", n_features=n_features, bias=bias, seed=seed)
     return df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     ).select(
@@ -620,3 +612,43 @@ def hashed_linear_score(
         .alias("n_tokens"),
         F.when(F.size("__tk") > 0, F.expr(score)).alias("qc_score"),
     )
+
+def _hashed_sigmoid_sql(
+    tokens_sql: str, *, n_features: int, bias: float, seed: str
+) -> str:
+    """SQL for ``sigmoid(bias + mean bucket weight)`` over a token-array
+    expression — the single source of the hash, the closed-form weights
+    and the fold, shared by the operator form (``hashed_linear_score``)
+    and the in-plan gate form (``hashed_linear_expr``) so the two can
+    never drift."""
+    bucket = (
+        f"cast(conv(substring(md5(concat(t, ':{seed}')), 1, 15), 16, 10) "
+        f"as bigint) % {n_features}"
+    )
+    w = f"((cast({bucket} as double) * 37.0 + 11.0) % 97.0) / 97.0 - 0.5"
+    return (
+        f"round(1.0 / (1.0 + exp(-({float(bias)!r}D + "
+        f"aggregate({tokens_sql}, cast(0 as double), (s, t) -> s + ({w}))"
+        f" / size({tokens_sql})))), 6)"
+    )
+
+
+def hashed_linear_expr(
+    text_col_name: str,
+    *,
+    n_features: int = 64,
+    bias: float = 0.0,
+    seed: str = "qc0",
+) -> Column:
+    """Column form of ``hashed_linear_score`` for in-plan gates
+    (``TableSpec.quality_filter.method: classifier``): same tokenizer,
+    hash, weights and rounding, inlined over the named text column so
+    the compiler can use it as a pure filter projection. NULL / empty
+    text scores NULL (the gate audits such rows as rejects)."""
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    tk = (
+        f"filter(split(lower(`{text_col_name}`), '[^a-z0-9]+'), x -> x != '')"
+    )
+    score = _hashed_sigmoid_sql(tk, n_features=n_features, bias=bias, seed=seed)
+    return F.when(F.expr(f"size({tk})") > 0, F.expr(score))

@@ -381,13 +381,27 @@ class Scd2Spec(BaseModel):
 
 class QualityFilterSpec(BaseModel):
     """[engine extension] Declarative text-quality gate on the outgoing
-    rows (``operators/text.py:quality_score``): rows scoring below
-    ``min_quality`` are dropped (or routed to ``reject_table`` when
-    set, mirroring the validation quarantine pattern)."""
+    rows: ``method: heuristic`` (default — the length/punct/stopword
+    score, ``operators/text.py:quality_score``) or ``method:
+    classifier`` (the hashing-trick linear model,
+    ``text.hashed_linear_expr``). Rows scoring below ``min_quality``
+    are dropped (or routed to ``reject_table`` when set, mirroring the
+    validation quarantine pattern); both methods are zero-shuffle pure
+    projections."""
 
     text_column: str
+    method: str = "heuristic"  # heuristic | classifier
     min_quality: float = Field(default=0.5, ge=0.0, le=1.0)
     reject_table: Optional[str] = None
+
+    @field_validator("method")
+    @classmethod
+    def _known_quality_method(cls, v: str) -> str:
+        if v not in ("heuristic", "classifier"):
+            raise ValueError(
+                f"quality_filter method must be heuristic|classifier, got {v!r}"
+            )
+        return v
 
 
 class ShardsSpec(BaseModel):

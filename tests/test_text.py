@@ -329,3 +329,77 @@ def test_hashed_linear_score_null_text(spark):
     # NULL text -> NULL count (oracle's len(ts) is NULL), never -1
     assert out[1] == (None, None)
     assert out[2][0] == 1 and out[2][1] is not None
+
+
+def test_hashed_linear_expr_matches_score_operator(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        hashed_linear_expr,
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta tok{i} gamma") for i in range(15)] + [(99, None)],
+        "doc_id int, text string",
+    )
+    via_expr = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", hashed_linear_expr("text").alias("s")).collect()
+    }
+    via_op = {
+        r["doc_id"]: r["qc_score"]
+        for r in hashed_linear_score(df, "text", "doc_id").collect()
+    }
+    assert via_expr == via_op
+
+
+def test_declarative_classifier_quality_gate(spark, tmp_path):
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.operators.text import hashed_linear_score
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        QualityFilterSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "src"
+    rows = [(i, f"word{i} filler text sample number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "body"])
+    df.write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="body", target="body"),
+        ],
+        quality_filter=QualityFilterSpec(
+            text_column="body", method="classifier", min_quality=0.5
+        ),
+    )
+    kept = {r["id"] for r in compile_table(ctx, spec).df.collect()}
+    scores = {
+        r["id"]: r["qc_score"]
+        for r in hashed_linear_score(df, "body", "id").collect()
+    }
+    expect = {i for i, s in scores.items() if s is not None and s >= 0.5}
+    assert kept == expect
+    assert 0 < len(kept) < 40  # the gate actually splits this corpus
+
+    with _pt.raises(ValidationError, match="heuristic|classifier"):
+        QualityFilterSpec(text_column="body", method="nope")
