@@ -652,3 +652,48 @@ def hashed_linear_expr(
     )
     score = _hashed_sigmoid_sql(tk, n_features=n_features, bias=bias, seed=seed)
     return F.when(F.expr(f"size({tk})") > 0, F.expr(score))
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the statistic a
+    BPE tokenizer-training round consumes (the top pair IS the next
+    merge rule): count each within-word adjacent symbol pair, weighted
+    by word frequency. Returns the top ``k`` (sym_a, sym_b, n_pairs)
+    rows, count desc then pair asc — deterministic.
+
+    100 TB shape: ONE word-count shuffle (map-side combined — the
+    exchange carries distinct words per partition, not tokens), then
+    pair expansion happens IN-ROW on the distinct-word table (tiny
+    relative to the corpus) before a second small aggregate; top-k is
+    TakeOrderedAndProject. Iterating real BPE training (re-segment,
+    recount) keeps this exact plan per round with the merge table as a
+    literal, the way ``hashed_linear_expr`` inlines its model.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wc"))
+    )
+    # length-1 words have no pairs; sequence(1, 0) would be DESCENDING
+    # [1, 0] (the non-ANSI sequence trap), so gate on length >= 2
+    pairs = (
+        f"CASE WHEN length(__w) < 2 THEN array() "
+        f"ELSE transform(sequence(1, length(__w) - 1), "
+        f"i -> struct(substring(__w, i, 1) as a, substring(__w, i + 1, 1) as b)) END"
+    )
+    return (
+        words.select(F.explode(F.expr(pairs)).alias("__p"), F.col("__wc"))
+        .groupBy(
+            F.col("__p.a").alias("sym_a"), F.col("__p.b").alias("sym_b")
+        )
+        .agg(F.sum("__wc").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("sym_a"), F.col("sym_b"))
+        .limit(k)
+    )

@@ -5645,3 +5645,37 @@ def chunk_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return length_bucket_batches(d, "text", "doc_id", bucket_tokens=64, batch_size=8)
+
+
+@query(
+    "text_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT w AS word, count(*) AS wc FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(word, i, 1) AS sym_a,
+             substring(word, i + 1, 1) AS sym_b,
+             wc
+      FROM (SELECT word, wc, unnest(range(1, len(word))) AS i
+            FROM words WHERE len(word) >= 2)
+    )
+    SELECT sym_a, sym_b, sum(wc)::BIGINT AS n_pairs
+    FROM pairs GROUP BY sym_a, sym_b
+    ORDER BY n_pairs DESC, sym_a, sym_b
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE merge statistics
+    (operators/text.py:bpe_pair_counts): adjacent within-word character
+    pairs weighted by word frequency, top-20 — the count a BPE
+    tokenizer-training round consumes; pair expansion runs on the
+    distinct-word table, never the raw corpus. The oracle replays the
+    word count, the positional pair expansion, and the tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(d, "text", k=20)

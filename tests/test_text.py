@@ -403,3 +403,27 @@ def test_declarative_classifier_quality_gate(spark, tmp_path):
 
     with _pt.raises(ValidationError, match="heuristic|classifier"):
         QualityFilterSpec(text_column="body", method="nope")
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import bpe_pair_counts
+
+    # words: "aba" x2 (via two docs), "ab" x1, "x" x1 (no pairs)
+    df = spark.createDataFrame(
+        [(1, "aba ab"), (2, "aba x")], "doc_id int, text string"
+    )
+    out = {(r["sym_a"], r["sym_b"]): r["n_pairs"] for r in bpe_pair_counts(df, "text", k=10).collect()}
+    # 'ab': aba contributes 1 per occurrence (x2) + ab (x1) = 3
+    # 'ba': aba x2 = 2 ; single-char word contributes nothing
+    assert out == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def test_bpe_pair_counts_deterministic_topk(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)], "doc_id int, text string"
+    )
+    a = [tuple(r) for r in bpe_pair_counts(df, "text", k=5).collect()]
+    b = [tuple(r) for r in bpe_pair_counts(df.repartition(4), "text", k=5).collect()]
+    assert a == b and len(a) == 5
