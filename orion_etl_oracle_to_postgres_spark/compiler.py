@@ -687,13 +687,29 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 f"{spec.source_table}: pipeline output already has a "
                 "'_quality' column — rename it or drop quality_filter"
             )
+        from .functions import tokens
         from .operators.text import hashed_linear_expr, quality_expr
 
         # pure projection + filter — no join, no shuffle. NULL text
         # scores NULL → null-safe split so such rows are AUDITED as
         # rejects, never silently lost from both branches.
+        tk_col = None
         if qf.method == "classifier":
-            q = hashed_linear_expr(qf.text_column)
+            # stage the token array ONCE in a temp column so the
+            # classifier's size guard / fold / denominator are plain
+            # column references, not three inlined tokenizer splits
+            # re-evaluated per row (ADVICE r4 #3)
+            tk_col = "_qc_tokens"
+            while tk_col in df.columns:
+                tk_col = "_" + tk_col
+            df = df.withColumn(tk_col, tokens(F.col(qf.text_column)))
+            q = hashed_linear_expr(
+                tk_col,
+                pre_tokenized=True,
+                n_features=qf.n_features,
+                bias=qf.bias,
+                weights=qf.weights,
+            )
         else:
             q = F.round(quality_expr(F.col(qf.text_column)), 6)
         keep = F.coalesce(q >= qf.min_quality, F.lit(False))
@@ -701,7 +717,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             # one lazy materialization feeds BOTH sinks (same rationale
             # as the quarantine split above: two actions re-scanning a
             # moving source could put a row in neither/both outputs)
-            tagged = df.withColumn("_quality", q).localCheckpoint(eager=False)
+            tagged = df.withColumn("_quality", q)
+            if tk_col is not None:
+                tagged = tagged.drop(tk_col)
+            tagged = tagged.localCheckpoint(eager=False)
             quality_rejects = tagged.filter(
                 ~F.coalesce(F.col("_quality") >= qf.min_quality, F.lit(False))
             )
@@ -710,6 +729,8 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             ).drop("_quality")
         else:
             df = df.filter(keep)
+            if tk_col is not None:
+                df = df.drop(tk_col)
 
     if spec.sample is not None:
         smp = spec.sample

@@ -609,7 +609,19 @@ def repeated_span_dedup(
     in-row ``transform``/``slice`` → posexplode; no exchange). The hot
     set is ONE hash-aggregate on xxhash64(segment) — uniform keys, and
     only ids/hashes shuffle because the segment text itself stays with
-    its doc row. Reassembly is one groupBy(doc) carrying (pos, kept
+    its doc row.
+
+    Collision tolerance (ADVICE r4 #2): hotness is decided on the
+    64-bit xxhash64 of the segment, NOT the text — a collision between
+    two different segments would remove a non-repeated segment. The
+    expected number of colliding segment pairs is ~|distinct segments|²
+    / 2^65 (birthday bound): ≈ 2.7e-7 at 100M distinct segments and
+    still < 0.03 at 1B, i.e. at most a handful of spurious 50-token
+    removals over a 100 TB corpus. We accept that instead of grouping
+    on the segment text, which would shuffle the full corpus text
+    through the hot-aggregate (the one exchange this operator is
+    designed to avoid); ``minhash_near_dups`` documents the same
+    hash-width trade-off. Reassembly is one groupBy(doc) carrying (pos, kept
     segment) pairs — the corpus text volume, same as any rewrite must
     move. Nothing driver-side; no joins wider than the hot-segment
     left join (hot segments are by definition few relative to the

@@ -33,6 +33,13 @@ from pyspark.sql import functions as F
 
 from ..functions import cosine, dot, l2_norm
 
+# Bump when ivf_materialize / pq_materialize numerics or on-disk layout
+# change — cache markers (queries.py) compare these so a code change
+# invalidates previously materialized layouts instead of silently
+# reusing them (ADVICE r4 #1).
+IVF_LAYOUT_VERSION = 1
+PQ_LAYOUT_VERSION = 1
+
 
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize an array<float|double> column (NULL on zero norm)."""
@@ -1049,15 +1056,20 @@ def pq_encode(
         f"raise_error(concat('pq_encode: vector dim ', "
         f"cast(size({vec_col}) as string), ' != codebook dim {dim}')))"
     )
+    # stage the per-subspace argmin structs ONCE and derive both outputs
+    # from the staged array — inlining `best` into each output would
+    # lean on codegen subexpression elimination to avoid running the
+    # dominant m × n_codes fold twice (ADVICE r4 #4)
     return (
         df.select(F.col(id_col), F.expr(guarded_vec).alias("__v"))
         .withColumn("__cb", F.expr(f"array({flat})"))
+        .withColumn("__best", F.expr(best))
         .select(
             id_col,
-            F.expr(f"transform({best}, x -> x.c)").alias("pq_codes"),
-            F.expr(f"round(aggregate({best}, cast(0 as double), (s, x) -> s + x.d), 6)").alias(
-                "pq_err"
-            ),
+            F.expr("transform(__best, x -> x.c)").alias("pq_codes"),
+            F.expr(
+                "round(aggregate(__best, cast(0 as double), (s, x) -> s + x.d), 6)"
+            ).alias("pq_err"),
         )
     )
 

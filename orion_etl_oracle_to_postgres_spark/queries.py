@@ -1430,12 +1430,17 @@ def emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _SUCCESS appears before the _centroids write — a crash in between
     # must not look committed) AND the source dataset is unchanged
     marker = os.path.join(cache, "_IVF_OK")
-    src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    # marker carries the layout PARAMETERS and a layout version besides
+    # src_mtime — a call with different geometry, or a change to the
+    # materialize numerics, must not silently reuse a stale shared cache
+    params = {"src_mtime": os.path.getmtime(
+        os.path.join(sf_dir, "embeddings.parquet")),
+        "n_centroids": 16, "layout_version": similarity.IVF_LAYOUT_VERSION}
     valid = False
     if os.path.exists(marker):
         try:
             with open(marker, encoding="utf-8") as fh:
-                valid = json.load(fh).get("src_mtime") == src_mtime
+                valid = json.load(fh) == params
         except (ValueError, OSError):
             valid = False
     if not valid:
@@ -1443,7 +1448,7 @@ def emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "embeddings"), cache, n_centroids=16
         )
         with open(marker, "w", encoding="utf-8") as fh:
-            json.dump({"src_mtime": src_mtime}, fh)
+            json.dump(params, fh)
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     return similarity.ivf_topk_materialized(spark, cache, qv, k=10, nprobe=4)
@@ -5524,6 +5529,70 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_linear_score(d, "text", "doc_id")
 
 
+# TRAINED weights for the hashing-trick classifier (VERDICT r4 ask #5):
+# produced by operators/text.py:train_hashed_linear on sf0.01 documents
+# with labels = heuristic quality_score >= its corpus median (0.946254),
+# 64 features, 30 full-batch steps, lr=4.0 — deterministic, so the run
+# is reproducible (tests/test_text.py pins the first weights). Inlined
+# as literals here exactly as a production job would inline its model.
+_QC_TRAINED_B = -0.012051117055074763
+_QC_TRAINED_W = [
+    0.0, 0.5499822003604836, 0.0, 0.08130500031911408, 0.0,
+    -0.10942750177401252, 0.0, -0.029247242199161135, 0.0,
+    -0.1762411963135686, -0.2442323029331612, 0.0, 0.0, 0.0, 0.0,
+    0.09013933746906519, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    -0.5228231648146195, -0.012067461312682833, 0.0,
+    -0.3051996358344946, 0.17437966175829167, 0.0, 0.15452893158262868,
+    0.0, -0.1797225559688821, 0.0, -0.2444502706907844, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.2538302250035379, -0.11821052502025657, 0.0,
+    -0.14345341450244073, 0.0, -0.0177921662785369, 0.0, 0.0,
+    -0.03528207916978918, -0.17478954986651735, 0.19430760373058217,
+    0.2217868514130951, 0.3146866225131913, 0.0, 0.0, 0.0,
+    -0.0339812027425401, 0.0, 0.0, 0.1438037968837268,
+    0.3699789190888422, 0.0, -0.21385999775618653,
+]
+
+
+@query(
+    "text_quality_classifier_trained",
+    """
+    SELECT doc_id,
+           len(ts)::BIGINT AS n_tokens,
+           CASE WHEN len(ts) > 0 THEN
+             round(1.0 / (1.0 + exp(-("""
+    + repr(_QC_TRAINED_B)
+    + """ + list_sum(
+               [ (["""
+    + ", ".join(repr(v) for v in _QC_TRAINED_W)
+    + """])[CAST("""
+    + _hex2int_sql("md5(t || ':qc0')")
+    + """ % 64 AS INT) + 1]
+                 FOR t IN ts ]) / len(ts)))), 6)
+           END AS qc_score
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    )
+    """,
+)
+def text_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Hashing-trick classifier with a TRAINED model inlined
+    (operators/text.py:hashed_linear_score(weights=...) +
+    train_hashed_linear): same zero-shuffle projection as
+    ``text_quality_classifier``, but the per-bucket weights come from
+    distributed logistic-regression training instead of the closed-form
+    stand-in — the end-to-end path a production quality gate uses
+    (train once → inline the literal model → score as a projection).
+    The oracle replays the identical literal weight array indexed by
+    the same portable md5 bucket."""
+    d = _t(spark, sf_dir, "documents")
+    return text.hashed_linear_score(
+        d, "text", "doc_id", weights=_QC_TRAINED_W, bias=_QC_TRAINED_B
+    )
+
+
 @query(
     "dedup_minhash_join",
     _SHINGLE_CTE
@@ -5590,12 +5659,18 @@ def emb_pq_adc_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cache = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
     marker = os.path.join(cache, "_PQ_OK")
-    src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    # marker carries the PQ geometry (m, n_codes) and a layout version
+    # besides src_mtime (ADVICE r4 #1) — different geometry or changed
+    # pq_encode numerics must not silently reuse stale codes
+    params = {"src_mtime": os.path.getmtime(
+        os.path.join(sf_dir, "embeddings.parquet")),
+        "m": 8, "n_codes": 16,
+        "layout_version": similarity.PQ_LAYOUT_VERSION}
     valid = False
     if os.path.exists(marker):
         try:
             with open(marker, encoding="utf-8") as fh:
-                valid = json.load(fh).get("src_mtime") == src_mtime
+                valid = json.load(fh) == params
         except (ValueError, OSError):
             valid = False
     if not valid:
@@ -5603,7 +5678,7 @@ def emb_pq_adc_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "embeddings"), cache, m=8, n_codes=16
         )
         with open(marker, "w", encoding="utf-8") as fh:
-            json.dump({"src_mtime": src_mtime}, fh)
+            json.dump(params, fh)
     e = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)

@@ -393,6 +393,13 @@ class QualityFilterSpec(BaseModel):
     method: str = "heuristic"  # heuristic | classifier
     min_quality: float = Field(default=0.5, ge=0.0, le=1.0)
     reject_table: Optional[str] = None
+    # classifier-only: a TRAINED model (e.g. from
+    # operators/text.py:train_hashed_linear) inlined into the gate;
+    # weights must have exactly n_features entries. None keeps the
+    # closed-form stand-in weights.
+    n_features: int = Field(default=64, ge=1)
+    weights: Optional[list[float]] = None
+    bias: float = 0.0
 
     @field_validator("method")
     @classmethod
@@ -402,6 +409,20 @@ class QualityFilterSpec(BaseModel):
                 f"quality_filter method must be heuristic|classifier, got {v!r}"
             )
         return v
+
+    @model_validator(mode="after")
+    def _weights_shape(self) -> "QualityFilterSpec":
+        if self.weights is not None:
+            if self.method != "classifier":
+                raise ValueError(
+                    "quality_filter.weights requires method: classifier"
+                )
+            if len(self.weights) != self.n_features:
+                raise ValueError(
+                    f"quality_filter.weights has {len(self.weights)} entries, "
+                    f"expected n_features={self.n_features}"
+                )
+        return self
 
 
 class ShardsSpec(BaseModel):

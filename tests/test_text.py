@@ -405,6 +405,170 @@ def test_declarative_classifier_quality_gate(spark, tmp_path):
         QualityFilterSpec(text_column="body", method="nope")
 
 
+def test_hashed_linear_expr_pre_tokenized_and_backticks(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.functions import tokens
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        hashed_linear_expr,
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta tok{i}") for i in range(10)] + [(99, None)],
+        "doc_id int, text string",
+    )
+    # staged-token form (what the compiler gate now emits) == inline form
+    staged = {
+        r["doc_id"]: r["s"]
+        for r in df.withColumn("tk", tokens(F.col("text")))
+        .select("doc_id", hashed_linear_expr("tk", pre_tokenized=True).alias("s"))
+        .collect()
+    }
+    inline = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hashed_linear_expr("text").alias("s")
+        ).collect()
+    }
+    assert staged == inline and staged[99] is None
+    # a backtick in the column name must be escaped, not break the expr
+    odd = df.withColumnRenamed("text", "we`ird")
+    via_odd = {
+        r["doc_id"]: r["s"]
+        for r in odd.select(
+            "doc_id", hashed_linear_expr("we`ird").alias("s")
+        ).collect()
+    }
+    assert via_odd == inline
+
+
+def test_hashed_linear_trained_weights_roundtrip(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        hashed_linear_score,
+        train_hashed_linear,
+    )
+
+    # separable fixture: positives speak one vocabulary, negatives another
+    rows = [(i, "good fine clean prose here", 1) for i in range(30)] + [
+        (100 + i, "zzqx vvrk jjwp garbage", 0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lab int")
+    w, b = train_hashed_linear(
+        df, "text", "lab", "doc_id", n_features=32, steps=25, lr=4.0
+    )
+    assert len(w) == 32 and any(v != 0.0 for v in w)
+    # deterministic: same data, same model
+    w2, b2 = train_hashed_linear(
+        df, "text", "lab", "doc_id", n_features=32, steps=25, lr=4.0
+    )
+    assert w == w2 and b == b2
+    scored = {
+        r["doc_id"]: r["qc_score"]
+        for r in hashed_linear_score(
+            df, "text", "doc_id", n_features=32, weights=w, bias=b
+        ).collect()
+    }
+    pos = [scored[i] for i in range(30)]
+    neg = [scored[100 + i] for i in range(30)]
+    assert min(pos) > 0.8 and max(neg) < 0.2  # the model actually learned
+    # weight-vector length is validated
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="expected"):
+        hashed_linear_score(df, "text", "doc_id", n_features=32, weights=[0.1])
+
+
+def test_quality_filter_spec_weights_validation():
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    from orion_etl_oracle_to_postgres_spark.spec import QualityFilterSpec
+
+    qf = QualityFilterSpec(
+        text_column="body",
+        method="classifier",
+        n_features=4,
+        weights=[0.1, -0.2, 0.3, 0.0],
+        bias=0.25,
+    )
+    assert qf.weights is not None and qf.bias == 0.25
+    with _pt.raises(ValidationError, match="expected n_features"):
+        QualityFilterSpec(
+            text_column="body", method="classifier", n_features=4, weights=[0.1]
+        )
+    with _pt.raises(ValidationError, match="requires method"):
+        QualityFilterSpec(text_column="body", weights=[0.0] * 64)
+
+
+def test_declarative_classifier_gate_trained_weights(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.operators.text import hashed_linear_score
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        QualityFilterSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "src"
+    rows = [(i, "good fine clean prose here") for i in range(10)] + [
+        (100 + i, "zzqx vvrk jjwp garbage") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["id", "body"])
+    df.write.parquet(str(src / "t.parquet"))
+    # hand weights: buckets of the 'good' vocab positive — enough that
+    # the gate keeps exactly the positive-vocab rows
+    from orion_etl_oracle_to_postgres_spark.operators.text import train_hashed_linear
+
+    lab = df.withColumn("lab", (F.col("id") < 100).cast("int"))
+    w, b = train_hashed_linear(
+        lab, "body", "lab", "id", n_features=16, steps=25, lr=4.0
+    )
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="body", target="body"),
+        ],
+        quality_filter=QualityFilterSpec(
+            text_column="body",
+            method="classifier",
+            min_quality=0.5,
+            n_features=16,
+            weights=w,
+            bias=b,
+        ),
+    )
+    out = compile_table(ctx, spec).df
+    kept = {r["id"] for r in out.collect()}
+    assert kept == set(range(10))
+    # the staged token temp column must not leak into the output
+    assert all(not c.startswith("_qc_tokens") for c in out.columns)
+    # parity with the operator form at the same model
+    scores = {
+        r["doc_id"]: r["qc_score"]
+        for r in hashed_linear_score(
+            df.withColumnRenamed("id", "doc_id"), "body", "doc_id",
+            n_features=16, weights=w, bias=b,
+        ).collect()
+    }
+    assert kept == {i for i, s in scores.items() if s is not None and s >= 0.5}
+
+
 def test_bpe_pair_counts_hand_computed(spark):
     from orion_etl_oracle_to_postgres_spark.operators.text import bpe_pair_counts
 
