@@ -303,6 +303,30 @@ def test_near_dups_exact_block_side_cached_per_plan(spark):
         similarity.embedding_near_dups(d, threshold=0.5, exact=True, broadcast_limit=2)
 
 
+def test_near_dups_exact_small_path_matches_distributed(spark, monkeypatch):
+    """The driver-matmul fast path (inputs ≤ _SMALL_PAIRS_LIMIT) must
+    return exactly the rows and sims of the distributed mapInPandas
+    branch — forcing the limit to 0 exercises the distributed branch on
+    the same data (VERDICT r4 ask #3)."""
+    similarity._BLOCK_SIDE_CACHE.clear()
+    d = _vecs(spark)
+    small = {
+        (r["id_i"], r["id_j"], r["cosine_sim"])
+        for r in similarity.embedding_near_dups(d, threshold=0.3, exact=True).collect()
+    }
+    monkeypatch.setattr(similarity, "_SMALL_PAIRS_LIMIT", 0)
+    dist = {
+        (r["id_i"], r["id_j"], r["cosine_sim"])
+        for r in similarity.embedding_near_dups(d, threshold=0.3, exact=True).collect()
+    }
+    assert small == dist and small
+    # empty result still builds a well-formed frame on the small path
+    monkeypatch.setattr(similarity, "_SMALL_PAIRS_LIMIT", 5000)
+    empty = similarity.embedding_near_dups(d, threshold=1.1, exact=True)
+    assert empty.columns == ["id_i", "id_j", "cosine_sim"]
+    assert empty.count() == 0
+
+
 def test_knn_join_broadcast_guard_raises(spark):
     """An oversized query side must fail loudly at plan-build time, not
     OOM an executor mid-broadcast (VERDICT r3 #2)."""
