@@ -5854,3 +5854,63 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     word count, the positional pair expansion, and the tie-break."""
     d = _t(spark, sf_dir, "documents")
     return text.bpe_pair_counts(d, "text", k=20)
+
+
+def _bpe_merges_sql(k: int) -> str:
+    """Unrolled k-round BPE replay: each round re-derives pair counts
+    from the previous round's delimiter-framed segmentation and applies
+    the argmax rule with the SAME plain-substring replace() the Spark
+    operator uses (left-to-right non-overlapping == greedy BPE)."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT w AS word, count(*) AS wc FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    seg0 AS (
+      SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s, wc
+      FROM words
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT p.a AS a, p.b AS b, sum(wc)::BIGINT AS n FROM (
+        SELECT unnest([ {{'a': sy[i], 'b': sy[i + 1]}}
+                        FOR i IN range(1, len(sy)) ]) AS p, wc
+        FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS sy,
+                     wc
+              FROM seg{r - 1})
+        WHERE len(sy) >= 2
+      ) GROUP BY p.a, p.b
+    ),
+    b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+    seg{r} AS (
+      SELECT replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|')
+               AS s, wc
+      FROM seg{r - 1}, b{r}
+    )""")
+    selects = [
+        f"""
+    SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,
+           n AS n_pairs
+    FROM b{r}"""
+        for r in range(1, k + 1)
+    ]
+    return "".join(parts) + " UNION ALL ".join(selects) + " ORDER BY merge_rank"
+
+
+@query("text_bpe_merges", _bpe_merges_sql(8))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Iterated BPE tokenizer training
+    (operators/text.py:bpe_merges): 8 merge rounds — per round, pair
+    counts over the checkpointed (distinct word, count) table, argmax
+    rule (count desc, pair asc), greedy re-segmentation via plain
+    substring replace on delimiter-framed words. Returns the first 8
+    merge rules with their pair counts. The oracle replays all 8
+    rounds unrolled with the identical replace() semantics."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bpe_merges(d, "text", n_merges=8)

@@ -582,6 +582,51 @@ def test_bpe_pair_counts_hand_computed(spark):
     assert out == {("a", "b"): 3, ("b", "a"): 2}
 
 
+def test_bpe_merges_hand_computed(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import bpe_merges
+
+    # corpus words: "abab" x3, "ab" x2, "b" x1
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab b")], "doc_id int, text string"
+    )
+    out = [tuple(r) for r in bpe_merges(df, "text", n_merges=3).collect()]
+    # round 1: pairs ab: 3*2+2 = 8, ba: 3 -> merge (a,b)->ab, n=8
+    # round 2: words now |ab|ab| x3, |ab| x2, |b|: pairs (ab,ab): 3
+    # round 3: words |abab| x3, |ab| x2, |b| — no pairs left... except
+    # none: every word is a single symbol -> training dries up at 2
+    assert out[0] == (1, "a", "b", "ab", 8)
+    assert out[1] == (2, "ab", "ab", "abab", 3)
+    assert len(out) == 2  # dries up: no pairs remain
+
+
+def test_bpe_merges_greedy_overlap(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import bpe_merges
+
+    # "aaa": pairs (a,a) x2 -> merge (a,a). Greedy left-to-right
+    # re-segmentation gives |aa|a| (NOT |a|aa|): round 2's top pair must
+    # therefore be (aa, a).
+    df = spark.createDataFrame([(1, "aaa aaa")], "doc_id int, text string")
+    out = [tuple(r) for r in bpe_merges(df, "text", n_merges=2).collect()]
+    assert out[0] == (1, "a", "a", "aa", 4)
+    assert out[1] == (2, "aa", "a", "aaa", 2)
+
+
+def test_bpe_merges_deterministic_and_empty(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(6)], "doc_id int, text string"
+    )
+    a = [tuple(r) for r in bpe_merges(df, "text", n_merges=4).collect()]
+    b = [tuple(r) for r in bpe_merges(df.repartition(3), "text", n_merges=4).collect()]
+    assert a == b and len(a) == 4
+    # empty / NULL-text corpus -> zero rules, well-formed schema
+    empty = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    out = bpe_merges(empty, "text", n_merges=2)
+    assert out.columns == ["merge_rank", "sym_a", "sym_b", "merged", "n_pairs"]
+    assert out.count() == 0
+
+
 def test_bpe_pair_counts_deterministic_topk(spark):
     from orion_etl_oracle_to_postgres_spark.operators.text import bpe_pair_counts
 
