@@ -676,6 +676,112 @@ def repeated_span_dedup(
     )
 
 
+def repeated_span_dedup_strided(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int = 50,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Overlapping-window repeated-span removal (VERDICT r4 ask #6):
+    the strided generalization of ``repeated_span_dedup``. Fixed
+    non-overlapping segmentation misses boilerplate shifted by
+    < span_tokens between documents (the Lee et al. suffix-array gap);
+    here a window of ``span_tokens`` tokens starts every ``stride``
+    tokens, hot windows (appearing in >= ``min_docs`` documents) are
+    found with the same one-hash-aggregate shape, and the removal rule
+    is TOKEN-level: a token is dropped iff ANY hot window covers it.
+
+    Windows are FULL length only (starts 0, stride, ... <= n - span):
+    a short trailing window would be a bare suffix — common tails would
+    go hot and nuke ordinary endings. Consequences, documented as the
+    semantics: documents shorter than ``span_tokens`` are never
+    rewritten, and trailing tokens reachable by no full window are
+    always kept. Zero-token documents are dropped, as in the fixed
+    variant.
+
+    Returns (id_col, n_windows, n_hot_windows, n_tokens_removed,
+    new_text).
+
+    100 TB shape: windowing is an in-row projection + posexplode
+    (stride=1 multiplies the exploded stream by ~span vs the fixed
+    variant — the classic recall/cost dial); the hot set is still ONE
+    hash-aggregate on xxhash64(window) shuffling ids+hashes only (same
+    64-bit collision tolerance as ``repeated_span_dedup`` — see there).
+    Hot windows per doc are few, so the removed-position sets collected
+    per doc are small; reassembly joins them back BY DOC ID to the
+    (id, tokens) rows — corpus text never enters a shuffle wider than
+    that id join.
+    """
+    k, s = int(span_tokens), int(stride)
+    if k < 1 or s < 1:
+        raise ValueError("span_tokens and stride must be >= 1")
+    if s > k:
+        raise ValueError("stride must be <= span_tokens (gaps would skip text)")
+    docs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.coalesce(tokens(F.col(text_col)), F.array()).alias("__tk"),
+        )
+        .filter(F.size("__tk") > 0)
+    )
+    win_arr = (
+        f"CASE WHEN size(__tk) >= {k} THEN "
+        f"transform(sequence(0, int(floor((size(__tk) - {k}) / {s}.0))), "
+        f"i -> struct(i * {s} as st, concat_ws(' ', slice(__tk, i * {s} + 1, {k})) as w)) "
+        f"ELSE array() END"
+    )
+    wins = docs.select(
+        "__id", F.explode(F.expr(win_arr)).alias("__win")
+    ).select("__id", F.col("__win.st").alias("__st"), F.xxhash64("__win.w").alias("__h"))
+    hot = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h")
+    )
+    rm = (
+        wins.join(hot, "__h")
+        .select(
+            "__id", "__st",
+            F.explode(F.expr(f"sequence(__st, __st + {k} - 1)")).alias("__pos"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count_distinct("__st").alias("__nhot"),
+            F.collect_set("__pos").alias("__rm"),
+        )
+    )
+    n_windows = F.when(
+        F.size("__tk") >= k,
+        F.floor((F.size("__tk") - k) / s) + 1,
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        docs.join(rm, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            n_windows.alias("n_windows"),
+            F.coalesce("__nhot", F.lit(0)).cast("long").alias("n_hot_windows"),
+            # size(NULL) is -1 under non-ANSI sessions, so gate on the
+            # null check instead of coalescing the size
+            F.when(F.col("__rm").isNull(), F.lit(0))
+            .otherwise(F.size("__rm"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.when(
+                F.col("__rm").isNull(), F.array_join("__tk", " ")
+            ).otherwise(
+                F.array_join(
+                    F.filter("__tk", lambda x, i: ~F.array_contains("__rm", i)),
+                    " ",
+                )
+            ).alias("new_text"),
+        )
+    )
+
+
 def minhash_join(
     left: DataFrame,
     right: DataFrame,

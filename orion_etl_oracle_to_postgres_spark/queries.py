@@ -5914,3 +5914,59 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds unrolled with the identical replace() semantics."""
     d = _t(spark, sf_dir, "documents")
     return text.bpe_merges(d, "text", n_merges=8)
+
+
+@query(
+    "dedup_repeated_spans_strided",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS st, array_to_string(ts[i + 1 : i + 3], ' ') AS w
+      FROM (SELECT doc_id, ts,
+                   unnest(range(CAST(floor((len(ts) - 3) / 1.0) AS BIGINT) + 1))
+                     AS i
+            FROM toks WHERE len(ts) >= 3)
+    ),
+    hot AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    hotw AS (SELECT doc_id, st FROM wins JOIN hot USING (w)),
+    rm AS (SELECT DISTINCT doc_id, unnest(range(st, st + 3)) AS pos FROM hotw),
+    nhot AS (SELECT doc_id, count(*) AS n_hot FROM hotw GROUP BY doc_id),
+    nrm AS (SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id),
+    tokpos AS (
+      SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS pos
+      FROM toks WHERE len(ts) > 0
+    )
+    SELECT t.doc_id,
+           any_value(CASE WHEN len(k.ts) >= 3
+                          THEN CAST(floor((len(k.ts) - 3) / 1.0) AS BIGINT) + 1
+                          ELSE 0 END) AS n_windows,
+           coalesce(any_value(nhot.n_hot), 0)::BIGINT AS n_hot_windows,
+           coalesce(any_value(nrm.n_rm), 0)::BIGINT AS n_tokens_removed,
+           coalesce(string_agg(CASE WHEN rm.pos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), '') AS new_text
+    FROM tokpos t
+    JOIN toks k USING (doc_id)
+    LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+    LEFT JOIN nhot ON nhot.doc_id = t.doc_id
+    LEFT JOIN nrm ON nrm.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def dedup_repeated_spans_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Overlapping-window repeated-span removal
+    (operators/dedup.py:repeated_span_dedup_strided): 3-token windows
+    starting at EVERY token (stride 1), hot windows (>= 2 docs) drop
+    every token they cover — catches boilerplate shifted by < span
+    tokens between documents, which the fixed segmentation of
+    ``dedup_repeated_spans`` provably misses (unit-pinned fixture).
+    The oracle replays windowing, hotness, token-level coverage, and
+    the positional reassembly."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.repeated_span_dedup_strided(
+        d, "text", "doc_id", span_tokens=3, stride=1, min_docs=2
+    )

@@ -317,3 +317,74 @@ def test_repeated_span_dedup_null_text_dropped(spark):
     )
     out = {r["doc_id"] for r in dedup.repeated_span_dedup(df, "text", "doc_id", span_tokens=2).collect()}
     assert out == {2}
+
+
+def test_strided_span_dedup_catches_shifted_boilerplate(spark):
+    """The VERDICT r4 ask-#6 fixture: boilerplate at DIFFERENT offsets
+    in two docs. Fixed span=3 segmentation misaligns (segments of doc 1
+    start at tokens 0,3,6...; doc 2's copy is shifted by 1) so the
+    fixed variant removes nothing; stride=1 windows align and strip the
+    shared span from both docs."""
+    df = spark.createDataFrame(
+        [
+            (1, "aa boiler plate text zz yy"),
+            (2, "boiler plate text qq ww ee"),
+        ],
+        "doc_id int, text string",
+    )
+    fixed = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup.repeated_span_dedup(
+            df, "text", "doc_id", span_tokens=3, min_docs=2
+        ).collect()
+    }
+    assert fixed == {1: 0, 2: 0}  # provably missed by fixed segmentation
+    out = {
+        r["doc_id"]: r
+        for r in dedup.repeated_span_dedup_strided(
+            df, "text", "doc_id", span_tokens=3, stride=1, min_docs=2
+        ).collect()
+    }
+    assert out[1]["n_hot_windows"] == 1 and out[1]["n_tokens_removed"] == 3
+    assert out[1]["new_text"] == "aa zz yy"
+    assert out[2]["new_text"] == "qq ww ee"
+    # overlapping hot windows union their coverage, not double-count
+    assert out[2]["n_tokens_removed"] == 3
+
+
+def test_strided_span_dedup_short_docs_and_tails(spark):
+    """Docs shorter than the span are never rewritten; tail tokens not
+    reachable by a full window are always kept; zero-token docs drop."""
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, None), (4, "")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.repeated_span_dedup_strided(
+            df, "text", "doc_id", span_tokens=3, stride=1, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_windows"] == 0 and out[1]["new_text"] == "aa bb"
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        dedup.repeated_span_dedup_strided(
+            df, "text", "doc_id", span_tokens=3, stride=4
+        )
+
+
+def test_strided_span_dedup_stride_equals_span_single_agg_plan(spark):
+    """stride == span reduces to fixed FULL-window segmentation, and the
+    hot-set computation stays one hash-aggregate on hashes (no corpus
+    text in the exchange)."""
+    df = spark.createDataFrame(
+        [(i, "aa bb cc dd ee ff") for i in range(4)], "doc_id int, text string"
+    )
+    out = dedup.repeated_span_dedup_strided(
+        df, "text", "doc_id", span_tokens=3, stride=3, min_docs=2
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_windows"] == 2 and rows[0]["new_text"] == ""
+    assert rows[0]["n_tokens_removed"] == 6
