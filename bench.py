@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "emb_pq_adc_topk",  # PQ compressed-domain ANN: codes-only scan + top-k
     "emb_ivf_pq_topk",  # IVF-PQ stack: probe pruning + ADC on candidates
     "emb_pq_adc_materialized",  # ADC over persisted codes: the query-time cost
+    "dedup_minhash_join",  # cross-corpus LSH decontamination join
+    "er_fuzzy_join_parts",  # blocking + edit-distance verify ER join
+    "er_resolve_parts",  # full ER: block, match, transitive cluster
+    "curation_token_budget",  # per-group token-budget cumulative cutoff
+    "emb_pq_recall_audit",  # recall@k certification of the PQ/IVF-PQ stack
+    "text_bpe_merges",  # 8 iterated BPE rounds over the checkpointed vocab
 ]
 
 
