@@ -71,12 +71,17 @@ def write_jdbc_table(
 
 
 def _write(df, conn, dbtable, mode, batchsize, truncate, num_partitions=None):
+    from ..sources.jdbc import dialect_options
+
     if num_partitions:
         df = df.repartition(num_partitions)
+    w = df.write.format("jdbc").mode(mode)
+    # dialect defaults first (e.g. Postgres reWriteBatchedInserts /
+    # stringtype=unspecified) so the explicit options below override
+    for k, v in dialect_options(conn.jdbc_url, for_write=True).items():
+        w = w.option(k, v)
     (
-        df.write.format("jdbc")
-        .mode(mode)
-        .option("url", conn.jdbc_url)
+        w.option("url", conn.jdbc_url)
         .option("user", conn.user)
         .option("password", conn.password)
         .option("dbtable", dbtable)

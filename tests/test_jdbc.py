@@ -6,7 +6,11 @@ from __future__ import annotations
 
 import pytest
 
-from orion_etl_oracle_to_postgres_spark.sources.jdbc import jdbc_options
+from orion_etl_oracle_to_postgres_spark.sources.jdbc import (
+    dialect_options,
+    jdbc_options,
+    jdbc_scheme,
+)
 from orion_etl_oracle_to_postgres_spark.spec import (
     OracleConnectorSpec,
     PostgresConnectorSpec,
@@ -291,3 +295,43 @@ def test_setup_logging_honors_file_level(tmp_path):
     assert "hello-info-line" in log.read_text()
     # restore default logging for other tests
     setup_logging(level="INFO")
+
+
+def test_jdbc_scheme_parses_dialect_token():
+    assert jdbc_scheme(ORA.jdbc_url) == "oracle"
+    assert jdbc_scheme(PG.jdbc_url) == "postgresql"
+    assert jdbc_scheme("jdbc:derby:memory:x;create=true") == "derby"
+    assert jdbc_scheme("not-a-jdbc-url") == ""
+
+
+def test_oracle_read_dialect_options_pinned():
+    """VERDICT r4 ask #9: Oracle reads carry mapDateToTimestamp=false
+    (DATE stays Date, reference parity) and an NLS-pinning
+    sessionInitStatement; Oracle writes add nothing."""
+    opts = jdbc_options(ORA, "CUSTOMER", "SRC")
+    assert opts["oracle.jdbc.mapDateToTimestamp"] == "false"
+    assert "NLS_DATE_FORMAT" in opts["sessionInitStatement"]
+    assert dialect_options(ORA.jdbc_url, for_write=True) == {}
+
+
+def test_postgres_write_dialect_options_pinned():
+    """Postgres writes get reWriteBatchedInserts (multi-row INSERT
+    rewrite, the documented pgjdbc load lever) and
+    stringtype=unspecified (server-side casts for enum/json/uuid
+    columns); Postgres reads add nothing."""
+    w = dialect_options(PG.jdbc_url, for_write=True)
+    assert w["reWriteBatchedInserts"] == "true"
+    assert w["stringtype"] == "unspecified"
+    assert dialect_options(PG.jdbc_url) == {}
+    assert "reWriteBatchedInserts" not in jdbc_options(PG, "t")
+
+
+def test_dialect_defaults_never_shadow_explicit_options():
+    """Dialect defaults merge lowest-precedence: the core url/user/
+    password/fetchsize/dbtable keys always come from the caller."""
+    opts = jdbc_options(ORA, "T")
+    assert opts["url"] == ORA.jdbc_url and opts["fetchsize"] == "5000"
+    # unknown dialects (derby/h2/...) stay clean - the Derby live tests
+    # exercise exactly this path
+    assert dialect_options("jdbc:derby:memory:x;create=true") == {}
+    assert dialect_options("jdbc:h2:mem:t", for_write=True) == {}
