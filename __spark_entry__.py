@@ -82,13 +82,15 @@ _FIRST_50 = [
     "text_bigram_logprob",
     "text_unigram_logprob",
     "scd2_customer_balances",
-    "cdc_apply_events",
     "skew_salted_cohort_join",
-    "sql_recursive_hierarchy",
-    "udtf_split_sentences",
     "privacy_k_anonymity",
-    "quantile_winsorize_prices",
     "agg_regional_supplier_revenue",
+    # round-5 additions (trained classifier, PQ recall audit, iterated
+    # BPE, overlapping-stride span dedup)
+    "text_quality_classifier_trained",
+    "emb_pq_recall_audit",
+    "text_bpe_merges",
+    "dedup_repeated_spans_strided",
 ]
 
 
