@@ -885,6 +885,70 @@ def bpe_merges(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: Sequence["tuple[str, str]"],
+    *,
+    head_n: int = 10,
+) -> DataFrame:
+    """Apply a trained BPE merge table (``bpe_merges`` output) to
+    tokenize text into subwords — the other half of tokenizer training:
+    train once, inline the rules as literals, encode anywhere. Per
+    word: double-delimit (``abc`` → ``||a||b||c||``), apply the merges
+    IN TRAINING ORDER as chained substring replaces (identical
+    semantics to the training rounds' re-segmentation, so encoding a
+    training word reproduces its training segmentation), split back to
+    subwords.
+
+    Returns (id_col, n_words, n_subwords, subwords_per_word,
+    head_subwords): counts are NULL for NULL text (matching the
+    oracle's ``len(NULL)``), ``subwords_per_word`` is the compression
+    diagnostic (1.0 = no merges fired), ``head_subwords`` the first
+    ``head_n`` subwords joined with spaces for value-level verification.
+
+    100 TB shape: a PURE PROJECTION — tokenize, per-word replace chain,
+    split, flatten, all in-row; zero shuffles, no vocabulary join. The
+    merge table rides as k string literals exactly like
+    ``hashed_linear_expr`` inlines its weights; k chained replaces per
+    word is O(k · len), the classic tokenizer-apply cost.
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty (train with bpe_merges)")
+    for a, b in merges:
+        if not a or not b:
+            raise ValueError(f"empty symbol in merge rule ({a!r}, {b!r})")
+
+    def encode_word(w: Column) -> Column:
+        cur = F.concat(F.lit("||"), F.regexp_replace(w, "(.)", "$1||"))
+        for a, b in merges:
+            cur = F.replace(cur, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        return F.filter(F.split(cur, "[|]"), lambda s: s != "")
+
+    tk = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).select(
+        id_col,
+        "__tk",
+        F.flatten(F.transform("__tk", encode_word)).alias("__sw"),
+    )
+    n_words = F.when(F.col("__tk").isNotNull(), F.size("__tk")).cast("long")
+    n_sub = F.when(F.col("__tk").isNotNull(), F.size("__sw")).cast("long")
+    return tk.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sub.alias("n_subwords"),
+        F.when(
+            F.size("__tk") > 0, F.round(F.size("__sw") / F.size("__tk"), 6)
+        ).alias("subwords_per_word"),
+        F.when(
+            F.col("__tk").isNotNull(),
+            F.array_join(F.slice("__sw", 1, int(head_n)), " "),
+        ).alias("head_subwords"),
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str,

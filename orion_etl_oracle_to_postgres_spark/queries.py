@@ -5970,3 +5970,57 @@ def dedup_repeated_spans_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_span_dedup_strided(
         d, "text", "doc_id", span_tokens=3, stride=1, min_docs=2
     )
+
+
+# BPE merge table trained by operators/text.py:bpe_merges on sf0.01
+# documents (n_merges=8) — deterministic, reproducible via the
+# text_bpe_merges query; inlined here exactly as a production encode
+# job inlines its tokenizer (train once, apply as literals). Rule 6
+# ('m' + 'er') merges a multi-char symbol from round 1 — genuinely
+# iterative.
+_BPE_RULES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def _bpe_encode_sql(rules: "list[tuple[str, str]]") -> str:
+    enc = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
+    for a, b in rules:
+        enc = f"replace({enc}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, ts,
+             flatten(list_transform(ts, w ->
+               list_filter(string_split({enc}, '|'), s -> s <> ''))) AS sw
+      FROM toks
+    )
+    SELECT doc_id,
+           len(ts)::BIGINT AS n_words,
+           len(sw)::BIGINT AS n_subwords,
+           CASE WHEN len(ts) > 0
+                THEN round(len(sw) / len(ts)::DOUBLE, 6) END
+             AS subwords_per_word,
+           CASE WHEN ts IS NOT NULL
+                THEN array_to_string(sw[1:10], ' ') END AS head_subwords
+    FROM enc
+    """
+
+
+@query("text_bpe_encode", _bpe_encode_sql(_BPE_RULES))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE tokenizer APPLICATION
+    (operators/text.py:bpe_encode): the trained merge table (8 rules
+    from ``text_bpe_merges``, literals above) applied per word as the
+    identical chained-replace re-segmentation training used — per-doc
+    word/subword counts, compression ratio, and the first 10 subwords.
+    Pure projection, zero shuffles. The oracle replays the replace
+    chain rule-for-rule."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bpe_encode(d, "text", "doc_id", _BPE_RULES)

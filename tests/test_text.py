@@ -636,3 +636,62 @@ def test_bpe_pair_counts_deterministic_topk(spark):
     a = [tuple(r) for r in bpe_pair_counts(df, "text", k=5).collect()]
     b = [tuple(r) for r in bpe_pair_counts(df.repartition(4), "text", k=5).collect()]
     assert a == b and len(a) == 5
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    """Encoding a training word with the learned rules must reproduce
+    the segmentation the final training round saw — the train/apply
+    contract. 'merge' with rules [(e,r),(m,er)... ] exercises a
+    multi-char second-order merge."""
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        bpe_encode,
+        bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "merge merge mermer"), (2, "merge rem")], "doc_id int, text string"
+    )
+    rules = [
+        (r["sym_a"], r["sym_b"]) for r in bpe_merges(df, "text", n_merges=3).collect()
+    ]
+    # 'er' dominates ('merge' x3 + 'mermer' x2 + 'rem'? no: rem has no er)
+    assert rules[0] == ("e", "r")
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(df, "text", "doc_id", rules).collect()
+    }
+    # replay the learned rules in python over 'merge': same chained
+    # left-to-right replace on the double-delimited form
+    seg = "||" + "".join(c + "||" for c in "merge")
+    for a, b in rules:
+        seg = seg.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    expected = [s for s in seg.split("|") if s]
+    head = out[1]["head_subwords"].split(" ")
+    assert head[: len(expected)] == expected
+    assert out[1]["n_words"] == 3
+    # ratio < word length: merges actually fired
+    assert out[1]["subwords_per_word"] < 5.0
+    assert len(expected) < 5  # 'merge' genuinely compressed
+
+
+def test_bpe_encode_null_empty_and_plan(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "aa")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(df, "text", "doc_id", [("a", "a")]).collect()}
+    assert out[1]["n_words"] is None and out[1]["subwords_per_word"] is None
+    assert out[2]["n_words"] == 0 and out[2]["head_subwords"] == ""
+    assert out[3]["head_subwords"] == "aa"
+    plan = (
+        bpe_encode(df, "text", "doc_id", [("a", "a")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure projection
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bpe_encode(df, "text", "doc_id", [])
