@@ -99,6 +99,73 @@ def weighted_sample(
     return df.filter(bucket < thr)
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    budget_rows: int,
+    alpha: float = 0.5,
+    seed: str = "tm0",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the GPT-3/Pile recipe): sample
+    each group at a rate proportional to ``n_g^alpha / n_g`` so small
+    groups are up-weighted relative to their natural share (alpha=1 →
+    natural proportions, alpha=0 → uniform across groups), scaled to an
+    expected ``budget_rows`` total. The keep decision per row is the
+    same deterministic ``md5_60(id || ':' || seed) % 1000 < thr``
+    filter as ``weighted_sample`` — re-runs, engines, and incremental
+    appends agree row-for-row; unlike ``weighted_sample`` the rates are
+    DERIVED from corpus statistics in-plan, not passed in.
+
+    Cross-engine float determinism (the oracle must reproduce thr
+    exactly): weights are integerized as ``floor(sqrt(n)·1000)`` —
+    sqrt is correctly rounded in IEEE-754 (identical in every engine,
+    unlike pow), the integer weights sum exactly, and the final
+    threshold is a fixed-shape floor of products/quotients of exactly-
+    representable integers, so every engine computes the identical
+    bucket cutoff. ``alpha`` values other than 0.5 use ``pow`` and are
+    supported for the operator, but only alpha=0.5 carries the
+    bit-exactness guarantee (documented oracle-parity caveat).
+
+    100 TB shape: one tiny groupBy(group) count, a 1-row total
+    cross-joined back (both broadcast), then a pure projection+filter
+    over the corpus — the corpus itself never shuffles.
+    """
+    if budget_rows < 0:
+        raise ValueError("budget_rows must be >= 0")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wexpr = (
+        F.floor(F.sqrt(F.col("__n")) * _BUCKETS)
+        if alpha == 0.5
+        else F.floor(F.pow(F.col("__n"), F.lit(float(alpha))) * _BUCKETS)
+    )
+    w = counts.select("__g", "__n", wexpr.cast("long").alias("__w"))
+    total = w.agg(F.sum("__w").alias("__sw"))
+    thr = w.crossJoin(F.broadcast(total)).select(
+        "__g",
+        F.least(
+            F.lit(_BUCKETS).cast("long"),
+            F.floor(
+                (F.lit(int(budget_rows)) * float(_BUCKETS) * F.col("__w"))
+                / (F.col("__sw") * F.col("__n"))
+            ),
+        ).alias("__thr"),
+    )
+    bucket = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    ) % _BUCKETS
+    return (
+        df.join(F.broadcast(thr), df[group_col] == thr["__g"])
+        .filter(bucket < F.col("__thr"))
+        .drop("__g", "__thr")
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     *,

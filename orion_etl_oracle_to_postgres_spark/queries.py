@@ -6024,3 +6024,37 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain rule-for-rule."""
     d = _t(spark, sf_dir, "documents")
     return text.bpe_encode(d, "text", "doc_id", _BPE_RULES)
+
+
+@query(
+    "curation_temperature_mix",
+    """
+    WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT g, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS wt FROM c),
+    s AS (SELECT sum(wt)::BIGINT AS sw FROM w),
+    thr AS (
+      SELECT g, least(1000, CAST(floor((300 * 1000.0 * wt) / (sw * n))
+                                 AS BIGINT)) AS t
+      FROM w, s
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN thr ON thr.g = d.lang
+    WHERE """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':tm0')")
+    + """ % 1000 < thr.t
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Temperature-based corpus mixing
+    (operators/curation.py:temperature_mix): per-language sampling
+    rates derived in-plan from n_lang^0.5 (small languages up-weighted
+    vs natural share), scaled to an expected 300-row budget, rows kept
+    by the portable md5 filter. Weights integerized via
+    floor(sqrt(n)*1000) so the oracle reproduces the exact threshold —
+    sqrt is IEEE-correctly-rounded in every engine, pow is not."""
+    from .operators.curation import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix(
+        d, "doc_id", "lang", budget_rows=300, alpha=0.5
+    ).select("doc_id", "lang")

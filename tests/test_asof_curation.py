@@ -705,3 +705,51 @@ def test_token_budget_sample_null_text(spark):
     assert out.get(1, "absent") in (None, "absent")
     kept_text = [v for k, v in out.items() if k != 1]
     assert sum(v for v in kept_text) >= 3
+
+
+def test_temperature_mix_upweights_small_groups(spark):
+    """alpha=0.5 must give the small group a HIGHER keep rate than the
+    large one (rate ∝ n^-0.5), with the expected total near the budget,
+    and the whole mix must be a broadcast-joined projection (the corpus
+    never shuffles)."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = temperature_mix(df, "id", "g", budget_rows=500, alpha=0.5)
+    got = out.groupBy("g").count().collect()
+    by_g = {r["g"]: r["count"] for r in got}
+    # exact expected thresholds: w_big = floor(30*1000)=30000,
+    # w_small = 10000, sw = 40000;
+    # thr_big = floor(500*1000*30000/(40000*900)) = floor(416.66) = 416
+    # thr_small = floor(500*1000*10000/(40000*100)) = 1000 (capped)
+    assert by_g["small"] == 100  # rate 1.0: every small row kept
+    assert 0 < by_g["big"] < 900
+    # keep RATE of small strictly above big's
+    assert by_g["small"] / 100 > by_g["big"] / 900
+    # deterministic across repartition
+    again = temperature_mix(
+        df.repartition(7), "id", "g", budget_rows=500, alpha=0.5
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_alpha_bounds_and_budget(spark):
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "id", "g", budget_rows=1, alpha=1.5)
+    with pytest.raises(ValueError, match="budget_rows"):
+        temperature_mix(df, "id", "g", budget_rows=-1)
+    # zero budget keeps nothing
+    assert temperature_mix(df, "id", "g", budget_rows=0).count() == 0
