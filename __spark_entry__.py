@@ -75,12 +75,10 @@ _FIRST_50 = [
     "chunk_length_batches",
     # high-value never-sampled operator families
     "emb_knn_join",
-    "emb_knn_join_lsh_multi",
     "emb_semantic_dedup",
     "emb_lsh_recall_audit",
     "emb_centroid_drift",
     "text_bigram_logprob",
-    "text_unigram_logprob",
     "scd2_customer_balances",
     "skew_salted_cohort_join",
     "privacy_k_anonymity",
@@ -90,7 +88,9 @@ _FIRST_50 = [
     "text_quality_classifier_trained",
     "emb_pq_recall_audit",
     "text_bpe_merges",
+    "text_bpe_encode",
     "dedup_repeated_spans_strided",
+    "curation_temperature_mix",
 ]
 
 

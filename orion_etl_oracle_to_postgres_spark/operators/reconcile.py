@@ -202,3 +202,112 @@ def distribution_drift(
             ).alias("psi_term"),
         )
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: "list[str]",
+    *,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Bucketed table checksum — the O(1)-output migration sign-off:
+    every row is hashed portably (md5 over the '\\x1f'-joined column
+    values, NULL encoded distinctly), rows land in ``n_buckets`` hash
+    buckets, and each bucket reports (n_rows, xor-checksum, modular
+    sum-checksum). Two tables loaded through different engines match
+    iff the reports match; on divergence the differing BUCKET narrows
+    the re-scan 1/n_buckets — the standard checksum-ladder trick, one
+    level deep.
+
+    Two independent channels because each is blind somewhere: bit_xor
+    cancels any row appearing an EVEN number of times; the modular sum
+    (mod 1000003, safely inside bigint at 10^12 rows) catches paired
+    duplicates but is (unlike xor) sensitive to little else. Together
+    with the count they make accidental collision practically
+    impossible; both are order-independent and overflow-free.
+
+    100 TB shape: one pure projection + one map-side-combined
+    groupBy(bucket) whose exchange carries exactly ``n_buckets``
+    partial rows per task. The cheapest possible full-table comparison
+    — compare with ``snapshot_diff`` (row-level, one wide join) when
+    you need to know WHICH rows differ, not WHETHER.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from ..functions import md5_hash60
+
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in cols
+    ]
+    h = md5_hash60(F.concat_ws("\x1f", *parts))
+    return (
+        df.select(
+            (h % n_buckets).alias("bucket"),
+            h.alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("xor_checksum"),
+            F.sum(F.col("__h") % 1000003).alias("sum_checksum"),
+        )
+    )
+
+
+def referential_integrity(
+    pairs: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Post-load foreign-key audit: for each (name, child, fk_col,
+    parent, pk_col), count child rows whose non-NULL foreign key has no
+    matching parent row — orphans a migration must not create (the
+    reference truncates with CASCADE, `default_loader.py:40-45`, so a
+    partial reload silently orphans children; this is the check that
+    catches it). NULL foreign keys are excluded from the orphan count
+    but reported separately — an optional FK is not a violation.
+
+    Returns one row per declared FK: (fk_name, n_child_rows, n_null_fk,
+    n_orphans, orphan_frac).
+
+    100 TB shape: per FK, one left-anti join on the key (broadcast when
+    the parent is a dimension, shuffle otherwise — Spark chooses from
+    sizes) feeding a single-row aggregate; the union of the per-FK rows
+    is driver-free.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        keys = child.select(F.col(fk).alias("__fk"))
+        nn = keys.filter(F.col("__fk").isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(pk).alias("__fk")).distinct(),
+            "__fk",
+            "left_anti",
+        )
+        agg = keys.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        o = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        outs.append(
+            agg.crossJoin(o).select(
+                F.lit(name).alias("fk_name"),
+                "n_child_rows",
+                "n_null_fk",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans")
+                    / F.greatest(F.col("n_child_rows") - F.col("n_null_fk"), F.lit(1)),
+                    6,
+                ).alias("orphan_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

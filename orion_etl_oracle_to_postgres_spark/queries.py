@@ -6058,3 +6058,107 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(
         d, "doc_id", "lang", budget_rows=300, alpha=0.5
     ).select("doc_id", "lang")
+
+
+@query(
+    "reconcile_table_checksum",
+    """
+    WITH h AS (
+      SELECT """
+    + _hex2int_sql(
+        "md5(concat_ws(chr(31), "
+        "coalesce(c_custkey::VARCHAR, chr(0) || 'NULL'), "
+        "coalesce(c_name, chr(0) || 'NULL'), "
+        "coalesce(c_nationkey::VARCHAR, chr(0) || 'NULL'), "
+        "coalesce(c_mktsegment, chr(0) || 'NULL')))"
+    )
+    + """ AS hv
+      FROM customer
+    )
+    SELECT hv % 16 AS bucket,
+           count(*)::BIGINT AS n_rows,
+           bit_xor(hv)::BIGINT AS xor_checksum,
+           sum(hv % 1000003)::BIGINT AS sum_checksum
+    FROM h GROUP BY bucket
+    """,
+)
+def reconcile_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Bucketed table checksum
+    (operators/reconcile.py:table_checksum): portable per-row md5 over
+    the int/string columns, 16 hash buckets each reporting count +
+    xor-checksum + modular-sum checksum — the O(1)-output 'did the
+    load produce the same table' sign-off (divergent bucket narrows
+    the re-scan 16x). Only exactly-stringifiable columns participate
+    (float-to-string formatting differs across engines — documented
+    constraint). The oracle replays the hash and both channels."""
+    from .operators.reconcile import table_checksum
+
+    c = _t(spark, sf_dir, "customer")
+    return table_checksum(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"], n_buckets=16
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    WITH fk AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+             l_orderkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', o_custkey FROM orders
+      UNION ALL
+      SELECT 'orders.o_custkey->customer_first_700', o_custkey FROM orders
+    ),
+    pk AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+             o_orderkey AS k FROM orders
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', c_custkey FROM customer
+      UNION ALL
+      SELECT 'orders.o_custkey->customer_first_700', c_custkey
+      FROM customer WHERE c_custkey <= 700
+    )
+    SELECT f.fk_name,
+           count(*)::BIGINT AS n_child_rows,
+           coalesce(sum(CASE WHEN f.k IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_null_fk,
+           coalesce(sum(CASE WHEN f.k IS NOT NULL AND p.k IS NULL
+                             THEN 1 ELSE 0 END), 0)::BIGINT AS n_orphans,
+           round(coalesce(sum(CASE WHEN f.k IS NOT NULL AND p.k IS NULL
+                                   THEN 1 ELSE 0 END), 0)
+                 / greatest(count(*) - coalesce(sum(CASE WHEN f.k IS NULL
+                                                         THEN 1 ELSE 0 END), 0),
+                            1)::DOUBLE, 6) AS orphan_frac
+    FROM fk f
+    LEFT JOIN (SELECT DISTINCT fk_name, k FROM pk) p
+      ON p.fk_name = f.fk_name AND p.k = f.k
+    GROUP BY f.fk_name
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Post-load foreign-key audit
+    (operators/reconcile.py:referential_integrity): orphan counts per
+    declared FK after a load — the check that catches the partial-
+    reload orphans the reference's TRUNCATE..CASCADE can silently
+    create. Includes a deliberately-violated FK (parent restricted to
+    the first 700 customers) so a nonzero orphan path is exercised;
+    NULL FKs are reported, not counted as violations."""
+    from .operators.reconcile import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return referential_integrity(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+            (
+                "orders.o_custkey->customer_first_700",
+                o,
+                "o_custkey",
+                c.filter(F.col("c_custkey") <= 700),
+                "c_custkey",
+            ),
+        ]
+    )

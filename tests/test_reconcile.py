@@ -77,3 +77,76 @@ def test_distribution_drift_detects_shift(spark):
     # every new row lands in old's top bin (or above): bin 4 dominates
     top = {r["bin"]: r["n_new"] for r in rep}
     assert top[4] >= 800
+
+
+def test_table_checksum_detects_value_and_duplicate_changes(spark):
+    """The sign-off must flag a single changed value, a dropped row, and
+    a row duplicated an even number of times (the xor channel alone is
+    blind to the last one — the modular-sum channel catches it)."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        table_checksum,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], "id long, name string"
+    )
+
+    def report(df):
+        return {
+            r["bucket"]: (r["n_rows"], r["xor_checksum"], r["sum_checksum"])
+            for r in table_checksum(df, ["id", "name"], n_buckets=4).collect()
+        }
+
+    ref = report(base)
+    assert report(base.repartition(7)) == ref  # order-independent
+    changed = base.withColumn(
+        "name", F.when(F.col("id") == 50, "NAME50").otherwise(F.col("name"))
+    )
+    assert report(changed) != ref
+    assert report(base.filter("id != 50")) != ref
+    # duplicate one row TWICE: counts and xor of that bucket shift,
+    # and even if counts were compared alone per bucket the sum channel
+    # must differ from a world where two OTHER rows were dropped
+    dup = base.union(base.filter("id = 50")).union(base.filter("id = 50"))
+    rep_dup = report(dup)
+    assert rep_dup != ref
+    # xor channel alone is blind to the even duplicate (x^x = 0) — pin
+    # that the sum/count channels are what differ
+    diffs = {
+        b: tuple(x != y for x, y in zip(rep_dup[b], ref[b]))
+        for b in ref
+        if rep_dup[b] != ref[b]
+    }
+    assert all(d[0] and not d[1] and d[2] for d in diffs.values())
+    # NULLs are encoded distinctly from the string 'NULL'
+    a = spark.createDataFrame([(1, None)], "id long, name string")
+    b = spark.createDataFrame([(1, "NULL")], "id long, name string")
+    assert report(a) != report(b)
+    import pytest
+
+    with pytest.raises(ValueError, match="cols"):
+        table_checksum(base, [])
+
+
+def test_referential_integrity_counts_orphans_and_nulls(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = {
+        r["fk_name"]: r
+        for r in referential_integrity(
+            [("child.fk->parent", child, "fk", parent, "pk")]
+        ).collect()
+    }
+    r = out["child.fk->parent"]
+    assert r["n_child_rows"] == 4
+    assert r["n_null_fk"] == 1  # optional FK, not a violation
+    assert r["n_orphans"] == 1  # fk=99
+    assert abs(r["orphan_frac"] - round(1 / 3, 6)) < 1e-9
