@@ -66,10 +66,8 @@ _FIRST_50 = [
     "er_fuzzy_join_parts",
     "text_bm25_rank",
     "ir_rrf_fusion",
-    "ir_retrieve_rerank",
     "agg_custorder_distribution",
     "agg_small_qty_revenue",
-    "agg_idle_rich_customers",
     "text_quality_classifier",
     "text_bpe_pair_counts",
     "chunk_length_batches",
@@ -91,6 +89,8 @@ _FIRST_50 = [
     "text_bpe_encode",
     "dedup_repeated_spans_strided",
     "curation_temperature_mix",
+    "reconcile_table_checksum",
+    "dq_referential_integrity",
 ]
 
 

@@ -735,7 +735,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     if spec.sample is not None:
         smp = spec.sample
         needed = [smp.id_column] + (
-            [smp.group_column] if smp.method == "rates"
+            [smp.group_column] if smp.method in ("rates", "temperature")
             else [smp.weight_column] if smp.method == "priority"
             else [smp.group_column, smp.text_column]
             if smp.method == "token_budget"
@@ -777,6 +777,17 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 smp.id_column,
                 smp.group_column,
                 int(smp.budget_tokens),
+                seed=smp.seed,
+            )
+        elif smp.method == "temperature":
+            from .operators.curation import temperature_mix
+
+            df = temperature_mix(
+                df,
+                smp.id_column,
+                smp.group_column,
+                budget_rows=int(smp.budget_rows),
+                alpha=float(smp.alpha),
                 seed=smp.seed,
             )
         else:  # priority

@@ -268,9 +268,14 @@ class SampleSpec(BaseModel):
     ``method: token_budget`` — per-group TOKEN quotas, the mixture
     recipe stated as "N tokens per source" (``curation.
     token_budget_sample``; needs ``group_column`` + ``budget_tokens``
-    + ``text_column``; adds an ``n_tokens`` output column)."""
+    + ``text_column``; adds an ``n_tokens`` output column).
+    ``method: temperature`` — rates DERIVED in-plan from group sizes
+    (n^alpha temperature mixing scaled to an expected ``budget_rows``
+    total, ``curation.temperature_mix``; needs ``group_column`` +
+    ``budget_rows``; ``alpha`` defaults to 0.5, the bit-exact sqrt
+    path)."""
 
-    method: str = "rates"  # rates | exact_n | priority | token_budget
+    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature
     id_column: str
     group_column: Optional[str] = None
     rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
@@ -279,14 +284,17 @@ class SampleSpec(BaseModel):
     weight_column: Optional[str] = None
     text_column: Optional[str] = None
     budget_tokens: Optional[int] = None
+    budget_rows: Optional[int] = None
+    alpha: float = Field(default=0.5, ge=0.0, le=1.0)
     seed: str = "mix0"
 
     @field_validator("method")
     @classmethod
     def _known_sample_method(cls, v: str) -> str:
-        if v not in ("rates", "exact_n", "priority", "token_budget"):
+        if v not in ("rates", "exact_n", "priority", "token_budget", "temperature"):
             raise ValueError(
-                f"sample method must be rates|exact_n|priority|token_budget, got {v!r}"
+                "sample method must be rates|exact_n|priority|token_budget|"
+                f"temperature, got {v!r}"
             )
         return v
 
@@ -309,6 +317,15 @@ class SampleSpec(BaseModel):
             raise ValueError(
                 "sample method=token_budget needs group_column, text_column "
                 "and budget_tokens > 0"
+            )
+        if self.method == "temperature" and (
+            not self.group_column
+            or self.budget_rows is None
+            or self.budget_rows <= 0
+        ):
+            raise ValueError(
+                "sample method=temperature needs group_column and "
+                "budget_rows > 0"
             )
         return self
 

@@ -753,3 +753,63 @@ def test_temperature_mix_alpha_bounds_and_budget(spark):
         temperature_mix(df, "id", "g", budget_rows=-1)
     # zero budget keeps nothing
     assert temperature_mix(df, "id", "g", budget_rows=0).count() == 0
+
+
+def test_declarative_temperature_sample(spark, tmp_path):
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        temperature_mix,
+    )
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        SampleSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "src"
+    df = spark.createDataFrame(
+        [(i, "big" if i < 450 else "small") for i in range(500)], ["id", "grp"]
+    )
+    df.write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="grp", target="grp"),
+        ],
+        sample=SampleSpec(
+            method="temperature", id_column="id", group_column="grp",
+            budget_rows=200,
+        ),
+    )
+    got = {tuple(r) for r in compile_table(ctx, spec).df.collect()}
+    want = {
+        tuple(r)
+        for r in temperature_mix(
+            df.withColumnRenamed("grp", "grp"), "id", "grp",
+            budget_rows=200, alpha=0.5, seed="mix0",
+        ).collect()
+    }
+    assert got == want and got  # compiler gate == operator, rows kept
+    with _pt.raises(ValidationError, match="temperature"):
+        SampleSpec(method="temperature", id_column="id")
+    with _pt.raises(ValidationError, match="alpha"):
+        SampleSpec(
+            method="temperature", id_column="id", group_column="grp",
+            budget_rows=10, alpha=2.0,
+        )
