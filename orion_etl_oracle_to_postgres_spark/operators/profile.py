@@ -144,3 +144,50 @@ def profile_histogram(
             "n",
         )
     )
+
+
+def profile_join_skew(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnosis — the report you run BEFORE deciding
+    whether a join needs ``skew.salted_join`` or AQE's skew handling:
+    the ``top_n`` heaviest key values with their row share and a skew
+    factor (rows at the key ÷ mean rows per key; ~1 means uniform,
+    ≫1 means this key serializes one reducer). NULL keys are reported
+    as a key too — a NULL-heavy foreign key is the single most common
+    real-world skew.
+
+    Returns (key string, n_rows, share, skew_x), heaviest first, key
+    asc on ties — deterministic.
+
+    100 TB shape: ONE map-side-combined groupBy(key) — the exchange
+    carries distinct keys, not rows — a 2-row stats aggregate over the
+    counts, broadcast back, and a TakeOrderedAndProject top-n. The
+    report costs one word-count-shaped pass, far cheaper than the
+    skewed join it prevents.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    stats = counts.agg(
+        F.sum("__n").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("__k").alias("key"),
+            F.col("__n").alias("n_rows"),
+            F.round(F.col("__n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("__n") * F.col("__nkeys") / F.col("__total"), 6
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(int(top_n))
+    )

@@ -6162,3 +6162,31 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@query(
+    "profile_join_skew",
+    """
+    WITH c AS (
+      SELECT o_custkey::VARCHAR AS k, count(*) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (SELECT sum(n)::BIGINT AS total, count(*) AS nkeys FROM c)
+    SELECT c.k AS key, c.n::BIGINT AS n_rows,
+           round(c.n / s.total::DOUBLE, 6) AS share,
+           round(c.n * s.nkeys / s.total::DOUBLE, 6) AS skew_x
+    FROM c, s
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Join-key skew diagnosis
+    (operators/profile.py:profile_join_skew): the 10 heaviest
+    o_custkey values with row share and skew factor — the report run
+    before choosing salted-join/AQE-skew handling. One distinct-key
+    aggregate + broadcast stats + top-n."""
+    from .operators.profile import profile_join_skew as _pjs
+
+    o = _t(spark, sf_dir, "orders")
+    return _pjs(o, "o_custkey", top_n=10)

@@ -85,3 +85,28 @@ def test_profile_histogram_constant_column_and_null_handling(spark):
     df = spark.createDataFrame([(5.0,), (5.0,), (None,)], ["v"])
     rows = profile_histogram(df, "v", n_bins=3).collect()
     assert sum(r["n"] for r in rows) == 2  # NULLs excluded
+
+
+def test_profile_join_skew_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.profile import (
+        profile_join_skew,
+    )
+
+    # key 'a' x6, 'b' x2, NULL x2 -> total 10, 3 distinct keys
+    rows = [("a",)] * 6 + [("b",)] * 2 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = [tuple(r) for r in profile_join_skew(df, "k", top_n=3).collect()]
+    assert out[0] == ("a", 6, 0.6, 1.8)  # 6/10 share, 6*3/10 skew
+    assert out[1][1] == 2  # 'b' or NULL row
+    # NULL keys are a reported key, not silently dropped
+    keys = {r[0] for r in out}
+    assert None in keys or "None" in keys or sum(1 for r in out if r[1] == 2) == 2
+    # deterministic under repartition
+    again = [tuple(r) for r in profile_join_skew(df.repartition(4), "k", top_n=3).collect()]
+    assert out == again
+    import pytest
+
+    with pytest.raises(ValueError, match="top_n"):
+        profile_join_skew(df, "k", top_n=0)
