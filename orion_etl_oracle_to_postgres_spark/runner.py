@@ -149,6 +149,17 @@ def main(argv: list[str] | None = None) -> int:
         "the table's dedup id_column when configured)",
     )
     parser.add_argument(
+        "--checksum",
+        default=None,
+        metavar="TABLE",
+        help="cheap migration sign-off: bucketed checksum of the "
+        "recompiled pipeline frame vs the loaded target "
+        "(operators/reconcile.table_checksum) over the exactly-"
+        "stringifiable shared columns; prints per-bucket agreement, "
+        "exits nonzero on divergence. O(1) output — use --reconcile "
+        "to see WHICH rows differ",
+    )
+    parser.add_argument(
         "--lineage",
         action="store_true",
         help="print the static column-lineage report (target column <- "
@@ -341,6 +352,63 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(f"{r['diff_status']}: {r['n']}")
         bad = sum(n for st, n in summary.items() if st != "same")
+        return 1 if bad else 0
+
+    if args.checksum:
+        from .compiler import compile_table
+        from .operators.reconcile import table_checksum
+
+        tspec = next(
+            (
+                t for t in job.tables
+                if t.target_table == args.checksum
+                or t.source_table == args.checksum
+            ),
+            None,
+        )
+        if tspec is None:
+            raise SystemExit(f"--checksum: no table {args.checksum!r} in the job")
+        ctx = JobContext(spark, job.global_spec)
+        full_spec = (
+            tspec.model_copy(update={"incremental": None})
+            if tspec.incremental is not None
+            else tspec
+        )
+        expected = compile_table(ctx, full_spec).df
+        actual = ctx._read_target(tspec.target_table, tspec.target_schema)
+        # only exactly-stringifiable types participate: float formatting
+        # differs across engines/paths (table_checksum docstring)
+        exact = {
+            "string", "int", "bigint", "smallint", "tinyint", "boolean",
+            "date",
+        }
+        cols = sorted(
+            c
+            for c, t in expected.dtypes
+            if t in exact and c in actual.columns
+        )
+        if not cols:
+            raise SystemExit(
+                "--checksum: no exactly-stringifiable shared columns"
+            )
+        left = {
+            r["bucket"]: (r["n_rows"], r["xor_checksum"], r["sum_checksum"])
+            for r in table_checksum(expected, cols).collect()
+        }
+        right = {
+            r["bucket"]: (r["n_rows"], r["xor_checksum"], r["sum_checksum"])
+            for r in table_checksum(actual, cols).collect()
+        }
+        bad = sorted(
+            b for b in set(left) | set(right) if left.get(b) != right.get(b)
+        )
+        logger.info(
+            "checksum %s over %s: %d/%d buckets match",
+            tspec.target_table, cols, 16 - len(bad), 16,
+        )
+        for b in bad:
+            print(f"bucket {b}: pipeline={left.get(b)} target={right.get(b)}")
+        print(f"checksum: {'DIVERGED' if bad else 'OK'} ({len(bad)} buckets differ)")
         return 1 if bad else 0
 
     if args.profile:

@@ -370,3 +370,61 @@ def test_cli_lineage_verb(spark, tmp_path, capsys):
     assert "lookup: dim.name on k" in out
     assert "validate: regex on_fail=skip" in out
     assert "dedup: exact" in out
+
+
+def test_cli_checksum_verb(spark, tmp_path, capsys):
+    """--checksum: clean load matches (exit 0); a tampered target
+    diverges with the differing buckets printed (exit 1); float columns
+    are excluded from the hashed column set."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(40)], "id int, name string, v double"
+    ).write.parquet(str(src / "t.parquet"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: t
+            target_table: t_out
+            mappings:
+              - source: id
+                target: id
+              - source: name
+                target: name
+              - source: v
+                target: v
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg]) == 0
+    assert main(["--config", cfg, "--checksum", "t_out"]) == 0
+    assert "OK (0 buckets differ)" in capsys.readouterr().out
+
+    # tamper one string value -> exactly the affected bucket diverges
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tampered = spark.read.parquet(str(out / "t_out")).withColumn(
+        "name", F.expr("CASE WHEN id = 7 THEN 'TAMPERED' ELSE name END")
+    )
+    tampered.write.mode("overwrite").parquet(str(out / "t_out_new"))
+    shutil.rmtree(str(out / "t_out"))
+    shutil.move(str(out / "t_out_new"), str(out / "t_out"))
+    assert main(["--config", cfg, "--checksum", "t_out"]) == 1
+    outtxt = capsys.readouterr().out
+    assert "DIVERGED" in outtxt and "bucket " in outtxt
