@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "er_fuzzy_join_parts",  # blocking + edit-distance verify ER join
     "er_resolve_parts",  # full ER: block, match, transitive cluster
     "curation_token_budget",  # per-group token-budget cumulative cutoff
-    "emb_pq_recall_audit",  # recall@k certification of the PQ/IVF-PQ stack
+    "emb_pq_recall_audit",  # recall@k certification: exact + ADC + IVF-PQ in one action (~sum of its three benched parts)
     "text_bpe_merges",  # 8 iterated BPE rounds over the checkpointed vocab
 ]
 

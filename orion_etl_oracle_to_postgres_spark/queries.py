@@ -5573,11 +5573,19 @@ def emb_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     k = 10
-    exact = similarity.cosine_topk_query(e, qv, k=k).select("vec_id")
+    # pin the 10-row exact baseline: both audit branches join against
+    # it, and without the checkpoint each branch would re-run the
+    # brute-force corpus scan inside the same action
+    exact = (
+        similarity.cosine_topk_query(e, qv, k=k)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    cb = similarity.pq_codebook(e, n_codes=16)  # one probe, shared
     approx = {
-        "pq_adc": similarity.pq_adc_topk(e, qv, k=k, m=8, n_codes=16),
+        "pq_adc": similarity.pq_adc_topk(e, qv, k=k, m=8, n_codes=16, codebook=cb),
         "ivf_pq": similarity.ivf_pq_topk(
-            e, qv, k=k, n_centroids=16, nprobe=4, m=8, n_codes=16
+            e, qv, k=k, n_centroids=16, nprobe=4, m=8, n_codes=16, codebook=cb
         ),
     }
     audits = [
