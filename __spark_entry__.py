@@ -94,15 +94,24 @@ _FIRST_50 = [
 ]
 
 
-def _rotated(mapping: dict) -> dict:
+def _rotated(mapping: dict, *, strict: bool) -> dict:
+    # strict (queries): a typo'd/renamed _FIRST_50 entry must fail
+    # LOUDLY — silently skipping it would quietly hand the driver's
+    # correctness window to a different query, exactly the gap the
+    # list exists to close. ORACLE is the non-strict case only because
+    # rows-only queries legitimately have no oracle entry.
+    if strict:
+        missing = [k for k in _FIRST_50 if k not in mapping]
+        if missing:
+            raise KeyError(f"_FIRST_50 names not in the registry: {missing}")
     out = {k: mapping[k] for k in _FIRST_50 if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _rotated(dict(_q.QUERIES))
+    return _rotated(dict(_q.QUERIES), strict=True)
 
 
 def oracle_sql() -> dict[str, str]:
-    return _rotated(dict(_q.ORACLE))
+    return _rotated(dict(_q.ORACLE), strict=False)

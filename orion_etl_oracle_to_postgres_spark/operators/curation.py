@@ -151,8 +151,12 @@ def temperature_mix(
         F.least(
             F.lit(_BUCKETS).cast("long"),
             F.floor(
+                # denominator in DOUBLE: __sw * __n as int64 overflows
+                # past ~1e18 (one 1e12-row group already wraps it); the
+                # double product is correctly rounded from exact integer
+                # inputs, so every engine still computes the same value
                 (F.lit(int(budget_rows)) * float(_BUCKETS) * F.col("__w"))
-                / (F.col("__sw") * F.col("__n"))
+                / (F.col("__sw").cast("double") * F.col("__n"))
             ),
         ).alias("__thr"),
     )

@@ -185,9 +185,16 @@ def profile_join_skew(
             F.col("__n").alias("n_rows"),
             F.round(F.col("__n") / F.col("__total"), 6).alias("share"),
             F.round(
-                F.col("__n") * F.col("__nkeys") / F.col("__total"), 6
+                # double FIRST: n * nkeys as int64 wraps at ~1e9 rows on
+                # a key over ~1e10 distinct keys — exactly the corpus
+                # this report exists for
+                F.col("__n").cast("double") * F.col("__nkeys") / F.col("__total"),
+                6,
             ).alias("skew_x"),
         )
-        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        # NULLS LAST explicitly: Spark's asc default is nulls FIRST,
+        # DuckDB's is nulls LAST — a NULL key tying at the LIMIT
+        # boundary would otherwise diverge from the oracle
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
         .limit(int(top_n))
     )

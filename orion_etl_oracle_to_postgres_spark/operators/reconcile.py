@@ -287,9 +287,16 @@ def referential_integrity(
             "__fk",
             "left_anti",
         )
+        # coalesce: sum over an EMPTY child is NULL, not 0 — an empty
+        # table must report a clean zeros row, not leak NULL into the
+        # audit. (An empty child emits a row here; a grouped SQL replay
+        # emits none — registered oracles only use non-empty tables.)
         agg = keys.agg(
             F.count(F.lit(1)).alias("n_child_rows"),
-            F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_null_fk"),
         )

@@ -618,6 +618,17 @@ def hashed_linear_score(
         F.when(F.size("__tk") > 0, F.expr(score)).alias("qc_score"),
     )
 
+def _hashed_bucket_sql(token_var: str, *, n_features: int, seed: str) -> str:
+    """The ONE source of the hashing-trick bucket assignment (portable
+    md5 → bucket id) — shared by scoring (``_hashed_sigmoid_sql``) and
+    training (``train_hashed_linear``), because a trained model only
+    works if inference buckets tokens byte-identically to training."""
+    return (
+        f"cast(conv(substring(md5(concat({token_var}, ':{seed}')), 1, 15), "
+        f"16, 10) as bigint) % {n_features}"
+    )
+
+
 def _hashed_sigmoid_sql(
     tokens_sql: str,
     *,
@@ -633,10 +644,7 @@ def _hashed_sigmoid_sql(
     drift. ``weights`` (length ``n_features``) inlines a TRAINED model
     as an array literal; None keeps the closed-form stand-in
     ``w_j = ((37 j + 11) mod 97)/97 − 0.5``."""
-    bucket = (
-        f"cast(conv(substring(md5(concat(t, ':{seed}')), 1, 15), 16, 10) "
-        f"as bigint) % {n_features}"
-    )
+    bucket = _hashed_bucket_sql("t", n_features=n_features, seed=seed)
     if weights is None:
         w = f"((cast({bucket} as double) * 37.0 + 11.0) % 97.0) / 97.0 - 0.5"
     else:
@@ -730,10 +738,7 @@ def train_hashed_linear(
         raise ValueError("n_features must be >= 1")
     if steps < 1:
         raise ValueError("steps must be >= 1")
-    bucket = (
-        f"cast(conv(substring(md5(concat(__t, ':{seed}')), 1, 15), 16, 10) "
-        f"as bigint) % {n_features}"
-    )
+    bucket = _hashed_bucket_sql("__t", n_features=n_features, seed=seed)
     feats = (
         df.select(
             F.col(id_col).alias("__id"),

@@ -53,6 +53,50 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+def _cached_layout(
+    *,
+    env_var: str,
+    default_dir: str,
+    sf_dir: str,
+    marker_name: str,
+    params: dict,
+    build,
+) -> str:
+    """Shared validate-or-rebuild logic for per-sf materialized ANN
+    layouts (IVF partitioning, PQ codes). Validity = OUR marker written
+    AFTER the layout fully lands (parquet's _SUCCESS appears before the
+    sidecar writes — a crash in between must not look committed) AND
+    the marker's recorded src_mtime + layout parameters + layout
+    version all match (ADVICE r4 #1: different geometry or changed
+    materialize numerics must not silently reuse a stale shared
+    cache). Returns the cache directory."""
+    import json
+    import os
+    import tempfile
+
+    base = os.environ.get(
+        env_var, os.path.join(tempfile.gettempdir(), default_dir)
+    )
+    cache = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(cache, marker_name)
+    want = dict(params)
+    want["src_mtime"] = os.path.getmtime(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    valid = False
+    if os.path.exists(marker):
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                valid = json.load(fh) == want
+        except (ValueError, OSError):
+            valid = False
+    if not valid:
+        build(cache)
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump(want, fh)
+    return cache
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS)
@@ -1417,38 +1461,17 @@ def emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     join per query. Assignment, probe choice, and tie-breaks are
     identical to the runtime ``similarity.ivf_topk`` and to the DuckDB
     oracle, so the same oracle stays green via the new path."""
-    import json
-    import os
-    import tempfile
-
-    base = os.environ.get(
-        "SPARK_GRAFT_IVF_CACHE",
-        os.path.join(tempfile.gettempdir(), "orion_etl_spark_ivf"),
+    cache = _cached_layout(
+        env_var="SPARK_GRAFT_IVF_CACHE",
+        default_dir="orion_etl_spark_ivf",
+        sf_dir=sf_dir,
+        marker_name="_IVF_OK",
+        params={"n_centroids": 16,
+                "layout_version": similarity.IVF_LAYOUT_VERSION},
+        build=lambda c: similarity.ivf_materialize(
+            _t(spark, sf_dir, "embeddings"), c, n_centroids=16
+        ),
     )
-    cache = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
-    # validity = OUR marker written AFTER the codebook lands (parquet's
-    # _SUCCESS appears before the _centroids write — a crash in between
-    # must not look committed) AND the source dataset is unchanged
-    marker = os.path.join(cache, "_IVF_OK")
-    # marker carries the layout PARAMETERS and a layout version besides
-    # src_mtime — a call with different geometry, or a change to the
-    # materialize numerics, must not silently reuse a stale shared cache
-    params = {"src_mtime": os.path.getmtime(
-        os.path.join(sf_dir, "embeddings.parquet")),
-        "n_centroids": 16, "layout_version": similarity.IVF_LAYOUT_VERSION}
-    valid = False
-    if os.path.exists(marker):
-        try:
-            with open(marker, encoding="utf-8") as fh:
-                valid = json.load(fh) == params
-        except (ValueError, OSError):
-            valid = False
-    if not valid:
-        similarity.ivf_materialize(
-            _t(spark, sf_dir, "embeddings"), cache, n_centroids=16
-        )
-        with open(marker, "w", encoding="utf-8") as fh:
-            json.dump(params, fh)
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     return similarity.ivf_topk_materialized(spark, cache, qv, k=10, nprobe=4)
@@ -5757,36 +5780,17 @@ def emb_pq_adc_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring numerics, tie-breaks, and the oracle are identical to the
     per-query-encode ``emb_pq_adc_topk``, so the same oracle stays
     green via the production layout. Cached per sf like the IVF layout."""
-    import json
-    import os
-    import tempfile
-
-    base = os.environ.get(
-        "SPARK_GRAFT_PQ_CACHE",
-        os.path.join(tempfile.gettempdir(), "orion_etl_spark_pq"),
+    cache = _cached_layout(
+        env_var="SPARK_GRAFT_PQ_CACHE",
+        default_dir="orion_etl_spark_pq",
+        sf_dir=sf_dir,
+        marker_name="_PQ_OK",
+        params={"m": 8, "n_codes": 16,
+                "layout_version": similarity.PQ_LAYOUT_VERSION},
+        build=lambda c: similarity.pq_materialize(
+            _t(spark, sf_dir, "embeddings"), c, m=8, n_codes=16
+        ),
     )
-    cache = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
-    marker = os.path.join(cache, "_PQ_OK")
-    # marker carries the PQ geometry (m, n_codes) and a layout version
-    # besides src_mtime (ADVICE r4 #1) — different geometry or changed
-    # pq_encode numerics must not silently reuse stale codes
-    params = {"src_mtime": os.path.getmtime(
-        os.path.join(sf_dir, "embeddings.parquet")),
-        "m": 8, "n_codes": 16,
-        "layout_version": similarity.PQ_LAYOUT_VERSION}
-    valid = False
-    if os.path.exists(marker):
-        try:
-            with open(marker, encoding="utf-8") as fh:
-                valid = json.load(fh) == params
-        except (ValueError, OSError):
-            valid = False
-    if not valid:
-        similarity.pq_materialize(
-            _t(spark, sf_dir, "embeddings"), cache, m=8, n_codes=16
-        )
-        with open(marker, "w", encoding="utf-8") as fh:
-            json.dump(params, fh)
     e = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)
@@ -6041,7 +6045,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (SELECT g, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS wt FROM c),
     s AS (SELECT sum(wt)::BIGINT AS sw FROM w),
     thr AS (
-      SELECT g, least(1000, CAST(floor((300 * 1000.0 * wt) / (sw * n))
+      SELECT g, least(1000, CAST(floor((300 * 1000.0 * wt) / (sw::DOUBLE * n))
                                  AS BIGINT)) AS t
       FROM w, s
     )
@@ -6182,9 +6186,9 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT sum(n)::BIGINT AS total, count(*) AS nkeys FROM c)
     SELECT c.k AS key, c.n::BIGINT AS n_rows,
            round(c.n / s.total::DOUBLE, 6) AS share,
-           round(c.n * s.nkeys / s.total::DOUBLE, 6) AS skew_x
+           round((c.n::DOUBLE * s.nkeys) / s.total, 6) AS skew_x
     FROM c, s
-    ORDER BY n_rows DESC, key
+    ORDER BY n_rows DESC, key ASC NULLS LAST
     LIMIT 10
     """,
 )

@@ -306,20 +306,33 @@ def main(argv: list[str] | None = None) -> int:
         print(f"deleted: {len(stats['deleted'])} kept: {stats['kept']}")
         return 0
 
-    if args.reconcile:
-        from .compiler import compile_table
-        from .operators.reconcile import diff_summary, snapshot_diff
-
+    def _resolve_full_spec(name: str, verb: str):
+        """Find the named table and strip its incremental stage: both
+        sign-off verbs compare the FULL recomputed pipeline frame
+        against the full target (an incremental frame holds only rows
+        above the committed high-water mark — or a streaming scan —
+        and every loaded row would read as diff)."""
         tspec = next(
             (
                 t for t in job.tables
-                if t.target_table == args.reconcile
-                or t.source_table == args.reconcile
+                if t.target_table == name or t.source_table == name
             ),
             None,
         )
         if tspec is None:
-            raise SystemExit(f"--reconcile: no table {args.reconcile!r} in the job")
+            raise SystemExit(f"{verb}: no table {name!r} in the job")
+        full = (
+            tspec.model_copy(update={"incremental": None})
+            if tspec.incremental is not None
+            else tspec
+        )
+        return tspec, full
+
+    if args.reconcile:
+        from .compiler import compile_table
+        from .operators.reconcile import diff_summary, snapshot_diff
+
+        tspec, full_spec = _resolve_full_spec(args.reconcile, "--reconcile")
         keys = (
             [k.strip() for k in args.keys.split(",") if k.strip()]
             if args.keys
@@ -330,15 +343,6 @@ def main(argv: list[str] | None = None) -> int:
                 "--reconcile needs --keys (or a dedup id_column on the table)"
             )
         ctx = JobContext(spark, job.global_spec)
-        # reconcile compares the FULL recomputed pipeline frame against
-        # the full target: strip the incremental stage (otherwise the
-        # frame holds only rows above the committed high-water mark —
-        # or a streaming scan — and every loaded row reads as diff)
-        full_spec = (
-            tspec.model_copy(update={"incremental": None})
-            if tspec.incremental is not None
-            else tspec
-        )
         expected = compile_table(ctx, full_spec).df
         actual = ctx._read_target(tspec.target_table, tspec.target_schema)
         # compare on the pipeline's output columns only: the target may
@@ -358,34 +362,24 @@ def main(argv: list[str] | None = None) -> int:
         from .compiler import compile_table
         from .operators.reconcile import table_checksum
 
-        tspec = next(
-            (
-                t for t in job.tables
-                if t.target_table == args.checksum
-                or t.source_table == args.checksum
-            ),
-            None,
-        )
-        if tspec is None:
-            raise SystemExit(f"--checksum: no table {args.checksum!r} in the job")
+        tspec, full_spec = _resolve_full_spec(args.checksum, "--checksum")
         ctx = JobContext(spark, job.global_spec)
-        full_spec = (
-            tspec.model_copy(update={"incremental": None})
-            if tspec.incremental is not None
-            else tspec
-        )
         expected = compile_table(ctx, full_spec).df
         actual = ctx._read_target(tspec.target_table, tspec.target_schema)
         # only exactly-stringifiable types participate: float formatting
-        # differs across engines/paths (table_checksum docstring)
+        # differs across engines/paths (table_checksum docstring).
+        # Column intersection is CASE-INSENSITIVE, like Spark's own
+        # resolution — a Derby/Oracle target folds names to uppercase
+        # and would otherwise intersect to nothing
         exact = {
             "string", "int", "bigint", "smallint", "tinyint", "boolean",
             "date",
         }
+        actual_lower = {c.lower() for c in actual.columns}
         cols = sorted(
             c
             for c, t in expected.dtypes
-            if t in exact and c in actual.columns
+            if t in exact and c.lower() in actual_lower
         )
         if not cols:
             raise SystemExit(
@@ -399,12 +393,11 @@ def main(argv: list[str] | None = None) -> int:
             r["bucket"]: (r["n_rows"], r["xor_checksum"], r["sum_checksum"])
             for r in table_checksum(actual, cols).collect()
         }
-        bad = sorted(
-            b for b in set(left) | set(right) if left.get(b) != right.get(b)
-        )
+        seen = set(left) | set(right)
+        bad = sorted(b for b in seen if left.get(b) != right.get(b))
         logger.info(
-            "checksum %s over %s: %d/%d buckets match",
-            tspec.target_table, cols, 16 - len(bad), 16,
+            "checksum %s over %s: %d/%d populated buckets match",
+            tspec.target_table, cols, len(seen) - len(bad), len(seen),
         )
         for b in bad:
             print(f"bucket {b}: pipeline={left.get(b)} target={right.get(b)}")

@@ -69,3 +69,21 @@ def test_order_insensitive_and_unordered_duplicates():
     # duplicate multiplicity matters
     d2 = [(2, 2.5), (1, 1.5), (2, 2.5)]
     assert compare_result(COLS, s, DT, COLS, d2, DS)
+
+
+def test_first_50_window_names_all_registered():
+    """Every driver-window name must exist in the registry (a typo would
+    otherwise silently hand the correctness window to a different
+    query), and the rotated dict must lead with exactly that window."""
+    import __spark_entry__ as e
+    from orion_etl_oracle_to_postgres_spark import queries as q
+
+    assert len(e._FIRST_50) == 50
+    assert len(set(e._FIRST_50)) == 50
+    qs = e.queries()
+    assert list(qs)[:50] == e._FIRST_50
+    assert set(qs) == set(q.QUERIES)
+    import pytest
+
+    with pytest.raises(KeyError, match="not in the registry"):
+        e._rotated({"only": 1}, strict=True)
