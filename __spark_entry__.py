@@ -75,7 +75,6 @@ _FIRST_50 = [
     "emb_knn_join",
     "emb_semantic_dedup",
     "emb_lsh_recall_audit",
-    "emb_centroid_drift",
     "text_bigram_logprob",
     "scd2_customer_balances",
     "skew_salted_cohort_join",
@@ -91,6 +90,7 @@ _FIRST_50 = [
     "curation_temperature_mix",
     "reconcile_table_checksum",
     "dq_referential_integrity",
+    "corpus_curate_v2",
 ]
 
 

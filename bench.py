@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "curation_token_budget",  # per-group token-budget cumulative cutoff
     "emb_pq_recall_audit",  # recall@k certification: exact + ADC + IVF-PQ in one action (~sum of its three benched parts)
     "text_bpe_merges",  # 8 iterated BPE rounds over the checkpointed vocab
+    "corpus_curate_v2",  # composed flagship: span dedup -> trained gate -> temperature mix -> split
 ]
 
 

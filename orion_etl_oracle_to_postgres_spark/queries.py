@@ -6202,3 +6202,118 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return _pjs(o, "o_custkey", top_n=10)
+
+
+def _curate_v2_sql() -> str:
+    """Unrolled replay of the composed modern-pipeline plan: span dedup
+    -> trained-classifier gate on the REWRITTEN text -> temperature mix
+    by language -> hash split."""
+    bucket_tm = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':tmv2')")
+    bucket_sp = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':s2')")
+    score = (
+        """round(1.0 / (1.0 + exp(-("""
+        + repr(_QC_TRAINED_B)
+        + """ + list_sum([ (["""
+        + ", ".join(repr(v) for v in _QC_TRAINED_W)
+        + """])[CAST("""
+        + _hex2int_sql("md5(t || ':qc0')")
+        + """ % 64 AS INT) + 1] FOR t IN ts2 ]) / len(ts2)))), 6)"""
+    )
+    return (
+        """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[i * 3 + 1 : i * 3 + 3], ' ') AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(range(CAST(ceil(len(ts) / 3.0) AS BIGINT))) AS i
+            FROM toks WHERE len(ts) > 0)
+    ),
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rewritten AS (
+      SELECT s.doc_id,
+             coalesce(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END,
+                                 ' ' ORDER BY s.pos), '') AS new_text
+      FROM segs s LEFT JOIN hot h USING (seg)
+      GROUP BY s.doc_id
+    ),
+    scored AS (
+      SELECT r.doc_id, t.lang, """
+        + score
+        + """ AS qc_score
+      FROM (
+        SELECT doc_id, new_text,
+               list_filter(string_split_regex(lower(new_text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts2
+        FROM rewritten
+      ) r JOIN toks t USING (doc_id)
+      WHERE len(ts2) > 0
+    ),
+    kept AS (SELECT * FROM scored WHERE qc_score >= 0.5),
+    c AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
+    w AS (SELECT lang, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS wt FROM c),
+    s AS (SELECT sum(wt)::BIGINT AS sw FROM w),
+    thr AS (
+      SELECT lang, least(1000, CAST(floor((150 * 1000.0 * wt)
+                                          / (sw::DOUBLE * n)) AS BIGINT)) AS t
+      FROM w, s
+    )
+    SELECT k.doc_id, k.lang, k.qc_score,
+           CASE WHEN """
+        + bucket_sp
+        + """ % 1000 < 900 THEN 'train'
+                WHEN """
+        + bucket_sp
+        + """ % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept k JOIN thr ON thr.lang = k.lang
+    WHERE """
+        + bucket_tm
+        + """ % 1000 < thr.t
+    """
+    )
+
+
+@query("corpus_curate_v2", _curate_v2_sql())
+def corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The modern LLM-corpus pipeline composed as ONE plan, built
+    entirely from this round's operators: cross-document repeated-span
+    removal (operators/dedup.py:repeated_span_dedup) -> hashing-trick
+    quality gate with TRAINED weights on the REWRITTEN text
+    (text.hashed_linear_score(weights=...)) -> temperature mixing by
+    language over the kept rows (curation.temperature_mix) -> hash
+    split (curation.hash_split). Returns (doc_id, lang, qc_score,
+    split). Shuffle budget: the span hot-set aggregate + reassembly,
+    two id-joins, the tiny mixing aggregates (broadcast), and the
+    zero-shuffle gate/split projections — at 100 TB every corpus-wide
+    exchange carries ids/hashes or is the one unavoidable rewrite.
+    The oracle replays all four stages unrolled."""
+    from .operators.curation import hash_split, temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    rewritten = dedup.repeated_span_dedup(
+        d, "text", "doc_id", span_tokens=3, min_docs=2
+    ).select("doc_id", "new_text")
+    scored = text.hashed_linear_score(
+        rewritten, "new_text", "doc_id",
+        weights=_QC_TRAINED_W, bias=_QC_TRAINED_B,
+    ).select("doc_id", "qc_score")
+    kept = (
+        rewritten.join(scored, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("qc_score") >= 0.5)
+        .select("doc_id", "lang", "qc_score")
+    )
+    mixed = temperature_mix(
+        kept, "doc_id", "lang", budget_rows=150, alpha=0.5, seed="tmv2"
+    )
+    return hash_split(mixed, "doc_id", seed="s2").select(
+        "doc_id", "lang", "qc_score", "split"
+    )
