@@ -1038,11 +1038,24 @@ def run_table(
                 max=e.max,
                 max_null_frac=e.max_null_frac,
                 values=tuple(e.values),
+                ref_table=e.ref_table,
+                ref_column=e.ref_column,
             )
             for e in spec.expectations
         ]
         if not ctx.explain_only:
-            enforce(compiled.df, checks)
+            from .spec import LookupSpec as _LkSpec
+
+            enforce(
+                compiled.df,
+                checks,
+                # fk refs resolve target-first with the job's shared
+                # lookup cache — the parent dimension lives on the
+                # target side, like lookups
+                resolve_ref=lambda t: ctx.lookup_table(
+                    _LkSpec(table=t, key_column="_")
+                ),
+            )
 
     if spec.scd2 is not None:
         merged = _write_scd2(ctx, spec, compiled.df)

@@ -31,12 +31,14 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Expect:
-    type: str  # row_count | not_null | unique | accepted_values | bounds
+    type: str  # row_count | not_null | unique | accepted_values | bounds | fk
     columns: tuple = ()
     min: Optional[float] = None
     max: Optional[float] = None
     max_null_frac: float = 0.0
     values: tuple = ()
+    ref_table: Optional[str] = None
+    ref_column: Optional[str] = None
 
     @property
     def label(self) -> str:
@@ -62,13 +64,30 @@ def _validate_check(c: Expect) -> None:
         raise ValueError(
             f"expectation {c.label!r}: row_count takes no columns"
         )
+    if c.type == "fk":
+        if len(c.columns) != 1 or not c.ref_table or not c.ref_column:
+            raise ValueError(
+                f"expectation {c.label!r}: fk takes exactly one column "
+                "plus ref_table and ref_column"
+            )
 
 
-def run_expectations(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
+def run_expectations(
+    df: DataFrame,
+    checks: Sequence[Expect],
+    *,
+    resolve_ref=None,
+) -> DataFrame:
     """→ ``(check, column, observed, threshold, passed)``, one row per
-    expectation, deterministic order (the input order)."""
+    expectation, deterministic order (the input order). ``resolve_ref``
+    (table name → DataFrame) is required when any check is ``fk`` — the
+    compiler passes its target-first lookup resolution."""
     for c in checks:
         _validate_check(c)
+        if c.type == "fk" and resolve_ref is None:
+            raise ValueError(
+                f"expectation {c.label!r}: fk checks need resolve_ref"
+            )
     spark = df.sparkSession
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(checks):
@@ -91,7 +110,7 @@ def run_expectations(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
             if hi is not None:
                 viol = viol | (F.col(col) > hi)
             aggs.append(F.sum(F.when(viol, 1).otherwise(0)).alias(f"__e{i}"))
-        elif c.type in ("row_count", "unique"):
+        elif c.type in ("row_count", "unique", "fk"):
             pass
         else:
             raise ValueError(f"unknown expectation type {c.type!r}")
@@ -116,6 +135,28 @@ def run_expectations(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
         elif c.type == "bounds":
             bad = wide[f"__e{i}"] or 0
             rows.append((c.label, col, float(bad), f"[{c.min},{c.max}]", bad == 0))
+        elif c.type == "fk":
+            # referential integrity with the unique-check's early-exit
+            # shape: the anti-join probe stops at the FIRST orphan
+            # (operators/reconcile.referential_integrity reports full
+            # counts when you need the audit, this is the gate)
+            (col,) = c.columns
+            ref = (
+                resolve_ref(c.ref_table)
+                .select(F.col(c.ref_column).alias(col))
+                .distinct()
+            )
+            orphan = (
+                df.select(col)
+                .filter(F.col(col).isNotNull())
+                .join(ref, col, "left_anti")
+                .limit(1)
+                .count()
+            )
+            rows.append(
+                (c.label, col, float(orphan),
+                 f"all in {c.ref_table}.{c.ref_column}", orphan == 0)
+            )
         elif c.type == "unique":
             # one grouped aggregate with an early-exit limit: the probe
             # stops at the FIRST duplicate key, it never counts them all
@@ -132,10 +173,12 @@ def run_expectations(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
     )
 
 
-def enforce(df: DataFrame, checks: Sequence[Expect]) -> DataFrame:
+def enforce(
+    df: DataFrame, checks: Sequence[Expect], *, resolve_ref=None
+) -> DataFrame:
     """Raise ``ValueError`` listing every failed expectation; return the
     report frame when all pass — the gate between load and publish."""
-    report = run_expectations(df, checks)
+    report = run_expectations(df, checks, resolve_ref=resolve_ref)
     failed = [r for r in report.collect() if not r["passed"]]
     if failed:
         lines = "; ".join(

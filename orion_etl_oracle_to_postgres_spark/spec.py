@@ -348,20 +348,39 @@ class ExpectSpec(BaseModel):
     check aborts the table load (no partial publish), unlike per-row
     validation rules which rewrite or drop individual rows."""
 
-    type: str  # row_count | not_null | unique | accepted_values | bounds
+    type: str  # row_count | not_null | unique | accepted_values | bounds | fk
     columns: List[str] = Field(default_factory=list)
     min: Optional[float] = None
     max: Optional[float] = None
     max_null_frac: float = 0.0
     values: List[str] = Field(default_factory=list)
+    #: fk only: the parent table/column the column must resolve against
+    #: (resolved target-first like lookups — the dimension lives on the
+    #: target side)
+    ref_table: Optional[str] = None
+    ref_column: Optional[str] = None
 
     @field_validator("type")
     @classmethod
     def _known_type(cls, v: str) -> str:
-        allowed = ("row_count", "not_null", "unique", "accepted_values", "bounds")
+        allowed = (
+            "row_count", "not_null", "unique", "accepted_values", "bounds",
+            "fk",
+        )
         if v not in allowed:
             raise ValueError(f"expectation type must be one of {allowed}, got {v!r}")
         return v
+
+    @model_validator(mode="after")
+    def _fk_requirements(self) -> "ExpectSpec":
+        if self.type == "fk" and (
+            len(self.columns) != 1 or not self.ref_table or not self.ref_column
+        ):
+            raise ValueError(
+                "expectation type=fk needs exactly one column plus "
+                "ref_table and ref_column"
+            )
+        return self
 
 
 class Scd2Spec(BaseModel):

@@ -120,3 +120,83 @@ def test_arity_validation_names_the_check(spark):
         run_expectations(d, [Expect(type="unique")])
     with pytest.raises(ValueError, match="takes no columns"):
         run_expectations(d, [Expect(type="row_count", columns=("id",))])
+
+
+def test_fk_expectation_passes_and_fails(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+        Expect,
+        enforce,
+        run_expectations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    refs = {"parent": parent}
+    checks = [Expect(type="fk", columns=("fk",), ref_table="parent", ref_column="pk")]
+    rep = run_expectations(child, checks, resolve_ref=refs.__getitem__).collect()
+    assert rep[0]["passed"] and rep[0]["observed"] == 0.0  # NULL fk ok
+    # orphan -> gate raises with the check named
+    bad = spark.createDataFrame([(1, 99)], "id long, fk long")
+    import pytest
+
+    with pytest.raises(ValueError, match="fk:fk"):
+        enforce(bad, checks, resolve_ref=refs.__getitem__)
+    # arity/requirements validated loudly
+    with pytest.raises(ValueError, match="fk"):
+        run_expectations(child, [Expect(type="fk", columns=("fk",))])
+    with pytest.raises(ValueError, match="resolve_ref"):
+        run_expectations(child, checks)
+
+
+def test_fk_expectation_through_compiler(spark, tmp_path):
+    import pytest
+    from pydantic import ValidationError
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table, run_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        ExpectSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long").write.parquet(
+        str(src / "child.parquet")
+    )
+    spark.createDataFrame([(10,), (20,)], "pk long").write.parquet(
+        str(src / "parent.parquet")
+    )
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src)),
+                target_files=FilesConnectorSpec(base_path=str(out)),
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="child",
+        target_table="child_out",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="fk", target="fk"),
+        ],
+        expectations=[
+            ExpectSpec(
+                type="fk", columns=["fk"], ref_table="parent", ref_column="pk"
+            )
+        ],
+    )
+    # fk=99 has no parent -> the gate aborts BEFORE the write
+    with pytest.raises(ValueError, match="expectations failed"):
+        run_table(ctx, spec)
+    assert not (out / "child_out").exists()
+    with pytest.raises(ValidationError, match="fk"):
+        ExpectSpec(type="fk", columns=["fk"])
