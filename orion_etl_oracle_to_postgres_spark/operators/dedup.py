@@ -830,3 +830,47 @@ def minhash_join(
         .distinct()
     )
     return _verify_jaccard(candidates, flat_l, threshold, flat_j=flat_r)
+
+
+def canonical_pick(
+    docs: DataFrame,
+    clusters: DataFrame,
+    order_by: list[Column],
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Survivor selection over near-dup clusters: keep exactly one
+    document per cluster — the best by ``order_by`` (e.g. longest,
+    highest quality score; append the id for a deterministic tiebreak)
+    — and pass every unclustered document through untouched. This is
+    the step the reference-free dedup pipeline ends with: ``pairs``
+    (minhash_near_dups) → ``clusters`` (near_dup_clusters) → ONE
+    surviving row per duplicate group, by POLICY rather than by the
+    min-id accident the cluster label encodes.
+
+    Scale shape: the cluster map covers only edge-touched documents
+    (typically ≪ corpus), so the ranking window runs over that small
+    inner-join subset alone — partitioned by cluster id, whose groups
+    are duplicate-cluster-sized (bounded, no mega-partition risk). The
+    untouched majority exits via a left anti join against the ids-only
+    cluster map, which broadcasts when it fits. The full corpus is
+    never window-sorted and text columns never enter a shuffle beyond
+    the survivor subset's one exchange.
+    """
+    from pyspark.sql import Window
+
+    cmap = clusters.select(
+        F.col(id_col).alias("__cid"), F.col(cluster_col).alias("__grp")
+    )
+    in_cluster = docs.join(cmap, docs[id_col] == cmap["__cid"]).drop("__cid")
+    w = Window.partitionBy("__grp").orderBy(*order_by)
+    survivors = (
+        in_cluster.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__grp")
+    )
+    passthrough = docs.join(
+        cmap.select("__cid"), docs[id_col] == cmap["__cid"], "left_anti"
+    )
+    return passthrough.unionByName(survivors)

@@ -6317,3 +6317,253 @@ def corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(mixed, "doc_id", seed="s2").select(
         "doc_id", "lang", "qc_score", "split"
     )
+
+
+# =====================================================================
+# Round-5 continuation: canonical dedup survivor + TPC-H Q3/Q4/Q10/Q18
+# plan shapes (adapted to the testdata star schema: no o_shippriority /
+# l_commitdate / partsupp — the missing columns are substituted with
+# o_orderpriority and a shipdate-vs-orderdate lateness predicate, the
+# plan SHAPES are the point).
+# =====================================================================
+
+
+@query(
+    "dedup_canonical_corpus",
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             row_number() OVER (
+               PARTITION BY coalesce(c.cluster_id, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ) WHERE rk = 1
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] End-to-end dedup with POLICY survivor selection
+    (operators/dedup.py:canonical_pick): MinHash pairs -> connected
+    components -> keep the LONGEST document per duplicate cluster
+    (doc_id tiebreak), pass unclustered docs through. Completes the
+    dedup story past the min-id survivor the cluster label encodes:
+    real pipelines keep the best copy, not the smallest id. The
+    ranking window touches only the edge-connected subset; the corpus
+    majority exits via an anti join against the broadcastable ids-only
+    cluster map. Oracle replays clustering via recursive CTE and the
+    same pick with one QUALIFY-style window."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+    clusters = dedup.near_dup_clusters(pairs)
+    return dedup.canonical_pick(
+        d.select("doc_id", "lang", "n_chars"),
+        clusters,
+        [F.col("n_chars").desc(), F.col("doc_id")],
+    )
+
+
+@query(
+    "agg_shipping_priority_top10",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def agg_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders taken before the
+    cutoff but still unshipped after it, for one market segment
+    (o_orderpriority stands in for the schema's missing
+    o_shippriority). Both date predicates and the segment filter reach
+    their scans (PushedFilters); the two joins shuffle on custkey then
+    orderkey; the groupBy reuses the orderkey partitioning from the
+    second join (no extra exchange); revenue is ROUNDED BEFORE RANKING
+    so the top-10 cutoff never depends on float summation order; the
+    final top-10 is TakeOrderedAndProject — no global sort at scale."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "agg_late_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def agg_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of one quarter's orders with
+    at least one LATE line (shipped > 90 days after the order date —
+    the schema's stand-in for l_commitdate < l_receiptdate), i.e. an
+    EXISTS realized as a LEFT SEMI join with the correlated date
+    predicate in the join condition. Semi joins never duplicate or
+    carry right-side columns, so the shuffle moves (orderkey, shipdate)
+    pairs only; the quarter filter prunes the orders scan first and the
+    final aggregate is a 5-row map-side combine."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_returned_revenue_top20",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name, round(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def agg_returned_revenue_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in one half-year — fact-to-fact join shuffling on custkey then
+    orderkey, the 25-row nation dim BROADCAST, the returnflag + date
+    filters pushed to both scans. Revenue is rounded before ranking
+    (cutoff independent of summation order) and the top-20 runs as
+    TakeOrderedAndProject, never a full sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue", "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_large_volume_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def agg_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: every order whose total quantity exceeds 300,
+    with its customer — the classic IN-subquery-on-an-aggregate
+    decorrelated to a lineitem self-aggregate LEFT SEMI joined back on
+    l_orderkey. The having-aggregate and the semi join share the
+    orderkey partitioning (one shuffle round covers both), the
+    surviving fact slice is tiny so the customer join broadcasts the
+    filtered orders side under AQE, and the final per-order aggregate
+    reuses the orderkey clustering. Result is the FULL qualifying set
+    (small by construction) — no float-cutoff ambiguity."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

@@ -388,3 +388,46 @@ def test_strided_span_dedup_stride_equals_span_single_agg_plan(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[0]["n_windows"] == 2 and rows[0]["new_text"] == ""
     assert rows[0]["n_tokens_removed"] == 6
+
+
+def test_canonical_pick_policy_and_passthrough(spark):
+    """canonical_pick keeps the best row per cluster by the caller's
+    policy and passes unclustered rows through untouched."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import canonical_pick
+
+    docs = spark.createDataFrame(
+        [(1, "aa", 10), (2, "bb", 30), (3, "cc", 30), (4, "dd", 5), (9, "zz", 1)],
+        "doc_id int, text string, n_chars int",
+    )
+    # one cluster {1,2,3} labeled by min id 1; docs 4 and 9 unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id int, cluster_id int"
+    )
+    out = canonical_pick(
+        docs, clusters, [F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # longest wins; n_chars tie (2 vs 3) broken by smaller doc_id
+    assert set(rows) == {2, 4, 9}
+    assert rows[2].n_chars == 30
+    # schema is the docs schema, no cluster columns leak
+    assert out.columns == docs.columns
+
+
+def test_canonical_pick_window_only_over_clustered_subset(spark):
+    """The ranking window must run on the cluster-joined subset, not the
+    full corpus: the plan's Window operator sits above an inner join,
+    and the passthrough side is an anti join (broadcastable)."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import canonical_pick
+
+    docs = spark.createDataFrame(
+        [(i, "t", i) for i in range(20)], "doc_id int, text string, n_chars int"
+    )
+    clusters = spark.createDataFrame([(0, 0), (1, 0)], "doc_id int, cluster_id int")
+    out = canonical_pick(docs, clusters, [F.col("n_chars").desc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "LeftAnti" in plan
+    # the union glues the two sides; window must not be global-over-docs:
+    # it partitions by the cluster label
+    assert "__grp" in plan

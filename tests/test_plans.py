@@ -436,3 +436,37 @@ def test_er_block_cap_is_computed_before_candidates(spark, sf):
     behavioral side is pinned in test_er.py."""
     plan = plan_of(q.QUERIES["er_resolve_parts"](spark, sf))
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_top10_is_take_ordered_after_rounded_rank(spark, sf):
+    """Q3 shape: the LIMIT 10 over rounded revenue must run as
+    TakeOrderedAndProject (k-row per partition, k-row to driver), never
+    a global Sort + CollectLimit."""
+    plan = plan_of(q.QUERIES["agg_shipping_priority_top10"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan  # date + segment predicates reach scans
+
+
+def test_q4_lateness_exists_is_left_semi(spark, sf):
+    """Q4 shape: EXISTS compiles to a LeftSemi join (no row duplication,
+    no right-side columns in the shuffle)."""
+    plan = plan_of(q.QUERIES["agg_late_order_priority"](spark, sf))
+    assert "LeftSemi" in plan
+
+
+def test_q10_nation_dim_is_broadcast(spark, sf):
+    """Q10 shape: the 25-row nation dim joins by broadcast, and the
+    top-20 is TakeOrderedAndProject."""
+    plan = plan_of(q.QUERIES["agg_returned_revenue_top20"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_having_semi_join_shares_orderkey_partitioning(spark, sf):
+    """Q18 shape: the >300-qty HAVING subquery semi-joins back to orders;
+    the aggregate and the join both key on the order key so one shuffle
+    round serves both (no second Exchange between them), and no
+    cartesian product appears."""
+    plan = plan_of(q.QUERIES["agg_large_volume_orders"](spark, sf))
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
