@@ -573,3 +573,109 @@ def token_budget_sample(
         .filter(F.col("__before") < budget_tokens)
         .drop("__ord", "__before")
     )
+
+
+def epoch_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    seed: str = "ep0",
+    max_epochs: float = 100.0,
+) -> DataFrame:
+    """Epoch-based corpus mixing (the LLaMA/Pile recipe TABLE, stated
+    directly): each source group is consumed ``epochs[g]`` times per
+    training pass — >1 repeats the whole group with fractional
+    remainder sampled, <1 subsamples, 0 drops. ``temperature_mix``
+    DERIVES rates from corpus stats; this operator takes the published
+    per-source epoch counts as-is and materializes the repeated corpus
+    with an ``epoch`` column (0-based copy index) so downstream
+    shuffling/sharding treats every copy as a distinct row.
+
+    Determinism: the fractional-remainder keep decision is the same
+    portable ``md5_60(id || ':' || seed) % 1000 < thr`` filter as
+    ``weighted_sample``; thresholds are integerized per-mille IN PYTHON
+    (``round(frac * 1000)``), so the plan carries only integer literals
+    and any engine reproduces the row set bit-exactly. A row's copies
+    are epochs 0..k-1 — append ``epoch`` to the id downstream for a
+    unique key.
+
+    100 TB shape: ZERO shuffles — a literal CASE over the (few) group
+    names, an in-row ``sequence`` explode bounded by ``max_epochs``
+    (guard raises on typo'd budgets before a 1000× blow-up can reach
+    the cluster), and the hash filter. The corpus is read once and
+    never exchanged; output size is exactly the epoch-weighted sum.
+    """
+    if not epochs:
+        raise ValueError("epochs mapping must be non-empty")
+    plan: dict[str, tuple[int, int]] = {}
+    for g, e in {**epochs, None: default_epochs}.items():
+        if not 0.0 <= float(e) <= max_epochs:
+            raise ValueError(
+                f"epochs for group {g!r} must be in [0, {max_epochs}], got {e}"
+            )
+        full = int(e)
+        plan[g] = (full, int(round((float(e) - full) * _BUCKETS)))
+
+    def _case(idx: int):
+        expr = F.lit(plan[None][idx])
+        for g, t in plan.items():
+            if g is not None:
+                expr = F.when(F.col(group_col) == g, F.lit(t[idx])).otherwise(expr)
+        return expr
+
+    h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    n_copies = _case(0) + F.when(h % _BUCKETS < _case(1), 1).otherwise(0)
+    return (
+        df.withColumn("__nc", n_copies)
+        .filter(F.col("__nc") >= 1)  # sequence(0, -1) would step DOWN
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .drop("__nc")
+    )
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    *,
+    fraction: float,
+) -> DataFrame:
+    """Per-group ADAPTIVE quality threshold: keep the top ``fraction``
+    of each group by ``score_col`` (id tiebreak) — "best 30% of every
+    source", the gate that a single global cutoff gets wrong when
+    sources have different score distributions (a global bar floods the
+    mix with the easy source and empties the hard one).
+
+    Rank-exact rather than quantile-interpolated: quota =
+    ``ceil(n_g * fraction)`` computed in INTEGER per-mille arithmetic
+    (``(n*f_pm + 999) div 1000``), so no float threshold ever meets a
+    float score at the boundary and every engine keeps the identical
+    row set — the oracle-parity trap a `score >= quantile(...)` filter
+    can't avoid.
+
+    Scale shape: ONE shuffle — the corpus exchanges on the group key
+    and each partition sorts once; ``row_number`` and the group count
+    share that single window frame. Group skew (one giant source) is
+    real here and is the documented cost of exact ranking; the escape
+    hatch at extreme skew is an approx-quantile pre-filter at a safety
+    margin, then this exact gate over the survivors.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    from pyspark.sql import Window
+
+    f_pm = int(round(fraction * _BUCKETS))
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(wo))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        # rn <= ceil(n*f_pm/1000) in pure int64 arithmetic (no division):
+        # rn*1000 <= n*f_pm + 999 — no float quota, no engine drift
+        .filter(F.col("__rn") * _BUCKETS <= F.col("__n") * f_pm + (_BUCKETS - 1))
+        .drop("__rn", "__n")
+    )

@@ -6567,3 +6567,114 @@ def agg_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@query(
+    "curation_epoch_mix",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':ep1')")
+    + """ % 1000 AS b
+      FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1 WHEN 'de' THEN 0
+                       ELSE 1 END
+             + CASE WHEN b < (CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 0
+                                        WHEN 'de' THEN 400 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS n
+      FROM h
+    )
+    SELECT doc_id, lang, CAST(unnest(range(n)) AS INTEGER) AS epoch
+    FROM nc WHERE n >= 1
+    """,
+)
+def curation_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Epoch-based corpus mixing
+    (operators/curation.py:epoch_mix): the LLaMA-style per-source epoch
+    table applied directly — en×2.5 (full corpus twice + a
+    deterministic half), fr×1, de×0.4 (subsample), everything else ×1 —
+    each copy tagged with its epoch index. Zero-shuffle: literal CASE +
+    in-row sequence explode + portable-hash remainder filter. Oracle
+    replays the integerized thresholds and range-unnest."""
+    from .operators import curation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.epoch_mix(
+        d, "doc_id", "lang",
+        epochs={"en": 2.5, "fr": 1.0, "de": 0.4},
+        default_epochs=1.0,
+        seed="ep1",
+    )
+
+
+@query(
+    "curation_top_fraction",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ) WHERE rn * 1000 <= n * 300 + 999
+    """,
+)
+def curation_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group adaptive quality gate
+    (operators/curation.py:keep_top_fraction): keep the best 30% of
+    EVERY language by length score — rank-exact with an integer
+    per-mille quota (rn*1000 <= n*300+999 ⟺ rn <= ceil(0.3 n)), so no
+    float threshold can flip a boundary row between engines. One
+    group-keyed window shuffle serves both the rank and the count."""
+    from .operators import curation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return curation.keep_top_fraction(
+        d, "doc_id", "lang", "n_chars", fraction=0.3
+    )
+
+
+@query(
+    "events_ab_welch",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             CASE WHEN """
+    + _hex2int_sql("md5(CAST(user_id AS VARCHAR) || ':ab1')")
+    + """ % 1000 < 500 THEN 1 ELSE 0 END AS variant,
+             sum(value) AS m
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) FILTER (variant = 0)::BIGINT AS n0,
+             count(*) FILTER (variant = 1)::BIGINT AS n1,
+             avg(m) FILTER (variant = 0) AS m0,
+             avg(m) FILTER (variant = 1) AS m1,
+             var_samp(m) FILTER (variant = 0) AS v0,
+             var_samp(m) FILTER (variant = 1) AS v1
+      FROM pu
+    )
+    SELECT n0 AS n_0, n1 AS n_1,
+           round(m0, 6) AS mean_0, round(m1, 6) AS mean_1,
+           round(v0, 6) AS var_0, round(v1, 6) AS var_1,
+           round((m1 - m0) / sqrt(v0/n0 + v1/n1), 6) AS t_stat,
+           round(pow(v0/n0 + v1/n1, 2)
+                 / (pow(v0/n0, 2)/(n0-1) + pow(v1/n1, 2)/(n1-1)), 2) AS dof
+    FROM s
+    """,
+)
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] A/B readout (operators/experiment.py:ab_welch_ttest):
+    deterministic hash assignment of users to arms, per-user purchase
+    revenue rollup, Welch t + Satterthwaite dof in one conditional
+    aggregate — a single row out of the whole stream, one unit-keyed
+    shuffle total. Oracle replays assignment, rollup and the formula."""
+    from .operators.experiment import ab_welch_ttest
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ab_welch_ttest(e, "user_id", "value", salt="ab1")

@@ -813,3 +813,138 @@ def test_declarative_temperature_sample(spark, tmp_path):
             method="temperature", id_column="id", group_column="grp",
             budget_rows=10, alpha=2.0,
         )
+
+
+# --- epoch_mix / keep_top_fraction / experiment ------------------------
+
+
+def test_epoch_mix_integer_epochs_exact_copies(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import epoch_mix
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(10)],
+        "doc_id int, lang string",
+    )
+    out = epoch_mix(df, "doc_id", "lang", epochs={"a": 3.0, "b": 0.0}).collect()
+    # a: exactly 3 copies of each row, epochs 0..2; b: dropped entirely
+    assert len(out) == 30
+    assert all(r.lang == "a" for r in out)
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == [0, 1, 2] for v in per.values())
+
+
+def test_epoch_mix_fractional_epoch_is_deterministic_subset(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import epoch_mix
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(200)], "doc_id int, lang string"
+    )
+    out1 = {(r.doc_id, r.epoch) for r in
+            epoch_mix(df, "doc_id", "lang", epochs={"a": 1.5}).collect()}
+    out2 = {(r.doc_id, r.epoch) for r in
+            epoch_mix(df, "doc_id", "lang", epochs={"a": 1.5}).collect()}
+    assert out1 == out2
+    # every row appears at epoch 0; roughly half get epoch 1
+    assert all((i, 0) in out1 for i in range(200))
+    extra = sum(1 for (_, e) in out1 if e == 1)
+    assert 60 <= extra <= 140
+
+
+def test_epoch_mix_guards(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import epoch_mix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, lang string")
+    with pytest.raises(ValueError, match="non-empty"):
+        epoch_mix(df, "doc_id", "lang", epochs={})
+    with pytest.raises(ValueError, match="must be in"):
+        epoch_mix(df, "doc_id", "lang", epochs={"a": 101.0})
+    with pytest.raises(ValueError, match="must be in"):
+        epoch_mix(df, "doc_id", "lang", epochs={"a": -0.5})
+
+
+def test_epoch_mix_is_zero_shuffle(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import epoch_mix
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("lang")
+    )
+    plan = (
+        epoch_mix(df, "doc_id", "lang", epochs={"a": 2.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_keep_top_fraction_exact_quota_and_tiebreak(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        keep_top_fraction,
+    )
+
+    # group a: 5 rows scores 5,4,3,2,2 -> ceil(0.4*5)=2 keeps scores 5,4
+    # group b: 3 equal scores -> ceil(0.4*3)=2 keeps the two SMALLEST ids
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 4), (3, "a", 3), (4, "a", 2), (5, "a", 2),
+         (11, "b", 7), (12, "b", 7), (13, "b", 7)],
+        "doc_id int, grp string, score int",
+    )
+    kept = {r.doc_id for r in
+            keep_top_fraction(df, "doc_id", "grp", "score", fraction=0.4).collect()}
+    assert kept == {1, 2, 11, 12}
+    # fraction=1 keeps everything; fraction=0 keeps nothing
+    assert keep_top_fraction(df, "doc_id", "grp", "score", fraction=1.0).count() == 8
+    assert keep_top_fraction(df, "doc_id", "grp", "score", fraction=0.0).count() == 0
+    with pytest.raises(ValueError, match="fraction"):
+        keep_top_fraction(df, "doc_id", "grp", "score", fraction=1.2)
+
+
+def test_ab_assign_unit_consistent_and_deterministic(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.experiment import ab_assign
+
+    df = spark.createDataFrame(
+        [(u, i) for u in range(50) for i in range(3)], "user_id int, x int"
+    )
+    out = ab_assign(df, "user_id", salt="s1").collect()
+    arms = {}
+    for r in out:
+        arms.setdefault(r.user_id, set()).add(r.variant)
+    # every unit in exactly one arm, same on re-run
+    assert all(len(v) == 1 for v in arms.values())
+    again = {r.user_id: r.variant
+             for r in ab_assign(df, "user_id", salt="s1").collect()}
+    assert all(again[u] == next(iter(v)) for u, v in arms.items())
+    # a different salt re-deals at least one unit (50 units, p~2^-50)
+    other = {r.user_id: r.variant
+             for r in ab_assign(df, "user_id", salt="s2").collect()}
+    assert any(other[u] != again[u] for u in again)
+    with pytest.raises(ValueError, match="treat_per_mille"):
+        ab_assign(df, "user_id", salt="s", treat_per_mille=1001)
+
+
+def test_ab_welch_matches_closed_form(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.experiment import (
+        ab_assign,
+        ab_welch_ttest,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [(u, float(u % 7) + 1.0) for u in range(100)], "user_id int, value double"
+    )
+    row = ab_welch_ttest(df, "user_id", "value", salt="w1").collect()[0]
+    # recompute from the same assignment driver-side
+    arms = {r.user_id: r.variant
+            for r in ab_assign(df, "user_id", salt="w1").collect()}
+    m = {0: [], 1: []}
+    for u in range(100):
+        m[arms[u]].append(float(u % 7) + 1.0)
+    n0, n1 = len(m[0]), len(m[1])
+    m0, m1 = sum(m[0]) / n0, sum(m[1]) / n1
+    v0 = sum((x - m0) ** 2 for x in m[0]) / (n0 - 1)
+    v1 = sum((x - m1) ** 2 for x in m[1]) / (n1 - 1)
+    assert (row.n_0, row.n_1) == (n0, n1)
+    assert abs(row.t_stat - (m1 - m0) / math.sqrt(v0 / n0 + v1 / n1)) < 1e-5
+    se = v0 / n0 + v1 / n1
+    dof = se * se / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    assert abs(row.dof - dof) < 0.05
