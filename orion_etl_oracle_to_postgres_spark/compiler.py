@@ -735,7 +735,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     if spec.sample is not None:
         smp = spec.sample
         needed = [smp.id_column] + (
-            [smp.group_column] if smp.method in ("rates", "temperature")
+            [smp.group_column] if smp.method in ("rates", "temperature", "epochs")
             else [smp.weight_column] if smp.method == "priority"
             else [smp.group_column, smp.text_column]
             if smp.method == "token_budget"
@@ -777,6 +777,23 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 smp.id_column,
                 smp.group_column,
                 int(smp.budget_tokens),
+                seed=smp.seed,
+            )
+        elif smp.method == "epochs":
+            from .operators.curation import epoch_mix
+
+            if "epoch" in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: epochs sampling adds an 'epoch' "
+                    "column but the pipeline already has one — rename it "
+                    "or use a rates sample"
+                )
+            df = epoch_mix(
+                df,
+                smp.id_column,
+                smp.group_column,
+                epochs={k: float(v) for k, v in smp.epochs.items()},
+                default_epochs=float(smp.default_epochs),
                 seed=smp.seed,
             )
         elif smp.method == "temperature":

@@ -6678,3 +6678,53 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return ab_welch_ttest(e, "user_id", "value", salt="ab1")
+
+
+@query(
+    "etl_epoch_mix",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':epd')")
+    + """ % 1000 AS b
+      FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 3 ELSE 0 END
+             + CASE WHEN b < (CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 200
+                                        ELSE 500 END)
+                    THEN 1 ELSE 0 END AS n
+      FROM h
+    )
+    SELECT doc_id, lang, CAST(unnest(range(n)) AS INTEGER) AS epoch
+    FROM nc WHERE n >= 1
+    """,
+)
+def etl_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative epoch mixing (`sample.method:
+    epochs`): the YAML user states the published per-source epoch table
+    (zh×3.2 up-sampled, en×1, everything else ×0.5) and the compiler
+    emits the zero-shuffle epoch_mix projection with the `epoch`
+    copy-index column. Oracle replays the integerized thresholds and
+    the range-unnest."""
+    from .spec import SampleSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_epochs",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+        ],
+        sample=SampleSpec(
+            method="epochs",
+            id_column="doc_id",
+            group_column="lang",
+            epochs={"en": 1.0, "zh": 3.2},
+            default_epochs=0.5,
+            seed="epd",
+        ),
+    )
+    return _compile(spark, sf_dir, spec)

@@ -273,9 +273,14 @@ class SampleSpec(BaseModel):
     (n^alpha temperature mixing scaled to an expected ``budget_rows``
     total, ``curation.temperature_mix``; needs ``group_column`` +
     ``budget_rows``; ``alpha`` defaults to 0.5, the bit-exact sqrt
-    path)."""
+    path).
+    ``method: epochs`` — the published per-source epoch table applied
+    directly (>1 repeats the group with an ``epoch`` copy-index column,
+    <1 subsamples, 0 drops; ``curation.epoch_mix``; needs
+    ``group_column`` + ``epochs``; unlisted groups get
+    ``default_epochs``)."""
 
-    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature
+    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs
     id_column: str
     group_column: Optional[str] = None
     rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
@@ -286,15 +291,20 @@ class SampleSpec(BaseModel):
     budget_tokens: Optional[int] = None
     budget_rows: Optional[int] = None
     alpha: float = Field(default=0.5, ge=0.0, le=1.0)
+    epochs: Optional[dict] = None  # group value -> epochs in [0, 100]
+    default_epochs: float = 1.0
     seed: str = "mix0"
 
     @field_validator("method")
     @classmethod
     def _known_sample_method(cls, v: str) -> str:
-        if v not in ("rates", "exact_n", "priority", "token_budget", "temperature"):
+        if v not in (
+            "rates", "exact_n", "priority", "token_budget", "temperature",
+            "epochs",
+        ):
             raise ValueError(
                 "sample method must be rates|exact_n|priority|token_budget|"
-                f"temperature, got {v!r}"
+                f"temperature|epochs, got {v!r}"
             )
         return v
 
@@ -326,6 +336,11 @@ class SampleSpec(BaseModel):
             raise ValueError(
                 "sample method=temperature needs group_column and "
                 "budget_rows > 0"
+            )
+        if self.method == "epochs" and (not self.group_column or not self.epochs):
+            raise ValueError(
+                "sample method=epochs needs group_column and a non-empty "
+                "epochs mapping"
             )
         return self
 

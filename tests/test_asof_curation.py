@@ -948,3 +948,58 @@ def test_ab_welch_matches_closed_form(spark):
     se = v0 / n0 + v1 / n1
     dof = se * se / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
     assert abs(row.dof - dof) < 0.05
+
+
+def test_declarative_epoch_mix(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        SampleSpec,
+        TableSpec,
+    )
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    src = tmp_path / "srce"
+    spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)], ["id", "lang"]
+    ).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+
+    def mk(sample):
+        return TableSpec(
+            source_table="t",
+            target_table="t2",
+            mappings=[
+                MappingSpec(source="id", target="id"),
+                MappingSpec(source="lang", target="lang"),
+            ],
+            sample=sample,
+        )
+
+    out = compile_table(
+        ctx,
+        mk(SampleSpec(method="epochs", id_column="id", group_column="lang",
+                      epochs={"a": 2.0}, default_epochs=0.0)),
+    ).df
+    rows = out.collect()
+    assert "epoch" in out.columns
+    # a-rows duplicated exactly twice (epochs 0 and 1), b-rows dropped
+    assert {r["lang"] for r in rows} == {"a"}
+    assert len(rows) == 40  # 20 'a' ids x 2 epochs
+    assert sorted({r["epoch"] for r in rows}) == [0, 1]
+
+    with _pt.raises(ValidationError, match="epochs"):
+        SampleSpec(method="epochs", id_column="id", group_column="lang")
+    with _pt.raises(ValidationError, match="epochs"):
+        SampleSpec(method="epochs", id_column="id", epochs={"a": 1.0})
