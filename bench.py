@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "emb_pq_recall_audit",  # recall@k certification: exact + ADC + IVF-PQ in one action (~sum of its three benched parts)
     "text_bpe_merges",  # 8 iterated BPE rounds over the checkpointed vocab
     "corpus_curate_v2",  # composed flagship: span dedup -> trained gate -> temperature mix -> split
+    "dedup_canonical_corpus",  # pairs -> components -> policy survivor pick
+    "curation_top_fraction",  # per-group rank-exact quality gate (1 window shuffle)
+    "curation_epoch_mix",  # zero-shuffle epoch-table explode
+    "events_ab_welch",  # unit rollup + one-row Welch aggregate
+    "agg_shipping_priority_top10",  # Q3 shape: 2-shuffle join chain + TakeOrdered
+    "agg_large_volume_orders",  # Q18 shape: HAVING semi join reusing orderkey shuffle
 ]
 
 

@@ -298,3 +298,47 @@ def scd3_initial(
             )
         ],
     )
+
+
+def scd2_pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_key: str,
+    ts_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Per-row point-in-time join: each fact row picks up the dim
+    version valid at the fact's OWN timestamp (``valid_from <= ts <
+    valid_to``, open version unbounded) — the lookup every
+    fact-vs-versioned-dimension report needs (``scd2_as_of`` answers
+    "the dim AS OF one fixed instant"; this answers "each fact at ITS
+    instant"). Facts before the key's first version (or unmatched keys)
+    keep NULL attrs under the default left join; ``how='inner'`` drops
+    them.
+
+    Plan shape: an EQUI join on the dimension key with the interval
+    predicate as a join-condition residual — Spark executes key-equi +
+    filter, NOT a range cross-product, and per-key fan-out is bounded
+    by that key's version count (SCD2 dims version slowly by
+    construction, so the residual filters a handful of rows per fact).
+    One shuffle per side on the key — same cost as any fact-dim join —
+    and the dim side broadcasts when it fits. No window over the fact
+    table, no sort. Validity intervals produced by ``scd2_apply`` are
+    non-overlapping per key, so at most ONE version survives per fact
+    row (a left join cannot duplicate facts).
+    """
+    a = fact.alias("f")
+    d = dim.alias("d")
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        (F.col(f"f.{fact_key}") == F.col(f"d.{key}"))
+        & (F.col(f"d.{valid_from}") <= ts)
+        & (F.col(f"d.{valid_to}").isNull() | (F.col(f"d.{valid_to}") > ts))
+    )
+    return a.join(d, cond, how).drop(F.col(f"d.{key}")).drop(
+        F.col(f"d.{valid_from}"), F.col(f"d.{valid_to}")
+    )

@@ -6728,3 +6728,74 @@ def etl_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "scd2_pit_order_balances",
+    """
+    WITH upd AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_custkey % 10 = 0 THEN c.c_acctbal
+                  ELSE round(sum(o.o_totalprice), 2) END AS bal
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    dim0 AS (
+      SELECT c_custkey, c_acctbal AS bal,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    changed AS (
+      SELECT d.c_custkey, u.bal AS new_bal
+      FROM dim0 d JOIN upd u USING (c_custkey)
+      WHERE d.bal IS DISTINCT FROM u.bal
+    ),
+    dim AS (
+      SELECT d.c_custkey, d.bal, d.valid_from,
+             CASE WHEN ch.c_custkey IS NOT NULL
+                  THEN TIMESTAMP '1998-01-01' ELSE NULL END AS valid_to
+      FROM dim0 d LEFT JOIN changed ch USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, new_bal, TIMESTAMP '1998-01-01', NULL FROM changed
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.bal
+    FROM orders o LEFT JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR d.valid_to > o.o_orderdate)
+    """,
+)
+def scd2_pit_order_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (operators/scd.py:scd2_pit_join): the
+    customer-balance dimension versioned at 1995-01-01 (bootstrap) and
+    1998-01-01 (derived update batch), then EVERY order joined to the
+    version valid at its own o_orderdate — pre-1998 orders see the
+    original balance, later orders the updated one, per-fact. Key-equi
+    join with the interval residual; validity intervals are disjoint
+    per key so no fact duplicates. Oracle replays the scd2_apply set
+    algebra and the same interval join."""
+    from .operators.scd import scd2_apply, scd2_initial, scd2_pit_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim0 = scd2_initial(
+        c.select("c_custkey", F.col("c_acctbal").alias("bal")),
+        "c_custkey", ["bal"], "1995-01-01",
+    )
+    upd = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("__newbal"))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal"))
+            .otherwise(F.col("__newbal"))
+            .alias("bal"),
+        )
+    )
+    dim = scd2_apply(dim0, upd, "c_custkey", ["bal"], "1998-01-01")
+    return scd2_pit_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        dim, "c_custkey", "o_custkey", "o_orderdate",
+    )

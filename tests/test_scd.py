@@ -191,3 +191,38 @@ def test_scd1_and_scd3_carry_untracked_columns(spark):
         2: ("b", None, "addr2"),
         3: ("c", None, None),
     }
+
+
+def test_scd2_pit_join_versions_and_unmatched(spark):
+    """Each fact row sees the version valid at its own ts; facts before
+    the first version or with unknown keys keep NULL attrs (left) or
+    drop (inner); disjoint intervals never duplicate facts."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.operators.scd import scd2_pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)),
+            (1, "v2", dt.datetime(2024, 6, 1), None),
+            (2, "w1", dt.datetime(2024, 3, 1), None),
+        ],
+        "k int, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    fact = spark.createDataFrame(
+        [
+            (10, 1, dt.datetime(2024, 2, 15)),   # inside v1
+            (11, 1, dt.datetime(2024, 6, 1)),    # boundary: valid_to exclusive -> v2
+            (12, 1, dt.datetime(2025, 1, 1)),    # open version v2
+            (13, 2, dt.datetime(2024, 1, 1)),    # before first version -> NULL
+            (14, 9, dt.datetime(2024, 1, 1)),    # unknown key -> NULL
+        ],
+        "fid int, fk int, ts timestamp",
+    )
+    out = {r.fid: r.attr for r in
+           scd2_pit_join(fact, dim, "k", "fk", "ts").collect()}
+    assert out == {10: "v1", 11: "v2", 12: "v2", 13: None, 14: None}
+    inner = scd2_pit_join(fact, dim, "k", "fk", "ts", how="inner")
+    assert {r.fid for r in inner.collect()} == {10, 11, 12}
+    # no fact duplication
+    assert scd2_pit_join(fact, dim, "k", "fk", "ts").count() == 5
