@@ -679,3 +679,30 @@ def keep_top_fraction(
         .filter(F.col("__rn") * _BUCKETS <= F.col("__n") * f_pm + (_BUCKETS - 1))
         .drop("__rn", "__n")
     )
+
+
+def hash_kfold(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    seed: str = "cv0",
+) -> DataFrame:
+    """K-fold cross-validation assignment: a deterministic ``fold``
+    column in [0, k) from the portable ``md5_60(id || ':' || seed)``
+    hash — fold i's validation set is ``fold == i``, its training set
+    is everything else, and the k folds partition the corpus. The CV
+    sibling of ``hash_split``: same zero-shuffle pure projection, same
+    portability (any engine and the DuckDB oracle reproduce the exact
+    assignment), same append-stability (new rows land in folds at 1/k
+    without touching old rows — no global count, no row_number).
+
+    The modulus is taken directly on the 60-bit hash (not on the
+    per-mille bucket) so k need not divide 1000 for near-uniform folds.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if "fold" in df.columns:
+        raise ValueError("input already has a 'fold' column — rename it first")
+    h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    return df.withColumn("fold", (h % k).cast("int"))

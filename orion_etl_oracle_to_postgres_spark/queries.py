@@ -6799,3 +6799,24 @@ def scd2_pit_order_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_custkey", "o_orderdate"),
         dim, "c_custkey", "o_custkey", "o_orderdate",
     )
+
+
+@query(
+    "curation_kfold",
+    """
+    SELECT doc_id, lang,
+           CAST("""
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':cv1')")
+    + """ % 5 AS INTEGER) AS fold
+    FROM documents
+    """,
+)
+def curation_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] K-fold CV assignment (operators/curation.py:hash_kfold):
+    deterministic fold in [0,5) from the portable md5 hash — appends
+    land at 1/k without reshuffling old rows; zero-shuffle projection.
+    Oracle replays the identical hash-mod."""
+    from .operators.curation import hash_kfold
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_kfold(d, "doc_id", k=5, seed="cv1")

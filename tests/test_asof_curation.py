@@ -1003,3 +1003,24 @@ def test_declarative_epoch_mix(spark, tmp_path):
         SampleSpec(method="epochs", id_column="id", group_column="lang")
     with _pt.raises(ValidationError, match="epochs"):
         SampleSpec(method="epochs", id_column="id", epochs={"a": 1.0})
+
+
+def test_hash_kfold_partition_and_determinism(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import hash_kfold
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id int")
+    out = {r.id: r.fold for r in hash_kfold(df, "id", k=5).collect()}
+    assert set(out.values()) == {0, 1, 2, 3, 4}
+    # near-uniform: each fold within ±40% of 100
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert all(60 <= v <= 140 for v in c.values())
+    # deterministic + append-stable: a subset gets identical folds
+    sub = {r.id: r.fold
+           for r in hash_kfold(df.filter(F.col("id") < 100), "id", k=5).collect()}
+    assert all(out[i] == f for i, f in sub.items())
+    with pytest.raises(ValueError, match="k must be"):
+        hash_kfold(df, "id", k=1)
+    with pytest.raises(ValueError, match="fold"):
+        hash_kfold(hash_kfold(df, "id", k=2), "id", k=2)

@@ -470,3 +470,33 @@ def test_q18_having_semi_join_shares_orderkey_partitioning(spark, sf):
     plan = plan_of(q.QUERIES["agg_large_volume_orders"](spark, sf))
     assert "LeftSemi" in plan
     assert "Cartesian" not in plan
+
+
+def test_ab_welch_single_unit_shuffle(spark, sf):
+    """A/B readout: per-unit rollup is the only wide stage — exactly one
+    shuffle exchange feeding a one-row final aggregate."""
+    plan = plan_of(q.QUERIES["events_ab_welch"](spark, sf))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SinglePartition" in plan  # the closing one-row aggregate
+
+
+def test_top_fraction_single_window_exchange(spark, sf):
+    """Per-group top-fraction gate: rank and count share ONE group-keyed
+    window exchange — no second sort/shuffle, no Python UDFs."""
+    plan = plan_of(q.QUERIES["curation_top_fraction"](spark, sf))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Window" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_scd2_pit_join_is_equi_not_cartesian(spark, sf):
+    """PIT join compiles to a key-equi join (hash or sort-merge) with
+    the interval predicate as a residual — never BroadcastNestedLoop or
+    Cartesian over the fact table."""
+    plan = plan_of(q.QUERIES["scd2_pit_order_balances"](spark, sf))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
