@@ -35,6 +35,45 @@ from ..spec import LookupSpec
 logger = logging.getLogger(__name__)
 
 
+def _versioned_dim(
+    dim: DataFrame, lookup: LookupSpec, value_column: str, *, check: bool
+) -> DataFrame:
+    """Dimension → (key, value, from, to) for the point-in-time path —
+    NO per-key dedup (versions are the point). When ``check``, assert
+    the validity intervals are disjoint per key first: an overlapping
+    dim would silently DUPLICATE fact rows through the left join, the
+    one failure mode worse than a wrong value. The assertion is one
+    window pass over the dim alone (lookup dims are small by the same
+    argument that lets them broadcast)."""
+    d = dim.select(
+        F.col(lookup.key_column).cast("string").alias("__lk_k"),
+        F.col(value_column).alias("__lk_v"),
+        F.col(lookup.valid_from_column).alias("__lk_f"),
+        F.col(lookup.valid_to_column).alias("__lk_t"),
+    )
+    if check:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__lk_k").orderBy("__lk_f")
+        bad = (
+            d.withColumn("__prev_t", F.lag("__lk_t").over(w))
+            .withColumn("__prev_f", F.lag("__lk_f").over(w))
+            .filter(
+                F.col("__prev_f").isNotNull()
+                & (F.col("__prev_t").isNull() | (F.col("__prev_t") > F.col("__lk_f")))
+            )
+            .count()
+        )
+        if bad > 0:
+            raise RuntimeError(
+                f"versioned lookup {lookup.table}.{lookup.key_column}: "
+                f"{bad} overlapping validity interval(s) — a PIT join over "
+                "them would duplicate fact rows; fix the dimension "
+                "(scd2_apply output is always disjoint)"
+            )
+    return d
+
+
 def _first_match_dim(
     dim: DataFrame, key_column: str, value_column: str, text_keys: bool
 ) -> DataFrame:
@@ -72,13 +111,39 @@ def external_lookup(
     SURVEY.md §7.4.1).
     """
     value_column = lookup.value_column or lookup.key_column
-    d = _first_match_dim(dim, lookup.key_column, value_column, text_keys=True)
+    versioned = lookup.ts_column is not None
+    if versioned:
+        if lookup.ts_column not in df.columns:
+            raise ValueError(
+                f"versioned lookup needs ts_column {lookup.ts_column!r} in "
+                f"the pipeline output {df.columns}"
+            )
+        for c in (lookup.valid_from_column, lookup.valid_to_column):
+            if c not in dim.columns:
+                raise ValueError(
+                    f"versioned lookup dim {lookup.table!r} lacks interval "
+                    f"column {c!r} (has {dim.columns})"
+                )
+        d = _versioned_dim(dim, lookup, value_column, check=eager_errors)
+    else:
+        d = _first_match_dim(dim, lookup.key_column, value_column, text_keys=True)
     if cast_values_to_text:
         d = d.withColumn("__lk_v", F.col("__lk_v").cast("string"))
     if broadcast:
         d = F.broadcast(d)
 
     probe = F.col(target).cast("string")
+    if versioned:
+        # key-equi + interval residual: the version valid at the row's
+        # own timestamp. NULL ts ⇒ no version ⇒ the on_missing ladder.
+        ts = F.col(lookup.ts_column)
+        cond = (
+            (probe == F.col("__lk_k"))
+            & (F.col("__lk_f") <= ts)
+            & (F.col("__lk_t").isNull() | (F.col("__lk_t") > ts))
+        )
+    else:
+        cond = probe == F.col("__lk_k")
     # lowercase the policy keyword only — a default:<value> payload keeps
     # its case (the reference compares the raw string, default_lookup.py:76-89)
     raw_policy = lookup.on_missing or "error"
@@ -92,12 +157,12 @@ def external_lookup(
         # would scan the fact side twice (a real 2× cost at 100 TB).
         # The dimension is keyed unique (_first_match_dim groupBy), so
         # the left join never multiplies rows.
-        joined = df.join(d, probe == F.col("__lk_k"), "left")
+        joined = df.join(d, cond, "left")
         hit = F.col("__lk_k").isNotNull()
         return (
             joined.filter(hit | F.col(target).isNull())
             .withColumn(target, F.col("__lk_v"))  # NULL keys stay NULL
-            .drop("__lk_k", "__lk_v")
+            .drop("__lk_k", "__lk_v", "__lk_f", "__lk_t")
         )
 
     if on_missing not in ("null",) and not on_missing.startswith("default:"):
@@ -108,7 +173,7 @@ def external_lookup(
         if eager_errors:
             n = (
                 df.filter(F.col(target).isNotNull())
-                .join(d, probe == F.col("__lk_k"), "left_anti")
+                .join(d, cond, "left_anti")
                 .count()
             )
             if n > 0:
@@ -118,7 +183,7 @@ def external_lookup(
                 )
         on_missing = "null"  # all present; fall through to plain join
 
-    joined = df.join(d, probe == F.col("__lk_k"), "left")
+    joined = df.join(d, cond, "left")
     hit = F.col("__lk_k").isNotNull()
     was_null = F.col(target).isNull()
     if on_missing.startswith("default:"):
@@ -126,7 +191,9 @@ def external_lookup(
         replacement = F.when(hit, F.col("__lk_v")).when(was_null, F.lit(None)).otherwise(default_lit)
     else:  # null
         replacement = F.when(hit, F.col("__lk_v")).otherwise(F.lit(None))
-    return joined.withColumn(target, replacement).drop("__lk_k", "__lk_v")
+    return joined.withColumn(target, replacement).drop(
+        "__lk_k", "__lk_v", "__lk_f", "__lk_t"
+    )
 
 
 def self_lookup(df: DataFrame, target: str, lookup: LookupSpec) -> DataFrame:

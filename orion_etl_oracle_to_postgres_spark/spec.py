@@ -139,6 +139,16 @@ class LookupSpec(BaseModel):
     key_column: str
     value_column: Optional[str] = None
     on_missing: Optional[str] = None
+    #: engine extension — VERSIONED (SCD2 point-in-time) lookup: when
+    #: ``ts_column`` names a fact-side timestamp column, the lookup
+    #: matches the dimension version valid at each row's own timestamp
+    #: (``valid_from <= ts < valid_to``, open version unbounded) instead
+    #: of first-match-per-key. "No version valid at ts" rides the same
+    #: on_missing ladder as "key absent". Dim intervals must be disjoint
+    #: per key (scd2_apply output is); the compile gate asserts it.
+    ts_column: Optional[str] = None
+    valid_from_column: str = "valid_from"
+    valid_to_column: str = "valid_to"
 
 
 class ValidationSpec(BaseModel):

@@ -135,3 +135,107 @@ def test_lookup_cache_pins_on_reuse(spark, sf_dir):
     assert second is not first  # reuse swapped in the checkpointed plan
     assert third is second  # and it is stable from then on
     assert second.count() == first.count()
+
+
+# --- versioned (SCD2 point-in-time) lookup ------------------------------
+
+
+def _vdim(spark):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            ("k1", "old", dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)),
+            ("k1", "new", dt.datetime(2024, 6, 1), None),
+            ("k2", "only", dt.datetime(2024, 3, 1), None),
+        ],
+        "code string, name string, valid_from timestamp, valid_to timestamp",
+    )
+
+
+def _vfact(spark):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (1, "k1", dt.datetime(2024, 2, 1)),   # -> old
+            (2, "k1", dt.datetime(2024, 7, 1)),   # -> new
+            (3, "k2", dt.datetime(2024, 1, 1)),   # before first version
+            (4, None, dt.datetime(2024, 1, 1)),   # NULL key bypasses
+        ],
+        "id int, code string, ts timestamp",
+    )
+
+
+def test_versioned_lookup_pit_semantics_null_policy(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.lookups import external_lookup
+    from orion_etl_oracle_to_postgres_spark.spec import LookupSpec
+
+    lk = LookupSpec(
+        table="dim", key_column="code", value_column="name",
+        on_missing="null", ts_column="ts",
+    )
+    out = {r.id: r.code for r in
+           external_lookup(_vfact(spark), "code", lk, _vdim(spark)).collect()}
+    assert out == {1: "old", 2: "new", 3: None, 4: None}
+
+
+def test_versioned_lookup_skip_and_default(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.lookups import external_lookup
+    from orion_etl_oracle_to_postgres_spark.spec import LookupSpec
+
+    skip = LookupSpec(table="dim", key_column="code", value_column="name",
+                      on_missing="skip", ts_column="ts")
+    kept = {r.id for r in
+            external_lookup(_vfact(spark), "code", skip, _vdim(spark)).collect()}
+    assert kept == {1, 2, 4}  # no-valid-version row 3 dropped; NULL key kept
+    dflt = LookupSpec(table="dim", key_column="code", value_column="name",
+                      on_missing="default:none", ts_column="ts")
+    out = {r.id: r.code for r in
+           external_lookup(_vfact(spark), "code", dflt, _vdim(spark)).collect()}
+    assert out == {1: "old", 2: "new", 3: "none", 4: None}
+
+
+def test_versioned_lookup_error_policy_and_guards(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.lookups import external_lookup
+    from orion_etl_oracle_to_postgres_spark.spec import LookupSpec
+
+    err = LookupSpec(table="dim", key_column="code", value_column="name",
+                     on_missing="error", ts_column="ts")
+    with _pt.raises(RuntimeError, match="not found"):
+        external_lookup(_vfact(spark), "code", err, _vdim(spark))
+    # overlapping intervals must be refused, not silently duplicate facts
+    bad = spark.createDataFrame(
+        [
+            ("k1", "a", dt.datetime(2024, 1, 1), None),
+            ("k1", "b", dt.datetime(2024, 3, 1), None),
+        ],
+        "code string, name string, valid_from timestamp, valid_to timestamp",
+    )
+    ok = LookupSpec(table="dim", key_column="code", value_column="name",
+                    on_missing="null", ts_column="ts")
+    with _pt.raises(RuntimeError, match="overlapping"):
+        external_lookup(_vfact(spark), "code", ok, bad)
+    # missing ts / interval columns fail loudly at build time
+    with _pt.raises(ValueError, match="ts_column"):
+        external_lookup(_vfact(spark).drop("ts"), "code", ok, _vdim(spark))
+    with _pt.raises(ValueError, match="interval"):
+        external_lookup(_vfact(spark), "code", ok, _vdim(spark).drop("valid_to"))
+
+
+def test_non_versioned_lookup_unchanged(spark):
+    """Regression: the classic first-match path still works with the
+    refactored join-condition plumbing."""
+    from orion_etl_oracle_to_postgres_spark.operators.lookups import external_lookup
+    from orion_etl_oracle_to_postgres_spark.spec import LookupSpec
+
+    dim = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], "code string, name string")
+    fact = spark.createDataFrame([(1, "k1"), (2, "k9")], "id int, code string")
+    lk = LookupSpec(table="dim", key_column="code", value_column="name",
+                    on_missing="null")
+    out = {r.id: r.code for r in external_lookup(fact, "code", lk, dim).collect()}
+    assert out == {1: "v1", 2: None}

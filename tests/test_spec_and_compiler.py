@@ -1537,3 +1537,58 @@ def test_quality_filter_reject_table_refused_on_streams(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reject_table"):
         _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)
+
+
+def test_declarative_versioned_lookup(spark, tmp_path):
+    """`lookup.ts_column` in YAML compiles to the PIT join: each fact
+    row resolves the dim version valid at its own timestamp."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        LookupSpec,
+        MappingSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "vlk"
+    spark.createDataFrame(
+        [
+            ("k1", "old", dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)),
+            ("k1", "new", dt.datetime(2024, 6, 1), None),
+        ],
+        "code string, name string, valid_from timestamp, valid_to timestamp",
+    ).write.parquet(str(src / "dim.parquet"))
+    spark.createDataFrame(
+        [(1, "k1", dt.datetime(2024, 2, 1)), (2, "k1", dt.datetime(2024, 8, 1))],
+        "id int, code string, ts timestamp",
+    ).write.parquet(str(src / "fact.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="fact",
+        target_table="fact_named",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="ts", target="ts"),
+            MappingSpec(
+                source="code",
+                target="code",
+                lookup=LookupSpec(
+                    table="dim", key_column="code", value_column="name",
+                    on_missing="null", ts_column="ts",
+                ),
+            ),
+        ],
+    )
+    out = {r["id"]: r["code"] for r in compile_table(ctx, spec).df.collect()}
+    assert out == {1: "old", 2: "new"}
