@@ -500,3 +500,33 @@ def test_scd2_pit_join_is_equi_not_cartesian(spark, sf):
     plan = plan_of(q.QUERIES["scd2_pit_order_balances"](spark, sf))
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_q7_nation_dims_broadcast_date_pushed(spark, sf):
+    """Q7 shape: both nation dim copies broadcast; the shipdate window
+    reaches the lineitem scan as PushedFilters."""
+    plan = plan_of(q.QUERIES["agg_nation_trade_volume"](spark, sf))
+    import re
+
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "PushedFilters" in plan
+
+
+def test_q19_common_quantity_bound_pushed(spark, sf):
+    """Q19 shape: Catalyst extracts the disjunction's common
+    l_quantity bounds as a pushable conjunct on the fact scan, and the
+    part side joins by broadcast."""
+    plan = plan_of(q.QUERIES["agg_brand_type_revenue"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    # the extracted common bound reaches the scan
+    assert "l_quantity" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q21_probes_are_semi_anti_on_id_pairs(spark, sf):
+    """Q21 shape: the double EXISTS compiles to LeftSemi + LeftAnti over
+    distinct (orderkey, suppkey) projections — no fact-width shuffle,
+    no cartesian."""
+    plan = plan_of(q.QUERIES["agg_waiting_suppliers"](spark, sf))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
