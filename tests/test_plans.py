@@ -530,3 +530,22 @@ def test_q21_probes_are_semi_anti_on_id_pairs(spark, sf):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "Cartesian" not in plan
+
+
+def test_q6_all_predicates_reach_scan(spark, sf):
+    """Q6 shape: date window, discount band, and quantity cap all land
+    in PushedFilters; the scan reads only the referenced columns."""
+    plan = plan_of(q.QUERIES["agg_discount_revenue"](spark, sf))
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    scan_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in scan_schema and "l_orderkey" not in scan_schema
+
+
+def test_q8_five_broadcast_dims(spark, sf):
+    """Q8 shape: part, supplier, both nation copies, and region all
+    join by broadcast — only the fact chain shuffles."""
+    plan = plan_of(q.QUERIES["agg_nation_market_share"](spark, sf))
+    import re
+
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 5
