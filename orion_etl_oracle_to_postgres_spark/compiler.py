@@ -1057,6 +1057,8 @@ def run_table(
                 values=tuple(e.values),
                 ref_table=e.ref_table,
                 ref_column=e.ref_column,
+                as_of=e.as_of,
+                max_lag_hours=e.max_lag_hours,
             )
             for e in spec.expectations
         ]

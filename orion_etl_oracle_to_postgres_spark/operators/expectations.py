@@ -18,6 +18,9 @@ Check types:
 - ``accepted_values``: no value outside the allowed set (NULLs are the
   ``not_null`` check's business, not this one's)
 - ``min``/``max``: column bounds within [lo, hi]
+- ``freshness``: max(ts_column) within ``max_lag_hours`` of ``as_of``
+  (an EXPLICIT reference instant — never wall-clock, so the gate is
+  deterministic and replayable; the orchestrator passes "now")
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Expect:
-    type: str  # row_count | not_null | unique | accepted_values | bounds | fk
+    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness
     columns: tuple = ()
     min: Optional[float] = None
     max: Optional[float] = None
@@ -39,13 +42,15 @@ class Expect:
     values: tuple = ()
     ref_table: Optional[str] = None
     ref_column: Optional[str] = None
+    as_of: Optional[str] = None
+    max_lag_hours: Optional[float] = None
 
     @property
     def label(self) -> str:
         return f"{self.type}:{','.join(self.columns) or '*'}"
 
 
-_SINGLE_COL_TYPES = ("not_null", "accepted_values", "bounds")
+_SINGLE_COL_TYPES = ("not_null", "accepted_values", "bounds", "freshness")
 
 
 def _validate_check(c: Expect) -> None:
@@ -70,6 +75,12 @@ def _validate_check(c: Expect) -> None:
                 f"expectation {c.label!r}: fk takes exactly one column "
                 "plus ref_table and ref_column"
             )
+    if c.type == "freshness" and (c.as_of is None or c.max_lag_hours is None):
+        raise ValueError(
+            f"expectation {c.label!r}: freshness needs as_of (explicit "
+            "reference instant — wall-clock would make the gate "
+            "non-replayable) and max_lag_hours"
+        )
 
 
 def run_expectations(
@@ -110,6 +121,9 @@ def run_expectations(
             if hi is not None:
                 viol = viol | (F.col(col) > hi)
             aggs.append(F.sum(F.when(viol, 1).otherwise(0)).alias(f"__e{i}"))
+        elif c.type == "freshness":
+            (col,) = c.columns
+            aggs.append(F.max(F.col(col)).alias(f"__e{i}"))
         elif c.type in ("row_count", "unique", "fk"):
             pass
         else:
@@ -135,6 +149,23 @@ def run_expectations(
         elif c.type == "bounds":
             bad = wide[f"__e{i}"] or 0
             rows.append((c.label, col, float(bad), f"[{c.min},{c.max}]", bad == 0))
+        elif c.type == "freshness":
+            mx = wide[f"__e{i}"]
+            if mx is None:  # empty table / all-NULL ts: stale by definition
+                rows.append(
+                    (c.label, col, float("inf"),
+                     f"lag_hours<={c.max_lag_hours} @ {c.as_of}", False)
+                )
+            else:
+                import datetime as _dt
+
+                ref = _dt.datetime.fromisoformat(c.as_of)
+                lag_h = (ref - mx).total_seconds() / 3600.0
+                rows.append(
+                    (c.label, col, round(lag_h, 6),
+                     f"lag_hours<={c.max_lag_hours} @ {c.as_of}",
+                     lag_h <= c.max_lag_hours)
+                )
         elif c.type == "fk":
             # referential integrity with the unique-check's early-exit
             # shape: the anti-join probe stops at the FIRST orphan

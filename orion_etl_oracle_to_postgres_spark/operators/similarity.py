@@ -480,9 +480,11 @@ def embedding_near_dups(
 # — a hash collision must never serve the wrong matrix). Lets repeated
 # exact-near-dup invocations over the same frame skip the
 # collect+broadcast rebuild, which dominated the small-input cost.
-# BOUNDED: at most _BLOCK_CACHE_MAX entries; eviction destroys the old
-# Spark broadcasts so a threshold sweep over many frames can't pin every
-# collected matrix in driver+executor memory for the session's lifetime.
+# BOUNDED: at most _BLOCK_CACHE_MAX entries; eviction UNPERSISTS the old
+# Spark broadcasts (frees executor copies now, keeps previously-returned
+# plans re-executable — see the eviction-loop comment) so a threshold
+# sweep over many frames can't pin every collected matrix in
+# driver+executor memory for the session's lifetime.
 _BLOCK_SIDE_CACHE: dict = {}
 _BLOCK_CACHE_MAX = 4
 

@@ -373,7 +373,7 @@ class ExpectSpec(BaseModel):
     check aborts the table load (no partial publish), unlike per-row
     validation rules which rewrite or drop individual rows."""
 
-    type: str  # row_count | not_null | unique | accepted_values | bounds | fk
+    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness
     columns: List[str] = Field(default_factory=list)
     min: Optional[float] = None
     max: Optional[float] = None
@@ -384,13 +384,16 @@ class ExpectSpec(BaseModel):
     #: target side)
     ref_table: Optional[str] = None
     ref_column: Optional[str] = None
+    #: freshness only: explicit ISO reference instant + max allowed lag
+    as_of: Optional[str] = None
+    max_lag_hours: Optional[float] = None
 
     @field_validator("type")
     @classmethod
     def _known_type(cls, v: str) -> str:
         allowed = (
             "row_count", "not_null", "unique", "accepted_values", "bounds",
-            "fk",
+            "fk", "freshness",
         )
         if v not in allowed:
             raise ValueError(f"expectation type must be one of {allowed}, got {v!r}")

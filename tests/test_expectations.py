@@ -200,3 +200,33 @@ def test_fk_expectation_through_compiler(spark, tmp_path):
     assert not (out / "child_out").exists()
     with pytest.raises(ValidationError, match="fk"):
         ExpectSpec(type="fk", columns=["fk"])
+
+
+def test_freshness_expectation(spark):
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+        Expect,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 6, 0)), (2, dt.datetime(2024, 1, 10, 12, 0))],
+        "id int, ts timestamp",
+    )
+    fresh = Expect(type="freshness", columns=("ts",),
+                   as_of="2024-01-10T13:00:00", max_lag_hours=2.0)
+    row = run_expectations(df, [fresh]).collect()[0]
+    assert row.passed and abs(row.observed - 1.0) < 1e-9
+    stale = Expect(type="freshness", columns=("ts",),
+                   as_of="2024-01-12T00:00:00", max_lag_hours=2.0)
+    assert run_expectations(df, [stale]).collect()[0].passed is False
+    # all-NULL ts: stale by definition, observed inf
+    nulls = spark.createDataFrame([(1, None)], "id int, ts timestamp")
+    r = run_expectations(nulls, [fresh]).collect()[0]
+    assert r.passed is False and r.observed == float("inf")
+    # missing as_of / lag fails loudly (wall-clock would be non-replayable)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="freshness"):
+        run_expectations(df, [Expect(type="freshness", columns=("ts",))])
