@@ -712,8 +712,43 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             )
         else:
             q = F.round(quality_expr(F.col(qf.text_column)), 6)
-        keep = F.coalesce(q >= qf.min_quality, F.lit(False))
-        if qf.reject_table:
+        if qf.top_fraction is not None:
+            # per-group ADAPTIVE policy: rank gate over the staged score
+            # (curation.keep_top_fraction semantics, inlined so the
+            # reject branch can negate the SAME window columns instead
+            # of paying an anti-join). One group-keyed window shuffle —
+            # the price the adaptive policy fundamentally needs.
+            from pyspark.sql import Window
+
+            for c in (qf.id_column, qf.group_column):
+                if c not in df.columns:
+                    raise ValueError(
+                        f"{spec.source_table}: quality_filter column "
+                        f"{c!r} not in pipeline output {df.columns}"
+                    )
+            f_pm = int(round(qf.top_fraction * 1000))
+            tagged = df.withColumn("_quality", q)
+            if tk_col is not None:
+                tagged = tagged.drop(tk_col)
+            wg = Window.partitionBy(qf.group_column)
+            wo = wg.orderBy(F.col("_quality").desc(), F.col(qf.id_column))
+            tagged = (
+                tagged.withColumn("__qrn", F.row_number().over(wo))
+                .withColumn("__qn", F.count(F.lit(1)).over(wg))
+                .localCheckpoint(eager=False)
+            )
+            # rn*1000 <= n*f_pm + 999 in pure int64 (ceil quota, no float
+            # drift); NULL scores sort last AND are explicitly rejected
+            keep_cond = F.col("_quality").isNotNull() & (
+                F.col("__qrn") * 1000 <= F.col("__qn") * f_pm + 999
+            )
+            if qf.reject_table:
+                quality_rejects = tagged.filter(~keep_cond).drop("__qrn", "__qn")
+            df = tagged.filter(keep_cond).drop("_quality", "__qrn", "__qn")
+            q = None  # consumed; the absolute-bar branches below must not run
+        if q is None:
+            pass
+        elif qf.reject_table:
             # one lazy materialization feeds BOTH sinks (same rationale
             # as the quarantine split above: two actions re-scanning a
             # moving source could put a row in neither/both outputs)
@@ -728,7 +763,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 F.coalesce(F.col("_quality") >= qf.min_quality, F.lit(False))
             ).drop("_quality")
         else:
-            df = df.filter(keep)
+            df = df.filter(F.coalesce(q >= qf.min_quality, F.lit(False)))
             if tk_col is not None:
                 df = df.drop(tk_col)
 

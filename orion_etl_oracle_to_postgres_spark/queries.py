@@ -7175,3 +7175,41 @@ def agg_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "etl_quality_top_fraction",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM (SELECT d.doc_id, d.lang, {_QUALITY_SQL} AS q
+            FROM documents d)
+    ) WHERE q IS NOT NULL AND rn * 1000 <= n * 400 + 999
+    """,
+)
+def etl_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative ADAPTIVE quality gate
+    (`quality_filter.top_fraction`): the YAML user keeps the best 40%
+    of every language by heuristic score instead of one absolute bar —
+    rank-exact integer quota, doc_id tiebreak, NULL scores rejected.
+    Oracle replays the score + the same window quota."""
+    from .spec import QualityFilterSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_q",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        quality_filter=QualityFilterSpec(
+            text_column="text",
+            top_fraction=0.4,
+            id_column="doc_id",
+            group_column="lang",
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select("doc_id", "lang")

@@ -451,11 +451,23 @@ class QualityFilterSpec(BaseModel):
     ``text.hashed_linear_expr``). Rows scoring below ``min_quality``
     are dropped (or routed to ``reject_table`` when set, mirroring the
     validation quarantine pattern); both methods are zero-shuffle pure
-    projections."""
+    projections.
+
+    Keep policy: the default is the absolute ``min_quality`` bar;
+    setting ``top_fraction`` switches to the per-group ADAPTIVE gate —
+    keep the best fraction of EVERY ``group_column`` value by score
+    (rank-exact integer quota, ``id_column`` tiebreak — the
+    ``curation.keep_top_fraction`` semantics), which costs the one
+    group-keyed window shuffle the adaptive policy fundamentally
+    needs. NULL-scoring rows are rejects under both policies."""
 
     text_column: str
     method: str = "heuristic"  # heuristic | classifier
     min_quality: float = Field(default=0.5, ge=0.0, le=1.0)
+    #: per-group adaptive policy (replaces min_quality when set)
+    top_fraction: Optional[float] = Field(default=None, ge=0.0, le=1.0)
+    id_column: Optional[str] = None
+    group_column: Optional[str] = None
     reject_table: Optional[str] = None
     # classifier-only: a TRAINED model (e.g. from
     # operators/text.py:train_hashed_linear) inlined into the gate;
@@ -473,6 +485,17 @@ class QualityFilterSpec(BaseModel):
                 f"quality_filter method must be heuristic|classifier, got {v!r}"
             )
         return v
+
+    @model_validator(mode="after")
+    def _top_fraction_requirements(self) -> "QualityFilterSpec":
+        if self.top_fraction is not None and (
+            not self.id_column or not self.group_column
+        ):
+            raise ValueError(
+                "quality_filter top_fraction needs id_column and "
+                "group_column (deterministic tiebreak + the group key)"
+            )
+        return self
 
     @model_validator(mode="after")
     def _weights_shape(self) -> "QualityFilterSpec":

@@ -1592,3 +1592,67 @@ def test_declarative_versioned_lookup(spark, tmp_path):
     )
     out = {r["id"]: r["code"] for r in compile_table(ctx, spec).df.collect()}
     assert out == {1: "old", 2: "new"}
+
+
+def test_quality_filter_top_fraction_with_rejects(spark, tmp_path):
+    """top_fraction keep policy: per-group quota, NULL text rejected,
+    rejects carry _quality, kept+rejected partition the input."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        QualityFilterSpec,
+        TableSpec,
+    )
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    src = tmp_path / "qtf"
+    rows = [
+        (i, "a", "The quick brown fox jumps over the lazy dog near a river bank. " * (1 + i % 3))
+        for i in range(10)
+    ] + [(20, "b", None), (21, "b", "zz"), (22, "b", "A fine sentence with words here today.")]
+    spark.createDataFrame(rows, "id long, grp string, body string").write.parquet(
+        str(src / "t.parquet")
+    )
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="grp", target="grp"),
+            MappingSpec(source="body", target="body"),
+        ],
+        quality_filter=QualityFilterSpec(
+            text_column="body",
+            top_fraction=0.5,
+            id_column="id",
+            group_column="grp",
+            reject_table="t_rejects",
+        ),
+    )
+    compiled = compile_table(ctx, spec)
+    kept = compiled.df.collect()
+    rejects = compiled.quality_rejects.collect()
+    # quotas: ceil(10*0.5)=5 of grp a, ceil(3*0.5)=2 of grp b
+    from collections import Counter
+
+    c = Counter(r["grp"] for r in kept)
+    assert c == {"a": 5, "b": 2}
+    assert len(kept) + len(rejects) == 13
+    # NULL-text row is a reject, never kept
+    assert 20 in {r["id"] for r in rejects}
+    assert "_quality" in compiled.quality_rejects.columns
+    assert "_quality" not in compiled.df.columns
+    with _pt.raises(ValidationError, match="top_fraction"):
+        QualityFilterSpec(text_column="body", top_fraction=0.5)
