@@ -866,11 +866,23 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 f"column(s) {sorted(clash)} — rename them or pick another "
                 "split column_name"
             )
-        df = hash_split(df, spl.id_column, weights=spl.weights, seed=spl.seed).drop(
-            "bucket"
-        )
-        if spl.column_name != "split":
-            df = df.withColumnRenamed("split", spl.column_name)
+        if spl.folds is not None:
+            from .operators.curation import hash_kfold
+
+            if "fold" in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: k-fold split stages a 'fold' "
+                    "column the pipeline already has — rename it"
+                )
+            df = hash_kfold(df, spl.id_column, k=int(spl.folds), seed=spl.seed)
+            if spl.column_name != "fold":
+                df = df.withColumnRenamed("fold", spl.column_name)
+        else:
+            df = hash_split(
+                df, spl.id_column, weights=spl.weights, seed=spl.seed
+            ).drop("bucket")
+            if spl.column_name != "split":
+                df = df.withColumnRenamed("split", spl.column_name)
 
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:

@@ -358,12 +358,26 @@ class SampleSpec(BaseModel):
 class SplitSpec(BaseModel):
     """[engine extension] Declarative train/val/test split label
     (``operators/curation.py:hash_split``): a pure hash projection —
-    zero shuffles, stable under repartitioning and appends."""
+    zero shuffles, stable under repartitioning and appends.
+
+    Setting ``folds`` switches to K-FOLD cross-validation assignment
+    (``curation.hash_kfold``): the output column holds an integer fold
+    in [0, folds) instead of a label; ``weights`` must then be unset."""
 
     id_column: str
     weights: Optional[dict] = None  # label -> weight; default 90/5/5
+    folds: Optional[int] = Field(default=None, ge=2)
     seed: str = "s0"
     column_name: str = "split"
+
+    @model_validator(mode="after")
+    def _folds_exclusive(self) -> "SplitSpec":
+        if self.folds is not None and self.weights is not None:
+            raise ValueError(
+                "split: folds (k-fold CV) and weights (labeled split) "
+                "are mutually exclusive"
+            )
+        return self
 
 
 class ExpectSpec(BaseModel):

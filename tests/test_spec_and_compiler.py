@@ -1656,3 +1656,42 @@ def test_quality_filter_top_fraction_with_rejects(spark, tmp_path):
     assert "_quality" not in compiled.df.columns
     with _pt.raises(ValidationError, match="top_fraction"):
         QualityFilterSpec(text_column="body", top_fraction=0.5)
+
+
+def test_declarative_kfold_split(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        SplitSpec,
+        TableSpec,
+    )
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    src = tmp_path / "kf"
+    spark.createDataFrame([(i,) for i in range(100)], "id long").write.parquet(
+        str(src / "t.parquet")
+    )
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[MappingSpec(source="id", target="id")],
+        split=SplitSpec(id_column="id", folds=4, column_name="cv_fold"),
+    )
+    out = compile_table(ctx, spec).df
+    assert "cv_fold" in out.columns
+    folds = {r["cv_fold"] for r in out.collect()}
+    assert folds == {0, 1, 2, 3}
+    with _pt.raises(ValidationError, match="mutually exclusive"):
+        SplitSpec(id_column="id", folds=3, weights={"train": 1.0})
