@@ -732,11 +732,14 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 tagged = tagged.drop(tk_col)
             wg = Window.partitionBy(qf.group_column)
             wo = wg.orderBy(F.col("_quality").desc(), F.col(qf.id_column))
-            tagged = (
-                tagged.withColumn("__qrn", F.row_number().over(wo))
-                .withColumn("__qn", F.count(F.lit(1)).over(wg))
-                .localCheckpoint(eager=False)
+            tagged = tagged.withColumn("__qrn", F.row_number().over(wo)).withColumn(
+                "__qn", F.count(F.lit(1)).over(wg)
             )
+            if qf.reject_table:
+                # two consumers (kept + rejects) — one lazy materialization
+                # so both read the same snapshot; single-consumer plans
+                # skip the executor-storage pin entirely
+                tagged = tagged.localCheckpoint(eager=False)
             # rn*1000 <= n*f_pm + 999 in pure int64 (ceil quota, no float
             # drift); NULL scores sort last AND are explicitly rejected
             keep_cond = F.col("_quality").isNotNull() & (
@@ -857,9 +860,17 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 f"{spec.source_table}: split id_column {spl.id_column!r} "
                 f"not in pipeline output {df.columns}"
             )
-        # hash_split stages 'bucket'/'split' columns — refuse to clobber
-        # pipeline columns with those names (or the chosen output name)
-        clash = {"bucket", "split", spl.column_name} & set(df.columns)
+        # refuse to clobber pipeline columns with the stage's own names —
+        # but only the names THIS branch actually stages: k-fold touches
+        # 'fold' + column_name, the labeled split 'bucket'/'split' +
+        # column_name (review finding r5: a pipeline column named 'split'
+        # must not block a k-fold spec that never stages it)
+        staged = (
+            {"fold", spl.column_name}
+            if spl.folds is not None
+            else {"bucket", "split", spl.column_name}
+        )
+        clash = staged & set(df.columns)
         if clash:
             raise ValueError(
                 f"{spec.source_table}: split stage would overwrite pipeline "
@@ -869,11 +880,6 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         if spl.folds is not None:
             from .operators.curation import hash_kfold
 
-            if "fold" in df.columns:
-                raise ValueError(
-                    f"{spec.source_table}: k-fold split stages a 'fold' "
-                    "column the pipeline already has — rename it"
-                )
             df = hash_kfold(df, spl.id_column, k=int(spl.folds), seed=spl.seed)
             if spl.column_name != "fold":
                 df = df.withColumnRenamed("fold", spl.column_name)

@@ -163,8 +163,12 @@ def temperature_mix(
     bucket = md5_hash60(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
     ) % _BUCKETS
+    # eqNullSafe: a NULL group is a group of its own — it matched its own
+    # stats row in the groupBy above, so it samples at its derived rate
+    # instead of silently vanishing through a null-rejecting equi join
+    # (review finding r5; weighted_sample's default_rate is the analog)
     return (
-        df.join(F.broadcast(thr), df[group_col] == thr["__g"])
+        df.join(F.broadcast(thr), df[group_col].eqNullSafe(thr["__g"]))
         .filter(bucket < F.col("__thr"))
         .drop("__g", "__thr")
     )
@@ -675,8 +679,14 @@ def keep_top_fraction(
         df.withColumn("__rn", F.row_number().over(wo))
         .withColumn("__n", F.count(F.lit(1)).over(w))
         # rn <= ceil(n*f_pm/1000) in pure int64 arithmetic (no division):
-        # rn*1000 <= n*f_pm + 999 — no float quota, no engine drift
-        .filter(F.col("__rn") * _BUCKETS <= F.col("__n") * f_pm + (_BUCKETS - 1))
+        # rn*1000 <= n*f_pm + 999 — no float quota, no engine drift.
+        # NULL scores sort last AND are explicitly rejected — a quota
+        # deep enough to reach the null tail must not declare scoreless
+        # rows "top fraction" (the declarative gate agrees)
+        .filter(
+            F.col(score_col).isNotNull()
+            & (F.col("__rn") * _BUCKETS <= F.col("__n") * f_pm + (_BUCKETS - 1))
+        )
         .drop("__rn", "__n")
     )
 

@@ -53,6 +53,28 @@ class Expect:
 _SINGLE_COL_TYPES = ("not_null", "accepted_values", "bounds", "freshness")
 
 
+def _parse_as_of(c: "Expect"):
+    """ISO parse with a named error; tz-aware instants are rejected
+    because Spark collects TimestampType as NAIVE session-local
+    datetimes — subtracting mixed-awareness datetimes raises, and
+    silently assuming a zone would move the freshness bar."""
+    import datetime as _dt
+
+    try:
+        ref = _dt.datetime.fromisoformat(c.as_of)
+    except ValueError as e:
+        raise ValueError(
+            f"expectation {c.label!r}: as_of {c.as_of!r} is not ISO-8601: {e}"
+        ) from None
+    if ref.tzinfo is not None:
+        raise ValueError(
+            f"expectation {c.label!r}: as_of must be a NAIVE timestamp in "
+            "the Spark session timezone (collected ts values are naive; "
+            "a zoned instant cannot be compared against them)"
+        )
+    return ref
+
+
 def _validate_check(c: Expect) -> None:
     """Arity errors must name the offending check, not die as a bare
     tuple-unpack ValueError deep in the aggregate builder (review
@@ -75,12 +97,14 @@ def _validate_check(c: Expect) -> None:
                 f"expectation {c.label!r}: fk takes exactly one column "
                 "plus ref_table and ref_column"
             )
-    if c.type == "freshness" and (c.as_of is None or c.max_lag_hours is None):
-        raise ValueError(
-            f"expectation {c.label!r}: freshness needs as_of (explicit "
-            "reference instant — wall-clock would make the gate "
-            "non-replayable) and max_lag_hours"
-        )
+    if c.type == "freshness":
+        if c.as_of is None or c.max_lag_hours is None:
+            raise ValueError(
+                f"expectation {c.label!r}: freshness needs as_of (explicit "
+                "reference instant — wall-clock would make the gate "
+                "non-replayable) and max_lag_hours"
+            )
+        _parse_as_of(c)  # malformed/tz-aware as_of fails HERE, not at gate time
 
 
 def run_expectations(
@@ -159,7 +183,9 @@ def run_expectations(
             else:
                 import datetime as _dt
 
-                ref = _dt.datetime.fromisoformat(c.as_of)
+                ref = _parse_as_of(c)
+                if isinstance(mx, _dt.date) and not isinstance(mx, _dt.datetime):
+                    mx = _dt.datetime.combine(mx, _dt.time.min)  # DateType col
                 lag_h = (ref - mx).total_seconds() / 3600.0
                 rows.append(
                     (c.label, col, round(lag_h, 6),

@@ -6651,8 +6651,8 @@ def curation_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     s AS (
-      SELECT count(*) FILTER (variant = 0)::BIGINT AS n0,
-             count(*) FILTER (variant = 1)::BIGINT AS n1,
+      SELECT count(m) FILTER (variant = 0)::BIGINT AS n0,
+             count(m) FILTER (variant = 1)::BIGINT AS n1,
              avg(m) FILTER (variant = 0) AS m0,
              avg(m) FILTER (variant = 1) AS m1,
              var_samp(m) FILTER (variant = 0) AS v0,

@@ -402,6 +402,28 @@ class ExpectSpec(BaseModel):
     as_of: Optional[str] = None
     max_lag_hours: Optional[float] = None
 
+    @model_validator(mode="after")
+    def _freshness_requirements(self) -> "ExpectSpec":
+        if self.type == "freshness":
+            if self.as_of is None or self.max_lag_hours is None:
+                raise ValueError(
+                    "expectation freshness needs as_of and max_lag_hours"
+                )
+            import datetime as _dt
+
+            try:
+                ref = _dt.datetime.fromisoformat(self.as_of)
+            except ValueError as e:
+                raise ValueError(
+                    f"freshness as_of {self.as_of!r} is not ISO-8601: {e}"
+                ) from None
+            if ref.tzinfo is not None:
+                raise ValueError(
+                    "freshness as_of must be a NAIVE timestamp in the "
+                    "Spark session timezone"
+                )
+        return self
+
     @field_validator("type")
     @classmethod
     def _known_type(cls, v: str) -> str:
