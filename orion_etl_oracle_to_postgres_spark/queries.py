@@ -7213,3 +7213,116 @@ def etl_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec).select("doc_id", "lang")
+
+
+@query(
+    "window_revenue_pareto",
+    """
+    WITH cr AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+             sum(rev) OVER () AS tot,
+             count(*) OVER () AS n
+      FROM cr
+    )
+    SELECT CAST(ceil(100.0 * rn / n) AS INTEGER) AS cust_pctile,
+           round(max(cum_rev / tot), 6) AS cum_rev_share
+    FROM ranked
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def window_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz concentration curve: what share of total revenue
+    the top X% of customers account for, per percentile bucket — the
+    '80/20' readout. One custkey aggregate, then ONE global ordered
+    window (rank + running sum share a single sort; revenue rounded
+    before ranking so the order is engine-stable), collapsed to ≤100
+    rows. The global sort is real but runs over CUSTOMERS (post-
+    aggregate), not facts — at 100 TB that's the small side by orders
+    of magnitude; range-partitioned sort handles it."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    wo = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = (
+        cr.withColumn("rn", F.row_number().over(wo))
+        .withColumn("cum_rev", F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", F.sum("rev").over(wall))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    return (
+        ranked.groupBy(
+            F.ceil(100.0 * F.col("rn") / F.col("n")).cast("int").alias("cust_pctile")
+        )
+        .agg(F.round(F.max(F.col("cum_rev") / F.col("tot")), 6).alias("cum_rev_share"))
+        .orderBy("cust_pctile")
+    )
+
+
+@query(
+    "window_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*)::BIGINT AS freq,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           count(*)::BIGINT AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency /
+    Frequency / Monetary via ntile over the per-customer rollup (id
+    tiebreaks make the quintile edges engine-deterministic; monetary
+    rounded before ranking), then the 125-cell segment census. Three
+    global ntile windows share the post-aggregate customer table —
+    small side again, same argument as the Pareto curve; the census
+    output is fixed-size."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = (
+        base.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
