@@ -334,3 +334,88 @@ def binary_stats(df: DataFrame, *, payload_col: str = "payload", id_col: str = "
         F.octet_length(p).cast("long").alias("n_bytes"),
         F.sha2(p, 256).alias("sha256"),
     )
+
+
+def perceptual_hash(
+    features: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    feature_col: str = "features",
+    n_bits: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Compact perceptual hash from a decoded feature vector: bit i set
+    when ``features[i] >= threshold`` — the classic aHash/pHash shape
+    (with a real codec the features are DCT coefficients; the stub's
+    sha-derived features exercise the identical plumbing). Pure
+    JVM-side fold over the array, zero shuffles. Returns
+    (id, phash long)."""
+    packed = F.lit(0).cast("long")
+    for i in range(n_bits):
+        packed = packed + F.when(
+            F.element_at(F.col(feature_col), i + 1) >= threshold,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return features.select(F.col(id_col).alias("doc_id"), packed.alias("phash"))
+
+
+def phash_near_dups(
+    features: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    feature_col: str = "features",
+    n_bits: int = 8,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    the media twin of ``dedup.simhash_near_dups`` and the same banding
+    argument: split the hash into ``max_hamming + 1`` chunks; two
+    hashes within ``max_hamming`` bits must share at least one chunk
+    (pigeonhole), so candidates come from a chunk-equality self-join
+    and are verified with one ``bit_count(xor)``. All hashing and
+    banding is JVM-side; the only shuffle is the (chunk_id, chunk_val)
+    bucket join over (id, phash) pairs — the media payloads never
+    move. Returns (id_i, id_j, hamming <= max_hamming)."""
+    n_chunks = max_hamming + 1
+    if n_bits % n_chunks:
+        raise ValueError(
+            f"n_bits={n_bits} must divide into max_hamming+1={n_chunks} chunks"
+        )
+    width = n_bits // n_chunks
+    mask = (1 << width) - 1
+    h = perceptual_hash(
+        features, id_col=id_col, feature_col=feature_col, n_bits=n_bits
+    )
+    chunks = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("phash"), c * width)
+                        .bitwiseAND(mask)
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "phash", "ck.chunk_id", "ck.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_i"),
+            F.col("b.doc_id").alias("id_j"),
+            F.expr("bit_count(a.phash ^ b.phash)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

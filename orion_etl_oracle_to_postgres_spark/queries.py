@@ -7326,3 +7326,40 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def _phash_sql(n_bits: int = 8, max_hamming: int = 1) -> str:
+    """Oracle for the perceptual-hash pairs: replay the stub decoder's
+    sha-derived features, pack bit i when round(byte/255, 6) >= 0.5
+    (⇔ byte >= 128 — 127/255 rounds to 0.498039), all-pairs hamming at
+    sf0.01's 500 docs (the Spark side's chunk banding has perfect
+    recall for hamming <= max_hamming, so the pair sets coincide)."""
+    bits = " + ".join(
+        f"(CASE WHEN {_hexbyte_sql('sha', 2 + i)} >= 128 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS ph
+      FROM (SELECT doc_id, sha256(text) AS sha FROM documents)
+    )
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+    FROM sig a, sig b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+    """
+
+
+@query("multimodal_phash_pairs", _phash_sql())
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Image near-dup pairs by perceptual hash
+    (operators/multimodal.py:phash_near_dups): binary ingest → Arrow
+    decode (stub codec, sha-derived features) → JVM-side bit pack →
+    chunk-banded self-join → hamming verify. The media dedup every
+    multimodal corpus needs; payloads never shuffle — only (id, phash)
+    pairs do. Oracle replays the feature threshold bit-exactly."""
+    d = _t(spark, sf_dir, "documents")
+    b = multimodal.attach_fake_binary(d, "text", "doc_id")
+    feats = multimodal.decode_image_features(b)
+    return multimodal.phash_near_dups(feats)

@@ -133,3 +133,44 @@ def test_decode_audio_features(spark):
     assert r1["rms"] == round(h[1] / 255.0, 6)
     assert r1["peak"] == round(max(h[1], h[2]) / 255.0, 6)
     assert out[3]["sample_rate"] is None  # NULL payload passes through
+
+
+def test_phash_banding_has_perfect_recall_vs_bruteforce(spark):
+    """Chunk banding must find EXACTLY the all-pairs hamming<=1 set."""
+    from itertools import combinations
+
+    from orion_etl_oracle_to_postgres_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dups,
+    )
+
+    rows = [
+        (1, [0.9, 0.9, 0.1, 0.1, 0.9, 0.1, 0.9, 0.9]),
+        (2, [0.9, 0.9, 0.1, 0.1, 0.9, 0.1, 0.9, 0.1]),  # hamming 1 vs 1
+        (3, [0.1, 0.1, 0.9, 0.9, 0.1, 0.9, 0.1, 0.1]),  # far from both
+        (4, [0.9, 0.9, 0.1, 0.1, 0.9, 0.1, 0.9, 0.9]),  # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, features array<double>")
+    hashes = {r.doc_id: r.phash for r in perceptual_hash(df).collect()}
+    expect = {
+        (i, j)
+        for i, j in combinations(sorted(hashes), 2)
+        if bin(hashes[i] ^ hashes[j]).count("1") <= 1
+    }
+    got = {(r.id_i, r.id_j) for r in phash_near_dups(df).collect()}
+    assert got == expect == {(1, 2), (1, 4), (2, 4)}
+    # hamming values are correct
+    h = {(r.id_i, r.id_j): r.hamming for r in phash_near_dups(df).collect()}
+    assert h[(1, 4)] == 0 and h[(1, 2)] == 1
+
+
+def test_phash_chunk_width_guard(spark):
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.multimodal import (
+        phash_near_dups,
+    )
+
+    df = spark.createDataFrame([(1, [0.9] * 8)], "doc_id long, features array<double>")
+    with _pt.raises(ValueError, match="chunks"):
+        phash_near_dups(df, n_bits=8, max_hamming=2)  # 8 bits / 3 chunks
