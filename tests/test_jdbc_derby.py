@@ -176,3 +176,66 @@ def test_auto_mapping_missing_target_classified(spark, derby):
         source_table="src_t", target_table="never_made", target_schema=None
     )
     assert ctx.target_table_columns(t) is None
+
+
+def test_versioned_lookup_against_live_jdbc_dim(spark, derby, tmp_path):
+    """The round-5 PIT lookup (`lookup.ts_column`) over a dimension that
+    lives in a REAL database: fact parquet rows resolve the Derby-side
+    SCD2 version valid at each row's own timestamp through the exact
+    compile path users run against Oracle/Postgres."""
+    import datetime as dt
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        LookupSpec,
+        MappingSpec,
+        TableSpec,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("k1", "old", dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)),
+            ("k1", "new", dt.datetime(2024, 6, 1), None),
+        ],
+        "CODE string, NAME string, VALID_FROM timestamp, VALID_TO timestamp",
+    )
+    dim.write.format("jdbc").option("url", derby.url).option(
+        "dbtable", "dim_ver"
+    ).save()
+
+    src = tmp_path / "pitsrc"
+    spark.createDataFrame(
+        [(1, "k1", dt.datetime(2024, 2, 1)), (2, "k1", dt.datetime(2024, 8, 1))],
+        "id int, code string, ts timestamp",
+    ).write.parquet(str(src / "fact.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src)),
+                target_jdbc=derby,
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="fact",
+        target_table="fact_named",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="ts", target="ts"),
+            MappingSpec(
+                source="code",
+                target="code",
+                lookup=LookupSpec(
+                    table="dim_ver", key_column="CODE", value_column="NAME",
+                    on_missing="null", ts_column="ts",
+                    valid_from_column="VALID_FROM", valid_to_column="VALID_TO",
+                ),
+            ),
+        ],
+    )
+    out = {r["id"]: r["code"] for r in compile_table(ctx, spec).df.collect()}
+    assert out == {1: "old", 2: "new"}
