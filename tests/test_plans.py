@@ -549,3 +549,13 @@ def test_q8_five_broadcast_dims(spark, sf):
     import re
 
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 5
+
+
+def test_temperature_mix_null_safe_join_still_broadcasts(spark, sf):
+    """The eqNullSafe group join (NULL groups sample at their own derived
+    rate) must stay a broadcast hash join — null-safe equality is
+    broadcast-compatible, and a regression to SortMergeJoin would
+    shuffle the whole corpus."""
+    plan = plan_of(q.QUERIES["curation_temperature_mix"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
