@@ -7363,3 +7363,34 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = multimodal.attach_fake_binary(d, "text", "doc_id")
     feats = multimodal.decode_image_features(b)
     return multimodal.phash_near_dups(feats)
+
+
+@query(
+    "text_langid_confusion",
+    """
+    WITH pred AS ("""
+    + _langid_sql().replace("SELECT doc_id,", "SELECT doc_id,", 1)
+    + """)
+    SELECT d.lang AS declared, p.pred_lang AS predicted,
+           count(*)::BIGINT AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Language-ID confusion matrix: the declared `lang` column
+    crossed with the n-gram-marker classifier's prediction — the QA
+    census every corpus pipeline runs to decide whether to trust its
+    metadata (rows off the diagonal = mislabeled or ambiguous docs).
+    Composes the oracled langid projection with one id join + a tiny
+    census aggregate; the corpus-wide shuffle carries ids + two short
+    strings."""
+    d = _t(spark, sf_dir, "documents")
+    pred = text.language_id(d, "text", "doc_id").select("doc_id", "pred_lang")
+    return (
+        d.select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", F.col("pred_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("declared", "predicted")
+    )
