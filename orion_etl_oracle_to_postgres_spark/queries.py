@@ -7394,3 +7394,70 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("declared", "predicted")
     )
+
+
+@query(
+    "window_funnel_latency",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_converted,
+           round(quantile_cont(lat_h, 0.5), 4) AS p50_hours,
+           round(quantile_cont(lat_h, 0.9), 4) AS p90_hours,
+           round(avg(lat_h), 4) AS mean_hours
+    FROM (
+      SELECT date_diff('millisecond', s.signup_ts, p.first_purchase) / 3600000.0 AS lat_h
+      FROM s JOIN p USING (user_id)
+    )
+    """,
+)
+def window_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles: per user, first signup → first
+    subsequent purchase; exact p50/p90/mean of the latency in hours —
+    the "how long does conversion take" readout next to the funnel's
+    "how many convert". Two per-user min aggregates share the user-key
+    shuffle, the latency projection is in-row, and the exact
+    percentiles run on the converted-users table (small side). Exact
+    `percentile` (not approx) keeps the DuckDB twin bit-comparable."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = (
+        s.join(p, "user_id")
+        .select(
+            # ts may surface as TIMESTAMP_NTZ (nanos parquet path); the
+            # double cast goes via TIMESTAMP so both encodings work, and
+            # the session-zone offset cancels in the difference
+            (
+                (
+                    F.col("first_purchase").cast("timestamp").cast("double")
+                    - F.col("signup_ts").cast("timestamp").cast("double")
+                )
+                / 3600.0
+            ).alias("lat_h")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_h, 0.5)"), 4).alias("p50_hours"),
+        F.round(F.expr("percentile(lat_h, 0.9)"), 4).alias("p90_hours"),
+        F.round(F.avg("lat_h"), 4).alias("mean_hours"),
+    )
