@@ -167,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
         "in the job, from the spec alone — nothing executes",
     )
     parser.add_argument(
+        "--expect",
+        metavar="TABLE",
+        default=None,
+        help="compile TABLE's pipeline and run its declared expectations "
+        "as a standalone report (no write) — the data-contract dry run; "
+        "exit 1 if any check fails",
+    )
+    parser.add_argument(
         "--explain",
         action="store_true",
         help="compile every table and print its optimized physical plan "
@@ -403,6 +411,48 @@ def main(argv: list[str] | None = None) -> int:
             print(f"bucket {b}: pipeline={left.get(b)} target={right.get(b)}")
         print(f"checksum: {'DIVERGED' if bad else 'OK'} ({len(bad)} buckets differ)")
         return 1 if bad else 0
+
+    if args.expect:
+        from .compiler import compile_table
+        from .operators.expectations import Expect, run_expectations
+        from .spec import LookupSpec as _LkSpec
+
+        tspec, full_spec = _resolve_full_spec(args.expect, "--expect")
+        if not full_spec.expectations:
+            raise SystemExit(
+                f"--expect: table {tspec.target_table!r} declares no "
+                "expectations block"
+            )
+        ctx = JobContext(spark, job.global_spec)
+        compiled = compile_table(ctx, full_spec)
+        checks = [
+            Expect(
+                type=e.type,
+                columns=tuple(e.columns),
+                min=e.min,
+                max=e.max,
+                max_null_frac=e.max_null_frac,
+                values=tuple(e.values),
+                ref_table=e.ref_table,
+                ref_column=e.ref_column,
+                as_of=e.as_of,
+                max_lag_hours=e.max_lag_hours,
+            )
+            for e in full_spec.expectations
+        ]
+        report = run_expectations(
+            compiled.df,
+            checks,
+            resolve_ref=lambda t: ctx.lookup_table(_LkSpec(table=t, key_column="_")),
+        ).collect()
+        n_fail = sum(1 for r in report if not r["passed"])
+        for r in report:
+            print(
+                f"{'PASS' if r['passed'] else 'FAIL'}  {r['check']}  "
+                f"observed={r['observed']}  threshold={r['threshold']}"
+            )
+        print(f"expectations: {len(report) - n_fail}/{len(report)} passed")
+        return 1 if n_fail else 0
 
     if args.profile:
         from pyspark.errors import AnalysisException

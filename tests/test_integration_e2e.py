@@ -428,3 +428,58 @@ def test_cli_checksum_verb(spark, tmp_path, capsys):
     assert main(["--config", cfg, "--checksum", "t_out"]) == 1
     outtxt = capsys.readouterr().out
     assert "DIVERGED" in outtxt and "bucket " in outtxt
+
+
+def test_cli_expect_verb(spark, tmp_path, capsys):
+    """--expect: standalone data-contract dry run — report printed, exit
+    0 when all checks pass, 1 when any fails, no write happens."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "id int, v double"
+    ).write.parquet(str(src / "t.parquet"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+
+    def table_yaml(max_null_frac):
+        (tmp_path / "tables" / "t.yaml").write_text(
+            textwrap.dedent(
+                f"""
+                source_table: t
+                target_table: t_out
+                mappings:
+                  - source: id
+                    target: id
+                  - source: v
+                    target: v
+                expectations:
+                  - type: row_count
+                    min: 1
+                  - type: not_null
+                    columns: [v]
+                    max_null_frac: {max_null_frac}
+                """
+            )
+        )
+
+    cfg = str(tmp_path / "config.yaml")
+    table_yaml(0.5)
+    assert main(["--config", cfg, "--expect", "t_out"]) == 0
+    assert "2/2 passed" in capsys.readouterr().out
+    # nothing was written by the dry run
+    assert not (out / "t_out").exists()
+    table_yaml(0.0)
+    assert main(["--config", cfg, "--expect", "t_out"]) == 1
+    got = capsys.readouterr().out
+    assert "FAIL" in got and "1/2 passed" in got
