@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "events_ab_welch",  # unit rollup + one-row Welch aggregate
     "agg_shipping_priority_top10",  # Q3 shape: 2-shuffle join chain + TakeOrdered
     "agg_large_volume_orders",  # Q18 shape: HAVING semi join reusing orderkey shuffle
+    "scd2_pit_order_balances",  # point-in-time dim join: key-equi + interval residual
+    "window_revenue_pareto",  # global ordered window over the post-agg customer side
+    "multimodal_phash_pairs",  # Arrow decode + JVM bit-pack + chunk-band join
 ]
 
 
