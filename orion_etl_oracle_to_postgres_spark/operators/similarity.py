@@ -1294,3 +1294,38 @@ def pq_adc_topk_materialized(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def int8_topk_query(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN top-k — the storage-first sibling of
+    the PQ stack: the corpus is scored in its 4-8× smaller int8 form
+    (``quantize_embeddings``), and because symmetric per-vector scales
+    CANCEL in the cosine, the quantized cosine is just the cosine of
+    the raw int code arrays — pure integer dot products, one sqrt at
+    the end, no dequantize multiply per element. The query is quantized
+    driver-side with the same ties-away-from-zero rule, so engine and
+    oracle agree code-for-code. Scan → project → TakeOrderedAndProject;
+    zero shuffles."""
+    import math
+
+    s = max(abs(float(x)) for x in query_vec)
+    if s == 0:
+        raise ValueError("int8_topk_query: zero query vector")
+    qq = [
+        math.copysign(math.floor(abs(float(x)) * 127.0 / s + 0.5), x)
+        for x in query_vec
+    ]
+    qd = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
+    sim = cosine(F.col("qvec").cast("array<double>"), _lit_vec(qq))
+    return (
+        qd.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

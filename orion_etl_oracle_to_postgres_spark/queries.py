@@ -7461,3 +7461,38 @@ def window_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat_h, 0.9)"), 4).alias("p90_hours"),
         F.round(F.avg("lat_h"), 4).alias("mean_hours"),
     )
+
+
+@query(
+    "emb_int8_topk",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * 127.0 /
+                                 list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))))
+               AS qvec
+      FROM embeddings
+      WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0
+    ),
+    q AS (SELECT qvec AS qq FROM qz WHERE vec_id = 0)
+    SELECT z.vec_id,
+           round(list_cosine_similarity(z.qvec, q.qq), 6) AS cosine_sim
+    FROM qz z, q
+    ORDER BY cosine_sim DESC, z.vec_id
+    LIMIT 10
+    """,
+)
+def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Int8 scalar-quantized ANN top-k
+    (operators/similarity.py:int8_topk_query): symmetric per-vector
+    scales cancel in the cosine, so the 4-8× smaller int8 corpus is
+    scored as pure integer dot products — the storage-first ANN path
+    next to PQ/ADC. Oracle replays the identical quantization
+    (round ties-away in both engines) and the int-code cosine."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.int8_topk_query(e, qv, k=10)

@@ -597,3 +597,45 @@ def test_pq_materialize_roundtrip_matches_direct_adc(spark, tmp_path):
 
     with pytest.raises(ValueError, match="query_vec dim"):
         similarity.pq_adc_topk_materialized(spark, path, [1.0], k=2, m=2)
+
+
+def test_int8_topk_matches_exact_on_separated_vectors(spark):
+    """Quantized cosine ranks well-separated vectors like the exact
+    path, and zero query vectors are refused."""
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        cosine_topk_query,
+        int8_topk_query,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.05, 0.0, 0.0]
+    exact = [r.vec_id for r in cosine_topk_query(df, q, k=4).collect()]
+    quant = [r.vec_id for r in int8_topk_query(df, q, k=4).collect()]
+    assert exact == quant  # ordering preserved on separated vectors
+    with _pt.raises(ValueError, match="zero query"):
+        int8_topk_query(df, [0.0, 0.0, 0.0, 0.0])
+
+
+def test_int8_topk_is_zero_shuffle_take_ordered(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        int8_topk_query,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 50)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        int8_topk_query(df, [1.0, 1.0], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
