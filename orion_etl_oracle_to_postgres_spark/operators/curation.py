@@ -716,3 +716,64 @@ def hash_kfold(
         raise ValueError("input already has a 'fold' column — rename it first")
     h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
     return df.withColumn("fold", (h % k).cast("int"))
+
+
+def epoch_mix_preview(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    seed: str = "ep0",
+    max_epochs: float = 100.0,
+) -> DataFrame:
+    """EXACT dry-run report for ``epoch_mix`` with the same parameters:
+    per group — input rows, whole epochs, the fractional per-mille
+    threshold, how many rows the fractional hash filter would keep, and
+    the exact output row count. Because the keep decision is a
+    deterministic hash, the preview is not an estimate: it is the
+    count the materializing run will produce, computed by ONE tiny
+    aggregate instead of the explode — the "check the recipe before
+    burning the cluster" step. Same validation as epoch_mix (a typo'd
+    budget fails here first)."""
+    if not epochs:
+        raise ValueError("epochs mapping must be non-empty")
+    plan: dict[str, tuple[int, int]] = {}
+    for g, e in {**epochs, None: default_epochs}.items():
+        if not 0.0 <= float(e) <= max_epochs:
+            raise ValueError(
+                f"epochs for group {g!r} must be in [0, {max_epochs}], got {e}"
+            )
+        full = int(e)
+        plan[g] = (full, int(round((float(e) - full) * _BUCKETS)))
+
+    def _case(idx: int):
+        expr = F.lit(plan[None][idx])
+        for g, t in plan.items():
+            if g is not None:
+                expr = F.when(F.col(group_col) == g, F.lit(t[idx])).otherwise(expr)
+        return expr
+
+    h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(_case(0)).alias("full_epochs"),
+            F.max(_case(1)).alias("frac_per_mille"),
+            F.sum(F.when(h % _BUCKETS < _case(1), 1).otherwise(0)).alias(
+                "frac_rows"
+            ),
+        )
+        .select(
+            "grp",
+            "n_rows",
+            "full_epochs",
+            "frac_per_mille",
+            "frac_rows",
+            (F.col("n_rows") * F.col("full_epochs") + F.col("frac_rows")).alias(
+                "out_rows"
+            ),
+        )
+    )

@@ -7496,3 +7496,43 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return similarity.int8_topk_query(e, qv, k=10)
+
+
+@query(
+    "curation_mix_preview",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':ep1')")
+    + """ % 1000 AS b,
+             CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1 WHEN 'de' THEN 0
+                       ELSE 1 END AS fe,
+             CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 0
+                       WHEN 'de' THEN 400 ELSE 0 END AS fp
+      FROM documents
+    )
+    SELECT lang AS grp, count(*)::BIGINT AS n_rows,
+           max(fe) AS full_epochs, max(fp) AS frac_per_mille,
+           sum(CASE WHEN b < fp THEN 1 ELSE 0 END)::BIGINT AS frac_rows,
+           (count(*) * max(fe)
+            + sum(CASE WHEN b < fp THEN 1 ELSE 0 END))::BIGINT AS out_rows
+    FROM h GROUP BY lang
+    """,
+)
+def curation_mix_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact epoch-mix dry run
+    (operators/curation.py:epoch_mix_preview): per-language input rows,
+    whole epochs, fractional threshold, and the EXACT output count the
+    materializing epoch_mix run (same seed/params as curation_epoch_mix)
+    will produce — one tiny aggregate, no explode. The deterministic
+    hash makes the preview a guarantee, not an estimate."""
+    from .operators.curation import epoch_mix_preview
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_mix_preview(
+        d, "doc_id", "lang",
+        epochs={"en": 2.5, "fr": 1.0, "de": 0.4},
+        default_epochs=1.0,
+        seed="ep1",
+    )

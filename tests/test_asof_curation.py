@@ -1024,3 +1024,25 @@ def test_hash_kfold_partition_and_determinism(spark):
         hash_kfold(df, "id", k=1)
     with pytest.raises(ValueError, match="fold"):
         hash_kfold(hash_kfold(df, "id", k=2), "id", k=2)
+
+
+def test_epoch_mix_preview_is_exact(spark):
+    """The preview's out_rows equals the materializing run's count per
+    group — a guarantee, not an estimate."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        epoch_mix,
+        epoch_mix_preview,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)], "doc_id int, lang string"
+    )
+    params = dict(epochs={"a": 1.7, "b": 0.3}, default_epochs=1.0, seed="pv1")
+    preview = {r.grp: r.out_rows
+               for r in epoch_mix_preview(df, "doc_id", "lang", **params).collect()}
+    from collections import Counter
+
+    actual = Counter(
+        r.lang for r in epoch_mix(df, "doc_id", "lang", **params).collect()
+    )
+    assert preview == dict(actual)
