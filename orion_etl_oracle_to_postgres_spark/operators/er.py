@@ -139,3 +139,49 @@ def resolve_entities(
             ),
         )
     )
+
+
+def blocking_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    *,
+    block_fn=None,
+    top_n: int = 10,
+) -> DataFrame:
+    """Blocking-quality diagnostic for ``fuzzy_join``: per blocking key
+    (the ``top_n`` heaviest by candidate count) — left rows, right
+    rows, candidate pairs (their product), and each key's share of the
+    total candidate volume. The report that decides ``max_block_size``
+    and whether the block function is discriminative enough BEFORE the
+    quadratic verify runs: one degenerate key carrying 40% of all
+    candidates means a better key, not a bigger cluster. Two tiny
+    per-key aggregates + one join on the key — the texts never move."""
+    fn = block_fn if block_fn is not None else default_block_key
+    lc = (
+        left.select(fn(F.col(left_text)).alias("block_key"))
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("left_rows"))
+    )
+    rc = (
+        right.select(fn(F.col(right_text)).alias("block_key"))
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("right_rows"))
+    )
+    per_key = lc.join(rc, "block_key").withColumn(
+        "candidates", F.col("left_rows") * F.col("right_rows")
+    )
+    total = per_key.agg(F.sum("candidates").alias("__tot"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "block_key",
+            "left_rows",
+            "right_rows",
+            "candidates",
+            F.round(F.col("candidates") / F.col("__tot"), 6).alias("share"),
+        )
+        .orderBy(F.col("candidates").desc(), "block_key")
+        .limit(top_n)
+    )

@@ -7536,3 +7536,56 @@ def curation_mix_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_epochs=1.0,
         seed="ep1",
     )
+
+
+@query(
+    "er_blocking_report",
+    """
+    WITH dirty AS (
+      SELECT CASE WHEN p_partkey % 3 = 0
+                  THEN substr(p_name, 1, length(p_name) - 1)
+                  ELSE p_name END AS dirty_name
+      FROM part WHERE p_partkey % 7 = 0
+    ),
+    lc AS (
+      SELECT lower(string_split_regex(trim(dirty_name), '\\s+')[1]) AS block_key,
+             count(*)::BIGINT AS left_rows
+      FROM dirty GROUP BY 1
+    ),
+    rc AS (
+      SELECT lower(string_split_regex(trim(p_name), '\\s+')[1]) AS block_key,
+             count(*)::BIGINT AS right_rows
+      FROM part GROUP BY 1
+    ),
+    pk AS (
+      SELECT lc.block_key, left_rows, right_rows,
+             (left_rows * right_rows)::BIGINT AS candidates
+      FROM lc JOIN rc USING (block_key)
+    )
+    SELECT block_key, left_rows, right_rows, candidates,
+           round(candidates / (SELECT sum(candidates) FROM pk), 6) AS share
+    FROM pk
+    ORDER BY candidates DESC, block_key
+    LIMIT 10
+    """,
+)
+def er_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ER blocking-quality diagnostic
+    (operators/er.py:blocking_report): the top-10 heaviest blocking
+    keys of the er_fuzzy_join_parts dirty↔catalog join with candidate volume
+    and share — the pre-flight readout that decides max_block_size /
+    block-function choice before the quadratic verify runs. Oracle
+    replays the first-token key and the per-key products."""
+    from .operators.er import blocking_report
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("dirty_name"),
+    )
+    return blocking_report(dirty, p, "dirty_name", "p_name")
