@@ -7589,3 +7589,95 @@ def er_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dirty_name"),
     )
     return blocking_report(dirty, p, "dirty_name", "p_name")
+
+
+@query(
+    "window_seasonal_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS d,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    shifted AS (
+      SELECT event_type, d, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+      FROM daily
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_days_scored,
+           round(avg(abs(n - pred) / n), 6) AS mape,
+           round(avg(abs(n - pred)), 4) AS mae
+    FROM shifted
+    WHERE pred IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def window_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the value 7 days earlier (the baseline every real forecast
+    must beat) and score per-type MAPE/MAE over the full history — the
+    capacity-planning sanity readout. Window input is the tiny
+    (type, day) aggregate, never raw events; one lag window + census.
+    Day counts are integers, so the error ratios are engine-exact."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    shifted = daily.withColumn("pred", F.lag("n", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    return (
+        shifted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("pred")) / F.col("n")), 6).alias(
+                "mape"
+            ),
+            F.round(F.avg(F.abs(F.col("n") - F.col("pred"))), 4).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "window_event_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*)::BIGINT AS n_transitions
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (first-order Markov) census: for every user's
+    time-ordered stream, count each consecutive (from → to) event-type
+    pair — the path-analysis table behind funnels and next-action
+    models. One user-keyed window (lead with the event-id tiebreak so
+    same-timestamp rows order identically in every engine) + a 25-cell
+    census aggregate."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    return (
+        ordered.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
