@@ -1329,3 +1329,67 @@ def int8_topk_query(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kcenter_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset: start from the minimum
+    id, then repeatedly add the point FARTHEST from the selected set
+    (max over rows of min distance to any selected vector; euclidean,
+    rounded to 6 before the argmax so the pick is engine-stable, id
+    tiebreak) — the classic 2-approximation diverse-subset selection
+    used to seed clustering and to pick maximally-diverse training
+    examples.
+
+    Scale shape: k-1 passes, each ONE scan + TakeOrderedAndProject(1)
+    — the selected vectors ride as literals (like the IVF/PQ codebooks)
+    so no join and no shuffle of the corpus; the driver holds k rows
+    (small-by-construction collect). k is the caller's budget — this is
+    for tens-to-hundreds of centers, not millions (use ivf_train's
+    sampled k-means path there)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    first = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kcenter_sample: empty input")
+    selected = [(first[0][0], [float(x) for x in first[0][1]])]
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    while len(selected) < k:
+        dists = [
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"), _lit_vec(vec), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for _, vec in selected
+        ]
+        mind = F.round(F.least(*dists) if len(dists) > 1 else dists[0], 6)
+        nxt = (
+            base.select(F.col(id_col), F.col("__v"), mind.alias("__md"))
+            .orderBy(F.col("__md").desc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((nxt[0], [float(x) for x in nxt[1]]))
+    spark = df.sparkSession
+    ids = [int(i) for i, _ in selected]
+    return (
+        spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        .orderBy(id_col)
+    )

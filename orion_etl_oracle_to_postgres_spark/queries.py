@@ -7681,3 +7681,42 @@ def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+def _kcenter_sql(k: int = 6) -> str:
+    """Oracle: unrolled greedy farthest-point selection — sel_{i+1} =
+    sel_i + argmax over rows of round(min list_distance to sel_i, 6),
+    id tiebreak; identical rounding/tiebreak to the operator."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "sel1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"d{i} AS (SELECT e.vec_id, e.v,"
+            f" round(min(list_distance(e.v, s.v)), 6) AS md"
+            f" FROM e CROSS JOIN sel{i} s GROUP BY e.vec_id, e.v)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT vec_id, v FROM d{i} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i + 1} AS (SELECT * FROM sel{i} UNION ALL SELECT * FROM p{i})"
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT vec_id FROM sel{k} ORDER BY vec_id
+    """
+
+
+@query("emb_kcenter_sample", _kcenter_sql())
+def emb_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Greedy k-center diverse coreset
+    (operators/similarity.py:kcenter_sample): 6 maximally-spread
+    vectors by farthest-point selection — the diverse-subset primitive
+    for seeding clustering / picking spread-out training examples.
+    Each round is one scan + TakeOrderedAndProject(1) with the selected
+    vectors as literals; the oracle unrolls the identical rounds."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_sample(e, 6)

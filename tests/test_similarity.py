@@ -639,3 +639,27 @@ def test_int8_topk_is_zero_shuffle_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_kcenter_sample_farthest_point_semantics(spark):
+    """Greedy farthest-point: starts at min id, each pick maximizes the
+    min distance to the selected set; k=1 returns just the seed."""
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        kcenter_sample,
+    )
+    import pytest as _pt
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [0.1, 0.0]),   # near the seed
+        (3, [10.0, 0.0]),  # farthest from seed -> picked 2nd
+        (4, [0.0, 9.0]),   # farthest from {1,3} -> picked 3rd
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert [r.vec_id for r in kcenter_sample(df, 1).collect()] == [1]
+    assert {r.vec_id for r in kcenter_sample(df, 3).collect()} == {1, 3, 4}
+    assert kcenter_sample(df, 4).count() == 4
+    with _pt.raises(ValueError, match="k must be"):
+        kcenter_sample(df, 0)
+    with _pt.raises(ValueError, match="empty"):
+        kcenter_sample(df.filter("vec_id > 99"), 2)
