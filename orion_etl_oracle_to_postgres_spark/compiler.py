@@ -675,6 +675,51 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # label (both pure hash projections — zero shuffles; distinct seeds
     # keep sample and split uncorrelated)
     quality_rejects = None
+    if spec.rewrite is not None:
+        rw = spec.rewrite
+        if rw.text_column not in df.columns:
+            raise ValueError(
+                f"{spec.source_table}: rewrite.text_column "
+                f"{rw.text_column!r} not in pipeline output {df.columns}"
+            )
+        if rw.method == "scrub":
+            from .operators.text import scrub_text
+
+            df = df.withColumn(rw.text_column, scrub_text(F.col(rw.text_column)))
+        else:  # repeated_spans
+            from .operators.dedup import (
+                repeated_span_dedup,
+                repeated_span_dedup_strided,
+            )
+
+            if rw.id_column not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: rewrite.id_column "
+                    f"{rw.id_column!r} not in pipeline output {df.columns}"
+                )
+            proj = df.select(rw.id_column, rw.text_column)
+            if rw.stride is not None and rw.stride < rw.span_tokens:
+                rewritten = repeated_span_dedup_strided(
+                    proj, rw.text_column, rw.id_column,
+                    span_tokens=rw.span_tokens, stride=rw.stride,
+                    min_docs=rw.min_docs,
+                )
+            else:
+                rewritten = repeated_span_dedup(
+                    proj, rw.text_column, rw.id_column,
+                    span_tokens=rw.span_tokens, min_docs=rw.min_docs,
+                )
+            # replace the text column via ONE id-keyed join (the span op
+            # only carries id+text — the rest of the row never enters
+            # its shuffles)
+            df = df.drop(rw.text_column).join(
+                rewritten.select(
+                    rw.id_column,
+                    F.col("new_text").alias(rw.text_column),
+                ),
+                rw.id_column,
+            )
+
     if spec.quality_filter is not None:
         qf = spec.quality_filter
         if qf.text_column not in df.columns:

@@ -7720,3 +7720,74 @@ def emb_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors as literals; the oracle unrolls the identical rounds."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.kcenter_sample(e, 6)
+
+
+def _rewrite_gate_sql() -> str:
+    """Replay of the declarative rewrite→gate pipeline: the span-dedup
+    CTE chain (same shape as _curate_v2_sql) + the heuristic quality
+    bar on the REWRITTEN text."""
+    import re
+
+    q_on_new = re.sub(r"\btext\b", "new_text", _QUALITY_SQL)
+    return (
+        """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[i * 3 + 1 : i * 3 + 3], ' ') AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(range(CAST(ceil(len(ts) / 3.0) AS BIGINT))) AS i
+            FROM toks WHERE len(ts) > 0)
+    ),
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rewritten AS (
+      SELECT s.doc_id,
+             coalesce(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END,
+                                 ' ' ORDER BY s.pos), '') AS new_text
+      FROM segs s LEFT JOIN hot h USING (seg)
+      GROUP BY s.doc_id
+    )
+    SELECT r.doc_id, t.lang, r.new_text AS text
+    FROM rewritten r JOIN toks t USING (doc_id)
+    WHERE """
+        + q_on_new
+        + """ >= 0.5
+    """
+    )
+
+
+@query("etl_rewrite_gate", _rewrite_gate_sql())
+def etl_rewrite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative text rewrite + gate (`rewrite:
+    {method: repeated_spans}` then `quality_filter`): the YAML user gets
+    cross-document boilerplate removal feeding the heuristic quality
+    bar — the first half of the modern-pipeline composition, straight
+    from the spec. Oracle replays the span CTE chain and the score on
+    the rewritten text."""
+    from .spec import QualityFilterSpec, RewriteSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_rw",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        rewrite=RewriteSpec(
+            text_column="text",
+            method="repeated_spans",
+            id_column="doc_id",
+            span_tokens=3,
+            min_docs=2,
+        ),
+        quality_filter=QualityFilterSpec(text_column="text", min_quality=0.5),
+    )
+    return _compile(spark, sf_dir, spec)

@@ -560,6 +560,46 @@ class ShardsSpec(BaseModel):
     seed: str = "shard0"
 
 
+class RewriteSpec(BaseModel):
+    """[engine extension] Declarative text REWRITE stage on the outgoing
+    rows (runs before the quality gate, matching the modern-pipeline
+    order: rewrite → gate → mix → split):
+
+    ``method: repeated_spans`` — cross-document boilerplate removal
+    (``dedup.repeated_span_dedup``; ``stride`` < ``span_tokens``
+    switches to the overlapping-window variant). Needs ``id_column``.
+    Cost: the hot-set hash aggregate + one id-keyed rewrite join.
+    ``method: scrub`` — URL/email placeholder scrubbing
+    (``text.scrub_text``); zero-shuffle pure projection."""
+
+    text_column: str
+    method: str  # repeated_spans | scrub
+    id_column: Optional[str] = None
+    span_tokens: int = Field(default=50, ge=1)
+    min_docs: int = Field(default=2, ge=2)
+    stride: Optional[int] = Field(default=None, ge=1)
+
+    @field_validator("method")
+    @classmethod
+    def _known_rewrite_method(cls, v: str) -> str:
+        if v not in ("repeated_spans", "scrub"):
+            raise ValueError(
+                f"rewrite method must be repeated_spans|scrub, got {v!r}"
+            )
+        return v
+
+    @model_validator(mode="after")
+    def _rewrite_requirements(self) -> "RewriteSpec":
+        if self.method == "repeated_spans" and not self.id_column:
+            raise ValueError("rewrite method=repeated_spans needs id_column")
+        if self.stride is not None and self.stride > self.span_tokens:
+            raise ValueError(
+                f"rewrite stride {self.stride} must be <= span_tokens "
+                f"{self.span_tokens}"
+            )
+        return self
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -619,6 +659,8 @@ class TableSpec(BaseModel):
     shards: Optional[ShardsSpec] = None
     #: declarative text-quality gate on the outgoing rows
     quality_filter: Optional[QualityFilterSpec] = None
+    #: declarative text rewrite (span dedup / scrubbing) BEFORE the gate
+    rewrite: Optional[RewriteSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":

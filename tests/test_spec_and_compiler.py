@@ -1695,3 +1695,49 @@ def test_declarative_kfold_split(spark, tmp_path):
     assert folds == {0, 1, 2, 3}
     with _pt.raises(ValidationError, match="mutually exclusive"):
         SplitSpec(id_column="id", folds=3, weights={"train": 1.0})
+
+
+def test_declarative_rewrite_scrub_and_validation(spark, tmp_path):
+    """rewrite method=scrub replaces URLs/emails in place; spec-level
+    validation catches missing id_column for repeated_spans and
+    stride > span_tokens."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        RewriteSpec,
+        TableSpec,
+    )
+    import pytest as _pt
+    from pydantic import ValidationError
+
+    src = tmp_path / "rw"
+    spark.createDataFrame(
+        [(1, "see http://x.io or mail a@b.co now")], "id long, body string"
+    ).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="body", target="body"),
+        ],
+        rewrite=RewriteSpec(text_column="body", method="scrub"),
+    )
+    out = compile_table(ctx, spec).df.collect()[0]["body"]
+    assert "<URL>" in out and "<EMAIL>" in out and "http" not in out
+    with _pt.raises(ValidationError, match="id_column"):
+        RewriteSpec(text_column="body", method="repeated_spans")
+    with _pt.raises(ValidationError, match="stride"):
+        RewriteSpec(text_column="body", method="repeated_spans",
+                    id_column="id", span_tokens=3, stride=5)
