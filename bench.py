@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "scd2_pit_order_balances",  # point-in-time dim join: key-equi + interval residual
     "window_revenue_pareto",  # global ordered window over the post-agg customer side
     "multimodal_phash_pairs",  # Arrow decode + JVM bit-pack + chunk-band join
+    "emb_int8_topk",  # int8 scalar-quantized ANN: integer dots, zero shuffle
+    "window_event_transitions",  # per-user lead window + Markov census
 ]
 
 
