@@ -63,3 +63,39 @@ def k_anonymity_stats(df: DataFrame, quasi_cols: list[str], *, k: int = 5) -> Da
         ).alias("rows_at_risk"),
         F.min("__n").alias("min_group_size"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 2,
+    top_n: int = 100,
+) -> DataFrame:
+    """Distinct-l-diversity audit — k-anonymity's necessary companion:
+    a group can be large (k-anonymous) yet carry ONE sensitive value,
+    so membership alone discloses it (the homogeneity attack). Reports
+    the ``top_n`` least-diverse quasi-identifier groups with fewer than
+    ``l`` distinct sensitive values (NULLs don't count as a value).
+    Empty result ⇔ every group is distinct-l-diverse. One groupBy with
+    an exact count_distinct (per-group cardinality is bounded by the
+    sensitive domain, not the corpus — no sketch needed), deterministic
+    ordering."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+    )
+    return (
+        groups.filter(F.col("n_sensitive") < l)
+        .orderBy(
+            F.asc("n_sensitive"),
+            F.desc("group_size"),
+            *[F.asc(c) for c in quasi_cols],
+        )
+        .limit(top_n)
+    )

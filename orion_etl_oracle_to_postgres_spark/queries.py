@@ -7791,3 +7791,38 @@ def etl_rewrite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_filter=QualityFilterSpec(text_column="text", min_quality=0.5),
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "privacy_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             count(*)::BIGINT AS group_size,
+             count(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos'
+                                 ELSE 'neg' END)::BIGINT AS n_sensitive
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, group_size, n_sensitive
+    FROM g WHERE n_sensitive < 2
+    ORDER BY n_sensitive ASC, group_size DESC, c_mktsegment ASC, c_nationkey ASC
+    LIMIT 100
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distinct-l-diversity audit
+    (operators/privacy.py:l_diversity_report): (segment, nation) groups
+    whose balance-sign attribute is HOMOGENEOUS — large k-anonymous
+    groups can still disclose the sensitive value to anyone who knows
+    membership. One aggregate + bounded ordered report."""
+    from .operators.privacy import l_diversity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") >= 0, "pos").otherwise("neg").alias("bal_sign"),
+    )
+    return l_diversity_report(
+        c, ["c_mktsegment", "c_nationkey"], "bal_sign", l=2
+    )

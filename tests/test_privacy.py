@@ -41,3 +41,25 @@ def test_guards(spark):
         k_anonymity_report(df, [], k=3)
     with pytest.raises(ValueError, match="k must be"):
         k_anonymity_stats(df, ["zip"], k=1)
+
+
+def test_l_diversity_homogeneous_group_flagged(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.privacy import (
+        l_diversity_report,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "x"), ("a", 1, "x"),   # big but homogeneous
+         ("b", 2, "x"), ("b", 2, "y"),                   # diverse
+         ("c", 3, None), ("c", 3, "z")],                 # NULL isn't a value
+        "seg string, nat int, s string",
+    )
+    out = l_diversity_report(df, ["seg", "nat"], "s", l=2).collect()
+    flagged = {(r.seg, r.nat): (r.group_size, r.n_sensitive) for r in out}
+    # 'a' homogeneous; 'c' has one non-null value -> flagged too
+    assert flagged == {("a", 1): (3, 1), ("c", 3): (2, 1)}
+    with _pt.raises(ValueError, match="l must be"):
+        l_diversity_report(df, ["seg"], "s", l=1)
+    with _pt.raises(ValueError, match="quasi_cols"):
+        l_diversity_report(df, [], "s")
