@@ -114,3 +114,81 @@ def ab_welch_ttest(
             2,
         ).alias("dof"),
     )
+
+
+def ab_cuped_ttest(
+    df: DataFrame,
+    unit_col: str,
+    metric_col: str,
+    ts_col: str,
+    split_ts: str,
+    *,
+    salt: str,
+    treat_per_mille: int = 500,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13): each
+    unit's PRE-period metric (events before ``split_ts``) is used as a
+    covariate — ``adj = post - theta * (pre - mean(pre))`` with
+    ``theta = cov(pre, post) / var(pre)`` pooled over BOTH arms (the
+    standard, assignment-independent estimator) — then Welch's t runs
+    on the adjusted metric. Same decision, tighter confidence: the
+    variance shrinks by the squared pre/post correlation, which is why
+    every large experimentation platform ships this next to the plain
+    t-test.
+
+    One unit-keyed shuffle (the pre/post rollup), then a 1-row pooled
+    stats aggregate broadcast into the closing 1-row conditional
+    aggregate — nothing wide moves. Units with no pre-period events
+    have pre = 0 (a real zero, not a NULL — absence of activity IS the
+    covariate value). Degenerate var(pre) = 0 → theta = 0 (plain
+    t-test)."""
+    cut = F.lit(split_ts).cast("timestamp")
+    per_unit = (
+        ab_assign(df, unit_col, salt=salt, treat_per_mille=treat_per_mille)
+        .groupBy(F.col(unit_col).alias("__u"), "variant")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col(ts_col) < cut, F.col(metric_col))), F.lit(0.0)
+            ).alias("__pre"),
+            F.coalesce(
+                F.sum(F.when(F.col(ts_col) >= cut, F.col(metric_col))), F.lit(0.0)
+            ).alias("__post"),
+        )
+    )
+    pooled = per_unit.agg(
+        F.avg("__pre").alias("__mp"),
+        F.var_samp("__pre").alias("__vp"),
+        F.covar_samp("__pre", "__post").alias("__cv"),
+    )
+    theta = F.when(F.col("__vp") > 0, F.col("__cv") / F.col("__vp")).otherwise(
+        F.lit(0.0)
+    )
+    adj = per_unit.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        (
+            F.col("__post") - theta * (F.col("__pre") - F.col("__mp"))
+        ).alias("__m"),
+    )
+    t = F.when(F.col("variant") == 1, F.col("__m"))
+    c = F.when(F.col("variant") == 0, F.col("__m"))
+    stats = adj.agg(
+        F.count(c).alias("__n0"),
+        F.count(t).alias("__n1"),
+        F.avg(c).alias("__m0"),
+        F.avg(t).alias("__m1"),
+        F.var_samp(c).alias("__v0"),
+        F.var_samp(t).alias("__v1"),
+    )
+    se0 = F.col("__v0") / F.col("__n0")
+    se1 = F.col("__v1") / F.col("__n1")
+    return stats.select(
+        F.col("__n0").alias("n_0"),
+        F.col("__n1").alias("n_1"),
+        F.round("__m0", 6).alias("adj_mean_0"),
+        F.round("__m1", 6).alias("adj_mean_1"),
+        F.round("__v0", 6).alias("adj_var_0"),
+        F.round("__v1", 6).alias("adj_var_1"),
+        F.round(
+            (F.col("__m1") - F.col("__m0")) / F.sqrt(se0 + se1), 6
+        ).alias("t_stat"),
+    )

@@ -7826,3 +7826,54 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(
         c, ["c_mktsegment", "c_nationkey"], "bal_sign", l=2
     )
+
+
+@query(
+    "events_ab_cuped",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             CASE WHEN """
+    + _hex2int_sql("md5(CAST(user_id AS VARCHAR) || ':ab1')")
+    + """ % 1000 < 500 THEN 1 ELSE 0 END AS variant,
+             coalesce(sum(value) FILTER (ts < TIMESTAMP '1997-01-01'), 0) AS pre,
+             coalesce(sum(value) FILTER (ts >= TIMESTAMP '1997-01-01'), 0) AS post
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    pooled AS (
+      SELECT avg(pre) AS mp, var_samp(pre) AS vp, covar_samp(pre, post) AS cv
+      FROM pu
+    ),
+    adj AS (
+      SELECT variant,
+             post - (CASE WHEN vp > 0 THEN cv / vp ELSE 0 END) * (pre - mp) AS m
+      FROM pu, pooled
+    ),
+    s AS (
+      SELECT count(m) FILTER (variant = 0)::BIGINT AS n0,
+             count(m) FILTER (variant = 1)::BIGINT AS n1,
+             avg(m) FILTER (variant = 0) AS m0,
+             avg(m) FILTER (variant = 1) AS m1,
+             var_samp(m) FILTER (variant = 0) AS v0,
+             var_samp(m) FILTER (variant = 1) AS v1
+      FROM adj
+    )
+    SELECT n0 AS n_0, n1 AS n_1,
+           round(m0, 6) AS adj_mean_0, round(m1, 6) AS adj_mean_1,
+           round(v0, 6) AS adj_var_0, round(v1, 6) AS adj_var_1,
+           round((m1 - m0) / sqrt(v0/n0 + v1/n1), 6) AS t_stat
+    FROM s
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CUPED variance-reduced A/B readout
+    (operators/experiment.py:ab_cuped_ttest): pre-1997 purchase revenue
+    as the covariate for the post-period metric, theta pooled over both
+    arms, Welch t on the adjusted per-user values — the platform-grade
+    companion to events_ab_welch. Oracle replays rollup, theta, and the
+    formula."""
+    from .operators.experiment import ab_cuped_ttest
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ab_cuped_ttest(e, "user_id", "value", "ts", "1997-01-01", salt="ab1")
