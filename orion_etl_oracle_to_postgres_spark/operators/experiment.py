@@ -192,3 +192,75 @@ def ab_cuped_ttest(
             (F.col("__m1") - F.col("__m0")) / F.sqrt(se0 + se1), 6
         ).alias("t_stat"),
     )
+
+
+# Poisson(1) pmf quantized to per-mille cumulative thresholds — the
+# deterministic stand-in for the Poisson bootstrap's random weights
+# (hash bucket < 368 -> w=0, < 736 -> 1, < 920 -> 2, ...). Replayable
+# by any engine from the same literals.
+_POISSON_CUM_PM = (368, 736, 920, 981, 996, 999)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    unit_col: str,
+    metric_col: str,
+    *,
+    n_replicas: int = 100,
+    seed: str = "bs0",
+    ci: float = 0.95,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-unit metric
+    mean (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"): each replica reweights every unit by an independent
+    Poisson(1) draw — here a DETERMINISTIC per-mille hash of
+    (unit, replica, seed) against the quantized pmf, so the whole
+    resample is replayable bit-for-bit by any engine (no RNG state, no
+    driver loop). Returns one row: point estimate, bootstrap SE, and
+    the exact-percentile CI over the replica means.
+
+    100 TB shape: one unit rollup shuffle, then an in-row explode to
+    (unit × n_replicas) lightweight rows feeding ONE replica-keyed
+    aggregate (map-side combined; n_replicas ~ 100 keys), closed by a
+    tiny exact-percentile aggregate over n_replicas values. The corpus
+    is never duplicated on disk and nothing wide shuffles."""
+    if not 1 <= n_replicas <= 10_000:
+        raise ValueError(f"n_replicas must be in [1, 10000], got {n_replicas}")
+    if not 0.5 <= ci < 1.0:
+        raise ValueError(f"ci must be in [0.5, 1), got {ci}")
+    per_unit = df.groupBy(F.col(unit_col).alias("__u")).agg(
+        F.sum(metric_col).alias("__m")
+    )
+    reps = per_unit.withColumn(
+        "__b", F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1)))
+    )
+    h = md5_hash60(
+        F.concat(
+            F.col("__u").cast("string"),
+            F.lit(":"),
+            F.col("__b").cast("string"),
+            F.lit(":" + seed),
+        )
+    ) % _BUCKETS
+    w = F.lit(len(_POISSON_CUM_PM))
+    for i in reversed(range(len(_POISSON_CUM_PM))):
+        w = F.when(h < _POISSON_CUM_PM[i], F.lit(i)).otherwise(w)
+    replica_means = (
+        reps.withColumn("__w", w)
+        .groupBy("__b")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__m")) / F.sum("__w")).alias("__rm")
+        )
+    )
+    lo_p, hi_p = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    point = per_unit.agg(F.avg("__m").alias("__pt"))
+    return (
+        replica_means.crossJoin(F.broadcast(point))
+        .agg(
+            F.round(F.first("__pt"), 6).alias("point_est"),
+            F.round(F.stddev_samp("__rm"), 6).alias("boot_se"),
+            F.round(F.expr(f"percentile(__rm, {lo_p})"), 6).alias("ci_lo"),
+            F.round(F.expr(f"percentile(__rm, {hi_p})"), 6).alias("ci_hi"),
+            F.count(F.lit(1)).alias("n_replicas"),
+        )
+    )

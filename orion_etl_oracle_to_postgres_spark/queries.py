@@ -7877,3 +7877,51 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return ab_cuped_ttest(e, "user_id", "value", "ts", "1997-01-01", salt="ab1")
+
+
+@query(
+    "events_bootstrap_ci",
+    """
+    WITH pu AS (
+      SELECT user_id, sum(value) AS m
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    reps AS (
+      SELECT user_id, m, unnest(range(100)) AS b FROM pu
+    ),
+    wts AS (
+      SELECT b, m,
+             (CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+                   WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 WHEN h < 999 THEN 5
+                   ELSE 6 END) AS w
+      FROM (SELECT b, m,
+    """
+    + _hex2int_sql(
+        "md5(CAST(user_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':bs1')"
+    )
+    + """ % 1000 AS h
+            FROM reps)
+    ),
+    rm AS (
+      SELECT b, sum(w * m) / sum(w) AS rmean FROM wts GROUP BY b
+    ),
+    pt AS (SELECT avg(m) AS p FROM pu)
+    SELECT round(p, 6) AS point_est,
+           round(stddev_samp(rmean), 6) AS boot_se,
+           round(quantile_cont(rmean, 0.025), 6) AS ci_lo,
+           round(quantile_cont(rmean, 0.975), 6) AS ci_hi,
+           count(*)::BIGINT AS n_replicas
+    FROM rm, pt GROUP BY p
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic Poisson-bootstrap CI
+    (operators/experiment.py:bootstrap_mean_ci): 95% interval for mean
+    per-user purchase revenue from 100 hash-weighted replicas — the
+    uncertainty number for any corpus statistic, with no RNG state and
+    no driver loop. Oracle replays the per-mille Poisson weights and
+    the replica means exactly."""
+    from .operators.experiment import bootstrap_mean_ci
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return bootstrap_mean_ci(e, "user_id", "value", n_replicas=100, seed="bs1")

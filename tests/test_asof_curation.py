@@ -1077,3 +1077,24 @@ def test_ab_cuped_reduces_variance_when_pre_predicts_post(spark):
     # pre explains nearly all post variance -> adjusted variance collapses
     assert adj.adj_var_0 < raw.var_0 / 100
     assert adj.adj_var_1 < raw.var_1 / 100
+
+
+def test_bootstrap_ci_covers_point_and_is_deterministic(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.experiment import (
+        bootstrap_mean_ci,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(u, float(u % 11) + 1.0) for u in range(200)], "user_id int, value double"
+    )
+    r1 = bootstrap_mean_ci(df, "user_id", "value", n_replicas=50, seed="t1").collect()[0]
+    r2 = bootstrap_mean_ci(df, "user_id", "value", n_replicas=50, seed="t1").collect()[0]
+    assert r1 == r2  # fully deterministic
+    assert r1.n_replicas == 50
+    assert r1.ci_lo <= r1.point_est <= r1.ci_hi
+    assert 0 < r1.boot_se < 2.0  # sane scale for mean ~6 over 200 units
+    with _pt.raises(ValueError, match="n_replicas"):
+        bootstrap_mean_ci(df, "user_id", "value", n_replicas=0)
+    with _pt.raises(ValueError, match="ci must"):
+        bootstrap_mean_ci(df, "user_id", "value", ci=0.3)
