@@ -198,3 +198,70 @@ def profile_join_skew(
         .orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
         .limit(int(top_n))
     )
+
+
+def layout_advisor(
+    df: DataFrame,
+    candidate_cols: list[str],
+    *,
+    target_partitions: int = 1000,
+) -> DataFrame:
+    """Partition-layout advisor: for each candidate partition column —
+    distinct values, null fraction, the heaviest value's row share
+    (skew), and a verdict against the classic hive-partitioning rules:
+    too many distinct values ⇒ small-file explosion
+    (``too_many_values``), a dominant value ⇒ one giant partition
+    (``skewed``), nulls present ⇒ a __HIVE_DEFAULT_PARTITION__ bucket
+    worth knowing about (``ok_with_nulls``), else ``ok``. ``ok`` means
+    "within 10×: enough partitions to parallelize, few enough that
+    files stay big" relative to ``target_partitions``.
+
+    The report that decides ``partition_by`` BEFORE a 100 TB rewrite.
+    One exact per-column aggregate pass per candidate (exact
+    count_distinct keeps the report differential-testable; candidates
+    are FEW by construction — this is an advisor, not a profiler of
+    every column)."""
+    if not candidate_cols:
+        raise ValueError("candidate_cols must be non-empty")
+    spark = df.sparkSession
+    rows = []
+    total = df.count()
+    for c in candidate_cols:
+        if c not in df.columns:
+            raise ValueError(f"candidate {c!r} not in {df.columns}")
+        agg = df.agg(
+            F.countDistinct(F.col(c)).alias("nd"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("nn"),
+        ).collect()[0]
+        top = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(c))
+            .limit(1)
+            .collect()
+        )
+        top_share = (top[0]["n"] / total) if (top and total) else 0.0
+        null_frac = (agg["nn"] or 0) / total if total else 0.0
+        nd = agg["nd"]
+        # ladder order matters: a constant column is both skewed and
+        # too-few — too_few_values is the actionable verdict, so the
+        # cardinality checks fire before the skew check
+        if nd > 10 * target_partitions:
+            verdict = "too_many_values"
+        elif nd < max(2, target_partitions // 10):
+            verdict = "too_few_values"
+        elif top_share > 0.5:
+            verdict = "skewed"
+        elif null_frac > 0:
+            verdict = "ok_with_nulls"
+        else:
+            verdict = "ok"
+        rows.append(
+            (c, int(nd), round(null_frac, 6), round(top_share, 6), verdict)
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_distinct bigint, null_frac double, "
+        "top_value_share double, verdict string",
+    )

@@ -7925,3 +7925,57 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return bootstrap_mean_ci(e, "user_id", "value", n_replicas=100, seed="bs1")
+
+
+@query(
+    "profile_layout_advisor",
+    """
+    WITH t AS (SELECT count(*)::DOUBLE AS total FROM orders),
+    c1 AS (
+      SELECT 'o_orderstatus' AS col, count(DISTINCT o_orderstatus)::BIGINT AS nd,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::DOUBLE AS nn,
+             (SELECT max(n) FROM (SELECT count(*)::DOUBLE AS n FROM orders
+                                  WHERE o_orderstatus IS NOT NULL
+                                  GROUP BY o_orderstatus)) AS topn
+      FROM orders
+    ),
+    c2 AS (
+      SELECT 'o_custkey', count(DISTINCT o_custkey)::BIGINT,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE,
+             (SELECT max(n) FROM (SELECT count(*)::DOUBLE AS n FROM orders
+                                  WHERE o_custkey IS NOT NULL GROUP BY o_custkey))
+      FROM orders
+    ),
+    c3 AS (
+      SELECT 'o_orderpriority', count(DISTINCT o_orderpriority)::BIGINT,
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::DOUBLE,
+             (SELECT max(n) FROM (SELECT count(*)::DOUBLE AS n FROM orders
+                                  WHERE o_orderpriority IS NOT NULL
+                                  GROUP BY o_orderpriority))
+      FROM orders
+    ),
+    u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+    SELECT col AS "column", nd AS n_distinct,
+           round(nn / total, 6) AS null_frac,
+           round(topn / total, 6) AS top_value_share,
+           CASE WHEN nd > 10 * 20 THEN 'too_many_values'
+                WHEN nd < 2 THEN 'too_few_values'
+                WHEN topn / total > 0.5 THEN 'skewed'
+                WHEN nn > 0 THEN 'ok_with_nulls'
+                ELSE 'ok' END AS verdict
+    FROM u, t
+    """,
+)
+def profile_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Partition-layout advisor
+    (operators/profile.py:layout_advisor): status (too few values),
+    custkey (too many for 20 target partitions), priority (ok) — the
+    pre-rewrite readout that decides partition_by. Oracle replays the
+    exact stats and the verdict ladder at target_partitions=20."""
+    from .operators.profile import layout_advisor
+
+    o = _t(spark, sf_dir, "orders")
+    return layout_advisor(
+        o, ["o_orderstatus", "o_custkey", "o_orderpriority"],
+        target_partitions=20,
+    )

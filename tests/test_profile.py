@@ -110,3 +110,29 @@ def test_profile_join_skew_hand_computed(spark):
 
     with pytest.raises(ValueError, match="top_n"):
         profile_join_skew(df, "k", top_n=0)
+
+
+def test_layout_advisor_verdicts(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.profile import layout_advisor
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 150 else f"v{i}", i % 5,
+          None if i % 2 else f"n{i % 7}", 1)
+         for i in range(200)],
+        "id int, skewcol string, okcol int, nullcol string, onecol int",
+    )
+    out = {r.column: r.verdict
+           for r in layout_advisor(
+               df, ["id", "skewcol", "okcol", "nullcol", "onecol"],
+               target_partitions=10,
+           ).collect()}
+    assert out["id"] == "too_many_values"    # 200 distinct > 10x10
+    assert out["skewcol"] == "skewed"        # 'hot' holds 75%
+    assert out["okcol"] == "ok"              # 5 values, no nulls, 20% top
+    assert out["nullcol"] == "ok_with_nulls"
+    assert out["onecol"] == "too_few_values"
+    with _pt.raises(ValueError, match="candidate"):
+        layout_advisor(df, ["nope"])
+    with _pt.raises(ValueError, match="non-empty"):
+        layout_advisor(df, [])
