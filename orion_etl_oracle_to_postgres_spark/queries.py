@@ -7979,3 +7979,102 @@ def profile_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, ["o_orderstatus", "o_custkey", "o_orderpriority"],
         target_partitions=20,
     )
+
+
+@query(
+    "dedup_impact_report",
+    """
+    WITH surv AS (
+      SELECT min(doc_id) AS keep_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    )
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS rows_in,
+           (SELECT count(*) FROM surv)::BIGINT AS rows_out,
+           (SELECT sum(n_chars) FROM documents)::BIGINT AS chars_in,
+           (SELECT sum(d.n_chars) FROM documents d
+            JOIN surv s ON s.keep_id = d.doc_id)::BIGINT AS chars_out,
+           round(1.0 - (SELECT count(*) FROM surv)::DOUBLE
+                       / (SELECT count(*) FROM documents), 6) AS row_dup_frac,
+           round(1.0 - (SELECT sum(d.n_chars) FROM documents d
+                        JOIN surv s ON s.keep_id = d.doc_id)::DOUBLE
+                       / (SELECT sum(n_chars) FROM documents), 6) AS char_dup_frac
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Dedup impact summary: rows/chars before vs after
+    fingerprint dedup with the duplicate fractions — the one-row
+    "how dirty is this corpus" readout pipeline owners check before
+    committing to a dedup pass. One survivor aggregate + two tiny
+    rollups; the corpus text shuffles once (the fingerprint groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    # fingerprint_dedup returns survivor ids — join back for the sizes
+    kept = d.join(
+        dedup.fingerprint_dedup(d, "text", "doc_id").select("doc_id"), "doc_id"
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("rows_in"), F.sum("n_chars").alias("chars_in")
+    )
+    out = kept.agg(
+        F.count(F.lit(1)).alias("rows_out"), F.sum("n_chars").alias("chars_out")
+    )
+    return (
+        tot.crossJoin(out)
+        .select(
+            "rows_in",
+            "rows_out",
+            "chars_in",
+            "chars_out",
+            F.round(1.0 - F.col("rows_out") / F.col("rows_in"), 6).alias(
+                "row_dup_frac"
+            ),
+            F.round(
+                1.0 - F.col("chars_out").cast("double") / F.col("chars_in"), 6
+            ).alias("char_dup_frac"),
+        )
+    )
+
+
+@query(
+    "agg_supplier_concentration",
+    """
+    WITH r AS (
+      SELECT p.p_type, l.l_suppkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT p_type, sum(rev) AS tot FROM r GROUP BY 1)
+    SELECT r.p_type,
+           count(*)::BIGINT AS n_suppliers,
+           round(sum(pow(r.rev / t.tot, 2)), 6) AS hhi
+    FROM r JOIN t USING (p_type)
+    GROUP BY r.p_type
+    ORDER BY r.p_type
+    """,
+)
+def agg_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per part type:
+    sum of squared revenue shares (1/n = perfectly even, → 1 =
+    monopoly) — the supply-chain-risk readout. Two aggregates sharing
+    the (type, supplier) grouping + a broadcast totals join; part dim
+    broadcast into the fact scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    r = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    t = r.groupBy("p_type").agg(F.sum("rev").alias("tot"))
+    return (
+        r.join(F.broadcast(t), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("rev") / F.col("tot"), 2)), 6).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )
