@@ -265,3 +265,33 @@ def layout_advisor(
         "column string, n_distinct bigint, null_frac double, "
         "top_value_share double, verdict string",
     )
+
+
+def correlation_matrix(
+    df: DataFrame, num_cols: list[str], *, decimals: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations over the named numeric columns in
+    ONE aggregate pass — the profiler half of the regression surface
+    (`queries.agg_price_qty_regression` fits one pair; this surveys all
+    of them to find which pairs are WORTH fitting). Emits the upper
+    triangle as (col_a, col_b, corr) rows. n(n-1)/2 corr aggregates
+    ride a single map-side-combined scan; n is the caller's shortlist,
+    not the schema."""
+    if len(num_cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    for c in num_cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in {df.columns}")
+    pairs = [
+        (a, b) for i, a in enumerate(num_cols) for b in num_cols[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(F.col(a), F.col(b)), decimals).alias(f"__c{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(a, b, float(row[f"__c{i}"])) for i, (a, b) in enumerate(pairs)],
+        "col_a string, col_b string, corr double",
+    )

@@ -8078,3 +8078,41 @@ def agg_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@query(
+    "profile_correlations",
+    """
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             round(corr(l_quantity, l_discount), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax',
+             round(corr(l_quantity, l_tax), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax',
+             round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', 'l_tax',
+             round(corr(l_discount, l_tax), 6) FROM lineitem
+    )
+    """,
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Pairwise correlation survey
+    (operators/profile.py:correlation_matrix): the 6 Pearson
+    coefficients over lineitem's numeric shortlist from ONE aggregate
+    pass — which pairs are worth a regression fit. Oracle computes the
+    same upper triangle."""
+    from .operators.profile import correlation_matrix
+
+    l = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

@@ -136,3 +136,23 @@ def test_layout_advisor_verdicts(spark):
         layout_advisor(df, ["nope"])
     with _pt.raises(ValueError, match="non-empty"):
         layout_advisor(df, [])
+
+
+def test_correlation_matrix_upper_triangle(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.profile import (
+        correlation_matrix,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(50)],
+        "a double, b double, c double",
+    )
+    out = {(r.col_a, r.col_b): r.corr
+           for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")] == 1.0 and out[("a", "c")] == -1.0
+    with _pt.raises(ValueError, match=">= 2"):
+        correlation_matrix(df, ["a"])
+    with _pt.raises(ValueError, match="not in"):
+        correlation_matrix(df, ["a", "zz"])
