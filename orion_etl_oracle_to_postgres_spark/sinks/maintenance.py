@@ -363,3 +363,56 @@ def retention_delete(
         else:
             kept += 1
     return {"deleted": sorted(deleted), "kept": kept}
+
+
+def small_file_report(
+    spark: SparkSession,
+    path: str,
+    *,
+    small_mb: float = 16.0,
+) -> dict:
+    """Layout-health report for a files target: data-file count, total /
+    mean / median / min / max bytes, and how many files fall under the
+    ``small_mb`` threshold — the number that says whether ``--compact``
+    is worth running BEFORE rewriting anything (the small-file problem
+    taxes every scan's task-scheduling and every driver's listing).
+    Walks the Hadoop FileSystem recursively (hive partition dirs
+    included), skips hidden/_metadata files — driver-side metadata only,
+    no data read. Returns a plain dict (this is an ops probe, not a
+    query)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(path)
+    sizes: list[int] = []
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        sizes.append(int(st.getLen()))
+    if not sizes:
+        return {
+            "n_files": 0, "total_bytes": 0, "mean_bytes": 0,
+            "median_bytes": 0, "min_bytes": 0, "max_bytes": 0,
+            "small_files": 0, "small_frac": 0.0,
+        }
+    sizes.sort()
+    n = len(sizes)
+    thr = int(small_mb * 1024 * 1024)
+    small = sum(1 for x in sizes if x < thr)
+    mid = (
+        sizes[n // 2]
+        if n % 2
+        else (sizes[n // 2 - 1] + sizes[n // 2]) // 2
+    )
+    return {
+        "n_files": n,
+        "total_bytes": sum(sizes),
+        "mean_bytes": sum(sizes) // n,
+        "median_bytes": mid,
+        "min_bytes": sizes[0],
+        "max_bytes": sizes[-1],
+        "small_files": small,
+        "small_frac": round(small / n, 6),
+    }

@@ -270,3 +270,25 @@ def test_retention_delete_keeps_null_partition(spark, tmp_path):
     )
     # null partition survives (unorderable), old date dropped
     assert out["deleted"] == ["2024-01-01"] and out["kept"] == 2
+
+
+def test_small_file_report(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.sinks.maintenance import (
+        small_file_report,
+    )
+    import pytest as _pt
+
+    path = str(tmp_path / "frag")
+    # 8 tiny files
+    spark.range(0, 800).repartition(8).write.parquet(path)
+    rep = small_file_report(spark, path, small_mb=1.0)
+    assert rep["n_files"] == 8
+    assert rep["small_files"] == 8 and rep["small_frac"] == 1.0
+    assert rep["min_bytes"] <= rep["median_bytes"] <= rep["max_bytes"]
+    assert rep["total_bytes"] > 0
+    # _SUCCESS and hidden files are excluded from the census
+    import os
+
+    assert any(f.startswith("_") for f in os.listdir(path))
+    with _pt.raises(FileNotFoundError):
+        small_file_report(spark, str(tmp_path / "nope"))
