@@ -167,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
         "in the job, from the spec alone — nothing executes",
     )
     parser.add_argument(
+        "--layout",
+        metavar="TABLE",
+        default=None,
+        help="print the small-file layout-health report for a files "
+        "target (file count/sizes, small-file share) — decides whether "
+        "--compact is worth running; reads metadata only",
+    )
+    parser.add_argument(
         "--expect",
         metavar="TABLE",
         default=None,
@@ -411,6 +419,22 @@ def main(argv: list[str] | None = None) -> int:
             print(f"bucket {b}: pipeline={left.get(b)} target={right.get(b)}")
         print(f"checksum: {'DIVERGED' if bad else 'OK'} ({len(bad)} buckets differ)")
         return 1 if bad else 0
+
+    if args.layout:
+        import json as _json
+
+        conns = job.global_spec.connectors
+        if conns.target_files is None:
+            raise SystemExit("--layout needs a files target connector")
+        from pathlib import Path
+
+        from .sinks.maintenance import small_file_report
+
+        rep = small_file_report(
+            spark, str(Path(conns.target_files.base_path) / args.layout)
+        )
+        print(_json.dumps(rep))
+        return 0
 
     if args.expect:
         from .compiler import compile_table

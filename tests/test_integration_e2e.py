@@ -483,3 +483,42 @@ def test_cli_expect_verb(spark, tmp_path, capsys):
     assert main(["--config", cfg, "--expect", "t_out"]) == 1
     got = capsys.readouterr().out
     assert "FAIL" in got and "1/2 passed" in got
+
+
+def test_cli_layout_verb(spark, tmp_path, capsys):
+    """--layout: prints the small-file report JSON for a files target."""
+    import json
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame([(1, 1.0)], "id int, v double").write.parquet(
+        str(src / "t.parquet")
+    )
+    spark.range(0, 100).repartition(4).write.parquet(str(out / "frag"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: t
+            target_table: t_out
+            mappings:
+              - source: id
+                target: id
+            """
+        )
+    )
+    assert main(["--config", str(tmp_path / "config.yaml"), "--layout", "frag"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_files"] == 4 and rep["small_frac"] == 1.0
