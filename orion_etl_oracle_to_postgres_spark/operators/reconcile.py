@@ -318,3 +318,66 @@ def referential_integrity(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: max |F_a(x) - F_b(x)|
+    over the pooled values — the binning-free drift test next to the
+    PSI report (PSI answers "how much did the histogram move" with a
+    chosen binning; KS answers "are these the same distribution" with
+    none). NULLs are excluded (they carry no position on the value
+    axis). Returns one row (ks_stat, n_a, n_b).
+
+    Shape: pool the two samples tagged by side, ONE value-ordered
+    window computes both running counts (ties resolved by evaluating
+    the CDF gap AFTER all rows of an equal value — the
+    range-unbounded-by-value frame — so equal values never produce a
+    phantom gap), then a one-row max. One sort shuffle over the pooled
+    (value, side) pairs — the columns are two, the frame never carries
+    payloads."""
+    from pyspark.sql import Window
+
+    pa = a.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).withColumn("__s", F.lit(0))
+    pb = b.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).withColumn("__s", F.lit(1))
+    pooled = pa.unionByName(pb)
+    counts = pooled.agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__nb"),
+    )
+    # rangeBetween on the ORDER BY value: all rows sharing a value are
+    # counted together, so the CDF is evaluated between distinct values
+    w = (
+        Window.orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = (
+        pooled.withColumn(
+            "__ca", F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).over(w)
+        )
+        .withColumn(
+            "__cb", F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).over(w)
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.abs(
+                F.col("__ca") / F.col("__na") - F.col("__cb") / F.col("__nb")
+            ).alias("__gap"),
+            "__na",
+            "__nb",
+        )
+    )
+    return gaps.agg(
+        F.round(F.max("__gap"), decimals).alias("ks_stat"),
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+    )

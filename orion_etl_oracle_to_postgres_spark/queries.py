@@ -8116,3 +8116,46 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+@query(
+    "reconcile_ks_drift",
+    """
+    WITH pooled AS (
+      SELECT o_totalprice AS v, 0 AS s FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+      UNION ALL
+      SELECT o_totalprice, 1 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ),
+    n AS (
+      SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::DOUBLE AS na,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::DOUBLE AS nb
+      FROM pooled
+    ),
+    g AS (
+      SELECT abs(
+               sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY v RANGE UNBOUNDED PRECEDING) / n.na
+               - sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY v RANGE UNBOUNDED PRECEDING) / n.nb
+             ) AS gap, n.na, n.nb
+      FROM pooled, n
+    )
+    SELECT round(max(gap), 6) AS ks_stat,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+    FROM g
+    """,
+)
+def reconcile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Two-sample KS drift test
+    (operators/reconcile.py:ks_statistic): pre-1998 vs 1998+ order
+    totals — the binning-free companion to the PSI report. One
+    value-ordered window over the pooled pairs with RANGE frames so
+    ties never fake a gap; oracle replays the same frames."""
+    from .operators.reconcile import ks_statistic
+
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    late = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return ks_statistic(early, late, "o_totalprice")

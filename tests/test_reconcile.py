@@ -150,3 +150,24 @@ def test_referential_integrity_counts_orphans_and_nulls(spark):
     assert r["n_null_fk"] == 1  # optional FK, not a violation
     assert r["n_orphans"] == 1  # fk=99
     assert abs(r["orphan_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_ks_statistic_known_values(spark):
+    """Identical samples -> 0; disjoint samples -> 1; ties across sides
+    never fake a gap (the RANGE frame evaluates after equal values)."""
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import ks_statistic
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    same = ks_statistic(a, a, "v").collect()[0]
+    assert same.ks_stat == 0.0 and same.n_a == 10 and same.n_b == 10
+    b = spark.createDataFrame([(float(i) + 100.0,) for i in range(10)], "v double")
+    disj = ks_statistic(a, b, "v").collect()[0]
+    assert disj.ks_stat == 1.0
+    # half-shifted: KS = 0.5 for a shift of half the support
+    c = spark.createDataFrame([(float(i) + 5.0,) for i in range(10)], "v double")
+    half = ks_statistic(a, c, "v").collect()[0]
+    assert abs(half.ks_stat - 0.5) < 1e-9
+    # NULLs excluded from both counts
+    d = spark.createDataFrame([(None,), (1.0,)], "v double")
+    nn = ks_statistic(d, d, "v").collect()[0]
+    assert nn.n_a == 1 and nn.ks_stat == 0.0
