@@ -709,16 +709,18 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                     proj, rw.text_column, rw.id_column,
                     span_tokens=rw.span_tokens, min_docs=rw.min_docs,
                 )
-            # replace the text column via ONE id-keyed join (the span op
-            # only carries id+text — the rest of the row never enters
-            # its shuffles)
-            df = df.drop(rw.text_column).join(
-                rewritten.select(
-                    rw.id_column,
-                    F.col("new_text").alias(rw.text_column),
-                ),
-                rw.id_column,
-            )
+            # replace the text column via ONE id-keyed LEFT join (the span
+            # op only carries id+text — the rest of the row never enters
+            # its shuffles). LEFT + coalesce: zero-token docs (NULL or
+            # punctuation-only text) are absent from the span op's output
+            # — they had nothing to rewrite and must keep their original
+            # text, not vanish from the table (review finding r5)
+            df = df.join(
+                rewritten.select(rw.id_column, "new_text"), rw.id_column, "left"
+            ).withColumn(
+                rw.text_column,
+                F.coalesce(F.col("new_text"), F.col(rw.text_column)),
+            ).drop("new_text")
 
     if spec.quality_filter is not None:
         qf = spec.quality_filter
@@ -1145,21 +1147,7 @@ def run_table(
     if spec.expectations:
         from .operators.expectations import Expect, enforce
 
-        checks = [
-            Expect(
-                type=e.type,
-                columns=tuple(e.columns),
-                min=e.min,
-                max=e.max,
-                max_null_frac=e.max_null_frac,
-                values=tuple(e.values),
-                ref_table=e.ref_table,
-                ref_column=e.ref_column,
-                as_of=e.as_of,
-                max_lag_hours=e.max_lag_hours,
-            )
-            for e in spec.expectations
-        ]
+        checks = [Expect.from_spec(e) for e in spec.expectations]
         if not ctx.explain_only:
             from .spec import LookupSpec as _LkSpec
 

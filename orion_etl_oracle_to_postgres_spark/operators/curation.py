@@ -579,6 +579,36 @@ def token_budget_sample(
     )
 
 
+def _epoch_plan(
+    epochs: dict[str, float], default_epochs: float, max_epochs: float
+) -> dict:
+    """Validated per-group (whole_epochs, frac_per_mille) plan — the ONE
+    integerization both ``epoch_mix`` and ``epoch_mix_preview`` use, so
+    the preview's bit-exactness guarantee can't drift (review finding
+    r5). Key ``None`` holds the default."""
+    if not epochs:
+        raise ValueError("epochs mapping must be non-empty")
+    plan: dict = {}
+    for g, e in {**epochs, None: default_epochs}.items():
+        if not 0.0 <= float(e) <= max_epochs:
+            raise ValueError(
+                f"epochs for group {g!r} must be in [0, {max_epochs}], got {e}"
+            )
+        full = int(e)
+        plan[g] = (full, int(round((float(e) - full) * _BUCKETS)))
+    return plan
+
+
+def _epoch_case(plan: dict, group_col: str, idx: int):
+    """Literal CASE over the plan's groups for field ``idx`` (0 = whole
+    epochs, 1 = fractional per-mille threshold)."""
+    expr = F.lit(plan[None][idx])
+    for g, t in plan.items():
+        if g is not None:
+            expr = F.when(F.col(group_col) == g, F.lit(t[idx])).otherwise(expr)
+    return expr
+
+
 def epoch_mix(
     df: DataFrame,
     id_col: str,
@@ -612,26 +642,11 @@ def epoch_mix(
     the cluster), and the hash filter. The corpus is read once and
     never exchanged; output size is exactly the epoch-weighted sum.
     """
-    if not epochs:
-        raise ValueError("epochs mapping must be non-empty")
-    plan: dict[str, tuple[int, int]] = {}
-    for g, e in {**epochs, None: default_epochs}.items():
-        if not 0.0 <= float(e) <= max_epochs:
-            raise ValueError(
-                f"epochs for group {g!r} must be in [0, {max_epochs}], got {e}"
-            )
-        full = int(e)
-        plan[g] = (full, int(round((float(e) - full) * _BUCKETS)))
-
-    def _case(idx: int):
-        expr = F.lit(plan[None][idx])
-        for g, t in plan.items():
-            if g is not None:
-                expr = F.when(F.col(group_col) == g, F.lit(t[idx])).otherwise(expr)
-        return expr
-
+    plan = _epoch_plan(epochs, default_epochs, max_epochs)
     h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
-    n_copies = _case(0) + F.when(h % _BUCKETS < _case(1), 1).otherwise(0)
+    n_copies = _epoch_case(plan, group_col, 0) + F.when(
+        h % _BUCKETS < _epoch_case(plan, group_col, 1), 1
+    ).otherwise(0)
     return (
         df.withColumn("__nc", n_copies)
         .filter(F.col("__nc") >= 1)  # sequence(0, -1) would step DOWN
@@ -737,32 +752,16 @@ def epoch_mix_preview(
     aggregate instead of the explode — the "check the recipe before
     burning the cluster" step. Same validation as epoch_mix (a typo'd
     budget fails here first)."""
-    if not epochs:
-        raise ValueError("epochs mapping must be non-empty")
-    plan: dict[str, tuple[int, int]] = {}
-    for g, e in {**epochs, None: default_epochs}.items():
-        if not 0.0 <= float(e) <= max_epochs:
-            raise ValueError(
-                f"epochs for group {g!r} must be in [0, {max_epochs}], got {e}"
-            )
-        full = int(e)
-        plan[g] = (full, int(round((float(e) - full) * _BUCKETS)))
-
-    def _case(idx: int):
-        expr = F.lit(plan[None][idx])
-        for g, t in plan.items():
-            if g is not None:
-                expr = F.when(F.col(group_col) == g, F.lit(t[idx])).otherwise(expr)
-        return expr
-
+    plan = _epoch_plan(epochs, default_epochs, max_epochs)
     h = md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    frac_thr = _epoch_case(plan, group_col, 1)
     return (
         df.groupBy(F.col(group_col).alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.max(_case(0)).alias("full_epochs"),
-            F.max(_case(1)).alias("frac_per_mille"),
-            F.sum(F.when(h % _BUCKETS < _case(1), 1).otherwise(0)).alias(
+            F.max(_epoch_case(plan, group_col, 0)).alias("full_epochs"),
+            F.max(frac_thr).alias("frac_per_mille"),
+            F.sum(F.when(h % _BUCKETS < frac_thr, 1).otherwise(0)).alias(
                 "frac_rows"
             ),
         )

@@ -49,6 +49,26 @@ class Expect:
     def label(self) -> str:
         return f"{self.type}:{','.join(self.columns) or '*'}"
 
+    @classmethod
+    def from_spec(cls, e) -> "Expect":
+        """The ONE ExpectSpec→Expect conversion — used by both the
+        compiler's pre-write gate and the CLI --expect dry run so the
+        two can never evaluate different contracts (review finding r5:
+        a new field added in only one hand-copied kwargs list would
+        silently diverge them)."""
+        return cls(
+            type=e.type,
+            columns=tuple(e.columns),
+            min=e.min,
+            max=e.max,
+            max_null_frac=e.max_null_frac,
+            values=tuple(e.values),
+            ref_table=e.ref_table,
+            ref_column=e.ref_column,
+            as_of=e.as_of,
+            max_lag_hours=e.max_lag_hours,
+        )
+
 
 _SINGLE_COL_TYPES = ("not_null", "accepted_values", "bounds", "freshness")
 

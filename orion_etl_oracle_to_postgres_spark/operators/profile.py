@@ -291,7 +291,17 @@ def correlation_matrix(
     ]
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
+    # corr of a zero-variance (or empty) pair is NULL — report it as a
+    # NULL row rather than crashing: degenerate columns are exactly what
+    # a profiler must surface
     return spark.createDataFrame(
-        [(a, b, float(row[f"__c{i}"])) for i, (a, b) in enumerate(pairs)],
+        [
+            (
+                a,
+                b,
+                None if row[f"__c{i}"] is None else float(row[f"__c{i}"]),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ],
         "col_a string, col_b string, corr double",
     )

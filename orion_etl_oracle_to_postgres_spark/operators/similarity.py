@@ -1322,7 +1322,11 @@ def int8_topk_query(
         math.copysign(math.floor(abs(float(x)) * 127.0 / s + 0.5), x)
         for x in query_vec
     ]
-    qd = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
+    # zero vectors quantize to scale 0 / all-zero codes — cosine is
+    # undefined there; drop them (the oracle applies the same guard)
+    qd = quantize_embeddings(df, vec_col=vec_col, id_col=id_col).filter(
+        F.col("scale") > 0
+    )
     sim = cosine(F.col("qvec").cast("array<double>"), _lit_vec(qq))
     return (
         qd.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
@@ -1366,6 +1370,7 @@ def kcenter_sample(
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
+    seen = {selected[0][0]}
     while len(selected) < k:
         dists = [
             F.sqrt(
@@ -1386,10 +1391,19 @@ def kcenter_sample(
             .limit(1)
             .collect()[0]
         )
+        if nxt[0] in seen:
+            # every row is already selected (k exceeds the corpus) — a
+            # "diverse coreset" with duplicate ids would be silent
+            # nonsense downstream
+            raise ValueError(
+                f"kcenter_sample: k={k} exceeds the {len(selected)} "
+                "distinct input rows"
+            )
+        seen.add(nxt[0])
         selected.append((nxt[0], [float(x) for x in nxt[1]]))
     spark = df.sparkSession
-    ids = [int(i) for i, _ in selected]
-    return (
-        spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
-        .orderBy(id_col)
-    )
+    # preserve the caller's id TYPE (string ids are fine) — build the
+    # result with the input column's own schema
+    return spark.createDataFrame(
+        [(i,) for i, _ in selected], df.select(id_col).schema
+    ).orderBy(id_col)

@@ -7369,7 +7369,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_langid_confusion",
     """
     WITH pred AS ("""
-    + _langid_sql().replace("SELECT doc_id,", "SELECT doc_id,", 1)
+    + _langid_sql()
     + """)
     SELECT d.lang AS declared, p.pred_lang AS predicted,
            count(*)::BIGINT AS n_docs
@@ -7414,7 +7414,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(lat_h, 0.9), 4) AS p90_hours,
            round(avg(lat_h), 4) AS mean_hours
     FROM (
-      SELECT date_diff('millisecond', s.signup_ts, p.first_purchase) / 3600000.0 AS lat_h
+      SELECT date_diff('microsecond', s.signup_ts, p.first_purchase) / 3600000000.0 AS lat_h
       FROM s JOIN p USING (user_id)
     )
     """,

@@ -449,21 +449,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         ctx = JobContext(spark, job.global_spec)
         compiled = compile_table(ctx, full_spec)
-        checks = [
-            Expect(
-                type=e.type,
-                columns=tuple(e.columns),
-                min=e.min,
-                max=e.max,
-                max_null_frac=e.max_null_frac,
-                values=tuple(e.values),
-                ref_table=e.ref_table,
-                ref_column=e.ref_column,
-                as_of=e.as_of,
-                max_lag_hours=e.max_lag_hours,
-            )
-            for e in full_spec.expectations
-        ]
+        checks = [Expect.from_spec(e) for e in full_spec.expectations]
         report = run_expectations(
             compiled.df,
             checks,

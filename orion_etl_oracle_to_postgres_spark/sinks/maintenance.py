@@ -384,11 +384,18 @@ def small_file_report(
     if not fs.exists(jpath):
         raise FileNotFoundError(path)
     sizes: list[int] = []
+    base_uri = jpath.toUri().getPath()
     it = fs.listFiles(jpath, True)  # recursive
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        # hidden check on EVERY path component below the base, not just
+        # the leaf: a killed write leaves _temporary/.../part-*.parquet
+        # and counting that junk as data skews the compaction verdict
+        rel = st.getPath().toUri().getPath()
+        if rel.startswith(base_uri):
+            rel = rel[len(base_uri):]
+        parts = [seg for seg in rel.split("/") if seg]
+        if any(seg.startswith("_") or seg.startswith(".") for seg in parts):
             continue
         sizes.append(int(st.getLen()))
     if not sizes:
