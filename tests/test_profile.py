@@ -156,3 +156,15 @@ def test_correlation_matrix_upper_triangle(spark):
         correlation_matrix(df, ["a"])
     with _pt.raises(ValueError, match="not in"):
         correlation_matrix(df, ["a", "zz"])
+
+
+def test_correlation_matrix_degenerate_pair_is_null_row(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(10)], "a double, const double"
+    )
+    out = correlation_matrix(df, ["a", "const"]).collect()
+    assert len(out) == 1 and out[0].corr is None  # report, don't crash

@@ -663,3 +663,37 @@ def test_kcenter_sample_farthest_point_semantics(spark):
         kcenter_sample(df, 0)
     with _pt.raises(ValueError, match="empty"):
         kcenter_sample(df.filter("vec_id > 99"), 2)
+
+
+def test_kcenter_k_exceeds_rows_raises(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        kcenter_sample,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="exceeds"):
+        kcenter_sample(df, 3)
+    # string ids keep their type
+    sdf = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [9.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    out = kcenter_sample(sdf, 2)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    assert {r.vec_id for r in out.collect()} == {"a", "b"}
+
+
+def test_int8_topk_drops_zero_vectors(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        int8_topk_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = int8_topk_query(df, [1.0, 0.0], k=5).collect()
+    assert {r.vec_id for r in out} == {1, 3}  # zero vector excluded, no NULL rows
+    assert all(r.cosine_sim is not None for r in out)

@@ -1741,3 +1741,47 @@ def test_declarative_rewrite_scrub_and_validation(spark, tmp_path):
     with _pt.raises(ValidationError, match="stride"):
         RewriteSpec(text_column="body", method="repeated_spans",
                     id_column="id", span_tokens=3, stride=5)
+
+
+def test_rewrite_spans_preserves_zero_token_rows(spark, tmp_path):
+    """Declarative span rewrite must not DELETE rows whose text has no
+    tokens (NULL / punctuation-only) — they keep their original text."""
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        MappingSpec,
+        RewriteSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "rwz"
+    spark.createDataFrame(
+        [(1, "shared span text here"), (2, "shared span text here"),
+         (3, None), (4, "!!!")],
+        "id long, body string",
+    ).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+    spec = TableSpec(
+        source_table="t",
+        target_table="t2",
+        mappings=[
+            MappingSpec(source="id", target="id"),
+            MappingSpec(source="body", target="body"),
+        ],
+        rewrite=RewriteSpec(
+            text_column="body", method="repeated_spans",
+            id_column="id", span_tokens=2, min_docs=2,
+        ),
+    )
+    rows = {r["id"]: r["body"] for r in compile_table(ctx, spec).df.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # nobody vanished
+    assert rows[3] is None and rows[4] == "!!!"  # originals kept
