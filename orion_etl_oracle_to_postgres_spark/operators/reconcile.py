@@ -381,3 +381,53 @@ def ks_statistic(
         F.first("__na").alias("n_a"),
         F.first("__nb").alias("n_b"),
     )
+
+
+def mannwhitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between two samples — the
+    median-shift companion to ``ks_statistic`` (KS sees any CDF gap;
+    U specifically asks "does one side tend to be larger"): pooled
+    values are mid-ranked (ties share the average rank, computed as
+    ``rank() + (tie_size - 1) / 2`` so both engines agree exactly),
+    U = R_b - n_b(n_b+1)/2, and the large-sample z uses the standard
+    normal approximation WITHOUT the tie-variance correction (one more
+    aggregate; documented simplification — fine away from
+    heavily-tied data). NULLs are excluded. One value-ordered window
+    over (value, side) pairs + a one-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    pa = a.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).withColumn("__s", F.lit(0))
+    pb = b.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).withColumn("__s", F.lit(1))
+    pooled = pa.unionByName(pb)
+    w = Window.orderBy("__v")
+    wt = Window.partitionBy("__v")
+    ranked = pooled.withColumn(
+        "__r",
+        F.rank().over(w) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
+    )
+    stats = ranked.agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(F.col("__s") == 1, F.col("__r"))).alias("__rb"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    u = F.col("__rb") - nb * (nb + 1) / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(na * nb * (na + nb + 1) / 12.0)
+    return stats.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u, decimals).alias("u_stat"),
+        F.round((u - mu) / sigma, decimals).alias("z"),
+    )

@@ -8159,3 +8159,46 @@ def reconcile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     late = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
     return ks_statistic(early, late, "o_totalprice")
+
+
+@query(
+    "reconcile_mannwhitney",
+    """
+    WITH pooled AS (
+      SELECT o_totalprice AS v, 0 AS s FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+      UNION ALL
+      SELECT o_totalprice, 1 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT s,
+             rank() OVER (ORDER BY v)
+               + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS r
+      FROM pooled
+    ),
+    st AS (
+      SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::DOUBLE AS na,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::DOUBLE AS nb,
+             sum(CASE WHEN s = 1 THEN r ELSE 0 END) AS rb
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(rb - nb * (nb + 1) / 2.0, 6) AS u_stat,
+           round((rb - nb * (nb + 1) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb * (na + nb + 1) / 12.0), 6) AS z
+    FROM st
+    """,
+)
+def reconcile_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mann-Whitney U rank-sum test
+    (operators/reconcile.py:mannwhitney_u): pre-1998 vs 1998+ order
+    totals — "does one era tend larger", the median-shift companion to
+    the KS gap. Mid-ranks via rank() + (ties-1)/2 agree exactly across
+    engines; oracle replays ranks and the normal approximation."""
+    from .operators.reconcile import mannwhitney_u
+
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    late = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return mannwhitney_u(early, late, "o_totalprice")

@@ -171,3 +171,21 @@ def test_ks_statistic_known_values(spark):
     d = spark.createDataFrame([(None,), (1.0,)], "v double")
     nn = ks_statistic(d, d, "v").collect()[0]
     assert nn.n_a == 1 and nn.ks_stat == 0.0
+
+
+def test_mannwhitney_known_values(spark):
+    """Identical samples -> z = 0, U = n^2/2 with mid-ranks; a fully
+    shifted sample gives U = n_a * n_b (max) and positive z."""
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        mannwhitney_u,
+    )
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    same = mannwhitney_u(a, a, "v").collect()[0]
+    assert same.z == 0.0 and same.u_stat == 50.0  # n*n/2 under ties
+    hi = spark.createDataFrame([(float(i) + 100.0,) for i in range(10)], "v double")
+    shift = mannwhitney_u(a, hi, "v").collect()[0]
+    assert shift.u_stat == 100.0  # every b beats every a
+    assert shift.z > 3.0
+    # direction flips when sides swap
+    assert mannwhitney_u(hi, a, "v").collect()[0].u_stat == 0.0
