@@ -305,3 +305,56 @@ def correlation_matrix(
         ],
         "col_a string, col_b string, corr double",
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str, *, decimals: int = 6
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns,
+    with Cramér's V effect size — "are these dimensions related at
+    all", the categorical sibling of ``correlation_matrix`` (which only
+    sees numerics). NULL in either column drops the row (no category).
+
+    chi2 = Σ (obs - exp)² / exp over the contingency cells with
+    exp = row_total · col_total / n; dof = (r-1)(c-1);
+    V = sqrt(chi2 / (n · min(r-1, c-1))). One contingency groupBy +
+    two broadcast marginal joins + a one-row aggregate — cells ~ r·c,
+    tiny by construction.
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    obs = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+    ra = obs.groupBy("__a").agg(F.sum("__o").alias("__rt"))
+    rb = obs.groupBy("__b").agg(F.sum("__o").alias("__ct"))
+    n = obs.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__r"),
+        F.countDistinct("__b").alias("__c"),
+    )
+    # the FULL r×c grid, not just observed pairs: an empty cell still
+    # contributes (0 - exp)²/exp — omitting it understates chi2 (the
+    # perfect-diagonal case would read V≈0.82 instead of 1.0)
+    cells = (
+        ra.crossJoin(rb)
+        .join(obs, ["__a", "__b"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    joined = cells.crossJoin(F.broadcast(n))
+    exp = F.col("__rt") * F.col("__ct") / F.col("__n")
+    chi2 = F.sum(F.pow(F.col("__o") - exp, F.lit(2.0)) / exp)
+    return joined.agg(
+        F.round(chi2, decimals).alias("chi2"),
+        ((F.first("__r") - 1) * (F.first("__c") - 1)).alias("dof"),
+        F.first("__n").alias("n"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.first("__n")
+                    * F.least(F.first("__r") - 1, F.first("__c") - 1)
+                )
+            ),
+            decimals,
+        ).alias("cramers_v"),
+    )

@@ -8202,3 +8202,40 @@ def reconcile_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     late = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
     return mannwhitney_u(early, late, "o_totalprice")
+
+
+@query(
+    "profile_chi_square",
+    """
+    WITH obs AS (
+      SELECT c_mktsegment AS a, c_nationkey AS b, count(*)::DOUBLE AS o
+      FROM customer
+      WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS rt FROM obs GROUP BY a),
+    rb AS (SELECT b, sum(o) AS ct FROM obs GROUP BY b),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT a)::BIGINT AS r,
+                   count(DISTINCT b)::BIGINT AS c FROM obs),
+    cells AS (
+      SELECT ra.a, rb.b, ra.rt, rb.ct, coalesce(obs.o, 0) AS o
+      FROM ra CROSS JOIN rb LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b
+    )
+    SELECT round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 6) AS chi2,
+           ((max(r) - 1) * (max(c) - 1))::BIGINT AS dof,
+           CAST(max(n) AS BIGINT) AS n,
+           round(sqrt(sum(pow(o - rt * ct / n, 2) / (rt * ct / n))
+                      / (max(n) * least(max(r) - 1, max(c) - 1))), 6) AS cramers_v
+    FROM cells, tot
+    """,
+)
+def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Chi-square independence + Cramér's V
+    (operators/profile.py:chi_square_independence): is market segment
+    related to nation? The categorical-association readout next to the
+    numeric correlation survey. One contingency aggregate + broadcast
+    marginals; oracle replays the cells and the formula."""
+    from .operators.profile import chi_square_independence
+
+    c = _t(spark, sf_dir, "customer")
+    return chi_square_independence(c, "c_mktsegment", "c_nationkey")

@@ -168,3 +168,29 @@ def test_correlation_matrix_degenerate_pair_is_null_row(spark):
     )
     out = correlation_matrix(df, ["a", "const"]).collect()
     assert len(out) == 1 and out[0].corr is None  # report, don't crash
+
+
+def test_chi_square_independent_and_dependent(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    # perfectly dependent: b == a -> V = 1
+    dep = spark.createDataFrame(
+        [(str(i % 3), str(i % 3)) for i in range(90)], "x string, y string"
+    )
+    r = chi_square_independence(dep, "x", "y").collect()[0]
+    assert r.cramers_v == 1.0 and r.dof == 4 and r.n == 90
+    # perfectly balanced independent table -> chi2 = 0
+    ind = spark.createDataFrame(
+        [(str(i % 2), str(j % 3)) for i in range(2) for j in range(3)
+         for _ in range(5)],
+        "x string, y string",
+    )
+    r2 = chi_square_independence(ind, "x", "y").collect()[0]
+    assert r2.chi2 == 0.0 and r2.cramers_v == 0.0
+    # NULLs drop
+    withnull = dep.union(
+        spark.createDataFrame([(None, "0")], "x string, y string")
+    )
+    assert chi_square_independence(withnull, "x", "y").collect()[0].n == 90
