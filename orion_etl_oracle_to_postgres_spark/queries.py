@@ -8239,3 +8239,53 @@ def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     return chi_square_independence(c, "c_mktsegment", "c_nationkey")
+
+
+@query(
+    "profile_benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+    SELECT c.digit, c.n,
+           round(c.n / t.tot, 6) AS observed_frac,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford_frac,
+           round(c.n / t.tot - log10(1.0 + 1.0 / c.digit), 6) AS excess
+    FROM c, t
+    ORDER BY c.digit
+    """,
+)
+def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Benford first-digit audit: observed vs expected
+    log10(1 + 1/d) leading-digit frequencies of order totals — the
+    classic fabricated-data / unit-mixing smell test auditors run on
+    financial columns (synthetic uniform data shows large positive
+    excess on high digits, exactly what this surfaces). One 9-key
+    map-side-combined aggregate; first digit extracted via integer
+    string math, no float log tricks."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("tot"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("observed_frac"),
+            F.round(benford, 6).alias("benford_frac"),
+            F.round(F.col("n") / F.col("tot") - benford, 6).alias("excess"),
+        )
+        .orderBy("digit")
+    )
