@@ -8289,3 +8289,52 @@ def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "agg_revenue_gini",
+    """
+    WITH cr AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS tot
+      FROM cr
+    )
+    SELECT round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           CAST(max(n) AS BIGINT) AS n_customers
+    FROM r
+    """,
+)
+def agg_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue (0 = perfectly even, → 1 =
+    one customer is the business) — the single-number summary of the
+    Pareto curve, third leg of the concentration family (HHI per
+    segment, Lorenz curve, Gini global). Ascending rank formula
+    2·Σ(i·x)/(n·Σx) − (n+1)/n over the post-aggregate customer table
+    (revenue rounded before ranking, custkey tiebreak); one ordered
+    window on the small side + a one-row aggregate."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    wall = Window.partitionBy()
+    r = (
+        cr.withColumn("i", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("tot", F.sum("rev").over(wall))
+    )
+    return r.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").alias("n_customers"),
+    )
