@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "multimodal_phash_pairs",  # Arrow decode + JVM bit-pack + chunk-band join
     "emb_int8_topk",  # int8 scalar-quantized ANN: integer dots, zero shuffle
     "window_event_transitions",  # per-user lead window + Markov census
+    "reconcile_ks_drift",  # pooled value-ordered window, RANGE frames
 ]
 
 
