@@ -92,6 +92,18 @@ _FIRST_50 = [
     "dq_referential_integrity",
     "corpus_curate_v2",
 ]
+# Round-6 rotation candidates (never driver-sampled as of r5): the
+# session-5 additions — dedup_canonical_corpus, the Q3/Q4/Q6/Q7/Q8/Q10/
+# Q14/Q15/Q18/Q19/Q21 shapes, curation_epoch_mix/top_fraction/kfold/
+# mix_preview, events_ab_welch/ab_cuped/bootstrap_ci, scd2_pit_order_
+# balances, etl_epoch_mix/quality_top_fraction/rewrite_gate,
+# multimodal_phash_pairs, emb_int8_topk/kcenter_sample, text_langid_
+# confusion, window_funnel_latency/seasonal_backtest/event_transitions/
+# revenue_pareto/rfm_segments, er_blocking_report, privacy_l_diversity,
+# reconcile_ks_drift/mannwhitney, profile_layout_advisor/correlations/
+# chi_square/benford_audit, agg_supplier_concentration/revenue_gini,
+# dedup_impact_report — swap ~40 of these in next round, keep ~10 core
+# anchors, exactly as the r4→r5 rotation did.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:
