@@ -184,6 +184,68 @@ def op_mask(col: Column, arg: str | None = None) -> Column:
     )
 
 
+@register("transform_op", "extract")
+@_string_only
+def op_extract(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``extract:<regex>`` — pull the FIRST capture
+    group (or the whole match when the pattern has no group) out of the
+    value; no match → NULL. The key-normalization workhorse ("the
+    digits out of 'ORD-00123'"). Patterns containing commas need the
+    LIST form of ``transform`` (the comma-separated string form splits
+    on commas first)."""
+    if not arg:
+        raise ValueError("extract needs a regex: extract:<pattern>")
+    import re as _re
+
+    group = 1 if _re.compile(arg).groups >= 1 else 0
+    out = F.regexp_extract(col.cast("string"), arg, group)
+    # regexp_extract returns '' on no-match — surface NULL instead (an
+    # empty string would sail through downstream NOT NULL checks)
+    return F.when(out != "", out)
+
+
+@register("transform_op", "replace")
+@_string_only
+def op_replace(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``replace:<regex>|<replacement>`` — regex
+    substitution (all occurrences; empty replacement deletes). The arg
+    splits on the FIRST '|'; escape a literal '|' inside the pattern as
+    ``\\|``."""
+    if not arg or "|" not in arg:
+        raise ValueError(
+            "replace needs 'replace:<regex>|<replacement>' (replacement "
+            "may be empty)"
+        )
+    pattern, repl = arg.split("|", 1)
+    if not pattern:
+        raise ValueError("replace pattern must be non-empty")
+    return F.regexp_replace(col.cast("string"), pattern, repl)
+
+
+@register("transform_op", "lpad")
+@_string_only
+def op_lpad(col: Column, arg: str | None = None) -> Column:
+    """[engine extension] ``lpad:<n>[,<char>]`` — left-pad to width n
+    (default pad char '0'; longer values pass through unchanged, same
+    as SQL LPAD... no: SQL LPAD truncates — we deliberately DON'T,
+    truncating a key corrupts it, so width only ever grows)."""
+    if not arg:
+        raise ValueError("lpad needs a width: lpad:<n>[,<char>]")
+    parts = arg.split(",", 1)
+    try:
+        width = int(parts[0])
+    except ValueError as e:
+        raise ValueError(f"lpad width must be an integer, got {parts[0]!r}") from e
+    if width < 1:
+        raise ValueError(f"lpad width must be >= 1, got {width}")
+    ch = parts[1] if len(parts) > 1 and parts[1] else "0"
+    if len(ch) != 1:
+        raise ValueError(f"lpad pad char must be one character, got {ch!r}")
+    sc = col.cast("string")
+    # pass-through when already wide enough (SQL LPAD would TRUNCATE)
+    return F.when(F.length(sc) >= width, sc).otherwise(F.lpad(sc, width, ch))
+
+
 @register("transform_op", "normalize_unicode")
 def op_normalize_unicode(col: Column, arg: str | None = None) -> Column:
     """[engine extension] ``normalize_unicode[:form]`` — Unicode

@@ -8338,3 +8338,38 @@ def agg_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.max("n").alias("n_customers"),
     )
+
+
+@query(
+    "etl_extract_ops",
+    """
+    SELECT c_custkey AS cust_id,
+           lpad(regexp_extract(c_name, '([0-9]+)', 1), 12, '*') AS name_digits,
+           lower(regexp_replace(c_mktsegment, 'MOBILE', '_M', 'g')) AS seg
+    FROM customer
+    """,
+)
+def etl_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] The round-5 transform ops through the job
+    compiler: ``extract:<regex>`` (first group, NULL on no-match),
+    ``lpad:<n>,<char>`` (never truncates), ``replace:<regex>|<repl>``
+    chained with ``lower`` — the key-normalization ladder as YAML.
+    Oracle replays with DuckDB's regexp/lpad equivalents."""
+    spec = TableSpec(
+        source_table="customer",
+        target_table="cust_keys",
+        mappings=[
+            MappingSpec(source="c_custkey", target="cust_id"),
+            MappingSpec(
+                source="c_name",
+                target="name_digits",
+                transform=["extract:([0-9]+)", "lpad:12,*"],
+            ),
+            MappingSpec(
+                source="c_mktsegment",
+                target="seg",
+                transform=["replace:MOBILE|_M", "lower"],
+            ),
+        ],
+    )
+    return _compile(spark, sf_dir, spec)

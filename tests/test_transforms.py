@@ -215,3 +215,34 @@ def test_normalize_unicode_in_transform_chain(spark):
         ).alias("v")
     ).collect()[0]["v"]
     assert out == "CAF\u00c9"
+
+
+def test_extract_replace_lpad_ops(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import (
+        op_extract,
+        op_lpad,
+        op_replace,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("ORD-00123",), ("nope",), (None,)], "s string"
+    )
+    got = df.select(
+        op_extract(F.col("s"), r"([0-9]+)").alias("x"),
+        op_replace(F.col("s"), r"[0-9]|#").alias("r"),
+        op_lpad(F.col("s"), "12,*").alias("p"),
+    ).collect()
+    assert got[0].x == "00123" and got[1].x is None and got[2].x is None
+    assert got[0].r == "ORD-#####"
+    assert got[0].p == "***ORD-00123" and got[1].p == "********nope"
+    # whole-match when the pattern has no group
+    assert df.select(op_extract(F.col("s"), r"[A-Z]+").alias("m")).collect()[0].m == "ORD"
+    # lpad never truncates (SQL LPAD would)
+    assert df.select(op_lpad(F.col("s"), "3").alias("t")).collect()[0].t == "ORD-00123"
+    with _pt.raises(ValueError, match="regex"):
+        op_extract(F.col("s"), None)
+    with _pt.raises(ValueError, match="replace"):
+        op_replace(F.col("s"), "no-pipe")
+    with _pt.raises(ValueError, match="width"):
+        op_lpad(F.col("s"), "zero")
