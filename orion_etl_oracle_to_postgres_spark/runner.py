@@ -241,12 +241,30 @@ def main(argv: list[str] | None = None) -> int:
                     parts.append(f"validate: {v.type} on_fail={v.on_fail}")
                 print("  |  ".join(parts))
             extras = []
+            if t.rewrite is not None:
+                extras.append(
+                    f"rewrite: {t.rewrite.method} on {t.rewrite.text_column}"
+                )
+            if t.quality_filter is not None:
+                qf = t.quality_filter
+                policy = (
+                    f"top_fraction={qf.top_fraction}"
+                    if qf.top_fraction is not None
+                    else f"min_quality={qf.min_quality}"
+                )
+                extras.append(f"quality gate: {qf.method} {policy}")
             if t.dedup is not None:
                 extras.append(f"dedup: {t.dedup.method}")
             if t.sample is not None:
                 extras.append(f"sample: {t.sample.method}")
             if t.split is not None:
-                extras.append(f"split -> column {t.split.column_name!r}")
+                label = "k-fold" if t.split.folds is not None else "split"
+                extras.append(f"{label} -> column {t.split.column_name!r}")
+            if t.expectations:
+                extras.append(
+                    "expectations: "
+                    + ",".join(e.type for e in t.expectations)
+                )
             if t.scd2 is not None:
                 extras.append("scd2 merge")
             if t.lineage:
