@@ -1015,6 +1015,22 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
             "eager write a stream doesn't have — drop reject_table to "
             "filter-only, or run in batch mode)"
         )
+    if (
+        spec.quality_filter is not None
+        and spec.quality_filter.top_fraction is not None
+    ):
+        errs.append(
+            "quality_filter.top_fraction (the per-group rank gate needs a "
+            "window over the WHOLE group — unbounded state on a stream; "
+            "use min_quality or batch mode)"
+        )
+    if spec.rewrite is not None and spec.rewrite.method == "repeated_spans":
+        errs.append(
+            "rewrite method=repeated_spans (the hot-span set aggregates over "
+            "the whole corpus — batch-only; method=scrub streams fine)"
+        )
+    if spec.split is not None and spec.split.folds is not None:
+        pass  # hash k-fold is a pure projection — streams fine
     for r in spec.mappings or []:
         # the on_fail ladder treats None/'skip'/'default:*' as pure row
         # filters/rewrites; EVERYTHING else (explicit 'error', 'abort',

@@ -259,3 +259,57 @@ def test_batch_lineage_plus_fullrow_distinct_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="full-row DISTINCT"):
         run_table(ctx, t)
+
+
+def test_streaming_refuses_top_fraction_and_span_rewrite(spark, tmp_path):
+    """Window-over-group and corpus-wide stages must be refused loudly
+    in streaming mode, not fail at runtime with a planner error."""
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        ConnectorsSpec,
+        FilesConnectorSpec,
+        GlobalSpec,
+        IncrementalSpec,
+        MappingSpec,
+        QualityFilterSpec,
+        RewriteSpec,
+        TableSpec,
+    )
+
+    src = tmp_path / "ss"
+    spark.createDataFrame(
+        [(1, "text here", "a")], "id long, body string, grp string"
+    ).write.parquet(str(src / "t.parquet"))
+    ctx = JobContext(
+        spark,
+        GlobalSpec(
+            connectors=ConnectorsSpec(
+                source_files=FilesConnectorSpec(base_path=str(src))
+            )
+        ),
+    )
+
+    def mk(**kw):
+        return TableSpec(
+            source_table="t",
+            target_table="t2",
+            mappings=[
+                MappingSpec(source="id", target="id"),
+                MappingSpec(source="body", target="body"),
+                MappingSpec(source="grp", target="grp"),
+            ],
+            incremental=IncrementalSpec(watermark_column="id", mode="streaming"),
+            **kw,
+        )
+
+    with _pt.raises(ValueError, match="top_fraction"):
+        compile_table(ctx, mk(quality_filter=QualityFilterSpec(
+            text_column="body", top_fraction=0.5,
+            id_column="id", group_column="grp",
+        )))
+    with _pt.raises(ValueError, match="repeated_spans"):
+        compile_table(ctx, mk(rewrite=RewriteSpec(
+            text_column="body", method="repeated_spans", id_column="id",
+        )))
