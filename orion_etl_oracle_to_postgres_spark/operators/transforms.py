@@ -211,12 +211,18 @@ def op_replace(col: Column, arg: str | None = None) -> Column:
     substitution (all occurrences; empty replacement deletes). The arg
     splits on the FIRST '|'; escape a literal '|' inside the pattern as
     ``\\|``."""
-    if not arg or "|" not in arg:
+    import re as _re
+
+    # split on the first UNESCAPED '|' — the pattern keeps its '\|'
+    # (which is exactly what the regex engine needs to match a literal
+    # pipe), so the separator rule and the regex syntax agree
+    parts = _re.split(r"(?<!\\)\|", arg or "", maxsplit=1)
+    if not arg or len(parts) != 2:
         raise ValueError(
             "replace needs 'replace:<regex>|<replacement>' (replacement "
-            "may be empty)"
+            "may be empty; escape a literal pipe in the pattern as \\|)"
         )
-    pattern, repl = arg.split("|", 1)
+    pattern, repl = parts
     if not pattern:
         raise ValueError("replace pattern must be non-empty")
     return F.regexp_replace(col.cast("string"), pattern, repl)

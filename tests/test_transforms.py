@@ -246,3 +246,12 @@ def test_extract_replace_lpad_ops(spark):
         op_replace(F.col("s"), "no-pipe")
     with _pt.raises(ValueError, match="width"):
         op_lpad(F.col("s"), "zero")
+
+
+def test_replace_op_escaped_pipe_in_pattern(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.transforms import op_replace
+
+    df = spark.createDataFrame([("a|b|c",)], "s string")
+    # pattern '\|' (escaped pipe) matches literal pipes; replacement '-'
+    got = df.select(op_replace(F.col("s"), r"\|" + "|-").alias("r")).collect()[0].r
+    assert got == "a-b-c"
