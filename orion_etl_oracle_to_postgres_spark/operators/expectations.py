@@ -44,6 +44,7 @@ class Expect:
     ref_column: Optional[str] = None
     as_of: Optional[str] = None
     max_lag_hours: Optional[float] = None
+    severity: str = "error"  # error aborts the load; warn only reports
 
     @property
     def label(self) -> str:
@@ -67,6 +68,7 @@ class Expect:
             ref_column=e.ref_column,
             as_of=e.as_of,
             max_lag_hours=e.max_lag_hours,
+            severity=e.severity,
         )
 
 
@@ -253,14 +255,30 @@ def run_expectations(
 def enforce(
     df: DataFrame, checks: Sequence[Expect], *, resolve_ref=None
 ) -> DataFrame:
-    """Raise ``ValueError`` listing every failed expectation; return the
-    report frame when all pass — the gate between load and publish."""
+    """Raise ``ValueError`` listing every failed ERROR-severity
+    expectation; ``severity: warn`` failures are LOGGED but never block
+    the load (the dbt-style soft check — track a contract you're not
+    ready to enforce). Returns the report frame when nothing fatal
+    failed. Severity is matched to checks by the report's deterministic
+    input order (run_expectations emits one row per check, in order)."""
+    import logging
+
     report = run_expectations(df, checks, resolve_ref=resolve_ref)
-    failed = [r for r in report.collect() if not r["passed"]]
-    if failed:
+    rows = report.collect()
+    fatal, warned = [], []
+    for c, r in zip(checks, rows):
+        if r["passed"]:
+            continue
+        (fatal if c.severity != "warn" else warned).append(r)
+    for r in warned:
+        logging.getLogger(__name__).warning(
+            "expectation WARN %s observed=%s want %s",
+            r["check"], r["observed"], r["threshold"],
+        )
+    if fatal:
         lines = "; ".join(
             f"{r['check']} observed={r['observed']} want {r['threshold']}"
-            for r in failed
+            for r in fatal
         )
         raise ValueError(f"expectations failed: {lines}")
     return report

@@ -401,6 +401,16 @@ class ExpectSpec(BaseModel):
     #: freshness only: explicit ISO reference instant + max allowed lag
     as_of: Optional[str] = None
     max_lag_hours: Optional[float] = None
+    #: 'error' (default) aborts the load on failure; 'warn' only logs —
+    #: the dbt-style soft check for contracts not yet enforced
+    severity: str = "error"
+
+    @field_validator("severity")
+    @classmethod
+    def _known_severity(cls, v: str) -> str:
+        if v not in ("error", "warn"):
+            raise ValueError(f"expectation severity must be error|warn, got {v!r}")
+        return v
 
     @model_validator(mode="after")
     def _freshness_requirements(self) -> "ExpectSpec":

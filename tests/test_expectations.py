@@ -230,3 +230,30 @@ def test_freshness_expectation(spark):
 
     with _pt.raises(ValueError, match="freshness"):
         run_expectations(df, [Expect(type="freshness", columns=("ts",))])
+
+
+def test_warn_severity_reports_but_never_blocks(spark, caplog):
+    import logging
+
+    from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+        Expect,
+        enforce,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    warn = Expect(type="not_null", columns=("v",), severity="warn")
+    hard = Expect(type="not_null", columns=("v",))
+    with caplog.at_level(logging.WARNING):
+        report = enforce(df, [warn])  # fails the check but returns
+    assert any("WARN" in r.message for r in caplog.records)
+    assert report.collect()[0].passed is False
+    with _pt.raises(ValueError, match="expectations failed"):
+        enforce(df, [warn, hard])  # the error-severity twin still aborts
+    # spec-level validation catches typos
+    from pydantic import ValidationError
+
+    from orion_etl_oracle_to_postgres_spark.spec import ExpectSpec
+
+    with _pt.raises(ValidationError, match="severity"):
+        ExpectSpec(type="not_null", columns=["v"], severity="loud")
