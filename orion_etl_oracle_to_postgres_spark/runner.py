@@ -473,14 +473,24 @@ def main(argv: list[str] | None = None) -> int:
             checks,
             resolve_ref=lambda t: ctx.lookup_table(_LkSpec(table=t, key_column="_")),
         ).collect()
-        n_fail = sum(1 for r in report if not r["passed"])
-        for r in report:
+        # mirror enforce(): warn-severity failures report but don't flip
+        # the exit code — the dry run must agree with the real gate
+        n_fatal = 0
+        for c, r in zip(checks, report):
+            if r["passed"]:
+                tag = "PASS"
+            elif c.severity == "warn":
+                tag = "WARN"
+            else:
+                tag = "FAIL"
+                n_fatal += 1
             print(
-                f"{'PASS' if r['passed'] else 'FAIL'}  {r['check']}  "
+                f"{tag}  {r['check']}  "
                 f"observed={r['observed']}  threshold={r['threshold']}"
             )
-        print(f"expectations: {len(report) - n_fail}/{len(report)} passed")
-        return 1 if n_fail else 0
+        n_pass = sum(1 for r in report if r["passed"])
+        print(f"expectations: {n_pass}/{len(report)} passed")
+        return 1 if n_fatal else 0
 
     if args.profile:
         from pyspark.errors import AnalysisException
