@@ -8373,3 +8373,45 @@ def etl_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "text_vocab_richness",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    c AS (SELECT t, count(*)::BIGINT AS n FROM w GROUP BY t)
+    SELECT count(*)::BIGINT AS vocab_size,
+           sum(n)::BIGINT AS n_tokens,
+           round(count(*) / sum(n)::DOUBLE, 6) AS type_token_ratio,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+             AS hapax_frac
+    FROM c
+    """,
+)
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Vocabulary-richness corpus health: type-token ratio and
+    hapax-legomenon share — the lexical-diversity companions to the
+    Zipf slope (template-generated or duplicated corpora crater the TTR
+    and hapax share; natural text holds them up). ONE word-count
+    shuffle (map-side combined) + a one-row summary."""
+    from .functions import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    c = w.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("n_tokens"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_frac"),
+    )
