@@ -8415,3 +8415,68 @@ def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_frac"),
     )
+
+
+@query(
+    "agg_session_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) >= 14400000000::BIGINT
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, new_s DESC
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM o
+    ),
+    per AS (
+      SELECT user_id, sid, count(*)::BIGINT AS n_events,
+             date_diff('microsecond', min(ts), max(ts)) / 3600000000.0 AS dur_h
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT count(*)::BIGINT AS n_sessions,
+           round(avg(n_events), 4) AS mean_events,
+           round(quantile_cont(dur_h, 0.5), 4) AS p50_hours,
+           round(quantile_cont(dur_h, 0.9), 4) AS p90_hours,
+           round(avg(dur_h), 4) AS mean_hours
+    FROM per
+    """,
+)
+def agg_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality summary over the 4-hour-gap sessionization:
+    session count, mean events/session, and exact p50/p90/mean session
+    DURATION (first→last event) — the engagement readout on top of
+    agg_events_sessions' raw windows. One session_window aggregate
+    (same shape), then exact percentiles over the session table (small
+    side). Duration from the window bounds minus the trailing gap —
+    session_window's end is last-event + gap, so duration = end - start
+    - 4h, NTZ-safe via double casts."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.groupBy("user_id", F.session_window("ts", "4 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "n_events",
+            (
+                F.col("w.end").cast("timestamp").cast("double")
+                - F.col("w.start").cast("timestamp").cast("double")
+                - 4.0 * 3600.0
+            ).alias("dur_s"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("mean_events"),
+        F.round(F.expr("percentile(dur_s / 3600.0, 0.5)"), 4).alias("p50_hours"),
+        F.round(F.expr("percentile(dur_s / 3600.0, 0.9)"), 4).alias("p90_hours"),
+        F.round(F.avg(F.col("dur_s") / 3600.0), 4).alias("mean_hours"),
+    )
