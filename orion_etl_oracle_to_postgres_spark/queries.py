@@ -8480,3 +8480,65 @@ def agg_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(dur_s / 3600.0, 0.9)"), 4).alias("p90_hours"),
         F.round(F.avg(F.col("dur_s") / 3600.0), 4).alias("mean_hours"),
     )
+
+
+@query(
+    "ir_ndcg_audit",
+    _BM25_SQL_CTES
+    + """
+    , rel AS (SELECT doc_id, sum(tf)::BIGINT AS rel FROM tf GROUP BY doc_id),
+    ranking AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+      FROM scored
+    ),
+    top10 AS (
+      SELECT r.pos, rel.rel FROM ranking r JOIN rel USING (doc_id)
+      WHERE r.pos <= 10
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos FROM rel
+    )
+    SELECT round(sum(t.rel / log2(t.pos + 1.0))
+                 / (SELECT sum(i.rel / log2(i.pos + 1.0))
+                    FROM ideal i WHERE i.pos <= 10), 6) AS ndcg10,
+           round(count(*) / 10.0, 6) AS precision10
+    FROM top10 t
+    """,
+)
+def ir_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Ranking-quality audit: nDCG@10 + precision@10 of the BM25
+    ranking against raw term-frequency graded relevance — the IR-eval
+    sibling of the ANN recall audits (BM25's tf saturation + idf
+    weighting genuinely reorders vs the raw-tf ideal, so the number is
+    informative, not circular-1.0). Reuses the one-pass BM25 shapes;
+    the DCG/IDCG windows run over the ≤ corpus-hit subset."""
+    from pyspark.sql import Window
+
+    from .functions import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    ranked = text.bm25_rank(d, "text", "doc_id", _BM25_TERMS, top_k=10)
+    pos = ranked.withColumn(
+        "pos", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    )
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    rel = (
+        tok.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    top10 = pos.join(rel, "doc_id").filter(F.col("pos") <= 10)
+    ideal = rel.withColumn(
+        "ipos", F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+    ).filter(F.col("ipos") <= 10)
+    dcg = top10.agg(
+        F.sum(F.col("rel") / F.log2(F.col("pos") + 1.0)).alias("__dcg"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    idcg = ideal.agg(
+        F.sum(F.col("rel") / F.log2(F.col("ipos") + 1.0)).alias("__idcg")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg10"),
+        F.round(F.col("__k") / 10.0, 6).alias("precision10"),
+    )
