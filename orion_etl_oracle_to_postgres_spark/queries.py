@@ -8542,3 +8542,71 @@ def ir_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg10"),
         F.round(F.col("__k") / 10.0, 6).alias("precision10"),
     )
+
+
+@query(
+    "text_classifier_calibration",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) > 0 THEN
+               round(1.0 / (1.0 + exp(-("""
+    + repr(_QC_TRAINED_B)
+    + """ + list_sum(
+                 [ (["""
+    + ", ".join(repr(v) for v in _QC_TRAINED_W)
+    + """])[CAST("""
+    + _hex2int_sql("md5(t || ':qc0')")
+    + """ % 64 AS INT) + 1]
+                   FOR t IN ts ]) / len(ts)))), 6)
+             END AS qc_score,
+    """
+    + _QUALITY_SQL
+    + """ AS heur
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents
+      )
+    )
+    SELECT CAST(least(floor(qc_score * 10), 9) AS INTEGER) AS score_bin,
+           count(*)::BIGINT AS n_docs,
+           round(avg(qc_score), 6) AS mean_score,
+           round(avg(CASE WHEN heur >= 0.5 THEN 1.0 ELSE 0.0 END), 6)
+             AS heuristic_pass_rate
+    FROM scored WHERE qc_score IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Classifier calibration (reliability) curve: the trained
+    quality model's score deciles vs the heuristic gate's pass rate in
+    each bin — the model-eval readout that says whether 0.8 "means"
+    80% (a well-calibrated gate lets you set thresholds by target
+    precision instead of guessing). Two zero-shuffle scoring
+    projections + one 10-key census; NULL scores (empty docs)
+    excluded."""
+    from .operators.text import quality_expr
+
+    d = _t(spark, sf_dir, "documents")
+    scored = text.hashed_linear_score(
+        d, "text", "doc_id", weights=_QC_TRAINED_W, bias=_QC_TRAINED_B
+    ).join(d.select("doc_id", "text"), "doc_id")
+    scored = scored.withColumn("heur", F.round(quality_expr(F.col("text")), 6))
+    return (
+        scored.filter(F.col("qc_score").isNotNull())
+        .groupBy(
+            F.least(F.floor(F.col("qc_score") * 10), F.lit(9))
+            .cast("int")
+            .alias("score_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("qc_score"), 6).alias("mean_score"),
+            F.round(
+                F.avg(F.when(F.col("heur") >= 0.5, 1.0).otherwise(0.0)), 6
+            ).alias("heuristic_pass_rate"),
+        )
+        .orderBy("score_bin")
+    )
