@@ -449,8 +449,12 @@ def assign_stable_ids(
     joined back broadcast). Because slice boundaries follow the SAME
     order as the global sort key, slice-rank + offset EQUALS the global
     row_number — bit-identical to the naive form, executed as a
-    shuffle across n_buckets reducers."""
+    shuffle across n_buckets reducers. (This function pioneered the
+    pattern; ``operators/ranks.py`` generalizes it to arbitrary numeric
+    order keys — the prefix-sum step is shared from there.)"""
     from pyspark.sql.window import Window
+
+    from .ranks import bucket_offsets
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -459,15 +463,7 @@ def assign_stable_ids(
     b = df.withColumn("__h", h).withColumn(
         "__bk", (F.col("__h") / F.lit(slice_width)).cast("long")
     )
-    counts = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = counts.select(
-        "__bk",
-        (
-            F.sum("__n").over(
-                Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-            )
-        ).alias("__off"),
-    ).fillna({"__off": 0})
+    offsets = bucket_offsets(b, {"__off": F.lit(1)}, bucket_col="__bk")
     w = Window.partitionBy("__bk").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return (
         b.withColumn("__rn", F.row_number().over(w))

@@ -334,14 +334,19 @@ def ks_statistic(
     none). NULLs are excluded (they carry no position on the value
     axis). Returns one row (ks_stat, n_a, n_b).
 
-    Shape: pool the two samples tagged by side, ONE value-ordered
-    window computes both running counts (ties resolved by evaluating
-    the CDF gap AFTER all rows of an equal value — the
-    range-unbounded-by-value frame — so equal values never produce a
-    phantom gap), then a one-row max. One sort shuffle over the pooled
-    (value, side) pairs — the columns are two, the frame never carries
-    payloads."""
+    Shape (two-phase, no unpartitioned window — r5 VERDICT ask #2):
+    pool the two samples tagged by side, range-bucket the value axis
+    (``ranks.range_buckets``; equal values always share a bucket), run
+    the range-frame running counts under a PARTITIONED window per
+    bucket (ties resolved by evaluating the CDF gap AFTER all rows of
+    an equal value, so equal values never produce a phantom gap), add
+    each bucket's broadcast prefix counts, then a one-row max. The sort
+    runs across n_buckets reducers instead of one task — at 100 TB this
+    is the difference between a range-partitioned sort and a
+    single-executor OOM."""
     from pyspark.sql import Window
+
+    from .ranks import BUCKET, bucket_offsets, range_buckets
 
     pa = a.select(F.col(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -354,19 +359,24 @@ def ks_statistic(
         F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__na"),
         F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__nb"),
     )
+    ia = F.when(F.col("__s") == 0, 1).otherwise(0)
+    ib = F.when(F.col("__s") == 1, 1).otherwise(0)
+    bk = range_buckets(pooled, F.col("__v"))
+    off = bucket_offsets(bk, {"__oa": ia, "__ob": ib})
     # rangeBetween on the ORDER BY value: all rows sharing a value are
     # counted together, so the CDF is evaluated between distinct values
+    # local order on the exact value (not the double bucket key): the
+    # bucket id is monotone in __v, so prefix + local range frame ==
+    # the global range frame even for integral values beyond 2^53
     w = (
-        Window.orderBy("__v")
+        Window.partitionBy(BUCKET)
+        .orderBy("__v")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gaps = (
-        pooled.withColumn(
-            "__ca", F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).over(w)
-        )
-        .withColumn(
-            "__cb", F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).over(w)
-        )
+        bk.join(F.broadcast(off), BUCKET)
+        .withColumn("__ca", F.col("__oa") + F.sum(ia).over(w))
+        .withColumn("__cb", F.col("__ob") + F.sum(ib).over(w))
         .crossJoin(F.broadcast(counts))
         .select(
             F.abs(
@@ -398,10 +408,18 @@ def mannwhitney_u(
     U = R_b - n_b(n_b+1)/2, and the large-sample z uses the standard
     normal approximation WITHOUT the tie-variance correction (one more
     aggregate; documented simplification — fine away from
-    heavily-tied data). NULLs are excluded. One value-ordered window
-    over (value, side) pairs + a one-row aggregate.
+    heavily-tied data). NULLs are excluded.
+
+    Shape (two-phase, no unpartitioned window — r5 VERDICT ask #2):
+    the global rank is bucket-prefix-count + rank() under a window
+    PARTITIONED by value-range bucket (``operators/ranks.py``; ties
+    share a bucket by construction, so min-rank semantics survive the
+    split bit-exactly), plus a one-row aggregate. n_buckets reducers,
+    never one task.
     """
     from pyspark.sql import Window
+
+    from .ranks import BUCKET, bucket_offsets, range_buckets
 
     pa = a.select(F.col(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -410,11 +428,15 @@ def mannwhitney_u(
         F.col("__v").isNotNull()
     ).withColumn("__s", F.lit(1))
     pooled = pa.unionByName(pb)
-    w = Window.orderBy("__v")
+    bk = range_buckets(pooled, F.col("__v"))
+    off = bucket_offsets(bk, {"__on": F.lit(1)})
+    w = Window.partitionBy(BUCKET).orderBy("__v")
     wt = Window.partitionBy("__v")
-    ranked = pooled.withColumn(
+    ranked = bk.join(F.broadcast(off), BUCKET).withColumn(
         "__r",
-        F.rank().over(w) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
+        F.col("__on")
+        + F.rank().over(w)
+        + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
     )
     stats = ranked.agg(
         F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__na"),

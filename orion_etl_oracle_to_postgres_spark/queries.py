@@ -7219,20 +7219,22 @@ def etl_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_revenue_pareto",
     """
     WITH cr AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      SELECT o_custkey,
+             CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS rev_c
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
-      SELECT o_custkey, rev,
-             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
-             sum(rev) OVER (ORDER BY rev DESC, o_custkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
-             sum(rev) OVER () AS tot,
+      SELECT o_custkey, rev_c,
+             row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+             sum(rev_c) OVER () AS tot_c,
              count(*) OVER () AS n
       FROM cr
     )
     SELECT CAST(ceil(100.0 * rn / n) AS INTEGER) AS cust_pctile,
-           round(max(cum_rev / tot), 6) AS cum_rev_share
+           round(max(CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE)), 6)
+             AS cum_rev_share
     FROM ranked
     GROUP BY 1 ORDER BY 1
     """,
@@ -7240,29 +7242,58 @@ def etl_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / Lorenz concentration curve: what share of total revenue
     the top X% of customers account for, per percentile bucket — the
-    '80/20' readout. One custkey aggregate, then ONE global ordered
-    window (rank + running sum share a single sort; revenue rounded
-    before ranking so the order is engine-stable), collapsed to ≤100
-    rows. The global sort is real but runs over CUSTOMERS (post-
-    aggregate), not facts — at 100 TB that's the small side by orders
-    of magnitude; range-partitioned sort handles it."""
+    '80/20' readout. One custkey aggregate, then a TWO-PHASE global
+    rank + running sum (``operators/ranks.py``: range-bucket on revenue
+    desc, partitioned window per bucket, broadcast prefix offsets) —
+    never a single-partition window, so a 10^9-customer corpus fans out
+    across reducers instead of one task (r5 VERDICT ask #3). Revenue is
+    integerized to cents before ranking/summation: integer running sums
+    are associative, so bucket-partial + offset is bit-identical to the
+    oracle's one-pass running sum (a double running sum would drift in
+    the last ulp under re-association). Collapsed to ≤100 rows."""
     from pyspark.sql import Window
 
+    from .operators.ranks import BUCKET, ORD, bucket_offsets, range_buckets
+
     o = _t(spark, sf_dir, "orders")
-    cr = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    wo = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    wall = Window.partitionBy()
+    cr = o.groupBy("o_custkey").agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    totals = F.broadcast(
+        cr.agg(
+            F.sum("rev_c").alias("tot_c"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    b = range_buckets(cr, F.col("rev_c"), descending=True)
+    off = bucket_offsets(b, {"__offn": F.lit(1), "__offr": F.col("rev_c")})
+    wo = Window.partitionBy(BUCKET).orderBy(F.col(ORD).asc(), F.col("o_custkey"))
     ranked = (
-        cr.withColumn("rn", F.row_number().over(wo))
-        .withColumn("cum_rev", F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("tot", F.sum("rev").over(wall))
-        .withColumn("n", F.count(F.lit(1)).over(wall))
+        b.join(F.broadcast(off), BUCKET)
+        .withColumn(
+            "rn", (F.col("__offn") + F.row_number().over(wo)).cast("long")
+        )
+        .withColumn(
+            "cum_c",
+            F.col("__offr")
+            + F.sum("rev_c").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(totals)
     )
     return (
         ranked.groupBy(
             F.ceil(100.0 * F.col("rn") / F.col("n")).cast("int").alias("cust_pctile")
         )
-        .agg(F.round(F.max(F.col("cum_rev") / F.col("tot")), 6).alias("cum_rev_share"))
+        .agg(
+            F.round(
+                F.max(
+                    F.col("cum_c").cast("double")
+                    / F.col("tot_c").cast("double")
+                ),
+                6,
+            ).alias("cum_rev_share")
+        )
         .orderBy("cust_pctile")
     )
 
@@ -7293,13 +7324,16 @@ def window_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: every customer scored 1-5 on Recency /
-    Frequency / Monetary via ntile over the per-customer rollup (id
-    tiebreaks make the quintile edges engine-deterministic; monetary
-    rounded before ranking), then the 125-cell segment census. Three
-    global ntile windows share the post-aggregate customer table —
-    small side again, same argument as the Pareto curve; the census
-    output is fixed-size."""
-    from pyspark.sql import Window
+    Frequency / Monetary, then the 125-cell segment census. Each score
+    is ``ntile(5)`` by SEMANTICS but never by a global window: the
+    two-phase ``ranks.global_ntile`` computes the global row number via
+    range-bucket + partitioned window + broadcast prefix counts, then
+    applies SQL ntile's closed form (first ``n mod 5`` tiles one row
+    bigger) in exact integer arithmetic — bit-identical to the oracle's
+    ntile, scaled across reducers (r5 VERDICT ask #3; id tiebreaks make
+    the quintile edges engine-deterministic, monetary rounded before
+    ranking). The census output is fixed-size."""
+    from .operators.ranks import global_ntile
 
     o = _t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
@@ -7307,19 +7341,16 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    scored = (
-        base.withColumn(
-            "r_score",
-            F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))),
-        )
+    tb = [F.col("o_custkey")]
+    scored = global_ntile(
+        base, F.unix_micros(F.col("last_order").cast("timestamp")), tb, 5,
+        out_col="r_score", descending=True,
+    )
+    scored = global_ntile(
+        scored, F.col("freq"), tb, 5, out_col="f_score", descending=True
+    )
+    scored = global_ntile(
+        scored, F.col("monetary"), tb, 5, out_col="m_score", descending=True
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -8317,19 +8348,22 @@ def agg_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pareto curve, third leg of the concentration family (HHI per
     segment, Lorenz curve, Gini global). Ascending rank formula
     2·Σ(i·x)/(n·Σx) − (n+1)/n over the post-aggregate customer table
-    (revenue rounded before ranking, custkey tiebreak); one ordered
-    window on the small side + a one-row aggregate."""
-    from pyspark.sql import Window
+    (revenue rounded before ranking, custkey tiebreak). The rank comes
+    from the two-phase ``ranks.global_row_number`` (range-bucketed
+    partitioned window + broadcast prefix counts — no single-partition
+    window, r5 VERDICT ask #3) and n/Σx from a broadcast one-row
+    aggregate instead of unpartitioned ``OVER ()`` windows; Σ(i·x) is a
+    plain commutative aggregate."""
+    from .operators.ranks import global_row_number
 
     o = _t(spark, sf_dir, "orders")
     cr = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    w = Window.orderBy("rev", "o_custkey")
-    wall = Window.partitionBy()
-    r = (
-        cr.withColumn("i", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wall))
-        .withColumn("tot", F.sum("rev").over(wall))
+    totals = F.broadcast(
+        cr.agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot"))
     )
+    r = global_row_number(
+        cr, F.col("rev"), [F.col("o_custkey")], out_col="i"
+    ).crossJoin(totals)
     return r.agg(
         F.round(
             2.0 * F.sum(F.col("i") * F.col("rev")) / (F.max("n") * F.max("tot"))
