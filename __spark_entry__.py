@@ -46,64 +46,71 @@ _FIRST_50 = [
     "window_top_orders_per_cust",
     "dedup_minhash",
     "emb_topk_query",
-    # declarative pipeline surface (job-spec compiler end-to-end)
-    "etl_scd2_segment",
-    "etl_curation_mix_split",
-    "etl_validation_quarantine_rows",
-    "etl_validation_quarantine_clean",
-    "etl_anonymize_ops",
-    # round-4 flagships, never driver-sampled
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
-    "emb_ivf_pq_topk",
-    "emb_pq_adc_materialized",
-    "dedup_repeated_spans",
-    "dedup_minhash_join",
-    "dedup_containment",
-    "dedup_incremental_batch",
-    "curation_token_budget",
-    "er_resolve_parts",
-    "er_fuzzy_join_parts",
-    "text_bm25_rank",
-    "ir_rrf_fusion",
-    "agg_custorder_distribution",
-    "agg_small_qty_revenue",
-    "text_quality_classifier",
-    "text_bpe_pair_counts",
-    "chunk_length_batches",
-    # high-value never-sampled operator families
-    "emb_knn_join",
-    "emb_semantic_dedup",
-    "emb_lsh_recall_audit",
-    "text_bigram_logprob",
-    "scd2_customer_balances",
-    "skew_salted_cohort_join",
-    "privacy_k_anonymity",
-    "agg_regional_supplier_revenue",
-    # round-5 additions (trained classifier, PQ recall audit, iterated
-    # BPE, overlapping-stride span dedup)
-    "text_quality_classifier_trained",
-    "emb_pq_recall_audit",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "dedup_repeated_spans_strided",
-    "curation_temperature_mix",
-    "reconcile_table_checksum",
-    "dq_referential_integrity",
-    "corpus_curate_v2",
+    # round-6 rewrites (two-phase global ordering — verify the NEW plans)
+    "window_revenue_pareto",
+    "window_rfm_segments",
+    "agg_revenue_gini",
+    "reconcile_ks_drift",
+    "reconcile_mannwhitney",
+    # streaming batch twins (the parity anchors for streaming/ units)
+    "window_events_anomaly",
+    "cdc_apply_events",
+    "agg_session_stats",
+    # the shared-pair-set canonical dedup (restructured this round)
+    "dedup_canonical_corpus",
+    # TPC-H plan shapes added in round 5, never driver-sampled
+    "agg_shipping_priority_top10",
+    "agg_late_order_priority",
+    "agg_discount_revenue",
+    "agg_nation_trade_volume",
+    "agg_nation_market_share",
+    "agg_returned_revenue_top20",
+    "agg_promo_revenue_ratio",
+    "agg_top_supplier_revenue",
+    "agg_large_volume_orders",
+    "agg_brand_type_revenue",
+    "agg_waiting_suppliers",
+    # curation + declarative pipeline surface additions
+    "curation_epoch_mix",
+    "curation_top_fraction",
+    "curation_kfold",
+    "curation_mix_preview",
+    "etl_epoch_mix",
+    "etl_quality_top_fraction",
+    "etl_rewrite_gate",
+    "scd2_pit_order_balances",
+    # experiments / stats toolkit
+    "events_ab_welch",
+    "events_ab_cuped",
+    "events_bootstrap_ci",
+    "profile_benford_audit",
+    # similarity / multimodal / text additions
+    "multimodal_phash_pairs",
+    "emb_int8_topk",
+    "emb_kcenter_sample",
+    "text_langid_confusion",
+    "window_funnel_latency",
+    "window_seasonal_backtest",
+    "er_blocking_report",
+    "privacy_l_diversity",
 ]
-# Round-6 rotation candidates (never driver-sampled as of r5): the
-# session-5 additions — dedup_canonical_corpus, the Q3/Q4/Q6/Q7/Q8/Q10/
-# Q14/Q15/Q18/Q19/Q21 shapes, curation_epoch_mix/top_fraction/kfold/
-# mix_preview, events_ab_welch/ab_cuped/bootstrap_ci, scd2_pit_order_
-# balances, etl_epoch_mix/quality_top_fraction/rewrite_gate,
-# multimodal_phash_pairs, emb_int8_topk/kcenter_sample, text_langid_
-# confusion, window_funnel_latency/seasonal_backtest/event_transitions/
-# revenue_pareto/rfm_segments, er_blocking_report, privacy_l_diversity,
-# reconcile_ks_drift/mannwhitney, profile_layout_advisor/correlations/
-# chi_square/benford_audit, agg_supplier_concentration/revenue_gini,
-# dedup_impact_report — swap ~40 of these in next round, keep ~10 core
-# anchors, exactly as the r4→r5 rotation did.
+# Round-7 rotation candidates (never driver-sampled as of r6, ~80 left):
+# window_event_transitions, profile_layout_advisor/correlations/
+# chi_square/customer_table/join_skew/histogram_prices, agg_supplier_
+# concentration, dedup_impact_report, etl_extract_ops, text_vocab_
+# richness, ir_ndcg_audit, text_classifier_calibration, the §2.8
+# coverage demos (agg_cube_status_priority, agg_grouping_sets_orders,
+# setop_*, unpivot_part_metrics, sql_recursive_hierarchy, window_order_
+# gaps/streaks/rolling_revenue/price_distribution/cohort_retention/
+# funnel_conversion), scd1/scd3, cdc_snapshot_events, the quantile
+# family, pack_*, emb_knn_join_lsh(+_multi)/label_centroids/quantize_
+# error/centroid_drift, text n-gram/entropy/novelty family, curation_
+# stratified_sample/split_leakage/stable_ids/balance_groups/sample_n/
+# priority_sample/quality_cutoff, reconcile_snapshot_diff/diff_summary/
+# distribution_drift, dq_expectations_customer, json_variant_events,
+# udtf_split_sentences, affinity_part_pairs, range_clicks_before_error,
+# agg incremental/regression/distinct family, corpus_curate — keep
+# rotating ~40/round; cumulative driver-verified after r6 ≥ 130/210.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:
