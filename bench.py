@@ -89,7 +89,12 @@ BENCH_QUERIES = [
     "multimodal_phash_pairs",  # Arrow decode + JVM bit-pack + chunk-band join
     "emb_int8_topk",  # int8 scalar-quantized ANN: integer dots, zero shuffle
     "window_event_transitions",  # per-user lead window + Markov census
-    "reconcile_ks_drift",  # pooled value-ordered window, RANGE frames
+    "reconcile_ks_drift",  # two-phase bucketed CDF, RANGE frames per bucket
+    "dedup_repeated_spans_strided",  # overlapping windows: ~span/stride× explode
+    "text_bpe_encode",  # trained-merge greedy encode, zero-shuffle map
+    "emb_kcenter_sample",  # greedy k-center coreset: k rounds, ids broadcast
+    "etl_rewrite_gate",  # declarative rewrite: stage joins ids-only projection
+    "curation_mix_preview",  # mix planner: group stats only, no corpus shuffle
 ]
 
 
@@ -186,20 +191,32 @@ def main() -> None:
             print(f"# pass{attempt} {name}: {n} rows in {dt}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warmup_sec": warmup_sec,
-                "calib_sec": calib_sec,
-                "passes": passes,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "warmup_sec": warmup_sec,
+            "calib_sec": calib_sec,
+            "passes": passes,
+        }
     )
+    print(payload)
+    # the driver captures only the stdout tail, which has truncated the
+    # passes/calibration record before (BENCH_r05 parsed: null) — also
+    # land the full JSON as a repo artifact so every bench run survives
+    # verbatim (r5 VERDICT ask #8)
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out, "w", encoding="utf-8") as fh:
+            fh.write(payload + "\n")
+    except OSError as exc:  # never fail the bench over the sidecar file
+        print(f"# could not write {out}: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

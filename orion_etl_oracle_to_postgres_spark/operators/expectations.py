@@ -259,17 +259,22 @@ def enforce(
     expectation; ``severity: warn`` failures are LOGGED but never block
     the load (the dbt-style soft check — track a contract you're not
     ready to enforce). Returns the report frame when nothing fatal
-    failed. Severity is matched to checks by the report's deterministic
-    input order (run_expectations emits one row per check, in order)."""
+    failed. Severity is matched to report rows by the check LABEL (not
+    row position — ADVICE r5 #3: positional zip silently depends on
+    collect() preserving driver-local row order); if the same label is
+    declared at both severities, error wins."""
     import logging
 
     report = run_expectations(df, checks, resolve_ref=resolve_ref)
     rows = report.collect()
+    warn_only = {c.label for c in checks if c.severity == "warn"} - {
+        c.label for c in checks if c.severity != "warn"
+    }
     fatal, warned = [], []
-    for c, r in zip(checks, rows):
+    for r in rows:
         if r["passed"]:
             continue
-        (fatal if c.severity != "warn" else warned).append(r)
+        (warned if r["check"] in warn_only else fatal).append(r)
     for r in warned:
         logging.getLogger(__name__).warning(
             "expectation WARN %s observed=%s want %s",

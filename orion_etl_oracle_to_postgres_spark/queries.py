@@ -6091,7 +6091,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w, s
     )
     SELECT d.doc_id, d.lang FROM documents d
-    JOIN thr ON thr.g = d.lang
+    JOIN thr ON thr.g IS NOT DISTINCT FROM d.lang
     WHERE """
     + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':tm0')")
     + """ % 1000 < thr.t
@@ -6314,7 +6314,7 @@ def _curate_v2_sql() -> str:
         + bucket_sp
         + """ % 1000 < 950 THEN 'val'
                 ELSE 'test' END AS split
-    FROM kept k JOIN thr ON thr.lang = k.lang
+    FROM kept k JOIN thr ON thr.lang IS NOT DISTINCT FROM k.lang
     WHERE """
         + bucket_tm
         + """ % 1000 < thr.t

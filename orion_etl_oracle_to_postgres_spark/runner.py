@@ -459,27 +459,45 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.expectations import Expect, run_expectations
         from .spec import LookupSpec as _LkSpec
 
-        tspec, full_spec = _resolve_full_spec(args.expect, "--expect")
-        if not full_spec.expectations:
+        tspec, _ = _resolve_full_spec(args.expect, "--expect")
+        if not tspec.expectations:
             raise SystemExit(
                 f"--expect: table {tspec.target_table!r} declares no "
                 "expectations block"
             )
+        if tspec.incremental is not None and tspec.incremental.mode == "streaming":
+            # mirror run_table exactly: the real gate refuses streaming
+            # + expectations, so a dry run over a batch recompute would
+            # preview a contract the pipeline can never evaluate
+            raise SystemExit(
+                f"--expect: {tspec.target_table}: expectations need an "
+                "eager pre-write aggregate — not available in streaming "
+                "mode (the real gate refuses this table too)"
+            )
         ctx = JobContext(spark, job.global_spec)
-        compiled = compile_table(ctx, full_spec)
-        checks = [Expect.from_spec(e) for e in full_spec.expectations]
+        # incremental stage INTACT (ADVICE r5 #2): run_table gates the
+        # INCREMENTAL frame, and row_count/freshness over it differ from
+        # a full recompute — the dry run must evaluate the same frame.
+        # Compile only: the high-water commit callback is never invoked,
+        # so no incremental state advances.
+        compiled = compile_table(ctx, tspec)
+        checks = [Expect.from_spec(e) for e in tspec.expectations]
         report = run_expectations(
             compiled.df,
             checks,
             resolve_ref=lambda t: ctx.lookup_table(_LkSpec(table=t, key_column="_")),
         ).collect()
         # mirror enforce(): warn-severity failures report but don't flip
-        # the exit code — the dry run must agree with the real gate
+        # the exit code — the dry run must agree with the real gate.
+        # Severity matched by check LABEL, like enforce (ADVICE r5 #3)
+        warn_only = {c.label for c in checks if c.severity == "warn"} - {
+            c.label for c in checks if c.severity != "warn"
+        }
         n_fatal = 0
-        for c, r in zip(checks, report):
+        for r in report:
             if r["passed"]:
                 tag = "PASS"
-            elif c.severity == "warn":
+            elif r["check"] in warn_only:
                 tag = "WARN"
             else:
                 tag = "FAIL"

@@ -559,3 +559,70 @@ def test_temperature_mix_null_safe_join_still_broadcasts(spark, sf):
     plan = plan_of(q.QUERIES["curation_temperature_mix"](spark, sf))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rewrite_gate_span_op_scans_are_id_text_projected(spark, sf):
+    """Compiler rewrite stage claim: the span op receives a (id, text)
+    projection — every documents scan feeding its shuffles is pruned to
+    exactly those two columns; only the ONE main-row scan carries the
+    other mapped columns."""
+    import re
+
+    plan = plan_of(q.QUERIES["etl_rewrite_gate"](spark, sf))
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert scans, plan
+    pruned = [s for s in scans if re.search(r"\[doc_id#\d+L?,text#\d+\]", s)]
+    assert len(scans) - len(pruned) <= 1, "\n".join(scans)
+
+
+def test_kcenter_round_is_scan_plus_take_ordered(spark, sf):
+    """kcenter_sample claim: each greedy round is ONE corpus scan +
+    TakeOrderedAndProject(1) — selected vectors ride as literals, so no
+    join and no shuffle of the corpus ever appears."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import _lit_vec
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("__v"))
+    center = [0.0] * len(e.select("embedding").first()[0])
+    mind = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("__v"), _lit_vec(center), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    round_df = base.select("vec_id", mind.alias("__md")).orderBy(
+        F.col("__md").desc(), F.col("vec_id")
+    ).limit(1)
+    plan = plan_of(round_df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_span_dedup_candidate_then_verify_shape(spark, sf):
+    """repeated_span_dedup two-level hotness: the candidate aggregate
+    shuffles only (hash, id); segment TEXT enters an exchange only on
+    the candidate-filtered verify side, downstream of a broadcast semi
+    on the candidate hashes."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = plan_of(repeated_span_dedup(d, "text", "doc_id", span_tokens=3))
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    cand = [ln for ln in ex if "__h#" in ln and "__seg" not in ln]
+    verify = [ln for ln in ex if "__seg" in ln]
+    assert cand, plan  # hash+id candidate shuffles exist
+    assert verify, plan  # text-verify shuffles exist
+    # and the verify side is fed by a broadcast of candidate hashes
+    assert "BroadcastHashJoin" in plan
