@@ -230,3 +230,61 @@ def normalize_columns(
         (f"__m_{c}", f"__s_{c}") if method == "zscore" else (f"__lo_{c}", f"__hi_{c}")
     )]
     return out.drop(*drop)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    n_buckets: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT global quantiles, distributed: the value at global rank
+    ``max(1, ceil(q·n))`` for each requested q — the discrete
+    ("type 1") quantile, no interpolation, so the answer is always an
+    observed value and engine-portable (interpolated percentile_cont
+    differs in float association across engines).
+
+    Where ``approx_group_quantiles`` trades rank error for flat memory,
+    this is the audit-grade companion: exact, but still never a
+    single-partition sort — the global rank comes from the two-phase
+    range-bucket + partitioned row_number + broadcast prefix counts in
+    ``operators/ranks.py``, and each quantile is then ONE equality
+    probe against the ranked stream (all qs resolved in the same pass).
+    NULLs are excluded (they have no rank). Returns (q, value), one row
+    per q, value rounded to ``decimals``.
+
+    100 TB shape: one min/max pass, one n_buckets-reducer rank shuffle,
+    one broadcast of the (q, target_rank) table — no collect of data
+    rows, no full sort on one task.
+    """
+    from .ranks import global_row_number
+
+    qlist = sorted(set(float(x) for x in qs))
+    if not qlist or not all(0.0 <= x <= 1.0 for x in qlist):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs!r}")
+    vals = df.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    n_tot = vals.agg(F.count(F.lit(1)).alias("__n"))
+    targets = (
+        vals.sparkSession.createDataFrame(
+            [(x,) for x in qlist], "q double"
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "q",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("q") * F.col("__n"))
+            ).alias("__target"),
+        )
+    )
+    ranked = global_row_number(
+        vals, F.col("__v"), [], out_col="__rn", n_buckets=n_buckets
+    )
+    return (
+        ranked.join(F.broadcast(targets), F.col("__rn") == F.col("__target"))
+        .select("q", F.round(F.col("__v"), decimals).alias("value"))
+        .orderBy("q")
+    )

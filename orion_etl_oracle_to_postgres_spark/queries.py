@@ -8691,3 +8691,46 @@ def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score_bin")
     )
+
+
+# =====================================================================
+# Round-6 additions: exact distributed quantiles, curriculum ordering,
+# t-closeness, binned JS divergence, iterative PageRank
+# =====================================================================
+
+
+@query(
+    "quantile_exact_prices",
+    """
+    WITH v AS (
+      SELECT l_extendedprice AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x) AS rn,
+             count(*) OVER () AS n
+      FROM v
+    ),
+    t(q) AS (
+      VALUES (0.01::DOUBLE), (0.25::DOUBLE), (0.5::DOUBLE),
+             (0.75::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)
+    )
+    SELECT t.q, round(min(r.x), 6) AS value
+    FROM r JOIN t ON r.rn >= greatest(1, ceil(t.q * r.n))
+    GROUP BY t.q ORDER BY t.q
+    """,
+)
+def quantile_exact_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] EXACT global quantiles of lineitem prices
+    (operators/quantiles.py:exact_quantiles): the audit-grade
+    counterpart to the approx_percentile scale path — discrete
+    (type-1) quantiles at rank max(1, ceil(q*n)), computed with the
+    two-phase global rank (operators/ranks.py; no single-partition
+    sort) + one broadcast equality probe for all six qs in one pass.
+    The oracle replays the identical rank arithmetic with a window."""
+    from .operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
