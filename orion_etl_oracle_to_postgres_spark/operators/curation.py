@@ -772,3 +772,48 @@ def epoch_mix_preview(
             ),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    phases: int = 4,
+    easy_first: bool = True,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Curriculum ordering for training pipelines: a deterministic
+    0-based global example index over the difficulty score (easy→hard
+    when ``easy_first``; the id breaks ties so every engine and
+    partitioning yields the same sequence) plus a 1..``phases`` phase
+    bucket with SQL-ntile semantics — "start the run on phase 1, open
+    up later phases as loss flattens". Scores should be rounded before
+    calling (round-before-rank: the order must not depend on float
+    summation order).
+
+    Scale shape: the index is the two-phase global row number
+    (``operators/ranks.py`` — range-bucketed partitioned window +
+    broadcast prefix counts, never one sort task) and the phase is
+    pure integer arithmetic on (index, n); nothing else shuffles. The
+    sibling of ``assign_stable_ids`` (hash order for I.I.D. shards);
+    this is the score-ordered variant for curriculum schedules."""
+    from .ranks import global_row_number, ntile_expr
+
+    if phases < 1:
+        raise ValueError("phases must be >= 1")
+    ranked = global_row_number(
+        df,
+        F.col(score_col),
+        [F.col(id_col)],
+        out_col="__crn",
+        descending=easy_first,
+        n_buckets=n_buckets,
+    )
+    n_tot = F.broadcast(df.agg(F.count(F.lit(1)).alias("__ntot")))
+    return (
+        ranked.crossJoin(n_tot)
+        .withColumn("curriculum_idx", (F.col("__crn") - 1).cast("long"))
+        .withColumn("phase", ntile_expr(F.col("__crn"), F.col("__ntot"), phases))
+        .drop("__crn", "__ntot")
+    )

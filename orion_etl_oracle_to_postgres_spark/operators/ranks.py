@@ -152,6 +152,26 @@ def global_row_number(
     )
 
 
+def ntile_expr(rn: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` from a precomputed 1-based row number and total
+    count: the first ``n mod k`` tiles get ``n div k + 1`` rows, the
+    rest ``n div k`` — pure exact long arithmetic (double division of
+    longs can mis-round across a tile boundary at billions of rows)."""
+
+    def idiv(a: Column, b: Column) -> Column:
+        # (a - a % b) is divisible by b, and an integer double quotient
+        # < 2^53 is exact — unlike floor(a / b)
+        return ((a - a % b) / b).cast("long")
+
+    q = idiv(n, F.lit(k))
+    r = n % k
+    big = r * (q + 1)  # rows covered by the size-(q+1) tiles
+    # ceil(a / b) for positive longs == (a + b - 1) div b
+    return F.when(rn <= big, idiv(rn + q, q + 1)).otherwise(
+        r + idiv(rn - big + q - 1, F.greatest(q, F.lit(1)))
+    ).cast("int")
+
+
 def global_ntile(
     df: DataFrame,
     order_expr: Column,
@@ -175,24 +195,9 @@ def global_ntile(
         descending=descending,
         n_buckets=n_buckets,
     )
-    def idiv(a: Column, b: Column) -> Column:
-        # exact long division: (a - a % b) is divisible by b, and a
-        # double quotient that IS an integer < 2^53 is exact — unlike
-        # floor(a / b), which can round up across a tile boundary for
-        # billion-row inputs
-        return ((a - a % b) / b).cast("long")
-
     n_tot = F.broadcast(df.agg(F.count(F.lit(1)).alias("__ntot")))
-    rn = F.col(rn_col)
-    q = idiv(F.col("__ntot"), F.lit(k))
-    r = F.col("__ntot") % k
-    big = r * (q + 1)  # rows covered by the size-(q+1) tiles
-    # ceil(a / b) for positive longs == (a + b - 1) div b
-    tile = F.when(rn <= big, idiv(rn + q, q + 1)).otherwise(
-        r + idiv(rn - big + q - 1, F.greatest(q, F.lit(1)))
-    )
     return (
         ranked.crossJoin(n_tot)
-        .withColumn(out_col, tile.cast("int"))
+        .withColumn(out_col, ntile_expr(F.col(rn_col), F.col("__ntot"), k))
         .drop(rn_col, "__ntot")
     )

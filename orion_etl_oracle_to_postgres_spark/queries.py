@@ -8734,3 +8734,35 @@ def quantile_exact_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
     )
+
+
+@query(
+    "curation_curriculum_order",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT doc_id, lang, quality,
+           (row_number() OVER (ORDER BY quality DESC, doc_id) - 1)::BIGINT
+             AS curriculum_idx,
+           ntile(4) OVER (ORDER BY quality DESC, doc_id) AS phase
+    FROM q
+    """,
+)
+def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Curriculum schedule over the documents corpus
+    (operators/curation.py:curriculum_order): every doc gets a
+    deterministic global curriculum index ordered easy→hard by the
+    heuristic quality score (rounded before ranking, doc_id tiebreak)
+    and a 1-4 phase bucket — both via the two-phase global rank, so
+    the schedule is reproducible on any cluster and never funnels the
+    corpus through a single sort task. The oracle replays with plain
+    row_number/ntile windows."""
+    from .operators.curation import curriculum_order
+    from .operators.text import quality_expr
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", F.round(quality_expr(F.col("text")), 6).alias("quality")
+    )
+    return curriculum_order(scored, "doc_id", "quality", phases=4)

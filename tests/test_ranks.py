@@ -155,3 +155,51 @@ def test_stable_ids_plan_has_no_global_window(spark):
 
     df = _values(spark, n=50).select(F.col("id").cast("string").alias("id"))
     assert_no_global_window(assign_stable_ids(df, "id", n_buckets=4))
+
+
+def test_curriculum_order_deterministic_and_phased(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        curriculum_order,
+    )
+
+    df = _values(spark, n=103).select(
+        F.col("id").alias("doc"), (F.col("v") / 10.0).alias("score")
+    )
+    out = curriculum_order(df, "doc", "score", phases=4)
+    rows = {r.doc: (r.curriculum_idx, r.phase) for r in out.collect()}
+    # bit-identical under a different partitioning
+    rows2 = {
+        r.doc: (r.curriculum_idx, r.phase)
+        for r in curriculum_order(df.repartition(13), "doc", "score", phases=4).collect()
+    }
+    assert rows == rows2
+    idxs = sorted(i for i, _ in rows.values())
+    assert idxs == list(range(103))  # dense 0-based
+    # easy-first: the doc with the max score gets index 0
+    top = df.orderBy(F.col("score").desc(), F.col("doc")).first().doc
+    assert rows[top][0] == 0 and rows[top][1] == 1
+    # ntile sizes: 103 = 3*26 + 1*25
+    from collections import Counter
+
+    sizes = Counter(p for _, p in rows.values())
+    assert sorted(sizes.values()) == [25, 26, 26, 26]
+    assert_no_global_window(out)
+
+
+def test_exact_quantiles_match_sorted_values(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    import math
+
+    vals = [((i * 37) % 101) / 7.0 for i in range(101)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(9)
+    got = {r.q: r.value for r in exact_quantiles(df, "x", [0.0, 0.1, 0.5, 1.0]).collect()}
+    s = sorted(vals)
+    want = {
+        q: round(s[max(1, math.ceil(q * len(s))) - 1], 6)
+        for q in (0.0, 0.1, 0.5, 1.0)
+    }
+    assert got == want
+    assert_no_global_window(exact_quantiles(df, "x", [0.5]))
