@@ -99,3 +99,80 @@ def l_diversity_report(
         )
         .limit(top_n)
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.2,
+    top_n: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """t-closeness audit (categorical, total-variation distance) — the
+    third leg after k-anonymity and l-diversity: a group can be large
+    AND diverse yet still leak by SKEW (90% of one diagnosis in a group
+    vs 10% globally tells an attacker plenty). Reports the ``top_n``
+    quasi-identifier groups whose sensitive-value distribution sits
+    further than ``t`` from the global distribution:
+    ``TVD(P_g, P) = ½ Σ_v |p_g(v) − p(v)|``, NULL sensitive values
+    excluded (as in the l-diversity audit). Empty result ⇔ the dataset
+    is t-close for these columns.
+
+    Engine-exact arithmetic: with integer counts, TVD_g =
+    [Σ_{v∈g} |c_gv·n − c_v·c_g| + c_g·(n − Σ_{v∈g} c_v)] / (2·c_g·n)
+    — numerator and denominator are exact int64 (the second term is
+    the mass of values ABSENT from the group), so the only float op is
+    one final division + round and the DuckDB oracle reproduces it
+    bit-for-bit. (int64 bound: c·n ≤ n², fine to ~3·10⁹ audited rows;
+    beyond that switch the products to double.)
+
+    Scale shape: one (quasi, value) aggregate, the global value table
+    broadcast back, a window PARTITIONED by the quasi tuple for the
+    group size, then one group aggregate + bounded ordered report —
+    shuffles carry (quasi, value, count) rows only.
+    """
+    from pyspark.sql.window import Window
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0.0 <= t <= 1.0:
+        raise ValueError(f"t must be in [0, 1], got {t}")
+    base = df.filter(F.col(sensitive_col).isNotNull()).select(
+        *quasi_cols, F.col(sensitive_col).alias("__s")
+    )
+    gv = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__cv"))
+    n_tot = base.agg(F.count(F.lit(1)).alias("__n"))
+    grp_val = base.groupBy(*quasi_cols, "__s").agg(
+        F.count(F.lit(1)).alias("__cgv")
+    )
+    w = Window.partitionBy(*quasi_cols)
+    joined = (
+        grp_val.join(F.broadcast(gv), "__s")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("__cg", F.sum("__cgv").over(w))
+    )
+    stats = joined.groupBy(*quasi_cols).agg(
+        F.max("__cg").alias("group_size"),
+        F.sum(
+            F.abs(F.col("__cgv") * F.col("__n") - F.col("__cv") * F.col("__cg"))
+        ).alias("__present"),
+        F.sum("__cv").alias("__sv"),
+        F.max("__n").alias("__nn"),
+    )
+    tvd = F.round(
+        (
+            F.col("__present")
+            + F.col("group_size") * (F.col("__nn") - F.col("__sv"))
+        )
+        / (2.0 * F.col("group_size") * F.col("__nn")),
+        decimals,
+    )
+    return (
+        stats.withColumn("tvd", tvd)
+        .filter(F.col("tvd") > float(t))
+        .select(*quasi_cols, "group_size", "tvd")
+        .orderBy(F.desc("tvd"), *[F.asc(c) for c in quasi_cols])
+        .limit(top_n)
+    )

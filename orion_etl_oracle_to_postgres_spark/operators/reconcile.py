@@ -453,3 +453,74 @@ def mannwhitney_u(
         F.round(u, decimals).alias("u_stat"),
         F.round((u - mu) / sigma, decimals).alias("z"),
     )
+
+
+def js_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two samples over a shared
+    equal-width binning — the bounded, symmetric drift score that
+    completes the family: PSI explodes on empty bins and KS only sees
+    the worst single CDF gap; JSD ∈ [0, 1] (base-2) degrades gracefully
+    and weighs the whole distribution. ``JSD = ½KL(p‖m) + ½KL(q‖m)``
+    with ``m = (p+q)/2`` over ``n_bins`` equal-width bins spanning the
+    POOLED min..max (both sides binned identically; zero-count bins
+    contribute only through the other side, where m > 0 by
+    construction). NULLs are excluded. Returns one row
+    (js_divergence, n_a, n_b).
+
+    Shape: one pooled min/max aggregate broadcast back, one per-(side,
+    bin) count aggregate (≤ 2·n_bins rows out of the map-side combine),
+    then a one-row fold — the corpus shuffles counts only, never
+    values. No ordering anywhere, so no rank machinery needed."""
+    pa = a.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).withColumn("__s", F.lit(0))
+    pb = b.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).withColumn("__s", F.lit(1))
+    pooled = pa.unionByName(pb)
+    bounds = pooled.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = pooled.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bin",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+                ),
+                F.lit(n_bins - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    hist = binned.groupBy("__bin").agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
+    )
+    tot = pooled.agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__nb"),
+    )
+    p = F.col("__ca") / F.col("__na")
+    q = F.col("__cb") / F.col("__nb")
+    m = (p + q) / 2.0
+    term = (
+        F.when(F.col("__ca") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("__cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(0.5 * F.sum(term), decimals).alias("js_divergence"),
+            F.first("__na").alias("n_a"),
+            F.first("__nb").alias("n_b"),
+        )
+    )

@@ -8766,3 +8766,119 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.round(quality_expr(F.col("text")), 6).alias("quality")
     )
     return curriculum_order(scored, "doc_id", "quality", phases=4)
+
+
+@query(
+    "privacy_t_closeness",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS order_priority,
+             year(o_orderdate) AS order_year,
+             o_orderstatus AS s
+      FROM orders WHERE o_orderstatus IS NOT NULL
+    ),
+    gv AS (SELECT s, count(*)::BIGINT AS cv FROM base GROUP BY s),
+    n AS (SELECT count(*)::BIGINT AS n FROM base),
+    g AS (
+      SELECT order_priority, order_year, s, count(*)::BIGINT AS cgv
+      FROM base GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT g.*, gv.cv, n.n,
+             sum(cgv) OVER (PARTITION BY order_priority, order_year) AS cg
+      FROM g JOIN gv USING (s), n
+    ),
+    st AS (
+      SELECT order_priority, order_year, max(cg)::BIGINT AS group_size,
+             sum(abs(cgv * n - cv * cg))::BIGINT AS pres,
+             sum(cv)::BIGINT AS sv, max(n) AS n
+      FROM j GROUP BY 1, 2
+    )
+    SELECT order_priority, CAST(order_year AS INTEGER) AS order_year,
+           group_size,
+           round((pres + group_size * (n - sv)) / (2.0 * group_size * n), 6)
+             AS tvd
+    FROM st
+    WHERE round((pres + group_size * (n - sv)) / (2.0 * group_size * n), 6)
+          > 0.04
+    ORDER BY tvd DESC, order_priority ASC, order_year ASC
+    LIMIT 100
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] t-closeness audit
+    (operators/privacy.py:t_closeness_report): (priority, order-year)
+    groups whose order-status distribution sits > 0.04 total-variation
+    distance from the global one — the skew-disclosure risk k-anonymity
+    and l-diversity both miss. Counts-only shuffles; the TVD numerator
+    and denominator are exact int64, so the oracle reproduces the
+    division bit-for-bit."""
+    from .operators.privacy import t_closeness_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("order_priority"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderstatus",
+    )
+    return t_closeness_report(
+        o, ["order_priority", "order_year"], "o_orderstatus", t=0.04
+    )
+
+
+@query(
+    "reconcile_js_drift",
+    """
+    WITH pooled AS (
+      SELECT o_totalprice::DOUBLE AS v, 0 AS s FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+      UNION ALL
+      SELECT o_totalprice::DOUBLE, 1 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM pooled),
+    binned AS (
+      SELECT s,
+             CASE WHEN b.hi > b.lo
+                  THEN least(CAST(floor((v - b.lo) / ((b.hi - b.lo) / 20.0))
+                             AS BIGINT), 19)
+                  ELSE 0 END AS bin
+      FROM pooled, bounds b
+    ),
+    hist AS (
+      SELECT bin,
+             sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+      FROM pooled
+    )
+    SELECT round(0.5 * sum(
+             CASE WHEN ca > 0 THEN (ca / na::DOUBLE)
+                  * log2((ca / na::DOUBLE)
+                         / (((ca / na::DOUBLE) + (cb / nb::DOUBLE)) / 2.0))
+                  ELSE 0.0 END
+             + CASE WHEN cb > 0 THEN (cb / nb::DOUBLE)
+                  * log2((cb / nb::DOUBLE)
+                         / (((ca / na::DOUBLE) + (cb / nb::DOUBLE)) / 2.0))
+                  ELSE 0.0 END), 6) AS js_divergence,
+           max(na) AS n_a, max(nb) AS n_b
+    FROM hist, tot
+    """,
+)
+def reconcile_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Jensen-Shannon drift between pre-1998 and 1998+ order
+    prices (operators/reconcile.py:js_divergence) — the bounded
+    symmetric companion to the PSI and KS drift checks: 20 shared
+    equal-width bins over the pooled range, JSD in bits. Counts-only
+    shuffles (one histogram aggregate); no ordering machinery at all,
+    so this is the cheapest member of the drift family at 100 TB."""
+    from .operators.reconcile import js_divergence
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cutoff)
+    late = o.filter(F.col("o_orderdate") >= cutoff)
+    return js_divergence(early, late, "o_totalprice", n_bins=20)

@@ -63,3 +63,28 @@ def test_l_diversity_homogeneous_group_flagged(spark):
         l_diversity_report(df, ["seg"], "s", l=1)
     with _pt.raises(ValueError, match="quasi_cols"):
         l_diversity_report(df, [], "s")
+
+
+def test_t_closeness_hand_case(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.privacy import (
+        t_closeness_report,
+    )
+    from pyspark.sql import functions as F
+
+    # global: a×6, b×2 → p = (0.75, 0.25)
+    # g1: 3a,1b → p_g = (0.75, 0.25) → TVD 0
+    # g2: 3a,1b missing? make g2: 3b? no: rows g2: a×3? design:
+    # g2: 1a,1b (0.5, 0.5) → TVD = 0.5*(|0.5-0.75|+|0.5-0.25|) = 0.25
+    rows = [("g1", "a")] * 3 + [("g1", "b")] + [("g2", "a")] * 3 + [("g2", "b")]
+    # adjust: global a=6,b=2; g2 same as g1 → both TVD 0; replace g2
+    rows = [("g1", "a")] * 3 + [("g1", "b")] + [("g2", "a"), ("g2", "b")] * 2
+    df = spark.createDataFrame(rows, "g string, s string")
+    # global: a=5, b=3 → p=(0.625, 0.375); g1=(0.75,0.25) TVD=0.125;
+    # g2=(0.5,0.5) TVD=0.125 — lower threshold to catch both
+    out = t_closeness_report(df, ["g"], "s", t=0.1).collect()
+    got = {r.g: (r.group_size, r.tvd) for r in out}
+    assert got == {"g1": (4, 0.125), "g2": (4, 0.125)}
+    # NULL sensitive rows excluded
+    df2 = df.union(spark.createDataFrame([("g1", None)], "g string, s string"))
+    out2 = {r.g: r.tvd for r in t_closeness_report(df2, ["g"], "s", t=0.1).collect()}
+    assert out2 == {"g1": 0.125, "g2": 0.125}

@@ -189,3 +189,24 @@ def test_mannwhitney_known_values(spark):
     assert shift.z > 3.0
     # direction flips when sides swap
     assert mannwhitney_u(hi, a, "v").collect()[0].u_stat == 0.0
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    import math
+
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        js_divergence,
+    )
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    b = spark.createDataFrame([(float(i % 10) + 100.0,) for i in range(50)], "x double")
+    # disjoint supports → JSD = 1 bit
+    r = js_divergence(a, b, "x", n_bins=4).collect()[0]
+    assert (r.js_divergence, r.n_a, r.n_b) == (1.0, 100, 50)
+    # identical samples → 0
+    same = js_divergence(a, a, "x", n_bins=8).collect()[0]
+    assert same.js_divergence == 0.0
+    # symmetry
+    ab = js_divergence(a, b, "x", n_bins=8).collect()[0].js_divergence
+    ba = js_divergence(b, a, "x", n_bins=8).collect()[0].js_divergence
+    assert math.isclose(ab, ba, abs_tol=1e-9)
