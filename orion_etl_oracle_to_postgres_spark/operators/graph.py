@@ -1,0 +1,89 @@
+"""[EXT] Iterative graph analytics as unrolled DataFrame plans.
+
+The repo already does transitive closure (``dedup.near_dup_clusters``,
+large-star/small-star). This module adds fixed-iteration algorithms —
+PageRank first — expressed the Spark-right way: the driver LOOP only
+composes the plan (k joins + aggregates, k known up front); no
+``collect()`` inside the loop, no RDD fold, so Catalyst sees the whole
+computation and AQE re-plans each stage at runtime.
+
+Scale shape per iteration: ONE join of the node-sized rank table
+against the edge list on ``src`` (ranks broadcast while nodes ≪ edges;
+AQE decides) + ONE groupBy(dst) partial-aggregated sum. Edges never
+change across iterations — persist or bucket them by ``src`` and every
+iteration reuses the layout. Memory is O(nodes) per executor only when
+broadcasting; otherwise everything streams.
+
+No counterpart in the reference (row-loop ETL only); standard public
+formulation (Brin & Page 1998; same shape as GraphX/Pregel's
+aggregateMessages loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank → ``(id, rank)``.
+
+    Transition weights are out-degree-normalized (``w(u→v) =
+    w_uv / Σ_t w_ut`` — exact integer division when ``weight_col`` is a
+    count, so every engine derives identical doubles), rank starts
+    uniform at ``1/N`` over the nodes APPEARING IN EDGES, and each of
+    the ``iterations`` rounds computes ``r'(v) = (1−d)/N +
+    d·Σ_u r(u)·w(u→v)``. Dangling nodes (no out-edges) leak their mass
+    by this formulation — feed a symmetrized edge list (as the
+    co-occurrence query does) or append self-loops if that matters for
+    your graph. Ranks are rounded only in the caller's final
+    projection, not between iterations (both engines iterate on raw
+    doubles; last-ulp drift over a handful of iterations stays far
+    below 1e-6).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w"))
+    deg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
+    norm = e.join(deg, "__src").select(
+        "__src", "__dst", (F.col("__w") / F.col("__deg")).alias("__tw")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("id"))
+        .unionByName(e.select(F.col("__dst").alias("id")))
+        .distinct()
+    )
+    n_tot = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    ranks = nodes.crossJoin(n_tot).select(
+        "id", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(norm, ranks["id"] == norm["__src"])
+            .groupBy(F.col("__dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("__tw")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(n_tot)
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

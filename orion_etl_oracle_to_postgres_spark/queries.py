@@ -8882,3 +8882,80 @@ def reconcile_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = o.filter(F.col("o_orderdate") < cutoff)
     late = o.filter(F.col("o_orderdate") >= cutoff)
     return js_divergence(early, late, "o_totalprice", n_bins=20)
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank oracle: it0..itN CTEs replay
+    the operator's exact float expression shape ((1.0 - d)/n +
+    d * coalesce(Σ r·w, 0.0)) so both engines iterate on identical
+    doubles."""
+    its = ["it0 AS (SELECT id, 1.0 / n.n AS r FROM nodes, n)"]
+    for k in range(1, iters + 1):
+        its.append(
+            f"""it{k} AS (
+      SELECT v.id, (1.0 - {d}) / n.n + {d} * coalesce(c.s, 0.0) AS r
+      FROM nodes v LEFT JOIN (
+        SELECT e.dst AS id, sum(p.r * e.w) AS s
+        FROM it{k - 1} p JOIN e ON e.src = p.id GROUP BY e.dst
+      ) c ON c.id = v.id, n
+    )"""
+        )
+    return f"""
+    WITH pairs AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*)::BIGINT AS w
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, sum(w)::BIGINT AS deg FROM pairs GROUP BY src),
+    e AS (
+      SELECT p.src, p.dst, p.w / d.deg::DOUBLE AS w
+      FROM pairs p JOIN deg d USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM pairs),
+    n AS (SELECT count(*)::BIGINT AS n FROM nodes),
+    {','.join(its)}
+    SELECT id AS supp_key, round(r, 6) AS rank
+    FROM it{iters}
+    ORDER BY rank DESC, supp_key
+    LIMIT 20
+    """
+
+
+@query("graph_supplier_pagerank", _pagerank_sql())
+def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Weighted PageRank over the supplier co-occurrence graph
+    (operators/graph.py:pagerank): suppliers are linked when they ship
+    lines of the same order (symmetrized, co-occurrence-count weights,
+    so no dangling mass), 5 iterations at damping 0.85, top-20 most
+    central suppliers (rank rounded BEFORE the cutoff, id tiebreak).
+    The iteration is an unrolled declarative plan — per round one
+    node-sized rank⋈edges join + one groupBy(dst) partial-agg sum; no
+    collect inside the loop, edges reusable from a bucketed layout.
+    Oracle replays all 5 iterations as unrolled CTEs with the identical
+    float expression shape."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(pairs, "src", "dst", weight_col="w")
+    return (
+        ranks.select(
+            F.col("id").alias("supp_key"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("supp_key"))
+        .limit(20)
+    )

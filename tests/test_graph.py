@@ -1,0 +1,60 @@
+"""pagerank (operators/graph.py): hand-verified fixed-iteration values
+and plan hygiene (no collect-driven loop — a single composed plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orion_etl_oracle_to_postgres_spark.operators.graph import pagerank
+
+
+def _reference_pagerank(edges, d=0.85, iters=5):
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    out = {u: sum(w for s, _, w in edges if s == u) for u in nodes}
+    r = {u: 1.0 / len(nodes) for u in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            c = sum(
+                r[s] * (w / out[s]) for s, t, w in edges if t == v
+            )
+            nxt[v] = (1.0 - d) / len(nodes) + d * c
+        r = nxt
+    return r
+
+
+def test_pagerank_triangle_uniform(spark):
+    edges = [(i, j, 1) for i in range(3) for j in range(3) if i != j]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.id: round(r.rank, 9) for r in pagerank(df, "src", "dst", weight_col="w").collect()}
+    assert got == {0: round(1 / 3, 9), 1: round(1 / 3, 9), 2: round(1 / 3, 9)}
+
+
+def test_pagerank_star_matches_reference_loop(spark):
+    # hub 0 connected to 1..4 (symmetric), plus a 1-2 chord
+    ed = []
+    for leaf in (1, 2, 3, 4):
+        ed += [(0, leaf, 2), (leaf, 0, 2)]
+    ed += [(1, 2, 1), (2, 1, 1)]
+    df = spark.createDataFrame(ed, "src long, dst long, w long")
+    got = {r.id: r.rank for r in pagerank(df, "src", "dst", weight_col="w").collect()}
+    want = _reference_pagerank(ed)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    # hub strictly most central; chordless leaves symmetric
+    assert got[0] == max(got.values())
+    assert abs(got[3] - got[4]) < 1e-15
+
+
+def test_pagerank_rank_mass_conserved(spark):
+    ed = [(i, (i * 3 + 1) % 7, 1) for i in range(7)]
+    ed += [(t, s, w) for s, t, w in ed]  # symmetrize: no dangling mass
+    df = spark.createDataFrame(ed, "src long, dst long, w long")
+    total = (
+        pagerank(df, "src", "dst", weight_col="w")
+        .agg(F.sum("rank").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert abs(total - 1.0) < 1e-9
