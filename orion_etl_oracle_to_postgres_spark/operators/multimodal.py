@@ -419,3 +419,110 @@ def phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def frame_hashes(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sampled-frame content hash → (id, frame_idx, fhash). With a
+    real codec the hash covers the decoded frame's pixels; the stub
+    hashes the frame's own SLICE of the payload (1 ms ≈ 1 character
+    under the UTF-8 stand-in payloads), so two media objects sharing a
+    stretch of content genuinely share those frame hashes — the
+    property the near-dup join exists to exploit — unlike a
+    whole-payload digest, which only exact copies would share.
+    Deliberately md5-based (``functions.md5_hash60``) rather than
+    xxhash so the differential oracle replays it; the explode, slicing,
+    and hashing are all JVM-side and the payload never enters a
+    shuffle."""
+    from ..functions import md5_hash60
+
+    k = int(every_ms)
+    s = F.col(payload_col).cast("string")
+    n_frames = F.greatest((F.length(s) / F.lit(k)).cast("int"), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        s.alias("__payload_s"),
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
+            "frame_idx", "__z"
+        ),
+    ).select(
+        id_col,
+        "frame_idx",
+        md5_hash60(
+            F.substring(
+                F.col("__payload_s"), F.col("frame_idx") * k + 1, k
+            )
+        ).alias("fhash"),
+    )
+
+
+def video_near_dups(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    min_jaccard: float = 0.8,
+    max_postings: int = 1000,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Video near-duplicate pairs by sampled-frame-set overlap — the
+    video twin of MinHash doc dedup: two videos are near-dups when the
+    Jaccard of their frame-hash SETS reaches ``min_jaccard`` (re-encoded
+    or trimmed copies share most frames; the stub's sha-derived frame
+    hashes make only exact payload copies collide, but the plan is the
+    real one). Returns (id_i, id_j, n_shared, jaccard).
+
+    Scale shape: distinct (video, fhash) postings, a postings-list cap
+    (frames seen in > ``max_postings`` videos are dropped — intro
+    cards/test patterns would otherwise create quadratic candidate
+    blowup; standard recall trade, documented), ONE fhash-bucketed
+    self-join for shared counts, then per-video frame counts joined
+    back. The threshold test is pure integer arithmetic
+    (``shared·1000 ≥ permille·(n_a+n_b−shared)``), so engines agree
+    exactly; payloads never enter any shuffle."""
+    permille = int(round(min_jaccard * 1000))
+    fh = frame_hashes(
+        df, every_ms=every_ms, payload_col=payload_col, id_col=id_col
+    ).select(F.col(id_col).alias("__id"), "fhash").distinct()
+    sizes = fh.groupBy("__id").agg(F.count(F.lit(1)).alias("__nf"))
+    rare = (
+        fh.groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("__np"))
+        .filter(F.col("__np") <= int(max_postings))
+        .select("fhash")
+    )
+    pruned = fh.join(rare, "fhash")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_i"), F.col("b.__id").alias("id_j")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_i"), F.col("__nf").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_j"), F.col("__nf").alias("__nb"))
+    uni = F.col("__na") + F.col("__nb") - F.col("n_shared")
+    return (
+        pairs.join(sa, "id_i")
+        .join(sb, "id_j")
+        .filter(F.col("n_shared") * 1000 >= F.lit(permille) * uni)
+        .select(
+            "id_i",
+            "id_j",
+            "n_shared",
+            F.round(F.col("n_shared") / uni.cast("double"), decimals).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -8959,3 +8959,47 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("supp_key"))
         .limit(20)
     )
+
+
+@query(
+    "multimodal_video_near_dups",
+    f"""
+    WITH fr AS (
+      SELECT doc_id, text,
+             unnest(range(greatest(length(text) // 200, 1))) AS fi
+      FROM documents
+    ),
+    fh AS (
+      SELECT DISTINCT doc_id,
+             {_hex2int_sql("md5(substr(text, fi * 200 + 1, 200))")} AS fhash
+      FROM fr
+    ),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM fh GROUP BY doc_id),
+    rare AS (SELECT fhash FROM fh GROUP BY fhash HAVING count(*) <= 1000),
+    pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*)::BIGINT AS n_shared
+      FROM fh a JOIN fh b USING (fhash) JOIN rare USING (fhash)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_i, id_j, n_shared,
+           round(n_shared / (sa.nf + sb.nf - n_shared)::DOUBLE, 6) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_i
+    JOIN sz sb ON sb.doc_id = id_j
+    WHERE n_shared * 1000 >= 800 * (sa.nf + sb.nf - n_shared)
+    """,
+)
+def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Video near-dup pairs by sampled-frame-set Jaccard
+    (operators/multimodal.py:video_near_dups): fake video payloads over
+    the documents corpus, one frame per 200 "ms" (chars under the
+    stand-in), ≥0.8 frame-set overlap — the video leg of the dedup
+    family (MinHash for text, phash banding for images, frame sets for
+    video). Postings-capped bucket join; integer threshold; payloads
+    never shuffle. Oracle replays the sliced-md5 frame hashes and the
+    same integer cutoff."""
+    b = multimodal.attach_fake_binary(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", media_type="video"
+    )
+    return multimodal.video_near_dups(b, every_ms=200, min_jaccard=0.8)

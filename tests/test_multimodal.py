@@ -174,3 +174,41 @@ def test_phash_chunk_width_guard(spark):
     df = spark.createDataFrame([(1, [0.9] * 8)], "doc_id long, features array<double>")
     with _pt.raises(ValueError, match="chunks"):
         phash_near_dups(df, n_bits=8, max_hamming=2)  # 8 bits / 3 chunks
+
+
+def test_video_near_dups_shared_chunks(spark):
+    """Two 'videos' sharing 4 of 5 frame windows are a near-dup pair at
+    0.6 but not 0.9; an unrelated payload pairs with neither."""
+    from orion_etl_oracle_to_postgres_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    base = "abcdefghij" * 2  # 20 chars = 5 frames of 4
+    rows = [
+        (1, base),
+        (2, base[:16] + "ZZZZ"),  # shares 4/5 frames with 1
+        (3, "qrstuvwxyz" * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b = mm.attach_fake_binary(df, "text", "doc_id", media_type="video")
+    lo = mm.video_near_dups(b, every_ms=4, min_jaccard=0.6)
+    got = [(r.id_i, r.id_j, r.n_shared, r.jaccard) for r in lo.collect()]
+    assert got == [(1, 2, 4, round(4 / 6, 6))]
+    hi = mm.video_near_dups(b, every_ms=4, min_jaccard=0.9)
+    assert hi.count() == 0
+
+
+def test_frame_hashes_slice_identity(spark):
+    """Sharing a prefix means sharing exactly the full frame windows of
+    that prefix — and payloads never appear in the hash output."""
+    from orion_etl_oracle_to_postgres_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "0123456789"), (2, "01234XXXXX")], "doc_id long, text string"
+    )
+    b = mm.attach_fake_binary(df, "text", "doc_id", media_type="video")
+    fh = mm.frame_hashes(b, every_ms=5)
+    rows = {(r.doc_id, r.frame_idx): r.fhash for r in fh.collect()}
+    assert len(rows) == 4  # 2 frames each
+    assert rows[(1, 0)] == rows[(2, 0)]  # shared first window
+    assert rows[(1, 1)] != rows[(2, 1)]
+    assert fh.columns == ["doc_id", "frame_idx", "fhash"]
