@@ -937,6 +937,52 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             if spl.column_name != "split":
                 df = df.withColumnRenamed("split", spl.column_name)
 
+    # 5e. declarative curriculum schedule — LAST of the curation stages
+    # so the indices are dense over exactly the rows that ship
+    if spec.curriculum is not None:
+        from .operators.curation import curriculum_order
+
+        cur = spec.curriculum
+        if cur.id_column not in df.columns:
+            raise ValueError(
+                f"{spec.source_table}: curriculum id_column "
+                f"{cur.id_column!r} not in pipeline output {df.columns}"
+            )
+        clash = {"curriculum_idx", "phase"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"{spec.source_table}: curriculum stage would overwrite "
+                f"pipeline column(s) {sorted(clash)} — rename them"
+            )
+        if cur.score_column is not None:
+            if cur.score_column not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: curriculum score_column "
+                    f"{cur.score_column!r} not in pipeline output {df.columns}"
+                )
+            df = curriculum_order(
+                df, cur.id_column, cur.score_column,
+                phases=cur.phases, easy_first=cur.easy_first,
+            )
+        else:
+            from .operators.text import quality_expr
+
+            if cur.text_column not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: curriculum text_column "
+                    f"{cur.text_column!r} not in pipeline output {df.columns}"
+                )
+            df = curriculum_order(
+                df.withColumn(
+                    "__cur_score",
+                    F.round(quality_expr(F.col(cur.text_column)), 6),
+                ),
+                cur.id_column,
+                "__cur_score",
+                phases=cur.phases,
+                easy_first=cur.easy_first,
+            ).drop("__cur_score")
+
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:
         df = self_lookup(df, r.target or r.source, r.lookup)

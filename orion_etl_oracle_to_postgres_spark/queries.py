@@ -9003,3 +9003,43 @@ def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id", media_type="video"
     )
     return multimodal.video_near_dups(b, every_ms=200, min_jaccard=0.8)
+
+
+@query(
+    "etl_curriculum",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS q
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           (row_number() OVER (ORDER BY q DESC, doc_id) - 1)::BIGINT
+             AS curriculum_idx,
+           ntile(3) OVER (ORDER BY q DESC, doc_id) AS phase
+    FROM q
+    """,
+)
+def etl_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative curriculum stage through the job
+    compiler (`curriculum:` block, spec.py:CurriculumSpec): the YAML
+    user declares "order my corpus easy→hard by heuristic quality, 3
+    phases" and the pipeline ships dense curriculum_idx + phase columns
+    — computed via the two-phase global rank, after every other
+    curation stage. Oracle replays the score + row_number/ntile."""
+    from .spec import CurriculumSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_curr",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        curriculum=CurriculumSpec(
+            id_column="doc_id", text_column="text", phases=3
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select(
+        "doc_id", "lang", "curriculum_idx", "phase"
+    )

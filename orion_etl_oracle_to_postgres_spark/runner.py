@@ -160,6 +160,31 @@ def main(argv: list[str] | None = None) -> int:
         "to see WHICH rows differ",
     )
     parser.add_argument(
+        "--drift",
+        default=None,
+        metavar="TABLE",
+        help="statistical sign-off: recompile TABLE's pipeline frame and "
+        "compare the distribution of each --columns numeric column "
+        "against the loaded target (PSI over quantile bins + "
+        "Jensen-Shannon over equal-width bins); prints one line per "
+        "column, exits nonzero when any PSI exceeds --psi-threshold. "
+        "The complement of --reconcile/--checksum: rows can all differ "
+        "legitimately (re-derived surrogate keys) while the "
+        "distributions must still match",
+    )
+    parser.add_argument(
+        "--columns",
+        default=None,
+        help="comma-separated numeric columns for --drift",
+    )
+    parser.add_argument(
+        "--psi-threshold",
+        type=float,
+        default=0.25,
+        help="--drift failure bar (default 0.25, the standard "
+        "'population shifted' PSI rule of thumb)",
+    )
+    parser.add_argument(
         "--lineage",
         action="store_true",
         help="print the static column-lineage report (target column <- "
@@ -361,6 +386,48 @@ def main(argv: list[str] | None = None) -> int:
             else tspec
         )
         return tspec, full
+
+    if args.drift:
+        from pyspark.sql import functions as F
+
+        from .compiler import compile_table
+        from .operators.reconcile import distribution_drift, js_divergence
+
+        tspec, full_spec = _resolve_full_spec(args.drift, "--drift")
+        cols = [c.strip() for c in (args.columns or "").split(",") if c.strip()]
+        if not cols:
+            raise SystemExit("--drift needs --columns c1[,c2,...]")
+        ctx = JobContext(spark, job.global_spec)
+        expected = compile_table(ctx, full_spec).df
+        actual = ctx._read_target(tspec.target_table, tspec.target_schema)
+        missing = [
+            c
+            for c in cols
+            if c not in expected.columns or c not in actual.columns
+        ]
+        if missing:
+            raise SystemExit(
+                f"--drift: column(s) {missing} not present on both sides"
+            )
+        n_bad = 0
+        for c in cols:
+            psi = (
+                distribution_drift(expected, actual, c)
+                .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+                .collect()[0]
+                .psi
+            )
+            jsd = js_divergence(expected, actual, c).collect()[0].js_divergence
+            flag = psi is not None and psi > args.psi_threshold
+            n_bad += int(bool(flag))
+            print(
+                f"{'DRIFT' if flag else 'OK   '}  {c}  psi={psi}  jsd={jsd}"
+            )
+        print(
+            f"drift: {len(cols) - n_bad}/{len(cols)} columns within "
+            f"psi<={args.psi_threshold}"
+        )
+        return 1 if n_bad else 0
 
     if args.reconcile:
         from .compiler import compile_table

@@ -558,6 +558,35 @@ class QualityFilterSpec(BaseModel):
         return self
 
 
+class CurriculumSpec(BaseModel):
+    """[engine extension] Declarative curriculum schedule on the
+    outgoing rows: adds a deterministic 0-based ``curriculum_idx``
+    (global order over a difficulty score — easy→hard by default, id
+    tiebreak) and a 1..``phases`` ``phase`` bucket with SQL-ntile
+    semantics (``operators/curation.py:curriculum_order`` — two-phase
+    global rank, never a single-partition sort). Order by an existing
+    numeric ``score_column``, or set ``text_column`` to derive the
+    heuristic quality score in-plan (rounded before ranking). Computed
+    AFTER gates/sampling/split, so indices are dense over exactly the
+    rows that ship."""
+
+    id_column: str
+    score_column: Optional[str] = None
+    text_column: Optional[str] = None
+    phases: int = Field(default=4, ge=1)
+    easy_first: bool = True
+
+    @model_validator(mode="after")
+    def _one_score_source(self) -> "CurriculumSpec":
+        if (self.score_column is None) == (self.text_column is None):
+            raise ValueError(
+                "curriculum needs exactly one of score_column (rank an "
+                "existing column) or text_column (derive the heuristic "
+                "quality score)"
+            )
+        return self
+
+
 class ShardsSpec(BaseModel):
     """[engine extension] Deterministic training-shard export layout
     (``sinks/export.py:export_training_shards``): the files write
@@ -671,6 +700,8 @@ class TableSpec(BaseModel):
     quality_filter: Optional[QualityFilterSpec] = None
     #: declarative text rewrite (span dedup / scrubbing) BEFORE the gate
     rewrite: Optional[RewriteSpec] = None
+    #: declarative curriculum index/phase columns on the outgoing rows
+    curriculum: Optional[CurriculumSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":

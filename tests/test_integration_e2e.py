@@ -6,6 +6,8 @@ stage is unit-tested alone elsewhere."""
 
 import textwrap
 
+import pytest
+
 from orion_etl_oracle_to_postgres_spark.runner import main
 
 
@@ -522,3 +524,62 @@ def test_cli_layout_verb(spark, tmp_path, capsys):
     assert main(["--config", str(tmp_path / "config.yaml"), "--layout", "frag"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_files"] == 4 and rep["small_frac"] == 1.0
+
+
+def test_cli_drift_verb(spark, tmp_path, capsys):
+    """--drift: distribution sign-off — a freshly-loaded target is
+    drift-free (exit 0); a value-shifted target trips the PSI bar
+    (exit 1) even though row counts still match."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    rows = [(i, float((i * 13) % 97)) for i in range(300)]
+    spark.createDataFrame(rows, "id int, v double").write.parquet(
+        str(src / "t.parquet")
+    )
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: t
+            target_table: t_out
+            mappings:
+              - source: id
+                target: id
+              - source: v
+                target: v
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg]) == 0
+    assert main(["--config", cfg, "--drift", "t_out", "--columns", "v"]) == 0
+    assert "OK" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="not present on both sides"):
+        main(["--config", cfg, "--drift", "t_out", "--columns", "missing"])
+
+    # shift the target distribution (same row count) -> PSI trips
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shifted = spark.read.parquet(str(out / "t_out")).withColumn(
+        "v", F.col("v") * 3 + 500
+    )
+    shifted.write.mode("overwrite").parquet(str(out / "t_out_new"))
+    shutil.rmtree(str(out / "t_out"))
+    shutil.move(str(out / "t_out_new"), str(out / "t_out"))
+    assert main(["--config", cfg, "--drift", "t_out", "--columns", "v"]) == 1
+    outtxt = capsys.readouterr().out
+    assert "DRIFT" in outtxt and "psi=" in outtxt

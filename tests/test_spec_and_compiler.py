@@ -1785,3 +1785,56 @@ def test_rewrite_spans_preserves_zero_token_rows(spark, tmp_path):
     rows = {r["id"]: r["body"] for r in compile_table(ctx, spec).df.collect()}
     assert set(rows) == {1, 2, 3, 4}  # nobody vanished
     assert rows[3] is None and rows[4] == "!!!"  # originals kept
+
+
+def test_curriculum_spec_validation():
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.spec import CurriculumSpec
+
+    with _pt.raises(ValueError, match="exactly one"):
+        CurriculumSpec(id_column="id")
+    with _pt.raises(ValueError, match="exactly one"):
+        CurriculumSpec(id_column="id", score_column="s", text_column="t")
+    ok = CurriculumSpec(id_column="id", score_column="s", phases=2)
+    assert ok.easy_first is True
+
+
+def test_curriculum_stage_score_column_and_clash(spark, sf_dir):
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.compiler import compile_table
+    from orion_etl_oracle_to_postgres_spark.queries import _ctx
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        CurriculumSpec,
+        MappingSpec,
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="t",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="n_chars", target="n_chars"),
+        ],
+        curriculum=CurriculumSpec(
+            id_column="doc_id", score_column="n_chars", phases=2,
+            easy_first=False,
+        ),
+    )
+    df = compile_table(_ctx(spark, sf_dir), spec).df
+    rows = df.orderBy("curriculum_idx").collect()
+    assert [r.curriculum_idx for r in rows[:3]] == [0, 1, 2]
+    # easy_first=False ranks ascending: index 0 = smallest n_chars
+    assert rows[0].n_chars == min(r.n_chars for r in rows)
+    assert {r.phase for r in rows} == {1, 2}
+    bad = spec.model_copy(
+        update={
+            "curriculum": CurriculumSpec(
+                id_column="doc_id", score_column="missing", phases=2
+            )
+        }
+    )
+    with _pt.raises(ValueError, match="score_column"):
+        compile_table(_ctx(spark, sf_dir), bad)
