@@ -817,3 +817,36 @@ def curriculum_order(
         .withColumn("phase", ntile_expr(F.col("__crn"), F.col("__ntot"), phases))
         .drop("__crn", "__ntot")
     )
+
+
+def uncertainty_sample(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    *,
+    center: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Active-learning margin sampling: the ``k`` rows whose classifier
+    score sits closest to the decision boundary (``center``) — where a
+    human labeling budget buys the most model improvement, and the
+    natural companion to ``text.train_hashed_linear`` (train → score →
+    route the most uncertain docs to annotation → retrain). NULL scores
+    (unscorable rows) are excluded; the margin is ROUNDED before
+    ranking and ties break by id, so the picked set is engine- and
+    partitioning-stable.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a k·partitions driver merge; the corpus is
+    never globally sorted and never shuffles. Returns the input columns
+    plus ``margin``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = F.round(F.abs(F.col(score_col) - F.lit(float(center))), decimals)
+    return (
+        scored.filter(F.col(score_col).isNotNull())
+        .withColumn("margin", m)
+        .orderBy(F.col("margin").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

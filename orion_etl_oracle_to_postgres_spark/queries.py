@@ -9043,3 +9043,70 @@ def etl_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec).select(
         "doc_id", "lang", "curriculum_idx", "phase"
     )
+
+
+@query(
+    "curation_uncertainty_sample",
+    "WITH scored AS ("
+    + ORACLE["text_quality_classifier_trained"]
+    + """
+    )
+    SELECT doc_id, qc_score, round(abs(qc_score - 0.5), 6) AS margin
+    FROM scored
+    WHERE qc_score IS NOT NULL
+    ORDER BY margin ASC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def curation_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Active-learning annotation batch
+    (operators/curation.py:uncertainty_sample): the 25 documents the
+    TRAINED quality classifier is least sure about (score nearest 0.5,
+    margin rounded before ranking, doc_id tiebreak) — the rows to send
+    for human labels before the next training round. Zero-shuffle
+    scoring projection + TakeOrderedAndProject; the oracle reuses the
+    trained-classifier replay verbatim as a CTE."""
+    from .operators.curation import uncertainty_sample
+
+    d = _t(spark, sf_dir, "documents")
+    scored = text.hashed_linear_score(
+        d, "text", "doc_id", weights=_QC_TRAINED_W, bias=_QC_TRAINED_B
+    ).select("doc_id", "qc_score")
+    return uncertainty_sample(scored, "doc_id", "qc_score", 25)
+
+
+@query(
+    "agg_pivot_status_revenue",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                                   THEN o_totalprice END), 0), 2) AS rev_o,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                                   THEN o_totalprice END), 0), 2) AS rev_f,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                                   THEN o_totalprice END), 0), 2) AS rev_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT plan shape (§2.8 completion next to UNPIVOT): revenue per
+    order priority pivoted across the three order statuses via
+    ``groupBy().pivot(values=...)`` — the EXPLICIT value list keeps the
+    pivot a single-pass aggregate (omitting it costs a separate
+    distinct-scan job to discover columns, a real extra pass at 100
+    TB). Catalyst compiles it to exactly the oracle's CASE-sum
+    aggregate: one map-side-combined shuffle, fixed-width output."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("rev_o"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("rev_f"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("rev_p"),
+    ).orderBy("o_orderpriority")
