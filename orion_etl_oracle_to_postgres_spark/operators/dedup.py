@@ -881,3 +881,66 @@ def canonical_pick(
         cmap.select("__cid"), docs[id_col] == cmap["__cid"], "left_anti"
     )
     return passthrough.unionByName(survivors)
+
+
+def minhash_index_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE near-dup index of a corpus: (banded
+    signatures, shingle-hash stream) — everything a later batch needs
+    to near-dup-check against this corpus WITHOUT touching its text
+    again. Persist both frames (parquet); the band table answers
+    candidate lookups, the shingle stream answers exact-Jaccard
+    verification. Ids+hashes only — the index is a small fraction of
+    corpus bytes and append-able batch over batch."""
+    flat = shingle_hash_stream(df, id_col, text_col, shingle_n)
+    return minhash_bands(flat, num_hashes, bands, seed), flat
+
+
+def minhash_index_lookup(
+    batch: DataFrame,
+    banded_ix: DataFrame,
+    flat_ix: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """INCREMENTAL near-dup check: which NEW-batch documents
+    near-duplicate a document already in the persisted index
+    (``minhash_index_build``)? Returns (id_i = batch id, id_j = index
+    id, jaccard ≥ threshold), exact-verified. The text-level upgrade of
+    ``incremental_dedup``'s fingerprint-exact anti-join: a reworded
+    copy with Jaccard 0.9 sails through the fingerprint check but is
+    caught here.
+
+    100 TB shape: the batch side streams ids+hashes; the index is read
+    from its parquet layout (bucket it by band_hash and the candidate
+    join is shuffle-free on the index side); verification joins touch
+    only candidate ids. Band family parameters MUST match the index
+    build — persist them beside the index and validate before lookup
+    (the layout-cache marker pattern)."""
+    flat_b = shingle_hash_stream(batch, id_col, text_col, shingle_n)
+    banded_b = minhash_bands(flat_b, num_hashes, bands, seed)
+    candidates = (
+        banded_b.alias("a")
+        .join(
+            banded_ix.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.__id").alias("id_i"), F.col("b.__id").alias("id_j"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, flat_b, threshold, flat_j=flat_ix)

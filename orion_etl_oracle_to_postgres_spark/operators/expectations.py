@@ -21,6 +21,10 @@ Check types:
 - ``freshness``: max(ts_column) within ``max_lag_hours`` of ``as_of``
   (an EXPLICIT reference instant — never wall-clock, so the gate is
   deterministic and replayable; the orchestrator passes "now")
+- ``k_anonymity``: no quasi-identifier group over ``columns`` smaller
+  than ``min`` rows (``operators/privacy.py`` semantics as a GATE:
+  refuse to publish a re-identifiable table; the report variant is
+  ``privacy.k_anonymity_report``)
 """
 
 from __future__ import annotations
@@ -109,6 +113,15 @@ def _validate_check(c: Expect) -> None:
         )
     if c.type == "unique" and not c.columns:
         raise ValueError("expectation 'unique' needs at least one column")
+    if c.type == "k_anonymity":
+        if not c.columns:
+            raise ValueError(
+                "expectation 'k_anonymity' needs the quasi-identifier columns"
+            )
+        if c.min is None or c.min < 2:
+            raise ValueError(
+                f"expectation {c.label!r}: k_anonymity needs min (= k) >= 2"
+            )
     if c.type == "row_count" and c.columns:
         raise ValueError(
             f"expectation {c.label!r}: row_count takes no columns"
@@ -170,7 +183,7 @@ def run_expectations(
         elif c.type == "freshness":
             (col,) = c.columns
             aggs.append(F.max(F.col(col)).alias(f"__e{i}"))
-        elif c.type in ("row_count", "unique", "fk"):
+        elif c.type in ("row_count", "unique", "fk", "k_anonymity"):
             pass
         else:
             raise ValueError(f"unknown expectation type {c.type!r}")
@@ -235,6 +248,20 @@ def run_expectations(
             rows.append(
                 (c.label, col, float(orphan),
                  f"all in {c.ref_table}.{c.ref_column}", orphan == 0)
+            )
+        elif c.type == "k_anonymity":
+            # privacy gate, unique-check shape: one grouped aggregate,
+            # probe stops at the FIRST too-small quasi-identifier group
+            small = (
+                df.groupBy(*c.columns)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") < int(c.min))
+                .limit(1)
+                .count()
+            )
+            rows.append(
+                (c.label, col, float(small),
+                 f"no group smaller than k={int(c.min)}", small == 0)
             )
         elif c.type == "unique":
             # one grouped aggregate with an early-exit limit: the probe

@@ -9110,3 +9110,77 @@ def agg_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("rev_f"),
         F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("rev_p"),
     ).orderBy("o_orderpriority")
+
+
+_MINHASH_IX_PARAMS = {
+    "shingle_n": 3,
+    "num_hashes": 128,
+    "bands": 32,
+    "seed": 42,
+    "index_rule": "doc_id % 5 != 0",
+    "layout_version": 1,
+}
+
+
+@query(
+    "dedup_incremental_minhash",
+    _SHINGLE_CTE
+    + """
+    SELECT b.doc_id AS id_i, a.doc_id AS id_j,
+           round(len(list_intersect(a.shs, b.shs))::DOUBLE
+                 / len(list_distinct(list_concat(a.shs, b.shs))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      AND len(list_intersect(a.shs, b.shs))::DOUBLE
+          / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] INCREMENTAL near-dup dedup against a PERSISTED MinHash
+    index (operators/dedup.py:minhash_index_build/lookup): the corpus
+    index (doc_id % 5 != 0 — banded signatures + shingle stream,
+    ids+hashes parquet, built once through the layout cache with every
+    band parameter recorded in the marker) answers "which docs of this
+    NEW batch (doc_id % 5 == 0) near-duplicate something we already
+    have?" without re-reading the corpus text. The text-similarity
+    upgrade of the fingerprint-exact ``dedup_incremental_batch``
+    anti-join; at 100 TB the index is the durable artifact and each
+    day's batch is one bucket join + verify against it. Oracle
+    brute-forces the exact cross Jaccard (128/32 banding miss
+    probability < 1e-7 at 0.8, so the sets coincide)."""
+    import os as _os
+
+    def _build(cache: str) -> None:
+        ix = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+        banded, flat = dedup.minhash_index_build(
+            ix, "doc_id", "text",
+            shingle_n=_MINHASH_IX_PARAMS["shingle_n"],
+            num_hashes=_MINHASH_IX_PARAMS["num_hashes"],
+            bands=_MINHASH_IX_PARAMS["bands"],
+            seed=_MINHASH_IX_PARAMS["seed"],
+        )
+        banded.write.mode("overwrite").parquet(_os.path.join(cache, "bands"))
+        flat.write.mode("overwrite").parquet(_os.path.join(cache, "shingles"))
+
+    cache = _cached_layout(
+        env_var="SPARK_GRAFT_MINHASH_IX_CACHE",
+        default_dir="orion_etl_spark_minhash_ix",
+        sf_dir=sf_dir,
+        marker_name="_MINHASH_IX_OK",
+        params=_MINHASH_IX_PARAMS,
+        src_name="documents.parquet",
+        build=_build,
+    )
+    batch = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.minhash_index_lookup(
+        batch,
+        spark.read.parquet(_os.path.join(cache, "bands")),
+        spark.read.parquet(_os.path.join(cache, "shingles")),
+        "doc_id",
+        "text",
+        shingle_n=_MINHASH_IX_PARAMS["shingle_n"],
+        num_hashes=_MINHASH_IX_PARAMS["num_hashes"],
+        bands=_MINHASH_IX_PARAMS["bands"],
+        seed=_MINHASH_IX_PARAMS["seed"],
+        threshold=0.8,
+    )

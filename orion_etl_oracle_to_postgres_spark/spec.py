@@ -387,7 +387,7 @@ class ExpectSpec(BaseModel):
     check aborts the table load (no partial publish), unlike per-row
     validation rules which rewrite or drop individual rows."""
 
-    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness
+    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness | k_anonymity
     columns: List[str] = Field(default_factory=list)
     min: Optional[float] = None
     max: Optional[float] = None

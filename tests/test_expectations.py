@@ -257,3 +257,30 @@ def test_warn_severity_reports_but_never_blocks(spark, caplog):
 
     with _pt.raises(ValidationError, match="severity"):
         ExpectSpec(type="not_null", columns=["v"], severity="loud")
+
+
+def test_k_anonymity_expectation_gate(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+        Expect,
+        enforce,
+        run_expectations,
+    )
+
+    rows = [("a", 1)] * 5 + [("b", 2)] * 5 + [("c", 3)]  # (c,3) is a size-1 group
+    df = spark.createDataFrame(rows, "seg string, zone int")
+    chk = [Expect(type="k_anonymity", columns=("seg", "zone"), min=3)]
+    rep = run_expectations(df, chk).collect()
+    assert rep[0]["passed"] is False and rep[0]["observed"] == 1.0
+    with pytest.raises(ValueError, match="k_anonymity"):
+        enforce(df, chk)
+    # dropping the singleton group makes the table 3-anonymous
+    ok = run_expectations(df.filter("seg <> 'c'"), chk).collect()
+    assert ok[0]["passed"] is True
+    # validation: k must be >= 2 and columns required
+    with pytest.raises(ValueError, match="min"):
+        run_expectations(df, [Expect(type="k_anonymity", columns=("seg",))])
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        run_expectations(df, [Expect(type="k_anonymity", min=3)])
+    # warn severity: reported but does not block
+    warn = [Expect(type="k_anonymity", columns=("seg", "zone"), min=3, severity="warn")]
+    enforce(df, warn)  # no raise
