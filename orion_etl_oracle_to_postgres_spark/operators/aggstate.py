@@ -100,3 +100,49 @@ def finalize_agg_state(
             F.sqrt(var).alias(f"{c}_stddev"),
         ]
     return state.select(*out)
+
+
+def build_hll_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key HyperLogLog sketch state (Apache DataSketches via Spark's
+    ``hll_sketch_agg``) — the DISTINCT-COUNT member of the mergeable-
+    state family: the monoid states above handle count/sum/min/max, but
+    count-distinct is not algebraic over raw counts; the HLL sketch is
+    its mergeable form (union = merge), with ~1.6%/sqrt(2^(lg_k-12))
+    standard error at fixed O(2^lg_k) bytes per key. Returns one row
+    per key with a ``binary`` sketch column — persist it (parquet) and
+    each day's increment folds in WITHOUT rescanning history, exactly
+    like ``merge_agg_states``."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))).alias("hll_state")
+    )
+
+
+def merge_hll_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold two HLL state tables (full outer on keys; a key missing on
+    one side keeps the other's sketch). Sketch union is associative and
+    commutative, so daily states fold in any order to the identical
+    estimate the full-history sketch would give — the property the unit
+    test pins."""
+    au = a.select(*keys, F.col("hll_state").alias("__ha"))
+    bu = b.select(*keys, F.col("hll_state").alias("__hb"))
+    both = au.join(bu, keys, "full_outer")
+    merged = F.when(
+        F.col("__ha").isNull(), F.col("__hb")
+    ).when(
+        F.col("__hb").isNull(), F.col("__ha")
+    ).otherwise(F.hll_union(F.col("__ha"), F.col("__hb")))
+    return both.select(*keys, merged.alias("hll_state"))
+
+
+def finalize_hll_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """→ (keys..., approx_distinct) from a sketch state table."""
+    return state.select(
+        *keys,
+        F.hll_sketch_estimate(F.col("hll_state")).alias("approx_distinct"),
+    )

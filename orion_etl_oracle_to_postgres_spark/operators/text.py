@@ -997,3 +997,49 @@ def bpe_pair_counts(
         .orderBy(F.col("n_pairs").desc(), F.col("sym_a"), F.col("sym_b"))
         .limit(k)
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    decimals: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic curation signal
+    between raw length stats and a trained quality model ("drop
+    documents written like tax code" / "keep children's-book-simple
+    text for early curriculum phases"): ``206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words)``. Words are the engine's
+    standard alnum tokens; sentences are runs of ``[.!?]`` (min 1 so
+    fragments still score); syllables use the standard vowel-group
+    proxy (runs of ``[aeiouy]``) — the published approximation every
+    non-dictionary implementation uses. Zero-token docs return NULL
+    (nothing to score). A pure one-pass projection: three regexp
+    counts, no shuffle, trivially 100 TB-safe; every count is an exact
+    integer, so the only float math is the final rounded formula and a
+    DuckDB oracle replays it bit-for-bit."""
+    t = F.col(text_col)
+    lower = F.lower(t)
+    n_words = F.size(
+        F.filter(
+            F.split(lower, "[^a-z0-9]+"), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit("[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syl = F.regexp_count(lower, F.lit("[aeiouy]+")).cast("long")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syl.cast("double") / n_words),
+        decimals,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch"),
+    )

@@ -9184,3 +9184,79 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_MINHASH_IX_PARAMS["seed"],
         threshold=0.8,
     )
+
+
+@query(
+    "text_readability",
+    """
+    SELECT doc_id,
+           len(ws)::BIGINT AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+             AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+             AS n_syllables,
+           CASE WHEN len(ws) > 0 THEN
+             round(206.835
+                   - 1.015 * (len(ws) / greatest(len(regexp_extract_all(
+                       text, '[.!?]+')), 1)::DOUBLE)
+                   - 84.6 * (len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')) / len(ws)::DOUBLE), 4)
+           END AS flesch
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    )
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Flesch reading-ease scores over the documents corpus
+    (operators/text.py:readability_scores): vowel-group syllable proxy,
+    punctuation-run sentences, alnum-token words — one zero-shuffle
+    projection; all counts exact integers so the oracle replays the
+    formula bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return text.readability_scores(d, "text", "doc_id")
+
+
+@query("agg_hll_incremental_users")  # no oracle: DataSketches HLL is engine-specific
+def agg_hll_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental distinct users per event type via MERGEABLE
+    HLL sketch states (operators/aggstate.py:build/merge/finalize_
+    hll_state): the events table is processed as two separate
+    'ingestion days' whose per-key sketches are built independently and
+    FOLDED — the O(day) nightly-job shape for count-distinct, where raw
+    counts can't merge. Sketch union is associative, so the folded
+    estimate is IDENTICAL to a full-history sketch (the unit test pins
+    equality, and this query computes both paths and returns their
+    per-key agreement). Rows-only driver check; DuckDB cannot replay
+    DataSketches bytes."""
+    from .operators import aggstate as A
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.dayofmonth("ts").alias("__d")
+    )
+    d1 = e.filter(F.col("__d") % 2 == 0)
+    d2 = e.filter(F.col("__d") % 2 == 1)
+    merged = A.merge_hll_states(
+        A.build_hll_state(d1, ["event_type"], "user_id"),
+        A.build_hll_state(d2, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+    inc = A.finalize_hll_state(merged, ["event_type"])
+    full = A.finalize_hll_state(
+        A.build_hll_state(e, ["event_type"], "user_id"), ["event_type"]
+    ).withColumnRenamed("approx_distinct", "full_history_distinct")
+    return (
+        inc.join(full, "event_type")
+        .select(
+            "event_type",
+            "approx_distinct",
+            "full_history_distinct",
+            (F.col("approx_distinct") == F.col("full_history_distinct")).alias(
+                "paths_agree"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -65,3 +65,32 @@ def test_constant_group_variance_clamped_to_zero(spark):
     ).collect()[0]
     assert fin["v_var"] == 0.0
     assert fin["v_stddev"] == 0.0
+
+
+def test_hll_state_merge_equals_full_history(spark):
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators import aggstate as A
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") % 2311).alias("u")
+    )
+    parts = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    state = A.build_hll_state(parts[0], ["k"], "u")
+    for p in parts[1:]:
+        state = A.merge_hll_states(state, A.build_hll_state(p, ["k"], "u"), ["k"])
+    merged = {r.k: r.approx_distinct for r in A.finalize_hll_state(state, ["k"]).collect()}
+    full = {
+        r.k: r.approx_distinct
+        for r in A.finalize_hll_state(
+            A.build_hll_state(df, ["k"], "u"), ["k"]
+        ).collect()
+    }
+    assert merged == full  # union associativity: fold == full history
+    for k, est in merged.items():
+        assert abs(est - 2311) / 2311 < 0.05  # lg_k=12 ~1.6% typical error
+    # disjoint-key merge keeps the lone side's sketch
+    a = A.build_hll_state(df.filter("k = 0"), ["k"], "u")
+    b = A.build_hll_state(df.filter("k = 1"), ["k"], "u")
+    two = A.finalize_hll_state(A.merge_hll_states(a, b, ["k"]), ["k"]).collect()
+    assert {r.k for r in two} == {0, 1}
