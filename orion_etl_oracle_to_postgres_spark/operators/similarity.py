@@ -1407,3 +1407,60 @@ def kcenter_sample(
     return spark.createDataFrame(
         [(i,) for i, _ in selected], df.select(id_col).schema
     ).orderBy(id_col)
+
+
+def matryoshka_recall_audit(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka truncation audit: recall@k of TRUNCATED-dimension
+    cosine retrieval (first ``d`` coordinates, renormalized — the MRL
+    deployment trick: store one 64-d vector, serve 8-d candidates)
+    against the full-dimension exact top-k, one row per ``d`` —
+    (dims, n_common, recall_at_k). The decision table for "how few
+    dimensions can the first-stage retriever keep": pairs with the
+    PQ/int8/LSH recall audits as the fourth compression axis.
+
+    Plan: one scan projects EVERY truncated cosine at once (slices of
+    the same array — no per-d scan), each d's top-k is a
+    TakeOrderedAndProject over its own column (round-before-rank, id
+    tiebreak), and the tiny k-row lists are intersected with one join
+    per d. Nothing shuffles but k-row frames."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if any(d < 1 for d in dims):
+        raise ValueError(f"dims must be positive, got {dims}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+
+    def topk_ids(d: int | None):
+        qv = query_vec if d is None else query_vec[:d]
+        v = F.col("__v") if d is None else F.slice(F.col("__v"), 1, d)
+        sim = F.round(cosine(v, _lit_vec(qv)), 6)
+        return (
+            base.select("__id", sim.alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col("__id"))
+            .limit(int(k))
+            .select("__id")
+        )
+
+    full = topk_ids(None)
+    out = None
+    for d in dims:
+        hits = topk_ids(d).join(full, "__id").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+        row = hits.select(
+            F.lit(int(d)).alias("dims"),
+            "n_common",
+            F.round(F.col("n_common") / F.lit(int(k)), 6).alias("recall_at_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dims")

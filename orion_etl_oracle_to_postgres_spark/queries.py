@@ -9260,3 +9260,49 @@ def agg_hll_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _matryoshka_sql(dims=(8, 16, 32), k=10) -> str:
+    parts = [
+        """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    full_k AS (
+      SELECT e.vec_id FROM embeddings e, q
+      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                 DESC, e.vec_id
+      LIMIT {k}
+    )""".format(k=k)
+    ]
+    selects = []
+    for d in dims:
+        parts.append(
+            f""",
+    d{d} AS (
+      SELECT e.vec_id FROM embeddings e, q
+      ORDER BY round(list_cosine_similarity(
+                 (e.embedding::DOUBLE[])[1:{d}], q.qv[1:{d}]), 6)
+                 DESC, e.vec_id
+      LIMIT {k}
+    )"""
+        )
+        selects.append(
+            f"SELECT {d} AS dims, count(*)::BIGINT AS n_common, "
+            f"round(count(*) / {k}.0, 6) AS recall_at_k "
+            f"FROM d{d} JOIN full_k USING (vec_id)"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY dims"
+
+
+@query("emb_matryoshka_audit", _matryoshka_sql())
+def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Matryoshka truncation recall audit
+    (operators/similarity.py:matryoshka_recall_audit): recall@10 of
+    8/16/32-dim TRUNCATED cosine retrieval vs the full 64-dim exact
+    top-10 for one query — the fourth compression axis next to the
+    PQ/int8/LSH audits, and the decision table for how small the
+    first-stage retriever's vectors can be. One scan projects every
+    truncated cosine; per-d TakeOrderedAndProject; only k-row frames
+    join. Oracle replays the slices with list_cosine_similarity."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.matryoshka_recall_audit(e, qv, dims=(8, 16, 32), k=10)
