@@ -944,3 +944,49 @@ def minhash_index_lookup(
         .distinct()
     )
     return _verify_jaccard(candidates, flat_b, threshold, flat_j=flat_ix)
+
+
+def intradoc_span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int = 50,
+) -> DataFrame:
+    """WITHIN-document repeated-span removal — the self-repetition
+    collapse (SEO spam, templated listings, copy-paste loops) that
+    cross-document span dedup deliberately ignores (its hotness counts
+    DISTINCT docs, so a doc repeating one paragraph 50× scores cold):
+    segment like ``repeated_span_dedup`` and keep only the FIRST
+    occurrence of each distinct segment within its own document.
+    Returns (id, n_segments, n_removed, new_text); zero-token docs are
+    dropped (same contract as the cross-doc op).
+
+    Scale shape: ENTIRELY in-row — tokenize, segment, and first-
+    occurrence-filter are higher-order array expressions inside one
+    projection (``array_position(segs, seg) == index`` keeps firsts);
+    no explode, no aggregate, NO SHUFFLE AT ALL. The cheapest rewrite
+    in the dedup family; per-row cost is O(segments²) in the worst
+    case, bounded by doc length / span_tokens."""
+    k = int(span_tokens)
+    if k < 1:
+        raise ValueError("span_tokens must be >= 1")
+    seg_arr = (
+        f"CASE WHEN size(__tk) = 0 THEN array() "
+        f"ELSE transform(sequence(0, int(ceil(size(__tk) / {k}.0)) - 1), "
+        f"i -> concat_ws(' ', slice(__tk, i * {k} + 1, {k}))) END"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(F.col(text_col)), F.array()).alias("__tk"),
+    ).filter(F.size("__tk") > 0)
+    segs = F.expr(seg_arr)
+    kept = F.filter(
+        segs, lambda s, i: F.array_position(segs, s) == i + F.lit(1)
+    )
+    return base.select(
+        F.col(id_col),
+        F.size(segs).cast("long").alias("n_segments"),
+        (F.size(segs) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("new_text"),
+    )

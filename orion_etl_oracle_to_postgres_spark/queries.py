@@ -9306,3 +9306,46 @@ def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     return similarity.matryoshka_recall_audit(e, qv, dims=(8, 16, 32), k=10)
+
+
+@query(
+    "dedup_intradoc_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[i * 3 + 1 : i * 3 + 3], ' ') AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(range(CAST(ceil(len(ts) / 3.0) AS BIGINT))) AS i
+            FROM toks WHERE len(ts) > 0)
+    ),
+    firsts AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_segments,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos)
+             AS new_text
+    FROM firsts
+    GROUP BY doc_id
+    """,
+)
+def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WITHIN-document repeated-span collapse
+    (operators/dedup.py:intradoc_span_dedup): keep the first occurrence
+    of each distinct 3-token segment inside its own doc — the
+    self-repetition (spam/template) rewrite the cross-doc op ignores by
+    design. Entirely in-row higher-order expressions: no explode, no
+    aggregate, ZERO shuffles — the cheapest rewrite in the family. The
+    oracle replays segmentation + a per-(doc, seg) first-occurrence
+    window."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.intradoc_span_dedup(d, "text", "doc_id", span_tokens=3)

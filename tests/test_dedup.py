@@ -431,3 +431,29 @@ def test_canonical_pick_window_only_over_clustered_subset(spark):
     # the union glues the two sides; window must not be global-over-docs:
     # it partitions by the cluster label
     assert "__grp" in plan
+
+
+def test_intradoc_span_dedup_zero_shuffle_and_semantics(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        intradoc_span_dedup,
+    )
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 3 identical 3-token segments -> keep 1
+        (2, "x y z p q r"),          # no repeats
+        (3, ""),                     # zero tokens -> dropped
+        (4, "m n o m n"),            # trailing short segment differs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_segments, r.n_removed, r.new_text)
+           for r in intradoc_span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
+    assert out == {
+        1: (3, 2, "a b c"),
+        2: (2, 0, "x y z p q r"),
+        4: (2, 0, "m n o m n"),
+    }
+    plan = (
+        intradoc_span_dedup(df, "text", "doc_id", span_tokens=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # entirely in-row: zero shuffles
