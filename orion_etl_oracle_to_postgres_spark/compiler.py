@@ -686,6 +686,24 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             from .operators.text import scrub_text
 
             df = df.withColumn(rw.text_column, scrub_text(F.col(rw.text_column)))
+        elif rw.method == "intradoc_spans":
+            # within-document repeat collapse: a pure in-row expression
+            # (no join, no shuffle); zero-token rows keep their text
+            from .operators.dedup import _first_occurrence_segments
+
+            from .functions import tokens as _tokens
+
+            tk = F.coalesce(
+                _tokens(F.col(rw.text_column)), F.array().cast("array<string>")
+            )
+            df = df.withColumn(
+                rw.text_column,
+                F.when(F.size(tk) == 0, F.col(rw.text_column)).otherwise(
+                    F.array_join(
+                        _first_occurrence_segments(tk, rw.span_tokens), " "
+                    )
+                ),
+            )
         else:  # repeated_spans
             from .operators.dedup import (
                 repeated_span_dedup,

@@ -971,22 +971,37 @@ def intradoc_span_dedup(
     k = int(span_tokens)
     if k < 1:
         raise ValueError("span_tokens must be >= 1")
-    seg_arr = (
-        f"CASE WHEN size(__tk) = 0 THEN array() "
-        f"ELSE transform(sequence(0, int(ceil(size(__tk) / {k}.0)) - 1), "
-        f"i -> concat_ws(' ', slice(__tk, i * {k} + 1, {k}))) END"
-    )
     base = df.select(
         F.col(id_col),
-        F.coalesce(tokens(F.col(text_col)), F.array()).alias("__tk"),
+        F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "__tk"
+        ),
     ).filter(F.size("__tk") > 0)
-    segs = F.expr(seg_arr)
-    kept = F.filter(
-        segs, lambda s, i: F.array_position(segs, s) == i + F.lit(1)
-    )
+    segs = _span_segments(F.col("__tk"), k)
+    kept = _first_occurrence_segments(F.col("__tk"), k)
     return base.select(
         F.col(id_col),
         F.size(segs).cast("long").alias("n_segments"),
         (F.size(segs) - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("new_text"),
+    )
+
+
+def _span_segments(tk: Column, k: int) -> Column:
+    """Consecutive non-overlapping k-token segments of a token array —
+    the shared in-row segmentation of the span-dedup family."""
+    n_seg = F.ceil(F.size(tk) / F.lit(float(k))).cast("int")
+    return F.when(F.size(tk) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * k + 1, F.lit(k))),
+        )
+    )
+
+
+def _first_occurrence_segments(tk: Column, k: int) -> Column:
+    """Segments with within-document repeats removed (first stays)."""
+    segs = _span_segments(tk, k)
+    return F.filter(
+        segs, lambda s, i: F.array_position(segs, s) == i + F.lit(1)
     )

@@ -9349,3 +9349,59 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     d = _t(spark, sf_dir, "documents")
     return dedup.intradoc_span_dedup(d, "text", "doc_id", span_tokens=3)
+
+
+@query(
+    "etl_intradoc_rewrite",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[i * 3 + 1 : i * 3 + 3], ' ') AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(range(CAST(ceil(len(ts) / 3.0) AS BIGINT))) AS i
+            FROM toks WHERE len(ts) > 0)
+    ),
+    firsts AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos)
+               AS new_text
+      FROM (
+        SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+        FROM segs
+      )
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.lang,
+           CASE WHEN len(t.ts) = 0 OR t.ts IS NULL THEN t.text
+                ELSE f.new_text END AS text
+    FROM toks t LEFT JOIN firsts f USING (doc_id)
+    """,
+)
+def etl_intradoc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative WITHIN-document span collapse
+    (`rewrite.method: intradoc_spans`): the YAML user strips
+    self-repetition (spam/template loops) as a pure in-row projection —
+    no join, no shuffle, zero-token rows keep their text. Oracle
+    replays the first-occurrence window + passthrough."""
+    from .spec import RewriteSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_clean",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        rewrite=RewriteSpec(
+            text_column="text", method="intradoc_spans", span_tokens=3
+        ),
+    )
+    return _compile(spark, sf_dir, spec)

@@ -609,10 +609,13 @@ class RewriteSpec(BaseModel):
     switches to the overlapping-window variant). Needs ``id_column``.
     Cost: the hot-set hash aggregate + one id-keyed rewrite join.
     ``method: scrub`` — URL/email placeholder scrubbing
-    (``text.scrub_text``); zero-shuffle pure projection."""
+    (``text.scrub_text``); zero-shuffle pure projection.
+    ``method: intradoc_spans`` — WITHIN-document repeated-span collapse
+    (``dedup.intradoc_span_dedup`` semantics as an in-row expression);
+    zero-shuffle pure projection, zero-token rows keep their text."""
 
     text_column: str
-    method: str  # repeated_spans | scrub
+    method: str  # repeated_spans | scrub | intradoc_spans
     id_column: Optional[str] = None
     span_tokens: int = Field(default=50, ge=1)
     min_docs: int = Field(default=2, ge=2)
@@ -621,9 +624,10 @@ class RewriteSpec(BaseModel):
     @field_validator("method")
     @classmethod
     def _known_rewrite_method(cls, v: str) -> str:
-        if v not in ("repeated_spans", "scrub"):
+        if v not in ("repeated_spans", "scrub", "intradoc_spans"):
             raise ValueError(
-                f"rewrite method must be repeated_spans|scrub, got {v!r}"
+                "rewrite method must be repeated_spans|scrub|"
+                f"intradoc_spans, got {v!r}"
             )
         return v
 
