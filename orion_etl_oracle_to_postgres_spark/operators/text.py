@@ -1043,3 +1043,36 @@ def readability_scores(
         n_syl.alias("n_syllables"),
         F.when(n_words > 0, flesch).alias("flesch"),
     )
+
+
+def pii_incidence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-slice PII incidence report: what share of documents in each
+    group contain a URL / email / phone-like run — the measurement
+    BEFORE the ``scrub_text`` rewrite (same regexes, so the report and
+    the scrubber can never disagree about what counts as PII) and the
+    sign-off after it (post-scrub shares must be 0). One map-side-
+    combined aggregate over boolean flags; NULL-text docs count in
+    n_docs with no PII. Returns (group, n_docs, url_share, email_share,
+    phone_share, any_pii_share)."""
+    t = F.col(text_col)
+    url = (t.isNotNull() & (F.regexp_count(t, F.lit(URL_RE)) > 0)).cast("int")
+    email = (t.isNotNull() & (F.regexp_count(t, F.lit(EMAIL_RE)) > 0)).cast("int")
+    phone = (t.isNotNull() & (F.regexp_count(t, F.lit(PHONE_RE)) > 0)).cast("int")
+    n = F.count(F.lit(1))
+
+    def share(flag):
+        return F.round(F.sum(flag).cast("double") / n, decimals)
+
+    return df.groupBy(F.col(group_col)).agg(
+        n.alias("n_docs"),
+        share(url).alias("url_share"),
+        share(email).alias("email_share"),
+        share(phone).alias("phone_share"),
+        share(F.greatest(url, email, phone)).alias("any_pii_share"),
+    )

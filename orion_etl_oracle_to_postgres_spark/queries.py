@@ -9405,3 +9405,40 @@ def etl_intradoc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "text_pii_incidence",
+    r"""
+    WITH f AS (
+      SELECT lang,
+             CASE WHEN text IS NOT NULL
+                  AND regexp_matches(text, 'https?://[^\s]+')
+                  THEN 1 ELSE 0 END AS u,
+             CASE WHEN text IS NOT NULL
+                  AND regexp_matches(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                  THEN 1 ELSE 0 END AS e,
+             CASE WHEN text IS NOT NULL
+                  AND regexp_matches(text, '\+?[0-9][0-9()\-. ]{7,}[0-9]')
+                  THEN 1 ELSE 0 END AS p
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           round(sum(u)::DOUBLE / count(*), 6) AS url_share,
+           round(sum(e)::DOUBLE / count(*), 6) AS email_share,
+           round(sum(p)::DOUBLE / count(*), 6) AS phone_share,
+           round(sum(greatest(u, e, p))::DOUBLE / count(*), 6)
+             AS any_pii_share
+    FROM f GROUP BY lang
+    """,
+)
+def text_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-language PII incidence
+    (operators/text.py:pii_incidence): share of docs containing
+    URLs/emails/phone-like runs, using the SAME regexes as scrub_text
+    so the report and the scrubber can never disagree — the measure
+    step before the rewrite and the zero-check after it. One aggregate,
+    counts-only shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return text.pii_incidence(d, "text", "lang")
