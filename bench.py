@@ -95,6 +95,14 @@ BENCH_QUERIES = [
     "emb_kcenter_sample",  # greedy k-center coreset: k rounds, ids broadcast
     "etl_rewrite_gate",  # declarative rewrite: stage joins ids-only projection
     "curation_mix_preview",  # mix planner: group stats only, no corpus shuffle
+    # round-6 additions
+    "window_rfm_segments",  # 3× two-phase exact ntile over the customer rollup
+    "quantile_exact_prices",  # two-phase global rank + broadcast equality probe
+    "graph_supplier_pagerank",  # 5 unrolled rank⋈edges join rounds
+    "dedup_incremental_minhash",  # batch vs persisted band index + exact verify
+    "multimodal_video_near_dups",  # frame-hash postings join, payloads stay put
+    "curation_curriculum_order",  # two-phase rank + ntile over scored corpus
+    "dedup_intradoc_spans",  # in-row first-occurrence collapse: zero shuffles
 ]
 
 

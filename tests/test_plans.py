@@ -626,3 +626,34 @@ def test_span_dedup_candidate_then_verify_shape(spark, sf):
     assert verify, plan  # text-verify shuffles exist
     # and the verify side is fed by a broadcast of candidate hashes
     assert "BroadcastHashJoin" in plan
+
+
+def test_video_near_dups_payloads_never_shuffle(spark, sf):
+    """video_near_dups claim: only (id, fhash) rows enter exchanges —
+    the payload/text column appears in no Exchange's child projection
+    (it is consumed by the frame-hash projection before any shuffle)."""
+    plan = plan_of(q.QUERIES["multimodal_video_near_dups"](spark, sf))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "payload" not in ln and "text" not in ln, ln
+
+
+def test_pagerank_rounds_are_hash_joins_no_cartesian(spark, sf):
+    """pagerank claim: every iteration is a hash equi-join + hash
+    aggregate — no BroadcastNestedLoop/Cartesian anywhere, and at least
+    `iterations` aggregate rounds appear in the one composed plan."""
+    plan = plan_of(q.QUERIES["graph_supplier_pagerank"](spark, sf))
+    assert "CartesianProduct" not in plan
+    import re
+
+    joins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan))
+    assert joins >= 5, plan  # 5 rank⋈edges rounds at minimum
+
+
+def test_minhash_index_lookup_is_band_bucket_join(spark, sf):
+    """Incremental index lookup: candidates come from a (band_id,
+    band_hash) equi-join — never a nested loop over the index."""
+    plan = plan_of(q.QUERIES["dedup_incremental_minhash"](spark, sf))
+    assert "band_hash" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
