@@ -1464,3 +1464,60 @@ def matryoshka_recall_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dims")
+
+
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    query_label: str = "label",
+    corpus_label: str = "label",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for every query, the ``k``
+    most-similar corpus vectors with a DIFFERENT label →
+    ``(query_id, neighbor_id, cosine_sim, rank)``. The mining step of
+    embedding-model training (most-confusable wrong-class examples are
+    where the gradient is); same broadcast + WindowGroupLimit shape as
+    ``knn_join``, with the label-mismatch predicate applied BEFORE the
+    per-query top-k so negatives never compete with positives for rank
+    slots. NULL labels match nothing and are excluded from both sides
+    (a NULL-label "negative" is an unlabeled example, not a
+    counter-example). Self-pairs are excluded by id when the corpus is
+    the query table."""
+    _guard_broadcast_side(queries, query_id, broadcast_limit, "hard_negative_mining")
+    q = queries.filter(F.col(query_label).isNotNull()).select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+        F.col(query_label).alias("__ql"),
+    )
+    c = corpus.filter(F.col(corpus_label).isNotNull()).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        F.col(corpus_label).alias("__cl"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(
+            (F.col("__ql") != F.col("__cl"))
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

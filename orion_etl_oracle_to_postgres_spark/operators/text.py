@@ -1076,3 +1076,104 @@ def pii_incidence(
         share(phone).alias("phone_share"),
         share(F.greatest(url, email, phone)).alias("any_pii_share"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int = 5,
+    mask_permille: int = 150,
+    seed: str = "sc0",
+) -> DataFrame:
+    """T5-style span-corruption pair generation, DETERMINISTIC: cut
+    each document into ``span_tokens``-token spans on a fixed grid and
+    mask each span with probability ``mask_permille``/1000 decided by
+    the portable md5 hash of (doc_id, span_index, seed) — the masked
+    input/target training pairs of denoising pre-training, minus the
+    RNG (re-runs, engines, and incremental appends corrupt the exact
+    same spans, so the dataset is reproducible and the DuckDB oracle
+    replays it bit-for-bit). Masked span K (0-based order among masked
+    spans) becomes ``<extra_id_K>`` in the input; the target is the
+    ``<extra_id_K> span-text`` concatenation, '' when nothing masked.
+    Zero-token docs are dropped (nothing to corrupt — the span-op
+    contract). Returns (id, n_spans, n_masked, input_text,
+    target_text).
+
+    Scale shape: ENTIRELY in-row (tokenize → grid spans → hash flags →
+    sentinel rewrite are higher-order expressions in one projection) —
+    zero shuffles, the same class as ``intradoc_span_dedup``; per-row
+    cost O(spans²) from the running masked-count, bounded by doc
+    length / span_tokens."""
+    from ..functions import md5_hash60, tokens as _tokens
+    from .dedup import _span_segments
+
+    k = int(span_tokens)
+    if k < 1:
+        raise ValueError("span_tokens must be >= 1")
+    if not 0 <= int(mask_permille) <= 1000:
+        raise ValueError(f"mask_permille must be in [0,1000], got {mask_permille}")
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "__tk"
+        ),
+    ).filter(F.size("__tk") > 0)
+    segs = _span_segments(F.col("__tk"), k)
+    staged = base.withColumn("__segs", segs).withColumn(
+        "__flags",
+        F.transform(
+            F.sequence(F.lit(0), F.size("__segs") - 1),
+            lambda j: md5_hash60(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                    F.lit(":" + seed),
+                )
+            )
+            % 1000
+            < F.lit(int(mask_permille)),
+        ),
+    )
+
+    def k_before(j):
+        # masked spans strictly before j — the sentinel index
+        return F.size(F.filter(F.slice(F.col("__flags"), 1, j), lambda x: x))
+
+    inp = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__segs") - 1),
+            lambda j: F.when(
+                F.element_at("__flags", j + 1),
+                F.concat(F.lit("<extra_id_"), k_before(j).cast("string"), F.lit(">")),
+            ).otherwise(F.element_at("__segs", j + 1)),
+        ),
+        " ",
+    )
+    tgt = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__segs") - 1),
+                lambda j: F.when(
+                    F.element_at("__flags", j + 1),
+                    F.concat(
+                        F.lit("<extra_id_"),
+                        k_before(j).cast("string"),
+                        F.lit("> "),
+                        F.element_at("__segs", j + 1),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__segs").cast("long").alias("n_spans"),
+        F.size(F.filter("__flags", lambda x: x)).cast("long").alias("n_masked"),
+        inp.alias("input_text"),
+        tgt.alias("target_text"),
+    )

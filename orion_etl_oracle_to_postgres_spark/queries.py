@@ -9442,3 +9442,93 @@ def text_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts-only shuffle."""
     d = _t(spark, sf_dir, "documents")
     return text.pii_incidence(d, "text", "lang")
+
+
+@query(
+    "emb_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 8 AND label IS NOT NULL
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6)
+               AS cosine_sim
+      FROM embeddings c, q
+      WHERE c.label IS NOT NULL AND c.label <> q.ql
+        AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Contrastive hard-negative mining
+    (operators/similarity.py:hard_negative_mining): for 8 query
+    vectors, the 5 most-similar corpus vectors with a DIFFERENT label —
+    the most-confusable wrong-class examples an embedding trainer
+    wants; broadcast queries + WindowGroupLimit, label predicate before
+    the rank so negatives never compete with positives. Oracle replays
+    the filtered ranking."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(
+        e.filter(F.col("vec_id") < 8), e, k=5
+    )
+
+
+def _span_corruption_sql(k=3, permille=150, seed="sc0") -> str:
+    h = _hex2int_sql(
+        f"md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':{seed}')"
+    )
+    kb = "len(list_filter(flags[1:j], x -> x))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        list_transform(range(CAST(ceil(len(ts) / {k}.0) AS BIGINT)),
+                       i -> array_to_string(ts[i*{k}+1 : i*{k}+{k}], ' '))
+          AS spans,
+        list_transform(range(CAST(ceil(len(ts) / {k}.0) AS BIGINT)),
+                       j -> {h} % 1000 < {permille}) AS flags
+      FROM toks WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           len(spans)::BIGINT AS n_spans,
+           len(list_filter(flags, x -> x))::BIGINT AS n_masked,
+           array_to_string(list_transform(range(len(spans)), j ->
+             CASE WHEN flags[j+1]
+                  THEN '<extra_id_' || CAST({kb} AS VARCHAR) || '>'
+                  ELSE spans[j+1] END), ' ') AS input_text,
+           coalesce(array_to_string(
+             list_filter(list_transform(range(len(spans)), j ->
+               CASE WHEN flags[j+1]
+                    THEN '<extra_id_' || CAST({kb} AS VARCHAR) || '> '
+                         || spans[j+1] END), x -> x IS NOT NULL), ' '), '')
+             AS target_text
+    FROM s
+    """
+
+
+@query("text_span_corruption", _span_corruption_sql())
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic T5-style span-corruption pairs
+    (operators/text.py:span_corruption): grid spans masked by the
+    portable (doc, span, seed) hash at 15%, masked input with
+    <extra_id_K> sentinels + extraction target — denoising pre-training
+    data that is bit-reproducible across runs, engines, and appends.
+    Entirely in-row (zero shuffles); the oracle replays hash, grid,
+    sentinels, and reassembly exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return text.span_corruption(
+        d, "text", "doc_id", span_tokens=3, mask_permille=150
+    )

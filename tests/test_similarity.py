@@ -697,3 +697,46 @@ def test_int8_topk_drops_zero_vectors(spark):
     out = int8_topk_query(df, [1.0, 0.0], k=5).collect()
     assert {r.vec_id for r in out} == {1, 3}  # zero vector excluded, no NULL rows
     assert all(r.cosine_sim is not None for r in out)
+
+
+def _labeled_vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0], "a"),
+        (3, [0.8, 0.2, 0.0], "b"),
+        (4, [0.0, 1.0, 0.0], "b"),
+        (5, [-1.0, 0.0, 0.0], None),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label string"
+    )
+
+
+def test_hard_negatives_cross_label_only(spark):
+    df = _labeled_vecs(spark)
+    out = similarity.hard_negative_mining(df, df, k=2)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    # query 1 (label a): negatives are b-labelled 3 then 4, never 2 (same
+    # label), never 5 (NULL label), never itself
+    n1 = sorted(by_q[1], key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in n1] == [3, 4]
+    assert n1[0]["cosine_sim"] > n1[1]["cosine_sim"]
+    # NULL-label vec 5 is excluded as a query too
+    assert 5 not in by_q
+    # every pair crosses labels
+    labels = {1: "a", 2: "a", 3: "b", 4: "b"}
+    for q, rs in by_q.items():
+        for r in rs:
+            assert labels[q] != labels[r["neighbor_id"]]
+
+
+def test_hard_negatives_k_and_plan(spark):
+    df = _labeled_vecs(spark)
+    out = similarity.hard_negative_mining(df, df, k=1)
+    rows = out.collect()
+    assert all(r["rank"] == 1 for r in rows)
+    assert len(rows) == 4  # one top negative per labelled query
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

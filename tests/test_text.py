@@ -695,3 +695,61 @@ def test_bpe_encode_null_empty_and_plan(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         bpe_encode(df, "text", "doc_id", [])
+
+
+def test_span_corruption_full_mask_sentinels(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta echo foxtrot golf")],
+        "doc_id int, text string",
+    )
+    r = text.span_corruption(
+        df, "text", "doc_id", span_tokens=3, mask_permille=1000
+    ).collect()[0]
+    assert r["n_spans"] == 3  # ceil(7/3)
+    assert r["n_masked"] == 3
+    assert r["input_text"] == "<extra_id_0> <extra_id_1> <extra_id_2>"
+    assert r["target_text"] == (
+        "<extra_id_0> alpha beta gamma "
+        "<extra_id_1> delta echo foxtrot <extra_id_2> golf"
+    )
+
+
+def test_span_corruption_no_mask_passthrough(spark):
+    df = spark.createDataFrame(
+        [(7, "One two THREE four")], "doc_id int, text string"
+    )
+    r = text.span_corruption(
+        df, "text", "doc_id", span_tokens=2, mask_permille=0
+    ).collect()[0]
+    assert r["n_masked"] == 0
+    assert r["input_text"] == "one two three four"  # tokens() lowercases
+    assert r["target_text"] == ""
+
+
+def test_span_corruption_drops_empty_and_is_zero_shuffle(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   !!! "), (3, "word")], "doc_id int, text string"
+    )
+    out = text.span_corruption(df, "text", "doc_id", span_tokens=5)
+    assert [r["doc_id"] for r in out.collect()] == [3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # entirely in-row
+    with pytest.raises(ValueError, match="span_tokens"):
+        text.span_corruption(df, "text", "doc_id", span_tokens=0)
+    with pytest.raises(ValueError, match="mask_permille"):
+        text.span_corruption(df, "text", "doc_id", mask_permille=1001)
+
+
+def test_span_corruption_deterministic_across_runs(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta eta") for i in range(20)],
+        "doc_id int, text string",
+    )
+    a = text.span_corruption(df, "text", "doc_id", span_tokens=2).collect()
+    b = text.span_corruption(df, "text", "doc_id", span_tokens=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # seed changes the mask pattern somewhere in 20 docs
+    c = text.span_corruption(df, "text", "doc_id", span_tokens=2, seed="other").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
