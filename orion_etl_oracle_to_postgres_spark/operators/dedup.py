@@ -1005,3 +1005,56 @@ def _first_occurrence_segments(tk: Column, k: int) -> Column:
     return F.filter(
         segs, lambda s, i: F.array_position(segs, s) == i + F.lit(1)
     )
+
+
+def ngram_overlap_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact n-gram eval-decontamination (the GPT-3 appendix-C check,
+    default n=13): every (train doc, benchmark doc) pair sharing >=
+    ``min_shared`` DISTINCT exact word n-grams →
+    ``(train_id, bench_id, shared_ngrams)``. The exact-match complement
+    of ``minhash_join``/``containment_pairs``: near-dup misses a single
+    verbatim benchmark sentence pasted into an otherwise-unrelated
+    document; n-gram overlap is precisely that detector. Grams are
+    joined on their text (no hash, no collisions — the oracle replays
+    bit-for-bit); docs shorter than ``n`` tokens have no grams and
+    cannot be flagged.
+
+    100 TB shape: the benchmark side is the SMALL side by construction
+    (eval suites are MBs, not TBs) — its distinct-gram postings
+    broadcast, so the training corpus never shuffles: tokenize →
+    in-row gram expansion → explode → broadcast-hash-join → one
+    (train_id, bench_id) count aggregate. Per-doc gram counts are
+    bounded by token count, and ``array_distinct`` before the explode
+    keeps within-doc repeats from inflating postings.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            tokens(F.col(text_col)).alias("__tk"),
+        ).filter(F.size("__tk") >= n)
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__tk") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, F.lit(n))),
+            )
+        )
+        return base.select(out_id, F.explode(g).alias("__g"))
+
+    return (
+        grams(train, "train_id")
+        .join(F.broadcast(grams(bench, "bench_id")), "__g")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )

@@ -1177,3 +1177,112 @@ def span_corruption(
         inp.alias("input_text"),
         tgt.alias("target_text"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ratio: str = "0.1",
+    max_bullet_line_share: str = "0.9",
+    max_ellipsis_line_share: str = "0.3",
+    min_alpha_word_share: str = "0.8",
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText-style HARD rule gate (Rae et al. 2021 §A1.1,
+    the production ancestor of Dolma/RefinedWeb filters): per-document
+    boolean verdict per rule + the list of failed rule names →
+    ``(id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+    r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+    failed_rules, keep)``. The categorical complement of the continuous
+    ``quality_score``: a release gate needs WHICH rule failed (for
+    per-rule loss dashboards and appeal review), not a blended scalar.
+    Ratio thresholds are passed as DECIMAL STRINGS and compared via
+    exact integer cross-multiplication (count * denom_scale vs
+    threshold_num * denom) — no float-boundary drift between engines.
+
+    100 TB shape: one zero-shuffle projection — every rule is a
+    JVM-side expression over the token/line arrays staged once per row;
+    compose with a filter on ``keep`` for the gate itself.
+    """
+    from ..functions import tokens as _tokens
+
+    def _ratio(s: str) -> tuple[int, int]:
+        from decimal import Decimal
+
+        d = Decimal(s)
+        scale = 10 ** max(0, -d.as_tuple().exponent)
+        return int(d * scale), scale
+
+    sym_n, sym_d = _ratio(max_symbol_word_ratio)
+    bul_n, bul_d = _ratio(max_bullet_line_share)
+    ell_n, ell_d = _ratio(max_ellipsis_line_share)
+    alp_n, alp_d = _ratio(min_alpha_word_share)
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        _tokens(t).alias("__tk"),
+        F.split(t, "\n").alias("__ln"),
+    )
+    n_words = F.size("__tk")
+    n_lines = F.size("__ln")
+    sum_wl = F.aggregate(
+        "__tk", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = (
+        F.length("__t")
+        - F.length(F.regexp_replace("__t", "#", ""))
+        + F.size(F.regexp_extract_all("__t", F.lit(r"(\.\.\.|…)"), 0))
+    )
+    n_bullet = F.size(F.filter("__ln", lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(
+        F.filter("__ln", lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter("__tk", lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("__tk"),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    )
+    rules = [
+        (
+            "word_count",
+            (n_words >= min_words) & (n_words <= max_words),
+        ),
+        (
+            "mean_word_len",
+            (sum_wl >= F.lit(min_mean_word_len) * n_words)
+            & (sum_wl <= F.lit(max_mean_word_len) * n_words),
+        ),
+        ("symbol_ratio", n_symbols * sym_d <= F.lit(sym_n) * n_words),
+        ("bullet_lines", n_bullet * bul_d <= F.lit(bul_n) * n_lines),
+        ("ellipsis_lines", n_ellipsis * ell_d <= F.lit(ell_n) * n_lines),
+        ("alpha_words", n_alpha * alp_d >= F.lit(alp_n) * n_words),
+        ("stopwords", stop_hits >= min_stopword_hits),
+    ]
+    flags = {name: cond for name, cond in rules}
+    failed = F.filter(
+        F.array(
+            *[F.when(~cond, F.lit(name)) for name, cond in rules]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[flags[name].alias(f"r_{name}") for name, _ in rules],
+        F.array_join(failed, ",").alias("failed_rules"),
+        (F.size(failed) == 0).alias("keep"),
+    )
+
+
+# The Gopher rule-set's "must contain >= 2 of" English stop list.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]

@@ -9532,3 +9532,114 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.span_corruption(
         d, "text", "doc_id", span_tokens=3, mask_permille=150
     )
+
+
+@query(
+    "dedup_ngram_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(ts) - 13 + 1),
+               i -> array_to_string(ts[i+1:i+13], ' ')))) AS g
+      FROM toks WHERE len(ts) >= 13
+    )
+    SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+           count(*)::BIGINT AS shared_ngrams
+    FROM grams a JOIN grams b ON a.g = b.g
+    WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+    GROUP BY 1, 2
+    """,
+)
+def dedup_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact 13-gram eval decontamination
+    (operators/dedup.py:ngram_overlap_pairs): training docs (doc_id % 7
+    != 0) sharing any verbatim 13-token gram with a 'benchmark' doc
+    (doc_id % 7 == 0) — the GPT-3-style exact-overlap check that
+    catches a pasted benchmark sentence near-dup joins miss. Benchmark
+    gram postings broadcast; the training side never shuffles before
+    the pair-count aggregate. Oracle replays the gram expansion and
+    join on gram text exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_overlap_pairs(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        n=13,
+    )
+
+
+@query(
+    "text_gopher_rules",
+    """
+    WITH staged AS (
+      SELECT doc_id,
+             coalesce(text, '') AS t,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                         '[^a-z0-9]+'), x -> x <> '') AS ts,
+             string_split(coalesce(text, ''), chr(10)) AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ts) AS n_words, len(ls) AS n_lines,
+             coalesce(list_sum(list_transform(ts, w -> len(w))), 0) AS sum_wl,
+             len(t) - len(replace(t, '#', ''))
+               + len(regexp_extract_all(t, '(\\.\\.\\.|…)')) AS n_symbols,
+             len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))
+               AS n_bullet,
+             len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+               AS n_ellipsis,
+             len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(ts),
+                 ['the','be','to','of','and','that','have','with','a','in']))
+               AS stop_hits
+      FROM staged
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             n_words >= 10 AND n_words <= 100000       AS r_word_count,
+             sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words
+                                                        AS r_mean_word_len,
+             n_symbols * 10 <= 1 * n_words              AS r_symbol_ratio,
+             n_bullet * 10 <= 9 * n_lines               AS r_bullet_lines,
+             n_ellipsis * 10 <= 3 * n_lines             AS r_ellipsis_lines,
+             n_alpha * 10 >= 8 * n_words                AS r_alpha_words,
+             stop_hits >= 2                             AS r_stopwords
+      FROM m
+    )
+    SELECT doc_id, n_words::BIGINT AS n_words,
+           r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+           r_ellipsis_lines, r_alpha_words, r_stopwords,
+           coalesce(array_to_string(list_filter([
+             CASE WHEN NOT r_word_count THEN 'word_count' END,
+             CASE WHEN NOT r_mean_word_len THEN 'mean_word_len' END,
+             CASE WHEN NOT r_symbol_ratio THEN 'symbol_ratio' END,
+             CASE WHEN NOT r_bullet_lines THEN 'bullet_lines' END,
+             CASE WHEN NOT r_ellipsis_lines THEN 'ellipsis_lines' END,
+             CASE WHEN NOT r_alpha_words THEN 'alpha_words' END,
+             CASE WHEN NOT r_stopwords THEN 'stopwords' END],
+             x -> x IS NOT NULL), ','), '') AS failed_rules,
+           (NOT (NOT r_word_count OR NOT r_mean_word_len OR NOT r_symbol_ratio
+                 OR NOT r_bullet_lines OR NOT r_ellipsis_lines
+                 OR NOT r_alpha_words OR NOT r_stopwords)) AS keep
+    FROM r
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher/MassiveText hard rule gate
+    (operators/text.py:gopher_rules): per-document verdict for each of
+    the 7 classic rules (word count, mean word length, symbol ratio,
+    bullet/ellipsis line shares, alpha-word share, stopword presence) +
+    the failed-rule list — the categorical release gate next to the
+    continuous quality_score. Ratio rules compare by exact integer
+    cross-multiplication; one zero-shuffle projection. Oracle replays
+    every rule bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return text.gopher_rules(d, "text", "doc_id")

@@ -457,3 +457,38 @@ def test_intradoc_span_dedup_zero_shuffle_and_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # entirely in-row: zero shuffles
+
+
+def test_ngram_overlap_pairs_exact_counting(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unrelated tail words here"),
+            (2, "nothing in common with anything else at all"),
+            (3, "xx alpha beta gamma delta yy beta gamma delta echo"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta echo")], "doc_id int, text string"
+    )
+    out = dedup.ngram_overlap_pairs(train, bench, "doc_id", "text", n=4)
+    rows = {(r["train_id"], r["bench_id"]): r["shared_ngrams"] for r in out.collect()}
+    # bench grams: {abgd, bgde}; doc1 shares abgd; doc3 shares both
+    assert rows == {(1, 100): 1, (3, 100): 2}
+
+
+def test_ngram_overlap_min_shared_and_short_docs(spark):
+    import pytest
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id int, text string")
+    out = dedup.ngram_overlap_pairs(train, bench, "doc_id", "text", n=3, min_shared=2)
+    rows = out.collect()
+    # doc1 shares {abc, bcd} -> 2 >= 2; doc2 is shorter than n -> no grams
+    assert [(r["train_id"], r["shared_ngrams"]) for r in rows] == [(1, 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench postings broadcast
+    with pytest.raises(ValueError, match="n must be"):
+        dedup.ngram_overlap_pairs(train, bench, "doc_id", "text", n=0)

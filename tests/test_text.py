@@ -753,3 +753,48 @@ def test_span_corruption_deterministic_across_runs(spark):
     # seed changes the mask pattern somewhere in 20 docs
     c = text.span_corruption(df, "text", "doc_id", span_tokens=2, seed="other").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    good = "the data and that have with a filter " + "scan merge join " * 4
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the of and to a"),                      # too few words
+        (3, "supercalifragilistic " * 12 + "the of and in to be"),  # long words
+        (4, good + " ###########"),                  # symbol ratio
+        (5, "- the one\n- of two\n- and three\n- that four\n"
+            "- have five\n- with six\n- in seven\n- to eight\n"
+            "- be nine\n- a ten\n- the eleven\n- of twelve"),  # all bullets
+        (6, "the end is near...\nof more dots...\nand that have with in a b c d"),
+        (7, "1 2 3 4 5 6 7 8 9 10 11 12 the of"),    # numeric words
+        (8, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in text.gopher_rules(df, "text", "doc_id").collect()}
+    assert out[1]["keep"] and out[1]["failed_rules"] == ""
+    assert not out[2]["r_word_count"]
+    assert not out[3]["r_mean_word_len"]
+    assert not out[4]["r_symbol_ratio"]
+    assert not out[5]["r_bullet_lines"]
+    assert not out[6]["r_ellipsis_lines"]
+    assert not out[7]["r_alpha_words"]
+    assert not out[8]["r_stopwords"]
+    assert out[8]["failed_rules"] == "stopwords"
+    for i in range(2, 9):
+        assert not out[i]["keep"]
+
+
+def test_gopher_rules_null_text_and_plan(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    r = text.gopher_rules(df, "text", "doc_id").collect()[0]
+    assert r["n_words"] == 0 and not r["keep"]
+    assert "word_count" in r["failed_rules"]
+    # empty token list: mean-word-len rule is vacuously true, not NULL
+    assert r["r_mean_word_len"] is True
+    plan = (
+        text.gopher_rules(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # zero-shuffle projection
