@@ -759,7 +759,51 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         # scores NULL → null-safe split so such rows are AUDITED as
         # rejects, never silently lost from both branches.
         tk_col = None
-        if qf.method == "classifier":
+        if qf.method == "gopher":
+            # hard boolean gate: all 7 rules must pass. No score, so the
+            # min_quality / top_fraction machinery below never runs
+            # (top_fraction+gopher is rejected at spec validation).
+            from .operators.text import gopher_failed_expr, gopher_rule_conds
+
+            names = {}
+            for base_name in ("_qg_text", "_qg_tokens", "_qg_lines", "_qg_failed"):
+                c = base_name
+                while c in df.columns:
+                    c = "_" + c
+                names[base_name] = c
+            t_expr = F.coalesce(F.col(qf.text_column), F.lit(""))
+            # stage text/token/line arrays as real columns: expressions
+            # inlined into higher-order lambdas re-evaluate per element
+            staged = (
+                df.withColumn(names["_qg_text"], t_expr)
+                .withColumn(names["_qg_tokens"], tokens(t_expr))
+                .withColumn(names["_qg_lines"], F.split(t_expr, "\n"))
+            )
+            rules = gopher_rule_conds(
+                F.col(names["_qg_text"]),
+                F.col(names["_qg_tokens"]),
+                F.col(names["_qg_lines"]),
+            )
+            staged = staged.withColumn(
+                names["_qg_failed"], gopher_failed_expr(rules)
+            )
+            keep_cond = F.size(F.col(names["_qg_failed"])) == 0
+            work_cols = [names[b] for b in ("_qg_text", "_qg_tokens", "_qg_lines")]
+            if qf.reject_table:
+                # one lazy materialization feeds BOTH sinks (same
+                # rationale as the score-gate split below)
+                staged = staged.localCheckpoint(eager=False)
+                quality_rejects = (
+                    staged.filter(~keep_cond)
+                    .withColumn(
+                        "_failed_rules",
+                        F.array_join(F.col(names["_qg_failed"]), ","),
+                    )
+                    .drop(*work_cols, names["_qg_failed"])
+                )
+            df = staged.filter(keep_cond).drop(*work_cols, names["_qg_failed"])
+            q = None
+        elif qf.method == "classifier":
             # stage the token array ONCE in a temp column so the
             # classifier's size guard / fold / denominator are plain
             # column references, not three inlined tokenizer splits

@@ -1212,6 +1212,58 @@ def gopher_rules(
     """
     from ..functions import tokens as _tokens
 
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        _tokens(t).alias("__tk"),
+        F.split(t, "\n").alias("__ln"),
+    )
+    rules = gopher_rule_conds(
+        F.col("__t"),
+        F.col("__tk"),
+        F.col("__ln"),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_bullet_line_share=max_bullet_line_share,
+        max_ellipsis_line_share=max_ellipsis_line_share,
+        min_alpha_word_share=min_alpha_word_share,
+        min_stopword_hits=min_stopword_hits,
+    )
+    failed = gopher_failed_expr(rules)
+    return staged.select(
+        F.col(id_col),
+        F.size("__tk").cast("long").alias("n_words"),
+        *[cond.alias(f"r_{name}") for name, cond in rules],
+        F.array_join(failed, ",").alias("failed_rules"),
+        (F.size(failed) == 0).alias("keep"),
+    )
+
+
+def gopher_rule_conds(
+    t: Column,
+    tk: Column,
+    ln: Column,
+    *,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ratio: str = "0.1",
+    max_bullet_line_share: str = "0.9",
+    max_ellipsis_line_share: str = "0.3",
+    min_alpha_word_share: str = "0.8",
+    min_stopword_hits: int = 2,
+) -> list[tuple[str, Column]]:
+    """The 7 Gopher rule conditions as (name, boolean Column) pairs over
+    ALREADY-STAGED text / token-array / line-array columns (stage them
+    with ``withColumn`` first — expressions inlined into higher-order
+    lambdas re-evaluate per element). Shared by ``gopher_rules`` and the
+    compiler's declarative ``quality_filter: {method: gopher}`` gate."""
+
     def _ratio(s: str) -> tuple[int, int]:
         from decimal import Decimal
 
@@ -1224,39 +1276,25 @@ def gopher_rules(
     ell_n, ell_d = _ratio(max_ellipsis_line_share)
     alp_n, alp_d = _ratio(min_alpha_word_share)
 
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    staged = df.select(
-        F.col(id_col),
-        t.alias("__t"),
-        _tokens(t).alias("__tk"),
-        F.split(t, "\n").alias("__ln"),
-    )
-    n_words = F.size("__tk")
-    n_lines = F.size("__ln")
-    sum_wl = F.aggregate(
-        "__tk", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
+    n_words = F.size(tk)
+    n_lines = F.size(ln)
+    sum_wl = F.aggregate(tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
     n_symbols = (
-        F.length("__t")
-        - F.length(F.regexp_replace("__t", "#", ""))
-        + F.size(F.regexp_extract_all("__t", F.lit(r"(\.\.\.|…)"), 0))
+        F.length(t)
+        - F.length(F.regexp_replace(t, "#", ""))
+        + F.size(F.regexp_extract_all(t, F.lit(r"(\.\.\.|…)"), 0))
     )
-    n_bullet = F.size(F.filter("__ln", lambda l: l.rlike(r"^\s*[-*•]")))
-    n_ellipsis = F.size(
-        F.filter("__ln", lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
-    )
-    n_alpha = F.size(F.filter("__tk", lambda w: w.rlike("[a-z]")))
+    n_bullet = F.size(F.filter(ln, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(ln, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    n_alpha = F.size(F.filter(tk, lambda w: w.rlike("[a-z]")))
     stop_hits = F.size(
         F.array_intersect(
-            F.array_distinct("__tk"),
+            F.array_distinct(tk),
             F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
         )
     )
-    rules = [
-        (
-            "word_count",
-            (n_words >= min_words) & (n_words <= max_words),
-        ),
+    return [
+        ("word_count", (n_words >= min_words) & (n_words <= max_words)),
         (
             "mean_word_len",
             (sum_wl >= F.lit(min_mean_word_len) * n_words)
@@ -1268,19 +1306,14 @@ def gopher_rules(
         ("alpha_words", n_alpha * alp_d >= F.lit(alp_n) * n_words),
         ("stopwords", stop_hits >= min_stopword_hits),
     ]
-    flags = {name: cond for name, cond in rules}
-    failed = F.filter(
-        F.array(
-            *[F.when(~cond, F.lit(name)) for name, cond in rules]
-        ),
+
+
+def gopher_failed_expr(rules: list[tuple[str, Column]]) -> Column:
+    """array<string> of failed rule names from ``gopher_rule_conds``
+    output; ``F.size(...) == 0`` is the keep condition."""
+    return F.filter(
+        F.array(*[F.when(~cond, F.lit(name)) for name, cond in rules]),
         lambda x: x.isNotNull(),
-    )
-    return staged.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        *[flags[name].alias(f"r_{name}") for name, _ in rules],
-        F.array_join(failed, ",").alias("failed_rules"),
-        (F.size(failed) == 0).alias("keep"),
     )
 
 

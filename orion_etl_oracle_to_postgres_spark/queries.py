@@ -9575,9 +9575,7 @@ def dedup_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_gopher_rules",
-    """
+_GOPHER_RULES_SQL = """
     WITH staged AS (
       SELECT doc_id,
              coalesce(text, '') AS t,
@@ -9630,8 +9628,10 @@ def dedup_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  OR NOT r_bullet_lines OR NOT r_ellipsis_lines
                  OR NOT r_alpha_words OR NOT r_stopwords)) AS keep
     FROM r
-    """,
-)
+    """
+
+
+@query("text_gopher_rules", _GOPHER_RULES_SQL)
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Gopher/MassiveText hard rule gate
     (operators/text.py:gopher_rules): per-document verdict for each of
@@ -9643,3 +9643,33 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rule bit-for-bit."""
     d = _t(spark, sf_dir, "documents")
     return text.gopher_rules(d, "text", "doc_id")
+
+
+@query(
+    "etl_gopher_gate",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM ({_GOPHER_RULES_SQL}) WHERE keep)
+    """,
+)
+def etl_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative Gopher gate (`quality_filter:
+    {{method: gopher}}`): the YAML user keeps only documents passing all
+    7 hard MassiveText rules — the categorical third quality_filter
+    method next to heuristic/classifier; rejects routed to a
+    reject_table carry the `_failed_rules` audit column
+    (compiler.py quality_filter block, operators/text.py:
+    gopher_rule_conds). Oracle replays the full rule set."""
+    from .spec import QualityFilterSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_gopher",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        quality_filter=QualityFilterSpec(text_column="text", method="gopher"),
+    )
+    return _compile(spark, sf_dir, spec).select("doc_id", "lang")

@@ -505,10 +505,17 @@ class QualityFilterSpec(BaseModel):
     (rank-exact integer quota, ``id_column`` tiebreak — the
     ``curation.keep_top_fraction`` semantics), which costs the one
     group-keyed window shuffle the adaptive policy fundamentally
-    needs. NULL-scoring rows are rejects under both policies."""
+    needs. NULL-scoring rows are rejects under both policies.
+
+    ``method: gopher`` is the CATEGORICAL third option: the 7 hard
+    MassiveText rules (``text.gopher_rule_conds``) — a row is kept iff
+    every rule passes; there is no score, so ``min_quality`` is ignored
+    and ``top_fraction`` is rejected. Rejects routed to
+    ``reject_table`` carry a ``_failed_rules`` column naming the rules
+    that fired (the per-rule audit a release gate needs)."""
 
     text_column: str
-    method: str = "heuristic"  # heuristic | classifier
+    method: str = "heuristic"  # heuristic | classifier | gopher
     min_quality: float = Field(default=0.5, ge=0.0, le=1.0)
     #: per-group adaptive policy (replaces min_quality when set)
     top_fraction: Optional[float] = Field(default=None, ge=0.0, le=1.0)
@@ -526,9 +533,9 @@ class QualityFilterSpec(BaseModel):
     @field_validator("method")
     @classmethod
     def _known_quality_method(cls, v: str) -> str:
-        if v not in ("heuristic", "classifier"):
+        if v not in ("heuristic", "classifier", "gopher"):
             raise ValueError(
-                f"quality_filter method must be heuristic|classifier, got {v!r}"
+                f"quality_filter method must be heuristic|classifier|gopher, got {v!r}"
             )
         return v
 
@@ -540,6 +547,12 @@ class QualityFilterSpec(BaseModel):
             raise ValueError(
                 "quality_filter top_fraction needs id_column and "
                 "group_column (deterministic tiebreak + the group key)"
+            )
+        if self.top_fraction is not None and self.method == "gopher":
+            raise ValueError(
+                "quality_filter top_fraction needs a scoring method "
+                "(heuristic|classifier) — method: gopher is a hard "
+                "boolean gate with no rank to take a fraction of"
             )
         return self
 

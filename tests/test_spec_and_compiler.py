@@ -1838,3 +1838,59 @@ def test_curriculum_stage_score_column_and_clash(spark, sf_dir):
     )
     with _pt.raises(ValueError, match="score_column"):
         compile_table(_ctx(spark, sf_dir), bad)
+
+
+def test_quality_filter_gopher_gate(spark, tmp_path):
+    """method: gopher keeps rows passing all 7 rules; rejects carry the
+    _failed_rules audit column naming what fired."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, run_table
+
+    good = ("the data and that have with a filter "
+            "scan merge join scan merge join scan merge join")
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [
+            (1, good),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, None),
+        ],
+        "id int, body string",
+    ).write.parquet(str(src / "docs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="docs_clean",
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", method="gopher", reject_table="docs_badrule"
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+    )
+    run_table(JobContext(spark=spark, global_spec=g), t)
+    kept = spark.read.parquet(str(out / "docs_clean"))
+    assert [r["id"] for r in kept.collect()] == [1]
+    assert "_failed_rules" not in kept.columns
+    rej = {r["id"]: r for r in spark.read.parquet(str(out / "docs_badrule")).collect()}
+    assert rej[2]["_failed_rules"] == "stopwords"
+    assert "word_count" in rej[3]["_failed_rules"]  # NULL text audited, not lost
+
+    # no score to rank: top_fraction + gopher refused at spec level
+    with pytest.raises(ValueError, match="gopher"):
+        spec_mod.QualityFilterSpec(
+            text_column="body",
+            method="gopher",
+            top_fraction=0.5,
+            id_column="id",
+            group_column="id",
+        )
