@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "multimodal_video_near_dups",  # frame-hash postings join, payloads stay put
     "curation_curriculum_order",  # two-phase rank + ntile over scored corpus
     "dedup_intradoc_spans",  # in-row first-occurrence collapse: zero shuffles
+    "emb_hard_negatives",  # cross-label top-k: broadcast queries + group limit
+    "text_span_corruption",  # T5 denoising pairs: in-row hash+sentinel rewrite
+    "dedup_ngram_decontaminate",  # exact 13-gram overlap, broadcast bench grams
+    "text_gopher_rules",  # 7-rule hard gate: one zero-shuffle projection
 ]
 
 
