@@ -1521,3 +1521,79 @@ def hard_negative_mining(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def dim_stats(
+    df: DataFrame, vec_col: str, *, decimals: int = 6
+) -> DataFrame:
+    """Per-dimension distribution stats of an embedding column →
+    ``(dim, mean, std)`` (population std). The preprocessing readout
+    feature-scaling needs (and the input to ``whiten``); also the
+    anisotropy smell test — one dimension dominating the variance means
+    cosine distances are effectively that dimension.
+
+    100 TB shape: ``posexplode`` then ONE hash aggregate — map-side
+    partial aggregation collapses rows × dim to dim (e.g. 64) partials
+    per task before the exchange, so the shuffle payload is the stats
+    table, not the corpus. Stats are rounded so differently-ordered
+    partial sums agree across engines and runs (the round-before-use
+    contract ``whiten`` relies on)."""
+    pos = df.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    return (
+        pos.groupBy(F.col("pos").alias("dim"))
+        .agg(
+            F.round(F.avg("col"), decimals).alias("mean"),
+            F.round(F.stddev_pop("col"), decimals).alias("std"),
+        )
+        .orderBy("dim")
+    )
+
+
+def whiten(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-dimension standardization (z-score whitening) of an
+    embedding column → ``(id, whitened)``: ``(x - mean) / std`` per
+    dimension, zero-variance dimensions mapped to 0.0 (a constant
+    dimension carries no signal; dividing by 0 would poison the
+    vector). The classic pre-clustering / pre-PCA normalization —
+    without it, high-variance dimensions dominate every distance.
+
+    Two-job shape, both cheap: (1) the ``dim_stats`` aggregate (shuffle
+    payload = dim rows) collected to the driver — a scalar-sized
+    result, same contract as the IVF/centroid literals; (2) ONE
+    zero-shuffle projection with the rounded stats inlined as literal
+    arrays (``zip_with`` twice — no explode/regroup round-trip of the
+    corpus, which would double the data motion at 100 TB). Stats are
+    rounded BEFORE use in both engines, so the division is
+    deterministic float64 on identical inputs — bit-stable parity."""
+    stats = {
+        int(r["dim"]): (float(r["mean"]), float(r["std"]))
+        for r in dim_stats(df, vec_col, decimals=decimals).collect()
+    }
+    if not stats:
+        return df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("whitened")
+        ).limit(0)
+    d = max(stats) + 1
+    means = F.array(*[F.lit(stats[i][0]) for i in range(d)])
+    stds = F.array(*[F.lit(stats[i][1]) for i in range(d)])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), means, lambda x, m: x - m
+    )
+    z = F.zip_with(
+        centered,
+        stds,
+        lambda c, s: F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.round(c / s, decimals)
+        ),
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), z.alias("whitened")
+    )

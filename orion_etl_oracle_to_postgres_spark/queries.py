@@ -9673,3 +9673,61 @@ def etl_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_filter=QualityFilterSpec(text_column="text", method="gopher"),
     )
     return _compile(spark, sf_dir, spec).select("doc_id", "lang")
+
+
+@query(
+    "emb_dim_stats",
+    """
+    SELECT i AS dim,
+           round(avg(v[i+1]), 6) AS mean,
+           round(stddev_pop(v[i+1]), 6) AS std
+    FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+         range(64) r(i)
+    GROUP BY i ORDER BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-dimension embedding stats
+    (operators/similarity.py:dim_stats): mean + population std of every
+    vector dimension — the feature-scaling readout and the anisotropy
+    smell test. posexplode + one map-side-combined aggregate; shuffle
+    payload is the 64-row stats table. Oracle replays the unnested
+    aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.dim_stats(e, "embedding")
+
+
+@query(
+    "emb_whiten",
+    """
+    WITH stats AS (
+      SELECT i,
+             round(avg(v[i+1]), 6) AS m,
+             round(stddev_pop(v[i+1]), 6) AS s
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings
+            WHERE embedding IS NOT NULL),
+           range(64) r(i)
+      GROUP BY i
+    ),
+    lits AS (
+      SELECT list(m ORDER BY i) AS ms, list(s ORDER BY i) AS ss FROM stats
+    )
+    SELECT vec_id,
+           list_transform(range(64), i ->
+             CASE WHEN ss[i+1] = 0.0 THEN 0.0
+                  ELSE round((v[i+1] - ms[i+1]) / ss[i+1], 6) END) AS whitened
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL), lits
+    """,
+)
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Z-score whitening of the embedding column
+    (operators/similarity.py:whiten): per-dimension (x - mean)/std with
+    zero-variance dims mapped to 0 — the pre-clustering normalization.
+    Stats aggregate (dim-row shuffle payload) collected once as
+    literals, then ONE zero-shuffle zip_with projection — the corpus
+    never explodes. Stats are rounded before use in both engines, so
+    the projection is bit-stable parity."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.whiten(e, "vec_id", "embedding")

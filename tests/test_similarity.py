@@ -740,3 +740,28 @@ def test_hard_negatives_k_and_plan(spark):
     assert len(rows) == 4  # one top negative per labelled query
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dim_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, [2.0, 2.0]), (3, None)],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["dim"]: r for r in similarity.dim_stats(df, "embedding").collect()}
+    assert out[0]["mean"] == 1.0 and out[0]["std"] == 1.0
+    assert out[1]["mean"] == 2.0 and out[1]["std"] == 0.0  # constant dim
+
+
+def test_whiten_zscores_and_zero_variance(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, [2.0, 2.0]), (3, None)],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["whitened"] for r in
+           similarity.whiten(df, "vec_id", "embedding").collect()}
+    assert out[1] == [-1.0, 0.0]  # dim0 z-scored; constant dim1 -> 0.0
+    assert out[2] == [1.0, 0.0]
+    assert 3 not in out  # NULL vectors dropped
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    assert similarity.whiten(empty, "vec_id", "embedding").count() == 0
