@@ -69,6 +69,9 @@ class CompiledTable:
     #: rows dropped by the declarative ``quality_filter`` (with their
     #: score), or None — written to ``quality_filter.reject_table``
     quality_rejects: Optional[DataFrame] = None
+    #: rows dropped by the declarative ``decontaminate`` stage (with
+    #: match-count audit columns) — written to its ``reject_table``
+    decontam_rejects: Optional[DataFrame] = None
     #: per-validation-rule violation counters — (label, Observation)
     #: pairs riding the sink's own action; read AFTER the write
     validation_metrics: list = field(default_factory=list)
@@ -675,6 +678,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # label (both pure hash projections — zero shuffles; distinct seeds
     # keep sample and split uncorrelated)
     quality_rejects = None
+    decontam_rejects = None
     if spec.rewrite is not None:
         rw = spec.rewrite
         if rw.text_column not in df.columns:
@@ -739,6 +743,61 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 rw.text_column,
                 F.coalesce(F.col("new_text"), F.col(rw.text_column)),
             ).drop("new_text")
+
+    if spec.decontaminate is not None:
+        dc = spec.decontaminate
+        for c in (dc.id_column, dc.text_column):
+            if c not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: decontaminate column {c!r} "
+                    f"not in pipeline output {df.columns}"
+                )
+        from .operators.dedup import ngram_overlap_pairs
+
+        bench = resolve_source(
+            ctx.spark,
+            ctx.global_spec.connectors,
+            dc.benchmark_table,
+            spec.source_schema,
+            allow_probes=not ctx.explain_only,
+        )
+        if dc.benchmark_where:
+            bench = bench.filter(F.expr(dc.benchmark_where))
+        b_text = dc.benchmark_text_column or dc.text_column
+        if b_text not in bench.columns:
+            raise ValueError(
+                f"{spec.source_table}: decontaminate benchmark column "
+                f"{b_text!r} not in {dc.benchmark_table} {bench.columns}"
+            )
+        if dc.benchmark_id_column:
+            b_id = dc.benchmark_id_column
+        else:
+            b_id = "__bench_id"
+            bench = bench.withColumn(b_id, F.monotonically_increasing_id())
+        pairs = ngram_overlap_pairs(
+            df.select(F.col(dc.id_column).alias("__did"),
+                      F.col(dc.text_column).alias("__dtx")),
+            bench.select(F.col(b_id).alias("__did"),
+                         F.col(b_text).alias("__dtx")),
+            "__did",
+            "__dtx",
+            n=dc.ngram,
+            min_shared=dc.min_shared,
+        )
+        # flagged id set: one row per contaminated pipeline row. Lazily
+        # checkpointed — BOTH consumers (anti-join keep, audit join) must
+        # see the same membership even over a moving source
+        flagged = (
+            pairs.groupBy(F.col("train_id").alias(dc.id_column))
+            .agg(
+                F.count("*").cast("long").alias("_matched_benchmark_docs"),
+                F.sum("shared_ngrams").cast("long").alias("_shared_ngrams"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if dc.reject_table:
+            decontam_rejects = df.join(flagged, dc.id_column)
+        df = df.join(flagged.select(dc.id_column), dc.id_column, "left_anti")
 
     if spec.quality_filter is not None:
         qf = spec.quality_filter
@@ -1056,6 +1115,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         incremental_commit=incremental_commit,
         quarantine=quarantine_df,
         quality_rejects=quality_rejects,
+        decontam_rejects=decontam_rejects,
         validation_metrics=vmetrics,
     )
 
@@ -1136,6 +1196,11 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
         errs.append(
             "rewrite method=repeated_spans (the hot-span set aggregates over "
             "the whole corpus — batch-only; method=scrub streams fine)"
+        )
+    if spec.decontaminate is not None:
+        errs.append(
+            "decontaminate (the n-gram pair aggregate + second eager "
+            "audit write are batch-only)"
         )
     if spec.split is not None and spec.split.folds is not None:
         pass  # hash k-fold is a pure projection — streams fine
@@ -1679,6 +1744,16 @@ def _write_quarantine(
             compiled.quality_rejects,
             ctx.global_spec.connectors,
             spec.quality_filter.reject_table,
+            spec.target_schema
+            if ctx.global_spec.connectors.target_files is None
+            else None,
+            mode=spec.write_mode,
+        )
+    if compiled.decontam_rejects is not None and spec.decontaminate is not None:
+        resolve_sink(
+            compiled.decontam_rejects,
+            ctx.global_spec.connectors,
+            spec.decontaminate.reject_table,
             spec.target_schema
             if ctx.global_spec.connectors.target_files is None
             else None,

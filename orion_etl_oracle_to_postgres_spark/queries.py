@@ -9731,3 +9731,58 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection is bit-stable parity."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.whiten(e, "vec_id", "embedding")
+
+
+@query(
+    "etl_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(ts) - 13 + 1),
+               i -> array_to_string(ts[i+1:i+13], ' ')))) AS g
+      FROM toks WHERE len(ts) >= 13
+    ),
+    flagged AS (
+      SELECT DISTINCT a.doc_id
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def etl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative eval decontamination
+    (`decontaminate:` block, compiler.py): the YAML user drops training
+    rows sharing any verbatim 13-gram with the benchmark slice
+    (doc_id % 7 == 0 via benchmark_where) — rewrite → decontaminate →
+    gate ordering, rejects routable to an audit table with match
+    counts. Oracle replays gram expansion, flagging, and the anti
+    join."""
+    from .spec import DecontaminateSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_decontam",
+        where="doc_id % 7 <> 0",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        decontaminate=DecontaminateSpec(
+            benchmark_table="documents",
+            benchmark_where="doc_id % 7 = 0",
+            text_column="text",
+            id_column="doc_id",
+            benchmark_id_column="doc_id",
+            ngram=13,
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select("doc_id", "lang")

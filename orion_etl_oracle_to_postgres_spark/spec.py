@@ -656,6 +656,32 @@ class RewriteSpec(BaseModel):
         return self
 
 
+class DecontaminateSpec(BaseModel):
+    """[engine extension] Declarative exact n-gram EVAL DECONTAMINATION
+    of the outgoing rows (``dedup.ngram_overlap_pairs``, the GPT-3
+    appendix-C check): drop every row whose ``text_column`` shares >=
+    ``min_shared`` verbatim word ``ngram``-grams with any row of
+    ``benchmark_table`` (read through the source/target connectors,
+    optionally pre-filtered by ``benchmark_where``). Runs AFTER the
+    rewrite stage and BEFORE the quality gate — contaminated rows must
+    not survive into training splits no matter how well they score.
+    Dropped rows route to ``reject_table`` (when set) with
+    ``_matched_benchmark_docs`` / ``_shared_ngrams`` audit columns.
+    Batch-only: the pair aggregate is corpus-wide. The benchmark side
+    is broadcast (eval suites are MBs) — the pipeline frame never
+    shuffles before the pair count."""
+
+    benchmark_table: str
+    text_column: str
+    id_column: str
+    benchmark_text_column: Optional[str] = None  # default: text_column
+    benchmark_id_column: Optional[str] = None  # default: synthesized
+    benchmark_where: Optional[str] = None
+    ngram: int = Field(default=13, ge=1)
+    min_shared: int = Field(default=1, ge=1)
+    reject_table: Optional[str] = None
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -717,6 +743,9 @@ class TableSpec(BaseModel):
     quality_filter: Optional[QualityFilterSpec] = None
     #: declarative text rewrite (span dedup / scrubbing) BEFORE the gate
     rewrite: Optional[RewriteSpec] = None
+    #: declarative exact n-gram eval decontamination (rewrite → THIS →
+    #: gate): rows sharing grams with the benchmark table are dropped
+    decontaminate: Optional[DecontaminateSpec] = None
     #: declarative curriculum index/phase columns on the outgoing rows
     curriculum: Optional[CurriculumSpec] = None
 

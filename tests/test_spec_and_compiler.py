@@ -1894,3 +1894,89 @@ def test_quality_filter_gopher_gate(spark, tmp_path):
             id_column="id",
             group_column="id",
         )
+
+
+def test_decontaminate_declarative(spark, tmp_path):
+    """decontaminate: drops rows sharing n-grams with the benchmark
+    table; rejects carry match-count audit columns; streams refused."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+        run_table,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [
+            (1, "totally unrelated words in this training row"),
+            (2, "contains the secret benchmark sentence here verbatim padded"),
+        ],
+        "id int, body string",
+    ).write.parquet(str(src / "train.parquet"))
+    spark.createDataFrame(
+        [(9, "xx the secret benchmark sentence here yy")],
+        "bid int, btext string",
+    ).write.parquet(str(src / "bench.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="train",
+        target_table="train_clean",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        decontaminate=spec_mod.DecontaminateSpec(
+            benchmark_table="bench",
+            text_column="body",
+            id_column="id",
+            benchmark_text_column="btext",
+            benchmark_id_column="bid",
+            ngram=4,
+            reject_table="train_contaminated",
+        ),
+    )
+    run_table(JobContext(spark=spark, global_spec=g), t)
+    kept = spark.read.parquet(str(out / "train_clean"))
+    assert [r["id"] for r in kept.collect()] == [1]
+    rej = spark.read.parquet(str(out / "train_contaminated")).collect()
+    assert len(rej) == 1 and rej[0]["id"] == 2
+    assert rej[0]["_matched_benchmark_docs"] == 1
+    assert rej[0]["_shared_ngrams"] >= 1
+
+    # unknown pipeline column refused loudly
+    with pytest.raises(ValueError, match="decontaminate column"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(
+                update={
+                    "decontaminate": t.decontaminate.model_copy(
+                        update={"id_column": "nope"}
+                    ),
+                    "target_table": "x",
+                }
+            ),
+        )
+
+    # batch-only: streaming mode refuses the stage loudly
+    with pytest.raises(ValueError, match="decontaminate"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(
+                update={
+                    "write_mode": "append",
+                    "incremental": spec_mod.IncrementalSpec(
+                        watermark_column="id", mode="streaming"
+                    ),
+                    "target_table": "y",
+                }
+            ),
+        )

@@ -313,3 +313,60 @@ def test_streaming_refuses_top_fraction_and_span_rewrite(spark, tmp_path):
         compile_table(ctx, mk(rewrite=RewriteSpec(
             text_column="body", method="repeated_spans", id_column="id",
         )))
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
+    """quality_filter method=gopher is a pure projection, so it streams;
+    each micro-batch keeps exactly the rows the batch gate would."""
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+
+    good = ("the data and that have with a filter "
+            "scan merge join scan merge join scan merge join")
+    bad = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(1, good), (2, bad)], "id long, body string"
+    ).coalesce(1).write.mode("append").parquet(str(land))
+
+    t = spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_gated",
+        write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming",
+            state_path=str(tmp_path / "state"),
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", method="gopher"
+        ),
+    )
+    job = spec_mod.JobSpec(global_spec=_global(src, out), tables=[t])
+    assert run_job(spark, job) == {"t_gated": 1}
+    assert [r["id"] for r in spark.read.parquet(str(out / "t_gated")).collect()] == [1]
+
+    # reject_table still refused on streams (needs a second eager write)
+    with pytest.raises(ValueError, match="reject_table"):
+        run_job(
+            spark,
+            spec_mod.JobSpec(
+                global_spec=_global(src, out),
+                tables=[
+                    t.model_copy(
+                        update={
+                            "quality_filter": spec_mod.QualityFilterSpec(
+                                text_column="body",
+                                method="gopher",
+                                reject_table="rej",
+                            ),
+                            "target_table": "t2",
+                        }
+                    )
+                ],
+            ),
+        )
