@@ -9786,3 +9786,102 @@ def etl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec).select("doc_id", "lang")
+
+
+@query(
+    "text_tokenizer_fertility",
+    f"""
+    SELECT d.lang,
+           sum(e.n_words)::BIGINT AS total_words,
+           sum(e.n_subwords)::BIGINT AS total_subwords,
+           CASE WHEN sum(e.n_words) > 0
+                THEN round(sum(e.n_subwords) / sum(e.n_words)::DOUBLE, 6)
+           END AS fertility
+    FROM ({_bpe_encode_sql(_BPE_RULES)}) e
+    JOIN documents d ON d.doc_id = e.doc_id
+    GROUP BY d.lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Tokenizer fertility per language: corpus subwords-per-word
+    of the trained BPE merge table, per lang slice — the tokenizer
+    health readout (a language with outsized fertility pays more
+    sequence length per word and needs merges or vocab). Composes the
+    zero-shuffle bpe_encode projection with one id-equi join + tiny
+    per-lang aggregate; fertility from INTEGER subword/word totals
+    (sum-then-divide), so engines agree exactly."""
+    d = _t(spark, sf_dir, "documents")
+    enc = text.bpe_encode(d, "text", "doc_id", _BPE_RULES)
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_subwords").cast("long").alias("total_subwords"),
+            F.when(
+                F.sum("n_words") > 0,
+                F.round(
+                    F.sum("n_subwords") / F.sum("n_words").cast("double"), 6
+                ),
+            ).alias("fertility"),
+        )
+    )
+
+
+@query(
+    "dedup_contamination_report",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(ts) - 13 + 1),
+               i -> array_to_string(ts[i+1:i+13], ' ')))) AS g
+      FROM toks WHERE len(ts) >= 13
+    ),
+    flagged AS (
+      SELECT DISTINCT a.doc_id
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           count(f.doc_id)::BIGINT AS n_contaminated,
+           round(count(f.doc_id) / count(*)::DOUBLE, 6) AS contaminated_share
+    FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    WHERE d.doc_id % 7 <> 0
+    GROUP BY d.source
+    """,
+)
+def dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-source contamination report: for each source slice of
+    the training split, how many docs share a verbatim 13-gram with the
+    benchmark slice — the release sign-off table a decontamination run
+    ends with (which ingest pipelines leak eval data). Composes
+    ngram_overlap_pairs (broadcast bench grams) with a distinct-ids
+    semi join + counts-only aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    flagged = (
+        dedup.ngram_overlap_pairs(
+            train, d.filter(F.col("doc_id") % 7 == 0), "doc_id", "text", n=13
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("__hit").cast("long").alias("n_contaminated"),
+            F.round(
+                F.count("__hit") / F.count("*").cast("double"), 6
+            ).alias("contaminated_share"),
+        )
+    )
