@@ -9885,3 +9885,39 @@ def dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated_share"),
         )
     )
+
+
+@query(
+    "text_contrastive_views",
+    f"""
+    WITH a AS ({_span_corruption_sql(k=3, permille=300, seed="cv_a")}),
+         b AS ({_span_corruption_sql(k=3, permille=300, seed="cv_b")})
+    SELECT a.doc_id,
+           a.input_text AS view_a,
+           b.input_text AS view_b,
+           (a.input_text <> b.input_text) AS views_differ
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def text_contrastive_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Contrastive two-view augmentation (SimCSE/InfoNCE input
+    prep): two INDEPENDENT deterministic span corruptions of every
+    document (seeds cv_a/cv_b at 30% masking) — the positive-pair
+    generator of contrastive representation training, reproducible
+    across runs and engines because the masks are (doc, span, seed)
+    hashes, not RNG. Both views are zero-shuffle projections of the
+    same scan; the id-equi self-join is the only exchange. Oracle
+    replays both corruptions and the pairing."""
+    d = _t(spark, sf_dir, "documents")
+    a = text.span_corruption(
+        d, "text", "doc_id", span_tokens=3, mask_permille=300, seed="cv_a"
+    ).select("doc_id", F.col("input_text").alias("view_a"))
+    b = text.span_corruption(
+        d, "text", "doc_id", span_tokens=3, mask_permille=300, seed="cv_b"
+    ).select("doc_id", F.col("input_text").alias("view_b"))
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        "view_a",
+        "view_b",
+        (F.col("view_a") != F.col("view_b")).alias("views_differ"),
+    )
