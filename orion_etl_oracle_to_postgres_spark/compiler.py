@@ -795,9 +795,14 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             )
             .localCheckpoint(eager=False)
         )
+        # flagged ids are bounded by the benchmark's gram coverage (eval
+        # suites are MBs) — broadcast, so the pipeline frame keeps its
+        # partitioning instead of shuffling into a sort-merge anti join
         if dc.reject_table:
-            decontam_rejects = df.join(flagged, dc.id_column)
-        df = df.join(flagged.select(dc.id_column), dc.id_column, "left_anti")
+            decontam_rejects = df.join(F.broadcast(flagged), dc.id_column)
+        df = df.join(
+            F.broadcast(flagged.select(dc.id_column)), dc.id_column, "left_anti"
+        )
 
     if spec.quality_filter is not None:
         qf = spec.quality_filter
