@@ -9921,3 +9921,60 @@ def text_contrastive_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_b",
         (F.col("view_a") != F.col("view_b")).alias("views_differ"),
     )
+
+
+@query(
+    "curation_preference_pairs",
+    _SHINGLE_CTE
+    + f"""
+    , pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS q FROM documents)
+    SELECT CASE WHEN qi.q > qj.q OR (qi.q = qj.q AND p.i < p.j)
+                THEN p.i ELSE p.j END AS chosen_id,
+           CASE WHEN qi.q > qj.q OR (qi.q = qj.q AND p.i < p.j)
+                THEN p.j ELSE p.i END AS rejected_id,
+           greatest(qi.q, qj.q) AS chosen_quality,
+           least(qi.q, qj.q) AS rejected_quality,
+           round(abs(qi.q - qj.q), 6) AS margin
+    FROM pairs p
+    JOIN q qi ON qi.doc_id = p.i
+    JOIN q qj ON qj.doc_id = p.j
+    """,
+)
+def curation_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Synthetic preference pairs from near-duplicates: every
+    MinHash near-dup pair becomes a (chosen, rejected) example — the
+    higher heuristic-quality twin is 'chosen' (lower doc_id on exact
+    ties, so the labeling is deterministic) with the quality margin
+    attached for margin-weighted DPO-style losses. Reuses the
+    layout-cached pair set (the expensive banded join runs ONCE per sf
+    across the whole suite); the quality side is a skinny
+    (doc_id, score) projection joined twice by id. Oracle brute-forces
+    the exact-Jaccard pairs (the 128/32 LSH argument from
+    dedup_minhash) and replays the labeling."""
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", F.round(text.quality_expr(F.col("text")), 6).alias("q")
+    )
+    j = (
+        pairs.select("id_i", "id_j")
+        .join(q.withColumnsRenamed({"doc_id": "id_i", "q": "qi"}), "id_i")
+        .join(q.withColumnsRenamed({"doc_id": "id_j", "q": "qj"}), "id_j")
+    )
+    first_chosen = (F.col("qi") > F.col("qj")) | (
+        (F.col("qi") == F.col("qj")) & (F.col("id_i") < F.col("id_j"))
+    )
+    return j.select(
+        F.when(first_chosen, F.col("id_i")).otherwise(F.col("id_j")).alias("chosen_id"),
+        F.when(first_chosen, F.col("id_j")).otherwise(F.col("id_i")).alias("rejected_id"),
+        F.greatest("qi", "qj").alias("chosen_quality"),
+        F.least("qi", "qj").alias("rejected_quality"),
+        F.round(F.abs(F.col("qi") - F.col("qj")), 6).alias("margin"),
+    )
