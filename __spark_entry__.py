@@ -109,8 +109,14 @@ _FIRST_50 = [
 # priority_sample/quality_cutoff, reconcile_snapshot_diff/diff_summary/
 # distribution_drift, dq_expectations_customer, json_variant_events,
 # udtf_split_sentences, affinity_part_pairs, range_clicks_before_error,
-# agg incremental/regression/distinct family, corpus_curate — keep
-# rotating ~40/round; cumulative driver-verified after r6 ≥ 130/210.
+# agg incremental/regression/distinct family, corpus_curate, plus the
+# r6-session additions (emb_matryoshka_audit, dedup_intradoc_spans,
+# etl_intradoc_rewrite, text_pii_incidence, emb_hard_negatives,
+# text_span_corruption, dedup_ngram_decontaminate, text_gopher_rules,
+# etl_gopher_gate, emb_dim_stats, emb_whiten, etl_decontaminate,
+# text_tokenizer_fertility, dedup_contamination_report,
+# text_contrastive_views, curation_preference_pairs) — keep rotating
+# ~40/round; cumulative driver-verified after r6 ≥ 130/210.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

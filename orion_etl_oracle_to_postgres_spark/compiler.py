@@ -1109,6 +1109,65 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 easy_first=cur.easy_first,
             ).drop("__cur_score")
 
+    if spec.augment is not None:
+        au = spec.augment
+        for c in (au.id_column, au.text_column):
+            if c not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: augment column {c!r} "
+                    f"not in pipeline output {df.columns}"
+                )
+        for c in (au.input_column, au.target_column):
+            if c in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: augment output column {c!r} "
+                    "already in the pipeline output — rename it"
+                )
+        from .functions import tokens
+        from .operators.dedup import _span_segments
+        from .operators.text import span_corruption_exprs, span_mask_flags_expr
+
+        names = {}
+        for base_name in ("_au_tokens", "_au_segs", "_au_flags"):
+            c = base_name
+            while c in df.columns:
+                c = "_" + c
+            names[base_name] = c
+        # in-row: stage token/segment/flag arrays, attach the sentinel
+        # pair, drop the staging — no join, no shuffle (streams fine).
+        # Zero-token rows keep NULL pair columns instead of vanishing.
+        df = (
+            df.withColumn(
+                names["_au_tokens"],
+                F.coalesce(
+                    tokens(F.col(au.text_column)),
+                    F.array().cast("array<string>"),
+                ),
+            )
+            .withColumn(
+                names["_au_segs"],
+                _span_segments(F.col(names["_au_tokens"]), au.span_tokens),
+            )
+            .withColumn(
+                names["_au_flags"],
+                span_mask_flags_expr(
+                    F.col(au.id_column),
+                    F.col(names["_au_segs"]),
+                    mask_permille=au.mask_permille,
+                    seed=au.seed,
+                ),
+            )
+        )
+        inp, tgt = span_corruption_exprs(
+            F.col(names["_au_segs"]), F.col(names["_au_flags"])
+        )
+        has_tokens = F.size(names["_au_tokens"]) > 0
+        df = (
+            df.withColumn(au.input_column, F.when(has_tokens, inp))
+            .withColumn(au.target_column, F.when(has_tokens, tgt))
+            .drop(*names.values())
+        )
+
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:
         df = self_lookup(df, r.target or r.source, r.lookup)

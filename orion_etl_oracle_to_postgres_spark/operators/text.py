@@ -1120,56 +1120,15 @@ def span_corruption(
             "__tk"
         ),
     ).filter(F.size("__tk") > 0)
-    segs = _span_segments(F.col("__tk"), k)
-    staged = base.withColumn("__segs", segs).withColumn(
+    staged = base.withColumn(
+        "__segs", _span_segments(F.col("__tk"), k)
+    ).withColumn(
         "__flags",
-        F.transform(
-            F.sequence(F.lit(0), F.size("__segs") - 1),
-            lambda j: md5_hash60(
-                F.concat(
-                    F.col(id_col).cast("string"),
-                    F.lit(":"),
-                    j.cast("string"),
-                    F.lit(":" + seed),
-                )
-            )
-            % 1000
-            < F.lit(int(mask_permille)),
+        span_mask_flags_expr(
+            F.col(id_col), F.col("__segs"), mask_permille=mask_permille, seed=seed
         ),
     )
-
-    def k_before(j):
-        # masked spans strictly before j — the sentinel index
-        return F.size(F.filter(F.slice(F.col("__flags"), 1, j), lambda x: x))
-
-    inp = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.size("__segs") - 1),
-            lambda j: F.when(
-                F.element_at("__flags", j + 1),
-                F.concat(F.lit("<extra_id_"), k_before(j).cast("string"), F.lit(">")),
-            ).otherwise(F.element_at("__segs", j + 1)),
-        ),
-        " ",
-    )
-    tgt = F.array_join(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__segs") - 1),
-                lambda j: F.when(
-                    F.element_at("__flags", j + 1),
-                    F.concat(
-                        F.lit("<extra_id_"),
-                        k_before(j).cast("string"),
-                        F.lit("> "),
-                        F.element_at("__segs", j + 1),
-                    ),
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        ),
-        " ",
-    )
+    inp, tgt = span_corruption_exprs(F.col("__segs"), F.col("__flags"))
     return staged.select(
         F.col(id_col),
         F.size("__segs").cast("long").alias("n_spans"),
@@ -1177,6 +1136,73 @@ def span_corruption(
         inp.alias("input_text"),
         tgt.alias("target_text"),
     )
+
+
+def span_mask_flags_expr(
+    id_expr: Column, segs: Column, *, mask_permille: int, seed: str
+) -> Column:
+    """array<boolean> mask decisions for a STAGED segment-array column:
+    span j of document ``id_expr`` is masked iff the portable
+    (id, j, seed) md5 hash lands under ``mask_permille``. Shared by
+    ``span_corruption`` and the compiler's declarative ``augment:``
+    stage (stage ``segs`` with ``withColumn`` first — the hash lambda
+    re-evaluates inlined expressions per element)."""
+    from ..functions import md5_hash60
+
+    return F.transform(
+        F.sequence(F.lit(0), F.size(segs) - 1),
+        lambda j: md5_hash60(
+            F.concat(
+                id_expr.cast("string"),
+                F.lit(":"),
+                j.cast("string"),
+                F.lit(":" + seed),
+            )
+        )
+        % 1000
+        < F.lit(int(mask_permille)),
+    )
+
+
+def span_corruption_exprs(segs: Column, flags: Column) -> tuple[Column, Column]:
+    """(input_text, target_text) sentinel-rewrite expressions over
+    STAGED segment/flag array columns (see ``span_corruption`` for the
+    contract). Exposed so the declarative ``augment:`` stage can attach
+    the pair columns in-row without a join."""
+
+    def k_before(j):
+        # masked spans strictly before j — the sentinel index
+        return F.size(F.filter(F.slice(flags, 1, j), lambda x: x))
+
+    inp = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.size(segs) - 1),
+            lambda j: F.when(
+                F.element_at(flags, j + 1),
+                F.concat(F.lit("<extra_id_"), k_before(j).cast("string"), F.lit(">")),
+            ).otherwise(F.element_at(segs, j + 1)),
+        ),
+        " ",
+    )
+    tgt = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size(segs) - 1),
+                lambda j: F.when(
+                    F.element_at(flags, j + 1),
+                    F.concat(
+                        F.lit("<extra_id_"),
+                        k_before(j).cast("string"),
+                        F.lit("> "),
+                        F.element_at(segs, j + 1),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    return inp, tgt
 
 
 def gopher_rules(

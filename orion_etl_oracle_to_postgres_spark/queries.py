@@ -9978,3 +9978,41 @@ def curation_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("qi", "qj").alias("rejected_quality"),
         F.round(F.abs(F.col("qi") - F.col("qj")), 6).alias("margin"),
     )
+
+
+@query(
+    "etl_augment_pairs",
+    f"""
+    WITH pairs AS ({_span_corruption_sql(k=3, permille=150, seed="sc0")})
+    SELECT d.doc_id, d.lang, p.input_text, p.target_text
+    FROM documents d LEFT JOIN pairs p ON p.doc_id = d.doc_id
+    """,
+)
+def etl_augment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative augmentation stage (`augment:`
+    block, compiler.py): the YAML user attaches deterministic T5-style
+    span-corruption pair columns to every outgoing row — in-row (no
+    join/shuffle, streams per micro-batch), zero-token docs keep their
+    row with NULL pair columns. Oracle replays the corruption and the
+    keep-all-rows contract."""
+    from .spec import AugmentSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_aug",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        augment=AugmentSpec(
+            text_column="text",
+            id_column="doc_id",
+            span_tokens=3,
+            mask_permille=150,
+            seed="sc0",
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select(
+        "doc_id", "lang", "input_text", "target_text"
+    )

@@ -656,6 +656,36 @@ class RewriteSpec(BaseModel):
         return self
 
 
+class AugmentSpec(BaseModel):
+    """[engine extension] Declarative training-pair AUGMENTATION of the
+    outgoing rows — runs LAST (after gate/mix/split: you corrupt what
+    you ship, not what you discard). ``method: span_corruption``
+    attaches deterministic T5-style denoising columns
+    (``input_column`` / ``target_column``, default ``input_text`` /
+    ``target_text``) built from ``text.span_mask_flags_expr`` +
+    ``span_corruption_exprs`` — masks are (id, span, seed) hashes, not
+    RNG, so re-runs and incremental appends corrupt identically.
+    Zero-token documents keep their row with NULL pair columns (an
+    augment stage must never drop rows). ENTIRELY in-row (no join, no
+    shuffle) — streams per micro-batch unchanged."""
+
+    text_column: str
+    id_column: str
+    method: str = "span_corruption"
+    span_tokens: int = Field(default=5, ge=1)
+    mask_permille: int = Field(default=150, ge=0, le=1000)
+    seed: str = "sc0"
+    input_column: str = "input_text"
+    target_column: str = "target_text"
+
+    @field_validator("method")
+    @classmethod
+    def _known_augment_method(cls, v: str) -> str:
+        if v != "span_corruption":
+            raise ValueError(f"augment method must be span_corruption, got {v!r}")
+        return v
+
+
 class DecontaminateSpec(BaseModel):
     """[engine extension] Declarative exact n-gram EVAL DECONTAMINATION
     of the outgoing rows (``dedup.ngram_overlap_pairs``, the GPT-3
@@ -746,6 +776,8 @@ class TableSpec(BaseModel):
     #: declarative exact n-gram eval decontamination (rewrite → THIS →
     #: gate): rows sharing grams with the benchmark table are dropped
     decontaminate: Optional[DecontaminateSpec] = None
+    #: declarative training-pair augmentation — runs LAST, adds columns
+    augment: Optional[AugmentSpec] = None
     #: declarative curriculum index/phase columns on the outgoing rows
     curriculum: Optional[CurriculumSpec] = None
 

@@ -1980,3 +1980,84 @@ def test_decontaminate_declarative(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_augment_declarative_and_streaming(spark, tmp_path):
+    """augment: attaches span-corruption pair columns in-row — all rows
+    survive (zero-token docs get NULL pairs), no shuffle, streams."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+        run_job,
+        run_table,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    (src / "land").mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta echo foxtrot golf"), (2, "   !!! ")],
+        "id long, body string",
+    ).coalesce(1).write.mode("append").parquet(str(src / "land"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_aug",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        augment=spec_mod.AugmentSpec(
+            text_column="body", id_column="id",
+            span_tokens=3, mask_permille=1000,
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    compiled = compile_table(ctx, t)
+    plan = compiled.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # in-row: scan + project only
+    run_table(ctx, t)
+    rows = {r["id"]: r for r in spark.read.parquet(str(out / "t_aug")).collect()}
+    assert rows[1]["input_text"] == "<extra_id_0> <extra_id_1> <extra_id_2>"
+    assert rows[1]["target_text"].startswith("<extra_id_0> alpha beta gamma")
+    assert rows[2]["input_text"] is None  # zero-token row kept, NULL pair
+
+    # output-column collision refused loudly
+    with pytest.raises(ValueError, match="augment output column"):
+        compile_table(
+            ctx,
+            t.model_copy(
+                update={
+                    "augment": t.augment.model_copy(
+                        update={"input_column": "body"}
+                    ),
+                    "target_table": "x",
+                }
+            ),
+        )
+
+    # streams: same rows per micro-batch
+    t_s = t.model_copy(
+        update={
+            "target_table": "t_aug_s",
+            "write_mode": "append",
+            "incremental": spec_mod.IncrementalSpec(
+                watermark_column="id", mode="streaming",
+                state_path=str(tmp_path / "state"),
+            ),
+        }
+    )
+    assert run_job(
+        spark, spec_mod.JobSpec(global_spec=g, tables=[t_s])
+    ) == {"t_aug_s": 2}
+    srows = {r["id"]: r for r in spark.read.parquet(str(out / "t_aug_s")).collect()}
+    assert srows[1]["input_text"] == rows[1]["input_text"]
+    assert srows[2]["input_text"] is None
