@@ -270,6 +270,11 @@ def main(argv: list[str] | None = None) -> int:
                 extras.append(
                     f"rewrite: {t.rewrite.method} on {t.rewrite.text_column}"
                 )
+            if t.decontaminate is not None:
+                dc = t.decontaminate
+                extras.append(
+                    f"decontaminate: {dc.ngram}-grams vs {dc.benchmark_table}"
+                )
             if t.quality_filter is not None:
                 qf = t.quality_filter
                 policy = (
@@ -292,6 +297,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
             if t.scd2 is not None:
                 extras.append("scd2 merge")
+            if t.augment is not None:
+                au = t.augment
+                extras.append(
+                    f"augment: {au.method} -> columns "
+                    f"{au.input_column!r}/{au.target_column!r}"
+                )
             if t.lineage:
                 extras.append("row lineage columns (_source_file, _load_id)")
             if extras:

@@ -583,3 +583,54 @@ def test_cli_drift_verb(spark, tmp_path, capsys):
     assert main(["--config", cfg, "--drift", "t_out", "--columns", "v"]) == 1
     outtxt = capsys.readouterr().out
     assert "DRIFT" in outtxt and "psi=" in outtxt
+
+
+def test_cli_lineage_covers_round6_stages(spark, tmp_path, capsys):
+    """The static --lineage report names the decontaminate / gopher-gate
+    / augment stages, and the YAML dialect round-trips their blocks."""
+    import textwrap
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: docs
+            target_table: docs_out
+            mappings:
+              - source: id
+                target: id
+              - source: body
+                target: body
+            decontaminate:
+              benchmark_table: bench
+              text_column: body
+              id_column: id
+              ngram: 13
+            quality_filter: {text_column: body, method: gopher}
+            augment:
+              text_column: body
+              id_column: id
+              span_tokens: 3
+            """
+        )
+    )
+    from orion_etl_oracle_to_postgres_spark.runner import main
+
+    assert main(["--config", str(tmp_path / "config.yaml"), "--lineage"]) == 0
+    out = capsys.readouterr().out
+    assert "decontaminate: 13-grams vs bench" in out
+    assert "quality gate: gopher" in out
+    assert "augment: span_corruption -> columns 'input_text'/'target_text'" in out
