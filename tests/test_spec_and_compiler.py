@@ -1944,6 +1944,12 @@ def test_decontaminate_declarative(spark, tmp_path):
             reject_table="train_contaminated",
         ),
     )
+    ctx0 = JobContext(spark=spark, global_spec=g)
+    plan = compile_table(ctx0, t).df._jdf.queryExecution().executedPlan().toString()
+    # flagged ids broadcast: the pipeline frame must not shuffle into a
+    # sort-merge anti join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
     run_table(JobContext(spark=spark, global_spec=g), t)
     kept = spark.read.parquet(str(out / "train_clean"))
     assert [r["id"] for r in kept.collect()] == [1]
