@@ -1058,3 +1058,93 @@ def ngram_overlap_pairs(
         .agg(F.count("*").cast("long").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    2003): hash every ``k``-token gram (portable md5-derived 60-bit),
+    slide a ``window``-wide window over the hash sequence, keep each
+    window's MINIMUM hash, and emit the DISTINCT selected hashes →
+    one ``(id, fingerprint)`` row per selection. The guarantee that
+    makes this the plagiarism-detection classic: any shared run of at
+    least ``window + k - 1`` tokens yields at least one IDENTICAL
+    fingerprint on both sides, while the per-doc fingerprint count
+    shrinks ~1/window vs full shingling — a bounded sketch with a
+    matching floor, between doc_fingerprint (1 hash, exact-only) and
+    the full MinHash machinery. Docs with fewer than ``window`` gram
+    hashes contribute the min of what they have; docs shorter than
+    ``k`` tokens have no grams and emit nothing.
+
+    100 TB shape: ENTIRELY in-row (gram hashes, window minima and the
+    distinct-set are higher-order expressions) followed by one explode —
+    the shuffle, when a consumer joins on fingerprint, carries
+    (id, hash) pairs only, ~1/window of the shingle postings."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from ..functions import md5_hash60, tokens as _tokens
+
+    base = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__tk")
+    ).filter(F.size("__tk") >= k)
+    staged = base.withColumn(
+        "__h",
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tk") - k),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, F.lit(k)))),
+        ),
+    )
+    n_win = F.greatest(F.size("__h") - window + 1, F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda j: F.array_min(
+                F.slice(F.col("__h"), j + 1, F.lit(window))
+            ),
+        )
+    )
+    return staged.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 10_000,
+) -> DataFrame:
+    """Candidate overlap pairs from winnowing fingerprints: doc pairs
+    sharing >= ``min_shared`` selected fingerprints →
+    ``(id_a, id_b, shared_fingerprints)`` with ``id_a < id_b``.
+    Fingerprints hotter than ``max_postings`` docs are dropped before
+    the self-join (the boilerplate stop-set — quadratic in posting
+    length otherwise), the same cap discipline as
+    ``ngram_jaccard_pairs``."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    hot = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_postings)
+        .select("fingerprint")
+    )
+    pruned = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = pruned.withColumnRenamed(id_col, "id_a")
+    b = pruned.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -10016,3 +10016,48 @@ def etl_augment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec).select(
         "doc_id", "lang", "input_text", "target_text"
     )
+
+
+def _winnow_sql(k=5, w=4, min_shared=2) -> str:
+    h = _hex2int_sql("md5(array_to_string(ts[i+1:i+" + str(k) + "], ' '))")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(len(ts) - {k} + 1), i -> {h}) AS hs
+      FROM toks WHERE len(ts) >= {k}
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(greatest(len(hs) - {w} + 1, 1)),
+               j -> list_min(hs[j+1:j+{w}])))) AS fingerprint
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*)::BIGINT AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """
+
+
+@query("dedup_winnow_pairs", _winnow_sql())
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Winnowing candidate pairs
+    (operators/dedup.py:winnow_candidate_pairs): MOSS-style
+    local-minimum fingerprint selection (k=5 gram hashes, window 4 —
+    any shared run of >= 8 tokens guarantees a shared fingerprint),
+    pairs sharing >= 2 selections. ~1/window of the shingle postings
+    enter the self-join; hot fingerprints capped. Oracle replays the
+    portable hash, the window minima, and the pair count."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_candidate_pairs(
+        d, "doc_id", "text", k=5, window=4, min_shared=2
+    )

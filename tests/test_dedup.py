@@ -492,3 +492,48 @@ def test_ngram_overlap_min_shared_and_short_docs(spark):
     assert "BroadcastHashJoin" in plan  # bench postings broadcast
     with pytest.raises(ValueError, match="n must be"):
         dedup.ngram_overlap_pairs(train, bench, "doc_id", "text", n=0)
+
+
+def test_winnow_guarantee_and_shrinkage(spark):
+    # two docs sharing a 10-token run: with k=3, w=4 any shared run of
+    # w+k-1 = 6 tokens guarantees >= 1 common fingerprint
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb cc {shared} dd ee"),
+            (2, f"xx yy {shared} zz"),
+            (3, "totally different words with no run overlap here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]  # the winnowing guarantee
+    # selection actually shrinks vs full gram count (doc1: 13 grams)
+    assert len(by_doc[1]) < 13
+    pairs = dedup.winnow_candidate_pairs(
+        df, "doc_id", "text", k=3, window=4, min_shared=1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_short_docs_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], "doc_id int, text string"
+    )
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["fingerprint"])
+    assert 1 not in by_doc  # shorter than k: no grams
+    assert len(by_doc[2]) == 1  # 2 grams < window: min of what exists
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.winnow_fingerprints(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="window must be"):
+        dedup.winnow_fingerprints(df, "doc_id", "text", window=0)
