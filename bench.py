@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "text_span_corruption",  # T5 denoising pairs: in-row hash+sentinel rewrite
     "dedup_ngram_decontaminate",  # exact 13-gram overlap, broadcast bench grams
     "text_gopher_rules",  # 7-rule hard gate: one zero-shuffle projection
+    "dedup_winnow_pairs",  # window-min fingerprint postings self-join
+    "curation_preference_pairs",  # cached pair set + two skinny score joins
 ]
 
 
