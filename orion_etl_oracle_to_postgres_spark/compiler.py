@@ -692,21 +692,37 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             df = df.withColumn(rw.text_column, scrub_text(F.col(rw.text_column)))
         elif rw.method == "intradoc_spans":
             # within-document repeat collapse: a pure in-row expression
-            # (no join, no shuffle); zero-token rows keep their text
-            from .operators.dedup import _first_occurrence_segments
+            # (no join, no shuffle); zero-token rows keep their text.
+            # __rw_segs is staged as a REAL column (referenced twice:
+            # filter input + inside the lambda) so Catalyst cannot
+            # re-inline the tokenize+segment pipeline into the
+            # first-occurrence lambda and re-run it per element
+            from .operators.dedup import (
+                _first_occurrence_segments,
+                _span_segments,
+            )
 
             from .functions import tokens as _tokens
 
             tk = F.coalesce(
                 _tokens(F.col(rw.text_column)), F.array().cast("array<string>")
             )
-            df = df.withColumn(
-                rw.text_column,
-                F.when(F.size(tk) == 0, F.col(rw.text_column)).otherwise(
-                    F.array_join(
-                        _first_occurrence_segments(tk, rw.span_tokens), " "
-                    )
-                ),
+            df = (
+                df.withColumn(
+                    "__rw_segs", _span_segments(tk, rw.span_tokens)
+                )
+                .withColumn(
+                    rw.text_column,
+                    F.when(
+                        F.size("__rw_segs") == 0, F.col(rw.text_column)
+                    ).otherwise(
+                        F.array_join(
+                            _first_occurrence_segments(F.col("__rw_segs")),
+                            " ",
+                        )
+                    ),
+                )
+                .drop("__rw_segs")
             )
         else:  # repeated_spans
             from .operators.dedup import (
@@ -1265,6 +1281,12 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
         errs.append(
             "decontaminate (the n-gram pair aggregate + second eager "
             "audit write are batch-only)"
+        )
+    if spec.curriculum is not None:
+        errs.append(
+            "curriculum (the global index needs a corpus-wide min/max "
+            "pass + rank over ALL rows — unbounded state on a stream, "
+            "and per-micro-batch indices would not be global; batch-only)"
         )
     if spec.split is not None and spec.split.folds is not None:
         pass  # hash k-fold is a pure projection — streams fine

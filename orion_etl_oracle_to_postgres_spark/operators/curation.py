@@ -790,7 +790,10 @@ def curriculum_order(
     bucket with SQL-ntile semantics — "start the run on phase 1, open
     up later phases as loss flattens". Scores should be rounded before
     calling (round-before-rank: the order must not depend on float
-    summation order).
+    summation order). NULL scores (unscorable rows) are KEPT and
+    scheduled last in id order — SQL NULLS LAST, exactly what the
+    plain row_number/ntile oracle yields — never silently dropped
+    (``ranks.range_buckets`` gives them a dedicated trailing bucket).
 
     Scale shape: the index is the two-phase global row number
     (``operators/ranks.py`` — range-bucketed partitioned window +

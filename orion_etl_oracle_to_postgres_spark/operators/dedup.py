@@ -977,13 +977,18 @@ def intradoc_span_dedup(
             "__tk"
         ),
     ).filter(F.size("__tk") > 0)
-    segs = _span_segments(F.col("__tk"), k)
-    kept = _first_occurrence_segments(F.col("__tk"), k)
-    return base.select(
+    # stage __segs, then __kept, as REAL columns: each is referenced
+    # more than once downstream, so CollapseProject keeps them staged
+    # and the first-occurrence lambda scans a materialized array
+    # instead of re-running the segmentation per element
+    staged = base.select(
+        F.col(id_col), _span_segments(F.col("__tk"), k).alias("__segs")
+    ).withColumn("__kept", _first_occurrence_segments(F.col("__segs")))
+    return staged.select(
         F.col(id_col),
-        F.size(segs).cast("long").alias("n_segments"),
-        (F.size(segs) - F.size(kept)).cast("long").alias("n_removed"),
-        F.array_join(kept, " ").alias("new_text"),
+        F.size("__segs").cast("long").alias("n_segments"),
+        (F.size("__segs") - F.size("__kept")).cast("long").alias("n_removed"),
+        F.array_join(F.col("__kept"), " ").alias("new_text"),
     )
 
 
@@ -999,9 +1004,15 @@ def _span_segments(tk: Column, k: int) -> Column:
     )
 
 
-def _first_occurrence_segments(tk: Column, k: int) -> Column:
-    """Segments with within-document repeats removed (first stays)."""
-    segs = _span_segments(tk, k)
+def _first_occurrence_segments(segs: Column) -> Column:
+    """Segments with within-document repeats removed (first stays).
+
+    ``segs`` MUST be a staged column reference (not an inline
+    ``_span_segments(...)`` expression): the lambda references it once
+    per element, and Catalyst re-inlines non-staged expressions into
+    higher-order lambdas — an inline segmentation (worse, an inline
+    tokenize+segment) would re-run per element, turning the documented
+    O(segments²) position scan into O(segments²·span_tokens·doc)."""
     return F.filter(
         segs, lambda s, i: F.array_position(segs, s) == i + F.lit(1)
     )

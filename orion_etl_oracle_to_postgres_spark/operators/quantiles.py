@@ -259,6 +259,8 @@ def exact_quantiles(
     one broadcast of the (q, target_rank) table — no collect of data
     rows, no full sort on one task.
     """
+    from fractions import Fraction
+
     from .ranks import global_row_number
 
     qlist = sorted(set(float(x) for x in qs))
@@ -268,15 +270,26 @@ def exact_quantiles(
         F.col("__v").isNotNull()
     )
     n_tot = vals.agg(F.count(F.lit(1)).alias("__n"))
+    # ceil(q*n) in EXACT integer arithmetic: double ceil(0.07 * 100)
+    # gives 8 (the product rounds to 7.000000000000001), off by one
+    # observation. Each q becomes the exact rational p/den of its
+    # decimal repr, and ceil(p*n/den) = (p*n + den - 1) div den in
+    # longs (p ≤ 10^15 only for absurd q literals; p*n stays < 2^63
+    # for any real corpus).
+    fracs = [
+        (x, Fraction(str(x)).numerator, Fraction(str(x)).denominator)
+        for x in qlist
+    ]
     targets = (
         vals.sparkSession.createDataFrame(
-            [(x,) for x in qlist], "q double"
+            fracs, "q double, __p long, __den long"
         )
         .crossJoin(F.broadcast(n_tot))
         .select(
             "q",
             F.greatest(
-                F.lit(1), F.ceil(F.col("q") * F.col("__n"))
+                F.lit(1).cast("long"),
+                F.expr("(__p * __n + __den - 1) div __den"),
             ).alias("__target"),
         )
     )

@@ -59,13 +59,16 @@ def range_buckets(
     """Add ``__ord`` (double sort key, ascending == requested order) and
     ``__bk`` (int slice id, monotone non-decreasing in ``__ord``).
 
-    ``order_expr`` must be numeric and non-null (filter NULLs first —
-    they have no position on the value axis). Pass ``lo``/``hi`` when
-    the key's range is known a priori (e.g. hash keys) to skip the
-    min/max pass. Equal values always share a bucket, so tie-sensitive
-    frames (range frames, rank) survive the split. Skewed keys skew the
-    buckets — correctness never depends on balance, only the reducer
-    fan-out does; raise ``n_buckets`` for heavy skew.
+    ``order_expr`` must be numeric; NULL keys (no position on the
+    value axis) go to a dedicated bucket ``n_buckets`` AFTER every
+    value bucket — SQL NULLS LAST in both directions, matching the
+    DuckDB oracles' default — where only the consumer's tiebreaks
+    order them. Pass ``lo``/``hi`` when the key's range is known a
+    priori (e.g. hash keys) to skip the min/max pass. Equal values
+    always share a bucket, so tie-sensitive frames (range frames,
+    rank) survive the split. Skewed keys skew the buckets —
+    correctness never depends on balance, only the reducer fan-out
+    does; raise ``n_buckets`` for heavy skew.
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -80,12 +83,14 @@ def range_buckets(
         b = b.crossJoin(F.broadcast(stats))
         lo_c, hi_c = F.col("__lo"), F.col("__hi")
     width = (hi_c - lo_c) / F.lit(float(n_buckets))
-    bk = F.when(
-        width > 0,
-        F.least(
-            F.floor((F.col(ORD) - lo_c) / width), F.lit(n_buckets - 1)
-        ),
-    ).otherwise(F.lit(0))
+    bk = F.when(F.col(ORD).isNull(), F.lit(n_buckets)).otherwise(
+        F.when(
+            width > 0,
+            F.least(
+                F.floor((F.col(ORD) - lo_c) / width), F.lit(n_buckets - 1)
+            ),
+        ).otherwise(F.lit(0))
+    )
     return b.withColumn(BUCKET, bk.cast("int")).drop("__lo", "__hi")
 
 
@@ -141,7 +146,19 @@ def global_row_number(
         df, order_expr, n_buckets=n_buckets, descending=descending
     )
     off = bucket_offsets(b, {"__offn": F.lit(1)})
-    w = Window.partitionBy(BUCKET).orderBy(F.col(ORD).asc(), *tiebreaks)
+    # Within the bucket, order by the EXACT original expression, not the
+    # double-cast __ord: two distinct longs beyond 2^53 collapse to one
+    # double (same bucket — monotone, so bucketing stays correct), and
+    # only the exact key reproduces the naive window's order for them.
+    # nulls_last on BOTH directions pins NULLS LAST (SQL/DuckDB default)
+    # independent of Spark's asc-nulls-first default; NULL keys are all
+    # in the trailing bucket anyway, ordered purely by the tiebreaks.
+    exact = (
+        order_expr.desc_nulls_last()
+        if descending
+        else order_expr.asc_nulls_last()
+    )
+    w = Window.partitionBy(BUCKET).orderBy(exact, *tiebreaks)
     return (
         b.join(F.broadcast(off), BUCKET)
         .withColumn(

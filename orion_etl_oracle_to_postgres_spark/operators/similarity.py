@@ -1435,6 +1435,14 @@ def matryoshka_recall_audit(
         raise ValueError("dims must be non-empty")
     if any(d < 1 for d in dims):
         raise ValueError(f"dims must be positive, got {dims}")
+    if any(d > len(query_vec) for d in dims):
+        # F.slice past the array end silently returns the full vector,
+        # so an oversized d would audit full-width retrieval and report
+        # recall 1.0 labeled as the truncation — refuse instead
+        raise ValueError(
+            f"dims {tuple(d for d in dims if d > len(query_vec))} exceed "
+            f"the {len(query_vec)}-d query vector"
+        )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -1478,6 +1486,7 @@ def hard_negative_mining(
     query_label: str = "label",
     corpus_label: str = "label",
     broadcast_limit: int = 2_000_000,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Contrastive-training hard negatives: for every query, the ``k``
     most-similar corpus vectors with a DIFFERENT label →
@@ -1488,8 +1497,14 @@ def hard_negative_mining(
     per-query top-k so negatives never compete with positives for rank
     slots. NULL labels match nothing and are excluded from both sides
     (a NULL-label "negative" is an unlabeled example, not a
-    counter-example). Self-pairs are excluded by id when the corpus is
-    the query table."""
+    counter-example). Self-pairs are excluded by id only when mining a
+    corpus against itself: ``exclude_self`` defaults to "queries IS
+    corpus" (same DataFrame object) — raw id equality across two
+    UNRELATED tables with coinciding id spaces must not veto legitimate
+    negatives; pass ``exclude_self`` explicitly to override either
+    way."""
+    if exclude_self is None:
+        exclude_self = queries is corpus
     _guard_broadcast_side(queries, query_id, broadcast_limit, "hard_negative_mining")
     q = queries.filter(F.col(query_label).isNotNull()).select(
         F.col(query_id).alias("query_id"),
@@ -1501,12 +1516,12 @@ def hard_negative_mining(
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
         F.col(corpus_label).alias("__cl"),
     )
+    pred = F.col("__ql") != F.col("__cl")
+    if exclude_self:
+        pred = pred & (F.col("query_id") != F.col("neighbor_id"))
     scored = (
         c.join(F.broadcast(q))
-        .filter(
-            (F.col("__ql") != F.col("__cl"))
-            & (F.col("query_id") != F.col("neighbor_id"))
-        )
+        .filter(pred)
         .select(
             "query_id",
             "neighbor_id",

@@ -1018,18 +1018,27 @@ def readability_scores(
     (nothing to score). A pure one-pass projection: three regexp
     counts, no shuffle, trivially 100 TB-safe; every count is an exact
     integer, so the only float math is the final rounded formula and a
-    DuckDB oracle replays it bit-for-bit."""
+    DuckDB oracle replays it bit-for-bit. NULL text scores NULL across
+    the board (explicitly gated: non-ANSI ``size(NULL)`` would
+    otherwise fabricate ``n_words = -1`` — the repo's catalogued
+    size-of-null bug class)."""
     t = F.col(text_col)
+    nn = t.isNotNull()
     lower = F.lower(t)
-    n_words = F.size(
-        F.filter(
-            F.split(lower, "[^a-z0-9]+"), lambda x: x != F.lit("")
-        )
+    n_words = F.when(
+        nn,
+        F.size(
+            F.filter(
+                F.split(lower, "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        ),
     ).cast("long")
-    n_sent = F.greatest(
-        F.regexp_count(t, F.lit("[.!?]+")), F.lit(1)
+    n_sent = F.when(
+        nn, F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
     ).cast("long")
-    n_syl = F.regexp_count(lower, F.lit("[aeiouy]+")).cast("long")
+    n_syl = F.when(nn, F.regexp_count(lower, F.lit("[aeiouy]+"))).cast(
+        "long"
+    )
     flesch = F.round(
         F.lit(206.835)
         - F.lit(1.015) * (n_words.cast("double") / n_sent)

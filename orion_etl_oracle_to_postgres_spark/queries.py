@@ -8711,12 +8711,14 @@ def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER () AS n
       FROM v
     ),
-    t(q) AS (
-      VALUES (0.01::DOUBLE), (0.25::DOUBLE), (0.5::DOUBLE),
-             (0.75::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)
+    t(q, p, den) AS (
+      VALUES (0.01::DOUBLE, 1, 100), (0.25::DOUBLE, 1, 4),
+             (0.5::DOUBLE, 1, 2), (0.75::DOUBLE, 3, 4),
+             (0.9::DOUBLE, 9, 10), (0.99::DOUBLE, 99, 100)
     )
     SELECT t.q, round(min(r.x), 6) AS value
-    FROM r JOIN t ON r.rn >= greatest(1, ceil(t.q * r.n))
+    FROM r JOIN t
+      ON r.rn >= greatest(1, (t.p * r.n + t.den - 1) // t.den)
     GROUP BY t.q ORDER BY t.q
     """,
 )
@@ -9191,8 +9193,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            len(ws)::BIGINT AS n_words,
-           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
-             AS n_sentences,
+           CASE WHEN text IS NOT NULL THEN
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           END::BIGINT AS n_sentences,
            len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
              AS n_syllables,
            CASE WHEN len(ws) > 0 THEN

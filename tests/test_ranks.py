@@ -203,3 +203,38 @@ def test_exact_quantiles_match_sorted_values(spark):
     }
     assert got == want
     assert_no_global_window(exact_quantiles(df, "x", [0.5]))
+
+
+def test_global_row_number_null_keys_rank_last_both_directions(spark):
+    """NULL order keys get the dedicated trailing bucket and rank after
+    every value (SQL/DuckDB NULLS LAST) in BOTH directions, ordered by
+    the tiebreaks — never dropped, never nulls-first (Spark's asc
+    default)."""
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, None), (4, 0.7), (5, None)],
+        "id long, score double",
+    ).repartition(5)
+    for desc in (False, True):
+        out = global_row_number(
+            df, F.col("score"), [F.col("id")], out_col="rn", descending=desc
+        )
+        rows = {r.id: r.rn for r in out.collect()}
+        assert len(rows) == 5, "NULL-key rows must be kept"
+        # NULLs last, id tiebreak among them
+        assert rows[3] == 4 and rows[5] == 5
+        vals = {1: 0.9, 2: 0.5, 4: 0.7}
+        order = sorted(vals, key=lambda i: (-vals[i] if desc else vals[i], i))
+        assert [rows[i] for i in order] == [1, 2, 3]
+
+
+def test_exact_quantiles_integer_rank_arithmetic(spark):
+    """ceil(q*n) must be exact: double 0.07*100 rounds to 7.0000…01 and
+    a float ceil returns rank 8 — the rational-arithmetic target stays
+    at the true type-1 rank 7."""
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    got = {r.q: r.value for r in exact_quantiles(df, "v", [0.07, 0.3]).collect()}
+    assert got == {0.07: 7.0, 0.3: 30.0}

@@ -765,3 +765,41 @@ def test_whiten_zscores_and_zero_variance(spark):
 
     empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
     assert similarity.whiten(empty, "vec_id", "embedding").count() == 0
+
+
+def test_matryoshka_dims_beyond_vector_width_refused(spark):
+    """F.slice past the array end silently returns the full vector —
+    an oversized d would report recall 1.0 labeled as truncated."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="exceed"):
+        similarity.matryoshka_recall_audit(
+            df, [1.0, 0.0, 0.0, 0.0], dims=(2, 8), k=1
+        )
+
+
+def test_hard_negatives_self_exclusion_scoped_to_self_mining(spark):
+    """Mining a DISTINCT corpus whose id space coincides with the query
+    table's must NOT veto corpus row id=i as a negative for query id=i;
+    same-table mining keeps the exclusion (and the label predicate
+    already kills true self-pairs)."""
+    from orion_etl_oracle_to_postgres_spark.operators import similarity
+
+    q = spark.createDataFrame(
+        [(7, [1.0, 0.0], "a")], "vec_id long, embedding array<double>, label string"
+    )
+    c = spark.createDataFrame(
+        [(7, [1.0, 0.0], "b"), (8, [0.9, 0.1], "b")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = similarity.hard_negative_mining(q, c, k=2)
+    assert {r.neighbor_id for r in got.collect()} == {7, 8}
+    # explicit override still available for id-aligned split tables
+    got2 = similarity.hard_negative_mining(q, c, k=2, exclude_self=True)
+    assert {r.neighbor_id for r in got2.collect()} == {8}

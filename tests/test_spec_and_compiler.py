@@ -2067,3 +2067,33 @@ def test_augment_declarative_and_streaming(spark, tmp_path):
     srows = {r["id"]: r for r in spark.read.parquet(str(out / "t_aug_s")).collect()}
     assert srows[1]["input_text"] == rows[1]["input_text"]
     assert srows[2]["input_text"] is None
+
+
+def test_curriculum_refused_on_streams(spark, tmp_path):
+    """curriculum needs a corpus-wide min/max + global rank — the gate
+    must refuse it loudly (per-micro-batch indices would silently not
+    be global)."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        _assert_streaming_spec,
+    )
+
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(tmp_path))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="o",
+        curriculum=spec_mod.CurriculumSpec(id_column="id", text_column="body"),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+    )
+    with pytest.raises(ValueError, match="curriculum"):
+        _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)

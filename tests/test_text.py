@@ -798,3 +798,23 @@ def test_gopher_rules_null_text_and_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan  # zero-shuffle projection
+
+
+def test_readability_null_text_scores_null(spark):
+    """NULL text must score NULL across the board — non-ANSI
+    size(NULL) = -1 would otherwise fabricate n_words = -1 (the
+    catalogued size-of-null bug class)."""
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Simple words read well."), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability_scores(df, "text", "doc_id").collect()}
+    assert rows[2].n_words is None
+    assert rows[2].n_sentences is None
+    assert rows[2].n_syllables is None
+    assert rows[2].flesch is None
+    assert rows[1].n_words == 4 and rows[1].flesch is not None
