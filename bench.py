@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "text_gopher_rules",  # 7-rule hard gate: one zero-shuffle projection
     "dedup_winnow_pairs",  # window-min fingerprint postings self-join
     "curation_preference_pairs",  # cached pair set + two skinny score joins
+    "curation_cap_per_source",  # constant cap → WindowGroupLimit pre-limit
+    "curation_dsir_select",  # hashed-gram LLR: broadcast weights, in-row fold
 ]
 
 

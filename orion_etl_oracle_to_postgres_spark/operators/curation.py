@@ -853,3 +853,159 @@ def uncertainty_sample(
         .orderBy(F.col("margin").asc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    *,
+    seed: str = "cap0",
+) -> DataFrame:
+    """Per-group frequency cap: keep at most ``cap`` rows per group,
+    chosen deterministically by portable hash order (id tiebreak) — the
+    web-curation "max N documents per domain" rule (RefinedWeb/CCNet
+    shape) that stops a single crawler-friendly host from dominating
+    the corpus. NULL groups are a group of their own (an unattributed
+    host is still a host). Deterministic: the same rows survive on any
+    engine, partitioning, or run.
+
+    Unlike ``balance_groups`` (cutoff derived from the minority group's
+    size, so the rank filter cannot pre-limit), the cap here is a plan
+    CONSTANT: ``row_number <= cap`` compiles to WindowGroupLimit, which
+    prunes each task's input to its local top-``cap`` per group BEFORE
+    the exchange — at 100 TB the shuffle carries at most
+    ``cap × groups × tasks`` rows, not the corpus."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    n_features: int = 1024,
+    seed: str = "dsir0",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    over hashed n-gram features: score every raw-pool document by its
+    log importance weight ``Σ_grams log(p_target(f) / p_raw(f))`` under
+    two smoothed bag-of-hashed-grams models (unigrams + bigrams hashed
+    into ``n_features`` buckets, add-one smoothing), and keep the ``k``
+    highest-scoring docs — "select web text that looks like the
+    high-quality target corpus" with one statistic per bucket instead
+    of a trained model. Returns ``(id, n_grams, dsir_score)`` for the
+    selected rows; docs with no grams carry no evidence and are never
+    selected.
+
+    Determinism/parity: features use the portable md5 hash (a DuckDB
+    oracle replays them bit-for-bit), and each bucket's log-ratio is
+    integerized to MICRO-NATS (``round(ln·1e6)`` as long) so the
+    per-doc score is an EXACT integer sum — no float-summation-order
+    drift between engines or partitionings (round-before-rank for the
+    top-k cutoff comes free). ``dsir_score`` is the micro-nat sum / 1e6
+    (exact in a double).
+
+    100 TB shape: two word-count-shaped aggregates (target and raw
+    bucket counts — map-side combined, at most ``n_features`` rows
+    out), folded into ONE broadcast row holding the dense weight array;
+    scoring is then a pure in-row projection (tokenize → hash → array
+    fold against the broadcast weights — no join, no shuffle of the
+    corpus), and the top-k compiles to TakeOrderedAndProject (local
+    top-k per task, k×tasks driver merge). The raw pool never
+    shuffles."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1, got {n_features}")
+    V = int(n_features)
+
+    def grams_frame(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col),
+            F.coalesce(
+                tokens(F.col(text_col)), F.array().cast("array<string>")
+            ).alias("__tk"),
+        )
+        bigrams = F.when(
+            F.size("__tk") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__tk") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__tk"), i + 1, F.lit(2))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            F.col(id_col), F.concat(F.col("__tk"), bigrams).alias("__gs")
+        ).filter(F.size("__gs") > 0)
+
+    def bucket(g):
+        return F.pmod(md5_hash60(F.concat(g, F.lit(":" + seed))), F.lit(V))
+
+    def counts_row(df: DataFrame, map_alias: str, tot_alias: str):
+        return (
+            grams_frame(df)
+            .select(F.explode("__gs").alias("__g"))
+            .select(bucket(F.col("__g")).alias("__f"))
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__f", "__c"))
+                ).alias(map_alias),
+                F.coalesce(F.sum("__c"), F.lit(0)).alias(tot_alias),
+            )
+        )
+
+    t_row = counts_row(target, "__mt", "__tt")
+    r_row = counts_row(raw, "__mr", "__tr")
+
+    def smoothed(m, tot, f):
+        return (F.coalesce(F.element_at(m, f), F.lit(0)) + 1).cast(
+            "double"
+        ) / (tot + F.lit(V)).cast("double")
+
+    weights = t_row.crossJoin(r_row).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(V - 1)),
+            lambda f: F.round(
+                (
+                    F.log(smoothed(F.col("__mt"), F.col("__tt"), f))
+                    - F.log(smoothed(F.col("__mr"), F.col("__tr"), f))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        ).alias("__w")
+    )
+    scored = grams_frame(raw).crossJoin(F.broadcast(weights)).select(
+        F.col(id_col),
+        F.size("__gs").cast("long").alias("n_grams"),
+        (
+            F.aggregate(
+                F.col("__gs"),
+                F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.element_at(F.col("__w"), (bucket(g) + 1).cast("int")),
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("dsir_score"),
+    )
+    return scored.orderBy(
+        F.col("dsir_score").desc(), F.col(id_col).asc()
+    ).limit(int(k))

@@ -10064,3 +10064,101 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_candidate_pairs(
         d, "doc_id", "text", k=5, window=4, min_shared=2
     )
+
+
+@query(
+    "curation_cap_per_source",
+    f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':cap0')")},
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def curation_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-source frequency cap
+    (operators/curation.py:cap_per_group): at most 20 documents per
+    source, chosen by portable-hash order with doc_id tiebreak — the
+    "max N docs per domain" web-curation rule that stops one
+    crawler-friendly host from dominating the corpus. The constant cap
+    compiles to WindowGroupLimit (per-task pre-limit BEFORE the
+    exchange — the shuffle carries at most cap × groups × tasks rows);
+    the oracle replays the hash order and the rank filter."""
+    from .operators.curation import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return cap_per_group(d, "doc_id", "source", cap=20)
+
+
+def _dsir_sql(v=1024, k=100, seed="dsir0", target_mod=11) -> str:
+    h = _hex2int_sql(f"md5(g || ':{seed}')")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             list_concat(ts, CASE WHEN len(ts) >= 2
+               THEN list_transform(range(len(ts) - 1),
+                                   i -> ts[i+1] || ' ' || ts[i+2])
+               ELSE []::VARCHAR[] END) AS gs
+      FROM tk
+    ),
+    feat AS (
+      SELECT doc_id, ({h}) % {v} AS f
+      FROM (SELECT doc_id, unnest(gs) AS g FROM gr WHERE len(gs) > 0)
+    ),
+    tcnt AS (SELECT f, count(*)::BIGINT AS c FROM feat
+             WHERE doc_id % {target_mod} = 0 GROUP BY f),
+    rcnt AS (SELECT f, count(*)::BIGINT AS c FROM feat
+             WHERE doc_id % {target_mod} <> 0 GROUP BY f),
+    tt AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM tcnt),
+    rt AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM rcnt),
+    w AS (
+      SELECT r.f,
+             CAST(round((ln((coalesce(t.c, 0) + 1) / (tt.t + {v}.0))
+                       - ln((r.c + 1) / (rt.t + {v}.0)))
+                        * 1000000.0) AS BIGINT) AS w
+      FROM rcnt r LEFT JOIN tcnt t USING (f), tt, rt
+    )
+    SELECT feat.doc_id,
+           count(*)::BIGINT AS n_grams,
+           (sum(w.w)::BIGINT / 1000000.0) AS dsir_score
+    FROM feat JOIN w USING (f)
+    WHERE feat.doc_id % {target_mod} <> 0
+    GROUP BY feat.doc_id
+    ORDER BY dsir_score DESC, feat.doc_id
+    LIMIT {k}
+    """
+
+
+@query("curation_dsir_select", _dsir_sql())
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR importance selection
+    (operators/curation.py:dsir_select): score every raw-pool document
+    (doc_id % 11 != 0) by its hashed-n-gram log importance weight
+    against the 'high-quality target' slice (doc_id % 11 == 0) — uni+
+    bigrams hashed into 1024 portable-md5 buckets, add-one smoothing,
+    per-bucket log-ratios integerized to micro-nats so the per-doc
+    score is an exact integer sum — and keep the top 100. Two bucket-
+    count aggregates fold into ONE broadcast weight row; scoring is a
+    zero-shuffle in-row fold; top-k is TakeOrderedAndProject. The
+    oracle recomputes the weights and replays the selection."""
+    from .operators.curation import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d.filter(F.col("doc_id") % 11 != 0),
+        d.filter(F.col("doc_id") % 11 == 0),
+        "doc_id",
+        "text",
+        k=100,
+        n_features=1024,
+    )

