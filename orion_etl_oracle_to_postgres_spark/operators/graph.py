@@ -34,6 +34,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     decimals: int = 6,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank → ``(id, rank)``.
 
@@ -49,32 +50,61 @@ def pagerank(
     projection, not between iterations (both engines iterate on raw
     doubles; last-ulp drift over a handful of iterations stays far
     below 1e-6).
+
+    Iteration lineage is TRUNCATED with lazy local checkpoints: the
+    normalized edge list and node set materialize once (to executor
+    storage — the standard iterative-graph trade, cf. GraphX caching),
+    and each round's ranks checkpoint so round k joins a materialized
+    frame instead of re-running rounds 1..k-1 AND the caller's whole
+    edge-construction plan per pass (the supplier query's lineitem
+    self-join would otherwise re-run ~3× per iteration).
+
+    ``broadcast_ranks`` (default True) pins the rank⋈edges join
+    strategy: checkpointed frames carry no size stats, so the planner
+    would otherwise sort-merge — shuffling the EDGE list every
+    iteration. The rank table is node-cardinality (the small side of
+    any real graph); broadcasting it keeps the edges where they are
+    and only the per-dst partial sums move. Set False for graphs whose
+    node set exceeds executor memory (a billion-node web graph) — the
+    join falls back to the shuffle the planner picks.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     w = F.col(weight_col) if weight_col else F.lit(1)
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w"))
+    # the caller's edge-construction plan (often a self-join) is read by
+    # deg, norm AND nodes — materialize it once, not 3-4×
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
-    norm = e.join(deg, "__src").select(
-        "__src", "__dst", (F.col("__w") / F.col("__deg")).alias("__tw")
+    norm = (
+        e.join(deg, "__src")
+        .select(
+            "__src", "__dst", (F.col("__w") / F.col("__deg")).alias("__tw")
+        )
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("__src").alias("id"))
         .unionByName(e.select(F.col("__dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_tot = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     ranks = nodes.crossJoin(n_tot).select(
         "id", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
+        r_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ranks.join(norm, ranks["id"] == norm["__src"])
+            r_side.join(norm, ranks["id"] == norm["__src"])
             .groupBy(F.col("__dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("__tw")).alias("__c"))
         )
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
         ranks = (
             nodes.join(contrib, "id", "left")
             .crossJoin(n_tot)
@@ -86,4 +116,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -7379,7 +7379,14 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigger) in exact integer arithmetic — bit-identical to the oracle's
     ntile, scaled across reducers (r5 VERDICT ask #3; id tiebreaks make
     the quintile edges engine-deterministic, monetary rounded before
-    ranking). The census output is fixed-size."""
+    ranking). The census output is fixed-size.
+
+    Lazy checkpoints between the ntiles: each global_ntile drives FOUR
+    passes over its input (range stats, offsets, n_tot, main stream),
+    so without a materialization barrier ntile 3 would re-run the
+    orders rollup and both earlier ntile chains 4× each (measured 5.5s
+    → 2.5s at sf0.1). The checkpointed frame is the customer-cardinality
+    rollup, not the orders fact."""
     from .operators.ranks import global_ntile
 
     o = _t(spark, sf_dir, "orders")
@@ -7387,15 +7394,15 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
     tb = [F.col("o_custkey")]
     scored = global_ntile(
         base, F.unix_micros(F.col("last_order").cast("timestamp")), tb, 5,
         out_col="r_score", descending=True,
-    )
+    ).localCheckpoint(eager=False)
     scored = global_ntile(
         scored, F.col("freq"), tb, 5, out_col="f_score", descending=True
-    )
+    ).localCheckpoint(eager=False)
     scored = global_ntile(
         scored, F.col("monetary"), tb, 5, out_col="m_score", descending=True
     )
@@ -8939,7 +8946,16 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     float expression shape."""
     from .operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # repartition by the join key before the self-join: the raw scan's
+    # partition count is a file-size artifact (3 tasks at sf0.1 —
+    # underutilizing every core), and hash-partitioning on l_orderkey
+    # makes both sides co-partitioned, the portable shape for a
+    # fact-table self-join at any scale
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .repartition(F.col("l_orderkey"))
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
