@@ -115,8 +115,10 @@ _FIRST_50 = [
 # text_span_corruption, dedup_ngram_decontaminate, text_gopher_rules,
 # etl_gopher_gate, emb_dim_stats, emb_whiten, etl_decontaminate,
 # text_tokenizer_fertility, dedup_contamination_report,
-# text_contrastive_views, curation_preference_pairs) — keep rotating
-# ~40/round; cumulative driver-verified after r6 ≥ 130/210.
+# text_contrastive_views, curation_preference_pairs,
+# curation_cap_per_source, curation_dsir_select, dedup_soft_weights)
+# — keep rotating ~40/round; cumulative driver-verified after r6 ≥
+# 130/210.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

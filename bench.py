@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "curation_preference_pairs",  # cached pair set + two skinny score joins
     "curation_cap_per_source",  # constant cap → WindowGroupLimit pre-limit
     "curation_dsir_select",  # hashed-gram LLR: broadcast weights, in-row fold
+    "dedup_soft_weights",  # cached pair set -> CC -> one id-keyed corpus join
 ]
 
 

@@ -1159,3 +1159,55 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    id_i: str = "id_i",
+    id_j: str = "id_j",
+    decimals: int = 6,
+) -> DataFrame:
+    """SOFT deduplication (SoftDedup — reweight, don't remove): every
+    row keeps flowing, but near-duplicate groups share one row's worth
+    of sampling mass — ``sample_weight = 1 / |cluster|`` — so the
+    trainer sees duplicated content once in expectation while rare
+    content keeps weight 1.0. The gentler alternative to survivor-pick
+    dedup when duplicates still carry signal (popular = important) or
+    when hard removal would starve a domain; the weight column feeds
+    ``priority_sample`` / loss weighting downstream.
+
+    Takes the near-dup PAIR SET as input (compose with
+    ``minhash_near_dups`` or a cached pair layout — the expensive
+    banded join is the caller's to share): pairs → connected components
+    (``near_dup_clusters``: large-star/small-star, O(log n) rounds) →
+    one count per cluster → ONE left join back to the corpus on id.
+    Rows in no pair are singletons: cluster_id = own id, n_dups = 1,
+    weight 1.0. Returns ``df.* + (cluster_id, n_dups, sample_weight)``.
+
+    100 TB shape: components and counts run over the edge-connected
+    subset only (duplicates, not the corpus); the corpus itself is
+    touched by exactly one id-keyed join. Weight is an exact reciprocal
+    of an integer count, rounded — engines agree bit-for-bit."""
+    comp = near_dup_clusters(pairs, id_i=id_i, id_j=id_j)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    labeled = comp.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("__id"),
+        F.col("cluster_id").alias("__cl"),
+        F.col("__nd"),
+    )
+    return (
+        df.join(labeled, df[id_col] == F.col("__id"), "left")
+        .select(
+            *[df[c] for c in df.columns],
+            F.coalesce(F.col("__cl"), df[id_col]).alias("cluster_id"),
+            F.coalesce(F.col("__nd"), F.lit(1)).cast("long").alias("n_dups"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("__nd"), F.lit(1)), decimals
+            ).alias("sample_weight"),
+        )
+    )

@@ -10178,3 +10178,55 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=100,
         n_features=1024,
     )
+
+
+@query(
+    "dedup_soft_weights",
+    # exact-Jaccard pairs (the LSH-at-128/32 + exact-verify set
+    # coincides with the exact pair set — same argument as
+    # dedup_minhash/dedup_clusters) → transitive closure → cluster
+    # sizes → reciprocal sampling weights; singletons weigh 1.0.
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+    sizes AS (SELECT cl, count(*)::BIGINT AS nd FROM comp GROUP BY cl)
+    SELECT d.doc_id, d.lang,
+           coalesce(c.cl, d.doc_id)::BIGINT AS cluster_id,
+           coalesce(s.nd, 1)::BIGINT AS n_dups,
+           round(1.0::DOUBLE / coalesce(s.nd, 1), 6) AS sample_weight
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN sizes s ON s.cl = c.cl
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Soft deduplication — reweight, don't remove
+    (operators/dedup.py:soft_dedup_weights): every document ships, but
+    each near-dup cluster shares one row of sampling mass
+    (sample_weight = 1/|cluster|; singletons 1.0) — the gentler
+    alternative to survivor-pick dedup when duplicated content still
+    carries signal. Reuses the suite's layout-cached MinHash pair set
+    (the banded join runs once per sf); components and counts touch
+    only the edge-connected subset, the corpus sees ONE id-keyed join.
+    The oracle replays exact pairs → transitive closure → reciprocal
+    weights."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    return dedup.soft_dedup_weights(d, "doc_id", pairs)

@@ -537,3 +537,31 @@ def test_winnow_short_docs_and_validation(spark):
         dedup.winnow_fingerprints(df, "doc_id", "text", k=0)
     with pytest.raises(ValueError, match="window must be"):
         dedup.winnow_fingerprints(df, "doc_id", "text", window=0)
+
+
+def test_soft_dedup_weights_reciprocal_and_singletons(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in (1, 2, 3, 9, 10, 50)], "doc_id long, lang string"
+    )
+    # {1,2,3} transitively connected (1-2, 2-3); {9,10} a pair; 50 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "id_i long, id_j long"
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(df, "doc_id", pairs).collect()}
+    assert len(out) == 6, "every row must ship"
+    for i in (1, 2, 3):
+        assert out[i].cluster_id == 1 and out[i].n_dups == 3
+        assert abs(out[i].sample_weight - round(1 / 3, 6)) < 1e-9
+    for i in (9, 10):
+        assert out[i].cluster_id == 9 and out[i].n_dups == 2
+        assert out[i].sample_weight == 0.5
+    assert out[50].cluster_id == 50 and out[50].n_dups == 1
+    assert out[50].sample_weight == 1.0
+    # cluster mass sums to one row per cluster + singletons (up to the
+    # 6-dp rounding of 1/3: 3 x 0.333333 = 0.999999)
+    total = sum(r.sample_weight for r in out.values())
+    assert abs(total - 3.0) < 1e-5  # 3 clusters' worth of mass
