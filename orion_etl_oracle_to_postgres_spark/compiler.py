@@ -962,7 +962,8 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     if spec.sample is not None:
         smp = spec.sample
         needed = [smp.id_column] + (
-            [smp.group_column] if smp.method in ("rates", "temperature", "epochs")
+            [smp.group_column]
+            if smp.method in ("rates", "temperature", "epochs", "cap")
             else [smp.weight_column] if smp.method == "priority"
             else [smp.group_column, smp.text_column]
             if smp.method == "token_budget"
@@ -1033,6 +1034,12 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 budget_rows=int(smp.budget_rows),
                 alpha=float(smp.alpha),
                 seed=smp.seed,
+            )
+        elif smp.method == "cap":
+            from .operators.curation import cap_per_group
+
+            df = cap_per_group(
+                df, smp.id_column, smp.group_column, int(smp.cap), seed=smp.seed
             )
         else:  # priority
             from .operators.curation import priority_sample
@@ -1233,7 +1240,8 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
     """``incremental.mode: streaming`` supports the subset of the spec
     whose stages are pure stream transformations: mappings, transforms,
     ``where``, static-dim lookups, filter-policy validations (null/
-    skip/default), ``sample``/``split`` projections. Everything that
+    skip/default), projection-only ``sample`` methods (rates/epochs) and
+    ``split``. Everything that
     needs an eager action, a window over history, or a read-back of the
     target is refused LOUDLY here — silently ignoring the mode (the
     pre-round-4 behavior) ran a full batch reload instead of a stream."""
@@ -1281,6 +1289,16 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
         errs.append(
             "decontaminate (the n-gram pair aggregate + second eager "
             "audit write are batch-only)"
+        )
+    if spec.sample is not None and spec.sample.method not in ("rates", "epochs"):
+        # rates/epochs are pure hash projections and stream fine; the
+        # rest need global order, per-group rank, or corpus statistics —
+        # per-micro-batch evaluation would be a silently DIFFERENT
+        # semantic (a "global top-N per batch"), not an approximation
+        errs.append(
+            f"sample method={spec.sample.method} (needs global order / "
+            "per-group rank / corpus stats — on a stream each micro-batch "
+            "would be sampled independently; use rates/epochs or batch mode)"
         )
     if spec.curriculum is not None:
         errs.append(

@@ -10230,3 +10230,43 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     pairs = _minhash_pairs_cached(spark, sf_dir)
     return dedup.soft_dedup_weights(d, "doc_id", pairs)
+
+
+@query(
+    "etl_cap_per_source",
+    f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':capd')")},
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def etl_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative per-group frequency cap
+    (`sample.method: cap`): the YAML user states "at most 15 docs per
+    source" and the compiler emits the cap_per_group WindowGroupLimit
+    plan (per-task pre-limit before the exchange). Oracle replays the
+    portable hash order and the rank filter."""
+    from .spec import SampleSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_capped",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="source", target="source"),
+        ],
+        sample=SampleSpec(
+            method="cap",
+            id_column="doc_id",
+            group_column="source",
+            cap=15,
+            seed="capd",
+        ),
+    )
+    return _compile(spark, sf_dir, spec)

@@ -288,9 +288,13 @@ class SampleSpec(BaseModel):
     directly (>1 repeats the group with an ``epoch`` copy-index column,
     <1 subsamples, 0 drops; ``curation.epoch_mix``; needs
     ``group_column`` + ``epochs``; unlisted groups get
-    ``default_epochs``)."""
+    ``default_epochs``).
+    ``method: cap`` — per-group frequency cap, at most ``cap`` rows per
+    group by portable-hash order (the "max N docs per domain" rule,
+    ``curation.cap_per_group``; needs ``group_column`` + ``cap``; the
+    constant cap compiles to a WindowGroupLimit pre-limit)."""
 
-    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs
+    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs | cap
     id_column: str
     group_column: Optional[str] = None
     rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
@@ -303,6 +307,7 @@ class SampleSpec(BaseModel):
     alpha: float = Field(default=0.5, ge=0.0, le=1.0)
     epochs: Optional[dict] = None  # group value -> epochs in [0, 100]
     default_epochs: float = 1.0
+    cap: Optional[int] = None  # method=cap: max rows kept per group
     seed: str = "mix0"
 
     @field_validator("method")
@@ -310,11 +315,11 @@ class SampleSpec(BaseModel):
     def _known_sample_method(cls, v: str) -> str:
         if v not in (
             "rates", "exact_n", "priority", "token_budget", "temperature",
-            "epochs",
+            "epochs", "cap",
         ):
             raise ValueError(
                 "sample method must be rates|exact_n|priority|token_budget|"
-                f"temperature|epochs, got {v!r}"
+                f"temperature|epochs|cap, got {v!r}"
             )
         return v
 
@@ -352,6 +357,10 @@ class SampleSpec(BaseModel):
                 "sample method=epochs needs group_column and a non-empty "
                 "epochs mapping"
             )
+        if self.method == "cap" and (
+            not self.group_column or self.cap is None or self.cap < 1
+        ):
+            raise ValueError("sample method=cap needs group_column and cap >= 1")
         return self
 
 

@@ -2097,3 +2097,98 @@ def test_curriculum_refused_on_streams(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="curriculum"):
         _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)
+
+
+def test_sample_cap_method_compiles_and_validates(spark, tmp_path):
+    """`sample.method: cap` caps each group at `cap` rows via the
+    WindowGroupLimit plan; spec validation requires group_column+cap."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)],
+        "id long, grp string",
+    ).coalesce(1).write.parquet(str(src / "rows"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(tmp_path / "out")),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="rows",
+        target_table="capped",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="grp", target="grp"),
+        ],
+        sample=spec_mod.SampleSpec(
+            method="cap", id_column="id", group_column="grp", cap=5
+        ),
+    )
+    out = compile_table(JobContext(spark=spark, global_spec=g), t).df
+    from collections import Counter
+
+    sizes = Counter(r.grp for r in out.collect())
+    assert sizes == {"a": 5, "b": 5}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError, match="method=cap needs"):
+        spec_mod.SampleSpec(method="cap", id_column="id", group_column="grp")
+    with pytest.raises(ValueError, match="method=cap needs"):
+        spec_mod.SampleSpec(method="cap", id_column="id", group_column="grp", cap=0)
+
+
+def test_non_projection_sample_methods_refused_on_streams(spark, tmp_path):
+    """exact_n/priority/token_budget/temperature/cap sampled per
+    micro-batch would be a silently different semantic — the gate must
+    refuse them; rates/epochs (pure projections) pass."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        _assert_streaming_spec,
+    )
+
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(tmp_path))
+        )
+    )
+
+    def tab(sample):
+        return spec_mod.TableSpec(
+            source_table="rows",
+            target_table="o",
+            write_mode="append",
+            mappings=[spec_mod.MappingSpec(source="id", target="id")],
+            sample=sample,
+        )
+
+    ctx = JobContext(spark=spark, global_spec=g)
+    for s in (
+        spec_mod.SampleSpec(method="cap", id_column="id", group_column="g", cap=5),
+        spec_mod.SampleSpec(method="exact_n", id_column="id", n=5),
+        spec_mod.SampleSpec(
+            method="temperature", id_column="id", group_column="g", budget_rows=5
+        ),
+    ):
+        with pytest.raises(ValueError, match="sample method"):
+            _assert_streaming_spec(ctx, tab(s), None)
+    # pure projections stream fine
+    _assert_streaming_spec(
+        ctx,
+        tab(
+            spec_mod.SampleSpec(
+                method="rates", id_column="id", group_column="g", rates={"a": 0.5}
+            )
+        ),
+        None,
+    )
