@@ -1009,3 +1009,98 @@ def dsir_select(
     return scored.orderBy(
         F.col("dsir_score").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+def rank_ensemble(
+    df: DataFrame,
+    id_col: str,
+    score_cols: list[str],
+    *,
+    out_col: str = "ensemble_score",
+    descending: bool = False,
+    n_buckets: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Rank-normalized signal ensembling: each quality signal is mapped
+    to its global normalized rank position ``(rank − 1) / (n − 1)`` and
+    the ensemble score is the equal-weight mean — the standard way to
+    combine heterogeneous signals (a sigmoid classifier score, a Flesch
+    readability, a log-prob) whose SCALES are incomparable but whose
+    ORDERINGS all mean "better". Rank positions are ``row_number`` with
+    the id tiebreak (deterministic on every engine/partitioning; a plain
+    SQL window replays it), NOT tie-sharing ``percent_rank`` — document
+    ties get adjacent, not equal, positions. ``descending=False`` means
+    higher raw score ⇒ higher normalized position.
+
+    NULL signals: a row missing one signal is scored on the signals it
+    has (the missing one's position is NULL and the mean skips it);
+    rows missing EVERY signal get a NULL ensemble. ``n`` counts
+    non-NULL rows per signal, and NULL keys rank after every value
+    (ranks.range_buckets' trailing bucket), so the non-null positions
+    stay a dense 1..n.
+
+    Cross-engine determinism: positions AND their mean are computed in
+    exact INTEGER micro-units (scale 10^decimals, round-half-up via
+    ``(2a + b) div 2b``) — the mean of two 6-dp positions lands exactly
+    on the half at the 7th digit (e.g. (0.100200 + 0.152305)/2 =
+    0.1262525), where double round() is engine-dependent; integer
+    arithmetic never is. The output doubles are exact micro-unit
+    quotients.
+
+    100 TB shape: one two-phase global rank per signal
+    (``ranks.global_row_number`` — range-bucketed partitioned windows +
+    broadcast prefix counts, never a single-partition sort) over the
+    SCORED frame (typically a per-doc rollup, not the corpus), plus one
+    broadcast count row; signals are ranked sequentially on the same
+    frame with no join between them."""
+    if not score_cols:
+        raise ValueError("score_cols must be non-empty")
+    from .ranks import global_row_number
+
+    scale = 10 ** int(decimals)
+    out = df
+    for c in score_cols:
+        out = global_row_number(
+            out,
+            F.col(c),
+            [F.col(id_col)],
+            out_col=f"__rn_{c}",
+            # ascending rank ⇒ rank 1 = lowest raw value = position 0,
+            # so higher raw ⇒ higher position (the descending=False
+            # contract); descending=True flips it
+            descending=descending,
+            n_buckets=n_buckets,
+        )
+    n_row = df.agg(
+        *[F.count(F.col(c)).alias(f"__n_{c}") for c in score_cols]
+    )
+    out = out.crossJoin(F.broadcast(n_row))
+    # integer micro-unit position per signal: round-half-up of
+    # (rn-1)*scale/(n-1); single-row signals sit mid-scale
+    for c in score_cols:
+        pos_u = F.when(
+            F.col(f"__n_{c}") > 1,
+            F.expr(
+                f"((__rn_{c} - 1) * {2 * scale} + (__n_{c} - 1)) "
+                f"div (2 * (__n_{c} - 1))"
+            ),
+        ).otherwise(F.lit(scale // 2))
+        out = out.withColumn(
+            f"__u_{c}",
+            F.when(F.col(c).isNotNull(), pos_u).cast("long"),
+        )
+    units = [F.col(f"__u_{c}") for c in score_cols]
+    n_avail = sum((u.isNotNull().cast("int") for u in units), F.lit(0))
+    sum_sql = " + ".join(f"coalesce(__u_{c}, 0L)" for c in score_cols)
+    avail_sql = " + ".join(f"int(__u_{c} is not null)" for c in score_cols)
+    # round-half-up mean in exact longs: (2*sum + n) div (2*n)
+    mean_u = F.expr(
+        f"(({sum_sql}) * 2 + ({avail_sql})) div (2 * ({avail_sql}))"
+    )
+    return out.select(
+        *[F.col(x) for x in df.columns],
+        *[
+            (F.col(f"__u_{c}") / F.lit(float(scale))).alias(f"{c}_rank")
+            for c in score_cols
+        ],
+        F.when(n_avail > 0, mean_u / F.lit(float(scale))).alias(out_col),
+    )

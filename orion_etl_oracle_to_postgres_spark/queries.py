@@ -10270,3 +10270,81 @@ def etl_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "curation_rank_ensemble",
+    f"""
+    WITH sc AS (
+      SELECT doc_id,
+             {_QUALITY_SQL} AS q_score,
+             CASE WHEN len(ws) > 0 THEN
+               round(206.835
+                     - 1.015 * (len(ws) / greatest(len(regexp_extract_all(
+                         text, '[.!?]+')), 1)::DOUBLE)
+                     - 84.6 * (len(regexp_extract_all(lower(text),
+                         '[aeiouy]+')) / len(ws)::DOUBLE), 4)
+             END AS flesch
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+      )
+    ),
+    n AS (SELECT count(q_score)::BIGINT AS nq, count(flesch)::BIGINT AS nf
+          FROM sc),
+    r AS (
+      SELECT doc_id, q_score, flesch,
+             row_number() OVER (ORDER BY q_score ASC, doc_id) AS rq,
+             row_number() OVER (ORDER BY flesch ASC NULLS LAST, doc_id) AS rf
+      FROM sc
+    ),
+    pos AS (
+      -- positions + mean in exact integer micro-units (round-half-up
+      -- via (2a+b)//2b), mirroring the operator: the mean of two 6-dp
+      -- positions lands exactly on the 7th-digit half, where double
+      -- round() is engine-dependent
+      SELECT doc_id, q_score, flesch,
+             CASE WHEN q_score IS NOT NULL THEN
+               CASE WHEN n.nq > 1
+                    THEN ((rq - 1) * 2000000 + (n.nq - 1)) // (2 * (n.nq - 1))
+                    ELSE 500000 END
+             END AS uq,
+             CASE WHEN flesch IS NOT NULL THEN
+               CASE WHEN n.nf > 1
+                    THEN ((rf - 1) * 2000000 + (n.nf - 1)) // (2 * (n.nf - 1))
+                    ELSE 500000 END
+             END AS uf
+      FROM r, n
+    )
+    SELECT doc_id, q_score, flesch,
+           (uq / 1000000.0) AS q_score_rank,
+           (uf / 1000000.0) AS flesch_rank,
+           CASE WHEN (uq IS NOT NULL OR uf IS NOT NULL)
+                THEN (((coalesce(uq, 0) + coalesce(uf, 0)) * 2
+                       + ((uq IS NOT NULL)::INT + (uf IS NOT NULL)::INT))
+                      // (2 * ((uq IS NOT NULL)::INT + (uf IS NOT NULL)::INT)))
+                     / 1000000.0
+           END AS ensemble_score
+    FROM pos
+    """,
+)
+def curation_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Rank-normalized quality-signal ensemble
+    (operators/curation.py:rank_ensemble): the heuristic quality score
+    and the Flesch readability — two signals on incomparable scales —
+    each mapped to its global normalized rank position (row_number with
+    doc_id tiebreak, (rank-1)/(n-1)) and averaged into one
+    ensemble_score. Each rank is the two-phase global row number
+    (ranks.py — never a single-partition sort); the oracle replays with
+    plain SQL windows."""
+    from .operators.curation import rank_ensemble
+    from .operators.text import quality_expr, readability_scores
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", F.round(quality_expr(F.col("text")), 6).alias("q_score")
+    )
+    r = readability_scores(d, "text", "doc_id").select("doc_id", "flesch")
+    return rank_ensemble(q.join(r, "doc_id"), "doc_id", ["q_score", "flesch"])

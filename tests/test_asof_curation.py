@@ -1195,3 +1195,44 @@ def test_dsir_select_guards(spark):
         dsir_select(df, df, "doc_id", "text", k=0)
     with pytest.raises(ValueError, match="n_features"):
         dsir_select(df, df, "doc_id", "text", k=1, n_features=0)
+
+
+def test_rank_ensemble_positions_and_null_handling(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        rank_ensemble,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.1, 10.0),
+            (2, 0.5, None),   # missing one signal: mean over the other
+            (3, 0.9, 30.0),
+            (4, None, None),  # missing all: NULL ensemble
+            (5, 0.3, 20.0),
+        ],
+        "id long, a double, b double",
+    )
+    out = {r.id: r for r in rank_ensemble(df, "id", ["a", "b"]).collect()}
+    # a: 4 non-null → positions 0, 1/3, 2/3, 1 for ids 1,5,2,3
+    assert out[1].a_rank == 0.0 and out[3].a_rank == 1.0
+    assert abs(out[5].a_rank - 0.333333) < 1e-9  # micro-unit round-half-up
+    assert abs(out[2].a_rank - 0.666667) < 1e-9
+    # b: 3 non-null → 0, 0.5, 1 for ids 1,5,3
+    assert out[1].b_rank == 0.0 and out[5].b_rank == 0.5 and out[3].b_rank == 1.0
+    assert out[2].b_rank is None and out[4].a_rank is None
+    # ensemble: mean of available positions, exact integer rounding
+    assert out[1].ensemble_score == 0.0
+    assert out[3].ensemble_score == 1.0
+    assert abs(out[5].ensemble_score - 0.416667) < 1e-9  # (1/3+1/2)/2 h-up
+    assert out[2].ensemble_score == out[2].a_rank  # only signal available
+    assert out[4].ensemble_score is None
+    # partitioning-independent
+    out2 = {
+        r.id: r.ensemble_score
+        for r in rank_ensemble(df.repartition(4), "id", ["a", "b"]).collect()
+    }
+    assert out2 == {i: out[i].ensemble_score for i in out}
+    import pytest
+
+    with pytest.raises(ValueError, match="score_cols"):
+        rank_ensemble(df, "id", [])
