@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "curation_dsir_select",  # hashed-gram LLR: broadcast weights, in-row fold
     "dedup_soft_weights",  # cached pair set -> CC -> one id-keyed corpus join
     "curation_rank_ensemble",  # 2x two-phase global rank, micro-unit mean
+    "text_vocab_divergence",  # two wc aggregates + vocab full-outer join
 ]
 
 

@@ -1354,3 +1354,73 @@ def gopher_failed_expr(rules: list[tuple[str, Column]]) -> Column:
 
 # The Gopher rule-set's "must contain >= 2 of" English stop list.
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+
+
+def vocab_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    *,
+    top_terms: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-term Jensen-Shannon divergence contributions between two
+    corpus slices' unigram distributions — "did the new crawl / the
+    filtered corpus shift the token distribution, and WHICH words
+    moved?": for every term, smoothed probabilities under each side
+    (add-one over the union vocabulary) and its JSD contribution
+    ``½(p_a·log2(2p_a/(p_a+p_b)) + p_b·log2(2p_b/(p_a+p_b)))``; the
+    ``top_terms`` largest contributors are returned →
+    ``(term, n_a, n_b, p_a, p_b, jsd_contrib)``, the drilldown behind a
+    scalar drift score (summing the column over ALL terms gives total
+    JSD; the numeric-column analog is ``reconcile.js_divergence``).
+    Contributions are ROUNDED before the cutoff (round-before-rank)
+    with the term as tiebreak.
+
+    100 TB shape: one word-count aggregate per side (map-side
+    combined), a full outer join on the term (word-count-shaped, the
+    same exchange class as TF-IDF), one-row totals broadcast, and a
+    TakeOrderedAndProject top-k — corpora never shuffle, only their
+    vocabularies."""
+    if top_terms < 1:
+        raise ValueError(f"top_terms must be >= 1, got {top_terms}")
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca, cb = counts(a, "n_a"), counts(b, "n_b")
+    joined = ca.join(cb, "__t", "full_outer").select(
+        F.col("__t").alias("term"),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    tot = F.broadcast(
+        joined.agg(
+            F.sum("n_a").alias("__ta"),
+            F.sum("n_b").alias("__tb"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("__ta") + F.col("__v"))
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("__tb") + F.col("__v"))
+    m2 = pa + pb  # 2 * midpoint
+    contrib = F.lit(0.5) * (
+        pa * F.log2(F.lit(2.0) * pa / m2) + pb * F.log2(F.lit(2.0) * pb / m2)
+    )
+    return (
+        joined.crossJoin(tot)
+        .select(
+            "term",
+            "n_a",
+            "n_b",
+            F.round(pa, 9).alias("p_a"),
+            F.round(pb, 9).alias("p_b"),
+            F.round(contrib, 9).alias("jsd_contrib"),
+        )
+        .orderBy(F.col("jsd_contrib").desc(), F.col("term"))
+        .limit(int(top_terms))
+    )

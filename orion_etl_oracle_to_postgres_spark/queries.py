@@ -10348,3 +10348,64 @@ def curation_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = readability_scores(d, "text", "doc_id").select("doc_id", "flesch")
     return rank_ensemble(q.join(r, "doc_id"), "doc_id", ["q_score", "flesch"])
+
+
+@query(
+    "text_vocab_divergence",
+    """
+    WITH ca AS (
+      SELECT t, count(*)::BIGINT AS c
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '')) AS t
+            FROM documents WHERE doc_id % 3 = 0)
+      GROUP BY t
+    ),
+    cb AS (
+      SELECT t, count(*)::BIGINT AS c
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '')) AS t
+            FROM documents WHERE doc_id % 3 <> 0)
+      GROUP BY t
+    ),
+    j AS (
+      SELECT coalesce(ca.t, cb.t) AS term,
+             coalesce(ca.c, 0)::BIGINT AS n_a,
+             coalesce(cb.c, 0)::BIGINT AS n_b
+      FROM ca FULL JOIN cb ON ca.t = cb.t
+    ),
+    tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+                   count(*)::BIGINT AS v
+            FROM j),
+    p AS (
+      SELECT term, n_a, n_b,
+             (n_a + 1)::DOUBLE / (tot.ta + tot.v) AS pa,
+             (n_b + 1)::DOUBLE / (tot.tb + tot.v) AS pb
+      FROM j, tot
+    )
+    SELECT term, n_a, n_b,
+           round(pa, 9) AS p_a, round(pb, 9) AS p_b,
+           round(0.5 * (pa * log2(2.0 * pa / (pa + pb))
+                      + pb * log2(2.0 * pb / (pa + pb))), 9) AS jsd_contrib
+    FROM p
+    ORDER BY jsd_contrib DESC, term
+    LIMIT 20
+    """,
+)
+def text_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Vocabulary drift drilldown
+    (operators/text.py:vocab_divergence): the 20 terms contributing
+    most Jensen-Shannon divergence between the 'new ingest' slice
+    (doc_id % 3 == 0) and the rest of the corpus — the which-words-
+    moved report behind a scalar drift score (the token analog of the
+    numeric js_divergence sign-off). Word-count aggregates + one
+    vocab-shaped full outer join + broadcast totals + TakeOrdered;
+    corpora never shuffle. Oracle replays the smoothing and the log2
+    contributions."""
+    from .operators.text import vocab_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_divergence(
+        d.filter(F.col("doc_id") % 3 == 0),
+        d.filter(F.col("doc_id") % 3 != 0),
+        "text",
+    )

@@ -818,3 +818,36 @@ def test_readability_null_text_scores_null(spark):
     assert rows[2].n_syllables is None
     assert rows[2].flesch is None
     assert rows[1].n_words == 4 and rows[1].flesch is not None
+
+
+def test_vocab_divergence_detects_shifted_terms(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        vocab_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma common words here") for i in range(10)],
+        "id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "delta epsilon zeta common words here") for i in range(10)],
+        "id long, text string",
+    )
+    out = vocab_divergence(a, b, "text", top_terms=6)
+    rows = out.collect()
+    assert len(rows) == 6
+    top = {r.term for r in rows}
+    # the six one-sided terms dominate; shared terms contribute ~0
+    assert top == {"alpha", "beta", "gamma", "delta", "epsilon", "zeta"}
+    for r in rows:
+        assert r.jsd_contrib > 0
+        assert (r.n_a == 0) != (r.n_b == 0)
+    # deterministic across partitioning
+    out2 = vocab_divergence(a.repartition(3), b.repartition(2), "text", top_terms=6)
+    assert [
+        (r.term, r.jsd_contrib) for r in out2.collect()
+    ] == [(r.term, r.jsd_contrib) for r in rows]
+    import pytest
+
+    with pytest.raises(ValueError, match="top_terms"):
+        vocab_divergence(a, b, "text", top_terms=0)
