@@ -58,3 +58,30 @@ def test_pagerank_rank_mass_conserved(spark):
         .s
     )
     assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_iteration_plan_broadcasts_ranks(spark):
+    """The per-iteration rank⋈edges join must broadcast the
+    node-cardinality rank side (checkpointed frames carry no stats —
+    without the explicit hint the planner sort-merges, shuffling the
+    EDGE list every round), and the final plan must read materialized
+    checkpoints instead of re-deriving earlier rounds."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 1, 1)], "s long, d long, w long"
+    )
+    r = pagerank(edges, "s", "d", weight_col="w", iterations=3)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ExistingRDD" in plan, "lineage must be checkpoint-truncated"
+    # opt-out for huge-node graphs keeps the planner's choice
+    r2 = pagerank(
+        edges, "s", "d", weight_col="w", iterations=1, broadcast_ranks=False
+    )
+    assert abs(
+        sum(x.rank for x in r.collect()) - sum(x.rank for x in r2.collect())
+    ) < 1.0  # same graph, both converge toward mass ~1
