@@ -141,3 +141,135 @@ def drift_monitor_stream(
         .outputMode("append")
         .start()
     )
+
+
+def baseline_vocab(
+    reference: DataFrame, text_col: str, *, top_n: int = 100
+) -> tuple[list[str], list[float]]:
+    """(top-N tokens, their reference fractions) — the static side of
+    the TOKEN drift monitor (the text twin of ``baseline_histogram``):
+    the reference corpus' ``top_n`` most frequent tokens (count desc,
+    token tiebreak — deterministic) with each one's share of ALL
+    reference tokens; the implicit (N+1)-th "other" cell carries the
+    remaining mass, so the distribution the monitor scores against
+    always sums to 1. Driver-side lists of ≤ top_n entries — config,
+    not data."""
+    from ..functions import tokens
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    rows = (
+        reference.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("__t"))
+        .limit(int(top_n))
+        .collect()
+    )
+    total = (
+        reference.select(
+            F.sum(F.size(tokens(F.col(text_col)))).alias("__tot")
+        ).collect()[0]["__tot"]
+        or 1
+    )
+    vocab = [r["__t"] for r in rows]
+    fracs = [r["__n"] / total for r in rows]
+    return vocab, fracs
+
+
+def _vocab_counts(
+    batch: DataFrame, text_col: str, vocab: list[str]
+) -> tuple[dict[str, int], int]:
+    """(per-vocab-token counts, total batch tokens) — one explode +
+    bounded aggregate; out-of-vocab tokens collapse to one NULL cell
+    before the exchange, so the shuffle carries ≤ len(vocab)+1 keys."""
+    from ..functions import tokens
+
+    marked = batch.select(
+        F.explode(tokens(F.col(text_col))).alias("__raw")
+    ).select(
+        F.when(F.col("__raw").isin(list(vocab)), F.col("__raw")).alias("__t")
+    )
+    rows = marked.groupBy("__t").agg(F.count(F.lit(1)).alias("__n")).collect()
+    counts = {r["__t"]: r["__n"] for r in rows if r["__t"] is not None}
+    total = sum(r["__n"] for r in rows)
+    return counts, total
+
+
+def batch_vocab_jsd(
+    batch: DataFrame,
+    text_col: str,
+    vocab: list[str],
+    ref_fracs: list[float],
+    *,
+    decimals: int = 6,
+) -> float | None:
+    """Jensen-Shannon divergence (log2, in [0, 1]) of one batch's token
+    distribution against the baseline, over the fixed top-N + "other"
+    cells. Terms sum unrounded and only the total is rounded — per-cell
+    rounding accumulates past the metric's [0, 1] bound on fully
+    disjoint vocabularies (unlike ``batch_psi``, no batch-operator
+    parity pins a per-term convention here; the stream and batch paths
+    share this very function). x·log2(x/..) terms vanish at x = 0
+    exactly — no epsilon. None for a token-less batch (nothing to
+    score)."""
+    counts, total = _vocab_counts(batch, text_col, vocab)
+    if not total:
+        return None
+    return _jsd_from_counts(counts, total, vocab, ref_fracs, decimals)
+
+
+def _jsd_from_counts(
+    counts: dict[str, int],
+    total: int,
+    vocab: list[str],
+    ref_fracs: list[float],
+    decimals: int,
+) -> float:
+    import math
+
+    p_cells = list(ref_fracs) + [max(0.0, 1.0 - sum(ref_fracs))]
+    q_cells = [counts.get(t, 0) / total for t in vocab]
+    q_cells.append(max(0.0, 1.0 - sum(q_cells)))
+    jsd = 0.0
+    for p, q in zip(p_cells, q_cells):
+        m = (p + q) / 2.0
+        if p > 0:
+            jsd += 0.5 * p * math.log2(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log2(q / m)
+    return round(jsd, decimals)
+
+
+def vocab_drift_monitor_stream(
+    stream: DataFrame,
+    text_col: str,
+    vocab: list[str],
+    ref_fracs: list[float],
+    on_result: Callable[[int, float, int], None],
+    *,
+    checkpoint: str,
+):
+    """Token-distribution drift monitor on a document stream: per
+    micro-batch, JSD of the batch's token mix vs the static baseline
+    vocabulary, handed to ``on_result`` as (batch_id, jsd, n_tokens) —
+    "the crawl's vocabulary shifted" alarm at ingest time instead of
+    the nightly audit (batch drilldown: ``text.vocab_divergence``).
+    Stateless like ``drift_monitor_stream``: every batch is scored
+    alone; the checkpoint only tracks offsets."""
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        counts, total = _vocab_counts(batch, text_col, vocab)
+        if total:
+            on_result(
+                batch_id,
+                _jsd_from_counts(counts, total, vocab, ref_fracs, 6),
+                total,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -82,3 +82,75 @@ def test_drift_monitor_stream_scores_micro_batches(spark, tmp_path):
     )
     assert psi == want
     assert psi > 0.25  # the shifted batch must actually alarm
+
+
+def _text_frames(spark):
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma common words flow here") for i in range(50)],
+        "id long, text string",
+    )
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma common words flow here") for i in range(20)],
+        "id long, text string",
+    )
+    shifted = spark.createDataFrame(
+        [(i, "delta epsilon zeta strange tokens appear now") for i in range(20)],
+        "id long, text string",
+    )
+    return ref, same, shifted
+
+
+def test_batch_vocab_jsd_scores_token_shift(spark):
+    from orion_etl_oracle_to_postgres_spark.streaming.drift import (
+        baseline_vocab,
+        batch_vocab_jsd,
+    )
+
+    ref, same, shifted = _text_frames(spark)
+    vocab, fracs = baseline_vocab(ref, "text", top_n=10)
+    assert len(vocab) == 7 and abs(sum(fracs) - 1.0) < 1e-9
+    assert batch_vocab_jsd(same, "text", vocab, fracs) == 0.0
+    hot = batch_vocab_jsd(shifted, "text", vocab, fracs)
+    assert hot == 1.0  # disjoint vocabularies: maximal log2 JSD
+    # token-less batch: no score
+    empty = spark.createDataFrame([(1, None)], "id long, text string")
+    assert batch_vocab_jsd(empty, "text", vocab, fracs) is None
+    import pytest
+
+    with pytest.raises(ValueError, match="top_n"):
+        baseline_vocab(ref, "text", top_n=0)
+
+
+def test_vocab_drift_monitor_stream_matches_batch_scorer(spark, tmp_path):
+    from orion_etl_oracle_to_postgres_spark.streaming.drift import (
+        baseline_vocab,
+        batch_vocab_jsd,
+        vocab_drift_monitor_stream,
+    )
+
+    ref, _, shifted = _text_frames(spark)
+    land = tmp_path / "landing_v"
+    land.mkdir()
+    shifted.write.parquet(str(land / "b0"))
+    vocab, fracs = baseline_vocab(ref, "text", top_n=10)
+    results = []
+    stream = stream_source(
+        spark, str(land / "b0"), fmt="parquet", schema=shifted.schema
+    )
+    q = vocab_drift_monitor_stream(
+        stream,
+        "text",
+        vocab,
+        fracs,
+        lambda bid, jsd, n: results.append((jsd, n)),
+        checkpoint=str(tmp_path / "ckpt_v"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(results) == 1
+    jsd, n = results[0]
+    assert n == 20 * 7  # 7 tokens per doc
+    assert jsd == batch_vocab_jsd(shifted, "text", vocab, fracs)
+    assert jsd > 0.5  # the shifted batch must actually alarm
