@@ -640,14 +640,19 @@ def test_video_near_dups_payloads_never_shuffle(spark, sf):
 
 def test_pagerank_rounds_are_hash_joins_no_cartesian(spark, sf):
     """pagerank claim: every iteration is a hash equi-join + hash
-    aggregate — no BroadcastNestedLoop/Cartesian anywhere, and at least
-    `iterations` aggregate rounds appear in the one composed plan."""
+    aggregate — no Cartesian anywhere. Since the round-6 lineage
+    truncation, earlier rounds materialize as lazy checkpoints, so the
+    FINAL plan shows only the last round's joins reading an
+    ExistingRDD scan (re-deriving all 5 rounds in one plan was the
+    recompute bug the checkpoints fixed); the broadcast of the
+    node-side rank table is pinned in test_graph.py."""
     plan = plan_of(q.QUERIES["graph_supplier_pagerank"](spark, sf))
     assert "CartesianProduct" not in plan
     import re
 
     joins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan))
-    assert joins >= 5, plan  # 5 rank⋈edges rounds at minimum
+    assert joins >= 1, plan  # the final rank⋈edges round
+    assert "ExistingRDD" in plan, "earlier rounds must be checkpointed"
 
 
 def test_minhash_index_lookup_is_band_bucket_join(spark, sf):
