@@ -958,9 +958,9 @@ def dsir_select(
     def bucket(g):
         return F.pmod(md5_hash60(F.concat(g, F.lit(":" + seed))), F.lit(V))
 
-    def counts_row(df: DataFrame, map_alias: str, tot_alias: str):
+    def counts_row(gf: DataFrame, map_alias: str, tot_alias: str):
         return (
-            grams_frame(df)
+            gf
             .select(F.explode("__gs").alias("__g"))
             .select(bucket(F.col("__g")).alias("__f"))
             .groupBy("__f")
@@ -973,8 +973,13 @@ def dsir_select(
             )
         )
 
-    t_row = counts_row(target, "__mt", "__tt")
-    r_row = counts_row(raw, "__mr", "__tr")
+    # the raw gram stream feeds both the bucket-count aggregate and the
+    # scoring pass; it is REBUILT rather than checkpointed — the gram
+    # build is a narrow in-row projection, and materializing a
+    # corpus-sized array stream to executor disk costs more at scale
+    # than scanning twice (measured equal even at sf0.1)
+    t_row = counts_row(grams_frame(target), "__mt", "__tt")
+    r_row = counts_row(grams_frame(raw), "__mr", "__tr")
 
     def smoothed(m, tot, f):
         return (F.coalesce(F.element_at(m, f), F.lit(0)) + 1).cast(
@@ -1057,7 +1062,14 @@ def rank_ensemble(
     from .ranks import global_row_number
 
     scale = 10 ** int(decimals)
-    out = df
+    # lazy checkpoints between ranks: each global_row_number drives
+    # several passes (range stats, offsets, main) over its whole input
+    # chain — without a materialization barrier rank k re-runs the
+    # caller's scoring plan and every earlier rank per pass (the same
+    # trade window_rfm_segments documents; the checkpointed frame is
+    # the per-doc SCORED rollup, not the corpus)
+    base = df.localCheckpoint(eager=False)
+    out = base
     for c in score_cols:
         out = global_row_number(
             out,
@@ -1069,8 +1081,8 @@ def rank_ensemble(
             # contract); descending=True flips it
             descending=descending,
             n_buckets=n_buckets,
-        )
-    n_row = df.agg(
+        ).localCheckpoint(eager=False)
+    n_row = base.agg(
         *[F.count(F.col(c)).alias(f"__n_{c}") for c in score_cols]
     )
     out = out.crossJoin(F.broadcast(n_row))

@@ -10169,7 +10169,11 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the weights and replays the selection."""
     from .operators.curation import dsir_select
 
-    d = _t(spark, sf_dir, "documents")
+    # repartition before the md5-heavy gram passes: the raw scan's
+    # partition count is a file-size artifact (1 task at sf0.1 would
+    # hash every gram single-threaded; at real scale the scan already
+    # has thousands of partitions)
+    d = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     return dsir_select(
         d.filter(F.col("doc_id") % 11 != 0),
         d.filter(F.col("doc_id") % 11 == 0),
