@@ -1068,6 +1068,13 @@ def rank_ensemble(
     # caller's scoring plan and every earlier rank per pass (the same
     # trade window_rfm_segments documents; the checkpointed frame is
     # the per-doc SCORED rollup, not the corpus)
+    def bq(name: str) -> str:
+        # generated temp names embed the caller's column name — backtick
+        # -escape them inside F.expr (a 'flesch-kincaid' signal would
+        # otherwise parse as subtraction; same rule as hashed_linear's
+        # staged-token escape)
+        return "`" + name.replace("`", "``") + "`"
+
     base = df.localCheckpoint(eager=False)
     out = base
     for c in score_cols:
@@ -1092,8 +1099,9 @@ def rank_ensemble(
         pos_u = F.when(
             F.col(f"__n_{c}") > 1,
             F.expr(
-                f"((__rn_{c} - 1) * {2 * scale} + (__n_{c} - 1)) "
-                f"div (2 * (__n_{c} - 1))"
+                f"(({bq(f'__rn_{c}')} - 1) * {2 * scale} "
+                f"+ ({bq(f'__n_{c}')} - 1)) "
+                f"div (2 * ({bq(f'__n_{c}')} - 1))"
             ),
         ).otherwise(F.lit(scale // 2))
         out = out.withColumn(
@@ -1102,8 +1110,12 @@ def rank_ensemble(
         )
     units = [F.col(f"__u_{c}") for c in score_cols]
     n_avail = sum((u.isNotNull().cast("int") for u in units), F.lit(0))
-    sum_sql = " + ".join(f"coalesce(__u_{c}, 0L)" for c in score_cols)
-    avail_sql = " + ".join(f"int(__u_{c} is not null)" for c in score_cols)
+    sum_sql = " + ".join(
+        f"coalesce({bq(f'__u_{c}')}, 0L)" for c in score_cols
+    )
+    avail_sql = " + ".join(
+        f"int({bq(f'__u_{c}')} is not null)" for c in score_cols
+    )
     # round-half-up mean in exact longs: (2*sum + n) div (2*n)
     mean_u = F.expr(
         f"(({sum_sql}) * 2 + ({avail_sql})) div (2 * ({avail_sql}))"

@@ -273,9 +273,11 @@ def exact_quantiles(
     # ceil(q*n) in EXACT integer arithmetic: double ceil(0.07 * 100)
     # gives 8 (the product rounds to 7.000000000000001), off by one
     # observation. Each q becomes the exact rational p/den of its
-    # decimal repr, and ceil(p*n/den) = (p*n + den - 1) div den in
-    # longs (p ≤ 10^15 only for absurd q literals; p*n stays < 2^63
-    # for any real corpus).
+    # decimal repr, and ceil(p*n/den) = (p*n + den - 1) div den —
+    # computed in DECIMAL(38,0): a q like 1/3 has p ≈ 3.3e15, so the
+    # long product would overflow past ~2767 rows (silent wrap under
+    # non-ANSI, ARITHMETIC_OVERFLOW under ANSI); 38 decimal digits
+    # hold p·n exactly up to 10^38.
     fracs = [
         (x, Fraction(str(x)).numerator, Fraction(str(x)).denominator)
         for x in qlist
@@ -289,7 +291,10 @@ def exact_quantiles(
             "q",
             F.greatest(
                 F.lit(1).cast("long"),
-                F.expr("(__p * __n + __den - 1) div __den"),
+                F.expr(
+                    "CAST((CAST(__p AS DECIMAL(38,0)) * __n + __den - 1) "
+                    "div __den AS BIGINT)"
+                ),
             ).alias("__target"),
         )
     )

@@ -1362,7 +1362,7 @@ def vocab_divergence(
     text_col: str,
     *,
     top_terms: int = 20,
-    decimals: int = 6,
+    decimals: int = 9,
 ) -> DataFrame:
     """Per-term Jensen-Shannon divergence contributions between two
     corpus slices' unigram distributions — "did the new crawl / the
@@ -1417,9 +1417,9 @@ def vocab_divergence(
             "term",
             "n_a",
             "n_b",
-            F.round(pa, 9).alias("p_a"),
-            F.round(pb, 9).alias("p_b"),
-            F.round(contrib, 9).alias("jsd_contrib"),
+            F.round(pa, decimals).alias("p_a"),
+            F.round(pb, decimals).alias("p_b"),
+            F.round(contrib, decimals).alias("jsd_contrib"),
         )
         .orderBy(F.col("jsd_contrib").desc(), F.col("term"))
         .limit(int(top_terms))

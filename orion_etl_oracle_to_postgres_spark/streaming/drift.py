@@ -168,7 +168,17 @@ def baseline_vocab(
     )
     total = (
         reference.select(
-            F.sum(F.size(tokens(F.col(text_col)))).alias("__tot")
+            # coalesce BEFORE size: non-ANSI size(NULL) = -1 would make
+            # every NULL-text row subtract one from the total (the
+            # catalogued size-of-null bug class)
+            F.sum(
+                F.size(
+                    F.coalesce(
+                        tokens(F.col(text_col)),
+                        F.array().cast("array<string>"),
+                    )
+                )
+            ).alias("__tot")
         ).collect()[0]["__tot"]
         or 1
     )

@@ -1169,10 +1169,8 @@ def test_dsir_select_prefers_target_like_docs(spark):
     )
     out = dsir_select(raw, target, "doc_id", "text", k=2)
     rows = out.collect()
-    assert [r.doc_id for r in rows] == sorted(
-        (r.doc_id for r in rows),
-        key=lambda i: next(-x.dsir_score for x in rows if x.doc_id == i),
-    ) or True  # order is score desc
+    scores = [r.dsir_score for r in rows]
+    assert scores == sorted(scores, reverse=True)  # order is score desc
     picked = {r.doc_id for r in rows}
     assert picked == {1, 3}, f"target-like docs must win, got {picked}"
     assert all(r.dsir_score > 0 for r in rows)
@@ -1236,3 +1234,18 @@ def test_rank_ensemble_positions_and_null_handling(spark):
 
     with pytest.raises(ValueError, match="score_cols"):
         rank_ensemble(df, "id", [])
+
+
+def test_rank_ensemble_handles_non_identifier_column_names(spark):
+    """Generated expr temp names must backtick-escape the caller's
+    column name — 'flesch-kincaid' would otherwise parse as a
+    subtraction inside F.expr."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        rank_ensemble,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5)], ["id", "flesch-kincaid"]
+    )
+    out = {r.id: r for r in rank_ensemble(df, "id", ["flesch-kincaid"]).collect()}
+    assert out[2].ensemble_score == 1.0 and out[1].ensemble_score == 0.0

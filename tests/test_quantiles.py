@@ -125,3 +125,21 @@ def test_null_group_keys_survive_quantile_joins(spark):
     ):
         assert out.count() == 4
         assert out.filter("g IS NULL").count() == 2
+
+
+def test_exact_quantiles_wide_rational_no_overflow(spark):
+    """q = 1/3 has a 16-digit numerator in its float repr — the rank
+    product must run in DECIMAL(38,0), not longs (silent wrap under
+    non-ANSI, ARITHMETIC_OVERFLOW under ANSI, past ~2767 rows)."""
+    from orion_etl_oracle_to_postgres_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 9001).select(F.col("id").cast("double").alias("v"))
+    got = {r.q: r.value for r in exact_quantiles(df, "v", [1 / 3, 0.5]).collect()}
+    import math
+
+    assert got[0.5] == 4500.0
+    assert got[1 / 3] == float(math.ceil((1 / 3) * 9000))

@@ -154,3 +154,19 @@ def test_vocab_drift_monitor_stream_matches_batch_scorer(spark, tmp_path):
     assert n == 20 * 7  # 7 tokens per doc
     assert jsd == batch_vocab_jsd(shifted, "text", vocab, fracs)
     assert jsd > 0.5  # the shifted batch must actually alarm
+
+
+def test_baseline_vocab_null_text_does_not_corrupt_total(spark):
+    """NULL-text reference rows must contribute 0 tokens, not -1
+    (non-ANSI size(NULL)) — fractions must stay a probability mass."""
+    from orion_etl_oracle_to_postgres_spark.streaming.drift import (
+        baseline_vocab,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a a b"), (2, None), (3, None), (4, "a b c")],
+        "id long, text string",
+    )
+    vocab, fracs = baseline_vocab(ref, "text", top_n=5)
+    assert vocab[0] == "a" and abs(sum(fracs) - 1.0) < 1e-9
+    assert abs(fracs[0] - 3 / 6) < 1e-9
