@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "dedup_soft_weights",  # cached pair set -> CC -> one id-keyed corpus join
     "curation_rank_ensemble",  # 2x two-phase global rank, micro-unit mean
     "text_vocab_divergence",  # two wc aggregates + vocab full-outer join
+    "dedup_pair_evidence",  # cached pairs + two id-keyed shingle joins
 ]
 
 

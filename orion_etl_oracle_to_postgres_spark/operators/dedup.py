@@ -1211,3 +1211,58 @@ def soft_dedup_weights(
             ).alias("sample_weight"),
         )
     )
+
+
+def pair_evidence(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    id_i: str = "id_i",
+    id_j: str = "id_j",
+    shingle_n: int = 3,
+    max_shingles: int = 5,
+) -> DataFrame:
+    """Human-audit evidence for near-dup pair decisions: for every
+    candidate pair, how many shingles the two documents actually share
+    and the first ``max_shingles`` of them (sorted, so the sample is
+    deterministic) → ``pairs.* + (n_shared, evidence)``. The review
+    view behind any dedup policy — "SHOW me why these two were merged"
+    — and the spot-check table a labeling pass starts from; pairs with
+    ``n_shared = 0`` (e.g. hash-banding false positives upstream of an
+    exact verify) survive with empty evidence rather than vanishing.
+
+    100 TB shape: two id-keyed equi joins attach each side's in-row
+    DISTINCT shingle set to the (small) pair table — the classic
+    ids-only candidate set re-joining payload by key; the intersection
+    and sort run in-row on the pair rows, and shingle arrays never
+    shuffle beyond the pair join. Short docs (< shingle_n tokens) use
+    their whole text as one shingle, matching ``functions.shingles``."""
+    if max_shingles < 1:
+        raise ValueError(f"max_shingles must be >= 1, got {max_shingles}")
+    base = docs.select(
+        F.col(id_col).alias("__pid"), tokens(F.col(text_col)).alias("__tk")
+    )
+    from ..functions import shingles_from_tokens
+
+    sh = base.select(
+        "__pid",
+        F.array_distinct(
+            shingles_from_tokens(F.col("__tk"), shingle_n)
+        ).alias("__shs"),
+    )
+    a = sh.select(F.col("__pid").alias("__ia"), F.col("__shs").alias("__sa"))
+    b = sh.select(F.col("__pid").alias("__ib"), F.col("__shs").alias("__sb"))
+    joined = (
+        pairs.join(a, pairs[id_i] == F.col("__ia"))
+        .join(b, pairs[id_j] == F.col("__ib"))
+        .withColumn(
+            "__shared", F.array_sort(F.array_intersect("__sa", "__sb"))
+        )
+    )
+    return joined.select(
+        *[pairs[c] for c in pairs.columns],
+        F.size("__shared").cast("long").alias("n_shared"),
+        F.slice("__shared", 1, int(max_shingles)).alias("evidence"),
+    )

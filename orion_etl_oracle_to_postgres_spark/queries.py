@@ -10413,3 +10413,48 @@ def text_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 3 != 0),
         "text",
     )
+
+
+@query(
+    "dedup_pair_evidence",
+    _SHINGLE_CTE
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+             round(len(list_intersect(a.shs, b.shs))::DOUBLE
+                   / len(list_distinct(list_concat(a.shs, b.shs))), 6)
+               AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    )
+    SELECT p.id_i, p.id_j, p.jaccard,
+           len(list_intersect(sa.shs, sb.shs))::BIGINT AS n_shared,
+           array_to_string(
+             list_sort(list_intersect(sa.shs, sb.shs))[1:5], ' | '
+           ) AS evidence
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_i
+    JOIN sh sb ON sb.doc_id = p.id_j
+    """,
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Near-dup pair audit evidence
+    (operators/dedup.py:pair_evidence): for every MinHash near-dup pair
+    (the suite's layout-cached set), the shared-shingle count and the
+    first 5 shared shingles (sorted — deterministic sample) — the
+    "show me WHY these two merged" review table a labeling pass starts
+    from. Two id-keyed joins attach in-row distinct shingle sets to the
+    small pair table; intersection/sort run in-row. Oracle replays the
+    exact pairs and the sorted intersection."""
+    from .operators.dedup import pair_evidence
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    ev = pair_evidence(pairs, d, "doc_id", "text", max_shingles=5)
+    return ev.select(
+        "id_i", "id_j", "jaccard",
+        "n_shared",
+        F.array_join("evidence", " | ").alias("evidence"),
+    )

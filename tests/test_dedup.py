@@ -565,3 +565,32 @@ def test_soft_dedup_weights_reciprocal_and_singletons(spark):
     # 6-dp rounding of 1/3: 3 x 0.333333 = 0.999999)
     total = sum(r.sample_weight for r in out.values())
     assert abs(total - 3.0) < 1e-5  # 3 clusters' worth of mass
+
+
+def test_pair_evidence_shared_shingles(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        pair_evidence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a sleepy dog"),
+            (3, "completely unrelated text about market prices"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_i long, id_j long"
+    )
+    out = {(r.id_i, r.id_j): r for r in
+           pair_evidence(pairs, docs, "doc_id", "text", max_shingles=3).collect()}
+    strong, weak = out[(1, 2)], out[(1, 3)]
+    assert strong.n_shared >= 4  # long shared prefix => many 3-grams
+    assert len(strong.evidence) == 3  # capped, deterministic sample
+    assert strong.evidence == sorted(strong.evidence)
+    assert weak.n_shared == 0 and weak.evidence == []
+    import pytest
+
+    with pytest.raises(ValueError, match="max_shingles"):
+        pair_evidence(pairs, docs, "doc_id", "text", max_shingles=0)
