@@ -311,6 +311,40 @@ def _apply_dedup(df, spec: TableSpec):
             F.col("doc_id") != F.col("cluster_id")
         ).select(F.col("doc_id").alias(d.id_column))
         return df.join(losers, d.id_column, "left_anti")
+    if d.method == "soft":
+        # soft dedup: same pair/cluster machinery as minhash, but every
+        # row SHIPS — annotated with cluster_id/n_dups/sample_weight
+        # (1/n_dups) instead of losers being anti-joined away
+        if not d.text_column or not d.id_column:
+            raise ValueError(
+                f"{spec.source_table}: dedup method=soft requires "
+                "text_column and id_column"
+            )
+        for c in (d.text_column, d.id_column):
+            if c not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: dedup column {c!r} not in "
+                    f"pipeline output {df.columns}"
+                )
+        clash = {"cluster_id", "n_dups", "sample_weight"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"{spec.source_table}: dedup method=soft adds "
+                f"{sorted(clash)} but the pipeline already has them — "
+                "rename those columns or use another method"
+            )
+        from .operators.dedup import minhash_near_dups, soft_dedup_weights
+
+        pairs = minhash_near_dups(
+            df.select(d.id_column, d.text_column),
+            d.id_column,
+            d.text_column,
+            shingle_n=d.shingle_n,
+            num_hashes=d.num_hashes,
+            bands=d.bands,
+            threshold=d.threshold,
+        )
+        return soft_dedup_weights(df, d.id_column, pairs)
     if d.method == "semantic":
         # embedding-space near-dup dedup: LSH cosine pairs → clusters →
         # drop non-survivors; vectors stay out of the corpus anti-join
@@ -1252,7 +1286,7 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
         errs.append("a files source connector is required (JDBC has no stream source)")
     d = spec.dedup
     if d is not None:
-        if d.method in ("minhash", "semantic"):
+        if d.method in ("minhash", "semantic", "soft"):
             errs.append(
                 f"dedup method={d.method} (iterative clustering is batch-only)"
             )

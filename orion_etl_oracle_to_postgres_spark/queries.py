@@ -31,6 +31,7 @@ from .operators import multimodal
 from .operators.lookups import external_lookup
 from .spec import (
     ConnectorsSpec,
+    DedupSpec,
     FilesConnectorSpec,
     GlobalSpec,
     LookupSpec,
@@ -10458,3 +10459,62 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         F.array_join("evidence", " | ").alias("evidence"),
     )
+
+
+@query(
+    "etl_soft_dedup",
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+    sizes AS (SELECT cl, count(*)::BIGINT AS nd FROM comp GROUP BY cl)
+    SELECT d.doc_id, d.lang, d.text,
+           coalesce(c.cl, d.doc_id)::BIGINT AS cluster_id,
+           coalesce(s.nd, 1)::BIGINT AS n_dups,
+           round(1.0::DOUBLE / coalesce(s.nd, 1), 6) AS sample_weight
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN sizes s ON s.cl = c.cl
+    """,
+)
+def etl_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative SOFT dedup (`dedup.method: soft`):
+    the YAML user asks for reweight-not-remove and the compiler emits
+    the MinHash pair/cluster machinery with every row shipping
+    cluster_id/n_dups/sample_weight columns instead of losers being
+    anti-joined away. Oracle replays exact pairs → transitive closure →
+    reciprocal weights over the mapped projection."""
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_soft",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        dedup=DedupSpec(
+            method="soft",
+            text_column="text",
+            id_column="doc_id",
+            num_hashes=128,
+            bands=32,
+            threshold=0.8,
+        ),
+    )
+    return _compile(spark, sf_dir, spec)

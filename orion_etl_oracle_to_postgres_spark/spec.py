@@ -224,9 +224,14 @@ class DedupSpec(BaseModel):
     ``method: semantic`` is the embedding-space twin: sign-LSH cosine
     pairs over ``vector_column`` (``threshold`` is a COSINE here),
     same clustering, same min-id survivor rule — paraphrase dedup from
-    YAML alone."""
+    YAML alone.
+    ``method: soft`` is SOFT dedup (reweight, don't remove): the same
+    MinHash pair/cluster machinery as ``minhash``, but every row ships
+    with ``cluster_id``/``n_dups``/``sample_weight = 1/n_dups`` columns
+    instead of losers being dropped
+    (``operators/dedup.py:soft_dedup_weights``)."""
 
-    method: str = "fingerprint"  # exact | fingerprint | minhash | semantic
+    method: str = "fingerprint"  # exact | fingerprint | minhash | semantic | soft
     columns: Optional[List[str]] = None  # exact: key columns
     text_column: Optional[str] = None  # fingerprint/minhash: the text
     vector_column: Optional[str] = None  # semantic: the embedding
@@ -256,9 +261,10 @@ class DedupSpec(BaseModel):
     @field_validator("method")
     @classmethod
     def _known_method(cls, v: str) -> str:
-        if v not in ("exact", "fingerprint", "minhash", "semantic"):
+        if v not in ("exact", "fingerprint", "minhash", "semantic", "soft"):
             raise ValueError(
-                f"dedup method must be exact|fingerprint|minhash|semantic, got {v!r}"
+                "dedup method must be exact|fingerprint|minhash|semantic|"
+                f"soft, got {v!r}"
             )
         return v
 

@@ -2192,3 +2192,53 @@ def test_non_projection_sample_methods_refused_on_streams(spark, tmp_path):
         ),
         None,
     )
+
+
+def test_dedup_soft_method_annotates_instead_of_dropping(spark, tmp_path):
+    """`dedup.method: soft` ships every row with
+    cluster_id/n_dups/sample_weight; near-dups share one row of mass."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        _assert_streaming_spec,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "totally unrelated text about market dynamics and prices"),
+        ],
+        "id long, body string",
+    ).coalesce(1).write.parquet(str(src / "docs"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(tmp_path / "out")),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="soft",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        dedup=spec_mod.DedupSpec(
+            method="soft", text_column="body", id_column="id",
+            num_hashes=128, bands=32, threshold=0.6,
+        ),
+    )
+    out = {r.id: r for r in compile_table(JobContext(spark=spark, global_spec=g), t).df.collect()}
+    assert len(out) == 3, "soft dedup must never drop rows"
+    assert out[1].cluster_id == 1 and out[2].cluster_id == 1
+    assert out[1].n_dups == 2 and out[1].sample_weight == 0.5
+    assert out[3].n_dups == 1 and out[3].sample_weight == 1.0
+    # batch-only on streams, like minhash
+    t2 = t.model_copy(update={"write_mode": "append"})
+    with pytest.raises(ValueError, match="batch-only"):
+        _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t2, None)
