@@ -278,26 +278,27 @@ def _apply_dedup(df, spec: TableSpec):
     arbitrary partition-dependent row, which is a silent-corruption
     footgun this engine refuses."""
     d = spec.dedup
-    if d.method == "minhash":
-        # NEAR-dup dedup in the pipeline: pairs → transitive clusters →
-        # drop every non-minimum member. The pair/cluster computation
-        # runs on (id, text) only; the corpus frame is then filtered
-        # with one anti-join against the loser id set — ids-only
-        # exchanges, the same scale shape as the standalone operators.
-        if not d.text_column or not d.id_column:
+
+    def _require_cols(*cols):
+        # shared requires/existence validation for the near-dup methods
+        missing_req = [n for n, v in cols if not v]
+        if missing_req:
             raise ValueError(
-                f"{spec.source_table}: dedup method=minhash requires "
-                "text_column and id_column"
+                f"{spec.source_table}: dedup method={d.method} requires "
+                + " and ".join(n for n, _ in cols)
             )
-        for c in (d.text_column, d.id_column):
-            if c not in df.columns:
+        for _, v in cols:
+            if v not in df.columns:
                 raise ValueError(
-                    f"{spec.source_table}: dedup column {c!r} not in "
+                    f"{spec.source_table}: dedup column {v!r} not in "
                     f"pipeline output {df.columns}"
                 )
-        from .operators.dedup import minhash_near_dups, near_dup_clusters
 
-        pairs = minhash_near_dups(
+    def _mine_pairs():
+        # shared MinHash pair mining for minhash/soft — (id, text) only
+        from .operators.dedup import minhash_near_dups
+
+        return minhash_near_dups(
             df.select(d.id_column, d.text_column),
             d.id_column,
             d.text_column,
@@ -306,7 +307,17 @@ def _apply_dedup(df, spec: TableSpec):
             bands=d.bands,
             threshold=d.threshold,
         )
-        clusters = near_dup_clusters(pairs)
+
+    if d.method == "minhash":
+        # NEAR-dup dedup in the pipeline: pairs → transitive clusters →
+        # drop every non-minimum member. The pair/cluster computation
+        # runs on (id, text) only; the corpus frame is then filtered
+        # with one anti-join against the loser id set — ids-only
+        # exchanges, the same scale shape as the standalone operators.
+        _require_cols(("text_column", d.text_column), ("id_column", d.id_column))
+        from .operators.dedup import near_dup_clusters
+
+        clusters = near_dup_clusters(_mine_pairs())
         losers = clusters.filter(
             F.col("doc_id") != F.col("cluster_id")
         ).select(F.col("doc_id").alias(d.id_column))
@@ -315,17 +326,7 @@ def _apply_dedup(df, spec: TableSpec):
         # soft dedup: same pair/cluster machinery as minhash, but every
         # row SHIPS — annotated with cluster_id/n_dups/sample_weight
         # (1/n_dups) instead of losers being anti-joined away
-        if not d.text_column or not d.id_column:
-            raise ValueError(
-                f"{spec.source_table}: dedup method=soft requires "
-                "text_column and id_column"
-            )
-        for c in (d.text_column, d.id_column):
-            if c not in df.columns:
-                raise ValueError(
-                    f"{spec.source_table}: dedup column {c!r} not in "
-                    f"pipeline output {df.columns}"
-                )
+        _require_cols(("text_column", d.text_column), ("id_column", d.id_column))
         clash = {"cluster_id", "n_dups", "sample_weight"} & set(df.columns)
         if clash:
             raise ValueError(
@@ -333,18 +334,9 @@ def _apply_dedup(df, spec: TableSpec):
                 f"{sorted(clash)} but the pipeline already has them — "
                 "rename those columns or use another method"
             )
-        from .operators.dedup import minhash_near_dups, soft_dedup_weights
+        from .operators.dedup import soft_dedup_weights
 
-        pairs = minhash_near_dups(
-            df.select(d.id_column, d.text_column),
-            d.id_column,
-            d.text_column,
-            shingle_n=d.shingle_n,
-            num_hashes=d.num_hashes,
-            bands=d.bands,
-            threshold=d.threshold,
-        )
-        return soft_dedup_weights(df, d.id_column, pairs)
+        return soft_dedup_weights(df, d.id_column, pairs=_mine_pairs())
     if d.method == "semantic":
         # embedding-space near-dup dedup: LSH cosine pairs → clusters →
         # drop non-survivors; vectors stay out of the corpus anti-join
@@ -684,7 +676,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # stream. One shuffle on the dedup key; the row_number()<=1 filter
     # compiles to WindowGroupLimit (map-side partial top-1 per key).
     if spec.dedup is not None and not streaming:
-        if spec.dedup.method in ("minhash", "semantic") and ctx.explain_only:
+        if spec.dedup.method in ("minhash", "semantic", "soft") and ctx.explain_only:
             # near-dup dedup is EAGER (checkpointed pair mining +
             # iterative clustering) — running it would break --explain's
             # "nothing executes" promise; the reviewed plan shows the

@@ -1231,7 +1231,10 @@ def pair_evidence(
     view behind any dedup policy — "SHOW me why these two were merged"
     — and the spot-check table a labeling pass starts from; pairs with
     ``n_shared = 0`` (e.g. hash-banding false positives upstream of an
-    exact verify) survive with empty evidence rather than vanishing.
+    exact verify) survive with empty evidence rather than vanishing,
+    and so do pairs whose ids are MISSING from ``docs`` (mined on the
+    full corpus, audited against a filtered slice) — LEFT joins, with
+    absent sides contributing no shingles.
 
     100 TB shape: two id-keyed equi joins attach each side's in-row
     DISTINCT shingle set to the (small) pair table — the classic
@@ -1254,11 +1257,19 @@ def pair_evidence(
     )
     a = sh.select(F.col("__pid").alias("__ia"), F.col("__shs").alias("__sa"))
     b = sh.select(F.col("__pid").alias("__ib"), F.col("__shs").alias("__sb"))
+    empty = F.array().cast("array<string>")
     joined = (
-        pairs.join(a, pairs[id_i] == F.col("__ia"))
-        .join(b, pairs[id_j] == F.col("__ib"))
+        pairs.join(a, pairs[id_i] == F.col("__ia"), "left")
+        .join(b, pairs[id_j] == F.col("__ib"), "left")
         .withColumn(
-            "__shared", F.array_sort(F.array_intersect("__sa", "__sb"))
+            # coalesce BEFORE intersect: a missing side is "no shared
+            # shingles", and non-ANSI size(NULL) would report -1
+            "__shared",
+            F.array_sort(
+                F.array_intersect(
+                    F.coalesce("__sa", empty), F.coalesce("__sb", empty)
+                )
+            ),
         )
     )
     return joined.select(

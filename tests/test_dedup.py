@@ -594,3 +594,21 @@ def test_pair_evidence_shared_shingles(spark):
 
     with pytest.raises(ValueError, match="max_shingles"):
         pair_evidence(pairs, docs, "doc_id", "text", max_shingles=0)
+
+
+def test_pair_evidence_missing_doc_side_survives(spark):
+    """Pairs mined on the full corpus but audited against a filtered
+    docs slice must SURVIVE with empty evidence (left joins), never
+    vanish — and never report size(NULL) = -1."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        pair_evidence,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 99)], "id_i long, id_j long")
+    rows = pair_evidence(pairs, docs, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0].n_shared == 0 and rows[0].evidence == []

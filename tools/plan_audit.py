@@ -33,9 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # the §2.8 coverage demo documents its global window as intentional
 # (the scaled alternative is in its docstring); everything else must
-# be clean
+# be clean. Maps query -> the ONE flag type forgiven — any other flag
+# on the same query still fails the audit.
 ALLOWLIST = {
-    "window_order_gaps": "documented §2.8 ntile demo; scale alt in docstring",
+    "window_order_gaps": "single-partition-window",
 }
 
 
@@ -56,11 +57,19 @@ def audit_plan(plan: str) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
     out_path = None
-    if "--json" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: plan_audit.py [sf_dir] [--json out.json]")
+            return 2
+        out_path = argv[i + 1]
+        del argv[i : i + 2]  # the flag's VALUE must not become sf_dir
+    if any(a.startswith("--") for a in argv):
+        print("usage: plan_audit.py [sf_dir] [--json out.json]")
+        return 2
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entry
     from orion_etl_oracle_to_postgres_spark.session import get_spark
@@ -68,6 +77,7 @@ def main() -> int:
     spark = get_spark()
     results: dict[str, list[str]] = {}
     failed: dict[str, str] = {}
+    fired: set[str] = set()
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -76,18 +86,22 @@ def main() -> int:
             failed[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         flags = audit_plan(plan)
-        if flags and name in ALLOWLIST:
-            continue
+        if name in ALLOWLIST and ALLOWLIST[name] in flags:
+            flags = [f for f in flags if f != ALLOWLIST[name]]
+            fired.add(name)
         if flags:
             results[name] = flags
             print(f"FLAG  {name}: {', '.join(flags)}")
     for name, err in failed.items():
         print(f"ERROR {name}: {err}")
     n = len(entry.queries())
+    stale = sorted(set(ALLOWLIST) - fired)
     print(
         f"plan audit: {n - len(results) - len(failed)}/{n} clean, "
         f"{len(results)} flagged, {len(failed)} failed to compile "
-        f"({len(ALLOWLIST)} allowlisted)"
+        f"({len(fired)} allowlist entries fired"
+        + (f"; STALE allowlist: {stale}" if stale else "")
+        + ")"
     )
     if out_path:
         with open(out_path, "w", encoding="utf-8") as fh:
