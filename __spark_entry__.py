@@ -116,7 +116,9 @@ _FIRST_50 = [
 # etl_gopher_gate, emb_dim_stats, emb_whiten, etl_decontaminate,
 # text_tokenizer_fertility, dedup_contamination_report,
 # text_contrastive_views, curation_preference_pairs,
-# curation_cap_per_source, curation_dsir_select, dedup_soft_weights)
+# curation_cap_per_source, curation_dsir_select, dedup_soft_weights,
+# curation_rank_ensemble, text_vocab_divergence, dedup_pair_evidence,
+# etl_cap_per_source, etl_soft_dedup)
 # — keep rotating ~40/round; cumulative driver-verified after r6 ≥
 # 130/210.
 
