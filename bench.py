@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "curation_rank_ensemble",  # 2x two-phase global rank, micro-unit mean
     "text_vocab_divergence",  # two wc aggregates + vocab full-outer join
     "dedup_pair_evidence",  # cached pairs + two id-keyed shingle joins
+    "emb_vector_quality",  # one map-side aggregate of in-row vector folds
 ]
 
 

@@ -1612,3 +1612,64 @@ def whiten(
     return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), z.alias("whitened")
     )
+
+
+def vector_quality_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    expected_dim: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-column QA gate — the data-quality pass BEFORE any ANN
+    index build or semantic dedup trusts the vectors: one summary row
+    of ``(n_vecs, n_null, n_wrong_dim, n_nonfinite, n_zero_norm,
+    norm_mean, norm_std)``. NULL vectors, width drift (a re-embedding
+    job that changed models mid-corpus), NaN/Inf coordinates (overflow
+    in a producer), and zero-norm vectors (cosine against them is
+    undefined — every downstream operator here would divide by zero)
+    each get their own count; norm stats run over the HEALTHY vectors
+    only, so a few corrupt rows can't mask a norm-scale shift.
+    ``expected_dim`` defaults to the corpus' most common width (ties to
+    the smaller), so drift is measured against the dominant population
+    when no contract is declared.
+
+    100 TB shape: per-row flags and norms are in-row array folds; ONE
+    map-side-combined aggregate produces the single summary row —
+    nothing shuffles but partial aggregates. Stats rounded
+    (round-before-compare)."""
+    v = F.col(vec_col).cast("array<double>")
+    nn = v.isNotNull()
+    if expected_dim is None:
+        base_dim = (
+            df.filter(nn)
+            .groupBy(F.size(v).alias("__d"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__d"))
+            .limit(1)
+        )
+        rows = base_dim.collect()  # 1-row driver probe: config, not data
+        expected_dim = int(rows[0]["__d"]) if rows else 0
+    dim_ok = nn & (F.size(v) == int(expected_dim))
+    finite = F.aggregate(
+        v,
+        F.lit(True),
+        lambda acc, x: acc & x.isNotNull() & ~F.isnan(x) & (F.abs(x) < float("inf")),
+    )
+    healthy_shape = dim_ok & F.coalesce(finite, F.lit(False))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    zero = healthy_shape & (norm == 0.0)
+    healthy = healthy_shape & (norm > 0.0)
+    return df.select(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((~nn).cast("int")).cast("long").alias("n_null"),
+        F.sum((nn & ~(F.size(v) == int(expected_dim))).cast("int"))
+        .cast("long")
+        .alias("n_wrong_dim"),
+        F.sum((dim_ok & ~F.coalesce(finite, F.lit(False))).cast("int"))
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.sum(zero.cast("int")).cast("long").alias("n_zero_norm"),
+        F.round(F.avg(F.when(healthy, norm)), decimals).alias("norm_mean"),
+        F.round(F.stddev_pop(F.when(healthy, norm)), decimals).alias("norm_std"),
+    )

@@ -10518,3 +10518,53 @@ def etl_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "emb_vector_quality",
+    """
+    WITH v AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    dim AS (
+      SELECT len(e) AS d FROM v WHERE e IS NOT NULL
+      GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1
+    ),
+    flags AS (
+      SELECT (e IS NOT NULL) AS nn,
+             (e IS NOT NULL AND len(e) = dim.d) AS dim_ok,
+             (e IS NOT NULL AND len(list_filter(e,
+                x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) AS finite,
+             CASE WHEN e IS NOT NULL
+                  THEN sqrt(list_sum(list_transform(e, x -> x * x))) END
+               AS nrm
+      FROM v, dim
+    )
+    SELECT count(*)::BIGINT AS n_vecs,
+           coalesce(sum((NOT nn)::INT), 0)::BIGINT AS n_null,
+           coalesce(sum((nn AND NOT dim_ok)::INT), 0)::BIGINT AS n_wrong_dim,
+           coalesce(sum((dim_ok AND NOT finite)::INT), 0)::BIGINT
+             AS n_nonfinite,
+           coalesce(sum((dim_ok AND finite AND nrm = 0)::INT), 0)::BIGINT
+             AS n_zero_norm,
+           round(avg(CASE WHEN dim_ok AND finite AND nrm > 0 THEN nrm END), 6)
+             AS norm_mean,
+           round(stddev_pop(
+             CASE WHEN dim_ok AND finite AND nrm > 0 THEN nrm END), 6)
+             AS norm_std
+    FROM flags
+    """,
+)
+def emb_vector_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-column QA gate
+    (operators/similarity.py:vector_quality_report): NULL vectors,
+    width drift vs the dominant dimension, NaN/Inf coordinates, and
+    zero-norm vectors each counted separately, plus norm mean/std over
+    the healthy population — the data-quality pass before any ANN
+    index build or semantic dedup trusts the column. One map-side-
+    combined aggregate; per-row flags are in-row folds. Oracle replays
+    the flags and the norm stats."""
+    from .operators.similarity import vector_quality_report
+
+    e = _t(spark, sf_dir, "embeddings")
+    return vector_quality_report(e, "embedding")

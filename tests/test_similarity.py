@@ -803,3 +803,29 @@ def test_hard_negatives_self_exclusion_scoped_to_self_mining(spark):
     # explicit override still available for id-aligned split tables
     got2 = similarity.hard_negative_mining(q, c, k=2, exclude_self=True)
     assert {r.neighbor_id for r in got2.collect()} == {8}
+
+
+def test_vector_quality_report_flags_each_failure_mode(spark):
+    from orion_etl_oracle_to_postgres_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),            # healthy, norm 5
+            (2, [0.0, 0.0]),            # zero norm
+            (3, None),                  # NULL vector
+            (4, [1.0]),                 # wrong width
+            (5, [float("nan"), 1.0]),   # non-finite
+            (6, [6.0, 8.0]),            # healthy, norm 10
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r = similarity.vector_quality_report(df, "embedding").collect()[0]
+    assert r.n_vecs == 6 and r.n_null == 1 and r.n_wrong_dim == 1
+    assert r.n_nonfinite == 1 and r.n_zero_norm == 1
+    assert r.norm_mean == 7.5  # (5 + 10) / 2 over the healthy pair
+    assert r.norm_std == 2.5
+    # explicit contract width overrides the dominant-population default
+    r2 = similarity.vector_quality_report(
+        df, "embedding", expected_dim=1
+    ).collect()[0]
+    assert r2.n_wrong_dim == 4 and r2.norm_mean == 1.0
