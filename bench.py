@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "text_vocab_divergence",  # two wc aggregates + vocab full-outer join
     "dedup_pair_evidence",  # cached pairs + two id-keyed shingle joins
     "emb_vector_quality",  # one map-side aggregate of in-row vector folds
+    "events_recency_sample",  # time-decay A-ES draw: broadcast max + TakeOrdered
 ]
 
 

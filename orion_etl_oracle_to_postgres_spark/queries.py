@@ -10568,3 +10568,61 @@ def emb_vector_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return vector_quality_report(e, "embedding")
+
+
+def _recency_sample_sql(k: int = 100, half: float = 30.0, seed: str = "rec0") -> str:
+    u = _hex2int_sql(f"md5(CAST(event_id AS VARCHAR) || ':{seed}')")
+    return f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    aged AS (
+      SELECT event_id, event_type,
+             date_diff('day', CAST(ts AS DATE), CAST(mx.m AS DATE))
+               AS age_days
+      FROM events, mx
+    ),
+    wtd AS (
+      SELECT event_id, event_type, age_days,
+             round(exp(-age_days / {half}), 6) AS recency_weight
+      FROM aged
+    )
+    SELECT event_id, event_type, age_days, recency_weight
+    FROM (
+      SELECT *, ln(({u} + 1) / {float(1 << 60)})
+                  / recency_weight AS prio
+      FROM wtd
+      WHERE recency_weight IS NOT NULL AND recency_weight > 0
+    )
+    ORDER BY prio DESC, event_id ASC
+    LIMIT {k}
+    """
+
+
+@query("events_recency_sample", _recency_sample_sql())
+def events_recency_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Recency-weighted exact-k event sampling — the "freshness
+    bias" composition the curation operators were built for: each event
+    gets an exponential time-decay weight (half-life-ish 30 days,
+    rounded so both engines rank identical doubles) and
+    ``curation.priority_sample`` (Efraimidis-Spirakis A-ES) draws an
+    exact 100 without replacement, deterministically — recent events
+    proportionally likelier, the identical 100 on any engine/run.
+    Events older than the weight's 6-dp floor (or with NULL ts) have
+    zero selection probability and are excluded, per the A-ES contract.
+    One broadcast max-ts row + a pure projection + TakeOrdered; the
+    event stream never shuffles."""
+    from .operators.curation import priority_sample
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    mx = F.broadcast(e.agg(F.max("ts").alias("__mx")))
+    aged = e.crossJoin(mx).select(
+        "event_id",
+        "event_type",
+        F.datediff(F.to_date("__mx"), F.to_date("ts")).alias("age_days"),
+    )
+    weighted = aged.withColumn(
+        "recency_weight",
+        F.round(F.exp(-F.col("age_days") / F.lit(30.0)), 6),
+    )
+    return priority_sample(
+        weighted, "event_id", "recency_weight", 100, seed="rec0"
+    ).select("event_id", "event_type", "age_days", "recency_weight")
