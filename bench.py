@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "dedup_pair_evidence",  # cached pairs + two id-keyed shingle joins
     "emb_vector_quality",  # one map-side aggregate of in-row vector folds
     "events_recency_sample",  # time-decay A-ES draw: broadcast max + TakeOrdered
+    "curation_cluster_safe_split",  # cached pairs -> CC -> hash split on cluster id
 ]
 
 

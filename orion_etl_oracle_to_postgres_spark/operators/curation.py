@@ -1128,3 +1128,46 @@ def rank_ensemble(
         ],
         F.when(n_avail > 0, mean_u / F.lit(float(scale))).alias(out_col),
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    weights: dict[str, float] | None = None,
+    seed: str = "css0",
+    id_i: str = "id_i",
+    id_j: str = "id_j",
+) -> DataFrame:
+    """Leakage-proof train/val/test split: near-duplicate documents
+    must land in the SAME split (a test doc whose near-twin sits in
+    train is memorization leakage — ``split_leakage`` DETECTS exactly
+    this; this operator PREVENTS it). The split label hashes the
+    near-dup CLUSTER id instead of the row id, so every member of a
+    duplicate group co-travels; singletons hash their own id, which
+    keeps their assignment identical to a plain ``hash_split`` under
+    the same seed. Returns ``df.* + (cluster_id, split)`` with the same
+    declared-rate bucket arithmetic as ``hash_split``.
+
+    Takes the near-dup PAIR SET (compose with ``minhash_near_dups`` or
+    the cached pair layout); components run over the edge-connected
+    subset only (``near_dup_clusters`` — large-star/small-star), and
+    the corpus is touched by ONE id-keyed left join plus the usual
+    zero-shuffle hash projection. Rates hold in expectation over
+    CLUSTERS rather than rows — duplicate-heavy corpora see mild rate
+    drift toward big clusters' splits, which is precisely the point."""
+    from ..operators.dedup import near_dup_clusters
+
+    comp = near_dup_clusters(pairs, id_i=id_i, id_j=id_j).select(
+        F.col("doc_id").alias("__cid_key"), F.col("cluster_id").alias("__cl")
+    )
+    labeled = df.join(
+        comp, df[id_col] == F.col("__cid_key"), "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("__cl"), df[id_col]).alias("cluster_id"),
+    )
+    return hash_split(labeled, "cluster_id", weights=weights, seed=seed).drop(
+        "bucket"
+    )

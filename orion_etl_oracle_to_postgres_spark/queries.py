@@ -10626,3 +10626,54 @@ def events_recency_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(
         weighted, "event_id", "recency_weight", 100, seed="rec0"
     ).select("event_id", "event_type", "age_days", "recency_weight")
+
+
+@query(
+    "curation_cluster_safe_split",
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + f"""
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(c.cl, d.doc_id)::BIGINT AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, lang, cluster_id,
+           CASE WHEN ({_hex2int_sql("md5(CAST(cluster_id AS VARCHAR) || ':css0')")}) % 1000 < 900 THEN 'train'
+                WHEN ({_hex2int_sql("md5(CAST(cluster_id AS VARCHAR) || ':css0')")}) % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def curation_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Leakage-proof split
+    (operators/curation.py:cluster_safe_split): the split label hashes
+    the near-dup CLUSTER id, so every member of a duplicate group lands
+    in the same split — a test doc whose near-twin sits in train is
+    memorization leakage; `curation_split_leakage` detects it, this
+    prevents it. Reuses the layout-cached MinHash pair set; components
+    over the edge-connected subset only, one id-keyed corpus join, then
+    the zero-shuffle hash-split projection. Oracle replays closure +
+    portable-hash thresholds."""
+    from .operators.curation import cluster_safe_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    return cluster_safe_split(d, "doc_id", pairs)

@@ -1249,3 +1249,38 @@ def test_rank_ensemble_handles_non_identifier_column_names(spark):
     )
     out = {r.id: r for r in rank_ensemble(df, "id", ["flesch-kincaid"]).collect()}
     assert out[2].ensemble_score == 1.0 and out[1].ensemble_score == 0.0
+
+
+def test_cluster_safe_split_co_travels_near_dups(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, grp string"
+    )
+    # three dup groups + the rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_i long, id_j long"
+    )
+    out = {r.doc_id: r for r in cluster_safe_split(df, "doc_id", pairs).collect()}
+    assert len(out) == 200, "every row ships"
+    # near-dup groups share one split label
+    assert out[1].split == out[2].split == out[3].split
+    assert out[10].split == out[11].split
+    assert out[20].split == out[21].split
+    assert out[1].cluster_id == 1 and out[11].cluster_id == 10
+    # singletons match a plain hash_split under the same seed
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", seed="css0").collect()
+    }
+    clustered_ids = {1, 2, 3, 10, 11, 20, 21}
+    for i in set(out) - clustered_ids:
+        assert out[i].split == plain[i]
+    # all three splits populated at 200 rows
+    from collections import Counter
+
+    shares = Counter(r.split for r in out.values())
+    assert set(shares) == {"train", "val", "test"}
