@@ -825,6 +825,8 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             "__dtx",
             n=dc.ngram,
             min_shared=dc.min_shared,
+            # explain-only compiles must not run the guard's count job
+            broadcast_limit=None if ctx.explain_only else dc.broadcast_limit,
         )
         # flagged id set: one row per contaminated pipeline row. Lazily
         # checkpointed — BOTH consumers (anti-join keep, audit join) must
@@ -839,7 +841,18 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         )
         # flagged ids are bounded by the benchmark's gram coverage (eval
         # suites are MBs) — broadcast, so the pipeline frame keeps its
-        # partitioning instead of shuffling into a sort-merge anti join
+        # partitioning instead of shuffling into a sort-merge anti join.
+        # Same loud-failure cap as the gram postings: nothing bounds the
+        # flagged count if the corpus is pervasively contaminated, and
+        # the guard's count() doubles as the checkpoint materializer
+        # (both consumers below then reuse the checkpointed rows).
+        if not ctx.explain_only:
+            from .operators.similarity import _guard_broadcast_side
+
+            _guard_broadcast_side(
+                flagged, dc.id_column, dc.broadcast_limit,
+                "decontaminate.flagged",
+            )
         if dc.reject_table:
             decontam_rejects = df.join(F.broadcast(flagged), dc.id_column)
         df = df.join(

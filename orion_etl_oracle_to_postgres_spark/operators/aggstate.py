@@ -123,12 +123,27 @@ def build_hll_state(
     )
 
 
-def merge_hll_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+def merge_hll_states(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    *,
+    allow_different_lg_k: bool = True,
+) -> DataFrame:
     """Fold two HLL state tables (full outer on keys; a key missing on
     one side keeps the other's sketch). Sketch union is associative and
     commutative, so daily states fold in any order to the identical
     estimate the full-history sketch would give — the property the unit
-    test pins."""
+    test pins.
+
+    lg_k contract: Spark's ``hll_union`` default refuses sketches built
+    with different ``lg_k`` — a cryptic runtime error deep in the merge
+    job if one day's state was built with a different precision. The
+    default here flips that to ``allowDifferentLgConfigK=true``, where
+    DataSketches soundly downgrades to the SMALLER lg_k (a wider error
+    bar, never a wrong merge). Pass ``allow_different_lg_k=False`` to
+    make a precision drift fail loudly instead — then persist ``lg_k``
+    beside the state table and assert it before folding."""
     au = a.select(*keys, F.col("hll_state").alias("__ha"))
     bu = b.select(*keys, F.col("hll_state").alias("__hb"))
     both = au.join(bu, keys, "full_outer")
@@ -136,7 +151,11 @@ def merge_hll_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
         F.col("__ha").isNull(), F.col("__hb")
     ).when(
         F.col("__hb").isNull(), F.col("__ha")
-    ).otherwise(F.hll_union(F.col("__ha"), F.col("__hb")))
+    ).otherwise(
+        F.hll_union(
+            F.col("__ha"), F.col("__hb"), bool(allow_different_lg_k)
+        )
+    )
     return both.select(*keys, merged.alias("hll_state"))
 
 

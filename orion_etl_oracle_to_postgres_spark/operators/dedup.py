@@ -1026,6 +1026,7 @@ def ngram_overlap_pairs(
     *,
     n: int = 13,
     min_shared: int = 1,
+    broadcast_limit: int | None = 20_000_000,
 ) -> DataFrame:
     """Exact n-gram eval-decontamination (the GPT-3 appendix-C check,
     default n=13): every (train doc, benchmark doc) pair sharing >=
@@ -1045,6 +1046,16 @@ def ngram_overlap_pairs(
     (train_id, bench_id) count aggregate. Per-doc gram counts are
     bounded by token count, and ``array_distinct`` before the explode
     keeps within-doc repeats from inflating postings.
+
+    "Small by construction" is a user promise, not a law: the same
+    loud-failure contract as ``similarity._guard_broadcast_side``
+    applies — ``broadcast_limit`` caps the bench-side GRAM POSTINGS
+    (the frame actually broadcast, not the doc count) with a bounded
+    ``limit(n+1).count()`` probe at plan-build time, so a
+    user-declared multi-TB "benchmark" fails with a ValueError instead
+    of OOMing every executor mid-join. Pass ``broadcast_limit=None``
+    only when the caller has already bounded the side (or cannot run
+    jobs at build time, e.g. explain-only compilation).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -1062,9 +1073,16 @@ def ngram_overlap_pairs(
         )
         return base.select(out_id, F.explode(g).alias("__g"))
 
+    bench_grams = grams(bench, "bench_id")
+    if broadcast_limit is not None:
+        from .similarity import _guard_broadcast_side
+
+        _guard_broadcast_side(
+            bench_grams, "__g", broadcast_limit, "ngram_overlap_pairs"
+        )
     return (
         grams(train, "train_id")
-        .join(F.broadcast(grams(bench, "bench_id")), "__g")
+        .join(F.broadcast(bench_grams), "__g")
         .groupBy("train_id", "bench_id")
         .agg(F.count("*").cast("long").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)

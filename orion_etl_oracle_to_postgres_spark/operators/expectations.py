@@ -152,6 +152,21 @@ def run_expectations(
     expectation, deterministic order (the input order). ``resolve_ref``
     (table name → DataFrame) is required when any check is ``fk`` — the
     compiler passes its target-first lookup resolution."""
+    # the label (type:columns) is the identity key — report rows carry
+    # it, and enforce() routes severity by it. Two checks sharing a
+    # label (e.g. two 'bounds' on the same column) would make the report
+    # ambiguous and silently collapse their severities ('error wins'),
+    # so a warn-intended check could start blocking loads (ADVICE r6)
+    seen: dict = {}
+    for c in checks:
+        if c.label in seen:
+            raise ValueError(
+                f"duplicate expectation label {c.label!r}: the label is "
+                "the identity key for report rows and severity routing — "
+                "merge the two checks (one bounds/accepted_values check "
+                "per column) instead of declaring them twice"
+            )
+        seen[c.label] = c
     for c in checks:
         _validate_check(c)
         if c.type == "fk" and resolve_ref is None:
@@ -288,15 +303,14 @@ def enforce(
     ready to enforce). Returns the report frame when nothing fatal
     failed. Severity is matched to report rows by the check LABEL (not
     row position — ADVICE r5 #3: positional zip silently depends on
-    collect() preserving driver-local row order); if the same label is
-    declared at both severities, error wins."""
+    collect() preserving driver-local row order); duplicate labels are
+    rejected up front by ``run_expectations`` — the label is the
+    identity key, so two checks sharing one cannot be routed."""
     import logging
 
     report = run_expectations(df, checks, resolve_ref=resolve_ref)
     rows = report.collect()
-    warn_only = {c.label for c in checks if c.severity == "warn"} - {
-        c.label for c in checks if c.severity != "warn"
-    }
+    warn_only = {c.label for c in checks if c.severity == "warn"}
     fatal, warned = [], []
     for r in rows:
         if r["passed"]:

@@ -443,7 +443,13 @@ def frame_hashes(
 
     k = int(every_ms)
     s = F.col(payload_col).cast("string")
-    n_frames = F.greatest((F.length(s) / F.lit(k)).cast("int"), F.lit(1))
+    # ceil, not truncate: the trailing partial frame must emit a hash —
+    # otherwise content up to every_ms-1 "ms" past the last full frame
+    # contributes no dedup evidence, and two media differing only in
+    # that tail are indistinguishable
+    n_frames = F.greatest(
+        F.ceil(F.length(s) / F.lit(k)).cast("int"), F.lit(1)
+    )
     return df.select(
         F.col(id_col),
         s.alias("__payload_s"),

@@ -8985,7 +8985,7 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH fr AS (
       SELECT doc_id, text,
-             unnest(range(greatest(length(text) // 200, 1))) AS fi
+             unnest(range(greatest((length(text) + 199) // 200, 1))) AS fi
       FROM documents
     ),
     fh AS (

@@ -725,6 +725,10 @@ class DecontaminateSpec(BaseModel):
     ngram: int = Field(default=13, ge=1)
     min_shared: int = Field(default=1, ge=1)
     reject_table: Optional[str] = None
+    # loud-failure cap on the broadcast sides (benchmark gram postings
+    # AND the flagged-id set): a user-declared oversized benchmark_table
+    # must fail at plan-build, not OOM executors mid-join
+    broadcast_limit: int = Field(default=20_000_000, ge=1)
 
 
 class TableSpec(BaseModel):

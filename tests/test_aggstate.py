@@ -94,3 +94,32 @@ def test_hll_state_merge_equals_full_history(spark):
     b = A.build_hll_state(df.filter("k = 1"), ["k"], "u")
     two = A.finalize_hll_state(A.merge_hll_states(a, b, ["k"]), ["k"]).collect()
     assert {r.k for r in two} == {0, 1}
+
+
+def test_hll_merge_mixed_lg_k_contract(spark):
+    """A day built with a different lg_k folds soundly (DataSketches
+    downgrades to the smaller precision) under the default; with
+    allow_different_lg_k=False the drift fails loudly at merge time
+    instead of producing a cryptic error (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators import aggstate as A
+
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 2).alias("k"), (F.col("id") % 997).alias("u")
+    )
+    hi = A.build_hll_state(df, ["k"], "u", lg_k=12)
+    lo = A.build_hll_state(df, ["k"], "u", lg_k=10)
+    est = {
+        r.k: r.approx_distinct
+        for r in A.finalize_hll_state(
+            A.merge_hll_states(hi, lo, ["k"]), ["k"]
+        ).collect()
+    }
+    for v in est.values():
+        assert abs(v - 997) / 997 < 0.10  # lg_k=10 error bar, still sound
+    import pytest as _pt
+    from pyspark.errors import PySparkException
+
+    with _pt.raises(PySparkException):
+        A.merge_hll_states(hi, lo, ["k"], allow_different_lg_k=False).collect()

@@ -494,6 +494,27 @@ def test_ngram_overlap_min_shared_and_short_docs(spark):
         dedup.ngram_overlap_pairs(train, bench, "doc_id", "text", n=0)
 
 
+def test_ngram_overlap_broadcast_guard(spark):
+    """An oversized 'benchmark' side fails LOUDLY at plan-build (the
+    _guard_broadcast_side contract), not as an executor OOM; None
+    disables the probe for explain-only compilation."""
+    import pytest
+
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id int, text string"
+    )
+    # bench has 6 distinct 3-gram postings > limit 2 -> refuse
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        dedup.ngram_overlap_pairs(
+            train, bench, "doc_id", "text", n=3, broadcast_limit=2
+        )
+    out = dedup.ngram_overlap_pairs(
+        train, bench, "doc_id", "text", n=3, broadcast_limit=None
+    )
+    assert out.count() == 1
+
+
 def test_winnow_guarantee_and_shrinkage(spark):
     # two docs sharing a 10-token run: with k=3, w=4 any shared run of
     # w+k-1 = 6 tokens guarantees >= 1 common fingerprint

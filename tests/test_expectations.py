@@ -26,22 +26,28 @@ def _df(spark):
 def test_report_rows_and_verdicts(spark):
     checks = [
         Expect(type="row_count", min=2, max=10),
-        Expect(type="not_null", columns=("name",), max_null_frac=0.3),
-        Expect(type="not_null", columns=("name",)),  # strict: fails (1/4 null)
+        Expect(type="not_null", columns=("name",), max_null_frac=0.3),  # lax: passes
         Expect(type="unique", columns=("id",)),      # fails (two id=3)
         Expect(type="accepted_values", columns=("cat",), values=("X", "Y")),  # Z fails
         Expect(type="bounds", columns=("val",), min=0.0, max=100.0),  # -5, 500 fail
     ]
     rep = {r["check"]: r for r in run_expectations(_df(spark), checks).collect()}
     assert rep["row_count:*"]["passed"] and rep["row_count:*"]["observed"] == 4.0
-    assert rep["not_null:name"]["passed"] is False  # strict one wins the label? no:
-    # labels collide for the two not_null checks — verify via full list instead
-    rows = run_expectations(_df(spark), checks).collect()
-    nn = [r for r in rows if r["check"] == "not_null:name"]
-    assert [r["passed"] for r in nn] == [True, False]
+    assert rep["not_null:name"]["passed"] is True  # 1/4 null <= 0.3
+    strict = run_expectations(
+        _df(spark), [Expect(type="not_null", columns=("name",))]
+    ).collect()
+    assert strict[0]["passed"] is False  # strict twin fails (1/4 null)
     assert not rep["unique:id"]["passed"] and rep["unique:id"]["observed"] == 1.0
     assert not rep["accepted_values:cat"]["passed"]
     assert rep["bounds:val"]["observed"] == 2.0 and not rep["bounds:val"]["passed"]
+    # the lax and strict twins share a label -> one list may not hold both
+    with pytest.raises(ValueError, match="duplicate expectation label"):
+        run_expectations(
+            _df(spark),
+            [Expect(type="not_null", columns=("name",), max_null_frac=0.3),
+             Expect(type="not_null", columns=("name",))],
+        )
 
 
 def test_enforce_raises_with_every_failure_listed(spark):
@@ -249,7 +255,14 @@ def test_warn_severity_reports_but_never_blocks(spark, caplog):
     assert any("WARN" in r.message for r in caplog.records)
     assert report.collect()[0].passed is False
     with _pt.raises(ValueError, match="expectations failed"):
-        enforce(df, [warn, hard])  # the error-severity twin still aborts
+        enforce(df, [hard])  # the error-severity twin still aborts
+    # the label is the identity key for severity routing: declaring it
+    # at BOTH severities is rejected up front, not silently collapsed
+    # to 'error wins' (ADVICE r6)
+    with _pt.raises(ValueError, match="duplicate expectation label"):
+        enforce(df, [warn, hard])
+    with _pt.raises(ValueError, match="duplicate expectation label"):
+        enforce(df, [hard, hard])  # same severity too: ambiguous report
     # spec-level validation catches typos
     from pydantic import ValidationError
 

@@ -212,3 +212,21 @@ def test_frame_hashes_slice_identity(spark):
     assert rows[(1, 0)] == rows[(2, 0)]  # shared first window
     assert rows[(1, 1)] != rows[(2, 1)]
     assert fh.columns == ["doc_id", "frame_idx", "fhash"]
+
+
+def test_frame_hashes_partial_tail_frame(spark):
+    """ceil, not truncate: the trailing partial frame emits a hash, so
+    two media differing ONLY past the last full frame boundary are
+    distinguishable (and identical tails share the tail hash)."""
+    from orion_etl_oracle_to_postgres_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "0123456789AB"), (2, "0123456789AB"), (3, "0123456789XY")],
+        "doc_id long, text string",
+    )
+    b = mm.attach_fake_binary(df, "text", "doc_id", media_type="video")
+    fh = mm.frame_hashes(b, every_ms=5)
+    rows = {(r.doc_id, r.frame_idx): r.fhash for r in fh.collect()}
+    assert len(rows) == 9  # 12 chars / 5 -> 2 full + 1 partial frame each
+    assert rows[(1, 2)] == rows[(2, 2)]  # identical 2-char tails
+    assert rows[(1, 2)] != rows[(3, 2)]  # tail-only difference detected
