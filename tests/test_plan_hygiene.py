@@ -1,0 +1,79 @@
+"""Plan-hygiene gate, in-suite (VERDICT r6 ask #3): every registered
+query must compile to a scale-safe physical plan — no cartesian
+products, no single-partition global windows, no row-at-a-time Python
+UDFs. This is ``tools/plan_audit.py`` promoted into pytest so a
+regressing query cannot land: the tool was judge/builder-run only.
+
+The scanner itself is imported from the tool (one implementation, two
+entry points), and a negative-control test proves each flag fires on a
+deliberately bad plan — so a silent scanner regression can't turn the
+gate green by matching nothing.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from plan_audit import ALLOWLIST, audit_plan  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scanner_catches_bad_plans(spark):
+    """Negative controls: each banned shape is actually detected."""
+    a = spark.range(0, 10).repartition(4)
+    b = spark.range(0, 10).repartition(4).withColumnRenamed("id", "jd")
+    cross = a.hint("SHUFFLE_REPLICATE_NL").join(  # force non-broadcast
+        b, F.col("id") < F.col("jd")
+    )
+    assert "cartesian-product" in audit_plan(_plan(cross))
+
+    gw = a.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert "single-partition-window" in audit_plan(_plan(gw))
+
+    ud = F.udf(lambda x: x + 1, "bigint")
+    slow = a.select(ud(F.col("id")).alias("y"))
+    assert "row-at-a-time-python-udf" in audit_plan(_plan(slow))
+
+    # and a clean shape stays clean
+    ok = a.groupBy((F.col("id") % 2).alias("k")).agg(F.sum("id").alias("s"))
+    assert audit_plan(_plan(ok)) == []
+
+
+def test_every_registered_query_compiles_scale_safe(spark):
+    """The full-registry sweep (compile-only; sf0.001 keeps the eager
+    statistics passes some operators take by design cheap). Gathers
+    every violation before failing so a red run names them all."""
+    import __spark_entry__ as entry
+
+    flagged: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    fired: set[str] = set()
+    for name, fn in entry.queries().items():
+        try:
+            flags = audit_plan(_plan(fn(spark, SF)))
+        except Exception as exc:  # compile failure is its own flag
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        if name in ALLOWLIST and ALLOWLIST[name] in flags:
+            flags = [f for f in flags if f != ALLOWLIST[name]]
+            fired.add(name)
+        if flags:
+            flagged[name] = flags
+    assert not errors, f"queries failed to compile: {errors}"
+    assert not flagged, f"scale anti-patterns: {flagged}"
+    # an allowlist entry whose flag no longer fires is stale — prune it
+    assert fired == set(ALLOWLIST), (
+        f"stale allowlist entries: {sorted(set(ALLOWLIST) - fired)}"
+    )
