@@ -118,6 +118,13 @@ BENCH_QUERIES = [
     "emb_vector_quality",  # one map-side aggregate of in-row vector folds
     "events_recency_sample",  # time-decay A-ES draw: broadcast max + TakeOrdered
     "curation_cluster_safe_split",  # cached pairs -> CC -> hash split on cluster id
+    # round-7 additions: the r6 declarative-stage stragglers (VERDICT ask #6)
+    "etl_decontaminate",  # declarative 13-gram decontaminate stage in-pipeline
+    "etl_augment_pairs",  # declarative augment: in-row span-corruption rewrite
+    "etl_soft_dedup",  # declarative soft dedup: pair set -> CC -> reweight join
+    "etl_cap_per_source",  # declarative per-group cap via WindowGroupLimit
+    "emb_dim_stats",  # per-dimension moments: one posexplode + dim-keyed agg
+    "emb_whiten",  # broadcast dim stats -> zero-shuffle in-row standardize
 ]
 
 

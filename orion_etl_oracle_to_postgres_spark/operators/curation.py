@@ -921,6 +921,16 @@ def dsir_select(
     top-k cutoff comes free). ``dsir_score`` is the micro-nat sum / 1e6
     (exact in a double).
 
+    Hash cost: each TOKEN is md5-hashed exactly once per pass; a
+    bigram's bucket is derived arithmetically from its two token
+    buckets (``(31·b₁ + b₂) mod V``) instead of md5-ing the
+    concatenated bigram string — half the md5 calls and zero bigram
+    string construction, with the same hashed-feature semantics (DSIR
+    needs A fixed random-ish feature hash, not a specific one). The
+    token-bucket array is staged as a real column so the bigram
+    transform and the concat both read one evaluation (higher-order
+    lambdas re-inline referenced expressions otherwise).
+
     100 TB shape: two word-count-shaped aggregates (target and raw
     bucket counts — map-side combined, at most ``n_features`` rows
     out), folded into ONE broadcast row holding the dense weight array;
@@ -936,33 +946,48 @@ def dsir_select(
     V = int(n_features)
 
     def grams_frame(df: DataFrame) -> DataFrame:
-        base = df.select(
-            F.col(id_col),
+        """→ (id, __fs): the doc's feature-bucket array (unigram token
+        buckets ++ derived bigram buckets), one md5 per token. The
+        token-bucket array is LET-BOUND as a lambda variable (the
+        single-element-array transform) — a staged column would be
+        re-inlined into every ``element_at`` by CollapseProject,
+        recomputing the whole md5 array per bigram element (measured
+        7× slower at sf0.1); a lambda variable is evaluated once."""
+        tb = F.transform(
             F.coalesce(
                 tokens(F.col(text_col)), F.array().cast("array<string>")
-            ).alias("__tk"),
-        )
-        bigrams = F.when(
-            F.size("__tk") >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size("__tk") - 2),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("__tk"), i + 1, F.lit(2))
-                ),
             ),
-        ).otherwise(F.array().cast("array<string>"))
-        return base.select(
-            F.col(id_col), F.concat(F.col("__tk"), bigrams).alias("__gs")
-        ).filter(F.size("__gs") > 0)
-
-    def bucket(g):
-        return F.pmod(md5_hash60(F.concat(g, F.lit(":" + seed))), F.lit(V))
+            lambda t: F.pmod(
+                md5_hash60(F.concat(t, F.lit(":" + seed))), F.lit(V)
+            ),
+        )
+        fs = F.flatten(
+            F.transform(
+                F.array(tb),  # let-binding: tb evaluates exactly once
+                lambda b: F.concat(
+                    b,
+                    F.when(
+                        F.size(b) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(b) - 2),
+                            lambda i: F.pmod(
+                                F.element_at(b, (i + 1).cast("int")) * 31
+                                + F.element_at(b, (i + 2).cast("int")),
+                                F.lit(V),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<long>")),
+                ),
+            )
+        )
+        return df.select(F.col(id_col), fs.alias("__fs")).filter(
+            F.size("__fs") > 0
+        )
 
     def counts_row(gf: DataFrame, map_alias: str, tot_alias: str):
         return (
             gf
-            .select(F.explode("__gs").alias("__g"))
-            .select(bucket(F.col("__g")).alias("__f"))
+            .select(F.explode("__fs").alias("__f"))
             .groupBy("__f")
             .agg(F.count(F.lit(1)).alias("__c"))
             .agg(
@@ -1004,13 +1029,13 @@ def dsir_select(
     )
     scored = grams_frame(raw).crossJoin(F.broadcast(weights)).select(
         F.col(id_col),
-        F.size("__gs").cast("long").alias("n_grams"),
+        F.size("__fs").cast("long").alias("n_grams"),
         (
             F.aggregate(
-                F.col("__gs"),
+                F.col("__fs"),
                 F.lit(0).cast("long"),
-                lambda acc, g: acc
-                + F.element_at(F.col("__w"), (bucket(g) + 1).cast("int")),
+                lambda acc, f: acc
+                + F.element_at(F.col("__w"), (f + 1).cast("int")),
             ).cast("double")
             / F.lit(1_000_000.0)
         ).alias("dsir_score"),

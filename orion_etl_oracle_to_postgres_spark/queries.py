@@ -10156,7 +10156,9 @@ def curation_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_sql(v=1024, k=100, seed="dsir0", target_mod=11) -> str:
-    h = _hex2int_sql(f"md5(g || ':{seed}')")
+    # per-TOKEN md5 bucket; bigram bucket derived as (31*b1 + b2) % v —
+    # replays operators/curation.dsir_select's one-md5-per-token scheme
+    h = _hex2int_sql(f"md5(t || ':{seed}')")
     return f"""
     WITH tk AS (
       SELECT doc_id,
@@ -10164,17 +10166,22 @@ def _dsir_sql(v=1024, k=100, seed="dsir0", target_mod=11) -> str:
                          x -> x <> '') AS ts
       FROM documents
     ),
-    gr AS (
+    tb AS (
       SELECT doc_id,
-             list_concat(ts, CASE WHEN len(ts) >= 2
-               THEN list_transform(range(len(ts) - 1),
-                                   i -> ts[i+1] || ' ' || ts[i+2])
-               ELSE []::VARCHAR[] END) AS gs
+             list_transform(ts, t -> ({h}) % {v}) AS bs
       FROM tk
     ),
+    gr AS (
+      SELECT doc_id,
+             list_concat(bs, CASE WHEN len(bs) >= 2
+               THEN list_transform(range(len(bs) - 1),
+                                   i -> (31 * bs[i+1] + bs[i+2]) % {v})
+               ELSE []::BIGINT[] END) AS gs
+      FROM tb
+    ),
     feat AS (
-      SELECT doc_id, ({h}) % {v} AS f
-      FROM (SELECT doc_id, unnest(gs) AS g FROM gr WHERE len(gs) > 0)
+      SELECT doc_id, f
+      FROM (SELECT doc_id, unnest(gs) AS f FROM gr WHERE len(gs) > 0)
     ),
     tcnt AS (SELECT f, count(*)::BIGINT AS c FROM feat
              WHERE doc_id % {target_mod} = 0 GROUP BY f),
