@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "etl_cap_per_source",  # declarative per-group cap via WindowGroupLimit
     "emb_dim_stats",  # per-dimension moments: one posexplode + dim-keyed agg
     "emb_whiten",  # broadcast dim stats -> zero-shuffle in-row standardize
+    "agg_hist_quantile_state",  # mergeable histogram fold + quantile finalize
 ]
 
 

@@ -165,3 +165,157 @@ def finalize_hll_state(state: DataFrame, keys: list[str]) -> DataFrame:
         *keys,
         F.hll_sketch_estimate(F.col("hll_state")).alias("approx_distinct"),
     )
+
+
+def build_hist_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Per-key equi-width HISTOGRAM state — the QUANTILE member of the
+    mergeable-state family (count/sum monoid = exact moments, HLL =
+    distinct counts, histogram = order statistics): one row per key
+    with a fixed ``n_buckets``-long bucket-count array over the
+    caller-declared ``[lo, hi)`` range, plus n/min/max. Two states with
+    the SAME layout merge by element-wise bucket sum — EXACTLY, unlike
+    HLL's bounded-error union — so daily increments fold into a running
+    state and any quantile finalizes from it with error bounded by one
+    bucket width, never a rescan of history. Values outside [lo, hi)
+    clamp into the edge buckets (the state's min/max record the true
+    extent, so a drifting distribution is visible before it silently
+    piles into an edge bucket). NULL values contribute nothing.
+
+    The layout (lo, hi, n_buckets) travels IN the state table
+    (``__lo``/``__hi``/``__nb`` columns) and ``merge_hist_states``
+    validates it — folding a day built with a different layout fails
+    loudly at merge time, the contract ADVICE r6 asked of the HLL twin.
+
+    100 TB shape: one map-side-combined aggregate per build (the
+    (keys × occupied-buckets) partial rows are the only shuffle), state
+    tables are keys-sized; nothing driver-side."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    w = (float(hi) - float(lo)) / int(n_buckets)
+    idx = F.least(
+        F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int"), F.lit(0)),
+        F.lit(int(n_buckets) - 1),
+    )
+    per_bucket = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, idx.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(v).alias("__mn"),
+            F.max(v).alias("__mx"),
+        )
+    )
+    agged = per_bucket.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__c"))).alias("__m"),
+        F.sum("__c").alias("n"),
+        F.min("__mn").alias("vmin"),
+        F.max("__mx").alias("vmax"),
+    )
+    return agged.select(
+        *keys,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_buckets) - 1)),
+            lambda i: F.coalesce(
+                F.element_at("__m", i), F.lit(0).cast("long")
+            ),
+        ).alias("hist"),
+        "n",
+        "vmin",
+        "vmax",
+        F.lit(float(lo)).alias("__lo"),
+        F.lit(float(hi)).alias("__hi"),
+        F.lit(int(n_buckets)).alias("__nb"),
+    )
+
+
+def merge_hist_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold any number of histogram state tables: element-wise bucket
+    sums per key (EXACT — fold order can never change the result),
+    min/max of extents. Layout drift (different lo/hi/n_buckets) fails
+    loudly with a bounded probe over the state rows — state tables are
+    keys-sized, so the probe is trivially cheap."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    cols = [*keys, "hist", "n", "vmin", "vmax", "__lo", "__hi", "__nb"]
+    u = states[0].select(cols)
+    for s in states[1:]:
+        u = u.unionByName(s.select(cols))
+    layouts = u.select("__lo", "__hi", "__nb").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"merge_hist_states: incompatible layouts {sorted(map(tuple, layouts))} "
+            "— states must share (lo, hi, n_buckets) to merge"
+        )
+    exploded = u.select(
+        *keys, "n", "vmin", "vmax", "__lo", "__hi", "__nb",
+        F.posexplode("hist").alias("__p", "__c"),
+    )
+    per_bucket = exploded.groupBy(*keys, "__p").agg(
+        F.sum("__c").alias("__c")
+    )
+    # rebuild the array in bucket order; n/min/max re-aggregated from
+    # the state rows (not the exploded ones, which replicate them)
+    folded_hist = per_bucket.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "__c"))),
+            lambda s: s["__c"],
+        ).alias("hist")
+    )
+    folded_stats = u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.first("__lo").alias("__lo"),
+        F.first("__hi").alias("__hi"),
+        F.first("__nb").alias("__nb"),
+    )
+    return folded_stats.join(folded_hist, keys)
+
+
+def finalize_hist_quantiles(
+    state: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """State → interpolated quantiles ``q_<q>`` per key (plus n).
+    Within the located bucket the value is linearly interpolated:
+    ``lo + width·(idx + (q·n − cum_before)/cnt)`` — the standard
+    histogram-quantile estimate, error bounded by one bucket width.
+    Deterministic closed-form arithmetic on exact integer counts, so a
+    SQL oracle replays it bit-for-bit. ``q`` must be in (0, 1]."""
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    from pyspark.sql import Window
+
+    b = state.select(
+        *keys, "n", "__lo", "__hi", "__nb",
+        F.posexplode("hist").alias("__p", "__c"),
+    )
+    wspec = Window.partitionBy(*keys).orderBy("__p")
+    b = b.withColumn("__cum", F.sum("__c").over(wspec))
+    width = (F.col("__hi") - F.col("__lo")) / F.col("__nb")
+    aggs = [F.first("n").alias("n")]
+    for q in qs:
+        target = F.lit(float(q)) * F.col("n")
+        val = F.col("__lo") + width * (
+            F.col("__p")
+            + (target - (F.col("__cum") - F.col("__c"))) / F.col("__c")
+        )
+        hit = (
+            (F.col("__c") > 0)
+            & (F.col("__cum") >= target)
+            & ((F.col("__cum") - F.col("__c")) < target)
+        )
+        label = f"q_{str(q).replace('.', '_')}"
+        aggs.append(F.min(F.when(hit, F.round(val, 6))).alias(label))
+    return b.groupBy(*keys).agg(*aggs)

@@ -10728,3 +10728,78 @@ def curation_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     pairs = _minhash_pairs_cached(spark, sf_dir)
     return cluster_safe_split(d, "doc_id", pairs)
+
+
+def _hist_quantile_sql(lo=0.0, hi=500.0, nb=100, qs=(0.5, 0.9, 0.99)) -> str:
+    w = (hi - lo) / nb
+    qcols = ",\n           ".join(
+        f"min(CASE WHEN cum >= {q}*n AND (cum - c) < {q}*n AND c > 0 "
+        f"THEN round({lo} + {w}*(p + ({q}*n - (cum - c))/c), 6) END) "
+        f"AS q_{str(q).replace('.', '_')}"
+        for q in qs
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_type,
+             least(greatest(CAST(floor((value - {lo}) / {w}) AS INT), 0),
+                   {nb - 1}) AS p
+      FROM events WHERE value IS NOT NULL
+    ),
+    bc AS (SELECT event_type, p, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, p, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY p) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM bc
+    )
+    SELECT event_type, n::BIGINT AS n,
+           {qcols},
+           true AS fold_exact
+    FROM cum
+    GROUP BY event_type, n
+    ORDER BY event_type
+    """
+
+
+@query("agg_hist_quantile_state", _hist_quantile_sql())
+def agg_hist_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mergeable HISTOGRAM-QUANTILE state (operators/aggstate.py:
+    build/merge/finalize_hist_state): the events table is processed as
+    two 'ingestion days' whose per-event-type equi-width histogram
+    states are built independently and FOLDED — completing the
+    mergeable-state family (count/sum monoid = exact moments, HLL =
+    distinct counts, histogram = order statistics). Bucket-count sums
+    merge EXACTLY (``fold_exact`` pins folded state == full-history
+    state, array-for-array), and p50/p90/p99 finalize from the folded
+    state by within-bucket linear interpolation — error bounded by one
+    bucket width, O(day) nightly cost. The oracle replays the bucket
+    assignment, cumulative scan, and interpolation bit-for-bit."""
+    from .operators import aggstate as A
+
+    kw = dict(lo=0.0, hi=500.0, n_buckets=100)
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", F.dayofmonth("ts").alias("__d")
+    )
+    s1 = A.build_hist_state(
+        e.filter(F.col("__d") % 2 == 0), ["event_type"], "value", **kw
+    )
+    s2 = A.build_hist_state(
+        e.filter(F.col("__d") % 2 == 1), ["event_type"], "value", **kw
+    )
+    merged = A.merge_hist_states([s1, s2], ["event_type"])
+    full = A.build_hist_state(e, ["event_type"], "value", **kw)
+    quant = A.finalize_hist_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99])
+    audit = (
+        merged.alias("m")
+        .join(full.alias("f"), "event_type")
+        .select(
+            "event_type",
+            (
+                (F.col("m.hist") == F.col("f.hist"))
+                & (F.col("m.n") == F.col("f.n"))
+                & (F.col("m.vmin") == F.col("f.vmin"))
+                & (F.col("m.vmax") == F.col("f.vmax"))
+            ).alias("fold_exact"),
+        )
+    )
+    return quant.join(audit, "event_type").orderBy("event_type")

@@ -123,3 +123,67 @@ def test_hll_merge_mixed_lg_k_contract(spark):
 
     with _pt.raises(PySparkException):
         A.merge_hll_states(hi, lo, ["k"], allow_different_lg_k=False).collect()
+
+
+def test_hist_state_fold_exact_and_quantiles(spark):
+    """Bucket-count sums merge EXACTLY (fold == full-history state,
+    array-for-array) and finalized quantiles sit within one bucket
+    width of the true order statistic."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators import aggstate as A
+
+    df = spark.range(0, 9000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    kw = dict(lo=0.0, hi=1000.0, n_buckets=50)  # width 20
+    parts = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    folded = A.merge_hist_states(
+        [A.build_hist_state(p, ["k"], "v", **kw) for p in parts], ["k"]
+    )
+    full = A.build_hist_state(df, ["k"], "v", **kw)
+    fm = {r.k: (r.hist, r.n, r.vmin, r.vmax) for r in folded.collect()}
+    ff = {r.k: (r.hist, r.n, r.vmin, r.vmax) for r in full.collect()}
+    assert fm == ff
+    q = {r.k: r for r in A.finalize_hist_quantiles(folded, ["k"], [0.5, 0.9]).collect()}
+    for k, r in q.items():
+        # v is ~uniform over [0, 997): true p50 ~ 498.5, p90 ~ 897.3
+        assert abs(r["q_0_5"] - 498.5) <= 20
+        assert abs(r["q_0_9"] - 897.3) <= 20
+
+
+def test_hist_state_layout_guard_and_validation(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators import aggstate as A
+
+    df = spark.range(0, 100).select(
+        F.lit("a").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    a = A.build_hist_state(df, ["k"], "v", lo=0.0, hi=100.0, n_buckets=10)
+    b = A.build_hist_state(df, ["k"], "v", lo=0.0, hi=200.0, n_buckets=10)
+    with _pt.raises(ValueError, match="incompatible layouts"):
+        A.merge_hist_states([a, b], ["k"])
+    with _pt.raises(ValueError, match="n_buckets"):
+        A.build_hist_state(df, ["k"], "v", lo=0.0, hi=1.0, n_buckets=0)
+    with _pt.raises(ValueError, match="hi > lo"):
+        A.build_hist_state(df, ["k"], "v", lo=1.0, hi=1.0)
+    with _pt.raises(ValueError, match="quantiles"):
+        A.finalize_hist_quantiles(a, ["k"], [0.0])
+
+
+def test_hist_state_clamps_and_skips_nulls(spark):
+    from orion_etl_oracle_to_postgres_spark.operators import aggstate as A
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 1.0), ("a", 999.0), ("a", None)],
+        "k string, v double",
+    )
+    s = A.build_hist_state(df, ["k"], "v", lo=0.0, hi=10.0, n_buckets=10)
+    r = s.collect()[0]
+    assert r["n"] == 3  # NULL contributes nothing
+    assert r["hist"][0] == 1  # -5 clamps into bucket 0 (width 1)
+    assert r["hist"][1] == 1  # 1.0 lands in [1, 2)
+    assert r["hist"][9] == 1  # 999 clamps into the top bucket
+    assert r["vmin"] == -5.0 and r["vmax"] == 999.0  # true extent kept
