@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "emb_dim_stats",  # per-dimension moments: one posexplode + dim-keyed agg
     "emb_whiten",  # broadcast dim stats -> zero-shuffle in-row standardize
     "agg_hist_quantile_state",  # mergeable histogram fold + quantile finalize
+    "curation_ccnet_buckets",  # LM score + per-lang quantile cuts broadcast back
 ]
 
 

@@ -1200,3 +1200,59 @@ def cluster_safe_split(
     return hash_split(labeled, "cluster_id", weights=weights, seed=seed).drop(
         "bucket"
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    *,
+    head: float = 0.25,
+    tail: float = 0.75,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): score every document with an LM perplexity proxy
+    (``text.unigram_logprob``'s corpus-self unigram model standing in
+    for CCNet's KenLM), cut each LANGUAGE at its own ``head``/``tail``
+    perplexity quantiles, and label docs ``head`` (lowest perplexity =
+    most Wikipedia-like), ``middle``, or ``tail`` — the classic
+    keep-head / re-examine-middle / drop-tail curation gate. Per-lang
+    cutoffs matter: absolute perplexity scales differ across languages,
+    so a global cut silently drops whole languages. Docs with zero
+    tokens carry no LM evidence and are excluded (no bucket is honest,
+    not a default).
+
+    Default cuts are 0.25/0.75 (binary-exact fractions: the quantile
+    interpolation index (n−1)·q is exact in a double, so a SQL oracle
+    replays the cutoffs bit-for-bit; CCNet's head/middle/tail thirds
+    would interpolate at 1/3 — engine-dependent in the last ulp).
+
+    100 TB shape: the LM score is two word-count shuffles + one
+    vocabulary join (see unigram_logprob); the cutoff table is
+    languages-sized via one exact-percentile aggregate and BROADCAST
+    back — the corpus joins it without shuffling. The exact percentile
+    sorts each language's scores inside the aggregate; at real scale
+    swap ``approx_percentile`` (same plan shape, bounded memory), the
+    same trade documented on curation_quality_cutoff."""
+    if not (0.0 < head < tail < 1.0):
+        raise ValueError(f"need 0 < head < tail < 1, got {head}, {tail}")
+    from .text import unigram_logprob
+
+    lp = unigram_logprob(df, text_col, id_col)
+    scored = df.select(F.col(id_col), F.col(lang_col)).join(lp, id_col)
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile("ppl_proxy", F.lit(float(head))).alias("cut_head"),
+        F.percentile("ppl_proxy", F.lit(float(tail))).alias("cut_tail"),
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "ppl_proxy",
+        F.round("cut_head", 4).alias("cut_head"),
+        F.round("cut_tail", 4).alias("cut_tail"),
+        F.when(F.col("ppl_proxy") <= F.col("cut_head"), F.lit("head"))
+        .when(F.col("ppl_proxy") <= F.col("cut_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

@@ -10803,3 +10803,58 @@ def agg_hist_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return quant.join(audit, "event_type").orderBy("event_type")
+
+
+@query(
+    "curation_ccnet_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    per_doc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT w, sum(c)::BIGINT AS cw FROM per_doc GROUP BY 1),
+    total AS (SELECT sum(cw) AS t FROM corpus),
+    lp AS (
+      SELECT per_doc.doc_id,
+             sum(per_doc.c * log2(corpus.cw / total.t))
+               / sum(per_doc.c) AS m
+      FROM per_doc JOIN corpus USING (w) CROSS JOIN total
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, round(pow(2.0, -lp.m), 4) AS ppl_proxy
+      FROM documents d JOIN lp USING (doc_id)
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(ppl_proxy, 0.25) AS c1,
+             quantile_cont(ppl_proxy, 0.75) AS c2
+      FROM scored GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang, s.ppl_proxy,
+           round(c.c1, 4) AS cut_head,
+           round(c.c2, 4) AS cut_tail,
+           CASE WHEN s.ppl_proxy <= c.c1 THEN 'head'
+                WHEN s.ppl_proxy <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored s JOIN cuts c USING (lang)
+    """,
+)
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CCNet-style per-language perplexity bucketing
+    (operators/curation.py:ccnet_buckets, after Wenzek et al. 2020):
+    every doc scored by the corpus-self unigram LM perplexity proxy,
+    each LANGUAGE cut at its own 0.25/0.75 perplexity quantiles
+    (binary-exact fractions — the interpolation index is exact, so
+    DuckDB's quantile_cont replays the cutoffs bit-for-bit), docs
+    labeled head/middle/tail — the keep/re-examine/drop curation gate.
+    LM scoring is two word-count shuffles + a vocabulary join; the
+    cutoff table is languages-sized and broadcast back, so the corpus
+    never shuffles after scoring."""
+    from .operators.curation import ccnet_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(d, "doc_id", "text", "lang")

@@ -1289,3 +1289,49 @@ def test_cluster_safe_split_co_travels_near_dups(spark):
 
     shares = Counter(r.split for r in out.values())
     assert set(shares) == {"train", "val", "test"}
+
+
+def test_ccnet_buckets_per_lang_cuts(spark):
+    """Per-language quantile cuts: each language's docs split ~25/50/25
+    regardless of absolute perplexity scale; zero-token docs are
+    excluded; the cutoff table broadcasts."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        ccnet_buckets,
+    )
+
+    rows = []
+    # lang a: common words repeated -> low ppl; 8 docs with a spread
+    for i in range(8):
+        rows.append((i, "a", "the cat sat " + ("the cat sat " * (i % 4))
+                     + f"rare{i} " * (i % 3)))
+    for i in range(8, 16):
+        rows.append((i, "b", f"completely different tokens t{i} u{i} v{i} "
+                     + "w common w common " * (i % 4)))
+    rows.append((99, "a", ""))  # zero tokens -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_buckets(df, "doc_id", "text", "lang")
+    got = out.collect()
+    assert all(r.doc_id != 99 for r in got)  # no LM evidence, no bucket
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert {r.ppl_bucket for r in rs} <= {"head", "middle", "tail"}
+        # every doc at or below its lang's head cut is labeled head
+        for r in rs:
+            if r.ppl_proxy <= r.cut_head:
+                assert r.ppl_bucket == "head"
+            elif r.ppl_proxy <= r.cut_tail:
+                assert r.ppl_bucket == "middle"
+            else:
+                assert r.ppl_bucket == "tail"
+        # cuts are the lang's own quantiles: head cut <= tail cut
+        assert rs[0].cut_head <= rs[0].cut_tail
+    # the two languages get DIFFERENT cutoffs (per-lang, not global)
+    assert by_lang["a"][0].cut_head != by_lang["b"][0].cut_head
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # cutoff table broadcast back
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="head < tail"):
+        ccnet_buckets(df, "doc_id", "text", "lang", head=0.8, tail=0.2)
