@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "emb_whiten",  # broadcast dim stats -> zero-shuffle in-row standardize
     "agg_hist_quantile_state",  # mergeable histogram fold + quantile finalize
     "curation_ccnet_buckets",  # LM score + per-lang quantile cuts broadcast back
+    "curation_shard_plan",  # two-phase global rank -> round-robin shard deal
+    "text_fim_transform",  # PSM triples: hash cuts, zero-shuffle projection
 ]
 
 

@@ -1256,3 +1256,42 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    seed: str = "shard0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic SHUFFLE-TO-SHARDS write plan for training export:
+    every row gets ``(shard_id, pos_in_shard)`` from its dense global
+    index in portable-hash order (``assign_stable_ids``), dealt
+    round-robin — ``shard_id = idx mod n_shards``, ``pos_in_shard =
+    idx div n_shards``. Round-robin over a hash-shuffled order gives
+    BOTH properties a training-data writer needs: shard sizes differ by
+    at most one row, and each shard is itself an unbiased shuffled
+    sample of the corpus (a trainer can stream shard 0 before shard 1
+    exists and still see an i.i.d.-looking stream). The same
+    (corpus, seed) always yields the same plan — resumable exports,
+    reproducible data order across engines.
+
+    100 TB shape: inherits assign_stable_ids' two-phase global rank
+    (fixed hash-range slices + broadcast prefix offsets — never a
+    single-partition window); the shard arithmetic is exact long
+    division in-row. Writing then partitions by ``shard_id`` — one
+    shuffle keyed on a perfectly balanced column."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    idx = assign_stable_ids(
+        df, id_col, out_col="__idx", seed=seed, n_buckets=n_buckets
+    )
+    return idx.select(
+        *df.columns,
+        (F.col("__idx") % n_shards).cast("int").alias("shard_id"),
+        ((F.col("__idx") - F.col("__idx") % n_shards) / n_shards)
+        .cast("long")
+        .alias("pos_in_shard"),
+    )

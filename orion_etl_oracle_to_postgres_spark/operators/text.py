@@ -1424,3 +1424,55 @@ def vocab_divergence(
         .orderBy(F.col("jsd_contrib").desc(), F.col("term"))
         .limit(int(top_terms))
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rate: float = 0.5,
+    seed: str = "fim0",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    for a deterministic ``rate`` fraction of documents, cut the text at
+    two hash-derived character positions into (prefix, middle, suffix)
+    — the PSM triple the trainer reorders to teach infilling; the
+    remaining documents pass through whole (prefix = text, empty
+    middle/suffix), preserving ordinary left-to-right capability, per
+    the paper's joint-training recipe. Character-level splits, again
+    per the paper (robust mid-token splits beat token-aligned ones).
+
+    No RNG anywhere (the (id, seed)-hash decides BOTH the apply flag
+    and the two cut points), so re-runs, engines, and partitionings
+    produce the identical corpus, and a SQL oracle replays every byte.
+    NULL text is treated as empty. Zero shuffles: one projection.
+    """
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    from ..functions import md5_hash60
+
+    def h(tag: str) -> Column:
+        return md5_hash60(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}:{tag}"))
+        )
+
+    s = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    n = F.length(s)
+    applied = h("apply") % 1000 < int(round(rate * 1000))
+    c1 = h("cut1") % (n + 1)
+    c2 = h("cut2") % (n + 1)
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
+    return df.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied, F.substring(s, 1, lo)).otherwise(s).alias("prefix"),
+        F.when(applied, F.substring(s, lo + 1, hi - lo))
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(applied, F.substring(s, hi + 1, n - hi))
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+    )

@@ -10858,3 +10858,72 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ccnet_buckets(d, "doc_id", "text", "lang")
+
+
+def _shard_plan_sql(n_shards=8, seed="shard0") -> str:
+    h = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}')")
+    return f"""
+    WITH idx AS (
+      SELECT doc_id, lang, source,
+             (row_number() OVER (ORDER BY {h} ASC, doc_id ASC) - 1)::BIGINT
+               AS i
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(i % {n_shards} AS INTEGER) AS shard_id,
+           (i // {n_shards})::BIGINT AS pos_in_shard
+    FROM idx
+    """
+
+
+@query("curation_shard_plan", _shard_plan_sql())
+def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic shuffle-to-shards training-export plan
+    (operators/curation.py:shard_plan): dense global index in portable
+    hash order dealt round-robin into 8 shards — shard sizes differ by
+    at most one AND each shard is its own unbiased shuffled sample.
+    Two-phase global rank (hash-range slices + broadcast prefix
+    offsets), never a single-partition window; the oracle replays the
+    naive global row_number it is bit-identical to."""
+    from .operators.curation import shard_plan
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return shard_plan(d, "doc_id", n_shards=8)
+
+
+def _fim_sql(rate=0.5, seed="fim0") -> str:
+    ha = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:apply')")
+    h1 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut1')")
+    h2 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut2')")
+    thr = int(round(rate * 1000))
+    return f"""
+    WITH s AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             ({ha}) % 1000 < {thr} AS ap,
+             least(({h1}) % (length(coalesce(text, '')) + 1),
+                   ({h2}) % (length(coalesce(text, '')) + 1)) AS lo,
+             greatest(({h1}) % (length(coalesce(text, '')) + 1),
+                      ({h2}) % (length(coalesce(text, '')) + 1)) AS hi
+      FROM documents
+    )
+    SELECT doc_id, ap AS fim_applied,
+           CASE WHEN ap THEN substr(t, 1, lo) ELSE t END AS prefix,
+           CASE WHEN ap THEN substr(t, lo + 1, hi - lo) ELSE '' END AS middle,
+           CASE WHEN ap THEN substr(t, hi + 1, length(t) - hi) ELSE '' END
+             AS suffix
+    FROM s
+    """
+
+
+@query("text_fim_transform", _fim_sql())
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Fill-in-the-middle transform (operators/text.py:
+    fim_transform, Bavarian et al. 2022): a deterministic 50% of docs
+    cut at two (id, seed)-hash character positions into PSM
+    (prefix, middle, suffix) triples; the rest pass through whole —
+    the joint FIM+AR training mix. No RNG, zero shuffles; the oracle
+    replays apply flags, cut points, and every substring byte."""
+    from .operators.text import fim_transform
+
+    d = _t(spark, sf_dir, "documents")
+    return fim_transform(d, "doc_id", "text")

@@ -1335,3 +1335,65 @@ def test_ccnet_buckets_per_lang_cuts(spark):
 
     with _pt.raises(ValueError, match="head < tail"):
         ccnet_buckets(df, "doc_id", "text", "lang", head=0.8, tail=0.2)
+
+
+def test_shard_plan_balanced_and_deterministic(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        shard_plan,
+    )
+
+    df = spark.range(0, 1003).withColumnRenamed("id", "doc_id")
+    out = shard_plan(df, "doc_id", n_shards=4).collect()
+    again = shard_plan(df, "doc_id", n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    from collections import Counter
+
+    sizes = Counter(r.shard_id for r in out)
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # balanced ±1
+    # positions within each shard are dense 0..size-1 (streamable)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # round-robin over hash order: consecutive source ids scatter
+    shard_of = {r.doc_id: r.shard_id for r in out}
+    assert len({shard_of[i] for i in range(16)}) > 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_shards"):
+        shard_plan(df, "doc_id", n_shards=0)
+
+
+def test_fim_transform_reassembles_and_passthrough(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        fim_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some fill in the middle text")
+         for i in range(200)] + [(999, None)],
+        "doc_id long, text string",
+    )
+    out = fim_transform(df, "doc_id", "text", rate=0.5).collect()
+    by_id = {r.doc_id: r for r in out}
+    applied = [r for r in out if r.fim_applied and r.doc_id != 999]
+    plain = [r for r in out if not r.fim_applied and r.doc_id != 999]
+    assert applied and plain  # rate 0.5 hits both classes
+    for r in applied:
+        # PSM reassembles to the original byte-for-byte
+        assert r.prefix + r.middle + r.suffix == \
+            f"document number {r.doc_id} with some fill in the middle text"
+    for r in plain:
+        assert r.middle == "" and r.suffix == ""
+        assert r.prefix == \
+            f"document number {r.doc_id} with some fill in the middle text"
+    assert by_id[999].prefix == ""  # NULL text treated as empty
+    # rate=0 never applies; rate=1 always applies
+    all_on = fim_transform(df, "doc_id", "text", rate=1.0).collect()
+    assert all(r.fim_applied for r in all_on)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rate"):
+        fim_transform(df, "doc_id", "text", rate=1.5)
