@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "curation_ccnet_buckets",  # LM score + per-lang quantile cuts broadcast back
     "curation_shard_plan",  # two-phase global rank -> round-robin shard deal
     "text_fim_transform",  # PSM triples: hash cuts, zero-shuffle projection
+    "emb_label_noise",  # corpus-self LSH bucket join, no broadcast side
 ]
 
 

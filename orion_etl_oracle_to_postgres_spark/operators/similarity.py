@@ -1673,3 +1673,110 @@ def vector_quality_report(
         F.round(F.avg(F.when(healthy, norm)), decimals).alias("norm_mean"),
         F.round(F.stddev_pop(F.when(healthy, norm)), decimals).alias("norm_std"),
     )
+
+
+def label_noise_scan(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_disagreement: float = 0.5,
+) -> DataFrame:
+    """Mislabeled-example detector by k-NN label disagreement (the
+    confident-learning / deep-kNN heuristic): for every labeled vector,
+    the fraction of its k nearest neighbors (sign-LSH bucket
+    candidates, self excluded) carrying a DIFFERENT label →
+    ``(id, label, n_neighbors, n_disagree, disagreement, flagged)``.
+    A point whose neighborhood overwhelmingly disagrees with its label
+    is a labeling error or a boundary case — route ``flagged`` rows to
+    human review before they poison a classifier or a hard-negative
+    miner (which would serve actual positives as negatives).
+
+    Unlike ``knn_join``/``knn_join_lsh`` (small query side, broadcast),
+    this scans the WHOLE corpus against itself: both sides bucket by
+    the same deterministic hyperplanes and candidates come from the
+    (bucket) equi-join — a normal shuffle join keyed on the signature,
+    no broadcast, so the corpus-self scan stays 100 TB-safe (write the
+    corpus bucketed by signature and the join co-locates). Neighbors
+    are approximate (bucket recall): isolated points may see fewer
+    than k neighbors; points alone in their bucket report zero
+    neighbors and are never flagged (no evidence ≠ noise).
+
+    ``rank <= k`` with a constant k compiles to WindowGroupLimit — each
+    task pre-limits its bucket-local candidates before the exchange."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 < min_disagreement <= 1.0):
+        raise ValueError(
+            f"min_disagreement must be in (0, 1], got {min_disagreement}"
+        )
+    planes = make_planes(_first_dim(df, vec_col), n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        v.alias("__v"),
+        hyperplane_signature(v, planes).alias("__bk"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("__qid"),
+        F.col(label_col).alias("__qlbl"),
+        F.col("__v").alias("__qv"),
+        "__bk",
+    )
+    b = sig.select(
+        F.col(id_col).alias("__nid"),
+        F.col(label_col).alias("__nlbl"),
+        F.col("__v").alias("__nv"),
+        "__bk",
+    )
+    scored = (
+        a.join(b, "__bk")
+        .filter(F.col("__qid") != F.col("__nid"))
+        .select(
+            "__qid",
+            "__qlbl",
+            "__nid",
+            "__nlbl",
+            F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("__nid")
+    )
+    top = scored.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    agg = top.groupBy(F.col("__qid").alias(id_col)).agg(
+        F.first("__qlbl").alias(label_col),
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("__nlbl") != F.col("__qlbl"), 1).otherwise(0)
+        ).cast("long").alias("n_disagree"),
+    )
+    # left join back: points alone in their bucket still report a row
+    base = df.select(F.col(id_col), F.col(label_col))
+    out = base.join(agg.drop(label_col), id_col, "left")
+    dis = F.when(
+        F.col("n_neighbors").isNotNull(),
+        F.round(F.col("n_disagree") / F.col("n_neighbors"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        label_col,
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        F.coalesce("n_disagree", F.lit(0)).alias("n_disagree"),
+        dis.alias("disagreement"),
+        (
+            F.col("n_neighbors").isNotNull()
+            & (
+                F.col("n_disagree") * 1000
+                >= F.lit(int(round(min_disagreement * 1000)))
+                * F.col("n_neighbors")
+            )
+        ).alias("flagged"),
+    )

@@ -10927,3 +10927,56 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return fim_transform(d, "doc_id", "text")
+
+
+def _label_noise_sql(n_planes=6, k=5, thr=500) -> str:
+    planes = similarity.make_planes(_EMB_DIM, n_planes, seed=42)
+    sig = _sig_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v, {sig} AS s
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS qid, a.label AS qlbl, b.vec_id AS nid,
+             b.label AS nlbl,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id <> b.vec_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        FROM cand) WHERE rk <= {k}
+    ),
+    agg AS (
+      SELECT qid, count(*)::BIGINT AS n_neighbors,
+             sum(CASE WHEN nlbl <> qlbl THEN 1 ELSE 0 END)::BIGINT
+               AS n_disagree
+      FROM top GROUP BY qid
+    )
+    SELECT e.vec_id, e.label,
+           coalesce(a.n_neighbors, 0)::BIGINT AS n_neighbors,
+           coalesce(a.n_disagree, 0)::BIGINT AS n_disagree,
+           CASE WHEN a.n_neighbors IS NOT NULL
+                THEN round(a.n_disagree / a.n_neighbors::DOUBLE, 6)
+                ELSE 0.0 END AS disagreement,
+           (a.n_neighbors IS NOT NULL
+            AND a.n_disagree * 1000 >= {thr} * a.n_neighbors) AS flagged
+    FROM embeddings e LEFT JOIN agg a ON a.qid = e.vec_id
+    """
+
+
+@query("emb_label_noise", _label_noise_sql())
+def emb_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mislabeled-example detector
+    (operators/similarity.py:label_noise_scan): k-NN label disagreement
+    over the labeled embeddings — each vector's 5 nearest sign-LSH
+    bucket candidates vote; a majority-disagreeing neighborhood flags
+    the row for review (confident-learning heuristic). Corpus-self
+    bucket equi-join (NO broadcast side — both sides shuffle on the
+    signature key, the self-scan that stays 100 TB-safe), constant-k
+    WindowGroupLimit, integer disagreement threshold. The oracle
+    replicates bucket membership exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.label_noise_scan(e, k=5, n_planes=6)

@@ -829,3 +829,38 @@ def test_vector_quality_report_flags_each_failure_mode(spark):
         df, "embedding", expected_dim=1
     ).collect()[0]
     assert r2.n_wrong_dim == 4 and r2.norm_mean == 1.0
+
+
+def test_label_noise_scan_flags_mislabels(spark):
+    """A point labeled against its tight cluster is flagged; cluster-
+    consistent points are not; a bucket-isolated point reports zero
+    neighbors and is never flagged (no evidence != noise)."""
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        label_noise_scan,
+    )
+
+    rows = []
+    # cluster A around +e1 (label 0) — one deliberately mislabeled as 1
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 1 if i == 0 else 0))
+    # cluster B around -e1 (label 1), consistent
+    for i in range(6, 12):
+        rows.append((i, [-1.0, 0.01 * i, 0.0, 0.0], 1))
+    # isolated point far from both in sign pattern
+    rows.append((99, [0.0, 0.0, -1.0, 1.0], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.vec_id: r for r in label_noise_scan(df, k=3, n_planes=4).collect()}
+    assert len(out) == 13  # every input row reports
+    assert out[0].flagged is True  # the planted mislabel
+    assert out[0].disagreement == 1.0
+    for i in range(1, 6):
+        # neighbors within cluster A: one of them is the mislabeled 0
+        assert out[i].flagged is False
+    for i in range(6, 12):
+        assert out[i].flagged is False and out[i].n_disagree == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_disagreement"):
+        label_noise_scan(df, min_disagreement=0.0)
+    with _pt.raises(ValueError, match="k must be"):
+        label_noise_scan(df, k=0)
