@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "curation_shard_plan",  # two-phase global rank -> round-robin shard deal
     "text_fim_transform",  # PSM triples: hash cuts, zero-shuffle projection
     "emb_label_noise",  # corpus-self LSH bucket join, no broadcast side
+    "etl_fim_pairs",  # declarative FIM augment: in-row PSM serialization
 ]
 
 

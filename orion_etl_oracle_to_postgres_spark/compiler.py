@@ -1185,6 +1185,36 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                     f"{spec.source_table}: augment output column {c!r} "
                     "already in the pipeline output — rename it"
                 )
+        if au.method == "fim":
+            from .operators.text import fim_exprs
+
+            applied, prefix, middle, suffix = fim_exprs(
+                F.col(au.id_column),
+                F.col(au.text_column),
+                rate_permille=au.rate_permille,
+                seed=au.seed,
+            )
+            # PSM serialization: sentinels mirror span_corruption's
+            # convention; non-applied rows train as plain AR (whole
+            # text in, NULL target) — the paper's joint mix. In-row,
+            # no join, no shuffle — streams per micro-batch unchanged.
+            df = df.withColumn(
+                au.input_column,
+                F.when(
+                    applied,
+                    F.concat(
+                        F.lit("<PRE>"), prefix,
+                        F.lit("<SUF>"), suffix,
+                        F.lit("<MID>"),
+                    ),
+                ).otherwise(
+                    F.coalesce(F.col(au.text_column).cast("string"), F.lit(""))
+                ),
+            ).withColumn(au.target_column, F.when(applied, middle))
+            return _finish_compile(
+                spec, df, checks, incremental_commit, quarantine_df,
+                quality_rejects, decontam_rejects, vmetrics, self_rules,
+            )
         from .functions import tokens
         from .operators.dedup import _span_segments
         from .operators.text import span_corruption_exprs, span_mask_flags_expr
@@ -1230,6 +1260,19 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             .drop(*names.values())
         )
 
+    return _finish_compile(
+        spec, df, checks, incremental_commit, quarantine_df,
+        quality_rejects, decontam_rejects, vmetrics, self_rules,
+    )
+
+
+def _finish_compile(
+    spec, df, checks, incremental_commit, quarantine_df,
+    quality_rejects, decontam_rejects, vmetrics, self_rules,
+) -> CompiledTable:
+    """The shared compile tail (self-lookup resolution + CompiledTable
+    assembly) — both augment-method branches end here, so the J2 stage
+    and the result contract can never diverge between them."""
     # 6. self-lookup resolution (J2) — pre-write self-join
     for r in self_rules:
         df = self_lookup(df, r.target or r.source, r.lookup)

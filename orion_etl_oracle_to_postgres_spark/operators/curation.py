@@ -1282,7 +1282,13 @@ def shard_plan(
     (fixed hash-range slices + broadcast prefix offsets — never a
     single-partition window); the shard arithmetic is exact long
     division in-row. Writing then partitions by ``shard_id`` — one
-    shuffle keyed on a perfectly balanced column."""
+    shuffle keyed on a perfectly balanced column.
+
+    Relation to ``sinks/export.py:export_training_shards``: the sink
+    assigns ``shard = hash mod n`` directly (one pass, sizes only
+    ~equal, no positions); this PLAN adds exact ±1 balance and dense
+    per-shard positions — what a resumable/seekable trainer needs —
+    at the cost of the global-rank shuffle."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     idx = assign_stable_ids(

@@ -1451,28 +1451,51 @@ def fim_transform(
     """
     if not (0.0 <= rate <= 1.0):
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    applied, prefix, middle, suffix = fim_exprs(
+        F.col(id_col), F.col(text_col),
+        rate_permille=int(round(rate * 1000)), seed=seed,
+    )
+    return df.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+    )
+
+
+def fim_exprs(
+    id_expr: Column,
+    text_expr: Column,
+    *,
+    rate_permille: int = 500,
+    seed: str = "fim0",
+) -> tuple[Column, Column, Column, Column]:
+    """The in-row expression core of ``fim_transform`` →
+    ``(applied, prefix, middle, suffix)`` columns — shared with the
+    compiler's declarative ``augment: {method: fim}`` stage so the two
+    can never diverge (the same single-source rule as
+    ``span_corruption_exprs``). Non-applied rows: whole text as prefix,
+    empty middle/suffix."""
     from ..functions import md5_hash60
 
     def h(tag: str) -> Column:
         return md5_hash60(
-            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}:{tag}"))
+            F.concat(id_expr.cast("string"), F.lit(f":{seed}:{tag}"))
         )
 
-    s = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    s = F.coalesce(text_expr.cast("string"), F.lit(""))
     n = F.length(s)
-    applied = h("apply") % 1000 < int(round(rate * 1000))
+    applied = h("apply") % 1000 < int(rate_permille)
     c1 = h("cut1") % (n + 1)
     c2 = h("cut2") % (n + 1)
     lo = F.least(c1, c2).cast("int")
     hi = F.greatest(c1, c2).cast("int")
-    return df.select(
-        F.col(id_col),
-        applied.alias("fim_applied"),
-        F.when(applied, F.substring(s, 1, lo)).otherwise(s).alias("prefix"),
-        F.when(applied, F.substring(s, lo + 1, hi - lo))
-        .otherwise(F.lit(""))
-        .alias("middle"),
-        F.when(applied, F.substring(s, hi + 1, n - hi))
-        .otherwise(F.lit(""))
-        .alias("suffix"),
+    prefix = F.when(applied, F.substring(s, 1, lo)).otherwise(s)
+    middle = F.when(applied, F.substring(s, lo + 1, hi - lo)).otherwise(
+        F.lit("")
     )
+    suffix = F.when(applied, F.substring(s, hi + 1, n - hi)).otherwise(
+        F.lit("")
+    )
+    return applied, prefix, middle, suffix

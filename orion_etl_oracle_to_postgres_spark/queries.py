@@ -10980,3 +10980,59 @@ def emb_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates bucket membership exactly."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.label_noise_scan(e, k=5, n_planes=6)
+
+
+def _etl_fim_sql(rate=500, seed="fim0") -> str:
+    ha = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:apply')")
+    h1 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut1')")
+    h2 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut2')")
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang, coalesce(text, '') AS t,
+             ({ha}) % 1000 < {rate} AS ap,
+             least(({h1}) % (length(coalesce(text, '')) + 1),
+                   ({h2}) % (length(coalesce(text, '')) + 1)) AS lo,
+             greatest(({h1}) % (length(coalesce(text, '')) + 1),
+                      ({h2}) % (length(coalesce(text, '')) + 1)) AS hi
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN ap THEN '<PRE>' || substr(t, 1, lo)
+                          || '<SUF>' || substr(t, hi + 1, length(t) - hi)
+                          || '<MID>'
+                ELSE t END AS input_text,
+           CASE WHEN ap THEN substr(t, lo + 1, hi - lo) END AS target_text
+    FROM s
+    """
+
+
+@query("etl_fim_pairs", _etl_fim_sql())
+def etl_fim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative FIM augmentation
+    (``augment: {method: fim}``, compiler.py → text.fim_exprs): a
+    deterministic half of the outgoing rows serialized PSM-style
+    (``<PRE>prefix<SUF>suffix<MID>`` → middle), the rest whole-text
+    with a NULL target — the joint FIM+AR training mix, attached
+    in-row inside the one-plan pipeline. Oracle replays the apply
+    flags, cut points, and sentinel serialization byte-for-byte."""
+    from .spec import AugmentSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_fim",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        augment=AugmentSpec(
+            text_column="text",
+            id_column="doc_id",
+            method="fim",
+            rate_permille=500,
+            seed="fim0",
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select(
+        "doc_id", "lang", "input_text", "target_text"
+    )

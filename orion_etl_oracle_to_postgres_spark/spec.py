@@ -682,13 +682,22 @@ class AugmentSpec(BaseModel):
     RNG, so re-runs and incremental appends corrupt identically.
     Zero-token documents keep their row with NULL pair columns (an
     augment stage must never drop rows). ENTIRELY in-row (no join, no
-    shuffle) — streams per micro-batch unchanged."""
+    shuffle) — streams per micro-batch unchanged.
+
+    ``method: fim`` attaches fill-in-the-middle pairs (Bavarian et al.
+    2022, ``text.fim_exprs``): a deterministic ``rate_permille``
+    fraction of rows is cut at two (id, seed)-hash character positions
+    and serialized PSM-style — ``input_column`` =
+    ``<PRE>prefix<SUF>suffix<MID>``, ``target_column`` = middle; the
+    rest keep the whole text as ``input_column`` with a NULL target
+    (the joint FIM+AR mix). Same in-row/no-RNG/streaming contract."""
 
     text_column: str
     id_column: str
     method: str = "span_corruption"
     span_tokens: int = Field(default=5, ge=1)
     mask_permille: int = Field(default=150, ge=0, le=1000)
+    rate_permille: int = Field(default=500, ge=0, le=1000)  # fim only
     seed: str = "sc0"
     input_column: str = "input_text"
     target_column: str = "target_text"
@@ -696,8 +705,10 @@ class AugmentSpec(BaseModel):
     @field_validator("method")
     @classmethod
     def _known_augment_method(cls, v: str) -> str:
-        if v != "span_corruption":
-            raise ValueError(f"augment method must be span_corruption, got {v!r}")
+        if v not in ("span_corruption", "fim"):
+            raise ValueError(
+                f"augment method must be span_corruption or fim, got {v!r}"
+            )
         return v
 
 

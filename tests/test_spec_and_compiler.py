@@ -2242,3 +2242,61 @@ def test_dedup_soft_method_annotates_instead_of_dropping(spark, tmp_path):
     t2 = t.model_copy(update={"write_mode": "append"})
     with pytest.raises(ValueError, match="batch-only"):
         _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t2, None)
+
+
+def test_augment_fim_declarative(spark, tmp_path):
+    """augment: {method: fim} attaches PSM pairs in-row: applied rows
+    reassemble to the original text from the sentinel pieces, plain
+    rows keep the whole text with a NULL target; zero shuffles."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    spark.createDataFrame(
+        [(i, f"row {i} text for fill in the middle") for i in range(40)],
+        "id long, body string",
+    ).coalesce(1).write.mode("append").parquet(str(src / "land"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_fim",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        augment=spec_mod.AugmentSpec(
+            text_column="body", id_column="id",
+            method="fim", rate_permille=500,
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    compiled = compile_table(ctx, t)
+    plan = compiled.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # in-row: scan + project only
+    rows = compiled.df.collect()
+    assert len(rows) == 40  # augment never drops rows
+    applied = [r for r in rows if r["target_text"] is not None]
+    plain = [r for r in rows if r["target_text"] is None]
+    assert applied and plain  # rate 500 permille hits both classes
+    for r in applied:
+        it = r["input_text"]
+        assert it.startswith("<PRE>") and it.endswith("<MID>")
+        pre, rest = it[len("<PRE>"):].split("<SUF>", 1)
+        suf = rest[: -len("<MID>")]
+        assert pre + r["target_text"] + suf == r["body"]
+    for r in plain:
+        assert r["input_text"] == r["body"]
+    # unknown method refused at spec load
+    with pytest.raises(Exception, match="span_corruption or fim"):
+        spec_mod.AugmentSpec(text_column="body", id_column="id", method="psm")
