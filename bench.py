@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "text_fim_transform",  # PSM triples: hash cuts, zero-shuffle projection
     "emb_label_noise",  # corpus-self LSH bucket join, no broadcast side
     "etl_fim_pairs",  # declarative FIM augment: in-row PSM serialization
+    "multimodal_audio_gate",  # Arrow decode + zero-shuffle JVM rule gate
 ]
 
 

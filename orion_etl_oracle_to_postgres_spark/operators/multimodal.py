@@ -532,3 +532,69 @@ def video_near_dups(
             ),
         )
     )
+
+
+def audio_quality_gate(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    min_duration_ms: int = 1000,
+    max_duration_ms: int = 30_000,
+    min_rms: float = 0.1,
+    clip_peak: float = 0.99,
+) -> DataFrame:
+    """Audio-quality hard gate — the AUDIO leg of the rule families
+    (``text.gopher_rules`` for text, phash/frame sets for image/video
+    dedup): decode waveform stats (:func:`decode_audio_features`) and
+    apply the standard speech-corpus keep rules — duration window
+    (clips too short carry no training signal, too long blow past the
+    context), minimum RMS energy (silence/near-silence), and clipping
+    (peak at full scale = distorted capture). → ``(id, duration_ms,
+    rms, peak, failed_rules, keep)`` with the failed rules NAMED
+    (comma-joined, deterministic order) — a curation gate must say why
+    it dropped a clip. NULL payloads fail as ``no_payload``.
+
+    100 TB shape: the Arrow decode is the only Python; the rule checks
+    are one zero-shuffle JVM projection over the stats columns, and
+    payloads never shuffle (the gate consumes stats, not bytes)."""
+    if not (0 <= min_duration_ms <= max_duration_ms):
+        raise ValueError(
+            f"need 0 <= min_duration_ms <= max_duration_ms, got "
+            f"{min_duration_ms}, {max_duration_ms}"
+        )
+    feats = decode_audio_features(
+        df, payload_col=payload_col, id_col=id_col
+    )
+    rules = [
+        ("no_payload", F.col("duration_ms").isNull()),
+        (
+            "too_short",
+            F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") < int(min_duration_ms)),
+        ),
+        (
+            "too_long",
+            F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > int(max_duration_ms)),
+        ),
+        (
+            "too_quiet",
+            F.col("rms").isNotNull() & (F.col("rms") < float(min_rms)),
+        ),
+        (
+            "clipping",
+            F.col("peak").isNotNull() & (F.col("peak") >= float(clip_peak)),
+        ),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return feats.select(
+        id_col,
+        "duration_ms",
+        "rms",
+        "peak",
+        failed.alias("failed_rules"),
+        (failed == "").alias("keep"),
+    )

@@ -11036,3 +11036,57 @@ def etl_fim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec).select(
         "doc_id", "lang", "input_text", "target_text"
     )
+
+
+def _audio_gate_sql(
+    min_ms=1000, max_ms=30_000, min_rms=0.1, clip=0.99
+) -> str:
+    b0 = _hexbyte_sql("sha", 0)
+    b1 = _hexbyte_sql("sha", 1)
+    b2 = _hexbyte_sql("sha", 2)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(n_bytes * 1000
+                  // ([8000, 16000, 24000, 48000])[({b0} % 4) + 1]
+               AS BIGINT) AS duration_ms,
+             round({b1} / 255.0, 6) AS rms,
+             round(greatest({b1}, {b2}) / 255.0, 6) AS peak
+      FROM s
+    ),
+    g AS (
+      SELECT doc_id, duration_ms, rms, peak,
+             concat_ws(',',
+               CASE WHEN duration_ms IS NULL THEN 'no_payload' END,
+               CASE WHEN duration_ms < {min_ms} THEN 'too_short' END,
+               CASE WHEN duration_ms > {max_ms} THEN 'too_long' END,
+               CASE WHEN rms < {min_rms} THEN 'too_quiet' END,
+               CASE WHEN peak >= {clip} THEN 'clipping' END
+             ) AS failed_rules
+      FROM r
+    )
+    SELECT doc_id, duration_ms, rms, peak, failed_rules,
+           failed_rules = '' AS keep
+    FROM g
+    """
+
+
+@query("multimodal_audio_gate", _audio_gate_sql())
+def multimodal_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Audio-quality hard gate
+    (operators/multimodal.py:audio_quality_gate): duration window +
+    minimum RMS energy + clipping detection over the stub-decoded
+    waveform stats — the audio leg of the rule-gate family
+    (text.gopher_rules for text). Arrow decode is the only Python; the
+    rule checks are one zero-shuffle JVM projection and payloads never
+    shuffle. Named failed rules, deterministic order; oracle replays
+    the sha-derived stats and every rule byte-for-byte."""
+    b = multimodal.attach_fake_binary(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", media_type="audio"
+    )
+    return multimodal.audio_quality_gate(b)

