@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "emb_label_noise",  # corpus-self LSH bucket join, no broadcast side
     "etl_fim_pairs",  # declarative FIM augment: in-row PSM serialization
     "multimodal_audio_gate",  # Arrow decode + zero-shuffle JVM rule gate
+    "etl_ccnet_gate",  # declarative CCNet gate: LM + rank quota in-pipeline
 ]
 
 

@@ -938,6 +938,35 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 bias=qf.bias,
                 weights=qf.weights,
             )
+        elif qf.method == "ccnet":
+            # CCNet per-language perplexity gate: the one scoring method
+            # that costs a corpus aggregate (unigram_logprob's two
+            # word-count shuffles) plus an id-keyed join back — spec
+            # validation already pinned top_fraction (+id/group columns)
+            # so the adaptive rank gate below consumes the score, and
+            # the streaming gate refuses it via the top_fraction rule.
+            from .operators.text import unigram_logprob
+
+            for c in (qf.id_column, qf.text_column):
+                if c not in df.columns:
+                    raise ValueError(
+                        f"{spec.source_table}: quality_filter column "
+                        f"{c!r} not in pipeline output {df.columns}"
+                    )
+            tk_col = "_qf_ppl"
+            while tk_col in df.columns:
+                tk_col = "_" + tk_col
+            lp = unigram_logprob(
+                df.select(qf.id_column, qf.text_column),
+                qf.text_column,
+                qf.id_column,
+            ).select(qf.id_column, F.col("ppl_proxy").alias(tk_col))
+            # left join: zero-token rows carry NULL score → audited
+            # rejects under the rank gate's explicit NULL rejection
+            df = df.join(lp, qf.id_column, "left")
+            # NEGATIVE perplexity: the rank gate keeps the HIGHEST
+            # scores, CCNet keeps the LOWEST perplexity
+            q = -F.col(tk_col)
         else:
             q = F.round(quality_expr(F.col(qf.text_column)), 6)
         if qf.top_fraction is not None:

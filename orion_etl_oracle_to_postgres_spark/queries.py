@@ -11090,3 +11090,61 @@ def multimodal_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id", media_type="audio"
     )
     return multimodal.audio_quality_gate(b)
+
+
+@query(
+    "etl_ccnet_gate",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    per_doc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT w, sum(c)::BIGINT AS cw FROM per_doc GROUP BY 1),
+    total AS (SELECT sum(cw) AS t FROM corpus),
+    lp AS (
+      SELECT per_doc.doc_id,
+             round(pow(2.0, -(sum(per_doc.c * log2(corpus.cw / total.t))
+                              / sum(per_doc.c))), 4) AS ppl
+      FROM per_doc JOIN corpus USING (w) CROSS JOIN total
+      GROUP BY 1
+    )
+    SELECT doc_id, lang FROM (
+      SELECT d.doc_id, d.lang, lp.ppl,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY lp.ppl ASC NULLS LAST, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS n
+      FROM documents d LEFT JOIN lp USING (doc_id)
+    ) WHERE ppl IS NOT NULL AND rn * 1000 <= n * 750 + 999
+    """,
+)
+def etl_ccnet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative CCNet gate
+    (``quality_filter: {method: ccnet}``, compiler.py): the YAML user
+    keeps each LANGUAGE's lowest-perplexity 75% (head+middle of the
+    CCNet buckets) — corpus-self unigram-LM score joined back by id,
+    then the same rank-exact integer quota as top_fraction. Oracle
+    replays the LM, the per-lang ordering (ppl asc == the compiled
+    -ppl desc), and the quota arithmetic."""
+    from .spec import QualityFilterSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_ccnet",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        quality_filter=QualityFilterSpec(
+            text_column="text",
+            method="ccnet",
+            top_fraction=0.75,
+            id_column="doc_id",
+            group_column="lang",
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select("doc_id", "lang")

@@ -522,6 +522,14 @@ class QualityFilterSpec(BaseModel):
     group-keyed window shuffle the adaptive policy fundamentally
     needs. NULL-scoring rows are rejects under both policies.
 
+    ``method: ccnet`` is the CCNet per-LANGUAGE perplexity gate
+    (``operators/curation.ccnet_buckets``'s keep side): rows scored by
+    the corpus-self unigram-LM perplexity proxy and each
+    ``group_column`` value keeps its lowest-perplexity ``top_fraction``
+    — the one scoring method that costs a corpus aggregate (two
+    word-count shuffles + an id-keyed join back), so it is batch-only
+    and requires ``top_fraction``/``id_column``/``group_column``.
+
     ``method: gopher`` is the CATEGORICAL third option: the 7 hard
     MassiveText rules (``text.gopher_rule_conds``) — a row is kept iff
     every rule passes; there is no score, so ``min_quality`` is ignored
@@ -548,9 +556,10 @@ class QualityFilterSpec(BaseModel):
     @field_validator("method")
     @classmethod
     def _known_quality_method(cls, v: str) -> str:
-        if v not in ("heuristic", "classifier", "gopher"):
+        if v not in ("heuristic", "classifier", "gopher", "ccnet"):
             raise ValueError(
-                f"quality_filter method must be heuristic|classifier|gopher, got {v!r}"
+                "quality_filter method must be "
+                f"heuristic|classifier|gopher|ccnet, got {v!r}"
             )
         return v
 
@@ -566,8 +575,15 @@ class QualityFilterSpec(BaseModel):
         if self.top_fraction is not None and self.method == "gopher":
             raise ValueError(
                 "quality_filter top_fraction needs a scoring method "
-                "(heuristic|classifier) — method: gopher is a hard "
+                "(heuristic|classifier|ccnet) — method: gopher is a hard "
                 "boolean gate with no rank to take a fraction of"
+            )
+        if self.method == "ccnet" and self.top_fraction is None:
+            raise ValueError(
+                "quality_filter method: ccnet is the per-group "
+                "keep-lowest-perplexity gate — it needs top_fraction "
+                "(the kept fraction per group_column); an absolute "
+                "min_quality bar has no natural perplexity scale"
             )
         return self
 

@@ -2300,3 +2300,59 @@ def test_augment_fim_declarative(spark, tmp_path):
     # unknown method refused at spec load
     with pytest.raises(Exception, match="span_corruption or fim"):
         spec_mod.AugmentSpec(text_column="body", id_column="id", method="psm")
+
+
+def test_quality_filter_ccnet_gate(spark, tmp_path):
+    """method: ccnet keeps each group's lowest-perplexity fraction;
+    zero-token rows are audited rejects (NULL score); spec validation
+    requires top_fraction."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    rows = []
+    for i in range(10):
+        # doc 0..9 lang a: i DISTINCT singleton tokens each — more
+        # singletons = lower mean logprob = higher perplexity
+        singles = " ".join(f"r{i}x{j}" for j in range(i))
+        rows.append((i, "a", "common words common words " + singles))
+    rows.append((99, "a", "   "))  # zero tokens -> NULL score -> reject
+    spark.createDataFrame(rows, "id long, lg string, body string") \
+        .coalesce(1).write.mode("append").parquet(str(src / "land"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_ccnet",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="lg", target="lg"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", method="ccnet",
+            top_fraction=0.5, id_column="id", group_column="lg",
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    kept = {r["id"] for r in compile_table(ctx, t).df.collect()}
+    assert 99 not in kept  # NULL score rejected
+    # quota: ceil(11 * 0.5) = 6 of the 11 group rows, lowest ppl first
+    assert len(kept) == 6
+    # the all-common-words docs (low ppl) survive over the rare-heavy ones
+    assert 1 in kept and 9 not in kept
+    with pytest.raises(Exception, match="needs top_fraction"):
+        spec_mod.QualityFilterSpec(
+            text_column="body", method="ccnet",
+            id_column="id", group_column="lg",
+        )
