@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "etl_fim_pairs",  # declarative FIM augment: in-row PSM serialization
     "multimodal_audio_gate",  # Arrow decode + zero-shuffle JVM rule gate
     "etl_ccnet_gate",  # declarative CCNet gate: LM + rank quota in-pipeline
+    "curation_gate_overlap",  # 3 gates voted -> 2^3 Venn cells, id-keyed joins
+    "profile_corpus_card",  # one-row corpus card: single aggregate pass
 ]
 
 

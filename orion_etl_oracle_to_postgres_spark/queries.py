@@ -11148,3 +11148,178 @@ def etl_ccnet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec).select("doc_id", "lang")
+
+
+_GATE_OVERLAP_SQL = f"""
+    WITH gop AS (
+      SELECT doc_id, keep AS gk FROM ({_GOPHER_RULES_SQL})
+    ),
+    q AS (
+      SELECT doc_id, ({_QUALITY_SQL}) >= 0.5 AS qk FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    per_doc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT w, sum(c)::BIGINT AS cw FROM per_doc GROUP BY 1),
+    total AS (SELECT sum(cw) AS t FROM corpus),
+    lp AS (
+      SELECT per_doc.doc_id,
+             round(pow(2.0, -(sum(per_doc.c * log2(corpus.cw / total.t))
+                              / sum(per_doc.c))), 4) AS ppl
+      FROM per_doc JOIN corpus USING (w) CROSS JOIN total
+      GROUP BY 1
+    ),
+    cuts AS (
+      SELECT d.lang, quantile_cont(lp.ppl, 0.75) AS c2
+      FROM documents d JOIN lp USING (doc_id) GROUP BY 1
+    ),
+    lm AS (
+      SELECT d.doc_id, lp.ppl <= cuts.c2 AS lk
+      FROM documents d JOIN lp USING (doc_id) JOIN cuts ON cuts.lang = d.lang
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             coalesce(gop.gk, false) AS gopher_keep,
+             coalesce(q.qk, false) AS quality_keep,
+             coalesce(lm.lk, false) AS lm_keep
+      FROM documents d
+      LEFT JOIN gop USING (doc_id)
+      LEFT JOIN q USING (doc_id)
+      LEFT JOIN lm USING (doc_id)
+    )
+    SELECT gopher_keep, quality_keep, lm_keep,
+           count(*)::BIGINT AS n_docs,
+           round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6)
+             AS frac
+    FROM flags
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("curation_gate_overlap", _GATE_OVERLAP_SQL)
+def curation_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gate-overlap Venn report: every document voted on by the
+    THREE quality-gate families — Gopher hard rules (categorical),
+    heuristic score >= 0.5 (continuous), and the CCNet per-language
+    perplexity keep (head+middle, LM-based) — aggregated into the 2^3
+    agreement cells. The pipeline-tuning report: cells where one gate
+    disagrees with the other two localize what each family uniquely
+    drops (a rule too strict, a score threshold misplaced, an LM bias
+    against a language). Three id-keyed boolean joins over id-sized
+    frames; docs without LM evidence (zero tokens) count as lm_keep =
+    false — the gate would drop them. Oracle replays all three gates
+    bit-for-bit."""
+    from .operators.curation import ccnet_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    g = text.gopher_rules(d, "text", "doc_id").select(
+        "doc_id", F.col("keep").alias("__gk")
+    )
+    q = text.quality_score(d, "text", "doc_id").select(
+        "doc_id", (F.col("quality") >= 0.5).alias("__qk")
+    )
+    c = ccnet_buckets(d, "doc_id", "text", "lang").select(
+        "doc_id", (F.col("ppl_bucket") != "tail").alias("__lk")
+    )
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    flags = (
+        d.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .select(
+            F.coalesce("__gk", F.lit(False)).alias("gopher_keep"),
+            F.coalesce("__qk", F.lit(False)).alias("quality_keep"),
+            F.coalesce("__lk", F.lit(False)).alias("lm_keep"),
+        )
+    )
+    return (
+        flags.groupBy("gopher_keep", "quality_keep", "lm_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gopher_keep",
+            "quality_keep",
+            "lm_keep",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__n"), 6).alias("frac"),
+        )
+    )
+
+
+@query(
+    "profile_corpus_card",
+    """
+    WITH s AS (
+      SELECT doc_id, text, lang, n_chars,
+             md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z0-9]+', ' ', 'g'))) AS fp,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                             '[^a-z0-9]+'), x -> x <> '')) AS nt
+      FROM documents
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_text,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           sum(nt)::BIGINT AS total_tokens,
+           round(sum(nt) / count(*)::DOUBLE, 4) AS mean_doc_tokens,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+           round(quantile_cont(n_chars, 0.75), 2) AS p75_chars,
+           (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dups,
+           round((count(*) - count(DISTINCT fp)) / count(*)::DOUBLE, 6)
+             AS exact_dup_frac
+    FROM s
+    """,
+)
+def profile_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-row corpus dataset card — the before-you-train summary
+    a data release ships: doc/null counts, language spread, token
+    volume, length quantiles (0.5/0.75 — binary-exact interpolation
+    indexes), and the exact-duplicate rate by normalized-text
+    fingerprint. ONE aggregate pass over in-row projections (token
+    count, fingerprint) — the distincts are the only shuffles, both on
+    small-cardinality keys. The text-table sibling of
+    profile_customer_table; oracle replays every statistic."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+    from .operators.dedup import normalize_text
+
+    s = d.select(
+        "text",
+        "lang",
+        "n_chars",
+        F.md5(normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "__fp"
+        ),
+        F.size(
+            F.coalesce(
+                _tokens(F.col("text")), F.array().cast("array<string>")
+            )
+        ).alias("__nt"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.round(F.sum("__nt") / F.count(F.lit(1)), 4).alias(
+            "mean_doc_tokens"
+        ),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 2).alias("p75_chars"),
+        (F.count(F.lit(1)) - F.count_distinct("__fp"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct("__fp"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_frac"),
+    )
