@@ -118,9 +118,13 @@ _FIRST_50 = [
 # regression/above_avg_orders/profit_by_nation_year/idle_rich_
 # customers/events_gapfill/pivot_status_revenue/hll_incremental_users,
 # privacy_k_anonymity_stats/t_closeness, corpus_curate,
-# text_compression_ratio
+# text_compression_ratio, plus the r7-session additions
+# (agg_hist_quantile_state, curation_ccnet_buckets, curation_shard_plan,
+# text_fim_transform, etl_fim_pairs, emb_label_noise,
+# multimodal_audio_gate, etl_ccnet_gate, curation_gate_overlap,
+# profile_corpus_card)
 # — keep rotating ~40/round; cumulative driver-verified after r7 ≥
-# 170/251.
+# 170/251 of (251 + new registrations).
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

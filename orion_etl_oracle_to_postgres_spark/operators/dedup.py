@@ -1124,23 +1124,32 @@ def winnow_fingerprints(
     base = df.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("__tk")
     ).filter(F.size("__tk") >= k)
-    staged = base.withColumn(
-        "__h",
-        F.transform(
-            F.sequence(F.lit(0), F.size("__tk") - k),
-            lambda i: md5_hash60(F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, F.lit(k)))),
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("__tk") - k),
+        lambda i: md5_hash60(
+            F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, F.lit(k)))
         ),
     )
-    n_win = F.greatest(F.size("__h") - window + 1, F.lit(1))
-    fps = F.array_distinct(
+    # LET-BIND the gram-hash array as a lambda variable (single-element
+    # array transform): a staged column would be re-inlined into every
+    # window's array_min/slice by CollapseProject, recomputing the whole
+    # md5 array PER WINDOW — O(grams × windows) md5 calls instead of
+    # O(grams) (the same trap measured 7× slower in curation.dsir_select)
+    fps = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), n_win - 1),
-            lambda j: F.array_min(
-                F.slice(F.col("__h"), j + 1, F.lit(window))
+            F.array(gram_hashes),  # evaluates exactly once
+            lambda h: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(h) - window + 1, F.lit(1)) - 1,
+                    ),
+                    lambda j: F.array_min(F.slice(h, j + 1, F.lit(window))),
+                )
             ),
         )
     )
-    return staged.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    return base.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
 
 
 def winnow_candidate_pairs(
