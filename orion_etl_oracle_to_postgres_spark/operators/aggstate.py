@@ -257,22 +257,15 @@ def merge_hist_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
             f"merge_hist_states: incompatible layouts {sorted(map(tuple, layouts))} "
             "— states must share (lo, hi, n_buckets) to merge"
         )
-    exploded = u.select(
-        *keys, "n", "vmin", "vmax", "__lo", "__hi", "__nb",
-        F.posexplode("hist").alias("__p", "__c"),
-    )
-    per_bucket = exploded.groupBy(*keys, "__p").agg(
-        F.sum("__c").alias("__c")
-    )
-    # rebuild the array in bucket order; n/min/max re-aggregated from
-    # the state rows (not the exploded ones, which replicate them)
-    folded_hist = per_bucket.groupBy(*keys).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__p", "__c"))),
-            lambda s: s["__c"],
-        ).alias("hist")
-    )
-    folded_stats = u.groupBy(*keys).agg(
+    # ONE groupBy folds hist AND stats: a second frame joined back on
+    # the keys would drop NULL-key groups (null-unsafe equi join —
+    # review finding r7), breaking fold == full-history exactly where a
+    # full build keeps the NULL group. The element-wise sum runs over
+    # the key's collected arrays (one per folded state — days, not
+    # rows), seeded with the first array so the type/length need no
+    # synthetic zero vector.
+    agged = u.groupBy(*keys).agg(
+        F.collect_list("hist").alias("__hs"),
         F.sum("n").alias("n"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
@@ -280,7 +273,15 @@ def merge_hist_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
         F.first("__hi").alias("__hi"),
         F.first("__nb").alias("__nb"),
     )
-    return folded_stats.join(folded_hist, keys)
+    folded = F.aggregate(
+        F.slice(F.col("__hs"), 2, F.size("__hs") - 1),
+        F.element_at("__hs", 1),
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+    )
+    return agged.select(
+        *keys, folded.alias("hist"), "n", "vmin", "vmax",
+        "__lo", "__hi", "__nb",
+    )
 
 
 def finalize_hist_quantiles(

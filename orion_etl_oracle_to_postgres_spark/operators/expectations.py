@@ -142,6 +142,25 @@ def _validate_check(c: Expect) -> None:
         _parse_as_of(c)  # malformed/tz-aware as_of fails HERE, not at gate time
 
 
+def _report_labels(checks: Sequence[Expect]) -> list[str]:
+    """Per-check report labels, disambiguated: the base label is
+    ``type:columns``, and when two checks share it (two ``bounds`` on
+    one column with different limits, two ``fk``s against different
+    ref tables — both legitimate) later occurrences get a
+    deterministic ``#2``/``#3`` suffix in INPUT order. The label is
+    the identity key for report rows and ``enforce``'s severity
+    routing, so it must be unique per check — but rejecting duplicate
+    base labels outright would outlaw those legitimate patterns
+    (review finding r7 on the ADVICE r6 fix)."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in checks:
+        k = c.label
+        seen[k] = seen.get(k, 0) + 1
+        out.append(k if seen[k] == 1 else f"{k}#{seen[k]}")
+    return out
+
+
 def run_expectations(
     df: DataFrame,
     checks: Sequence[Expect],
@@ -149,24 +168,11 @@ def run_expectations(
     resolve_ref=None,
 ) -> DataFrame:
     """→ ``(check, column, observed, threshold, passed)``, one row per
-    expectation, deterministic order (the input order). ``resolve_ref``
+    expectation, deterministic order (the input order); duplicate base
+    labels are suffixed per ``_report_labels``. ``resolve_ref``
     (table name → DataFrame) is required when any check is ``fk`` — the
     compiler passes its target-first lookup resolution."""
-    # the label (type:columns) is the identity key — report rows carry
-    # it, and enforce() routes severity by it. Two checks sharing a
-    # label (e.g. two 'bounds' on the same column) would make the report
-    # ambiguous and silently collapse their severities ('error wins'),
-    # so a warn-intended check could start blocking loads (ADVICE r6)
-    seen: dict = {}
-    for c in checks:
-        if c.label in seen:
-            raise ValueError(
-                f"duplicate expectation label {c.label!r}: the label is "
-                "the identity key for report rows and severity routing — "
-                "merge the two checks (one bounds/accepted_values check "
-                "per column) instead of declaring them twice"
-            )
-        seen[c.label] = c
+    labels = _report_labels(checks)
     for c in checks:
         _validate_check(c)
         if c.type == "fk" and resolve_ref is None:
@@ -206,28 +212,28 @@ def run_expectations(
     n = wide["__n"]
 
     rows = []
-    for i, c in enumerate(checks):
+    for i, (c, _lbl) in enumerate(zip(checks, labels)):
         col = ",".join(c.columns)
         if c.type == "row_count":
             ok = (c.min is None or n >= c.min) and (c.max is None or n <= c.max)
-            rows.append((c.label, col, float(n), f"[{c.min},{c.max}]", ok))
+            rows.append((_lbl, col, float(n), f"[{c.min},{c.max}]", ok))
         elif c.type == "not_null":
             frac = (wide[f"__e{i}"] or 0) / n if n else 0.0
             rows.append(
-                (c.label, col, round(frac, 6), f"null_frac<={c.max_null_frac}",
+                (_lbl, col, round(frac, 6), f"null_frac<={c.max_null_frac}",
                  frac <= c.max_null_frac)
             )
         elif c.type == "accepted_values":
             bad = wide[f"__e{i}"] or 0
-            rows.append((c.label, col, float(bad), "no values outside set", bad == 0))
+            rows.append((_lbl, col, float(bad), "no values outside set", bad == 0))
         elif c.type == "bounds":
             bad = wide[f"__e{i}"] or 0
-            rows.append((c.label, col, float(bad), f"[{c.min},{c.max}]", bad == 0))
+            rows.append((_lbl, col, float(bad), f"[{c.min},{c.max}]", bad == 0))
         elif c.type == "freshness":
             mx = wide[f"__e{i}"]
             if mx is None:  # empty table / all-NULL ts: stale by definition
                 rows.append(
-                    (c.label, col, float("inf"),
+                    (_lbl, col, float("inf"),
                      f"lag_hours<={c.max_lag_hours} @ {c.as_of}", False)
                 )
             else:
@@ -238,7 +244,7 @@ def run_expectations(
                     mx = _dt.datetime.combine(mx, _dt.time.min)  # DateType col
                 lag_h = (ref - mx).total_seconds() / 3600.0
                 rows.append(
-                    (c.label, col, round(lag_h, 6),
+                    (_lbl, col, round(lag_h, 6),
                      f"lag_hours<={c.max_lag_hours} @ {c.as_of}",
                      lag_h <= c.max_lag_hours)
                 )
@@ -261,7 +267,7 @@ def run_expectations(
                 .count()
             )
             rows.append(
-                (c.label, col, float(orphan),
+                (_lbl, col, float(orphan),
                  f"all in {c.ref_table}.{c.ref_column}", orphan == 0)
             )
         elif c.type == "k_anonymity":
@@ -275,7 +281,7 @@ def run_expectations(
                 .count()
             )
             rows.append(
-                (c.label, col, float(small),
+                (_lbl, col, float(small),
                  f"no group smaller than k={int(c.min)}", small == 0)
             )
         elif c.type == "unique":
@@ -288,7 +294,7 @@ def run_expectations(
                 .limit(1)
                 .count()
             )
-            rows.append((c.label, col, float(dup), "no duplicate keys", dup == 0))
+            rows.append((_lbl, col, float(dup), "no duplicate keys", dup == 0))
     return spark.createDataFrame(
         rows, "check string, column string, observed double, threshold string, passed boolean"
     )
@@ -303,14 +309,19 @@ def enforce(
     ready to enforce). Returns the report frame when nothing fatal
     failed. Severity is matched to report rows by the check LABEL (not
     row position — ADVICE r5 #3: positional zip silently depends on
-    collect() preserving driver-local row order); duplicate labels are
-    rejected up front by ``run_expectations`` — the label is the
-    identity key, so two checks sharing one cannot be routed."""
+    collect() preserving driver-local row order); ``_report_labels``
+    makes the label unique per check (deterministic ``#n`` suffixes for
+    duplicate base labels), so a warn check can never collapse into an
+    error twin sharing its base label."""
     import logging
 
     report = run_expectations(df, checks, resolve_ref=resolve_ref)
     rows = report.collect()
-    warn_only = {c.label for c in checks if c.severity == "warn"}
+    warn_only = {
+        lbl
+        for c, lbl in zip(checks, _report_labels(checks))
+        if c.severity == "warn"
+    }
     fatal, warned = [], []
     for r in rows:
         if r["passed"]:

@@ -590,8 +590,11 @@ def audio_quality_gate(
     failed = F.concat_ws(
         ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
     )
+    # decode_audio_features emits its fixed schema (id column named
+    # 'doc_id' carrying id_col's values) — alias it back so a caller's
+    # id_col other than 'doc_id' round-trips (review finding r7)
     return feats.select(
-        id_col,
+        F.col("doc_id").alias(id_col),
         "duration_ms",
         "rms",
         "peak",

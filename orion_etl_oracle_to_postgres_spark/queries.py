@@ -10805,10 +10805,12 @@ def agg_hist_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.join(audit, "event_type").orderBy("event_type")
 
 
-@query(
-    "curation_ccnet_buckets",
-    """
-    WITH tok AS (
+# the corpus-self unigram-LM perplexity replay (text.unigram_logprob's
+# ppl_proxy), shared by every oracle that scores documents with the LM
+# — one copy, so a tokenization/smoothing fix can never silently
+# diverge the consumers (review finding r7). Composes as
+# ``WITH {_UNIGRAM_PPL_CTES}, <more CTEs...>`` yielding lp(doc_id, ppl).
+_UNIGRAM_PPL_CTES = """tok AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                 x -> x <> '')) AS w
@@ -10819,13 +10821,19 @@ def agg_hist_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT sum(cw) AS t FROM corpus),
     lp AS (
       SELECT per_doc.doc_id,
-             sum(per_doc.c * log2(corpus.cw / total.t))
-               / sum(per_doc.c) AS m
+             round(pow(2.0, -(sum(per_doc.c * log2(corpus.cw / total.t))
+                              / sum(per_doc.c))), 4) AS ppl
       FROM per_doc JOIN corpus USING (w) CROSS JOIN total
       GROUP BY 1
-    ),
+    )"""
+
+
+@query(
+    "curation_ccnet_buckets",
+    f"""
+    WITH {_UNIGRAM_PPL_CTES},
     scored AS (
-      SELECT d.doc_id, d.lang, round(pow(2.0, -lp.m), 4) AS ppl_proxy
+      SELECT d.doc_id, d.lang, lp.ppl AS ppl_proxy
       FROM documents d JOIN lp USING (doc_id)
     ),
     cuts AS (
@@ -10891,21 +10899,29 @@ def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(d, "doc_id", n_shards=8)
 
 
-def _fim_sql(rate=0.5, seed="fim0") -> str:
+def _fim_cte(extra_cols: str = "", rate=0.5, seed="fim0") -> str:
+    """The hash-cut CTE replaying ``text.fim_exprs`` (apply flag, two
+    cut points, lo/hi) — ONE builder shared by the raw-triple and the
+    sentinel-serialized oracles, so a seed-tag or cut-point change in
+    fim_exprs is mirrored in exactly one place (review finding r7)."""
     ha = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:apply')")
     h1 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut1')")
     h2 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut2')")
     thr = int(round(rate * 1000))
-    return f"""
-    WITH s AS (
-      SELECT doc_id, coalesce(text, '') AS t,
+    return f"""s AS (
+      SELECT doc_id,{extra_cols} coalesce(text, '') AS t,
              ({ha}) % 1000 < {thr} AS ap,
              least(({h1}) % (length(coalesce(text, '')) + 1),
                    ({h2}) % (length(coalesce(text, '')) + 1)) AS lo,
              greatest(({h1}) % (length(coalesce(text, '')) + 1),
                       ({h2}) % (length(coalesce(text, '')) + 1)) AS hi
       FROM documents
-    )
+    )"""
+
+
+def _fim_sql(rate=0.5, seed="fim0") -> str:
+    return f"""
+    WITH {_fim_cte(rate=rate, seed=seed)}
     SELECT doc_id, ap AS fim_applied,
            CASE WHEN ap THEN substr(t, 1, lo) ELSE t END AS prefix,
            CASE WHEN ap THEN substr(t, lo + 1, hi - lo) ELSE '' END AS middle,
@@ -10982,20 +10998,9 @@ def emb_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_noise_scan(e, k=5, n_planes=6)
 
 
-def _etl_fim_sql(rate=500, seed="fim0") -> str:
-    ha = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:apply')")
-    h1 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut1')")
-    h2 = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}:cut2')")
+def _etl_fim_sql(rate=0.5, seed="fim0") -> str:
     return f"""
-    WITH s AS (
-      SELECT doc_id, lang, coalesce(text, '') AS t,
-             ({ha}) % 1000 < {rate} AS ap,
-             least(({h1}) % (length(coalesce(text, '')) + 1),
-                   ({h2}) % (length(coalesce(text, '')) + 1)) AS lo,
-             greatest(({h1}) % (length(coalesce(text, '')) + 1),
-                      ({h2}) % (length(coalesce(text, '')) + 1)) AS hi
-      FROM documents
-    )
+    WITH {_fim_cte(extra_cols=" lang,", rate=rate, seed=seed)}
     SELECT doc_id, lang,
            CASE WHEN ap THEN '<PRE>' || substr(t, 1, lo)
                           || '<SUF>' || substr(t, hi + 1, length(t) - hi)
@@ -11094,23 +11099,8 @@ def multimodal_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_ccnet_gate",
-    """
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                x -> x <> '')) AS w
-      FROM documents
-    ),
-    per_doc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
-    corpus AS (SELECT w, sum(c)::BIGINT AS cw FROM per_doc GROUP BY 1),
-    total AS (SELECT sum(cw) AS t FROM corpus),
-    lp AS (
-      SELECT per_doc.doc_id,
-             round(pow(2.0, -(sum(per_doc.c * log2(corpus.cw / total.t))
-                              / sum(per_doc.c))), 4) AS ppl
-      FROM per_doc JOIN corpus USING (w) CROSS JOIN total
-      GROUP BY 1
-    )
+    f"""
+    WITH {_UNIGRAM_PPL_CTES}
     SELECT doc_id, lang FROM (
       SELECT d.doc_id, d.lang, lp.ppl,
              row_number() OVER (
@@ -11157,22 +11147,7 @@ _GATE_OVERLAP_SQL = f"""
     q AS (
       SELECT doc_id, ({_QUALITY_SQL}) >= 0.5 AS qk FROM documents
     ),
-    tok AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                x -> x <> '')) AS w
-      FROM documents
-    ),
-    per_doc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
-    corpus AS (SELECT w, sum(c)::BIGINT AS cw FROM per_doc GROUP BY 1),
-    total AS (SELECT sum(cw) AS t FROM corpus),
-    lp AS (
-      SELECT per_doc.doc_id,
-             round(pow(2.0, -(sum(per_doc.c * log2(corpus.cw / total.t))
-                              / sum(per_doc.c))), 4) AS ppl
-      FROM per_doc JOIN corpus USING (w) CROSS JOIN total
-      GROUP BY 1
-    ),
+    {_UNIGRAM_PPL_CTES},
     cuts AS (
       SELECT d.lang, quantile_cont(lp.ppl, 0.75) AS c2
       FROM documents d JOIN lp USING (doc_id) GROUP BY 1

@@ -187,3 +187,34 @@ def test_hist_state_clamps_and_skips_nulls(spark):
     assert r["hist"][1] == 1  # 1.0 lands in [1, 2)
     assert r["hist"][9] == 1  # 999 clamps into the top bucket
     assert r["vmin"] == -5.0 and r["vmax"] == 999.0  # true extent kept
+
+
+def test_hist_state_null_key_group_survives_merge(spark):
+    """A NULL-key group must fold like any other (groupBy keeps NULL
+    groups; a null-unsafe join-back would silently drop it — review
+    finding r7): fold == full-history including the NULL key."""
+    from orion_etl_oracle_to_postgres_spark.operators import aggstate as A
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 3.0), (None, 4.0), ("a", 5.0)],
+        "k string, v double",
+    )
+    kw = dict(lo=0.0, hi=10.0, n_buckets=10)
+    folded = A.merge_hist_states(
+        [
+            A.build_hist_state(df.limit(2), ["k"], "v", **kw),
+            A.build_hist_state(df.subtract(df.limit(2)), ["k"], "v", **kw),
+        ],
+        ["k"],
+    )
+    fm = {r.k: (r.hist, r.n) for r in folded.collect()}
+    ff = {
+        r.k: (r.hist, r.n)
+        for r in A.build_hist_state(df, ["k"], "v", **kw).collect()
+    }
+    assert set(fm) == {None, "a"} and fm == ff
+    q = {
+        r.k: r["q_0_5"]
+        for r in A.finalize_hist_quantiles(folded, ["k"], [0.5]).collect()
+    }
+    assert None in q and q[None] is not None

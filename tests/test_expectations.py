@@ -41,13 +41,17 @@ def test_report_rows_and_verdicts(spark):
     assert not rep["unique:id"]["passed"] and rep["unique:id"]["observed"] == 1.0
     assert not rep["accepted_values:cat"]["passed"]
     assert rep["bounds:val"]["observed"] == 2.0 and not rep["bounds:val"]["passed"]
-    # the lax and strict twins share a label -> one list may not hold both
-    with pytest.raises(ValueError, match="duplicate expectation label"):
-        run_expectations(
+    # the lax and strict twins share a base label -> the second gets a
+    # deterministic #2 suffix (input order) so both stay addressable
+    twin = {
+        r["check"]: r["passed"]
+        for r in run_expectations(
             _df(spark),
             [Expect(type="not_null", columns=("name",), max_null_frac=0.3),
              Expect(type="not_null", columns=("name",))],
-        )
+        ).collect()
+    }
+    assert twin == {"not_null:name": True, "not_null:name#2": False}
 
 
 def test_enforce_raises_with_every_failure_listed(spark):
@@ -256,13 +260,16 @@ def test_warn_severity_reports_but_never_blocks(spark, caplog):
     assert report.collect()[0].passed is False
     with _pt.raises(ValueError, match="expectations failed"):
         enforce(df, [hard])  # the error-severity twin still aborts
-    # the label is the identity key for severity routing: declaring it
-    # at BOTH severities is rejected up front, not silently collapsed
-    # to 'error wins' (ADVICE r6)
-    with _pt.raises(ValueError, match="duplicate expectation label"):
+    # same base label at BOTH severities: the suffix keeps the routing
+    # exact — the warn twin logs, the error twin (suffixed #2) aborts,
+    # never an 'error wins' collapse over the warn one (ADVICE r6 +
+    # review finding r7: rejection outlawed legitimate twins)
+    with _pt.raises(ValueError, match="not_null:v#2"):
         enforce(df, [warn, hard])
-    with _pt.raises(ValueError, match="duplicate expectation label"):
-        enforce(df, [hard, hard])  # same severity too: ambiguous report
+    with caplog.at_level(logging.WARNING):
+        with _pt.raises(ValueError) as ei:
+            enforce(df, [hard, warn])  # reversed: #2 is the WARN one
+    assert "not_null:v#2" not in str(ei.value)  # warn twin never fatal
     # spec-level validation catches typos
     from pydantic import ValidationError
 

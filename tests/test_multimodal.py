@@ -254,3 +254,9 @@ def test_audio_quality_gate_rules(spark):
 
     with _pt.raises(ValueError, match="min_duration_ms"):
         mm.audio_quality_gate(b, min_duration_ms=10, max_duration_ms=5)
+    # a caller's id_col other than 'doc_id' round-trips (review r7):
+    # the decode schema's fixed 'doc_id' output is aliased back
+    b2 = b.withColumnRenamed("doc_id", "clip_id")
+    out2 = mm.audio_quality_gate(b2, id_col="clip_id")
+    assert out2.columns[0] == "clip_id"
+    assert {r.clip_id for r in out2.collect()} == {1, 2, 3}
