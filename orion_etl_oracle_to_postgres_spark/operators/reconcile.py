@@ -524,3 +524,113 @@ def js_divergence(
             F.first("__nb").alias("n_b"),
         )
     )
+
+
+def quantile_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    keys: list[str],
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 100,
+    qs: tuple = (0.5, 0.9, 0.99),
+    decimals: int = 6,
+) -> DataFrame:
+    """Order-statistics drift between two tables, per key: both sides
+    build the SAME-layout mergeable histogram state
+    (``aggstate.build_hist_state``) and the report compares their
+    interpolated quantiles plus the L∞ bucket-fraction distance (a
+    coarse KS statistic at bucket resolution) →
+    ``(keys..., n_a, n_b, q_<q>_a, q_<q>_b, q_<q>_diff..., linf)``.
+    The reconcile-family member for "did the DISTRIBUTION of this
+    column move" when PSI's binning (``distribution_drift``) is too
+    coarse-grained a verdict and exact KS (``ks_statistic``) too
+    expensive for a per-key sweep — histogram states are keys-sized,
+    so this costs two bounded aggregates and ONE keys-sized join.
+
+    Keys join NULL-SAFELY (a NULL key group drifts like any other —
+    the merge_hist_states lesson); a key present on only one side
+    reports NULL for the missing side's statistics (visible, never
+    dropped). 100 TB shape: two map-side-combined state builds; the
+    comparison is in-row ``zip_with`` over the joined bucket arrays."""
+    from .aggstate import build_hist_state, finalize_hist_quantiles
+
+    kw = dict(lo=lo, hi=hi, n_buckets=n_buckets)
+    sa = build_hist_state(a, keys, value_col, **kw)
+    sb = build_hist_state(b, keys, value_col, **kw)
+    qa = finalize_hist_quantiles(sa, keys, list(qs))
+    qb = finalize_hist_quantiles(sb, keys, list(qs))
+
+    def tag(df: DataFrame, suf: str, cols: list[str]) -> DataFrame:
+        out = df
+        for c in cols:
+            out = out.withColumnRenamed(c, f"{c}_{suf}")
+        return out
+
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def nullsafe_full_outer(
+        left: DataFrame, right: DataFrame
+    ) -> tuple[DataFrame, list]:
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else cond & c
+        coalesced = [
+            F.coalesce(left[k], right[k]).alias(k) for k in keys
+        ]
+        return left.join(right, cond, "full_outer"), coalesced
+
+    # side A carries hist+quantiles in one frame, likewise B — ONE
+    # null-safe full-outer join total (every join on the raw keys list
+    # would drop NULL-key groups — the merge_hist_states lesson)
+    side_a = tag(
+        _hist_with_quantiles(sa, qa, keys), "a", ["hist", "n"] + qcols
+    )
+    side_b = tag(
+        _hist_with_quantiles(sb, qb, keys), "b", ["hist", "n"] + qcols
+    )
+    joined, coalesced = nullsafe_full_outer(side_a, side_b)
+    linf = F.when(
+        F.col("hist_a").isNotNull() & F.col("hist_b").isNotNull(),
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    "hist_a",
+                    "hist_b",
+                    lambda x, y: F.abs(
+                        x / F.col("n_a") - y / F.col("n_b")
+                    ),
+                )
+            ),
+            decimals,
+        ),
+    )
+    sel = [*coalesced, "n_a", "n_b"]
+    for qc in qcols:
+        sel += [
+            F.col(f"{qc}_a"),
+            F.col(f"{qc}_b"),
+            F.round(F.abs(F.col(f"{qc}_a") - F.col(f"{qc}_b")), decimals)
+            .alias(f"{qc}_diff"),
+        ]
+    sel.append(linf.alias("linf"))
+    return joined.select(*sel)
+
+
+def _hist_with_quantiles(
+    state: DataFrame, quant: DataFrame, keys: list[str]
+) -> DataFrame:
+    """State hist/n + finalized quantiles in one frame per side. The
+    state→quantile attachment is WITHIN one side (both frames derive
+    from the same groupBy, identical key sets incl. NULL groups), so a
+    null-safe self-attachment is required here too."""
+    cond = None
+    for k in keys:
+        c = state[k].eqNullSafe(quant[k])
+        cond = c if cond is None else cond & c
+    return state.select(*keys, "hist", "n").join(
+        quant.drop("n"), cond
+    ).drop(*[quant[k] for k in keys])

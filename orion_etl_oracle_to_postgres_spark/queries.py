@@ -11298,3 +11298,91 @@ def profile_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_dup_frac"),
     )
+
+
+def _quantile_drift_sql(lo=0.0, hi=500.0, nb=100, qs=(0.5, 0.9, 0.99)) -> str:
+    w = (hi - lo) / nb
+    def qexpr(q, side):
+        return (
+            f"min(CASE WHEN side = '{side}' AND cum >= {q}*n "
+            f"AND (cum - c) < {q}*n AND c > 0 "
+            f"THEN round({lo} + {w}*(p + ({q}*n - (cum - c))/c), 6) END)"
+        )
+    qcols = ",\n           ".join(
+        f"{qexpr(q, 'a')} AS q_{str(q).replace('.', '_')}_a,\n           "
+        f"{qexpr(q, 'b')} AS q_{str(q).replace('.', '_')}_b,\n           "
+        f"round(abs({qexpr(q, 'a')} - {qexpr(q, 'b')}), 6) "
+        f"AS q_{str(q).replace('.', '_')}_diff"
+        for q in qs
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN dayofmonth(ts) % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+             least(greatest(CAST(floor((value - {lo}) / {w}) AS INT), 0),
+                   {nb - 1}) AS p
+      FROM events WHERE value IS NOT NULL
+    ),
+    bc AS (
+      SELECT event_type, side, p, count(*)::BIGINT AS c
+      FROM v GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, side, p, c,
+             sum(c) OVER (PARTITION BY event_type, side ORDER BY p) AS cum,
+             sum(c) OVER (PARTITION BY event_type, side) AS n
+      FROM bc
+    ),
+    qq AS (
+      SELECT event_type,
+             max(CASE WHEN side = 'a' THEN n END)::BIGINT AS n_a,
+             max(CASE WHEN side = 'b' THEN n END)::BIGINT AS n_b,
+           {qcols}
+      FROM cum GROUP BY event_type
+    ),
+    pa AS (SELECT event_type, p, c FROM bc WHERE side = 'a'),
+    pb AS (SELECT event_type, p, c FROM bc WHERE side = 'b'),
+    na AS (SELECT event_type, sum(c)::BIGINT AS n FROM pa GROUP BY 1),
+    nb_ AS (SELECT event_type, sum(c)::BIGINT AS n FROM pb GROUP BY 1),
+    lf AS (
+      SELECT coalesce(pa.event_type, pb.event_type) AS event_type,
+             round(max(abs(coalesce(pa.c, 0) / na.n::DOUBLE
+                           - coalesce(pb.c, 0) / nb_.n::DOUBLE)), 6) AS linf
+      FROM pa FULL OUTER JOIN pb
+        ON pa.event_type = pb.event_type AND pa.p = pb.p
+      JOIN na ON na.event_type = coalesce(pa.event_type, pb.event_type)
+      JOIN nb_ ON nb_.event_type = coalesce(pa.event_type, pb.event_type)
+      GROUP BY 1
+    )
+    SELECT qq.event_type, qq.n_a, qq.n_b,
+           {", ".join(f"q_{str(q).replace('.', '_')}_a, q_{str(q).replace('.', '_')}_b, q_{str(q).replace('.', '_')}_diff" for q in qs)},
+           lf.linf
+    FROM qq JOIN lf USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@query("reconcile_quantile_drift", _quantile_drift_sql())
+def reconcile_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-key ORDER-STATISTICS drift
+    (operators/reconcile.py:quantile_drift): the events table's two
+    'ingestion days' compared per event type through same-layout
+    histogram states — interpolated p50/p90/p99 per side + diffs + the
+    L∞ bucket-fraction distance (bucket-resolution KS). Two bounded
+    state builds + one keys-sized NULL-SAFE join; the bucket comparison
+    is an in-row zip_with. Oracle replays bucket counts, interpolation,
+    and the L∞ term-for-term."""
+    from .operators.reconcile import quantile_drift
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", F.dayofmonth("ts").alias("__d")
+    )
+    return quantile_drift(
+        e.filter(F.col("__d") % 2 == 0),
+        e.filter(F.col("__d") % 2 == 1),
+        "value",
+        ["event_type"],
+        lo=0.0,
+        hi=500.0,
+        n_buckets=100,
+    ).orderBy("event_type")

@@ -210,3 +210,43 @@ def test_js_divergence_bounds_and_symmetry(spark):
     ab = js_divergence(a, b, "x", n_bins=8).collect()[0].js_divergence
     ba = js_divergence(b, a, "x", n_bins=8).collect()[0].js_divergence
     assert math.isclose(ab, ba, abs_tol=1e-9)
+
+
+def test_quantile_drift_detects_shift_and_keeps_null_keys(spark):
+    """A scaled side shows quantile diffs + positive linf; identical
+    sides show ~zero; NULL-key groups survive the null-safe join; a
+    key on only one side reports with NULL stats, never dropped."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        quantile_drift,
+    )
+
+    a = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    ).withColumn("k", F.when(F.col("k") == "2", None).otherwise(F.col("k")))
+    kw = dict(lo=0.0, hi=1500.0, n_buckets=50)
+    same = {
+        r.k: r
+        for r in quantile_drift(a, a, "v", ["k"], **kw).collect()
+    }
+    assert set(same) == {None, "0", "1"}  # NULL group survives
+    for r in same.values():
+        assert r["q_0_5_diff"] == 0.0 and r["linf"] == 0.0
+    shifted = a.withColumn("v", F.col("v") * 1.2)
+    drift = {
+        r.k: r
+        for r in quantile_drift(a, shifted, "v", ["k"], **kw).collect()
+    }
+    for r in drift.values():
+        assert r["q_0_9_diff"] > 100 and r["linf"] > 0.01
+    # one-sided key: reported with NULLs, not dropped
+    b = a.filter(F.col("k") == "0")
+    one = {
+        r.k: r
+        for r in quantile_drift(a, b, "v", ["k"], **kw).collect()
+    }
+    assert set(one) == {None, "0", "1"}
+    assert one["1"]["n_b"] is None and one["1"]["linf"] is None
+    assert one["0"]["linf"] == 0.0
