@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "curation_gate_overlap",  # 3 gates voted -> 2^3 Venn cells, id-keyed joins
     "profile_corpus_card",  # one-row corpus card: single aggregate pass
     "reconcile_quantile_drift",  # two hist states + null-safe join + zip_with
+    "curation_length_balance",  # token-bucket + minority-cutoff rank filter
 ]
 
 

@@ -11386,3 +11386,54 @@ def reconcile_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=500.0,
         n_buckets=100,
     ).orderBy("event_type")
+
+
+def _length_balance_sql(width=64, max_bucket=7, seed="lenbal0") -> str:
+    h = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}')")
+    nt = ("len(list_filter(string_split_regex(lower(coalesce(text, '')), "
+          "'[^a-z0-9]+'), x -> x <> ''))")
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             least({nt} // {width}, {max_bucket})::INTEGER AS len_bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, len_bucket,
+             row_number() OVER (PARTITION BY len_bucket
+                                ORDER BY {h} ASC, doc_id ASC) AS rn
+      FROM b
+    ),
+    m AS (SELECT min(cnt) AS mn FROM
+            (SELECT count(*) AS cnt FROM b GROUP BY len_bucket))
+    SELECT doc_id, lang, len_bucket FROM r, m WHERE rn <= mn
+    """
+
+
+@query("curation_length_balance", _length_balance_sql())
+def curation_length_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Length-distribution flattening: docs bucketed by token
+    count (width-64 buckets, top bucket open) and every bucket
+    downsampled to the smallest bucket's size via
+    ``curation.balance_groups`` — the anti-short-doc-dominance sampler
+    for long-context training mixes (composition of the token-count
+    projection and the class balancer; same data-derived-cutoff rank
+    shuffle as curation_balance_groups). Oracle replays the bucketing,
+    the md5 rank order, and the minority cutoff."""
+    from .functions import token_count
+    from .operators.curation import balance_groups
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "lang",
+        # coalesce BEFORE counting: size(NULL) is -1 in the non-ANSI
+        # session and NULL under ANSI — '' tokenizes to 0 on both and
+        # the oracle agrees (the size(NULL)=-1 bug class)
+        F.least(
+            (token_count(F.coalesce(F.col("text"), F.lit(""))) / 64)
+            .cast("int"),
+            F.lit(7),
+        ).cast("int").alias("len_bucket"),
+    )
+    return balance_groups(b, "doc_id", "len_bucket", seed="lenbal0")

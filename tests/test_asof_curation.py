@@ -1397,3 +1397,36 @@ def test_fim_transform_reassembles_and_passthrough(spark):
 
     with _pt.raises(ValueError, match="rate"):
         fim_transform(df, "doc_id", "text", rate=1.5)
+
+
+def test_length_balance_flattens_buckets(spark):
+    """Every length bucket ends at the minority bucket's size; NULL
+    text counts as zero tokens (bucket 0), never -1/-NULL."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark import queries as q
+
+    rows = [(i, "en", "tok " * (10 if i % 5 else 200)) for i in range(50)]
+    rows.append((999, "en", None))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.createOrReplaceTempView("__lb_docs")
+    from orion_etl_oracle_to_postgres_spark.functions import token_count
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        balance_groups,
+    )
+
+    b = df.select(
+        "doc_id",
+        F.least(
+            (token_count(F.coalesce(F.col("text"), F.lit(""))) / 64)
+            .cast("int"),
+            F.lit(7),
+        ).cast("int").alias("len_bucket"),
+    )
+    out = balance_groups(b, "doc_id", "len_bucket", seed="lenbal0")
+    from collections import Counter
+
+    sizes = Counter(r.len_bucket for r in out.collect())
+    assert len(set(sizes.values())) == 1  # flattened: all equal
+    # the NULL-text doc landed in bucket 0 (zero tokens), not -1/None
+    assert {r.len_bucket for r in b.filter("doc_id = 999").collect()} == {0}
