@@ -402,7 +402,11 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from .compiler import compile_table
-        from .operators.reconcile import distribution_drift, js_divergence
+        from .operators.reconcile import (
+            distribution_drift,
+            js_divergence,
+            quantile_drift,
+        )
 
         tspec, full_spec = _resolve_full_spec(args.drift, "--drift")
         cols = [c.strip() for c in (args.columns or "").split(",") if c.strip()]
@@ -429,10 +433,35 @@ def main(argv: list[str] | None = None) -> int:
                 .psi
             )
             jsd = js_divergence(expected, actual, c).collect()[0].js_divergence
+            # order-statistics view of the same column: p50/p99 diffs +
+            # the L∞ bucket distance (histogram-state powered). Bounds
+            # come from both sides so the shared layout covers them —
+            # two tiny aggregates, the same probe class as the PSI bins.
+            ext = expected.select(F.col(c)).unionByName(actual.select(F.col(c)))
+            b = ext.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+            qtxt = ""
+            if b["lo"] is not None:
+                lo = float(b["lo"])
+                hi = float(b["hi"])
+                hi = hi if hi > lo else lo + 1.0
+                qrow = quantile_drift(
+                    expected.select(F.lit(1).alias("__g"), F.col(c)),
+                    actual.select(F.lit(1).alias("__g"), F.col(c)),
+                    c,
+                    ["__g"],
+                    lo=lo,
+                    hi=hi,
+                    qs=(0.5, 0.99),
+                ).collect()[0]
+                qtxt = (
+                    f"  p50d={qrow['q_0_5_diff']}  "
+                    f"p99d={qrow['q_0_99_diff']}  linf={qrow['linf']}"
+                )
             flag = psi is not None and psi > args.psi_threshold
             n_bad += int(bool(flag))
             print(
                 f"{'DRIFT' if flag else 'OK   '}  {c}  psi={psi}  jsd={jsd}"
+                + qtxt
             )
         print(
             f"drift: {len(cols) - n_bad}/{len(cols)} columns within "

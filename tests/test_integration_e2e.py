@@ -583,6 +583,13 @@ def test_cli_drift_verb(spark, tmp_path, capsys):
     assert main(["--config", cfg, "--drift", "t_out", "--columns", "v"]) == 1
     outtxt = capsys.readouterr().out
     assert "DRIFT" in outtxt and "psi=" in outtxt
+    # the order-statistics view rides along: a 3x+500 shift moves the
+    # median by ~its magnitude and the L-inf bucket distance is large
+    import re
+
+    p50d = float(re.search(r"p50d=([0-9.]+)", outtxt).group(1))
+    linf = float(re.search(r"linf=([0-9.]+)", outtxt).group(1))
+    assert p50d > 100 and linf > 0.05
 
 
 def test_cli_lineage_covers_round6_stages(spark, tmp_path, capsys):
