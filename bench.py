@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "profile_corpus_card",  # one-row corpus card: single aggregate pass
     "reconcile_quantile_drift",  # two hist states + null-safe join + zip_with
     "curation_length_balance",  # token-bucket + minority-cutoff rank filter
+    "curation_soft_weighted_sample",  # cached pairs -> CC -> hash draw at 1/n
 ]
 
 

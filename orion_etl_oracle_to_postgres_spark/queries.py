@@ -11437,3 +11437,65 @@ def curation_length_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("len_bucket"),
     )
     return balance_groups(b, "doc_id", "len_bucket", seed="lenbal0")
+
+
+@query(
+    "curation_soft_weighted_sample",
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + f"""
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+    sizes AS (SELECT cl, count(*)::BIGINT AS nd FROM comp GROUP BY cl),
+    wtd AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(c.cl, d.doc_id)::BIGINT AS cluster_id,
+             coalesce(s.nd, 1)::BIGINT AS n_dups
+      FROM documents d
+      LEFT JOIN comp c ON c.id = d.doc_id
+      LEFT JOIN sizes s ON s.cl = c.cl
+    )
+    SELECT doc_id, lang, cluster_id, n_dups
+    FROM wtd
+    WHERE ({_hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':sws0')")}) % 1000000
+          < (2000000 + n_dups) // (2 * n_dups)
+    """,
+)
+def curation_soft_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Soft-dedup SAMPLING: draw the corpus at each row's
+    soft-dedup weight (keep probability 1/|near-dup cluster|) with the
+    deterministic (id, seed)-hash draw — one copy per cluster IN
+    EXPECTATION without hard survivor-pick, the executable form of
+    ``dedup_soft_weights``'s reweighting for pipelines that must emit
+    rows, not weights. The keep threshold is the exact round-half-up
+    integer ``(2·10⁶ + n) div 2n`` (micro-unit rule: round(1e6/n) in
+    doubles is engine-dependent at the half). Reuses the layout-cached
+    pair set; the corpus sees one id-keyed join + a zero-shuffle
+    filter."""
+    from .functions import md5_hash60
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    w = dedup.soft_dedup_weights(d, "doc_id", pairs)
+    bucket = md5_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":sws0"))
+    ) % 1_000_000
+    thr = F.expr("(2000000 + n_dups) div (2 * n_dups)")
+    return w.filter(bucket < thr).select(
+        "doc_id", "lang", "cluster_id", "n_dups"
+    )
