@@ -122,7 +122,8 @@ _FIRST_50 = [
 # (agg_hist_quantile_state, curation_ccnet_buckets, curation_shard_plan,
 # text_fim_transform, etl_fim_pairs, emb_label_noise,
 # multimodal_audio_gate, etl_ccnet_gate, curation_gate_overlap,
-# profile_corpus_card)
+# profile_corpus_card, reconcile_quantile_drift, curation_length_balance,
+# curation_soft_weighted_sample)
 # — keep rotating ~40/round; cumulative driver-verified after r7 ≥
 # 170/251 of (251 + new registrations).
 
