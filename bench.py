@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "reconcile_quantile_drift",  # two hist states + null-safe join + zip_with
     "curation_length_balance",  # token-bucket + minority-cutoff rank filter
     "curation_soft_weighted_sample",  # cached pairs -> CC -> hash draw at 1/n
+    "agg_event_paths",  # (user,day) window leads -> path word-count top-k
 ]
 
 

@@ -11499,3 +11499,52 @@ def curation_soft_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return w.filter(bucket < thr).select(
         "doc_id", "lang", "cluster_id", "n_dups"
     )
+
+
+@query(
+    "agg_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             lead(event_type, 1) OVER w AS nxt,
+             lead(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || nxt || '>' || nxt2 AS path,
+           count(*)::BIGINT AS n_paths
+    FROM seq WHERE nxt IS NOT NULL AND nxt2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)
+def agg_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Top-20 three-step event paths per (user, day) journey —
+    the product-analytics "most common 3-step flows" census, the
+    sequence-level sibling of window_event_transitions' 1-step Markov
+    counts. One window shuffle keyed on (user, day) — thousands of
+    small partitions, never global — two in-row leads, then a
+    path-count aggregate (word-count shape, map-side combined) into
+    TakeOrderedAndProject. Deterministic: (ts, event_id) total order,
+    count-then-path tiebreak. Oracle replays the lead windows and the
+    tiebreak."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", F.col("ts").cast("date"))
+        .orderBy("ts", "event_id")
+    )
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("__n1"),
+        F.lead("event_type", 2).over(w).alias("__n2"),
+    ).filter(F.col("__n1").isNotNull() & F.col("__n2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "__n1", "__n2").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path"))
+        .limit(20)
+    )
