@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "curation_length_balance",  # token-bucket + minority-cutoff rank filter
     "curation_soft_weighted_sample",  # cached pairs -> CC -> hash draw at 1/n
     "agg_event_paths",  # (user,day) window leads -> path word-count top-k
+    "quantile_weighted_prices",  # weighted + plain hist states, one scan shape
 ]
 
 

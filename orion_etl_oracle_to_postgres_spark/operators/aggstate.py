@@ -175,6 +175,7 @@ def build_hist_state(
     lo: float,
     hi: float,
     n_buckets: int = 128,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key equi-width HISTOGRAM state — the QUANTILE member of the
     mergeable-state family (count/sum monoid = exact moments, HLL =
@@ -194,6 +195,15 @@ def build_hist_state(
     validates it — folding a day built with a different layout fails
     loudly at merge time, the contract ADVICE r6 asked of the HLL twin.
 
+    WEIGHTED order statistics: ``weight_col`` (nonneg INTEGER weights —
+    cast to long; integerize fractional weights to micro-units first,
+    the exactness rule everywhere in this repo) makes every bucket
+    count the weight SUM instead of the row count, so the finalized
+    quantiles are weighted quantiles (a weight-3 row ≡ the row three
+    times — the equivalence the unit test pins) and the fold stays
+    EXACT (integer sums). NULL weights contribute nothing, like NULL
+    values.
+
     100 TB shape: one map-side-combined aggregate per build (the
     (keys × occupied-buckets) partial rows are the only shuffle), state
     tables are keys-sized; nothing driver-side."""
@@ -207,11 +217,19 @@ def build_hist_state(
         F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int"), F.lit(0)),
         F.lit(int(n_buckets) - 1),
     )
+    wexpr = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    filtered = df.where(v.isNotNull())
+    if weight_col is not None:
+        filtered = filtered.where(F.col(weight_col).isNotNull())
     per_bucket = (
-        df.where(v.isNotNull())
+        filtered
         .groupBy(*keys, idx.alias("__b"))
         .agg(
-            F.count(F.lit(1)).alias("__c"),
+            F.sum(wexpr).alias("__c"),
             F.min(v).alias("__mn"),
             F.max(v).alias("__mx"),
         )

@@ -11548,3 +11548,87 @@ def agg_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), F.col("path"))
         .limit(20)
     )
+
+
+def _weighted_price_sql(lo=900.0, hi=105000.0, nb=128, qs=(0.5, 0.9)) -> str:
+    w = (hi - lo) / nb
+    def qexpr(q, cnt):
+        return (
+            f"min(CASE WHEN cum_{cnt} >= {q}*n_{cnt} "
+            f"AND (cum_{cnt} - {cnt}) < {q}*n_{cnt} AND {cnt} > 0 "
+            f"THEN round({lo} + {w}*(p + ({q}*n_{cnt} - (cum_{cnt} - {cnt}))/{cnt}), 6) END)"
+        )
+    cols = ",\n           ".join(
+        f"{qexpr(q, 'cw')} AS wq_{str(q).replace('.', '_')},\n           "
+        f"{qexpr(q, 'cu')} AS uq_{str(q).replace('.', '_')}"
+        for q in qs
+    )
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             least(greatest(CAST(floor((l_extendedprice - {lo}) / {w}) AS INT),
+                            0), {nb - 1}) AS p,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    bc AS (
+      SELECT flag, p, sum(qty)::BIGINT AS cw, count(*)::BIGINT AS cu
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, p, cw, cu,
+             sum(cw) OVER (PARTITION BY flag ORDER BY p) AS cum_cw,
+             sum(cu) OVER (PARTITION BY flag ORDER BY p) AS cum_cu,
+             sum(cw) OVER (PARTITION BY flag) AS n_cw,
+             sum(cu) OVER (PARTITION BY flag) AS n_cu
+      FROM bc
+    )
+    SELECT flag, n_cw::BIGINT AS total_units, n_cu::BIGINT AS n_rows,
+           {cols}
+    FROM cum GROUP BY flag, n_cw, n_cu
+    ORDER BY flag
+    """
+
+
+@query("quantile_weighted_prices", _weighted_price_sql())
+def quantile_weighted_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WEIGHTED vs unweighted price quantiles per return flag:
+    unit-weighted p50/p90 of extended price (each line counted
+    l_quantity times — "the median price a sold UNIT carries", the
+    retail stat) next to the plain row quantiles, both through the
+    mergeable histogram state (``build_hist_state(weight_col=...)``,
+    integer weights ⇒ exact fold). Two bounded state builds over one
+    scan pattern; oracle replays weighted and unweighted cumulative
+    interpolation term-for-term."""
+    from .operators import aggstate as A
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    kw = dict(lo=900.0, hi=105_000.0, n_buckets=128)
+    sw = A.build_hist_state(
+        li, ["flag"], "l_extendedprice", weight_col="qty", **kw
+    )
+    su = A.build_hist_state(li, ["flag"], "l_extendedprice", **kw)
+    qw = A.finalize_hist_quantiles(sw, ["flag"], [0.5, 0.9])
+    qu = A.finalize_hist_quantiles(su, ["flag"], [0.5, 0.9])
+    return (
+        qw.select(
+            "flag",
+            F.col("n").alias("total_units"),
+            F.col("q_0_5").alias("wq_0_5"),
+            F.col("q_0_9").alias("wq_0_9"),
+        )
+        .join(
+            qu.select(
+                "flag",
+                F.col("n").alias("n_rows"),
+                F.col("q_0_5").alias("uq_0_5"),
+                F.col("q_0_9").alias("uq_0_9"),
+            ),
+            "flag",
+        )
+        .orderBy("flag")
+    )

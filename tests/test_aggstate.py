@@ -218,3 +218,35 @@ def test_hist_state_null_key_group_survives_merge(spark):
         for r in A.finalize_hist_quantiles(folded, ["k"], [0.5]).collect()
     }
     assert None in q and q[None] is not None
+
+
+def test_weighted_hist_state_equals_replication(spark):
+    """A weight-w row is EXACTLY w copies of the row: weighted state ==
+    unweighted state over the replicated frame (counts, quantiles,
+    extents); NULL weights contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators import aggstate as A
+
+    rows = [("a", 10.0, 3), ("a", 50.0, 1), ("a", 90.0, 2), ("b", 20.0, 5),
+            ("b", 70.0, None)]
+    df = spark.createDataFrame(rows, "k string, v double, w int")
+    kw = dict(lo=0.0, hi=100.0, n_buckets=10)
+    weighted = A.build_hist_state(df, ["k"], "v", weight_col="w", **kw)
+    replicated = spark.createDataFrame(
+        [(k, v) for (k, v, w) in rows if w for _ in range(w)],
+        "k string, v double",
+    )
+    plain = A.build_hist_state(replicated, ["k"], "v", **kw)
+    wm = {r.k: (r.hist, r.n) for r in weighted.collect()}
+    pm = {r.k: (r.hist, r.n) for r in plain.collect()}
+    assert wm == pm
+    qw = {
+        r.k: r["q_0_5"]
+        for r in A.finalize_hist_quantiles(weighted, ["k"], [0.5]).collect()
+    }
+    qp = {
+        r.k: r["q_0_5"]
+        for r in A.finalize_hist_quantiles(plain, ["k"], [0.5]).collect()
+    }
+    assert qw == qp
