@@ -57,12 +57,16 @@ def test_every_registered_query_compiles_scale_safe(spark):
     every violation before failing so a red run names them all."""
     import __spark_entry__ as entry
 
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     flagged: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
     fired: set[str] = set()
+    complex_out: dict[str, list[str]] = {}
     for name, fn in entry.queries().items():
         try:
-            flags = audit_plan(_plan(fn(spark, SF)))
+            df = fn(spark, SF)
+            flags = audit_plan(_plan(df))
         except Exception as exc:  # compile failure is its own flag
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
@@ -71,8 +75,23 @@ def test_every_registered_query_compiles_scale_safe(spark):
             fired.add(name)
         if flags:
             flagged[name] = flags
+        # the driver's correctness gate canonicalizes results with pandas
+        # sort_values -> factorize, which CRASHES on list/dict cells — a
+        # registered query exposing array/map/struct columns is a query
+        # the hard gate cannot check (the one r7 driver-red, emb_whiten).
+        # Serialize or posexplode vectors before registering.
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            complex_out[name] = bad
     assert not errors, f"queries failed to compile: {errors}"
     assert not flagged, f"scale anti-patterns: {flagged}"
+    assert not complex_out, (
+        f"non-canonicalizable (array/map/struct) output columns: {complex_out}"
+    )
     # an allowlist entry whose flag no longer fires is stale — prune it
     assert fired == set(ALLOWLIST), (
         f"stale allowlist entries: {sorted(set(ALLOWLIST) - fired)}"
