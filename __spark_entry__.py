@@ -46,86 +46,77 @@ _FIRST_50 = [
     "window_top_orders_per_cust",
     "dedup_minhash",
     "emb_topk_query",
-    # ---- round-7 window (rotation #4): 40 never-driver-sampled ----
-    # r6-session additions: decontamination / dedup evidence chain
-    "dedup_ngram_decontaminate",
-    "dedup_winnow_pairs",
-    "dedup_contamination_report",
-    "dedup_soft_weights",
-    "dedup_pair_evidence",
-    "dedup_intradoc_spans",
-    # r6-session additions: curation / selection
-    "curation_dsir_select",
-    "curation_preference_pairs",
-    "curation_rank_ensemble",
-    "curation_cluster_safe_split",
-    "curation_cap_per_source",
-    "events_recency_sample",
-    # r6-session additions: declarative pipeline stages
-    "etl_decontaminate",
-    "etl_augment_pairs",
-    "etl_soft_dedup",
-    "etl_cap_per_source",
-    # r6-session additions: text analysis
-    "text_gopher_rules",
-    "text_span_corruption",
-    "text_vocab_divergence",
-    "text_tokenizer_fertility",
-    # r6-session additions: embeddings QA + graph + multimodal
-    "emb_vector_quality",
-    "emb_dim_stats",
+    # ---- round-8 window (rotation #5): 40 never-driver-green ----
+    # the r7 array-output fixes (VERDICT r7 ask #1) + ex-rows-only pair
+    # upgraded to full/bounded oracles (ask #3)
     "emb_whiten",
-    "emb_matryoshka_audit",
-    "graph_supplier_pagerank",
-    "multimodal_video_near_dups",
-    # streaming batch twin still unverified (VERDICT r6 ask #5)
-    "reconcile_js_drift",
-    # §2.8 SQL-coverage demos, never sampled
-    "agg_cube_status_priority",
-    "agg_grouping_sets_orders",
-    "setop_segments_in_both",
-    "setop_priority_except_all",
-    "unpivot_part_metrics",
-    "sql_recursive_hierarchy",
-    "window_order_gaps",
-    "window_funnel_conversion",
-    # profiling family, never sampled
-    "profile_layout_advisor",
-    "profile_correlations",
-    "profile_chi_square",
-    "profile_customer_table",
-    "profile_join_skew",
+    "emb_label_centroids",
+    "emb_ivf_train",
+    "text_compression_ratio",
+    # r7-session additions (ask #2 priority list)
+    "agg_hist_quantile_state",
+    "curation_ccnet_buckets",
+    "curation_shard_plan",
+    "text_fim_transform",
+    "etl_fim_pairs",
+    "emb_label_noise",
+    "multimodal_audio_gate",
+    "etl_ccnet_gate",
+    "curation_gate_overlap",
+    "profile_corpus_card",
+    "reconcile_quantile_drift",
+    "curation_length_balance",
+    "curation_soft_weighted_sample",
+    "agg_event_paths",
+    "quantile_weighted_prices",
+    # window family, never sampled
+    "window_event_transitions",
+    "window_order_streaks",
+    "window_rolling_revenue",
+    "window_price_distribution",
+    "window_cohort_retention",
+    # text-analysis family, never sampled
+    "text_vocab_topk",
+    "text_tfidf_top_terms",
+    "text_word_entropy",
+    "text_zipf_slope",
+    "text_readability",
+    "text_pii_incidence",
+    # quantile family, never sampled
+    "quantile_exact_prices",
+    "quantile_normalize_prices",
+    "quantile_winsorize_prices",
+    "quantile_freq_bins",
+    "quantile_mad_outliers",
+    # SCD/CDC + DQ + plugin surfaces, never sampled
+    "scd1_customer_balances",
+    "scd3_customer_segments",
+    "cdc_snapshot_events",
+    "dq_expectations_customer",
+    "udtf_split_sentences",
 ]
-# Round-8 rotation candidates (never driver-sampled as of r7, ~81 left):
-# window_event_transitions/order_streaks/rolling_revenue/
-# price_distribution/cohort_retention, profile_histogram_prices,
-# agg_supplier_concentration, dedup_impact_report/incremental_minhash,
+# Round-9 rotation candidates (never driver-sampled as of r8, 57 left):
+# profile_histogram_prices, agg_supplier_concentration,
+# dedup_impact_report/incremental_minhash,
 # etl_extract_ops/curriculum/intradoc_rewrite/gopher_gate,
-# text_vocab_richness/topk(+_pruned/approx)/tfidf_top_terms/word_
-# entropy/unigram_logprob/ngram_novelty/distinctive_terms/zipf_slope/
-# readability/pii_incidence/contrastive_views/url_normalize/unicode_
-# normalize/chunk_windows/chunk_stats/classifier_calibration,
-# ir_ndcg_audit/retrieve_rerank, scd1/scd3, cdc_snapshot_events,
-# quantile_exact/normalize/winsorize/freq_bins/mad_outliers, pack_
-# training_sequences/bin_stats, emb_knn_join_lsh(+_multi)/label_
-# centroids/quantize_error/centroid_drift/hard_negatives/ivf_train,
+# text_vocab_richness/vocab_topk_pruned/vocab_approx_topk/
+# unigram_logprob/ngram_novelty/distinctive_terms/contrastive_views/
+# url_normalize/unicode_normalize/chunk_windows/chunk_stats/
+# classifier_calibration, ir_ndcg_audit/retrieve_rerank, pack_
+# training_sequences/bin_stats, emb_knn_join_lsh(+_multi)/
+# quantize_error/centroid_drift/hard_negatives,
 # curation_stratified_sample/split_leakage/stable_ids/balance_groups/
 # sample_n/priority_sample/quality_cutoff/curriculum_order/
 # uncertainty_sample, reconcile_snapshot_diff/diff_summary/
-# distribution_drift, dq_expectations_customer, json_variant_events,
-# udtf_split_sentences, affinity_part_pairs, range_clicks_before_error,
-# agg_distinct_users_daily(+approx)/incremental_state/price_qty_
-# regression/above_avg_orders/profit_by_nation_year/idle_rich_
-# customers/events_gapfill/pivot_status_revenue/hll_incremental_users,
+# distribution_drift, json_variant_events, affinity_part_pairs,
+# range_clicks_before_error, agg_distinct_users_daily(+approx)/
+# incremental_state/price_qty_regression/above_avg_orders/
+# profit_by_nation_year/idle_rich_customers/events_gapfill/
+# pivot_status_revenue/hll_incremental_users,
 # privacy_k_anonymity_stats/t_closeness, corpus_curate,
-# text_compression_ratio, plus the r7-session additions
-# (agg_hist_quantile_state, curation_ccnet_buckets, curation_shard_plan,
-# text_fim_transform, etl_fim_pairs, emb_label_noise,
-# multimodal_audio_gate, etl_ccnet_gate, curation_gate_overlap,
-# profile_corpus_card, reconcile_quantile_drift, curation_length_balance,
-# curation_soft_weighted_sample)
-# — keep rotating ~40/round; cumulative driver-verified after r7 ≥
-# 170/251 of (251 + new registrations).
+# plus any r8-session additions
+# — keep rotating ~40/round; cumulative driver-verified after r8 ≥
+# 209/266 (+ new registrations).
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

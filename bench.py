@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "curation_soft_weighted_sample",  # cached pairs -> CC -> hash draw at 1/n
     "agg_event_paths",  # (user,day) window leads -> path word-count top-k
     "quantile_weighted_prices",  # weighted + plain hist states, one scan shape
+    # round-8 additions
+    "etl_soft_dedup_shared",  # soft dedup mounting the persisted pair layout
+    "emb_ivf_train",  # 2 Lloyd rounds + per-centroid stats (scalars out)
 ]
 
 

@@ -270,7 +270,7 @@ def _watermark_sql_literal(mark, dtype: str | None = None) -> str:
     return f"'{escaped}'"
 
 
-def _apply_dedup(df, spec: TableSpec):
+def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
     """Compile ``TableSpec.dedup`` into the plan. Deterministic: with an
     ``id_column`` the survivor is the min-id row per key (stable under
     any partitioning); without one, only full-row DISTINCT is allowed —
@@ -278,6 +278,11 @@ def _apply_dedup(df, spec: TableSpec):
     arbitrary partition-dependent row, which is a silent-corruption
     footgun this engine refuses."""
     d = spec.dedup
+    if d.pairs_table and d.method not in ("minhash", "soft"):
+        raise ValueError(
+            f"{spec.source_table}: dedup pairs_table only applies to "
+            f"method minhash/soft, not {d.method!r}"
+        )
 
     def _require_cols(*cols):
         # shared requires/existence validation for the near-dup methods
@@ -295,7 +300,34 @@ def _apply_dedup(df, spec: TableSpec):
                 )
 
     def _mine_pairs():
-        # shared MinHash pair mining for minhash/soft — (id, text) only
+        # shared MinHash pair mining for minhash/soft — (id, text) only.
+        # A declared pairs_table short-circuits the banded join: the
+        # pair set was mined once (and persisted) by an earlier job, so
+        # consumers pay one parquet scan instead of re-shingling the
+        # corpus (VERDICT r7 ask #5).
+        if d.pairs_table:
+            pairs = None
+            errors: list[Exception] = []
+            for attempt in (ctx._read_target, ctx._read_source):
+                try:
+                    pairs = attempt(d.pairs_table)
+                    break
+                except Exception as e:  # noqa: BLE001 — try the other side
+                    errors.append(e)
+            if pairs is None:
+                raise RuntimeError(
+                    f"{spec.source_table}: cannot resolve dedup "
+                    f"pairs_table {d.pairs_table!r}: {errors}"
+                )
+            missing_cols = {"id_i", "id_j"} - set(pairs.columns)
+            if missing_cols:
+                raise ValueError(
+                    f"{spec.source_table}: dedup pairs_table "
+                    f"{d.pairs_table!r} is missing columns "
+                    f"{sorted(missing_cols)} — persist the "
+                    "minhash_near_dups layout (id_i, id_j[, jaccard])"
+                )
+            return pairs.select("id_i", "id_j")
         from .operators.dedup import minhash_near_dups
 
         return minhash_near_dups(
@@ -698,7 +730,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                     "DISTINCT dedup (every row differs in _source_file) — "
                     "name the dedup key columns or drop one of the two"
                 )
-            df = _apply_dedup(df, spec)
+            df = _apply_dedup(ctx, df, spec)
 
     # 5d. declarative curation: per-group sampling, then the split
     # label (both pure hash projections — zero shuffles; distinct seeds

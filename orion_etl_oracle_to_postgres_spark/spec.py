@@ -229,7 +229,18 @@ class DedupSpec(BaseModel):
     MinHash pair/cluster machinery as ``minhash``, but every row ships
     with ``cluster_id``/``n_dups``/``sample_weight = 1/n_dups`` columns
     instead of losers being dropped
-    (``operators/dedup.py:soft_dedup_weights``)."""
+    (``operators/dedup.py:soft_dedup_weights``).
+
+    ``pairs_table`` (minhash/soft only) names a PERSISTED near-dup pair
+    table — ``(id_i, id_j)`` rows, e.g. a saved ``minhash_near_dups``
+    result or a ``minhash_index_lookup`` output — resolved through the
+    job's target-then-source connectors like a lookup dimension. When
+    set, the expensive banded bucket join is NOT re-mined inside this
+    pipeline: several jobs (soft dedup + preference pairs +
+    cluster-safe split) share ONE pair mining pass (VERDICT r7 ask #5).
+    Ids must be the same key domain as ``id_column``; the mining
+    parameters that produced the table are the caller's contract, so
+    persist them beside it (the layout-marker pattern)."""
 
     method: str = "fingerprint"  # exact | fingerprint | minhash | semantic | soft
     columns: Optional[List[str]] = None  # exact: key columns
@@ -241,6 +252,9 @@ class DedupSpec(BaseModel):
     num_hashes: int = 64
     bands: int = 16
     shingle_n: int = 3
+    #: minhash/soft: reuse a persisted (id_i, id_j) pair table instead
+    #: of re-mining pairs inside this pipeline
+    pairs_table: Optional[str] = None
     #: semantic knobs
     n_planes: int = 8
     seed: int = 42
