@@ -117,9 +117,9 @@ class JobContext:
             # context; `persist` is deliberately NOT used (the caller
             # can't unpersist what the library pins).
             if lk.table not in self._lookup_pinned:
-                self._lookup_cache[lk.table] = self._lookup_cache[
-                    lk.table
-                ].localCheckpoint(eager=False)
+                self._lookup_cache[lk.table] = _lazy_checkpoint(
+                    self, self._lookup_cache[lk.table]
+                )
                 self._lookup_pinned.add(lk.table)
             return self._lookup_cache[lk.table]
         conns = self.global_spec.connectors
@@ -180,6 +180,19 @@ class JobContext:
 
     def _read_source(self, table: str) -> DataFrame:
         return resolve_source(self.spark, self.global_spec.connectors, table)
+
+
+def _lazy_checkpoint(ctx: "JobContext", df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` that respects ``--explain``:
+    even the LAZY checkpoint finalizes AQE shuffle stages at plan-build
+    time (converting to an RDD executes query stages), so under
+    ``explain_only`` the frame is returned unpinned — plans print, and
+    nothing executes. The pin only matters when actions will actually
+    run (two sinks sharing one materialization), which explain mode
+    never does."""
+    if ctx.explain_only:
+        return df
+    return df.localCheckpoint(eager=False)
 
 
 def _is_missing_table_error(e: Exception) -> bool:
@@ -699,7 +712,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     from .operators.validations import QUARANTINE_COL
 
     if QUARANTINE_COL in df.columns:
-        df = df.localCheckpoint(eager=False)
+        df = _lazy_checkpoint(ctx, df)
     df, quarantine_df = split_quarantine(df)
 
     # 5c. declarative dedup of the outgoing rows (engine extension,
@@ -848,29 +861,58 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         else:
             b_id = "__bench_id"
             bench = bench.withColumn(b_id, F.monotonically_increasing_id())
-        pairs = ngram_overlap_pairs(
-            df.select(F.col(dc.id_column).alias("__did"),
-                      F.col(dc.text_column).alias("__dtx")),
-            bench.select(F.col(b_id).alias("__did"),
-                         F.col(b_text).alias("__dtx")),
-            "__did",
-            "__dtx",
-            n=dc.ngram,
-            min_shared=dc.min_shared,
-            # explain-only compiles must not run the guard's count job
-            broadcast_limit=None if ctx.explain_only else dc.broadcast_limit,
+        train_side = df.select(
+            F.col(dc.id_column).alias("__did"),
+            F.col(dc.text_column).alias("__dtx"),
+        )
+        bench_side = bench.select(
+            F.col(b_id).alias("__did"), F.col(b_text).alias("__dtx")
         )
         # flagged id set: one row per contaminated pipeline row. Lazily
         # checkpointed — BOTH consumers (anti-join keep, audit join) must
         # see the same membership even over a moving source
-        flagged = (
-            pairs.groupBy(F.col("train_id").alias(dc.id_column))
-            .agg(
+        if dc.method == "minhash":
+            # near-dup contamination: cross-corpus LSH band join, exact
+            # Jaccard verified — catches reworded benchmark copies
+            from .operators.dedup import minhash_join
+
+            pairs = minhash_join(
+                train_side,
+                bench_side,
+                "__did",
+                "__dtx",
+                shingle_n=dc.shingle_n,
+                num_hashes=dc.num_hashes,
+                bands=dc.bands,
+                threshold=dc.threshold,
+                # explain-only compiles must not run checkpoint jobs
+                eager=not ctx.explain_only,
+            )
+            flagged = pairs.groupBy(F.col("id_i").alias(dc.id_column)).agg(
+                F.count("*").cast("long").alias("_matched_benchmark_docs"),
+                F.round(F.max("jaccard"), 6).alias("_max_jaccard"),
+            )
+        elif dc.method == "ngram":
+            pairs = ngram_overlap_pairs(
+                train_side,
+                bench_side,
+                "__did",
+                "__dtx",
+                n=dc.ngram,
+                min_shared=dc.min_shared,
+                # explain-only compiles must not run the guard's count job
+                broadcast_limit=None if ctx.explain_only else dc.broadcast_limit,
+            )
+            flagged = pairs.groupBy(F.col("train_id").alias(dc.id_column)).agg(
                 F.count("*").cast("long").alias("_matched_benchmark_docs"),
                 F.sum("shared_ngrams").cast("long").alias("_shared_ngrams"),
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            raise ValueError(
+                f"{spec.source_table}: decontaminate method must be "
+                f"ngram or minhash, not {dc.method!r}"
+            )
+        flagged = _lazy_checkpoint(ctx, flagged)
         # flagged ids are bounded by the benchmark's gram coverage (eval
         # suites are MBs) — broadcast, so the pipeline frame keeps its
         # partitioning instead of shuffling into a sort-merge anti join.
@@ -943,7 +985,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             if qf.reject_table:
                 # one lazy materialization feeds BOTH sinks (same
                 # rationale as the score-gate split below)
-                staged = staged.localCheckpoint(eager=False)
+                staged = _lazy_checkpoint(ctx, staged)
                 quality_rejects = (
                     staged.filter(~keep_cond)
                     .withColumn(
@@ -1028,7 +1070,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 # two consumers (kept + rejects) — one lazy materialization
                 # so both read the same snapshot; single-consumer plans
                 # skip the executor-storage pin entirely
-                tagged = tagged.localCheckpoint(eager=False)
+                tagged = _lazy_checkpoint(ctx, tagged)
             # rn*1000 <= n*f_pm + 999 in pure int64 (ceil quota, no float
             # drift); NULL scores sort last AND are explicitly rejected
             keep_cond = F.col("_quality").isNotNull() & (
@@ -1047,7 +1089,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             tagged = df.withColumn("_quality", q)
             if tk_col is not None:
                 tagged = tagged.drop(tk_col)
-            tagged = tagged.localCheckpoint(eager=False)
+            tagged = _lazy_checkpoint(ctx, tagged)
             quality_rejects = tagged.filter(
                 ~F.coalesce(F.col("_quality") >= qf.min_quality, F.lit(False))
             )

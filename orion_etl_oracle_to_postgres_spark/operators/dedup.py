@@ -800,6 +800,7 @@ def minhash_join(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    eager: bool = True,
 ) -> DataFrame:
     """Cross-corpus MinHash+LSH near-duplicate JOIN — the
     decontamination shape: which candidate training documents (``left``)
@@ -821,9 +822,17 @@ def minhash_join(
     key-uniform; and when ``right`` is a benchmark suite (thousands of
     docs vs billions) its banded side broadcasts — Spark picks that up
     from size estimates, no hint needed.
+
+    ``eager=False`` defers the shingle-stream checkpoints to the first
+    action — required by plan-review callers (``runner --explain``)
+    whose contract is "compile without executing".
     """
-    flat_l = shingle_hash_stream(left, id_col, text_col, shingle_n).localCheckpoint()
-    flat_r = shingle_hash_stream(right, id_col, text_col, shingle_n).localCheckpoint()
+    flat_l = shingle_hash_stream(left, id_col, text_col, shingle_n).localCheckpoint(
+        eager=eager
+    )
+    flat_r = shingle_hash_stream(right, id_col, text_col, shingle_n).localCheckpoint(
+        eager=eager
+    )
     banded_l = minhash_bands(flat_l, num_hashes, bands, seed)
     banded_r = minhash_bands(flat_r, num_hashes, bands, seed)
     candidates = (

@@ -9979,6 +9979,57 @@ def etl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_decontaminate_minhash",
+    _SHINGLE_CTE
+    + """
+    , flagged AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a, sh b
+      WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 7 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def etl_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative NEAR-DUP decontamination
+    (`decontaminate: {method: minhash}`, compiler.py): training rows
+    whose exact Jaccard to any benchmark row (doc_id % 7 == 0) reaches
+    0.8 are dropped — the reworded-copy catch the verbatim 13-gram rule
+    misses (VERDICT r7 ask #6's declarative twin for the MinHash join
+    path). LSH band candidates (128/32) exact-verified, so the oracle's
+    brute-forced exact-Jaccard flag set coincides (miss probability
+    < 1e-7, same argument as dedup_minhash_join)."""
+    from .spec import DecontaminateSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_decontam_nd",
+        where="doc_id % 7 <> 0",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        decontaminate=DecontaminateSpec(
+            method="minhash",
+            benchmark_table="documents",
+            benchmark_where="doc_id % 7 = 0",
+            text_column="text",
+            id_column="doc_id",
+            benchmark_id_column="doc_id",
+            threshold=0.8,
+            num_hashes=128,
+            bands=32,
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select("doc_id", "lang")
+
+
+@query(
     "text_tokenizer_fertility",
     f"""
     SELECT d.lang,

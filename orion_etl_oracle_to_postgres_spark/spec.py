@@ -743,20 +743,33 @@ class AugmentSpec(BaseModel):
 
 
 class DecontaminateSpec(BaseModel):
-    """[engine extension] Declarative exact n-gram EVAL DECONTAMINATION
-    of the outgoing rows (``dedup.ngram_overlap_pairs``, the GPT-3
-    appendix-C check): drop every row whose ``text_column`` shares >=
-    ``min_shared`` verbatim word ``ngram``-grams with any row of
-    ``benchmark_table`` (read through the source/target connectors,
-    optionally pre-filtered by ``benchmark_where``). Runs AFTER the
-    rewrite stage and BEFORE the quality gate — contaminated rows must
-    not survive into training splits no matter how well they score.
-    Dropped rows route to ``reject_table`` (when set) with
-    ``_matched_benchmark_docs`` / ``_shared_ngrams`` audit columns.
-    Batch-only: the pair aggregate is corpus-wide. The benchmark side
-    is broadcast (eval suites are MBs) — the pipeline frame never
-    shuffles before the pair count."""
+    """[engine extension] Declarative EVAL DECONTAMINATION of the
+    outgoing rows: drop every row of the pipeline whose ``text_column``
+    matches the ``benchmark_table`` (read through the source/target
+    connectors, optionally pre-filtered by ``benchmark_where``). Runs
+    AFTER the rewrite stage and BEFORE the quality gate — contaminated
+    rows must not survive into training splits no matter how well they
+    score. Dropped rows route to ``reject_table`` (when set) with
+    audit columns. Batch-only: the pair aggregate is corpus-wide.
 
+    ``method: ngram`` (default) is the exact verbatim check
+    (``dedup.ngram_overlap_pairs``, the GPT-3 appendix-C rule): a row
+    is contaminated when it shares >= ``min_shared`` word
+    ``ngram``-grams with any benchmark row; audit columns
+    ``_matched_benchmark_docs`` / ``_shared_ngrams``. The benchmark
+    gram postings are broadcast (eval suites are MBs) — the pipeline
+    frame never shuffles before the pair count.
+
+    ``method: minhash`` is the NEAR-DUP check
+    (``dedup.minhash_join``): a row is contaminated when its exact
+    Jaccard to any benchmark row reaches ``threshold`` (LSH candidates
+    at ``num_hashes``/``bands``, exact-verified) — catches reworded
+    benchmark copies the verbatim n-gram rule misses; audit columns
+    ``_matched_benchmark_docs`` / ``_max_jaccard``. Both sides stream
+    ids+hashes through the band join; the benchmark side's banded
+    signatures broadcast by size."""
+
+    method: str = "ngram"  # ngram | minhash
     benchmark_table: str
     text_column: str
     id_column: str
@@ -765,6 +778,11 @@ class DecontaminateSpec(BaseModel):
     benchmark_where: Optional[str] = None
     ngram: int = Field(default=13, ge=1)
     min_shared: int = Field(default=1, ge=1)
+    #: minhash knobs (method=minhash only)
+    threshold: float = 0.8
+    num_hashes: int = 128
+    bands: int = 32
+    shingle_n: int = 3
     reject_table: Optional[str] = None
     # loud-failure cap on the broadcast sides (benchmark gram postings
     # AND the flagged-id set): a user-declared oversized benchmark_table

@@ -1988,6 +1988,108 @@ def test_decontaminate_declarative(spark, tmp_path):
         )
 
 
+def test_decontaminate_minhash_method(spark, tmp_path):
+    """decontaminate method=minhash: NEAR-dup benchmark matches drop
+    (a reworded copy the verbatim n-gram rule would keep); rejects
+    carry the _max_jaccard audit column; unknown methods refused;
+    explain-only compiles run zero jobs."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+        run_table,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    bench_text = (
+        "what is the capital of france paris is the capital of france"
+    )
+    near_copy = (
+        "what is the capital of france paris is the capital of francex"
+    )
+    spark.createDataFrame(
+        [
+            (1, "totally unrelated words in this training row example"),
+            (2, near_copy),
+        ],
+        "id int, body string",
+    ).write.parquet(str(src / "train.parquet"))
+    spark.createDataFrame(
+        [(9, bench_text)], "bid int, btext string"
+    ).write.parquet(str(src / "bench.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="train",
+        target_table="train_nd_clean",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        decontaminate=spec_mod.DecontaminateSpec(
+            method="minhash",
+            benchmark_table="bench",
+            text_column="body",
+            id_column="id",
+            benchmark_text_column="btext",
+            benchmark_id_column="bid",
+            threshold=0.6,
+            num_hashes=128,
+            bands=32,
+            reject_table="train_nd_contaminated",
+        ),
+    )
+    run_table(JobContext(spark=spark, global_spec=g), t)
+    kept = spark.read.parquet(str(out / "train_nd_clean"))
+    assert [r["id"] for r in kept.collect()] == [1]
+    rej = spark.read.parquet(str(out / "train_nd_contaminated")).collect()
+    assert len(rej) == 1 and rej[0]["id"] == 2
+    assert rej[0]["_matched_benchmark_docs"] == 1
+    assert 0.6 <= rej[0]["_max_jaccard"] <= 1.0
+
+    # unknown method refused loudly
+    with pytest.raises(ValueError, match="ngram or minhash"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(
+                update={
+                    "decontaminate": t.decontaminate.model_copy(
+                        update={"method": "simhash"}
+                    ),
+                    "target_table": "x",
+                }
+            ),
+        )
+
+    # explain-only compiles must not EXECUTE any stage of the plan —
+    # the minhash path's shingle checkpoints are deferred (eager=False)
+    # and the flagged-set pin is skipped (even a lazy localCheckpoint
+    # finalizes AQE shuffle stages). Parquet footer/schema `load` jobs
+    # from spark.read are inherent to building any plan and allowed.
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    ctx = JobContext(spark=spark, global_spec=g, explain_only=True)
+    compile_table(ctx, t.model_copy(update={"target_table": "z"}))
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    jsc = spark.sparkContext._jsc.sc().statusTracker()
+    for job_id in sorted(after - before):
+        info = jsc.getJobInfo(job_id)
+        if not info.isDefined():
+            continue
+        for sid in list(info.get().stageIds()):
+            si = jsc.getStageInfo(sid)
+            assert not si.isDefined() or si.get().name().startswith("load at"), (
+                f"explain-only compile executed stage: {si.get().name()}"
+            )
+
+
 def test_augment_declarative_and_streaming(spark, tmp_path):
     """augment: attaches span-corruption pair columns in-row — all rows
     survive (zero-token docs get NULL pairs), no shuffle, streams."""
