@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     # round-8 additions
     "etl_soft_dedup_shared",  # soft dedup mounting the persisted pair layout
     "emb_ivf_train",  # 2 Lloyd rounds + per-centroid stats (scalars out)
+    "etl_decontaminate_minhash",  # cross-corpus LSH band join decontaminate
+    "curation_unimax_mixture",  # integer water-fill over source-count frames
 ]
 
 

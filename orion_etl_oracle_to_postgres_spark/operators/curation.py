@@ -1301,3 +1301,119 @@ def shard_plan(
         .cast("long")
         .alias("pos_in_shard"),
     )
+
+
+def unimax_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    *,
+    total_budget: int,
+    max_epochs: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling"): split a total training
+    token ``total_budget`` across sources as UNIFORMLY as possible
+    without repeating any source more than ``max_epochs`` times —
+    the principled alternative to temperature sampling when
+    low-resource sources must not be over-epoched into memorization.
+    Returns one row per source: ``(source, n_tokens, cap_tokens,
+    alloc_tokens, epochs)`` with ``sum(alloc_tokens) =
+    min(total_budget, sum(cap_tokens))`` exactly.
+
+    The greedy loop in the paper is equivalent to WATER-FILLING:
+    every source gets ``min(cap_i, L)`` where the level ``L`` solves
+    ``sum(min(cap_i, L)) = budget`` — so it has a closed form over
+    the cap-sorted prefix sums, no iteration. All arithmetic is exact
+    long integers: the level is ``(budget - prefix) div m`` with the
+    remainder dealt one token each to the first ``remainder``
+    uncapped sources in (cap, source) order — deterministic and
+    engine-portable (the DuckDB oracle replays the same integer
+    closed form).
+
+    100 TB shape: ONE map-side-combined aggregate collapses the
+    corpus to a sources-row table; everything after (rank/prefix via
+    the tiny inclusive self-join — deliberately no window, the
+    ``bucket_offsets`` pattern — pivot pick, allocation arithmetic)
+    runs on frames bounded by the source count. The corpus itself is
+    scanned once and never shuffles row-wise."""
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    budget = F.lit(int(total_budget)).cast("long")
+    caps = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens")
+    )
+    caps = caps.withColumn(
+        "cap_tokens", (F.col("n_tokens") * max_epochs).cast("long")
+    )
+    # rank + inclusive prefix sum in (cap, source) order — a
+    # sources-row broadcast self-join, never a global window
+    a, b = caps.alias("__a"), caps.alias("__b")
+    before_or_self = (F.col("__b.cap_tokens") < F.col("__a.cap_tokens")) | (
+        (F.col("__b.cap_tokens") == F.col("__a.cap_tokens"))
+        & (F.col("__b.source") <= F.col("__a.source"))
+    )
+    pref = (
+        a.join(F.broadcast(b), before_or_self, "left")
+        .groupBy(
+            F.col("__a.source").alias("source"),
+            F.col("__a.n_tokens").alias("n_tokens"),
+            F.col("__a.cap_tokens").alias("cap_tokens"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__k"),  # 1-based rank (self incl.)
+            F.sum("__b.cap_tokens").alias("__s_incl"),
+        )
+    )
+    totals = F.broadcast(
+        caps.agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pref = pref.crossJoin(totals)
+    # pivot = first rank where the remaining budget fits under a flat
+    # level <= this source's cap: budget - prefix_excl <= cap * m
+    s_excl = F.col("__s_incl") - F.col("cap_tokens")
+    m = F.col("__n") - F.col("__k") + F.lit(1)
+    fits = (budget - s_excl) <= F.col("cap_tokens") * m
+    pivot = F.broadcast(
+        pref.filter(fits).agg(
+            F.min_by(
+                F.struct(
+                    F.col("__k").alias("__kp"),
+                    s_excl.alias("__sp"),
+                    m.alias("__mp"),
+                ),
+                F.col("__k"),
+            ).alias("__pv")
+        )
+    )
+
+    def _idiv(x, y):
+        # exact long division (floor for non-negative operands)
+        return ((x - x % y) / y).cast("long")
+
+    out = pref.crossJoin(pivot)
+    kp = F.col("__pv.__kp")
+    lvl = budget - F.col("__pv.__sp")
+    base = _idiv(lvl, F.col("__pv.__mp"))
+    rem = lvl % F.col("__pv.__mp")
+    alloc = (
+        F.when(kp.isNull() | (F.col("__k") < kp), F.col("cap_tokens"))
+        .otherwise(
+            base + F.when(F.col("__k") - kp < rem, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(
+            alloc.cast("double")
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+            decimals,
+        ).alias("epochs"),
+    )

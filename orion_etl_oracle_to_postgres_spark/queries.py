@@ -5619,6 +5619,75 @@ def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIMAX_ALLOC_SQL = """(CASE WHEN kp IS NULL OR k < kp THEN cap_tokens
+                 ELSE (50000 - sp) // mp
+                      + CASE WHEN k - kp < (50000 - sp) % mp
+                             THEN 1 ELSE 0 END
+            END)::BIGINT"""
+
+
+@query(
+    "curation_unimax_mixture",
+    f"""
+    WITH caps AS (
+      SELECT source,
+             sum(coalesce(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')), 0))::BIGINT AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    ranked AS (
+      SELECT source, n_tokens, (n_tokens * 2)::BIGINT AS cap_tokens,
+             row_number() OVER (ORDER BY n_tokens * 2, source) AS k,
+             sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, source
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS s_incl,
+             count(*) OVER ()::BIGINT AS n
+      FROM caps
+    ),
+    pv AS (
+      SELECT k AS kp, (s_incl - cap_tokens)::BIGINT AS sp,
+             (n - k + 1)::BIGINT AS mp
+      FROM ranked
+      WHERE 50000 - (s_incl - cap_tokens) <= cap_tokens * (n - k + 1)
+      ORDER BY k LIMIT 1
+    )
+    SELECT source, n_tokens, cap_tokens,
+           {_UNIMAX_ALLOC_SQL} AS alloc_tokens,
+           round(CASE WHEN n_tokens > 0
+                      THEN {_UNIMAX_ALLOC_SQL}::DOUBLE / n_tokens END,
+                 6) AS epochs
+    FROM ranked LEFT JOIN pv ON TRUE
+    """,
+)
+def curation_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] UniMax epoch-capped mixture allocation
+    (operators/curation.py:unimax_mixture): a 50k-token budget split as
+    uniformly as possible across the document sources with no source
+    repeated past 2 epochs — closed-form integer water-filling (level =
+    exact long division over cap-sorted prefix sums, remainder dealt
+    deterministically), so allocations sum to min(budget, total
+    capacity) exactly. One corpus aggregate; everything downstream is
+    bounded by the source count, rank/prefix via the windowless
+    inclusive self-join. Oracle replays the same integer closed form
+    over DuckDB window prefix sums."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+    from .operators.curation import unimax_mixture
+
+    withtok = d.select(
+        "source",
+        F.coalesce(
+            F.when(F.col("text").isNotNull(), F.size(_tokens(F.col("text")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__ntok"),
+    )
+    return unimax_mixture(
+        withtok, "source", "__ntok", total_budget=50_000, max_epochs=2
+    )
+
+
 @query(
     "curation_token_budget",
     """

@@ -1430,3 +1430,69 @@ def test_length_balance_flattens_buckets(spark):
     assert len(set(sizes.values())) == 1  # flattened: all equal
     # the NULL-text doc landed in bucket 0 (zero tokens), not -1/None
     assert {r.len_bucket for r in b.filter("doc_id = 999").collect()} == {0}
+
+
+def test_unimax_mixture_water_fill_exact(spark):
+    """Hand-computed water-fill: caps [4,10,20,40] (max_epochs=2 over
+    token counts [2,5,10,20]), budget 30 → pivot at the 10-cap source:
+    4 is capped, remaining 26 splits 3 ways = base 8 rem 2, dealt to
+    the two smallest uncapped sources → allocs [4,9,9,8]; sums to the
+    budget exactly. Budget above total capacity → everyone capped.
+    Zero budget → all zeros."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        unimax_mixture,
+    )
+
+    rows = []
+    for src, n in [("a", 2), ("b", 5), ("c", 10), ("d", 20)]:
+        rows += [(src, 1)] * n
+    df = spark.createDataFrame(rows, "source string, tok long")
+
+    out = {
+        r["source"]: r
+        for r in unimax_mixture(
+            df, "source", "tok", total_budget=30, max_epochs=2
+        ).collect()
+    }
+    assert {s: out[s]["cap_tokens"] for s in out} == {
+        "a": 4, "b": 10, "c": 20, "d": 40
+    }
+    assert {s: out[s]["alloc_tokens"] for s in out} == {
+        "a": 4, "b": 9, "c": 9, "d": 8
+    }
+    assert sum(r["alloc_tokens"] for r in out.values()) == 30
+    assert out["a"]["epochs"] == 2.0  # capped source hits max_epochs
+    assert out["b"]["epochs"] == 1.8
+
+    # budget >= total capacity: every source capped, total = capacity
+    over = unimax_mixture(
+        df, "source", "tok", total_budget=1000, max_epochs=2
+    ).collect()
+    assert all(r["alloc_tokens"] == r["cap_tokens"] for r in over)
+    assert sum(r["alloc_tokens"] for r in over) == 74
+
+    # zero budget: all-zero allocation (level 0)
+    zero = unimax_mixture(
+        df, "source", "tok", total_budget=0, max_epochs=2
+    ).collect()
+    assert all(r["alloc_tokens"] == 0 for r in zero)
+
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="total_budget"):
+        unimax_mixture(df, "source", "tok", total_budget=-1)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_mixture(df, "source", "tok", total_budget=1, max_epochs=0)
+
+    # plan hygiene: no unpartitioned window anywhere (prefix sums run
+    # through the windowless self-join)
+    plan = (
+        unimax_mixture(df, "source", "tok", total_budget=30, max_epochs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan or "Window" not in plan
