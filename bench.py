@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "emb_ivf_train",  # 2 Lloyd rounds + per-centroid stats (scalars out)
     "etl_decontaminate_minhash",  # cross-corpus LSH band join decontaminate
     "curation_unimax_mixture",  # integer water-fill over source-count frames
+    "emb_pca_power",  # let-bound outer-product agg + driver-side iteration
 ]
 
 

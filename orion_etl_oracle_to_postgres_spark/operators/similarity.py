@@ -1780,3 +1780,111 @@ def label_noise_scan(
             )
         ).alias("flagged"),
     )
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str, *, decimals: int = 6
+) -> DataFrame:
+    """Flattened covariance matrix of an embedding column →
+    ``(pos, cov)`` rows with ``pos = i*d + j`` (row-major): ``cov =
+    avg((x_i - m_i)(x_j - m_j))`` over non-null vectors, means the
+    ROUNDED ``dim_stats`` means (the round-before-use contract, so
+    engines center identically).
+
+    100 TB shape: the in-row outer product is LET-BOUND (the centered
+    array evaluates once per row, not once per of the d² lambda
+    elements — the CollapseProject re-inlining trap), then ONE
+    posexplode + map-side-combined aggregate: the exchange carries d²
+    partials per task (4096 rows at d=64), never the corpus. Entries
+    are rounded so differently-ordered partial sums agree across
+    engines — downstream eigen-iterations then run on bit-identical
+    inputs everywhere."""
+    stats = {
+        int(r["dim"]): float(r["mean"])
+        for r in dim_stats(df, vec_col, decimals=decimals).collect()
+    }
+    if not stats:
+        return df.sparkSession.createDataFrame([], "pos int, cov double")
+    d = max(stats) + 1
+    means = F.array(*[F.lit(stats[i]) for i in range(d)])
+    cent = F.zip_with(
+        F.col(vec_col).cast("array<double>"), means, lambda x, m: x - m
+    )
+    # F.array(cent) + transform = let-binding: the lambda variable `c`
+    # evaluates the centered array exactly once per row
+    outer = F.flatten(
+        F.transform(
+            F.array(cent),
+            lambda c: F.flatten(
+                F.transform(c, lambda xi: F.transform(c, lambda xj: xi * xj))
+            ),
+        )
+    )
+    pos = df.filter(F.col(vec_col).isNotNull()).select(F.posexplode(outer))
+    return pos.groupBy(F.col("pos")).agg(
+        F.round(F.avg("col"), decimals).alias("cov")
+    )
+
+
+def pca_power(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    iters: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top principal component by POWER ITERATION →
+    ``(dim, loading, eigenvalue, explained_share)`` — the direction
+    that dominates the embedding cloud's variance: the anisotropy
+    diagnosis behind "all my cosines are 0.9" (one rogue dimension or
+    a common-mean artifact), and the first step of PCA whitening /
+    ABTT-style post-processing.
+
+    Deterministic and engine-replayable end to end: the covariance
+    entries are ROUNDED before iteration (both engines then iterate on
+    bit-identical matrices), the start vector is all-ones, and each of
+    the ``iters`` matvec+normalize steps uses plain sequential
+    double-precision folds — the DuckDB oracle unrolls the SAME
+    iterations over list expressions, so even the eigenvector's sign
+    matches. Loadings/eigenvalue/share are rounded on output.
+
+    100 TB shape: all corpus work is ``covariance_matrix`` (one
+    posexplode + map-side-combined aggregate, d²-bounded exchange);
+    the d²-entry matrix is a bounded driver collect (the
+    codebook/literals pattern) and the iteration itself is driver
+    arithmetic on d doubles — nothing iterative ever touches the
+    cluster, unlike a naive per-step distributed matvec which would
+    pay ``iters`` corpus scans."""
+    cov = {
+        int(r["pos"]): float(r["cov"])
+        for r in covariance_matrix(df, vec_col, decimals=decimals).collect()
+    }
+    spark = df.sparkSession
+    schema = "dim int, loading double, eigenvalue double, explained_share double"
+    if not cov:
+        return spark.createDataFrame([], schema)
+    d = int(round(len(cov) ** 0.5))
+    c = [[cov[i * d + j] for j in range(d)] for i in range(d)]
+    v = [1.0] * d
+    lam = 0.0
+    for _ in range(max(1, iters)):
+        w = []
+        for i in range(d):
+            s = 0.0
+            for j in range(d):  # sequential fold == list_sum order
+                s += c[i][j] * v[j]
+            w.append(s)
+        n2 = 0.0
+        for x in w:
+            n2 += x * x
+        lam = n2**0.5
+        if lam == 0.0:  # degenerate (all-constant input): stay at start
+            break
+        v = [x / lam for x in w]
+    trace = 0.0
+    for i in range(d):
+        trace += c[i][i]
+    share = round(lam / trace, decimals) if trace > 0 else None
+    lam_r = round(lam, decimals)
+    rows = [(i, round(v[i], decimals), lam_r, share) for i in range(d)]
+    return spark.createDataFrame(rows, schema)

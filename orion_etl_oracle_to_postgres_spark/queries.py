@@ -9992,6 +9992,66 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("vec_id", F.posexplode("whitened").alias("dim", "value"))
 
 
+def _pca_iter_cte(k: int) -> str:
+    """One unrolled power-iteration step: w = C·v (row-major flattened
+    matrix, sequential list_sum fold — the exact order the Spark
+    operator's driver loop uses), lam = ||w||, v = w/lam."""
+    return f"""
+    t{k} AS (
+      SELECT cl, list_transform(w, x -> x / lam) AS vv, lam FROM (
+        SELECT cl, w, sqrt(list_sum(list_transform(w, x -> x*x))) AS lam
+        FROM (
+          SELECT cl, list_transform(range(64), i ->
+            list_sum(list_transform(range(64), j ->
+              cl[i*64 + j + 1] * vv[j+1]))) AS w
+          FROM t{k - 1}
+        )
+      )
+    )"""
+
+
+@query(
+    "emb_pca_power",
+    """
+    WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    m AS (SELECT i, round(avg(e[i+1]), 6) AS mu
+          FROM v, range(64) r(i) GROUP BY i),
+    mu AS (SELECT list(mu ORDER BY i) AS ms FROM m),
+    cov AS (
+      SELECT i, j,
+             round(avg((e[i+1] - ms[i+1]) * (e[j+1] - ms[j+1])), 6) AS c
+      FROM v, mu, range(64) r(i), range(64) s(j)
+      GROUP BY 1, 2
+    ),
+    cm AS (SELECT list(c ORDER BY i*64 + j) AS cl FROM cov),
+    t0 AS (SELECT cl, list_transform(range(64), x -> 1.0) AS vv FROM cm),"""
+    + ",".join(_pca_iter_cte(k) for k in range(1, 9))
+    + """
+    SELECT i AS dim, round(vv[i+1], 6) AS loading,
+           round(lam, 6) AS eigenvalue,
+           round(lam / list_sum(list_transform(range(64),
+                   i -> cl[i*64 + i + 1])), 6) AS explained_share
+    FROM t8, range(64) r(i)
+    """,
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Top principal component by power iteration
+    (operators/similarity.py:pca_power): 8 matvec+normalize rounds over
+    the 6-dp-rounded covariance matrix from the all-ones start — the
+    anisotropy diagnosis (one dominant direction explains the "every
+    cosine is 0.9" failure) and the first step of PCA whitening. The
+    oracle UNROLLS the identical iterations over list expressions
+    (sequential folds match the driver loop's order), so the whole
+    iterative algorithm — loadings, eigenvalue, explained share, even
+    the eigenvector's sign — is value-checked like the Lloyd trainer.
+    Corpus work = one let-bound outer-product posexplode with map-side
+    combine (d²-bounded exchange); the iteration itself is driver
+    arithmetic on d doubles, never a per-step cluster scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_power(e, "embedding", iters=8)
+
+
 @query(
     "etl_decontaminate",
     """

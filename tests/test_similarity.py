@@ -864,3 +864,44 @@ def test_label_noise_scan_flags_mislabels(spark):
         label_noise_scan(df, min_disagreement=0.0)
     with _pt.raises(ValueError, match="k must be"):
         label_noise_scan(df, k=0)
+
+
+def test_pca_power_recovers_dominant_direction(spark):
+    """A cloud stretched along axis 0 (variance 100x the rest) must
+    yield PC1 ~ e0 with near-total explained share; covariance entries
+    are exact against hand computation; empty input returns an empty
+    frame with the contract schema."""
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        covariance_matrix,
+        pca_power,
+    )
+
+    # 4 points on axis 0 at +-10, tiny fixed noise on axis 1
+    rows = [
+        (0, [10.0, 0.1, 0.0]),
+        (1, [-10.0, -0.1, 0.0]),
+        (2, [10.0, -0.1, 0.0]),
+        (3, [-10.0, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cov = {
+        r["pos"]: r["cov"] for r in covariance_matrix(df, "embedding").collect()
+    }
+    # hand: var(axis0) = 100, var(axis1) = 0.01, cross-cov = 0
+    assert cov[0 * 3 + 0] == 100.0
+    assert cov[1 * 3 + 1] == 0.01
+    assert cov[0 * 3 + 1] == 0.0 and cov[2 * 3 + 2] == 0.0
+
+    out = {r["dim"]: r for r in pca_power(df, "embedding", iters=8).collect()}
+    assert abs(abs(out[0]["loading"]) - 1.0) < 1e-6
+    assert abs(out[1]["loading"]) < 1e-3 and out[2]["loading"] == 0.0
+    assert abs(out[0]["eigenvalue"] - 100.0) < 0.01
+    assert out[0]["explained_share"] > 0.999
+    # eigenvalue/share constant across rows
+    assert len({r["eigenvalue"] for r in out.values()}) == 1
+
+    empty = pca_power(df.filter("vec_id < 0"), "embedding")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "dim", "loading", "eigenvalue", "explained_share"
+    ]
