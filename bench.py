@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "etl_decontaminate_minhash",  # cross-corpus LSH band join decontaminate
     "curation_unimax_mixture",  # integer water-fill over source-count frames
     "emb_pca_power",  # let-bound outer-product agg + driver-side iteration
+    "emb_decontaminate",  # exact cross-cosine gate, broadcast bench side
 ]
 
 

@@ -1888,3 +1888,54 @@ def pca_power(
     lam_r = round(lam, decimals)
     rows = [(i, round(v[i], decimals), lam_r, share) for i in range(d)]
     return spark.createDataFrame(rows, schema)
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    bench_vec: str = "embedding",
+    threshold: float = 0.95,
+    decimals: int = 6,
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """EMBEDDING-SPACE eval decontamination: which corpus vectors sit
+    within ``threshold`` cosine of ANY benchmark vector →
+    ``(corpus_id, n_matches, max_cosine)``. The semantic sibling of the
+    verbatim n-gram and MinHash text checks — a paraphrased benchmark
+    item shares no 13-gram and little Jaccard, but its embedding stays
+    close. Exact scoring (no LSH recall loss — a decontamination gate
+    must not miss): the benchmark side is broadcast behind the usual
+    loud ``broadcast_limit`` count probe (eval suites are small; a
+    billion-row "benchmark" should fail at plan build, not OOM), each
+    corpus partition scores all benchmark vectors locally, and the
+    threshold filter runs BEFORE the per-id aggregate, so the one
+    exchange carries only flagged (id, cos) pairs. Cosines are rounded
+    before the compare — round-before-rank, engines agree on the flag
+    set. Drop flagged ids with one broadcast anti-join (the audit
+    columns say why each id left)."""
+    _guard_broadcast_side(
+        bench, bench_id, broadcast_limit, "semantic_contamination"
+    )
+    b = bench.filter(F.col(bench_vec).isNotNull()).select(
+        F.col(bench_id).alias("__bid"),
+        F.col(bench_vec).cast("array<double>").alias("__bv"),
+    )
+    c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
+        F.col(corpus_id),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    )
+    cos = F.round(cosine(F.col("__cv"), F.col("__bv")), decimals)
+    return (
+        c.join(F.broadcast(b))
+        .select(F.col(corpus_id), cos.alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(corpus_id)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.max("__cos").alias("max_cosine"),
+        )
+    )

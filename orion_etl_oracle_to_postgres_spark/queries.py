@@ -9992,6 +9992,45 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("vec_id", F.posexplode("whitened").alias("dim", "value"))
 
 
+@query(
+    "emb_decontaminate",
+    """
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 9 <> 0 AND embedding IS NOT NULL),
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % 9 = 0 AND embedding IS NOT NULL),
+    s AS (
+      SELECT a.vec_id,
+             round(list_sum(list_transform(range(64),
+                     i -> a.v[i+1] * b.v[i+1]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x*x)))),
+               6) AS c
+      FROM a, b
+    )
+    SELECT vec_id, count(*)::BIGINT AS n_matches, max(c) AS max_cosine
+    FROM s WHERE c >= 0.4 GROUP BY 1
+    """,
+)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-space eval decontamination
+    (operators/similarity.py:semantic_contamination): corpus vectors
+    (vec_id % 9 != 0) within 0.4 cosine of any 'benchmark' vector
+    (vec_id % 9 == 0) — the paraphrase-catch the verbatim 13-gram and
+    MinHash text checks miss. Exact scoring (a decontamination gate
+    must not lose recall to LSH), guarded broadcast benchmark side,
+    threshold filter BEFORE the aggregate so the exchange carries only
+    flagged pairs; cosines rounded before the compare so both engines
+    agree on the flag set. Oracle brute-forces the same rounded
+    cross cosine."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 9 != 0)
+    bench = e.filter(F.col("vec_id") % 9 == 0)
+    return similarity.semantic_contamination(
+        corpus, bench, threshold=0.4
+    )
+
+
 def _pca_iter_cte(k: int) -> str:
     """One unrolled power-iteration step: w = C·v (row-major flattened
     matrix, sequential list_sum fold — the exact order the Spark

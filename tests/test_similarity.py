@@ -905,3 +905,44 @@ def test_pca_power_recovers_dominant_direction(spark):
     assert [f.name for f in empty.schema.fields] == [
         "dim", "loading", "eigenvalue", "explained_share"
     ]
+
+
+def test_semantic_contamination_flags_and_guard(spark):
+    """Identical vector flagged at cosine 1.0; orthogonal corpus rows
+    stay; benchmark side broadcast; oversized benchmark refused."""
+    import pytest
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["max_cosine"] == 1.0 and out[1]["n_matches"] == 1
+    assert 0.9 <= out[3]["max_cosine"] < 1.0
+
+    plan = (
+        semantic_contamination(corpus, bench, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        semantic_contamination(corpus, bench, broadcast_limit=0)
