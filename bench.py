@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "curation_unimax_mixture",  # integer water-fill over source-count frames
     "emb_pca_power",  # let-bound outer-product agg + driver-side iteration
     "emb_decontaminate",  # exact cross-cosine gate, broadcast bench side
+    "emb_abtt_project",  # ABTT: PCA literals + zero-shuffle in-row projection
 ]
 
 

@@ -1939,3 +1939,71 @@ def semantic_contamination(
             F.max("__cos").alias("max_cosine"),
         )
     )
+
+
+def remove_top_component(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    iters: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """All-But-The-Top embedding post-processing (Mu & Viswanath 2018)
+    → ``(id, adjusted array<double>)``: subtract the mean, then project
+    out the top principal component — ``x' = c - (c·v₁)v₁`` with
+    ``c = x - μ``. The standard fix for anisotropic embedding clouds
+    (a dominant common direction inflates every cosine); run
+    ``pca_power`` first to SEE the anisotropy, this to remove it.
+
+    Deterministic parity: μ and v₁ are the ROUNDED ``dim_stats`` /
+    ``pca_power`` outputs inlined as literals, the per-row dot is a
+    sequential fold, outputs rounded — the DuckDB oracle replays every
+    step. The centered array and the dot product are each LET-BOUND
+    (1-element ``transform`` arrays), so neither recomputes per output
+    element (the CollapseProject re-inlining trap).
+
+    100 TB shape: the stats/eigen work is ``pca_power`` (d²-bounded
+    exchange + driver arithmetic); the projection itself is ONE
+    zero-shuffle in-row expression over the corpus — no explode, no
+    regroup, no join."""
+    comp = pca_power(df, vec_col, iters=iters, decimals=decimals).collect()
+    if not comp:
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("adjusted"),
+        ).limit(0)
+    v = {int(r["dim"]): float(r["loading"]) for r in comp}
+    mu = {
+        int(r["dim"]): float(r["mean"])
+        for r in dim_stats(df, vec_col, decimals=decimals).collect()
+    }
+    d = max(v) + 1
+    v_lit = F.array(*[F.lit(v[i]) for i in range(d)])
+    mu_lit = F.array(*[F.lit(mu[i]) for i in range(d)])
+    cent = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    adjusted = F.flatten(
+        F.transform(
+            F.array(cent),  # let-bind c: centered array evaluates once
+            lambda c: F.flatten(
+                F.transform(
+                    # let-bind the dot product the same way
+                    F.array(
+                        F.aggregate(
+                            F.zip_with(c, v_lit, lambda ci, vi: ci * vi),
+                            F.lit(0.0),
+                            lambda acc, t: acc + t,
+                        )
+                    ),
+                    lambda dt: F.zip_with(
+                        c, v_lit, lambda ci, vi: F.round(ci - dt * vi, decimals)
+                    ),
+                )
+            ),
+        )
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), adjusted.alias("adjusted")
+    )

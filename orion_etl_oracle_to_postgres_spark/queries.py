@@ -10049,23 +10049,31 @@ def _pca_iter_cte(k: int) -> str:
     )"""
 
 
-@query(
-    "emb_pca_power",
+# shared unrolled-power-iteration CTE chain (emb_pca_power +
+# emb_abtt_project): src (vec_id, e) -> rounded means -> rounded
+# covariance -> 8 matvec+normalize rounds ending at t8 (cl, vv, lam)
+_PCA_T8_CTES = (
     """
-    WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                 WHERE embedding IS NOT NULL),
     m AS (SELECT i, round(avg(e[i+1]), 6) AS mu
-          FROM v, range(64) r(i) GROUP BY i),
+          FROM src, range(64) r(i) GROUP BY i),
     mu AS (SELECT list(mu ORDER BY i) AS ms FROM m),
     cov AS (
       SELECT i, j,
              round(avg((e[i+1] - ms[i+1]) * (e[j+1] - ms[j+1])), 6) AS c
-      FROM v, mu, range(64) r(i), range(64) s(j)
+      FROM src, mu, range(64) r(i), range(64) s(j)
       GROUP BY 1, 2
     ),
     cm AS (SELECT list(c ORDER BY i*64 + j) AS cl FROM cov),
     t0 AS (SELECT cl, list_transform(range(64), x -> 1.0) AS vv FROM cm),"""
     + ",".join(_pca_iter_cte(k) for k in range(1, 9))
+)
+
+
+@query(
+    "emb_pca_power",
+    _PCA_T8_CTES
     + """
     SELECT i AS dim, round(vv[i+1], 6) AS loading,
            round(lam, 6) AS eigenvalue,
@@ -10089,6 +10097,36 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on d doubles, never a per-step cluster scan."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.pca_power(e, "embedding", iters=8)
+
+
+@query(
+    "emb_abtt_project",
+    _PCA_T8_CTES
+    + """,
+    vr AS (SELECT list_transform(vv, x -> round(x, 6)) AS vv FROM t8),
+    dotted AS (
+      SELECT vec_id, e, ms, vv,
+             list_sum(list_transform(range(64),
+               j -> (e[j+1] - ms[j+1]) * vv[j+1])) AS d
+      FROM src, mu, vr
+    )
+    SELECT vec_id, i AS dim,
+           round((e[i+1] - ms[i+1]) - d * vv[i+1], 6) AS value
+    FROM dotted, range(64) r(i)
+    """,
+)
+def emb_abtt_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] All-But-The-Top post-processing
+    (operators/similarity.py:remove_top_component): x' = (x - mu) -
+    ((x-mu)·v1)v1 with the 6-dp-rounded mean and top component inlined
+    as literals — the anisotropy FIX next to pca_power's diagnosis.
+    One zero-shuffle in-row projection over the corpus (centered array
+    and dot each let-bound); the oracle replays the unrolled power
+    iteration then the identical rounded projection. Posexploded to
+    (vec_id, dim, value) rows per the driver-canonicalizable contract."""
+    e = _t(spark, sf_dir, "embeddings")
+    adj = similarity.remove_top_component(e, "vec_id", "embedding", iters=8)
+    return adj.select("vec_id", F.posexplode("adjusted").alias("dim", "value"))
 
 
 @query(

@@ -946,3 +946,36 @@ def test_semantic_contamination_flags_and_guard(spark):
 
     with pytest.raises(ValueError, match="broadcast_limit"):
         semantic_contamination(corpus, bench, broadcast_limit=0)
+
+
+def test_remove_top_component_kills_dominant_direction(spark):
+    """After ABTT, the former dominant axis carries ~zero variance and
+    the residual axis survives; adjusted vectors are orthogonal to v1
+    (dot ~ 0); empty input keeps the contract schema."""
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        remove_top_component,
+    )
+
+    rows = [
+        (0, [10.0, 1.0, 0.0]),
+        (1, [-10.0, -1.0, 0.0]),
+        (2, [10.0, -1.0, 0.0]),
+        (3, [-10.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["adjusted"] for r in
+           remove_top_component(df, "vec_id", "embedding").collect()}
+    assert len(out) == 4
+    # dominant axis (0) removed: residual |x0| tiny; axis 1 preserved
+    for vid, adj in out.items():
+        assert abs(adj[0]) < 0.05, adj
+    assert abs(abs(out[0][1]) - 1.0) < 0.05
+    # variance on the removed direction collapses
+    var0 = sum(a[0] ** 2 for a in out.values()) / 4
+    assert var0 < 0.001
+
+    empty = remove_top_component(
+        df.filter("vec_id < 0"), "vec_id", "embedding"
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["vec_id", "adjusted"]
