@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "emb_pca_power",  # let-bound outer-product agg + driver-side iteration
     "emb_decontaminate",  # exact cross-cosine gate, broadcast bench side
     "emb_abtt_project",  # ABTT: PCA literals + zero-shuffle in-row projection
+    "etl_decontaminate_semantic",  # declarative cosine gate vs broadcast bench
 ]
 
 

@@ -833,7 +833,29 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
 
     if spec.decontaminate is not None:
         dc = spec.decontaminate
-        for c in (dc.id_column, dc.text_column):
+        # per-method payload column: text for the n-gram/minhash
+        # checks, the embedding for the semantic check
+        if dc.method == "semantic":
+            if not dc.vector_column:
+                raise ValueError(
+                    f"{spec.source_table}: decontaminate method=semantic "
+                    "requires vector_column"
+                )
+            payload, b_payload = (
+                dc.vector_column,
+                dc.benchmark_vector_column or dc.vector_column,
+            )
+        else:
+            if not dc.text_column:
+                raise ValueError(
+                    f"{spec.source_table}: decontaminate method="
+                    f"{dc.method} requires text_column"
+                )
+            payload, b_payload = (
+                dc.text_column,
+                dc.benchmark_text_column or dc.text_column,
+            )
+        for c in (dc.id_column, payload):
             if c not in df.columns:
                 raise ValueError(
                     f"{spec.source_table}: decontaminate column {c!r} "
@@ -850,11 +872,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         )
         if dc.benchmark_where:
             bench = bench.filter(F.expr(dc.benchmark_where))
-        b_text = dc.benchmark_text_column or dc.text_column
-        if b_text not in bench.columns:
+        if b_payload not in bench.columns:
             raise ValueError(
                 f"{spec.source_table}: decontaminate benchmark column "
-                f"{b_text!r} not in {dc.benchmark_table} {bench.columns}"
+                f"{b_payload!r} not in {dc.benchmark_table} {bench.columns}"
             )
         if dc.benchmark_id_column:
             b_id = dc.benchmark_id_column
@@ -863,10 +884,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             bench = bench.withColumn(b_id, F.monotonically_increasing_id())
         train_side = df.select(
             F.col(dc.id_column).alias("__did"),
-            F.col(dc.text_column).alias("__dtx"),
+            F.col(payload).alias("__dtx"),
         )
         bench_side = bench.select(
-            F.col(b_id).alias("__did"), F.col(b_text).alias("__dtx")
+            F.col(b_id).alias("__did"), F.col(b_payload).alias("__dtx")
         )
         # flagged id set: one row per contaminated pipeline row. Lazily
         # checkpointed — BOTH consumers (anti-join keep, audit join) must
@@ -892,6 +913,27 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 F.count("*").cast("long").alias("_matched_benchmark_docs"),
                 F.round(F.max("jaccard"), 6).alias("_max_jaccard"),
             )
+        elif dc.method == "semantic":
+            # embedding-space contamination: exact cosine vs the
+            # broadcast (size-guarded) benchmark vectors — the
+            # paraphrase catch; threshold is a COSINE here
+            from .operators.similarity import semantic_contamination
+
+            flagged = semantic_contamination(
+                train_side,
+                bench_side,
+                corpus_id="__did",
+                bench_id="__did",
+                corpus_vec="__dtx",
+                bench_vec="__dtx",
+                threshold=dc.threshold,
+                # explain-only compiles must not run the guard's count
+                broadcast_limit=None if ctx.explain_only else dc.broadcast_limit,
+            ).select(
+                F.col("__did").alias(dc.id_column),
+                F.col("n_matches").alias("_matched_benchmark_docs"),
+                F.col("max_cosine").alias("_max_cosine"),
+            )
         elif dc.method == "ngram":
             pairs = ngram_overlap_pairs(
                 train_side,
@@ -910,7 +952,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         else:
             raise ValueError(
                 f"{spec.source_table}: decontaminate method must be "
-                f"ngram or minhash, not {dc.method!r}"
+                f"ngram, minhash, or semantic, not {dc.method!r}"
             )
         flagged = _lazy_checkpoint(ctx, flagged)
         # flagged ids are bounded by the benchmark's gram coverage (eval

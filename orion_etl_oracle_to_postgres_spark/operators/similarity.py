@@ -1900,7 +1900,7 @@ def semantic_contamination(
     bench_vec: str = "embedding",
     threshold: float = 0.95,
     decimals: int = 6,
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int | None = 2_000_000,
 ) -> DataFrame:
     """EMBEDDING-SPACE eval decontamination: which corpus vectors sit
     within ``threshold`` cosine of ANY benchmark vector →
@@ -1916,10 +1916,12 @@ def semantic_contamination(
     exchange carries only flagged (id, cos) pairs. Cosines are rounded
     before the compare — round-before-rank, engines agree on the flag
     set. Drop flagged ids with one broadcast anti-join (the audit
-    columns say why each id left)."""
-    _guard_broadcast_side(
-        bench, bench_id, broadcast_limit, "semantic_contamination"
-    )
+    columns say why each id left). ``broadcast_limit=None`` skips the
+    guard's count probe — plan-review (``--explain``) callers only."""
+    if broadcast_limit is not None:
+        _guard_broadcast_side(
+            bench, bench_id, broadcast_limit, "semantic_contamination"
+        )
     b = bench.filter(F.col(bench_vec).isNotNull()).select(
         F.col(bench_id).alias("__bid"),
         F.col(bench_vec).cast("array<double>").alias("__bv"),

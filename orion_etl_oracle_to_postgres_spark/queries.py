@@ -10031,6 +10031,60 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "etl_decontaminate_semantic",
+    """
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 9 <> 0 AND embedding IS NOT NULL),
+    b AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % 9 = 0 AND embedding IS NOT NULL),
+    flagged AS (
+      SELECT DISTINCT a.vec_id
+      FROM a, b
+      WHERE round(list_sum(list_transform(range(64),
+                    i -> a.v[i+1] * b.v[i+1]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x*x)))),
+              6) >= 0.4
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id % 9 <> 0
+      AND vec_id NOT IN (SELECT vec_id FROM flagged)
+    """,
+)
+def etl_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative EMBEDDING-SPACE decontamination
+    (`decontaminate: {method: semantic}`, compiler.py): pipeline rows
+    whose vector sits within 0.4 cosine of any benchmark vector
+    (vec_id % 9 == 0) are dropped — completing the declarative
+    decontaminate triad (verbatim n-gram / near-dup MinHash /
+    paraphrase semantic). Exact scoring vs the guarded broadcast
+    benchmark, cosines rounded before the compare; oracle brute-forces
+    the same rounded cross cosine and replays the anti-join."""
+    from .spec import DecontaminateSpec
+
+    spec = TableSpec(
+        source_table="embeddings",
+        target_table="emb_decontam",
+        where="vec_id % 9 <> 0",
+        mappings=[
+            MappingSpec(source="vec_id", target="vec_id"),
+            MappingSpec(source="label", target="label"),
+            MappingSpec(source="embedding", target="embedding"),
+        ],
+        decontaminate=DecontaminateSpec(
+            method="semantic",
+            benchmark_table="embeddings",
+            benchmark_where="vec_id % 9 = 0",
+            id_column="vec_id",
+            benchmark_id_column="vec_id",
+            vector_column="embedding",
+            threshold=0.4,
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select("vec_id", "label")
+
+
 def _pca_iter_cte(k: int) -> str:
     """One unrolled power-iteration step: w = C·v (row-major flattened
     matrix, sequential list_sum fold — the exact order the Spark

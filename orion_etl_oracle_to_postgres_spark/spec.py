@@ -767,22 +767,34 @@ class DecontaminateSpec(BaseModel):
     benchmark copies the verbatim n-gram rule misses; audit columns
     ``_matched_benchmark_docs`` / ``_max_jaccard``. Both sides stream
     ids+hashes through the band join; the benchmark side's banded
-    signatures broadcast by size."""
+    signatures broadcast by size.
 
-    method: str = "ngram"  # ngram | minhash
+    ``method: semantic`` is the EMBEDDING-SPACE check
+    (``similarity.semantic_contamination``): a row is contaminated
+    when its cosine to any benchmark row's ``vector_column`` reaches
+    ``threshold`` — the paraphrase catch where no verbatim text
+    survives at all; ``text_column`` is unused, set ``vector_column``
+    (and ``benchmark_vector_column`` when the names differ). Exact
+    scoring against the broadcast (size-guarded) benchmark vectors;
+    audit columns ``_matched_benchmark_docs`` / ``_max_cosine``."""
+
+    method: str = "ngram"  # ngram | minhash | semantic
     benchmark_table: str
-    text_column: str
+    text_column: Optional[str] = None  # ngram/minhash (required there)
     id_column: str
     benchmark_text_column: Optional[str] = None  # default: text_column
     benchmark_id_column: Optional[str] = None  # default: synthesized
     benchmark_where: Optional[str] = None
     ngram: int = Field(default=13, ge=1)
     min_shared: int = Field(default=1, ge=1)
-    #: minhash knobs (method=minhash only)
+    #: minhash/semantic knobs (Jaccard resp. cosine threshold)
     threshold: float = 0.8
     num_hashes: int = 128
     bands: int = 32
     shingle_n: int = 3
+    #: semantic knobs
+    vector_column: Optional[str] = None
+    benchmark_vector_column: Optional[str] = None  # default: vector_column
     reject_table: Optional[str] = None
     # loud-failure cap on the broadcast sides (benchmark gram postings
     # AND the flagged-id set): a user-declared oversized benchmark_table

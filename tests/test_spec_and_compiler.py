@@ -2055,7 +2055,7 @@ def test_decontaminate_minhash_method(spark, tmp_path):
     assert 0.6 <= rej[0]["_max_jaccard"] <= 1.0
 
     # unknown method refused loudly
-    with pytest.raises(ValueError, match="ngram or minhash"):
+    with pytest.raises(ValueError, match="ngram, minhash, or semantic"):
         compile_table(
             JobContext(spark=spark, global_spec=g),
             t.model_copy(
@@ -2563,4 +2563,89 @@ def test_quality_filter_ccnet_gate(spark, tmp_path):
         spec_mod.QualityFilterSpec(
             text_column="body", method="ccnet",
             id_column="id", group_column="lg",
+        )
+
+
+def test_decontaminate_semantic_method(spark, tmp_path):
+    """decontaminate method=semantic: vectors within threshold cosine
+    of a benchmark vector drop with a _max_cosine audit; vector_column
+    required; text_column unused."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+        run_table,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # parallel to bench -> contaminated
+            (2, [0.0, 1.0, 0.0]),   # orthogonal -> kept
+        ],
+        "id int, emb array<double>",
+    ).write.parquet(str(src / "train.parquet"))
+    spark.createDataFrame(
+        [(9, [2.0, 0.0, 0.0])], "bid int, bemb array<double>"
+    ).write.parquet(str(src / "bench.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(base_path=str(out)),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="train",
+        target_table="train_sem_clean",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="emb", target="emb"),
+        ],
+        decontaminate=spec_mod.DecontaminateSpec(
+            method="semantic",
+            benchmark_table="bench",
+            id_column="id",
+            benchmark_id_column="bid",
+            vector_column="emb",
+            benchmark_vector_column="bemb",
+            threshold=0.9,
+            reject_table="train_sem_contaminated",
+        ),
+    )
+    run_table(JobContext(spark=spark, global_spec=g), t)
+    kept = spark.read.parquet(str(out / "train_sem_clean"))
+    assert [r["id"] for r in kept.collect()] == [2]
+    rej = spark.read.parquet(str(out / "train_sem_contaminated")).collect()
+    assert len(rej) == 1 and rej[0]["id"] == 1
+    assert rej[0]["_matched_benchmark_docs"] == 1
+    assert rej[0]["_max_cosine"] == 1.0
+
+    # vector_column required for the semantic method
+    with pytest.raises(ValueError, match="requires vector_column"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(
+                update={
+                    "decontaminate": t.decontaminate.model_copy(
+                        update={"vector_column": None}
+                    ),
+                    "target_table": "x",
+                }
+            ),
+        )
+    # text methods still demand text_column now that it is optional
+    with pytest.raises(ValueError, match="requires text_column"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(
+                update={
+                    "decontaminate": t.decontaminate.model_copy(
+                        update={"method": "ngram"}
+                    ),
+                    "target_table": "y",
+                }
+            ),
         )
