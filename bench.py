@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "emb_decontaminate",  # exact cross-cosine gate, broadcast bench side
     "emb_abtt_project",  # ABTT: PCA literals + zero-shuffle in-row projection
     "etl_decontaminate_semantic",  # declarative cosine gate vs broadcast bench
+    "profile_benford_prices",  # 9-group count, digits from integer cents
 ]
 
 

@@ -6434,6 +6434,51 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford expected shares, rounded 6 dp — the SAME Python literals the
+# operator inlines, so both engines' chi terms build from identical inputs
+_BENFORD_EXP_CASE = "(CASE digit " + " ".join(
+    f"WHEN {d} THEN {round(__import__('math').log10(1.0 + 1.0 / d), 6)!r}"
+    for d in range(1, 10)
+) + " END)::DOUBLE"
+
+
+@query(
+    "profile_benford_prices",
+    f"""
+    WITH base AS (
+      SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND round(abs(o_totalprice) * 100) > 0
+    ),
+    counts AS (SELECT digit, count(*)::BIGINT AS n_values FROM base GROUP BY 1),
+    tot AS (SELECT sum(n_values)::BIGINT AS t FROM counts)
+    SELECT digit, n_values,
+           round(n_values::DOUBLE / t, 6) AS observed_share,
+           {_BENFORD_EXP_CASE} AS expected_share,
+           round(t * pow(round(n_values::DOUBLE / t, 6)
+                         - {_BENFORD_EXP_CASE}, 2)
+                 / {_BENFORD_EXP_CASE}, 6) AS chi_term
+    FROM counts, tot
+    """,
+)
+def profile_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Benford's-law conformance of order totals
+    (operators/profile.py:benford_report): leading-significant-digit
+    shares vs log10(1+1/d) with per-digit χ² terms — the forensic
+    fabricated-amounts screen (TPC-H prices are bounded-uniform, NOT
+    Benford, so the report shows exactly how a synthetic column fails
+    the test). Digits read from exact integer cents, never
+    double→string (engines disagree there); expected shares are shared
+    rounded literals; one 9-group map-side-combined count is the only
+    exchange."""
+    o = _t(spark, sf_dir, "orders")
+    from .operators.profile import benford_report
+
+    return benford_report(o, "o_totalprice", scale_decimals=2)
+
+
 @query(
     "profile_join_skew",
     """

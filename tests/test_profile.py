@@ -194,3 +194,38 @@ def test_chi_square_independent_and_dependent(spark):
         spark.createDataFrame([(None, "0")], "x string, y string")
     )
     assert chi_square_independence(withnull, "x", "y").collect()[0].n == 90
+
+
+def test_benford_report_exact_shares_and_exclusions(spark):
+    """A perfectly Benford-weighted toy column yields ~zero chi terms;
+    zeros/NULLs carry no leading digit and are excluded; digits come
+    from exact integer cents (no double->string)."""
+    import math
+
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.profile import (
+        benford_report,
+    )
+
+    # 1000 values distributed to the rounded Benford counts per digit
+    counts = {d: round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+    rows = [(float(d) * 10.0,) for d, n in counts.items() for _ in range(n)]
+    rows += [(0.0,), (None,)]  # excluded: no leading digit
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["digit"]: r for r in benford_report(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    total = sum(r["n_values"] for r in out.values())
+    assert total == sum(counts.values())  # zero/NULL dropped
+    assert out[1]["n_values"] == counts[1]
+    for d in range(1, 10):
+        assert abs(out[d]["observed_share"] - out[d]["expected_share"]) < 2e-3
+        assert out[d]["chi_term"] < 0.02
+    # fractional values find their first significant digit via cents
+    frac = benford_report(
+        spark.createDataFrame([(0.042,)], "x double"), "x"
+    ).collect()
+    assert len(frac) == 1 and frac[0]["digit"] == 4
+
+    with pytest.raises(ValueError, match="scale_decimals"):
+        benford_report(df, "x", scale_decimals=-1)
