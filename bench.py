@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "emb_abtt_project",  # ABTT: PCA literals + zero-shuffle in-row projection
     "etl_decontaminate_semantic",  # declarative cosine gate vs broadcast bench
     "profile_benford_prices",  # 9-group count, digits from integer cents
+    "etl_unimax_sample",  # water-fill alloc broadcast + one group window
 ]
 
 

@@ -1150,7 +1150,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             if smp.method in ("rates", "temperature", "epochs", "cap")
             else [smp.weight_column] if smp.method == "priority"
             else [smp.group_column, smp.text_column]
-            if smp.method == "token_budget"
+            if smp.method in ("token_budget", "unimax")
             else []
         )
         for c in needed:
@@ -1189,6 +1189,25 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 smp.id_column,
                 smp.group_column,
                 int(smp.budget_tokens),
+                seed=smp.seed,
+            )
+        elif smp.method == "unimax":
+            from .operators.curation import unimax_sample
+
+            clash = {"n_tokens", "target_epochs"} & set(df.columns)
+            if clash:
+                raise ValueError(
+                    f"{spec.source_table}: unimax sampling adds "
+                    f"{sorted(clash)} but the pipeline already has them — "
+                    "rename those columns or use another method"
+                )
+            df = unimax_sample(
+                df,
+                smp.text_column,
+                smp.id_column,
+                smp.group_column,
+                total_budget=int(smp.budget_tokens),
+                max_epochs=int(smp.max_epochs),
                 seed=smp.seed,
             )
         elif smp.method == "epochs":

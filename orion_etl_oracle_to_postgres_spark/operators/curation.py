@@ -1417,3 +1417,77 @@ def unimax_mixture(
             decimals,
         ).alias("epochs"),
     )
+
+
+def unimax_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    total_budget: int,
+    max_epochs: int = 4,
+    seed: str = "um0",
+) -> DataFrame:
+    """APPLY a UniMax allocation (``unimax_mixture``) to the corpus:
+    each group keeps its portable-hash-order document prefix until the
+    group's OWN water-filled token budget — the one-stage "give me a
+    50 B-token UniMax-balanced corpus" primitive, vs ``token_budget_
+    sample``'s same-budget-for-every-group contract. Rows keep all
+    input columns plus ``n_tokens`` and ``target_epochs`` (the group's
+    allocation / corpus tokens — > 1 means the trainer should repeat
+    the kept rows, pair with ``epoch_mix``; <= 1 means the prefix trim
+    happened here).
+
+    Same keep rule as ``token_budget_sample`` (kept iff the running
+    total BEFORE the doc is under the group's budget — overshoot
+    bounded by one document, deterministic on any engine/partitioning).
+    NULL-text docs carry NULL ``n_tokens``: they consume no budget and
+    are never kept (a doc with no tokens adds nothing to a token
+    budget). The allocation table is sources-row sized and broadcast
+    back with a NULL-SAFE equi-join (a NULL group is a legitimate
+    mixture source). ONE group-keyed window shuffle over the corpus +
+    the allocation's d-bounded aggregates — nothing else."""
+    from pyspark.sql import Window
+
+    with_tok = df.withColumn(
+        "n_tokens",
+        F.when(F.col(text_col).isNotNull(), token_count(F.col(text_col))).cast(
+            "long"
+        ),
+    )
+    alloc = unimax_mixture(
+        with_tok,
+        group_col,
+        "n_tokens",
+        total_budget=total_budget,
+        max_epochs=max_epochs,
+    ).select(
+        F.col("source").alias("__grp"),
+        F.col("alloc_tokens").alias("__alloc"),
+        F.col("epochs").alias("target_epochs"),
+    )
+    order = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_tok.join(
+            F.broadcast(alloc),
+            F.col(group_col).eqNullSafe(F.col("__grp")),
+            "left",
+        )
+        .withColumn("__ord", order)
+        .withColumn(
+            "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(
+            F.col("n_tokens").isNotNull()
+            & (F.col("__before") < F.coalesce(F.col("__alloc"), F.lit(0)))
+        )
+        .drop("__ord", "__before", "__grp", "__alloc")
+    )

@@ -5619,17 +5619,18 @@ def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNIMAX_ALLOC_SQL = """(CASE WHEN kp IS NULL OR k < kp THEN cap_tokens
-                 ELSE (50000 - sp) // mp
-                      + CASE WHEN k - kp < (50000 - sp) % mp
+def _unimax_alloc_ctes(budget: int, max_epochs: int) -> str:
+    """Shared integer water-fill CTE chain (curation_unimax_mixture +
+    etl_unimax_sample): per-source token sums → cap-sorted rank/prefix
+    → pivot → exact-long allocation, ending at an ``alloc`` CTE with
+    (source, n_tokens, cap_tokens, alloc_tokens, epochs)."""
+    a = f"""(CASE WHEN kp IS NULL OR k < kp THEN cap_tokens
+                 ELSE ({budget} - sp) // mp
+                      + CASE WHEN k - kp < ({budget} - sp) % mp
                              THEN 1 ELSE 0 END
             END)::BIGINT"""
-
-
-@query(
-    "curation_unimax_mixture",
-    f"""
-    WITH caps AS (
+    return f"""
+    caps AS (
       SELECT source,
              sum(coalesce(len(list_filter(
                string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -5637,9 +5638,10 @@ _UNIMAX_ALLOC_SQL = """(CASE WHEN kp IS NULL OR k < kp THEN cap_tokens
       FROM documents GROUP BY 1
     ),
     ranked AS (
-      SELECT source, n_tokens, (n_tokens * 2)::BIGINT AS cap_tokens,
-             row_number() OVER (ORDER BY n_tokens * 2, source) AS k,
-             sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, source
+      SELECT source, n_tokens, (n_tokens * {max_epochs})::BIGINT AS cap_tokens,
+             row_number() OVER (ORDER BY n_tokens * {max_epochs}, source) AS k,
+             sum(n_tokens * {max_epochs}) OVER (
+               ORDER BY n_tokens * {max_epochs}, source
                ROWS UNBOUNDED PRECEDING)::BIGINT AS s_incl,
              count(*) OVER ()::BIGINT AS n
       FROM caps
@@ -5648,15 +5650,25 @@ _UNIMAX_ALLOC_SQL = """(CASE WHEN kp IS NULL OR k < kp THEN cap_tokens
       SELECT k AS kp, (s_incl - cap_tokens)::BIGINT AS sp,
              (n - k + 1)::BIGINT AS mp
       FROM ranked
-      WHERE 50000 - (s_incl - cap_tokens) <= cap_tokens * (n - k + 1)
+      WHERE {budget} - (s_incl - cap_tokens) <= cap_tokens * (n - k + 1)
       ORDER BY k LIMIT 1
-    )
-    SELECT source, n_tokens, cap_tokens,
-           {_UNIMAX_ALLOC_SQL} AS alloc_tokens,
-           round(CASE WHEN n_tokens > 0
-                      THEN {_UNIMAX_ALLOC_SQL}::DOUBLE / n_tokens END,
-                 6) AS epochs
-    FROM ranked LEFT JOIN pv ON TRUE
+    ),
+    alloc AS (
+      SELECT source, n_tokens, cap_tokens,
+             {a} AS alloc_tokens,
+             round(CASE WHEN n_tokens > 0
+                        THEN {a}::DOUBLE / n_tokens END,
+                   6) AS epochs
+      FROM ranked LEFT JOIN pv ON TRUE
+    )"""
+
+
+@query(
+    "curation_unimax_mixture",
+    "WITH "
+    + _unimax_alloc_ctes(50_000, 2)
+    + """
+    SELECT source, n_tokens, cap_tokens, alloc_tokens, epochs FROM alloc
     """,
 )
 def curation_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5720,6 +5732,70 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return token_budget_sample(d, "text", "doc_id", "lang", 2000).select(
         "doc_id", "lang", "n_tokens"
+    )
+
+
+@query(
+    "etl_unimax_sample",
+    "WITH "
+    + _unimax_alloc_ctes(20_000, 2)
+    + """,
+    toks AS (
+      SELECT doc_id, source,
+             CASE WHEN text IS NOT NULL
+                  THEN len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> ''))::BIGINT END AS n_tokens,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':um0')")
+    + """ AS ord
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM toks
+    )
+    SELECT p.doc_id, p.source, p.n_tokens, a.epochs AS target_epochs
+    FROM pref p JOIN alloc a ON p.source IS NOT DISTINCT FROM a.source
+    WHERE p.n_tokens IS NOT NULL AND p.cb < coalesce(a.alloc_tokens, 0)
+    """,
+)
+def etl_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative UniMax sampling
+    (`sample: {method: unimax}`, compiler.py →
+    operators/curation.py:unimax_sample): a 20k-token budget is
+    water-filled across sources (max 2 epochs) and each source keeps
+    its portable-hash-order prefix until its OWN allocation — the
+    one-stage "UniMax-balanced corpus" recipe from YAML alone, vs
+    token_budget's same-budget-per-group contract. Output ships
+    n_tokens + the group's target_epochs for downstream repetition.
+    Oracle replays the integer water-fill then the per-source
+    running-sum prefix over the same hash order (null-safe source
+    join)."""
+    from .spec import SampleSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_unimax",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="source", target="source"),
+            MappingSpec(source="text", target="text"),
+        ],
+        sample=SampleSpec(
+            method="unimax",
+            id_column="doc_id",
+            group_column="source",
+            text_column="text",
+            budget_tokens=20_000,
+            max_epochs=2,
+            seed="um0",
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select(
+        "doc_id", "source", "n_tokens", "target_epochs"
     )
 
 

@@ -312,9 +312,16 @@ class SampleSpec(BaseModel):
     ``method: cap`` — per-group frequency cap, at most ``cap`` rows per
     group by portable-hash order (the "max N docs per domain" rule,
     ``curation.cap_per_group``; needs ``group_column`` + ``cap``; the
-    constant cap compiles to a WindowGroupLimit pre-limit)."""
+    constant cap compiles to a WindowGroupLimit pre-limit).
+    ``method: unimax`` — UniMax epoch-capped mixture APPLIED: the total
+    ``budget_tokens`` is water-filled across groups (no group past
+    ``max_epochs``, ``curation.unimax_mixture``) and each group keeps
+    its hash-order prefix to its OWN allocation
+    (``curation.unimax_sample``; needs ``group_column`` +
+    ``text_column`` + ``budget_tokens``; adds ``n_tokens`` +
+    ``target_epochs`` output columns)."""
 
-    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs | cap
+    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs | cap | unimax
     id_column: str
     group_column: Optional[str] = None
     rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
@@ -328,6 +335,7 @@ class SampleSpec(BaseModel):
     epochs: Optional[dict] = None  # group value -> epochs in [0, 100]
     default_epochs: float = 1.0
     cap: Optional[int] = None  # method=cap: max rows kept per group
+    max_epochs: int = Field(default=4, ge=1)  # method=unimax: repeat cap
     seed: str = "mix0"
 
     @field_validator("method")
@@ -335,11 +343,11 @@ class SampleSpec(BaseModel):
     def _known_sample_method(cls, v: str) -> str:
         if v not in (
             "rates", "exact_n", "priority", "token_budget", "temperature",
-            "epochs", "cap",
+            "epochs", "cap", "unimax",
         ):
             raise ValueError(
                 "sample method must be rates|exact_n|priority|token_budget|"
-                f"temperature|epochs|cap, got {v!r}"
+                f"temperature|epochs|cap|unimax, got {v!r}"
             )
         return v
 
@@ -381,6 +389,16 @@ class SampleSpec(BaseModel):
             not self.group_column or self.cap is None or self.cap < 1
         ):
             raise ValueError("sample method=cap needs group_column and cap >= 1")
+        if self.method == "unimax" and (
+            not self.group_column
+            or not self.text_column
+            or self.budget_tokens is None
+            or self.budget_tokens <= 0
+        ):
+            raise ValueError(
+                "sample method=unimax needs group_column, text_column "
+                "and budget_tokens > 0"
+            )
         return self
 
 

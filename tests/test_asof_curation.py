@@ -1496,3 +1496,43 @@ def test_unimax_mixture_water_fill_exact(spark):
         .toString()
     )
     assert "SinglePartition" not in plan or "Window" not in plan
+
+
+def test_unimax_sample_applies_per_group_allocation(spark):
+    """unimax_sample keeps each group's hash-order prefix to its OWN
+    water-filled budget: the small group is fully kept (capped at
+    max_epochs, target_epochs > 1), the big group trims to the level;
+    NULL-text docs consume nothing and are never kept."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        unimax_sample,
+    )
+
+    # group a: 3 docs x 2 tokens = 6; group b: 40 docs x 2 tokens = 80
+    rows = [(i, "a", "w w") for i in range(3)]
+    rows += [(100 + i, "b", "w w") for i in range(40)]
+    rows += [(999, "a", None)]  # NULL text: no budget, never kept
+    df = spark.createDataFrame(rows, "id long, src string, body string")
+    # budget 30, max_epochs 2: caps a=12, b=160; level fills a fully
+    # (12) and b gets 18 tokens -> 9 docs
+    out = unimax_sample(
+        df, "body", "id", "src", total_budget=30, max_epochs=2
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src["a"]) == 3  # whole group kept (alloc = cap 12)
+    assert len(by_src["b"]) == 9  # 18 tokens / 2 per doc
+    assert all(r["n_tokens"] == 2 for r in out)
+    assert by_src["a"][0]["target_epochs"] == 2.0  # 12 alloc / 6 tokens
+    assert abs(by_src["b"][0]["target_epochs"] - round(18 / 80, 6)) < 1e-9
+    assert not [r for r in out if r["id"] == 999]
+
+    # declarative twin: spec validation catches missing knobs
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    with pytest.raises(ValueError, match="method=unimax needs"):
+        spec_mod.SampleSpec(method="unimax", id_column="id")
