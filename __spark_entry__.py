@@ -114,9 +114,12 @@ _FIRST_50 = [
 # profit_by_nation_year/idle_rich_customers/events_gapfill/
 # pivot_status_revenue/hll_incremental_users,
 # privacy_k_anonymity_stats/t_closeness, corpus_curate,
-# plus any r8-session additions
+# plus the r8-session additions (etl_soft_dedup_shared,
+# etl_decontaminate_minhash, etl_decontaminate_semantic,
+# curation_unimax_mixture, etl_unimax_sample, emb_pca_power,
+# emb_abtt_project, emb_decontaminate, profile_benford_prices)
 # — keep rotating ~40/round; cumulative driver-verified after r8 ≥
-# 209/266 (+ new registrations).
+# 209/275 (+ new registrations).
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -340,7 +340,27 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
                     f"{sorted(missing_cols)} — persist the "
                     "minhash_near_dups layout (id_i, id_j[, jaccard])"
                 )
-            return pairs.select("id_i", "id_j")
+            # restrict to edges whose BOTH endpoints are in THIS
+            # pipeline's output (a persisted table usually covers the
+            # whole corpus; the consumer may be filtered): otherwise a
+            # cluster whose min-id survivor was filtered away would
+            # drop ALL its in-pipeline members (minhash), and soft
+            # weights would count absent ghost members — inline mining
+            # never sees such edges, reuse must not either
+            ids = df.select(F.col(d.id_column))
+            return (
+                pairs.select("id_i", "id_j")
+                .join(
+                    ids.withColumnRenamed(d.id_column, "id_i"),
+                    "id_i",
+                    "left_semi",
+                )
+                .join(
+                    ids.withColumnRenamed(d.id_column, "id_j"),
+                    "id_j",
+                    "left_semi",
+                )
+            )
         from .operators.dedup import minhash_near_dups
 
         return minhash_near_dups(
@@ -353,13 +373,21 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
             threshold=d.threshold,
         )
 
+    # with a persisted pair table the text is never read — only the id
+    # is needed to join/anti-join; demanding text_column would force a
+    # dummy text column through id+metadata-only consumer pipelines
+    _near_dup_cols = (
+        (("id_column", d.id_column),)
+        if d.pairs_table
+        else (("text_column", d.text_column), ("id_column", d.id_column))
+    )
     if d.method == "minhash":
         # NEAR-dup dedup in the pipeline: pairs → transitive clusters →
         # drop every non-minimum member. The pair/cluster computation
         # runs on (id, text) only; the corpus frame is then filtered
         # with one anti-join against the loser id set — ids-only
         # exchanges, the same scale shape as the standalone operators.
-        _require_cols(("text_column", d.text_column), ("id_column", d.id_column))
+        _require_cols(*_near_dup_cols)
         from .operators.dedup import near_dup_clusters
 
         clusters = near_dup_clusters(_mine_pairs())
@@ -371,7 +399,7 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
         # soft dedup: same pair/cluster machinery as minhash, but every
         # row SHIPS — annotated with cluster_id/n_dups/sample_weight
         # (1/n_dups) instead of losers being anti-joined away
-        _require_cols(("text_column", d.text_column), ("id_column", d.id_column))
+        _require_cols(*_near_dup_cols)
         clash = {"cluster_id", "n_dups", "sample_weight"} & set(df.columns)
         if clash:
             raise ValueError(

@@ -1344,17 +1344,27 @@ def unimax_mixture(
         raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     budget = F.lit(int(total_budget)).cast("long")
     caps = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(F.col(token_col)).cast("long").alias("n_tokens")
+        # an all-NULL-token group must rank as capacity 0, not poison
+        # the prefix arithmetic with a NULL cap
+        F.coalesce(F.sum(F.col(token_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens")
     )
     caps = caps.withColumn(
         "cap_tokens", (F.col("n_tokens") * max_epochs).cast("long")
     )
     # rank + inclusive prefix sum in (cap, source) order — a
-    # sources-row broadcast self-join, never a global window
+    # sources-row broadcast self-join, never a global window. A NULL
+    # source is a legitimate mixture group: the tie-break treats it as
+    # GREATEST (SQL NULLS LAST, matching the oracle's window ORDER BY),
+    # so its rank/prefix stay total instead of three-valued-logic
+    # dropping it from every prefix while totals still count it.
     a, b = caps.alias("__a"), caps.alias("__b")
+    src_le = F.when(F.col("__a.source").isNull(), F.lit(True)).otherwise(
+        F.col("__b.source") <= F.col("__a.source")
+    )
     before_or_self = (F.col("__b.cap_tokens") < F.col("__a.cap_tokens")) | (
-        (F.col("__b.cap_tokens") == F.col("__a.cap_tokens"))
-        & (F.col("__b.source") <= F.col("__a.source"))
+        (F.col("__b.cap_tokens") == F.col("__a.cap_tokens")) & src_le
     )
     pref = (
         a.join(F.broadcast(b), before_or_self, "left")

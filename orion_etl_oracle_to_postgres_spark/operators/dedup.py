@@ -823,16 +823,18 @@ def minhash_join(
     docs vs billions) its banded side broadcasts — Spark picks that up
     from size estimates, no hint needed.
 
-    ``eager=False`` defers the shingle-stream checkpoints to the first
-    action — required by plan-review callers (``runner --explain``)
-    whose contract is "compile without executing".
+    ``eager=False`` SKIPS the shingle-stream checkpoints entirely —
+    required by plan-review callers (``runner --explain``) whose
+    contract is "compile without executing": even a LAZY
+    ``localCheckpoint`` finalizes AQE shuffle stages at plan-build time
+    (RDD conversion executes every upstream exchange), so deferring is
+    not enough when the input plan carries joins/windows.
     """
-    flat_l = shingle_hash_stream(left, id_col, text_col, shingle_n).localCheckpoint(
-        eager=eager
-    )
-    flat_r = shingle_hash_stream(right, id_col, text_col, shingle_n).localCheckpoint(
-        eager=eager
-    )
+    flat_l = shingle_hash_stream(left, id_col, text_col, shingle_n)
+    flat_r = shingle_hash_stream(right, id_col, text_col, shingle_n)
+    if eager:
+        flat_l = flat_l.localCheckpoint()
+        flat_r = flat_r.localCheckpoint()
     banded_l = minhash_bands(flat_l, num_hashes, bands, seed)
     banded_r = minhash_bands(flat_r, num_hashes, bands, seed)
     candidates = (

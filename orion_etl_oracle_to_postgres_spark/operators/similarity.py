@@ -1783,7 +1783,11 @@ def label_noise_scan(
 
 
 def covariance_matrix(
-    df: DataFrame, vec_col: str, *, decimals: int = 6
+    df: DataFrame,
+    vec_col: str,
+    *,
+    decimals: int = 6,
+    means: dict[int, float] | None = None,
 ) -> DataFrame:
     """Flattened covariance matrix of an embedding column →
     ``(pos, cov)`` rows with ``pos = i*d + j`` (row-major): ``cov =
@@ -1798,8 +1802,10 @@ def covariance_matrix(
     partials per task (4096 rows at d=64), never the corpus. Entries
     are rounded so differently-ordered partial sums agree across
     engines — downstream eigen-iterations then run on bit-identical
-    inputs everywhere."""
-    stats = {
+    inputs everywhere. Pass ``means`` (the rounded ``dim_stats`` means)
+    when the caller already collected them — skips a redundant
+    full-corpus aggregate."""
+    stats = means if means is not None else {
         int(r["dim"]): float(r["mean"])
         for r in dim_stats(df, vec_col, decimals=decimals).collect()
     }
@@ -1832,6 +1838,7 @@ def pca_power(
     *,
     iters: int = 8,
     decimals: int = 6,
+    means: dict[int, float] | None = None,
 ) -> DataFrame:
     """Top principal component by POWER ITERATION →
     ``(dim, loading, eigenvalue, explained_share)`` — the direction
@@ -1854,10 +1861,13 @@ def pca_power(
     codebook/literals pattern) and the iteration itself is driver
     arithmetic on d doubles — nothing iterative ever touches the
     cluster, unlike a naive per-step distributed matvec which would
-    pay ``iters`` corpus scans."""
+    pay ``iters`` corpus scans. ``means`` passes pre-collected rounded
+    dim means through to ``covariance_matrix``."""
     cov = {
         int(r["pos"]): float(r["cov"])
-        for r in covariance_matrix(df, vec_col, decimals=decimals).collect()
+        for r in covariance_matrix(
+            df, vec_col, decimals=decimals, means=means
+        ).collect()
     }
     spark = df.sparkSession
     schema = "dim int, loading double, eigenvalue double, explained_share double"
@@ -1878,8 +1888,15 @@ def pca_power(
         for x in w:
             n2 += x * x
         lam = n2**0.5
-        if lam == 0.0:  # degenerate (all-constant input): stay at start
-            break
+        if lam == 0.0:
+            # degenerate input (constant column, or the iterate fell
+            # into C's null space): there is no principal direction to
+            # report, and the SQL replay would divide by zero — fail
+            # LOUDLY instead of silently diverging from the oracle
+            raise ValueError(
+                "pca_power: zero covariance norm — the vector column is "
+                "constant (or degenerate); no principal component exists"
+            )
         v = [x / lam for x in w]
     trace = 0.0
     for i in range(d):
@@ -1968,18 +1985,22 @@ def remove_top_component(
     100 TB shape: the stats/eigen work is ``pca_power`` (d²-bounded
     exchange + driver arithmetic); the projection itself is ONE
     zero-shuffle in-row expression over the corpus — no explode, no
-    regroup, no join."""
-    comp = pca_power(df, vec_col, iters=iters, decimals=decimals).collect()
+    regroup, no join. The dim means are collected ONCE here and passed
+    through to the covariance step, so the whole pipeline is two corpus
+    aggregates (means, covariance) + one projection."""
+    mu = {
+        int(r["dim"]): float(r["mean"])
+        for r in dim_stats(df, vec_col, decimals=decimals).collect()
+    }
+    comp = pca_power(
+        df, vec_col, iters=iters, decimals=decimals, means=mu
+    ).collect()
     if not comp:
         return df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("adjusted"),
         ).limit(0)
     v = {int(r["dim"]): float(r["loading"]) for r in comp}
-    mu = {
-        int(r["dim"]): float(r["mean"])
-        for r in dim_stats(df, vec_col, decimals=decimals).collect()
-    }
     d = max(v) + 1
     v_lit = F.array(*[F.lit(v[i]) for i in range(d)])
     mu_lit = F.array(*[F.lit(mu[i]) for i in range(d)])

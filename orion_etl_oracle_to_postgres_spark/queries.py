@@ -5208,9 +5208,11 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, VERDICT r7 ask #3): the query emits ``within_bounds`` —
     the implied compressed size (ratio × bytes) must sit inside zlib's
     hard guarantees (≥ 8-byte header+adler floor for nonempty input,
-    ≤ raw + 5·ceil(raw/16383) + 6 stored-block worst case, +1 slack
-    for the 6-dp ratio rounding) — and the oracle pins it TRUE per
-    doc, plus both engines compute n_chars/n_bytes exactly. A ratio
+    ≤ raw + 5·ceil(raw/16383) + 6 stored-block worst case, plus
+    1 + ceil(5e-7·raw) slack because the 6-dp-rounded ratio can
+    overshoot the true compressed size by up to 5e-7·raw bytes) — and
+    the oracle pins it TRUE per doc, plus both engines compute
+    n_chars/n_bytes exactly. A ratio
     drifting outside the codec's envelope now hash-mismatches instead
     of passing a rows-only check; exact ratio values stay pinned in
     tests/test_text.py."""
@@ -5231,6 +5233,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("n_bytes")
                 + 5.0 * F.ceil(F.col("n_bytes") / 16383.0)
                 + 7.0
+                + F.ceil(F.col("n_bytes") * 5e-7)
             )
         )
         .alias("within_bounds"),

@@ -1536,3 +1536,35 @@ def test_unimax_sample_applies_per_group_allocation(spark):
 
     with pytest.raises(ValueError, match="method=unimax needs"):
         spec_mod.SampleSpec(method="unimax", id_column="id")
+
+
+def test_unimax_mixture_null_group_ranks_nulls_last(spark):
+    """A NULL source is a legitimate mixture group: it must hold a
+    total rank (SQL NULLS LAST on ties) instead of three-valued-logic
+    dropping out of every prefix sum while still being counted in n —
+    which would deflate the water level and under-spend the budget."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        unimax_mixture,
+    )
+
+    rows = [(None, 1)] * 10 + [("b", 1)] * 10 + [("c", 1)] * 100
+    df = spark.createDataFrame(rows, "source string, tok long")
+    # caps (max_epochs=1): null=10, b=10, c=100; budget 50:
+    # pivot at k=3 (c): base = (50-20)/1 = 30 -> allocs 10/10/30
+    out = {
+        r["source"]: r["alloc_tokens"]
+        for r in unimax_mixture(
+            df, "source", "tok", total_budget=50, max_epochs=1
+        ).collect()
+    }
+    assert out == {None: 10, "b": 10, "c": 30}
+    # an all-NULL-token group ranks as capacity 0, not NULL poison
+    rows2 = [("a", None), ("b", 4)]
+    df2 = spark.createDataFrame(rows2, "source string, tok long")
+    out2 = {
+        r["source"]: (r["cap_tokens"], r["alloc_tokens"])
+        for r in unimax_mixture(
+            df2, "source", "tok", total_budget=3, max_epochs=1
+        ).collect()
+    }
+    assert out2 == {"a": (0, 0), "b": (4, 3)}

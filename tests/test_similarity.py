@@ -979,3 +979,21 @@ def test_remove_top_component_kills_dominant_direction(spark):
     )
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["vec_id", "adjusted"]
+
+
+def test_pca_power_degenerate_input_fails_loudly(spark):
+    """A constant vector column has no principal direction; the SQL
+    replay would divide by zero — the operator must refuse, not
+    silently diverge from the oracle."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        pca_power,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="zero covariance norm"):
+        pca_power(df, "embedding")

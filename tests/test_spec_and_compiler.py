@@ -2077,6 +2077,20 @@ def test_decontaminate_minhash_method(spark, tmp_path):
     before = set(tracker.getJobIdsForGroup(None) or [])
     ctx = JobContext(spark=spark, global_spec=g, explain_only=True)
     compile_table(ctx, t.model_copy(update={"target_table": "z"}))
+    # and again with an EXCHANGE upstream of the decontaminate stage
+    # (exact dedup window): a lazy localCheckpoint would finalize the
+    # AQE stages and execute the shuffle at plan-build time
+    compile_table(
+        ctx,
+        t.model_copy(
+            update={
+                "target_table": "z2",
+                "dedup": spec_mod.DedupSpec(
+                    method="exact", columns=["body"], id_column="id"
+                ),
+            }
+        ),
+    )
     after = set(tracker.getJobIdsForGroup(None) or [])
     jsc = spark.sparkContext._jsc.sc().statusTracker()
     for job_id in sorted(after - before):
@@ -2422,6 +2436,34 @@ def test_dedup_pairs_table_reuses_persisted_pairs(spark, tmp_path):
     )
     ids = {r.id for r in compile_table(ctx, t_hard).df.collect()}
     assert ids == {1, 3}
+    # a FILTERED consumer must not lose content to ghost edges: doc 1
+    # (the cluster's min-id survivor in the full pair table) is filtered
+    # out of this pipeline, so doc 2 becomes a singleton and must
+    # survive — and the soft twin must weight it 1.0, not 1/2
+    t_filtered = t_hard.model_copy(
+        update={"target_table": "hard_f", "where": "id <> 1"}
+    )
+    assert {r.id for r in compile_table(ctx, t_filtered).df.collect()} == {
+        2, 3,
+    }
+    t_soft_f = t.model_copy(
+        update={"target_table": "soft_f", "where": "id <> 1"}
+    )
+    soft_f = {r.id: r for r in compile_table(ctx, t_soft_f).df.collect()}
+    assert soft_f[2].n_dups == 1 and soft_f[2].sample_weight == 1.0
+    # pairs_table consumers that carry no text at all still compile:
+    # only the id is needed on the reuse path
+    t_no_text = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="ids_only",
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+        dedup=spec_mod.DedupSpec(
+            method="minhash", id_column="id", pairs_table="dup_pairs",
+        ),
+    )
+    assert {r.id for r in compile_table(ctx, t_no_text).df.collect()} == {
+        1, 3,
+    }
     # loud failures: wrong layout, wrong method
     spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(
         str(src / "bad_pairs")
