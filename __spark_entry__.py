@@ -4,8 +4,9 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2), each
 ``(spark, sf_dir) -> DataFrame``, built from the engine's own operators
 (``orion_etl_oracle_to_postgres_spark.queries``).
-``oracle_sql()`` — matching DuckDB SQL per query (omitted for the few
-ops whose hash choices are engine-specific → rows-only check).
+``oracle_sql()`` — matching DuckDB SQL per query. Since round 8 EVERY
+registered query carries one (iterative ops replay via unrolled CTEs;
+codec/sketch estimates via bounded-error envelope oracles).
 """
 
 from __future__ import annotations

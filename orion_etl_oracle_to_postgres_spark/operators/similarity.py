@@ -1934,20 +1934,42 @@ def semantic_contamination(
     before the compare — round-before-rank, engines agree on the flag
     set. Drop flagged ids with one broadcast anti-join (the audit
     columns say why each id left). ``broadcast_limit=None`` skips the
-    guard's count probe — plan-review (``--explain``) callers only."""
+    guard's count probe — plan-review (``--explain``) callers only.
+
+    Each side is UNIT-NORMALIZED once before the join (the norm is
+    LET-BOUND so it evaluates once per row, not once per of the d
+    lambda elements), so the per-pair work inside the N×M loop is one
+    dot product — not dot plus two norms recomputed per pair (≈3×
+    fewer flops where all the time goes). Zero-norm vectors carry no
+    direction and cannot be flagged (NULL normalized → filtered), the
+    same outcome ``cosine``'s NULL-on-zero-norm gave."""
     if broadcast_limit is not None:
         _guard_broadcast_side(
             bench, bench_id, broadcast_limit, "semantic_contamination"
         )
-    b = bench.filter(F.col(bench_vec).isNotNull()).select(
-        F.col(bench_id).alias("__bid"),
-        F.col(bench_vec).cast("array<double>").alias("__bv"),
+
+    def _unit(vec_col: str) -> Column:
+        v = F.col(vec_col).cast("array<double>")
+        return F.flatten(
+            F.transform(
+                F.array(l2_norm(v)),  # let-bind: one norm per row
+                lambda n: F.when(n > 0, F.transform(v, lambda x: x / n)),
+            )
+        )
+
+    b = (
+        bench.filter(F.col(bench_vec).isNotNull())
+        .select(
+            F.col(bench_id).alias("__bid"), _unit(bench_vec).alias("__bv")
+        )
+        .filter(F.col("__bv").isNotNull())
     )
-    c = corpus.filter(F.col(corpus_vec).isNotNull()).select(
-        F.col(corpus_id),
-        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    c = (
+        corpus.filter(F.col(corpus_vec).isNotNull())
+        .select(F.col(corpus_id), _unit(corpus_vec).alias("__cv"))
+        .filter(F.col("__cv").isNotNull())
     )
-    cos = F.round(cosine(F.col("__cv"), F.col("__bv")), decimals)
+    cos = F.round(dot(F.col("__cv"), F.col("__bv")), decimals)
     return (
         c.join(F.broadcast(b))
         .select(F.col(corpus_id), cos.alias("__cos"))

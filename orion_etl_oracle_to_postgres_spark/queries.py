@@ -10119,17 +10119,23 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_decontaminate",
     """
-    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id % 9 <> 0 AND embedding IS NOT NULL),
-    b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-          WHERE vec_id % 9 = 0 AND embedding IS NOT NULL),
+    WITH a0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                         x -> x*x))) AS n
+                FROM embeddings
+                WHERE vec_id % 9 <> 0 AND embedding IS NOT NULL),
+    a AS (SELECT vec_id, list_transform(v, x -> x / n) AS v
+          FROM a0 WHERE n > 0),
+    b0 AS (SELECT embedding::DOUBLE[] AS v,
+                  sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                    x -> x*x))) AS n
+           FROM embeddings
+           WHERE vec_id % 9 = 0 AND embedding IS NOT NULL),
+    b AS (SELECT list_transform(v, x -> x / n) AS v FROM b0 WHERE n > 0),
     s AS (
       SELECT a.vec_id,
              round(list_sum(list_transform(range(64),
-                     i -> a.v[i+1] * b.v[i+1]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x*x)))),
-               6) AS c
+                     i -> a.v[i+1] * b.v[i+1])), 6) AS c
       FROM a, b
     )
     SELECT vec_id, count(*)::BIGINT AS n_matches, max(c) AS max_cosine
@@ -10158,18 +10164,24 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_decontaminate_semantic",
     """
-    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id % 9 <> 0 AND embedding IS NOT NULL),
-    b AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
-          WHERE vec_id % 9 = 0 AND embedding IS NOT NULL),
+    WITH a0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                         x -> x*x))) AS n
+                FROM embeddings
+                WHERE vec_id % 9 <> 0 AND embedding IS NOT NULL),
+    a AS (SELECT vec_id, list_transform(v, x -> x / n) AS v
+          FROM a0 WHERE n > 0),
+    b0 AS (SELECT embedding::DOUBLE[] AS v,
+                  sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                    x -> x*x))) AS n
+           FROM embeddings
+           WHERE vec_id % 9 = 0 AND embedding IS NOT NULL),
+    b AS (SELECT list_transform(v, x -> x / n) AS v FROM b0 WHERE n > 0),
     flagged AS (
       SELECT DISTINCT a.vec_id
       FROM a, b
       WHERE round(list_sum(list_transform(range(64),
-                    i -> a.v[i+1] * b.v[i+1]))
-              / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                 * sqrt(list_sum(list_transform(b.v, x -> x*x)))),
-              6) >= 0.4
+                    i -> a.v[i+1] * b.v[i+1])), 6) >= 0.4
     )
     SELECT vec_id, label FROM embeddings
     WHERE vec_id % 9 <> 0
