@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "etl_decontaminate_semantic",  # declarative cosine gate vs broadcast bench
     "profile_benford_prices",  # 9-group count, digits from integer cents
     "etl_unimax_sample",  # water-fill alloc broadcast + one group window
+    "etl_corpus_curate_v3",  # pairs-reuse soft dedup -> decontam -> unimax
 ]
 
 

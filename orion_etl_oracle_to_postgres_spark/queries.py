@@ -5622,11 +5622,15 @@ def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unimax_alloc_ctes(budget: int, max_epochs: int) -> str:
+def _unimax_alloc_ctes(
+    budget: int, max_epochs: int, src: str = "documents"
+) -> str:
     """Shared integer water-fill CTE chain (curation_unimax_mixture +
-    etl_unimax_sample): per-source token sums → cap-sorted rank/prefix
-    → pivot → exact-long allocation, ending at an ``alloc`` CTE with
-    (source, n_tokens, cap_tokens, alloc_tokens, epochs)."""
+    etl_unimax_sample + the composed corpus pipeline): per-source token
+    sums over ``src`` (any relation with source+text columns) →
+    cap-sorted rank/prefix → pivot → exact-long allocation, ending at
+    an ``alloc`` CTE with (source, n_tokens, cap_tokens, alloc_tokens,
+    epochs)."""
     a = f"""(CASE WHEN kp IS NULL OR k < kp THEN cap_tokens
                  ELSE ({budget} - sp) // mp
                       + CASE WHEN k - kp < ({budget} - sp) % mp
@@ -5638,7 +5642,7 @@ def _unimax_alloc_ctes(budget: int, max_epochs: int) -> str:
              sum(coalesce(len(list_filter(
                string_split_regex(lower(text), '[^a-z0-9]+'),
                x -> x <> '')), 0))::BIGINT AS n_tokens
-      FROM documents GROUP BY 1
+      FROM {src} GROUP BY 1
     ),
     ranked AS (
       SELECT source, n_tokens, (n_tokens * {max_epochs})::BIGINT AS cap_tokens,
@@ -5700,6 +5704,136 @@ def curation_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return unimax_mixture(
         withtok, "source", "__ntok", total_budget=50_000, max_epochs=2
+    )
+
+
+@query(
+    "etl_corpus_curate_v3",
+    _SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , tpairs AS (
+      SELECT a.doc_id AS id_i, b.doc_id AS id_j
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND a.doc_id % 7 <> 0 AND b.doc_id % 7 <> 0
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM tpairs
+      UNION
+      SELECT id_j, id_i FROM tpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+    sizes AS (SELECT cl, count(*)::BIGINT AS nd FROM comp GROUP BY cl),
+    flagged AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a, sh b
+      WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+        AND len(list_intersect(a.shs, b.shs))::DOUBLE
+            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8
+    ),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text,
+             coalesce(c.cl, d.doc_id)::BIGINT AS cluster_id,
+             coalesce(s.nd, 1)::BIGINT AS n_dups,
+             round(1.0::DOUBLE / coalesce(s.nd, 1), 6) AS sample_weight
+      FROM documents d
+      LEFT JOIN comp c ON c.id = d.doc_id
+      LEFT JOIN sizes s ON s.cl = c.cl
+      WHERE d.doc_id % 7 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),"""
+    + _unimax_alloc_ctes(15_000, 2, src="surv")
+    + """,
+    stoks AS (
+      SELECT doc_id, source, cluster_id, n_dups, sample_weight,
+             CASE WHEN text IS NOT NULL
+                  THEN len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> ''))::BIGINT END AS n_tokens,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':um0')")
+    + """ AS ord
+      FROM surv
+    ),
+    pref AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM stoks
+    )
+    SELECT p.doc_id, p.source, p.cluster_id, p.n_dups, p.sample_weight,
+           p.n_tokens, a.epochs AS target_epochs
+    FROM pref p JOIN alloc a ON p.source IS NOT DISTINCT FROM a.source
+    WHERE p.n_tokens IS NOT NULL AND p.cb < coalesce(a.alloc_tokens, 0)
+    """,
+)
+def etl_corpus_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] The round-8 COMPOSED flagship — the full new
+    surface in ONE declarative Catalyst plan: persisted-pair-table SOFT
+    dedup (`dedup: {method: soft, pairs_table: ...}` — the banded
+    MinHash join was mined once and mounted, never re-shingled) →
+    near-dup eval DECONTAMINATION (`decontaminate: {method: minhash}`
+    vs the doc_id % 7 == 0 benchmark slice) → UniMax token-budget
+    SAMPLING (`sample: {method: unimax}`, 15k tokens water-filled
+    across sources, max 2 epochs). Soft annotations survive the whole
+    chain; decontaminated rows drop before the budget is allocated, so
+    the mixture reflects the CLEAN corpus. Oracle replays exact pairs →
+    transitive closure → reciprocal weights, the exact cross-corpus
+    Jaccard flag set, then the integer water-fill + per-source prefix
+    over the survivors."""
+    from .spec import DecontaminateSpec, SampleSpec
+
+    cache = _minhash_pairs_dir(spark, sf_dir)
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=sf_dir),
+            target_files=FilesConnectorSpec(base_path=cache),
+        )
+    )
+    spec = TableSpec(
+        source_table="documents",
+        target_table="corpus_v3",
+        where="doc_id % 7 <> 0",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="source", target="source"),
+            MappingSpec(source="text", target="text"),
+        ],
+        dedup=DedupSpec(
+            method="soft", id_column="doc_id", pairs_table="pairs"
+        ),
+        decontaminate=DecontaminateSpec(
+            method="minhash",
+            benchmark_table="documents",
+            benchmark_where="doc_id % 7 = 0",
+            text_column="text",
+            id_column="doc_id",
+            benchmark_id_column="doc_id",
+            threshold=0.8,
+            num_hashes=128,
+            bands=32,
+        ),
+        sample=SampleSpec(
+            method="unimax",
+            id_column="doc_id",
+            group_column="source",
+            text_column="text",
+            budget_tokens=15_000,
+            max_epochs=2,
+            seed="um0",
+        ),
+    )
+    compiled = compile_table(JobContext(spark, g), spec)
+    run_error_checks(compiled.df, compiled.error_checks)
+    return compiled.df.select(
+        "doc_id", "source", "cluster_id", "n_dups", "sample_weight",
+        "n_tokens", "target_epochs",
     )
 
 
