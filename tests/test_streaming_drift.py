@@ -170,3 +170,76 @@ def test_baseline_vocab_null_text_does_not_corrupt_total(spark):
     vocab, fracs = baseline_vocab(ref, "text", top_n=5)
     assert vocab[0] == "a" and abs(sum(fracs) - 1.0) < 1e-9
     assert abs(fracs[0] - 3 / 6) < 1e-9
+
+
+def test_contamination_monitor_stream_matches_batch_gate(spark, tmp_path):
+    """Per micro-batch the monitor reports exactly what the batch
+    semantic gate flags: the parallel vector alarms with its cosine,
+    the orthogonal batch row stays clean; an all-clean batch reports
+    zero with max_cosine None; the bench guard fires once at attach."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.streaming.contamination import (
+        contamination_monitor_stream,
+    )
+    from orion_etl_oracle_to_postgres_spark.streaming.incremental import (
+        stream_source,
+    )
+
+    bench = spark.createDataFrame(
+        [(9, [2.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    land = tmp_path / "landing_c"
+    land.mkdir()
+    batch.write.parquet(str(land / "b0"))
+    results = []
+    stream = stream_source(
+        spark, str(land / "b0"), fmt="parquet", schema=batch.schema
+    )
+    q = contamination_monitor_stream(
+        stream,
+        bench,
+        lambda bid, nf, mc, n: results.append((nf, mc, n)),
+        checkpoint=str(tmp_path / "ckpt_c"),
+        threshold=0.9,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert results == [(1, 1.0, 2)]
+
+    # clean batch: zero flags, no max cosine
+    clean = spark.createDataFrame(
+        [(5, [0.0, 0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    land2 = tmp_path / "landing_c2"
+    land2.mkdir()
+    clean.write.parquet(str(land2 / "b0"))
+    results2 = []
+    q2 = contamination_monitor_stream(
+        stream_source(spark, str(land2 / "b0"), fmt="parquet", schema=clean.schema),
+        bench,
+        lambda bid, nf, mc, n: results2.append((nf, mc, n)),
+        checkpoint=str(tmp_path / "ckpt_c2"),
+        threshold=0.9,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert results2 == [(0, None, 1)]
+
+    # oversized benchmark refused at ATTACH, before any batch runs
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        contamination_monitor_stream(
+            stream_source(spark, str(land / "b0"), fmt="parquet", schema=batch.schema),
+            bench,
+            lambda *a: None,
+            checkpoint=str(tmp_path / "ckpt_c3"),
+            broadcast_limit=0,
+        )
