@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "profile_benford_prices",  # 9-group count, digits from integer cents
     "etl_unimax_sample",  # water-fill alloc broadcast + one group window
     "etl_corpus_curate_v3",  # pairs-reuse soft dedup -> decontam -> unimax
+    "dq_benford_gate",  # benford chi2 as one wide-agg expectation row
 ]
 
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Expect:
-    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness
+    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness | k_anonymity | benford
     columns: tuple = ()
     min: Optional[float] = None
     max: Optional[float] = None
@@ -140,6 +140,17 @@ def _validate_check(c: Expect) -> None:
                 "non-replayable) and max_lag_hours"
             )
         _parse_as_of(c)  # malformed/tz-aware as_of fails HERE, not at gate time
+    if c.type == "benford":
+        if len(c.columns) != 1:
+            raise ValueError(
+                f"expectation {c.label!r}: benford takes exactly one "
+                "numeric column"
+            )
+        if c.max is None or c.max <= 0:
+            raise ValueError(
+                f"expectation {c.label!r}: benford needs max (the χ² bar "
+                "over 8 df — e.g. 20.09 for p=0.01)"
+            )
 
 
 def _report_labels(checks: Sequence[Expect]) -> list[str]:
@@ -204,6 +215,24 @@ def run_expectations(
         elif c.type == "freshness":
             (col,) = c.columns
             aggs.append(F.max(F.col(col)).alias(f"__e{i}"))
+        elif c.type == "benford":
+            # leading-significant-digit counts via EXACT integer units
+            # (profile.benford_report's parity trick: leading digit is
+            # invariant under *10^k for exact values; double→string
+            # would differ across engines). Values with |x| < 5e-7
+            # carry no digit at this scale and are excluded.
+            (col,) = c.columns
+            ival = F.round(F.abs(F.col(col)) * 1_000_000).cast("long")
+            digit = F.when(
+                F.col(col).isNotNull() & (ival > 0),
+                F.substring(ival.cast("string"), 1, 1).cast("int"),
+            )
+            for dgt in range(1, 10):
+                aggs.append(
+                    F.sum(F.when(digit == dgt, 1).otherwise(0)).alias(
+                        f"__e{i}_{dgt}"
+                    )
+                )
         elif c.type in ("row_count", "unique", "fk", "k_anonymity"):
             pass
         else:
@@ -284,6 +313,30 @@ def run_expectations(
                 (_lbl, col, float(small),
                  f"no group smaller than k={int(c.min)}", small == 0)
             )
+        elif c.type == "benford":
+            # χ² of the observed leading-digit shares vs log10(1 + 1/d),
+            # from the wide-agg counts — shares and expectations rounded
+            # before the terms so the statistic is engine-replayable
+            # (same arithmetic as profile.benford_report)
+            import math
+
+            (col,) = c.columns
+            cnts = [wide[f"__e{i}_{dgt}"] or 0 for dgt in range(1, 10)]
+            tot = sum(cnts)
+            if tot == 0:
+                # no leading digits at all: vacuously unverifiable —
+                # fail the gate (an empty/zero column is not Benford)
+                rows.append(
+                    (_lbl, col, float("inf"), f"chi2<={c.max}", False)
+                )
+            else:
+                chi = 0.0
+                for dgt, cn in zip(range(1, 10), cnts):
+                    exp_share = round(math.log10(1.0 + 1.0 / dgt), 6)
+                    obs = round(cn / tot, 6)
+                    chi += tot * (obs - exp_share) ** 2 / exp_share
+                chi = round(chi, 6)
+                rows.append((_lbl, col, chi, f"chi2<={c.max}", chi <= c.max))
         elif c.type == "unique":
             # one grouped aggregate with an early-exit limit: the probe
             # stops at the FIRST duplicate key, it never counts them all

@@ -6693,6 +6693,54 @@ def profile_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_benford_gate",
+    f"""
+    WITH base AS (
+      SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 1000000)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+             AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND round(abs(o_totalprice) * 1000000) > 0
+    ),
+    counts0 AS (SELECT digit, count(*)::BIGINT AS n FROM base GROUP BY 1),
+    dig AS (SELECT unnest(range(1, 10))::INT AS digit),
+    counts AS (
+      SELECT d.digit, coalesce(c.n, 0)::BIGINT AS n_values
+      FROM dig d LEFT JOIN counts0 c USING (digit)
+    ),
+    tot AS (SELECT sum(n_values)::BIGINT AS t FROM counts),
+    chi AS (
+      SELECT round(sum(t * pow(round(n_values::DOUBLE / t, 6)
+                               - {_BENFORD_EXP_CASE}, 2)
+                       / {_BENFORD_EXP_CASE}), 6) AS c
+      FROM counts, tot
+    )
+    SELECT 'benford:o_totalprice' AS "check", 'o_totalprice' AS "column",
+           c AS observed, 'chi2<=25.0' AS threshold,
+           c <= 25.0 AS passed
+    FROM chi
+    """,
+)
+def dq_benford_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Benford conformance as a DATA-QUALITY EXPECTATION
+    (operators/expectations.py, type=benford): the forensic screen
+    wired into the pre-write gate — one wide-aggregate pass produces
+    the chi-square statistic vs the chi2<=25 bar (p≈0.01 over 8 df
+    plus slack). TPC-H prices are bounded-uniform, decidedly NOT
+    Benford, so the gate deterministically reports FAILED — exactly
+    what a fabricated-amounts screen should say about synthetic money.
+    The oracle replays the exact-integer digit extraction, the
+    zero-count digit fill, and the rounded-shares chi arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    from .operators.expectations import Expect, run_expectations
+
+    return run_expectations(
+        o, [Expect(type="benford", columns=("o_totalprice",), max=25.0)]
+    )
+
+
+@query(
     "profile_join_skew",
     """
     WITH c AS (

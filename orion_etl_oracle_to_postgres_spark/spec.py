@@ -486,7 +486,7 @@ class ExpectSpec(BaseModel):
     def _known_type(cls, v: str) -> str:
         allowed = (
             "row_count", "not_null", "unique", "accepted_values", "bounds",
-            "fk", "freshness",
+            "fk", "freshness", "k_anonymity", "benford",
         )
         if v not in allowed:
             raise ValueError(f"expectation type must be one of {allowed}, got {v!r}")

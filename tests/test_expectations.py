@@ -304,3 +304,58 @@ def test_k_anonymity_expectation_gate(spark):
     # warn severity: reported but does not block
     warn = [Expect(type="k_anonymity", columns=("seg", "zone"), min=3, severity="warn")]
     enforce(df, warn)  # no raise
+
+
+def test_benford_expectation_gate(spark):
+    """A Benford-weighted column passes a tight chi-square bar; a
+    uniform-leading-digit column fails it; zero/NULL-only columns fail
+    vacuously; spec validation demands the bar."""
+    import math
+
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+        Expect,
+        run_expectations,
+    )
+
+    counts = {d: round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+    good = [(float(d),) for d, n in counts.items() for _ in range(n)]
+    df_good = spark.createDataFrame(good, "x double")
+    out = run_expectations(
+        df_good, [Expect(type="benford", columns=("x",), max=20.09)]
+    ).collect()
+    assert len(out) == 1 and out[0]["passed"]
+    assert out[0]["observed"] < 1.0  # near-perfect conformance
+
+    # uniform leading digits: wildly non-Benford at n=900
+    df_bad = spark.createDataFrame(
+        [(float(d),) for d in range(1, 10) for _ in range(100)], "x double"
+    )
+    bad = run_expectations(
+        df_bad, [Expect(type="benford", columns=("x",), max=20.09)]
+    ).collect()
+    assert not bad[0]["passed"] and bad[0]["observed"] > 100
+
+    # zero/NULL-only: no leading digit exists -> gate fails loudly
+    df_zero = spark.createDataFrame([(0.0,), (None,)], "x double")
+    z = run_expectations(
+        df_zero, [Expect(type="benford", columns=("x",), max=20.09)]
+    ).collect()
+    assert not z[0]["passed"] and z[0]["observed"] == float("inf")
+
+    with pytest.raises(ValueError, match="needs max"):
+        run_expectations(
+            df_good, [Expect(type="benford", columns=("x",))]
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        run_expectations(
+            df_good, [Expect(type="benford", columns=("x", "y"), max=1.0)]
+        )
+
+    # the declarative spec accepts the new type (and k_anonymity, which
+    # the validator previously rejected despite engine support)
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    spec_mod.ExpectSpec(type="benford", columns=["x"], max=20.09)
+    spec_mod.ExpectSpec(type="k_anonymity", columns=["a", "b"], min=2)
