@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "etl_unimax_sample",  # water-fill alloc broadcast + one group window
     "etl_corpus_curate_v3",  # pairs-reuse soft dedup -> decontam -> unimax
     "dq_benford_gate",  # benford chi2 as one wide-agg expectation row
+    "etl_whiten_vectors",  # declarative whiten: stats literals, in-row rewrite
 ]
 
 

@@ -743,6 +743,73 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         df = _lazy_checkpoint(ctx, df)
     df, quarantine_df = split_quarantine(df)
 
+    # 5b². declarative embedding-column normalization (engine
+    # extension) — BEFORE dedup so `dedup.method: semantic` measures
+    # the normalized space. l2_normalize is a pure per-row expression;
+    # whiten/abtt collect corpus stats (bounded driver probes) and
+    # inline them as literals into one zero-shuffle projection.
+    if spec.vector_transform is not None:
+        vt = spec.vector_transform
+        if vt.vector_column not in df.columns:
+            raise ValueError(
+                f"{spec.source_table}: vector_transform column "
+                f"{vt.vector_column!r} not in pipeline output {df.columns}"
+            )
+        vt_out = vt.output_column or vt.vector_column
+        if vt.output_column and vt.output_column in df.columns:
+            raise ValueError(
+                f"{spec.source_table}: vector_transform output_column "
+                f"{vt.output_column!r} already in the pipeline — rename "
+                "it or omit output_column to rewrite in place"
+            )
+        if vt.method == "l2_normalize":
+            from .operators.similarity import l2_normalize
+
+            df = df.withColumn(vt_out, l2_normalize(F.col(vt.vector_column)))
+        elif ctx.explain_only:
+            # whiten/abtt stats are eager corpus aggregates — running
+            # them would break --explain's "nothing executes" promise
+            # (same contract as the near-dup dedup stage below)
+            logger.warning(
+                "%s: plan review omits the %s vector_transform stage "
+                "(its stats collect eagerly; the real run applies it)",
+                spec.source_table,
+                vt.method,
+            )
+        elif vt.method == "whiten":
+            from .operators.similarity import whiten_expr, whiten_stats
+
+            stats = whiten_stats(df, vt.vector_column)
+            if not stats:
+                raise ValueError(
+                    f"{spec.source_table}: vector_transform whiten found "
+                    f"no non-null vectors in {vt.vector_column!r}"
+                )
+            df = df.withColumn(
+                vt_out, whiten_expr(F.col(vt.vector_column), stats)
+            )
+        else:  # abtt (spec validator guarantees the method set)
+            from .operators.similarity import (
+                abtt_expr,
+                dim_stats,
+                pca_power,
+            )
+
+            mu = {
+                int(r["dim"]): float(r["mean"])
+                for r in dim_stats(df, vt.vector_column).collect()
+            }
+            if not mu:
+                raise ValueError(
+                    f"{spec.source_table}: vector_transform abtt found "
+                    f"no non-null vectors in {vt.vector_column!r}"
+                )
+            comp = pca_power(df, vt.vector_column, means=mu).collect()
+            loadings = {int(r["dim"]): float(r["loading"]) for r in comp}
+            df = df.withColumn(
+                vt_out, abtt_expr(F.col(vt.vector_column), mu, loadings)
+            )
+
     # 5c. declarative dedup of the outgoing rows (engine extension,
     # SURVEY.md §2.11) — after transforms/validations so the key is the
     # FINAL shape, before self-lookups so the join sees the survivor
@@ -1539,6 +1606,14 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
             errs.append("dedup method=fingerprint needs text_column")
     if spec.scd2 is not None:
         errs.append("scd2 (reads back the target mid-plan)")
+    if (
+        spec.vector_transform is not None
+        and spec.vector_transform.method in ("whiten", "abtt")
+    ):
+        errs.append(
+            f"vector_transform method={spec.vector_transform.method} "
+            "(corpus-stats collection is batch-only; l2_normalize streams)"
+        )
     if spec.quality_filter is not None and spec.quality_filter.reject_table:
         errs.append(
             "quality_filter.reject_table (the audit sink needs a second "

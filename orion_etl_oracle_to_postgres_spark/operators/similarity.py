@@ -42,9 +42,17 @@ PQ_LAYOUT_VERSION = 1
 
 
 def l2_normalize(vec: Column) -> Column:
-    """Unit-normalize an array<float|double> column (NULL on zero norm)."""
-    n = l2_norm(vec)
-    return F.when(n > 0, F.transform(vec, lambda x: x / n))
+    """Unit-normalize an array<float|double> column (NULL on zero
+    norm). The norm is LET-BOUND (1-element ``transform`` array) so it
+    evaluates once per row — a bare ``transform(vec, x / l2_norm(vec))``
+    would re-inline the norm per element (d² work per row, the
+    CollapseProject trap)."""
+    return F.flatten(
+        F.transform(
+            F.array(l2_norm(vec)),
+            lambda n: F.when(n > 0, F.transform(vec, lambda x: x / n)),
+        )
+    )
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
@@ -1588,29 +1596,46 @@ def whiten(
     corpus, which would double the data motion at 100 TB). Stats are
     rounded BEFORE use in both engines, so the division is
     deterministic float64 on identical inputs — bit-stable parity."""
-    stats = {
-        int(r["dim"]): (float(r["mean"]), float(r["std"]))
-        for r in dim_stats(df, vec_col, decimals=decimals).collect()
-    }
+    stats = whiten_stats(df, vec_col, decimals=decimals)
     if not stats:
         return df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("whitened")
         ).limit(0)
+    z = whiten_expr(F.col(vec_col), stats, decimals=decimals)
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), z.alias("whitened")
+    )
+
+
+def whiten_stats(
+    df: DataFrame, vec_col: str, *, decimals: int = 6
+) -> dict[int, tuple[float, float]]:
+    """Collect the rounded per-dimension (mean, std) literals
+    ``whiten_expr`` standardizes with — the bounded driver probe
+    (``dim_stats`` aggregate: shuffle payload = dim rows)."""
+    return {
+        int(r["dim"]): (float(r["mean"]), float(r["std"]))
+        for r in dim_stats(df, vec_col, decimals=decimals).collect()
+    }
+
+
+def whiten_expr(
+    vec: Column, stats: dict[int, tuple[float, float]], *, decimals: int = 6
+) -> Column:
+    """The zero-shuffle z-score projection with the rounded stats
+    inlined as literal arrays — the in-row half of ``whiten``, exposed
+    so the declarative ``vector_transform`` stage can rewrite a column
+    in place instead of joining a (id, whitened) frame back."""
     d = max(stats) + 1
     means = F.array(*[F.lit(stats[i][0]) for i in range(d)])
     stds = F.array(*[F.lit(stats[i][1]) for i in range(d)])
-    centered = F.zip_with(
-        F.col(vec_col).cast("array<double>"), means, lambda x, m: x - m
-    )
-    z = F.zip_with(
+    centered = F.zip_with(vec.cast("array<double>"), means, lambda x, m: x - m)
+    return F.zip_with(
         centered,
         stds,
         lambda c, s: F.when(s == 0.0, F.lit(0.0)).otherwise(
             F.round(c / s, decimals)
         ),
-    )
-    return df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), z.alias("whitened")
     )
 
 
@@ -2023,13 +2048,30 @@ def remove_top_component(
             F.col(vec_col).cast("array<double>").alias("adjusted"),
         ).limit(0)
     v = {int(r["dim"]): float(r["loading"]) for r in comp}
-    d = max(v) + 1
-    v_lit = F.array(*[F.lit(v[i]) for i in range(d)])
-    mu_lit = F.array(*[F.lit(mu[i]) for i in range(d)])
-    cent = F.zip_with(
-        F.col(vec_col).cast("array<double>"), mu_lit, lambda x, m: x - m
+    adjusted = abtt_expr(F.col(vec_col), mu, v, decimals=decimals)
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), adjusted.alias("adjusted")
     )
-    adjusted = F.flatten(
+
+
+def abtt_expr(
+    vec: Column,
+    means: dict[int, float],
+    loadings: dict[int, float],
+    *,
+    decimals: int = 6,
+) -> Column:
+    """The zero-shuffle ABTT projection ``c - (c·v₁)v₁`` with the
+    rounded mean/component literals inlined — the in-row half of
+    ``remove_top_component``, exposed for the declarative
+    ``vector_transform`` stage. The centered array and the dot product
+    are each LET-BOUND (1-element ``transform`` arrays), so neither
+    recomputes per output element."""
+    d = max(loadings) + 1
+    v_lit = F.array(*[F.lit(loadings[i]) for i in range(d)])
+    mu_lit = F.array(*[F.lit(means[i]) for i in range(d)])
+    cent = F.zip_with(vec.cast("array<double>"), mu_lit, lambda x, m: x - m)
+    return F.flatten(
         F.transform(
             F.array(cent),  # let-bind c: centered array evaluates once
             lambda c: F.flatten(
@@ -2048,7 +2090,4 @@ def remove_top_component(
                 )
             ),
         )
-    )
-    return df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), adjusted.alias("adjusted")
     )

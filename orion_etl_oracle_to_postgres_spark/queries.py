@@ -10344,6 +10344,54 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_whiten_vectors",
+    """
+    WITH stats AS (
+      SELECT i,
+             round(avg(v[i+1]), 6) AS m,
+             round(stddev_pop(v[i+1]), 6) AS s
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings
+            WHERE embedding IS NOT NULL),
+           range(64) r(i)
+      GROUP BY i
+    )
+    SELECT vec_id, label, i AS dim,
+           CASE WHEN s = 0.0 THEN 0.0
+                ELSE round((v[i+1] - m) / s, 6) END AS value
+    FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL) CROSS JOIN stats
+    """,
+)
+def etl_whiten_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative embedding normalization
+    (`vector_transform: {method: whiten}`, compiler.py): the YAML user
+    standardizes the vector column in place before any downstream
+    semantic stage — corpus dim stats collected once (bounded driver
+    probe), inlined as literals into ONE zero-shuffle projection via
+    similarity.whiten_expr. Output posexploded per the
+    driver-canonicalizable contract; oracle replays the rounded stats
+    and the standardization."""
+    from .spec import VectorTransformSpec
+
+    spec = TableSpec(
+        source_table="embeddings",
+        target_table="emb_white",
+        mappings=[
+            MappingSpec(source="vec_id", target="vec_id"),
+            MappingSpec(source="label", target="label"),
+            MappingSpec(source="embedding", target="embedding"),
+        ],
+        vector_transform=VectorTransformSpec(
+            method="whiten", vector_column="embedding"
+        ),
+    )
+    df = _compile(spark, sf_dir, spec)
+    return df.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "value")
+    )
+
+
+@query(
     "etl_decontaminate_semantic",
     """
     WITH a0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,

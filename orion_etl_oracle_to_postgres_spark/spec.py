@@ -820,6 +820,39 @@ class DecontaminateSpec(BaseModel):
     broadcast_limit: int = Field(default=20_000_000, ge=1)
 
 
+class VectorTransformSpec(BaseModel):
+    """[engine extension] Declarative EMBEDDING-COLUMN normalization of
+    the outgoing rows — the vector half of the rewrite stage, run
+    BEFORE declarative dedup so ``dedup.method: semantic`` measures the
+    normalized space:
+
+    ``method: l2_normalize`` — unit vectors (cosine becomes a dot
+    product downstream); per-row, zero corpus stats, streams.
+    ``method: whiten`` — per-dimension z-score standardization against
+    the corpus' rounded dim stats (``similarity.whiten_expr``);
+    zero-variance dims map to 0. Batch-only (needs corpus stats).
+    ``method: abtt`` — All-But-The-Top: subtract the mean and project
+    out the top principal component (``similarity.abtt_expr`` over
+    ``pca_power``'s rounded literals) — the anisotropy fix. Batch-only.
+
+    ``output_column`` defaults to rewriting ``vector_column`` in place;
+    name a new column to keep the raw vectors alongside."""
+
+    method: str  # l2_normalize | whiten | abtt
+    vector_column: str
+    output_column: Optional[str] = None
+
+    @field_validator("method")
+    @classmethod
+    def _known_vt_method(cls, v: str) -> str:
+        if v not in ("l2_normalize", "whiten", "abtt"):
+            raise ValueError(
+                "vector_transform method must be "
+                f"l2_normalize|whiten|abtt, got {v!r}"
+            )
+        return v
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -888,6 +921,9 @@ class TableSpec(BaseModel):
     augment: Optional[AugmentSpec] = None
     #: declarative curriculum index/phase columns on the outgoing rows
     curriculum: Optional[CurriculumSpec] = None
+    #: declarative embedding-column normalization (runs BEFORE dedup so
+    #: semantic dedup sees the normalized space)
+    vector_transform: Optional[VectorTransformSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":

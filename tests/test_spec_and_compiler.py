@@ -2691,3 +2691,101 @@ def test_decontaminate_semantic_method(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_vector_transform_declarative(spark, tmp_path):
+    """vector_transform: l2_normalize streams and unit-scales; whiten
+    standardizes in place; abtt removes the dominant direction;
+    output_column keeps raw vectors; unknown method/column refused;
+    whiten/abtt refuse streams and are skipped (loudly) under
+    --explain."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        _assert_streaming_spec,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [
+            (0, [10.0, 1.0, 0.0]),
+            (1, [-10.0, -1.0, 0.0]),
+            (2, [10.0, -1.0, 0.0]),
+            (3, [-10.0, 1.0, 0.0]),
+        ],
+        "id long, emb array<double>",
+    ).write.parquet(str(src / "vecs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(
+                base_path=str(tmp_path / "out")
+            ),
+        )
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+
+    def tab(method, out_col=None):
+        return spec_mod.TableSpec(
+            source_table="vecs",
+            target_table=f"v_{method}",
+            mappings=[
+                spec_mod.MappingSpec(source="id", target="id"),
+                spec_mod.MappingSpec(source="emb", target="emb"),
+            ],
+            vector_transform=spec_mod.VectorTransformSpec(
+                method=method, vector_column="emb", output_column=out_col
+            ),
+        )
+
+    # l2_normalize: unit norms, new column keeps the raw vectors
+    out = {
+        r["id"]: r
+        for r in compile_table(ctx, tab("l2_normalize", "unit")).df.collect()
+    }
+    assert out[0]["emb"][0] == 10.0  # raw kept
+    n = sum(x * x for x in out[0]["unit"]) ** 0.5
+    assert abs(n - 1.0) < 1e-12
+
+    # whiten: in-place standardization, zero-variance dim -> 0
+    w = {r["id"]: r["emb"] for r in compile_table(ctx, tab("whiten")).df.collect()}
+    assert all(v[2] == 0.0 for v in w.values())  # constant dim
+    assert abs(w[0][0] - 1.0) < 1e-6  # (10 - 0)/10 = 1
+
+    # abtt: the dominant axis collapses
+    a = {r["id"]: r["emb"] for r in compile_table(ctx, tab("abtt")).df.collect()}
+    assert all(abs(v[0]) < 0.05 for v in a.values())
+
+    # guards: unknown method at SPEC level, missing column at compile
+    with pytest.raises(ValueError, match="l2_normalize"):
+        spec_mod.VectorTransformSpec(method="pca", vector_column="emb")
+    with pytest.raises(ValueError, match="vector_transform column"):
+        compile_table(
+            ctx,
+            tab("whiten").model_copy(
+                update={
+                    "vector_transform": spec_mod.VectorTransformSpec(
+                        method="whiten", vector_column="nope"
+                    )
+                }
+            ),
+        )
+
+    # whiten/abtt are batch-only; l2_normalize streams
+    t_stream = tab("whiten").model_copy(update={"write_mode": "append"})
+    with pytest.raises(ValueError, match="batch-only"):
+        _assert_streaming_spec(ctx, t_stream, None)
+    _assert_streaming_spec(
+        ctx, tab("l2_normalize").model_copy(update={"write_mode": "append"}),
+        None,
+    )
+
+    # --explain: the eager-stats methods are SKIPPED (vector untouched),
+    # never executed
+    ctx_x = JobContext(spark=spark, global_spec=g, explain_only=True)
+    plan_df = compile_table(ctx_x, tab("abtt")).df
+    row = {r["id"]: r["emb"] for r in plan_df.collect()}
+    assert row[0] == [10.0, 1.0, 0.0]  # raw passthrough under explain
