@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "etl_corpus_curate_v3",  # pairs-reuse soft dedup -> decontam -> unimax
     "dq_benford_gate",  # benford chi2 as one wide-agg expectation row
     "etl_whiten_vectors",  # declarative whiten: stats literals, in-row rewrite
+    "emb_pca_top2",  # one cov aggregate + 2x8 driver matvec rounds
 ]
 
 

@@ -2091,3 +2091,91 @@ def abtt_expr(
             ),
         )
     )
+
+
+def pca_topk(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    k: int = 2,
+    iters: int = 8,
+    decimals: int = 6,
+    means: dict[int, float] | None = None,
+) -> DataFrame:
+    """Top-k principal components by power iteration WITH DEFLATION →
+    ``(component, dim, loading, eigenvalue, explained_share)`` — the
+    k-component generalization of ``pca_power`` (subspace analysis,
+    ABTT with k>1, 2-D embedding-cloud visualization): after each
+    converged component the matrix is deflated, ``C ← C − λ·v vᵀ``,
+    and the iteration restarts from all-ones.
+
+    Deflation happens ON THE ROUNDED GRID: λ and v are rounded to
+    ``decimals`` first and every deflated entry re-rounded, so each
+    component's input matrix is bit-identical across engines and the
+    DuckDB oracle replays the whole chain (iterate → round → deflate →
+    iterate) exactly — the same contract that makes the single
+    component and the Lloyd trainer value-checkable. Rounded deflation
+    costs exact orthogonality in the last decimal — documented, not a
+    bug. ``explained_share`` is each λ over the ORIGINAL trace.
+
+    100 TB shape: identical to ``pca_power`` — the corpus pays one
+    covariance aggregate; all k·iters matvecs are driver arithmetic on
+    d² doubles."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cov = {
+        int(r["pos"]): float(r["cov"])
+        for r in covariance_matrix(
+            df, vec_col, decimals=decimals, means=means
+        ).collect()
+    }
+    spark = df.sparkSession
+    schema = (
+        "component int, dim int, loading double, eigenvalue double, "
+        "explained_share double"
+    )
+    if not cov:
+        return spark.createDataFrame([], schema)
+    d = int(round(len(cov) ** 0.5))
+    if k > d:
+        raise ValueError(f"k={k} exceeds the vector dimension {d}")
+    c = [[cov[i * d + j] for j in range(d)] for i in range(d)]
+    trace = 0.0
+    for i in range(d):
+        trace += c[i][i]
+    rows = []
+    for comp in range(1, k + 1):
+        v = [1.0] * d
+        lam = 0.0
+        for _ in range(max(1, iters)):
+            w = []
+            for i in range(d):
+                s = 0.0
+                for j in range(d):  # sequential fold == list_sum order
+                    s += c[i][j] * v[j]
+                w.append(s)
+            n2 = 0.0
+            for x in w:
+                n2 += x * x
+            lam = n2**0.5
+            if lam == 0.0:
+                raise ValueError(
+                    f"pca_topk: zero covariance norm at component {comp} "
+                    "— fewer than k independent directions exist"
+                )
+            v = [x / lam for x in w]
+        lam_r = round(lam, decimals)
+        v_r = [round(x, decimals) for x in v]
+        share = round(lam_r / trace, decimals) if trace > 0 else None
+        rows += [
+            (comp, i, v_r[i], lam_r, share) for i in range(d)
+        ]
+        # deflate ON THE ROUNDED GRID so the SQL replay stays exact
+        c = [
+            [
+                round(c[i][j] - lam_r * v_r[i] * v_r[j], decimals)
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+    return spark.createDataFrame(rows, schema)

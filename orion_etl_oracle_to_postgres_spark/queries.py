@@ -10451,19 +10451,21 @@ def etl_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec).select("vec_id", "label")
 
 
-def _pca_iter_cte(k: int) -> str:
+def _pca_iter_cte(k: int, prefix: str = "t") -> str:
     """One unrolled power-iteration step: w = C·v (row-major flattened
     matrix, sequential list_sum fold — the exact order the Spark
-    operator's driver loop uses), lam = ||w||, v = w/lam."""
+    operator's driver loop uses), lam = ||w||, v = w/lam. ``prefix``
+    names the chain (t for the top component, u for the deflated
+    second, ...)."""
     return f"""
-    t{k} AS (
+    {prefix}{k} AS (
       SELECT cl, list_transform(w, x -> x / lam) AS vv, lam FROM (
         SELECT cl, w, sqrt(list_sum(list_transform(w, x -> x*x))) AS lam
         FROM (
           SELECT cl, list_transform(range(64), i ->
             list_sum(list_transform(range(64), j ->
               cl[i*64 + j + 1] * vv[j+1]))) AS w
-          FROM t{k - 1}
+          FROM {prefix}{k - 1}
         )
       )
     )"""
@@ -10517,6 +10519,46 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on d doubles, never a per-step cluster scan."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.pca_power(e, "embedding", iters=8)
+
+
+@query(
+    "emb_pca_top2",
+    _PCA_T8_CTES
+    + """,
+    v1 AS (SELECT cl, list_transform(vv, x -> round(x, 6)) AS vr,
+                  round(lam, 6) AS lamr FROM t8),
+    cm2 AS (
+      SELECT list_transform(range(4096), p ->
+        round(cl[p+1] - lamr * vr[(p // 64) + 1] * vr[(p % 64) + 1], 6))
+        AS cl
+      FROM v1
+    ),
+    u0 AS (SELECT cl, list_transform(range(64), x -> 1.0) AS vv FROM cm2),"""
+    + ",".join(_pca_iter_cte(k, prefix="u") for k in range(1, 9))
+    + """,
+    v2 AS (SELECT list_transform(vv, x -> round(x, 6)) AS vr,
+                  round(lam, 6) AS lamr FROM u8),
+    tr AS (SELECT list_sum(list_transform(range(64),
+             i -> cl[i*64 + i + 1])) AS trace FROM cm)
+    SELECT 1 AS component, i AS dim, vr[i+1] AS loading,
+           lamr AS eigenvalue, round(lamr / trace, 6) AS explained_share
+    FROM v1, tr, range(64) r(i)
+    UNION ALL
+    SELECT 2, i, vr[i+1], lamr, round(lamr / trace, 6)
+    FROM v2, tr, range(64) r(i)
+    """,
+)
+def emb_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Top-2 principal components by power iteration with
+    DEFLATION (operators/similarity.py:pca_topk): component 1 from the
+    rounded covariance, then C ← C − λ₁·v₁v₁ᵀ deflated ON THE ROUNDED
+    GRID and the iteration restarted — subspace analysis / 2-D
+    embedding-cloud axes. The oracle unrolls BOTH chains (8 matvec
+    rounds each) plus the rounded deflation between them, so sixteen
+    iterations of a two-stage eigen-solver are value-checked end to
+    end; shares are each λ over the original trace."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_topk(e, "embedding", k=2, iters=8)
 
 
 @query(

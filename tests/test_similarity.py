@@ -997,3 +997,41 @@ def test_pca_power_degenerate_input_fails_loudly(spark):
     )
     with pytest.raises(ValueError, match="zero covariance norm"):
         pca_power(df, "embedding")
+
+
+def test_pca_topk_recovers_two_axes(spark):
+    """A cloud stretched along axis 0 (var 100) then axis 1 (var 1)
+    yields PC1 ~ e0 and PC2 ~ e1 after deflation; eigenvalues order;
+    shares sum below 1 plus rounding; k guards fire."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        pca_topk,
+    )
+
+    rows = [
+        (0, [10.0, 1.0, 0.0]),
+        (1, [-10.0, -1.0, 0.0]),
+        (2, [10.0, -1.0, 0.0]),
+        (3, [-10.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_topk(df, "embedding", k=2).collect()
+    c1 = {r["dim"]: r for r in out if r["component"] == 1}
+    c2 = {r["dim"]: r for r in out if r["component"] == 2}
+    assert abs(abs(c1[0]["loading"]) - 1.0) < 1e-5
+    assert abs(abs(c2[1]["loading"]) - 1.0) < 1e-5
+    assert abs(c2[0]["loading"]) < 1e-3  # deflated axis gone
+    assert c1[0]["eigenvalue"] > c2[0]["eigenvalue"]
+    assert abs(c1[0]["eigenvalue"] - 100.0) < 0.01
+    assert abs(c2[0]["eigenvalue"] - 1.0) < 0.01
+    assert c1[0]["explained_share"] + c2[0]["explained_share"] <= 1.0 + 1e-6
+
+    with pytest.raises(ValueError, match="k must be"):
+        pca_topk(df, "embedding", k=0)
+    with pytest.raises(ValueError, match="exceeds the vector dimension"):
+        pca_topk(df, "embedding", k=4)
+    # a rank-deficient cloud cannot yield 3 components: loud, like
+    # pca_power's degenerate guard
+    with pytest.raises(ValueError, match="zero covariance norm"):
+        pca_topk(df, "embedding", k=3)
