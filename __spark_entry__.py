@@ -118,9 +118,11 @@ _FIRST_50 = [
 # plus the r8-session additions (etl_soft_dedup_shared,
 # etl_decontaminate_minhash, etl_decontaminate_semantic,
 # curation_unimax_mixture, etl_unimax_sample, emb_pca_power,
-# emb_abtt_project, emb_decontaminate, profile_benford_prices)
+# emb_pca_top2, emb_abtt_project, emb_decontaminate,
+# profile_benford_prices, dq_benford_gate, etl_whiten_vectors,
+# etl_corpus_curate_v3)
 # — keep rotating ~40/round; cumulative driver-verified after r8 ≥
-# 209/275 (+ new registrations).
+# 209/279 (+ new registrations).
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:
