@@ -769,12 +769,22 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         elif ctx.explain_only:
             # whiten/abtt stats are eager corpus aggregates — running
             # them would break --explain's "nothing executes" promise
-            # (same contract as the near-dup dedup stage below)
+            # (same contract as the near-dup dedup stage below). The
+            # output column still has to EXIST in the reviewed plan:
+            # later stages (e.g. dedup.method: semantic on vt_out) and
+            # the compiler's own column validation reference it, and a
+            # missing column would fail plan review of a valid spec.
+            # Stub it with a schema-preserving identity projection.
             logger.warning(
                 "%s: plan review omits the %s vector_transform stage "
-                "(its stats collect eagerly; the real run applies it)",
+                "(its stats collect eagerly; the real run applies it; "
+                "the reviewed plan carries %r as an identity placeholder)",
                 spec.source_table,
                 vt.method,
+                vt_out,
+            )
+            df = df.withColumn(
+                vt_out, F.col(vt.vector_column).cast("array<double>")
             )
         elif vt.method == "whiten":
             from .operators.similarity import whiten_expr, whiten_stats

@@ -1400,15 +1400,18 @@ def unimax_mixture(
         )
     )
 
-    def _idiv(x, y):
-        # exact long division (floor for non-negative operands)
-        return ((x - x % y) / y).cast("long")
-
-    out = pref.crossJoin(pivot)
+    # exact long division via Spark's integral `div` operator (matches
+    # DuckDB's `//` for any long budget — the old ((x - x%y)/y) double
+    # round-trip was only exact below 2^53, ADVICE r8). `div` needs a
+    # SQL expression, so the operands are bound to temp columns first.
+    out = (
+        pref.crossJoin(pivot)
+        .withColumn("__lvl", (budget - F.col("__pv.__sp")).cast("long"))
+        .withColumn("__mpl", F.col("__pv.__mp").cast("long"))
+    )
     kp = F.col("__pv.__kp")
-    lvl = budget - F.col("__pv.__sp")
-    base = _idiv(lvl, F.col("__pv.__mp"))
-    rem = lvl % F.col("__pv.__mp")
+    base = F.expr("__lvl div __mpl")
+    rem = F.col("__lvl") % F.col("__mpl")
     alloc = (
         F.when(kp.isNull() | (F.col("__k") < kp), F.col("cap_tokens"))
         .otherwise(

@@ -1900,29 +1900,59 @@ def pca_power(
         return spark.createDataFrame([], schema)
     d = int(round(len(cov) ** 0.5))
     c = [[cov[i * d + j] for j in range(d)] for i in range(d)]
-    v = [1.0] * d
+    # The all-ones start is the unrolled-oracle convention, but it can
+    # sit in C's null space even when real principal components exist
+    # (e.g. probability-simplex embeddings, where every vector has a
+    # constant coordinate sum so C·1 = 0). Because C is symmetric PSD,
+    # a zero matvec is only possible on the FIRST step; restart ONCE
+    # from the deterministic basis vector of the highest-variance
+    # dimension (its matvec is column argmax-diag of C, whose diagonal
+    # entry is > 0 whenever the data is non-constant), so the fallback
+    # is equally oracle-unrollable. A zero matvec from THAT start means
+    # the column really is constant.
+    starts = [[1.0] * d]
+    diag_max = max(range(d), key=lambda i: c[i][i])
+    if c[diag_max][diag_max] > 0.0:
+        e = [0.0] * d
+        e[diag_max] = 1.0
+        starts.append(e)
     lam = 0.0
-    for _ in range(max(1, iters)):
-        w = []
-        for i in range(d):
-            s = 0.0
-            for j in range(d):  # sequential fold == list_sum order
-                s += c[i][j] * v[j]
-            w.append(s)
-        n2 = 0.0
-        for x in w:
-            n2 += x * x
-        lam = n2**0.5
-        if lam == 0.0:
-            # degenerate input (constant column, or the iterate fell
-            # into C's null space): there is no principal direction to
-            # report, and the SQL replay would divide by zero — fail
-            # LOUDLY instead of silently diverging from the oracle
-            raise ValueError(
-                "pca_power: zero covariance norm — the vector column is "
-                "constant (or degenerate); no principal component exists"
-            )
-        v = [x / lam for x in w]
+    for v in starts:
+        restart = False
+        for _ in range(max(1, iters)):
+            w = []
+            for i in range(d):
+                s = 0.0
+                for j in range(d):  # sequential fold == list_sum order
+                    s += c[i][j] * v[j]
+                w.append(s)
+            n2 = 0.0
+            for x in w:
+                n2 += x * x
+            lam = n2**0.5
+            if lam == 0.0:
+                # C symmetric PSD ⇒ only reachable on the first matvec
+                # (later iterates lie in range(C) ⊥ null(C)): this
+                # start vector sits in the null space — try the next
+                # deterministic start before giving up
+                restart = True
+                break
+            v = [x / lam for x in w]
+        if not restart:
+            break
+    else:
+        # every deterministic start had a zero matvec: the covariance
+        # matrix is zero (constant vector column) — there is no
+        # principal direction, and the SQL replay would divide by
+        # zero — fail LOUDLY instead of silently diverging
+        raise ValueError(
+            "pca_power: zero covariance matvec from every deterministic "
+            "start (all-ones AND the max-variance basis vector) — the "
+            "vector column is constant; no principal component exists. "
+            "(An all-ones-only zero matvec — e.g. probability-simplex "
+            "embeddings whose coordinate sums are constant — is handled "
+            "by the automatic basis-vector restart.)"
+        )
     trace = 0.0
     for i in range(d):
         trace += c[i][i]

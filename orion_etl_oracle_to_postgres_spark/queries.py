@@ -2165,7 +2165,9 @@ def _ivf_means_cte(tag: str, assign: str) -> str:
     "emb_ivf_train",
     """
     WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                  WHERE embedding IS NOT NULL),
+                  WHERE embedding IS NOT NULL
+                    AND list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x*x)) > 0),
     c0 AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 16),"""
     + _ivf_assign_cte("1", "c0") + ","
     + _ivf_means_cte("1", "a1") + ","
@@ -2185,11 +2187,22 @@ def emb_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained centroid. The oracle UNROLLS the full training in SQL
     (assign -> rounded means, twice, then a scoring pass), so the whole
     iterative algorithm is value-checked, not rows-only (VERDICT r7
-    ask #3); scalars also keep the output canonicalizable (ask #1)."""
+    ask #3); scalars also keep the output canonicalizable (ask #1).
+
+    NULL and zero-norm vectors are filtered BEFORE training/assignment
+    on BOTH engines (the oracle's vecs CTE carries the same predicate):
+    a zero-norm vector has no cosine to any centroid, and leaving it in
+    would let Spark's max_by(struct(sim, -cid)) and DuckDB's
+    row_number() rank NULL sims differently (ADVICE r8)."""
     e = _t(spark, sf_dir, "embeddings")
     from .functions import cosine
     from .operators.similarity import ivf_assign, ivf_train
 
+    __v = F.col("embedding").cast("array<double>")
+    e = e.where(
+        F.col("embedding").isNotNull()
+        & (F.aggregate(__v, F.lit(0.0), lambda a, x: a + x * x) > F.lit(0.0))
+    )
     cb = ivf_train(e, n_centroids=16, iters=2)
     assign = ivf_assign(e, centroids=cb)
     members = (

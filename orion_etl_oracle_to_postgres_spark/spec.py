@@ -819,6 +819,18 @@ class DecontaminateSpec(BaseModel):
     # must fail at plan-build, not OOM executors mid-join
     broadcast_limit: int = Field(default=20_000_000, ge=1)
 
+    @field_validator("method")
+    @classmethod
+    def _known_decon_method(cls, v: str) -> str:
+        # fail at spec-parse time like the other method enums — a typo
+        # must not survive until deep in compile_table (ADVICE r8)
+        if v not in ("ngram", "minhash", "semantic"):
+            raise ValueError(
+                f"decontaminate method must be ngram|minhash|semantic, "
+                f"got {v!r}"
+            )
+        return v
+
 
 class VectorTransformSpec(BaseModel):
     """[engine extension] Declarative EMBEDDING-COLUMN normalization of

@@ -1498,6 +1498,36 @@ def test_unimax_mixture_water_fill_exact(spark):
     assert "SinglePartition" not in plan or "Window" not in plan
 
 
+def test_unimax_mixture_exact_beyond_double_precision(spark):
+    """The water-fill's base-level division is TRUE integer division
+    (Spark `div`), exact past 2^53 where the old double round-trip
+    drifted (ADVICE r8). Three uncapped sources share a ~2^60 budget:
+    base = budget div 3 and the remainder deals to the lowest ranks —
+    checked against Python big-int arithmetic."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        unimax_mixture,
+    )
+
+    rows = [("a", 10**17), ("b", 10**17), ("c", 10**17)]
+    df = spark.createDataFrame(rows, "source string, tok long")
+    budget = 2**60 + 1  # odd, far beyond 2^53, not divisible by 3
+    out = {
+        r["source"]: r["alloc_tokens"]
+        for r in unimax_mixture(
+            df, "source", "tok", total_budget=budget, max_epochs=10
+        ).collect()
+    }
+    caps = 10**18  # each source caps at 10 epochs * 1e17
+    assert all(a <= caps for a in out.values())
+    base, rem = divmod(budget, 3)
+    expect = {
+        s: base + (1 if i < rem else 0)
+        for i, s in enumerate(sorted(out))  # rank order = hash-free k order
+    }
+    assert sum(out.values()) == budget
+    assert out == expect
+
+
 def test_unimax_sample_applies_per_group_allocation(spark):
     """unimax_sample keeps each group's hash-order prefix to its OWN
     water-filled budget: the small group is fully kept (capped at

@@ -995,8 +995,36 @@ def test_pca_power_degenerate_input_fails_loudly(spark):
         [(i, [1.0, 1.0, 1.0]) for i in range(4)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="zero covariance norm"):
+    with pytest.raises(ValueError, match="zero covariance matvec"):
         pca_power(df, "embedding")
+
+
+def test_pca_power_simplex_restart(spark):
+    """Probability-simplex vectors (constant coordinate sum) put the
+    all-ones start in the covariance null space — C·1 = 0 — even though
+    a real principal component exists. The deterministic basis-vector
+    restart must find it instead of raising (ADVICE r8)."""
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        pca_power,
+    )
+
+    # rows sum to 1.0; variance concentrates on the dim0-vs-dim1 axis
+    rows = [
+        (0, [0.9, 0.05, 0.05]),
+        (1, [0.1, 0.85, 0.05]),
+        (2, [0.8, 0.15, 0.05]),
+        (3, [0.2, 0.75, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in pca_power(df, "embedding").collect()}
+    assert len(out) == 3
+    lam = out[0]["eigenvalue"]
+    assert lam > 0
+    # PC1 is the dim0/dim1 opposition (dim2 constant): |l0| ~ |l1|, l2 ~ 0
+    l0, l1, l2 = (out[i]["loading"] for i in range(3))
+    assert abs(abs(l0) - abs(l1)) < 0.05
+    assert abs(l2) < 0.05
+    assert l0 * l1 < 0  # opposite signs: mass shifts between dim0 and dim1
 
 
 def test_pca_topk_recovers_two_axes(spark):

@@ -1958,6 +1958,16 @@ def test_decontaminate_declarative(spark, tmp_path):
     assert rej[0]["_matched_benchmark_docs"] == 1
     assert rej[0]["_shared_ngrams"] >= 1
 
+    # a method typo must die at SPEC-PARSE time, not deep inside
+    # compile_table after the benchmark probe has run (ADVICE r8)
+    with pytest.raises(ValueError, match="ngram|minhash|semantic"):
+        spec_mod.DecontaminateSpec(
+            method="mihash",
+            benchmark_table="bench",
+            id_column="id",
+            text_column="text",
+        )
+
     # unknown pipeline column refused loudly
     with pytest.raises(ValueError, match="decontaminate column"):
         compile_table(
@@ -2789,3 +2799,11 @@ def test_vector_transform_declarative(spark, tmp_path):
     plan_df = compile_table(ctx_x, tab("abtt")).df
     row = {r["id"]: r["emb"] for r in plan_df.collect()}
     assert row[0] == [10.0, 1.0, 0.0]  # raw passthrough under explain
+    # ...but a declared output_column must still EXIST in the reviewed
+    # plan (identity placeholder) so later stages referencing it — e.g.
+    # dedup.method: semantic on the transformed column — pass plan
+    # review of a valid spec (ADVICE r8)
+    plan_named = compile_table(ctx_x, tab("whiten", "white")).df
+    assert "white" in plan_named.columns
+    named_row = {r["id"]: r["white"] for r in plan_named.collect()}
+    assert named_row[0] == [10.0, 1.0, 0.0]  # schema-preserving identity
