@@ -47,82 +47,65 @@ _FIRST_50 = [
     "window_top_orders_per_cust",
     "dedup_minhash",
     "emb_topk_query",
-    # ---- round-8 window (rotation #5): 40 never-driver-green ----
-    # the r7 array-output fixes (VERDICT r7 ask #1) + ex-rows-only pair
-    # upgraded to full/bounded oracles (ask #3)
-    "emb_whiten",
-    "emb_label_centroids",
-    "emb_ivf_train",
-    "text_compression_ratio",
-    # r7-session additions (ask #2 priority list)
-    "agg_hist_quantile_state",
-    "curation_ccnet_buckets",
-    "curation_shard_plan",
-    "text_fim_transform",
-    "etl_fim_pairs",
-    "emb_label_noise",
-    "multimodal_audio_gate",
-    "etl_ccnet_gate",
-    "curation_gate_overlap",
-    "profile_corpus_card",
-    "reconcile_quantile_drift",
-    "curation_length_balance",
-    "curation_soft_weighted_sample",
-    "agg_event_paths",
-    "quantile_weighted_prices",
-    # window family, never sampled
-    "window_event_transitions",
-    "window_order_streaks",
-    "window_rolling_revenue",
-    "window_price_distribution",
-    "window_cohort_retention",
-    # text-analysis family, never sampled
-    "text_vocab_topk",
-    "text_tfidf_top_terms",
-    "text_word_entropy",
-    "text_zipf_slope",
-    "text_readability",
-    "text_pii_incidence",
-    # quantile family, never sampled
-    "quantile_exact_prices",
-    "quantile_normalize_prices",
-    "quantile_winsorize_prices",
-    "quantile_freq_bins",
-    "quantile_mad_outliers",
-    # SCD/CDC + DQ + plugin surfaces, never sampled
-    "scd1_customer_balances",
-    "scd3_customer_segments",
-    "cdc_snapshot_events",
-    "dq_expectations_customer",
-    "udtf_split_sentences",
+    # ---- round-9 window (rotation #6): 40 never-driver-green ----
+    # r8-session additions first (VERDICT r8 ask #1 priority list)
+    "etl_soft_dedup_shared",
+    "etl_decontaminate_minhash",
+    "etl_decontaminate_semantic",
+    "emb_decontaminate",
+    "curation_unimax_mixture",
+    "etl_unimax_sample",
+    "emb_pca_power",
+    "emb_pca_top2",
+    "emb_abtt_project",
+    "etl_whiten_vectors",
+    "profile_benford_prices",
+    "dq_benford_gate",
+    "etl_corpus_curate_v3",
+    # agg family, never sampled
+    "agg_distinct_users_daily",
+    "agg_approx_distinct_users_daily",
+    "agg_events_gapfill",
+    "agg_above_avg_orders",
+    "agg_price_qty_regression",
+    "agg_incremental_state",
+    "agg_profit_by_nation_year",
+    "agg_idle_rich_customers",
+    "agg_supplier_concentration",
+    "agg_pivot_status_revenue",
+    "agg_hll_incremental_users",
+    # reconcile + privacy + IR families, never sampled
+    "reconcile_snapshot_diff",
+    "reconcile_diff_summary",
+    "reconcile_distribution_drift",
+    "privacy_k_anonymity_stats",
+    "privacy_t_closeness",
+    "ir_retrieve_rerank",
+    "ir_ndcg_audit",
+    # dedup/ANN/packing/profile breadth, never sampled
+    "dedup_impact_report",
+    "dedup_incremental_minhash",
+    "emb_knn_join_lsh",
+    "emb_hard_negatives",
+    "pack_training_sequences",
+    "pack_bin_stats",
+    "corpus_curate",
+    "json_variant_events",
+    "profile_histogram_prices",
 ]
-# Round-9 rotation candidates (never driver-sampled as of r8, 57 left):
-# profile_histogram_prices, agg_supplier_concentration,
-# dedup_impact_report/incremental_minhash,
-# etl_extract_ops/curriculum/intradoc_rewrite/gopher_gate,
-# text_vocab_richness/vocab_topk_pruned/vocab_approx_topk/
-# unigram_logprob/ngram_novelty/distinctive_terms/contrastive_views/
-# url_normalize/unicode_normalize/chunk_windows/chunk_stats/
-# classifier_calibration, ir_ndcg_audit/retrieve_rerank, pack_
-# training_sequences/bin_stats, emb_knn_join_lsh(+_multi)/
-# quantize_error/centroid_drift/hard_negatives,
-# curation_stratified_sample/split_leakage/stable_ids/balance_groups/
-# sample_n/priority_sample/quality_cutoff/curriculum_order/
-# uncertainty_sample, reconcile_snapshot_diff/diff_summary/
-# distribution_drift, json_variant_events, affinity_part_pairs,
-# range_clicks_before_error, agg_distinct_users_daily(+approx)/
-# incremental_state/price_qty_regression/above_avg_orders/
-# profit_by_nation_year/idle_rich_customers/events_gapfill/
-# pivot_status_revenue/hll_incremental_users,
-# privacy_k_anonymity_stats/t_closeness, corpus_curate,
-# plus the r8-session additions (etl_soft_dedup_shared,
-# etl_decontaminate_minhash, etl_decontaminate_semantic,
-# curation_unimax_mixture, etl_unimax_sample, emb_pca_power,
-# emb_pca_top2, emb_abtt_project, emb_decontaminate,
-# profile_benford_prices, dq_benford_gate, etl_whiten_vectors,
-# etl_corpus_curate_v3)
-# — keep rotating ~40/round; cumulative driver-verified after r8 ≥
-# 209/279 (+ new registrations).
+# Round-10 rotation candidates (never driver-sampled as of r9, 30
+# left — size rotation #7 to FINISH them, per VERDICT r8 ask #3):
+# range_clicks_before_error, curation_quality_cutoff/
+# stratified_sample/split_leakage/stable_ids/balance_groups/sample_n/
+# priority_sample/curriculum_order/uncertainty_sample,
+# text_chunk_windows/chunk_stats/url_normalize/unicode_normalize/
+# vocab_topk_pruned/vocab_approx_topk/unigram_logprob/ngram_novelty/
+# distinctive_terms/vocab_richness/classifier_calibration/
+# contrastive_views, emb_quantize_error/knn_join_lsh_multi/
+# centroid_drift, etl_extract_ops/curriculum/intradoc_rewrite/
+# gopher_gate, affinity_part_pairs
+# (+ any r9-session additions) — cumulative driver-verified after r9
+# should reach >=249/279.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

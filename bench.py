@@ -155,6 +155,31 @@ BENCH_QUERIES = [
     "dq_benford_gate",  # benford chi2 as one wide-agg expectation row
     "etl_whiten_vectors",  # declarative whiten: stats literals, in-row rewrite
     "emb_pca_top2",  # one cov aggregate + 2x8 driver matvec rounds
+    # round-9 additions: the rotation-#6 families (VERDICT r8 ask #4 —
+    # every registered query is a promise; bench the window's families)
+    "etl_decontaminate_shared",  # decontaminate mounting persisted pairs
+    "etl_whiten_semantic_dedup",  # whiten -> semantic dedup, one plan
+    "agg_distinct_users_daily",  # exact per-day distinct, two-level agg
+    "agg_approx_distinct_users_daily",  # HLL sketch twin, one pass
+    "agg_events_gapfill",  # calendar sequence explode + left join
+    "agg_above_avg_orders",  # scalar-subquery broadcast threshold
+    "agg_price_qty_regression",  # one-pass OLS moments aggregate
+    "agg_profit_by_nation_year",  # Q9 shape: 5-way dim chain + year agg
+    "agg_idle_rich_customers",  # Q22 shape: anti join + avg threshold
+    "agg_supplier_concentration",  # per-nation HHI from share squares
+    "agg_pivot_status_revenue",  # PIVOT projection over one agg pass
+    "agg_hll_incremental_users",  # mergeable HLL fold across days
+    "reconcile_snapshot_diff",  # full-outer eqNullSafe row diff
+    "reconcile_diff_summary",  # diff rollup: one agg over the diff set
+    "reconcile_distribution_drift",  # per-column PSI, counts-only shuffle
+    "privacy_k_anonymity_stats",  # QI-group census + k-violation stats
+    "privacy_t_closeness",  # per-group EMD vs global, rank primitives
+    "ir_retrieve_rerank",  # BM25 candidates -> cosine rerank, group limit
+    "ir_ndcg_audit",  # ranked-join DCG folds, ids-only exchanges
+    "dedup_impact_report",  # pair/cluster census over the cached pairs
+    "pack_bin_stats",  # next-fit shard census over packed sequences
+    "json_variant_events",  # schema-on-read JSON path extraction
+    "profile_histogram_prices",  # fixed-width bin census, one agg
 ]
 
 

@@ -951,17 +951,20 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 dc.benchmark_vector_column or dc.vector_column,
             )
         else:
-            if not dc.text_column:
+            if not dc.text_column and not dc.pairs_table:
                 raise ValueError(
                     f"{spec.source_table}: decontaminate method="
                     f"{dc.method} requires text_column"
                 )
+            # with a persisted pair table the text is never read — only
+            # ids are needed to mount/filter/anti-join (mirror of the
+            # dedup pairs_table contract)
             payload, b_payload = (
                 dc.text_column,
                 dc.benchmark_text_column or dc.text_column,
             )
         for c in (dc.id_column, payload):
-            if c not in df.columns:
+            if c is not None and c not in df.columns:
                 raise ValueError(
                     f"{spec.source_table}: decontaminate column {c!r} "
                     f"not in pipeline output {df.columns}"
@@ -977,7 +980,7 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         )
         if dc.benchmark_where:
             bench = bench.filter(F.expr(dc.benchmark_where))
-        if b_payload not in bench.columns:
+        if b_payload is not None and b_payload not in bench.columns:
             raise ValueError(
                 f"{spec.source_table}: decontaminate benchmark column "
                 f"{b_payload!r} not in {dc.benchmark_table} {bench.columns}"
@@ -987,33 +990,93 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         else:
             b_id = "__bench_id"
             bench = bench.withColumn(b_id, F.monotonically_increasing_id())
-        train_side = df.select(
-            F.col(dc.id_column).alias("__did"),
-            F.col(payload).alias("__dtx"),
-        )
-        bench_side = bench.select(
-            F.col(b_id).alias("__did"), F.col(b_payload).alias("__dtx")
-        )
+        if payload is not None:
+            train_side = df.select(
+                F.col(dc.id_column).alias("__did"),
+                F.col(payload).alias("__dtx"),
+            )
+            bench_side = bench.select(
+                F.col(b_id).alias("__did"), F.col(b_payload).alias("__dtx")
+            )
         # flagged id set: one row per contaminated pipeline row. Lazily
         # checkpointed — BOTH consumers (anti-join keep, audit join) must
         # see the same membership even over a moving source
         if dc.method == "minhash":
-            # near-dup contamination: cross-corpus LSH band join, exact
-            # Jaccard verified — catches reworded benchmark copies
-            from .operators.dedup import minhash_join
+            if dc.pairs_table:
+                # mount the PERSISTED near-dup pair layout instead of
+                # re-shingling either corpus (the decontaminate twin of
+                # DedupSpec.pairs_table, VERDICT r8 ask #6): a
+                # dedup+decontaminate job pays ONE banded join. The
+                # layout is UNDIRECTED (minhash_near_dups emits
+                # id_i < id_j), so both orientations are considered
+                # before the endpoint semi-joins re-derive sidedness —
+                # id_i against the pipeline's ids, id_j against the
+                # (where-filtered) benchmark ids. Pairs below this
+                # consumer's threshold re-filter on mount, so one
+                # low-threshold pair table serves stricter gates.
+                mounted = None
+                errors: list[Exception] = []
+                for attempt in (ctx._read_target, ctx._read_source):
+                    try:
+                        mounted = attempt(dc.pairs_table)
+                        break
+                    except Exception as e:  # noqa: BLE001 — try other side
+                        errors.append(e)
+                if mounted is None:
+                    raise RuntimeError(
+                        f"{spec.source_table}: cannot resolve "
+                        f"decontaminate pairs_table {dc.pairs_table!r}: "
+                        f"{errors}"
+                    )
+                missing_cols = {"id_i", "id_j", "jaccard"} - set(
+                    mounted.columns
+                )
+                if missing_cols:
+                    raise ValueError(
+                        f"{spec.source_table}: decontaminate pairs_table "
+                        f"{dc.pairs_table!r} is missing columns "
+                        f"{sorted(missing_cols)} — persist the "
+                        "minhash_near_dups layout (id_i, id_j, jaccard); "
+                        "jaccard is required here (the _max_jaccard "
+                        "audit column and threshold re-filter need it)"
+                    )
+                und = mounted.select("id_i", "id_j", "jaccard").where(
+                    F.col("jaccard") >= F.lit(dc.threshold)
+                )
+                sym = und.unionByName(
+                    und.select(
+                        F.col("id_j").alias("id_i"),
+                        F.col("id_i").alias("id_j"),
+                        F.col("jaccard"),
+                    )
+                )
+                pairs = sym.join(
+                    df.select(F.col(dc.id_column).alias("id_i")),
+                    "id_i",
+                    "left_semi",
+                ).join(
+                    bench.select(F.col(b_id).alias("id_j")),
+                    "id_j",
+                    "left_semi",
+                )
+            else:
+                # near-dup contamination: cross-corpus LSH band join,
+                # exact Jaccard verified — catches reworded benchmark
+                # copies
+                from .operators.dedup import minhash_join
 
-            pairs = minhash_join(
-                train_side,
-                bench_side,
-                "__did",
-                "__dtx",
-                shingle_n=dc.shingle_n,
-                num_hashes=dc.num_hashes,
-                bands=dc.bands,
-                threshold=dc.threshold,
-                # explain-only compiles must not run checkpoint jobs
-                eager=not ctx.explain_only,
-            )
+                pairs = minhash_join(
+                    train_side,
+                    bench_side,
+                    "__did",
+                    "__dtx",
+                    shingle_n=dc.shingle_n,
+                    num_hashes=dc.num_hashes,
+                    bands=dc.bands,
+                    threshold=dc.threshold,
+                    # explain-only compiles must not run checkpoint jobs
+                    eager=not ctx.explain_only,
+                )
             flagged = pairs.groupBy(F.col("id_i").alias(dc.id_column)).agg(
                 F.count("*").cast("long").alias("_matched_benchmark_docs"),
                 F.round(F.max("jaccard"), 6).alias("_max_jaccard"),

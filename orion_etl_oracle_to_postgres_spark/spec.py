@@ -814,6 +814,23 @@ class DecontaminateSpec(BaseModel):
     vector_column: Optional[str] = None
     benchmark_vector_column: Optional[str] = None  # default: vector_column
     reject_table: Optional[str] = None
+    #: minhash only — mount a PERSISTED near-dup pair table
+    #: (``minhash_near_dups``' (id_i, id_j, jaccard) layout, treated as
+    #: UNDIRECTED) instead of re-running the banded join: a job that
+    #: both dedups AND decontaminates pays the corpus mining pass ONCE
+    #: (the decontaminate twin of ``DedupSpec.pairs_table``). Requires
+    #: ``benchmark_id_column`` — endpoint membership is re-derived by
+    #: semi-joining id_i against the pipeline ids and id_j against the
+    #: (where-filtered) benchmark ids, which needs STABLE benchmark ids
+    #: (the synthesized fallback id is per-run). Pairs below
+    #: ``threshold`` are re-filtered on mount, so one low-threshold
+    #: pair table serves consumers at any stricter threshold. Caveat:
+    #: the undirected corpus layout carries no self-pairs (id_i <
+    #: id_j), so if the pipeline's rows can themselves appear in the
+    #: benchmark slice (no disjoint ``where`` split), use inline
+    #: mining — a row is trivially contaminated by its own benchmark
+    #: copy and only the cross-corpus join sees that pair.
+    pairs_table: Optional[str] = None
     # loud-failure cap on the broadcast sides (benchmark gram postings
     # AND the flagged-id set): a user-declared oversized benchmark_table
     # must fail at plan-build, not OOM executors mid-join
@@ -830,6 +847,23 @@ class DecontaminateSpec(BaseModel):
                 f"got {v!r}"
             )
         return v
+
+    @model_validator(mode="after")
+    def _pairs_table_contract(self) -> "DecontaminateSpec":
+        if self.pairs_table is not None:
+            if self.method != "minhash":
+                raise ValueError(
+                    "decontaminate pairs_table only applies to method "
+                    f"minhash, not {self.method!r}"
+                )
+            if not self.benchmark_id_column:
+                raise ValueError(
+                    "decontaminate pairs_table requires "
+                    "benchmark_id_column: persisted pair endpoints can "
+                    "only be matched against STABLE benchmark ids (the "
+                    "synthesized fallback id changes every run)"
+                )
+        return self
 
 
 class VectorTransformSpec(BaseModel):

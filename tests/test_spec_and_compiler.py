@@ -2504,6 +2504,212 @@ def test_dedup_pairs_table_reuses_persisted_pairs(spark, tmp_path):
         )
 
 
+def test_decontaminate_pairs_table_reuses_persisted_pairs(spark, tmp_path):
+    """`decontaminate.pairs_table` (VERDICT r8 ask #6 — the
+    decontaminate twin of dedup's pair reuse): a persisted UNDIRECTED
+    (id_i, id_j, jaccard) layout replaces the cross-corpus banded join;
+    sidedness is re-derived from ids-only semi-joins, the result equals
+    inline mining, text is never read, thresholds re-filter on mount,
+    and the wrong-layout / wrong-method / unstable-bench-id cases die
+    loudly."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    src = tmp_path / "src"
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different training text about gardens"),
+            (3, "a third unrelated training document on sailing"),
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "id long, body string",
+    )
+    docs.coalesce(1).write.parquet(str(src / "docs"))
+    # ONE corpus-wide mining pass, persisted with jaccard — mined at a
+    # LOWER threshold than the consumer gate to prove the re-filter
+    minhash_near_dups(
+        docs, "id", "body", num_hashes=128, bands=32, threshold=0.5
+    ).coalesce(1).write.parquet(str(src / "dup_pairs"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(
+                base_path=str(tmp_path / "out")
+            ),
+        )
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+
+    def tab(**decon_kw):
+        return spec_mod.TableSpec(
+            source_table="docs",
+            target_table="train_clean",
+            where="id < 10",
+            mappings=[spec_mod.MappingSpec(source="id", target="id")]
+            + (
+                [spec_mod.MappingSpec(source="body", target="body")]
+                if decon_kw.get("text_column")
+                else []
+            ),
+            decontaminate=spec_mod.DecontaminateSpec(
+                method="minhash",
+                benchmark_table="docs",
+                benchmark_where="id >= 10",
+                id_column="id",
+                benchmark_id_column="id",
+                num_hashes=128,
+                bands=32,
+                threshold=0.6,
+                **decon_kw,
+            ),
+        )
+
+    # inline mining and pair reuse agree exactly: doc 1 is the bench
+    # near-dup and drops; text is NOT mapped on the reuse path
+    inline_ids = {
+        r.id for r in compile_table(ctx, tab(text_column="body")).df.collect()
+    }
+    reused = compile_table(ctx, tab(pairs_table="dup_pairs")).df
+    assert {r.id for r in reused.collect()} == inline_ids == {2, 3}
+    # the reuse plan scans the persisted pairs and never re-shingles —
+    # read through an explain-only compile, where the flagged set's
+    # lazy checkpoint (which prints as an opaque ExistingRDD) is
+    # skipped and the file scans stay visible
+    ctx_x = JobContext(spark=spark, global_spec=g, explain_only=True)
+    plan = (
+        compile_table(ctx_x, tab(pairs_table="dup_pairs"))
+        .df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the threshold re-filter is PUSHED into the pairs parquet scan
+    # (only the pairs table has a jaccard column, so this pins both
+    # "the persisted layout is scanned" and "the filter reached it";
+    # the path itself can fall past Spark's Location string truncation)
+    assert "GreaterThanOrEqual(jaccard,0.6)" in plan
+    assert "posexplode" not in plan
+    # threshold re-filter on mount: a gate stricter than the pair
+    # within-corpus jaccard keeps doc 1 (pairs mined at 0.5; 1↔10
+    # jaccard ≈ 0.8 < 0.95)
+    strict = compile_table(
+        ctx,
+        tab(pairs_table="dup_pairs").model_copy(
+            update={
+                "target_table": "strict",
+                "decontaminate": tab(
+                    pairs_table="dup_pairs"
+                ).decontaminate.model_copy(update={"threshold": 0.95}),
+            }
+        ),
+    ).df
+    assert {r.id for r in strict.collect()} == {1, 2, 3}
+    # loud failures: spec-level method/benchmark-id contract...
+    with pytest.raises(ValueError, match="only applies to method"):
+        spec_mod.DecontaminateSpec(
+            method="ngram",
+            benchmark_table="docs",
+            id_column="id",
+            benchmark_id_column="id",
+            pairs_table="dup_pairs",
+        )
+    with pytest.raises(ValueError, match="benchmark_id_column"):
+        spec_mod.DecontaminateSpec(
+            method="minhash",
+            benchmark_table="docs",
+            id_column="id",
+            pairs_table="dup_pairs",
+        )
+    # ...and compile-level layout validation (jaccard is REQUIRED here)
+    spark.createDataFrame([(1, 10)], "id_i long, id_j long").write.parquet(
+        str(src / "bad_pairs")
+    )
+    with pytest.raises(ValueError, match="missing columns"):
+        compile_table(
+            ctx,
+            tab(pairs_table="bad_pairs").model_copy(
+                update={"target_table": "bad"}
+            ),
+        )
+
+
+def test_vector_transform_feeds_semantic_dedup(spark, tmp_path):
+    """vector_transform runs BEFORE declarative dedup (the documented
+    stage order): with an anisotropic corpus — dim0 variance 100²,
+    dim1 variance 1 — raw cosine sees near-parallel vectors along the
+    dominant axis and over-merges, while the whitened space makes the
+    same vectors orthogonal. One job spec composing whiten + semantic
+    dedup must keep ALL rows; the same dedup without the transform
+    must merge the raw-space near-dups (VERDICT r8 ask #6)."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [
+            (0, [100.0, 1.0]),
+            (1, [100.0, -1.0]),  # raw cosine vs id 0 ≈ 0.9998
+            (2, [-100.0, 1.0]),
+            (3, [-100.0, -1.0]),
+        ],
+        "id long, emb array<double>",
+    ).write.parquet(str(src / "vecs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(
+                base_path=str(tmp_path / "out")
+            ),
+        )
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+
+    def tab(with_whiten, target):
+        return spec_mod.TableSpec(
+            source_table="vecs",
+            target_table=target,
+            mappings=[
+                spec_mod.MappingSpec(source="id", target="id"),
+                spec_mod.MappingSpec(source="emb", target="emb"),
+            ],
+            vector_transform=(
+                spec_mod.VectorTransformSpec(
+                    method="whiten", vector_column="emb"
+                )
+                if with_whiten
+                else None
+            ),
+            dedup=spec_mod.DedupSpec(
+                method="semantic",
+                vector_column="emb",
+                id_column="id",
+                threshold=0.9,
+                n_planes=2,
+                seed=42,
+            ),
+        )
+
+    # whitened space: [±1, ±1] corners — pairwise cosine 0 or -1, no
+    # merges, every row survives
+    white = {r.id for r in compile_table(ctx, tab(True, "w")).df.collect()}
+    assert white == {0, 1, 2, 3}
+    # raw space: 0↔1 and 2↔3 are near-parallel along the dominant axis
+    # (cos ≈ 0.9998 ≥ 0.9) — the min-id survivors remain
+    raw = {r.id for r in compile_table(ctx, tab(False, "r")).df.collect()}
+    assert raw == {0, 2}
+
+
 def test_augment_fim_declarative(spark, tmp_path):
     """augment: {method: fim} attaches PSM pairs in-row: applied rows
     reassemble to the original text from the sentinel pieces, plain
