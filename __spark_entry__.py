@@ -104,8 +104,11 @@ _FIRST_50 = [
 # contrastive_views, emb_quantize_error/knn_join_lsh_multi/
 # centroid_drift, etl_extract_ops/curriculum/intradoc_rewrite/
 # gopher_gate, affinity_part_pairs
-# (+ any r9-session additions) — cumulative driver-verified after r9
-# should reach >=249/279.
+# + the r9-session additions: etl_decontaminate_shared (persisted-pair
+# decontaminate mount), etl_whiten_semantic_dedup (vector_transform →
+# semantic dedup composition), etl_corpus_curate_v4 (ONE pair table
+# for BOTH near-dup legs) — cumulative driver-verified after r9
+# should reach >=249/282; rotation #7 can finish the backlog.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

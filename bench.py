@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "pack_bin_stats",  # next-fit shard census over packed sequences
     "json_variant_events",  # schema-on-read JSON path extraction
     "profile_histogram_prices",  # fixed-width bin census, one agg
+    "etl_corpus_curate_v4",  # v3 with BOTH near-dup legs mounting pairs
 ]
 
 
