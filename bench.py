@@ -181,6 +181,136 @@ BENCH_QUERIES = [
     "json_variant_events",  # schema-on-read JSON path extraction
     "profile_histogram_prices",  # fixed-width bin census, one agg
     "etl_corpus_curate_v4",  # v3 with BOTH near-dup legs mounting pairs
+    # round-9 full-registry sweep: every registered query is a promise —
+    # a perf regression in an unbenched one is invisible (VERDICT r8 ask #4).
+    "etl_transform_ops",
+    "etl_dates_bools",
+    "etl_validation_policies",
+    "etl_lookup_default",
+    "etl_lookup_skip",
+    "etl_validation_lookup_semi",
+    "etl_self_lookup",
+    "etl_auto_mapping",
+    "etl_auto_mapping_target",
+    "agg_pivot_status_by_segment",
+    "agg_exact_percentiles",
+    "setop_customers_without_orders",
+    "distinct_mktsegments",
+    "dedup_exact_keys",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "text_langid",
+    "binary_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_audio",
+    "incremental_highwater",
+    "emb_topk_lsh",
+    "curation_split",
+    "curation_weighted_sample",
+    "range_clicks_before_error",
+    "curation_quality_cutoff",
+    "text_vocab_topk",
+    "agg_cube_status_priority",
+    "window_order_gaps",
+    "setop_segments_in_both",
+    "emb_label_centroids",
+    "text_chunk_stats",
+    "agg_grouping_sets_orders",
+    "setop_priority_except_all",
+    "curation_stratified_sample",
+    "curation_split_leakage",
+    "window_funnel_conversion",
+    "unpivot_part_metrics",
+    "window_price_distribution",
+    "profile_customer_table",
+    "window_cohort_retention",
+    "scd1_customer_balances",
+    "scd3_customer_segments",
+    "curation_stable_ids",
+    "curation_balance_groups",
+    "quantile_normalize_prices",
+    "text_url_normalize",
+    "sql_recursive_hierarchy",
+    "dq_expectations_customer",
+    "emb_quantize_error",
+    "udtf_split_sentences",
+    "skew_salted_cohort_join",
+    "quantile_freq_bins",
+    "cdc_snapshot_events",
+    "etl_scd2_segment",
+    "window_rolling_revenue",
+    "emb_knn_join",
+    "etl_validation_quarantine_clean",
+    "etl_validation_quarantine_rows",
+    "etl_anonymize_ops",
+    "text_vocab_approx_topk",
+    "etl_curation_mix_split",
+    "curation_sample_n",
+    "quantile_mad_outliers",
+    "dedup_containment",
+    "text_ngram_novelty",
+    "emb_semantic_dedup",
+    "window_order_streaks",
+    "curation_priority_sample",
+    "text_unicode_normalize",
+    "ir_rrf_fusion",
+    "privacy_k_anonymity",
+    "emb_lsh_recall_audit",
+    "text_zipf_slope",
+    "text_compression_ratio",
+    "emb_pq_codes",
+    "agg_custorder_distribution",
+    "agg_small_qty_revenue",
+    "text_quality_classifier",
+    "text_quality_classifier_trained",
+    "chunk_length_batches",
+    "text_bpe_pair_counts",
+    "curation_temperature_mix",
+    "reconcile_table_checksum",
+    "dq_referential_integrity",
+    "profile_join_skew",
+    "agg_late_order_priority",
+    "agg_returned_revenue_top20",
+    "etl_epoch_mix",
+    "curation_kfold",
+    "agg_nation_trade_volume",
+    "agg_promo_revenue_ratio",
+    "agg_top_supplier_revenue",
+    "agg_brand_type_revenue",
+    "agg_waiting_suppliers",
+    "agg_discount_revenue",
+    "agg_nation_market_share",
+    "etl_quality_top_fraction",
+    "text_langid_confusion",
+    "window_funnel_latency",
+    "er_blocking_report",
+    "window_seasonal_backtest",
+    "privacy_l_diversity",
+    "events_ab_cuped",
+    "events_bootstrap_ci",
+    "profile_layout_advisor",
+    "profile_correlations",
+    "reconcile_mannwhitney",
+    "profile_chi_square",
+    "profile_benford_audit",
+    "agg_revenue_gini",
+    "etl_extract_ops",
+    "text_vocab_richness",
+    "agg_session_stats",
+    "text_classifier_calibration",
+    "reconcile_js_drift",
+    "etl_curriculum",
+    "curation_uncertainty_sample",
+    "text_readability",
+    "emb_matryoshka_audit",
+    "etl_intradoc_rewrite",
+    "text_pii_incidence",
+    "etl_gopher_gate",
+    "text_tokenizer_fertility",
+    "dedup_contamination_report",
+    "text_contrastive_views",
 ]
 
 

@@ -1050,13 +1050,19 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                         F.col("jaccard"),
                     )
                 )
+                # benchmark side FIRST: eval suites are small, so the
+                # id_j semi-join (broadcastable) collapses the
+                # corpus-wide pair set to benchmark-adjacent edges
+                # before the expensive id_i semi-join against the
+                # full pipeline id set — at 100 TB the second join
+                # then carries only flagged-candidate edges
                 pairs = sym.join(
-                    df.select(F.col(dc.id_column).alias("id_i")),
-                    "id_i",
-                    "left_semi",
-                ).join(
                     bench.select(F.col(b_id).alias("id_j")),
                     "id_j",
+                    "left_semi",
+                ).join(
+                    df.select(F.col(dc.id_column).alias("id_i")),
+                    "id_i",
                     "left_semi",
                 )
             else:

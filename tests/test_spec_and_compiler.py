@@ -2612,6 +2612,21 @@ def test_decontaminate_pairs_table_reuses_persisted_pairs(spark, tmp_path):
         ),
     ).df
     assert {r.id for r in strict.collect()} == {1, 2, 3}
+    # the reject audit survives the reuse path: flagged rows carry the
+    # match count and max jaccard mined from the persisted table
+    rej_spec = tab(pairs_table="dup_pairs").model_copy(
+        update={
+            "target_table": "audited",
+            "decontaminate": tab(
+                pairs_table="dup_pairs"
+            ).decontaminate.model_copy(update={"reject_table": "rejects"}),
+        }
+    )
+    compiled_rej = compile_table(ctx, rej_spec)
+    rejects = {r.id: r for r in compiled_rej.decontam_rejects.collect()}
+    assert set(rejects) == {1}
+    assert rejects[1]._matched_benchmark_docs == 1
+    assert rejects[1]._max_jaccard >= 0.6
     # loud failures: spec-level method/benchmark-id contract...
     with pytest.raises(ValueError, match="only applies to method"):
         spec_mod.DecontaminateSpec(
