@@ -195,6 +195,40 @@ def _lazy_checkpoint(ctx: "JobContext", df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _mount_pairs_table(
+    ctx: "JobContext",
+    name: str,
+    *,
+    owner: str,
+    kind: str,
+    required: set[str],
+    layout_msg: str,
+) -> DataFrame:
+    """Resolve a persisted near-dup pair table for a declarative
+    reuse consumer (``dedup.pairs_table`` / ``decontaminate.
+    pairs_table``) — ONE copy of the try-target-then-source resolution
+    ladder and layout validation, so the two consumers can't drift."""
+    mounted = None
+    errors: list[Exception] = []
+    for attempt in (ctx._read_target, ctx._read_source):
+        try:
+            mounted = attempt(name)
+            break
+        except Exception as e:  # noqa: BLE001 — try the other side
+            errors.append(e)
+    if mounted is None:
+        raise RuntimeError(
+            f"{owner}: cannot resolve {kind} pairs_table {name!r}: {errors}"
+        )
+    missing_cols = required - set(mounted.columns)
+    if missing_cols:
+        raise ValueError(
+            f"{owner}: {kind} pairs_table {name!r} is missing columns "
+            f"{sorted(missing_cols)} — {layout_msg}"
+        )
+    return mounted
+
+
 def _is_missing_table_error(e: Exception) -> bool:
     """Classify a JDBC probe failure as 'the table does not exist'.
 
@@ -319,27 +353,17 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
         # consumers pay one parquet scan instead of re-shingling the
         # corpus (VERDICT r7 ask #5).
         if d.pairs_table:
-            pairs = None
-            errors: list[Exception] = []
-            for attempt in (ctx._read_target, ctx._read_source):
-                try:
-                    pairs = attempt(d.pairs_table)
-                    break
-                except Exception as e:  # noqa: BLE001 — try the other side
-                    errors.append(e)
-            if pairs is None:
-                raise RuntimeError(
-                    f"{spec.source_table}: cannot resolve dedup "
-                    f"pairs_table {d.pairs_table!r}: {errors}"
-                )
-            missing_cols = {"id_i", "id_j"} - set(pairs.columns)
-            if missing_cols:
-                raise ValueError(
-                    f"{spec.source_table}: dedup pairs_table "
-                    f"{d.pairs_table!r} is missing columns "
-                    f"{sorted(missing_cols)} — persist the "
-                    "minhash_near_dups layout (id_i, id_j[, jaccard])"
-                )
+            pairs = _mount_pairs_table(
+                ctx,
+                d.pairs_table,
+                owner=spec.source_table,
+                kind="dedup",
+                required={"id_i", "id_j"},
+                layout_msg=(
+                    "persist the minhash_near_dups layout "
+                    "(id_i, id_j[, jaccard])"
+                ),
+            )
             # restrict to edges whose BOTH endpoints are in THIS
             # pipeline's output (a persisted table usually covers the
             # whole corpus; the consumer may be filtered): otherwise a
@@ -950,15 +974,20 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 dc.vector_column,
                 dc.benchmark_vector_column or dc.vector_column,
             )
+        elif dc.pairs_table:
+            # with a persisted pair table the text is never read — only
+            # ids are needed to mount/filter/anti-join (mirror of the
+            # dedup pairs_table contract), so a text_column left over
+            # from an inline-mining spec is IGNORED rather than
+            # validated against pipelines/benchmarks that may carry no
+            # text at all (e.g. an ids-only eval manifest)
+            payload, b_payload = None, None
         else:
-            if not dc.text_column and not dc.pairs_table:
+            if not dc.text_column:
                 raise ValueError(
                     f"{spec.source_table}: decontaminate method="
                     f"{dc.method} requires text_column"
                 )
-            # with a persisted pair table the text is never read — only
-            # ids are needed to mount/filter/anti-join (mirror of the
-            # dedup pairs_table contract)
             payload, b_payload = (
                 dc.text_column,
                 dc.benchmark_text_column or dc.text_column,
@@ -1014,32 +1043,19 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 # (where-filtered) benchmark ids. Pairs below this
                 # consumer's threshold re-filter on mount, so one
                 # low-threshold pair table serves stricter gates.
-                mounted = None
-                errors: list[Exception] = []
-                for attempt in (ctx._read_target, ctx._read_source):
-                    try:
-                        mounted = attempt(dc.pairs_table)
-                        break
-                    except Exception as e:  # noqa: BLE001 — try other side
-                        errors.append(e)
-                if mounted is None:
-                    raise RuntimeError(
-                        f"{spec.source_table}: cannot resolve "
-                        f"decontaminate pairs_table {dc.pairs_table!r}: "
-                        f"{errors}"
-                    )
-                missing_cols = {"id_i", "id_j", "jaccard"} - set(
-                    mounted.columns
+                mounted = _mount_pairs_table(
+                    ctx,
+                    dc.pairs_table,
+                    owner=spec.source_table,
+                    kind="decontaminate",
+                    required={"id_i", "id_j", "jaccard"},
+                    layout_msg=(
+                        "persist the minhash_near_dups layout "
+                        "(id_i, id_j, jaccard); jaccard is required "
+                        "here (the _max_jaccard audit column and "
+                        "threshold re-filter need it)"
+                    ),
                 )
-                if missing_cols:
-                    raise ValueError(
-                        f"{spec.source_table}: decontaminate pairs_table "
-                        f"{dc.pairs_table!r} is missing columns "
-                        f"{sorted(missing_cols)} — persist the "
-                        "minhash_near_dups layout (id_i, id_j, jaccard); "
-                        "jaccard is required here (the _max_jaccard "
-                        "audit column and threshold re-filter need it)"
-                    )
                 und = mounted.select("id_i", "id_j", "jaccard").where(
                     F.col("jaccard") >= F.lit(dc.threshold)
                 )

@@ -1857,6 +1857,60 @@ def covariance_matrix(
     )
 
 
+def _power_iterate(
+    c: list[list[float]],
+    d: int,
+    iters: int,
+    *,
+    restart: bool,
+    context: str,
+) -> tuple[list[float], float]:
+    """Driver-side power iteration over the rounded covariance matrix
+    (shared by ``pca_power`` and every ``pca_topk`` component — ONE
+    copy of the matvec loop, so fixes can't land in only one). Starts
+    from all-ones (the unrolled-oracle convention). With ``restart``,
+    a zero FIRST matvec — the all-ones start sitting in C's null space
+    even though real principal directions exist, e.g. probability-
+    simplex embeddings where every coordinate sum is constant so
+    C·1 = 0 (ADVICE r8) — retries ONCE from the basis vector of the
+    highest-variance dimension (first index on ties, matching the
+    oracle's list_position tie-break; its matvec is column argmax-diag
+    of C, nonzero whenever the data is non-constant). C symmetric PSD
+    ⇒ a zero matvec is only reachable on the first step, so the
+    restart is a start-vector CASE the SQL oracle mirrors in its t0
+    CTE. ``restart`` must be False for DEFLATED components: there a
+    zero matvec means the rank is exhausted, and restarting onto
+    rounding residue would fabricate a component instead of failing
+    loudly. Raises ``ValueError(context)`` when every start dies."""
+    starts = [[1.0] * d]
+    if restart:
+        diag_max = max(range(d), key=lambda i: c[i][i])
+        if c[diag_max][diag_max] > 0.0:
+            e = [0.0] * d
+            e[diag_max] = 1.0
+            starts.append(e)
+    for v in starts:
+        failed = False
+        for _ in range(max(1, iters)):
+            w = []
+            for i in range(d):
+                s = 0.0
+                for j in range(d):  # sequential fold == list_sum order
+                    s += c[i][j] * v[j]
+                w.append(s)
+            n2 = 0.0
+            for x in w:
+                n2 += x * x
+            lam = n2**0.5
+            if lam == 0.0:
+                failed = True
+                break
+            v = [x / lam for x in w]
+        if not failed:
+            return v, lam
+    raise ValueError(context)
+
+
 def pca_power(
     df: DataFrame,
     vec_col: str,
@@ -1900,59 +1954,17 @@ def pca_power(
         return spark.createDataFrame([], schema)
     d = int(round(len(cov) ** 0.5))
     c = [[cov[i * d + j] for j in range(d)] for i in range(d)]
-    # The all-ones start is the unrolled-oracle convention, but it can
-    # sit in C's null space even when real principal components exist
-    # (e.g. probability-simplex embeddings, where every vector has a
-    # constant coordinate sum so C·1 = 0). Because C is symmetric PSD,
-    # a zero matvec is only possible on the FIRST step; restart ONCE
-    # from the deterministic basis vector of the highest-variance
-    # dimension (its matvec is column argmax-diag of C, whose diagonal
-    # entry is > 0 whenever the data is non-constant), so the fallback
-    # is equally oracle-unrollable. A zero matvec from THAT start means
-    # the column really is constant.
-    starts = [[1.0] * d]
-    diag_max = max(range(d), key=lambda i: c[i][i])
-    if c[diag_max][diag_max] > 0.0:
-        e = [0.0] * d
-        e[diag_max] = 1.0
-        starts.append(e)
-    lam = 0.0
-    for v in starts:
-        restart = False
-        for _ in range(max(1, iters)):
-            w = []
-            for i in range(d):
-                s = 0.0
-                for j in range(d):  # sequential fold == list_sum order
-                    s += c[i][j] * v[j]
-                w.append(s)
-            n2 = 0.0
-            for x in w:
-                n2 += x * x
-            lam = n2**0.5
-            if lam == 0.0:
-                # C symmetric PSD ⇒ only reachable on the first matvec
-                # (later iterates lie in range(C) ⊥ null(C)): this
-                # start vector sits in the null space — try the next
-                # deterministic start before giving up
-                restart = True
-                break
-            v = [x / lam for x in w]
-        if not restart:
-            break
-    else:
-        # every deterministic start had a zero matvec: the covariance
-        # matrix is zero (constant vector column) — there is no
-        # principal direction, and the SQL replay would divide by
-        # zero — fail LOUDLY instead of silently diverging
-        raise ValueError(
+    v, lam = _power_iterate(
+        c,
+        d,
+        iters,
+        restart=True,
+        context=(
             "pca_power: zero covariance matvec from every deterministic "
             "start (all-ones AND the max-variance basis vector) — the "
-            "vector column is constant; no principal component exists. "
-            "(An all-ones-only zero matvec — e.g. probability-simplex "
-            "embeddings whose coordinate sums are constant — is handled "
-            "by the automatic basis-vector restart.)"
-        )
+            "vector column is constant; no principal component exists"
+        ),
+    )
     trace = 0.0
     for i in range(d):
         trace += c[i][i]
@@ -2175,25 +2187,19 @@ def pca_topk(
         trace += c[i][i]
     rows = []
     for comp in range(1, k + 1):
-        v = [1.0] * d
-        lam = 0.0
-        for _ in range(max(1, iters)):
-            w = []
-            for i in range(d):
-                s = 0.0
-                for j in range(d):  # sequential fold == list_sum order
-                    s += c[i][j] * v[j]
-                w.append(s)
-            n2 = 0.0
-            for x in w:
-                n2 += x * x
-            lam = n2**0.5
-            if lam == 0.0:
-                raise ValueError(
-                    f"pca_topk: zero covariance norm at component {comp} "
-                    "— fewer than k independent directions exist"
-                )
-            v = [x / lam for x in w]
+        # restart only for component 1 (shared contract with
+        # pca_power); on a deflated matrix a zero matvec means the
+        # rank is exhausted — see _power_iterate
+        v, lam = _power_iterate(
+            c,
+            d,
+            iters,
+            restart=(comp == 1),
+            context=(
+                f"pca_topk: zero covariance norm at component {comp} "
+                "— fewer than k independent directions exist"
+            ),
+        )
         lam_r = round(lam, decimals)
         v_r = [round(x, decimals) for x in v]
         share = round(lam_r / trace, decimals) if trace > 0 else None

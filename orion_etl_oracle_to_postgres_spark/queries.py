@@ -2166,6 +2166,13 @@ def _ivf_means_cte(tag: str, assign: str) -> str:
     """
     WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                   WHERE embedding IS NOT NULL
+                    -- a NULL COORDINATE also excludes the row: Spark's
+                    -- F.aggregate fold propagates the NULL into the norm
+                    -- (row filtered), while DuckDB's list_sum would skip
+                    -- the element — spell the exclusion out so both
+                    -- engines score the same row set by construction
+                    AND len(list_filter(embedding::DOUBLE[],
+                                        x -> x IS NULL)) = 0
                     AND list_sum(list_transform(embedding::DOUBLE[],
                                                 x -> x*x)) > 0),
     c0 AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 16),"""
@@ -10653,7 +10660,27 @@ _PCA_T8_CTES = (
       GROUP BY 1, 2
     ),
     cm AS (SELECT list(c ORDER BY i*64 + j) AS cl FROM cov),
-    t0 AS (SELECT cl, list_transform(range(64), x -> 1.0) AS vv FROM cm),"""
+    t0 AS (
+      -- start-vector CASE mirroring _power_iterate's restart: when the
+      -- all-ones start sits in C's null space (C·1 = 0 exactly, e.g.
+      -- constant-coordinate-sum embeddings) the chain starts from the
+      -- basis vector of the max-variance dim (first index on ties,
+      -- list_position = Python argmax) instead of dividing by zero
+      SELECT cl,
+             CASE WHEN list_sum(list_transform(w1, x -> x*x)) = 0
+                  THEN list_transform(range(64), x ->
+                         (CASE WHEN x = list_position(dg, list_max(dg)) - 1
+                               THEN 1.0 ELSE 0.0 END)::DOUBLE)
+                  ELSE list_transform(range(64), x -> 1.0) END AS vv
+      FROM (
+        SELECT cl,
+               list_transform(range(64), i ->
+                 list_sum(list_transform(range(64), j ->
+                   cl[i*64 + j + 1]))) AS w1,
+               list_transform(range(64), i -> cl[i*64 + i + 1]) AS dg
+        FROM cm
+      )
+    ),"""
     + ",".join(_pca_iter_cte(k) for k in range(1, 9))
 )
 

@@ -2612,6 +2612,27 @@ def test_decontaminate_pairs_table_reuses_persisted_pairs(spark, tmp_path):
         ),
     ).df
     assert {r.id for r in strict.collect()} == {1, 2, 3}
+    # a text_column left over from an inline-mining spec is IGNORED on
+    # the mount path (text is never read there) — even when neither the
+    # pipeline nor the benchmark carries that column
+    leftover = spec_mod.TableSpec(
+        source_table="docs",
+        target_table="leftover",
+        where="id < 10",
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+        decontaminate=spec_mod.DecontaminateSpec(
+            method="minhash",
+            benchmark_table="docs",
+            benchmark_where="id >= 10",
+            id_column="id",
+            benchmark_id_column="id",
+            text_column="body",  # not mapped into the pipeline
+            threshold=0.6,
+            pairs_table="dup_pairs",
+        ),
+    )
+    assert {r.id for r in compile_table(ctx, leftover).df.collect()} == {2, 3}
+
     # the reject audit survives the reuse path: flagged rows carry the
     # match count and max jaccard mined from the persisted table
     rej_spec = tab(pairs_table="dup_pairs").model_copy(
