@@ -107,8 +107,9 @@ _FIRST_50 = [
 # + the r9-session additions: etl_decontaminate_shared (persisted-pair
 # decontaminate mount), etl_whiten_semantic_dedup (vector_transform →
 # semantic dedup composition), etl_corpus_curate_v4 (ONE pair table
-# for BOTH near-dup legs) — cumulative driver-verified after r9
-# should reach >=249/282; rotation #7 can finish the backlog.
+# for BOTH near-dup legs), curation_mixture_reweight (DoReMi-style
+# linearized-MW domain weights) — cumulative driver-verified after r9
+# should reach >=249/283; rotation #7 can finish the backlog.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "json_variant_events",  # schema-on-read JSON path extraction
     "profile_histogram_prices",  # fixed-width bin census, one agg
     "etl_corpus_curate_v4",  # v3 with BOTH near-dup legs mounting pairs
+    "curation_mixture_reweight",  # DoReMi-style MW: one agg + driver rounds
     # round-9 full-registry sweep: every registered query is a promise —
     # a perf regression in an unbenched one is invisible (VERDICT r8 ask #4).
     "etl_transform_ops",

@@ -1504,3 +1504,104 @@ def unimax_sample(
         )
         .drop("__ord", "__before", "__grp", "__alloc")
     )
+
+
+def mixture_reweight(
+    df: DataFrame,
+    group_col: str,
+    loss_col: str,
+    *,
+    eta: float = 0.5,
+    rounds: int = 8,
+    smoothing: float = 0.01,
+    decimals: int = 6,
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): given per-example EXCESS LOSSES (proxy-model loss
+    minus reference-model loss, clamped at 0 — any numeric quality
+    deficit works), up-weight the domains where the model is furthest
+    behind via exponentiated-gradient iterations, with uniform
+    smoothing so no domain starves. Returns one row per domain:
+    ``(group, n_examples, avg_excess_loss, weight)`` with weights
+    summing to 1 (up to the output rounding).
+
+    ENGINE-PORTABILITY NOTE: the update uses the LINEARIZED
+    multiplicative-weights rule ``u_i = w_i * (1 + eta * L_i)`` (the
+    classic Hedge linearization, Arora–Hazan–Kale §2.1) instead of
+    ``exp(eta * L_i)`` — same no-regret family, but built entirely
+    from IEEE mul/add/div, so the driver arithmetic and the DuckDB
+    oracle's unrolled replay agree BIT-EXACTLY (libm ``exp`` carries
+    no cross-engine rounding guarantee; ``sqrt`` in pca_power is
+    IEEE-exact, ``exp`` is not). Per round: u = w·(1+eta·L),
+    Z = sequential sum (list_sum fold order), then
+    ``w = (1-smoothing)·u/Z + smoothing/k``.
+
+    NULL losses are ignored by the average (an all-NULL domain
+    contributes avg 0 — it keeps drifting only through
+    normalization); domain averages are rounded to ``decimals``
+    BEFORE iterating (round-before-iterate, the Lloyd/PCA contract),
+    domains ordered (group ASC, NULLS LAST) so both engines fold the
+    same list.
+
+    100 TB shape: the corpus pays ONE map-side-combined aggregate
+    collapsing to a domains-row table; the iteration is driver
+    arithmetic on k doubles (k = domain count), the codebook/literals
+    pattern — nothing iterative touches the cluster. The resulting
+    weights are the mixture recipe for a sampler (e.g. feed into
+    temperature/unimax/epoch planners or a weighted draw).
+
+    The group column is emitted as ``string`` (the mixture-recipe
+    layout every planner here consumes); a non-string group fails
+    loudly at the output frame — cast upstream if needed."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if eta < 0:
+        raise ValueError(f"eta must be >= 0, got {eta}")
+    if not (0.0 <= smoothing < 1.0):
+        raise ValueError(f"smoothing must be in [0, 1), got {smoothing}")
+    stats = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            # NULL losses stay NULL through the clamp (Spark's greatest
+            # SKIPS nulls, which would silently score an unmeasured row
+            # as loss 0) so avg ignores them — both engines spell this
+            # CASE out identically
+            F.round(
+                F.coalesce(
+                    F.avg(
+                        F.when(
+                            F.col(loss_col).isNotNull(),
+                            F.greatest(F.col(loss_col), F.lit(0.0)),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                decimals,
+            ).alias("__l"),
+        )
+        .collect()  # bounded driver probe: one row per DOMAIN
+    )
+    spark = df.sparkSession
+    schema = (
+        f"{group_col} string, n_examples long, "
+        "avg_excess_loss double, weight double"
+    )
+    if not stats:
+        return spark.createDataFrame([], schema)
+    doms = sorted(stats, key=lambda r: (r["__g"] is None, r["__g"]))
+    k = len(doms)
+    losses = [float(r["__l"]) for r in doms]
+    w = [1.0 / k] * k
+    for _ in range(rounds):
+        u = [w[i] * (1.0 + eta * losses[i]) for i in range(k)]
+        z = 0.0
+        for x in u:  # sequential fold == list_sum order
+            z += x
+        w = [(1.0 - smoothing) * (x / z) + smoothing / k for x in u]
+    rows = [
+        (doms[i]["__g"], int(doms[i]["__n"]), losses[i], round(w[i], decimals))
+        for i in range(k)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -5727,6 +5727,97 @@ def curation_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mw_round_cte(t: int, eta: float, smoothing: float) -> str:
+    """One unrolled linearized-multiplicative-weights round
+    (curation.mixture_reweight): u = w·(1+eta·L), Z = list_sum
+    (sequential fold, matching the driver loop), then
+    w = (1-smoothing)·u/Z + smoothing/k. Pure IEEE mul/add/div — no
+    exp — so the replay is bit-exact against the Python iteration."""
+    return f"""
+    r{t} AS (
+      SELECT gs, ns, ls, k,
+             list_transform(u, x ->
+               (1.0::DOUBLE - {smoothing}) * (x / z)
+               + {smoothing}::DOUBLE / k) AS w
+      FROM (
+        SELECT gs, ns, ls, k, u, list_sum(u) AS z
+        FROM (
+          SELECT gs, ns, ls, k,
+                 list_transform(range(k), i ->
+                   w[i+1] * (1.0::DOUBLE + {eta} * ls[i+1])) AS u
+          FROM r{t - 1}
+        )
+      )
+    )"""
+
+
+@query(
+    "curation_mixture_reweight",
+    """
+    WITH perdoc AS (
+      SELECT source,
+             CASE WHEN len(ts) > 0
+                  THEN 1 - len(list_distinct(ts))::DOUBLE / len(ts)
+             END AS loss
+      FROM (SELECT source,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') AS ts
+            FROM documents)
+    ),
+    doms AS (
+      SELECT source AS g, count(*)::BIGINT AS n,
+             round(coalesce(avg(CASE WHEN loss IS NOT NULL
+                                     THEN greatest(loss, 0) END), 0), 6)
+               AS lbar
+      FROM perdoc GROUP BY source
+    ),
+    packed AS (
+      SELECT list(g ORDER BY g ASC NULLS LAST) AS gs,
+             list(n ORDER BY g ASC NULLS LAST) AS ns,
+             list(lbar ORDER BY g ASC NULLS LAST) AS ls,
+             count(*)::BIGINT AS k
+      FROM doms
+    ),
+    r0 AS (SELECT gs, ns, ls, k,
+                  list_transform(range(k), i -> 1.0::DOUBLE / k) AS w
+           FROM packed),"""
+    + ",".join(_mw_round_cte(t, 0.5, 0.01) for t in range(1, 9))
+    + """
+    SELECT gs[i+1] AS source, ns[i+1] AS n_examples,
+           ls[i+1] AS avg_excess_loss, round(w[i+1], 6) AS weight
+    FROM (SELECT gs, ns, ls, w, unnest(range(k)) AS i FROM r8)
+    """,
+)
+def curation_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DoReMi-style domain mixture reweighting
+    (operators/curation.py:mixture_reweight): per-source excess-loss
+    proxies (here the repetition deficit 1 − unique/total tokens — any
+    proxy-minus-reference loss column works) drive 8 linearized
+    multiplicative-weights rounds with uniform smoothing, yielding the
+    mixture recipe that up-weights the domains the model is furthest
+    behind on. Completes the mixture family next to temperature,
+    UniMax, and DSIR. The oracle UNROLLS all 8 rounds over the
+    (group ASC NULLS LAST)-ordered domain lists — linearized update =
+    pure IEEE arithmetic, so every intermediate weight matches
+    bit-exactly (the documented reason the update is w·(1+ηL), not
+    exp(ηL): libm exp carries no cross-engine guarantee). ONE corpus
+    aggregate; the iteration is driver arithmetic on k doubles."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+    from .operators.curation import mixture_reweight
+
+    tk = _tokens(F.col("text"))
+    loss = F.when(
+        F.col("text").isNotNull() & (F.size(tk) > 0),
+        F.lit(1.0) - F.size(F.array_distinct(tk)) / F.size(tk),
+    )
+    scored = d.select(F.col("source"), loss.alias("__loss"))
+    return mixture_reweight(
+        scored, "source", "__loss", eta=0.5, rounds=8, smoothing=0.01
+    )
+
+
 # Shared replay of the composed curate chain (v3 re-mines the
 # decontaminate leg, v4 mounts the persisted pairs for BOTH legs —
 # the flag set is identical by construction, so one oracle serves both)

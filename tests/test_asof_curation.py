@@ -1598,3 +1598,67 @@ def test_unimax_mixture_null_group_ranks_nulls_last(spark):
         ).collect()
     }
     assert out2 == {"a": (0, 0), "b": (4, 3)}
+
+
+def test_mixture_reweight_hand_computed(spark):
+    """Linearized MW replay by hand: domain a has losses [1.0, 0.0]
+    (avg 0.5), domain b is all-NULL (avg 0). One round, eta=1, no
+    smoothing:
+    u=[.5·1.5, .5·1.0]=[0.75, 0.5], Z=1.25 → w=[0.6, 0.4]. With
+    smoothing 0.5 the same round gives [0.55, 0.45]. Clamp, NULL-loss
+    exclusion, NULL group ordering, guards, empty input."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        mixture_reweight,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("b", None), ("b", None)],
+        "src string, loss double",
+    )
+    out = {r["src"]: r for r in
+           mixture_reweight(df, "src", "loss", eta=1.0, rounds=1,
+                            smoothing=0.0).collect()}
+    assert out["a"]["n_examples"] == 2 and out["b"]["n_examples"] == 2
+    assert out["a"]["avg_excess_loss"] == 0.5
+    assert out["b"]["avg_excess_loss"] == 0.0  # all-NULL domain -> 0
+    assert out["a"]["weight"] == 0.6 and out["b"]["weight"] == 0.4
+
+    sm = {r["src"]: r["weight"] for r in
+          mixture_reweight(df, "src", "loss", eta=1.0, rounds=1,
+                           smoothing=0.5).collect()}
+    assert sm["a"] == 0.55 and sm["b"] == 0.45
+
+    # negative losses clamp to 0 (excess loss is floored, DoReMi-style)
+    neg = spark.createDataFrame(
+        [("a", -2.0), ("b", 1.0)], "src string, loss double"
+    )
+    nw = {r["src"]: r for r in
+          mixture_reweight(neg, "src", "loss", eta=1.0, rounds=1,
+                           smoothing=0.0).collect()}
+    assert nw["a"]["avg_excess_loss"] == 0.0
+    assert nw["a"]["weight"] < nw["b"]["weight"]
+
+    # NULL group is a legitimate domain, ordered last; weights sum ~1
+    withnull = spark.createDataFrame(
+        [("a", 1.0), (None, 0.5)], "src string, loss double"
+    )
+    rows = mixture_reweight(withnull, "src", "loss").collect()
+    assert {r["src"] for r in rows} == {"a", None}
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+
+    # guards + empty input
+    with pytest.raises(ValueError, match="rounds"):
+        mixture_reweight(df, "src", "loss", rounds=0)
+    with pytest.raises(ValueError, match="eta"):
+        mixture_reweight(df, "src", "loss", eta=-1)
+    with pytest.raises(ValueError, match="smoothing"):
+        mixture_reweight(df, "src", "loss", smoothing=1.0)
+    empty = mixture_reweight(
+        df.filter("src = 'zzz'"), "src", "loss"
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "src", "n_examples", "avg_excess_loss", "weight",
+    ]
