@@ -108,8 +108,10 @@ _FIRST_50 = [
 # decontaminate mount), etl_whiten_semantic_dedup (vector_transform →
 # semantic dedup composition), etl_corpus_curate_v4 (ONE pair table
 # for BOTH near-dup legs), curation_mixture_reweight (DoReMi-style
-# linearized-MW domain weights) — cumulative driver-verified after r9
-# should reach >=249/283; rotation #7 can finish the backlog.
+# linearized-MW domain weights), dedup_bloom_history_probe +
+# agg_bloom_incremental_users (mergeable Bloom membership state,
+# joinless broadcast-bitmap probe) — cumulative driver-verified after
+# r9 should reach >=249/285; rotation #7 can finish the backlog.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

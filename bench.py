@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "text_tokenizer_fertility",
     "dedup_contamination_report",
     "text_contrastive_views",
+    "dedup_bloom_history_probe",  # joinless broadcast-bitmap probe
+    "agg_bloom_incremental_users",  # mergeable Bloom states, exact fold
 ]
 
 

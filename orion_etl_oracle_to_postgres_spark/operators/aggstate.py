@@ -302,6 +302,174 @@ def merge_hist_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     )
 
 
+# Signed-long single-bit masks (index 63 is the sign bit). Kept as a
+# Python literal so BOTH the build aggregate and the probe expression
+# reference one broadcastable 64-element array literal instead of a
+# column-shift (PySpark's shiftleft only takes an int shift amount).
+_BLOOM_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+_BLOOM_STATE_COLS = ["word_idx", "word", "__m", "__k", "__seed"]
+_BLOOM_MAX_M = 1 << 22  # 4 Mi bits = 64 Ki words: the driver-probe cap
+
+
+def _bloom_positions(key, m_bits: int, k: int, seed: str):
+    """array<int> of the k bit positions for a key: Kirsch–Mitzenmacher
+    double hashing g_i = (h1 + i·h2) mod m from two INDEPENDENT 60-bit
+    md5 halves (hex chars 1-15 and 17-31), h2 forced odd so it is
+    coprime with the power-of-two m and the probe sequence cycles the
+    whole table. Everything stays in exact integer range: both halves
+    are < 2^60 before the mod, and i·h2 < 16·m ≤ 2^26 after it. The
+    hash is the repo's PORTABLE md5 construction (``functions.
+    md5_hash60``) — DuckDB computes identical md5 bytes, so an oracle
+    replays every bit position exactly (no bounded-error envelope
+    needed, unlike the HLL member of this family)."""
+    hx = F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(int(m_bits))
+    h2 = (
+        F.conv(F.substring(hx, 17, 15), 16, 10).cast("long") % F.lit(int(m_bits))
+    ).bitwiseOR(F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(k) - 1)),
+        lambda i: ((h1 + i.cast("long") * h2) % F.lit(int(m_bits))).cast("int"),
+    )
+
+
+def _bloom_validate(m_bits: int, k: int) -> None:
+    if m_bits < 64 or m_bits > _BLOOM_MAX_M or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(
+            f"m_bits must be a power of two in [64, {_BLOOM_MAX_M}], got {m_bits}"
+        )
+    if not (1 <= k <= 16):
+        raise ValueError(f"k must be in [1, 16], got {k}")
+
+
+def build_bloom_state(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter MEMBERSHIP state — the set-membership member of the
+    mergeable-state family (monoid = moments, HLL = distinct counts,
+    histogram = order statistics, Bloom = "have we ingested this key
+    before?"). One row per OCCUPIED 64-bit word: (word_idx, word),
+    plus the layout columns (__m, __k, __seed) that make a layout-drift
+    fold fail loudly, the contract shared with ``build_hist_state``.
+
+    Two states with the same layout merge by word-wise bitwise OR —
+    EXACTLY (set union), so daily ingest increments fold into a running
+    index and tomorrow's batch probes it WITHOUT joining against the
+    raw history. The guarantee is one-sided: a probe miss is a DEFINITE
+    first-sighting (no false negatives, ever), a hit is "maybe seen"
+    with false-positive rate ≈ (1 − e^(−k·n/m))^k. At 100 TB that
+    asymmetry is the point: the index for a billion keys at m=2^22 is
+    64 Ki longs (512 KiB broadcast), and the definite-new rows — the
+    overwhelming majority in a dedup ingest — skip the expensive exact
+    path entirely; only the maybe-seen sliver needs a real
+    anti-join/verify against history.
+
+    NULL keys contribute nothing (NULL membership is meaningless).
+    Shuffle shape: the explode carries k·rows (key, bit) INTEGERS —
+    never payloads — into one map-side-combined bit_or aggregate over
+    at most m/64 groups."""
+    _bloom_validate(m_bits, k)
+    pos = _bloom_positions(F.col(key_col), m_bits, k, seed)
+    bits = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(pos).alias("__bit"))
+    )
+    state = bits.groupBy(
+        F.shiftright(F.col("__bit"), 6).alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.element_at(
+                F.lit(_BLOOM_MASKS), F.col("__bit").bitwiseAND(F.lit(63)) + 1
+            )
+        ).alias("word")
+    )
+    return state.select(
+        "word_idx",
+        "word",
+        F.lit(int(m_bits)).alias("__m"),
+        F.lit(int(k)).alias("__k"),
+        F.lit(seed).alias("__seed"),
+    )
+
+
+def merge_bloom_states(states: list[DataFrame]) -> DataFrame:
+    """Fold any number of Bloom state tables: word-wise bitwise OR per
+    word_idx — exact set union, so fold order can never change the
+    result and fold == full-history-build IDENTICALLY (the equality the
+    unit test and the registry query pin). Layout drift (different
+    m/k/seed — which would OR bits from incompatible hash spaces into a
+    silently-wrong filter) fails loudly with a bounded probe over the
+    word-sized state rows."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    u = states[0].select(_BLOOM_STATE_COLS)
+    for s in states[1:]:
+        u = u.unionByName(s.select(_BLOOM_STATE_COLS))
+    layouts = u.select("__m", "__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"merge_bloom_states: incompatible layouts {sorted(map(tuple, layouts))} "
+            "— states must share (m_bits, k, seed) to merge"
+        )
+    return u.groupBy("word_idx").agg(
+        F.bit_or("word").alias("word"),
+        F.first("__m").alias("__m"),
+        F.first("__k").alias("__k"),
+        F.first("__seed").alias("__seed"),
+    )
+
+
+def probe_bloom(
+    df: DataFrame,
+    key_col: str,
+    state: DataFrame,
+    *,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Probe every row's key against a Bloom state: adds a boolean
+    ``out_col`` — False = DEFINITELY never inserted (the load-bearing
+    guarantee), True = maybe seen. The state is collected ONCE into a
+    dense m/64-long word array (a bounded driver probe — ≤ 64 Ki longs
+    at the m cap, the codebook pattern) and embedded as a literal, so
+    the probe is a pure zero-shuffle, zero-join projection: k
+    element_at + bitwise-AND tests per row, entirely inside
+    whole-stage codegen. NULL keys probe NULL (unknown, not False —
+    False would falsely certify them as first sightings)."""
+    meta = state.select("__m", "__k", "__seed").distinct().limit(2).collect()
+    if len(meta) > 1:
+        raise ValueError(
+            f"probe_bloom: state has mixed layouts {sorted(map(tuple, meta))}"
+        )
+    if not meta:  # empty state: nothing ever inserted
+        return df.withColumn(
+            out_col,
+            F.when(F.col(key_col).isNotNull(), F.lit(False)),
+        )
+    m_bits, k, seed = int(meta[0][0]), int(meta[0][1]), str(meta[0][2])
+    _bloom_validate(m_bits, k)
+    words = [0] * (m_bits // 64)
+    for r in state.select("word_idx", "word").collect():
+        words[int(r[0])] = int(r[1])
+    arr = F.lit(words)
+    masks = F.lit(_BLOOM_MASKS)
+    pos = _bloom_positions(F.col(key_col), m_bits, k, seed)
+    hit = F.forall(
+        pos,
+        lambda b: F.element_at(arr, F.shiftright(b, 6) + 1).bitwiseAND(
+            F.element_at(masks, b.bitwiseAND(F.lit(63)) + 1)
+        )
+        != 0,
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(key_col).isNotNull(), hit)
+    )
+
+
 def finalize_hist_quantiles(
     state: DataFrame, keys: list[str], qs: list[float]
 ) -> DataFrame:

@@ -12892,3 +12892,160 @@ def quantile_weighted_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+def _bloom_hash_sql(key_sql: str, seed: str, m: int) -> str:
+    """DuckDB subquery text computing the SAME (h1, h2) double-hash pair
+    as ``operators/aggstate.py:_bloom_positions``: two independent
+    60-bit md5 halves mod m, h2 forced odd. Exact replication — md5
+    bytes are engine-independent, so the oracle replays every bit."""
+    h1 = _hex2int_sql("substr(mx, 1, 15)")
+    h2 = _hex2int_sql("substr(mx, 17, 15)")
+    return (
+        f"SELECT *, {h1} % {m} AS h1, (({h2}) % {m}) | 1 AS h2 "
+        f"FROM (SELECT *, md5(CAST({key_sql} AS VARCHAR) || ':{seed}') AS mx"
+    )
+
+
+def _bloom_probe_sql(*, key: str, hist: str, inc: str, seed: str, m: int, k: int) -> str:
+    """Shared oracle CTE chain: history keys → distinct bit set; probe
+    keys → bool_and over their k bits (LEFT JOIN, bit present = set)."""
+    return f"""
+    hh AS ({_bloom_hash_sql(key, seed, m)} FROM {hist})),
+    hbits AS (SELECT DISTINCT (h1 + i * h2) % {m} AS bit
+              FROM hh, range({k}) t(i)),
+    ip AS (SELECT {key}, (h1 + i * h2) % {m} AS bit
+           FROM ({_bloom_hash_sql(key, seed, m)} FROM {inc})), range({k}) t(i)),
+    flags AS (SELECT ip.{key}, bool_and(hb.bit IS NOT NULL) AS maybe
+              FROM ip LEFT JOIN hbits hb ON hb.bit = ip.bit
+              GROUP BY ip.{key})
+    """
+
+
+@query(
+    "dedup_bloom_history_probe",
+    """
+    WITH hist AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0),
+    inc AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    """
+    + _bloom_probe_sql(
+        key="doc_id", hist="hist", inc="inc", seed="bh1", m=65536, k=5
+    )
+    + """
+    SELECT count(*)::BIGINT AS n_incoming,
+           sum(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_true_seen,
+           sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe_seen,
+           sum(CASE WHEN maybe AND doc_id % 4 <> 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_positive,
+           sum(CASE WHEN NOT maybe AND doc_id % 4 = 2 THEN 1 ELSE 0 END)
+             ::BIGINT AS n_false_negative
+    FROM flags
+    """,
+)
+def dedup_bloom_history_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Bloom-filter pre-screen for incremental exact dedup
+    (operators/aggstate.py:build_bloom_state/probe_bloom): the history
+    corpus (75% of documents) is compressed into a 2^16-bit portable-
+    hash Bloom state; the incoming batch (the even doc_ids — half
+    overlapping, half genuinely new) probes it with ZERO joins and ZERO
+    shuffles (the m/64-long word array is a bounded driver collect
+    embedded as a literal, the codebook pattern). Output pins the
+    one-sided guarantee the operator exists for: ``n_false_negative``
+    is structurally 0 (a miss is a DEFINITE first sighting), while
+    ``n_false_positive`` is whatever the hash geometry yields — the
+    DuckDB oracle recomputes the identical md5 double-hash bit sets, so
+    the FP count matches EXACTLY, not within an envelope. At 100 TB the
+    definite-new majority skips the exact anti-join against history
+    entirely; only the maybe-seen sliver pays it."""
+    from .operators import aggstate as A
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    hist = d.where(F.col("doc_id") % 4 != 0)
+    inc = d.where(F.col("doc_id") % 2 == 0)
+    state = A.build_bloom_state(hist, "doc_id", m_bits=1 << 16, k=5, seed="bh1")
+    probed = A.probe_bloom(inc, "doc_id", state, out_col="maybe")
+    seen = F.col("doc_id") % 4 == 2
+    maybe = F.col("maybe")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incoming"),
+        one(seen).alias("n_true_seen"),
+        one(maybe).alias("n_maybe_seen"),
+        one(maybe & ~seen).alias("n_false_positive"),
+        one(~maybe & seen).alias("n_false_negative"),
+    )
+
+
+@query(
+    "agg_bloom_incremental_users",
+    """
+    WITH e AS (SELECT user_id, day(ts) % 3 AS d FROM events
+               WHERE user_id IS NOT NULL),
+    hist AS (SELECT DISTINCT user_id FROM e WHERE d IN (0, 1)),
+    batch AS (SELECT DISTINCT user_id FROM e WHERE d = 2),
+    """
+    + _bloom_probe_sql(
+        key="user_id", hist="hist", inc="batch", seed="bu1", m=65536, k=5
+    )
+    + """
+    SELECT count(*)::BIGINT AS n_batch_users,
+           sum(CASE WHEN seen THEN 1 ELSE 0 END)::BIGINT AS n_true_seen,
+           sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe_seen,
+           sum(CASE WHEN maybe AND NOT seen THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_positive,
+           sum(CASE WHEN NOT maybe AND seen THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_negative,
+           true AS paths_agree
+    FROM (SELECT f.user_id, f.maybe, h.user_id IS NOT NULL AS seen
+          FROM flags f LEFT JOIN hist h USING (user_id))
+    """,
+)
+def agg_bloom_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental first-sighting detection via MERGEABLE Bloom
+    states (operators/aggstate.py:merge_bloom_states), the set-
+    membership twin of ``agg_hll_incremental_users``: two ingestion
+    days build Bloom states INDEPENDENTLY and fold by word-wise bitwise
+    OR — exact set union, so unlike the HLL twin's bounded-error merge,
+    ``paths_agree`` here pins fold == full-history-build IDENTICALLY
+    (word tables compared verbatim — a bounded driver probe over ≤ m/64
+    rows). Day-2's distinct users then probe the folded state; the
+    exact-truth join against history exists ONLY for the audit columns
+    (at 100 TB you keep the probe — that is the point — and route just
+    the maybe-seen sliver to the exact path). Raw event rows feed the
+    build without a pre-distinct: Bloom insertion is idempotent and the
+    map-side combine collapses duplicate bits before any shuffle."""
+    from .operators import aggstate as A
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", (F.dayofmonth("ts") % 3).alias("__d")
+    ).where(F.col("user_id").isNotNull())
+    kw = dict(m_bits=1 << 16, k=5, seed="bu1")
+    s0 = A.build_bloom_state(e.where(F.col("__d") == 0), "user_id", **kw)
+    s1 = A.build_bloom_state(e.where(F.col("__d") == 1), "user_id", **kw)
+    merged = A.merge_bloom_states([s0, s1])
+    full = A.build_bloom_state(
+        e.where(F.col("__d").isin(0, 1)), "user_id", **kw
+    )
+    # exact fold == full-build equality: word tables compared verbatim
+    # (bounded driver probe — occupied words only, <= m/64 rows each)
+    words = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("word_idx", "word").collect())
+    )
+    agree = words(merged) == words(full)
+    hist_users = e.where(F.col("__d").isin(0, 1)).select("user_id").distinct()
+    batch = e.where(F.col("__d") == 2).select("user_id").distinct()
+    probed = A.probe_bloom(batch, "user_id", merged, out_col="maybe").join(
+        hist_users.withColumn("__s", F.lit(True)), "user_id", "left"
+    )
+    seen = F.coalesce(F.col("__s"), F.lit(False))
+    maybe = F.col("maybe")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch_users"),
+        one(seen).alias("n_true_seen"),
+        one(maybe).alias("n_maybe_seen"),
+        one(maybe & ~seen).alias("n_false_positive"),
+        one(~maybe & seen).alias("n_false_negative"),
+        F.lit(agree).alias("paths_agree"),
+    )

@@ -250,3 +250,109 @@ def test_weighted_hist_state_equals_replication(spark):
         for r in A.finalize_hist_quantiles(plain, ["k"], [0.5]).collect()
     }
     assert qw == qp
+
+
+# ---------------- Bloom membership state ----------------
+
+from orion_etl_oracle_to_postgres_spark.operators.aggstate import (  # noqa: E402
+    build_bloom_state,
+    merge_bloom_states,
+    probe_bloom,
+)
+
+_BLOOM_KW = dict(m_bits=1 << 12, k=5, seed="t")
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key long")
+
+
+def test_bloom_no_false_negatives_ever(spark):
+    # the one-sided guarantee: every inserted key MUST probe True
+    keys = list(range(0, 900, 3))
+    state = build_bloom_state(_keys_df(spark, keys), "key", **_BLOOM_KW)
+    out = probe_bloom(_keys_df(spark, keys), "key", state).collect()
+    assert all(r["maybe_seen"] is True for r in out)
+
+
+def test_bloom_fp_rate_within_theory(spark):
+    # disjoint probe set: FP rate should sit near (1-e^{-kn/m})^k
+    ins = list(range(0, 2000, 2))          # n=1000 even keys
+    probe = list(range(1, 4001, 2))        # 2000 odd keys, none inserted
+    state = build_bloom_state(_keys_df(spark, ins), "key", **_BLOOM_KW)
+    out = probe_bloom(_keys_df(spark, probe), "key", state).collect()
+    fp = sum(1 for r in out if r["maybe_seen"])
+    # theory at m=4096, k=5, n=1000: (1-e^{-1.221})^5 ~= 0.168; allow 2x
+    assert fp / len(probe) < 0.34
+
+
+def test_bloom_merge_equals_full_build_exactly(spark):
+    keys = list(range(500))
+    halves = [
+        _keys_df(spark, keys[:250]),
+        _keys_df(spark, keys[250:]),
+    ]
+    merged = merge_bloom_states(
+        [build_bloom_state(h, "key", **_BLOOM_KW) for h in halves]
+    )
+    full = build_bloom_state(_keys_df(spark, keys), "key", **_BLOOM_KW)
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("word_idx", "word").collect())
+    )
+    assert rows(merged) == rows(full)      # exact set union, not approx
+
+
+def test_bloom_duplicate_inserts_are_idempotent(spark):
+    keys = [7, 7, 7, 42, 42]
+    once = build_bloom_state(_keys_df(spark, [7, 42]), "key", **_BLOOM_KW)
+    dup = build_bloom_state(_keys_df(spark, keys), "key", **_BLOOM_KW)
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("word_idx", "word").collect())
+    )
+    assert rows(once) == rows(dup)
+
+
+def test_bloom_layout_drift_fails_loudly(spark):
+    a = build_bloom_state(_keys_df(spark, [1]), "key", **_BLOOM_KW)
+    b = build_bloom_state(
+        _keys_df(spark, [2]), "key", m_bits=1 << 12, k=5, seed="OTHER"
+    )
+    with pytest.raises(ValueError, match="incompatible layouts"):
+        merge_bloom_states([a, b]).collect()
+    with pytest.raises(ValueError, match="mixed layouts"):
+        probe_bloom(_keys_df(spark, [1]), "key", a.unionByName(b))
+
+
+def test_bloom_empty_state_and_null_keys(spark):
+    empty = build_bloom_state(
+        _keys_df(spark, []).where("key IS NOT NULL"), "key", **_BLOOM_KW
+    )
+    probe = spark.createDataFrame([(1,), (None,)], "key long")
+    out = {r["key"]: r["maybe_seen"]
+           for r in probe_bloom(probe, "key", empty).collect()}
+    assert out[1] is False                 # nothing ever inserted
+    assert out[None] is None               # unknown, never certified new
+    state = build_bloom_state(probe, "key", **_BLOOM_KW)  # null contributes 0
+    out2 = {r["key"]: r["maybe_seen"]
+            for r in probe_bloom(probe, "key", state).collect()}
+    assert out2[1] is True and out2[None] is None
+
+
+def test_bloom_param_validation(spark):
+    df = _keys_df(spark, [1])
+    with pytest.raises(ValueError, match="power of two"):
+        build_bloom_state(df, "key", m_bits=1000)
+    with pytest.raises(ValueError, match="power of two"):
+        build_bloom_state(df, "key", m_bits=1 << 30)
+    with pytest.raises(ValueError, match="k must be"):
+        build_bloom_state(df, "key", k=0)
+
+
+def test_bloom_probe_is_joinless_and_jvm_only(spark):
+    # the probe plan must contain no join, no shuffle, no Python eval
+    state = build_bloom_state(_keys_df(spark, [1, 2, 3]), "key", **_BLOOM_KW)
+    plan = probe_bloom(
+        _keys_df(spark, [1, 9]), "key", state
+    )._jdf.queryExecution().executedPlan().toString()
+    for banned in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert banned not in plan, f"probe plan leaked a {banned}"
