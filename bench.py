@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "text_contrastive_views",
     "dedup_bloom_history_probe",  # joinless broadcast-bitmap probe
     "agg_bloom_incremental_users",  # mergeable Bloom states, exact fold
+    "emb_semdedup_cells",  # cell-bounded SemDeDup, vectors shuffle once
 ]
 
 

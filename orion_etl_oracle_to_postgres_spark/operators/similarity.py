@@ -935,6 +935,120 @@ def semantic_dedup(
     )
 
 
+def semdedup_cells(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding cloud into cells, find near-duplicate pairs ONLY within
+    each cell, and keep per duplicate group the member LEAST similar to
+    its cell centroid — the paper's diversity-preserving survivor rule
+    (the most prototypical copies go; the outlier phrasing stays). The
+    cell restriction is the alternative scale path to the LSH
+    bucketing of ``semantic_dedup``: candidate work is bounded by
+    Σ|cell|² instead of bucket collisions, and the cell width is an
+    explicit knob (more centroids = smaller cells = less work, at
+    recall cost for cross-cell twins — the same trade the paper makes).
+
+    Returns one row per usable input id: (id, cell, cluster_id,
+    cent_sim, keep) — cluster_id is the duplicate component's minimum
+    id, singletons keep themselves, cent_sim is the 6-dp-rounded
+    cosine to the assigned centroid (the survivor-rule key, exposed so
+    the choice is auditable). NULL and zero-norm vectors are excluded
+    (no cosine exists for them — the ``emb_ivf_train`` contract).
+
+    Default centroids are the deterministic ``id < n_centroids``
+    vectors (engine-independent, so a SQL oracle replays assignment,
+    pairs, clustering, and survivor choice EXACTLY); pass a trained
+    ``(cluster_id, centroid)`` codebook (e.g. from ``ivf_train``) for
+    real corpora — the plan shape is identical.
+
+    Plan shape: one broadcast-centroid assignment aggregate (ids and
+    sims shuffle, never vectors), then ONE vector-carrying equi-join
+    keyed on the cell — the only stage where vectors shuffle, grouped
+    and bounded by cell; clustering runs on the ids-only edge list
+    (large-star/small-star), and the survivor window partitions by the
+    cluster label. At 100 TB write the corpus partitioned by cell once
+    and the pair join becomes partition-local."""
+    from pyspark.sql import Window
+
+    from .dedup import near_dup_clusters
+
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cluster_id").alias("__cid"),
+            F.col("centroid").cast("array<double>").alias("__cv"),
+        )
+    else:
+        cent = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).where(
+        F.col(vec_col).isNotNull()
+        & (F.aggregate(F.col(vec_col).cast("array<double>"),
+                       F.lit(0.0), lambda a, x: a + x * x) > F.lit(0.0))
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            cosine(F.col("__v"), F.col("__cv")).alias("__sim"),
+            F.col("__cid"),
+        )
+        .groupBy(id_col)
+        .agg(
+            # ties break to the lowest centroid id, the ivf_assign rule
+            F.max_by(
+                "__cid", F.struct(F.col("__sim"), (-F.col("__cid")).alias("__nc"))
+            ).alias("cell"),
+            F.round(F.max("__sim"), 6).alias("cent_sim"),
+        )
+    )
+    members = v.join(assign, id_col)
+    a = members.select(
+        F.col(id_col).alias("__ia"), F.col("__v").alias("__va"), "cell"
+    )
+    b = members.select(
+        F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("__ia") < F.col("__ib"))
+        .where(
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("__ia").alias("id_i"), F.col("__ib").alias("id_j"))
+    )
+    clusters = near_dup_clusters(pairs).withColumnsRenamed(
+        {"doc_id": "__nid", "cluster_id": "__lbl"}
+    )
+    labeled = (
+        members.select(id_col, "cell", "cent_sim")
+        .join(clusters, F.col(id_col) == F.col("__nid"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("__lbl"), F.col(id_col)).alias("cluster_id"),
+            "cent_sim",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cent_sim").asc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+
+
 def centroid_drift(
     old: DataFrame,
     new: DataFrame,

@@ -13049,3 +13049,80 @@ def agg_bloom_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(~maybe & seen).alias("n_false_negative"),
         F.lit(agree).alias("paths_agree"),
     )
+
+
+def _semdedup_cells_sql(n_centroids: int = 16, threshold: float = 0.35) -> str:
+    """Oracle replaying the ENTIRE SemDeDup pipeline value-exactly:
+    deterministic-centroid assignment (the ``_ivf_assign_cte`` argmax
+    rule — raw-sim order, ties to the lowest cid), within-cell pair
+    generation at the 6-dp-rounded cosine threshold, recursive-CTE
+    transitive closure, and the paper's least-prototypical survivor
+    rule (min rounded centroid-similarity, ties to the lowest id)."""
+    return f"""
+    WITH RECURSIVE vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0
+    ),
+    cent AS (SELECT vec_id AS cid, v AS c FROM vecs
+             WHERE vec_id < {n_centroids}),
+    s AS (SELECT vec_id, cid, {_IVF_COS} AS sim FROM vecs CROSS JOIN cent),
+    a AS (
+      SELECT vec_id, cid AS cell, round(sim, 6) AS cent_sim FROM (
+        SELECT vec_id, cid, sim, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT a.vec_id, a.cell, a.cent_sim, vecs.v
+          FROM a JOIN vecs USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS id_i, y.vec_id AS id_j
+      FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+    ),
+    edges AS (
+      SELECT id_i AS src, id_j AS dst FROM pairs
+      UNION
+      SELECT id_j, id_i FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    outp AS (
+      SELECT m.vec_id, m.cell,
+             coalesce(l.cluster_id, m.vec_id) AS cluster_id, m.cent_sim
+      FROM m LEFT JOIN lab l ON l.id = m.vec_id
+    ),
+    keepers AS (
+      SELECT cluster_id, vec_id AS keeper FROM (
+        SELECT cluster_id, vec_id, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY cent_sim ASC, vec_id ASC) AS rn
+        FROM outp
+      ) WHERE rn = 1
+    )
+    SELECT o.vec_id, o.cell, o.cluster_id, o.cent_sim,
+           o.vec_id = k.keeper AS keep
+    FROM outp o JOIN keepers k USING (cluster_id)
+    """
+
+
+@query("emb_semdedup_cells", _semdedup_cells_sql())
+def emb_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup cell-bounded semantic dedup
+    (operators/similarity.py:semdedup_cells; Abbas et al. 2023):
+    deterministic-centroid cells restrict the candidate pairs — the
+    alternative scale path to ``emb_semantic_dedup``'s LSH buckets —
+    then transitive duplicate groups each keep their LEAST-prototypical
+    member (minimum 6-dp centroid cosine, the paper's diversity rule;
+    ties to the lowest id). Every stage is value-oracled: assignment
+    replays the ``emb_ivf_train`` argmax rule, pairs the rounded-cosine
+    threshold, clustering a recursive closure, and the survivor pick
+    the same (cent_sim, id) order on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_cells(
+        e, n_centroids=16, threshold=0.35
+    )

@@ -1063,3 +1063,37 @@ def test_pca_topk_recovers_two_axes(spark):
     # pca_power's degenerate guard
     with pytest.raises(ValueError, match="zero covariance norm"):
         pca_topk(df, "embedding", k=3)
+
+
+def test_semdedup_cells_survivor_is_least_prototypical(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        semdedup_cells,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),     # centroid of cell 0
+        (1, [0.0, 1.0]),     # centroid of cell 1
+        (2, [4.0, 1.0]),     # cell 0, cos to c0 = 0.9701
+        (3, [3.0, 1.5]),     # cell 0, cos to c0 = 0.8944 (least prototypical)
+        (4, [1.0, 4.0]),     # cell 1, cos to c1 = 0.9701
+        (5, [-5.0, -5.0]),   # equidistant from both centroids -> tie to cell 0
+        (6, [0.0, 0.0]),     # zero-norm: excluded
+        (7, None),           # NULL: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup_cells(
+        df, n_centroids=2, threshold=0.97
+    ).collect()}
+
+    assert set(out) == {0, 1, 2, 3, 4, 5}   # degenerate vectors excluded
+    # cells: argmax cosine, ties to the lowest centroid id
+    assert [out[i]["cell"] for i in range(6)] == [0, 1, 0, 0, 1, 0]
+    # transitive group {0,2,3} via 0~2 and 2~3 (0~3 is below threshold)
+    assert [out[i]["cluster_id"] for i in range(6)] == [0, 1, 0, 0, 1, 5]
+    # the paper's rule: survivor = LOWEST centroid similarity in group
+    assert [out[i]["keep"] for i in range(6)] == [
+        False, False, False, True, True, True
+    ]
+    # cent_sim is the auditable survivor key, rounded to 6 dp
+    assert abs(out[3]["cent_sim"] - 0.894427) <= 1e-6
+    assert out[0]["cent_sim"] == 1.0
