@@ -110,9 +110,10 @@ _FIRST_50 = [
 # for BOTH near-dup legs), curation_mixture_reweight (DoReMi-style
 # linearized-MW domain weights), dedup_bloom_history_probe +
 # agg_bloom_incremental_users (mergeable Bloom membership state,
-# joinless broadcast-bitmap probe), emb_semdedup_cells (cell-bounded
-# SemDeDup, least-prototypical survivor) — cumulative driver-verified
-# after r9 should reach >=249/286; rotation #7 can finish the backlog.
+# joinless broadcast-bitmap probe), emb_semdedup_cells +
+# etl_semdedup (cell-bounded SemDeDup, least-prototypical survivor,
+# standalone + declarative) — cumulative driver-verified after r9
+# should reach >=249/287; rotation #7 can finish the backlog.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "dedup_bloom_history_probe",  # joinless broadcast-bitmap probe
     "agg_bloom_incremental_users",  # mergeable Bloom states, exact fold
     "emb_semdedup_cells",  # cell-bounded SemDeDup, vectors shuffle once
+    "etl_semdedup",  # declarative dedup.method: semdedup job twin
 ]
 
 

@@ -460,6 +460,35 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
         )
         losers = labeled.filter(~F.col("keep")).select(F.col(d.id_column))
         return df.join(losers, d.id_column, "left_anti")
+    if d.method == "semdedup":
+        # cell-bounded embedding-space dedup (SemDeDup): candidate
+        # pairs restricted to n_centroids deterministic cells, each
+        # duplicate group keeps its LEAST-prototypical member — the
+        # operator's keep column carries the survivor rule, so unlike
+        # the other near-dup methods the loser set is NOT
+        # "non-minimum id"
+        if not d.vector_column or not d.id_column:
+            raise ValueError(
+                f"{spec.source_table}: dedup method=semdedup requires "
+                "vector_column and id_column"
+            )
+        for c in (d.vector_column, d.id_column):
+            if c not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: dedup column {c!r} not in "
+                    f"pipeline output {df.columns}"
+                )
+        from .operators.similarity import semdedup_cells
+
+        labeled = semdedup_cells(
+            df.select(d.id_column, d.vector_column),
+            vec_col=d.vector_column,
+            id_col=d.id_column,
+            n_centroids=d.n_centroids,
+            threshold=d.threshold,
+        )
+        losers = labeled.filter(~F.col("keep")).select(F.col(d.id_column))
+        return df.join(losers, d.id_column, "left_anti")
     if d.method == "fingerprint":
         if not d.text_column or not d.id_column:
             raise ValueError(
@@ -850,7 +879,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     # stream. One shuffle on the dedup key; the row_number()<=1 filter
     # compiles to WindowGroupLimit (map-side partial top-1 per key).
     if spec.dedup is not None and not streaming:
-        if spec.dedup.method in ("minhash", "semantic", "soft") and ctx.explain_only:
+        if (
+            spec.dedup.method in ("minhash", "semantic", "semdedup", "soft")
+            and ctx.explain_only
+        ):
             # near-dup dedup is EAGER (checkpointed pair mining +
             # iterative clustering) — running it would break --explain's
             # "nothing executes" promise; the reviewed plan shows the
@@ -1688,7 +1720,7 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
         errs.append("a files source connector is required (JDBC has no stream source)")
     d = spec.dedup
     if d is not None:
-        if d.method in ("minhash", "semantic", "soft"):
+        if d.method in ("minhash", "semantic", "semdedup", "soft"):
             errs.append(
                 f"dedup method={d.method} (iterative clustering is batch-only)"
             )

@@ -13051,13 +13051,15 @@ def agg_bloom_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_cells_sql(n_centroids: int = 16, threshold: float = 0.35) -> str:
-    """Oracle replaying the ENTIRE SemDeDup pipeline value-exactly:
-    deterministic-centroid assignment (the ``_ivf_assign_cte`` argmax
-    rule — raw-sim order, ties to the lowest cid), within-cell pair
-    generation at the 6-dp-rounded cosine threshold, recursive-CTE
-    transitive closure, and the paper's least-prototypical survivor
-    rule (min rounded centroid-similarity, ties to the lowest id)."""
+def _semdedup_chain_sql(n_centroids: int, threshold: float) -> str:
+    """Shared oracle CTE chain replaying the ENTIRE SemDeDup pipeline
+    value-exactly: deterministic-centroid assignment (the
+    ``_ivf_assign_cte`` argmax rule — raw-sim order, ties to the lowest
+    cid), within-cell pair generation at the 6-dp-rounded cosine
+    threshold, recursive-CTE transitive closure, and the paper's
+    least-prototypical survivor rule (min rounded centroid-similarity,
+    ties to the lowest id). Used by both the standalone operator query
+    and the declarative `dedup.method: semdedup` job twin."""
     return f"""
     WITH RECURSIVE vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -13104,10 +13106,18 @@ def _semdedup_cells_sql(n_centroids: int = 16, threshold: float = 0.35) -> str:
         FROM outp
       ) WHERE rn = 1
     )
+    """
+
+
+def _semdedup_cells_sql(n_centroids: int = 16, threshold: float = 0.35) -> str:
+    return (
+        _semdedup_chain_sql(n_centroids, threshold)
+        + """
     SELECT o.vec_id, o.cell, o.cluster_id, o.cent_sim,
            o.vec_id = k.keeper AS keep
     FROM outp o JOIN keepers k USING (cluster_id)
     """
+    )
 
 
 @query("emb_semdedup_cells", _semdedup_cells_sql())
@@ -13126,3 +13136,44 @@ def emb_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_cells(
         e, n_centroids=16, threshold=0.35
     )
+
+
+@query(
+    "etl_semdedup",
+    _semdedup_chain_sql(16, 0.35)
+    + """
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (
+      SELECT o.vec_id FROM outp o JOIN keepers k USING (cluster_id)
+      WHERE o.vec_id <> k.keeper
+    )
+    """,
+)
+def etl_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative cell-bounded semantic dedup
+    (`dedup.method: semdedup`, compiler.py:_apply_dedup): the SemDeDup
+    pipeline from YAML alone — deterministic cells, within-cell rounded
+    cosine pairs, transitive groups, and the LEAST-prototypical
+    survivor rule (the one declarative dedup method whose survivor is
+    NOT the minimum id). The corpus frame is filtered with one ids-only
+    anti-join against the loser set; rows without a usable vector
+    (NULL/zero-norm) pass through untouched, the same contract as the
+    standalone operator. Oracle: the shared value-exact SemDeDup chain,
+    finalized as the surviving (vec_id, label) rows."""
+    spec = TableSpec(
+        source_table="embeddings",
+        target_table="emb_semdedup",
+        mappings=[
+            MappingSpec(source="vec_id", target="vec_id"),
+            MappingSpec(source="label", target="label"),
+            MappingSpec(source="embedding", target="embedding"),
+        ],
+        dedup=DedupSpec(
+            method="semdedup",
+            vector_column="embedding",
+            id_column="vec_id",
+            threshold=0.35,
+            n_centroids=16,
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select("vec_id", "label")

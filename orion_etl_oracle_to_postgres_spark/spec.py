@@ -225,6 +225,12 @@ class DedupSpec(BaseModel):
     pairs over ``vector_column`` (``threshold`` is a COSINE here),
     same clustering, same min-id survivor rule — paraphrase dedup from
     YAML alone.
+    ``method: semdedup`` is the CELL-bounded embedding-space variant
+    (SemDeDup, Abbas et al. 2023): candidate pairs come from
+    ``n_centroids`` deterministic cells instead of LSH buckets, and
+    each duplicate group keeps its LEAST-prototypical member (minimum
+    centroid cosine) rather than the min id — the diversity-preserving
+    survivor rule (``operators/similarity.py:semdedup_cells``).
     ``method: soft`` is SOFT dedup (reweight, don't remove): the same
     MinHash pair/cluster machinery as ``minhash``, but every row ships
     with ``cluster_id``/``n_dups``/``sample_weight = 1/n_dups`` columns
@@ -242,7 +248,7 @@ class DedupSpec(BaseModel):
     parameters that produced the table are the caller's contract, so
     persist them beside it (the layout-marker pattern)."""
 
-    method: str = "fingerprint"  # exact | fingerprint | minhash | semantic | soft
+    method: str = "fingerprint"  # exact|fingerprint|minhash|semantic|semdedup|soft
     columns: Optional[List[str]] = None  # exact: key columns
     text_column: Optional[str] = None  # fingerprint/minhash: the text
     vector_column: Optional[str] = None  # semantic: the embedding
@@ -258,6 +264,8 @@ class DedupSpec(BaseModel):
     #: semantic knobs
     n_planes: int = 8
     seed: int = 42
+    #: semdedup knob: number of deterministic candidate cells
+    n_centroids: int = 16
     #: streaming mode only: how long a key's dedup state is retained
     #: past the event-time watermark (duplicates farther apart than
     #: this horizon are out of contract — state must be bounded)
@@ -275,11 +283,22 @@ class DedupSpec(BaseModel):
     @field_validator("method")
     @classmethod
     def _known_method(cls, v: str) -> str:
-        if v not in ("exact", "fingerprint", "minhash", "semantic", "soft"):
+        if v not in (
+            "exact", "fingerprint", "minhash", "semantic", "semdedup", "soft"
+        ):
             raise ValueError(
                 "dedup method must be exact|fingerprint|minhash|semantic|"
-                f"soft, got {v!r}"
+                f"semdedup|soft, got {v!r}"
             )
+        return v
+
+    @field_validator("n_centroids")
+    @classmethod
+    def _centroids_positive(cls, v: int) -> int:
+        if v < 1:
+            # 0 cells would leave every vector unassigned; 1 cell
+            # degenerates to an all-pairs corpus self-join
+            raise ValueError(f"dedup n_centroids must be >= 1, got {v}")
         return v
 
 

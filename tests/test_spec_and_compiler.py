@@ -3049,3 +3049,60 @@ def test_vector_transform_declarative(spark, tmp_path):
     assert "white" in plan_named.columns
     named_row = {r["id"]: r["white"] for r in plan_named.collect()}
     assert named_row[0] == [10.0, 1.0, 0.0]  # schema-preserving identity
+
+
+def test_declarative_semdedup(spark, tmp_path):
+    """dedup method=semdedup in YAML: cell-bounded near-dup groups keep
+    the LEAST-prototypical member (not the min id — the SemDeDup
+    survivor rule), rows without a usable vector pass through; bad
+    knobs refused at parse time."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import JobContext, compile_table
+
+    rows = [
+        (0, [1.0, 0.0]),    # centroid of cell 0 (n_centroids=1 -> all here)
+        (2, [4.0, 1.0]),    # cos to c0 = 0.9701; pairs with 0 and 3
+        (3, [3.0, 1.5]),    # cos to c0 = 0.8944: LEAST prototypical
+        (9, None),          # no vector: must pass through untouched
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "id int, emb array<double>"
+    ).write.parquet(str(src / "vecs.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="vecs",
+        target_table="vecs_dedup",
+        dedup=spec_mod.DedupSpec(
+            method="semdedup", vector_column="emb", id_column="id",
+            threshold=0.97, n_centroids=1,
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="emb", target="emb"),
+        ],
+    )
+    compiled = compile_table(JobContext(spark=spark, global_spec=g), t)
+    ids = {r["id"] for r in compiled.df.collect()}
+    # group {0,2,3} (0~2 and 2~3 edges): survivor = 3, NOT min id 0;
+    # the vectorless row 9 survives by contract
+    assert ids == {3, 9}
+
+    with pytest.raises(ValueError, match="requires"):
+        compile_table(
+            JobContext(spark=spark, global_spec=g),
+            t.model_copy(update={"dedup": spec_mod.DedupSpec(method="semdedup")}),
+        )
+    with pytest.raises(ValueError, match="n_centroids"):
+        spec_mod.DedupSpec(method="semdedup", n_centroids=0)
+    # streaming refusal, same contract as minhash/semantic/soft
+    from orion_etl_oracle_to_postgres_spark.compiler import _assert_streaming_spec
+
+    with pytest.raises(ValueError, match="semdedup"):
+        _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)
