@@ -1,0 +1,116 @@
+"""Streaming first-sighting monitor on Bloom membership state
+(SURVEY.md §2.9/§2.11): the STREAMING twin of the batch mergeable
+Bloom family (``operators/aggstate.py:build/merge_bloom_states``,
+``probe_bloom``; batch anchors ``dedup_bloom_history_probe`` /
+``agg_bloom_incremental_users``) — an ingestion stream answers "which
+of this micro-batch's keys have we EVER seen before?" without joining
+against history.
+
+Design: the hist-monitor pattern — APPEND-ONLY increments,
+fold-on-read. Each micro-batch first PROBES the fold of every prior
+increment (one-sided: a miss is a definite first sighting, a hit is
+"maybe seen" at the Bloom false-positive rate), appends a one-row
+report (batch_id, n_rows, n_definite_new, n_maybe_seen), then appends
+its OWN keys-sized Bloom increment. Because the fold is exact set
+union, the probed state is bit-identical to a single batch build over
+all prior batches (the parity the unit test pins) — a stream restart
+from the same increments can never change a verdict.
+
+Contract notes:
+* First-sighting is CROSS-batch: duplicates within one micro-batch all
+  probe against the pre-batch state (dedup inside the batch first if
+  within-batch repeats matter).
+* Wrap the writer with ``foreach_sink.idempotent_foreach_batch`` — a
+  replayed batch would otherwise append its report and increment
+  twice; with the ledger, replays are skipped before the probe runs.
+* Layout (m_bits/k/seed) travels in the state rows; a config change
+  between deploys fails loudly at the next fold, the
+  ``merge_bloom_states`` contract.
+
+Scale shape: the probe is the batch-side zero-join projection against
+the collected word array (≤ 512 KiB); the increment is one
+map-side-combined bit_or aggregate; the report is one row. Nothing
+grows with history except the fixed-size bitmap's fill factor — size
+``m_bits`` for the key cardinality horizon, and rotate the state path
+when the false-positive budget is spent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.aggstate import (
+    build_bloom_state,
+    merge_bloom_states,
+    probe_bloom,
+)
+
+
+def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Prior increments, or None before the first batch lands."""
+    try:
+        return spark.read.parquet(state_path)
+    except Exception as exc:  # AnalysisException: path does not exist
+        if "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc):
+            return None
+        raise
+
+
+def bloom_increment_writer(
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: str = "bloom",
+    state_path: str,
+    report_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """→ a ``foreachBatch`` writer: probe the batch against the folded
+    prior state, append the per-batch first-sighting report, then
+    append this batch's Bloom increment. NULL keys are counted in
+    ``n_rows`` but in neither verdict column (membership of NULL is
+    meaningless — the ``probe_bloom`` contract)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = _read_state(spark, state_path)
+        if prior is None:
+            probed = batch_df.withColumn(
+                "__maybe",
+                F.when(F.col(key_col).isNotNull(), F.lit(False)),
+            )
+        else:
+            probed = probe_bloom(
+                batch_df, key_col, merge_bloom_states([prior]),
+                out_col="__maybe",
+            )
+        report = probed.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(~F.col("__maybe"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_definite_new"),
+            F.sum(F.when(F.col("__maybe"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe_seen"),
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        report.write.mode("append").parquet(report_path)
+        build_bloom_state(
+            batch_df, key_col, m_bits=m_bits, k=k, seed=seed
+        ).write.mode("append").parquet(state_path)
+
+    return write
+
+
+def folded_bloom_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read every appended increment and fold to one row per occupied
+    word (exact set union; layout validated)."""
+    return merge_bloom_states([spark.read.parquet(state_path)])
+
+
+def first_sighting_report(spark: SparkSession, report_path: str) -> DataFrame:
+    """Per-batch report rows — the monitor read side (an alert layer
+    watches ``n_maybe_seen`` spike on a supposedly-fresh source, or
+    ``n_definite_new`` collapse on a supposedly-rotating one)."""
+    return spark.read.parquet(report_path).orderBy("batch_id")
