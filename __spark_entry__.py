@@ -112,8 +112,10 @@ _FIRST_50 = [
 # agg_bloom_incremental_users (mergeable Bloom membership state,
 # joinless broadcast-bitmap probe), emb_semdedup_cells +
 # etl_semdedup (cell-bounded SemDeDup, least-prototypical survivor,
-# standalone + declarative) — cumulative driver-verified after r9
-# should reach >=249/287; rotation #7 can finish the backlog.
+# standalone + declarative), dedup_ngram_bloom_prescreen (Bloom
+# semi-join escape hatch, result-identical to the broadcast twin) —
+# cumulative driver-verified after r9 should reach >=249/288;
+# rotation #7 can finish the backlog.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "agg_bloom_incremental_users",  # mergeable Bloom states, exact fold
     "emb_semdedup_cells",  # cell-bounded SemDeDup, vectors shuffle once
     "etl_semdedup",  # declarative dedup.method: semdedup job twin
+    "dedup_ngram_bloom_prescreen",  # Bloom semi-join, shuffled exact verify
 ]
 
 

@@ -1166,6 +1166,13 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 min_shared=dc.min_shared,
                 # explain-only compiles must not run the guard's count job
                 broadcast_limit=None if ctx.explain_only else dc.broadcast_limit,
+                # the Bloom prescreen collects its word array at
+                # plan-build — under --explain fall back to the
+                # (unguarded) broadcast shape; the real run prescreens
+                bench_join=(
+                    "broadcast" if ctx.explain_only else dc.bench_join
+                ),
+                bloom_m_bits=dc.bloom_m_bits,
             )
             flagged = pairs.groupBy(F.col("train_id").alias(dc.id_column)).agg(
                 F.count("*").cast("long").alias("_matched_benchmark_docs"),

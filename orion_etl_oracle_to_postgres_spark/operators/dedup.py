@@ -1038,6 +1038,8 @@ def ngram_overlap_pairs(
     n: int = 13,
     min_shared: int = 1,
     broadcast_limit: int | None = 20_000_000,
+    bench_join: str = "broadcast",
+    bloom_m_bits: int = 1 << 20,
 ) -> DataFrame:
     """Exact n-gram eval-decontamination (the GPT-3 appendix-C check,
     default n=13): every (train doc, benchmark doc) pair sharing >=
@@ -1067,9 +1069,30 @@ def ngram_overlap_pairs(
     of OOMing every executor mid-join. Pass ``broadcast_limit=None``
     only when the caller has already bounded the side (or cannot run
     jobs at build time, e.g. explain-only compilation).
+
+    ``bench_join="bloom"`` is the escape hatch for the bench side the
+    guard refuses — the classic Bloom semi-join: the bench gram set is
+    compressed into a FIXED-size Bloom bitmap (``bloom_m_bits``, ≤
+    512 KiB broadcast regardless of gram count) and training grams are
+    pre-filtered by a zero-join probe BEFORE a plain shuffled equi-join
+    replaces the broadcast one. The result is IDENTICAL by
+    construction: Bloom false positives are dropped by the exact join
+    they survive into, false negatives are impossible — only the
+    exchange volume changes (the definite-miss majority of training
+    grams never shuffles). Size ``bloom_m_bits`` to the bench gram
+    cardinality (the prescreen stops paying as fill saturates, roughly
+    past m/10 grams); no broadcast guard runs in this mode — bounding
+    the bitmap is the point. The Bloom build collects the word array
+    at plan-build time (a bounded driver probe), so this mode is not
+    explain-only-safe; the declarative compiler falls back to the
+    guarded broadcast shape under ``--explain``.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    if bench_join not in ("broadcast", "bloom"):
+        raise ValueError(
+            f"bench_join must be broadcast|bloom, got {bench_join!r}"
+        )
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
         base = df.select(
@@ -1085,15 +1108,29 @@ def ngram_overlap_pairs(
         return base.select(out_id, F.explode(g).alias("__g"))
 
     bench_grams = grams(bench, "bench_id")
-    if broadcast_limit is not None:
-        from .similarity import _guard_broadcast_side
+    train_grams = grams(train, "train_id")
+    if bench_join == "bloom":
+        from .aggstate import build_bloom_state, probe_bloom
 
-        _guard_broadcast_side(
-            bench_grams, "__g", broadcast_limit, "ngram_overlap_pairs"
+        state = build_bloom_state(
+            bench_grams, "__g", m_bits=bloom_m_bits, k=5, seed="ngb"
         )
+        train_grams = (
+            probe_bloom(train_grams, "__g", state, out_col="__maybe")
+            .filter(F.col("__maybe"))
+            .drop("__maybe")
+        )
+        joined = train_grams.join(bench_grams, "__g")
+    else:
+        if broadcast_limit is not None:
+            from .similarity import _guard_broadcast_side
+
+            _guard_broadcast_side(
+                bench_grams, "__g", broadcast_limit, "ngram_overlap_pairs"
+            )
+        joined = train_grams.join(F.broadcast(bench_grams), "__g")
     return (
-        grams(train, "train_id")
-        .join(F.broadcast(bench_grams), "__g")
+        joined
         .groupBy("train_id", "bench_id")
         .agg(F.count("*").cast("long").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)

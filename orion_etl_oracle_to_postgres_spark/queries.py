@@ -10278,9 +10278,10 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_decontaminate",
-    """
+# shared by dedup_ngram_decontaminate and its bloom-prescreen twin:
+# the prescreen is result-identical by construction, so BOTH queries
+# pin against the same replay of the gram expansion and text join
+_NGRAM_DECON_SQL = """
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -10298,8 +10299,10 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grams a JOIN grams b ON a.g = b.g
     WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("dedup_ngram_decontaminate", _NGRAM_DECON_SQL)
 def dedup_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Exact 13-gram eval decontamination
     (operators/dedup.py:ngram_overlap_pairs): training docs (doc_id % 7
@@ -10316,6 +10319,31 @@ def dedup_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=13,
+    )
+
+
+@query("dedup_ngram_bloom_prescreen", _NGRAM_DECON_SQL)
+def dedup_ngram_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The Bloom semi-join escape hatch for n-gram
+    decontamination when the benchmark gram postings exceed the
+    broadcast guard (operators/dedup.py:ngram_overlap_pairs,
+    bench_join='bloom'): bench grams compress into a fixed ≤512 KiB
+    Bloom bitmap, training grams are pre-filtered by a zero-join probe,
+    and a plain shuffled equi-join replaces the broadcast — the
+    definite-miss majority of training grams never reaches the
+    exchange. Result IDENTICAL to ``dedup_ngram_decontaminate`` by
+    construction (Bloom false positives die in the exact join, false
+    negatives are impossible), which is exactly what this query pins:
+    the SAME oracle as the broadcast twin."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_overlap_pairs(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        n=13,
+        bench_join="bloom",
+        bloom_m_bits=1 << 18,
     )
 
 

@@ -854,6 +854,13 @@ class DecontaminateSpec(BaseModel):
     # AND the flagged-id set): a user-declared oversized benchmark_table
     # must fail at plan-build, not OOM executors mid-join
     broadcast_limit: int = Field(default=20_000_000, ge=1)
+    #: ngram only — how the benchmark gram postings meet the pipeline:
+    #: ``broadcast`` (default; size-guarded) or ``bloom`` (fixed-size
+    #: Bloom-bitmap prescreen + shuffled equi-join — the escape hatch
+    #: for benchmark sets the guard refuses; result identical by
+    #: construction, see ``dedup.ngram_overlap_pairs``)
+    bench_join: str = "broadcast"
+    bloom_m_bits: int = Field(default=1 << 20, ge=64)
 
     @field_validator("method")
     @classmethod
@@ -866,6 +873,24 @@ class DecontaminateSpec(BaseModel):
                 f"got {v!r}"
             )
         return v
+
+    @field_validator("bench_join")
+    @classmethod
+    def _known_bench_join(cls, v: str) -> str:
+        if v not in ("broadcast", "bloom"):
+            raise ValueError(
+                f"decontaminate bench_join must be broadcast|bloom, got {v!r}"
+            )
+        return v
+
+    @model_validator(mode="after")
+    def _bench_join_contract(self) -> "DecontaminateSpec":
+        if self.bench_join == "bloom" and self.method != "ngram":
+            raise ValueError(
+                "decontaminate bench_join=bloom only applies to method "
+                f"ngram, not {self.method!r}"
+            )
+        return self
 
     @model_validator(mode="after")
     def _pairs_table_contract(self) -> "DecontaminateSpec":

@@ -633,3 +633,62 @@ def test_pair_evidence_missing_doc_side_survives(spark):
     rows = pair_evidence(pairs, docs, "doc_id", "text").collect()
     assert len(rows) == 1
     assert rows[0].n_shared == 0 and rows[0].evidence == []
+
+
+def test_ngram_bloom_prescreen_is_result_identical(spark):
+    """bench_join='bloom' must return EXACTLY the broadcast result:
+    Bloom false positives die in the exact join, false negatives are
+    impossible — the whole point of the prescreen."""
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        ngram_overlap_pairs,
+    )
+
+    docs = [
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i}")
+        for i in range(20)
+    ] + [(100, "alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3")]  # copies doc 3
+    train = spark.createDataFrame(
+        [d for d in docs if d[0] != 3], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [d for d in docs if d[0] == 3], "doc_id long, text string"
+    )
+    kw = dict(n=5, min_shared=1)
+    base = sorted(
+        map(tuple, ngram_overlap_pairs(
+            train, bench, "doc_id", "text", **kw
+        ).collect())
+    )
+    bloom = sorted(
+        map(tuple, ngram_overlap_pairs(
+            train, bench, "doc_id", "text",
+            bench_join="bloom", bloom_m_bits=1 << 12, **kw
+        ).collect())
+    )
+    assert bloom == base
+    assert base  # the verbatim copy must actually be caught
+    assert {t[0] for t in base} == {100}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bench_join"):
+        ngram_overlap_pairs(
+            train, bench, "doc_id", "text", bench_join="nope"
+        )
+
+
+def test_decontaminate_bench_join_spec_contract():
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    kw = dict(benchmark_table="b", id_column="id", text_column="t")
+    with pytest.raises(ValueError, match="broadcast|bloom"):
+        spec_mod.DecontaminateSpec(bench_join="hash", **kw)
+    with pytest.raises(ValueError, match="only applies to method"):
+        spec_mod.DecontaminateSpec(
+            method="semantic", bench_join="bloom",
+            benchmark_table="b", id_column="id", vector_column="v",
+        )
+    s = spec_mod.DecontaminateSpec(bench_join="bloom", **kw)
+    assert s.method == "ngram" and s.bloom_m_bits == 1 << 20

@@ -3106,3 +3106,67 @@ def test_declarative_semdedup(spark, tmp_path):
 
     with pytest.raises(ValueError, match="semdedup"):
         _assert_streaming_spec(JobContext(spark=spark, global_spec=g), t, None)
+
+
+def test_declarative_decontaminate_bloom_prescreen(spark, tmp_path):
+    """decontaminate bench_join=bloom: identical kept/rejected rows to
+    the broadcast default (the prescreen is a pure exchange optimizer),
+    and --explain compiles without running the Bloom build's collect."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [
+            (1, "totally unrelated words in this training row"),
+            (2, "contains the secret benchmark sentence here verbatim padded"),
+        ],
+        "id int, body string",
+    ).write.parquet(str(src / "train.parquet"))
+    spark.createDataFrame(
+        [(9, "xx the secret benchmark sentence here yy")],
+        "bid int, btext string",
+    ).write.parquet(str(src / "bench.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+        )
+    )
+
+    def table(join):
+        return spec_mod.TableSpec(
+            source_table="train",
+            target_table="train_clean",
+            mappings=[
+                spec_mod.MappingSpec(source="id", target="id"),
+                spec_mod.MappingSpec(source="body", target="body"),
+            ],
+            decontaminate=spec_mod.DecontaminateSpec(
+                benchmark_table="bench",
+                text_column="body",
+                id_column="id",
+                benchmark_text_column="btext",
+                benchmark_id_column="bid",
+                ngram=4,
+                bench_join=join,
+                bloom_m_bits=1 << 12,
+            ),
+        )
+
+    ids = lambda t, **kw: sorted(  # noqa: E731
+        r["id"]
+        for r in compile_table(
+            JobContext(spark=spark, global_spec=g, **kw), t
+        ).df.collect()
+    )
+    assert ids(table("bloom")) == ids(table("broadcast")) == [1]
+    # explain-only must not execute the Bloom word-array collect: the
+    # compile itself succeeding without a job is pinned by the global
+    # explain stage-scan test; here pin that the fallback COMPILES
+    compile_table(
+        JobContext(spark=spark, global_spec=g, explain_only=True),
+        table("bloom"),
+    )
