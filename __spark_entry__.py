@@ -113,9 +113,11 @@ _FIRST_50 = [
 # joinless broadcast-bitmap probe), emb_semdedup_cells +
 # etl_semdedup (cell-bounded SemDeDup, least-prototypical survivor,
 # standalone + declarative), dedup_ngram_bloom_prescreen (Bloom
-# semi-join escape hatch, result-identical to the broadcast twin) —
-# cumulative driver-verified after r9 should reach >=249/288;
-# rotation #7 can finish the backlog.
+# semi-join escape hatch, result-identical to the broadcast twin),
+# curation_doremi_sample + etl_doremi_sample (DoReMi weights APPLIED
+# to a row budget, operator + sample.method: doremi) — cumulative
+# driver-verified after r9 should reach >=249/290; rotation #7 can
+# finish the backlog.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -317,6 +317,8 @@ BENCH_QUERIES = [
     "emb_semdedup_cells",  # cell-bounded SemDeDup, vectors shuffle once
     "etl_semdedup",  # declarative dedup.method: semdedup job twin
     "dedup_ngram_bloom_prescreen",  # Bloom semi-join, shuffled exact verify
+    "curation_doremi_sample",  # MW weights applied: hash-prefix draw
+    "etl_doremi_sample",  # declarative sample.method: doremi twin
 ]
 
 

@@ -1380,6 +1380,8 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             else [smp.weight_column] if smp.method == "priority"
             else [smp.group_column, smp.text_column]
             if smp.method in ("token_budget", "unimax")
+            else [smp.group_column, smp.loss_column]
+            if smp.method == "doremi"
             else []
         )
         for c in needed:
@@ -1439,6 +1441,40 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 max_epochs=int(smp.max_epochs),
                 seed=smp.seed,
             )
+        elif smp.method == "doremi":
+            from .operators.curation import doremi_sample
+
+            clash = {"domain_weight", "target_rows"} & set(df.columns)
+            if clash:
+                raise ValueError(
+                    f"{spec.source_table}: doremi sampling adds "
+                    f"{sorted(clash)} but the pipeline already has them — "
+                    "rename those columns or use another method"
+                )
+            if ctx.explain_only:
+                # the MW weights collect a domains-row aggregate at
+                # compile time — skip under --explain, but stub the
+                # added columns so later stages and column validation
+                # stay truthful (the vector_transform placeholder rule)
+                logger.warning(
+                    "%s: plan review omits the doremi sample stage "
+                    "(its domain weights collect eagerly; the real run "
+                    "applies it; domain_weight/target_rows are stubbed)",
+                    spec.source_table,
+                )
+                df = df.withColumn(
+                    "domain_weight", F.lit(None).cast("double")
+                ).withColumn("target_rows", F.lit(None).cast("long"))
+            else:
+                df = doremi_sample(
+                    df,
+                    smp.id_column,
+                    smp.group_column,
+                    smp.loss_column,
+                    budget_rows=int(smp.budget_rows),
+                    eta=float(smp.eta),
+                    seed=smp.seed,
+                )
         elif smp.method == "epochs":
             from .operators.curation import epoch_mix
 

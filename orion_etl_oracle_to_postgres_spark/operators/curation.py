@@ -1605,3 +1605,81 @@ def mixture_reweight(
         for i in range(k)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def doremi_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    loss_col: str,
+    *,
+    budget_rows: int,
+    eta: float = 0.5,
+    rounds: int = 8,
+    smoothing: float = 0.01,
+    seed: str = "dm0",
+) -> DataFrame:
+    """APPLY a DoReMi mixture (``mixture_reweight``) to a ROW budget:
+    each domain keeps its portable-hash-order prefix of
+    ``floor(weight · budget_rows)`` rows — the one-stage "give me a
+    DoReMi-balanced N-row corpus" primitive, completing the
+    recipe-APPLIED pairs next to unimax_mixture/unimax_sample and
+    temperature_mix. Rows keep all input columns plus ``domain_weight``
+    (the learned mixture share, 6-dp) and ``target_rows`` (this
+    domain's integer allocation), so the draw is auditable.
+
+    Determinism/exactness: weights come out of the linearized-MW
+    iteration ROUNDED (the mixture_reweight contract); the per-domain
+    target is ``floor(rounded_weight · budget_rows)`` — one IEEE
+    multiply + floor, engine-portable — and the kept prefix is the
+    ``md5_60(id ∥ ':' ∥ seed)`` hash order with id tie-break, the
+    ``stratified_sample`` rule, so re-runs and engine migrations keep
+    the exact same rows. Floor under-fills by at most one row per
+    domain (Σ floor ≤ budget) — the bounded-remainder trade every
+    integer allocator here makes; NULL groups are legitimate domains
+    (NULL-safe join, same as unimax_sample).
+
+    100 TB shape: the corpus pays mixture_reweight's ONE domains-row
+    aggregate, the MW iteration is driver arithmetic on k doubles, the
+    targets broadcast back, and the prefix trim is ONE group-keyed
+    window shuffle — identical shape to unimax_sample."""
+    if budget_rows < 0:
+        raise ValueError(f"budget_rows must be >= 0, got {budget_rows}")
+    from pyspark.sql import Window
+
+    weights = mixture_reweight(
+        df.select(group_col, loss_col),
+        group_col,
+        loss_col,
+        eta=eta,
+        rounds=rounds,
+        smoothing=smoothing,
+    )
+    targets = weights.select(
+        F.col(group_col).alias("__tg"),
+        F.col("weight").alias("domain_weight"),
+        F.floor(F.col("weight") * F.lit(int(budget_rows)))
+        .cast("long")
+        .alias("target_rows"),
+    )
+    clash = {"domain_weight", "target_rows"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"doremi_sample adds {sorted(clash)} but the input already "
+            "has them — rename those columns first"
+        )
+    order = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        order.asc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            F.col(group_col).eqNullSafe(F.col("__tg")),
+        )
+        .filter(F.col("__rn") <= F.col("target_rows"))
+        .drop("__rn", "__tg")
+    )

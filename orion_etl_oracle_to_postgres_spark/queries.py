@@ -5751,11 +5751,10 @@ def _mw_round_cte(t: int, eta: float, smoothing: float) -> str:
     )"""
 
 
-@query(
-    "curation_mixture_reweight",
-    """
-    WITH perdoc AS (
-      SELECT source,
+# per-doc repetition-deficit loss proxy, shared by the mixture query
+# and the operator-level DoReMi sampler twin
+_MW_REPETITION_PERDOC = """
+      SELECT source AS g,
              CASE WHEN len(ts) > 0
                   THEN 1 - len(list_distinct(ts))::DOUBLE / len(ts)
              END AS loss
@@ -5764,13 +5763,25 @@ def _mw_round_cte(t: int, eta: float, smoothing: float) -> str:
                                                   '[^a-z0-9]+'),
                                x -> x <> '') AS ts
             FROM documents)
-    ),
+"""
+
+
+def _mw_chain_sql(
+    perdoc_sql: str, eta: float, smoothing: float, rounds: int = 8
+) -> str:
+    """Shared unrolled linearized-MW oracle chain
+    (curation.mixture_reweight): ``perdoc_sql`` must yield (g, loss)
+    rows; the chain ends at CTE ``r<rounds>`` holding the packed
+    (gs, ns, ls, k, w) lists in (g ASC NULLS LAST) order."""
+    return (
+        f"""
+    WITH perdoc AS ({perdoc_sql}),
     doms AS (
-      SELECT source AS g, count(*)::BIGINT AS n,
+      SELECT g, count(*)::BIGINT AS n,
              round(coalesce(avg(CASE WHEN loss IS NOT NULL
                                      THEN greatest(loss, 0) END), 0), 6)
                AS lbar
-      FROM perdoc GROUP BY source
+      FROM perdoc GROUP BY g
     ),
     packed AS (
       SELECT list(g ORDER BY g ASC NULLS LAST) AS gs,
@@ -5782,7 +5793,15 @@ def _mw_round_cte(t: int, eta: float, smoothing: float) -> str:
     r0 AS (SELECT gs, ns, ls, k,
                   list_transform(range(k), i -> 1.0::DOUBLE / k) AS w
            FROM packed),"""
-    + ",".join(_mw_round_cte(t, 0.5, 0.01) for t in range(1, 9))
+        + ",".join(
+            _mw_round_cte(t, eta, smoothing) for t in range(1, rounds + 1)
+        )
+    )
+
+
+@query(
+    "curation_mixture_reweight",
+    _mw_chain_sql(_MW_REPETITION_PERDOC, 0.5, 0.01)
     + """
     SELECT gs[i+1] AS source, ns[i+1] AS n_examples,
            ls[i+1] AS avg_excess_loss, round(w[i+1], 6) AS weight
@@ -13205,3 +13224,106 @@ def etl_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _compile(spark, sf_dir, spec).select("vec_id", "label")
+
+
+def _doremi_sample_tail_sql(budget: int, seed: str, id_sql: str = "doc_id") -> str:
+    """Sampling replay appended to an ``_mw_chain_sql`` chain: targets
+    = floor(rounded_weight · budget) per domain, kept rows = the
+    ``md5_60(id ∥ ':seed')``-order prefix (id tie-break) per source —
+    the ``doremi_sample`` keep rule, value-exact on both engines."""
+    h = _hex2int_sql(f"md5(CAST({id_sql} AS VARCHAR) || ':{seed}')")
+    return f"""
+    , targets AS (
+      SELECT gs[i+1] AS g, round(w[i+1], 6) AS domain_weight,
+             floor(round(w[i+1], 6) * {budget})::BIGINT AS target_rows
+      FROM (SELECT gs, w, unnest(range(k)) AS i FROM r8)
+    ),
+    ranked AS (
+      SELECT {id_sql}, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY {h} ASC, {id_sql} ASC) AS rn
+      FROM documents
+    )
+    SELECT r.{id_sql}, r.source, t.domain_weight, t.target_rows
+    FROM ranked r JOIN targets t ON r.source IS NOT DISTINCT FROM t.g
+    WHERE r.rn <= t.target_rows
+    """
+
+
+@query(
+    "curation_doremi_sample",
+    _mw_chain_sql(_MW_REPETITION_PERDOC, 0.5, 0.01)
+    + _doremi_sample_tail_sql(300, "dm0"),
+)
+def curation_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DoReMi mixture APPLIED to a row budget
+    (operators/curation.py:doremi_sample): the repetition-deficit
+    excess losses drive 8 linearized-MW rounds
+    (``curation_mixture_reweight``'s recipe), then each source keeps
+    its portable-hash-order prefix of floor(weight · 300) rows — the
+    recipe-APPLIED twin, like unimax_mixture → unimax_sample. The
+    oracle unrolls the identical MW rounds AND replays the floor
+    targets + hash-order prefix, so weights, allocations, and the kept
+    row set all pin value-exactly. One domains-row aggregate + one
+    group-keyed window shuffle; floor under-fills by < 1 row per
+    domain (documented)."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+    from .operators.curation import doremi_sample
+
+    tk = _tokens(F.col("text"))
+    loss = F.when(
+        F.col("text").isNotNull() & (F.size(tk) > 0),
+        F.lit(1.0) - F.size(F.array_distinct(tk)) / F.size(tk),
+    )
+    scored = d.select("doc_id", "source", loss.alias("__loss"))
+    return doremi_sample(
+        scored, "doc_id", "source", "__loss",
+        budget_rows=300, eta=0.5, seed="dm0",
+    ).select("doc_id", "source", "domain_weight", "target_rows")
+
+
+@query(
+    "etl_doremi_sample",
+    _mw_chain_sql(
+        "SELECT source AS g, n_chars::DOUBLE AS loss FROM documents",
+        0.002,
+        0.01,
+    )
+    + _doremi_sample_tail_sql(300, "dm1"),
+)
+def etl_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative DoReMi sampling (`sample.method:
+    doremi`, compiler.py): the YAML user hands a per-row excess-loss
+    column (here n_chars as the proxy deficit, step size eta=0.002 to
+    keep raw losses in the no-regret regime) and a row budget; the
+    compiler learns the domain weights and keeps each source's
+    hash-order prefix of its floor(weight · budget) allocation — the
+    mixture family's fourth declarative member next to temperature,
+    unimax, and epochs. Under --explain the stage is skipped with
+    schema-preserving placeholder columns (the vector_transform rule).
+    Oracle: the same unrolled MW chain over the n_chars losses + the
+    sampling replay."""
+    from .spec import SampleSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_doremi",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="source", target="source"),
+            MappingSpec(source="n_chars", target="loss"),
+        ],
+        sample=SampleSpec(
+            method="doremi",
+            id_column="doc_id",
+            group_column="source",
+            loss_column="loss",
+            budget_rows=300,
+            eta=0.002,
+            seed="dm1",
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select(
+        "doc_id", "source", "domain_weight", "target_rows"
+    )

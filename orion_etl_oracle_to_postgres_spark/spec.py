@@ -338,9 +338,16 @@ class SampleSpec(BaseModel):
     its hash-order prefix to its OWN allocation
     (``curation.unimax_sample``; needs ``group_column`` +
     ``text_column`` + ``budget_tokens``; adds ``n_tokens`` +
-    ``target_epochs`` output columns)."""
+    ``target_epochs`` output columns).
+    ``method: doremi`` — DoReMi mixture APPLIED: per-row excess losses
+    (``loss_column``) drive the linearized-MW domain weights
+    (``curation.mixture_reweight``, step size ``eta``) and each group
+    keeps its hash-order prefix of ``floor(weight · budget_rows)`` rows
+    (``curation.doremi_sample``; needs ``group_column`` +
+    ``loss_column`` + ``budget_rows``; adds ``domain_weight`` +
+    ``target_rows`` output columns)."""
 
-    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs | cap | unimax
+    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs | cap | unimax | doremi
     id_column: str
     group_column: Optional[str] = None
     rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
@@ -355,6 +362,9 @@ class SampleSpec(BaseModel):
     default_epochs: float = 1.0
     cap: Optional[int] = None  # method=cap: max rows kept per group
     max_epochs: int = Field(default=4, ge=1)  # method=unimax: repeat cap
+    #: method=doremi: per-row excess-loss column + the MW step size
+    loss_column: Optional[str] = None
+    eta: float = Field(default=0.5, ge=0.0)
     seed: str = "mix0"
 
     @field_validator("method")
@@ -362,11 +372,11 @@ class SampleSpec(BaseModel):
     def _known_sample_method(cls, v: str) -> str:
         if v not in (
             "rates", "exact_n", "priority", "token_budget", "temperature",
-            "epochs", "cap", "unimax",
+            "epochs", "cap", "unimax", "doremi",
         ):
             raise ValueError(
                 "sample method must be rates|exact_n|priority|token_budget|"
-                f"temperature|epochs|cap|unimax, got {v!r}"
+                f"temperature|epochs|cap|unimax|doremi, got {v!r}"
             )
         return v
 
@@ -417,6 +427,16 @@ class SampleSpec(BaseModel):
             raise ValueError(
                 "sample method=unimax needs group_column, text_column "
                 "and budget_tokens > 0"
+            )
+        if self.method == "doremi" and (
+            not self.group_column
+            or not self.loss_column
+            or self.budget_rows is None
+            or self.budget_rows <= 0
+        ):
+            raise ValueError(
+                "sample method=doremi needs group_column, loss_column "
+                "and budget_rows > 0"
             )
         return self
 

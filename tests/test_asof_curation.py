@@ -1662,3 +1662,117 @@ def test_mixture_reweight_hand_computed(spark):
     assert [f.name for f in empty.schema.fields] == [
         "src", "n_examples", "avg_excess_loss", "weight",
     ]
+
+
+def test_doremi_sample_applies_learned_allocation(spark):
+    """doremi_sample: MW weights -> floor(weight * budget) per-domain
+    targets -> hash-order prefix kept; under-fill bounded by one row
+    per domain; higher-loss domains get MORE rows."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        doremi_sample,
+        mixture_reweight,
+    )
+
+    rows = (
+        [(i, "hard", 0.9) for i in range(40)]
+        + [(100 + i, "easy", 0.1) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "id long, dom string, loss double")
+    out = doremi_sample(
+        df, "id", "dom", "loss", budget_rows=40, eta=1.0, seed="t"
+    )
+    got = out.groupBy("dom").count().collect()
+    counts = {r["dom"]: r["count"] for r in got}
+    w = {
+        r["dom"]: r["weight"]
+        for r in mixture_reweight(
+            df.select("dom", "loss"), "dom", "loss", eta=1.0
+        ).collect()
+    }
+    import math
+
+    # kept counts are exactly the floors of the learned shares
+    assert counts == {
+        d: math.floor(w[d] * 40) for d in w if math.floor(w[d] * 40) > 0
+    }
+    # up-weight the laggard (8 rounds at eta=1 can floor "easy" to 0)
+    assert counts["hard"] > counts.get("easy", 0)
+    assert sum(counts.values()) <= 40            # floor never overshoots
+    assert sum(counts.values()) >= 40 - len(w)   # under-fill < 1 row/domain
+    # audit columns present and consistent
+    r0 = out.filter(F.col("dom") == "hard").select(
+        "domain_weight", "target_rows"
+    ).distinct().collect()
+    assert len(r0) == 1 and r0[0]["target_rows"] == counts["hard"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget_rows"):
+        doremi_sample(df, "id", "dom", "loss", budget_rows=-1)
+    with pytest.raises(ValueError, match="adds"):
+        doremi_sample(
+            df.withColumn("target_rows", F.lit(1)),
+            "id", "dom", "loss", budget_rows=10,
+        )
+
+
+def test_doremi_sample_null_group_is_a_domain(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        doremi_sample,
+    )
+
+    rows = [(1, None, 0.5), (2, None, 0.5), (3, "a", 0.5), (4, "a", 0.5)]
+    df = spark.createDataFrame(rows, "id long, dom string, loss double")
+    out = doremi_sample(df, "id", "dom", "loss", budget_rows=4, eta=0.0)
+    # eta=0 -> uniform weights 0.5/0.5 -> 2 rows per domain incl. NULL
+    counts = {r["dom"]: r["count"] for r in out.groupBy("dom").count().collect()}
+    assert counts == {None: 2, "a": 2}
+
+
+def test_declarative_doremi_sample_and_explain_stub(spark, tmp_path):
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, "hard" if i < 40 else "easy", 0.9 if i < 40 else 0.1)
+         for i in range(80)],
+        "id long, dom string, loss double",
+    ).write.parquet(str(src / "t.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="t",
+        target_table="t_mix",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="dom", target="dom"),
+            spec_mod.MappingSpec(source="loss", target="loss"),
+        ],
+        sample=spec_mod.SampleSpec(
+            method="doremi", id_column="id", group_column="dom",
+            loss_column="loss", budget_rows=40, eta=1.0,
+        ),
+    )
+    out = compile_table(JobContext(spark=spark, global_spec=g), t).df
+    assert {"domain_weight", "target_rows"} <= set(out.columns)
+    assert 0 < out.count() <= 40
+    # --explain: stage skipped, placeholder columns keep the schema
+    exp = compile_table(
+        JobContext(spark=spark, global_spec=g, explain_only=True), t
+    ).df
+    assert {"domain_weight", "target_rows"} <= set(exp.columns)
+    # spec contract: missing loss_column refused at parse time
+    with pytest.raises(ValueError, match="doremi"):
+        spec_mod.SampleSpec(
+            method="doremi", id_column="id", group_column="dom",
+            budget_rows=40,
+        )
