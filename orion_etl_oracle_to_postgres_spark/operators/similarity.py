@@ -989,6 +989,16 @@ def semdedup_cells(
             F.col(id_col).alias("__cid"),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         )
+    # an EMPTY centroid set would assign nothing and silently return an
+    # empty frame — a dedup that drops the whole corpus. Fail loudly
+    # (bounded 1-row probe; the operator is already eager through the
+    # clustering, so this adds no new execution class).
+    if not cent.limit(1).count():
+        raise ValueError(
+            "semdedup_cells: no centroids — default centroids are the "
+            f"vectors with {id_col} < n_centroids ({n_centroids}); ids "
+            "not starting near 0 need an explicit centroids codebook"
+        )
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).where(

@@ -1097,3 +1097,14 @@ def test_semdedup_cells_survivor_is_least_prototypical(spark):
     # cent_sim is the auditable survivor key, rounded to 6 dp
     assert abs(out[3]["cent_sim"] - 0.894427) <= 1e-6
     assert out[0]["cent_sim"] == 1.0
+
+    # ids not starting near 0 -> empty default centroid set must fail
+    # loudly, never silently dedup the corpus to nothing
+    import pytest
+    from pyspark.sql import functions as F
+
+    shifted = df.where("vec_id >= 2 AND embedding IS NOT NULL").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="no centroids"):
+        semdedup_cells(shifted, n_centroids=2, threshold=0.97)
