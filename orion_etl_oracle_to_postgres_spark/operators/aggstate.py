@@ -307,39 +307,63 @@ def merge_hist_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
 # reference one broadcastable 64-element array literal instead of a
 # column-shift (PySpark's shiftleft only takes an int shift amount).
 _BLOOM_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
-_BLOOM_STATE_COLS = ["word_idx", "word", "__m", "__k", "__seed"]
+_BLOOM_STATE_COLS = ["word_idx", "word", "__m", "__k", "__seed", "__h"]
 _BLOOM_MAX_M = 1 << 22  # 4 Mi bits = 64 Ki words: the driver-probe cap
 
 
-def _bloom_positions(key, m_bits: int, k: int, seed: str):
+def _bloom_positions(key, m_bits: int, k: int, seed: str, hash_family: str):
     """array<int> of the k bit positions for a key: Kirsch–Mitzenmacher
-    double hashing g_i = (h1 + i·h2) mod m from two INDEPENDENT 60-bit
-    md5 halves (hex chars 1-15 and 17-31), h2 forced odd so it is
+    double hashing g_i = (h1 + i·h2) mod m, h2 forced odd so it is
     coprime with the power-of-two m and the probe sequence cycles the
-    whole table. Everything stays in exact integer range: both halves
-    are < 2^60 before the mod, and i·h2 < 16·m ≤ 2^26 after it. The
-    hash is the repo's PORTABLE md5 construction (``functions.
-    md5_hash60``) — DuckDB computes identical md5 bytes, so an oracle
-    replays every bit position exactly (no bounded-error envelope
-    needed, unlike the HLL member of this family)."""
-    hx = F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
-    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(int(m_bits))
-    h2 = (
-        F.conv(F.substring(hx, 17, 15), 16, 10).cast("long") % F.lit(int(m_bits))
-    ).bitwiseOR(F.lit(1))
+    whole table. Two hash families:
+
+    ``portable`` — two INDEPENDENT 60-bit md5 halves (hex chars 1-15
+    and 17-31, the repo's ``functions.md5_hash60`` construction).
+    DuckDB computes identical md5 bytes, so an oracle replays every
+    bit position exactly (no bounded-error envelope needed, unlike the
+    HLL member of this family). Everything stays in exact integer
+    range: both halves are < 2^60 before the mod, i·h2 < 16·m ≤ 2^26
+    after it.
+
+    ``fast`` — two seeded ``xxhash64`` draws (native JVM, no string
+    md5 + hex parse per key): ~5× cheaper per probe, for
+    ENGINE-INTERNAL filters whose RESULT is verified independently
+    (e.g. the n-gram Bloom prescreen, where false positives die in the
+    exact join downstream) — nothing external ever replays these bit
+    positions, so portability would buy nothing."""
+    if hash_family == "fast":
+        salted = F.concat(key.cast("string"), F.lit(":" + seed))
+        h1 = F.pmod(F.xxhash64(salted), F.lit(int(m_bits)))
+        h2 = F.pmod(F.xxhash64(salted, F.lit(1)), F.lit(int(m_bits))).bitwiseOR(
+            F.lit(1)
+        )
+    else:
+        hx = F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
+        h1 = (
+            F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+            % F.lit(int(m_bits))
+        )
+        h2 = (
+            F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+            % F.lit(int(m_bits))
+        ).bitwiseOR(F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), F.lit(int(k) - 1)),
         lambda i: ((h1 + i.cast("long") * h2) % F.lit(int(m_bits))).cast("int"),
     )
 
 
-def _bloom_validate(m_bits: int, k: int) -> None:
+def _bloom_validate(m_bits: int, k: int, hash_family: str = "portable") -> None:
     if m_bits < 64 or m_bits > _BLOOM_MAX_M or (m_bits & (m_bits - 1)) != 0:
         raise ValueError(
             f"m_bits must be a power of two in [64, {_BLOOM_MAX_M}], got {m_bits}"
         )
     if not (1 <= k <= 16):
         raise ValueError(f"k must be in [1, 16], got {k}")
+    if hash_family not in ("portable", "fast"):
+        raise ValueError(
+            f"hash_family must be portable|fast, got {hash_family!r}"
+        )
 
 
 def build_bloom_state(
@@ -349,6 +373,7 @@ def build_bloom_state(
     m_bits: int = 1 << 16,
     k: int = 5,
     seed: str = "bloom",
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Bloom-filter MEMBERSHIP state — the set-membership member of the
     mergeable-state family (monoid = moments, HLL = distinct counts,
@@ -372,9 +397,12 @@ def build_bloom_state(
     NULL keys contribute nothing (NULL membership is meaningless).
     Shuffle shape: the explode carries k·rows (key, bit) INTEGERS —
     never payloads — into one map-side-combined bit_or aggregate over
-    at most m/64 groups."""
-    _bloom_validate(m_bits, k)
-    pos = _bloom_positions(F.col(key_col), m_bits, k, seed)
+    at most m/64 groups. ``hash_family`` picks the bit-position hash
+    (see ``_bloom_positions``): ``portable`` (md5, oracle-replayable —
+    the default) or ``fast`` (xxhash64, engine-internal filters); it
+    travels in the state like the other layout fields."""
+    _bloom_validate(m_bits, k, hash_family)
+    pos = _bloom_positions(F.col(key_col), m_bits, k, seed, hash_family)
     bits = (
         df.where(F.col(key_col).isNotNull())
         .select(F.explode(pos).alias("__bit"))
@@ -394,6 +422,7 @@ def build_bloom_state(
         F.lit(int(m_bits)).alias("__m"),
         F.lit(int(k)).alias("__k"),
         F.lit(seed).alias("__seed"),
+        F.lit(hash_family).alias("__h"),
     )
 
 
@@ -410,17 +439,20 @@ def merge_bloom_states(states: list[DataFrame]) -> DataFrame:
     u = states[0].select(_BLOOM_STATE_COLS)
     for s in states[1:]:
         u = u.unionByName(s.select(_BLOOM_STATE_COLS))
-    layouts = u.select("__m", "__k", "__seed").distinct().limit(2).collect()
+    layouts = (
+        u.select("__m", "__k", "__seed", "__h").distinct().limit(2).collect()
+    )
     if len(layouts) > 1:
         raise ValueError(
             f"merge_bloom_states: incompatible layouts {sorted(map(tuple, layouts))} "
-            "— states must share (m_bits, k, seed) to merge"
+            "— states must share (m_bits, k, seed, hash_family) to merge"
         )
     return u.groupBy("word_idx").agg(
         F.bit_or("word").alias("word"),
         F.first("__m").alias("__m"),
         F.first("__k").alias("__k"),
         F.first("__seed").alias("__seed"),
+        F.first("__h").alias("__h"),
     )
 
 
@@ -440,7 +472,9 @@ def probe_bloom(
     element_at + bitwise-AND tests per row, entirely inside
     whole-stage codegen. NULL keys probe NULL (unknown, not False —
     False would falsely certify them as first sightings)."""
-    meta = state.select("__m", "__k", "__seed").distinct().limit(2).collect()
+    meta = (
+        state.select("__m", "__k", "__seed", "__h").distinct().limit(2).collect()
+    )
     if len(meta) > 1:
         raise ValueError(
             f"probe_bloom: state has mixed layouts {sorted(map(tuple, meta))}"
@@ -450,14 +484,16 @@ def probe_bloom(
             out_col,
             F.when(F.col(key_col).isNotNull(), F.lit(False)),
         )
-    m_bits, k, seed = int(meta[0][0]), int(meta[0][1]), str(meta[0][2])
-    _bloom_validate(m_bits, k)
+    m_bits, k, seed, hash_family = (
+        int(meta[0][0]), int(meta[0][1]), str(meta[0][2]), str(meta[0][3])
+    )
+    _bloom_validate(m_bits, k, hash_family)
     words = [0] * (m_bits // 64)
     for r in state.select("word_idx", "word").collect():
         words[int(r[0])] = int(r[1])
     arr = F.lit(words)
     masks = F.lit(_BLOOM_MASKS)
-    pos = _bloom_positions(F.col(key_col), m_bits, k, seed)
+    pos = _bloom_positions(F.col(key_col), m_bits, k, seed, hash_family)
     hit = F.forall(
         pos,
         lambda b: F.element_at(arr, F.shiftright(b, 6) + 1).bitwiseAND(

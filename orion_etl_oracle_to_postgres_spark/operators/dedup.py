@@ -1112,8 +1112,13 @@ def ngram_overlap_pairs(
     if bench_join == "bloom":
         from .aggstate import build_bloom_state, probe_bloom
 
+        # hash_family="fast": these bit positions are never replayed by
+        # an oracle — the exact join verifies the result — so the probe
+        # uses native xxhash64 instead of paying md5 + hex-parse per
+        # training gram (the dominant cost of the prescreen)
         state = build_bloom_state(
-            bench_grams, "__g", m_bits=bloom_m_bits, k=5, seed="ngb"
+            bench_grams, "__g", m_bits=bloom_m_bits, k=5, seed="ngb",
+            hash_family="fast",
         )
         train_grams = (
             probe_bloom(train_grams, "__g", state, out_col="__maybe")

@@ -1022,18 +1022,32 @@ def semdedup_cells(
             F.round(F.max("__sim"), 6).alias("cent_sim"),
         )
     )
-    members = v.join(assign, id_col)
+    # pre-normalize ONCE per member so each within-cell pair pays one
+    # dot product instead of dot + two norms — the r8 semantic-gate
+    # lesson (3× measured there); the oracle normalizes identically
+    # (x / sqrt(Σx²) per element, then a sequential dot), so the
+    # rounded threshold compare stays value-exact
+    members = (
+        v.join(assign, id_col)
+        .withColumn(
+            "__nrm",
+            F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .withColumn(
+            "__vn", F.transform(F.col("__v"), lambda x: x / F.col("__nrm"))
+        )
+    )
     a = members.select(
-        F.col(id_col).alias("__ia"), F.col("__v").alias("__va"), "cell"
+        F.col(id_col).alias("__ia"), F.col("__vn").alias("__va"), "cell"
     )
     b = members.select(
-        F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"), "cell"
+        F.col(id_col).alias("__ib"), F.col("__vn").alias("__vb"), "cell"
     )
     pairs = (
         a.join(b, "cell")
         .where(F.col("__ia") < F.col("__ib"))
         .where(
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            F.round(dot(F.col("__va"), F.col("__vb")), 6)
             >= F.lit(float(threshold))
         )
         .select(F.col("__ia").alias("id_i"), F.col("__ib").alias("id_j"))

@@ -13123,12 +13123,21 @@ def _semdedup_chain_sql(n_centroids: int, threshold: float) -> str:
         FROM s
       ) WHERE rn = 1
     ),
-    m AS (SELECT a.vec_id, a.cell, a.cent_sim, vecs.v
-          FROM a JOIN vecs USING (vec_id)),
+    m AS (
+      -- normalized ONCE per member (the engine's pre-normalize shape):
+      -- pair scoring below is a bare sequential dot, value-identical
+      -- to Spark's aggregate fold over the same normalized elements
+      SELECT vec_id, cell, cent_sim,
+             list_transform(v, e -> e / nrm) AS vn
+      FROM (SELECT a.vec_id, a.cell, a.cent_sim, vecs.v,
+                   sqrt(list_sum(list_transform(vecs.v, q -> q * q))) AS nrm
+            FROM a JOIN vecs USING (vec_id))
+    ),
     pairs AS (
       SELECT x.vec_id AS id_i, y.vec_id AS id_j
       FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
-      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+      WHERE round(list_sum(list_transform(range(64),
+                    i -> x.vn[i+1] * y.vn[i+1])), 6) >= {threshold}
     ),
     edges AS (
       SELECT id_i AS src, id_j AS dst FROM pairs

@@ -356,3 +356,33 @@ def test_bloom_probe_is_joinless_and_jvm_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     for banned in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert banned not in plan, f"probe plan leaked a {banned}"
+
+
+def test_bloom_fast_family_same_guarantees(spark):
+    # xxhash64 family keeps the one-sided guarantee and exact fold
+    kw = dict(m_bits=1 << 12, k=5, seed="t", hash_family="fast")
+    keys = list(range(400))
+    merged = merge_bloom_states([
+        build_bloom_state(_keys_df(spark, keys[:200]), "key", **kw),
+        build_bloom_state(_keys_df(spark, keys[200:]), "key", **kw),
+    ])
+    full = build_bloom_state(_keys_df(spark, keys), "key", **kw)
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("word_idx", "word").collect())
+    )
+    assert rows(merged) == rows(full)
+    out = probe_bloom(_keys_df(spark, keys), "key", merged).collect()
+    assert all(r["maybe_seen"] is True for r in out)  # no false negatives
+
+
+def test_bloom_hash_family_drift_fails_loudly(spark):
+    # ORing portable and fast bitmaps would mix incompatible hash
+    # spaces into a silently-wrong filter — refused like m/k/seed drift
+    a = build_bloom_state(_keys_df(spark, [1]), "key", **_BLOOM_KW)
+    b = build_bloom_state(
+        _keys_df(spark, [2]), "key", hash_family="fast", **_BLOOM_KW
+    )
+    with pytest.raises(ValueError, match="incompatible layouts"):
+        merge_bloom_states([a, b]).collect()
+    with pytest.raises(ValueError, match="hash_family"):
+        build_bloom_state(_keys_df(spark, [1]), "key", hash_family="nope")
