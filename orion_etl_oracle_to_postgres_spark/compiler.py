@@ -434,12 +434,14 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
         from .operators.dedup import soft_dedup_weights
 
         return soft_dedup_weights(df, d.id_column, pairs=_mine_pairs())
-    if d.method == "semantic":
-        # embedding-space near-dup dedup: LSH cosine pairs → clusters →
-        # drop non-survivors; vectors stay out of the corpus anti-join
+    def _vector_dedup(label_fn):
+        # shared embedding-space dedup shape (semantic | semdedup):
+        # validate the vector/id columns, label (id, vector) rows with
+        # the method's OWN keep rule, drop the losers with one ids-only
+        # anti-join — vectors stay out of the corpus join either way
         if not d.vector_column or not d.id_column:
             raise ValueError(
-                f"{spec.source_table}: dedup method=semantic requires "
+                f"{spec.source_table}: dedup method={d.method} requires "
                 "vector_column and id_column"
             )
         for c in (d.vector_column, d.id_column):
@@ -448,47 +450,39 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
                     f"{spec.source_table}: dedup column {c!r} not in "
                     f"pipeline output {df.columns}"
                 )
+        labeled = label_fn(df.select(d.id_column, d.vector_column))
+        losers = labeled.filter(~F.col("keep")).select(F.col(d.id_column))
+        return df.join(losers, d.id_column, "left_anti")
+
+    if d.method == "semantic":
+        # LSH cosine pairs → transitive clusters → min-id survivor
         from .operators.similarity import semantic_dedup
 
-        labeled = semantic_dedup(
-            df.select(d.id_column, d.vector_column),
-            vec_col=d.vector_column,
-            id_col=d.id_column,
-            threshold=d.threshold,
-            n_planes=d.n_planes,
-            seed=d.seed,
-        )
-        losers = labeled.filter(~F.col("keep")).select(F.col(d.id_column))
-        return df.join(losers, d.id_column, "left_anti")
-    if d.method == "semdedup":
-        # cell-bounded embedding-space dedup (SemDeDup): candidate
-        # pairs restricted to n_centroids deterministic cells, each
-        # duplicate group keeps its LEAST-prototypical member — the
-        # operator's keep column carries the survivor rule, so unlike
-        # the other near-dup methods the loser set is NOT
-        # "non-minimum id"
-        if not d.vector_column or not d.id_column:
-            raise ValueError(
-                f"{spec.source_table}: dedup method=semdedup requires "
-                "vector_column and id_column"
+        return _vector_dedup(
+            lambda sub: semantic_dedup(
+                sub,
+                vec_col=d.vector_column,
+                id_col=d.id_column,
+                threshold=d.threshold,
+                n_planes=d.n_planes,
+                seed=d.seed,
             )
-        for c in (d.vector_column, d.id_column):
-            if c not in df.columns:
-                raise ValueError(
-                    f"{spec.source_table}: dedup column {c!r} not in "
-                    f"pipeline output {df.columns}"
-                )
+        )
+    if d.method == "semdedup":
+        # cell-bounded pairs (SemDeDup); the keep column carries the
+        # LEAST-prototypical survivor rule, so unlike the other
+        # near-dup methods the loser set is NOT "non-minimum id"
         from .operators.similarity import semdedup_cells
 
-        labeled = semdedup_cells(
-            df.select(d.id_column, d.vector_column),
-            vec_col=d.vector_column,
-            id_col=d.id_column,
-            n_centroids=d.n_centroids,
-            threshold=d.threshold,
+        return _vector_dedup(
+            lambda sub: semdedup_cells(
+                sub,
+                vec_col=d.vector_column,
+                id_col=d.id_column,
+                n_centroids=d.n_centroids,
+                threshold=d.threshold,
+            )
         )
-        losers = labeled.filter(~F.col("keep")).select(F.col(d.id_column))
-        return df.join(losers, d.id_column, "left_anti")
     if d.method == "fingerprint":
         if not d.text_column or not d.id_column:
             raise ValueError(
@@ -1444,6 +1438,11 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
         elif smp.method == "doremi":
             from .operators.curation import doremi_sample
 
+            # doremi_sample re-checks this for direct callers, but the
+            # compiler must ALSO check: the explain branch below stubs
+            # the two columns with withColumn, which would silently
+            # SHADOW clashing pipeline columns and pass plan review of
+            # a spec the real run refuses
             clash = {"domain_weight", "target_rows"} & set(df.columns)
             if clash:
                 raise ValueError(

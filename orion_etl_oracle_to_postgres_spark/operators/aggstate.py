@@ -489,8 +489,13 @@ def probe_bloom(
     )
     _bloom_validate(m_bits, k, hash_family)
     words = [0] * (m_bits // 64)
+    # OR, not assign: a same-layout state may legitimately carry
+    # duplicate word_idx rows (raw appended increments probed without a
+    # merge_bloom_states fold) — last-write-wins would drop earlier
+    # increments' bits and FABRICATE false negatives, the one verdict
+    # this operator must never emit
     for r in state.select("word_idx", "word").collect():
-        words[int(r[0])] = int(r[1])
+        words[int(r[0])] |= int(r[1])
     arr = F.lit(words)
     masks = F.lit(_BLOOM_MASKS)
     pos = _bloom_positions(F.col(key_col), m_bits, k, seed, hash_family)

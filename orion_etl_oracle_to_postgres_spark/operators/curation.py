@@ -1645,6 +1645,15 @@ def doremi_sample(
     window shuffle — identical shape to unimax_sample."""
     if budget_rows < 0:
         raise ValueError(f"budget_rows must be >= 0, got {budget_rows}")
+    # clash check BEFORE mixture_reweight: the weights run an eager
+    # full-corpus aggregate + collect — a schema error must not cost a
+    # corpus scan first
+    clash = {"domain_weight", "target_rows"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"doremi_sample adds {sorted(clash)} but the input already "
+            "has them — rename those columns first"
+        )
     from pyspark.sql import Window
 
     weights = mixture_reweight(
@@ -1662,12 +1671,6 @@ def doremi_sample(
         .cast("long")
         .alias("target_rows"),
     )
-    clash = {"domain_weight", "target_rows"} & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"doremi_sample adds {sorted(clash)} but the input already "
-            "has them — rename those columns first"
-        )
     order = md5_hash60(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
     )

@@ -979,13 +979,32 @@ def semdedup_cells(
 
     from .dedup import near_dup_clusters
 
+    def _usable(frame, vcol):
+        # NULL/zero-norm vectors can't serve as centroids any more than
+        # they can be members: a NULL centroid cosine would poison every
+        # cent_sim — and the oracle draws centroids from the FILTERED
+        # vector set, so the engine must too
+        return frame.where(
+            F.col(vcol).isNotNull()
+            & (
+                F.aggregate(
+                    F.col(vcol).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+                > F.lit(0.0)
+            )
+        )
+
     if centroids is not None:
-        cent = centroids.select(
+        cent = _usable(centroids, "centroid").select(
             F.col("cluster_id").alias("__cid"),
             F.col("centroid").cast("array<double>").alias("__cv"),
         )
     else:
-        cent = df.filter(F.col(id_col) < n_centroids).select(
+        cent = _usable(
+            df.filter(F.col(id_col) < n_centroids), vec_col
+        ).select(
             F.col(id_col).alias("__cid"),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         )
@@ -995,9 +1014,10 @@ def semdedup_cells(
     # clustering, so this adds no new execution class).
     if not cent.limit(1).count():
         raise ValueError(
-            "semdedup_cells: no centroids — default centroids are the "
-            f"vectors with {id_col} < n_centroids ({n_centroids}); ids "
-            "not starting near 0 need an explicit centroids codebook"
+            "semdedup_cells: no usable centroids — default centroids are "
+            f"the NULL/zero-norm-filtered vectors with {id_col} < "
+            f"n_centroids ({n_centroids}); ids not starting near 0 need "
+            "an explicit centroids codebook"
         )
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")

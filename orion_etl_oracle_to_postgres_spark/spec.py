@@ -903,6 +903,20 @@ class DecontaminateSpec(BaseModel):
             )
         return v
 
+    @field_validator("bloom_m_bits")
+    @classmethod
+    def _bloom_m_bits_shape(cls, v: int) -> int:
+        # mirror the operator's _bloom_validate at PARSE time (the
+        # sibling-knob rule): under --explain the bloom path falls back
+        # to the broadcast shape, so an invalid value would otherwise
+        # pass plan review and only die in the production run
+        if v > (1 << 22) or (v & (v - 1)) != 0:
+            raise ValueError(
+                "decontaminate bloom_m_bits must be a power of two "
+                f"<= {1 << 22}, got {v}"
+            )
+        return v
+
     @model_validator(mode="after")
     def _bench_join_contract(self) -> "DecontaminateSpec":
         if self.bench_join == "bloom" and self.method != "ngram":

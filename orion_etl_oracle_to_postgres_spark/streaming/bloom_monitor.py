@@ -20,11 +20,16 @@ Contract notes:
 * First-sighting is CROSS-batch: duplicates within one micro-batch all
   probe against the pre-batch state (dedup inside the batch first if
   within-batch repeats matter).
-* Wrap the writer with ``foreach_sink.idempotent_foreach_batch`` — a
-  replayed batch would otherwise append its report and increment
-  twice; with the ledger, replays are skipped before the probe runs.
-* Layout (m_bits/k/seed) travels in the state rows; a config change
-  between deploys fails loudly at the next fold, the
+* Every write lands in a PER-BATCH ``batch_id=N`` subdirectory with
+  mode("overwrite"), so the writer is idempotent at the WRITE level: a
+  crash between the report and the increment replays the batch and
+  each piece overwrites its own path — no duplicate report rows, no
+  double-OR'd increments, regardless of where the failure fell. The
+  ``foreach_sink.idempotent_foreach_batch`` ledger remains worth
+  stacking on top (it skips the probe work entirely on replay), but
+  correctness no longer depends on it.
+* Layout (m_bits/k/seed/hash_family) travels in the state rows; a
+  config change between deploys fails loudly at the next fold, the
   ``merge_bloom_states`` contract.
 
 Scale shape: the probe is the batch-side zero-join projection against
@@ -75,8 +80,13 @@ def bloom_increment_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # prior state = every increment EXCEPT this batch's own subdir
+        # (a replay may have half-written it before the crash — reading
+        # it back would make the batch see itself as history)
         prior = _read_state(spark, state_path)
-        if prior is None:
+        if prior is not None and "batch_id" in prior.columns:
+            prior = prior.filter(F.col("batch_id") != int(batch_id))
+        if prior is None or not prior.limit(1).count():
             probed = batch_df.withColumn(
                 "__maybe",
                 F.when(F.col(key_col).isNotNull(), F.lit(False)),
@@ -94,11 +104,19 @@ def bloom_increment_writer(
             F.sum(F.when(F.col("__maybe"), 1).otherwise(0))
             .cast("long")
             .alias("n_maybe_seen"),
-        ).withColumn("batch_id", F.lit(int(batch_id)))
-        report.write.mode("append").parquet(report_path)
+        )
+        # per-batch overwrite subdirs (hive-style, so batch_id comes
+        # back as a partition column on read): each piece is idempotent
+        # on its own — a replay after a crash between the two writes
+        # can only overwrite, never duplicate
+        report.write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={int(batch_id)}"
+        )
         build_bloom_state(
             batch_df, key_col, m_bits=m_bits, k=k, seed=seed
-        ).write.mode("append").parquet(state_path)
+        ).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={int(batch_id)}"
+        )
 
     return write
 

@@ -692,3 +692,17 @@ def test_decontaminate_bench_join_spec_contract():
         )
     s = spec_mod.DecontaminateSpec(bench_join="bloom", **kw)
     assert s.method == "ngram" and s.bloom_m_bits == 1 << 20
+
+
+def test_decontaminate_bloom_m_bits_validated_at_parse():
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    kw = dict(benchmark_table="b", id_column="id", text_column="t",
+              bench_join="bloom")
+    with pytest.raises(ValueError, match="power of two"):
+        spec_mod.DecontaminateSpec(bloom_m_bits=1_000_000, **kw)
+    with pytest.raises(ValueError, match="power of two"):
+        spec_mod.DecontaminateSpec(bloom_m_bits=1 << 23, **kw)
+    assert spec_mod.DecontaminateSpec(bloom_m_bits=1 << 18, **kw)

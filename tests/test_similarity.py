@@ -1106,5 +1106,34 @@ def test_semdedup_cells_survivor_is_least_prototypical(spark):
     shifted = df.where("vec_id >= 2 AND embedding IS NOT NULL").select(
         (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
     )
-    with pytest.raises(ValueError, match="no centroids"):
+    with pytest.raises(ValueError, match="no usable centroids"):
         semdedup_cells(shifted, n_centroids=2, threshold=0.97)
+
+
+def test_semdedup_cells_skips_degenerate_centroid_slots(spark):
+    """NULL/zero-norm vectors in the id < n_centroids range must not
+    serve as centroids (the oracle draws centroids from the FILTERED
+    vector set): assignment falls to the usable centroid slots only."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        semdedup_cells,
+    )
+
+    rows = [
+        (0, None),            # centroid slot, NULL: skipped
+        (1, [0.0, 0.0]),      # centroid slot, zero-norm: skipped
+        (2, [1.0, 0.0]),      # the ONLY usable centroid
+        (3, [4.0, 1.0]),
+        (4, [8.0, 2.0]),      # parallel to 3 -> duplicate pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup_cells(
+        df, n_centroids=3, threshold=0.999
+    ).collect()}
+    # rows 0/1 excluded as members too; everyone lands in cell 2
+    assert set(out) == {2, 3, 4}
+    assert {out[i]["cell"] for i in (2, 3, 4)} == {2}
+    # 3~4 duplicate group survives by LOWER cent_sim; tie -> lower id
+    assert out[3]["keep"] and out[4]["keep"] is False
+    assert out[2]["keep"]  # singleton

@@ -114,3 +114,50 @@ def test_null_keys_counted_but_unjudged(spark, tmp_path):
     r = first_sighting_report(spark, report).collect()[0]
     assert r["n_rows"] == 3
     assert r["n_definite_new"] == 2 and r["n_maybe_seen"] == 0
+
+
+def test_probe_on_raw_increments_never_false_negative(spark, tmp_path):
+    """Probing the appended increments DIRECTLY (no merge fold) must
+    still honor the no-false-negatives guarantee: duplicate word_idx
+    rows OR together in the probe's word array, never last-write-wins."""
+    parts = _batches(spark)
+    state, report = str(tmp_path / "state"), str(tmp_path / "report")
+    write = bloom_increment_writer(
+        "key", state_path=state, report_path=report, **KW
+    )
+    for i, p in enumerate(parts):
+        write(p, i)
+    raw = spark.read.parquet(state)  # increments, NOT folded
+    union = parts[0].union(parts[1]).union(parts[2])
+    out = probe_bloom(union, "key", raw).collect()
+    assert all(r["maybe_seen"] is True for r in out)
+
+
+def test_crash_between_writes_replay_is_clean(spark, tmp_path):
+    """Simulated crash AFTER the report write but BEFORE the increment
+    write: the replay must leave exactly one report row for the batch
+    and a state identical to a never-crashed run (per-batch overwrite
+    subdirs, not appends)."""
+    parts = _batches(spark)
+    state, report = str(tmp_path / "state"), str(tmp_path / "report")
+    write = bloom_increment_writer(
+        "key", state_path=state, report_path=report, **KW
+    )
+    write(parts[0], 0)
+    # simulate the torn batch 1: report landed, increment did not
+    import shutil
+
+    write(parts[1], 1)
+    shutil.rmtree(f"{state}/batch_id=1")
+    # replay batch 1 (ledger was never marked)
+    write(parts[1], 1)
+    rep = first_sighting_report(spark, report)
+    assert rep.filter(F.col("batch_id") == 1).count() == 1
+    # state after replay == clean two-batch build
+    union = parts[0].union(parts[1])
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("word_idx", "word").collect())
+    )
+    assert rows(folded_bloom_state(spark, state)) == rows(
+        build_bloom_state(union, "key", **KW)
+    )
