@@ -114,10 +114,10 @@ _FIRST_50 = [
 # etl_semdedup (cell-bounded SemDeDup, least-prototypical survivor,
 # standalone + declarative), dedup_ngram_bloom_prescreen (Bloom
 # semi-join escape hatch, result-identical to the broadcast twin),
-# curation_doremi_sample + etl_doremi_sample (DoReMi weights APPLIED
-# to a row budget, operator + sample.method: doremi) — cumulative
-# driver-verified after r9 should reach >=249/290; rotation #7 can
-# finish the backlog.
+# curation_doremi_sample + etl_doremi_sample + curation_doremi_token_
+# sample (DoReMi weights APPLIED to row and TOKEN budgets, operator +
+# sample.method: doremi) — cumulative driver-verified after r9 should
+# reach >=249/291; rotation #7 can finish the backlog.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "dedup_ngram_bloom_prescreen",  # Bloom semi-join, shuffled exact verify
     "curation_doremi_sample",  # MW weights applied: hash-prefix draw
     "etl_doremi_sample",  # declarative sample.method: doremi twin
+    "curation_doremi_token_sample",  # MW weights on a TOKEN budget
 ]
 
 

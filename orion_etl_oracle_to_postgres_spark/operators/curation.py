@@ -1686,3 +1686,86 @@ def doremi_sample(
         .filter(F.col("__rn") <= F.col("target_rows"))
         .drop("__rn", "__tg")
     )
+
+
+def doremi_token_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    loss_col: str,
+    *,
+    budget_tokens: int,
+    eta: float = 0.5,
+    rounds: int = 8,
+    smoothing: float = 0.01,
+    seed: str = "dt0",
+) -> DataFrame:
+    """APPLY a DoReMi mixture to a TOKEN budget — the paper's own unit
+    (domain weights there are token-mass shares of the training
+    mixture, not row shares): each domain's allocation is
+    ``floor(rounded_weight · budget_tokens)`` and the domain keeps its
+    portable-hash-order document prefix until the running token total
+    reaches it — the ``token_budget_sample`` keep rule (kept iff the
+    total BEFORE the doc is under the allocation; overshoot bounded by
+    one document, NULL-text docs consume nothing). The row twin
+    (``doremi_sample``) stays for row-count recipes; this is the
+    "give me a DoReMi-balanced 50 B-token corpus" primitive.
+
+    Rows keep all input columns plus ``n_tokens``, ``domain_weight``
+    and ``target_tokens`` (the audit trio). Scale shape: one
+    domains-row aggregate for the weights (driver MW arithmetic on k
+    doubles), targets broadcast back null-safely, and ONE group-keyed
+    running-sum window — identical to token_budget_sample plus the
+    weights stage."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    clash = {"domain_weight", "target_tokens", "n_tokens"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"doremi_token_sample adds {sorted(clash)} but the input "
+            "already has them — rename those columns first"
+        )
+    from pyspark.sql import Window
+
+    weights = mixture_reweight(
+        df.select(group_col, loss_col),
+        group_col,
+        loss_col,
+        eta=eta,
+        rounds=rounds,
+        smoothing=smoothing,
+    )
+    targets = weights.select(
+        F.col(group_col).alias("__tg"),
+        F.col("weight").alias("domain_weight"),
+        F.floor(F.col("weight") * F.lit(int(budget_tokens)))
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    order = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "n_tokens",
+            F.when(
+                F.col(text_col).isNotNull(), token_count(F.col(text_col))
+            ).cast("long"),
+        )
+        .withColumn("__ord", order)
+        .withColumn(
+            "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .join(
+            F.broadcast(targets),
+            F.col(group_col).eqNullSafe(F.col("__tg")),
+        )
+        .filter(F.col("__before") < F.col("target_tokens"))
+        .drop("__ord", "__before", "__tg")
+    )

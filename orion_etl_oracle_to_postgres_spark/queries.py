@@ -13336,3 +13336,63 @@ def etl_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec).select(
         "doc_id", "source", "domain_weight", "target_rows"
     )
+
+
+@query(
+    "curation_doremi_token_sample",
+    _mw_chain_sql(_MW_REPETITION_PERDOC, 0.5, 0.01)
+    + """
+    , targets AS (
+      SELECT gs[i+1] AS g, round(w[i+1], 6) AS domain_weight,
+             floor(round(w[i+1], 6) * 10000)::BIGINT AS target_tokens
+      FROM (SELECT gs, w, unnest(range(k)) AS i FROM r8)
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM (
+        SELECT doc_id, source,
+               CASE WHEN text IS NOT NULL THEN
+                 len(list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> ''))
+               END::BIGINT AS n_tokens,
+    """
+    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':dt0')")
+    + """ AS ord
+        FROM documents
+      )
+    )
+    SELECT r.doc_id, r.source, r.n_tokens, t.domain_weight,
+           t.target_tokens
+    FROM ranked r JOIN targets t ON r.source IS NOT DISTINCT FROM t.g
+    WHERE r.cb < t.target_tokens
+    """,
+)
+def curation_doremi_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DoReMi mixture applied to a TOKEN budget
+    (operators/curation.py:doremi_token_sample) — the paper's own unit
+    (weights are token-mass shares): the repetition-deficit losses
+    learn the domain weights, each source gets floor(weight · 10000)
+    tokens, and keeps its hash-order document prefix until the running
+    total reaches that allocation (the token_budget_sample keep rule —
+    overshoot bounded by one document). The oracle unrolls the same MW
+    rounds AND replays tokenizer, hash order, running-sum window, and
+    floor targets value-exactly. One domains-row aggregate + one
+    group-keyed window shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions import tokens as _tokens
+    from .operators.curation import doremi_token_sample
+
+    tk = _tokens(F.col("text"))
+    loss = F.when(
+        F.col("text").isNotNull() & (F.size(tk) > 0),
+        F.lit(1.0) - F.size(F.array_distinct(tk)) / F.size(tk),
+    )
+    scored = d.select("doc_id", "source", "text", loss.alias("__loss"))
+    return doremi_token_sample(
+        scored, "text", "doc_id", "source", "__loss",
+        budget_tokens=10_000, eta=0.5, seed="dt0",
+    ).select("doc_id", "source", "n_tokens", "domain_weight", "target_tokens")

@@ -1776,3 +1776,59 @@ def test_declarative_doremi_sample_and_explain_stub(spark, tmp_path):
             method="doremi", id_column="id", group_column="dom",
             budget_rows=40,
         )
+
+
+def test_doremi_token_sample_budget_semantics(spark):
+    """Token-unit DoReMi: per-domain token allocation = floor(weight *
+    budget); prefix kept until the running total BEFORE the doc reaches
+    it (overshoot bounded by one doc); NULL-text docs consume nothing."""
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        doremi_token_sample,
+        mixture_reweight,
+    )
+
+    rows = (
+        [(i, "hard", "five words in this text", 0.9) for i in range(30)]
+        + [(100 + i, "easy", "five words in this text", 0.1)
+           for i in range(30)]
+        + [(999, "hard", None, 0.9)]  # NULL text: kept, consumes nothing
+    )
+    df = spark.createDataFrame(
+        rows, "id long, dom string, text string, loss double"
+    )
+    out = doremi_token_sample(
+        df, "text", "id", "dom", "loss", budget_tokens=100, eta=0.2,
+    )
+    got = out.collect()
+    w = {
+        r["dom"]: r["weight"]
+        for r in mixture_reweight(
+            df.select("dom", "loss"), "dom", "loss", eta=0.2
+        ).collect()
+    }
+    import math
+
+    per_dom_tokens = {}
+    for r in got:
+        if r["n_tokens"] is not None:
+            per_dom_tokens[r["dom"]] = (
+                per_dom_tokens.get(r["dom"], 0) + r["n_tokens"]
+            )
+        assert r["target_tokens"] == math.floor(w[r["dom"]] * 100)
+    for dom, total in per_dom_tokens.items():
+        target = math.floor(w[dom] * 100)
+        assert total < target + 5   # overshoot < one 5-token doc
+        assert total >= target - 4  # docs remained, so never undershoots
+    assert per_dom_tokens["hard"] > per_dom_tokens["easy"]
+    # the NULL-text doc rides along without consuming budget
+    assert any(r["id"] == 999 and r["n_tokens"] is None for r in got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        doremi_token_sample(df, "text", "id", "dom", "loss", budget_tokens=0)
+    with pytest.raises(ValueError, match="adds"):
+        doremi_token_sample(
+            df.withColumn("n_tokens", F.lit(1)),
+            "text", "id", "dom", "loss", budget_tokens=10,
+        )
