@@ -36,88 +36,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # declarative curation/quarantine/anonymize, BM25/RRF retrieval) + this
 # round's new queries.  Every oracle is unchanged; only dict order moves.
 _FIRST_50 = [
-    # core ETL-parity anchors (reference-surface regression canaries)
+    # core ETL-parity anchors, trimmed 10 -> 8 per VERDICT r9 ask #1
+    # (etl_where_pushdown / emb_topk_query rotate out; their families
+    # are anchored by etl_customer_pipeline / dedup_minhash).
     "etl_customer_pipeline",
     "etl_transform_ops",
-    "etl_where_pushdown",
     "etl_validation_policies",
     "etl_lookup_default",
     "etl_self_lookup",
     "agg_pricing_summary",
     "window_top_orders_per_cust",
     "dedup_minhash",
-    "emb_topk_query",
-    # ---- round-9 window (rotation #6): 40 never-driver-green ----
-    # r8-session additions first (VERDICT r8 ask #1 priority list)
-    "etl_soft_dedup_shared",
-    "etl_decontaminate_minhash",
-    "etl_decontaminate_semantic",
-    "emb_decontaminate",
-    "curation_unimax_mixture",
-    "etl_unimax_sample",
-    "emb_pca_power",
-    "emb_pca_top2",
-    "emb_abtt_project",
-    "etl_whiten_vectors",
-    "profile_benford_prices",
-    "dq_benford_gate",
-    "etl_corpus_curate_v3",
-    # agg family, never sampled
-    "agg_distinct_users_daily",
-    "agg_approx_distinct_users_daily",
-    "agg_events_gapfill",
-    "agg_above_avg_orders",
-    "agg_price_qty_regression",
-    "agg_incremental_state",
-    "agg_profit_by_nation_year",
-    "agg_idle_rich_customers",
-    "agg_supplier_concentration",
-    "agg_pivot_status_revenue",
-    "agg_hll_incremental_users",
-    # reconcile + privacy + IR families, never sampled
-    "reconcile_snapshot_diff",
-    "reconcile_diff_summary",
-    "reconcile_distribution_drift",
-    "privacy_k_anonymity_stats",
-    "privacy_t_closeness",
-    "ir_retrieve_rerank",
-    "ir_ndcg_audit",
-    # dedup/ANN/packing/profile breadth, never sampled
-    "dedup_impact_report",
-    "dedup_incremental_minhash",
-    "emb_knn_join_lsh",
-    "emb_hard_negatives",
-    "pack_training_sequences",
-    "pack_bin_stats",
-    "corpus_curate",
-    "json_variant_events",
-    "profile_histogram_prices",
+    # ---- round-10 window (rotation #7): the ENTIRE remaining
+    # never-driver-sampled backlog — 42 queries, closing cumulative
+    # driver verification at 291/291.  r9-session additions first.
+    "etl_semdedup",
+    "emb_semdedup_cells",
+    "dedup_bloom_history_probe",
+    "agg_bloom_incremental_users",
+    "dedup_ngram_bloom_prescreen",
+    "curation_mixture_reweight",
+    "curation_doremi_sample",
+    "etl_doremi_sample",
+    "curation_doremi_token_sample",
+    "etl_corpus_curate_v4",
+    "etl_decontaminate_shared",
+    "etl_whiten_semantic_dedup",
+    # pre-r9 stragglers: curation family
+    "curation_quality_cutoff",
+    "curation_stratified_sample",
+    "curation_split_leakage",
+    "curation_stable_ids",
+    "curation_balance_groups",
+    "curation_sample_n",
+    "curation_priority_sample",
+    "curation_curriculum_order",
+    "curation_uncertainty_sample",
+    # text family
+    "text_chunk_windows",
+    "text_chunk_stats",
+    "text_url_normalize",
+    "text_unicode_normalize",
+    "text_vocab_topk_pruned",
+    "text_vocab_approx_topk",
+    "text_unigram_logprob",
+    "text_ngram_novelty",
+    "text_distinctive_terms",
+    "text_vocab_richness",
+    "text_classifier_calibration",
+    "text_contrastive_views",
+    # embedding family
+    "emb_quantize_error",
+    "emb_knn_join_lsh_multi",
+    "emb_centroid_drift",
+    # declarative ETL stragglers + misc
+    "etl_extract_ops",
+    "etl_curriculum",
+    "etl_intradoc_rewrite",
+    "etl_gopher_gate",
+    "range_clicks_before_error",
+    "affinity_part_pairs",
 ]
-# Round-10 rotation candidates (never driver-sampled as of r9, 30
-# left — size rotation #7 to FINISH them, per VERDICT r8 ask #3):
-# range_clicks_before_error, curation_quality_cutoff/
-# stratified_sample/split_leakage/stable_ids/balance_groups/sample_n/
-# priority_sample/curriculum_order/uncertainty_sample,
-# text_chunk_windows/chunk_stats/url_normalize/unicode_normalize/
-# vocab_topk_pruned/vocab_approx_topk/unigram_logprob/ngram_novelty/
-# distinctive_terms/vocab_richness/classifier_calibration/
-# contrastive_views, emb_quantize_error/knn_join_lsh_multi/
-# centroid_drift, etl_extract_ops/curriculum/intradoc_rewrite/
-# gopher_gate, affinity_part_pairs
-# + the r9-session additions: etl_decontaminate_shared (persisted-pair
-# decontaminate mount), etl_whiten_semantic_dedup (vector_transform →
-# semantic dedup composition), etl_corpus_curate_v4 (ONE pair table
-# for BOTH near-dup legs), curation_mixture_reweight (DoReMi-style
-# linearized-MW domain weights), dedup_bloom_history_probe +
-# agg_bloom_incremental_users (mergeable Bloom membership state,
-# joinless broadcast-bitmap probe), emb_semdedup_cells +
-# etl_semdedup (cell-bounded SemDeDup, least-prototypical survivor,
-# standalone + declarative), dedup_ngram_bloom_prescreen (Bloom
-# semi-join escape hatch, result-identical to the broadcast twin),
-# curation_doremi_sample + etl_doremi_sample + curation_doremi_token_
-# sample (DoReMi weights APPLIED to row and TOKEN budgets, operator +
-# sample.method: doremi) — cumulative driver-verified after r9 should
-# reach >=249/291; rotation #7 can finish the backlog.
+# After rotation #7 every one of the 291 r9-era registrations has a
+# driver CORRECTNESS row (cumulative 291/291).  Rotation #8 (round 11,
+# VERDICT r9 ask #7): re-sample ~10 of the OLDEST cum-green rows
+# (r1-r3 windows) alongside any round-10-session additions to catch
+# silent drift.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

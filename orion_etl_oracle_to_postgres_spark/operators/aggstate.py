@@ -489,12 +489,18 @@ def probe_bloom(
     )
     _bloom_validate(m_bits, k, hash_family)
     words = [0] * (m_bits // 64)
-    # OR, not assign: a same-layout state may legitimately carry
+    # OR-fold, not assign: a same-layout state may legitimately carry
     # duplicate word_idx rows (raw appended increments probed without a
-    # merge_bloom_states fold) — last-write-wins would drop earlier
-    # increments' bits and FABRICATE false negatives, the one verdict
-    # this operator must never emit
-    for r in state.select("word_idx", "word").collect():
+    # merge_bloom_states fold) — dropping earlier increments' bits
+    # would FABRICATE false negatives, the one verdict this operator
+    # must never emit.  The fold happens distributed (bit_or BEFORE the
+    # collect), so the driver probe is bounded at m/64 rows — ≤ 64 Ki
+    # longs at the m cap — regardless of how long the unmerged
+    # increment history is.
+    folded = (
+        state.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+    for r in folded.collect():
         words[int(r[0])] |= int(r[1])
     arr = F.lit(words)
     masks = F.lit(_BLOOM_MASKS)

@@ -1110,7 +1110,19 @@ def ngram_overlap_pairs(
     bench_grams = grams(bench, "bench_id")
     train_grams = grams(train, "train_id")
     if bench_join == "bloom":
+        from pyspark import StorageLevel
+
         from .aggstate import build_bloom_state, probe_bloom
+
+        # The Bloom build's eager collect and the exact equi-join both
+        # scan bench_grams; persist so the tokenize+shingle+explode is
+        # paid once (the build materializes the cache, the join reads
+        # it).  MEMORY_AND_DISK: the bench side in bloom mode may be
+        # too big for broadcast but is still benchmark-suite-sized.
+        # No explicit unpersist — the consumer's plan is lazy, so the
+        # blocks live until the ContextCleaner GCs the frame (or LRU
+        # evicts; eviction only re-pays the scan, never breaks it).
+        bench_grams = bench_grams.persist(StorageLevel.MEMORY_AND_DISK)
 
         # hash_family="fast": these bit positions are never replayed by
         # an oracle — the exact join verifies the result — so the probe

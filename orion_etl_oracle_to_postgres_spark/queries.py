@@ -13235,17 +13235,21 @@ def etl_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec).select("vec_id", "label")
 
 
-def _doremi_sample_tail_sql(budget: int, seed: str, id_sql: str = "doc_id") -> str:
+def _doremi_sample_tail_sql(
+    budget: int, seed: str, id_sql: str = "doc_id", rounds: int = 8
+) -> str:
     """Sampling replay appended to an ``_mw_chain_sql`` chain: targets
     = floor(rounded_weight · budget) per domain, kept rows = the
     ``md5_60(id ∥ ':seed')``-order prefix (id tie-break) per source —
-    the ``doremi_sample`` keep rule, value-exact on both engines."""
+    the ``doremi_sample`` keep rule, value-exact on both engines.
+    ``rounds`` must match the ``_mw_chain_sql`` it is appended to —
+    the tail reads the chain's final CTE ``r<rounds>``."""
     h = _hex2int_sql(f"md5(CAST({id_sql} AS VARCHAR) || ':{seed}')")
     return f"""
     , targets AS (
       SELECT gs[i+1] AS g, round(w[i+1], 6) AS domain_weight,
              floor(round(w[i+1], 6) * {budget})::BIGINT AS target_rows
-      FROM (SELECT gs, w, unnest(range(k)) AS i FROM r8)
+      FROM (SELECT gs, w, unnest(range(k)) AS i FROM r{rounds})
     ),
     ranked AS (
       SELECT {id_sql}, source,
@@ -13338,14 +13342,18 @@ def etl_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curation_doremi_token_sample",
-    _mw_chain_sql(_MW_REPETITION_PERDOC, 0.5, 0.01)
-    + """
+def _doremi_token_tail_sql(budget: int, seed: str, rounds: int = 8) -> str:
+    """Token-budget replay appended to an ``_mw_chain_sql`` chain
+    (doremi_token_sample keep rule): floor(weight · budget) tokens per
+    domain, hash-order document prefix until the running token total
+    reaches the allocation.  ``rounds`` must match the chain's — the
+    tail reads its final CTE ``r<rounds>``."""
+    ord_sql = _hex2int_sql(f"md5(CAST(doc_id AS VARCHAR) || ':{seed}')")
+    return f"""
     , targets AS (
       SELECT gs[i+1] AS g, round(w[i+1], 6) AS domain_weight,
-             floor(round(w[i+1], 6) * 10000)::BIGINT AS target_tokens
-      FROM (SELECT gs, w, unnest(range(k)) AS i FROM r8)
+             floor(round(w[i+1], 6) * {budget})::BIGINT AS target_tokens
+      FROM (SELECT gs, w, unnest(range(k)) AS i FROM r{rounds})
     ),
     ranked AS (
       SELECT doc_id, source, n_tokens,
@@ -13359,9 +13367,7 @@ def etl_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     '[^a-z0-9]+'),
                                  x -> x <> ''))
                END::BIGINT AS n_tokens,
-    """
-    + _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':dt0')")
-    + """ AS ord
+        {ord_sql} AS ord
         FROM documents
       )
     )
@@ -13369,7 +13375,13 @@ def etl_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.target_tokens
     FROM ranked r JOIN targets t ON r.source IS NOT DISTINCT FROM t.g
     WHERE r.cb < t.target_tokens
-    """,
+    """
+
+
+@query(
+    "curation_doremi_token_sample",
+    _mw_chain_sql(_MW_REPETITION_PERDOC, 0.5, 0.01)
+    + _doremi_token_tail_sql(10_000, "dt0"),
 )
 def curation_doremi_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] DoReMi mixture applied to a TOKEN budget

@@ -54,11 +54,33 @@ from ..operators.aggstate import (
 
 
 def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """Prior increments, or None before the first batch lands."""
+    """Prior increments, or None before the first batch lands.
+
+    Missing-path is told apart from real failures STRUCTURALLY — the
+    ``AnalysisException`` error class (``getCondition`` on Spark 4,
+    ``getErrorClass`` on 3.4+), not message-substring matching, which
+    breaks across Spark versions and locales."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(state_path)
-    except Exception as exc:  # AnalysisException: path does not exist
-        if "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc):
+    except AnalysisException as exc:
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond is not None:
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        # pre-error-class Spark only: last-resort message match
+        if "does not exist" in str(exc):
             return None
         raise
 
