@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "quantile_exact_prices",  # two-phase global rank + broadcast equality probe
     "graph_supplier_pagerank",  # 5 unrolled rank⋈edges join rounds
     "dedup_incremental_minhash",  # batch vs persisted band index + exact verify
+    "etl_incremental_minhash_index",  # declarative delta-vs-index probe (dedup.index_table)
     "multimodal_video_near_dups",  # frame-hash postings join, payloads stay put
     "curation_curriculum_order",  # two-phase rank + ntile over scored corpus
     "dedup_intradoc_spans",  # in-row first-occurrence collapse: zero shuffles
@@ -316,6 +317,7 @@ BENCH_QUERIES = [
     "agg_bloom_incremental_users",  # mergeable Bloom states, exact fold
     "emb_semdedup_cells",  # cell-bounded SemDeDup, vectors shuffle once
     "etl_semdedup",  # declarative dedup.method: semdedup job twin
+    "etl_semdedup_codebook",  # semdedup on a mounted TRAINED codebook (centroids_table)
     "dedup_ngram_bloom_prescreen",  # Bloom semi-join, shuffled exact verify
     "curation_doremi_sample",  # MW weights applied: hash-prefix draw
     "etl_doremi_sample",  # declarative sample.method: doremi twin
@@ -385,6 +387,18 @@ def calibration(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset in a FRESH short
+    # session — the isolation tool for separating real per-query
+    # regressions from long-session catalog/GC pressure (VERDICT r9
+    # watch-item #2).  Unset = the full pinned registry bench.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    bench_queries = list(BENCH_QUERIES)
+    if only:
+        wanted = [s.strip() for s in only.split(",") if s.strip()]
+        unknown = [s for s in wanted if s not in q.QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        bench_queries = wanted
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -399,12 +413,12 @@ def main() -> None:
     # Both raw passes + a per-pass calibration probe go into the JSON so
     # a noisy run is self-evident without re-running anything.
     timings: dict[str, float] = {}
-    passes: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    passes: dict[str, list[float]] = {name: [] for name in bench_queries}
     calib_sec: list[float] = []
     for attempt in range(2):
         calib_sec.append(calibration(spark))
         print(f"# pass{attempt} calibration: {calib_sec[-1]}s", file=sys.stderr)
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             fn = q.QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -433,10 +447,12 @@ def main() -> None:
     # passes/calibration record before (BENCH_r05 parsed: null) — also
     # land the full JSON as a repo artifact so every bench run survives
     # verbatim (r5 VERDICT ask #8)
-    out = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    # a subset run must never clobber the pinned full-registry artifact
+    default_out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_LOCAL_SUBSET.json" if only else "BENCH_LOCAL.json",
     )
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     try:
         with open(out, "w", encoding="utf-8") as fh:
             fh.write(payload + "\n")

@@ -203,11 +203,13 @@ def _mount_pairs_table(
     kind: str,
     required: set[str],
     layout_msg: str,
+    field: str = "pairs_table",
 ) -> DataFrame:
-    """Resolve a persisted near-dup pair table for a declarative
-    reuse consumer (``dedup.pairs_table`` / ``decontaminate.
-    pairs_table``) — ONE copy of the try-target-then-source resolution
-    ladder and layout validation, so the two consumers can't drift."""
+    """Resolve a persisted artifact table for a declarative reuse
+    consumer (``dedup.pairs_table`` / ``decontaminate.pairs_table`` /
+    ``dedup.centroids_table`` / ``dedup.index_table``) — ONE copy of
+    the try-target-then-source resolution ladder and layout
+    validation, so the consumers can't drift."""
     mounted = None
     errors: list[Exception] = []
     for attempt in (ctx._read_target, ctx._read_source):
@@ -218,12 +220,12 @@ def _mount_pairs_table(
             errors.append(e)
     if mounted is None:
         raise RuntimeError(
-            f"{owner}: cannot resolve {kind} pairs_table {name!r}: {errors}"
+            f"{owner}: cannot resolve {kind} {field} {name!r}: {errors}"
         )
     missing_cols = required - set(mounted.columns)
     if missing_cols:
         raise ValueError(
-            f"{owner}: {kind} pairs_table {name!r} is missing columns "
+            f"{owner}: {kind} {field} {name!r} is missing columns "
             f"{sorted(missing_cols)} — {layout_msg}"
         )
     return mounted
@@ -405,6 +407,64 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
         if d.pairs_table
         else (("text_column", d.text_column), ("id_column", d.id_column))
     )
+    if d.method == "minhash" and d.index_table:
+        # INCREMENTAL near-dup dedup against a PERSISTED MinHash index
+        # (minhash_index_build's two-table layout): the pipeline's rows
+        # — typically a ``mode: incremental`` delta — are shingled and
+        # probed against the standing index; rows near-duplicating an
+        # INDEXED document at ``threshold`` Jaccard drop with one
+        # ids-only anti-join. The archive text is NEVER re-read (the
+        # index carries ids+hashes only), which is the point: at 100 TB
+        # the index is the durable artifact and each day's delta pays
+        # one bucket join + candidate-bounded verify against it.
+        # Within-delta duplicates are out of scope here (the next index
+        # append covers them); compose with an inline dedup if same-day
+        # twins matter.
+        _require_cols(
+            ("text_column", d.text_column), ("id_column", d.id_column)
+        )
+        from .operators.dedup import minhash_index_lookup
+
+        banded_ix = _mount_pairs_table(
+            ctx,
+            f"{d.index_table}_bands",
+            owner=spec.source_table,
+            kind="dedup",
+            required={"__id", "band_id", "band_hash"},
+            layout_msg=(
+                "persist minhash_index_build's banded frame as "
+                "<index_table>_bands (__id, band_id, band_hash)"
+            ),
+            field="index_table",
+        )
+        flat_ix = _mount_pairs_table(
+            ctx,
+            f"{d.index_table}_shingles",
+            owner=spec.source_table,
+            kind="dedup",
+            required={"__id", "__h"},
+            layout_msg=(
+                "persist minhash_index_build's shingle stream as "
+                "<index_table>_shingles (__id, __h)"
+            ),
+            field="index_table",
+        )
+        flagged = minhash_index_lookup(
+            df.select(d.id_column, d.text_column),
+            banded_ix,
+            flat_ix,
+            d.id_column,
+            d.text_column,
+            shingle_n=d.shingle_n,
+            num_hashes=d.num_hashes,
+            bands=d.bands,
+            seed=d.seed,
+            threshold=d.threshold,
+        )
+        losers = flagged.select(
+            F.col("id_i").alias(d.id_column)
+        ).distinct()
+        return df.join(losers, d.id_column, "left_anti")
     if d.method == "minhash":
         # NEAR-dup dedup in the pipeline: pairs → transitive clusters →
         # drop every non-minimum member. The pair/cluster computation
@@ -471,9 +531,29 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
     if d.method == "semdedup":
         # cell-bounded pairs (SemDeDup); the keep column carries the
         # LEAST-prototypical survivor rule, so unlike the other
-        # near-dup methods the loser set is NOT "non-minimum id"
+        # near-dup methods the loser set is NOT "non-minimum id".
+        # centroids_table mounts a TRAINED (cluster_id, centroid)
+        # codebook (e.g. a persisted ivf_train output) — real corpora
+        # whose ids don't start near 0 cluster on trained cells instead
+        # of the deterministic id < n_centroids default.
         from .operators.similarity import semdedup_cells
 
+        codebook = (
+            _mount_pairs_table(
+                ctx,
+                d.centroids_table,
+                owner=spec.source_table,
+                kind="dedup",
+                required={"cluster_id", "centroid"},
+                layout_msg=(
+                    "persist a trained codebook with (cluster_id, "
+                    "centroid) columns — ivf_train's output layout"
+                ),
+                field="centroids_table",
+            )
+            if d.centroids_table
+            else None
+        )
         return _vector_dedup(
             lambda sub: semdedup_cells(
                 sub,
@@ -481,6 +561,7 @@ def _apply_dedup(ctx: "JobContext", df, spec: TableSpec):
                 id_col=d.id_column,
                 n_centroids=d.n_centroids,
                 threshold=d.threshold,
+                centroids=codebook,
             )
         )
     if d.method == "fingerprint":

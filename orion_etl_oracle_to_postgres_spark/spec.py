@@ -261,11 +261,29 @@ class DedupSpec(BaseModel):
     #: minhash/soft: reuse a persisted (id_i, id_j) pair table instead
     #: of re-mining pairs inside this pipeline
     pairs_table: Optional[str] = None
+    #: minhash only: probe a PERSISTED minhash index
+    #: (``operators/dedup.py:minhash_index_build`` — two tables,
+    #: ``<name>_bands`` + ``<name>_shingles``, resolved through the
+    #: job's target-then-source connectors) instead of mining pairs in
+    #: this pipeline: rows near-duplicating an INDEXED document at
+    #: ``threshold`` Jaccard are dropped, and the archive text is never
+    #: re-read — the declarative incremental-dedup path (a ``mode:
+    #: incremental`` delta probes the standing corpus index).  The band
+    #: parameters (num_hashes/bands/shingle_n/seed) MUST match the
+    #: build; persist them beside the index (the layout-marker pattern).
+    index_table: Optional[str] = None
     #: semantic knobs
     n_planes: int = 8
     seed: int = 42
     #: semdedup knob: number of deterministic candidate cells
     n_centroids: int = 16
+    #: semdedup only: a PERSISTED trained ``(cluster_id, centroid)``
+    #: codebook (e.g. an ``ivf_train`` output) resolved through the
+    #: job's target-then-source connectors — real corpora cluster on
+    #: trained centroids instead of the deterministic
+    #: ``id < n_centroids`` cells (which assume ids starting near 0);
+    #: ``n_centroids`` is ignored when set
+    centroids_table: Optional[str] = None
     #: streaming mode only: how long a key's dedup state is retained
     #: past the event-time watermark (duplicates farther apart than
     #: this horizon are out of contract — state must be bounded)
@@ -300,6 +318,29 @@ class DedupSpec(BaseModel):
             # degenerates to an all-pairs corpus self-join
             raise ValueError(f"dedup n_centroids must be >= 1, got {v}")
         return v
+
+    @model_validator(mode="after")
+    def _mounted_tables_contract(self) -> "DedupSpec":
+        if self.centroids_table is not None and self.method != "semdedup":
+            raise ValueError(
+                "dedup centroids_table only applies to method semdedup "
+                f"(got method {self.method!r}) — the other methods have "
+                "no centroid assignment stage"
+            )
+        if self.index_table is not None:
+            if self.method != "minhash":
+                raise ValueError(
+                    "dedup index_table only applies to method minhash "
+                    f"(got method {self.method!r}) — the index IS banded "
+                    "MinHash signatures"
+                )
+            if self.pairs_table is not None:
+                raise ValueError(
+                    "dedup index_table and pairs_table are mutually "
+                    "exclusive: pairs_table replays ALREADY-mined pairs; "
+                    "index_table probes new rows against a standing index"
+                )
+        return self
 
 
 class SampleSpec(BaseModel):

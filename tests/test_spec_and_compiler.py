@@ -2504,6 +2504,208 @@ def test_dedup_pairs_table_reuses_persisted_pairs(spark, tmp_path):
         )
 
 
+def test_dedup_index_table_probes_persisted_index(spark, tmp_path):
+    """`dedup.index_table` (VERDICT r9 ask #6): an incremental delta
+    probes a PERSISTED minhash index instead of re-mining the archive —
+    delta rows near-duplicating an INDEXED doc drop, fresh rows
+    survive, and the compiled plan reads the two index parquet tables
+    while the archive text is NEVER touched (its table is absent from
+    the plan's scan set)."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.operators.dedup import (
+        minhash_index_build,
+    )
+
+    src = tmp_path / "src"
+    archive = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different archival text about tax policy"),
+        ],
+        "id long, body string",
+    )
+    archive.coalesce(1).write.parquet(str(src / "archive"))
+    banded, flat = minhash_index_build(
+        archive, "id", "body", num_hashes=128, bands=32
+    )
+    banded.coalesce(1).write.parquet(str(src / "ix_bands"))
+    flat.coalesce(1).write.parquet(str(src / "ix_shingles"))
+    # delta: 11 near-dups the indexed doc 1; 12 is fresh
+    delta = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog tonight"),
+            (12, "entirely new material on deep sea exploration methods"),
+        ],
+        "id long, body string",
+    )
+    delta.coalesce(1).write.parquet(str(src / "delta"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(
+                base_path=str(tmp_path / "out")
+            ),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="delta",
+        target_table="delta_clean",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        dedup=spec_mod.DedupSpec(
+            method="minhash", text_column="body", id_column="id",
+            threshold=0.6, num_hashes=128, bands=32,
+            index_table="ix",
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    compiled = compile_table(ctx, t).df
+    assert {r.id for r in compiled.collect()} == {12}
+    # the archive is represented ONLY by its ids+hashes index: the two
+    # index tables are in the scan set, the archive parquet is not
+    # (inputFiles() carries full paths; the plan string elides them)
+    scanned = compiled.inputFiles()
+    assert any("/ix_bands/" in f for f in scanned)
+    assert any("/ix_shingles/" in f for f in scanned)
+    assert not any("/archive/" in f for f in scanned)
+    # loud failure: an index missing the band layout
+    spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(
+        str(src / "bad_bands")
+    )
+    spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(
+        str(src / "bad_shingles")
+    )
+    with pytest.raises(ValueError, match="missing columns"):
+        compile_table(
+            ctx,
+            t.model_copy(
+                update={
+                    "dedup": spec_mod.DedupSpec(
+                        method="minhash", text_column="body",
+                        id_column="id", index_table="bad",
+                    )
+                }
+            ),
+        )
+
+
+def test_dedup_index_and_centroids_table_spec_contracts():
+    """The mounted-table fields fail at PARSE time when combined with
+    the wrong method: centroids_table is semdedup-only, index_table is
+    minhash-only and mutually exclusive with pairs_table."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+
+    with pytest.raises(ValueError, match="centroids_table only applies"):
+        spec_mod.DedupSpec(
+            method="minhash", text_column="t", id_column="i",
+            centroids_table="cb",
+        )
+    with pytest.raises(ValueError, match="index_table only applies"):
+        spec_mod.DedupSpec(
+            method="soft", text_column="t", id_column="i",
+            index_table="ix",
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        spec_mod.DedupSpec(
+            method="minhash", text_column="t", id_column="i",
+            index_table="ix", pairs_table="p",
+        )
+
+
+def test_dedup_centroids_table_mounts_trained_codebook(spark, tmp_path):
+    """`dedup.centroids_table` (VERDICT r9 ask #5): a persisted
+    (cluster_id, centroid) codebook replaces the deterministic
+    ``id < n_centroids`` cells — ids far from 0 (which would leave the
+    default path with NO usable centroids) cluster on the mounted
+    codebook, and the declarative result matches the standalone
+    ``semdedup_cells(centroids=...)`` call exactly."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        semdedup_cells,
+    )
+
+    src = tmp_path / "src"
+    # ids start at 1000: the deterministic id < n_centroids default
+    # would find no centroids at all — exactly the real-corpus case
+    # the trained-codebook path exists for
+    vecs = spark.createDataFrame(
+        [
+            (1000, [1.0, 0.0, 0.0]),
+            (1001, [0.999, 0.04, 0.0]),   # near-dup of 1000
+            (1002, [0.0, 1.0, 0.0]),
+            (1003, [0.0, 0.0, 1.0]),
+        ],
+        "vid long, emb array<double>",
+    )
+    vecs.coalesce(1).write.parquet(str(src / "vecs"))
+    codebook = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cluster_id long, centroid array<double>",
+    )
+    codebook.coalesce(1).write.parquet(str(src / "codebook"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(
+                base_path=str(tmp_path / "out")
+            ),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="vecs",
+        target_table="vecs_dedup",
+        mappings=[
+            spec_mod.MappingSpec(source="vid", target="vid"),
+            spec_mod.MappingSpec(source="emb", target="emb"),
+        ],
+        dedup=spec_mod.DedupSpec(
+            method="semdedup", vector_column="emb", id_column="vid",
+            threshold=0.95, centroids_table="codebook",
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=g)
+    got = {r.vid for r in compile_table(ctx, t).df.collect()}
+    labeled = semdedup_cells(
+        vecs, vec_col="emb", id_col="vid", threshold=0.95,
+        centroids=codebook,
+    )
+    want = {r.vid for r in labeled.filter("keep").collect()}
+    assert got == want
+    # the survivor is the LEAST-prototypical member: 1001 (cosine to
+    # the cell centroid below 1000's perfect 1.0) stays, 1000 drops
+    assert 1001 in got and 1000 not in got and got == {1001, 1002, 1003}
+    # without the codebook the same spec fails loudly instead of
+    # silently dropping the whole corpus (no id < 16 centroids exist)
+    with pytest.raises(ValueError, match="no usable centroids"):
+        compile_table(
+            ctx,
+            t.model_copy(
+                update={
+                    "dedup": spec_mod.DedupSpec(
+                        method="semdedup", vector_column="emb",
+                        id_column="vid", threshold=0.95,
+                    )
+                }
+            ),
+        ).df.collect()
+
+
 def test_decontaminate_pairs_table_reuses_persisted_pairs(spark, tmp_path):
     """`decontaminate.pairs_table` (VERDICT r8 ask #6 — the
     decontaminate twin of dedup's pair reuse): a persisted UNDIRECTED
