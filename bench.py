@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "affinity_part_pairs",  # basket self-join bounded by per-basket fan-out
     "window_events_anomaly",  # rolling z-score over the hourly aggregate
     "agg_incremental_state",  # mergeable agg state: build+merge+finalize
+    "agg_cms_heavy_hitters",  # mergeable CMS frequency state: fold + zero-join estimate
     "text_bigram_logprob",  # bigram LM fluency: in-row expansion + 2 wc aggs
     "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
     "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)

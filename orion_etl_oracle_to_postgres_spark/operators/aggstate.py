@@ -517,6 +517,190 @@ def probe_bloom(
     )
 
 
+_CMS_STATE_COLS = ["row_idx", "col_idx", "cnt", "__w", "__d", "__seed"]
+_CMS_MAX_CELLS = 1 << 16  # 64 Ki longs = 512 KiB: the driver-probe cap
+
+
+def _cms_validate(width: int, depth: int) -> None:
+    if width < 16 or (width & (width - 1)) != 0:
+        raise ValueError(
+            f"width must be a power of two >= 16, got {width}"
+        )
+    if not (1 <= depth <= 8):
+        raise ValueError(f"depth must be in [1, 8], got {depth}")
+    if width * depth > _CMS_MAX_CELLS:
+        raise ValueError(
+            f"width*depth = {width * depth} exceeds the "
+            f"{_CMS_MAX_CELLS}-cell collected-probe cap"
+        )
+
+
+def _cms_cols(key, width: int, depth: int, seed: str):
+    """array<int> of the per-row column indexes for a key — the SAME
+    Kirsch–Mitzenmacher double hash as ``_bloom_positions``'s portable
+    family (two independent 60-bit md5 halves, h2 forced odd), mod the
+    table width: col_r = (h1 + r·h2) mod w. ONE md5 per key covers all
+    ``depth`` rows, and DuckDB computes identical md5 bytes, so an
+    oracle replays every cell exactly."""
+    hx = F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
+    h1 = (
+        F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+        % F.lit(int(width))
+    )
+    h2 = (
+        F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+        % F.lit(int(width))
+    ).bitwiseOR(F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(depth) - 1)),
+        lambda r: ((h1 + r.cast("long") * h2) % F.lit(int(width))).cast("int"),
+    )
+
+
+def build_cms_state(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1 << 12,
+    depth: int = 4,
+    seed: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min Sketch FREQUENCY state (Cormode & Muthukrishnan 2005)
+    — the frequency member of the mergeable-state family (monoid =
+    moments, HLL = distinct counts, histogram = order statistics,
+    Bloom = membership, CMS = "how often have we seen this key?").
+    One row per occupied cell: (row_idx, col_idx, cnt), plus the layout
+    columns (__w, __d, __seed) that make a layout-drift fold fail
+    loudly — the family's shared contract.
+
+    Same-layout states merge by cell-wise SUM — exactly (count
+    additivity), so daily ingest increments fold into a running sketch
+    and any key's frequency is answerable WITHOUT re-aggregating raw
+    history. The guarantee is one-sided: ``estimate_cms`` never
+    UNDER-estimates (each of the ``depth`` counters holds the key's
+    true count plus non-negative collision mass; the min over rows is
+    still ≥ truth), and over-estimates by ≤ 2N/width with probability
+    ≥ 1 − 2^−depth. At 100 TB that is the point: per-key frequencies
+    over billions of keys in ≤ 512 KiB of state, no key-cardinality
+    shuffle — the heavy-hitter / frequency-cap primitive.
+
+    Cell positions come from the portable md5 double hash
+    (``_cms_cols``), so a DuckDB oracle replays every cell and every
+    estimate EXACTLY — no error envelope needed, the Bloom-family
+    argument. ``weight_col`` sums that column instead of counting rows
+    (weights must be non-negative for the one-sided guarantee; NULL
+    weights contribute nothing, like NULL keys). Shuffle shape: the
+    explode carries depth·rows (cell, weight) integers — never
+    payloads — into one map-side-combined sum over ≤ width·depth
+    groups."""
+    _cms_validate(width, depth)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    base = df.where(F.col(key_col).isNotNull())
+    if weight_col:
+        base = base.where(F.col(weight_col).isNotNull())
+    cols = _cms_cols(F.col(key_col), width, depth, seed)
+    cells = base.select(
+        F.posexplode(cols).alias("row_idx", "col_idx"), w.alias("__inc")
+    )
+    state = cells.groupBy("row_idx", "col_idx").agg(
+        F.sum("__inc").alias("cnt")
+    )
+    return state.select(
+        "row_idx",
+        "col_idx",
+        "cnt",
+        F.lit(int(width)).alias("__w"),
+        F.lit(int(depth)).alias("__d"),
+        F.lit(seed).alias("__seed"),
+    )
+
+
+def merge_cms_states(states: list[DataFrame]) -> DataFrame:
+    """Fold any number of CMS state tables: cell-wise SUM per
+    (row_idx, col_idx) — exact count additivity, so fold order can
+    never change the result and fold == full-history-build IDENTICALLY
+    (the equality the unit test and the registry query pin). Layout
+    drift (different width/depth/seed — which would sum counts from
+    incompatible hash spaces into a silently-wrong sketch) fails
+    loudly with a bounded probe."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    u = states[0].select(_CMS_STATE_COLS)
+    for s in states[1:]:
+        u = u.unionByName(s.select(_CMS_STATE_COLS))
+    layouts = (
+        u.select("__w", "__d", "__seed").distinct().limit(2).collect()
+    )
+    if len(layouts) > 1:
+        raise ValueError(
+            f"merge_cms_states: incompatible layouts {sorted(map(tuple, layouts))} "
+            "— states must share (width, depth, seed) to merge"
+        )
+    return u.groupBy("row_idx", "col_idx").agg(
+        F.sum("cnt").alias("cnt"),
+        F.first("__w").alias("__w"),
+        F.first("__d").alias("__d"),
+        F.first("__seed").alias("__seed"),
+    )
+
+
+def estimate_cms(
+    df: DataFrame,
+    key_col: str,
+    state: DataFrame,
+    *,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Estimate every row's key frequency from a CMS state: adds a
+    long ``out_col`` = min over the ``depth`` rows of the key's cell
+    counts — NEVER below the true count inserted into the state (the
+    load-bearing one-sided guarantee, for non-negative weights). The
+    state is folded DISTRIBUTED (sum before collect — the probe_bloom
+    lesson, so raw appended increments cannot blow the driver probe
+    past width·depth cells ≤ 64 Ki longs) and embedded as a flat
+    literal array; the probe itself is a pure zero-shuffle, zero-join
+    codegen projection: one md5, ``depth`` element_at lookups, one
+    array_min per row. NULL keys estimate NULL (unknown, not 0 — 0
+    would falsely certify them as never-seen); keys never inserted
+    estimate 0 or collision mass only."""
+    meta = state.select("__w", "__d", "__seed").distinct().limit(2).collect()
+    if len(meta) > 1:
+        raise ValueError(
+            f"estimate_cms: state has mixed layouts {sorted(map(tuple, meta))}"
+        )
+    if not meta:  # empty state: nothing ever inserted
+        return df.withColumn(
+            out_col,
+            F.when(F.col(key_col).isNotNull(), F.lit(0).cast("long")),
+        )
+    width, depth, seed = int(meta[0][0]), int(meta[0][1]), str(meta[0][2])
+    _cms_validate(width, depth)
+    cells = [0] * (width * depth)
+    folded = state.groupBy("row_idx", "col_idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    for r in folded.collect():
+        cells[int(r[0]) * width + int(r[1])] += int(r[2])
+    arr = F.lit(cells)
+    cols = _cms_cols(F.col(key_col), width, depth, seed)
+    est = F.array_min(
+        F.transform(
+            cols,
+            lambda c, r: F.element_at(
+                arr, r.cast("int") * F.lit(int(width)) + c + 1
+            ),
+        )
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(key_col).isNotNull(), est)
+    )
+
+
 def finalize_hist_quantiles(
     state: DataFrame, keys: list[str], qs: list[float]
 ) -> DataFrame:

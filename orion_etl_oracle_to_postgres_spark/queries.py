@@ -13181,6 +13181,99 @@ def agg_bloom_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_hash_sql(key_sql: str, seed: str, w: int) -> str:
+    """DuckDB subquery text computing the SAME (h1, h2) double-hash
+    pair as ``operators/aggstate.py:_cms_cols`` — the Bloom portable
+    family mod the CMS width, h2 forced odd. md5 bytes are
+    engine-independent, so the oracle replays every cell exactly."""
+    return _bloom_hash_sql(key_sql, seed, w)
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    """
+    WITH e AS (SELECT user_id, day(ts) % 3 AS d FROM events
+               WHERE user_id IS NOT NULL),
+    hist AS (SELECT user_id FROM e WHERE d IN (0, 1)),
+    """
+    + "ch AS (" + _cms_hash_sql("user_id", "cm0", 64) + " FROM hist)),"
+    + """
+    cells AS (SELECT i AS r, (h1 + i * h2) % 64 AS col,
+                     count(*)::BIGINT AS cnt
+              FROM ch, range(4) t(i) GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM hist),
+    """
+    + "kh AS (" + _cms_hash_sql("user_id", "cm0", 64) + " FROM keys)),"
+    + """
+    probe AS (SELECT user_id, i AS r, (h1 + i * h2) % 64 AS col
+              FROM kh, range(4) t(i)),
+    est AS (SELECT p.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
+            FROM probe p LEFT JOIN cells c ON c.r = p.r AND c.col = p.col
+            GROUP BY 1),
+    ex AS (SELECT user_id, count(*)::BIGINT AS exact_cnt
+           FROM hist GROUP BY 1)
+    SELECT est.user_id, est.est_cnt, ex.exact_cnt,
+           est.est_cnt >= ex.exact_cnt AS overestimated,
+           true AS paths_agree
+    FROM est JOIN ex USING (user_id)
+    ORDER BY est.est_cnt DESC, est.user_id ASC
+    LIMIT 15
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental heavy hitters via MERGEABLE Count-Min Sketch
+    states (operators/aggstate.py:build/merge_cms_states,
+    estimate_cms) — the FREQUENCY member of the mergeable-state family
+    next to the HLL (distinct), histogram (order-stats) and Bloom
+    (membership) twins: two ingestion days build 64×4 portable-md5
+    sketches INDEPENDENTLY and fold by cell-wise SUM — exact count
+    additivity, so ``paths_agree`` pins fold == full-history-build
+    IDENTICALLY (cell tables compared verbatim, a bounded ≤ 256-row
+    driver probe). History's distinct users then rank by their
+    ESTIMATED frequency from the folded sketch (zero-join codegen
+    projection against the ≤ 512 KiB cell literal); the exact-count
+    join exists ONLY for the audit columns — ``overestimated`` pins
+    the one-sided guarantee (estimate ≥ truth, always; the width is
+    deliberately far below the 150-key cardinality so collision mass
+    is VISIBLE and the oracle must replay it cell-exactly). At 100 TB
+    you keep the sketch: per-key frequencies over billions of keys in
+    fixed state, no key-cardinality shuffle."""
+    from .operators import aggstate as A
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", (F.dayofmonth("ts") % 3).alias("__d")
+    ).where(F.col("user_id").isNotNull())
+    kw = dict(width=64, depth=4, seed="cm0")
+    s0 = A.build_cms_state(e.where(F.col("__d") == 0), "user_id", **kw)
+    s1 = A.build_cms_state(e.where(F.col("__d") == 1), "user_id", **kw)
+    merged = A.merge_cms_states([s0, s1])
+    full = A.build_cms_state(
+        e.where(F.col("__d").isin(0, 1)), "user_id", **kw
+    )
+    cells = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("row_idx", "col_idx", "cnt").collect())
+    )
+    agree = cells(merged) == cells(full)
+    hist = e.where(F.col("__d").isin(0, 1))
+    keys = hist.select("user_id").distinct()
+    exact = hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    est = A.estimate_cms(keys, "user_id", merged, out_col="est_cnt")
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("overestimated"),
+            F.lit(agree).alias("paths_agree"),
+        )
+        .orderBy(F.col("est_cnt").desc(), F.col("user_id").asc())
+        .limit(15)
+    )
+
+
 def _semdedup_chain_sql(
     n_centroids: int, threshold: float, cent_sql: str | None = None
 ) -> str:

@@ -386,3 +386,134 @@ def test_bloom_hash_family_drift_fails_loudly(spark):
         merge_bloom_states([a, b]).collect()
     with pytest.raises(ValueError, match="hash_family"):
         build_bloom_state(_keys_df(spark, [1]), "key", hash_family="nope")
+
+
+# ---------------- Count-Min Sketch frequency state ----------------
+
+from orion_etl_oracle_to_postgres_spark.operators.aggstate import (  # noqa: E402
+    build_cms_state,
+    estimate_cms,
+    merge_cms_states,
+)
+
+_CMS_KW = dict(width=64, depth=4, seed="t")
+
+
+def _freq_df(spark, pairs):
+    # pairs: (key, n_occurrences) -> one row per occurrence
+    rows = [(k,) for k, n in pairs for _ in range(n)]
+    return spark.createDataFrame(rows, "key long")
+
+
+def test_cms_never_underestimates(spark):
+    # the one-sided guarantee: estimate >= true count, for every key
+    pairs = [(k, (k % 7) + 1) for k in range(200)]
+    df = _freq_df(spark, pairs)
+    state = build_cms_state(df, "key", **_CMS_KW)
+    keys = spark.createDataFrame([(k,) for k, _ in pairs], "key long")
+    est = {
+        r["key"]: r["est_count"]
+        for r in estimate_cms(keys, "key", state).collect()
+    }
+    truth = dict(pairs)
+    assert all(est[k] >= truth[k] for k in truth)
+    # and with 200 keys in 64 columns, collisions MUST be visible —
+    # a sketch that never overestimates here is not hashing
+    assert any(est[k] > truth[k] for k in truth)
+
+
+def test_cms_merge_equals_full_build_exactly(spark):
+    pairs = [(k, (k % 5) + 1) for k in range(150)]
+    half = len(pairs) // 2
+    merged = merge_cms_states([
+        build_cms_state(_freq_df(spark, pairs[:half]), "key", **_CMS_KW),
+        build_cms_state(_freq_df(spark, pairs[half:]), "key", **_CMS_KW),
+    ])
+    full = build_cms_state(_freq_df(spark, pairs), "key", **_CMS_KW)
+    cells = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("row_idx", "col_idx", "cnt").collect())
+    )
+    assert cells(merged) == cells(full)
+    # and estimates from the fold match the full build for every key
+    keys = spark.createDataFrame([(k,) for k, _ in pairs], "key long")
+    em = {r["key"]: r["est_count"]
+          for r in estimate_cms(keys, "key", merged).collect()}
+    ef = {r["key"]: r["est_count"]
+          for r in estimate_cms(keys, "key", full).collect()}
+    assert em == ef
+
+
+def test_cms_weight_col_equals_replication(spark):
+    # weight_col=w must equal inserting the key w times
+    weighted = spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 1), (2, 2)], "key long, w long"
+    )
+    replicated = _freq_df(spark, [(1, 3), (2, 7), (3, 1)])
+    sw = build_cms_state(weighted, "key", weight_col="w", **_CMS_KW)
+    sr = build_cms_state(replicated, "key", **_CMS_KW)
+    cells = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("row_idx", "col_idx", "cnt").collect())
+    )
+    assert cells(sw) == cells(sr)
+
+
+def test_cms_unmerged_increments_estimate_bounded(spark):
+    # estimating against RAW appended increments (no merge) folds
+    # distributed first: same result as the merged path, and the
+    # driver probe stays bounded at width*depth cells
+    pairs = [(k, 2) for k in range(100)]
+    half = len(pairs) // 2
+    s0 = build_cms_state(_freq_df(spark, pairs[:half]), "key", **_CMS_KW)
+    s1 = build_cms_state(_freq_df(spark, pairs[half:]), "key", **_CMS_KW)
+    appended = s0.unionByName(s1)
+    merged = merge_cms_states([s0, s1])
+    keys = spark.createDataFrame([(k,) for k, _ in pairs], "key long")
+    ea = {r["key"]: r["est_count"]
+          for r in estimate_cms(keys, "key", appended).collect()}
+    em = {r["key"]: r["est_count"]
+          for r in estimate_cms(keys, "key", merged).collect()}
+    assert ea == em
+
+
+def test_cms_layout_drift_fails_loudly(spark):
+    a = build_cms_state(_freq_df(spark, [(1, 1)]), "key", **_CMS_KW)
+    b = build_cms_state(
+        _freq_df(spark, [(2, 1)]), "key", width=128, depth=4, seed="t"
+    )
+    with pytest.raises(ValueError, match="incompatible layouts"):
+        merge_cms_states([a, b]).collect()
+    with pytest.raises(ValueError, match="mixed layouts"):
+        estimate_cms(
+            _freq_df(spark, [(1, 1)]), "key", a.unionByName(b)
+        ).collect()
+
+
+def test_cms_empty_state_and_null_keys(spark):
+    empty = build_cms_state(
+        spark.createDataFrame([], "key long"), "key", **_CMS_KW
+    )
+    out = estimate_cms(
+        spark.createDataFrame([(1,), (None,)], "key long"), "key", empty
+    ).collect()
+    by_key = {r["key"]: r["est_count"] for r in out}
+    assert by_key[1] == 0          # nothing inserted -> estimate 0
+    assert by_key[None] is None    # NULL key -> unknown, never 0
+
+
+def test_cms_param_validation(spark):
+    df = _freq_df(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="power of two"):
+        build_cms_state(df, "key", width=100)
+    with pytest.raises(ValueError, match="depth must be"):
+        build_cms_state(df, "key", depth=0)
+    with pytest.raises(ValueError, match="collected-probe cap"):
+        build_cms_state(df, "key", width=1 << 16, depth=8)
+
+
+def test_cms_estimate_is_joinless_and_jvm_only(spark):
+    state = build_cms_state(_freq_df(spark, [(1, 2), (2, 1)]), "key", **_CMS_KW)
+    plan = estimate_cms(
+        _freq_df(spark, [(1, 1), (9, 1)]), "key", state
+    )._jdf.queryExecution().executedPlan().toString()
+    for banned in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert banned not in plan, f"estimate plan leaked a {banned}"
