@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "graph_supplier_pagerank",  # 5 unrolled rank⋈edges join rounds
     "dedup_incremental_minhash",  # batch vs persisted band index + exact verify
     "etl_incremental_minhash_index",  # declarative delta-vs-index probe (dedup.index_table)
+    "etl_doremi_token_sample",  # declarative DoReMi TOKEN budget (sample.method: doremi_tokens)
     "multimodal_video_near_dups",  # frame-hash postings join, payloads stay put
     "curation_curriculum_order",  # two-phase rank + ntile over scored corpus
     "dedup_intradoc_spans",  # in-row first-occurrence collapse: zero shuffles

@@ -1457,6 +1457,8 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             if smp.method in ("token_budget", "unimax")
             else [smp.group_column, smp.loss_column]
             if smp.method == "doremi"
+            else [smp.group_column, smp.loss_column, smp.text_column]
+            if smp.method == "doremi_tokens"
             else []
         )
         for c in needed:
@@ -1552,6 +1554,44 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                     smp.group_column,
                     smp.loss_column,
                     budget_rows=int(smp.budget_rows),
+                    eta=float(smp.eta),
+                    seed=smp.seed,
+                )
+        elif smp.method == "doremi_tokens":
+            from .operators.curation import doremi_token_sample
+
+            # same contract as the row twin: the operator re-checks,
+            # but the explain stub below would silently shadow clashes
+            clash = {"n_tokens", "domain_weight", "target_tokens"} & set(
+                df.columns
+            )
+            if clash:
+                raise ValueError(
+                    f"{spec.source_table}: doremi_tokens sampling adds "
+                    f"{sorted(clash)} but the pipeline already has them — "
+                    "rename those columns or use another method"
+                )
+            if ctx.explain_only:
+                logger.warning(
+                    "%s: plan review omits the doremi_tokens sample stage "
+                    "(its domain weights collect eagerly; the real run "
+                    "applies it; n_tokens/domain_weight/target_tokens are "
+                    "stubbed)",
+                    spec.source_table,
+                )
+                df = (
+                    df.withColumn("n_tokens", F.lit(None).cast("long"))
+                    .withColumn("domain_weight", F.lit(None).cast("double"))
+                    .withColumn("target_tokens", F.lit(None).cast("long"))
+                )
+            else:
+                df = doremi_token_sample(
+                    df,
+                    smp.text_column,
+                    smp.id_column,
+                    smp.group_column,
+                    smp.loss_column,
+                    budget_tokens=int(smp.budget_tokens),
                     eta=float(smp.eta),
                     seed=smp.seed,
                 )

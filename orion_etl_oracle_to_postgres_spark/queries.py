@@ -13666,6 +13666,58 @@ def _doremi_token_tail_sql(budget: int, seed: str, rounds: int = 8) -> str:
 
 
 @query(
+    "etl_doremi_token_sample",
+    _mw_chain_sql(
+        "SELECT source AS g, n_chars::DOUBLE AS loss FROM documents",
+        0.002,
+        0.01,
+    )
+    + _doremi_token_tail_sql(10_000, "dt1"),
+)
+def etl_doremi_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative DoReMi TOKEN sampling
+    (`sample.method: doremi_tokens`, compiler.py) — the YAML twin of
+    `curation_doremi_token_sample`, completing the declarative mixture
+    family's row/token symmetry (doremi ↔ doremi_tokens mirrors
+    token_budget ↔ unimax): the spec hands a per-row excess-loss
+    column (n_chars as the proxy, eta=0.002 like `etl_doremi_sample`)
+    and a TOKEN budget; the compiler learns the domain weights and
+    keeps each source's hash-order document prefix until its
+    floor(weight · budget) token allocation fills. Under --explain the
+    stage is skipped with three schema-preserving placeholder columns.
+    Oracle: the unrolled MW chain over the n_chars losses + the
+    token-budget replay (tokenizer, hash order, running-sum window,
+    floor targets — all value-exact)."""
+    from .spec import SampleSpec
+
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_doremi_tok",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="source", target="source"),
+            MappingSpec(source="text", target="text"),
+            MappingSpec(source="n_chars", target="loss"),
+        ],
+        sample=SampleSpec(
+            method="doremi_tokens",
+            id_column="doc_id",
+            group_column="source",
+            loss_column="loss",
+            text_column="text",
+            budget_tokens=10_000,
+            eta=0.002,
+            seed="dt1",
+        ),
+    )
+    return _compile(spark, sf_dir, spec).select(
+        "doc_id", "source", "n_tokens", "domain_weight", "target_tokens"
+    )
+
+
+
+
+@query(
     "curation_doremi_token_sample",
     _mw_chain_sql(_MW_REPETITION_PERDOC, 0.5, 0.01)
     + _doremi_token_tail_sql(10_000, "dt0"),

@@ -386,9 +386,17 @@ class SampleSpec(BaseModel):
     keeps its hash-order prefix of ``floor(weight · budget_rows)`` rows
     (``curation.doremi_sample``; needs ``group_column`` +
     ``loss_column`` + ``budget_rows``; adds ``domain_weight`` +
-    ``target_rows`` output columns)."""
+    ``target_rows`` output columns).
+    ``method: doremi_tokens`` — the SAME learned mixture applied to a
+    TOKEN budget, the paper's own unit (domain weights are token-mass
+    shares): floor(weight · ``budget_tokens``) tokens per group, kept
+    as the hash-order document prefix until the running total reaches
+    the allocation (``curation.doremi_token_sample``; needs
+    ``group_column`` + ``loss_column`` + ``text_column`` +
+    ``budget_tokens``; adds ``n_tokens`` + ``domain_weight`` +
+    ``target_tokens`` output columns)."""
 
-    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs | cap | unimax | doremi
+    method: str = "rates"  # rates | exact_n | priority | token_budget | temperature | epochs | cap | unimax | doremi | doremi_tokens
     id_column: str
     group_column: Optional[str] = None
     rates: Optional[dict] = None  # group value -> keep rate in [0, 1]
@@ -413,11 +421,11 @@ class SampleSpec(BaseModel):
     def _known_sample_method(cls, v: str) -> str:
         if v not in (
             "rates", "exact_n", "priority", "token_budget", "temperature",
-            "epochs", "cap", "unimax", "doremi",
+            "epochs", "cap", "unimax", "doremi", "doremi_tokens",
         ):
             raise ValueError(
                 "sample method must be rates|exact_n|priority|token_budget|"
-                f"temperature|epochs|cap|unimax|doremi, got {v!r}"
+                f"temperature|epochs|cap|unimax|doremi|doremi_tokens, got {v!r}"
             )
         return v
 
@@ -478,6 +486,17 @@ class SampleSpec(BaseModel):
             raise ValueError(
                 "sample method=doremi needs group_column, loss_column "
                 "and budget_rows > 0"
+            )
+        if self.method == "doremi_tokens" and (
+            not self.group_column
+            or not self.loss_column
+            or not self.text_column
+            or self.budget_tokens is None
+            or self.budget_tokens <= 0
+        ):
+            raise ValueError(
+                "sample method=doremi_tokens needs group_column, "
+                "loss_column, text_column and budget_tokens > 0"
             )
         return self
 

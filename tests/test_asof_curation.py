@@ -1832,3 +1832,79 @@ def test_doremi_token_sample_budget_semantics(spark):
             df.withColumn("n_tokens", F.lit(1)),
             "text", "id", "dom", "loss", budget_tokens=10,
         )
+
+
+def test_declarative_doremi_tokens_and_explain_stub(spark, tmp_path):
+    """`sample.method: doremi_tokens` — the declarative TOKEN twin of
+    doremi: learned weights drive per-domain token allocations, the
+    compiled result matches the standalone operator exactly, --explain
+    stubs the three added columns, and the parse-time contract holds."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.operators.curation import (
+        doremi_token_sample,
+    )
+
+    src = tmp_path / "src"
+    rows = [
+        (i, "hard" if i < 40 else "easy",
+         "some words repeated here " * ((i % 3) + 1),
+         0.9 if i < 40 else 0.1)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, dom string, body string, loss double"
+    )
+    df.write.parquet(str(src / "t.parquet"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src))
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="t",
+        target_table="t_mix",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="dom", target="dom"),
+            spec_mod.MappingSpec(source="body", target="body"),
+            spec_mod.MappingSpec(source="loss", target="loss"),
+        ],
+        sample=spec_mod.SampleSpec(
+            method="doremi_tokens", id_column="id", group_column="dom",
+            loss_column="loss", text_column="body", budget_tokens=120,
+            eta=1.0, seed="dtt",
+        ),
+    )
+    out = compile_table(JobContext(spark=spark, global_spec=g), t).df
+    assert {"n_tokens", "domain_weight", "target_tokens"} <= set(out.columns)
+    got = {r["id"] for r in out.collect()}
+    want = {
+        r["id"]
+        for r in doremi_token_sample(
+            df.withColumnRenamed("body", "__b"), "__b", "id", "dom", "loss",
+            budget_tokens=120, eta=1.0, seed="dtt",
+        ).collect()
+    }
+    assert got == want and got
+    # --explain: stage skipped, placeholder columns keep the schema
+    exp = compile_table(
+        JobContext(spark=spark, global_spec=g, explain_only=True), t
+    ).df
+    assert {"n_tokens", "domain_weight", "target_tokens"} <= set(exp.columns)
+    # spec contract: token budget + text column demanded at parse time
+    with pytest.raises(ValueError, match="doremi_tokens"):
+        spec_mod.SampleSpec(
+            method="doremi_tokens", id_column="id", group_column="dom",
+            loss_column="loss", budget_tokens=120,
+        )
+    with pytest.raises(ValueError, match="doremi_tokens"):
+        spec_mod.SampleSpec(
+            method="doremi_tokens", id_column="id", group_column="dom",
+            loss_column="loss", text_column="body",
+        )
