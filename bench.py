@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "reconcile_snapshot_diff",  # full-outer eqNullSafe row diff
     "reconcile_diff_summary",  # diff rollup: one agg over the diff set
     "reconcile_distribution_drift",  # per-column PSI, counts-only shuffle
+    "reconcile_checksum_drilldown",  # 2-phase diff: bucket checksums -> row drill
     "privacy_k_anonymity_stats",  # QI-group census + k-violation stats
     "privacy_t_closeness",  # per-group EMD vs global, rank primitives
     "ir_retrieve_rerank",  # BM25 candidates -> cosine rerank, group limit

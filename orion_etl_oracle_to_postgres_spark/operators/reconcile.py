@@ -257,6 +257,100 @@ def table_checksum(
     )
 
 
+def checksum_drilldown(
+    left: DataFrame,
+    right: DataFrame,
+    cols: "list[str]",
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Two-phase table diff — the checksum ladder DRIVEN to rows:
+    compare the two sides' bucketed checksums (``table_checksum``),
+    then row-diff ONLY the buckets whose (count, xor, sum) triples
+    disagree. Returns the distinct differing row values with per-side
+    multiset counts: (``cols``…, n_left, n_right), n_left ≠ n_right —
+    empty ⇔ the tables are multiset-identical on ``cols``.
+
+    Why this beats a direct full diff at 100 TB: phase 1 is the
+    cheapest possible comparison (one map-side-combined aggregate per
+    side, ``n_buckets`` output rows — collected on the driver, the
+    codebook pattern), and phase 2's expensive value-grouped
+    full-outer join reads each side FILTERED to the mismatched
+    buckets — a migration that corrupted one load task re-scans
+    ~1/n_buckets of each table, not all of it. A matching table pays
+    phase 1 only. No bucket can hide a diff: any multiset difference
+    changes its bucket's count, xor-checksum or modular sum (joint
+    collision of all three is the practically-impossible event
+    ``table_checksum`` documents — and the differential oracle would
+    surface it as a missed row).
+
+    NULL-safe throughout: NULL column values group and join as values
+    (the '\\x00NULL' encoding of ``table_checksum``), so a NULL-bearing
+    row diffs like any other."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from ..functions import md5_hash60
+
+    def bucket_reports(df: DataFrame) -> dict:
+        return {
+            int(r["bucket"]): (
+                int(r["n_rows"]), int(r["xor_checksum"]), int(r["sum_checksum"])
+            )
+            for r in table_checksum(df, cols, n_buckets=n_buckets).collect()
+        }
+
+    lrep, rrep = bucket_reports(left), bucket_reports(right)
+    bad = sorted(
+        b
+        for b in set(lrep) | set(rrep)
+        if lrep.get(b) != rrep.get(b)
+    )
+    spark = left.sparkSession
+    out_schema = ", ".join(
+        [f"`{c}` {dict(left.select(*cols).dtypes)[c]}" for c in cols]
+        + ["n_left bigint", "n_right bigint"]
+    )
+    if not bad:
+        return spark.createDataFrame([], out_schema)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in cols
+    ]
+    bucket = md5_hash60(F.concat_ws("\x1f", *parts)) % n_buckets
+
+    def side_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(*cols)
+            .where(bucket.isin([int(b) for b in bad]))
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    lg = side_counts(left, "n_left")
+    rg = side_counts(right, "n_right")
+    rr = rg.select(
+        *[F.col(c).alias(f"__r_{c}") for c in cols], "n_right"
+    )
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        cond = e if cond is None else cond & e
+    return (
+        lg.join(rr, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(c), F.col(f"__r_{c}")).alias(c)
+                for c in cols
+            ],
+            F.coalesce(F.col("n_left"), F.lit(0)).cast("long").alias("n_left"),
+            F.coalesce(F.col("n_right"), F.lit(0)).cast("long").alias("n_right"),
+        )
+        .where(F.col("n_left") != F.col("n_right"))
+    )
+
+
 def referential_integrity(
     pairs: "list[tuple[str, DataFrame, str, DataFrame, str]]",
 ) -> DataFrame:

@@ -6782,6 +6782,64 @@ def reconcile_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "reconcile_checksum_drilldown",
+    """
+    WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    r AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 500 = 7 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 997 <> 3),
+    lg AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  count(*)::BIGINT AS n_left FROM l GROUP BY ALL),
+    rg AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  count(*)::BIGINT AS n_right FROM r GROUP BY ALL)
+    SELECT coalesce(lg.o_orderkey, rg.o_orderkey) AS o_orderkey,
+           coalesce(lg.o_orderstatus, rg.o_orderstatus) AS o_orderstatus,
+           coalesce(lg.o_totalprice, rg.o_totalprice) AS o_totalprice,
+           coalesce(n_left, 0)::BIGINT AS n_left,
+           coalesce(n_right, 0)::BIGINT AS n_right
+    FROM lg FULL OUTER JOIN rg
+      ON lg.o_orderkey IS NOT DISTINCT FROM rg.o_orderkey
+     AND lg.o_orderstatus IS NOT DISTINCT FROM rg.o_orderstatus
+     AND lg.o_totalprice IS NOT DISTINCT FROM rg.o_totalprice
+    WHERE coalesce(n_left, 0) <> coalesce(n_right, 0)
+    """,
+)
+def reconcile_checksum_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Two-phase checksum drill-down diff
+    (operators/reconcile.py:checksum_drilldown): the bucketed-checksum
+    ladder DRIVEN to rows — phase 1 compares the two sides' 64-bucket
+    (count, xor, sum) reports (one cheap aggregate per side, a bounded
+    driver probe), phase 2 value-diffs ONLY the mismatched buckets, so
+    a migration that corrupted a few rows re-scans ~1/64 of each table
+    instead of paying the full-table join. Here the 'loaded' side
+    injects both corruption classes (a price bump every 500th key, a
+    dropped row every 997th) and the output is every differing row
+    value with per-side multiset counts. The oracle computes the FULL
+    direct diff with no bucket pruning — equality proves the ladder's
+    completeness claim (no bucket can hide a diff) on real data, not
+    just in theory."""
+    from .operators.reconcile import checksum_drilldown
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    left = _t(spark, sf_dir, "orders").select(*cols)
+    right = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 997 != 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 500 == 7, F.col("o_totalprice") + 1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return checksum_drilldown(left, right, cols, n_buckets=64)
+
+
+@query(
     "dq_referential_integrity",
     """
     WITH fk AS (

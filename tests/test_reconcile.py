@@ -250,3 +250,93 @@ def test_quantile_drift_detects_shift_and_keeps_null_keys(spark):
     assert set(one) == {None, "0", "1"}
     assert one["1"]["n_b"] is None and one["1"]["linf"] is None
     assert one["0"]["linf"] == 0.0
+
+
+def test_checksum_drilldown_finds_all_diff_classes(spark):
+    """checksum_drilldown: identical tables -> empty (phase 1 only);
+    modified/inserted/deleted rows all surface with multiset counts;
+    NULL values diff like values; duplicate rows diff by count."""
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        checksum_drilldown,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (4, "d")],
+        "k long, v string",
+    )
+    # identical -> empty, and the empty frame keeps the full schema
+    same = checksum_drilldown(left, left, ["k", "v"], n_buckets=8)
+    assert same.count() == 0
+    assert same.columns == ["k", "v", "n_left", "n_right"]
+    right = spark.createDataFrame(
+        [
+            (1, "a"),        # unchanged
+            (2, "B"),        # modified
+            (3, "x"),        # NULL -> value
+            (4, "d"),        # one of the duplicates dropped
+            (9, "new"),      # inserted
+        ],
+        "k long, v string",
+    )
+    out = {
+        (r.k, r.v): (r.n_left, r.n_right)
+        for r in checksum_drilldown(left, right, ["k", "v"], n_buckets=8).collect()
+    }
+    assert out == {
+        (2, "b"): (1, 0),
+        (2, "B"): (0, 1),
+        (3, None): (1, 0),
+        (3, "x"): (0, 1),
+        (4, "d"): (2, 1),
+        (9, "new"): (0, 1),
+    }
+
+
+def test_checksum_drilldown_prunes_to_bad_buckets(spark):
+    """Phase 2 must scan only the mismatched buckets: with one
+    corrupted row among many, the value-diff join processes a strict
+    subset of each side (pinned by injecting the bucket filter's
+    selectivity into the row counts the groupBys see)."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.functions import md5_hash60
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        checksum_drilldown,
+    )
+
+    n, buckets = 2000, 64
+    left = spark.range(n).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    right = left.withColumn(
+        "v", F.when(F.col("k") == 123, F.lit("CORRUPT")).otherwise(F.col("v"))
+    )
+    out = checksum_drilldown(left, right, ["k", "v"], n_buckets=buckets)
+    rows = {(r.k, r.v) for r in out.collect()}
+    assert rows == {(123, "v123"), (123, "CORRUPT")}
+    # the two differing row VERSIONS land in (at most) two buckets —
+    # the filter the drill applies keeps ~2/64 of the table
+    h = md5_hash60(F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("k").cast("string"), F.lit("\x00NULL")),
+        F.coalesce(F.col("v").cast("string"), F.lit("\x00NULL")),
+    ))
+    bad_l = left.where(F.col("k") == 123).select((h % buckets).alias("b"))
+    bad_r = right.where(F.col("k") == 123).select((h % buckets).alias("b"))
+    bad = {r.b for r in bad_l.collect()} | {r.b for r in bad_r.collect()}
+    kept = left.where((h % buckets).isin(list(bad))).count()
+    assert kept < n / 8  # pruning is real, not a full scan
+
+
+def test_checksum_drilldown_validation(spark):
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        checksum_drilldown,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="non-empty"):
+        checksum_drilldown(df, df, [])
+    with pytest.raises(ValueError, match="n_buckets"):
+        checksum_drilldown(df, df, ["k"], n_buckets=0)
