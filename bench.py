@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "privacy_t_closeness",  # per-group EMD vs global, rank primitives
     "ir_retrieve_rerank",  # BM25 candidates -> cosine rerank, group limit
     "ir_ndcg_audit",  # ranked-join DCG folds, ids-only exchanges
+    "ir_mmr_diversify",  # greedy MMR diversity over a candidate-bounded set
     "dedup_impact_report",  # pair/cluster census over the cached pairs
     "pack_bin_stats",  # next-fit shard census over packed sequences
     "json_variant_events",  # schema-on-read JSON path extraction

@@ -1093,6 +1093,131 @@ def semdedup_cells(
     )
 
 
+def mmr_diversify(
+    candidates: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    k: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity stage of a retrieval pipeline: from a
+    CANDIDATE set (already bounded by a retriever — this operator's
+    contract, like the rerank stage of ``ir_retrieve_rerank``) pick
+    ``k`` items greedily, each maximizing ``λ·relevance − (1−λ)·max
+    cosine to the already-picked set`` — relevant results that aren't
+    near-duplicates of each other, the classic fix for a result page
+    of ten paraphrases. Returns (``sel_rank``, id, rel, ``mmr_score``);
+    the first pick maximizes relevance alone (score ``λ·rel`` by
+    convention), ties break to the lowest id at every step.
+
+    Deterministic and oracle-replayable: pair cosines are dots of
+    6-dp-stable pre-normalized vectors rounded to 6 dp (the semdedup
+    pair rule), the greedy argmax orders by the 6-dp-rounded score then
+    id — a SQL oracle unrolls the k rounds and reproduces every pick
+    value-exactly. NULL/zero-norm vectors are excluded (no cosine
+    exists for them).
+
+    Scale shape: everything is bounded by the CANDIDATE count, never
+    the corpus — per round, one ids-only anti-join, one 1-row
+    collect_list aggregate of the picked (id, vector) structs, one
+    broadcast nested-loop join of that single row (the broadcast
+    one-row stats pattern), an IN-ROW array_max over the picked set,
+    and a TakeOrderedAndProject(1). The corpus-sized work happened in
+    the retriever; MMR adds k tiny stages on top. Like the other
+    iterative operators (``ivf_train``), each round eagerly
+    ``localCheckpoint``s the ≤ k-row picked set — without it every
+    round's plan re-embeds all prior rounds' subtrees and the lazy
+    composition blows up combinatorially."""
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cand = (
+        candidates.select(
+            F.col(id_col),
+            F.col(rel_col).alias("__rel"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .where(
+            F.col(vec_col).isNotNull()
+            & (
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+                > F.lit(0.0)
+            )
+        )
+        .withColumn(
+            "__nrm",
+            F.sqrt(
+                F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)
+            ),
+        )
+        .withColumn("__vn", F.transform(F.col("__v"), lambda x: x / F.col("__nrm")))
+        .select(id_col, "__rel", "__vn")
+        # checkpoint the candidate set too: every round's anti-join and
+        # argmax reference it, and without the pin each reference
+        # re-runs the RETRIEVER's corpus scan k times
+        .localCheckpoint()
+    )
+    first = (
+        cand.orderBy(F.desc("__rel"), F.asc(id_col))
+        .limit(1)
+        .select(
+            F.lit(1).alias("sel_rank"),
+            F.col(id_col),
+            F.col("__rel"),
+            F.round(F.lit(float(lam)) * F.col("__rel"), 6).alias("mmr_score"),
+            F.col("__vn"),
+        )
+    )
+    picked = first.localCheckpoint()
+    for r in range(2, int(k) + 1):
+        sel_arr = picked.agg(
+            F.collect_list(F.struct(F.col(id_col), F.col("__vn"))).alias("__sel")
+        )
+        remaining = cand.join(
+            picked.select(id_col), id_col, "left_anti"
+        )
+        scored = remaining.crossJoin(F.broadcast(sel_arr)).withColumn(
+            "__ms",
+            F.array_max(
+                F.transform(
+                    F.col("__sel"),
+                    lambda s: F.round(dot(F.col("__vn"), s["__vn"]), 6),
+                )
+            ),
+        )
+        pick = (
+            scored.withColumn(
+                "__score",
+                F.round(
+                    F.lit(float(lam)) * F.col("__rel")
+                    - F.lit(1.0 - float(lam)) * F.col("__ms"),
+                    6,
+                ),
+            )
+            .orderBy(F.desc("__score"), F.asc(id_col))
+            .limit(1)
+            .select(
+                F.lit(int(r)).alias("sel_rank"),
+                F.col(id_col),
+                F.col("__rel"),
+                F.col("__score").alias("mmr_score"),
+                F.col("__vn"),
+            )
+        )
+        picked = picked.unionByName(pick).localCheckpoint()
+    return picked.select(
+        "sel_rank", id_col, F.col("__rel").alias(rel_col), "mmr_score"
+    )
+
+
 def centroid_drift(
     old: DataFrame,
     new: DataFrame,

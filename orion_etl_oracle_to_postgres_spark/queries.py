@@ -4921,6 +4921,116 @@ def ir_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reranked.orderBy(F.desc("cosine_sim"), F.asc("doc_id")).limit(10)
 
 
+def _mmr_round_cte(r: int, lam: float, dim: int = 64) -> str:
+    """One unrolled MMR greedy round: per remaining candidate the max
+    6-dp pair dot to the picked set, the 6-dp score argmax (ties to
+    lowest id), and the grown selection — the ``mmr_diversify``
+    replay, value-exact on both engines."""
+    dotexpr = (
+        f"round(list_sum(list_transform(range({dim}),"
+        " i -> c.vn[i+1]*s.vn[i+1])), 6)"
+    )
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, and each round references the previous selection
+    # twice — the k-round chain inlines EXPONENTIALLY without it (the
+    # SQL twin of the operator's per-round localCheckpoint)
+    return f"""
+    s{r} AS MATERIALIZED (
+      SELECT c.id, c.rel, c.vn, max({dotexpr}) AS ms
+      FROM cand c, sel{r - 1} s
+      WHERE c.id NOT IN (SELECT id FROM sel{r - 1})
+      GROUP BY c.id, c.rel, c.vn
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT {r} AS sel_rank, id, rel,
+             round({lam}::DOUBLE * rel - {1.0 - lam}::DOUBLE * ms, 6)
+               AS mmr_score, vn
+      FROM s{r} ORDER BY mmr_score DESC, id LIMIT 1
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM p{r}
+    )"""
+
+
+def _mmr_sql(n_cands: int = 30, k: int = 8, lam: float = 0.7) -> str:
+    return (
+        f"""
+    WITH vecs AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL)) = 0
+        AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE id = 0),
+    cand0 AS MATERIALIZED (
+      SELECT id, round(list_cosine_similarity(v, q.qv), 6) AS rel, v
+      FROM vecs, q ORDER BY rel DESC, id LIMIT {n_cands}
+    ),
+    cand AS MATERIALIZED (
+      SELECT id, rel, list_transform(v, e -> e / nrm) AS vn
+      FROM (SELECT id, rel, v,
+                   sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+            FROM cand0)
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS sel_rank, id, rel, round({lam}::DOUBLE * rel, 6)
+               AS mmr_score, vn
+      FROM cand ORDER BY rel DESC, id LIMIT 1
+    ),"""
+        + ",".join(_mmr_round_cte(r, lam) for r in range(2, k + 1))
+        + f"""
+    SELECT sel_rank, id AS vec_id, rel, mmr_score FROM sel{k}
+    """
+    )
+
+
+@query("ir_mmr_diversify", _mmr_sql())
+def ir_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MMR-diversified retrieval
+    (operators/similarity.py:mmr_diversify; Carbonell & Goldstein
+    1998): cosine top-30 candidates against the query vector, then 8
+    greedy MMR picks at λ=0.7 — each maximizing λ·relevance − (1−λ)·max
+    cosine to the already-picked set, the diversity stage that stops a
+    result page being ten paraphrases of the winner. Every pick is
+    value-oracled: the oracle unrolls the greedy rounds as CTEs
+    (6-dp-rounded pair dots of pre-normalized vectors, 6-dp score
+    argmax, ties to lowest id — the semdedup rounding rules). All MMR
+    work is candidate-bounded: per round an ids-only anti-join, a
+    1-row picked-set array aggregate, a broadcast nested-loop join of
+    that row, and a TakeOrderedAndProject(1); only the retriever ever
+    touches the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    from .functions import cosine
+    from .operators.similarity import mmr_diversify
+
+    __v = F.col("embedding").cast("array<double>")
+    usable = e.where(
+        F.col("embedding").isNotNull()
+        & (F.aggregate(__v, F.lit(0.0), lambda a, x: a + x * x) > F.lit(0.0))
+    )
+    qv = [
+        float(x)
+        for x in usable.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    cands = (
+        usable.select(
+            "vec_id",
+            "embedding",
+            F.round(
+                cosine(__v, F.lit(qv).cast("array<double>")), 6
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(30)
+    )
+    return mmr_diversify(
+        cands, vec_col="embedding", id_col="vec_id", rel_col="rel",
+        k=8, lam=0.7,
+    )
+
+
 @query(
     "text_unicode_normalize",
     """

@@ -1137,3 +1137,59 @@ def test_semdedup_cells_skips_degenerate_centroid_slots(spark):
     # 3~4 duplicate group survives by LOWER cent_sim; tie -> lower id
     assert out[3]["keep"] and out[4]["keep"] is False
     assert out[2]["keep"]  # singleton
+
+
+def test_mmr_diversify_defers_near_duplicates(spark):
+    """MMR at moderate lambda must pick the diverse mid-relevance item
+    over a near-clone of the winner; at lambda=1 it degenerates to
+    pure relevance order."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        mmr_diversify,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0.99),   # winner
+            (2, [0.999, 0.02, 0.0], 0.98),  # near-clone of winner
+            (3, [0.0, 1.0, 0.0], 0.60),   # diverse
+            (4, [0.0, 0.0, 1.0], 0.50),   # diverse
+        ],
+        "id long, v array<double>, rel double",
+    )
+    out = mmr_diversify(
+        cands, vec_col="v", id_col="id", rel_col="rel", k=3, lam=0.5
+    )
+    picks = [r["id"] for r in out.orderBy("sel_rank").collect()]
+    assert picks[0] == 1            # first = max relevance
+    assert picks[1:] == [3, 4]      # the clone (2) loses to diversity
+    pure = mmr_diversify(
+        cands, vec_col="v", id_col="id", rel_col="rel", k=3, lam=1.0
+    )
+    assert [r["id"] for r in pure.orderBy("sel_rank").collect()] == [1, 2, 3]
+
+
+def test_mmr_diversify_contracts(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.similarity import (
+        mmr_diversify,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.9), (2, None, 0.8), (3, [0.0, 0.0], 0.7),
+         (4, [0.0, 1.0], 0.6)],
+        "id long, v array<double>, rel double",
+    )
+    # NULL / zero-norm vectors are excluded, k caps at the usable count
+    out = mmr_diversify(
+        cands, vec_col="v", id_col="id", rel_col="rel", k=10, lam=0.5
+    ).collect()
+    assert {r["id"] for r in out} == {1, 4}
+    assert [r["sel_rank"] for r in sorted(out, key=lambda r: r["sel_rank"])] == [1, 2]
+    with pytest.raises(ValueError, match="lam"):
+        mmr_diversify(cands, vec_col="v", id_col="id", rel_col="rel", lam=1.5)
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_diversify(cands, vec_col="v", id_col="id", rel_col="rel", k=0)
