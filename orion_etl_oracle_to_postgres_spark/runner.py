@@ -160,6 +160,18 @@ def main(argv: list[str] | None = None) -> int:
         "to see WHICH rows differ",
     )
     parser.add_argument(
+        "--diff",
+        default=None,
+        metavar="TABLE",
+        help="checksum drill-down: compare the recompiled pipeline frame "
+        "vs the loaded target by bucket checksums, then row-diff ONLY "
+        "the mismatched buckets (operators/reconcile.checksum_drilldown) "
+        "— prints the differing row values with per-side counts, exits "
+        "nonzero on divergence. Sits between --checksum (O(1) output, "
+        "no rows) and --reconcile (key-matched row diff): keyless, and "
+        "re-scans ~1/64 of each side when the diff is sparse",
+    )
+    parser.add_argument(
         "--drift",
         default=None,
         metavar="TABLE",
@@ -544,6 +556,49 @@ def main(argv: list[str] | None = None) -> int:
             print(f"bucket {b}: pipeline={left.get(b)} target={right.get(b)}")
         print(f"checksum: {'DIVERGED' if bad else 'OK'} ({len(bad)} buckets differ)")
         return 1 if bad else 0
+
+    if args.diff:
+        from .compiler import compile_table
+        from .operators.reconcile import checksum_drilldown
+
+        tspec, full_spec = _resolve_full_spec(args.diff, "--diff")
+        ctx = JobContext(spark, job.global_spec)
+        expected = compile_table(ctx, full_spec).df
+        actual = ctx._read_target(tspec.target_table, tspec.target_schema)
+        # same column contract as --checksum: exactly-stringifiable
+        # shared columns, case-insensitive intersection (the bucketing
+        # hash stringifies values; float formatting is path-dependent)
+        exact = {
+            "string", "int", "bigint", "smallint", "tinyint", "boolean",
+            "date",
+        }
+        actual_lower = {c.lower() for c in actual.columns}
+        cols = sorted(
+            c
+            for c, t in expected.dtypes
+            if t in exact and c.lower() in actual_lower
+        )
+        if not cols:
+            raise SystemExit(
+                "--diff: no exactly-stringifiable shared columns"
+            )
+        diff = checksum_drilldown(
+            expected.select(*cols), actual.select(*cols), cols
+        )
+        rows = diff.limit(51).collect()
+        logger.info(
+            "diff %s over %s: %s differing row values%s",
+            tspec.target_table, cols,
+            len(rows) if len(rows) <= 50 else "50+",
+            "" if rows else " — multiset-identical",
+        )
+        for r in rows[:50]:
+            vals = ", ".join(f"{c}={r[c]!r}" for c in cols)
+            print(f"pipeline×{r['n_left']} target×{r['n_right']}: {vals}")
+        if len(rows) > 50:
+            print("… (more rows; raise the limit in code or use --reconcile)")
+        print(f"diff: {'DIVERGED' if rows else 'OK'}")
+        return 1 if rows else 0
 
     if args.layout:
         import json as _json

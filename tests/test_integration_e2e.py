@@ -641,3 +641,61 @@ def test_cli_lineage_covers_round6_stages(spark, tmp_path, capsys):
     assert "decontaminate: 13-grams vs bench" in out
     assert "quality gate: gopher" in out
     assert "augment: span_corruption -> columns 'input_text'/'target_text'" in out
+
+
+def test_cli_diff_verb(spark, tmp_path, capsys):
+    """--diff: clean load is multiset-identical (exit 0); a tampered
+    target prints BOTH versions of the differing row with per-side
+    counts (exit 1) — the drill-down complement of --checksum's
+    bucket-only report."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(40)], "id int, name string"
+    ).write.parquet(str(src / "t.parquet"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {out}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            """
+            source_table: t
+            target_table: t_out
+            mappings:
+              - source: id
+                target: id
+              - source: name
+                target: name
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg]) == 0
+    assert main(["--config", cfg, "--diff", "t_out"]) == 0
+    assert "diff: OK" in capsys.readouterr().out
+
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tampered = spark.read.parquet(str(out / "t_out")).withColumn(
+        "name", F.expr("CASE WHEN id = 7 THEN 'TAMPERED' ELSE name END")
+    )
+    tampered.write.mode("overwrite").parquet(str(out / "t_out_new"))
+    shutil.rmtree(str(out / "t_out"))
+    shutil.move(str(out / "t_out_new"), str(out / "t_out"))
+    assert main(["--config", cfg, "--diff", "t_out"]) == 1
+    outtxt = capsys.readouterr().out
+    assert "DIVERGED" in outtxt
+    assert "'n7'" in outtxt and "'TAMPERED'" in outtxt
+    assert "pipeline×1 target×0" in outtxt and "pipeline×0 target×1" in outtxt
