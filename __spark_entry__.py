@@ -100,8 +100,19 @@ _FIRST_50 = [
 # After rotation #7 every one of the 291 r9-era registrations has a
 # driver CORRECTNESS row (cumulative 291/291).  Rotation #8 (round 11,
 # VERDICT r9 ask #7): re-sample ~10 of the OLDEST cum-green rows
-# (r1-r3 windows) alongside any round-10-session additions to catch
-# silent drift.
+# (r1-r3 windows) alongside the round-10-session additions (the only
+# never-driver-sampled queries left):
+#   etl_semdedup_codebook (dedup.centroids_table trained-codebook
+#     SemDeDup, unrolled-Lloyd-seeded oracle),
+#   etl_incremental_minhash_index (dedup.index_table delta-vs-index
+#     probe, archive never re-shingled),
+#   etl_doremi_token_sample (sample.method: doremi_tokens),
+#   agg_cms_heavy_hitters (mergeable Count-Min Sketch state,
+#     cell-exact md5 replay),
+#   reconcile_checksum_drilldown (bucket-checksum ladder driven to
+#     rows, full-unpruned-diff oracle),
+#   ir_mmr_diversify (greedy MMR diversity, k unrolled-round oracle).
+# All six are judge-sweep-verified (both session modes) this round.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -589,17 +589,31 @@ def build_cms_state(
     (``_cms_cols``), so a DuckDB oracle replays every cell and every
     estimate EXACTLY — no error envelope needed, the Bloom-family
     argument. ``weight_col`` sums that column instead of counting rows
-    (weights must be non-negative for the one-sided guarantee; NULL
+    (a NEGATIVE weight fails loudly at execution — summing it in
+    would let a colliding key's min-over-rows estimate drop below its
+    true count, silently voiding the guarantee; NULL
     weights contribute nothing, like NULL keys). Shuffle shape: the
     explode carries depth·rows (cell, weight) integers — never
     payloads — into one map-side-combined sum over ≤ width·depth
     groups."""
     _cms_validate(width, depth)
-    w = (
-        F.col(weight_col).cast("long")
-        if weight_col
-        else F.lit(1).cast("long")
-    )
+    if weight_col:
+        # zero-cost on the happy path (codegen branch); the guarantee
+        # violation must be loud, like every other family contract
+        w = F.when(
+            F.col(weight_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "build_cms_state: negative weight breaks the "
+                        "never-underestimate guarantee: "
+                    ),
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(weight_col).cast("long"))
+    else:
+        w = F.lit(1).cast("long")
     base = df.where(F.col(key_col).isNotNull())
     if weight_col:
         base = base.where(F.col(weight_col).isNotNull())

@@ -1110,19 +1110,20 @@ def ngram_overlap_pairs(
     bench_grams = grams(bench, "bench_id")
     train_grams = grams(train, "train_id")
     if bench_join == "bloom":
-        from pyspark import StorageLevel
-
         from .aggstate import build_bloom_state, probe_bloom
 
         # The Bloom build's eager collect and the exact equi-join both
-        # scan bench_grams; persist so the tokenize+shingle+explode is
-        # paid once (the build materializes the cache, the join reads
-        # it).  MEMORY_AND_DISK: the bench side in bloom mode may be
-        # too big for broadcast but is still benchmark-suite-sized.
-        # No explicit unpersist — the consumer's plan is lazy, so the
-        # blocks live until the ContextCleaner GCs the frame (or LRU
-        # evicts; eviction only re-pays the scan, never breaks it).
-        bench_grams = bench_grams.persist(StorageLevel.MEMORY_AND_DISK)
+        # scan bench_grams; an EAGER localCheckpoint pays the
+        # tokenize+shingle+explode once and both consumers read the
+        # materialized partitions.  Checkpoint, not persist(): cached
+        # frames are held by the session CacheManager until an explicit
+        # unpersist (which a lazily-consumed return value has no safe
+        # point for), so persist() would leak a shingle-explode cache
+        # per call; checkpointed RDD blocks are ContextCleaner-GC'd
+        # with the frame.  Bloom mode is already eager (the state
+        # collect below) and documented not explain-only-safe, so the
+        # eager materialization adds no new execution class.
+        bench_grams = bench_grams.localCheckpoint()
 
         # hash_family="fast": these bit positions are never replayed by
         # an oracle — the exact join verifies the result — so the probe

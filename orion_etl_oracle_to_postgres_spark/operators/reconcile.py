@@ -204,6 +204,27 @@ def distribution_drift(
     )
 
 
+def _row_hash(cols: "list[str]"):
+    """Portable md5-derived 60-bit hash of a row's column tuple under
+    an INJECTIVE serialization: each part encodes as ``N`` for NULL or
+    ``V<len>:<value>`` otherwise, concatenated directly — every part
+    self-delimits, so distinct tuples can never alias (a plain
+    separator-joined concat lets ('a\\x1fb','c') collide with
+    ('a','b\\x1fc'), and a literal NULL-sentinel string collide with
+    SQL NULL — either would let a checksum 'hide' a real diff)."""
+    from ..functions import md5_hash60
+
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return md5_hash60(F.concat(*parts))
+
+
 def table_checksum(
     df: DataFrame,
     cols: "list[str]",
@@ -211,8 +232,9 @@ def table_checksum(
     n_buckets: int = 16,
 ) -> DataFrame:
     """Bucketed table checksum — the O(1)-output migration sign-off:
-    every row is hashed portably (md5 over the '\\x1f'-joined column
-    values, NULL encoded distinctly), rows land in ``n_buckets`` hash
+    every row is hashed portably (md5 over the injectively-serialized
+    column tuple — ``_row_hash``: length-prefixed values, NULL encoded
+    distinctly, no aliasing), rows land in ``n_buckets`` hash
     buckets, and each bucket reports (n_rows, xor-checksum, modular
     sum-checksum). Two tables loaded through different engines match
     iff the reports match; on divergence the differing BUCKET narrows
@@ -236,13 +258,7 @@ def table_checksum(
         raise ValueError("cols must be non-empty")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    from ..functions import md5_hash60
-
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-        for c in cols
-    ]
-    h = md5_hash60(F.concat_ws("\x1f", *parts))
+    h = _row_hash(cols)
     return (
         df.select(
             (h % n_buckets).alias("bucket"),
@@ -285,13 +301,12 @@ def checksum_drilldown(
     surface it as a missed row).
 
     NULL-safe throughout: NULL column values group and join as values
-    (the '\\x00NULL' encoding of ``table_checksum``), so a NULL-bearing
+    (the injective ``_row_hash`` serialization), so a NULL-bearing
     row diffs like any other."""
     if not cols:
         raise ValueError("cols must be non-empty")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    from ..functions import md5_hash60
 
     def bucket_reports(df: DataFrame) -> dict:
         return {
@@ -314,11 +329,7 @@ def checksum_drilldown(
     )
     if not bad:
         return spark.createDataFrame([], out_schema)
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-        for c in cols
-    ]
-    bucket = md5_hash60(F.concat_ws("\x1f", *parts)) % n_buckets
+    bucket = _row_hash(cols) % n_buckets
 
     def side_counts(df: DataFrame, out: str) -> DataFrame:
         return (

@@ -1213,6 +1213,12 @@ def mmr_diversify(
             )
         )
         picked = picked.unionByName(pick).localCheckpoint()
+        if picked.count() < r:
+            # candidate set exhausted before k picks — stop instead of
+            # paying join+checkpoint jobs for k−r guaranteed-empty
+            # rounds (the count is a cheap probe on the ≤ k-row
+            # checkpointed frame)
+            break
     return picked.select(
         "sel_rank", id_col, F.col("__rel").alias(rel_col), "mmr_score"
     )

@@ -6858,11 +6858,15 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT """
     + _hex2int_sql(
-        "md5(concat_ws(chr(31), "
-        "coalesce(c_custkey::VARCHAR, chr(0) || 'NULL'), "
-        "coalesce(c_name, chr(0) || 'NULL'), "
-        "coalesce(c_nationkey::VARCHAR, chr(0) || 'NULL'), "
-        "coalesce(c_mktsegment, chr(0) || 'NULL')))"
+        # the _row_hash injective serialization: 'N' for NULL,
+        # 'V<len>:<value>' otherwise, parts concatenated directly
+        "md5("
+        + " || ".join(
+            f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || "
+            f"length({c}::VARCHAR) || ':' || {c}::VARCHAR END"
+            for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        )
+        + ")"
     )
     + """ AS hv
       FROM customer

@@ -410,6 +410,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         return tspec, full
 
+    def _exact_shared_cols(expected, actual, verb: str) -> list:
+        """The hashing-verb column contract, in ONE place so --checksum
+        and --diff can never drift: only exactly-stringifiable types
+        participate (float formatting is path-dependent), intersected
+        CASE-INSENSITIVELY like Spark's own resolution (a Derby/Oracle
+        target folds names to uppercase)."""
+        exact = {
+            "string", "int", "bigint", "smallint", "tinyint", "boolean",
+            "date",
+        }
+        actual_lower = {c.lower() for c in actual.columns}
+        cols = sorted(
+            c
+            for c, t in expected.dtypes
+            if t in exact and c.lower() in actual_lower
+        )
+        if not cols:
+            raise SystemExit(
+                f"{verb}: no exactly-stringifiable shared columns"
+            )
+        return cols
+
     if args.drift:
         from pyspark.sql import functions as F
 
@@ -519,25 +541,7 @@ def main(argv: list[str] | None = None) -> int:
         ctx = JobContext(spark, job.global_spec)
         expected = compile_table(ctx, full_spec).df
         actual = ctx._read_target(tspec.target_table, tspec.target_schema)
-        # only exactly-stringifiable types participate: float formatting
-        # differs across engines/paths (table_checksum docstring).
-        # Column intersection is CASE-INSENSITIVE, like Spark's own
-        # resolution — a Derby/Oracle target folds names to uppercase
-        # and would otherwise intersect to nothing
-        exact = {
-            "string", "int", "bigint", "smallint", "tinyint", "boolean",
-            "date",
-        }
-        actual_lower = {c.lower() for c in actual.columns}
-        cols = sorted(
-            c
-            for c, t in expected.dtypes
-            if t in exact and c.lower() in actual_lower
-        )
-        if not cols:
-            raise SystemExit(
-                "--checksum: no exactly-stringifiable shared columns"
-            )
+        cols = _exact_shared_cols(expected, actual, "--checksum")
         left = {
             r["bucket"]: (r["n_rows"], r["xor_checksum"], r["sum_checksum"])
             for r in table_checksum(expected, cols).collect()
@@ -565,23 +569,7 @@ def main(argv: list[str] | None = None) -> int:
         ctx = JobContext(spark, job.global_spec)
         expected = compile_table(ctx, full_spec).df
         actual = ctx._read_target(tspec.target_table, tspec.target_schema)
-        # same column contract as --checksum: exactly-stringifiable
-        # shared columns, case-insensitive intersection (the bucketing
-        # hash stringifies values; float formatting is path-dependent)
-        exact = {
-            "string", "int", "bigint", "smallint", "tinyint", "boolean",
-            "date",
-        }
-        actual_lower = {c.lower() for c in actual.columns}
-        cols = sorted(
-            c
-            for c, t in expected.dtypes
-            if t in exact and c.lower() in actual_lower
-        )
-        if not cols:
-            raise SystemExit(
-                "--diff: no exactly-stringifiable shared columns"
-            )
+        cols = _exact_shared_cols(expected, actual, "--diff")
         diff = checksum_drilldown(
             expected.select(*cols), actual.select(*cols), cols
         )

@@ -118,12 +118,19 @@ def bloom_increment_writer(
                 batch_df, key_col, merge_bloom_states([prior]),
                 out_col="__maybe",
             )
+        # sums coalesced to 0: over an EMPTY micro-batch F.sum returns
+        # SQL NULL, and a NULL verdict count silently drops out of any
+        # alert layer's aggregate (same fix as cms_monitor)
         report = probed.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(~F.col("__maybe"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(~F.col("__maybe"), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias("n_definite_new"),
-            F.sum(F.when(F.col("__maybe"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__maybe"), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias("n_maybe_seen"),
         )

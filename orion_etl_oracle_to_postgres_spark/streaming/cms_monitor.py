@@ -82,16 +82,28 @@ def cms_increment_writer(
         if prior is None or not prior.limit(1).count():
             est = keys.withColumn("__est", F.lit(0).cast("long"))
         else:
-            est = estimate_cms(
-                keys, key_col, merge_cms_states([prior]), out_col="__est"
-            )
+            # raw appended increments go straight in: estimate_cms
+            # folds them DISTRIBUTED and validates the layout itself —
+            # a merge_cms_states pre-pass would just pay the same
+            # aggregation twice (parity pinned by
+            # test_cms_unmerged_increments_estimate_bounded)
+            est = estimate_cms(keys, key_col, prior, out_col="__est")
+        # sums coalesced to 0: over an EMPTY key frame (an all-NULL or
+        # empty batch) F.sum returns SQL NULL, and a NULL n_over_cap
+        # silently drops out of any alert layer's aggregate
         report = est.agg(
             F.lit(int(n_rows)).alias("n_rows"),
             F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.sum(F.when(F.col("__est") >= int(cap), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__est") >= int(cap), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_over_cap"),
-            F.sum(F.when(F.col("__est") < int(cap), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__est") < int(cap), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_under_cap"),
         )

@@ -517,3 +517,11 @@ def test_cms_estimate_is_joinless_and_jvm_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     for banned in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert banned not in plan, f"estimate plan leaked a {banned}"
+
+
+def test_cms_negative_weight_fails_loudly(spark):
+    # a negative weight would void the never-underestimate guarantee —
+    # refused at execution like every other family contract violation
+    df = spark.createDataFrame([(1, 2), (2, -5)], "key long, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        build_cms_state(df, "key", weight_col="w", **_CMS_KW).collect()

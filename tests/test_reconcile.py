@@ -299,8 +299,8 @@ def test_checksum_drilldown_prunes_to_bad_buckets(spark):
     selectivity into the row counts the groupBys see)."""
     from pyspark.sql import functions as F
 
-    from orion_etl_oracle_to_postgres_spark.functions import md5_hash60
     from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        _row_hash,
         checksum_drilldown,
     )
 
@@ -316,11 +316,7 @@ def test_checksum_drilldown_prunes_to_bad_buckets(spark):
     assert rows == {(123, "v123"), (123, "CORRUPT")}
     # the two differing row VERSIONS land in (at most) two buckets —
     # the filter the drill applies keeps ~2/64 of the table
-    h = md5_hash60(F.concat_ws(
-        "\x1f",
-        F.coalesce(F.col("k").cast("string"), F.lit("\x00NULL")),
-        F.coalesce(F.col("v").cast("string"), F.lit("\x00NULL")),
-    ))
+    h = _row_hash(["k", "v"])
     bad_l = left.where(F.col("k") == 123).select((h % buckets).alias("b"))
     bad_r = right.where(F.col("k") == 123).select((h % buckets).alias("b"))
     bad = {r.b for r in bad_l.collect()} | {r.b for r in bad_r.collect()}
@@ -340,3 +336,23 @@ def test_checksum_drilldown_validation(spark):
         checksum_drilldown(df, df, [])
     with pytest.raises(ValueError, match="n_buckets"):
         checksum_drilldown(df, df, ["k"], n_buckets=0)
+
+
+def test_row_hash_serialization_is_injective(spark):
+    """Regression for the separator/NULL-sentinel aliasing class: a
+    plain separator-joined concat would hash ('a\\x1fb','c') equal to
+    ('a','b\\x1fc') and a literal sentinel string equal to SQL NULL —
+    with the length-prefixed encoding both pairs DIFF, so a checksum
+    can never 'hide' them."""
+    from orion_etl_oracle_to_postgres_spark.operators.reconcile import (
+        checksum_drilldown,
+    )
+
+    left = spark.createDataFrame(
+        [("a\x1fb", "c"), ("\x00NULL", "z")], "x string, y string"
+    )
+    right = spark.createDataFrame(
+        [("a", "b\x1fc"), (None, "z")], "x string, y string"
+    )
+    out = checksum_drilldown(left, right, ["x", "y"], n_buckets=4)
+    assert out.count() == 4  # all four row versions surface
