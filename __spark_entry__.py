@@ -111,8 +111,10 @@ _FIRST_50 = [
 #     cell-exact md5 replay),
 #   reconcile_checksum_drilldown (bucket-checksum ladder driven to
 #     rows, full-unpruned-diff oracle),
-#   ir_mmr_diversify (greedy MMR diversity, k unrolled-round oracle).
-# All six are judge-sweep-verified (both session modes) this round.
+#   ir_mmr_diversify (greedy MMR diversity, k unrolled-round oracle),
+#   text_nb_classifier (multinomial NB seed classifier, full
+#     train→eval SQL replay).
+# All seven are checker-verified (both session modes) this round.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

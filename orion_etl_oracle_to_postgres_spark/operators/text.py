@@ -407,6 +407,146 @@ def unigram_logprob(
     )
 
 
+def nb_train(
+    df: DataFrame, text_col: str, label_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Train a multinomial Naive Bayes text classifier — the one-pass
+    MULTI-CLASS complement of ``train_hashed_linear`` (binary,
+    iterative): closed-form add-one-smoothed token likelihoods, no
+    gradient steps, the classic seed-classifier recipe behind
+    CCNet/GPT-3-style quality and language filters ("label a small
+    seed set, train in one aggregate pass, score the corpus").
+
+    Returns ``(model, priors)``, both persistable:
+    * model — one row per (label, token):
+      ``log_lik = ln((count + 1) / (n_label_tokens + V))``;
+    * priors — one row per label: ``log_prior = ln(docs/total_docs)``,
+      ``log_unseen = ln(1 / (n_label_tokens + V))`` (the smoothing
+      mass an unseen token contributes), plus the audit counts.
+    All log-likelihoods are 6-dp-rounded so scoring sums replay
+    identically across engines (the unigram_logprob convention).
+    NULL labels and token-less docs are excluded (they carry no
+    counts).
+
+    Scale shape: one exploded word-count shuffle (label, token) — the
+    same shape as ``unigram_logprob`` — then label-sized and
+    vocabulary-sized aggregates; the vocabulary size V and doc totals
+    ride as 1-row broadcast frames, never driver collects."""
+    base = df.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("__lbl"), tokens(F.col(text_col)).alias("__tk")
+    ).where(F.size("__tk") > 0)
+    tok = base.select("__lbl", F.explode("__tk").alias("__w"))
+    counts = tok.groupBy("__lbl", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = counts.select("__w").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__v")
+    )
+    label_tokens = counts.groupBy("__lbl").agg(
+        F.sum("__c").cast("double").alias("__nt")
+    )
+    model = (
+        counts.join(label_tokens, "__lbl")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("__lbl").alias("label"),
+            F.col("__w").alias("token"),
+            F.round(
+                F.log((F.col("__c") + 1) / (F.col("__nt") + F.col("__v"))), 6
+            ).alias("log_lik"),
+        )
+    )
+    docs = base.groupBy("__lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    total_docs = docs.agg(
+        F.sum("n_docs").cast("double").alias("__td")
+    )
+    priors = (
+        docs.join(label_tokens, "__lbl")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            F.col("__lbl").alias("label"),
+            "n_docs",
+            F.col("__nt").cast("long").alias("n_tokens"),
+            F.round(F.log(F.col("n_docs") / F.col("__td")), 6).alias(
+                "log_prior"
+            ),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("__nt") + F.col("__v"))), 6
+            ).alias("log_unseen"),
+        )
+    )
+    return model, priors
+
+
+def nb_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    priors: DataFrame,
+) -> DataFrame:
+    """Score documents with a trained ``nb_train`` model: per doc the
+    argmax-label posterior ``log_prior + Σ_tokens log_lik`` (unseen
+    tokens contribute the label's ``log_unseen`` smoothing mass; token
+    REPEATS each count, the multinomial model). Returns
+    (id, predicted, score, margin) — margin = score − runner-up score
+    (0.0 for a single-label model), the abstention knob a quality
+    gate thresholds on. Ties break to the lexicographically smallest
+    label; token-less docs are dropped (no evidence, no verdict).
+
+    Scale shape: the exploded token stream multiplies by the LABEL
+    count (labels are few by construction — a seed classifier) via a
+    broadcast label join, the model joins broadcast on (token, label),
+    and the per-(doc,label) sums reduce with map-side combine; the
+    argmax is a per-doc WindowGroupLimit, keyed, never global."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    labels = priors.select(
+        F.col("label").alias("__lbl"), "log_prior", "log_unseen"
+    )
+    scored_tokens = (
+        tok.crossJoin(F.broadcast(labels))
+        .join(
+            F.broadcast(
+                model.select(
+                    F.col("token").alias("__w"),
+                    F.col("label").alias("__lbl"),
+                    "log_lik",
+                )
+            ),
+            ["__w", "__lbl"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "__lbl",
+            "log_prior",
+            F.coalesce(F.col("log_lik"), F.col("log_unseen")).alias("__ll"),
+        )
+    )
+    per_label = scored_tokens.groupBy(id_col, "__lbl").agg(
+        F.round(F.first("log_prior") + F.sum("__ll"), 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("__lbl").asc()
+    )
+    ranked = per_label.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__next", F.lead("score").over(w)
+    )
+    return ranked.where(F.col("__rn") == 1).select(
+        F.col(id_col),
+        F.col("__lbl").alias("predicted"),
+        "score",
+        F.round(
+            F.col("score") - F.coalesce(F.col("__next"), F.col("score")), 6
+        ).alias("margin"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
 ) -> DataFrame:

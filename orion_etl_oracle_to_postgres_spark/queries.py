@@ -4288,6 +4288,103 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(d, "text", "doc_id")
 
 
+_NB_TOKENIZE = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+
+@query(
+    "text_nb_classifier",
+    f"""
+    WITH trainf AS (
+      SELECT lang AS lbl, tk FROM (
+        SELECT lang, {_NB_TOKENIZE} AS tk
+        FROM documents WHERE doc_id % 3 <> 0 AND lang IS NOT NULL
+      ) WHERE len(tk) > 0
+    ),
+    tok AS (SELECT lbl, unnest(tk) AS w FROM trainf),
+    counts AS (SELECT lbl, w, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM counts),
+    lt AS (SELECT lbl, sum(c) AS nt FROM counts GROUP BY 1),
+    model AS (
+      SELECT counts.lbl, counts.w,
+             round(ln((c + 1) / (nt + v)), 6) AS log_lik
+      FROM counts JOIN lt USING (lbl) CROSS JOIN vocab
+    ),
+    docs AS (SELECT lbl, count(*)::DOUBLE AS nd FROM trainf GROUP BY 1),
+    td AS (SELECT sum(nd) AS t FROM docs),
+    priors AS (
+      SELECT docs.lbl, round(ln(nd / t), 6) AS log_prior,
+             round(ln(1.0 / (nt + v)), 6) AS log_unseen
+      FROM docs JOIN lt USING (lbl) CROSS JOIN vocab CROSS JOIN td
+    ),
+    testf AS (
+      SELECT doc_id, lang, tk FROM (
+        SELECT doc_id, lang, {_NB_TOKENIZE} AS tk
+        FROM documents WHERE doc_id % 3 = 0
+      ) WHERE len(tk) > 0
+    ),
+    ttok AS (SELECT doc_id, lang, unnest(tk) AS w FROM testf),
+    st AS (
+      SELECT t.doc_id, t.lang, p.lbl, p.log_prior,
+             coalesce(m.log_lik, p.log_unseen) AS ll
+      FROM ttok t CROSS JOIN priors p
+      LEFT JOIN model m ON m.w = t.w AND m.lbl = p.lbl
+    ),
+    pl AS (
+      SELECT doc_id, lang, lbl,
+             round(any_value(log_prior) + sum(ll), 6) AS score
+      FROM st GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, lang, lbl AS predicted FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn
+        FROM pl
+      ) WHERE rn = 1
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           round(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 4) AS accuracy
+    FROM pred GROUP BY lang
+    """,
+)
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Multinomial Naive Bayes seed classifier
+    (operators/text.py:nb_train/nb_score) — the one-pass MULTI-CLASS
+    complement of the iterative binary ``train_hashed_linear``: train
+    add-one-smoothed token likelihoods on the doc_id % 3 != 0 seed
+    split with lang as the label, score the held-out third, and report
+    per-language accuracy — the CCNet/GPT-3 quality-and-language
+    filter recipe (label a seed set, one aggregate pass, score the
+    corpus) exercised train-to-eval in one plan. Every stage is
+    value-oracled: counts and smoothing are exact rationals, each
+    log-likelihood 6-dp-rounded before the scoring sums (the
+    unigram_logprob convention), argmax ties to the smallest label.
+    Training is one word-count shuffle + label/vocab-sized aggregates;
+    scoring multiplies the token stream by the (few) labels via
+    broadcast joins and reduces with map-side combine."""
+    d = _t(spark, sf_dir, "documents")
+    model, priors = text.nb_train(
+        d.where(F.col("doc_id") % 3 != 0), "text", "lang"
+    )
+    test = d.where(F.col("doc_id") % 3 == 0)
+    scored = text.nb_score(test, "doc_id", "text", model, priors)
+    hit = F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+    return (
+        scored.join(test.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("accuracy"),
+        )
+    )
+
+
 @query(
     "agg_price_qty_regression",
     """

@@ -851,3 +851,71 @@ def test_vocab_divergence_detects_shifted_terms(spark):
 
     with pytest.raises(ValueError, match="top_terms"):
         vocab_divergence(a, b, "text", top_terms=0)
+
+
+def test_nb_train_score_separates_clear_classes(spark):
+    """nb_train/nb_score: distinct vocabularies classify perfectly;
+    priors dominate on no-evidence docs; margins are positive; NULL
+    labels and token-less docs are excluded from training."""
+    from pyspark.sql import functions as F
+
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        nb_score,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "apple banana fruit sweet", "food"),
+            (2, "banana apple tasty fruit", "food"),
+            (3, "gear engine piston motor", "cars"),
+            (4, "engine motor throttle gear", "cars"),
+            (5, "ignored text", None),       # NULL label: excluded
+            (6, "   ", "food"),              # token-less: excluded
+        ],
+        "id long, body string, cls string",
+    )
+    model, priors = nb_train(train, "body", "cls")
+    p = {r["label"]: r for r in priors.collect()}
+    assert set(p) == {"food", "cars"}
+    assert p["food"]["n_docs"] == 2 and p["cars"]["n_docs"] == 2
+    test = spark.createDataFrame(
+        [
+            (10, "sweet banana fruit"),
+            (11, "piston engine gear"),
+            (12, "zzz qqq vvv"),  # all unseen: priors + unseen mass decide
+        ],
+        "id long, body string",
+    )
+    out = {r["id"]: r for r in
+           nb_score(test, "id", "body", model, priors).collect()}
+    assert out[10]["predicted"] == "food" and out[10]["margin"] > 0
+    assert out[11]["predicted"] == "cars" and out[11]["margin"] > 0
+    # equal priors + all-unseen tokens: decided by the per-label unseen
+    # mass (cars has the smaller vocabulary+token total here or ties);
+    # the verdict must at least be deterministic with a margin >= 0
+    assert out[12]["margin"] >= 0
+
+
+def test_nb_score_counts_token_repeats(spark):
+    """The multinomial model: a repeated token contributes its
+    log-likelihood once PER OCCURRENCE, so repetition flips a doc
+    whose single-occurrence evidence is balanced."""
+    from orion_etl_oracle_to_postgres_spark.operators.text import (
+        nb_score,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta", "x"),
+            (2, "alpha gamma", "y"),
+        ],
+        "id long, body string, cls string",
+    )
+    model, priors = nb_train(train, "body", "cls")
+    test = spark.createDataFrame(
+        [(10, "beta beta beta gamma")], "id long, body string"
+    )
+    out = nb_score(test, "id", "body", model, priors).collect()[0]
+    assert out["predicted"] == "x"  # 3x beta outvotes 1x gamma
