@@ -113,8 +113,10 @@ _FIRST_50 = [
 #     rows, full-unpruned-diff oracle),
 #   ir_mmr_diversify (greedy MMR diversity, k unrolled-round oracle),
 #   text_nb_classifier (multinomial NB seed classifier, full
-#     train→eval SQL replay).
-# All seven are checker-verified (both session modes) this round.
+#     train→eval SQL replay),
+#   etl_nb_quality_gate (quality_filter.method: nb — the trained
+#     model mounted as a declarative label+margin gate).
+# All eight are checker-verified (both session modes) this round.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_bm25_rank",  # IR scoring: term-filtered stream, broadcast idf, top-k
     "text_unigram_logprob",  # LM quality proxy: two word-count shuffles + vocab join
     "text_nb_classifier",  # one-pass multiclass NB: train seed split, score held-out
+    "etl_nb_quality_gate",  # declarative NB gate: mounted model, label+margin keep
     "text_distinctive_terms",  # per-group log-odds vocabulary, WindowGroupLimit
     "affinity_part_pairs",  # basket self-join bounded by per-basket fan-out
     "window_events_anomaly",  # rolling z-score over the hourly aggregate

@@ -1358,6 +1358,62 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 bias=qf.bias,
                 weights=qf.weights,
             )
+        elif qf.method == "nb":
+            # trained Naive Bayes gate: categorical + margin, so like
+            # gopher the min_quality/top_fraction machinery never runs
+            # (spec validation pins that). The model mounts through the
+            # connectors (the centroids_table pattern); scoring is the
+            # broadcast-join token-stream shape of nb_score, and the
+            # verdict joins back as an ids-only semi/anti join —
+            # token-less rows never earn a verdict row, so they land
+            # with the rejects (no evidence, no keep).
+            from .operators.text import nb_score
+
+            if qf.id_column not in df.columns:
+                raise ValueError(
+                    f"{spec.source_table}: quality_filter column "
+                    f"{qf.id_column!r} not in pipeline output {df.columns}"
+                )
+            model = _mount_pairs_table(
+                ctx,
+                qf.nb_model_table,
+                owner=spec.source_table,
+                kind="quality_filter",
+                required={"label", "token", "log_lik"},
+                layout_msg=(
+                    "persist nb_train's model frame "
+                    "(label, token, log_lik)"
+                ),
+                field="nb_model_table",
+            )
+            priors = _mount_pairs_table(
+                ctx,
+                qf.nb_priors_table,
+                owner=spec.source_table,
+                kind="quality_filter",
+                required={"label", "log_prior", "log_unseen"},
+                layout_msg=(
+                    "persist nb_train's priors frame "
+                    "(label, log_prior, log_unseen, …)"
+                ),
+                field="nb_priors_table",
+            )
+            base = _lazy_checkpoint(ctx, df) if qf.reject_table else df
+            scored = nb_score(
+                base.select(qf.id_column, qf.text_column),
+                qf.id_column,
+                qf.text_column,
+                model,
+                priors,
+            )
+            good = scored.where(
+                F.col("predicted").isin(list(qf.keep_labels))
+                & (F.col("margin") >= float(qf.min_margin))
+            ).select(qf.id_column)
+            if qf.reject_table:
+                quality_rejects = base.join(good, qf.id_column, "left_anti")
+            df = base.join(good, qf.id_column, "left_semi")
+            q = None
         elif qf.method == "ccnet":
             # CCNet per-language perplexity gate: the one scoring method
             # that costs a corpus aggregate (unigram_logprob's two
@@ -1918,6 +1974,15 @@ def _assert_streaming_spec(ctx: JobContext, spec: TableSpec, fetcher) -> None:
             "quality_filter.top_fraction (the per-group rank gate needs a "
             "window over the WHOLE group — unbounded state on a stream; "
             "use min_quality or batch mode)"
+        )
+    if (
+        spec.quality_filter is not None
+        and spec.quality_filter.method == "nb"
+    ):
+        errs.append(
+            "quality_filter method=nb (the per-doc score is an "
+            "aggregation over the exploded token stream plus a verdict "
+            "join-back — batch-only; heuristic/classifier stream fine)"
         )
     if spec.rewrite is not None and spec.rewrite.method == "repeated_spans":
         errs.append(

@@ -4294,9 +4294,14 @@ _NB_TOKENIZE = (
 )
 
 
-@query(
-    "text_nb_classifier",
-    f"""
+def _nb_chain_sql(score_where: str) -> str:
+    """Shared oracle chain replaying the ENTIRE Naive Bayes pipeline
+    (nb_train on the suite's doc_id % 3 != 0 seed split with lang
+    labels, then nb_score over ``score_where`` rows) — ends at CTE
+    ``nbpred(doc_id, lang, predicted, score, margin)``, the argmax
+    verdict with the runner-up margin. Every log-likelihood is
+    6-dp-rounded before the scoring sums, the engine convention."""
+    return f"""
     WITH trainf AS (
       SELECT lang AS lbl, tk FROM (
         SELECT lang, {_NB_TOKENIZE} AS tk
@@ -4322,7 +4327,7 @@ _NB_TOKENIZE = (
     testf AS (
       SELECT doc_id, lang, tk FROM (
         SELECT doc_id, lang, {_NB_TOKENIZE} AS tk
-        FROM documents WHERE doc_id % 3 = 0
+        FROM documents WHERE {score_where}
       ) WHERE len(tk) > 0
     ),
     ttok AS (SELECT doc_id, lang, unnest(tk) AS w FROM testf),
@@ -4337,19 +4342,31 @@ _NB_TOKENIZE = (
              round(any_value(log_prior) + sum(ll), 6) AS score
       FROM st GROUP BY 1, 2, 3
     ),
-    pred AS (
-      SELECT doc_id, lang, lbl AS predicted FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn
+    nbpred AS (
+      SELECT doc_id, lang, lbl AS predicted, score,
+             round(score - coalesce(nxt, score), 6) AS margin
+      FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lbl ASC) AS rn,
+               lead(score) OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lbl ASC) AS nxt
         FROM pl
       ) WHERE rn = 1
     )
+    """
+
+
+@query(
+    "text_nb_classifier",
+    _nb_chain_sql("doc_id % 3 = 0")
+    + """
     SELECT lang, count(*)::BIGINT AS n_docs,
            sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)::BIGINT
              AS n_correct,
            round(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
                  / count(*)::DOUBLE, 4) AS accuracy
-    FROM pred GROUP BY lang
+    FROM nbpred GROUP BY lang
     """,
 )
 def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4383,6 +4400,91 @@ def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("accuracy"),
         )
     )
+
+
+_NB_GATE_PARAMS = {"train_rule": "doc_id % 3 != 0", "layout_version": 1}
+
+
+def _nb_model_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (or validate) the persisted NB seed-classifier
+    layout — nb_train's (model, priors) frames as the two connector
+    tables ``nb_model`` / ``nb_priors`` — shared by every declarative
+    ``quality_filter.method: nb`` consumer."""
+    import os as _os
+
+    def _build(cache: str) -> None:
+        d = _t(spark, sf_dir, "documents")
+        model, priors = text.nb_train(
+            d.where(F.col("doc_id") % 3 != 0), "text", "lang"
+        )
+        model.write.mode("overwrite").parquet(
+            _os.path.join(cache, "nb_model")
+        )
+        priors.write.mode("overwrite").parquet(
+            _os.path.join(cache, "nb_priors")
+        )
+
+    return _cached_layout(
+        env_var="SPARK_GRAFT_NB_CACHE",
+        default_dir="orion_etl_spark_nb",
+        sf_dir=sf_dir,
+        marker_name="_NB_OK",
+        params=_NB_GATE_PARAMS,
+        src_name="documents.parquet",
+        build=_build,
+    )
+
+
+@query(
+    "etl_nb_quality_gate",
+    _nb_chain_sql("TRUE")
+    + """
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN nbpred p ON p.doc_id = d.doc_id
+    WHERE p.predicted = 'en' AND p.margin >= 0.5
+    """,
+)
+def etl_nb_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative Naive Bayes gate
+    (`quality_filter.method: nb`, compiler.py): a TRAINED nb_train
+    model persisted once (the layout-cache pattern) mounts through the
+    job's connectors as two tables, and the YAML user keeps only rows
+    the classifier confidently assigns to ``keep_labels`` — here
+    predicted 'en' with margin ≥ 0.5 (the abstention bar), the
+    language-filter recipe from config alone. Token-less rows carry no
+    verdict and drop with the rejects; the verdict applies as an
+    ids-only semi-join. Oracle: the shared NB chain scored over ALL
+    documents, filtered by the same label + margin rule."""
+    cache = _nb_model_dir(spark, sf_dir)
+    from .spec import QualityFilterSpec
+
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=sf_dir),
+            target_files=FilesConnectorSpec(base_path=cache),
+        )
+    )
+    spec = TableSpec(
+        source_table="documents",
+        target_table="docs_en_confident",
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="text", target="text"),
+        ],
+        quality_filter=QualityFilterSpec(
+            text_column="text",
+            method="nb",
+            id_column="doc_id",
+            nb_model_table="nb_model",
+            nb_priors_table="nb_priors",
+            keep_labels=["en"],
+            min_margin=0.5,
+        ),
+    )
+    compiled = compile_table(JobContext(spark, g), spec)
+    run_error_checks(compiled.df, compiled.error_checks)
+    return compiled.df.select("doc_id", "lang")
 
 
 @query(

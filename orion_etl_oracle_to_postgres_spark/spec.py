@@ -666,10 +666,22 @@ class QualityFilterSpec(BaseModel):
     every rule passes; there is no score, so ``min_quality`` is ignored
     and ``top_fraction`` is rejected. Rejects routed to
     ``reject_table`` carry a ``_failed_rules`` column naming the rules
-    that fired (the per-rule audit a release gate needs)."""
+    that fired (the per-rule audit a release gate needs).
+
+    ``method: nb`` gates on a TRAINED multinomial Naive Bayes seed
+    classifier (``operators/text.py:nb_train``'s two persisted frames,
+    mounted through the job's target-then-source connectors like
+    ``dedup.centroids_table``): a row is kept iff its argmax label is
+    in ``keep_labels`` AND its margin (score gap to the runner-up, the
+    abstention knob) reaches ``min_margin``. Token-less rows carry no
+    evidence and are rejects. Needs ``id_column`` (the score joins
+    back by id), ``nb_model_table``, ``nb_priors_table`` and a
+    non-empty ``keep_labels``; ``min_quality``/``top_fraction`` don't
+    apply (the verdict is categorical + margin); batch-only (the
+    per-doc score is an aggregation over the exploded token stream)."""
 
     text_column: str
-    method: str = "heuristic"  # heuristic | classifier | gopher
+    method: str = "heuristic"  # heuristic | classifier | gopher | ccnet | nb
     min_quality: float = Field(default=0.5, ge=0.0, le=1.0)
     #: per-group adaptive policy (replaces min_quality when set)
     top_fraction: Optional[float] = Field(default=None, ge=0.0, le=1.0)
@@ -683,16 +695,46 @@ class QualityFilterSpec(BaseModel):
     n_features: int = Field(default=64, ge=1)
     weights: Optional[list[float]] = None
     bias: float = 0.0
+    #: nb-only: the persisted nb_train (model, priors) table names and
+    #: the keep policy
+    nb_model_table: Optional[str] = None
+    nb_priors_table: Optional[str] = None
+    keep_labels: Optional[List[str]] = None
+    min_margin: float = Field(default=0.0, ge=0.0)
 
     @field_validator("method")
     @classmethod
     def _known_quality_method(cls, v: str) -> str:
-        if v not in ("heuristic", "classifier", "gopher", "ccnet"):
+        if v not in ("heuristic", "classifier", "gopher", "ccnet", "nb"):
             raise ValueError(
                 "quality_filter method must be "
-                f"heuristic|classifier|gopher|ccnet, got {v!r}"
+                f"heuristic|classifier|gopher|ccnet|nb, got {v!r}"
             )
         return v
+
+    @model_validator(mode="after")
+    def _nb_requirements(self) -> "QualityFilterSpec":
+        nb_fields = [self.nb_model_table, self.nb_priors_table,
+                     self.keep_labels]
+        if self.method == "nb":
+            if not all(nb_fields) or not self.keep_labels or not self.id_column:
+                raise ValueError(
+                    "quality_filter method: nb needs id_column, "
+                    "nb_model_table, nb_priors_table and a non-empty "
+                    "keep_labels"
+                )
+            if self.top_fraction is not None:
+                raise ValueError(
+                    "quality_filter method: nb is a categorical+margin "
+                    "gate — top_fraction does not apply (threshold "
+                    "min_margin instead)"
+                )
+        elif any(f is not None for f in nb_fields):
+            raise ValueError(
+                "quality_filter nb_model_table/nb_priors_table/"
+                "keep_labels require method: nb"
+            )
+        return self
 
     @model_validator(mode="after")
     def _top_fraction_requirements(self) -> "QualityFilterSpec":

@@ -3372,3 +3372,98 @@ def test_declarative_decontaminate_bloom_prescreen(spark, tmp_path):
         JobContext(spark=spark, global_spec=g, explain_only=True),
         table("bloom"),
     )
+
+
+def test_quality_filter_nb_gate(spark, tmp_path):
+    """`quality_filter.method: nb`: a mounted trained NB model keeps
+    only confidently-in-keep_labels rows; token-less rows land with the
+    rejects; parse-time contracts hold; streaming refuses the method."""
+    import pytest
+
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.operators.text import nb_train
+
+    src = tmp_path / "src"
+    seed = spark.createDataFrame(
+        [
+            (1, "apple banana fruit sweet", "food"),
+            (2, "banana apple tasty fruit", "food"),
+            (3, "gear engine piston motor", "cars"),
+            (4, "engine motor throttle gear", "cars"),
+        ],
+        "id long, body string, cls string",
+    )
+    model, priors = nb_train(seed, "body", "cls")
+    model.write.parquet(str(src / "nb_model"))
+    priors.write.parquet(str(src / "nb_priors"))
+    corpus = spark.createDataFrame(
+        [
+            (10, "sweet banana fruit"),     # confident food -> kept
+            (11, "piston engine gear"),     # cars -> reject
+            (12, "   "),                    # token-less -> reject
+        ],
+        "id long, body string",
+    )
+    corpus.write.parquet(str(src / "corpus"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(
+                base_path=str(tmp_path / "out")
+            ),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="corpus",
+        target_table="corpus_food",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", method="nb", id_column="id",
+            nb_model_table="nb_model", nb_priors_table="nb_priors",
+            keep_labels=["food"], min_margin=0.1,
+            reject_table="corpus_rejects",
+        ),
+    )
+    compiled = compile_table(JobContext(spark, g), t)
+    assert {r.id for r in compiled.df.collect()} == {10}
+    assert {r.id for r in compiled.quality_rejects.collect()} == {11, 12}
+    # parse-time contracts
+    with pytest.raises(ValueError, match="method: nb needs"):
+        spec_mod.QualityFilterSpec(
+            text_column="body", method="nb", id_column="id",
+            nb_model_table="nb_model",
+        )
+    with pytest.raises(ValueError, match="require method: nb"):
+        spec_mod.QualityFilterSpec(
+            text_column="body", method="heuristic", keep_labels=["x"],
+        )
+    with pytest.raises(ValueError, match="top_fraction does not apply"):
+        spec_mod.QualityFilterSpec(
+            text_column="body", method="nb", id_column="id",
+            group_column="g", top_fraction=0.5,
+            nb_model_table="m", nb_priors_table="p", keep_labels=["x"],
+        )
+    # streaming refusal
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        _assert_streaming_spec,
+    )
+
+    t_stream = t.model_copy(
+        update={
+            "quality_filter": t.quality_filter.model_copy(
+                update={"reject_table": None}
+            ),
+            "incremental": spec_mod.IncrementalSpec(
+                watermark_column="id", mode="streaming"
+            ),
+        }
+    )
+    with pytest.raises(ValueError, match="method=nb"):
+        _assert_streaming_spec(JobContext(spark, g), t_stream, None)
