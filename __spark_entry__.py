@@ -115,8 +115,10 @@ _FIRST_50 = [
 #   text_nb_classifier (multinomial NB seed classifier, full
 #     train→eval SQL replay),
 #   etl_nb_quality_gate (quality_filter.method: nb — the trained
-#     model mounted as a declarative label+margin gate).
-# All eight are checker-verified (both session modes) this round.
+#     model mounted as a declarative label+margin gate),
+#   ir_retrieve_rerank_mmr (BM25 → cosine rerank → MMR, the full
+#     RAG retrieval shape composed in one plan).
+# All nine are checker-verified (both session modes) this round.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

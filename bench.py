@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "ir_retrieve_rerank",  # BM25 candidates -> cosine rerank, group limit
     "ir_ndcg_audit",  # ranked-join DCG folds, ids-only exchanges
     "ir_mmr_diversify",  # greedy MMR diversity over a candidate-bounded set
+    "ir_retrieve_rerank_mmr",  # BM25 -> cosine rerank -> MMR, one composed plan
     "dedup_impact_report",  # pair/cluster census over the cached pairs
     "pack_bin_stats",  # next-fit shard census over packed sequences
     "json_variant_events",  # schema-on-read JSON path extraction

@@ -5231,6 +5231,92 @@ def ir_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ir_retrieve_rerank_mmr",
+    _BM25_SQL_CTES
+    + """
+    , cands AS (
+      SELECT doc_id, bm25 FROM scored
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT 50
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    rr AS (
+      SELECT c.doc_id AS id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS rel,
+             e.embedding::DOUBLE[] AS v
+      FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q
+      ORDER BY rel DESC, id ASC LIMIT 20
+    ),
+    cand AS MATERIALIZED (
+      SELECT id, rel, list_transform(v, x -> x / nrm) AS vn
+      FROM (SELECT id, rel, v,
+                   sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+            FROM rr
+            WHERE v IS NOT NULL
+              AND len(list_filter(v, x -> x IS NULL)) = 0
+              AND list_sum(list_transform(v, x -> x*x)) > 0)
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS sel_rank, id, rel, round(0.7::DOUBLE * rel, 6)
+               AS mmr_score, vn
+      FROM cand ORDER BY rel DESC, id LIMIT 1
+    ),
+    """
+    + ",".join(_mmr_round_cte(r, 0.7) for r in range(2, 7))
+    + """
+    SELECT sel_rank, id AS doc_id, rel, mmr_score FROM sel6
+    """,
+)
+def ir_retrieve_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The FULL three-stage retrieval pipeline as ONE Catalyst
+    plan — BM25 lexical top-50 → embedding-cosine rerank top-20 → MMR
+    diversity picks (k=6, λ=0.7): the production RAG shape
+    (retrieve → rerank → diversify) composed from `text.bm25_rank`,
+    the broadcast candidate rerank of `ir_retrieve_rerank`, and
+    `similarity.mmr_diversify`. Each stage shrinks the set the next
+    touches — the corpus is scanned once by BM25, vector math touches
+    50 candidates, the greedy MMR rounds 20 — so the whole pipeline's
+    non-retriever cost is candidate-bounded. Oracle: the shared BM25
+    CTEs + the rerank replay + the unrolled MATERIALIZED MMR rounds,
+    value-exact at every stage."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    from .functions import cosine
+    from .operators.similarity import mmr_diversify
+
+    cands = text.bm25_rank(d, "text", "doc_id", _BM25_TERMS, top_k=50).select(
+        "doc_id", "bm25"
+    )
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    reranked = (
+        F.broadcast(cands)
+        .join(e, cands.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "embedding",
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(qv).cast("array<double>"),
+                ),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return mmr_diversify(
+        reranked, vec_col="embedding", id_col="doc_id", rel_col="rel",
+        k=6, lam=0.7,
+    )
+
+
+
+@query(
     "text_unicode_normalize",
     """
     SELECT doc_id,
