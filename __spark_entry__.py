@@ -117,8 +117,10 @@ _FIRST_50 = [
 #   etl_nb_quality_gate (quality_filter.method: nb — the trained
 #     model mounted as a declarative label+margin gate),
 #   ir_retrieve_rerank_mmr (BM25 → cosine rerank → MMR, the full
-#     RAG retrieval shape composed in one plan).
-# All nine are checker-verified (both session modes) this round.
+#     RAG retrieval shape composed in one plan),
+#   agg_kmv_incremental_users (mergeable KMV bottom-k distinct
+#     sketch, hash-exact md5 replay).
+# All ten are checker-verified (both session modes) this round.
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "window_events_anomaly",  # rolling z-score over the hourly aggregate
     "agg_incremental_state",  # mergeable agg state: build+merge+finalize
     "agg_cms_heavy_hitters",  # mergeable CMS frequency state: fold + zero-join estimate
+    "agg_kmv_incremental_users",  # mergeable KMV bottom-k distinct sketch, exact replay
     "text_bigram_logprob",  # bigram LM fluency: in-row expansion + 2 wc aggs
     "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
     "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)

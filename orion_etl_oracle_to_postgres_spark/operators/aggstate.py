@@ -517,6 +517,116 @@ def probe_bloom(
     )
 
 
+_KMV_STATE_COLS = ["__hv", "__k", "__seed"]
+
+
+def _kmv_hash(value) -> "F.Column":
+    """Portable 60-bit md5 hash of a value — the ``md5_hash60``
+    construction (15 hex chars → exact int), so DuckDB replays every
+    hash and therefore every KMV verdict bit-for-bit."""
+    return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def build_kmv_state(
+    df: DataFrame,
+    keys: "list[str]",
+    value_col: str,
+    *,
+    k: int = 64,
+    seed: str = "kmv",
+) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002) — the
+    EXACT-REPLAY member of the mergeable-state family's distinct-count
+    corner: per key group, the ``k`` SMALLEST distinct portable-md5
+    hash values of ``value_col``. Unlike the HLL twin (DataSketches
+    bytes a SQL oracle can only bound), every hash here is a plain
+    md5-derived integer, so fold, estimate, and tie-breaks replay
+    EXACTLY on any engine — the differential-testing-friendly sketch.
+
+    Same-layout states merge by re-taking the bottom-k of the union —
+    exactly (the k smallest of a union are each within their side's k
+    smallest), so fold == full-history-build verbatim, the family's
+    pinned property. ``finalize_kmv`` turns the state into a distinct
+    estimate: exact when the group kept fewer than k hashes (it saw
+    every distinct value), else the classic (k−1)/U(k) estimator with
+    ~1/√k relative error. NULL values contribute nothing.
+
+    Scale shape: one distinct-shuffle on (keys, hash) — integers only,
+    never the values — then a WindowGroupLimit bottom-k per key
+    (constant k ⇒ map-side partial top-k); state size is ≤ k rows per
+    key forever, the O(day) nightly-fold contract."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    h = _kmv_hash(F.concat(F.col(value_col).cast("string"), F.lit(":" + seed)))
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, h.alias("__hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__hv").asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+        .withColumn("__k", F.lit(int(k)))
+        .withColumn("__seed", F.lit(seed))
+    )
+
+
+def merge_kmv_states(states: "list[DataFrame]", keys: "list[str]") -> DataFrame:
+    """Fold any number of KMV states: distinct-union the hash sets and
+    re-take the bottom-k per key — exact (fold == full-history-build
+    verbatim). Layout drift (different k/seed — incompatible hash
+    spaces or truncation depths) fails loudly with a bounded probe."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    cols = list(keys) + _KMV_STATE_COLS
+    u = states[0].select(cols)
+    for s in states[1:]:
+        u = u.unionByName(s.select(cols))
+    layouts = u.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"merge_kmv_states: incompatible layouts {sorted(map(tuple, layouts))} "
+            "— states must share (k, seed) to merge"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("__hv").asc())
+    return (
+        u.select(*keys, "__hv", "__k", "__seed")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__k"))
+        .drop("__rn")
+    )
+
+
+def finalize_kmv(state: DataFrame, keys: "list[str]") -> DataFrame:
+    """State → per-key distinct estimate: ``n_kept`` hashes and
+    ``approx_distinct`` — EXACT (= n_kept) while the group kept fewer
+    than k hashes, else round((k−1) / (U(k)/2^60)) with U(k) the
+    largest kept hash. Deterministic integer/double arithmetic on the
+    portable hashes, so a SQL oracle replays the estimate exactly —
+    no error envelope needed, unlike the HLL twin."""
+    g = state.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("__hv").alias("__hk"),
+        F.first("__k").alias("__kk"),
+    )
+    u_k = F.col("__hk").cast("double") / F.lit(float(1 << 60))
+    est = F.when(
+        F.col("n_kept") < F.col("__kk"), F.col("n_kept").cast("double")
+    ).otherwise(F.round((F.col("__kk") - 1) / u_k, 0))
+    return g.select(
+        *keys, "n_kept", est.cast("long").alias("approx_distinct")
+    )
+
+
 _CMS_STATE_COLS = ["row_idx", "col_idx", "cnt", "__w", "__d", "__seed"]
 _CMS_MAX_CELLS = 1 << 16  # 64 Ki longs = 512 KiB: the driver-probe cap
 

@@ -13638,6 +13638,90 @@ def agg_bloom_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_kmv_incremental_users",
+    f"""
+    WITH e AS (SELECT event_type, user_id, day(ts) % 3 AS d FROM events
+               WHERE user_id IS NOT NULL),
+    hist AS (SELECT DISTINCT event_type, user_id FROM e WHERE d IN (0, 1)),
+    hh AS (
+      SELECT event_type,
+             {_hex2int_sql("substr(md5(CAST(user_id AS VARCHAR) || ':kv0'), 1, 15)")}
+               AS hv
+      FROM hist
+    ),
+    dh AS (SELECT DISTINCT event_type, hv FROM hh),
+    bk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv, row_number() OVER (
+          PARTITION BY event_type ORDER BY hv ASC) AS rn
+        FROM dh
+      ) WHERE rn <= 32
+    ),
+    fin AS (SELECT event_type, count(*)::BIGINT AS n_kept, max(hv) AS hk
+            FROM bk GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+           FROM hist GROUP BY 1)
+    SELECT f.event_type, f.n_kept,
+           (CASE WHEN f.n_kept < 32 THEN f.n_kept::DOUBLE
+                 ELSE round(31 / (hk::DOUBLE / 1152921504606846976.0), 0)
+            END)::BIGINT AS approx_distinct,
+           ex.exact_distinct, true AS paths_agree
+    FROM fin f JOIN ex USING (event_type)
+    """,
+)
+def agg_kmv_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental distinct users per event type via MERGEABLE
+    KMV (bottom-k) sketches (operators/aggstate.py:build/merge_kmv_
+    states, finalize_kmv) — the EXACT-REPLAY member of the family's
+    distinct-count corner next to the HLL twin
+    (``agg_hll_incremental_users``): two ingestion days build bottom-32
+    portable-md5 hash sketches INDEPENDENTLY and fold by re-taking the
+    bottom-k of the union — exact (the k smallest of a union are each
+    within their side's k smallest), so ``paths_agree`` pins fold ==
+    full-history-build hash-for-hash. Where the HLL oracle can only
+    check a bounded-error envelope (DataSketches bytes), every KMV
+    hash, fold and the (k−1)/U(k) estimate replay EXACTLY in SQL —
+    the exact-count join exists only for the audit column. At 100 TB
+    the state is ≤ k longs per key forever, the O(day) nightly fold."""
+    from .operators import aggstate as A
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", (F.dayofmonth("ts") % 3).alias("__d")
+    ).where(F.col("user_id").isNotNull())
+    kw = dict(k=32, seed="kv0")
+    s0 = A.build_kmv_state(
+        e.where(F.col("__d") == 0), ["event_type"], "user_id", **kw
+    )
+    s1 = A.build_kmv_state(
+        e.where(F.col("__d") == 1), ["event_type"], "user_id", **kw
+    )
+    merged = A.merge_kmv_states([s0, s1], ["event_type"])
+    full = A.build_kmv_state(
+        e.where(F.col("__d").isin(0, 1)), ["event_type"], "user_id", **kw
+    )
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("event_type", "__hv").collect())
+    )
+    agree = rows(merged) == rows(full)
+    exact = (
+        e.where(F.col("__d").isin(0, 1))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        A.finalize_kmv(merged, ["event_type"])
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_kept",
+            "approx_distinct",
+            "exact_distinct",
+            F.lit(agree).alias("paths_agree"),
+        )
+    )
+
+
 def _cms_hash_sql(key_sql: str, seed: str, w: int) -> str:
     """DuckDB subquery text computing the SAME (h1, h2) double-hash
     pair as ``operators/aggstate.py:_cms_cols`` — the Bloom portable

@@ -525,3 +525,76 @@ def test_cms_negative_weight_fails_loudly(spark):
     df = spark.createDataFrame([(1, 2), (2, -5)], "key long, w long")
     with pytest.raises(Exception, match="negative weight"):
         build_cms_state(df, "key", weight_col="w", **_CMS_KW).collect()
+
+
+# ---------------- KMV bottom-k distinct sketch ----------------
+
+from orion_etl_oracle_to_postgres_spark.operators.aggstate import (  # noqa: E402
+    build_kmv_state,
+    finalize_kmv,
+    merge_kmv_states,
+)
+
+_KMV_KW = dict(k=16, seed="t")
+
+
+def _kv_df(spark, pairs):
+    return spark.createDataFrame(
+        [(g, v) for g, v in pairs], "g string, v long"
+    )
+
+
+def test_kmv_merge_equals_full_build_exactly(spark):
+    pairs = [("a", i) for i in range(200)] + [("b", i) for i in range(40)]
+    half = len(pairs) // 2
+    merged = merge_kmv_states(
+        [
+            build_kmv_state(_kv_df(spark, pairs[:half]), ["g"], "v", **_KMV_KW),
+            build_kmv_state(_kv_df(spark, pairs[half:]), ["g"], "v", **_KMV_KW),
+        ],
+        ["g"],
+    )
+    full = build_kmv_state(_kv_df(spark, pairs), ["g"], "v", **_KMV_KW)
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("g", "__hv").collect())
+    )
+    assert rows(merged) == rows(full)
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    # group 'small' has 5 distinct values < k=16 -> EXACT count;
+    # group 'big' has 500 distinct -> (k-1)/U(k) estimate near truth
+    pairs = [("small", i) for i in range(5)] * 3 + [
+        ("big", i) for i in range(500)
+    ]
+    state = build_kmv_state(_kv_df(spark, pairs), ["g"], "v", **_KMV_KW)
+    fin = {r["g"]: r for r in finalize_kmv(state, ["g"]).collect()}
+    assert fin["small"]["n_kept"] == 5
+    assert fin["small"]["approx_distinct"] == 5          # exact path
+    assert fin["big"]["n_kept"] == 16
+    # 1/sqrt(k-1) ~ 26% relative error; allow 3x
+    assert abs(fin["big"]["approx_distinct"] - 500) / 500 < 0.8
+    # duplicates never inflate: sketch is over DISTINCT values
+    dup = build_kmv_state(
+        _kv_df(spark, [("small", 1)] * 50), ["g"], "v", **_KMV_KW
+    )
+    assert finalize_kmv(dup, ["g"]).collect()[0]["approx_distinct"] == 1
+
+
+def test_kmv_layout_drift_and_validation(spark):
+    a = build_kmv_state(_kv_df(spark, [("a", 1)]), ["g"], "v", **_KMV_KW)
+    b = build_kmv_state(
+        _kv_df(spark, [("a", 2)]), ["g"], "v", k=32, seed="t"
+    )
+    with pytest.raises(ValueError, match="incompatible layouts"):
+        merge_kmv_states([a, b], ["g"]).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        build_kmv_state(_kv_df(spark, [("a", 1)]), ["g"], "v", k=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_kmv_states([], ["g"])
+    # NULL values contribute nothing
+    n = build_kmv_state(
+        spark.createDataFrame([("a", None), ("a", 7)], "g string, v long"),
+        ["g"], "v", **_KMV_KW,
+    )
+    assert finalize_kmv(n, ["g"]).collect()[0]["n_kept"] == 1
