@@ -1398,6 +1398,27 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 ),
                 field="nb_priors_table",
             )
+            if not ctx.explain_only:
+                # keep_labels must exist in the mounted model: a typo'd
+                # label ('EN' vs 'en') would otherwise keep ZERO rows
+                # with no error — the silent-empty-table class the
+                # mount validations exist to refuse. Bounded probe:
+                # priors is label-sized by construction. Skipped under
+                # --explain (a collect would break its nothing-executes
+                # promise; the real run validates).
+                avail = {
+                    r["label"]
+                    for r in priors.select("label").distinct().limit(
+                        10_000
+                    ).collect()
+                }
+                unknown = sorted(set(qf.keep_labels) - avail)
+                if unknown:
+                    raise ValueError(
+                        f"{spec.source_table}: quality_filter keep_labels "
+                        f"{unknown} not in the mounted model's labels "
+                        f"{sorted(avail)} — fix the labels or retrain"
+                    )
             base = _lazy_checkpoint(ctx, df) if qf.reject_table else df
             scored = nb_score(
                 base.select(qf.id_column, qf.text_column),
@@ -1405,6 +1426,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 qf.text_column,
                 model,
                 priors,
+                # the guard's bounded count is an eager action —
+                # --explain's nothing-executes promise skips it (the
+                # real run keeps the loud failure)
+                broadcast_limit=None if ctx.explain_only else 5_000_000,
             )
             good = scored.where(
                 F.col("predicted").isin(list(qf.keep_labels))

@@ -521,12 +521,12 @@ _KMV_STATE_COLS = ["__hv", "__k", "__seed"]
 
 
 def _kmv_hash(value) -> "F.Column":
-    """Portable 60-bit md5 hash of a value — the ``md5_hash60``
-    construction (15 hex chars → exact int), so DuckDB replays every
-    hash and therefore every KMV verdict bit-for-bit."""
-    return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    """Portable 60-bit md5 hash of a value — ``functions.md5_hash60``
+    itself (not a re-implementation: the KMV oracle replay contract is
+    pinned to that one construction, and a copy could drift from it)."""
+    from ..functions import md5_hash60
+
+    return md5_hash60(value.cast("string"))
 
 
 def build_kmv_state(
@@ -597,11 +597,16 @@ def merge_kmv_states(states: "list[DataFrame]", keys: "list[str]") -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy(F.col("__hv").asc())
+    # the validated single k as a LITERAL bound (not F.col("__k")): a
+    # constant rank filter compiles to WindowGroupLimit's map-side
+    # partial top-k, the shape the build path gets — a column-valued
+    # bound would force the full window sort per key
+    k = int(layouts[0][0]) if layouts else 0
     return (
         u.select(*keys, "__hv", "__k", "__seed")
         .distinct()
         .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= F.col("__k"))
+        .where(F.col("__rn") <= F.lit(k))
         .drop("__rn")
     )
 

@@ -485,6 +485,8 @@ def nb_score(
     text_col: str,
     model: DataFrame,
     priors: DataFrame,
+    *,
+    broadcast_limit: int | None = 5_000_000,
 ) -> DataFrame:
     """Score documents with a trained ``nb_train`` model: per doc the
     argmax-label posterior ``log_prior + Σ_tokens log_lik`` (unseen
@@ -499,7 +501,19 @@ def nb_score(
     count (labels are few by construction — a seed classifier) via a
     broadcast label join, the model joins broadcast on (token, label),
     and the per-(doc,label) sums reduce with map-side combine; the
-    argmax is a per-doc WindowGroupLimit, keyed, never global."""
+    argmax is a per-doc WindowGroupLimit, keyed, never global.
+
+    "Seed-sized model" is a user promise, not a law — the same loud
+    bounded-probe contract as ``similarity._guard_broadcast_side``:
+    ``broadcast_limit`` caps the model's (token, label) row count at
+    plan-build time, so a model trained on a whole-corpus vocabulary
+    fails with a ValueError instead of a broadcast OOM mid-join. Pass
+    ``None`` only when the caller already bounded the model (or cannot
+    run jobs at build time)."""
+    if broadcast_limit is not None:
+        from .similarity import _guard_broadcast_side
+
+        _guard_broadcast_side(model, "token", broadcast_limit, "nb_score")
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
     )

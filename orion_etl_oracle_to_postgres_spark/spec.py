@@ -734,6 +734,14 @@ class QualityFilterSpec(BaseModel):
                 "quality_filter nb_model_table/nb_priors_table/"
                 "keep_labels require method: nb"
             )
+        elif self.min_margin != 0.0:
+            # same guard as the other nb-only fields: a margin bar on a
+            # non-nb method would be silently ignored — the masked-
+            # misconfiguration class this validator exists to refuse
+            raise ValueError(
+                "quality_filter min_margin requires method: nb (the "
+                "other methods gate on min_quality)"
+            )
         return self
 
     @model_validator(mode="after")

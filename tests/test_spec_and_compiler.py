@@ -3450,6 +3450,24 @@ def test_quality_filter_nb_gate(spark, tmp_path):
             group_column="g", top_fraction=0.5,
             nb_model_table="m", nb_priors_table="p", keep_labels=["x"],
         )
+    # typo'd keep_labels fail loudly instead of keeping zero rows
+    with pytest.raises(ValueError, match="not in the mounted model"):
+        compile_table(
+            JobContext(spark, g),
+            t.model_copy(
+                update={
+                    "quality_filter": t.quality_filter.model_copy(
+                        update={"keep_labels": ["FOOD"],
+                                "reject_table": None}
+                    )
+                }
+            ),
+        )
+    # nb-only min_margin refused on other methods
+    with pytest.raises(ValueError, match="min_margin requires"):
+        spec_mod.QualityFilterSpec(
+            text_column="body", method="heuristic", min_margin=0.9,
+        )
     # streaming refusal
     from orion_etl_oracle_to_postgres_spark.compiler import (
         _assert_streaming_spec,
