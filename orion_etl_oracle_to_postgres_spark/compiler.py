@@ -1369,11 +1369,12 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
             # with the rejects (no evidence, no keep).
             from .operators.text import nb_score
 
-            if qf.id_column not in df.columns:
-                raise ValueError(
-                    f"{spec.source_table}: quality_filter column "
-                    f"{qf.id_column!r} not in pipeline output {df.columns}"
-                )
+            for c in (qf.id_column, qf.text_column):
+                if c not in df.columns:
+                    raise ValueError(
+                        f"{spec.source_table}: quality_filter column "
+                        f"{c!r} not in pipeline output {df.columns}"
+                    )
             model = _mount_pairs_table(
                 ctx,
                 qf.nb_model_table,

@@ -617,7 +617,20 @@ def finalize_kmv(state: DataFrame, keys: "list[str]") -> DataFrame:
     than k hashes, else round((k−1) / (U(k)/2^60)) with U(k) the
     largest kept hash. Deterministic integer/double arithmetic on the
     portable hashes, so a SQL oracle replays the estimate exactly —
-    no error envelope needed, unlike the HLL twin."""
+    no error envelope needed, unlike the HLL twin.
+
+    Layout drift fails loudly here too (same bounded probe as
+    ``merge_kmv_states``): finalizing a raw union of mixed-(k, seed)
+    states would otherwise silently pick an arbitrary ``__k`` via
+    ``first`` and emit a wrong estimate instead of the family's
+    contractual loud failure."""
+    layouts = state.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"finalize_kmv: incompatible layouts {sorted(map(tuple, layouts))} "
+            "— states must share (k, seed); mixed states cannot be folded "
+            "or finalized"
+        )
     g = state.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("__hv").alias("__hk"),

@@ -225,6 +225,15 @@ def _row_hash(cols: "list[str]"):
     return md5_hash60(F.concat(*parts))
 
 
+#: Version marker for the row-hash serialization scheme carried in every
+#: checksum report. The scheme changed once (a '\\x1f'-joined concat →
+#: the injective length-prefixed one above); a PERSISTED baseline from
+#: the old scheme compared against a fresh report would diverge on
+#: every bucket with no hint why. The marker makes that failure loud:
+#: compare ``layout`` first, values second.
+_CHECKSUM_LAYOUT = "md5x60/lenprefix-v2"
+
+
 def table_checksum(
     df: DataFrame,
     cols: "list[str]",
@@ -253,6 +262,11 @@ def table_checksum(
     partial rows per task. The cheapest possible full-table comparison
     — compare with ``snapshot_diff`` (row-level, one wide join) when
     you need to know WHICH rows differ, not WHETHER.
+
+    Every report carries a ``layout`` column (``_CHECKSUM_LAYOUT``)
+    naming the hash/serialization scheme: persisted baselines from an
+    older scheme fail the layout comparison loudly instead of
+    diverging bucket-by-bucket with no explanation.
     """
     if not cols:
         raise ValueError("cols must be non-empty")
@@ -270,6 +284,7 @@ def table_checksum(
             F.expr("bit_xor(__h)").alias("xor_checksum"),
             F.sum(F.col("__h") % 1000003).alias("sum_checksum"),
         )
+        .withColumn("layout", F.lit(_CHECKSUM_LAYOUT))
     )
 
 

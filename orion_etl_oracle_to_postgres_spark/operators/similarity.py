@@ -1130,7 +1130,17 @@ def mmr_diversify(
     iterative operators (``ivf_train``), each round eagerly
     ``localCheckpoint``s the ≤ k-row picked set — without it every
     round's plan re-embeds all prior rounds' subtrees and the lazy
-    composition blows up combinatorially."""
+    composition blows up combinatorially.
+
+    Execution contract: EAGER — calling this function RUNS Spark jobs
+    (the candidate-set checkpoint, plus a checkpoint and a bounded
+    count per round), unlike the build-a-lazy-plan default most
+    operators keep. Any explain-only / plan-review consumer must treat
+    it like the other iterative operators (``ivf_train``,
+    ``connected components``): constructing it is executing it. It is
+    deliberately NOT mounted behind a declarative spec for this
+    reason; if it ever is, gate it the way the compiler's
+    ``ctx.explain_only`` skips the nb keep_labels probe."""
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     if k < 1:

@@ -7159,7 +7159,8 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT hv % 16 AS bucket,
            count(*)::BIGINT AS n_rows,
            bit_xor(hv)::BIGINT AS xor_checksum,
-           sum(hv % 1000003)::BIGINT AS sum_checksum
+           sum(hv % 1000003)::BIGINT AS sum_checksum,
+           'md5x60/lenprefix-v2' AS layout
     FROM h GROUP BY bucket
     """,
 )
@@ -7171,7 +7172,9 @@ def reconcile_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     load produce the same table' sign-off (divergent bucket narrows
     the re-scan 16x). Only exactly-stringifiable columns participate
     (float-to-string formatting differs across engines — documented
-    constraint). The oracle replays the hash and both channels."""
+    constraint). Each report row carries the serialization-scheme
+    ``layout`` marker so persisted baselines from an older scheme fail
+    loudly. The oracle replays the hash and both channels."""
     from .operators.reconcile import table_checksum
 
     c = _t(spark, sf_dir, "customer")

@@ -588,6 +588,10 @@ def test_kmv_layout_drift_and_validation(spark):
     )
     with pytest.raises(ValueError, match="incompatible layouts"):
         merge_kmv_states([a, b], ["g"]).collect()
+    # finalize probes too (ADVICE r10): a raw mixed-layout union must
+    # fail loudly, not let first('__k') silently pick an arbitrary k
+    with pytest.raises(ValueError, match="incompatible layouts"):
+        finalize_kmv(a.unionByName(b), ["g"])
     with pytest.raises(ValueError, match="k must be"):
         build_kmv_state(_kv_df(spark, [("a", 1)]), ["g"], "v", k=1)
     with pytest.raises(ValueError, match="non-empty"):

@@ -101,6 +101,10 @@ def test_table_checksum_detects_value_and_duplicate_changes(spark):
 
     ref = report(base)
     assert report(base.repartition(7)) == ref  # order-independent
+    # every report carries the serialization-scheme version marker so
+    # persisted baselines from an older scheme fail loudly (ADVICE r10)
+    lay = table_checksum(base, ["id"], n_buckets=2).select("layout").distinct()
+    assert [r["layout"] for r in lay.collect()] == ["md5x60/lenprefix-v2"]
     changed = base.withColumn(
         "name", F.when(F.col("id") == 50, "NAME50").otherwise(F.col("name"))
     )

@@ -3468,6 +3468,20 @@ def test_quality_filter_nb_gate(spark, tmp_path):
         spec_mod.QualityFilterSpec(
             text_column="body", method="heuristic", min_margin=0.9,
         )
+    # a typo'd text_column gets the friendly contextual error (ADVICE
+    # r10: only id_column was checked; a bad text column surfaced as a
+    # raw AnalysisException from the select)
+    with pytest.raises(ValueError, match="'bodyy' not in pipeline output"):
+        compile_table(
+            JobContext(spark, g),
+            t.model_copy(
+                update={
+                    "quality_filter": t.quality_filter.model_copy(
+                        update={"text_column": "bodyy", "reject_table": None}
+                    )
+                }
+            ),
+        )
     # streaming refusal
     from orion_etl_oracle_to_postgres_spark.compiler import (
         _assert_streaming_spec,
