@@ -36,9 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # declarative curation/quarantine/anonymize, BM25/RRF retrieval) + this
 # round's new queries.  Every oracle is unchanged; only dict order moves.
 _FIRST_50 = [
-    # core ETL-parity anchors, trimmed 10 -> 8 per VERDICT r9 ask #1
-    # (etl_where_pushdown / emb_topk_query rotate out; their families
-    # are anchored by etl_customer_pipeline / dedup_minhash).
+    # core ETL-parity anchors (unchanged since rotation #7).
     "etl_customer_pipeline",
     "etl_transform_ops",
     "etl_validation_policies",
@@ -47,80 +45,63 @@ _FIRST_50 = [
     "agg_pricing_summary",
     "window_top_orders_per_cust",
     "dedup_minhash",
-    # ---- round-10 window (rotation #7): the ENTIRE remaining
-    # never-driver-sampled backlog — 42 queries, closing cumulative
-    # driver verification at 291/291.  r9-session additions first.
-    "etl_semdedup",
-    "emb_semdedup_cells",
-    "dedup_bloom_history_probe",
-    "agg_bloom_incremental_users",
-    "dedup_ngram_bloom_prescreen",
-    "curation_mixture_reweight",
-    "curation_doremi_sample",
-    "etl_doremi_sample",
-    "curation_doremi_token_sample",
-    "etl_corpus_curate_v4",
-    "etl_decontaminate_shared",
-    "etl_whiten_semantic_dedup",
-    # pre-r9 stragglers: curation family
-    "curation_quality_cutoff",
-    "curation_stratified_sample",
-    "curation_split_leakage",
-    "curation_stable_ids",
-    "curation_balance_groups",
-    "curation_sample_n",
-    "curation_priority_sample",
-    "curation_curriculum_order",
-    "curation_uncertainty_sample",
-    # text family
-    "text_chunk_windows",
-    "text_chunk_stats",
-    "text_url_normalize",
-    "text_unicode_normalize",
-    "text_vocab_topk_pruned",
-    "text_vocab_approx_topk",
-    "text_unigram_logprob",
-    "text_ngram_novelty",
-    "text_distinctive_terms",
-    "text_vocab_richness",
-    "text_classifier_calibration",
-    "text_contrastive_views",
-    # embedding family
-    "emb_quantize_error",
-    "emb_knn_join_lsh_multi",
-    "emb_centroid_drift",
-    # declarative ETL stragglers + misc
-    "etl_extract_ops",
-    "etl_curriculum",
-    "etl_intradoc_rewrite",
-    "etl_gopher_gate",
-    "range_clicks_before_error",
-    "affinity_part_pairs",
+    # ---- round-11 window (rotation #8, VERDICT r10 ask #1):
+    # (a) the 10 round-10-session additions — the only registrations
+    # never driver-sampled; green here closes the registry at 301/301
+    # cumulative driver verification.
+    "etl_semdedup_codebook",
+    "etl_incremental_minhash_index",
+    "etl_doremi_token_sample",
+    "agg_cms_heavy_hitters",
+    "agg_kmv_incremental_users",
+    "reconcile_checksum_drilldown",
+    "ir_mmr_diversify",
+    "text_nb_classifier",
+    "etl_nb_quality_gate",
+    "ir_retrieve_rerank_mmr",
+    # (b) drift re-checks: 32 of the 40 STALEST cum-green rows — the
+    # original fixed r1-r4 window, last driver-verified in round 4,
+    # 7 rounds stale.  The 8 deferred to rotation #9 each have a close
+    # sibling here (agg_exact_percentiles, agg_events_hourly,
+    # emb_near_dup_pairs, emb_topk_lsh, multimodal_resize,
+    # multimodal_frames, dedup_fingerprint, curation_weighted_sample).
+    "agg_approx_percentiles",
+    "agg_events_sessions",
+    "agg_pivot_status_by_segment",
+    "agg_revenue_top10",
+    "agg_rollup_revenue",
+    "asof_click_attribution",
+    "binary_meta",
+    "curation_contamination",
+    "curation_split",
+    "dedup_clusters",
+    "dedup_exact_keys",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_mktsegments",
+    "doc_fingerprint",
+    "emb_near_dup_lsh",
+    "emb_topk_ivf",
+    "etl_auto_mapping",
+    "etl_auto_mapping_target",
+    "etl_dates_bools",
+    "etl_lookup_skip",
+    "etl_validation_lookup_semi",
+    "incremental_highwater",
+    "json_extract_events",
+    "multimodal_audio",
+    "multimodal_decode",
+    "setop_customers_without_orders",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "text_scrub",
+    "text_stats",
 ]
-# After rotation #7 every one of the 291 r9-era registrations has a
-# driver CORRECTNESS row (cumulative 291/291).  Rotation #8 (round 11,
-# VERDICT r9 ask #7): re-sample ~10 of the OLDEST cum-green rows
-# (r1-r3 windows) alongside the round-10-session additions (the only
-# never-driver-sampled queries left):
-#   etl_semdedup_codebook (dedup.centroids_table trained-codebook
-#     SemDeDup, unrolled-Lloyd-seeded oracle),
-#   etl_incremental_minhash_index (dedup.index_table delta-vs-index
-#     probe, archive never re-shingled),
-#   etl_doremi_token_sample (sample.method: doremi_tokens),
-#   agg_cms_heavy_hitters (mergeable Count-Min Sketch state,
-#     cell-exact md5 replay),
-#   reconcile_checksum_drilldown (bucket-checksum ladder driven to
-#     rows, full-unpruned-diff oracle),
-#   ir_mmr_diversify (greedy MMR diversity, k unrolled-round oracle),
-#   text_nb_classifier (multinomial NB seed classifier, full
-#     train→eval SQL replay),
-#   etl_nb_quality_gate (quality_filter.method: nb — the trained
-#     model mounted as a declarative label+margin gate),
-#   ir_retrieve_rerank_mmr (BM25 → cosine rerank → MMR, the full
-#     RAG retrieval shape composed in one plan),
-#   agg_kmv_incremental_users (mergeable KMV bottom-k distinct
-#     sketch, hash-exact md5 replay).
-# All ten are checker-verified (both session modes) this round.
+# Rotation #9 (round 12): keep the 8 anchors; include any round-11
+# additions first (never-sampled beats stale); then continue the drift
+# re-check ladder with the 8 deferred r4 rows above plus the next-oldest
+# cum-green rows (the round-5 window).
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:

@@ -451,6 +451,29 @@ def main() -> None:
         }
     )
     print(payload)
+    # survivable tail (VERDICT r10 ask #3): the driver's BENCH_r*.json
+    # keeps the stdout TAIL, and the full per-query dict above has been
+    # truncated from the FRONT before (BENCH_r05 parsed: null) — so the
+    # LAST line is a compact summary that always retains the headline
+    # number, the calibration probes, and the 10 slowest queries even
+    # when the full record is cut.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "total_s": round(sum(timings.values()), 3),
+                "n": len(timings),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calib_sec": calib_sec,
+                "top10": top10,
+            }
+        )
+    )
     # the driver captures only the stdout tail, which has truncated the
     # passes/calibration record before (BENCH_r05 parsed: null) — also
     # land the full JSON as a repo artifact so every bench run survives
