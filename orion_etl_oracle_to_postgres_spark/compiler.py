@@ -2393,29 +2393,68 @@ def _run_streaming_table(
     )
     state_dir.mkdir(parents=True, exist_ok=True)
     counter = {"rows": 0}
+    fc = spec.frequency_cap
+    if fc is not None and fc.key_column not in compiled.df.columns:
+        # friendly pre-drain error, the quality_filter column rule —
+        # a typo'd key would otherwise surface as an AnalysisException
+        # from inside the first micro-batch
+        raise ValueError(
+            f"{spec.target_table}: frequency_cap key_column "
+            f"{fc.key_column!r} not in pipeline output {compiled.df.columns}"
+        )
 
-    def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        # same write-side drift healing as the batch append path —
-        # without it a drifted target would accumulate mixed-schema
-        # parquet files, the exact hazard _align_for_append exists for
-        bdf = _align_for_append(ctx, spec, bdf)
+    def _write_rows(bdf: DataFrame, table: str) -> int:
         bdf = bdf.persist()
         try:
             n = bdf.count()
             resolve_sink(
                 bdf,
                 ctx.global_spec.connectors,
-                spec.target_table,
+                table,
                 spec.target_schema
                 if ctx.global_spec.connectors.target_files is None
                 else None,
                 mode="append",
-                partition_by=spec.partition_by,
-                sort_by=spec.sort_by,
+                partition_by=spec.partition_by if table == spec.target_table else None,
+                sort_by=spec.sort_by if table == spec.target_table else None,
             )
-            counter["rows"] += n
+            return n
         finally:
             bdf.unpersist()
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        # same write-side drift healing as the batch append path —
+        # without it a drifted target would accumulate mixed-schema
+        # parquet files, the exact hazard _align_for_append exists for
+        bdf = _align_for_append(ctx, spec, bdf)
+        if fc is not None:
+            from .streaming.cms_monitor import frequency_cap_split
+
+            # the batch feeds the estimate, the increment, AND the two
+            # routed sinks — pin it once (eager foreachBatch territory)
+            bdf = bdf.persist()
+            try:
+                kept, over = frequency_cap_split(
+                    bdf,
+                    fc.key_column,
+                    cap=fc.cap,
+                    width=fc.width,
+                    depth=fc.depth,
+                    seed=fc.seed,
+                    state_path=str(state_dir / "freqcap_state"),
+                    report_path=str(state_dir / "freqcap_report"),
+                    batch_id=int(batch_id),
+                )
+                counter["rows"] += _write_rows(kept, spec.target_table)
+                if fc.overflow_table:
+                    # strict exact-check routing: the maybe-over-cap
+                    # sliver lands beside the target for an offline
+                    # exact audit instead of vanishing
+                    _write_rows(over, fc.overflow_table)
+            finally:
+                bdf.unpersist()
+        else:
+            counter["rows"] += _write_rows(bdf, spec.target_table)
 
     q = (
         compiled.df.writeStream.foreachBatch(

@@ -1087,6 +1087,66 @@ class VectorTransformSpec(BaseModel):
         return v
 
 
+class FrequencyCapSpec(BaseModel):
+    """[engine extension] Declarative STREAMING frequency cap
+    (SURVEY.md §2.9/§2.11) — the ``mode: streaming`` surface of the
+    mergeable Count-Min Sketch state (``streaming/cms_monitor.py``,
+    batch anchor ``agg_cms_heavy_hitters``): rows whose
+    ``key_column``'s RUNNING ingested frequency (estimated against the
+    folded CMS state of every earlier micro-batch) has reached ``cap``
+    stop flowing to the target — the repeated-boilerplate guard at
+    ingestion, with fixed state and no history join.
+
+    Verdicts are CROSS-batch and one-sided (the CMS contract): an
+    under-cap estimate PROVES the key is under it; an over-cap verdict
+    can carry collision mass at the sketch's documented ε. When the cap
+    must be strict, set ``overflow_table``: the maybe-over-cap sliver
+    is ROUTED there (appended through the target connector, like
+    ``quarantine_table``) instead of dropped, so an exact offline check
+    can audit or reclaim it — only that sliver ever needs the expensive
+    exact path. ``overflow_table: null`` drops over-cap rows with the
+    per-batch report (n_rows, n_keys, n_over_cap, n_under_cap) as the
+    only record. NULL keys carry no verdict and always pass (frequency
+    of NULL is meaningless — the ``estimate_cms`` contract).
+
+    State/report land as per-batch-id subdirectory appends under the
+    stream's state dir (crash-replayed batches overwrite their own
+    pieces — the monitor family's idempotency rule); layout
+    (width/depth/seed) travels in the state and drift fails loudly at
+    the next fold. Size ``width`` for the key-cardinality horizon:
+    the whole state is ≤ width·depth ≤ 64 Ki longs forever."""
+
+    key_column: str
+    cap: int = Field(default=1, ge=1)
+    width: int = 1 << 12
+    depth: int = 4
+    seed: str = "cms"
+    #: strict exact-check routing: append maybe-over-cap rows here
+    #: (target connector) instead of dropping them
+    overflow_table: Optional[str] = None
+
+    @model_validator(mode="after")
+    def _cms_layout_shape(self) -> "FrequencyCapSpec":
+        # mirror operators/aggstate._cms_validate at PARSE time (the
+        # sibling-knob rule, like decontaminate.bloom_m_bits): a bad
+        # layout must fail at spec load, not at the first micro-batch
+        if self.width < 16 or (self.width & (self.width - 1)) != 0:
+            raise ValueError(
+                "frequency_cap width must be a power of two >= 16, "
+                f"got {self.width}"
+            )
+        if not (1 <= self.depth <= 8):
+            raise ValueError(
+                f"frequency_cap depth must be in [1, 8], got {self.depth}"
+            )
+        if self.width * self.depth > (1 << 16):
+            raise ValueError(
+                f"frequency_cap width*depth = {self.width * self.depth} "
+                f"exceeds the {1 << 16}-cell collected-probe cap"
+            )
+        return self
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -1158,6 +1218,9 @@ class TableSpec(BaseModel):
     #: declarative embedding-column normalization (runs BEFORE dedup so
     #: semantic dedup sees the normalized space)
     vector_transform: Optional[VectorTransformSpec] = None
+    #: streaming-only: CMS-backed ingestion frequency cap on the
+    #: outgoing rows (see ``FrequencyCapSpec``)
+    frequency_cap: Optional[FrequencyCapSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
@@ -1198,6 +1261,19 @@ class TableSpec(BaseModel):
                     "shards writes its own _manifest.json (shard counts + "
                     "seed) — drop manifest: true"
                 )
+        if self.frequency_cap is not None and (
+            self.incremental is None or self.incremental.mode != "streaming"
+        ):
+            # the cap's whole semantic is "running frequency across
+            # micro-batches" — on a batch table the equivalent is a
+            # plain groupBy/window over the corpus (agg_cms_heavy_hitters
+            # anchors the batch twin); silently accepting it here would
+            # cap nothing
+            raise ValueError(
+                "frequency_cap requires incremental.mode: streaming — "
+                "for a batch table use a window/groupBy over the corpus "
+                "(the CMS batch operators in operators/aggstate.py)"
+            )
         return self
 
 

@@ -370,3 +370,144 @@ def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
                 ],
             ),
         )
+
+
+def test_streaming_frequency_cap_routes_and_matches_batch_twin(spark, tmp_path):
+    """`frequency_cap:` on a streaming table: keys whose RUNNING
+    ingested frequency reached the cap stop flowing to the target from
+    the next micro-batch on (cross-batch verdicts — within-batch
+    repeats all estimate against the pre-batch state); the maybe-over
+    sliver routes to overflow_table (strict exact-check routing); NULL
+    keys always pass; the folded state is cell-identical to one batch
+    build over everything ingested (the monitor parity, through the
+    declarative path)."""
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_cms_state,
+    )
+    from orion_etl_oracle_to_postgres_spark.streaming.cms_monitor import (
+        folded_cms_state,
+        frequency_cap_report,
+    )
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+    state = tmp_path / "state"
+
+    def feed(rows):
+        spark.createDataFrame(rows, "id long, key string").coalesce(
+            1
+        ).write.mode("append").parquet(str(land))
+
+    t = spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_capped",
+        write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming", state_path=str(state)
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="key", target="key"),
+        ],
+        frequency_cap=spec_mod.FrequencyCapSpec(
+            key_column="key", cap=2, width=1 << 10, depth=4,
+            overflow_table="t_overflow",
+        ),
+    )
+    job = spec_mod.JobSpec(global_spec=_global(src, out), tables=[t])
+
+    # batch 0: 'a' twice (within-batch repeats judge against the EMPTY
+    # prior state -> both kept), 'b' once, one NULL key (always kept)
+    feed([(1, "a"), (2, "a"), (3, "b"), (4, None)])
+    assert run_job(spark, job) == {"t_capped": 4}
+
+    # batch 1: 'a' has prior ingested count 2 >= cap=2 -> routed to
+    # overflow; 'b' sits at 1 < cap -> kept; 'c' is new -> kept
+    feed([(5, "a"), (6, "b"), (7, "c")])
+    assert run_job(spark, job) == {"t_capped": 2}
+    kept = spark.read.parquet(str(out / "t_capped"))
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2, 3, 4, 6, 7]
+    over = spark.read.parquet(str(out / "t_overflow"))
+    assert [r["id"] for r in over.collect()] == [5]
+
+    # batch 2: now 'b' (2) and 'c' (1)... 'b' over, 'c' still under;
+    # NULL keys keep passing no matter how many were ingested
+    feed([(8, "b"), (9, "c"), (10, None)])
+    assert run_job(spark, job) == {"t_capped": 2}
+    assert sorted(
+        r["id"] for r in spark.read.parquet(str(out / "t_capped")).collect()
+    ) == [1, 2, 3, 4, 6, 7, 9, 10]
+    assert sorted(
+        r["id"] for r in spark.read.parquet(str(out / "t_overflow")).collect()
+    ) == [5, 8]
+
+    # per-drain reports landed
+    rep = frequency_cap_report(spark, str(state / "freqcap_report"))
+    assert rep.count() == 3
+
+    # monitor parity through the declarative path: folded state ==
+    # one-shot batch build over ALL ingested rows (over-cap included)
+    all_rows = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("a",), ("b",), ("c",), ("b",), ("c",)],
+        "key string",
+    )
+    cells = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("row_idx", "col_idx", "cnt").collect())
+    )
+    assert cells(folded_cms_state(spark, str(state / "freqcap_state"))) == cells(
+        build_cms_state(all_rows, "key", width=1 << 10, depth=4, seed="cms")
+    )
+
+
+def test_streaming_frequency_cap_contracts(spark, tmp_path):
+    """Parse/compile contracts: batch tables refuse the block, layout
+    knobs validate at spec load (the sibling-knob rule), and a typo'd
+    key_column fails with the friendly pre-drain error."""
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a")], "id long, key string").write.parquet(
+        str(src / "land")
+    )
+    out = tmp_path / "out"
+    fc = spec_mod.FrequencyCapSpec(key_column="key", cap=1)
+
+    # batch mode (no incremental at all) refuses at spec load
+    with pytest.raises(ValueError, match="requires incremental.mode: streaming"):
+        spec_mod.TableSpec(
+            source_table="land", target_table="t",
+            mappings=[spec_mod.MappingSpec(source="id", target="id")],
+            frequency_cap=fc,
+        )
+    # incremental but non-streaming refuses too
+    with pytest.raises(ValueError, match="requires incremental.mode: streaming"):
+        spec_mod.TableSpec(
+            source_table="land", target_table="t",
+            incremental=spec_mod.IncrementalSpec(watermark_column="id"),
+            mappings=[spec_mod.MappingSpec(source="id", target="id")],
+            frequency_cap=fc,
+        )
+    # layout knobs mirror _cms_validate at parse time
+    with pytest.raises(ValueError, match="power of two"):
+        spec_mod.FrequencyCapSpec(key_column="key", width=100)
+    with pytest.raises(ValueError, match=r"depth must be in \[1, 8\]"):
+        spec_mod.FrequencyCapSpec(key_column="key", depth=9)
+    with pytest.raises(ValueError, match="collected-probe cap"):
+        spec_mod.FrequencyCapSpec(key_column="key", width=1 << 16, depth=8)
+    with pytest.raises(Exception, match="cap"):
+        spec_mod.FrequencyCapSpec(key_column="key", cap=0)
+
+    # typo'd key_column: friendly error BEFORE the drain starts
+    t = spec_mod.TableSpec(
+        source_table="land", target_table="t_cap2", write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming",
+            state_path=str(tmp_path / "s2"),
+        ),
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+        frequency_cap=spec_mod.FrequencyCapSpec(key_column="key", cap=1),
+    )
+    ctx = JobContext(spark=spark, global_spec=_global(src, out))
+    with pytest.raises(ValueError, match="'key' not in pipeline output"):
+        run_table(ctx, t)
