@@ -3499,3 +3499,71 @@ def test_quality_filter_nb_gate(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="method=nb"):
         _assert_streaming_spec(JobContext(spark, g), t_stream, None)
+
+
+def test_nb_gate_explain_only_executes_nothing(spark, tmp_path):
+    """--explain on an nb-gated table must execute NOTHING beyond the
+    inherent parquet schema `load` jobs: the keep_labels probe collect
+    and nb_score's broadcast-guard count are both gated behind
+    ctx.explain_only (VERDICT r10 ask #7 — the probe path landed in the
+    r10 review pass and needs its own stage-scan pin)."""
+    import orion_etl_oracle_to_postgres_spark.spec as spec_mod
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        JobContext,
+        compile_table,
+    )
+    from orion_etl_oracle_to_postgres_spark.operators.text import nb_train
+
+    src = tmp_path / "src"
+    seed = spark.createDataFrame(
+        [(1, "apple banana fruit", "food"), (2, "gear engine motor", "cars")],
+        "id long, body string, cls string",
+    )
+    model, priors = nb_train(seed, "body", "cls")
+    model.write.parquet(str(src / "nb_model"))
+    priors.write.parquet(str(src / "nb_priors"))
+    spark.createDataFrame(
+        [(10, "sweet banana")], "id long, body string"
+    ).write.parquet(str(src / "corpus"))
+    g = spec_mod.GlobalSpec(
+        connectors=spec_mod.ConnectorsSpec(
+            source_files=spec_mod.FilesConnectorSpec(base_path=str(src)),
+            target_files=spec_mod.FilesConnectorSpec(
+                base_path=str(tmp_path / "out")
+            ),
+        )
+    )
+    t = spec_mod.TableSpec(
+        source_table="corpus",
+        target_table="corpus_food",
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="body", target="body"),
+        ],
+        quality_filter=spec_mod.QualityFilterSpec(
+            text_column="body", method="nb", id_column="id",
+            nb_model_table="nb_model", nb_priors_table="nb_priors",
+            # a label the model does NOT have: the real run fails the
+            # probe loudly; explain-only must not even run it
+            keep_labels=["nonexistent"], min_margin=0.1,
+        ),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    compile_table(JobContext(spark, g, explain_only=True), t)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    jsc = spark.sparkContext._jsc.sc().statusTracker()
+    for job_id in sorted(after - before):
+        info = jsc.getJobInfo(job_id)
+        if not info.isDefined():
+            continue
+        for sid in list(info.get().stageIds()):
+            si = jsc.getStageInfo(sid)
+            assert not si.isDefined() or si.get().name().startswith("load at"), (
+                f"explain-only nb compile executed stage: {si.get().name()}"
+            )
+    # sanity: the REAL run does execute the probe and fails loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in the mounted model"):
+        compile_table(JobContext(spark, g), t)

@@ -511,3 +511,45 @@ def test_streaming_frequency_cap_contracts(spark, tmp_path):
     ctx = JobContext(spark=spark, global_spec=_global(src, out))
     with pytest.raises(ValueError, match="'key' not in pipeline output"):
         run_table(ctx, t)
+
+
+def test_streaming_refuses_nb_and_ccnet_gates(spark, tmp_path):
+    """VERDICT r10 ask #7: the nb refusal (eager model mounts + token
+    aggregation + verdict join-back) and the ccnet refusal (fires via
+    the spec-pinned top_fraction rule) must each be EXPLICITLY tested
+    on `mode: streaming`, like the other batch-only methods."""
+    from orion_etl_oracle_to_postgres_spark.compiler import compile_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "some body text", "g")], "id long, body string, grp string"
+    ).write.parquet(str(src / "land"))
+    ctx = JobContext(
+        spark=spark, global_spec=_global(src, tmp_path / "out")
+    )
+
+    def mk(qf):
+        return spec_mod.TableSpec(
+            source_table="land", target_table="t", write_mode="append",
+            incremental=spec_mod.IncrementalSpec(
+                watermark_column="id", mode="streaming"
+            ),
+            mappings=[
+                spec_mod.MappingSpec(source="id", target="id"),
+                spec_mod.MappingSpec(source="body", target="body"),
+                spec_mod.MappingSpec(source="grp", target="grp"),
+            ],
+            quality_filter=qf,
+        )
+
+    with pytest.raises(ValueError, match="method=nb"):
+        compile_table(ctx, mk(spec_mod.QualityFilterSpec(
+            text_column="body", method="nb", id_column="id",
+            nb_model_table="m", nb_priors_table="p", keep_labels=["x"],
+        )))
+    with pytest.raises(ValueError, match="top_fraction"):
+        compile_table(ctx, mk(spec_mod.QualityFilterSpec(
+            text_column="body", method="ccnet", id_column="id",
+            group_column="grp", top_fraction=0.5,
+        )))
