@@ -116,3 +116,30 @@ def test_bench_covers_full_registry():
     assert not missing, f"registered but unbenched: {sorted(missing)}"
     assert not extra, f"benched but unregistered: {sorted(extra)}"
     assert dupes == 0, "duplicate BENCH_QUERIES entries"
+
+
+def test_registry_split_preserves_contract():
+    """The r11 per-family split (queries_* modules + the aggregating
+    queries.py) must be invisible to every consumer: registry keys are
+    function __name__s (the globals() re-export depends on it), the
+    pinned _REGISTRY_ORDER is exactly the pre-split registration order
+    (a deleted query must be removed from the pin too — a stale name
+    there would silently shift the order restore), QUERIES/ORACLE lead
+    with that order, and the helper/function attribute re-exports the
+    tests and the driver entry rely on resolve."""
+    from orion_etl_oracle_to_postgres_spark import queries as q
+
+    assert all(fn.__name__ == k for k, fn in q.QUERIES.items())
+    # the order pin names only real registrations, with no duplicates
+    assert len(q._REGISTRY_ORDER) == len(set(q._REGISTRY_ORDER))
+    stale = [n for n in q._REGISTRY_ORDER if n not in q.QUERIES]
+    assert not stale, f"stale _REGISTRY_ORDER entries: {stale}"
+    # registry leads with the pinned order; later registrations append
+    n = len(q._REGISTRY_ORDER)
+    assert list(q.QUERIES)[:n] == q._REGISTRY_ORDER
+    assert list(q.ORACLE)[: len([k for k in q._REGISTRY_ORDER if k in q.ORACLE])] == [
+        k for k in q._REGISTRY_ORDER if k in q.ORACLE
+    ]
+    # attribute passthroughs: query functions and shared helpers
+    assert q.etl_customer_pipeline is q.QUERIES["etl_customer_pipeline"]
+    assert callable(q._ctx) and callable(q._t)
