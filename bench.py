@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "agg_incremental_state",  # mergeable agg state: build+merge+finalize
     "agg_cms_heavy_hitters",  # mergeable CMS frequency state: fold + zero-join estimate
     "agg_kmv_incremental_users",  # mergeable KMV bottom-k distinct sketch, exact replay
+    "agg_kmv_set_ops",  # KMV set algebra: union/intersect/Jaccard from two states
+    "curation_incremental_sample",  # mergeable bottom-k uniform eval panel
     "text_bigram_logprob",  # bigram LM fluency: in-row expansion + 2 wc aggs
     "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
     "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)

@@ -645,6 +645,201 @@ def finalize_kmv(state: DataFrame, keys: "list[str]") -> DataFrame:
     )
 
 
+_SAMPLE_STATE_COLS = ["__hv", "__k", "__seed"]
+
+
+def build_sample_state(
+    df: DataFrame,
+    keys: "list[str]",
+    id_col: str,
+    *,
+    k: int = 64,
+    seed: str = "smp",
+) -> DataFrame:
+    """Mergeable DETERMINISTIC RESERVOIR — a bottom-k-by-hash uniform
+    sample of ids per key group, the sampling sibling of the KMV
+    sketch (same bottom-k machinery, but the ID travels with its hash
+    instead of being discarded): maintain a fixed-size uniform
+    without-replacement sample (a per-language eval set, a review
+    queue, a drift probe panel) across ingest increments WITHOUT ever
+    rescanning history. Classic RNG reservoirs (Vitter's R) are
+    neither mergeable nor replayable; hash-order sampling is both —
+    the k smallest portable-md5 hashes of the DISTINCT ids, so fold ==
+    full-history-build row-for-row and a SQL oracle replays every pick.
+
+    Properties that make it the eval-set maintainer:
+    * MERGEABLE exactly: bottom-k of the union (``merge_sample_states``).
+    * PREFIX-CONSISTENT: the bottom-j (j ≤ k) of a state is itself the
+      uniform j-sample — downstream consumers shrink the panel without
+      resampling (``finalize_sample`` exposes ``sample_rank``).
+    * STABLE: an id in the sample stays in it until genuinely crowded
+      out by smaller hashes — no churn between runs on the same data.
+
+    Ids-only by design (the scale-clean shape shared with the pair
+    tables): payloads re-join by id at read time, so the state is
+    ≤ k (hash, id) rows per key forever. NULL ids contribute nothing;
+    duplicate (keys, id) rows collapse via DISTINCT before ranking."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = _kmv_hash(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    hashed = (
+        df.where(F.col(id_col).isNotNull())
+        .select(*keys, F.col(id_col), h.alias("__hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__hv").asc(), F.col(id_col).asc()
+    )
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+        .withColumn("__k", F.lit(int(k)))
+        .withColumn("__seed", F.lit(seed))
+    )
+
+
+def merge_sample_states(
+    states: "list[DataFrame]", keys: "list[str]", id_col: str
+) -> DataFrame:
+    """Fold sample states: distinct-union the (id, hash) sets and
+    re-take the bottom-k per key — exact (fold == full-history-build
+    row-for-row, the KMV argument verbatim). Layout drift fails loudly
+    with the bounded probe."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    cols = list(keys) + [id_col] + _SAMPLE_STATE_COLS
+    u = states[0].select(cols)
+    for s in states[1:]:
+        u = u.unionByName(s.select(cols))
+    layouts = u.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"merge_sample_states: incompatible layouts "
+            f"{sorted(map(tuple, layouts))} — states must share (k, seed)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__hv").asc(), F.col(id_col).asc()
+    )
+    k = int(layouts[0][0]) if layouts else 0
+    return (
+        u.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(k))
+        .drop("__rn")
+    )
+
+
+def finalize_sample(
+    state: DataFrame, keys: "list[str]", id_col: str
+) -> DataFrame:
+    """State → the sample panel: (keys…, ``sample_rank``, id). Rank 1
+    is the smallest hash; taking ``sample_rank <= j`` yields the
+    uniform j-sample (prefix consistency), so one persisted state
+    serves every panel size up to k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__hv").asc(), F.col(id_col).asc()
+    )
+    return state.select(
+        *keys, F.row_number().over(w).alias("sample_rank"), id_col
+    )
+
+
+def kmv_set_estimates(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    keys: "list[str]",
+) -> DataFrame:
+    """KMV SET ALGEBRA (Beyer et al. 2007, "On synopses for distinct
+    value estimation under multiset operations"): per key group,
+    estimate |A ∪ B|, |A ∩ B| and the Jaccard overlap of two KMV
+    sketches WITHOUT the raw data — the "how many users do these two
+    segments share" / "how much does this corpus slice overlap that
+    one" question answered from two ≤ k-longs-per-key states.
+
+    Method: the bottom-k of the two hash sets' union is itself the KMV
+    sketch of A ∪ B (the ``merge_kmv_states`` property), so
+    ``union_est`` is the family estimator — EXACT (= n_kept) while the
+    union kept fewer than k hashes (both sides were complete), else
+    (k−1)/U(k). Within that combined bottom-k, the fraction ρ of
+    hashes present in BOTH sketches estimates the Jaccard overlap
+    (each bottom-k hash is a uniform sample of A ∪ B), and
+    ``intersect_est`` = round(ρ · union_est). In the exact branch
+    ρ·union = the true intersection count verbatim. Everything is
+    deterministic integer/double arithmetic on portable md5 hashes, so
+    a SQL oracle replays every estimate value-exactly — the
+    differential-testing-friendly sketch, like the rest of the family.
+
+    Keys appearing in only one state behave as the empty-set side:
+    intersection 0, Jaccard 0, union = that side's estimate. Layout
+    drift (different k/seed) fails loudly with the bounded probe.
+
+    Returns (keys…, ``n_kept``, ``union_est``, ``intersect_est``,
+    ``jaccard_e6``).
+
+    Scale shape: one union of two ≤ k-rows-per-key states, one
+    (keys, hash) groupBy carrying ≤ 2k integer rows per key, one
+    keys-partitioned window over the SAME partitioning (no second
+    exchange) and one map-side-combined aggregate. Bounded by k per
+    key forever — never by the corpora the sketches summarized."""
+    cols = ["__hv", "__k", "__seed"]
+    u = state_a.select(
+        *keys, *cols, F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b")
+    ).unionByName(
+        state_b.select(
+            *keys, *cols, F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b")
+        )
+    )
+    layouts = u.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"kmv_set_estimates: incompatible layouts "
+            f"{sorted(map(tuple, layouts))} — states must share (k, seed)"
+        )
+    k = int(layouts[0][0]) if layouts else 0
+    from pyspark.sql import Window
+
+    g = u.groupBy(*keys, "__hv").agg(
+        F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__hv").asc())
+    # no pre-filter needed: the window input is ≤ 2k rows per key BY
+    # CONSTRUCTION (each state keeps ≤ k), so ranking everything and
+    # aggregating conditionally is already bounded
+    r = g.withColumn("__rn", F.row_number().over(w))
+    in_bk = F.col("__rn") <= F.lit(k)
+    agg = r.groupBy(*keys).agg(
+        F.sum(F.when(in_bk, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.max(F.when(in_bk, F.col("__hv"))).alias("__hk"),
+        F.sum(
+            F.when(in_bk & (F.col("__in_a") + F.col("__in_b") == 2), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("__both"),
+    )
+    u_k = F.col("__hk").cast("double") / F.lit(float(1 << 60))
+    union_d = F.when(
+        F.col("n_kept") < F.lit(k), F.col("n_kept").cast("double")
+    ).otherwise(F.round((F.lit(k) - 1) / u_k, 0))
+    rho = F.col("__both").cast("double") / F.col("n_kept")
+    return agg.select(
+        *keys,
+        "n_kept",
+        union_d.cast("long").alias("union_est"),
+        F.round(rho * union_d, 0).cast("long").alias("intersect_est"),
+        F.round(rho, 6).alias("jaccard_e6"),
+    )
+
+
 _CMS_STATE_COLS = ["row_idx", "col_idx", "cnt", "__w", "__d", "__seed"]
 _CMS_MAX_CELLS = 1 << 16  # 64 Ki longs = 512 KiB: the driver-probe cap
 

@@ -2958,6 +2958,86 @@ def agg_kmv_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_kmv_set_ops",
+    f"""
+    WITH e AS (SELECT event_type, user_id, day(ts) % 3 AS d FROM events
+               WHERE user_id IS NOT NULL),
+    ha AS (
+      SELECT DISTINCT event_type,
+             {_hex2int_sql("substr(md5(CAST(user_id AS VARCHAR) || ':kv1'), 1, 15)")}
+               AS hv
+      FROM e WHERE d = 0
+    ),
+    hb AS (
+      SELECT DISTINCT event_type,
+             {_hex2int_sql("substr(md5(CAST(user_id AS VARCHAR) || ':kv1'), 1, 15)")}
+               AS hv
+      FROM e WHERE d = 1
+    ),
+    sa AS (SELECT event_type, hv FROM (
+             SELECT event_type, hv, row_number() OVER (
+               PARTITION BY event_type ORDER BY hv ASC) AS rn FROM ha
+           ) WHERE rn <= 32),
+    sb AS (SELECT event_type, hv FROM (
+             SELECT event_type, hv, row_number() OVER (
+               PARTITION BY event_type ORDER BY hv ASC) AS rn FROM hb
+           ) WHERE rn <= 32),
+    u AS (SELECT event_type, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT event_type, hv, 1 AS in_a, 0 AS in_b FROM sa
+            UNION ALL
+            SELECT event_type, hv, 0 AS in_a, 1 AS in_b FROM sb
+          ) GROUP BY 1, 2),
+    r AS (SELECT event_type, hv, in_a, in_b, row_number() OVER (
+            PARTITION BY event_type ORDER BY hv ASC) AS rn FROM u),
+    agg AS (SELECT event_type,
+              sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+              max(CASE WHEN rn <= 32 THEN hv END) AS hk,
+              sum(CASE WHEN rn <= 32 AND in_a + in_b = 2 THEN 1 ELSE 0 END)
+                ::BIGINT AS nboth
+            FROM r GROUP BY 1),
+    est AS (SELECT event_type, n_kept, nboth,
+              CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
+                   ELSE round(31 / (hk::DOUBLE / 1152921504606846976.0), 0)
+              END AS union_d
+            FROM agg)
+    SELECT event_type, n_kept,
+           union_d::BIGINT AS union_est,
+           round((nboth::DOUBLE / n_kept) * union_d, 0)::BIGINT
+             AS intersect_est,
+           round(nboth::DOUBLE / n_kept, 6) AS jaccard_e6
+    FROM est
+    """,
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] KMV set algebra across two segment sketches
+    (operators/aggstate.py:kmv_set_estimates — Beyer et al. 2007):
+    per event type, estimate how many distinct users two ingestion
+    windows SHARE (union / intersection / Jaccard) from the two
+    ≤ 32-longs-per-key bottom-k states alone — the "do these segments
+    overlap" question answered without re-scanning either corpus. The
+    combined bottom-k of the union is itself the union's KMV sketch
+    (the merge property), and the fraction of it present in both
+    sketches estimates the Jaccard; every hash and estimate is
+    deterministic portable-md5 arithmetic, so the oracle replays the
+    whole chain value-exactly (including the exact branch where the
+    union kept < k hashes). At 100 TB: the inputs are O(k) per key
+    forever; the estimate never touches the raw data."""
+    from .operators import aggstate as A
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", (F.dayofmonth("ts") % 3).alias("__d")
+    ).where(F.col("user_id").isNotNull())
+    kw = dict(k=32, seed="kv1")
+    a = A.build_kmv_state(
+        e.where(F.col("__d") == 0), ["event_type"], "user_id", **kw
+    )
+    b = A.build_kmv_state(
+        e.where(F.col("__d") == 1), ["event_type"], "user_id", **kw
+    )
+    return A.kmv_set_estimates(a, b, ["event_type"])
+
+
+@query(
     "agg_cms_heavy_hitters",
     """
     WITH e AS (SELECT user_id, day(ts) % 3 AS d FROM events

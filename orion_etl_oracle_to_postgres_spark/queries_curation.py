@@ -1179,3 +1179,57 @@ def curation_doremi_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "text", "doc_id", "source", "__loss",
         budget_tokens=10_000, eta=0.5, seed="dt0",
     ).select("doc_id", "source", "n_tokens", "domain_weight", "target_tokens")
+
+
+@query(
+    "curation_incremental_sample",
+    f"""
+    WITH d AS (SELECT lang, doc_id FROM documents WHERE doc_id IS NOT NULL),
+    h AS (
+      SELECT DISTINCT lang, doc_id,
+             {_hex2int_sql("substr(md5(CAST(doc_id AS VARCHAR) || ':smp1'), 1, 15)")}
+               AS hv
+      FROM d
+    ),
+    r AS (SELECT lang, doc_id, hv, row_number() OVER (
+            PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn FROM h)
+    SELECT lang, rn::BIGINT AS sample_rank, doc_id, true AS paths_agree
+    FROM r WHERE rn <= 8
+    """,
+)
+def curation_incremental_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incrementally-maintained uniform eval panel via the
+    MERGEABLE bottom-k sample state (operators/aggstate.py:
+    build/merge_sample_states, finalize_sample): two ingest increments
+    each build a per-language bottom-8-by-portable-hash id sample and
+    FOLD by re-taking the bottom-k of the union — row-for-row
+    identical to one build over everything (``paths_agree`` pins it),
+    so the panel never resamples, never churns, and replays exactly on
+    any engine (classic RNG reservoirs are neither mergeable nor
+    replayable). ``sample_rank`` exposes the prefix property: rank <= j
+    is itself the uniform j-panel. Ids-only state (≤ k rows per lang
+    forever); payloads re-join by id at read time. The oracle replays
+    the hash order over the full corpus — valid BECAUSE the fold is
+    exact."""
+    from .operators import aggstate as A
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    kw = dict(k=8, seed="smp1")
+    s0 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 0), ["lang"], "doc_id", **kw
+    )
+    s1 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 1), ["lang"], "doc_id", **kw
+    )
+    merged = A.merge_sample_states([s0, s1], ["lang"], "doc_id")
+    full = A.build_sample_state(d, ["lang"], "doc_id", **kw)
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("lang", "doc_id", "__hv").collect())
+    )
+    agree = rows(merged) == rows(full)
+    return A.finalize_sample(merged, ["lang"], "doc_id").select(
+        "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        "doc_id",
+        F.lit(agree).alias("paths_agree"),
+    )
