@@ -29,6 +29,13 @@ Scale shape: the increment is one distinct-shuffle of (keys, hash)
 integers + a map-side-partial bottom-k per key; the state is ≤ k longs
 per key per batch before folding, ≤ k per key after — the O(day)
 nightly-fold contract, same as the batch family.
+
+This module also hosts the SAMPLE-PANEL twin (``sample_increment_
+writer`` / ``folded_sample_state`` / ``current_panel``): the same
+bottom-k-by-hash machinery with the ID kept (``operators/aggstate.py:
+build_sample_state``), so an ingestion stream maintains a fixed-size
+uniform eval panel per key — mergeable, prefix-consistent, and
+row-for-row batch-identical, the properties RNG reservoirs lack.
 """
 
 from __future__ import annotations
@@ -39,8 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.aggstate import (
     build_kmv_state,
+    build_sample_state,
     finalize_kmv,
+    finalize_sample,
     merge_kmv_states,
+    merge_sample_states,
 )
 
 
@@ -81,3 +91,46 @@ def kmv_distinct(
     state — the monitor read side (exact below k, (k−1)/U(k) above;
     deterministic, so an alert layer can diff runs value-exactly)."""
     return finalize_kmv(folded_kmv_state(spark, state_path, keys), keys)
+
+
+def sample_increment_writer(
+    keys: "list[str]",
+    id_col: str,
+    *,
+    k: int = 64,
+    seed: str = "smp",
+    state_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """→ a ``foreachBatch`` writer appending one bottom-k ID-sample
+    increment per micro-batch (per-batch-id subdirectory,
+    overwrite-on-replay; duplicate-proof fold like the KMV twin)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        build_sample_state(
+            batch_df, keys, id_col, k=k, seed=seed
+        ).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={int(batch_id)}"
+        )
+
+    return write
+
+
+def folded_sample_state(
+    spark: SparkSession, state_path: str, keys: "list[str]", id_col: str
+) -> DataFrame:
+    """Read every appended increment and fold to one bottom-k ID set
+    per key (exact, row-for-row the full-history build)."""
+    return merge_sample_states(
+        [spark.read.parquet(state_path)], keys, id_col
+    )
+
+
+def current_panel(
+    spark: SparkSession, state_path: str, keys: "list[str]", id_col: str
+) -> DataFrame:
+    """The stream's current uniform eval panel: (keys…, sample_rank,
+    id) — rank ≤ j is itself the uniform j-panel (prefix consistency),
+    so one persisted stream state serves every panel size up to k."""
+    return finalize_sample(
+        folded_sample_state(spark, state_path, keys, id_col), keys, id_col
+    )

@@ -122,3 +122,44 @@ def test_null_values_contribute_nothing(spark, tmp_path):
     kmv_increment_writer(["g"], "v", state_path=state, **KW)(batch, 0)
     r = kmv_distinct(spark, state, ["g"]).collect()[0]
     assert r["n_kept"] == 1 and r["approx_distinct"] == 1
+
+
+def test_sample_panel_stream_matches_batch_and_is_prefix_consistent(
+    spark, tmp_path
+):
+    """The sample-panel twin: increments fold to the row-for-row batch
+    panel; the panel only changes when a smaller hash arrives; rank<=j
+    prefixes are the j-panels."""
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_sample_state,
+        finalize_sample,
+    )
+    from orion_etl_oracle_to_postgres_spark.streaming.kmv_monitor import (
+        current_panel,
+        folded_sample_state,
+        sample_increment_writer,
+    )
+
+    parts = _batches(spark)
+    state = str(tmp_path / "pstate")
+    write = sample_increment_writer(["g"], "v", k=8, seed="p", state_path=state)
+    for i, p in enumerate(parts):
+        write(p, i)
+    union = parts[0].union(parts[1]).union(parts[2])
+    twin = build_sample_state(union, ["g"], "v", k=8, seed="p")
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("g", "v", "__hv").collect())
+    )
+    assert rows(folded_sample_state(spark, state, ["g"], "v")) == rows(twin)
+    panel = current_panel(spark, state, ["g"], "v")
+    batch_panel = finalize_sample(twin, ["g"], "v")
+    key = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("g", "sample_rank", "v").collect())
+    )
+    assert key(panel) == key(batch_panel)
+    # prefix consistency through the stream state too
+    small = build_sample_state(union, ["g"], "v", k=4, seed="p")
+    assert {tuple(r) for r in small.select("g", "v").collect()} == {
+        (r["g"], r["v"])
+        for r in panel.where("sample_rank <= 4").collect()
+    }
