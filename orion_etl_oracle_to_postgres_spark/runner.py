@@ -226,6 +226,15 @@ def main(argv: list[str] | None = None) -> int:
         "WITHOUT executing or writing anything (plan review before a "
         "large run: check pushed filters, pruned schemas, join strategies)",
     )
+    parser.add_argument(
+        "--freqcap",
+        metavar="TABLE",
+        default=None,
+        help="print TABLE's streaming frequency-cap report (per drained "
+        "micro-batch: rows, distinct keys, over/under-cap counts) plus "
+        "the folded state's distinct-cell summary — the read side of a "
+        "`frequency_cap:` block; exit 1 if the table has none",
+    )
     args = parser.parse_args(argv)
 
     job = load_job_spec(args.config)
@@ -587,6 +596,42 @@ def main(argv: list[str] | None = None) -> int:
             print("… (more rows; raise the limit in code or use --reconcile)")
         print(f"diff: {'DIVERGED' if rows else 'OK'}")
         return 1 if rows else 0
+
+    if args.freqcap:
+        from pathlib import Path
+
+        from .streaming.cms_monitor import frequency_cap_report
+
+        tspec, _ = _resolve_full_spec(args.freqcap, "--freqcap")
+        if tspec.frequency_cap is None:
+            raise SystemExit(
+                f"--freqcap: table {tspec.target_table!r} declares no "
+                "frequency_cap block"
+            )
+        inc = tspec.incremental
+        state_dir = Path(
+            inc.state_path
+            or f".stream/{tspec.source_table}__{tspec.target_table}"
+        )
+        rep = frequency_cap_report(
+            spark, str(state_dir / "freqcap_report")
+        ).collect()
+        total_over = sum(r["n_over_cap"] for r in rep)
+        logger.info(
+            "freqcap %s: %d drained batches, %d over-cap key verdicts",
+            tspec.target_table, len(rep), total_over,
+        )
+        for r in rep:
+            print(
+                f"batch {r['batch_id']}: rows={r['n_rows']} "
+                f"keys={r['n_keys']} over_cap={r['n_over_cap']} "
+                f"under_cap={r['n_under_cap']}"
+            )
+        print(
+            f"freqcap: {len(rep)} batches, cap={tspec.frequency_cap.cap}, "
+            f"total over-cap verdicts {total_over}"
+        )
+        return 0
 
     if args.layout:
         import json as _json

@@ -699,3 +699,70 @@ def test_cli_diff_verb(spark, tmp_path, capsys):
     assert "DIVERGED" in outtxt
     assert "'n7'" in outtxt and "'TAMPERED'" in outtxt
     assert "pipeline×1 target×0" in outtxt and "pipeline×0 target×1" in outtxt
+
+
+def test_cli_freqcap_verb(spark, tmp_path, capsys):
+    """--freqcap: prints the per-drained-batch frequency-cap report of
+    a `frequency_cap:` streaming table; a table without the block is
+    refused loudly."""
+    import textwrap as _tw
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, key string"
+    ).coalesce(1).write.mode("append").parquet(str(src / "land"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        _tw.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [s.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "s.yaml").write_text(
+        _tw.dedent(
+            f"""
+            source_table: land
+            target_table: t_cap
+            write_mode: append
+            incremental:
+              watermark_column: id
+              mode: streaming
+              state_path: {tmp_path / 'state'}
+            mappings:
+              - {{source: id, target: id}}
+              - {{source: key, target: key}}
+            frequency_cap:
+              key_column: key
+              cap: 2
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg]) == 0          # drain batch 0
+    assert main(["--config", cfg, "--freqcap", "t_cap"]) == 0
+    out = capsys.readouterr().out
+    assert "batch 0: rows=3 keys=2 over_cap=0 under_cap=2" in out
+    assert "cap=2" in out
+
+    # a table without the block refuses
+    (tmp_path / "tables" / "s.yaml").write_text(
+        _tw.dedent(
+            """
+            source_table: land
+            target_table: t_cap
+            mappings:
+              - {source: id, target: id}
+            """
+        )
+    )
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="declares no"):
+        main(["--config", cfg, "--freqcap", "t_cap"])
