@@ -2394,14 +2394,17 @@ def _run_streaming_table(
     state_dir.mkdir(parents=True, exist_ok=True)
     counter = {"rows": 0}
     fc = spec.frequency_cap
-    if fc is not None and fc.key_column not in compiled.df.columns:
-        # friendly pre-drain error, the quality_filter column rule —
-        # a typo'd key would otherwise surface as an AnalysisException
-        # from inside the first micro-batch
-        raise ValueError(
-            f"{spec.target_table}: frequency_cap key_column "
-            f"{fc.key_column!r} not in pipeline output {compiled.df.columns}"
-        )
+    fs = spec.first_sighting
+    for blk_name, blk in (("first_sighting", fs), ("frequency_cap", fc)):
+        if blk is not None and blk.key_column not in compiled.df.columns:
+            # friendly pre-drain error, the quality_filter column rule —
+            # a typo'd key would otherwise surface as an
+            # AnalysisException from inside the first micro-batch
+            raise ValueError(
+                f"{spec.target_table}: {blk_name} key_column "
+                f"{blk.key_column!r} not in pipeline output "
+                f"{compiled.df.columns}"
+            )
 
     def _write_rows(bdf: DataFrame, table: str) -> int:
         bdf = bdf.persist()
@@ -2427,15 +2430,42 @@ def _run_streaming_table(
         # without it a drifted target would accumulate mixed-schema
         # parquet files, the exact hazard _align_for_append exists for
         bdf = _align_for_append(ctx, spec, bdf)
-        if fc is not None:
-            from .streaming.cms_monitor import frequency_cap_split
+        if fc is None and fs is None:
+            counter["rows"] += _write_rows(bdf, spec.target_table)
+            return
+        # the batch feeds each gate's estimate/probe, its increment,
+        # AND the routed sinks — pin it once (eager foreachBatch
+        # territory). Gate order: first_sighting (dedup) BEFORE
+        # frequency_cap (capping a stream you haven't deduped counts
+        # re-ingests as frequency); each stage's monitor counts what
+        # reached it.
+        bdf = bdf.persist()
+        try:
+            kept = bdf
+            if fs is not None:
+                from .streaming.bloom_monitor import first_sighting_split
 
-            # the batch feeds the estimate, the increment, AND the two
-            # routed sinks — pin it once (eager foreachBatch territory)
-            bdf = bdf.persist()
-            try:
+                kept, maybe = first_sighting_split(
+                    kept,
+                    fs.key_column,
+                    m_bits=fs.m_bits,
+                    k=fs.k,
+                    seed=fs.seed,
+                    state_path=str(state_dir / "sighting_state"),
+                    report_path=str(state_dir / "sighting_report"),
+                    batch_id=int(batch_id),
+                )
+                if fs.overflow_table:
+                    # lossless routing: the maybe-seen sliver (real
+                    # re-ingests + the ε false positives) lands beside
+                    # the target for the exact anti-join-vs-history
+                    # check instead of vanishing
+                    _write_rows(maybe, fs.overflow_table)
+            if fc is not None:
+                from .streaming.cms_monitor import frequency_cap_split
+
                 kept, over = frequency_cap_split(
-                    bdf,
+                    kept,
                     fc.key_column,
                     cap=fc.cap,
                     width=fc.width,
@@ -2445,16 +2475,14 @@ def _run_streaming_table(
                     report_path=str(state_dir / "freqcap_report"),
                     batch_id=int(batch_id),
                 )
-                counter["rows"] += _write_rows(kept, spec.target_table)
                 if fc.overflow_table:
                     # strict exact-check routing: the maybe-over-cap
                     # sliver lands beside the target for an offline
                     # exact audit instead of vanishing
                     _write_rows(over, fc.overflow_table)
-            finally:
-                bdf.unpersist()
-        else:
-            counter["rows"] += _write_rows(bdf, spec.target_table)
+            counter["rows"] += _write_rows(kept, spec.target_table)
+        finally:
+            bdf.unpersist()
 
     q = (
         compiled.df.writeStream.foreachBatch(

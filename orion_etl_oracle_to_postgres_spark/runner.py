@@ -235,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
         "the folded state's distinct-cell summary — the read side of a "
         "`frequency_cap:` block; exit 1 if the table has none",
     )
+    parser.add_argument(
+        "--sightings",
+        metavar="TABLE",
+        default=None,
+        help="print TABLE's streaming first-sighting report (per drained "
+        "micro-batch: rows, definite-new, maybe-seen counts) — the read "
+        "side of a `first_sighting:` block; exit 1 if the table has none",
+    )
     args = parser.parse_args(argv)
 
     job = load_job_spec(args.config)
@@ -630,6 +638,42 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"freqcap: {len(rep)} batches, cap={tspec.frequency_cap.cap}, "
             f"total over-cap verdicts {total_over}"
+        )
+        return 0
+
+    if args.sightings:
+        from pathlib import Path
+
+        from .streaming.bloom_monitor import first_sighting_report
+
+        tspec, _ = _resolve_full_spec(args.sightings, "--sightings")
+        if tspec.first_sighting is None:
+            raise SystemExit(
+                f"--sightings: table {tspec.target_table!r} declares no "
+                "first_sighting block"
+            )
+        inc = tspec.incremental
+        state_dir = Path(
+            inc.state_path
+            or f".stream/{tspec.source_table}__{tspec.target_table}"
+        )
+        rep = first_sighting_report(
+            spark, str(state_dir / "sighting_report")
+        ).collect()
+        total_maybe = sum(r["n_maybe_seen"] for r in rep)
+        logger.info(
+            "sightings %s: %d drained batches, %d maybe-seen rows",
+            tspec.target_table, len(rep), total_maybe,
+        )
+        for r in rep:
+            print(
+                f"batch {r['batch_id']}: rows={r['n_rows']} "
+                f"definite_new={r['n_definite_new']} "
+                f"maybe_seen={r['n_maybe_seen']}"
+            )
+        print(
+            f"sightings: {len(rep)} batches, "
+            f"total maybe-seen {total_maybe}"
         )
         return 0
 

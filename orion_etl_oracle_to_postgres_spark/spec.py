@@ -1087,6 +1087,59 @@ class VectorTransformSpec(BaseModel):
         return v
 
 
+class FirstSightingSpec(BaseModel):
+    """[engine extension] Declarative STREAMING cross-drain ingestion
+    dedup (SURVEY.md §2.9/§2.11) — the ``mode: streaming`` surface of
+    the Bloom first-sighting monitor (``streaming/bloom_monitor.py``):
+    rows whose ``key_column`` the folded Bloom index PROVES never
+    ingested by an earlier drain flow to the target; hits (real
+    re-ingests plus the ε false-positive sliver — the one-sided Bloom
+    contract) are dropped, or ROUTED to ``overflow_table`` (appended
+    through the target connector, the ``quarantine_table`` pattern)
+    when the dedup must be lossless: only that sliver ever needs the
+    exact anti-join against history.
+
+    Complements the watermarked ``dedup:`` stage, not replaces it:
+    ``dedup`` is EXACT within the event-time horizon (bounded state);
+    ``first_sighting`` is approximate-but-one-sided across ALL history
+    with fixed state (≤ m_bits/64 longs forever — 512 KiB at the m
+    cap for a billion-key horizon). Verdicts are CROSS-batch:
+    within-batch repeats all probe the pre-batch index. NULL keys
+    always pass (membership of NULL is meaningless).
+
+    When combined with ``frequency_cap:`` on the same table, first
+    sighting gates FIRST (dedup before capping), and each stage's
+    monitor counts what reached it."""
+
+    key_column: str
+    m_bits: int = 1 << 16
+    k: int = 5
+    seed: str = "bloom"
+    #: lossless routing: append maybe-seen rows here (target connector)
+    #: instead of dropping them
+    overflow_table: Optional[str] = None
+
+    @model_validator(mode="after")
+    def _bloom_layout_shape(self) -> "FirstSightingSpec":
+        # mirror operators/aggstate._bloom_validate at PARSE time (the
+        # sibling-knob rule): a bad layout must fail at spec load, not
+        # at the first micro-batch
+        if (
+            self.m_bits < 64
+            or self.m_bits > (1 << 22)
+            or (self.m_bits & (self.m_bits - 1)) != 0
+        ):
+            raise ValueError(
+                "first_sighting m_bits must be a power of two in "
+                f"[64, {1 << 22}], got {self.m_bits}"
+            )
+        if not (1 <= self.k <= 16):
+            raise ValueError(
+                f"first_sighting k must be in [1, 16], got {self.k}"
+            )
+        return self
+
+
 class FrequencyCapSpec(BaseModel):
     """[engine extension] Declarative STREAMING frequency cap
     (SURVEY.md §2.9/§2.11) — the ``mode: streaming`` surface of the
@@ -1221,6 +1274,10 @@ class TableSpec(BaseModel):
     #: streaming-only: CMS-backed ingestion frequency cap on the
     #: outgoing rows (see ``FrequencyCapSpec``)
     frequency_cap: Optional[FrequencyCapSpec] = None
+    #: streaming-only: Bloom-backed cross-drain ingestion dedup on the
+    #: outgoing rows (see ``FirstSightingSpec``; gates BEFORE
+    #: frequency_cap when both are declared)
+    first_sighting: Optional[FirstSightingSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
@@ -1273,6 +1330,15 @@ class TableSpec(BaseModel):
                 "frequency_cap requires incremental.mode: streaming — "
                 "for a batch table use a window/groupBy over the corpus "
                 "(the CMS batch operators in operators/aggstate.py)"
+            )
+        if self.first_sighting is not None and (
+            self.incremental is None or self.incremental.mode != "streaming"
+        ):
+            # same rule: "seen by an earlier drain" has no meaning on a
+            # batch table — use dedup: (exact) there
+            raise ValueError(
+                "first_sighting requires incremental.mode: streaming — "
+                "for a batch table use the dedup: stage (exact)"
             )
         return self
 

@@ -101,53 +101,143 @@ def bloom_increment_writer(
     meaningless — the ``probe_bloom`` contract)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # prior state = every increment EXCEPT this batch's own subdir
-        # (a replay may have half-written it before the crash — reading
-        # it back would make the batch see itself as history)
-        prior = _read_state(spark, state_path)
-        if prior is not None and "batch_id" in prior.columns:
-            prior = prior.filter(F.col("batch_id") != int(batch_id))
-        if prior is None or not prior.limit(1).count():
-            probed = batch_df.withColumn(
-                "__maybe",
-                F.when(F.col(key_col).isNotNull(), F.lit(False)),
-            )
-        else:
-            probed = probe_bloom(
-                batch_df, key_col, merge_bloom_states([prior]),
-                out_col="__maybe",
-            )
-        # sums coalesced to 0: over an EMPTY micro-batch F.sum returns
-        # SQL NULL, and a NULL verdict count silently drops out of any
-        # alert layer's aggregate (same fix as cms_monitor)
-        report = probed.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(~F.col("__maybe"), 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_definite_new"),
-            F.coalesce(
-                F.sum(F.when(F.col("__maybe"), 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_maybe_seen"),
-        )
-        # per-batch overwrite subdirs (hive-style, so batch_id comes
-        # back as a partition column on read): each piece is idempotent
-        # on its own — a replay after a crash between the two writes
-        # can only overwrite, never duplicate
-        report.write.mode("overwrite").parquet(
-            f"{report_path}/batch_id={int(batch_id)}"
-        )
-        build_bloom_state(
-            batch_df, key_col, m_bits=m_bits, k=k, seed=seed
-        ).write.mode("overwrite").parquet(
-            f"{state_path}/batch_id={int(batch_id)}"
+        probed = _probe_prior(batch_df, key_col, state_path, batch_id)
+        _write_report_and_increment(
+            batch_df,
+            probed,
+            key_col,
+            m_bits=m_bits,
+            k=k,
+            seed=seed,
+            state_path=state_path,
+            report_path=report_path,
+            batch_id=batch_id,
         )
 
     return write
+
+
+def _probe_prior(
+    batch_df: DataFrame, key_col: str, state_path: str, batch_id: int
+) -> DataFrame:
+    """The batch with a ``__maybe`` verdict column probed against the
+    fold of every earlier increment — the shared first stage of the
+    monitor and the declarative first-sighting gate. Prior state
+    excludes this batch's own subdir (a replay may have half-written
+    it before the crash — reading it back would make the batch see
+    itself as history). NULL keys get NULL verdicts."""
+    spark = batch_df.sparkSession
+    prior = _read_state(spark, state_path)
+    if prior is not None and "batch_id" in prior.columns:
+        prior = prior.filter(F.col("batch_id") != int(batch_id))
+    if prior is None or not prior.limit(1).count():
+        return batch_df.withColumn(
+            "__maybe",
+            F.when(F.col(key_col).isNotNull(), F.lit(False)),
+        )
+    return probe_bloom(
+        batch_df, key_col, merge_bloom_states([prior]), out_col="__maybe"
+    )
+
+
+def _write_report_and_increment(
+    batch_df: DataFrame,
+    probed: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int,
+    k: int,
+    seed: str,
+    state_path: str,
+    report_path: str,
+    batch_id: int,
+) -> None:
+    """Append the per-batch first-sighting report and this batch's
+    Bloom increment — per-batch overwrite subdirs (hive-style, so
+    batch_id comes back as a partition column on read): each piece is
+    idempotent on its own; a replay after a crash between the two
+    writes can only overwrite, never duplicate."""
+    # sums coalesced to 0: over an EMPTY micro-batch F.sum returns
+    # SQL NULL, and a NULL verdict count silently drops out of any
+    # alert layer's aggregate (same fix as cms_monitor)
+    report = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__maybe"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_definite_new"),
+        F.coalesce(
+            F.sum(F.when(F.col("__maybe"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_maybe_seen"),
+    )
+    report.write.mode("overwrite").parquet(
+        f"{report_path}/batch_id={int(batch_id)}"
+    )
+    build_bloom_state(
+        batch_df, key_col, m_bits=m_bits, k=k, seed=seed
+    ).write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={int(batch_id)}"
+    )
+
+
+def first_sighting_split(
+    batch_df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: str = "bloom",
+    state_path: str,
+    report_path: str,
+    batch_id: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """Route one micro-batch through the cross-drain ingestion dedup:
+    returns ``(new, maybe_seen)`` row frames and writes the per-batch
+    report + this batch's Bloom increment (the monitor side effects).
+    A row lands in ``new`` iff the folded index PROVES its key was
+    never ingested by an earlier drain — the one-sided guarantee: no
+    real first sighting is ever lost. ``maybe_seen`` holds the hits —
+    real re-ingests plus the ε false-positive sliver, which is why the
+    declarative surface routes it to an overflow table for the exact
+    anti-join-against-history check instead of dropping it when the
+    dedup must be lossless. Verdicts are CROSS-batch: within-batch
+    repeats all probe the pre-batch index (pair with the watermarked
+    ``dedup:`` stage for within-horizon exactness). NULL keys carry no
+    verdict and are always kept. The increment records the FULL
+    batch's keys (ingested, both verdicts): the index answers "seen at
+    ingestion", not "kept".
+
+    Execution contract: EAGER (foreachBatch territory) — reads the
+    prior state, writes the report and increment, returns two lazy row
+    frames over the already-materialized batch.
+
+    Scale shape: the probe is the zero-join codegen projection against
+    the folded ≤ 512 KiB word array; routing is two pure row filters
+    on the verdict column (no join at all — the verdict is in-row);
+    the report is one row and the increment one map-side-combined
+    bit_or over ≤ m/64 groups. Nothing scales with history."""
+    probed = _probe_prior(batch_df, key_col, state_path, batch_id)
+    _write_report_and_increment(
+        batch_df,
+        probed,
+        key_col,
+        m_bits=m_bits,
+        k=k,
+        seed=seed,
+        state_path=state_path,
+        report_path=report_path,
+        batch_id=batch_id,
+    )
+    new = probed.where(
+        F.col(key_col).isNull() | ~F.col("__maybe")
+    ).drop("__maybe")
+    maybe = probed.where(
+        F.col(key_col).isNotNull() & F.col("__maybe")
+    ).drop("__maybe")
+    return new, maybe
 
 
 def folded_bloom_state(spark: SparkSession, state_path: str) -> DataFrame:

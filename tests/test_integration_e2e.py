@@ -766,3 +766,67 @@ def test_cli_freqcap_verb(spark, tmp_path, capsys):
 
     with _pt.raises(SystemExit, match="declares no"):
         main(["--config", cfg, "--freqcap", "t_cap"])
+
+
+def test_cli_sightings_verb(spark, tmp_path, capsys):
+    """--sightings: prints the per-drained-batch first-sighting report;
+    a table without the block is refused loudly."""
+    import textwrap as _tw
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, key string"
+    ).coalesce(1).write.mode("append").parquet(str(src / "land"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        _tw.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [s.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "s.yaml").write_text(
+        _tw.dedent(
+            f"""
+            source_table: land
+            target_table: t_fs
+            write_mode: append
+            incremental:
+              watermark_column: id
+              mode: streaming
+              state_path: {tmp_path / 'state'}
+            mappings:
+              - {{source: id, target: id}}
+              - {{source: key, target: key}}
+            first_sighting:
+              key_column: key
+              m_bits: 1024
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    assert main(["--config", cfg]) == 0
+    assert main(["--config", cfg, "--sightings", "t_fs"]) == 0
+    out = capsys.readouterr().out
+    assert "batch 0: rows=2 definite_new=2 maybe_seen=0" in out
+
+    (tmp_path / "tables" / "s.yaml").write_text(
+        _tw.dedent(
+            """
+            source_table: land
+            target_table: t_fs
+            mappings:
+              - {source: id, target: id}
+            """
+        )
+    )
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="declares no"):
+        main(["--config", cfg, "--sightings", "t_fs"])

@@ -553,3 +553,161 @@ def test_streaming_refuses_nb_and_ccnet_gates(spark, tmp_path):
             text_column="body", method="ccnet", id_column="id",
             group_column="grp", top_fraction=0.5,
         )))
+
+
+def test_streaming_first_sighting_routes_and_matches_batch_twin(
+    spark, tmp_path
+):
+    """`first_sighting:` on a streaming table: keys PROVEN new by the
+    folded Bloom index flow to the target; cross-drain re-ingests (and
+    any ε false positives) route to overflow_table; within-batch
+    repeats all pass (cross-batch verdicts — pair with dedup: for the
+    within-horizon exactness); NULL keys always pass; the folded index
+    is word-identical to one batch build over everything ingested."""
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_bloom_state,
+    )
+    from orion_etl_oracle_to_postgres_spark.streaming.bloom_monitor import (
+        first_sighting_report,
+        folded_bloom_state,
+    )
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+    state = tmp_path / "state"
+
+    def feed(rows):
+        spark.createDataFrame(rows, "id long, key string").coalesce(
+            1
+        ).write.mode("append").parquet(str(land))
+
+    t = spec_mod.TableSpec(
+        source_table="land",
+        target_table="t_new",
+        write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming", state_path=str(state)
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="key", target="key"),
+        ],
+        first_sighting=spec_mod.FirstSightingSpec(
+            key_column="key", m_bits=1 << 10, k=4,
+            overflow_table="t_reingested",
+        ),
+    )
+    job = spec_mod.JobSpec(global_spec=_global(src, out), tables=[t])
+
+    # batch 0: 'a' twice (within-batch repeats probe the EMPTY prior
+    # index -> both pass), 'b', and a NULL key (always passes)
+    feed([(1, "a"), (2, "a"), (3, "b"), (4, None)])
+    assert run_job(spark, job) == {"t_new": 4}
+
+    # batch 1: 'a' and 'b' are re-ingests -> routed; 'c' is new
+    feed([(5, "a"), (6, "c"), (7, "b"), (8, None)])
+    assert run_job(spark, job) == {"t_new": 2}
+    kept = sorted(
+        r["id"] for r in spark.read.parquet(str(out / "t_new")).collect()
+    )
+    assert kept == [1, 2, 3, 4, 6, 8]
+    routed = sorted(
+        r["id"]
+        for r in spark.read.parquet(str(out / "t_reingested")).collect()
+    )
+    assert routed == [5, 7]
+
+    # reports landed per drain
+    rep = {r["batch_id"]: r for r in first_sighting_report(
+        spark, str(state / "sighting_report")).collect()}
+    assert rep[0]["n_definite_new"] == 3 and rep[0]["n_maybe_seen"] == 0
+    assert rep[1]["n_maybe_seen"] == 2 and rep[1]["n_definite_new"] == 1
+
+    # index parity through the declarative path: folded state ==
+    # one-shot batch build over ALL ingested keys (both verdicts)
+    all_keys = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("a",), ("c",), ("b",)], "key string"
+    )
+    words = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("word_idx", "word").collect())
+    )
+    assert words(folded_bloom_state(spark, str(state / "sighting_state"))) \
+        == words(build_bloom_state(all_keys, "key", m_bits=1 << 10, k=4))
+
+
+def test_streaming_first_sighting_contracts_and_composition(spark, tmp_path):
+    """Parse/compile contracts + the composed fs->fc gate order."""
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+
+    # batch mode refuses at spec load
+    with pytest.raises(ValueError, match="requires incremental.mode: streaming"):
+        spec_mod.TableSpec(
+            source_table="land", target_table="t",
+            mappings=[spec_mod.MappingSpec(source="id", target="id")],
+            first_sighting=spec_mod.FirstSightingSpec(key_column="key"),
+        )
+    # layout knobs mirror _bloom_validate at parse time
+    with pytest.raises(ValueError, match="power of two"):
+        spec_mod.FirstSightingSpec(key_column="k", m_bits=100)
+    with pytest.raises(ValueError, match=r"k must be in \[1, 16\]"):
+        spec_mod.FirstSightingSpec(key_column="k", k=0)
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "id long, key string"
+    ).coalesce(1).write.mode("append").parquet(str(land))
+    ctx = JobContext(spark=spark, global_spec=_global(src, out))
+
+    # typo'd key_column: friendly pre-drain error
+    bad = spec_mod.TableSpec(
+        source_table="land", target_table="t_b", write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming",
+            state_path=str(tmp_path / "sb"),
+        ),
+        mappings=[spec_mod.MappingSpec(source="id", target="id")],
+        first_sighting=spec_mod.FirstSightingSpec(key_column="key"),
+    )
+    with pytest.raises(ValueError, match="first_sighting key_column 'key'"):
+        run_table(ctx, bad)
+
+    # composed: first_sighting on key + frequency_cap cap=2 on key.
+    # Within one batch: fs passes everything (empty prior index), fc
+    # passes everything (empty prior sketch) -> 4 rows; a second drain
+    # of the same keys routes them all at the fs stage.
+    both = spec_mod.TableSpec(
+        source_table="land", target_table="t_both", write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming",
+            state_path=str(tmp_path / "s2"),
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="key", target="key"),
+        ],
+        first_sighting=spec_mod.FirstSightingSpec(
+            key_column="key", m_bits=1 << 10,
+            overflow_table="t_both_seen",
+        ),
+        frequency_cap=spec_mod.FrequencyCapSpec(key_column="key", cap=2),
+    )
+    run_table(ctx, both)
+    assert spark.read.parquet(str(out / "t_both")).count() == 4
+    spark.createDataFrame(
+        [(5, "a"), (6, "b"), (7, "c")], "id long, key string"
+    ).coalesce(1).write.mode("append").parquet(str(land))
+    run_table(ctx, both)
+    # 'a','b' re-ingests route at fs; 'c' is new and passes fc (prior
+    # count 0 < 2)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(str(out / "t_both")).collect()
+    ) == [1, 2, 3, 4, 7]
+    assert sorted(
+        r["id"]
+        for r in spark.read.parquet(str(out / "t_both_seen")).collect()
+    ) == [5, 6]
