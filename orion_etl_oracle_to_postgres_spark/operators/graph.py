@@ -119,3 +119,83 @@ def pagerank(
         if i < iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    weight_col: "str | None" = None,
+    iterations: int = 3,
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (Raghavan et al.
+    2007) → ``(id, label)`` — community detection for the co-occurrence
+    graphs this module already ranks: every node starts labeled with
+    its own id, and each round adopts the label carrying the highest
+    incoming vote weight (ties → the SMALLEST label; a node receiving
+    no votes keeps its current label). After k rounds, nodes sharing a
+    label form a community. Votes flow ``src → dst`` along the given
+    edges — feed a symmetrized edge list for the undirected semantics
+    (as the supplier co-occurrence query does).
+
+    Determinism contract (the differential-testing rule): node ids
+    must be NUMERIC (labels are compared and tie-broken as numbers;
+    hash string ids first), vote weights integral, and the argmax is
+    (weight DESC, label ASC) — so an unrolled SQL oracle replays every
+    round exactly. Unlike asynchronous LPA (order-dependent, not
+    reproducible) the synchronous fixed-k form is a pure function of
+    the edge list.
+
+    Scale shape per round (the ``pagerank`` pattern): ONE node-sized
+    labels⋈edges join (broadcast while nodes ≪ edges —
+    ``broadcast_labels``, same trade as ``broadcast_ranks``) + one
+    (dst, label) partial-agg count + one per-dst struct-max argmax
+    riding the same exchange. No collect in the loop; iteration
+    lineage truncated with lazy local checkpoints so round k never
+    re-runs rounds 1..k-1 or the caller's edge-construction plan."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("__src").alias("id"))
+        .unionByName(e.select(F.col("__dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for i in range(iterations):
+        l_side = F.broadcast(labels) if broadcast_labels else labels
+        votes = (
+            l_side.join(e, labels["id"] == e["__src"])
+            .groupBy(F.col("__dst").alias("id"), F.col("label"))
+            .agg(F.sum("__w").alias("__cnt"))
+        )
+        # deterministic argmax: max over (count, -label) structs — the
+        # struct comparison orders by count first, then by the SMALLEST
+        # label among ties (max of the negation)
+        winner = votes.groupBy("id").agg(
+            F.max(
+                F.struct(
+                    F.col("__cnt").alias("c"),
+                    (-F.col("label")).alias("nl"),
+                )
+            ).alias("__m")
+        ).select("id", (-F.col("__m.nl")).alias("__new"))
+        if broadcast_labels:
+            winner = F.broadcast(winner)
+        labels = (
+            nodes.join(labels, "id")
+            .join(winner, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+        )
+        if i < iterations - 1:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -16,6 +16,7 @@ from .queries_shared import (
     _NGRAM_DECON_SQL,
     _SHINGLE_CTE,
     _bloom_probe_sql,
+    _lpa_sql,
     _minhash_ix_dir,
     _minhash_pairs_cached,
     _pagerank_sql,
@@ -1117,4 +1118,48 @@ def dedup_bloom_history_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(maybe).alias("n_maybe_seen"),
         one(maybe & ~seen).alias("n_false_positive"),
         one(~maybe & seen).alias("n_false_negative"),
+    )
+
+
+@query("graph_part_communities", _lpa_sql())
+def graph_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Synchronous label-propagation communities over the part
+    CO-PURCHASE graph (operators/graph.py:label_propagation, Raghavan
+    et al. 2007): parts linked when they are repeatedly bought in the
+    same order (symmetrized co-occurrence counts, sparsified at
+    weight >= 2 — the supplier graph is complete at this scale and
+    would trivially collapse), 3 synchronous rounds with the
+    deterministic (weight DESC, label ASC) argmax — parts sharing a
+    label form a community, the product-category discovery behind
+    "frequently bought together". Completes the graph family next to
+    PageRank (centrality) and connected components (reachability):
+    LPA finds DENSE groups. Per round: one broadcast labels⋈edges
+    join + one (dst,label) partial-agg count + one per-dst struct-max
+    riding the same exchange, lineage checkpoint-truncated — no
+    collect in the loop, edges reusable from a bucketed layout. The
+    oracle unrolls all 3 rounds."""
+    from .operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    labs = label_propagation(pairs, "src", "dst", weight_col="w", iterations=3)
+    return labs.select(
+        F.col("id").alias("part_key"), F.col("label").alias("community")
     )

@@ -2637,3 +2637,46 @@ def _doremi_token_tail_sql(budget: int, seed: str, rounds: int = 8) -> str:
     FROM ranked r JOIN targets t ON r.source IS NOT DISTINCT FROM t.g
     WHERE r.cb < t.target_tokens
     """
+
+
+def _lpa_sql(iters: int = 3, min_w: int = 2) -> str:
+    """Unrolled synchronous label-propagation oracle over the part
+    co-purchase graph: l0..lN CTEs replay the operator's exact
+    argmax (vote-weight DESC, label ASC) and keep-current fallback, so
+    both engines converge identically round by round. Parts, not
+    suppliers: the supplier co-occurrence graph is COMPLETE at sf0.01
+    (every pair co-ships >= 8 orders), so LPA would trivially collapse
+    it; the part graph is sparse (avg degree ~4 at min_w=2) and forms
+    genuine communities."""
+    ls = ["l0 AS (SELECT id, id AS lab FROM nodes)"]
+    for k in range(1, iters + 1):
+        ls.append(
+            f"""l{k} AS (
+      SELECT n.id, coalesce(b.lab, p.lab) AS lab
+      FROM nodes n
+      JOIN l{k - 1} p ON p.id = n.id
+      LEFT JOIN (
+        SELECT id, lab FROM (
+          SELECT e.dst AS id, p2.lab AS lab,
+                 row_number() OVER (PARTITION BY e.dst
+                   ORDER BY sum(e.w) DESC, p2.lab ASC) AS rn
+          FROM l{k - 1} p2 JOIN e ON e.src = p2.id
+          GROUP BY e.dst, p2.lab
+        ) WHERE rn = 1
+      ) b ON b.id = n.id
+    )"""
+        )
+    return f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*)::BIGINT AS w
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w FROM pairs WHERE w >= {min_w}),
+    nodes AS (SELECT DISTINCT id FROM
+      (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+    {','.join(ls)}
+    SELECT id AS part_key, lab AS community FROM l{iters}
+    """

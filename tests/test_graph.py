@@ -85,3 +85,45 @@ def test_pagerank_iteration_plan_broadcasts_ranks(spark):
     assert abs(
         sum(x.rank for x in r.collect()) - sum(x.rank for x in r2.collect())
     ) < 1.0  # same graph, both converge toward mass ~1
+
+
+def test_label_propagation_two_communities_and_tiebreak(spark):
+    """Synchronous LPA: two disconnected triangles converge to one
+    label each (the smallest member id, via the deterministic
+    weight-DESC/label-ASC argmax); weighted votes override counts;
+    contract validation raises."""
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labs = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges, "src", "dst", iterations=3).collect()
+    }
+    assert labs[1] == labs[2] == labs[3] == 1
+    assert labs[10] == labs[11] == labs[12] == 10
+
+    # weighted votes: node 5 hears label 1 once with weight 3 and
+    # label 2 twice (weight 1 each) -> weight wins over vote count
+    we = spark.createDataFrame(
+        [(1, 5, 3), (2, 5, 1), (3, 5, 1), (5, 1, 1)],
+        "src long, dst long, w long",
+    )
+    # seed labels: after round 1, node 5's votes are from nodes 1
+    # (label 1, weight 3) and 2,3 (labels 2,3, weight 1 each)
+    l1 = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            we, "src", "dst", weight_col="w", iterations=1
+        ).collect()
+    }
+    assert l1[5] == 1
+
+    with _pt.raises(ValueError, match="iterations"):
+        label_propagation(edges, "src", "dst", iterations=0)
