@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "agg_kmv_set_ops",  # KMV set algebra: union/intersect/Jaccard from two states
     "curation_incremental_sample",  # mergeable bottom-k uniform eval panel
     "graph_part_communities",  # synchronous LPA over the part co-purchase graph
+    "agg_kmv_weighted_tokens",  # dedup-aware distinct-sum from weighted sample states
     "text_bigram_logprob",  # bigram LM fluency: in-row expansion + 2 wc aggs
     "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
     "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)

@@ -655,6 +655,7 @@ def build_sample_state(
     *,
     k: int = 64,
     seed: str = "smp",
+    carry: "list[str] | None" = None,
 ) -> DataFrame:
     """Mergeable DETERMINISTIC RESERVOIR — a bottom-k-by-hash uniform
     sample of ids per key group, the sampling sibling of the KMV
@@ -678,17 +679,25 @@ def build_sample_state(
     Ids-only by design (the scale-clean shape shared with the pair
     tables): payloads re-join by id at read time, so the state is
     ≤ k (hash, id) rows per key forever. NULL ids contribute nothing;
-    duplicate (keys, id) rows collapse via DISTINCT before ranking."""
+    duplicate (keys, id) rows collapse via DISTINCT before ranking.
+
+    ``carry`` optionally keeps named payload columns in the state
+    (e.g. a token count feeding ``finalize_weighted_sample``); each
+    MUST be a pure function of the id — the distinct collapses on the
+    full (keys, id, carry…) tuple, so an id re-landing with a drifted
+    carry value would keep both rows and skew downstream estimators
+    (the caller's data bug; the layout-drift probes cannot see it)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
+    carry = list(carry or [])
     h = _kmv_hash(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
     )
     hashed = (
         df.where(F.col(id_col).isNotNull())
-        .select(*keys, F.col(id_col), h.alias("__hv"))
+        .select(*keys, F.col(id_col), *carry, h.alias("__hv"))
         .distinct()
     )
     w = Window.partitionBy(*keys).orderBy(
@@ -704,15 +713,20 @@ def build_sample_state(
 
 
 def merge_sample_states(
-    states: "list[DataFrame]", keys: "list[str]", id_col: str
+    states: "list[DataFrame]",
+    keys: "list[str]",
+    id_col: str,
+    *,
+    carry: "list[str] | None" = None,
 ) -> DataFrame:
     """Fold sample states: distinct-union the (id, hash) sets and
     re-take the bottom-k per key — exact (fold == full-history-build
     row-for-row, the KMV argument verbatim). Layout drift fails loudly
-    with the bounded probe."""
+    with the bounded probe. ``carry`` names any payload columns the
+    build carried (same function-of-the-id contract)."""
     if not states:
         raise ValueError("states must be non-empty")
-    cols = list(keys) + [id_col] + _SAMPLE_STATE_COLS
+    cols = list(keys) + [id_col] + list(carry or []) + _SAMPLE_STATE_COLS
     u = states[0].select(cols)
     for s in states[1:]:
         u = u.unionByName(s.select(cols))
@@ -750,6 +764,62 @@ def finalize_sample(
     )
     return state.select(
         *keys, F.row_number().over(w).alias("sample_rank"), id_col
+    )
+
+
+def finalize_weighted_sample(
+    state: DataFrame,
+    keys: "list[str]",
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Distinct-SUM estimation from a bottom-k sample state carrying a
+    weight payload — the dedup-aware accounting question ("how many
+    tokens across DISTINCT documents have we ingested, counting each
+    doc once no matter how often it re-landed?") answered from ≤ k
+    rows per key. The state is ``build_sample_state``'s output with
+    ``weight_col`` carried through the build's select (the weight MUST
+    be a pure function of the id — a doc's token count — or the
+    estimate silently skews; re-ingests carrying a drifted weight are
+    the caller's data bug, not a fold hazard, because the distinct
+    collapses on (id, weight) rows).
+
+    EXACT while the group kept fewer than k ids (it saw every distinct
+    id: total = Σw verbatim); else the classic two-part estimator —
+    distinct count D̂ = (k−1)/U(k) (the KMV estimator on the carried
+    hashes) times the bottom-k's MEAN weight (the bottom-k is a
+    uniform sample of the distinct ids, so its mean estimates the
+    population mean; relative error ~1/√k on each factor).
+    Deterministic double arithmetic on portable hashes, so a SQL
+    oracle replays every estimate exactly.
+
+    Returns (keys…, ``n_kept``, ``distinct_est``, ``weight_total_est``
+    (double, 2 dp))."""
+    g = state.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("__hv").alias("__hk"),
+        F.first("__k").alias("__kk"),
+        F.sum(F.col(weight_col).cast("double")).alias("__wsum"),
+    )
+    layouts = state.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"finalize_weighted_sample: incompatible layouts "
+            f"{sorted(map(tuple, layouts))} — states must share (k, seed)"
+        )
+    u_k = F.col("__hk").cast("double") / F.lit(float(1 << 60))
+    exact = F.col("n_kept") < F.col("__kk")
+    d_est = F.when(exact, F.col("n_kept").cast("double")).otherwise(
+        F.round((F.col("__kk") - 1) / u_k, 0)
+    )
+    w_est = F.when(exact, F.col("__wsum")).otherwise(
+        d_est * (F.col("__wsum") / F.col("n_kept"))
+    )
+    return g.select(
+        *keys,
+        "n_kept",
+        d_est.cast("long").alias("distinct_est"),
+        F.round(w_est, 2).alias("weight_total_est"),
     )
 
 

@@ -3120,3 +3120,61 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_cnt").desc(), F.col("user_id").asc())
         .limit(15)
     )
+
+
+@query(
+    "agg_kmv_weighted_tokens",
+    f"""
+    WITH d AS (SELECT lang, doc_id, n_chars FROM documents
+               WHERE doc_id IS NOT NULL),
+    h AS (
+      SELECT DISTINCT lang, doc_id, n_chars,
+             {_hex2int_sql("substr(md5(CAST(doc_id AS VARCHAR) || ':wt0'), 1, 15)")}
+               AS hv
+      FROM d
+    ),
+    r AS (SELECT lang, doc_id, n_chars, hv, row_number() OVER (
+            PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn FROM h),
+    agg AS (SELECT lang, count(*)::BIGINT AS n_kept, max(hv) AS hk,
+                   sum(n_chars::DOUBLE) AS wsum
+            FROM r WHERE rn <= 8 GROUP BY 1),
+    est AS (SELECT lang, n_kept, wsum,
+              CASE WHEN n_kept < 8 THEN n_kept::DOUBLE
+                   ELSE round(7 / (hk::DOUBLE / 1152921504606846976.0), 0)
+              END AS d_est
+            FROM agg)
+    SELECT lang, n_kept, d_est::BIGINT AS distinct_est,
+           round(CASE WHEN n_kept < 8 THEN wsum
+                      ELSE d_est * (wsum / n_kept) END, 2)
+             AS weight_total_est
+    FROM est
+    """,
+)
+def agg_kmv_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Dedup-aware volume accounting from the weighted bottom-k
+    sample state (operators/aggstate.py:finalize_weighted_sample):
+    per language, estimate the TOTAL CHARACTERS ACROSS DISTINCT
+    DOCUMENTS — counting each doc once no matter how often it
+    re-landed — from a fold of two ingest increments' ≤ 8-row states,
+    never from the corpora. The estimator is distinct-count (the KMV
+    (k−1)/U(k) on the carried hashes) × the bottom-k's mean weight
+    (the bottom-k is a uniform sample of the distinct ids); EXACT when
+    the group kept fewer than k ids. The carried weight (n_chars) is a
+    pure function of the id, the documented contract. Deterministic
+    portable-md5 arithmetic end to end, so the oracle replays every
+    estimate exactly — and fold == full-build makes the two-increment
+    Spark path equal the oracle's one-pass replay."""
+    from .operators import aggstate as A
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    kw = dict(k=8, seed="wt0", carry=["n_chars"])
+    s0 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 0), ["lang"], "doc_id", **kw
+    )
+    s1 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 1), ["lang"], "doc_id", **kw
+    )
+    merged = A.merge_sample_states(
+        [s0, s1], ["lang"], "doc_id", carry=["n_chars"]
+    )
+    return A.finalize_weighted_sample(merged, ["lang"], "doc_id", "n_chars")

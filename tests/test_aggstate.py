@@ -730,3 +730,59 @@ def test_sample_state_fold_exact_prefix_consistent_and_stable(spark):
         build_sample_state(df, ["g"], "v", k=0)
     with _pt.raises(ValueError, match="non-empty"):
         merge_sample_states([], ["g"], "v")
+
+
+def test_weighted_sample_distinct_sum_exact_and_estimate(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_sample_state,
+        finalize_weighted_sample,
+        merge_sample_states,
+    )
+
+    def mk(pairs):
+        # weight = deterministic function of the id (10 + id % 7)
+        return spark.createDataFrame(
+            [(g, v, 10 + v % 7) for g, v in pairs],
+            "g string, v long, w long",
+        )
+
+    kw = dict(k=16, seed="ws")
+    # exact branch: 6 distinct ids (< k) with re-ingested duplicates —
+    # the distinct-sum counts each id ONCE
+    small = mk([("a", i) for i in range(6)] * 3)
+    st = build_sample_state(small, ["g"], "v", carry=["w"], **kw)
+    r = finalize_weighted_sample(st, ["g"], "v", "w").collect()[0]
+    truth_small = sum(10 + i % 7 for i in range(6))
+    assert r["n_kept"] == 6 and r["distinct_est"] == 6
+    assert r["weight_total_est"] == float(truth_small)
+
+    # estimate branch over a fold of two increments with overlap
+    a = build_sample_state(
+        mk([("a", i) for i in range(300)]), ["g"], "v", carry=["w"], **kw
+    )
+    b = build_sample_state(
+        mk([("a", i) for i in range(150, 450)]), ["g"], "v", carry=["w"], **kw
+    )
+    merged = merge_sample_states([a, b], ["g"], "v", carry=["w"])
+    est = finalize_weighted_sample(merged, ["g"], "v", "w").collect()[0]
+    truth = sum(10 + i % 7 for i in range(450))
+    assert est["n_kept"] == 16
+    assert abs(est["distinct_est"] - 450) / 450 < 0.8
+    assert abs(est["weight_total_est"] - truth) / truth < 0.8
+
+    # fold == full build -> identical estimates
+    full = build_sample_state(
+        mk([("a", i) for i in range(450)]), ["g"], "v", carry=["w"], **kw
+    )
+    est_full = finalize_weighted_sample(full, ["g"], "v", "w").collect()[0]
+    assert tuple(est) == tuple(est_full)
+
+    # layout drift probe
+    import pytest as _pt
+
+    other = build_sample_state(mk([("a", 1)]), ["g"], "v", carry=["w"],
+                               k=8, seed="x")
+    with _pt.raises(ValueError, match="incompatible layouts"):
+        finalize_weighted_sample(
+            merged.unionByName(other), ["g"], "v", "w"
+        )
