@@ -2395,6 +2395,7 @@ def _run_streaming_table(
     counter = {"rows": 0}
     fc = spec.frequency_cap
     fs = spec.first_sighting
+    sp = spec.sample_panel
     for blk_name, blk in (("first_sighting", fs), ("frequency_cap", fc)):
         if blk is not None and blk.key_column not in compiled.df.columns:
             # friendly pre-drain error, the quality_filter column rule —
@@ -2405,6 +2406,13 @@ def _run_streaming_table(
                 f"{blk.key_column!r} not in pipeline output "
                 f"{compiled.df.columns}"
             )
+    if sp is not None:
+        for c in [*sp.group_columns, sp.id_column]:
+            if c not in compiled.df.columns:
+                raise ValueError(
+                    f"{spec.target_table}: sample_panel column {c!r} "
+                    f"not in pipeline output {compiled.df.columns}"
+                )
 
     def _write_rows(bdf: DataFrame, table: str) -> int:
         bdf = bdf.persist()
@@ -2430,7 +2438,7 @@ def _run_streaming_table(
         # without it a drifted target would accumulate mixed-schema
         # parquet files, the exact hazard _align_for_append exists for
         bdf = _align_for_append(ctx, spec, bdf)
-        if fc is None and fs is None:
+        if fc is None and fs is None and sp is None:
             counter["rows"] += _write_rows(bdf, spec.target_table)
             return
         # the batch feeds each gate's estimate/probe, its increment,
@@ -2480,6 +2488,21 @@ def _run_streaming_table(
                     # sliver lands beside the target for an offline
                     # exact audit instead of vanishing
                     _write_rows(over, fc.overflow_table)
+            if sp is not None:
+                from .operators.aggstate import build_sample_state
+
+                # panel samples the KEPT rows (what actually landed in
+                # the target); per-batch-id overwrite subdir = the
+                # monitor family's crash-replay idempotency rule
+                build_sample_state(
+                    kept,
+                    list(sp.group_columns),
+                    sp.id_column,
+                    k=sp.k,
+                    seed=sp.seed,
+                ).write.mode("overwrite").parquet(
+                    str(state_dir / "panel_state" / f"batch_id={int(batch_id)}")
+                )
             counter["rows"] += _write_rows(kept, spec.target_table)
         finally:
             bdf.unpersist()

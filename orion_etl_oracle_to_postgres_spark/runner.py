@@ -243,6 +243,15 @@ def main(argv: list[str] | None = None) -> int:
         "micro-batch: rows, definite-new, maybe-seen counts) — the read "
         "side of a `first_sighting:` block; exit 1 if the table has none",
     )
+    parser.add_argument(
+        "--panel",
+        metavar="TABLE",
+        default=None,
+        help="print TABLE's current uniform eval panel (fold of the "
+        "per-drain bottom-k id samples; rank <= j is the uniform "
+        "j-panel) — the read side of a `sample_panel:` block; exit 1 "
+        "if the table has none",
+    )
     args = parser.parse_args(argv)
 
     job = load_job_spec(args.config)
@@ -675,6 +684,39 @@ def main(argv: list[str] | None = None) -> int:
             f"sightings: {len(rep)} batches, "
             f"total maybe-seen {total_maybe}"
         )
+        return 0
+
+    if args.panel:
+        from pathlib import Path
+
+        from .streaming.kmv_monitor import current_panel
+
+        tspec, _ = _resolve_full_spec(args.panel, "--panel")
+        if tspec.sample_panel is None:
+            raise SystemExit(
+                f"--panel: table {tspec.target_table!r} declares no "
+                "sample_panel block"
+            )
+        sp = tspec.sample_panel
+        inc = tspec.incremental
+        state_dir = Path(
+            inc.state_path
+            or f".stream/{tspec.source_table}__{tspec.target_table}"
+        )
+        rows = current_panel(
+            spark,
+            str(state_dir / "panel_state"),
+            list(sp.group_columns),
+            sp.id_column,
+        ).orderBy(*sp.group_columns, "sample_rank").collect()
+        logger.info(
+            "panel %s: %d members (k=%d per %s group)",
+            tspec.target_table, len(rows), sp.k, sp.group_columns,
+        )
+        for r in rows:
+            grp = ", ".join(f"{c}={r[c]!r}" for c in sp.group_columns)
+            print(f"{grp} #{r['sample_rank']}: {sp.id_column}={r[sp.id_column]!r}")
+        print(f"panel: {len(rows)} members")
         return 0
 
     if args.layout:

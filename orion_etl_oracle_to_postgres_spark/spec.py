@@ -1140,6 +1140,41 @@ class FirstSightingSpec(BaseModel):
         return self
 
 
+class SamplePanelSpec(BaseModel):
+    """[engine extension] Declarative STREAMING eval-panel maintenance
+    (SURVEY.md §2.9/§2.11) — the ``mode: streaming`` surface of the
+    bottom-k sample state (``operators/aggstate.py:build_sample_state``,
+    ``streaming/kmv_monitor.py``): every drained micro-batch appends a
+    bottom-``k``-by-portable-hash id sample of the rows that REACHED
+    THE TARGET (post ``first_sighting:``/``frequency_cap:`` gates —
+    the panel samples the corpus you actually kept), one per
+    ``group_columns`` tuple. Folding the increments yields, at any
+    moment, the uniform without-replacement k-panel of everything
+    ingested so far — mergeable, prefix-consistent (rank ≤ j is the
+    uniform j-panel), stable (a member leaves only when crowded out by
+    a smaller hash), and row-for-row identical to a batch build.
+    Rows flow to the target UNCHANGED — the panel is a side artifact
+    under the stream state dir, read back with ``--panel`` or
+    ``streaming/kmv_monitor.py:current_panel``.
+
+    ``group_columns`` must be non-empty (panels are per-group by
+    design; for one global panel add a constant column with
+    ``insert:`` and group on it — an explicit choice, because a
+    global panel funnels every batch through one ranking group)."""
+
+    group_columns: List[str]
+    id_column: str
+    k: int = Field(default=64, ge=1)
+    seed: str = "smp"
+
+    @field_validator("group_columns")
+    @classmethod
+    def _groups_non_empty(cls, v: "List[str]") -> "List[str]":
+        if not v:
+            raise ValueError("sample_panel group_columns must be non-empty")
+        return v
+
+
 class FrequencyCapSpec(BaseModel):
     """[engine extension] Declarative STREAMING frequency cap
     (SURVEY.md §2.9/§2.11) — the ``mode: streaming`` surface of the
@@ -1278,6 +1313,9 @@ class TableSpec(BaseModel):
     #: outgoing rows (see ``FirstSightingSpec``; gates BEFORE
     #: frequency_cap when both are declared)
     first_sighting: Optional[FirstSightingSpec] = None
+    #: streaming-only: maintain a bottom-k uniform eval panel of the
+    #: KEPT rows as a side artifact (see ``SamplePanelSpec``)
+    sample_panel: Optional[SamplePanelSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
@@ -1339,6 +1377,14 @@ class TableSpec(BaseModel):
             raise ValueError(
                 "first_sighting requires incremental.mode: streaming — "
                 "for a batch table use the dedup: stage (exact)"
+            )
+        if self.sample_panel is not None and (
+            self.incremental is None or self.incremental.mode != "streaming"
+        ):
+            raise ValueError(
+                "sample_panel requires incremental.mode: streaming — on a "
+                "batch table call operators/aggstate.build_sample_state "
+                "directly (one pass, no increments to maintain)"
             )
         return self
 

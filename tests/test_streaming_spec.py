@@ -711,3 +711,85 @@ def test_streaming_first_sighting_contracts_and_composition(spark, tmp_path):
         r["id"]
         for r in spark.read.parquet(str(out / "t_both_seen")).collect()
     ) == [5, 6]
+
+
+def test_streaming_sample_panel_matches_batch_and_contracts(spark, tmp_path):
+    """`sample_panel:` on a streaming table: rows flow to the target
+    unchanged while each drain appends a bottom-k id sample of the
+    KEPT rows; the folded panel is row-for-row the batch build over
+    everything kept; contracts (batch refusal, empty groups, typo'd
+    columns) fail loudly."""
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_sample_state,
+        finalize_sample,
+    )
+    from orion_etl_oracle_to_postgres_spark.streaming.kmv_monitor import (
+        current_panel,
+    )
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+    state = tmp_path / "state"
+
+    def feed(rows):
+        spark.createDataFrame(rows, "id long, grp string").coalesce(
+            1
+        ).write.mode("append").parquet(str(land))
+
+    t = spec_mod.TableSpec(
+        source_table="land", target_table="t_pan", write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming", state_path=str(state)
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="grp", target="grp"),
+        ],
+        sample_panel=spec_mod.SamplePanelSpec(
+            group_columns=["grp"], id_column="id", k=4, seed="pp"
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=_global(src, out))
+    feed([(i, "en" if i % 2 else "de") for i in range(10)])
+    run_table(ctx, t)
+    feed([(i, "en" if i % 2 else "de") for i in range(10, 24)])
+    run_table(ctx, t)
+    # rows flowed unchanged
+    assert spark.read.parquet(str(out / "t_pan")).count() == 24
+    # folded panel == batch build over everything kept
+    panel = current_panel(spark, str(state / "panel_state"), ["grp"], "id")
+    twin = finalize_sample(
+        build_sample_state(
+            spark.read.parquet(str(out / "t_pan")), ["grp"], "id",
+            k=4, seed="pp",
+        ),
+        ["grp"], "id",
+    )
+    key = lambda s: sorted(  # noqa: E731
+        map(tuple, s.select("grp", "sample_rank", "id").collect())
+    )
+    assert key(panel) == key(twin)
+    assert panel.count() == 8  # k=4 per group, 2 groups
+
+    # contracts
+    with pytest.raises(ValueError, match="requires incremental.mode: streaming"):
+        spec_mod.TableSpec(
+            source_table="land", target_table="t",
+            mappings=[spec_mod.MappingSpec(source="id", target="id")],
+            sample_panel=spec_mod.SamplePanelSpec(
+                group_columns=["grp"], id_column="id"
+            ),
+        )
+    with pytest.raises(ValueError, match="group_columns must be non-empty"):
+        spec_mod.SamplePanelSpec(group_columns=[], id_column="id")
+    bad = t.model_copy(update={
+        "sample_panel": spec_mod.SamplePanelSpec(
+            group_columns=["nope"], id_column="id"
+        ),
+        "target_table": "t_pan2",
+    })
+    with pytest.raises(ValueError, match="sample_panel column 'nope'"):
+        run_table(ctx, bad)
