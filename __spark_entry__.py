@@ -98,10 +98,18 @@ _FIRST_50 = [
     "text_scrub",
     "text_stats",
 ]
-# Rotation #9 (round 12): keep the 8 anchors; include any round-11
-# additions first (never-sampled beats stale); then continue the drift
-# re-check ladder with the 8 deferred r4 rows above plus the next-oldest
-# cum-green rows (the round-5 window).
+# Rotation #9 (round 12): keep the 8 anchors; include the round-11
+# additions first (never-sampled beats stale):
+#   agg_kmv_set_ops (KMV set algebra: union/intersect/Jaccard across
+#     two segment sketches, hash-exact replay),
+#   curation_incremental_sample (mergeable bottom-k uniform eval
+#     panel, fold-parity pinned),
+#   agg_kmv_weighted_tokens (dedup-aware distinct-sum from weighted
+#     sample states),
+#   graph_part_communities (synchronous LPA over the part
+#     co-purchase graph, 3 unrolled-round oracle);
+# then continue the drift re-check ladder with the 8 deferred r4 rows
+# above plus the next-oldest cum-green rows (the round-5 window).
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:
