@@ -436,6 +436,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         return tspec, full
 
+    def _read_monitor(reader, path: str, verb: str, block: str):
+        """Read a monitor artifact with a friendly empty-state error:
+        before the first drain the state/report directory does not
+        exist, and the raw PATH_NOT_FOUND AnalysisException reads like
+        an engine bug rather than 'nothing has run yet'."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return reader(path)
+        except AnalysisException as exc:
+            raise SystemExit(
+                f"{verb}: no drained batches recorded yet at {path!r} — "
+                f"run the job at least once so the {block} block writes "
+                f"its first increment"
+            ) from exc
+
     def _exact_shared_cols(expected, actual, verb: str) -> list:
         """The hashing-verb column contract, in ONE place so --checksum
         and --diff can never drift: only exactly-stringifiable types
@@ -630,8 +646,11 @@ def main(argv: list[str] | None = None) -> int:
             inc.state_path
             or f".stream/{tspec.source_table}__{tspec.target_table}"
         )
-        rep = frequency_cap_report(
-            spark, str(state_dir / "freqcap_report")
+        rep = _read_monitor(
+            lambda pth: frequency_cap_report(spark, pth),
+            str(state_dir / "freqcap_report"),
+            "--freqcap",
+            "frequency_cap",
         ).collect()
         total_over = sum(r["n_over_cap"] for r in rep)
         logger.info(
@@ -666,8 +685,11 @@ def main(argv: list[str] | None = None) -> int:
             inc.state_path
             or f".stream/{tspec.source_table}__{tspec.target_table}"
         )
-        rep = first_sighting_report(
-            spark, str(state_dir / "sighting_report")
+        rep = _read_monitor(
+            lambda pth: first_sighting_report(spark, pth),
+            str(state_dir / "sighting_report"),
+            "--sightings",
+            "first_sighting",
         ).collect()
         total_maybe = sum(r["n_maybe_seen"] for r in rep)
         logger.info(
@@ -703,11 +725,13 @@ def main(argv: list[str] | None = None) -> int:
             inc.state_path
             or f".stream/{tspec.source_table}__{tspec.target_table}"
         )
-        rows = current_panel(
-            spark,
+        rows = _read_monitor(
+            lambda pth: current_panel(
+                spark, pth, list(sp.group_columns), sp.id_column
+            ),
             str(state_dir / "panel_state"),
-            list(sp.group_columns),
-            sp.id_column,
+            "--panel",
+            "sample_panel",
         ).orderBy(*sp.group_columns, "sample_rank").collect()
         logger.info(
             "panel %s: %d members (k=%d per %s group)",
