@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "curation_incremental_sample",  # mergeable bottom-k uniform eval panel
     "graph_part_communities",  # synchronous LPA over the part co-purchase graph
     "agg_kmv_weighted_tokens",  # dedup-aware distinct-sum from weighted sample states
+    "agg_kmv_overlap_matrix",  # all-pairs segment overlap from sketches, hash-collision candidates
     "text_bigram_logprob",  # bigram LM fluency: in-row expansion + 2 wc aggs
     "emb_centroid_drift",  # per-label semantic drift, labels×dims exchanges
     "dedup_repeated_spans",  # C4-style span removal: 2 shuffles (hot set, rebuild)

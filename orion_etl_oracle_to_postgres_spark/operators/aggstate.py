@@ -910,6 +910,93 @@ def kmv_set_estimates(
     )
 
 
+def kmv_overlap_pairs(
+    state: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """ALL-PAIRS set overlap across many group sketches — the
+    "which segments share audiences" matrix computed entirely in
+    sketch space: given ONE KMV state keyed by ``group_col`` (every
+    group ≤ k hashes), estimate union / intersection / Jaccard for
+    every group pair that shares at least one bottom-k hash. Pairs
+    sharing NO sketch hash are OMITTED — their estimated intersection
+    is 0 by construction (ρ = 0), and at scale that omission IS the
+    algorithm: candidate pairs come from a hash equi-join (each hash
+    matches only the groups that kept it), so the output is sparse in
+    the number of genuinely-overlapping pairs, never the G² matrix —
+    the same candidates-from-collisions trick as MinHash LSH, applied
+    to the sketch layer instead of the corpus.
+
+    Per candidate pair the estimator is ``kmv_set_estimates``
+    verbatim (combined bottom-k of the two hash sets = the union's
+    sketch; both-sides membership fraction = Jaccard; exact while the
+    union kept < k). Deterministic portable-md5 arithmetic, so a SQL
+    oracle replays every pair. Returns (``g1``, ``g2`` [g1 < g2],
+    ``n_kept``, ``union_est``, ``intersect_est``, ``jaccard_e6``).
+
+    Scale shape: one hash equi-join over ≤ k-rows-per-group integer
+    states (candidates ∝ true overlaps), then each candidate pair
+    re-reads the two groups' ≤ k-row hash sets via two ids-only joins
+    and ranks ≤ 2k rows per pair. Everything is bounded by
+    k × (groups + overlapping pairs) — never by the corpora, never by
+    G²."""
+    layouts = state.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"kmv_overlap_pairs: incompatible layouts "
+            f"{sorted(map(tuple, layouts))} — states must share (k, seed)"
+        )
+    k = int(layouts[0][0]) if layouts else 0
+    s = state.select(F.col(group_col).alias("__g"), "__hv")
+    a, b = s.alias("a"), s.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__hv") == F.col("b.__hv"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .select(F.col("a.__g").alias("g1"), F.col("b.__g").alias("g2"))
+        .distinct()
+    )
+    side1 = cand.join(
+        s.select(F.col("__g").alias("g1"), "__hv"), "g1"
+    ).select("g1", "g2", "__hv", F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b"))
+    side2 = cand.join(
+        s.select(F.col("__g").alias("g2"), "__hv"), "g2"
+    ).select("g1", "g2", "__hv", F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b"))
+    u = side1.unionByName(side2).groupBy("g1", "g2", "__hv").agg(
+        F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g1", "g2").orderBy(F.col("__hv").asc())
+    r = u.withColumn("__rn", F.row_number().over(w))
+    in_bk = F.col("__rn") <= F.lit(k)
+    agg = r.groupBy("g1", "g2").agg(
+        F.sum(F.when(in_bk, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.max(F.when(in_bk, F.col("__hv"))).alias("__hk"),
+        F.sum(
+            F.when(in_bk & (F.col("__in_a") + F.col("__in_b") == 2), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("__both"),
+    )
+    u_k = F.col("__hk").cast("double") / F.lit(float(1 << 60))
+    union_d = F.when(
+        F.col("n_kept") < F.lit(k), F.col("n_kept").cast("double")
+    ).otherwise(F.round((F.lit(k) - 1) / u_k, 0))
+    rho = F.col("__both").cast("double") / F.col("n_kept")
+    return agg.select(
+        "g1",
+        "g2",
+        "n_kept",
+        union_d.cast("long").alias("union_est"),
+        F.round(rho * union_d, 0).cast("long").alias("intersect_est"),
+        F.round(rho, 6).alias("jaccard_e6"),
+    )
+
+
 _CMS_STATE_COLS = ["row_idx", "col_idx", "cnt", "__w", "__d", "__seed"]
 _CMS_MAX_CELLS = 1 << 16  # 64 Ki longs = 512 KiB: the driver-probe cap
 

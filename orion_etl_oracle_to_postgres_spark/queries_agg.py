@@ -3178,3 +3178,72 @@ def agg_kmv_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         [s0, s1], ["lang"], "doc_id", carry=["n_chars"]
     )
     return A.finalize_weighted_sample(merged, ["lang"], "doc_id", "n_chars")
+
+
+@query(
+    "agg_kmv_overlap_matrix",
+    f"""
+    WITH e AS (SELECT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL),
+    h AS (
+      SELECT DISTINCT event_type,
+             {_hex2int_sql("substr(md5(CAST(user_id AS VARCHAR) || ':kv2'), 1, 15)")}
+               AS hv
+      FROM e
+    ),
+    s AS (SELECT event_type, hv FROM (
+            SELECT event_type, hv, row_number() OVER (
+              PARTITION BY event_type ORDER BY hv ASC) AS rn FROM h
+          ) WHERE rn <= 32),
+    cand AS (SELECT DISTINCT a.event_type AS g1, b.event_type AS g2
+             FROM s a JOIN s b
+               ON a.hv = b.hv AND a.event_type < b.event_type),
+    u AS (SELECT g1, g2, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT c.g1, c.g2, s.hv, 1 AS in_a, 0 AS in_b
+            FROM cand c JOIN s ON s.event_type = c.g1
+            UNION ALL
+            SELECT c.g1, c.g2, s.hv, 0 AS in_a, 1 AS in_b
+            FROM cand c JOIN s ON s.event_type = c.g2
+          ) GROUP BY 1, 2, 3),
+    r AS (SELECT g1, g2, hv, in_a, in_b, row_number() OVER (
+            PARTITION BY g1, g2 ORDER BY hv ASC) AS rn FROM u),
+    agg AS (SELECT g1, g2,
+              sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+              max(CASE WHEN rn <= 32 THEN hv END) AS hk,
+              sum(CASE WHEN rn <= 32 AND in_a + in_b = 2 THEN 1 ELSE 0 END)
+                ::BIGINT AS nboth
+            FROM r GROUP BY 1, 2),
+    est AS (SELECT g1, g2, n_kept, nboth,
+              CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
+                   ELSE round(31 / (hk::DOUBLE / 1152921504606846976.0), 0)
+              END AS union_d
+            FROM agg)
+    SELECT g1, g2, n_kept,
+           union_d::BIGINT AS union_est,
+           round((nboth::DOUBLE / n_kept) * union_d, 0)::BIGINT
+             AS intersect_est,
+           round(nboth::DOUBLE / n_kept, 6) AS jaccard_e6
+    FROM est
+    """,
+)
+def agg_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] All-pairs audience-overlap matrix in sketch space
+    (operators/aggstate.py:kmv_overlap_pairs): for every pair of event
+    types that SHARES at least one bottom-32 sketch hash, estimate how
+    many distinct users the two segments share (union / intersection /
+    Jaccard) — the segment-overlap audit computed from ≤ 32 longs per
+    segment, never from the raw events, with candidate pairs coming
+    from a hash equi-join (the MinHash-LSH collision trick applied to
+    the sketch layer), so the output is sparse in genuinely-overlapping
+    pairs rather than the G² matrix. Per-pair estimator =
+    ``kmv_set_estimates`` verbatim (combined bottom-k = the union's
+    sketch; both-sides membership fraction = Jaccard); deterministic
+    portable-md5 arithmetic end to end, so the oracle replays every
+    pair exactly — candidate rule included."""
+    from .operators import aggstate as A
+
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    st = A.build_kmv_state(e, ["event_type"], "user_id", k=32, seed="kv2")
+    return A.kmv_overlap_pairs(st, "event_type")

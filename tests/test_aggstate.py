@@ -786,3 +786,50 @@ def test_weighted_sample_distinct_sum_exact_and_estimate(spark):
         finalize_weighted_sample(
             merged.unionByName(other), ["g"], "v", "w"
         )
+
+
+def test_kmv_overlap_pairs_matches_pairwise_estimates(spark):
+    """The all-pairs overlap matrix equals kmv_set_estimates run pair
+    by pair, for every pair that shares a sketch hash; hash-disjoint
+    pairs are omitted (estimated intersection 0 by construction)."""
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_kmv_state,
+        kmv_overlap_pairs,
+        kmv_set_estimates,
+    )
+
+    kw = dict(k=16, seed="ov")
+    # three groups: a∩b = {4..7}, c disjoint from both
+    rows = (
+        [("a", v) for v in range(8)]
+        + [("b", v) for v in range(4, 14)]
+        + [("c", v) for v in range(100, 105)]
+    )
+    st = build_kmv_state(_kv_df(spark, rows), ["g"], "v", **kw)
+    mat = {
+        (r["g1"], r["g2"]): r
+        for r in kmv_overlap_pairs(st, "g").collect()
+    }
+    assert set(mat) == {("a", "b")}  # c shares no hash with anyone
+    r = mat[("a", "b")]
+    assert r["union_est"] == 14 and r["intersect_est"] == 4
+    assert abs(r["jaccard_e6"] - 4 / 14) < 1e-6
+    # pairwise twin: identical numbers (kmv_set_estimates keys on g,
+    # which differs across sides here — rebuild keyed on a constant)
+    sa = build_kmv_state(
+        _kv_df(spark, [("x", v) for v in range(8)]), ["g"], "v", **kw
+    )
+    sb = build_kmv_state(
+        _kv_df(spark, [("x", v) for v in range(4, 14)]), ["g"], "v", **kw
+    )
+    tw = kmv_set_estimates(sa, sb, ["g"]).collect()[0]
+    assert (r["n_kept"], r["union_est"], r["intersect_est"], r["jaccard_e6"]) \
+        == (tw["n_kept"], tw["union_est"], tw["intersect_est"], tw["jaccard_e6"])
+
+    # layout drift probe
+    import pytest as _pt
+
+    other = build_kmv_state(_kv_df(spark, [("z", 1)]), ["g"], "v",
+                            k=8, seed="q")
+    with _pt.raises(ValueError, match="incompatible layouts"):
+        kmv_overlap_pairs(st.unionByName(other), "g")
