@@ -140,3 +140,83 @@ def test_compare_result_reflexive_and_change_sensitive(rows, data):
     mutated = list(rows)
     t = list(mutated[i]); t[j] = new; mutated[i] = tuple(t)
     assert compare_result(cols, rows, dt, cols, mutated, ds)
+
+
+# ---------------- KMV set-algebra invariants ----------------
+# The sketch math is portable md5 arithmetic, so a pure-Python replay
+# IS the model (the same construction the DuckDB oracles replay);
+# hypothesis drives the model hard, and test_aggstate pins Spark ==
+# model on representative cases (Spark-per-example would be ~1000x
+# slower than the property is worth).
+
+import hashlib as _hashlib
+
+
+def _py_hash60(v, seed: str) -> int:
+    return int(
+        _hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _py_kmv(vals, k: int, seed: str = "t"):
+    return sorted({_py_hash60(v, seed) for v in vals})[:k]
+
+
+def _py_set_est(a_hashes, b_hashes, k: int):
+    ua = set(a_hashes) | set(b_hashes)
+    bk = sorted(ua)[:k]
+    n_kept = len(bk)
+    both = sum(1 for h in bk if h in set(a_hashes) and h in set(b_hashes))
+    if n_kept < k:
+        union_d = float(n_kept)
+    else:
+        union_d = round((k - 1) / (bk[-1] / float(1 << 60)), 0)
+    rho = both / n_kept if n_kept else 0.0
+    return n_kept, int(union_d), int(round(rho * union_d, 0)), round(rho, 6)
+
+
+@given(
+    st.sets(st.integers(0, 10_000), max_size=200),
+    st.sets(st.integers(0, 10_000), max_size=200),
+    st.integers(4, 64),
+)
+@settings(max_examples=200)
+def test_kmv_set_estimates_model_invariants(a, b, k):
+    if not a and not b:
+        return
+    ha, hb = _py_kmv(a, k), _py_kmv(b, k)
+    n_kept, union_est, intersect_est, jac = _py_set_est(ha, hb, k)
+    # exact branch: union kept < k  =>  every estimate is exact
+    if n_kept < k:
+        assert union_est == len(a | b)
+        assert intersect_est == len(a & b)
+        truth = len(a & b) / len(a | b) if (a | b) else 0.0
+        assert abs(jac - round(truth, 6)) <= 1e-6
+    # identity: A vs A
+    ni, ui, ii, ji = _py_set_est(ha, ha, k)
+    assert ii == ui and (ji == 1.0 or ni == 0)
+    # bounds: intersection never exceeds union; jaccard in [0, 1]
+    assert 0 <= intersect_est <= union_est
+    assert 0.0 <= jac <= 1.0
+    # disjointness: no shared value => no shared hash (md5 is a pure
+    # function) => estimated intersection exactly 0
+    if not (a & b):
+        assert intersect_est == 0 and jac == 0.0
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    st.integers(1, 5),
+    st.integers(4, 32),
+)
+@settings(max_examples=200)
+def test_kmv_fold_equals_full_build_any_split(vals, n_parts, k):
+    """Bottom-k of the union of per-part bottom-k sets == bottom-k of
+    everything, for ANY partitioning — the merge exactness the Spark
+    operators rely on (the k smallest of a union are each within their
+    part's k smallest)."""
+    parts = [vals[i::n_parts] for i in range(n_parts)]
+    folded = sorted(
+        {h for p in parts for h in _py_kmv(p, k)}
+    )[:k]
+    assert folded == _py_kmv(vals, k)
