@@ -930,9 +930,16 @@ def kmv_overlap_pairs(
     Per candidate pair the estimator is ``kmv_set_estimates``
     verbatim (combined bottom-k of the two hash sets = the union's
     sketch; both-sides membership fraction = Jaccard; exact while the
-    union kept < k). Deterministic portable-md5 arithmetic, so a SQL
-    oracle replays every pair. Returns (``g1``, ``g2`` [g1 < g2],
-    ``n_kept``, ``union_est``, ``intersect_est``, ``jaccard_e6``).
+    union kept < k) plus the two CONTAINMENT directions —
+    ``contain_g1_e6`` ≈ |g1∩g2|/|g1| and ``contain_g2_e6`` ≈
+    |g1∩g2|/|g2| (each side's own distinct estimate from its own
+    hashes in the state) — the signal Jaccard hides: a small segment
+    fully swallowed by a huge one has Jaccard ≈ 0 but containment ≈ 1,
+    the corpus-embedded-in-corpus / eval-set-inside-training-set
+    audit. Deterministic portable-md5 arithmetic, so a SQL oracle
+    replays every pair. Returns (``g1``, ``g2`` [g1 < g2],
+    ``n_kept``, ``union_est``, ``intersect_est``, ``jaccard_e6``,
+    ``contain_g1_e6``, ``contain_g2_e6``).
 
     Scale shape: one hash equi-join over ≤ k-rows-per-group integer
     states (candidates ∝ true overlaps), then each candidate pair
@@ -981,19 +988,40 @@ def kmv_overlap_pairs(
         )
         .cast("long")
         .alias("__both"),
+        # per-side sketch stats (over each side's FULL hash set, not
+        # the combined bottom-k): the side's own distinct estimate
+        # feeds the containment denominators
+        F.sum("__in_a").cast("long").alias("__na"),
+        F.max(F.when(F.col("__in_a") == 1, F.col("__hv"))).alias("__hka"),
+        F.sum("__in_b").cast("long").alias("__nb"),
+        F.max(F.when(F.col("__in_b") == 1, F.col("__hv"))).alias("__hkb"),
     )
     u_k = F.col("__hk").cast("double") / F.lit(float(1 << 60))
     union_d = F.when(
         F.col("n_kept") < F.lit(k), F.col("n_kept").cast("double")
     ).otherwise(F.round((F.lit(k) - 1) / u_k, 0))
     rho = F.col("__both").cast("double") / F.col("n_kept")
+    inter_d = F.round(rho * union_d, 0)
+
+    def side_d(n, hk):
+        uu = F.col(hk).cast("double") / F.lit(float(1 << 60))
+        return F.when(
+            F.col(n) < F.lit(k), F.col(n).cast("double")
+        ).otherwise(F.round((F.lit(k) - 1) / uu, 0))
+
     return agg.select(
         "g1",
         "g2",
         "n_kept",
         union_d.cast("long").alias("union_est"),
-        F.round(rho * union_d, 0).cast("long").alias("intersect_est"),
+        inter_d.cast("long").alias("intersect_est"),
         F.round(rho, 6).alias("jaccard_e6"),
+        F.round(
+            F.least(inter_d / side_d("__na", "__hka"), F.lit(1.0)), 6
+        ).alias("contain_g1_e6"),
+        F.round(
+            F.least(inter_d / side_d("__nb", "__hkb"), F.lit(1.0)), 6
+        ).alias("contain_g2_e6"),
     )
 
 

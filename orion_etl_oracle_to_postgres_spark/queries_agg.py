@@ -3211,18 +3211,32 @@ def agg_kmv_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
               sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
               max(CASE WHEN rn <= 32 THEN hv END) AS hk,
               sum(CASE WHEN rn <= 32 AND in_a + in_b = 2 THEN 1 ELSE 0 END)
-                ::BIGINT AS nboth
+                ::BIGINT AS nboth,
+              sum(in_a)::BIGINT AS na,
+              max(CASE WHEN in_a = 1 THEN hv END) AS hka,
+              sum(in_b)::BIGINT AS nb,
+              max(CASE WHEN in_b = 1 THEN hv END) AS hkb
             FROM r GROUP BY 1, 2),
     est AS (SELECT g1, g2, n_kept, nboth,
               CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
                    ELSE round(31 / (hk::DOUBLE / 1152921504606846976.0), 0)
-              END AS union_d
+              END AS union_d,
+              CASE WHEN na < 32 THEN na::DOUBLE
+                   ELSE round(31 / (hka::DOUBLE / 1152921504606846976.0), 0)
+              END AS a_d,
+              CASE WHEN nb < 32 THEN nb::DOUBLE
+                   ELSE round(31 / (hkb::DOUBLE / 1152921504606846976.0), 0)
+              END AS b_d
             FROM agg)
     SELECT g1, g2, n_kept,
            union_d::BIGINT AS union_est,
            round((nboth::DOUBLE / n_kept) * union_d, 0)::BIGINT
              AS intersect_est,
-           round(nboth::DOUBLE / n_kept, 6) AS jaccard_e6
+           round(nboth::DOUBLE / n_kept, 6) AS jaccard_e6,
+           round(least(round((nboth::DOUBLE / n_kept) * union_d, 0) / a_d,
+                       1.0), 6) AS contain_g1_e6,
+           round(least(round((nboth::DOUBLE / n_kept) * union_d, 0) / b_d,
+                       1.0), 6) AS contain_g2_e6
     FROM est
     """,
 )

@@ -833,3 +833,25 @@ def test_kmv_overlap_pairs_matches_pairwise_estimates(spark):
                             k=8, seed="q")
     with _pt.raises(ValueError, match="incompatible layouts"):
         kmv_overlap_pairs(st.unionByName(other), "g")
+
+
+def test_kmv_overlap_containment_catches_embedded_segment(spark):
+    """Containment is the signal Jaccard hides: a 6-element segment
+    fully inside a 300-element one has tiny Jaccard but containment
+    ~1.0 on the small side (exact 1.0 here: the small side is below k,
+    so its denominator is exact, and every small-side hash is in the
+    big side's sketch-union bottom-k intersection estimate)."""
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_kmv_state,
+        kmv_overlap_pairs,
+    )
+
+    rows = [("small", v) for v in range(6)] + [
+        ("big", v) for v in range(300)
+    ]
+    st = build_kmv_state(_kv_df(spark, rows), ["g"], "v", k=32, seed="ct")
+    r = kmv_overlap_pairs(st, "g").collect()[0]
+    assert (r["g1"], r["g2"]) == ("big", "small")
+    assert r["jaccard_e6"] < 0.25          # tiny overlap share
+    assert r["contain_g2_e6"] >= 0.8       # but small ⊂ big
+    assert r["contain_g1_e6"] <= 0.25
