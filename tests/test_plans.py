@@ -662,3 +662,27 @@ def test_minhash_index_lookup_is_band_bucket_join(spark, sf):
     assert "band_hash" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lpa_rounds_broadcast_and_checkpoint(spark, sf):
+    """label_propagation claim (the pagerank contract applied to LPA):
+    the final round is a broadcast labels⋈edges hash join + hash
+    aggregates, earlier rounds are checkpoint-truncated, never a
+    Cartesian."""
+    plan = plan_of(q.QUERIES["graph_part_communities"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ExistingRDD" in plan, "earlier rounds must be checkpointed"
+
+
+def test_kmv_overlap_candidates_are_hash_equi_join(spark, sf):
+    """kmv_overlap_pairs claim: candidate pairs come from an __hv
+    equi-join over the ≤ k-rows-per-group states — never a nested loop
+    over the G² group pairs; the per-pair ranking rides keyed hash
+    aggregates/windows."""
+    plan = plan_of(q.QUERIES["agg_kmv_overlap_matrix"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
