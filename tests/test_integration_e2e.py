@@ -830,3 +830,60 @@ def test_cli_sightings_verb(spark, tmp_path, capsys):
 
     with _pt.raises(SystemExit, match="declares no"):
         main(["--config", cfg, "--sightings", "t_fs"])
+
+
+def test_cli_panel_verb(spark, tmp_path, capsys):
+    """--panel: prints the folded current eval panel of a
+    `sample_panel:` streaming table; refused without the block; the
+    friendly empty-state error fires before any drain."""
+    import textwrap as _tw
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    spark.createDataFrame(
+        [(i, "en") for i in range(6)], "id long, grp string"
+    ).coalesce(1).write.mode("append").parquet(str(src / "land"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        _tw.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [s.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "s.yaml").write_text(
+        _tw.dedent(
+            f"""
+            source_table: land
+            target_table: t_p
+            write_mode: append
+            incremental:
+              watermark_column: id
+              mode: streaming
+              state_path: {tmp_path / 'state'}
+            mappings:
+              - {{source: id, target: id}}
+              - {{source: grp, target: grp}}
+            sample_panel:
+              group_columns: [grp]
+              id_column: id
+              k: 3
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    import pytest as _pt
+
+    # before any drain: friendly empty-state error, not a raw
+    # AnalysisException
+    with _pt.raises(SystemExit, match="no drained batches recorded yet"):
+        main(["--config", cfg, "--panel", "t_p"])
+    assert main(["--config", cfg]) == 0
+    assert main(["--config", cfg, "--panel", "t_p"]) == 0
+    out = capsys.readouterr().out
+    assert "panel: 3 members" in out and "grp='en' #1:" in out
