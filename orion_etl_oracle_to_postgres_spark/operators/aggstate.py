@@ -946,7 +946,12 @@ def kmv_overlap_pairs(
     re-reads the two groups' ≤ k-row hash sets via two ids-only joins
     and ranks ≤ 2k rows per pair. Everything is bounded by
     k × (groups + overlapping pairs) — never by the corpora, never by
-    G²."""
+    G². Note the plan references ``state`` THREE times (the candidate
+    self-join + the two side re-reads): a state read from parquet
+    re-scans a k-rows-per-group file cheaply, but a state built inline
+    from an expensive corpus plan should be persisted/checkpointed by
+    the caller first, or the corpus distinct-shuffle runs three
+    times."""
     layouts = state.select("__k", "__seed").distinct().limit(2).collect()
     if len(layouts) > 1:
         raise ValueError(

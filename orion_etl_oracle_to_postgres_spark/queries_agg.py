@@ -3259,5 +3259,11 @@ def agg_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("event_type", "user_id").where(
         F.col("user_id").isNotNull()
     )
-    st = A.build_kmv_state(e, ["event_type"], "user_id", k=32, seed="kv2")
+    # the operator references the state THREE times (candidate
+    # self-join + two side re-reads — its documented contract): pin the
+    # inline-built state so the corpus distinct-shuffle runs once, the
+    # same lazy-checkpoint trade the iterative graph queries make
+    st = A.build_kmv_state(
+        e, ["event_type"], "user_id", k=32, seed="kv2"
+    ).localCheckpoint(eager=False)
     return A.kmv_overlap_pairs(st, "event_type")
