@@ -2396,6 +2396,7 @@ def _run_streaming_table(
     fc = spec.frequency_cap
     fs = spec.first_sighting
     sp = spec.sample_panel
+    tb = spec.token_budget
     for blk_name, blk in (("first_sighting", fs), ("frequency_cap", fc)):
         if blk is not None and blk.key_column not in compiled.df.columns:
             # friendly pre-drain error, the quality_filter column rule —
@@ -2411,6 +2412,13 @@ def _run_streaming_table(
             if c not in compiled.df.columns:
                 raise ValueError(
                     f"{spec.target_table}: sample_panel column {c!r} "
+                    f"not in pipeline output {compiled.df.columns}"
+                )
+    if tb is not None:
+        for c in [*tb.group_columns, tb.weight_column]:
+            if c not in compiled.df.columns:
+                raise ValueError(
+                    f"{spec.target_table}: token_budget column {c!r} "
                     f"not in pipeline output {compiled.df.columns}"
                 )
 
@@ -2438,7 +2446,7 @@ def _run_streaming_table(
         # without it a drifted target would accumulate mixed-schema
         # parquet files, the exact hazard _align_for_append exists for
         bdf = _align_for_append(ctx, spec, bdf)
-        if fc is None and fs is None and sp is None:
+        if fc is None and fs is None and sp is None and tb is None:
             counter["rows"] += _write_rows(bdf, spec.target_table)
             return
         # the batch feeds each gate's estimate/probe, its increment,
@@ -2488,6 +2496,22 @@ def _run_streaming_table(
                     # sliver lands beside the target for an offline
                     # exact audit instead of vanishing
                     _write_rows(over, fc.overflow_table)
+            if tb is not None:
+                from .streaming.budget_monitor import token_budget_split
+
+                kept, over_b = token_budget_split(
+                    kept,
+                    list(tb.group_columns),
+                    tb.weight_column,
+                    budget=tb.budget,
+                    state_path=str(state_dir / "budget_state"),
+                    report_path=str(state_dir / "budget_report"),
+                    batch_id=int(batch_id),
+                )
+                if tb.overflow_table:
+                    # auditable routing: over-budget rows land beside
+                    # the target instead of vanishing
+                    _write_rows(over_b, tb.overflow_table)
             if sp is not None:
                 from .operators.aggstate import build_sample_state
 

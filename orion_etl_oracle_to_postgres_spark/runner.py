@@ -244,6 +244,15 @@ def main(argv: list[str] | None = None) -> int:
         "side of a `first_sighting:` block; exit 1 if the table has none",
     )
     parser.add_argument(
+        "--budget",
+        metavar="TABLE",
+        default=None,
+        help="print TABLE's per-group admitted-token totals vs the "
+        "declared budget (open/closed per group) plus the per-drain "
+        "report — the read side of a `token_budget:` block; exit 1 if "
+        "the table has none",
+    )
+    parser.add_argument(
         "--panel",
         metavar="TABLE",
         default=None,
@@ -445,7 +454,7 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             return reader(path)
-        except AnalysisException as exc:
+        except (AnalysisException, FileNotFoundError) as exc:
             raise SystemExit(
                 f"{verb}: no drained batches recorded yet at {path!r} — "
                 f"run the job at least once so the {block} block writes "
@@ -706,6 +715,41 @@ def main(argv: list[str] | None = None) -> int:
             f"sightings: {len(rep)} batches, "
             f"total maybe-seen {total_maybe}"
         )
+        return 0
+
+    if args.budget:
+        from pathlib import Path
+
+        from .streaming.budget_monitor import budget_totals
+
+        tspec, _ = _resolve_full_spec(args.budget, "--budget")
+        if tspec.token_budget is None:
+            raise SystemExit(
+                f"--budget: table {tspec.target_table!r} declares no "
+                "token_budget block"
+            )
+        tb = tspec.token_budget
+        inc = tspec.incremental
+        state_dir = Path(
+            inc.state_path
+            or f".stream/{tspec.source_table}__{tspec.target_table}"
+        )
+        rows = _read_monitor(
+            lambda pth: budget_totals(spark, pth, list(tb.group_columns)),
+            str(state_dir / "budget_state"),
+            "--budget",
+            "token_budget",
+        ).orderBy(*tb.group_columns).collect()
+        closed = sum(1 for r in rows if r["tokens_admitted"] >= tb.budget)
+        logger.info(
+            "budget %s: %d groups, %d closed (budget %d)",
+            tspec.target_table, len(rows), closed, tb.budget,
+        )
+        for r in rows:
+            grp = ", ".join(f"{c}={r[c]!r}" for c in tb.group_columns)
+            state = "CLOSED" if r["tokens_admitted"] >= tb.budget else "open"
+            print(f"{grp}: {r['tokens_admitted']}/{tb.budget} {state}")
+        print(f"budget: {len(rows)} groups, {closed} closed")
         return 0
 
     if args.panel:

@@ -1175,6 +1175,40 @@ class SamplePanelSpec(BaseModel):
         return v
 
 
+class TokenBudgetSpec(BaseModel):
+    """[engine extension] Declarative STREAMING per-group token budget
+    (SURVEY.md §2.9/§2.11) — the ``mode: streaming`` twin of the batch
+    token-budget samplers (``sample.method: token_budget`` / unimax /
+    doremi_tokens), via ``streaming/budget_monitor.py``: a group whose
+    RUNNING ADMITTED total of ``weight_column`` (exact integer fold of
+    the per-drain increments) has reached ``budget`` stops flowing to
+    the target — "collect at most B tokens per domain across however
+    many drains it takes". Verdicts are CROSS-batch and GROUP-level
+    (a group can overshoot by at most one batch's tokens before the
+    gate closes — size micro-batches with
+    ``incremental.max_files_per_trigger`` if the overshoot bound
+    matters); over-budget rows drop, or route to ``overflow_table``
+    (target connector, the quarantine pattern) when they must remain
+    auditable. NULL group values always pass and contribute no state;
+    NULL weights count 0. Gates AFTER ``first_sighting:`` and
+    ``frequency_cap:`` when combined (dedup, then repeat-cap, then
+    budget — each stage's monitor counts what reached it)."""
+
+    group_columns: List[str]
+    weight_column: str
+    budget: int = Field(gt=0)
+    #: auditable routing: append over-budget rows here instead of
+    #: dropping them
+    overflow_table: Optional[str] = None
+
+    @field_validator("group_columns")
+    @classmethod
+    def _tb_groups_non_empty(cls, v: "List[str]") -> "List[str]":
+        if not v:
+            raise ValueError("token_budget group_columns must be non-empty")
+        return v
+
+
 class FrequencyCapSpec(BaseModel):
     """[engine extension] Declarative STREAMING frequency cap
     (SURVEY.md §2.9/§2.11) — the ``mode: streaming`` surface of the
@@ -1316,6 +1350,10 @@ class TableSpec(BaseModel):
     #: streaming-only: maintain a bottom-k uniform eval panel of the
     #: KEPT rows as a side artifact (see ``SamplePanelSpec``)
     sample_panel: Optional[SamplePanelSpec] = None
+    #: streaming-only: per-group admitted-token budget gate on the
+    #: outgoing rows (see ``TokenBudgetSpec``; gates AFTER
+    #: first_sighting/frequency_cap)
+    token_budget: Optional[TokenBudgetSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
@@ -1385,6 +1423,14 @@ class TableSpec(BaseModel):
                 "sample_panel requires incremental.mode: streaming — on a "
                 "batch table call operators/aggstate.build_sample_state "
                 "directly (one pass, no increments to maintain)"
+            )
+        if self.token_budget is not None and (
+            self.incremental is None or self.incremental.mode != "streaming"
+        ):
+            raise ValueError(
+                "token_budget requires incremental.mode: streaming — for a "
+                "batch table use sample.method: token_budget / unimax (one "
+                "corpus pass, no running state)"
             )
         return self
 

@@ -887,3 +887,60 @@ def test_cli_panel_verb(spark, tmp_path, capsys):
     assert main(["--config", cfg, "--panel", "t_p"]) == 0
     out = capsys.readouterr().out
     assert "panel: 3 members" in out and "grp='en' #1:" in out
+
+
+def test_cli_budget_verb(spark, tmp_path, capsys):
+    """--budget: per-group admitted totals with open/CLOSED status;
+    friendly empty-state error before any drain; refused without the
+    block."""
+    import textwrap as _tw
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, "a", 80), (2, "b", 10)], "id long, dom string, toks long"
+    ).coalesce(1).write.mode("append").parquet(str(src / "land"))
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        _tw.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [s.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "s.yaml").write_text(
+        _tw.dedent(
+            f"""
+            source_table: land
+            target_table: t_b
+            write_mode: append
+            incremental:
+              watermark_column: id
+              mode: streaming
+              state_path: {tmp_path / 'state'}
+            mappings:
+              - {{source: id, target: id}}
+              - {{source: dom, target: dom}}
+              - {{source: toks, target: toks}}
+            token_budget:
+              group_columns: [dom]
+              weight_column: toks
+              budget: 50
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="no drained batches recorded yet"):
+        main(["--config", cfg, "--budget", "t_b"])
+    assert main(["--config", cfg]) == 0
+    assert main(["--config", cfg, "--budget", "t_b"]) == 0
+    out = capsys.readouterr().out
+    assert "dom='a': 80/50 CLOSED" in out
+    assert "dom='b': 10/50 open" in out

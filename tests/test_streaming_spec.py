@@ -793,3 +793,96 @@ def test_streaming_sample_panel_matches_batch_and_contracts(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="sample_panel column 'nope'"):
         run_table(ctx, bad)
+
+
+def test_streaming_token_budget_gates_and_folds_exactly(spark, tmp_path):
+    """`token_budget:` on a streaming table: a group stops flowing the
+    drain AFTER its running admitted total reaches the budget (exact
+    integer fold; one-batch overshoot bound); over rows route to the
+    overflow table; NULL groups always pass; the folded totals equal
+    the sum over everything kept."""
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+    from orion_etl_oracle_to_postgres_spark.streaming.budget_monitor import (
+        budget_report,
+        budget_totals,
+    )
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+    state = tmp_path / "state"
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id long, dom string, toks long"
+        ).coalesce(1).write.mode("append").parquet(str(land))
+
+    t = spec_mod.TableSpec(
+        source_table="land", target_table="t_bud", write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming", state_path=str(state)
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="dom", target="dom"),
+            spec_mod.MappingSpec(source="toks", target="toks"),
+        ],
+        token_budget=spec_mod.TokenBudgetSpec(
+            group_columns=["dom"], weight_column="toks", budget=100,
+            overflow_table="t_bud_over",
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=_global(src, out))
+
+    # drain 0: domain a admits 90 (under 100), b admits 30, NULL passes
+    feed([(1, "a", 60), (2, "a", 30), (3, "b", 30), (4, None, 999)])
+    run_table(ctx, t)
+    # drain 1: a's prior total 90 < 100 -> still open, admits 50 more
+    # (the one-batch overshoot); b stays open; NULL passes again
+    feed([(5, "a", 50), (6, "b", 10), (7, None, 1)])
+    run_table(ctx, t)
+    # drain 2: a's prior total 140 >= 100 -> CLOSED, rows route; b open
+    feed([(8, "a", 5), (9, "b", 20)])
+    run_table(ctx, t)
+    kept = sorted(
+        r["id"] for r in spark.read.parquet(str(out / "t_bud")).collect()
+    )
+    assert kept == [1, 2, 3, 4, 5, 6, 7, 9]
+    over = sorted(
+        r["id"]
+        for r in spark.read.parquet(str(out / "t_bud_over")).collect()
+    )
+    assert over == [8]
+    # folded totals: exact sums over admitted non-NULL-group rows
+    tot = {
+        r["dom"]: r["tokens_admitted"]
+        for r in budget_totals(spark, str(state / "budget_state"), ["dom"]).collect()
+    }
+    assert tot == {"a": 140, "b": 60}
+    rep = {r["batch_id"]: r for r in budget_report(
+        spark, str(state / "budget_report")).collect()}
+    assert rep[0]["n_kept"] == 4 and rep[0]["tokens_admitted"] == 120
+    assert rep[2]["n_over_budget"] == 1
+
+    # contracts: batch refusal, empty groups, typo'd column
+    with pytest.raises(ValueError, match="requires incremental.mode: streaming"):
+        spec_mod.TableSpec(
+            source_table="land", target_table="t",
+            mappings=[spec_mod.MappingSpec(source="id", target="id")],
+            token_budget=spec_mod.TokenBudgetSpec(
+                group_columns=["dom"], weight_column="toks", budget=10,
+            ),
+        )
+    with pytest.raises(ValueError, match="group_columns must be non-empty"):
+        spec_mod.TokenBudgetSpec(
+            group_columns=[], weight_column="toks", budget=10
+        )
+    bad = t.model_copy(update={
+        "token_budget": spec_mod.TokenBudgetSpec(
+            group_columns=["nope"], weight_column="toks", budget=10,
+        ),
+        "target_table": "t_bud2",
+    })
+    with pytest.raises(ValueError, match="token_budget column 'nope'"):
+        run_table(ctx, bad)
