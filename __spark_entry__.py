@@ -45,71 +45,68 @@ _FIRST_50 = [
     "agg_pricing_summary",
     "window_top_orders_per_cust",
     "dedup_minhash",
-    # ---- round-11 window (rotation #8, VERDICT r10 ask #1):
-    # (a) the 10 round-10-session additions — the only registrations
-    # never driver-sampled; green here closes the registry at 301/301
+    # ---- round-12 window (rotation #9, VERDICT r11 ask #1):
+    # (a) ALL FIVE round-11 additions — the only registrations never
+    # driver-sampled; green here closes the registry at 306/306
     # cumulative driver verification.
-    "etl_semdedup_codebook",
-    "etl_incremental_minhash_index",
-    "etl_doremi_token_sample",
-    "agg_cms_heavy_hitters",
-    "agg_kmv_incremental_users",
-    "reconcile_checksum_drilldown",
-    "ir_mmr_diversify",
-    "text_nb_classifier",
-    "etl_nb_quality_gate",
-    "ir_retrieve_rerank_mmr",
-    # (b) drift re-checks: 32 of the 40 STALEST cum-green rows — the
-    # original fixed r1-r4 window, last driver-verified in round 4,
-    # 7 rounds stale.  The 8 deferred to rotation #9 each have a close
-    # sibling here (agg_exact_percentiles, agg_events_hourly,
-    # emb_near_dup_pairs, emb_topk_lsh, multimodal_resize,
-    # multimodal_frames, dedup_fingerprint, curation_weighted_sample).
-    "agg_approx_percentiles",
-    "agg_events_sessions",
-    "agg_pivot_status_by_segment",
-    "agg_revenue_top10",
-    "agg_rollup_revenue",
-    "asof_click_attribution",
-    "binary_meta",
-    "curation_contamination",
-    "curation_split",
-    "dedup_clusters",
-    "dedup_exact_keys",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_mktsegments",
-    "doc_fingerprint",
-    "emb_near_dup_lsh",
-    "emb_topk_ivf",
-    "etl_auto_mapping",
-    "etl_auto_mapping_target",
-    "etl_dates_bools",
-    "etl_lookup_skip",
-    "etl_validation_lookup_semi",
-    "incremental_highwater",
-    "json_extract_events",
-    "multimodal_audio",
-    "multimodal_decode",
-    "setop_customers_without_orders",
-    "text_langid",
-    "text_quality",
-    "text_repetition",
-    "text_scrub",
-    "text_stats",
+    "agg_kmv_set_ops",
+    "agg_kmv_overlap_matrix",
+    "agg_kmv_weighted_tokens",
+    "curation_incremental_sample",
+    "graph_part_communities",
+    # (b) the 8 r4 rows deferred from rotation #8 (last verified
+    # round 4, 8 rounds stale — the oldest rows in the registry).
+    "agg_events_hourly",
+    "agg_exact_percentiles",
+    "dedup_fingerprint",
+    "emb_near_dup_pairs",
+    "multimodal_frames",
+    "multimodal_resize",
+    "emb_topk_lsh",
+    "curation_weighted_sample",
+    # (c) drift re-checks: the 29 stalest round-5 rows (last verified
+    # round 5, 7 rounds stale), in registry order.  The 11 remaining
+    # r5 rows (dedup_minhash_join, emb_pq_adc_materialized,
+    # chunk_length_batches, text_bpe_pair_counts, text_bpe_merges,
+    # dedup_repeated_spans_strided, text_bpe_encode,
+    # curation_temperature_mix, reconcile_table_checksum,
+    # dq_referential_integrity, corpus_curate_v2) defer to
+    # rotation #10 together with the round-6 window.
+    "agg_regional_supplier_revenue",
+    "scd2_customer_balances",
+    "skew_salted_cohort_join",
+    "etl_scd2_segment",
+    "dedup_incremental_batch",
+    "emb_knn_join",
+    "etl_validation_quarantine_clean",
+    "etl_validation_quarantine_rows",
+    "etl_anonymize_ops",
+    "etl_curation_mix_split",
+    "text_bm25_rank",
+    "dedup_containment",
+    "emb_semantic_dedup",
+    "er_fuzzy_join_parts",
+    "ir_rrf_fusion",
+    "privacy_k_anonymity",
+    "emb_lsh_recall_audit",
+    "text_bigram_logprob",
+    "er_resolve_parts",
+    "dedup_repeated_spans",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "agg_custorder_distribution",
+    "agg_small_qty_revenue",
+    "curation_token_budget",
+    "emb_ivf_pq_topk",
+    "emb_pq_recall_audit",
+    "text_quality_classifier",
+    "text_quality_classifier_trained",
 ]
-# Rotation #9 (round 12): keep the 8 anchors; include the round-11
-# additions first (never-sampled beats stale):
-#   agg_kmv_set_ops (KMV set algebra: union/intersect/Jaccard across
-#     two segment sketches, hash-exact replay),
-#   curation_incremental_sample (mergeable bottom-k uniform eval
-#     panel, fold-parity pinned),
-#   agg_kmv_weighted_tokens (dedup-aware distinct-sum from weighted
-#     sample states),
-#   graph_part_communities (synchronous LPA over the part
-#     co-purchase graph, 3 unrolled-round oracle);
-# then continue the drift re-check ladder with the 8 deferred r4 rows
-# above plus the next-oldest cum-green rows (the round-5 window).
+# Rotation #10 (round 13): keep the 8 anchors; include any round-12
+# session additions first (never-sampled beats stale); then continue
+# the drift ladder with the 11 remaining r5 rows named above and the
+# round-6 window (cdc_apply_events, window_events_anomaly,
+# dedup_canonical_corpus, agg_shipping_priority_top10, ...).
 
 
 def _rotated(mapping: dict, *, strict: bool) -> dict:
