@@ -24,6 +24,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def _require_numeric_ids(edges: DataFrame, src: str, dst: str, op: str) -> None:
+    """Validate the documented numeric-id determinism contract up front.
+
+    Both iterative operators compare and tie-break node ids as numbers
+    (``-F.col(...)`` / uniform-rank arithmetic); a string id column
+    would otherwise surface as a raw ANSI ``AnalysisException`` deep in
+    round 1 instead of a contextual error at the call site."""
+    dtypes = dict(edges.select(src, dst).dtypes)
+    bad = {
+        c: t for c, t in dtypes.items()
+        if not t.startswith(_NUMERIC_PREFIXES)
+    }
+    if bad:
+        cols = ", ".join(f"{c} ({t})" for c, t in sorted(bad.items()))
+        raise ValueError(
+            f"{op}: node id columns must be numeric — got {cols}. "
+            "Ids are compared and tie-broken as numbers (the "
+            "determinism contract); hash or dictionary-encode string "
+            "ids first, e.g. F.xxhash64(col)."
+        )
+
 
 def pagerank(
     edges: DataFrame,
@@ -72,6 +98,7 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    _require_numeric_ids(edges, src, dst, "pagerank")
     w = F.col(weight_col) if weight_col else F.lit(1)
     # the caller's edge-construction plan (often a self-join) is read by
     # deg, norm AND nodes — materialize it once, not 3-4×
@@ -157,6 +184,7 @@ def label_propagation(
     re-runs rounds 1..k-1 or the caller's edge-construction plan."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    _require_numeric_ids(edges, src, dst, "label_propagation")
     w = F.col(weight_col) if weight_col else F.lit(1)
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")

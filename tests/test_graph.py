@@ -127,3 +127,36 @@ def test_label_propagation_two_communities_and_tiebreak(spark):
 
     with _pt.raises(ValueError, match="iterations"):
         label_propagation(edges, "src", "dst", iterations=0)
+
+
+def test_numeric_id_contract_guard(spark):
+    """String node ids must fail at the CALL SITE with the contextual
+    numeric-id message, not as a raw ANSI AnalysisException from
+    ``-F.col("label")`` inside round 1 (VERDICT r11 watch-item)."""
+    import pytest as _pt
+
+    from orion_etl_oracle_to_postgres_spark.operators.graph import (
+        label_propagation,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with _pt.raises(ValueError, match="label_propagation: node id.*hash"):
+        label_propagation(edges, "src", "dst")
+    with _pt.raises(ValueError, match="pagerank: node id.*hash"):
+        pagerank(edges, "src", "dst")
+
+    # one-sided drift (numeric src, string dst) names ONLY the bad column
+    mixed = spark.createDataFrame([(1, "b")], "src long, dst string")
+    with _pt.raises(ValueError, match=r"dst \(string\)") as ei:
+        pagerank(mixed, "src", "dst")
+    assert "src (" not in str(ei.value)
+
+    # date ids are non-numeric too (comparison would be lexical)
+    dated = spark.createDataFrame(
+        [(1, 2)], "src long, dst long"
+    ).select("src", F.to_date(F.lit("2024-01-01")).alias("dst"))
+    with _pt.raises(ValueError, match=r"dst \(date\)"):
+        label_propagation(dated, "src", "dst")
