@@ -855,3 +855,35 @@ def test_kmv_overlap_containment_catches_embedded_segment(spark):
     assert r["jaccard_e6"] < 0.25          # tiny overlap share
     assert r["contain_g2_e6"] >= 0.8       # but small ⊂ big
     assert r["contain_g1_e6"] <= 0.25
+
+
+def test_bloom_cms_spark_matches_python_model(spark):
+    """Pin the Spark state cells to the pure-Python md5 replay that
+    tests/test_properties.py drives with hypothesis — anchoring the
+    property models to the real operators (the portable hash family is
+    BYTE-identical across engines by construction)."""
+    from tests.test_properties import _py_bloom_build, _py_cms_build
+
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_bloom_state,
+        build_cms_state,
+    )
+
+    vals = [3, 17, 17, 99, 4096, 77777]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+
+    got_words = {
+        r["word_idx"]: r["word"]
+        for r in build_bloom_state(df, "k", m_bits=512, k=4).collect()
+    }
+    want = _py_bloom_build(set(vals), 512, 4)
+    # Spark stores the sign-bit mask as a negative long; compare mod 2^64
+    assert {i: w % (1 << 64) for i, w in got_words.items()} == {
+        i: w % (1 << 64) for i, w in want.items()
+    }
+
+    got_cells = {
+        (r["row_idx"], r["col_idx"]): r["cnt"]
+        for r in build_cms_state(df, "k", width=64, depth=3).collect()
+    }
+    assert got_cells == _py_cms_build([(v, 1) for v in vals], 64, 3)

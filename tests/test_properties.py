@@ -220,3 +220,165 @@ def test_kmv_fold_equals_full_build_any_split(vals, n_parts, k):
         {h for p in parts for h in _py_kmv(p, k)}
     )[:k]
     assert folded == _py_kmv(vals, k)
+
+
+# ---------------- Bloom membership invariants ----------------
+# Same argument as the KMV block: the bit positions are portable md5
+# double-hashing (operators/aggstate.py:_bloom_positions, the
+# construction the DuckDB oracles replay), so a pure-Python replay IS
+# the model; test_aggstate pins Spark == model on representative cases.
+
+
+def _py_bloom_positions(v, m: int, k: int, seed: str = "bloom"):
+    hx = _hashlib.md5(f"{v}:{seed}".encode()).hexdigest()
+    h1 = int(hx[0:15], 16) % m
+    h2 = (int(hx[16:31], 16) % m) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _py_bloom_build(vals, m: int, k: int, seed: str = "bloom"):
+    words = {}
+    for v in vals:
+        for b in _py_bloom_positions(v, m, k, seed):
+            words[b >> 6] = words.get(b >> 6, 0) | (1 << (b & 63))
+    return words
+
+
+def _py_bloom_probe(words, v, m: int, k: int, seed: str = "bloom") -> bool:
+    return all(
+        words.get(b >> 6, 0) & (1 << (b & 63))
+        for b in _py_bloom_positions(v, m, k, seed)
+    )
+
+
+_bloom_m = st.sampled_from([64, 128, 512, 4096])
+_bloom_k = st.integers(1, 16)
+
+
+@given(st.sets(st.integers(0, 10_000), max_size=150), _bloom_m, _bloom_k)
+@settings(max_examples=200)
+def test_bloom_no_false_negatives_and_bounds(vals, m, k):
+    """One-sided guarantee (the load-bearing branch): every inserted
+    key probes HIT, for any (m, k) layout; empty state probes all-miss
+    (identity); positions stay in [0, m) and — h2 odd, m a power of
+    two — the k probes of one key never collide (k ≤ 16 < 64 ≤ m), so
+    each key really sets/tests k distinct bits."""
+    words = _py_bloom_build(vals, m, k)
+    for v in vals:
+        assert _py_bloom_probe(words, v, m, k)
+        pos = _py_bloom_positions(v, m, k)
+        assert all(0 <= b < m for b in pos)
+        assert len(set(pos)) == len(pos)
+    empty = _py_bloom_build([], m, k)
+    for v in list(vals)[:5] or [0]:
+        assert not _py_bloom_probe(empty, v, m, k)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=200),
+    st.integers(1, 5),
+    _bloom_m,
+    _bloom_k,
+)
+@settings(max_examples=200)
+def test_bloom_fold_equals_full_build_any_split(vals, n_parts, m, k):
+    """Word-wise OR of per-part states == the full-history state, for
+    ANY partitioning — OR is idempotent/commutative/associative, so
+    replayed increments and arbitrary fold orders are harmless (the
+    equality merge_bloom_states relies on)."""
+    parts = [vals[i::n_parts] for i in range(n_parts)]
+    folded = {}
+    for p in parts:
+        for wi, w in _py_bloom_build(p, m, k).items():
+            folded[wi] = folded.get(wi, 0) | w
+    assert folded == _py_bloom_build(vals, m, k)
+    # idempotence: folding the same increment twice changes nothing
+    for wi, w in _py_bloom_build(parts[0], m, k).items():
+        folded[wi] = folded.get(wi, 0) | w
+    assert folded == _py_bloom_build(vals, m, k)
+
+
+# ---------------- CMS frequency invariants ----------------
+
+
+def _py_cms_cols(v, w: int, d: int, seed: str = "cms"):
+    hx = _hashlib.md5(f"{v}:{seed}".encode()).hexdigest()
+    h1 = int(hx[0:15], 16) % w
+    h2 = (int(hx[16:31], 16) % w) | 1
+    return [(h1 + r * h2) % w for r in range(d)]
+
+
+def _py_cms_build(pairs, w: int, d: int, seed: str = "cms"):
+    """pairs: (value, weight) with weight >= 0; cells keyed (row, col)."""
+    cells = {}
+    for v, wt in pairs:
+        for r, c in enumerate(_py_cms_cols(v, w, d, seed)):
+            cells[(r, c)] = cells.get((r, c), 0) + wt
+    return cells
+
+
+def _py_cms_estimate(cells, v, w: int, d: int, seed: str = "cms") -> int:
+    return min(
+        cells.get((r, c), 0)
+        for r, c in enumerate(_py_cms_cols(v, w, d, seed))
+    )
+
+
+_cms_w = st.sampled_from([16, 64, 1024])
+_cms_d = st.integers(1, 8)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=1,
+        max_size=200,
+    ),
+    _cms_w,
+    _cms_d,
+)
+@settings(max_examples=200)
+def test_cms_never_underestimates(pairs, w, d):
+    """The one-sided guarantee: for every inserted key, the min-over-
+    rows estimate is >= its true weighted count (each counter carries
+    truth plus NON-NEGATIVE collision mass); never-inserted keys
+    estimate >= 0; the per-key row columns stay in [0, w)."""
+    cells = _py_cms_build(pairs, w, d)
+    truth = {}
+    for v, wt in pairs:
+        truth[v] = truth.get(v, 0) + wt
+    for v, t in truth.items():
+        assert _py_cms_estimate(cells, v, w, d) >= t
+        assert all(0 <= c < w for c in _py_cms_cols(v, w, d))
+    for probe in (10_001, 10_002):  # outside the value domain
+        assert _py_cms_estimate(cells, probe, w, d) >= 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(1, 5),
+    _cms_w,
+    _cms_d,
+)
+@settings(max_examples=200)
+def test_cms_fold_equals_full_build_any_split(pairs, n_parts, w, d):
+    """Cell-wise SUM of per-part states == the full-history state, for
+    ANY partitioning (count additivity — the merge_cms_states
+    equality), and folding more data is MONOTONE: no estimate ever
+    decreases when an increment lands (the property frequency-cap
+    gating depends on)."""
+    parts = [pairs[i::n_parts] for i in range(n_parts)]
+    folded = {}
+    for p in parts:
+        for cell, cnt in _py_cms_build(p, w, d).items():
+            folded[cell] = folded.get(cell, 0) + cnt
+    full = _py_cms_build(pairs, w, d)
+    assert folded == full
+    before = {v: _py_cms_estimate(_py_cms_build(parts[0], w, d), v, w, d)
+              for v, _ in pairs[:20]}
+    for v, est in before.items():
+        assert _py_cms_estimate(full, v, w, d) >= est
