@@ -261,7 +261,33 @@ def main(argv: list[str] | None = None) -> int:
         "j-panel) — the read side of a `sample_panel:` block; exit 1 "
         "if the table has none",
     )
+    parser.add_argument(
+        "--overlap",
+        metavar="STATE_PATH",
+        default=None,
+        help="print the all-pairs segment-overlap / containment matrix "
+        "of a persisted KMV state (parquet written by build_kmv_state "
+        "or a kmv_increment_writer stream): union / intersection / "
+        "Jaccard / both containment directions per overlapping group "
+        "pair, computed entirely in sketch space (kmv_overlap_pairs). "
+        "Pairs below --jaccard-floor are suppressed; a floor > 0 turns "
+        "the verb into a disjointness sign-off (exit 1 when any pair "
+        "clears it)",
+    )
+    parser.add_argument(
+        "--jaccard-floor",
+        type=float,
+        default=0.0,
+        metavar="F",
+        help="with --overlap: only print pairs with estimated Jaccard "
+        ">= F (0..1, default 0 = print every overlapping pair); F > 0 "
+        "also flips the exit code to 1 when any pair clears the floor",
+    )
     args = parser.parse_args(argv)
+    if not 0.0 <= args.jaccard_floor <= 1.0:
+        raise SystemExit(
+            f"--jaccard-floor must be in [0, 1], got {args.jaccard_floor}"
+        )
 
     job = load_job_spec(args.config)
     if args.tables:
@@ -786,6 +812,63 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{grp} #{r['sample_rank']}: {sp.id_column}={r[sp.id_column]!r}")
         print(f"panel: {len(rows)} members")
         return 0
+
+    if args.overlap:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        from .operators.aggstate import (
+            _KMV_STATE_COLS,
+            kmv_overlap_pairs,
+            merge_kmv_states,
+        )
+
+        try:
+            raw = spark.read.parquet(args.overlap)
+        except (AnalysisException, FileNotFoundError) as exc:
+            raise SystemExit(
+                f"--overlap: no KMV state at {args.overlap!r} — persist "
+                "one first (build_kmv_state(...).write.parquet(path) or "
+                "a kmv_increment_writer stream's state_path)"
+            ) from exc
+        group_cols = [c for c in raw.columns if c not in _KMV_STATE_COLS]
+        missing = [c for c in _KMV_STATE_COLS if c not in raw.columns]
+        if missing:
+            raise SystemExit(
+                f"--overlap: {args.overlap!r} is not a KMV state "
+                f"(missing columns {missing}; expected group column(s) "
+                f"plus {_KMV_STATE_COLS})"
+            )
+        if len(group_cols) != 1:
+            raise SystemExit(
+                f"--overlap: state must be keyed by exactly ONE group "
+                f"column to audit pairwise overlaps, got {group_cols or 'none'}"
+                " — rebuild the state keyed by the segment column alone"
+            )
+        gcol = group_cols[0]
+        # fold appended increments first (validates layout drift loudly)
+        state = merge_kmv_states([raw], [gcol])
+        floor = float(args.jaccard_floor)
+        pairs = kmv_overlap_pairs(state, gcol)
+        rows = (
+            pairs.where(F.col("jaccard_e6") >= F.lit(floor))
+            .orderBy(F.col("jaccard_e6").desc(), "g1", "g2")
+            .collect()
+        )
+        logger.info(
+            "overlap %s (group=%s): %d pairs at jaccard >= %g",
+            args.overlap, gcol, len(rows), floor,
+        )
+        for r in rows:
+            print(
+                f"{r['g1']!r} ~ {r['g2']!r}: union={r['union_est']} "
+                f"intersect={r['intersect_est']} jaccard={r['jaccard_e6']} "
+                f"contain_g1={r['contain_g1_e6']} "
+                f"contain_g2={r['contain_g2_e6']}"
+            )
+        verdict = "DISJOINT" if not rows else f"{len(rows)} pairs"
+        print(f"overlap: {verdict} at jaccard floor {floor:g}")
+        return 1 if (floor > 0.0 and rows) else 0
 
     if args.layout:
         import json as _json

@@ -944,3 +944,78 @@ def test_cli_budget_verb(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "dom='a': 80/50 CLOSED" in out
     assert "dom='b': 10/50 open" in out
+
+
+def test_cli_overlap_verb(spark, tmp_path, capsys):
+    """--overlap: all-pairs segment overlap / containment from a
+    persisted KMV state, sketch-space only; a floor > 0 flips the exit
+    code into a disjointness sign-off; friendly errors for a missing
+    path, a non-KMV parquet, and a multi-key state."""
+    import textwrap as _tw
+
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_kmv_state,
+    )
+
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        _tw.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: []
+              connectors:
+                source_files: {{base_path: {tmp_path}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+
+    # a ⊃-ish b (5 of 15 union shared), c disjoint — k far above the
+    # cardinalities so every estimate sits on the exact branch
+    rows = (
+        [("a", v) for v in range(1, 11)]
+        + [("b", v) for v in range(6, 16)]
+        + [("c", v) for v in range(100, 106)]
+    )
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    state_path = str(tmp_path / "kmv_state")
+    build_kmv_state(df, ["seg"], "uid", k=64).write.parquet(state_path)
+
+    with pytest.raises(SystemExit, match="no KMV state at"):
+        main(["--config", cfg, "--overlap", str(tmp_path / "nowhere")])
+
+    assert main(["--config", cfg, "--overlap", state_path]) == 0
+    out = capsys.readouterr().out
+    assert "'a' ~ 'b': union=15 intersect=5 jaccard=0.333333" in out
+    assert "contain_g1=0.5 contain_g2=0.5" in out
+    assert "c" not in [ln.split("'")[1] for ln in out.splitlines() if ln.startswith("'")]
+    assert "overlap: 1 pairs at jaccard floor 0" in out
+
+    # floor above the pair's jaccard: nothing prints, DISJOINT, exit 0
+    assert main(
+        ["--config", cfg, "--overlap", state_path, "--jaccard-floor", "0.5"]
+    ) == 0
+    assert "overlap: DISJOINT" in capsys.readouterr().out
+    # floor below it: the sign-off FAILS (exit 1)
+    assert main(
+        ["--config", cfg, "--overlap", state_path, "--jaccard-floor", "0.2"]
+    ) == 1
+
+    with pytest.raises(SystemExit, match="jaccard-floor must be in"):
+        main(["--config", cfg, "--overlap", state_path, "--jaccard-floor", "2"])
+
+    # not a KMV state: friendly shape error
+    bad = str(tmp_path / "plain")
+    df.write.parquet(bad)
+    with pytest.raises(SystemExit, match="not a KMV state"):
+        main(["--config", cfg, "--overlap", bad])
+
+    # multi-key state: refuse with the rebuild hint
+    multi = str(tmp_path / "multi")
+    build_kmv_state(
+        df.withColumn("day", df.uid % 2), ["seg", "day"], "uid", k=64
+    ).write.parquet(multi)
+    with pytest.raises(SystemExit, match="exactly ONE group column"):
+        main(["--config", cfg, "--overlap", multi])
