@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "curation_doremi_sample",  # MW weights applied: hash-prefix draw
     "etl_doremi_sample",  # declarative sample.method: doremi twin
     "curation_doremi_token_sample",  # MW weights on a TOKEN budget
+    "etl_state_kmv_nightly",  # declarative state: block, two-night KMV fold
 ]
 
 

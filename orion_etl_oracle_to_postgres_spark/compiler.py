@@ -1908,6 +1908,23 @@ def _finish_compile(
     for r in self_rules:
         df = self_lookup(df, r.target or r.source, r.lookup)
 
+    # state: columns must resolve against the OUTGOING frame — checked
+    # at compile time so --explain catches a drifted name before the
+    # nightly run does (the quality_filter precedent)
+    if spec.state is not None:
+        st = spec.state
+        need = [*st.keys, st.value_column] + (
+            [st.weight_column] if st.weight_column else []
+        )
+        missing = [c for c in need if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{spec.target_table}: state block column(s) {missing} "
+                f"not in pipeline output {df.columns} — the state builds "
+                "from the outgoing (target-side) rows; name target "
+                "columns, not source ones"
+            )
+
     return CompiledTable(
         spec=spec,
         df=df,
@@ -2195,6 +2212,7 @@ def run_table(
                     "%s: validation %s — %d violating rows",
                     spec.target_table, label, n,
                 )
+        _write_state_increment(ctx, spec, compiled)
         if compiled.incremental_commit is not None:
             compiled.incremental_commit()
         _run_finalize_hooks(ctx, spec)
@@ -2236,6 +2254,7 @@ def run_table(
             )
         loader(out, ctx, spec)
         _write_quarantine(ctx, spec, compiled)
+        _write_state_increment(ctx, spec, compiled)
         if compiled.incremental_commit is not None:
             compiled.incremental_commit()
         _run_finalize_hooks(ctx, spec)  # reference runs finalize after EVERY load path
@@ -2316,6 +2335,7 @@ def run_table(
             logger.warning(
                 "%s: validation %s — %d violating rows", spec.target_table, label, n
             )
+    _write_state_increment(ctx, spec, compiled)
     if compiled.incremental_commit is not None:
         compiled.incremental_commit()
     _run_finalize_hooks(ctx, spec)
@@ -2722,6 +2742,45 @@ def _write_quarantine(
         spec.quarantine_table,
         spec.target_schema if ctx.global_spec.connectors.target_files is None else None,
         mode=spec.write_mode,
+    )
+
+
+def default_state_dir(spec: TableSpec) -> str:
+    """Where a ``state:`` block's increments land when the block names
+    no ``state_path`` — per (source, target) pair like the stream
+    state dirs, so two specs loading one source into different targets
+    never fold each other's increments."""
+    return (
+        spec.state.state_path
+        or f".state/{spec.source_table}__{spec.target_table}/agg_state"
+    )
+
+
+def _write_state_increment(
+    ctx: JobContext, spec: TableSpec, compiled: CompiledTable
+) -> None:
+    """Append tonight's mergeable-state increment (``state:`` block) —
+    called after the main load succeeds and BEFORE the high-water mark
+    commits, so a crash between the two replays the same window into
+    the same ``mark=`` subdirectory (overwrite, never double-count).
+    A window that admitted no rows (new_mark None) appends nothing."""
+    if spec.state is None:
+        return
+    from .operators.statemaint import write_state_increment
+
+    mark = getattr(compiled.incremental_commit, "new_mark", None)
+    if mark is None:
+        logger.info(
+            "%s: no new rows this window — no state increment",
+            spec.target_table,
+        )
+        return
+    path = write_state_increment(
+        compiled.df, spec.state, default_state_dir(spec), mark
+    )
+    logger.info(
+        "%s: appended %s state increment at %s",
+        spec.target_table, spec.state.kind, path,
     )
 
 

@@ -1971,3 +1971,97 @@ def etl_doremi_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _compile(spark, sf_dir, spec).select(
         "doc_id", "source", "n_tokens", "domain_weight", "target_tokens"
     )
+
+
+def _state_kmv_sql() -> str:
+    """Oracle for the declarative nightly-state query: fold == full-
+    history build (the KMV family property, pinned by the pipeline
+    itself), so the oracle simply replays the ONE-SHOT bottom-16 KMV
+    build + finalize over the whole slice."""
+    hv = _hex2int_sql("substr(md5(CAST(user_id AS VARCHAR) || ':nk0'), 1, 15)")
+    return f"""
+    WITH e AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE event_id % 20 = 0 AND user_id IS NOT NULL),
+    dh AS (SELECT DISTINCT event_type, {hv} AS hv FROM e),
+    bk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv, row_number() OVER (
+          PARTITION BY event_type ORDER BY hv ASC) AS rn
+        FROM dh
+      ) WHERE rn <= 16
+    )
+    SELECT event_type, count(*)::BIGINT AS n_kept,
+           (CASE WHEN count(*) < 16 THEN count(*)::DOUBLE
+                 ELSE round(15 / (max(hv)::DOUBLE / 1152921504606846976.0), 0)
+            END)::BIGINT AS approx_distinct
+    FROM bk GROUP BY event_type
+    """
+
+
+@query("etl_state_kmv_nightly", _state_kmv_sql())
+def etl_state_kmv_nightly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative MERGEABLE-STATE maintenance
+    (``state:`` block, spec.AggStateSpec → operators/statemaint.py —
+    VERDICT r11 ask #4): an ``incremental.mode: batch`` table loads a
+    5% events slice over TWO nightly high-water-mark windows, and each
+    run also appends one bounded bottom-16 KMV increment of distinct
+    user_ids per event_type (the compiler's ``_write_state_increment``
+    hook, mark-keyed overwrite). The returned frame is the ``--state``
+    read side: every increment folded (layout-validated) and finalized
+    to per-type distinct estimates. Fold == full-history build is the
+    family property, so the oracle replays the one-shot KMV over the
+    whole slice — any drift in the nightly wiring (missed window,
+    double-counted replay, drifted layout) breaks the match. At 100 TB
+    each night costs one map-side-combined aggregate over that night's
+    rows; the lifetime state stays ≤ k longs per key with history
+    never rescanned."""
+    import os
+    import tempfile
+
+    from .compiler import run_table
+    from .operators.statemaint import finalize_state_report
+    from .spec import IncrementalSpec
+
+    base = tempfile.mkdtemp(prefix="orion_state_kmv_")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id", "event_type", "user_id")
+    )
+    cut = int(ev.agg(F.max("event_id")).collect()[0][0]) // 2
+    land = os.path.join(base, "src", "events_s")
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=os.path.join(base, "src")),
+            target_files=FilesConnectorSpec(base_path=os.path.join(base, "out")),
+        )
+    )
+    spec = TableSpec(
+        source_table="events_s",
+        target_table="events_loaded",
+        write_mode="append",
+        incremental=IncrementalSpec(
+            watermark_column="event_id",
+            state_path=os.path.join(base, "hwm.json"),
+        ),
+        mappings=[
+            MappingSpec(source="event_id", target="event_id"),
+            MappingSpec(source="event_type", target="event_type"),
+            MappingSpec(source="user_id", target="user_id"),
+        ],
+        state={
+            "kind": "kmv",
+            "keys": ["event_type"],
+            "value_column": "user_id",
+            "k": 16,
+            "seed": "nk0",
+            "state_path": os.path.join(base, "aggstate"),
+        },
+    )
+    for night in (
+        ev.where(F.col("event_id") <= cut),
+        ev.where(F.col("event_id") > cut),
+    ):
+        night.write.mode("append").parquet(land)
+        run_table(JobContext(spark, g), spec)
+    return finalize_state_report(spark, spec.state.state_path, spec.state)

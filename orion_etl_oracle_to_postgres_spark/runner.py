@@ -275,6 +275,17 @@ def main(argv: list[str] | None = None) -> int:
         "clears it)",
     )
     parser.add_argument(
+        "--state",
+        metavar="TABLE",
+        default=None,
+        help="print TABLE's folded lifetime mergeable-aggregate state "
+        "(fold of every nightly increment, layout-validated) finalized "
+        "per kind: distinct estimates (kmv), the uniform panel "
+        "(sample), moments (stats), quantiles (hist), filter "
+        "saturation (bloom), sketch totals (cms) — the read side of a "
+        "`state:` block; exit 1 if the table has none",
+    )
+    parser.add_argument(
         "--jaccard-floor",
         type=float,
         default=0.0,
@@ -811,6 +822,34 @@ def main(argv: list[str] | None = None) -> int:
             grp = ", ".join(f"{c}={r[c]!r}" for c in sp.group_columns)
             print(f"{grp} #{r['sample_rank']}: {sp.id_column}={r[sp.id_column]!r}")
         print(f"panel: {len(rows)} members")
+        return 0
+
+    if args.state:
+        from .compiler import default_state_dir
+        from .operators.statemaint import finalize_state_report
+
+        tspec, _ = _resolve_full_spec(args.state, "--state")
+        if tspec.state is None:
+            raise SystemExit(
+                f"--state: table {tspec.target_table!r} declares no "
+                "state block"
+            )
+        st = tspec.state
+        rows = _read_monitor(
+            lambda pth: finalize_state_report(spark, pth, st),
+            default_state_dir(tspec),
+            "--state",
+            "state",
+        )
+        order = list(st.keys) or rows.columns[:1]
+        rows = rows.orderBy(*order).collect()
+        logger.info(
+            "state %s: kind=%s, %d report rows",
+            tspec.target_table, st.kind, len(rows),
+        )
+        for r in rows:
+            print(", ".join(f"{c}={r[c]!r}" for c in r.asDict()))
+        print(f"state: {st.kind}, {len(rows)} rows")
         return 0
 
     if args.overlap:

@@ -1269,6 +1269,154 @@ class FrequencyCapSpec(BaseModel):
         return self
 
 
+class AggStateSpec(BaseModel):
+    """[engine extension] Declarative MERGEABLE-AGGREGATE-STATE
+    maintenance (SURVEY.md §2.9/§2.11) — the ``mode: batch`` twin of
+    the streaming monitor quartet, closing the aggstate story for YAML
+    users: each nightly run of an ``incremental.mode: batch`` table
+    ALSO appends one bounded state increment built from the rows it
+    loaded (``operators/statemaint.py`` dispatching into
+    ``operators/aggstate.py``), and the read side (``--state`` verb /
+    ``read_folded_state``) folds every increment into the lifetime
+    state WITHOUT rescanning history — O(tonight's rows) per night and
+    O(increments × state-size) per read, never O(lifetime rows).
+
+    Six state kinds, each the family's documented fold:
+
+    - ``kmv`` — per-``keys`` bottom-k distinct sketch of
+      ``value_column`` (fold exact, estimate replayable)
+    - ``sample`` — per-``keys`` bottom-k uniform id panel (fold ==
+      full-history build row-for-row, prefix-consistent)
+    - ``stats`` — per-``keys`` count/sum/ssq/min/max monoid of
+      ``value_column`` (exact)
+    - ``hist`` — per-``keys`` equi-width histogram of ``value_column``
+      over the declared ``[lo, hi)`` × ``n_buckets`` layout (exact
+      fold; quantiles bounded by one bucket width)
+    - ``bloom`` — global membership filter of ``value_column``
+      (word-OR fold; no-false-negative probes)
+    - ``cms`` — global frequency sketch of ``value_column`` (cell-SUM
+      fold; never-underestimate probes)
+
+    Increments land under ``state_path`` (default
+    ``.state/<source>__<target>/agg_state``) in per-watermark-window
+    subdirectories written with overwrite — a retried run over the
+    same (mark, new-mark] window replaces its own piece instead of
+    double-counting (the monitor family's idempotency rule, which
+    matters for the NON-duplicate-proof folds: cms/stats/hist). Layout
+    (k/seed/m/width/depth/lo/hi/buckets) travels IN the state rows and
+    any drift across increments fails LOUDLY at fold time — the family
+    contract. A run that admits no new rows appends nothing."""
+
+    kind: str  # kmv | sample | stats | hist | bloom | cms
+    #: the column sketched/sampled/summed (TARGET-side name — the
+    #: state builds from the outgoing pipeline rows)
+    value_column: str
+    #: group keys (target-side names) for the keyed kinds; must stay
+    #: empty for the global kinds (bloom/cms)
+    keys: List[str] = Field(default_factory=list)
+    #: kmv/sample bottom-k size (default 64); bloom hash count
+    #: (default 5)
+    k: Optional[int] = None
+    #: hash seed (default = the kind name, matching the library)
+    seed: Optional[str] = None
+    m_bits: int = 1 << 16  # bloom filter size (power of two)
+    width: int = 1 << 12  # cms width (power of two)
+    depth: int = 4  # cms depth
+    #: cms only: sum this column instead of counting rows
+    weight_column: Optional[str] = None
+    lo: Optional[float] = None  # hist range (required for kind: hist)
+    hi: Optional[float] = None
+    n_buckets: int = 128  # hist buckets
+    #: hist read side: quantiles the --state verb finalizes
+    quantiles: List[float] = Field(default_factory=lambda: [0.5, 0.9, 0.99])
+    #: where increments land; default .state/<source>__<target>/agg_state
+    state_path: Optional[str] = None
+
+    _KEYED = ("kmv", "sample", "stats", "hist")
+    _GLOBAL = ("bloom", "cms")
+
+    @model_validator(mode="after")
+    def _state_shape(self) -> "AggStateSpec":
+        kinds = self._KEYED + self._GLOBAL
+        if self.kind not in kinds:
+            raise ValueError(
+                f"state kind must be one of {'|'.join(kinds)}, "
+                f"got {self.kind!r}"
+            )
+        if self.kind in self._KEYED and not self.keys:
+            raise ValueError(
+                f"state kind={self.kind} needs keys: the per-group "
+                "columns the state is maintained for (for a single "
+                "global group, key on a constant column)"
+            )
+        if self.kind in self._GLOBAL and self.keys:
+            raise ValueError(
+                f"state kind={self.kind} is a global sketch over "
+                f"value_column — it takes no keys (got {self.keys})"
+            )
+        if self.kind == "hist" and (self.lo is None or self.hi is None):
+            raise ValueError(
+                "state kind=hist needs the declared bucket range: lo + hi"
+            )
+        if self.kind == "hist" and not (self.hi > self.lo):
+            raise ValueError(
+                f"state kind=hist needs hi > lo, got [{self.lo}, {self.hi})"
+            )
+        if self.weight_column is not None and self.kind != "cms":
+            raise ValueError(
+                "state weight_column only applies to kind: cms "
+                "(weighted frequency)"
+            )
+        # mirror the operators' layout validation at PARSE time (the
+        # sibling-knob rule) — a bad layout must fail at spec load,
+        # not at the first nightly increment
+        if self.kind == "bloom":
+            if self.m_bits < 64 or (self.m_bits & (self.m_bits - 1)) != 0:
+                raise ValueError(
+                    "state m_bits must be a power of two >= 64, "
+                    f"got {self.m_bits}"
+                )
+            if not (1 <= (self.k or 5) <= 16):
+                raise ValueError(
+                    f"state kind=bloom k (hash count) must be in [1, 16], "
+                    f"got {self.k}"
+                )
+        if self.kind in ("kmv", "sample") and self.k is not None and self.k < 2:
+            raise ValueError(f"state kind={self.kind} k must be >= 2, got {self.k}")
+        if self.kind == "cms":
+            if self.width < 16 or (self.width & (self.width - 1)) != 0:
+                raise ValueError(
+                    f"state width must be a power of two >= 16, got {self.width}"
+                )
+            if not (1 <= self.depth <= 8):
+                raise ValueError(
+                    f"state depth must be in [1, 8], got {self.depth}"
+                )
+            if self.width * self.depth > (1 << 16):
+                raise ValueError(
+                    f"state width*depth = {self.width * self.depth} exceeds "
+                    f"the {1 << 16}-cell collected-probe cap"
+                )
+        if self.kind == "hist" and self.n_buckets < 1:
+            raise ValueError(
+                f"state n_buckets must be >= 1, got {self.n_buckets}"
+            )
+        for q in self.quantiles:
+            if not (0.0 < q <= 1.0):
+                raise ValueError(f"state quantiles must be in (0, 1], got {q}")
+        return self
+
+    @property
+    def effective_k(self) -> int:
+        return self.k if self.k is not None else (5 if self.kind == "bloom" else 64)
+
+    @property
+    def effective_seed(self) -> str:
+        if self.seed is not None:
+            return self.seed
+        return {"sample": "smp"}.get(self.kind, self.kind)
+
+
 class TableSpec(BaseModel):
     """Per-table job spec (reference ``TableConfig``,
     ``/root/reference/mappings/parser.py:77-133``)."""
@@ -1354,6 +1502,10 @@ class TableSpec(BaseModel):
     #: outgoing rows (see ``TokenBudgetSpec``; gates AFTER
     #: first_sighting/frequency_cap)
     token_budget: Optional[TokenBudgetSpec] = None
+    #: batch-incremental-only: append a bounded mergeable-aggregate
+    #: state increment per nightly run (see ``AggStateSpec``); read
+    #: the folded lifetime state with ``--state``
+    state: Optional[AggStateSpec] = None
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
@@ -1432,6 +1584,25 @@ class TableSpec(BaseModel):
                 "batch table use sample.method: token_budget / unimax (one "
                 "corpus pass, no running state)"
             )
+        if self.state is not None:
+            if self.incremental is None:
+                # a full-refresh table re-sees every row each run: a
+                # state "increment" would re-count history nightly —
+                # exactly the O(lifetime) rescan the block exists to kill
+                raise ValueError(
+                    "state requires incremental.mode: batch — a non-"
+                    "incremental table has no bounded nightly increment "
+                    "to fold; build the state in one pass with "
+                    "operators/aggstate.build_* instead"
+                )
+            if self.incremental.mode != "batch":
+                raise ValueError(
+                    "state requires incremental.mode: batch — on a "
+                    "streaming table use the monitor blocks "
+                    "(first_sighting / frequency_cap / sample_panel / "
+                    "token_budget) or the library monitors in "
+                    "streaming/, which maintain the same folds per drain"
+                )
         return self
 
 

@@ -106,6 +106,11 @@ def incremental_read(
             state.set(key, str(new_mark))
             logger.info("advanced high-water mark %s -> %s", key, new_mark)
 
+    # the snapshot bound, exposed for consumers that label per-window
+    # artifacts (the declarative state: block keys its increment
+    # directory on it so a retried window overwrites its own piece);
+    # None = the source had no new rows
+    commit.new_mark = new_mark
     return df, commit
 
 
