@@ -852,8 +852,15 @@ def kmv_set_estimates(
     intersection 0, Jaccard 0, union = that side's estimate. Layout
     drift (different k/seed) fails loudly with the bounded probe.
 
+    Set DIFFERENCE rides the same combined bottom-k (the theta-sketch
+    construction, Dasgupta et al. 2016): the fraction of the union's
+    sketch present in exactly one side estimates that side's exclusive
+    mass — ``diff_ab_est`` ≈ |A\\B| and ``diff_ba_est`` ≈ |B\\A|
+    (exact in the exact branch; the three estimates partition
+    ``union_est`` up to rounding).
+
     Returns (keys…, ``n_kept``, ``union_est``, ``intersect_est``,
-    ``jaccard_e6``).
+    ``diff_ab_est``, ``diff_ba_est``, ``jaccard_e6``).
 
     Scale shape: one union of two ≤ k-rows-per-key states, one
     (keys, hash) groupBy carrying ≤ 2k integer rows per key, one
@@ -895,17 +902,26 @@ def kmv_set_estimates(
         )
         .cast("long")
         .alias("__both"),
+        F.sum(F.when(in_bk & (F.col("__in_a") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__na_bk"),
     )
     u_k = F.col("__hk").cast("double") / F.lit(float(1 << 60))
     union_d = F.when(
         F.col("n_kept") < F.lit(k), F.col("n_kept").cast("double")
     ).otherwise(F.round((F.lit(k) - 1) / u_k, 0))
     rho = F.col("__both").cast("double") / F.col("n_kept")
+    rho_a = (F.col("__na_bk") - F.col("__both")).cast("double") / F.col("n_kept")
+    rho_b = (
+        F.col("n_kept") - F.col("__na_bk")
+    ).cast("double") / F.col("n_kept")
     return agg.select(
         *keys,
         "n_kept",
         union_d.cast("long").alias("union_est"),
         F.round(rho * union_d, 0).cast("long").alias("intersect_est"),
+        F.round(rho_a * union_d, 0).cast("long").alias("diff_ab_est"),
+        F.round(rho_b * union_d, 0).cast("long").alias("diff_ba_est"),
         F.round(rho, 6).alias("jaccard_e6"),
     )
 

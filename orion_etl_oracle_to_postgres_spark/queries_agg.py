@@ -2993,9 +2993,11 @@ def agg_kmv_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
               sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
               max(CASE WHEN rn <= 32 THEN hv END) AS hk,
               sum(CASE WHEN rn <= 32 AND in_a + in_b = 2 THEN 1 ELSE 0 END)
-                ::BIGINT AS nboth
+                ::BIGINT AS nboth,
+              sum(CASE WHEN rn <= 32 AND in_a = 1 THEN 1 ELSE 0 END)
+                ::BIGINT AS na_bk
             FROM r GROUP BY 1),
-    est AS (SELECT event_type, n_kept, nboth,
+    est AS (SELECT event_type, n_kept, nboth, na_bk,
               CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
                    ELSE round(31 / (hk::DOUBLE / 1152921504606846976.0), 0)
               END AS union_d
@@ -3004,6 +3006,10 @@ def agg_kmv_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            union_d::BIGINT AS union_est,
            round((nboth::DOUBLE / n_kept) * union_d, 0)::BIGINT
              AS intersect_est,
+           round(((na_bk - nboth)::DOUBLE / n_kept) * union_d, 0)::BIGINT
+             AS diff_ab_est,
+           round(((n_kept - na_bk)::DOUBLE / n_kept) * union_d, 0)::BIGINT
+             AS diff_ba_est,
            round(nboth::DOUBLE / n_kept, 6) AS jaccard_e6
     FROM est
     """,

@@ -621,11 +621,14 @@ def test_kmv_set_estimates_exact_and_estimate_branches(spark):
     r = kmv_set_estimates(a, b, ["g"]).collect()[0]
     assert r["n_kept"] == 12 and r["union_est"] == 12
     assert r["intersect_est"] == 2
+    # exact branch: set differences exact too (A=0..5, B=4..11)
+    assert r["diff_ab_est"] == 4 and r["diff_ba_est"] == 6
     assert abs(r["jaccard_e6"] - 2 / 12) < 1e-6
 
     # identity: A vs A -> jaccard exactly 1, intersect == union
     ri = kmv_set_estimates(a, a, ["g"]).collect()[0]
     assert ri["jaccard_e6"] == 1.0 and ri["intersect_est"] == ri["union_est"]
+    assert ri["diff_ab_est"] == 0 and ri["diff_ba_est"] == 0
 
     # estimate branch: 400 vs 400 with 200 shared (true J = 1/3,
     # union 600) — bottom-k rho has ~1/sqrt(k) noise at k=64
@@ -641,6 +644,9 @@ def test_kmv_set_estimates_exact_and_estimate_branches(spark):
     assert abs(rb["union_est"] - 600) / 600 < 0.5
     assert abs(rb["jaccard_e6"] - 1 / 3) < 0.25
     assert 0 < rb["intersect_est"] < 600
+    # the three estimates partition the union (up to the 3 roundings)
+    parts = rb["intersect_est"] + rb["diff_ab_est"] + rb["diff_ba_est"]
+    assert abs(parts - rb["union_est"]) <= 2
 
     # one-sided key: the other side is the empty set
     c = build_kmv_state(
@@ -652,6 +658,7 @@ def test_kmv_set_estimates_exact_and_estimate_branches(spark):
     )
     ro = kmv_set_estimates(c, empty, ["g"]).collect()[0]
     assert ro["union_est"] == 5 and ro["intersect_est"] == 0
+    assert ro["diff_ab_est"] == 5 and ro["diff_ba_est"] == 0
     assert ro["jaccard_e6"] == 0.0
 
     # layout drift fails loudly

@@ -166,13 +166,22 @@ def _py_set_est(a_hashes, b_hashes, k: int):
     ua = set(a_hashes) | set(b_hashes)
     bk = sorted(ua)[:k]
     n_kept = len(bk)
-    both = sum(1 for h in bk if h in set(a_hashes) and h in set(b_hashes))
+    sa, sb = set(a_hashes), set(b_hashes)
+    both = sum(1 for h in bk if h in sa and h in sb)
+    na_bk = sum(1 for h in bk if h in sa)
     if n_kept < k:
         union_d = float(n_kept)
     else:
         union_d = round((k - 1) / (bk[-1] / float(1 << 60)), 0)
     rho = both / n_kept if n_kept else 0.0
-    return n_kept, int(union_d), int(round(rho * union_d, 0)), round(rho, 6)
+    diff_ab = int(round((na_bk - both) / n_kept * union_d, 0)) if n_kept else 0
+    diff_ba = (
+        int(round((n_kept - na_bk) / n_kept * union_d, 0)) if n_kept else 0
+    )
+    return (
+        n_kept, int(union_d), int(round(rho * union_d, 0)), round(rho, 6),
+        diff_ab, diff_ba,
+    )
 
 
 @given(
@@ -185,23 +194,30 @@ def test_kmv_set_estimates_model_invariants(a, b, k):
     if not a and not b:
         return
     ha, hb = _py_kmv(a, k), _py_kmv(b, k)
-    n_kept, union_est, intersect_est, jac = _py_set_est(ha, hb, k)
-    # exact branch: union kept < k  =>  every estimate is exact
+    n_kept, union_est, intersect_est, jac, dab, dba = _py_set_est(ha, hb, k)
+    # exact branch: union kept < k  =>  every estimate is exact,
+    # including BOTH set differences
     if n_kept < k:
         assert union_est == len(a | b)
         assert intersect_est == len(a & b)
+        assert dab == len(a - b) and dba == len(b - a)
         truth = len(a & b) / len(a | b) if (a | b) else 0.0
         assert abs(jac - round(truth, 6)) <= 1e-6
     # identity: A vs A
-    ni, ui, ii, ji = _py_set_est(ha, ha, k)
+    ni, ui, ii, ji, dab_i, dba_i = _py_set_est(ha, ha, k)
     assert ii == ui and (ji == 1.0 or ni == 0)
-    # bounds: intersection never exceeds union; jaccard in [0, 1]
+    assert dab_i == 0 and dba_i == 0
+    # bounds: intersection never exceeds union; jaccard in [0, 1];
+    # the three estimates partition the union up to the 3 roundings
     assert 0 <= intersect_est <= union_est
     assert 0.0 <= jac <= 1.0
+    assert dab >= 0 and dba >= 0
+    assert abs((intersect_est + dab + dba) - union_est) <= 2
     # disjointness: no shared value => no shared hash (md5 is a pure
     # function) => estimated intersection exactly 0
     if not (a & b):
         assert intersect_est == 0 and jac == 0.0
+        assert abs(dab + dba - union_est) <= 2
 
 
 @given(
