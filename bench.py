@@ -336,6 +336,7 @@ BENCH_QUERIES = [
     "etl_doremi_sample",  # declarative sample.method: doremi twin
     "curation_doremi_token_sample",  # MW weights on a TOKEN budget
     "etl_state_kmv_nightly",  # declarative state: block, two-night KMV fold
+    "curation_sample_quantiles",  # range-free quantiles off the sample state
 ]
 
 

@@ -823,6 +823,63 @@ def finalize_weighted_sample(
     )
 
 
+def finalize_sample_quantiles(
+    state: DataFrame,
+    keys: "list[str]",
+    id_col: str,
+    value_col: str,
+    qs: "list[float]",
+) -> DataFrame:
+    """RANGE-FREE mergeable quantiles from a bottom-k sample state
+    carrying a value payload — the quantile member the histogram state
+    can't be when [lo, hi) isn't known up front: the bottom-k-by-hash
+    rows are a uniform without-replacement sample of the distinct ids,
+    so the sample's order statistics estimate the population's with
+    the standard ~1/√k quantile error — no declared range, no bucket
+    layout to drift. EXACT while the group kept fewer than k ids (the
+    sample IS the distinct population). ``value_col`` must be a carried
+    payload (a pure function of the id — the ``build_sample_state``
+    carry contract).
+
+    The estimate is the NEAREST-RANK definition (value at rank
+    ⌈q·n⌉, ties broken by id) — deterministic integer arithmetic with
+    no interpolation, so a SQL oracle replays every pick verbatim and
+    the same state yields the same quantiles on any engine. Returns
+    (keys…, ``n_kept``, ``q_<q>``…).
+
+    Scale shape: one keys-partitioned window over ≤ k rows per key
+    (the state, never the corpus) and one map-side-combined aggregate
+    riding the same exchange."""
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    layouts = state.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"finalize_sample_quantiles: incompatible layouts "
+            f"{sorted(map(tuple, layouts))} — states must share (k, seed)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    n_w = Window.partitionBy(*keys)
+    r = state.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(n_w)
+    )
+    aggs = [F.max("__n").cast("long").alias("n_kept")]
+    for q in qs:
+        target = F.ceil(F.lit(float(q)) * F.col("__n")).cast("int")
+        label = f"q_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(F.when(F.col("__rn") == target, F.col(value_col))).alias(
+                label
+            )
+        )
+    return r.groupBy(*keys).agg(*aggs)
+
+
 def kmv_set_estimates(
     state_a: DataFrame,
     state_b: DataFrame,

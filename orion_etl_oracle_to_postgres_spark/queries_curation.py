@@ -1233,3 +1233,66 @@ def curation_incremental_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(agree).alias("paths_agree"),
     )
+
+
+@query(
+    "curation_sample_quantiles",
+    f"""
+    WITH d AS (SELECT DISTINCT lang, doc_id, n_chars FROM documents
+               WHERE doc_id IS NOT NULL),
+    h AS (
+      SELECT lang, doc_id, n_chars,
+             {_hex2int_sql("substr(md5(CAST(doc_id AS VARCHAR) || ':sq0'), 1, 15)")}
+               AS hv
+      FROM d
+    ),
+    bk AS (SELECT lang, doc_id, n_chars FROM (
+             SELECT lang, doc_id, n_chars, row_number() OVER (
+               PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn
+             FROM h
+           ) WHERE rn <= 24),
+    r AS (SELECT lang, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM bk)
+    SELECT lang, max(n)::BIGINT AS n_kept,
+           min(CASE WHEN rn = CAST(ceil(0.25 * n) AS INT) THEN n_chars END)
+             ::BIGINT AS q_0_25,
+           min(CASE WHEN rn = CAST(ceil(0.5 * n) AS INT) THEN n_chars END)
+             ::BIGINT AS q_0_5,
+           min(CASE WHEN rn = CAST(ceil(0.9 * n) AS INT) THEN n_chars END)
+             ::BIGINT AS q_0_9
+    FROM r GROUP BY lang
+    """,
+)
+def curation_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] RANGE-FREE mergeable quantiles from the deterministic
+    bottom-k sample state (operators/aggstate.py:
+    finalize_sample_quantiles): two ingest increments each build a
+    per-language bottom-24 id sample CARRYING n_chars (a pure function
+    of the doc — the carry contract), fold exactly, and the sample's
+    nearest-rank order statistics estimate per-language length
+    quantiles — the quantile question the histogram state can't
+    answer when [lo, hi) isn't known up front, with no bucket layout
+    to drift. Deterministic portable-md5 sampling + integer rank
+    arithmetic, so the oracle replays every pick verbatim (the fold is
+    exact, so it replays over the full corpus in one shot). At 100 TB:
+    state ≤ k rows per key forever; the quantile window ranks ≤ k rows
+    per key, never the corpus."""
+    from .operators import aggstate as A
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    kw = dict(k=24, seed="sq0", carry=["n_chars"])
+    s0 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 0), ["lang"], "doc_id", **kw
+    )
+    s1 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 1), ["lang"], "doc_id", **kw
+    )
+    merged = A.merge_sample_states(
+        [s0, s1], ["lang"], "doc_id", carry=["n_chars"]
+    )
+    return A.finalize_sample_quantiles(
+        merged, ["lang"], "doc_id", "n_chars", [0.25, 0.5, 0.9]
+    )
