@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "curation_doremi_token_sample",  # MW weights on a TOKEN budget
     "etl_state_kmv_nightly",  # declarative state: block, two-night KMV fold
     "curation_sample_quantiles",  # range-free quantiles off the sample state
+    "etl_state_sample_quantiles",  # declarative sample+carry state block
 ]
 
 

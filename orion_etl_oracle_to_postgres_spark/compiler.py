@@ -1915,7 +1915,7 @@ def _finish_compile(
         st = spec.state
         need = [*st.keys, st.value_column] + (
             [st.weight_column] if st.weight_column else []
-        )
+        ) + list(st.carry)
         missing = [c for c in need if c not in df.columns]
         if missing:
             raise ValueError(

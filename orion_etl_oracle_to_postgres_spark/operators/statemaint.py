@@ -55,7 +55,8 @@ def build_state_increment(df: DataFrame, st: AggStateSpec) -> DataFrame:
         return A.build_kmv_state(df, list(st.keys), st.value_column, k=k, seed=seed)
     if st.kind == "sample":
         return A.build_sample_state(
-            df, list(st.keys), st.value_column, k=k, seed=seed
+            df, list(st.keys), st.value_column, k=k, seed=seed,
+            carry=list(st.carry),
         )
     if st.kind == "stats":
         return A.build_agg_state(df, list(st.keys), [st.value_column])
@@ -104,7 +105,9 @@ def read_folded_state(
     if st.kind == "kmv":
         return A.merge_kmv_states([raw], list(st.keys))
     if st.kind == "sample":
-        return A.merge_sample_states([raw], list(st.keys), st.value_column)
+        return A.merge_sample_states(
+            [raw], list(st.keys), st.value_column, carry=list(st.carry)
+        )
     if st.kind == "stats":
         return A.merge_agg_states([raw], list(st.keys), [st.value_column])
     if st.kind == "hist":
@@ -132,6 +135,13 @@ def finalize_state_report(
     if st.kind == "kmv":
         return A.finalize_kmv(state, keys)
     if st.kind == "sample":
+        if st.carry:
+            # carried payload → range-free nearest-rank quantiles of
+            # the FIRST carry column (the declared read-side contract)
+            return A.finalize_sample_quantiles(
+                state, keys, st.value_column, st.carry[0],
+                list(st.quantiles),
+            )
         return A.finalize_sample(state, keys, st.value_column)
     if st.kind == "stats":
         return A.finalize_agg_state(state, keys, [st.value_column])

@@ -2065,3 +2065,107 @@ def etl_state_kmv_nightly(spark: SparkSession, sf_dir: str) -> DataFrame:
         night.write.mode("append").parquet(land)
         run_table(JobContext(spark, g), spec)
     return finalize_state_report(spark, spec.state.state_path, spec.state)
+
+
+def _state_sample_q_sql() -> str:
+    """Oracle for the declarative sample+carry nightly-state query:
+    fold == full-history build (the sample family property, pinned by
+    the pipeline itself), so the oracle replays the ONE-SHOT bottom-24
+    carried sample + nearest-rank quantile finalize over the whole
+    slice."""
+    hv = _hex2int_sql("substr(md5(CAST(doc_id AS VARCHAR) || ':sq1'), 1, 15)")
+    return f"""
+    WITH d AS (SELECT DISTINCT lang, doc_id, n_chars FROM documents
+               WHERE doc_id % 5 = 0 AND doc_id IS NOT NULL),
+    h AS (SELECT lang, doc_id, n_chars, {hv} AS hv FROM d),
+    bk AS (SELECT lang, doc_id, n_chars FROM (
+             SELECT lang, doc_id, n_chars, row_number() OVER (
+               PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn
+             FROM h
+           ) WHERE rn <= 24),
+    r AS (SELECT lang, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM bk)
+    SELECT lang, max(n)::BIGINT AS n_kept,
+           min(CASE WHEN rn = CAST(ceil(0.5 * n) AS INT) THEN n_chars END)
+             ::BIGINT AS q_0_5,
+           min(CASE WHEN rn = CAST(ceil(0.9 * n) AS INT) THEN n_chars END)
+             ::BIGINT AS q_0_9
+    FROM r GROUP BY lang
+    """
+
+
+@query("etl_state_sample_quantiles", _state_sample_q_sql())
+def etl_state_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative sample state WITH a carry
+    (``state: {kind: sample, carry: [...]}``, spec.AggStateSpec →
+    operators/statemaint.py): an ``incremental.mode: batch`` table
+    loads a 20% documents slice over TWO nightly high-water-mark
+    windows; each run appends one bounded bottom-24 id sample per lang
+    CARRYING n_chars (a pure function of the doc — the carry
+    contract). The returned frame is the ``--state`` read side, which
+    a declared carry flips from panel to RANGE-FREE nearest-rank
+    quantiles of the carried value (operators/aggstate.py:
+    finalize_sample_quantiles) — per-lang length medians/p90 with no
+    [lo, hi) bucket layout to declare or drift, the question
+    ``kind: hist`` can't answer up front. Fold == full-history build
+    is the family property, so the oracle replays the one-shot build
+    over the whole slice — a missed window, double-counted replay, or
+    drifted layout breaks the match. At 100 TB each night is one
+    map-side-combined aggregate over that night's rows; the state
+    stays ≤ k (id, carry) rows per key and the quantile window ranks
+    the STATE, never the corpus."""
+    import os
+    import tempfile
+
+    from .compiler import run_table
+    from .operators.statemaint import finalize_state_report
+    from .spec import IncrementalSpec
+
+    base = tempfile.mkdtemp(prefix="orion_state_sq_")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    cut = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    land = os.path.join(base, "src", "docs_s")
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=os.path.join(base, "src")),
+            target_files=FilesConnectorSpec(base_path=os.path.join(base, "out")),
+        )
+    )
+    spec = TableSpec(
+        source_table="docs_s",
+        target_table="docs_loaded",
+        write_mode="append",
+        incremental=IncrementalSpec(
+            watermark_column="doc_id",
+            state_path=os.path.join(base, "hwm.json"),
+        ),
+        mappings=[
+            MappingSpec(source="doc_id", target="doc_id"),
+            MappingSpec(source="lang", target="lang"),
+            MappingSpec(source="n_chars", target="n_chars"),
+        ],
+        state={
+            "kind": "sample",
+            "keys": ["lang"],
+            "value_column": "doc_id",
+            "carry": ["n_chars"],
+            "k": 24,
+            "seed": "sq1",
+            "quantiles": [0.5, 0.9],
+            "state_path": os.path.join(base, "aggstate"),
+        },
+    )
+    for night in (
+        docs.where(F.col("doc_id") <= cut),
+        docs.where(F.col("doc_id") > cut),
+    ):
+        night.write.mode("append").parquet(land)
+        run_table(JobContext(spark, g), spec)
+    return finalize_state_report(spark, spec.state.state_path, spec.state)

@@ -1286,7 +1286,9 @@ class AggStateSpec(BaseModel):
     - ``kmv`` — per-``keys`` bottom-k distinct sketch of
       ``value_column`` (fold exact, estimate replayable)
     - ``sample`` — per-``keys`` bottom-k uniform id panel (fold ==
-      full-history build row-for-row, prefix-consistent)
+      full-history build row-for-row, prefix-consistent); with
+      ``carry:`` payload columns the read side turns into range-free
+      nearest-rank quantiles of the first carried value
     - ``stats`` — per-``keys`` count/sum/ssq/min/max monoid of
       ``value_column`` (exact)
     - ``hist`` — per-``keys`` equi-width histogram of ``value_column``
@@ -1324,10 +1326,18 @@ class AggStateSpec(BaseModel):
     depth: int = 4  # cms depth
     #: cms only: sum this column instead of counting rows
     weight_column: Optional[str] = None
+    #: sample only: payload columns kept alongside each sampled id
+    #: (each must be a pure function of the id — the carry contract);
+    #: with a carry, the --state read side finalizes RANGE-FREE
+    #: nearest-rank quantiles of the FIRST carry column instead of
+    #: printing the panel (the quantile question kind: hist can't
+    #: answer when [lo, hi) isn't known up front)
+    carry: List[str] = Field(default_factory=list)
     lo: Optional[float] = None  # hist range (required for kind: hist)
     hi: Optional[float] = None
     n_buckets: int = 128  # hist buckets
-    #: hist read side: quantiles the --state verb finalizes
+    #: read side: quantiles the --state verb finalizes (kind: hist
+    #: always; kind: sample when a carry is declared)
     quantiles: List[float] = Field(default_factory=lambda: [0.5, 0.9, 0.99])
     #: where increments land; default .state/<source>__<target>/agg_state
     state_path: Optional[str] = None
@@ -1367,6 +1377,23 @@ class AggStateSpec(BaseModel):
                 "state weight_column only applies to kind: cms "
                 "(weighted frequency)"
             )
+        if self.carry and self.kind != "sample":
+            raise ValueError(
+                "state carry only applies to kind: sample (payload "
+                "columns kept alongside each sampled id)"
+            )
+        if self.carry:
+            clash = [
+                c for c in self.carry
+                if c == self.value_column or c in self.keys
+            ]
+            if clash:
+                raise ValueError(
+                    f"state carry columns {clash} collide with "
+                    "value_column/keys — a carry is an EXTRA payload"
+                )
+            if len(set(self.carry)) != len(self.carry):
+                raise ValueError(f"duplicate state carry columns: {self.carry}")
         # mirror the operators' layout validation at PARSE time (the
         # sibling-knob rule) — a bad layout must fail at spec load,
         # not at the first nightly increment

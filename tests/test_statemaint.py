@@ -33,6 +33,10 @@ def _docs(spark, n=40):
     [
         AggStateSpec(kind="kmv", value_column="uid", keys=["grp"], k=8),
         AggStateSpec(kind="sample", value_column="id", keys=["grp"], k=5),
+        AggStateSpec(
+            kind="sample", value_column="id", keys=["grp"], k=5,
+            carry=["val"], quantiles=[0.5, 0.9],
+        ),
         AggStateSpec(kind="stats", value_column="val", keys=["grp"]),
         AggStateSpec(
             kind="hist", value_column="val", keys=["grp"],
@@ -102,6 +106,29 @@ def test_layout_drift_refuses_loudly(spark, tmp_path):
         ).collect()
 
 
+def test_sample_carry_quantile_report(spark, tmp_path):
+    """A sample state with a carry flips the --state read side from
+    panel to range-free nearest-rank quantiles of the first carried
+    column — equal to finalizing a one-shot full-history build, with
+    the declared-quantile column labels."""
+    st = AggStateSpec(
+        kind="sample", value_column="id", keys=["grp"], k=6,
+        carry=["val"], quantiles=[0.5, 0.9],
+    )
+    df = _docs(spark)
+    path = str(tmp_path / "state")
+    SM.write_state_increment(df.where(F.col("id") < 17), st, path, "n1")
+    SM.write_state_increment(df.where(F.col("id") >= 17), st, path, "n2")
+    got = SM.finalize_state_report(spark, path, st)
+    assert set(got.columns) == {"grp", "n_kept", "q_0_5", "q_0_9"}
+    want = A.finalize_sample_quantiles(
+        SM.build_state_increment(df, st), ["grp"], "id", "val", [0.5, 0.9]
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_mark_sanitization():
     assert SM.sanitize_mark("2024-01-02 03:04:05") == "2024-01-02_03_04_05"
     assert SM.sanitize_mark(17) == "17"
@@ -129,6 +156,16 @@ def test_spec_refusals():
         )
     with pytest.raises(ValueError, match="power of two"):
         AggStateSpec(kind="cms", value_column="v", width=100)
+    with pytest.raises(ValueError, match="carry only applies"):
+        AggStateSpec(kind="kmv", value_column="v", keys=["a"], carry=["c"])
+    with pytest.raises(ValueError, match="collide with"):
+        AggStateSpec(
+            kind="sample", value_column="v", keys=["a"], carry=["v"]
+        )
+    with pytest.raises(ValueError, match="duplicate state carry"):
+        AggStateSpec(
+            kind="sample", value_column="v", keys=["a"], carry=["c", "c"]
+        )
     with pytest.raises(ValueError, match="kind must be one of"):
         AggStateSpec(kind="hll", value_column="v", keys=["a"])
     # table-level: batch-incremental only
