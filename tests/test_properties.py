@@ -398,3 +398,95 @@ def test_cms_fold_equals_full_build_any_split(pairs, n_parts, w, d):
               for v, _ in pairs[:20]}
     for v, est in before.items():
         assert _py_cms_estimate(full, v, w, d) >= est
+
+
+# ---------------- bottom-k sample-state invariants ----------------
+# Same argument as the KMV/Bloom/CMS blocks: the panel is bottom-k of
+# portable md5 hashes over the DISTINCT ids (order (hash, id) — the
+# construction the DuckDB oracles replay), so a pure-Python replay IS
+# the model; test_aggstate + test_statemaint pin Spark == model on
+# representative cases.
+
+import math as _math
+
+
+def _py_panel(ids, k: int, seed: str = "s"):
+    """The sample state as (hash, id) pairs: bottom-k over distinct
+    non-null ids ordered by (hash, id)."""
+    uniq = {v for v in ids if v is not None}
+    return sorted((_py_hash60(v, seed), v) for v in uniq)[:k]
+
+
+def _py_nearest_rank(panel, val_fn, qs):
+    """finalize_sample_quantiles' model: rank the panel by
+    (value, id), pick rank ceil(q*n)."""
+    ranked = sorted((val_fn(v), v) for _, v in panel)
+    n = len(ranked)
+    return [ranked[_math.ceil(q * n) - 1][0] for q in qs]
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    st.integers(1, 5),
+    st.integers(2, 32),
+)
+@settings(max_examples=200)
+def test_sample_fold_equals_full_build_any_split(vals, n_parts, k):
+    """Bottom-k (by hash, id) of the union of per-part panels == the
+    full-history panel, for ANY partitioning — the merge exactness
+    the declarative state: block and the streaming panel rely on;
+    duplicates across parts collapse (the distinct contract)."""
+    parts = [vals[i::n_parts] for i in range(n_parts)]
+    folded = sorted({p for part in parts for p in _py_panel(part, k)})[:k]
+    assert folded == _py_panel(vals, k)
+
+
+@given(
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=120),
+    st.integers(2, 32),
+    st.integers(1, 32),
+)
+@settings(max_examples=200)
+def test_sample_prefix_consistency_and_exact_below_k(ids, k, j):
+    """Two structure properties: (1) PREFIX CONSISTENCY — the first
+    j <= k members of the k-panel ARE the j-panel (one persisted state
+    serves every panel size); (2) EXACT BELOW K — fewer than k
+    distinct ids means the panel is the whole population, so every
+    downstream estimator's exact branch fires."""
+    j = min(j, k)
+    assert _py_panel(ids, k)[:j] == _py_panel(ids, j)
+    if len(ids) <= k:
+        assert {v for _, v in _py_panel(ids, k)} == ids
+    # duplicates/re-ingest change nothing
+    dup = list(ids) * 3
+    assert _py_panel(dup, k) == _py_panel(ids, k)
+
+
+@given(
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=120),
+    st.integers(2, 32),
+    st.lists(
+        st.floats(0.01, 1.0, allow_nan=False), min_size=1, max_size=4
+    ),
+)
+@settings(max_examples=200)
+def test_sample_quantiles_nearest_rank_invariants(ids, k, qs):
+    """The carried-value quantile read (finalize_sample_quantiles
+    model): (1) every estimate is a sample member's true value;
+    (2) MONOTONE in q; (3) q=1.0 is the sample max; (4) EXACT below k
+    — equals the population nearest-rank quantile; (5) invariant
+    under any split of the ingest (fold == full build)."""
+    val = lambda v: (v * 37) % 1000  # noqa: E731 — pure function of id
+    panel = _py_panel(ids, k)
+    got = _py_nearest_rank(panel, val, sorted(qs) + [1.0])
+    sample_vals = sorted(val(v) for _, v in panel)
+    assert all(g in sample_vals for g in got)
+    assert got == sorted(got)  # monotone in q
+    assert got[-1] == sample_vals[-1]  # q=1.0 -> max
+    if len(ids) <= k:
+        pop = sorted(val(v) for v in ids)
+        for q, g in zip(sorted(qs), got[:-1]):
+            assert g == pop[_math.ceil(q * len(pop)) - 1]
+    two = [list(ids)[0::2], list(ids)[1::2]]
+    folded = sorted({p for part in two for p in _py_panel(part, k)})[:k]
+    assert _py_nearest_rank(folded, val, sorted(qs)) == got[:-1]
