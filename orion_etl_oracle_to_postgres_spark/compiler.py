@@ -2428,7 +2428,7 @@ def _run_streaming_table(
                 f"{compiled.df.columns}"
             )
     if sp is not None:
-        for c in [*sp.group_columns, sp.id_column]:
+        for c in [*sp.group_columns, sp.id_column, *sp.carry]:
             if c not in compiled.df.columns:
                 raise ValueError(
                     f"{spec.target_table}: sample_panel column {c!r} "
@@ -2544,6 +2544,7 @@ def _run_streaming_table(
                     sp.id_column,
                     k=sp.k,
                     seed=sp.seed,
+                    carry=list(sp.carry),
                 ).write.mode("overwrite").parquet(
                     str(state_dir / "panel_state" / f"batch_id={int(batch_id)}")
                 )

@@ -806,6 +806,29 @@ def main(argv: list[str] | None = None) -> int:
             inc.state_path
             or f".stream/{tspec.source_table}__{tspec.target_table}"
         )
+        if sp.carry:
+            # a declared carry flips the read side from member listing
+            # to range-free nearest-rank quantiles of the first
+            # carried value (the batch state: block's rule)
+            from .streaming.kmv_monitor import panel_quantiles
+
+            rows = _read_monitor(
+                lambda pth: panel_quantiles(
+                    spark, pth, list(sp.group_columns), sp.id_column,
+                    sp.carry[0], list(sp.quantiles), carry=list(sp.carry),
+                ),
+                str(state_dir / "panel_state"),
+                "--panel",
+                "sample_panel",
+            ).orderBy(*sp.group_columns).collect()
+            logger.info(
+                "panel %s: quantiles of %r over %d groups",
+                tspec.target_table, sp.carry[0], len(rows),
+            )
+            for r in rows:
+                print(", ".join(f"{c}={r[c]!r}" for c in r.asDict()))
+            print(f"panel: {sp.carry[0]} quantiles, {len(rows)} groups")
+            return 0
         rows = _read_monitor(
             lambda pth: current_panel(
                 spark, pth, list(sp.group_columns), sp.id_column

@@ -1166,6 +1166,14 @@ class SamplePanelSpec(BaseModel):
     id_column: str
     k: int = Field(default=64, ge=1)
     seed: str = "smp"
+    #: payload columns kept alongside each sampled id (each a pure
+    #: function of the id — the carry contract); with a carry,
+    #: ``--panel`` flips from the member listing to RANGE-FREE
+    #: nearest-rank quantiles of the FIRST carry column (the batch
+    #: ``state: {kind: sample, carry: [...]}`` read-side rule)
+    carry: List[str] = Field(default_factory=list)
+    #: quantiles the carry read side finalizes
+    quantiles: List[float] = Field(default_factory=lambda: [0.5, 0.9, 0.99])
 
     @field_validator("group_columns")
     @classmethod
@@ -1173,6 +1181,28 @@ class SamplePanelSpec(BaseModel):
         if not v:
             raise ValueError("sample_panel group_columns must be non-empty")
         return v
+
+    @model_validator(mode="after")
+    def _carry_shape(self) -> "SamplePanelSpec":
+        clash = [
+            c for c in self.carry
+            if c == self.id_column or c in self.group_columns
+        ]
+        if clash:
+            raise ValueError(
+                f"sample_panel carry columns {clash} collide with "
+                "id_column/group_columns — a carry is an EXTRA payload"
+            )
+        if len(set(self.carry)) != len(self.carry):
+            raise ValueError(
+                f"duplicate sample_panel carry columns: {self.carry}"
+            )
+        for q in self.quantiles:
+            if not (0.0 < q <= 1.0):
+                raise ValueError(
+                    f"sample_panel quantiles must be in (0, 1], got {q}"
+                )
+        return self
 
 
 class TokenBudgetSpec(BaseModel):

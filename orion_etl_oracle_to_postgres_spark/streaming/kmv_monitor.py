@@ -49,6 +49,7 @@ from ..operators.aggstate import (
     build_sample_state,
     finalize_kmv,
     finalize_sample,
+    finalize_sample_quantiles,
     merge_kmv_states,
     merge_sample_states,
 )
@@ -100,14 +101,17 @@ def sample_increment_writer(
     k: int = 64,
     seed: str = "smp",
     state_path: str,
+    carry: "list[str] | None" = None,
 ) -> Callable[[DataFrame, int], None]:
     """→ a ``foreachBatch`` writer appending one bottom-k ID-sample
     increment per micro-batch (per-batch-id subdirectory,
-    overwrite-on-replay; duplicate-proof fold like the KMV twin)."""
+    overwrite-on-replay; duplicate-proof fold like the KMV twin).
+    ``carry`` keeps payload columns with each id (function-of-the-id
+    contract) for the quantile read side."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         build_sample_state(
-            batch_df, keys, id_col, k=k, seed=seed
+            batch_df, keys, id_col, k=k, seed=seed, carry=carry
         ).write.mode("overwrite").parquet(
             f"{state_path}/batch_id={int(batch_id)}"
         )
@@ -116,21 +120,59 @@ def sample_increment_writer(
 
 
 def folded_sample_state(
-    spark: SparkSession, state_path: str, keys: "list[str]", id_col: str
+    spark: SparkSession,
+    state_path: str,
+    keys: "list[str]",
+    id_col: str,
+    *,
+    carry: "list[str] | None" = None,
 ) -> DataFrame:
     """Read every appended increment and fold to one bottom-k ID set
     per key (exact, row-for-row the full-history build)."""
     return merge_sample_states(
-        [spark.read.parquet(state_path)], keys, id_col
+        [spark.read.parquet(state_path)], keys, id_col, carry=carry
     )
 
 
 def current_panel(
-    spark: SparkSession, state_path: str, keys: "list[str]", id_col: str
+    spark: SparkSession,
+    state_path: str,
+    keys: "list[str]",
+    id_col: str,
+    *,
+    carry: "list[str] | None" = None,
 ) -> DataFrame:
     """The stream's current uniform eval panel: (keys…, sample_rank,
     id) — rank ≤ j is itself the uniform j-panel (prefix consistency),
     so one persisted stream state serves every panel size up to k."""
     return finalize_sample(
-        folded_sample_state(spark, state_path, keys, id_col), keys, id_col
+        folded_sample_state(spark, state_path, keys, id_col, carry=carry),
+        keys,
+        id_col,
+    )
+
+
+def panel_quantiles(
+    spark: SparkSession,
+    state_path: str,
+    keys: "list[str]",
+    id_col: str,
+    value_col: str,
+    qs: "list[float]",
+    *,
+    carry: "list[str] | None" = None,
+) -> DataFrame:
+    """The stream's range-free nearest-rank quantiles of a CARRIED
+    value (``operators/aggstate.py:finalize_sample_quantiles`` over
+    the folded stream state) — per-group value quantiles of everything
+    ingested so far with no [lo, hi) bucket layout, identical to a
+    batch build over the same rows (fold == full-build)."""
+    return finalize_sample_quantiles(
+        folded_sample_state(
+            spark, state_path, keys, id_col, carry=carry or [value_col]
+        ),
+        keys,
+        id_col,
+        value_col,
+        qs,
     )

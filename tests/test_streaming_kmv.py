@@ -163,3 +163,55 @@ def test_sample_panel_stream_matches_batch_and_is_prefix_consistent(
         (r["g"], r["v"])
         for r in panel.where("sample_rank <= 4").collect()
     }
+
+
+def test_panel_quantiles_carry_stream_matches_batch(spark, tmp_path):
+    """A carried value payload flows through the stream increments and
+    the quantile read equals a one-shot batch build + finalize over
+    the union — the streaming face of the range-free quantile state
+    (fold == full-build, then identical nearest-rank picks)."""
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_sample_state,
+        finalize_sample_quantiles,
+    )
+    from orion_etl_oracle_to_postgres_spark.streaming.kmv_monitor import (
+        panel_quantiles,
+        sample_increment_writer,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(g, v, (v * 37) % 1000) for g, v in rows],
+            "g string, v long, c long",
+        )
+
+    parts = [
+        mk([("a", v) for v in range(40)] + [("b", v) for v in range(4)]),
+        mk([("a", v) for v in range(20, 70)] + [("b", v) for v in range(2, 6)]),
+    ]
+    state = str(tmp_path / "qstate")
+    write = sample_increment_writer(
+        ["g"], "v", k=8, seed="q", state_path=state, carry=["c"]
+    )
+    for i, p in enumerate(parts):
+        write(p, i)
+    got = panel_quantiles(
+        spark, state, ["g"], "v", "c", [0.5, 0.9], carry=["c"]
+    )
+    union = parts[0].union(parts[1])
+    want = finalize_sample_quantiles(
+        build_sample_state(union, ["g"], "v", k=8, seed="q", carry=["c"]),
+        ["g"], "v", "c", [0.5, 0.9],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # group 'b' kept < k ids -> its quantiles are the exact population
+    # nearest-rank picks
+    import math
+
+    vals = sorted((v * 37) % 1000 for v in range(6))
+    row = {r["g"]: r for r in got.collect()}["b"]
+    assert row["n_kept"] == 6
+    assert row["q_0_5"] == vals[math.ceil(0.5 * 6) - 1]
+    assert row["q_0_9"] == vals[math.ceil(0.9 * 6) - 1]

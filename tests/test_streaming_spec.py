@@ -886,3 +886,92 @@ def test_streaming_token_budget_gates_and_folds_exactly(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="token_budget column 'nope'"):
         run_table(ctx, bad)
+
+
+def test_streaming_sample_panel_carry_quantile_read(spark, tmp_path):
+    """A `sample_panel:` with `carry:` keeps the payload in each drain
+    increment and flips the read side from member listing to
+    range-free nearest-rank quantiles of the first carried column —
+    equal to a batch build over everything kept (fold == full-build);
+    carry contracts fail loudly at spec parse and compile."""
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_sample_state,
+        finalize_sample_quantiles,
+    )
+    from orion_etl_oracle_to_postgres_spark.streaming.kmv_monitor import (
+        panel_quantiles,
+    )
+
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    out = tmp_path / "out"
+    state = tmp_path / "state"
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id long, grp string, nch long"
+        ).coalesce(1).write.mode("append").parquet(str(land))
+
+    t = spec_mod.TableSpec(
+        source_table="land", target_table="t_panq", write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming", state_path=str(state)
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="grp", target="grp"),
+            spec_mod.MappingSpec(source="nch", target="nch"),
+        ],
+        sample_panel=spec_mod.SamplePanelSpec(
+            group_columns=["grp"], id_column="id", k=6, seed="pq",
+            carry=["nch"], quantiles=[0.5, 0.9],
+        ),
+    )
+    ctx = JobContext(spark=spark, global_spec=_global(src, out))
+    mkrows = lambda lo, hi: [  # noqa: E731 — nch pure function of id
+        (i, "en" if i % 2 else "de", (i * 37) % 1000) for i in range(lo, hi)
+    ]
+    feed(mkrows(0, 12))
+    run_table(ctx, t)
+    feed(mkrows(12, 30))
+    run_table(ctx, t)
+    got = panel_quantiles(
+        spark, str(state / "panel_state"), ["grp"], "id", "nch",
+        [0.5, 0.9], carry=["nch"],
+    )
+    want = finalize_sample_quantiles(
+        build_sample_state(
+            spark.read.parquet(str(out / "t_panq")), ["grp"], "id",
+            k=6, seed="pq", carry=["nch"],
+        ),
+        ["grp"], "id", "nch", [0.5, 0.9],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert set(got.columns) == {"grp", "n_kept", "q_0_5", "q_0_9"}
+
+    # contracts: collision, duplicate, bad quantile, typo'd carry col
+    with pytest.raises(ValueError, match="collide with"):
+        spec_mod.SamplePanelSpec(
+            group_columns=["grp"], id_column="id", carry=["id"]
+        )
+    with pytest.raises(ValueError, match="duplicate sample_panel carry"):
+        spec_mod.SamplePanelSpec(
+            group_columns=["grp"], id_column="id", carry=["c", "c"]
+        )
+    with pytest.raises(ValueError, match="quantiles must be"):
+        spec_mod.SamplePanelSpec(
+            group_columns=["grp"], id_column="id", carry=["c"],
+            quantiles=[0.0],
+        )
+    bad = t.model_copy(update={
+        "sample_panel": spec_mod.SamplePanelSpec(
+            group_columns=["grp"], id_column="id", carry=["nope"]
+        ),
+        "target_table": "t_panq2",
+    })
+    with pytest.raises(ValueError, match="sample_panel column 'nope'"):
+        run_table(ctx, bad)
