@@ -263,11 +263,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--overlap",
-        metavar="STATE_PATH",
+        metavar="STATE_PATH_OR_TABLE",
         default=None,
         help="print the all-pairs segment-overlap / containment matrix "
-        "of a persisted KMV state (parquet written by build_kmv_state "
-        "or a kmv_increment_writer stream): union / intersection / "
+        "of a persisted KMV state (parquet written by build_kmv_state, "
+        "a kmv_increment_writer stream, or — when given a job table "
+        "name — that table's state: {kind: kmv} nightly increments): "
+        "union / intersection / "
         "Jaccard / both containment directions per overlapping group "
         "pair, computed entirely in sketch space (kmv_overlap_pairs). "
         "Pairs below --jaccard-floor are suppressed; a floor > 0 turns "
@@ -885,15 +887,43 @@ def main(argv: list[str] | None = None) -> int:
             merge_kmv_states,
         )
 
+        # accept either a state PATH or a table name whose state:
+        # block maintains a KMV state (UX parity with the other
+        # monitor verbs, which all resolve table names)
+        target = args.overlap
+        named = next(
+            (
+                t for t in job.tables
+                if t.target_table == target or t.source_table == target
+            ),
+            None,
+        )
+        if named is not None:
+            if named.state is None or named.state.kind != "kmv":
+                raise SystemExit(
+                    f"--overlap: table {target!r} declares no "
+                    "state: {kind: kmv} block — point --overlap at a "
+                    "persisted KMV state path instead"
+                )
+            from .compiler import default_state_dir
+
+            target = default_state_dir(named)
         try:
-            raw = spark.read.parquet(args.overlap)
+            raw = spark.read.parquet(target)
         except (AnalysisException, FileNotFoundError) as exc:
             raise SystemExit(
-                f"--overlap: no KMV state at {args.overlap!r} — persist "
-                "one first (build_kmv_state(...).write.parquet(path) or "
-                "a kmv_increment_writer stream's state_path)"
+                f"--overlap: no KMV state at {target!r} — persist "
+                "one first (build_kmv_state(...).write.parquet(path), "
+                "a kmv_increment_writer stream's state_path, or a "
+                "state: {kind: kmv} table's nightly increments)"
             ) from exc
-        group_cols = [c for c in raw.columns if c not in _KMV_STATE_COLS]
+        # mark=/batch_id= subdirectories (statemaint nightly / stream
+        # increment layouts) surface as hive partition columns on the
+        # raw read — increment PROVENANCE, not group keys
+        group_cols = [
+            c for c in raw.columns
+            if c not in _KMV_STATE_COLS and c not in ("mark", "batch_id")
+        ]
         missing = [c for c in _KMV_STATE_COLS if c not in raw.columns]
         if missing:
             raise SystemExit(

@@ -1019,3 +1019,100 @@ def test_cli_overlap_verb(spark, tmp_path, capsys):
     ).write.parquet(multi)
     with pytest.raises(SystemExit, match="exactly ONE group column"):
         main(["--config", cfg, "--overlap", multi])
+
+
+def test_cli_overlap_verb_resolves_table_state_block(spark, tmp_path, capsys):
+    """--overlap also accepts a job TABLE name whose state: block
+    maintains a KMV state — it folds that table's nightly increments
+    from the default state dir (UX parity with the other monitor
+    verbs); a table without a kmv state block refuses friendly."""
+    import textwrap as _tw
+
+    from orion_etl_oracle_to_postgres_spark.operators.statemaint import (
+        write_state_increment,
+    )
+    from orion_etl_oracle_to_postgres_spark.spec import AggStateSpec
+
+    (tmp_path / "tables").mkdir()
+    state_dir = tmp_path / "segstate"
+    (tmp_path / "tables" / "seg.yaml").write_text(
+        _tw.dedent(
+            f"""
+            source_table: seg_src
+            target_table: seg_out
+            write_mode: append
+            incremental:
+              watermark_column: uid
+              state_path: {tmp_path / 'hwm.json'}
+            mappings:
+              - {{source: seg, target: seg}}
+              - {{source: uid, target: uid}}
+            state:
+              kind: kmv
+              keys: [seg]
+              value_column: uid
+              k: 64
+              state_path: {state_dir}
+            """
+        )
+    )
+    (tmp_path / "tables" / "plain.yaml").write_text(
+        "source_table: p_src\ntarget_table: p_out\n"
+        "mappings:\n  - {source: a, target: a}\n"
+    )
+    (tmp_path / "config.yaml").write_text(
+        _tw.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [seg.yaml, plain.yaml]
+              connectors:
+                source_files: {{base_path: {tmp_path}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    st = AggStateSpec(
+        kind="kmv", keys=["seg"], value_column="uid", k=64,
+        state_path=str(state_dir),
+    )
+    rows = (
+        [("a", v) for v in range(1, 11)]
+        + [("b", v) for v in range(6, 16)]
+    )
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    # two "nights" of increments under the table's declared state dir
+    write_state_increment(df.where("uid < 9"), st, str(state_dir), "n1")
+    write_state_increment(df.where("uid >= 9"), st, str(state_dir), "n2")
+
+    assert main(["--config", cfg, "--overlap", "seg_out"]) == 0
+    out = capsys.readouterr().out
+    assert "'a' ~ 'b': union=15 intersect=5 jaccard=0.333333" in out
+
+    # a table without a kmv state block refuses with the hint
+    with pytest.raises(SystemExit, match="declares no"):
+        main(["--config", cfg, "--overlap", "p_out"])
+    # a stream's batch_id=-layout state path works too (the other
+    # documented increment layout — batch_id is provenance, not a key)
+    from orion_etl_oracle_to_postgres_spark.streaming.kmv_monitor import (
+        kmv_increment_writer,
+    )
+
+    stream_state = str(tmp_path / "streamstate")
+    w = kmv_increment_writer(["seg"], "uid", k=64, state_path=stream_state)
+    w(df.where("uid < 9"), 0)
+    w(df.where("uid >= 9"), 1)
+    assert main(["--config", cfg, "--overlap", stream_state]) == 0
+    assert (
+        "'a' ~ 'b': union=15 intersect=5 jaccard=0.333333"
+        in capsys.readouterr().out
+    )
+
+    # a kmv table whose increments never landed gets the friendly
+    # empty-state error, naming the resolved dir
+    import shutil
+
+    shutil.rmtree(state_dir)
+    with pytest.raises(SystemExit, match="no KMV state at"):
+        main(["--config", cfg, "--overlap", "seg_out"])
