@@ -338,6 +338,7 @@ BENCH_QUERIES = [
     "etl_state_kmv_nightly",  # declarative state: block, two-night KMV fold
     "curation_sample_quantiles",  # range-free quantiles off the sample state
     "etl_state_sample_quantiles",  # declarative sample+carry state block
+    "curation_token_weighted_quantiles",  # token-mass-weighted length quantiles
 ]
 
 

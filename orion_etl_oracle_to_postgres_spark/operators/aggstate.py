@@ -880,6 +880,67 @@ def finalize_sample_quantiles(
     return r.groupBy(*keys).agg(*aggs)
 
 
+def finalize_weighted_quantiles(
+    state: DataFrame,
+    keys: "list[str]",
+    id_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: "list[float]",
+) -> DataFrame:
+    """WEIGHTED nearest-rank quantiles from a bottom-k sample state
+    carrying a value AND a weight payload — "half our TOKENS sit in
+    docs longer than X", not "half our docs": the quantile of
+    ``value_col`` under the distribution where each sampled id counts
+    ``weight_col`` times. The sample is uniform over distinct ids, so
+    its weighted order statistics estimate the population's (exact
+    while the group kept fewer than k ids). Both payloads must be
+    carried (pure functions of the id — the ``build_sample_state``
+    contract); weights must be non-negative (a negative weight makes
+    the running mass non-monotone and the pick meaningless — the
+    caller's data bug, like a drifted carry).
+
+    Estimate: the LOWER weighted quantile — the smallest value whose
+    running weight (ordered by (value, id)) reaches q · total_weight.
+    Deterministic given integer weights; the same state yields the
+    same picks on any engine, so a SQL oracle replays every one.
+    Returns (keys…, ``n_kept``, ``q_<q>``…).
+
+    Scale shape: one keys-partitioned running-sum window over ≤ k
+    rows per key (the state, never the corpus) and one map-side-
+    combined aggregate riding the same exchange."""
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    layouts = state.select("__k", "__seed").distinct().limit(2).collect()
+    if len(layouts) > 1:
+        raise ValueError(
+            f"finalize_weighted_quantiles: incompatible layouts "
+            f"{sorted(map(tuple, layouts))} — states must share (k, seed)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_w = Window.partitionBy(*keys)
+    r = state.withColumn(
+        "__cumw", F.sum(F.col(weight_col)).over(w)
+    ).withColumn("__totw", F.sum(F.col(weight_col)).over(n_w))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_kept")]
+    for q in qs:
+        label = f"q_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cumw") >= F.lit(float(q)) * F.col("__totw"),
+                    F.col(value_col),
+                )
+            ).alias(label)
+        )
+    return r.groupBy(*keys).agg(*aggs)
+
+
 def kmv_set_estimates(
     state_a: DataFrame,
     state_b: DataFrame,

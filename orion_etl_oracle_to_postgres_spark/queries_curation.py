@@ -1296,3 +1296,81 @@ def curation_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.finalize_sample_quantiles(
         merged, ["lang"], "doc_id", "n_chars", [0.25, 0.5, 0.9]
     )
+
+
+@query(
+    "curation_token_weighted_quantiles",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT source, doc_id, n_chars,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> ''))::BIGINT AS n_tok
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    h AS (
+      SELECT source, doc_id, n_chars, n_tok,
+             {_hex2int_sql("substr(md5(CAST(doc_id AS VARCHAR) || ':wq0'), 1, 15)")}
+               AS hv
+      FROM d
+    ),
+    bk AS (SELECT source, doc_id, n_chars, n_tok FROM (
+             SELECT source, doc_id, n_chars, n_tok, row_number() OVER (
+               PARTITION BY source ORDER BY hv ASC, doc_id ASC) AS rn
+             FROM h
+           ) WHERE rn <= 24),
+    r AS (SELECT source, n_chars,
+                 sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cumw,
+                 sum(n_tok) OVER (PARTITION BY source) AS totw
+          FROM bk)
+    SELECT source, count(*)::BIGINT AS n_kept,
+           min(CASE WHEN cumw >= 0.5 * totw THEN n_chars END)
+             ::BIGINT AS q_0_5,
+           min(CASE WHEN cumw >= 0.9 * totw THEN n_chars END)
+             ::BIGINT AS q_0_9
+    FROM r GROUP BY source
+    """,
+)
+def curation_token_weighted_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] TOKEN-MASS-weighted length quantiles from the carried
+    sample state (operators/aggstate.py:finalize_weighted_quantiles):
+    "half our tokens sit in docs longer than X chars" — the curation
+    question row-quantiles can't answer, because a few long docs hold
+    most of the training mass. Two ingest increments each build a
+    per-source bottom-24 id sample CARRYING (n_chars, n_tok) — both
+    pure functions of the doc (n_tok = the portable lowercase-alnum
+    tokenizer shared with the token-budget family) — fold exactly,
+    and the LOWER weighted quantile picks the smallest length whose
+    running token mass reaches q · total. Deterministic integer
+    arithmetic over the ≤ k sampled rows, so the oracle replays every
+    pick (the fold is exact at this scale, so it replays the one-shot
+    build). At 100 TB: state ≤ k (id, value, weight) rows per key; the
+    running-sum window rides the STATE, never the corpus."""
+    from .operators import aggstate as A
+
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    ).cast("long")
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", n_tok.alias("n_tok")
+    )
+    kw = dict(k=24, seed="wq0", carry=["n_chars", "n_tok"])
+    s0 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 0), ["source"], "doc_id", **kw
+    )
+    s1 = A.build_sample_state(
+        d.where(F.col("doc_id") % 2 == 1), ["source"], "doc_id", **kw
+    )
+    merged = A.merge_sample_states(
+        [s0, s1], ["source"], "doc_id", carry=["n_chars", "n_tok"]
+    )
+    return A.finalize_weighted_quantiles(
+        merged, ["source"], "doc_id", "n_chars", "n_tok", [0.5, 0.9]
+    )

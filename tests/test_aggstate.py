@@ -865,6 +865,97 @@ def test_sample_quantiles_exact_small_fold_parity_and_guards(spark):
         )
 
 
+def test_weighted_quantiles_exact_unit_weight_reduction_and_guards(spark):
+    from orion_etl_oracle_to_postgres_spark.operators.aggstate import (
+        build_sample_state,
+        finalize_sample_quantiles,
+        finalize_weighted_quantiles,
+        merge_sample_states,
+    )
+
+    def mk(pairs):
+        # value and weight both deterministic functions of the id
+        return spark.createDataFrame(
+            [(g, v, (v * 37) % 1000, 1 + v % 5) for g, v in pairs],
+            "g string, v long, c long, w long",
+        )
+
+    kw = dict(k=16, seed="wq")
+    carry = ["c", "w"]
+    # exact branch: 7 distinct ids (< k) -> equals the python-computed
+    # LOWER weighted quantile of the population
+    pop = [(i, (i * 37) % 1000, 1 + i % 5) for i in range(7)]
+    st = build_sample_state(
+        mk([("a", i) for i in range(7)] * 2), ["g"], "v", carry=carry, **kw
+    )
+    got = finalize_weighted_quantiles(
+        st, ["g"], "v", "c", "w", [0.5, 1.0]
+    ).collect()[0]
+    ranked = sorted(pop, key=lambda t: (t[1], t[0]))
+    total = sum(w for _, _, w in ranked)
+
+    def lower_wq(q):
+        cum = 0
+        for _, val, w in ranked:
+            cum += w
+            if cum >= q * total:
+                return val
+
+    assert got["n_kept"] == 7
+    assert got["q_0_5"] == lower_wq(0.5)
+    assert got["q_1_0"] == max(val for _, val, _ in pop)
+
+    # unit weights reduce to the unweighted nearest-rank picks
+    from pyspark.sql import functions as _F
+
+    unit = build_sample_state(
+        mk([("a", i) for i in range(200)]).withColumn("w", _F.lit(1)),
+        ["g"], "v", carry=carry, **kw,
+    )
+    uw = finalize_weighted_quantiles(
+        unit, ["g"], "v", "c", "w", [0.25, 0.5, 0.9]
+    ).collect()[0]
+    nr = finalize_sample_quantiles(
+        unit, ["g"], "v", "c", [0.25, 0.5, 0.9]
+    ).collect()[0]
+    assert (uw["q_0_25"], uw["q_0_5"], uw["q_0_9"]) == (
+        nr["q_0_25"], nr["q_0_5"], nr["q_0_9"]
+    )
+
+    # fold == full build -> identical picks
+    a = build_sample_state(
+        mk([("a", i) for i in range(300)]), ["g"], "v", carry=carry, **kw
+    )
+    b = build_sample_state(
+        mk([("a", i) for i in range(150, 450)]), ["g"], "v", carry=carry,
+        **kw,
+    )
+    merged = merge_sample_states([a, b], ["g"], "v", carry=carry)
+    full = build_sample_state(
+        mk([("a", i) for i in range(450)]), ["g"], "v", carry=carry, **kw
+    )
+    est = finalize_weighted_quantiles(
+        merged, ["g"], "v", "c", "w", [0.5]
+    ).collect()[0]
+    est_full = finalize_weighted_quantiles(
+        full, ["g"], "v", "c", "w", [0.5]
+    ).collect()[0]
+    assert tuple(est) == tuple(est_full)
+
+    # guards
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="quantiles must be"):
+        finalize_weighted_quantiles(st, ["g"], "v", "c", "w", [0.0])
+    other = build_sample_state(
+        mk([("a", 1)]), ["g"], "v", carry=carry, k=8, seed="x"
+    )
+    with _pt.raises(ValueError, match="incompatible layouts"):
+        finalize_weighted_quantiles(
+            merged.unionByName(other), ["g"], "v", "c", "w", [0.5]
+        )
+
+
 def test_kmv_overlap_pairs_matches_pairwise_estimates(spark):
     """The all-pairs overlap matrix equals kmv_set_estimates run pair
     by pair, for every pair that shares a sketch hash; hash-disjoint
