@@ -490,3 +490,144 @@ def test_sample_quantiles_nearest_rank_invariants(ids, k, qs):
     two = [list(ids)[0::2], list(ids)[1::2]]
     folded = sorted({p for part in two for p in _py_panel(part, k)})[:k]
     assert _py_nearest_rank(folded, val, sorted(qs)) == got[:-1]
+
+
+# ---------------- histogram-state invariants ----------------
+# The bucket arithmetic is closed-form on exact integer counts
+# (operators/aggstate.py:build_hist_state / finalize_hist_quantiles —
+# the construction the DuckDB oracles replay), so a pure-Python replay
+# IS the model; test_aggstate pins Spark == model on representative
+# cases. Integer values keep every sum exact in doubles.
+
+
+def _py_hist_build(vals, lo, hi, nb, weights=None):
+    """(buckets, n, mn, mx): clamp-to-edge bucketing, true extent."""
+    width = (hi - lo) / nb
+    buckets = [0] * nb
+    n = 0
+    mn = mx = None
+    for i, v in enumerate(vals):
+        w = 1 if weights is None else weights[i]
+        b = int(_math.floor((v - lo) / width))
+        b = 0 if b < 0 else (nb - 1 if b >= nb else b)
+        buckets[b] += w
+        n += w
+        mn = v if mn is None else min(mn, v)
+        mx = v if mx is None else max(mx, v)
+    return buckets, n, mn, mx
+
+
+def _py_hist_quantile(buckets, lo, hi, nb, n, q):
+    """finalize_hist_quantiles' model: locate the bucket whose running
+    count crosses q*n, interpolate linearly inside it."""
+    target = q * n
+    cum = 0
+    width = (hi - lo) / nb
+    for p, c in enumerate(buckets):
+        if c > 0 and cum + c >= target and cum < target:
+            return lo + width * (p + (target - cum) / c)
+        cum += c
+    return None
+
+
+@given(
+    st.lists(st.integers(-50, 150), min_size=1, max_size=200),
+    st.integers(1, 5),
+    st.integers(1, 32),
+)
+@settings(max_examples=200)
+def test_hist_fold_equals_full_build_any_split(vals, n_parts, nb):
+    """Element-wise bucket SUM of per-part states == the full-history
+    state for ANY partitioning (count additivity — the
+    merge_hist_states equality), with n summing and min/max folding;
+    out-of-range mass clamps to the edge buckets but is never lost."""
+    lo, hi = 0.0, 100.0
+    parts = [vals[i::n_parts] for i in range(n_parts)]
+    folded = [0] * nb
+    fn, fmn, fmx = 0, None, None
+    for p in parts:
+        if not p:
+            continue
+        b, n, mn, mx = _py_hist_build(p, lo, hi, nb)
+        folded = [x + y for x, y in zip(folded, b)]
+        fn += n
+        fmn = mn if fmn is None else min(fmn, mn)
+        fmx = mx if fmx is None else max(fmx, mx)
+    full_b, full_n, full_mn, full_mx = _py_hist_build(vals, lo, hi, nb)
+    assert folded == full_b
+    assert (fn, fmn, fmx) == (full_n, full_mn, full_mx)
+    assert sum(full_b) == len(vals)  # conservation incl. clamped mass
+
+
+@given(
+    st.lists(st.integers(0, 99), min_size=1, max_size=200),
+    st.integers(1, 64),
+    st.floats(0.01, 1.0, allow_nan=False),
+)
+@settings(max_examples=200)
+def test_hist_quantile_within_one_bucket_width(vals, nb, q):
+    """The interpolated histogram quantile lands within ONE bucket
+    width of the true nearest-rank quantile when every value lies in
+    the declared range — the documented error bound."""
+    lo, hi = 0.0, 100.0
+    buckets, n, _, _ = _py_hist_build(vals, lo, hi, nb)
+    est = _py_hist_quantile(buckets, lo, hi, nb, n, q)
+    truth = sorted(vals)[_math.ceil(q * n) - 1]
+    width = (hi - lo) / nb
+    assert est is not None
+    assert abs(est - truth) <= width + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 99), st.integers(1, 5)),
+        min_size=1,
+        max_size=100,
+    ),
+    st.integers(1, 32),
+)
+@settings(max_examples=200)
+def test_hist_weighted_equals_repeated_rows(pairs, nb):
+    """A weight-w row is exactly the row w times — the weighted-build
+    equivalence the operator documents."""
+    lo, hi = 0.0, 100.0
+    vals = [v for v, _ in pairs]
+    ws = [w for _, w in pairs]
+    weighted = _py_hist_build(vals, lo, hi, nb, weights=ws)
+    repeated = _py_hist_build(
+        [v for v, w in pairs for _ in range(w)], lo, hi, nb
+    )
+    assert weighted == repeated
+
+
+# ---------------- stats-monoid invariants ----------------
+
+
+@given(
+    st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=300),
+    st.integers(1, 5),
+)
+@settings(max_examples=200)
+def test_stats_monoid_fold_equals_full_any_split(vals, n_parts):
+    """(count, sum, ssq, min, max) folds associatively under ANY
+    partitioning — the merge_agg_states equality (integer values keep
+    the double sums exact, the integerize-first rule the operators
+    document for fractional inputs)."""
+    def stats(p):
+        return (
+            len(p),
+            sum(p),
+            sum(v * v for v in p),
+            min(p),
+            max(p),
+        )
+
+    parts = [p for p in (vals[i::n_parts] for i in range(n_parts)) if p]
+    folded = (
+        sum(s[0] for s in map(stats, parts)),
+        sum(s[1] for s in map(stats, parts)),
+        sum(s[2] for s in map(stats, parts)),
+        min(s[3] for s in map(stats, parts)),
+        max(s[4] for s in map(stats, parts)),
+    )
+    assert folded == stats(vals)
