@@ -1911,8 +1911,7 @@ def _finish_compile(
     # state: columns must resolve against the OUTGOING frame — checked
     # at compile time so --explain catches a drifted name before the
     # nightly run does (the quality_filter precedent)
-    if spec.state is not None:
-        st = spec.state
+    for st in spec.state_blocks:
         need = [*st.keys, st.value_column] + (
             [st.weight_column] if st.weight_column else []
         ) + list(st.carry)
@@ -1924,6 +1923,8 @@ def _finish_compile(
                 "from the outgoing (target-side) rows; name target "
                 "columns, not source ones"
             )
+    if spec.state_blocks:
+        state_dirs(spec)  # path-collision refusal at compile time
 
     return CompiledTable(
         spec=spec,
@@ -2746,15 +2747,46 @@ def _write_quarantine(
     )
 
 
+def state_dirs(spec: TableSpec) -> "list[tuple]":
+    """Resolve every ``state:`` block to its increment directory —
+    per (source, target) pair like the stream state dirs, so two specs
+    loading one source into different targets never fold each other's
+    increments. A SINGLE block keeps the historical default
+    ``.state/<src>__<tgt>/agg_state`` (existing states keep folding);
+    multiple pathless blocks get ``agg_state_<kind>_<value_column>``
+    suffixes, and any resolved-path collision (two blocks sketching
+    the same (kind, column)) REFUSES at compile with the explicit-path
+    hint — a collision would silently interleave two incompatible
+    increment streams and fail at fold time at the earliest."""
+    from .operators.statemaint import sanitize_mark
+
+    blocks = spec.state_blocks
+    base = f".state/{spec.source_table}__{spec.target_table}"
+    if len(blocks) == 1:
+        b = blocks[0]
+        return [(b, b.state_path or f"{base}/agg_state")]
+    out, seen = [], {}
+    for b in blocks:
+        d = b.state_path or (
+            f"{base}/agg_state_{b.kind}_{sanitize_mark(b.value_column)}"
+        )
+        if d in seen:
+            raise ValueError(
+                f"{spec.target_table}: state blocks "
+                f"({seen[d].kind} of {seen[d].value_column!r} and "
+                f"{b.kind} of {b.value_column!r}) resolve to the same "
+                f"increment directory {d!r} — set state_path explicitly "
+                "on one of them"
+            )
+        seen[d] = b
+        out.append((b, d))
+    return out
+
+
 def default_state_dir(spec: TableSpec) -> str:
-    """Where a ``state:`` block's increments land when the block names
-    no ``state_path`` — per (source, target) pair like the stream
-    state dirs, so two specs loading one source into different targets
-    never fold each other's increments."""
-    return (
-        spec.state.state_path
-        or f".state/{spec.source_table}__{spec.target_table}/agg_state"
-    )
+    """Back-compat single-block resolver (the ``--state`` read path
+    and the registry queries): the first block's directory."""
+    return state_dirs(spec)[0][1]
 
 
 def _write_state_increment(
@@ -2765,7 +2797,7 @@ def _write_state_increment(
     commits, so a crash between the two replays the same window into
     the same ``mark=`` subdirectory (overwrite, never double-count).
     A window that admitted no rows (new_mark None) appends nothing."""
-    if spec.state is None:
+    if not spec.state_blocks:
         return
     from .operators.statemaint import write_state_increment
 
@@ -2776,13 +2808,12 @@ def _write_state_increment(
             spec.target_table,
         )
         return
-    path = write_state_increment(
-        compiled.df, spec.state, default_state_dir(spec), mark
-    )
-    logger.info(
-        "%s: appended %s state increment at %s",
-        spec.target_table, spec.state.kind, path,
-    )
+    for st, state_dir in state_dirs(spec):
+        path = write_state_increment(compiled.df, st, state_dir, mark)
+        logger.info(
+            "%s: appended %s state increment at %s",
+            spec.target_table, st.kind, path,
+        )
 
 
 def _run_finalize_hooks(ctx: JobContext, spec: TableSpec) -> None:

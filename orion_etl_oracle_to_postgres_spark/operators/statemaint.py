@@ -68,6 +68,7 @@ def build_state_increment(df: DataFrame, st: AggStateSpec) -> DataFrame:
             lo=float(st.lo),
             hi=float(st.hi),
             n_buckets=st.n_buckets,
+            weight_col=st.weight_column,
         )
     if st.kind == "bloom":
         return A.build_bloom_state(

@@ -854,27 +854,32 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.statemaint import finalize_state_report
 
         tspec, _ = _resolve_full_spec(args.state, "--state")
-        if tspec.state is None:
+        if not tspec.state_blocks:
             raise SystemExit(
                 f"--state: table {tspec.target_table!r} declares no "
                 "state block"
             )
-        st = tspec.state
-        rows = _read_monitor(
-            lambda pth: finalize_state_report(spark, pth, st),
-            default_state_dir(tspec),
-            "--state",
-            "state",
-        )
-        order = list(st.keys) or rows.columns[:1]
-        rows = rows.orderBy(*order).collect()
-        logger.info(
-            "state %s: kind=%s, %d report rows",
-            tspec.target_table, st.kind, len(rows),
-        )
-        for r in rows:
-            print(", ".join(f"{c}={r[c]!r}" for c in r.asDict()))
-        print(f"state: {st.kind}, {len(rows)} rows")
+        from .compiler import state_dirs
+
+        blocks = state_dirs(tspec)
+        for st, state_dir in blocks:
+            rows = _read_monitor(
+                lambda pth, _st=st: finalize_state_report(spark, pth, _st),
+                state_dir,
+                "--state",
+                "state",
+            )
+            order = list(st.keys) or rows.columns[:1]
+            rows = rows.orderBy(*order).collect()
+            logger.info(
+                "state %s: kind=%s, %d report rows",
+                tspec.target_table, st.kind, len(rows),
+            )
+            if len(blocks) > 1:
+                print(f"-- state kind={st.kind} value={st.value_column}")
+            for r in rows:
+                print(", ".join(f"{c}={r[c]!r}" for c in r.asDict()))
+            print(f"state: {st.kind}, {len(rows)} rows")
         return 0
 
     if args.overlap:
@@ -899,15 +904,24 @@ def main(argv: list[str] | None = None) -> int:
             None,
         )
         if named is not None:
-            if named.state is None or named.state.kind != "kmv":
+            from .compiler import state_dirs
+
+            kmv_dirs = [
+                d for st, d in state_dirs(named) if st.kind == "kmv"
+            ]
+            if not kmv_dirs:
                 raise SystemExit(
                     f"--overlap: table {target!r} declares no "
                     "state: {kind: kmv} block — point --overlap at a "
                     "persisted KMV state path instead"
                 )
-            from .compiler import default_state_dir
-
-            target = default_state_dir(named)
+            if len(kmv_dirs) > 1:
+                raise SystemExit(
+                    f"--overlap: table {target!r} declares "
+                    f"{len(kmv_dirs)} kmv state blocks — point "
+                    f"--overlap at one of their paths: {kmv_dirs}"
+                )
+            target = kmv_dirs[0]
         try:
             raw = spark.read.parquet(target)
         except (AnalysisException, FileNotFoundError) as exc:

@@ -1354,7 +1354,9 @@ class AggStateSpec(BaseModel):
     m_bits: int = 1 << 16  # bloom filter size (power of two)
     width: int = 1 << 12  # cms width (power of two)
     depth: int = 4  # cms depth
-    #: cms only: sum this column instead of counting rows
+    #: cms/hist only: sum this column instead of counting rows (hist:
+    #: nonneg INTEGER weights — the finalized quantiles become
+    #: weighted quantiles, a weight-3 row ≡ the row three times)
     weight_column: Optional[str] = None
     #: sample only: payload columns kept alongside each sampled id
     #: (each must be a pure function of the id — the carry contract);
@@ -1402,10 +1404,10 @@ class AggStateSpec(BaseModel):
             raise ValueError(
                 f"state kind=hist needs hi > lo, got [{self.lo}, {self.hi})"
             )
-        if self.weight_column is not None and self.kind != "cms":
+        if self.weight_column is not None and self.kind not in ("cms", "hist"):
             raise ValueError(
-                "state weight_column only applies to kind: cms "
-                "(weighted frequency)"
+                "state weight_column only applies to kind: cms (weighted "
+                "frequency) or kind: hist (weighted quantiles)"
             )
         if self.carry and self.kind != "sample":
             raise ValueError(
@@ -1559,10 +1561,23 @@ class TableSpec(BaseModel):
     #: outgoing rows (see ``TokenBudgetSpec``; gates AFTER
     #: first_sighting/frequency_cap)
     token_budget: Optional[TokenBudgetSpec] = None
-    #: batch-incremental-only: append a bounded mergeable-aggregate
-    #: state increment per nightly run (see ``AggStateSpec``); read
-    #: the folded lifetime state with ``--state``
-    state: Optional[AggStateSpec] = None
+    #: batch-incremental-only: append bounded mergeable-aggregate
+    #: state increment(s) per nightly run (see ``AggStateSpec``); read
+    #: the folded lifetime state with ``--state``. ONE mapping or a
+    #: LIST of them — a nightly job commonly maintains several
+    #: sketches of the same load (distinct users AND a latency
+    #: histogram); each block folds independently from its own
+    #: directory (``compiler.state_dirs`` derives collision-checked
+    #: defaults)
+    state: Optional[Union[AggStateSpec, List[AggStateSpec]]] = None
+
+    @property
+    def state_blocks(self) -> "List[AggStateSpec]":
+        """The ``state:`` declaration normalized to a list (empty when
+        absent) — every consumer iterates this, never the raw field."""
+        if self.state is None:
+            return []
+        return list(self.state) if isinstance(self.state, list) else [self.state]
 
     @model_validator(mode="after")
     def _zorder_combinations(self) -> "TableSpec":
@@ -1642,6 +1657,11 @@ class TableSpec(BaseModel):
                 "corpus pass, no running state)"
             )
         if self.state is not None:
+            if isinstance(self.state, list) and not self.state:
+                raise ValueError(
+                    "state: an empty list declares nothing — remove the "
+                    "block or declare at least one state mapping"
+                )
             if self.incremental is None:
                 # a full-refresh table re-sees every row each run: a
                 # state "increment" would re-count history nightly —

@@ -359,3 +359,169 @@ def test_state_verb_refused_without_block(spark, tmp_path):
         main([
             "--config", str(tmp_path / "config.yaml"), "--state", "t_n"
         ])
+
+
+def test_state_dirs_resolution_and_collision():
+    """Default increment dirs: a single block keeps the historical
+    ``agg_state`` (existing states keep folding); multiple pathless
+    blocks get kind+column suffixes; two blocks resolving to the same
+    dir refuse at compile with the explicit-path hint."""
+    from orion_etl_oracle_to_postgres_spark.compiler import (
+        default_state_dir,
+        state_dirs,
+    )
+    from orion_etl_oracle_to_postgres_spark.spec import (
+        IncrementalSpec,
+        MappingSpec,
+        TableSpec,
+    )
+
+    def mk(state):
+        return TableSpec(
+            source_table="s", target_table="t", write_mode="append",
+            incremental=IncrementalSpec(watermark_column="id"),
+            mappings=[MappingSpec(source="id", target="id")],
+            state=state,
+        )
+
+    one = mk({"kind": "kmv", "value_column": "v", "keys": ["g"]})
+    assert default_state_dir(one) == ".state/s__t/agg_state"
+    # a 1-element list behaves like the single mapping
+    assert default_state_dir(
+        mk([{"kind": "kmv", "value_column": "v", "keys": ["g"]}])
+    ) == ".state/s__t/agg_state"
+
+    two = mk([
+        {"kind": "kmv", "value_column": "v", "keys": ["g"]},
+        {"kind": "hist", "value_column": "w", "keys": ["g"],
+         "lo": 0, "hi": 10},
+    ])
+    dirs = [d for _, d in state_dirs(two)]
+    assert dirs == [
+        ".state/s__t/agg_state_kmv_v",
+        ".state/s__t/agg_state_hist_w",
+    ]
+
+    clash = mk([
+        {"kind": "kmv", "value_column": "v", "keys": ["g"]},
+        {"kind": "kmv", "value_column": "v", "keys": ["g"], "k": 32},
+    ])
+    with pytest.raises(ValueError, match="same[\\s\\S]*increment directory"):
+        state_dirs(clash)
+
+    with pytest.raises(ValueError, match="empty list"):
+        mk([])
+
+    # weight_column now valid on hist, still refused elsewhere
+    AggStateSpec(
+        kind="hist", value_column="v", keys=["g"], lo=0, hi=10,
+        weight_column="w",
+    )
+    with pytest.raises(ValueError, match="weight_column only applies"):
+        AggStateSpec(
+            kind="sample", value_column="v", keys=["g"], weight_column="w"
+        )
+
+
+def test_multi_state_blocks_nightly_e2e(spark, tmp_path, capsys):
+    """A state: LIST maintains several sketches of the same nightly
+    load: each block appends to its own directory every night, --state
+    prints every report under a kind header, and each fold equals the
+    full-history build (weighted hist included — weight_column on
+    kind: hist)."""
+    import textwrap
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    df = _docs(spark)
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [m.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "m.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            source_table: land
+            target_table: t_m
+            write_mode: append
+            incremental:
+              watermark_column: id
+              state_path: {tmp_path / 'hwm.json'}
+            mappings:
+              - {{source: id, target: id}}
+              - {{source: grp, target: grp}}
+              - {{source: uid, target: uid}}
+              - {{source: val, target: val}}
+            state:
+              - kind: kmv
+                keys: [grp]
+                value_column: uid
+                k: 8
+                state_path: {tmp_path / 'st_kmv'}
+              - kind: hist
+                keys: [grp]
+                value_column: val
+                lo: 0.0
+                hi: 11.0
+                n_buckets: 11
+                weight_column: uid
+                quantiles: [0.5]
+                state_path: {tmp_path / 'st_hist'}
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    from orion_etl_oracle_to_postgres_spark.runner import main
+
+    df.where("id < 20").coalesce(1).write.mode("append").parquet(
+        str(src / "land")
+    )
+    assert main(["--config", cfg]) == 0
+    df.where("id >= 20").coalesce(1).write.mode("append").parquet(
+        str(src / "land")
+    )
+    assert main(["--config", cfg]) == 0
+    # both dirs got both nightly increments
+    for d in ("st_kmv", "st_hist"):
+        marks = sorted(
+            p.name for p in (tmp_path / d).iterdir()
+            if p.name.startswith("mark=")
+        )
+        assert marks == ["mark=19", "mark=39"], d
+
+    assert main(["--config", cfg, "--state", "t_m"]) == 0
+    out = capsys.readouterr().out
+    assert "-- state kind=kmv value=uid" in out
+    assert "-- state kind=hist value=val" in out
+
+    # each fold equals the one-shot full-history build + finalize
+    kmv_want = {
+        tuple(r)
+        for r in A.finalize_kmv(
+            A.build_kmv_state(df, ["grp"], "uid", k=8, seed="kmv"),
+            ["grp"],
+        ).collect()
+    }
+    hist_want = {
+        tuple(r)
+        for r in A.finalize_hist_quantiles(
+            A.build_hist_state(
+                df, ["grp"], "val", lo=0.0, hi=11.0, n_buckets=11,
+                weight_col="uid",
+            ),
+            ["grp"], [0.5],
+        ).collect()
+    }
+    for want in (kmv_want, hist_want):
+        for row in want:
+            frag = f"{row[1]!r}"
+            assert frag in out  # every report value surfaced
