@@ -339,6 +339,7 @@ BENCH_QUERIES = [
     "curation_sample_quantiles",  # range-free quantiles off the sample state
     "etl_state_sample_quantiles",  # declarative sample+carry state block
     "curation_token_weighted_quantiles",  # token-mass-weighted length quantiles
+    "etl_state_weighted_hist",  # declarative weighted-hist state block
 ]
 
 

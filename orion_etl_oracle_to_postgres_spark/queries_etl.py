@@ -2169,3 +2169,114 @@ def etl_state_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         night.write.mode("append").parquet(land)
         run_table(JobContext(spark, g), spec)
     return finalize_state_report(spark, spec.state.state_path, spec.state)
+
+
+def _state_whist_sql(lo=0.0, hi=110000.0, nb=110, qs=(0.5, 0.9)) -> str:
+    """Oracle for the declarative WEIGHTED-hist nightly-state query:
+    fold == full-history build (element-wise integer bucket sums), so
+    the oracle replays the one-shot weighted build + interpolated
+    quantile finalize over the whole slice — bucket counts are
+    quantity SUMS, so the quantiles are where the UNIT MASS sits."""
+    w = (hi - lo) / nb
+    qcols = ",\n           ".join(
+        f"min(CASE WHEN cum >= {q}*n AND (cum - c) < {q}*n AND c > 0 "
+        f"THEN round({lo} + {w}*(p + ({q}*n - (cum - c))/c), 6) END) "
+        f"AS q_{str(q).replace('.', '_')}"
+        for q in qs
+    )
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag AS rflag,
+             least(greatest(CAST(floor((l_extendedprice - {lo}) / {w})
+                                 AS INT), 0), {nb - 1}) AS p,
+             CAST(l_quantity AS BIGINT) AS qw
+      FROM lineitem
+      WHERE l_orderkey % 20 = 0 AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL
+    ),
+    bc AS (SELECT rflag, p, sum(qw)::BIGINT AS c FROM v GROUP BY 1, 2),
+    cum AS (
+      SELECT rflag, p, c,
+             sum(c) OVER (PARTITION BY rflag ORDER BY p) AS cum,
+             sum(c) OVER (PARTITION BY rflag) AS n
+      FROM bc
+    )
+    SELECT rflag, n::BIGINT AS n,
+           {qcols}
+    FROM cum
+    GROUP BY rflag, n
+    """
+
+
+@query("etl_state_weighted_hist", _state_whist_sql())
+def etl_state_weighted_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engine extension] Declarative WEIGHTED histogram state
+    (``state: {kind: hist, weight_column: ...}``): an
+    ``incremental.mode: batch`` table loads a 5% lineitem slice over
+    TWO nightly high-water-mark windows; each run appends one bounded
+    equi-width histogram increment of l_extendedprice per returnflag
+    whose bucket counts SUM l_quantity — so the finalized quantiles
+    answer "below what price does half the UNIT MASS sit", not "half
+    the line items" (the few big-quantity lines carry the mass). The
+    returned frame is the ``--state`` read side: increments folded by
+    exact integer bucket sums and interpolated within the located
+    bucket. Fold == full-history build (weight additivity), so the
+    oracle replays the one-shot weighted build over the whole slice.
+    At 100 TB each night is one map-side-combined (keys × occupied
+    buckets) aggregate; the lifetime state is keys-sized forever."""
+    import os
+    import tempfile
+
+    from .compiler import run_table
+    from .operators.statemaint import finalize_state_report
+    from .spec import IncrementalSpec
+
+    base = tempfile.mkdtemp(prefix="orion_state_wh_")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice", "l_quantity")
+    )
+    cut = int(li.agg(F.max("l_orderkey")).collect()[0][0]) // 2
+    land = os.path.join(base, "src", "li_s")
+    g = GlobalSpec(
+        connectors=ConnectorsSpec(
+            source_files=FilesConnectorSpec(base_path=os.path.join(base, "src")),
+            target_files=FilesConnectorSpec(base_path=os.path.join(base, "out")),
+        )
+    )
+    spec = TableSpec(
+        source_table="li_s",
+        target_table="li_loaded",
+        write_mode="append",
+        incremental=IncrementalSpec(
+            watermark_column="l_orderkey",
+            state_path=os.path.join(base, "hwm.json"),
+        ),
+        mappings=[
+            MappingSpec(source="l_orderkey", target="okey"),
+            MappingSpec(source="l_linenumber", target="lnum"),
+            MappingSpec(source="l_returnflag", target="rflag"),
+            MappingSpec(source="l_extendedprice", target="price"),
+            MappingSpec(source="l_quantity", target="qty"),
+        ],
+        state={
+            "kind": "hist",
+            "keys": ["rflag"],
+            "value_column": "price",
+            "weight_column": "qty",
+            "lo": 0.0,
+            "hi": 110000.0,
+            "n_buckets": 110,
+            "quantiles": [0.5, 0.9],
+            "state_path": os.path.join(base, "aggstate"),
+        },
+    )
+    for night in (
+        li.where(F.col("l_orderkey") <= cut),
+        li.where(F.col("l_orderkey") > cut),
+    ):
+        night.write.mode("append").parquet(land)
+        run_table(JobContext(spark, g), spec)
+    return finalize_state_report(spark, spec.state.state_path, spec.state)
