@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "etl_state_sample_quantiles",  # declarative sample+carry state block
     "curation_token_weighted_quantiles",  # token-mass-weighted length quantiles
     "etl_state_weighted_hist",  # declarative weighted-hist state block
+    "dq_quantile_gate",  # quantile-band DQ expectation
 ]
 
 

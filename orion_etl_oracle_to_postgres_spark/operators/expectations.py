@@ -25,6 +25,12 @@ Check types:
   than ``min`` rows (``operators/privacy.py`` semantics as a GATE:
   refuse to publish a re-identifiable table; the report variant is
   ``privacy.k_anonymity_report``)
+- ``quantile``: the ``q``-quantile of a column within [min, max] — the
+  DISTRIBUTION contract ``bounds`` can't express (a few outliers never
+  move the median; a shifted corpus does). Evaluated with
+  ``percentile_approx`` (one-pass mergeable GK sketch, rank error
+  ≤ 1/accuracy — scale-clean, rides the same wide aggregate); band the
+  limits wider than the sketch error, not at exact row values
 """
 
 from __future__ import annotations
@@ -48,6 +54,8 @@ class Expect:
     ref_column: Optional[str] = None
     as_of: Optional[str] = None
     max_lag_hours: Optional[float] = None
+    q: Optional[float] = None  # quantile only
+    accuracy: int = 10_000  # quantile only: rank error <= n/accuracy
     severity: str = "error"  # error aborts the load; warn only reports
 
     @property
@@ -72,11 +80,15 @@ class Expect:
             ref_column=e.ref_column,
             as_of=e.as_of,
             max_lag_hours=e.max_lag_hours,
+            q=e.q,
+            accuracy=e.accuracy,
             severity=e.severity,
         )
 
 
-_SINGLE_COL_TYPES = ("not_null", "accepted_values", "bounds", "freshness")
+_SINGLE_COL_TYPES = (
+    "not_null", "accepted_values", "bounds", "freshness", "quantile"
+)
 
 
 def _parse_as_of(c: "Expect"):
@@ -150,6 +162,22 @@ def _validate_check(c: Expect) -> None:
             raise ValueError(
                 f"expectation {c.label!r}: benford needs max (the χ² bar "
                 "over 8 df — e.g. 20.09 for p=0.01)"
+            )
+    if c.type == "quantile":
+        if c.q is None or not (0.0 < c.q < 1.0):
+            raise ValueError(
+                f"expectation {c.label!r}: quantile needs q in (0, 1) "
+                f"(got {c.q}; for the max use a bounds check)"
+            )
+        if c.min is None and c.max is None:
+            raise ValueError(
+                f"expectation {c.label!r}: quantile needs min and/or max "
+                "— the allowed band for the observed quantile"
+            )
+        if c.accuracy < 100:
+            raise ValueError(
+                f"expectation {c.label!r}: accuracy must be >= 100, "
+                f"got {c.accuracy}"
             )
 
 
@@ -233,6 +261,15 @@ def run_expectations(
                         f"__e{i}_{dgt}"
                     )
                 )
+        elif c.type == "quantile":
+            # one-pass mergeable GK sketch riding the same wide
+            # aggregate; rank error <= n/accuracy (exact below it)
+            (col,) = c.columns
+            aggs.append(
+                F.percentile_approx(
+                    F.col(col), F.lit(float(c.q)), F.lit(int(c.accuracy))
+                ).alias(f"__e{i}")
+            )
         elif c.type in ("row_count", "unique", "fk", "k_anonymity"):
             pass
         else:
@@ -337,6 +374,19 @@ def run_expectations(
                     chi += tot * (obs - exp_share) ** 2 / exp_share
                 chi = round(chi, 6)
                 rows.append((_lbl, col, chi, f"chi2<={c.max}", chi <= c.max))
+        elif c.type == "quantile":
+            v = wide[f"__e{i}"]
+            band = f"q{c.q} in [{c.min},{c.max}]"
+            if v is None:
+                # empty table / all-NULL column: no quantile exists —
+                # the contract is unverifiable, fail like freshness
+                rows.append((_lbl, col, float("nan"), band, False))
+            else:
+                v = float(v)
+                ok = (c.min is None or v >= c.min) and (
+                    c.max is None or v <= c.max
+                )
+                rows.append((_lbl, col, round(v, 6), band, ok))
         elif c.type == "unique":
             # one grouped aggregate with an early-exit limit: the probe
             # stops at the FIRST duplicate key, it never counts them all

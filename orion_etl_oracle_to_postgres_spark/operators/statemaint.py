@@ -125,10 +125,13 @@ def finalize_state_report(
 ) -> DataFrame:
     """Folded state → the human-readable report the ``--state`` verb
     prints: per-key distinct estimates (kmv), the uniform panel
-    (sample), moments (stats), interpolated quantiles (hist), filter
-    saturation + implied distinct estimate (bloom), or sketch totals
-    (cms). Every branch is driver-bounded: keyed kinds are
-    key-cardinality rows; bloom/cms reduce to ONE summary row."""
+    (sample — or range-free nearest-rank quantiles of the first
+    carried column when the block declares a ``carry``), moments
+    (stats), interpolated quantiles (hist; weighted when the block
+    names a ``weight_column``), filter saturation + implied distinct
+    estimate (bloom), or sketch totals (cms). Every branch is
+    driver-bounded: keyed kinds are key-cardinality rows; bloom/cms
+    reduce to ONE summary row."""
     from pyspark.sql import functions as F
 
     state = read_folded_state(spark, state_path, st)

@@ -1783,3 +1783,53 @@ def quantile_weighted_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "dq_quantile_gate",
+    """
+    WITH q AS (
+      SELECT quantile_disc(o_totalprice, 0.5) AS m
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT 'quantile:o_totalprice' AS "check", 'o_totalprice' AS "column",
+           round(m, 6) AS observed,
+           'q0.5 in [100000.0,400000.0]' AS threshold,
+           (m >= 100000.0 AND m <= 400000.0) AS passed
+    FROM q
+    UNION ALL
+    SELECT 'quantile:o_totalprice#2', 'o_totalprice', round(m, 6),
+           'q0.5 in [None,1000.0]', m <= 1000.0
+    FROM q
+    """,
+)
+def dq_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Quantile banding as a DATA-QUALITY EXPECTATION
+    (operators/expectations.py, type=quantile): the DISTRIBUTION
+    contract ``bounds`` can't express — a few outliers never move the
+    median, a shifted corpus does. Two checks on the order-total
+    median: a sane band (passes) and an absurd one (deterministically
+    FAILED — the report shows both verdicts; duplicate base labels get
+    the ``#2`` suffix). Evaluated with ``percentile_approx`` at an
+    accuracy above the table's row count — EXACT there, and the exact
+    pick equals DuckDB's rank-based ``quantile_disc`` (both take the
+    lower value at the target rank; empirically pinned), so the oracle
+    replays it value-for-value. In production the default 1e4 accuracy
+    bounds rank error to 0.01% of rows — band wider than that, or pay
+    for more accuracy. At 100 TB the GK sketch is one-pass mergeable
+    and rides the same wide aggregate as every other expectation — no
+    sort, no second scan."""
+    o = _t(spark, sf_dir, "orders")
+    from .operators.expectations import Expect, run_expectations
+
+    kw = dict(
+        type="quantile", columns=("o_totalprice",), q=0.5,
+        accuracy=1_000_000,
+    )
+    return run_expectations(
+        o,
+        [
+            Expect(min=100000.0, max=400000.0, **kw),
+            Expect(max=1000.0, **kw),
+        ],
+    )

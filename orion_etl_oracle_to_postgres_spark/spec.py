@@ -533,10 +533,18 @@ class ExpectSpec(BaseModel):
     check aborts the table load (no partial publish), unlike per-row
     validation rules which rewrite or drop individual rows."""
 
-    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness | k_anonymity
+    type: str  # row_count | not_null | unique | accepted_values | bounds | fk | freshness | k_anonymity | benford | quantile
     columns: List[str] = Field(default_factory=list)
     min: Optional[float] = None
     max: Optional[float] = None
+    #: quantile only: which quantile of the column [min, max] bands —
+    #: the DISTRIBUTION contract bounds can't express (a few outliers
+    #: never move the median; a shifted corpus does)
+    q: Optional[float] = None
+    #: quantile only: percentile_approx accuracy — rank error ≤ n/accuracy
+    #: (exact when the table is smaller); raise it when the band is
+    #: tighter than the sketch error, at proportional memory cost
+    accuracy: int = 10_000
     max_null_frac: float = 0.0
     values: List[str] = Field(default_factory=list)
     #: fk only: the parent table/column the column must resolve against
@@ -585,7 +593,7 @@ class ExpectSpec(BaseModel):
     def _known_type(cls, v: str) -> str:
         allowed = (
             "row_count", "not_null", "unique", "accepted_values", "bounds",
-            "fk", "freshness", "k_anonymity", "benford",
+            "fk", "freshness", "k_anonymity", "benford", "quantile",
         )
         if v not in allowed:
             raise ValueError(f"expectation type must be one of {allowed}, got {v!r}")
@@ -600,6 +608,17 @@ class ExpectSpec(BaseModel):
                 "expectation type=fk needs exactly one column plus "
                 "ref_table and ref_column"
             )
+        if self.type == "quantile":
+            if self.q is None or not (0.0 < self.q < 1.0):
+                raise ValueError(
+                    "expectation type=quantile needs q in (0, 1) "
+                    f"(got {self.q}; for the max use a bounds check)"
+                )
+            if self.min is None and self.max is None:
+                raise ValueError(
+                    "expectation type=quantile needs min and/or max — "
+                    "the allowed band for the observed quantile"
+                )
         return self
 
 

@@ -359,3 +359,55 @@ def test_benford_expectation_gate(spark):
 
     spec_mod.ExpectSpec(type="benford", columns=["x"], max=20.09)
     spec_mod.ExpectSpec(type="k_anonymity", columns=["a", "b"], min=2)
+
+
+def test_quantile_expectation_gate(spark):
+    """q-quantile banding: a median inside [min, max] passes, a
+    shifted distribution fails even though its BOUNDS stay identical
+    (the contract bounds can't express); empty/all-NULL fails
+    unverifiable; spec demands q and a band."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+        Expect,
+        run_expectations,
+    )
+    from orion_etl_oracle_to_postgres_spark.spec import ExpectSpec
+
+    # 0..100 uniform: median 50
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    chk = Expect(type="quantile", columns=("x",), q=0.5, min=40.0, max=60.0)
+    out = run_expectations(df, [chk]).collect()
+    assert len(out) == 1 and out[0]["passed"]
+    assert abs(out[0]["observed"] - 50.0) <= 1.0
+    assert out[0]["check"] == "quantile:x"
+
+    # same bounds (0 and 100 present), mass piled at the top: the
+    # bounds check would still pass; the median contract fails
+    shifted = spark.createDataFrame(
+        [(0.0,)] + [(float(90 + i % 11),) for i in range(100)], "x double"
+    )
+    bad = run_expectations(shifted, [chk]).collect()
+    assert not bad[0]["passed"] and bad[0]["observed"] > 60.0
+    both = run_expectations(
+        shifted,
+        [chk, Expect(type="bounds", columns=("x",), min=0.0, max=100.0)],
+    ).collect()
+    assert [r["passed"] for r in both] == [False, True]
+
+    # all-NULL: no quantile exists — unverifiable, fail
+    nul = spark.createDataFrame([(None,), (None,)], "x double")
+    nr = run_expectations(nul, [chk]).collect()
+    assert not nr[0]["passed"]
+
+    # validation: q required and in (0,1); a band required; one column
+    with pytest.raises(ValueError, match="q in \\(0, 1\\)"):
+        run_expectations(df, [Expect(type="quantile", columns=("x",), min=1.0)])
+    with pytest.raises(ValueError, match="q in \\(0, 1\\)"):
+        ExpectSpec(type="quantile", columns=["x"], q=1.5, min=1.0)
+    with pytest.raises(ValueError, match="min and/or max"):
+        ExpectSpec(type="quantile", columns=["x"], q=0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        run_expectations(
+            df, [Expect(type="quantile", columns=("x", "y"), q=0.5, min=0.0)]
+        )
