@@ -631,3 +631,56 @@ def test_stats_monoid_fold_equals_full_any_split(vals, n_parts):
         max(s[4] for s in map(stats, parts)),
     )
     assert folded == stats(vals)
+
+
+def _py_weighted_quantile(panel, val_fn, w_fn, qs):
+    """finalize_weighted_quantiles' model: order by (value, id),
+    running weight; pick the smallest value whose running weight
+    reaches q * total (the LOWER weighted quantile)."""
+    ranked = sorted(((val_fn(v), v) for _, v in panel))
+    total = sum(w_fn(v) for _, v in ranked)
+    out = []
+    for q in qs:
+        cum = 0
+        for val, v in ranked:
+            cum += w_fn(v)
+            if cum >= q * total:
+                out.append(val)
+                break
+    return out
+
+
+@given(
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=120),
+    st.integers(2, 32),
+    st.lists(
+        st.floats(0.01, 1.0, allow_nan=False), min_size=1, max_size=4
+    ),
+)
+@settings(max_examples=200)
+def test_weighted_quantiles_model_invariants(ids, k, qs):
+    """(1) every pick is a sample member's value; (2) MONOTONE in q;
+    (3) q=1.0 is the sample max; (4) UNIT weights reduce to the
+    unweighted nearest-rank picks; (5) invariant under any ingest
+    split (fold == full build); (6) a heavy weight drags the median
+    to its value."""
+    val = lambda v: (v * 37) % 1000  # noqa: E731
+    w = lambda v: 1 + v % 5  # noqa: E731
+    panel = _py_panel(ids, k)
+    got = _py_weighted_quantile(panel, val, w, sorted(qs) + [1.0])
+    sample_vals = sorted(val(v) for _, v in panel)
+    assert all(g in sample_vals for g in got)
+    assert got == sorted(got)
+    assert got[-1] == sample_vals[-1]
+    # unit-weight reduction
+    unit = _py_weighted_quantile(panel, val, lambda v: 1, sorted(qs))
+    assert unit == _py_nearest_rank(panel, val, sorted(qs))
+    # fold invariance
+    two = [list(ids)[0::2], list(ids)[1::2]]
+    folded = sorted({p for part in two for p in _py_panel(part, k)})[:k]
+    assert _py_weighted_quantile(folded, val, w, sorted(qs)) == got[:-1]
+    # dominance: one member carrying >half the total mass IS the median
+    heavy = min(v for _, v in panel)
+    hw = lambda v: 10**9 if v == heavy else 1  # noqa: E731
+    (med,) = _py_weighted_quantile(panel, val, hw, [0.5])
+    assert med == val(heavy)
