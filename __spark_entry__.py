@@ -102,11 +102,12 @@ _FIRST_50 = [
     "text_quality_classifier",
     "text_quality_classifier_trained",
 ]
-# Rotation #10 (round 13): keep the 8 anchors; include ALL FIVE
+# Rotation #10 (round 13): keep the 8 anchors; include ALL SEVEN
 # round-12 additions first (never-sampled beats stale):
 # etl_state_kmv_nightly, curation_sample_quantiles,
 # etl_state_sample_quantiles, curation_token_weighted_quantiles,
-# etl_state_weighted_hist — plus any round-13 session additions; then
+# etl_state_weighted_hist, dq_quantile_gate, dq_distinct_gate — plus
+# any round-13 session additions; then
 # continue the drift ladder with the 11 remaining r5 rows named above
 # and the round-6 window (cdc_apply_events, window_events_anomaly,
 # dedup_canonical_corpus, agg_shipping_priority_top10, ...).

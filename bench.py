@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "curation_token_weighted_quantiles",  # token-mass-weighted length quantiles
     "etl_state_weighted_hist",  # declarative weighted-hist state block
     "dq_quantile_gate",  # quantile-band DQ expectation
+    "dq_distinct_gate",  # distinct-cardinality DQ expectation
 ]
 
 

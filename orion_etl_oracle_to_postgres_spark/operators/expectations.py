@@ -31,6 +31,14 @@ Check types:
   ``percentile_approx`` (one-pass mergeable GK sketch, rank error
   ≤ 1/accuracy — scale-clean, rides the same wide aggregate); band the
   limits wider than the sketch error, not at exact row values
+- ``distinct_count``: exact count(DISTINCT column) within [min, max] —
+  the CARDINALITY contract (``unique`` gates duplicates, ``row_count``
+  gates volume; neither says "tonight's load carries roughly the usual
+  number of users"). NULLs don't count (count-distinct semantics).
+  EXACT — the distinct aggregate adds an Expand to the shared wide
+  pass (Spark plans mixed distinct/plain aggregates in one job); at
+  extreme scale prefer the nightly ``state: {kind: kmv}`` estimate and
+  band that instead
 """
 
 from __future__ import annotations
@@ -87,7 +95,8 @@ class Expect:
 
 
 _SINGLE_COL_TYPES = (
-    "not_null", "accepted_values", "bounds", "freshness", "quantile"
+    "not_null", "accepted_values", "bounds", "freshness", "quantile",
+    "distinct_count",
 )
 
 
@@ -179,6 +188,11 @@ def _validate_check(c: Expect) -> None:
                 f"expectation {c.label!r}: accuracy must be >= 100, "
                 f"got {c.accuracy}"
             )
+    if c.type == "distinct_count" and c.min is None and c.max is None:
+        raise ValueError(
+            f"expectation {c.label!r}: distinct_count needs min and/or "
+            "max — the allowed band for the distinct cardinality"
+        )
 
 
 def _report_labels(checks: Sequence[Expect]) -> list[str]:
@@ -270,6 +284,11 @@ def run_expectations(
                     F.col(col), F.lit(float(c.q)), F.lit(int(c.accuracy))
                 ).alias(f"__e{i}")
             )
+        elif c.type == "distinct_count":
+            # exact; Spark plans mixed distinct/plain aggregates in one
+            # job via Expand — still a single pass over the table
+            (col,) = c.columns
+            aggs.append(F.countDistinct(F.col(col)).alias(f"__e{i}"))
         elif c.type in ("row_count", "unique", "fk", "k_anonymity"):
             pass
         else:
@@ -387,6 +406,12 @@ def run_expectations(
                     c.max is None or v <= c.max
                 )
                 rows.append((_lbl, col, round(v, 6), band, ok))
+        elif c.type == "distinct_count":
+            d = wide[f"__e{i}"] or 0
+            ok = (c.min is None or d >= c.min) and (c.max is None or d <= c.max)
+            rows.append(
+                (_lbl, col, float(d), f"distinct in [{c.min},{c.max}]", ok)
+            )
         elif c.type == "unique":
             # one grouped aggregate with an early-exit limit: the probe
             # stops at the FIRST duplicate key, it never counts them all

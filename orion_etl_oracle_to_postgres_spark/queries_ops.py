@@ -1833,3 +1833,47 @@ def dq_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             Expect(max=1000.0, **kw),
         ],
     )
+
+
+@query(
+    "dq_distinct_gate",
+    """
+    WITH d AS (
+      SELECT count(DISTINCT user_id)::BIGINT AS n FROM events
+    )
+    SELECT 'distinct_count:user_id' AS "check", 'user_id' AS "column",
+           n::DOUBLE AS observed,
+           'distinct in [100.0,100000.0]' AS threshold,
+           (n >= 100.0 AND n <= 100000.0) AS passed
+    FROM d
+    UNION ALL
+    SELECT 'distinct_count:user_id#2', 'user_id', n::DOUBLE,
+           'distinct in [None,10.0]', n <= 10.0
+    FROM d
+    """,
+)
+def dq_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distinct-cardinality banding as a DATA-QUALITY
+    EXPECTATION (operators/expectations.py, type=distinct_count): the
+    contract neither ``unique`` (duplicates) nor ``row_count``
+    (volume) expresses — "tonight's load carries roughly the usual
+    number of users". Two checks on events.user_id: a sane band
+    (passes) and an absurd cap (deterministically FAILED; duplicate
+    base labels get the ``#2`` suffix). EXACT count(DISTINCT) — Spark
+    plans the mixed distinct/plain aggregate set in ONE pass via
+    Expand; the oracle replays it verbatim. At extreme scale the
+    documented alternative is banding the nightly
+    ``state: {kind: kmv}`` estimate instead of an exact distinct."""
+    e = _t(spark, sf_dir, "events")
+    from .operators.expectations import Expect, run_expectations
+
+    return run_expectations(
+        e,
+        [
+            Expect(
+                type="distinct_count", columns=("user_id",),
+                min=100.0, max=100000.0,
+            ),
+            Expect(type="distinct_count", columns=("user_id",), max=10.0),
+        ],
+    )

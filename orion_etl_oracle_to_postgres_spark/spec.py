@@ -594,6 +594,7 @@ class ExpectSpec(BaseModel):
         allowed = (
             "row_count", "not_null", "unique", "accepted_values", "bounds",
             "fk", "freshness", "k_anonymity", "benford", "quantile",
+            "distinct_count",
         )
         if v not in allowed:
             raise ValueError(f"expectation type must be one of {allowed}, got {v!r}")
@@ -619,6 +620,13 @@ class ExpectSpec(BaseModel):
                     "expectation type=quantile needs min and/or max — "
                     "the allowed band for the observed quantile"
                 )
+        if self.type == "distinct_count" and (
+            self.min is None and self.max is None
+        ):
+            raise ValueError(
+                "expectation type=distinct_count needs min and/or max — "
+                "the allowed band for the distinct cardinality"
+            )
         return self
 
 

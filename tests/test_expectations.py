@@ -411,3 +411,53 @@ def test_quantile_expectation_gate(spark):
         run_expectations(
             df, [Expect(type="quantile", columns=("x", "y"), q=0.5, min=0.0)]
         )
+
+
+def test_distinct_count_expectation_gate(spark):
+    """Cardinality banding: exact count(DISTINCT col) in [min, max] —
+    the contract neither unique (duplicates) nor row_count (volume)
+    expresses; NULLs don't count; a band is demanded at spec parse."""
+    import pytest
+
+    from orion_etl_oracle_to_postgres_spark.operators.expectations import (
+        Expect,
+        run_expectations,
+    )
+    from orion_etl_oracle_to_postgres_spark.spec import ExpectSpec
+
+    # 300 rows, 25 distinct users, plus NULLs that must not count
+    df = spark.createDataFrame(
+        [(i % 25,) for i in range(300)] + [(None,)] * 5, "uid int"
+    )
+    chk = Expect(type="distinct_count", columns=("uid",), min=20, max=30)
+    out = run_expectations(df, [chk]).collect()
+    assert len(out) == 1 and out[0]["passed"]
+    assert out[0]["observed"] == 25.0
+    assert out[0]["check"] == "distinct_count:uid"
+
+    # band violated both ways
+    low = run_expectations(
+        df, [Expect(type="distinct_count", columns=("uid",), min=26)]
+    ).collect()
+    assert not low[0]["passed"]
+    high = run_expectations(
+        df, [Expect(type="distinct_count", columns=("uid",), max=24)]
+    ).collect()
+    assert not high[0]["passed"]
+
+    # composes with plain aggregates in the one wide pass
+    both = run_expectations(
+        df,
+        [chk, Expect(type="not_null", columns=("uid",), max_null_frac=0.1)],
+    ).collect()
+    assert [r["passed"] for r in both] == [True, True]
+
+    # contracts: band required (operator + spec), one column
+    with pytest.raises(ValueError, match="min and/or max"):
+        run_expectations(df, [Expect(type="distinct_count", columns=("uid",))])
+    with pytest.raises(ValueError, match="min and/or max"):
+        ExpectSpec(type="distinct_count", columns=["uid"])
+    with pytest.raises(ValueError, match="exactly one"):
+        run_expectations(
+            df, [Expect(type="distinct_count", columns=("a", "b"), min=1)]
+        )
