@@ -296,7 +296,19 @@ def main(argv: list[str] | None = None) -> int:
         ">= F (0..1, default 0 = print every overlapping pair); F > 0 "
         "also flips the exit code to 1 when any pair clears the floor",
     )
+    parser.add_argument(
+        "--out",
+        metavar="PATH",
+        default=None,
+        help="with --panel or --state: ALSO write the report frame(s) "
+        "as parquet under PATH (overwrite) — materialize the eval "
+        "panel / folded state as a dataset instead of copying console "
+        "output; a multi-block --state writes each block to "
+        "PATH/<kind>_<value_column>",
+    )
     args = parser.parse_args(argv)
+    if args.out and not (args.panel or args.state):
+        raise SystemExit("--out only applies to --panel or --state")
     if not 0.0 <= args.jaccard_floor <= 1.0:
         raise SystemExit(
             f"--jaccard-floor must be in [0, 1], got {args.jaccard_floor}"
@@ -814,7 +826,7 @@ def main(argv: list[str] | None = None) -> int:
             # carried value (the batch state: block's rule)
             from .streaming.kmv_monitor import panel_quantiles
 
-            rows = _read_monitor(
+            frame = _read_monitor(
                 lambda pth: panel_quantiles(
                     spark, pth, list(sp.group_columns), sp.id_column,
                     sp.carry[0], list(sp.quantiles), carry=list(sp.carry),
@@ -822,7 +834,11 @@ def main(argv: list[str] | None = None) -> int:
                 str(state_dir / "panel_state"),
                 "--panel",
                 "sample_panel",
-            ).orderBy(*sp.group_columns).collect()
+            ).orderBy(*sp.group_columns)
+            if args.out:
+                frame.write.mode("overwrite").parquet(args.out)
+                print(f"panel written: {args.out}")
+            rows = frame.collect()
             logger.info(
                 "panel %s: quantiles of %r over %d groups",
                 tspec.target_table, sp.carry[0], len(rows),
@@ -831,14 +847,18 @@ def main(argv: list[str] | None = None) -> int:
                 print(", ".join(f"{c}={r[c]!r}" for c in r.asDict()))
             print(f"panel: {sp.carry[0]} quantiles, {len(rows)} groups")
             return 0
-        rows = _read_monitor(
+        frame = _read_monitor(
             lambda pth: current_panel(
                 spark, pth, list(sp.group_columns), sp.id_column
             ),
             str(state_dir / "panel_state"),
             "--panel",
             "sample_panel",
-        ).orderBy(*sp.group_columns, "sample_rank").collect()
+        ).orderBy(*sp.group_columns, "sample_rank")
+        if args.out:
+            frame.write.mode("overwrite").parquet(args.out)
+            print(f"panel written: {args.out}")
+        rows = frame.collect()
         logger.info(
             "panel %s: %d members (k=%d per %s group)",
             tspec.target_table, len(rows), sp.k, sp.group_columns,
@@ -870,7 +890,19 @@ def main(argv: list[str] | None = None) -> int:
                 "state",
             )
             order = list(st.keys) or rows.columns[:1]
-            rows = rows.orderBy(*order).collect()
+            rows = rows.orderBy(*order)
+            if args.out:
+                from .operators.statemaint import sanitize_mark
+
+                dest = (
+                    args.out
+                    if len(blocks) == 1
+                    else f"{args.out}/{st.kind}_"
+                    f"{sanitize_mark(st.value_column)}"
+                )
+                rows.write.mode("overwrite").parquet(dest)
+                print(f"state written: {dest}")
+            rows = rows.collect()
             logger.info(
                 "state %s: kind=%s, %d report rows",
                 tspec.target_table, st.kind, len(rows),

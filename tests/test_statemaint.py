@@ -525,3 +525,74 @@ def test_multi_state_blocks_nightly_e2e(spark, tmp_path, capsys):
         for row in want:
             frag = f"{row[1]!r}"
             assert frag in out  # every report value surfaced
+
+
+def test_state_verb_out_materializes_reports(spark, tmp_path, capsys):
+    """--state --out writes the finalized report(s) as parquet next to
+    printing them: single block writes PATH directly, multiple blocks
+    write PATH/<kind>_<value_column>; --out without a report verb
+    refuses; the written frame equals the printed one."""
+    import textwrap
+
+    src = tmp_path / "src"
+    (src / "land").mkdir(parents=True)
+    df = _docs(spark)
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [m.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    (tmp_path / "tables" / "m.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            source_table: land
+            target_table: t_o
+            write_mode: append
+            incremental:
+              watermark_column: id
+              state_path: {tmp_path / 'hwm.json'}
+            mappings:
+              - {{source: id, target: id}}
+              - {{source: grp, target: grp}}
+              - {{source: uid, target: uid}}
+            state:
+              - kind: kmv
+                keys: [grp]
+                value_column: uid
+                k: 8
+                state_path: {tmp_path / 'st_kmv'}
+              - kind: stats
+                keys: [grp]
+                value_column: uid
+                state_path: {tmp_path / 'st_stats'}
+            """
+        )
+    )
+    cfg = str(tmp_path / "config.yaml")
+    df.coalesce(1).write.mode("append").parquet(str(src / "land"))
+    assert main(["--config", cfg]) == 0
+
+    dest = str(tmp_path / "reports")
+    assert main(["--config", cfg, "--state", "t_o", "--out", dest]) == 0
+    out = capsys.readouterr().out
+    assert f"state written: {dest}/kmv_uid" in out
+    assert f"state written: {dest}/stats_uid" in out
+    kmv = spark.read.parquet(f"{dest}/kmv_uid")
+    want = A.finalize_kmv(
+        A.build_kmv_state(df, ["grp"], "uid", k=8, seed="kmv"), ["grp"]
+    )
+    assert sorted(map(tuple, kmv.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert spark.read.parquet(f"{dest}/stats_uid").count() == 4
+
+    with pytest.raises(SystemExit, match="only applies to"):
+        main(["--config", cfg, "--out", dest])

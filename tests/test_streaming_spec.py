@@ -975,3 +975,82 @@ def test_streaming_sample_panel_carry_quantile_read(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="sample_panel column 'nope'"):
         run_table(ctx, bad)
+
+
+def test_panel_verb_out_materializes_dataset(spark, tmp_path, capsys):
+    """--panel --out writes the current eval panel as parquet (the
+    panel's actual downstream use: a dataset, not console output) —
+    row-for-row the printed panel."""
+    src = tmp_path / "src"
+    land = src / "land"
+    land.mkdir(parents=True)
+    state = tmp_path / "state"
+    t = spec_mod.TableSpec(
+        source_table="land", target_table="t_po", write_mode="append",
+        incremental=spec_mod.IncrementalSpec(
+            watermark_column="id", mode="streaming", state_path=str(state)
+        ),
+        mappings=[
+            spec_mod.MappingSpec(source="id", target="id"),
+            spec_mod.MappingSpec(source="grp", target="grp"),
+        ],
+        sample_panel=spec_mod.SamplePanelSpec(
+            group_columns=["grp"], id_column="id", k=4, seed="po"
+        ),
+    )
+    from orion_etl_oracle_to_postgres_spark.compiler import run_table
+
+    spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(20)],
+        "id long, grp string",
+    ).coalesce(1).write.mode("append").parquet(str(land))
+    ctx = JobContext(spark=spark, global_spec=_global(src, tmp_path / "out"))
+    run_table(ctx, t)
+
+    import textwrap
+
+    (tmp_path / "tables").mkdir()
+    (tmp_path / "tables" / "t.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            source_table: land
+            target_table: t_po
+            write_mode: append
+            incremental:
+              watermark_column: id
+              mode: streaming
+              state_path: {state}
+            mappings:
+              - {{source: id, target: id}}
+              - {{source: grp, target: grp}}
+            sample_panel:
+              group_columns: [grp]
+              id_column: id
+              k: 4
+              seed: po
+            """
+        )
+    )
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            global:
+              tables_folder: tables
+              table_files: [t.yaml]
+              connectors:
+                source_files: {{base_path: {src}}}
+                target_files: {{base_path: {tmp_path / 'out'}}}
+            """
+        )
+    )
+    from orion_etl_oracle_to_postgres_spark.runner import main
+
+    dest = str(tmp_path / "panel_ds")
+    assert main(
+        ["--config", str(tmp_path / "config.yaml"), "--panel", "t_po",
+         "--out", dest]
+    ) == 0
+    out = capsys.readouterr().out
+    assert f"panel written: {dest}" in out
+    ds = spark.read.parquet(dest)
+    assert ds.count() == 8 and set(ds.columns) == {"grp", "sample_rank", "id"}
