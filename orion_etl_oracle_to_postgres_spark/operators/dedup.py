@@ -239,39 +239,51 @@ def _verify_jaccard(
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node u connects its strictly-LARGER
-    neighbors to min(N(u) ∪ {u}). Halves long chains from the high end."""
+    neighbors to min(N(u) ∪ {u}). Halves long chains from the high end.
+
+    Formulated as a window-min over the symmetrized edge list instead of
+    the textbook groupBy+self-join: one exchange on ``__u`` instead of
+    two (the aggregate AND re-partitioning the edge list for the join),
+    with the identical output set. The trailing per-round ``distinct``
+    lives in ``_small_star`` (its reorientation is a no-op on large-star
+    output — every emitted edge already has __u > __v — so one distinct
+    per round covers both steps)."""
+    from pyspark.sql import Window
+
     bi = edges.union(
         edges.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
     )
-    mins = bi.groupBy("__u").agg(F.min("__v").alias("__mn")).select(
-        "__u", F.least("__u", "__mn").alias("__m")
-    )
+    m = F.least(F.col("__u"), F.min("__v").over(Window.partitionBy("__u")))
     return (
-        bi.join(mins, "__u")
+        bi.withColumn("__m", m)
         .filter(F.col("__v") > F.col("__u"))
         .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient every edge larger→smaller, then every
     node u connects all its (smaller) neighbors — and itself — to the
-    smallest of them. Flattens local stars onto the true minimum."""
-    e = (
-        edges.select(
-            F.greatest("__u", "__v").alias("__u"),
-            F.least("__u", "__v").alias("__v"),
-        )
-        .filter(F.col("__u") != F.col("__v"))
-        .distinct()
-    )
-    mins = e.groupBy("__u").agg(F.min("__v").alias("__m"))
+    smallest of them. Flattens local stars onto the true minimum.
+
+    Window-min formulation, same rationale as ``_large_star``: the
+    per-u minimum rides ONE exchange on ``__u``; the (u, min) self-edge
+    is emitted per input row and collapsed by the final ``distinct``
+    (which also dedups the large-star output feeding this step). Input
+    may carry duplicate edges — min() is duplicate-insensitive and the
+    trailing distinct restores set semantics, so the per-round edge
+    SET is identical to the join formulation."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.greatest("__u", "__v").alias("__u"),
+        F.least("__u", "__v").alias("__v"),
+    ).filter(F.col("__u") != F.col("__v"))
+    e2 = e.withColumn("__m", F.min("__v").over(Window.partitionBy("__u")))
     return (
-        e.join(mins, "__u")
-        .filter(F.col("__v") != F.col("__m"))
+        e2.filter(F.col("__v") != F.col("__m"))
         .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
-        .union(mins.select("__u", F.col("__m").alias("__v")))
+        .union(e2.select("__u", F.col("__m").alias("__v")))
         .distinct()
     )
 
@@ -313,19 +325,26 @@ def near_dup_clusters(
     """
     # checkpoint the pair projection ONCE — nodes and edges both derive
     # from it, and without this the (potentially expensive) upstream
-    # pair pipeline (e.g. MinHash) would execute twice
+    # pair pipeline (e.g. MinHash) would execute twice. This is the only
+    # EAGER checkpoint: every per-round checkpoint below is lazy
+    # (eager=False), so the round's convergence-fingerprint action both
+    # computes AND materializes that round's edges in ONE job — the
+    # eager form cost a second job per round (measured: the loop is
+    # job-count-bound at small scale, ~60 jobs for a sf0.1 cluster run).
     raw = (
         pairs.select(F.col(id_i).alias("__u"), F.col(id_j).alias("__v"))
         .filter(F.col("__u") != F.col("__v"))
         .localCheckpoint()
     )
+    # nodes has exactly ONE consumer (the final labeling join) and a
+    # 1-hop lineage off the checkpointed raw — checkpointing it bought
+    # nothing and cost an up-front job
     nodes = (
         raw.select(F.col("__u").alias("__id"))
         .union(raw.select(F.col("__v").alias("__id")))
         .distinct()
-        .localCheckpoint()
     )
-    edges = raw.distinct().localCheckpoint()
+    edges = raw.distinct().localCheckpoint(eager=False)
 
     def fingerprint(e: DataFrame):
         return e.agg(
@@ -336,7 +355,7 @@ def near_dup_clusters(
     prev = None
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig = fingerprint(edges)
         if prev is not None and sig == prev:
             converged = True
@@ -350,11 +369,15 @@ def near_dup_clusters(
     # The fingerprint is probabilistic (~2^-64 collision per round, but
     # a silent collision would corrupt survivor groups): confirm the
     # declared fixpoint EXACTLY, once — one more LS/SS application and a
-    # symmetric anti-join emptiness check (limit(1) short-circuits).
-    nxt = _small_star(_large_star(edges))
+    # symmetric anti-join emptiness check (one job: both directions
+    # unioned under a single short-circuiting limit; nxt is lazily
+    # checkpointed so its two consumers share one materialization).
+    nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
     changed = (
-        nxt.join(edges, ["__u", "__v"], "left_anti").limit(1).count()
-        + edges.join(nxt, ["__u", "__v"], "left_anti").limit(1).count()
+        nxt.join(edges, ["__u", "__v"], "left_anti")
+        .unionByName(edges.join(nxt, ["__u", "__v"], "left_anti"))
+        .limit(1)
+        .count()
     )
     if changed:
         raise RuntimeError(

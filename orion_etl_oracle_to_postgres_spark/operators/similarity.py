@@ -1047,6 +1047,13 @@ def semdedup_cells(
     # lesson (3× measured there); the oracle normalizes identically
     # (x / sqrt(Σx²) per element, then a sequential dot), so the
     # rounded threshold compare stays value-exact
+    # members feeds THREE consumers (both sides of the pair join and the
+    # final labeling) — without a checkpoint the broadcast-centroid
+    # assignment aggregate and the per-member normalization recompute
+    # once per consumer (measured ~3× the assignment cost at sf0.1).
+    # Lazy checkpoint: the first consumer's job materializes it; at
+    # 100 TB this is the "write the corpus partitioned by cell once"
+    # step the docstring prescribes, paid once instead of three times.
     members = (
         v.join(assign, id_col)
         .withColumn(
@@ -1056,6 +1063,8 @@ def semdedup_cells(
         .withColumn(
             "__vn", F.transform(F.col("__v"), lambda x: x / F.col("__nrm"))
         )
+        .drop("__v", "__nrm")
+        .localCheckpoint(eager=False)
     )
     a = members.select(
         F.col(id_col).alias("__ia"), F.col("__vn").alias("__va"), "cell"

@@ -83,6 +83,8 @@ def _cached_layout(
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .sources.files import scan_fanout
+
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS)
         # (pandas-written, rejected by Spark's reader unless nanosAsLong
@@ -100,8 +102,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if df.schema["ts"].dataType.simpleString() == "bigint":
             # ns long → timestamp, integer division keeps µs exactness
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return scan_fanout(spark, df, path)
+    path = f"{sf_dir}/{name}.parquet"
+    return scan_fanout(spark, spark.read.parquet(path), path)
 
 
 def _ctx(spark: SparkSession, sf_dir: str) -> JobContext:

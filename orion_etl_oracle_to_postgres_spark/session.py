@@ -32,6 +32,20 @@ _DEFAULT_CONF = {
     "spark.executor.extraJavaOptions": "-Djava.security.egd=file:/dev/./urandom",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE sizes post-shuffle partitions by BYTES, which misprices
+    # compute-dense stages whose work explodes after the exchange (pair
+    # verification joins, per-pair Levenshtein/vector dots): with the
+    # default 1m floor a 2 MB shuffle feeding millions of generated
+    # pairs coalesces to 1-2 tasks and serializes minutes of CPU on one
+    # core (measured at sf0.1: semdedup's pair stage = 2.1 s on ONE
+    # task). parallelismFirst (default true) already targets
+    # defaultParallelism and only the minPartitionSize floor stops it on
+    # small shuffles — lower the floor so small-byte/heavy-compute
+    # stages stay wide. Scale-inert by construction: any shuffle
+    # ≳ cores × advisory bytes never consults the floor, so production
+    # plans are unchanged; locally it tracks $SPARK_GRAFT_CPUS via
+    # defaultParallelism (the driver's lower-core bench scales with it).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

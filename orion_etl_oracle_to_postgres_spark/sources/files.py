@@ -43,6 +43,56 @@ def table_path(conn: FilesConnectorSpec, table: str, schema: str | None = None) 
     return str(base / f"{table}.{conn.format}")
 
 
+def scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Derive scan parallelism from input size instead of inheriting the
+    file layout (optimization guide §2.5 input skew / §6 input splits).
+
+    A table landed as one small parquet file holds a single row group,
+    so Spark scans it as ONE task no matter how many cores exist — and
+    every narrow computation downstream of the scan (shingling, per-row
+    hashing, vector math) serializes on one core while the rest idle
+    (measured: the dedup_minhash shingle+128-hash stage ran 2.5 s on 1
+    task with 31 cores idle at sf0.1). When the size-derived split count
+    (bytes / maxPartitionBytes) is below the session's default
+    parallelism, repartition right after the read; on production tables
+    (bytes ≫ cores × maxPartitionBytes) the condition is false and NO
+    exchange is added, so the 100 TB plan shape is unchanged. Tables
+    below ``_FANOUT_MIN_BYTES`` (dimension tables like nation/region)
+    are left alone — for them the exchange would cost more than the
+    parallelism buys.
+
+    Round-robin (keyless) repartition: deterministic under retries
+    (Spark sorts before round-robin since SPARK-23207) and skew-free by
+    construction."""
+    p = str(path)
+    if "://" in p:
+        return df  # remote path: cannot stat cheaply; production-sized anyway
+    try:
+        fp = Path(p)
+        if fp.is_dir():
+            total = sum(f.stat().st_size for f in fp.rglob("*") if f.is_file())
+        else:
+            total = fp.stat().st_size
+    except OSError:
+        return df
+    if total < _FANOUT_MIN_BYTES:
+        return df
+    try:
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except (TypeError, ValueError):
+        max_pb = 128 * 1024 * 1024
+    cores = spark.sparkContext.defaultParallelism
+    if total // max_pb + 1 >= cores:
+        return df
+    # clamp by size so a few-hundred-KB table does not fan into `cores`
+    # near-empty tasks whose scheduling overhead exceeds the win: one
+    # split per _FANOUT_MIN_BYTES of compressed input, at least 2
+    return df.repartition(min(cores, max(2, int(total // _FANOUT_MIN_BYTES))))
+
+
+_FANOUT_MIN_BYTES = 64 * 1024
+
+
 def _parquet_has_nanos(path: str) -> bool | None:
     """Footer-only probe: does this parquet file/dataset contain
     TIMESTAMP(NANOS) columns? None = can't tell cheaply (remote path,
@@ -116,7 +166,7 @@ def read_file_table(
         reader = reader.option("mode", conn.on_corrupt.upper())
         if conn.on_corrupt == "permissive":
             reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
-    return reader.format(conn.format).load(path)
+    return scan_fanout(spark, reader.format(conn.format).load(path), path)
 
 
 def read_binary_dir(

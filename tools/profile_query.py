@@ -49,6 +49,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,13 +89,23 @@ def main() -> None:
 
     # ---- parse the event log ------------------------------------------
     logs = sorted(glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
+    latest = logs[-1]
+    if os.path.isdir(latest):  # Spark 4 rolling event-log directory
+        parts = sorted(
+            p
+            for p in glob.glob(os.path.join(latest, "*"))
+            if os.path.basename(p).startswith("events_")
+        )
+    else:
+        parts = [latest]
     events = []
-    with open(logs[-1], encoding="utf-8") as fh:
-        for line in fh:
-            try:
-                events.append(json.loads(line))
-            except ValueError:
-                pass
+    for part in parts:
+        with open(part, encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    events.append(json.loads(line))
+                except ValueError:
+                    pass
 
     job_desc: dict[int, str] = {}
     job_stages: dict[int, list[int]] = {}
