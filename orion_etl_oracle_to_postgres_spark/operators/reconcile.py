@@ -323,15 +323,27 @@ def checksum_drilldown(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
 
-    def bucket_reports(df: DataFrame) -> dict:
-        return {
-            int(r["bucket"]): (
-                int(r["n_rows"]), int(r["xor_checksum"]), int(r["sum_checksum"])
+    # ONE phase-1 action: both sides' checksum aggregates union into a
+    # single side-tagged collect, so Spark runs them as one job (two
+    # sequential collects serialized the two scans and paid the driver
+    # round-trip twice; the per-side re-scan itself stays — that is the
+    # operator's 100 TB contract, phase 2 re-reads only bad buckets)
+    both = (
+        table_checksum(left, cols, n_buckets=n_buckets)
+        .withColumn("__side", F.lit(0))
+        .unionByName(
+            table_checksum(right, cols, n_buckets=n_buckets).withColumn(
+                "__side", F.lit(1)
             )
-            for r in table_checksum(df, cols, n_buckets=n_buckets).collect()
-        }
-
-    lrep, rrep = bucket_reports(left), bucket_reports(right)
+        )
+    )
+    lrep: dict = {}
+    rrep: dict = {}
+    for r in both.collect():
+        rep = lrep if int(r["__side"]) == 0 else rrep
+        rep[int(r["bucket"])] = (
+            int(r["n_rows"]), int(r["xor_checksum"]), int(r["sum_checksum"])
+        )
     bad = sorted(
         b
         for b in set(lrep) | set(rrep)

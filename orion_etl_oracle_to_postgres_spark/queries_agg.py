@@ -2640,9 +2640,11 @@ def agg_hll_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the audit."""
     from .operators import aggstate as A
 
+    # e feeds four consumers (two day builds, the full build, the exact
+    # twin) — lazy checkpoint so the events scan runs once
     e = _t(spark, sf_dir, "events").select(
         "event_type", "user_id", F.dayofmonth("ts").alias("__d")
-    )
+    ).localCheckpoint(eager=False)
     d1 = e.filter(F.col("__d") % 2 == 0)
     d2 = e.filter(F.col("__d") % 2 == 1)
     merged = A.merge_hll_states(
@@ -2722,16 +2724,20 @@ def agg_hist_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import aggstate as A
 
     kw = dict(lo=0.0, hi=500.0, n_buckets=100)
+    # e feeds three builds and merged feeds quant + audit — lazy
+    # checkpoints so the events scan and the fold run once each
     e = _t(spark, sf_dir, "events").select(
         "event_type", "value", F.dayofmonth("ts").alias("__d")
-    )
+    ).localCheckpoint(eager=False)
     s1 = A.build_hist_state(
         e.filter(F.col("__d") % 2 == 0), ["event_type"], "value", **kw
     )
     s2 = A.build_hist_state(
         e.filter(F.col("__d") % 2 == 1), ["event_type"], "value", **kw
     )
-    merged = A.merge_hist_states([s1, s2], ["event_type"])
+    merged = A.merge_hist_states([s1, s2], ["event_type"]).localCheckpoint(
+        eager=False
+    )
     full = A.build_hist_state(e, ["event_type"], "value", **kw)
     quant = A.finalize_hist_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99])
     audit = (
@@ -2839,16 +2845,29 @@ def agg_bloom_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine collapses duplicate bits before any shuffle."""
     from .operators import aggstate as A
 
+    # e feeds five consumers (two day builds, the full build, the exact
+    # history, the probe batch) and merged/full are re-collected by the
+    # audit probes — lazily checkpoint all three so each md5 build pass
+    # and the events scan run ONCE instead of once per downstream action
+    # (guide §5: cut lineage of multiply-consumed intermediates; states
+    # are ≤ m/64 rows, e is the projected keys only)
     e = _t(spark, sf_dir, "events").select(
         "user_id", (F.dayofmonth("ts") % 3).alias("__d")
-    ).where(F.col("user_id").isNotNull())
+    ).where(F.col("user_id").isNotNull()).localCheckpoint(eager=False)
     kw = dict(m_bits=1 << 16, k=5, seed="bu1")
-    s0 = A.build_bloom_state(e.where(F.col("__d") == 0), "user_id", **kw)
-    s1 = A.build_bloom_state(e.where(F.col("__d") == 1), "user_id", **kw)
-    merged = A.merge_bloom_states([s0, s1])
+    # s0/s1 checkpointed too: merge_bloom_states' eager layout probe
+    # fires before merged's own checkpoint exists, so unpinned builds
+    # would still run twice (probe + first materialization)
+    s0 = A.build_bloom_state(
+        e.where(F.col("__d") == 0), "user_id", **kw
+    ).localCheckpoint(eager=False)
+    s1 = A.build_bloom_state(
+        e.where(F.col("__d") == 1), "user_id", **kw
+    ).localCheckpoint(eager=False)
+    merged = A.merge_bloom_states([s0, s1]).localCheckpoint(eager=False)
     full = A.build_bloom_state(
         e.where(F.col("__d").isin(0, 1)), "user_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     # exact fold == full-build equality: word tables compared verbatim
     # (bounded driver probe — occupied words only, <= m/64 rows each)
     words = lambda s: sorted(  # noqa: E731
@@ -2921,20 +2940,26 @@ def agg_kmv_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state is ≤ k longs per key forever, the O(day) nightly fold."""
     from .operators import aggstate as A
 
+    # the sketch-state query pattern (see agg_bloom_incremental_users):
+    # e feeds four consumers, merge/finalize re-probe layouts eagerly,
+    # and the audit collects both states — lazy checkpoints make every
+    # md5 build pass and the events scan run once
     e = _t(spark, sf_dir, "events").select(
         "event_type", "user_id", (F.dayofmonth("ts") % 3).alias("__d")
-    ).where(F.col("user_id").isNotNull())
+    ).where(F.col("user_id").isNotNull()).localCheckpoint(eager=False)
     kw = dict(k=32, seed="kv0")
     s0 = A.build_kmv_state(
         e.where(F.col("__d") == 0), ["event_type"], "user_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     s1 = A.build_kmv_state(
         e.where(F.col("__d") == 1), ["event_type"], "user_id", **kw
+    ).localCheckpoint(eager=False)
+    merged = A.merge_kmv_states([s0, s1], ["event_type"]).localCheckpoint(
+        eager=False
     )
-    merged = A.merge_kmv_states([s0, s1], ["event_type"])
     full = A.build_kmv_state(
         e.where(F.col("__d").isin(0, 1)), ["event_type"], "user_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     rows = lambda s: sorted(  # noqa: E731
         map(tuple, s.select("event_type", "__hv").collect())
     )
@@ -3034,12 +3059,15 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id", (F.dayofmonth("ts") % 3).alias("__d")
     ).where(F.col("user_id").isNotNull())
     kw = dict(k=32, seed="kv1")
+    # pin both inline-built states: kmv_set_estimates references each
+    # side more than once (union sketch + per-side estimates — its
+    # documented contract), the agg_kmv_overlap_matrix trade
     a = A.build_kmv_state(
         e.where(F.col("__d") == 0), ["event_type"], "user_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     b = A.build_kmv_state(
         e.where(F.col("__d") == 1), ["event_type"], "user_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     return A.kmv_set_estimates(a, b, ["event_type"])
 
 
@@ -3094,16 +3122,23 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed state, no key-cardinality shuffle."""
     from .operators import aggstate as A
 
+    # the sketch-state query pattern (see agg_bloom_incremental_users):
+    # lazy checkpoints so each md5 build pass and the events scan run
+    # once instead of once per downstream action/collect
     e = _t(spark, sf_dir, "events").select(
         "user_id", (F.dayofmonth("ts") % 3).alias("__d")
-    ).where(F.col("user_id").isNotNull())
+    ).where(F.col("user_id").isNotNull()).localCheckpoint(eager=False)
     kw = dict(width=64, depth=4, seed="cm0")
-    s0 = A.build_cms_state(e.where(F.col("__d") == 0), "user_id", **kw)
-    s1 = A.build_cms_state(e.where(F.col("__d") == 1), "user_id", **kw)
-    merged = A.merge_cms_states([s0, s1])
+    s0 = A.build_cms_state(
+        e.where(F.col("__d") == 0), "user_id", **kw
+    ).localCheckpoint(eager=False)
+    s1 = A.build_cms_state(
+        e.where(F.col("__d") == 1), "user_id", **kw
+    ).localCheckpoint(eager=False)
+    merged = A.merge_cms_states([s0, s1]).localCheckpoint(eager=False)
     full = A.build_cms_state(
         e.where(F.col("__d").isin(0, 1)), "user_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     cells = lambda s: sorted(  # noqa: E731
         map(tuple, s.select("row_idx", "col_idx", "cnt").collect())
     )
@@ -3172,17 +3207,20 @@ def agg_kmv_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark path equal the oracle's one-pass replay."""
     from .operators import aggstate as A
 
+    # the sketch-state query pattern (see agg_bloom_incremental_users):
+    # lazy checkpoints so the merge/finalize layout probes do not re-run
+    # the md5 build passes
     d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     kw = dict(k=8, seed="wt0", carry=["n_chars"])
     s0 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 0), ["lang"], "doc_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     s1 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 1), ["lang"], "doc_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     merged = A.merge_sample_states(
         [s0, s1], ["lang"], "doc_id", carry=["n_chars"]
-    )
+    ).localCheckpoint(eager=False)
     return A.finalize_weighted_sample(merged, ["lang"], "doc_id", "n_chars")
 
 

@@ -1213,16 +1213,23 @@ def curation_incremental_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact."""
     from .operators import aggstate as A
 
+    # the sketch-state query pattern (see agg_bloom_incremental_users):
+    # lazy checkpoints so the merge/finalize layout probes and the
+    # paths_agree collects do not re-run the md5 build passes
     d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
     kw = dict(k=8, seed="smp1")
     s0 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 0), ["lang"], "doc_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     s1 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 1), ["lang"], "doc_id", **kw
+    ).localCheckpoint(eager=False)
+    merged = A.merge_sample_states([s0, s1], ["lang"], "doc_id").localCheckpoint(
+        eager=False
     )
-    merged = A.merge_sample_states([s0, s1], ["lang"], "doc_id")
-    full = A.build_sample_state(d, ["lang"], "doc_id", **kw)
+    full = A.build_sample_state(d, ["lang"], "doc_id", **kw).localCheckpoint(
+        eager=False
+    )
     rows = lambda s: sorted(  # noqa: E731
         map(tuple, s.select("lang", "doc_id", "__hv").collect())
     )
@@ -1282,17 +1289,19 @@ def curation_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key, never the corpus."""
     from .operators import aggstate as A
 
+    # lazy checkpoints: the merge/finalize layout probes otherwise
+    # re-run both builds (the sketch-state query pattern)
     d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     kw = dict(k=24, seed="sq0", carry=["n_chars"])
     s0 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 0), ["lang"], "doc_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     s1 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 1), ["lang"], "doc_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     merged = A.merge_sample_states(
         [s0, s1], ["lang"], "doc_id", carry=["n_chars"]
-    )
+    ).localCheckpoint(eager=False)
     return A.finalize_sample_quantiles(
         merged, ["lang"], "doc_id", "n_chars", [0.25, 0.5, 0.9]
     )
@@ -1362,15 +1371,17 @@ def curation_token_weighted_quantiles(
         "source", "doc_id", "n_chars", n_tok.alias("n_tok")
     )
     kw = dict(k=24, seed="wq0", carry=["n_chars", "n_tok"])
+    # lazy checkpoints: the merge/finalize layout probes otherwise
+    # re-run both builds (the sketch-state query pattern)
     s0 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 0), ["source"], "doc_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     s1 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 1), ["source"], "doc_id", **kw
-    )
+    ).localCheckpoint(eager=False)
     merged = A.merge_sample_states(
         [s0, s1], ["source"], "doc_id", carry=["n_chars", "n_tok"]
-    )
+    ).localCheckpoint(eager=False)
     return A.finalize_weighted_quantiles(
         merged, ["source"], "doc_id", "n_chars", "n_tok", [0.5, 0.9]
     )
