@@ -654,6 +654,41 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
     if spec.where:
         df = df.filter(F.expr(spec.where))
 
+    # Scan fan-out for compute-dense pipelines (optimization guide §2.5
+    # input skew): a small one-file source scans as ONE task, and a spec
+    # that shingles/hashes/vector-transforms every row serializes that
+    # work on one core. Size-derived (no exchange on production-sized
+    # inputs — see sources.files.scan_fanout), files-source batch scans
+    # only, AFTER lineage (input_file_name must bind at the scan) and
+    # AFTER the where filter (the pushed filter shrinks the exchange).
+    # Relational specs (plain map/validate/load) skip it — measured, the
+    # exchange costs more than the parallelism there.
+    if (
+        not streaming
+        and fetcher is None
+        and ctx.global_spec.connectors.source_files is not None
+        and (
+            spec.dedup is not None
+            or spec.decontaminate is not None
+            or spec.augment is not None
+            or spec.vector_transform is not None
+            or spec.quality_filter is not None
+            or spec.rewrite is not None
+        )
+    ):
+        from .sources.files import scan_fanout, table_path
+
+        try:
+            _scan_path = table_path(
+                ctx.global_spec.connectors.source_files,
+                spec.source_table,
+                spec.source_schema,
+            )
+        except FileNotFoundError:
+            _scan_path = None
+        if _scan_path is not None:
+            df = scan_fanout(ctx.spark, df, _scan_path)
+
     if streaming and spec.dedup is not None:
         # Watermarked streaming dedup runs on the source shape (the
         # mapping projection may drop/rename the watermark column) but

@@ -2024,7 +2024,7 @@ def etl_state_kmv_nightly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="orion_state_kmv_")
     ev = (
-        _t(spark, sf_dir, "events")
+        _t(spark, sf_dir, "events", fanout=False)
         .where(F.col("event_id") % 20 == 0)
         .select("event_id", "event_type", "user_id")
     )
@@ -2126,7 +2126,7 @@ def etl_state_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="orion_state_sq_")
     docs = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", fanout=False)
         .where(F.col("doc_id") % 5 == 0)
         .select("doc_id", "lang", "n_chars")
     )

@@ -82,7 +82,14 @@ def _cached_layout(
     return cache
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = True
+) -> DataFrame:
+    """Read one testdata table. ``fanout=False`` opts a caller out of
+    the compute-dense scan fan-out (see ``sources.files.scan_fanout``)
+    — e.g. the nightly-state queries, whose events read feeds a tiny
+    landed-parquet WRITE: fanning the scan there just amplifies the
+    landing into one near-empty file per partition."""
     from .sources.files import scan_fanout
 
     if name == "events":
@@ -102,9 +109,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if df.schema["ts"].dataType.simpleString() == "bigint":
             # ns long → timestamp, integer division keeps µs exactness
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return scan_fanout(spark, df, path)
+        return scan_fanout(spark, df, path) if fanout else df
     path = f"{sf_dir}/{name}.parquet"
-    return scan_fanout(spark, spark.read.parquet(path), path)
+    df = spark.read.parquet(path)
+    # fan out ONLY the corpora whose consumers are compute-dense per row
+    # (shingling/128-hash MinHash, vector dots, md5 sketch builds);
+    # relational tables (lineitem/orders/...) measurably LOSE from the
+    # added exchange — their queries are selective scans and sums whose
+    # filters already push below any repartition (see scan_fanout doc)
+    if fanout and name in ("documents", "embeddings"):
+        df = scan_fanout(spark, df, path)
+    return df
 
 
 def _ctx(spark: SparkSession, sf_dir: str) -> JobContext:

@@ -13,6 +13,7 @@ import logging
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..spec import FilesConnectorSpec
 
@@ -61,9 +62,17 @@ def scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     are left alone — for them the exchange would cost more than the
     parallelism buys.
 
-    Round-robin (keyless) repartition: deterministic under retries
-    (Spark sorts before round-robin since SPARK-23207) and skew-free by
-    construction."""
+    Applied ONLY where the downstream work is compute-dense per row
+    (text shingling/hashing, vector math, portable-md5 sketch builds):
+    the registry's corpora reads (``_t`` on documents/embeddings/
+    events) and compiled tables whose spec carries a compute-dense
+    stage (``compiler`` scan fan-out hook). Measured at sf0.1, fanning
+    out relational tables (lineitem/orders) COSTS 0.3-1 s per query —
+    the exchange + extra stage outweigh the parallel gains when the
+    per-row work is a comparison or a sum, and selective scans already
+    push their filters below the added exchange anyway. Callers must
+    apply it AFTER any ``input_file_name()`` capture (lineage) — rows
+    detached from their file by the exchange read as ''."""
     p = str(path)
     if "://" in p:
         return df  # remote path: cannot stat cheaply; production-sized anyway
@@ -84,10 +93,23 @@ def scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     if total // max_pb + 1 >= cores:
         return df
-    # clamp by size so a few-hundred-KB table does not fan into `cores`
-    # near-empty tasks whose scheduling overhead exceeds the win: one
-    # split per _FANOUT_MIN_BYTES of compressed input, at least 2
-    return df.repartition(min(cores, max(2, int(total // _FANOUT_MIN_BYTES))))
+    # Hash-partition on a deterministic whole-row hash, NOT round-robin:
+    # a keyless repartition(n) first locally SORTS its input
+    # (spark.sql.execution.sortBeforeRepartition, needed so retried
+    # tasks reproduce the row→partition map — guide §2.5), and on a
+    # one-partition scan that is a full sort of the table serialized on
+    # one core (measured: +0.5-1 s on every lineitem tail query). A
+    # deterministic hash key needs no sort for retry safety and spreads
+    # uniformly. Map-typed columns are unhashable — skip them (any
+    # remaining column set still distributes; an all-map table falls
+    # back to round-robin).
+    parts = min(cores, max(2, int(total // _FANOUT_MIN_BYTES)))
+    hashable = [
+        F.col(c) for c, t in df.dtypes if not t.startswith("map<")
+    ][:3]
+    if not hashable:
+        return df.repartition(parts)
+    return df.repartition(parts, F.xxhash64(*hashable))
 
 
 _FANOUT_MIN_BYTES = 64 * 1024
@@ -166,7 +188,7 @@ def read_file_table(
         reader = reader.option("mode", conn.on_corrupt.upper())
         if conn.on_corrupt == "permissive":
             reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
-    return scan_fanout(spark, reader.format(conn.format).load(path), path)
+    return reader.format(conn.format).load(path)
 
 
 def read_binary_dir(
