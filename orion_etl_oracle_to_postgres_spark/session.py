@@ -45,7 +45,7 @@ _DEFAULT_CONF = {
     # ≳ cores × advisory bytes never consults the floor, so production
     # plans are unchanged; locally it tracks $SPARK_GRAFT_CPUS via
     # defaultParallelism (the driver's lower-core bench scales with it).
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
