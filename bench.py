@@ -463,12 +463,15 @@ def main() -> None:
         }
     )
     print(payload)
-    # survivable tail (VERDICT r10 ask #3): the driver's BENCH_r*.json
-    # keeps the stdout TAIL, and the full per-query dict above has been
-    # truncated from the FRONT before (BENCH_r05 parsed: null) — so the
-    # LAST line is a compact summary that always retains the headline
-    # number, the calibration probes, and the 10 slowest queries even
-    # when the full record is cut.
+    # survivable tail (VERDICT r10 ask #3, r12 "what's wrong" #3): the
+    # driver's BENCH_r*.json keeps the stdout TAIL and parses the LAST
+    # JSON line — with only total+top10 there, PERF_r12 came up with
+    # per_query: {} / n_common: 0 and no round-over-round comparison was
+    # possible. The LAST line therefore carries the COMPLETE compact
+    # per-query map (best-of-2 seconds; ~10 KB at 313 entries — well
+    # inside any tail capture) plus the headline number, calibration
+    # probes and the 10 slowest. The verbose record above (raw passes)
+    # stays on the earlier line and in the sidecar file.
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
@@ -482,6 +485,7 @@ def main() -> None:
                 "n": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calib_sec": calib_sec,
+                "queries": timings,
                 "top10": top10,
             }
         )

@@ -95,3 +95,36 @@ def epoch_us(col: Column, dtype=None) -> Column:
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
         return F.timestamp_diff("MICROSECOND", epoch, col)
     return F.unix_micros(col)
+
+
+def lit_long_array(values) -> Column:
+    """``array<bigint>`` literal built by ONE SQL parse instead of one
+    py4j round-trip per element. ``F.lit`` on a Python list constructs
+    each element Column individually through the gateway — measured
+    1.6-2.3 s of pure DRIVER time for a 4096-long Bloom word array
+    (per probe, per bench pass); the parsed form is ~6 ms and
+    constant-folds to the identical Literal. Handles the full signed
+    64-bit range (``-9223372036854775808L`` parses as long min)."""
+    vals = ",".join(f"{int(v)}L" for v in values)
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return F.expr(f"array({vals})")
+
+
+def lit_double_array(values) -> Column:
+    """``array<double>`` literal via one SQL parse (see
+    ``lit_long_array``). ``repr`` emits the shortest round-trip float64
+    form and Spark's parser applies correctly-rounded
+    ``Double.parseDouble``, so the literal is BIT-IDENTICAL to the
+    ``F.lit`` path (verified over random + extreme values incl.
+    subnormals and -0.0) — safe even for sign-threshold decisions like
+    hyperplane signatures. Non-finite values have no SQL literal form
+    and fall back to per-element lits."""
+    import math
+
+    vs = [float(v) for v in values]
+    if not vs:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    if all(map(math.isfinite, vs)):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vs) + ")")
+    return F.array(*[F.lit(v) for v in vs])

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import lit_long_array
+
 _SUFFIXES = ("cnt", "sum", "ssq", "min", "max")
 
 
@@ -412,7 +414,8 @@ def build_bloom_state(
     ).agg(
         F.bit_or(
             F.element_at(
-                F.lit(_BLOOM_MASKS), F.col("__bit").bitwiseAND(F.lit(63)) + 1
+                lit_long_array(_BLOOM_MASKS),
+                F.col("__bit").bitwiseAND(F.lit(63)) + 1,
             )
         ).alias("word")
     )
@@ -502,8 +505,10 @@ def probe_bloom(
     )
     for r in folded.collect():
         words[int(r[0])] |= int(r[1])
-    arr = F.lit(words)
-    masks = F.lit(_BLOOM_MASKS)
+    # ONE-parse literals (functions.lit_long_array): F.lit on the
+    # 4096-long word list was 1.6-2.3 s of driver time per probe
+    arr = lit_long_array(words)
+    masks = lit_long_array(_BLOOM_MASKS)
     pos = _bloom_positions(F.col(key_col), m_bits, k, seed, hash_family)
     hit = F.forall(
         pos,

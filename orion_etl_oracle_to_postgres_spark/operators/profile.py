@@ -20,6 +20,8 @@ exact opt-in for oracle gating.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..functions import lit_double_array
 from pyspark.sql import functions as F
 
 
@@ -410,7 +412,7 @@ def benford_report(
         F.count(F.lit(1)).cast("long").alias("n_values")
     )
     tot = F.broadcast(counts.agg(F.sum("n_values").alias("__tot")))
-    exp_c = F.element_at(F.array(*[F.lit(e) for e in exp]), F.col("digit"))
+    exp_c = F.element_at(lit_double_array(exp), F.col("digit"))
     obs_r = F.round(F.col("n_values") / F.col("__tot"), decimals)
     return counts.crossJoin(tot).select(
         "digit",

@@ -31,7 +31,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot, l2_norm
+from ..functions import cosine, dot, l2_norm, lit_double_array
 
 # Bump when ivf_materialize / pq_materialize numerics or on-disk layout
 # change — cache markers (queries.py) compare these so a code change
@@ -56,7 +56,11 @@ def l2_normalize(vec: Column) -> Column:
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one SQL parse, not one py4j lit per element — a 64-dim query
+    # vector or hyperplane costs ~30-60 ms the elementwise way and the
+    # signature helpers build 8-12 of them per plan (bit-identical
+    # literal; see functions.lit_double_array)
+    return lit_double_array(vec)
 
 
 def cosine_topk_query(
@@ -1935,8 +1939,8 @@ def whiten_expr(
     so the declarative ``vector_transform`` stage can rewrite a column
     in place instead of joining a (id, whitened) frame back."""
     d = max(stats) + 1
-    means = F.array(*[F.lit(stats[i][0]) for i in range(d)])
-    stds = F.array(*[F.lit(stats[i][1]) for i in range(d)])
+    means = lit_double_array([stats[i][0] for i in range(d)])
+    stds = lit_double_array([stats[i][1] for i in range(d)])
     centered = F.zip_with(vec.cast("array<double>"), means, lambda x, m: x - m)
     return F.zip_with(
         centered,
@@ -2145,7 +2149,7 @@ def covariance_matrix(
     if not stats:
         return df.sparkSession.createDataFrame([], "pos int, cov double")
     d = max(stats) + 1
-    means = F.array(*[F.lit(stats[i]) for i in range(d)])
+    means = lit_double_array([stats[i] for i in range(d)])
     cent = F.zip_with(
         F.col(vec_col).cast("array<double>"), means, lambda x, m: x - m
     )
@@ -2418,8 +2422,8 @@ def abtt_expr(
     are each LET-BOUND (1-element ``transform`` arrays), so neither
     recomputes per output element."""
     d = max(loadings) + 1
-    v_lit = F.array(*[F.lit(loadings[i]) for i in range(d)])
-    mu_lit = F.array(*[F.lit(means[i]) for i in range(d)])
+    v_lit = lit_double_array([loadings[i] for i in range(d)])
+    mu_lit = lit_double_array([means[i] for i in range(d)])
     cent = F.zip_with(vec.cast("array<double>"), mu_lit, lambda x, m: x - m)
     return F.flatten(
         F.transform(

@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import shingles_from_tokens, tokens, whitespace_token_count
+from ..functions import shingles_from_tokens, tokens, whitespace_token_count, lit_double_array
 
 # BPE-ish tokenizer regex: word pieces, number runs, single non-space
 # punctuation — a cheap deterministic proxy for subword token counts.
@@ -915,7 +915,7 @@ def train_hashed_linear(
     w = [0.0] * n_features
     b = 0.0
     for _ in range(int(steps)):
-        wlit = F.array(*[F.lit(v) for v in w])
+        wlit = lit_double_array(w)
         errs = (
             feats.groupBy("__id", "__y")
             .agg(

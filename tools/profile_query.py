@@ -9,7 +9,8 @@ Usage: PYTHONPATH=/root/repo python tools/profile_query.py [--explain]
            [--sf SF_DIR] name [name ...]
 
 --explain additionally writes `.explain("formatted")` for each query to
-plans/r12/<name>_before.txt (or _after.txt with --tag after).
+plans/<round>/<name>_before.txt (or _after.txt with --tag after;
+--round controls the directory, default r13).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ def main() -> None:
     ap.add_argument("--explain", action="store_true")
     ap.add_argument("--tag", default="before", choices=["before", "after"])
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--round", default="r13")
     args = ap.parse_args()
 
     unknown = [n for n in args.names if n not in q.QUERIES]
@@ -74,13 +76,13 @@ def main() -> None:
             spark.sparkContext.setJobDescription(None)
 
     if args.explain:
-        os.makedirs("/root/repo/plans/r12", exist_ok=True)
+        os.makedirs(f"/root/repo/plans/{args.round}", exist_ok=True)
         for name in args.names:
             df = q.QUERIES[name](spark, args.sf)
             txt = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
-            path = f"/root/repo/plans/r12/{name}_{args.tag}.txt"
+            path = f"/root/repo/plans/{args.round}/{name}_{args.tag}.txt"
             with open(path, "w", encoding="utf-8") as fh:
                 fh.write(txt)
             print(f"# wrote {path}", file=sys.stderr)
