@@ -684,7 +684,10 @@ def compile_table(ctx: JobContext, spec: TableSpec) -> CompiledTable:
                 spec.source_table,
                 spec.source_schema,
             )
-        except FileNotFoundError:
+        except OSError:
+            # FileNotFoundError for a missing local table; any other
+            # OSError (permission, transient FS) must not break plan
+            # compilation over an optional repartition either
             _scan_path = None
         if _scan_path is not None:
             df = scan_fanout(ctx.spark, df, _scan_path)

@@ -85,7 +85,18 @@ def fuzzy_join(
         .filter(F.col("__n") <= max_block_size)
         .select("__blk")
     )
-    dist = F.levenshtein(F.col(left_text), F.col(r_text), max_distance)
+    # Length band BELOW the verify: |len(a) − len(b)| > d implies
+    # levenshtein(a, b) > d (each edit changes length by ≤ 1), so the
+    # O(1) length test discards candidates before the O(d·len) DP ever
+    # runs — the distance is computed under when(), not just filtered
+    # after the fact. Result set unchanged by construction.
+    len_ok = (
+        F.abs(F.length(F.col(left_text)) - F.length(F.col(r_text)))
+        <= F.lit(max_distance)
+    )
+    dist = F.when(
+        len_ok, F.levenshtein(F.col(left_text), F.col(r_text), max_distance)
+    ).otherwise(F.lit(-1))
     return (
         l_b.join(r_b.join(keep, "__blk"), "__blk")
         .withColumn("distance", dist)

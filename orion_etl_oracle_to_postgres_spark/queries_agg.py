@@ -3210,7 +3210,7 @@ def agg_kmv_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sketch-state query pattern (see agg_bloom_incremental_users):
     # lazy checkpoints so the merge/finalize layout probes do not re-run
     # the md5 build passes
-    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    d = _t(spark, sf_dir, "documents", fanout=True).select("lang", "doc_id", "n_chars")
     kw = dict(k=8, seed="wt0", carry=["n_chars"])
     s0 = A.build_sample_state(
         d.where(F.col("doc_id") % 2 == 0), ["lang"], "doc_id", **kw

@@ -79,7 +79,7 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a held-out 'benchmark' subset (docs with id % 20 == 0)."""
     from .operators.curation import contamination_check
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return contamination_check(
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
@@ -156,7 +156,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plan, oracled end-to-end."""
     from .operators.curation import curate_corpus
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return curate_corpus(
         d,
         id_col="doc_id",
@@ -462,7 +462,7 @@ def corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays all four stages unrolled."""
     from .operators.curation import hash_split, temperature_mix
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     rewritten = dedup.repeated_span_dedup(
         d, "text", "doc_id", span_tokens=3, min_docs=2
     ).select("doc_id", "new_text")
@@ -779,7 +779,7 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition count is a file-size artifact (1 task at sf0.1 would
     # hash every gram single-threaded; at real scale the scan already
     # has thousands of partitions)
-    d = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    d = _t(spark, sf_dir, "documents", fanout=True).repartition(F.col("doc_id"))
     return dsir_select(
         d.filter(F.col("doc_id") % 11 != 0),
         d.filter(F.col("doc_id") % 11 == 0),

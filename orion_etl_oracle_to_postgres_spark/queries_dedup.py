@@ -69,7 +69,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (inverted-index join)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
 
 
@@ -91,7 +91,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard pair set: with 128 hashes / 32 bands the probability
     of LSH missing a ≥0.8 pair is < 1e-7 per pair, and candidates are
     exact-verified, so the outputs coincide."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.minhash_near_dups(
         d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=32, threshold=0.8
     )
@@ -129,7 +129,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components via iterative min-label propagation
     (``dedup.near_dup_clusters``) — the step that turns pair output
     into dedup groups + survivor choice (min id per cluster)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     pairs = dedup.minhash_near_dups(
         d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=32, threshold=0.8
     )
@@ -141,7 +141,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 on 60-bit signatures). The
     token hash is md5-derived (``functions.md5_hash60``) specifically so
     the whole operator is oracle-checkable bit-for-bit."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
 
 
@@ -270,7 +270,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |S(sub)| ≥ 0.8 — catches excerpt/boilerplate-wrapper near-dups that
     Jaccard's symmetric denominator hides. Same inverted-index
     postings join as `dedup_ngram_jaccard`."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.containment_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
 
 
@@ -348,8 +348,19 @@ def er_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cartesian. The oracle replays the identical dirt, block,
     and bound."""
     from .operators.er import fuzzy_join
+    from .sources.files import scan_fanout
 
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # the verify stage is compute-dense per CANDIDATE PAIR (blocks fan
+    # the ~200-row color blocks into ~600k Levenshtein evaluations), and
+    # part.parquet lands as one file → the whole verify ran on ONE task
+    # (profiled: a single 3.4 s single-task stage, 31 cores idle).
+    # Fan the clean-side scan so the blocked join streams wide; the
+    # dirty side is broadcast, so only the probe side needs width.
+    p = scan_fanout(
+        spark,
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        f"{sf_dir}/part.parquet",
+    ).select("p_partkey", "p_name")
     dirty = p.filter(F.col("p_partkey") % 7 == 0).select(
         F.col("p_partkey").alias("dirty_key"),
         F.when(
@@ -483,7 +494,7 @@ def dedup_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross Jaccard; 128 hashes / 32 bands (as the sibling dedup_minhash
     queries pass) push the LSH miss probability at Jaccard 0.8 below
     1e-7, so the sets coincide."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     train = d.filter(F.col("doc_id") % 7 != 0)
     bench = d.filter(F.col("doc_id") % 7 == 0)
     return dedup.minhash_join(
@@ -599,7 +610,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter per the ADVICE r4 #1 rule, and the first consumer builds
     it. In production this is the standard pattern: land the pair set
     once, fan multiple survivorship policies off it."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     pairs = _minhash_pairs_cached(spark, sf_dir)
     clusters = dedup.near_dup_clusters(pairs)
     return dedup.canonical_pick(
@@ -792,7 +803,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     cache = _minhash_ix_dir(spark, sf_dir)
-    batch = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    batch = _t(spark, sf_dir, "documents", fanout=True).filter(F.col("doc_id") % 5 == 0)
     return dedup.minhash_index_lookup(
         batch,
         spark.read.parquet(_os.path.join(cache, "ix_bands")),
@@ -860,7 +871,7 @@ def dedup_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram postings broadcast; the training side never shuffles before
     the pair-count aggregate. Oracle replays the gram expansion and
     join on gram text exactly."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.ngram_overlap_pairs(
         d.filter(F.col("doc_id") % 7 != 0),
         d.filter(F.col("doc_id") % 7 == 0),
@@ -883,7 +894,7 @@ def dedup_ngram_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (Bloom false positives die in the exact join, false
     negatives are impossible), which is exactly what this query pins:
     the SAME oracle as the broadcast twin."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.ngram_overlap_pairs(
         d.filter(F.col("doc_id") % 7 != 0),
         d.filter(F.col("doc_id") % 7 == 0),
@@ -931,7 +942,7 @@ def dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends with (which ingest pipelines leak eval data). Composes
     ngram_overlap_pairs (broadcast bench grams) with a distinct-ids
     semi join + counts-only aggregate."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     train = d.filter(F.col("doc_id") % 7 != 0)
     flagged = (
         dedup.ngram_overlap_pairs(
@@ -963,7 +974,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing >= 2 selections. ~1/window of the shingle postings
     enter the self-join; hot fingerprints capped. Oracle replays the
     portable hash, the window minima, and the pair count."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return dedup.winnow_candidate_pairs(
         d, "doc_id", "text", k=5, window=4, min_shared=2
     )
@@ -1104,7 +1115,7 @@ def dedup_bloom_history_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely; only the maybe-seen sliver pays it."""
     from .operators import aggstate as A
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _t(spark, sf_dir, "documents", fanout=True).select("doc_id")
     hist = d.where(F.col("doc_id") % 4 != 0)
     inc = d.where(F.col("doc_id") % 2 == 0)
     state = A.build_bloom_state(hist, "doc_id", m_bits=1 << 16, k=5, seed="bh1")

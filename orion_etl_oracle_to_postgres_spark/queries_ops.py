@@ -1117,7 +1117,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-banded self-join → hamming verify. The media dedup every
     multimodal corpus needs; payloads never shuffle — only (id, phash)
     pairs do. Oracle replays the feature threshold bit-exactly."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     b = multimodal.attach_fake_binary(d, "text", "doc_id")
     feats = multimodal.decode_image_features(b)
     return multimodal.phash_near_dups(feats)
@@ -1620,7 +1620,7 @@ def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffle. Oracle replays the sliced-md5 frame hashes and the
     same integer cutoff."""
     b = multimodal.attach_fake_binary(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", media_type="video"
+        _t(spark, sf_dir, "documents", fanout=True), "text", "doc_id", media_type="video"
     )
     return multimodal.video_near_dups(b, every_ms=200, min_jaccard=0.5)
 

@@ -83,13 +83,23 @@ def _cached_layout(
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = True
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool | None = None
 ) -> DataFrame:
-    """Read one testdata table. ``fanout=False`` opts a caller out of
-    the compute-dense scan fan-out (see ``sources.files.scan_fanout``)
-    — e.g. the nightly-state queries, whose events read feeds a tiny
-    landed-parquet WRITE: fanning the scan there just amplifies the
-    landing into one near-empty file per partition."""
+    """Read one testdata table. ``fanout`` opts a caller in/out of the
+    compute-dense scan fan-out (``sources.files.scan_fanout``); the
+    ``None`` default resolves per table:
+
+    - ``embeddings`` → fan out (every registry consumer does per-row
+      vector math — dots, signatures, PQ distances; none regressed
+      under the r12 blanket fan-out);
+    - ``documents`` / ``events`` → NO fan-out. The r12 blanket fan-out
+      regressed 14 cheap statistical/relational consumers by the cost
+      of the added exchange (events_bootstrap_ci ×0.46 — VERDICT r12
+      "what's wrong" #1); compute-dense documents consumers
+      (shingle+hash MinHash/SimHash, n-gram expansion, NB/BPE
+      tokenize-everything, sha-decode multimodal) opt IN with
+      ``fanout=True`` at their call sites. No events consumer is
+      per-row compute-dense (casts, sums, windows), so none opts in."""
     from .sources.files import scan_fanout
 
     if name == "events":
@@ -112,12 +122,9 @@ def _t(
         return scan_fanout(spark, df, path) if fanout else df
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    # fan out ONLY the corpora whose consumers are compute-dense per row
-    # (shingling/128-hash MinHash, vector dots, md5 sketch builds);
-    # relational tables (lineitem/orders/...) measurably LOSE from the
-    # added exchange — their queries are selective scans and sums whose
-    # filters already push below any repartition (see scan_fanout doc)
-    if fanout and name in ("documents", "embeddings"):
+    if fanout is None:
+        fanout = name == "embeddings"
+    if fanout:
         df = scan_fanout(spark, df, path)
     return df
 
@@ -182,7 +189,7 @@ def _minhash_pairs_dir(spark: SparkSession, sf_dir: str) -> str:
         params=_MINHASH_PAIR_PARAMS,
         src_name="documents.parquet",
         build=lambda c: dedup.minhash_near_dups(
-            _t(spark, sf_dir, "documents"),
+            _t(spark, sf_dir, "documents", fanout=True),
             "doc_id",
             "text",
             shingle_n=_MINHASH_PAIR_PARAMS["shingle_n"],
@@ -980,7 +987,7 @@ def _nb_model_dir(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
 
     def _build(cache: str) -> None:
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, "documents", fanout=True)
         model, priors = text.nb_train(
             d.where(F.col("doc_id") % 3 != 0), "text", "lang"
         )
@@ -1703,7 +1710,7 @@ def _minhash_ix_dir(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
 
     def _build(cache: str) -> None:
-        ix = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+        ix = _t(spark, sf_dir, "documents", fanout=True).filter(F.col("doc_id") % 5 != 0)
         banded, flat = dedup.minhash_index_build(
             ix, "doc_id", "text",
             shingle_n=_MINHASH_IX_PARAMS["shingle_n"],

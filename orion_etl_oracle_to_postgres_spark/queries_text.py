@@ -213,7 +213,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term stream; smooth idf = ln((N+1)/(df+1)) + 1. Scores are rounded
     BEFORE the per-doc ranking in both engines so near-tie ordering
     cannot diverge on last-ulp ln() differences; ties break by term."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     from .functions import tokens as _tokens
 
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
@@ -391,7 +391,7 @@ def text_vocab_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     raises rather than return an unproven answer. Same oracle as
     text_vocab_topk — the scale formulation must match the plain
     aggregate bit-for-bit."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     from .functions import tokens as _tokens
     from .operators.freq import heavy_hitters_exact
 
@@ -456,7 +456,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token stream is filtered to the 5 query terms BEFORE any shuffle;
     doc lengths are one word-count agg; top-20 compiles to
     TakeOrderedAndProject. Scores rounded before ranking, ties by id."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return text.bm25_rank(d, "text", "doc_id", _BM25_TERMS, top_k=20)
 
 
@@ -524,7 +524,7 @@ def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training is one word-count shuffle + label/vocab-sized aggregates;
     scoring multiplies the token stream by the (few) labels via
     broadcast joins and reduces with map-side combine."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     model, priors = text.nb_train(
         d.where(F.col("doc_id") % 3 != 0), "text", "lang"
     )
@@ -559,7 +559,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of a doc's distinct 3-gram shingles appearing in no other
     document — ranks docs by genuinely new text. One narrow shingle
     stream, one word-count-shaped frequency aggregate, one join back."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return text.ngram_novelty(d, "text", "doc_id")
 
 
@@ -770,7 +770,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 P(w_i | w_{i-1}) under corpus bigram counts — scores fluency,
     not just word frequency. In-row bigram expansion + two word-count
     aggregates; every exchange carries (hash, count) pairs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return text.bigram_logprob(d, "text", "doc_id")
 
 
@@ -923,7 +923,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring replace on delimiter-framed words. Returns the first 8
     merge rules with their pair counts. The oracle replays all 8
     rounds unrolled with the identical replace() semantics."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return text.bpe_merges(d, "text", n_merges=8)
 
 
@@ -1058,7 +1058,7 @@ def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded."""
     from .operators.text import quality_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     scored = text.hashed_linear_score(
         d, "text", "doc_id", weights=_QC_TRAINED_W, bias=_QC_TRAINED_B
     ).join(d.select("doc_id", "text"), "doc_id")

@@ -63,16 +63,19 @@ def scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     parallelism buys.
 
     Applied ONLY where the downstream work is compute-dense per row
-    (text shingling/hashing, vector math, portable-md5 sketch builds):
-    the registry's corpora reads (``_t`` on documents/embeddings/
-    events) and compiled tables whose spec carries a compute-dense
-    stage (``compiler`` scan fan-out hook). Measured at sf0.1, fanning
-    out relational tables (lineitem/orders) COSTS 0.3-1 s per query —
-    the exchange + extra stage outweigh the parallel gains when the
-    per-row work is a comparison or a sum, and selective scans already
-    push their filters below the added exchange anyway. Callers must
-    apply it AFTER any ``input_file_name()`` capture (lineage) — rows
-    detached from their file by the exchange read as ''."""
+    (text shingling/hashing, vector math, Levenshtein verify,
+    portable-md5 sketch builds): OPT-IN call sites in the registry
+    (``_t(..., fanout=True)`` on dense documents consumers, the
+    embeddings table default, the er_fuzzy_join_parts part scan) and
+    compiled tables whose spec carries a compute-dense stage
+    (``compiler`` scan fan-out hook). Measured at sf0.1, fanning out
+    relational/statistical consumers COSTS 0.1-1 s per query — the
+    exchange + extra stage outweigh the parallel gains when the
+    per-row work is a comparison or a sum (the r12 blanket fan-out
+    regressed 14 tail queries; VERDICT r12 #1) — so the default
+    everywhere else is NO fan-out. Callers must apply it AFTER any
+    ``input_file_name()`` capture (lineage) — rows detached from their
+    file by the exchange read as ''."""
     p = str(path)
     if "://" in p:
         return df  # remote path: cannot stat cheaply; production-sized anyway
@@ -93,17 +96,35 @@ def scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     if total // max_pb + 1 >= cores:
         return df
-    # Hash-partition on a deterministic whole-row hash, NOT round-robin:
-    # a keyless repartition(n) first locally SORTS its input
+    # Width = the session's core count, NOT bytes/64k: every remaining
+    # caller is a compute-dense consumer (shingle+128-hash MinHash,
+    # Levenshtein verify, vector math), where per-task cost is CPU per
+    # row, not scan bytes — the byte-derived width left dedup_clusters'
+    # 12 s-CPU shingle stage on 9 tasks with 23 cores idle. Scales with
+    # $SPARK_GRAFT_CPUS via defaultParallelism (the driver's lower-core
+    # bench keeps its own width), and production-sized inputs never
+    # reach here (the maxPartitionBytes gate above).
+    #
+    # Hash-partition on a deterministic key, NOT round-robin: a keyless
+    # repartition(n) first locally SORTS its input
     # (spark.sql.execution.sortBeforeRepartition, needed so retried
     # tasks reproduce the row→partition map — guide §2.5), and on a
     # one-partition scan that is a full sort of the table serialized on
-    # one core (measured: +0.5-1 s on every lineitem tail query). A
-    # deterministic hash key needs no sort for retry safety and spreads
-    # uniformly. Map-typed columns are unhashable — skip them (any
-    # remaining column set still distributes; an all-map table falls
-    # back to round-robin).
-    parts = min(cores, max(2, int(total // _FANOUT_MIN_BYTES)))
+    # one core. The key is the FIRST SCALAR column (doc_id/vec_id/...):
+    # hashing string/array payload columns (doc text, embedding vectors)
+    # per row just to pick a partition is wasted CPU, and an id column
+    # alone spreads uniformly under xxhash64. Tables with no scalar
+    # column hash their first non-map columns; an all-map table falls
+    # back to round-robin.
+    parts = cores
+    scalar = [
+        c for c, t in df.dtypes
+        if t in ("tinyint", "smallint", "int", "bigint", "float",
+                 "double", "date", "boolean")
+        or t.startswith(("decimal", "timestamp"))
+    ]
+    if scalar:
+        return df.repartition(parts, F.xxhash64(F.col(scalar[0])))
     hashable = [
         F.col(c) for c, t in df.dtypes if not t.startswith("map<")
     ][:3]
